@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loading + deterministic-arithmetic helpers shared by all query
+  * registries.
+  *
+  * Determinism contract with the DuckDB oracle: floating-point SUM/AVG is
+  * order-dependent, and both engines aggregate in nondeterministic partition
+  * order. All monetary aggregates therefore go through exact integer cents
+  * (`round(x*100)` is unambiguous because the synthetic data carries 2-decimal
+  * values), are summed as longs, and only converted back to double by a single
+  * exact division at the end. Every query orders its output by a unique key
+  * set so row order is reproducible too.
+  */
+object T {
+
+  /** Load one of the driver's parquet tables from an sf directory. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact cents: 2-decimal double -> long. Same result in DuckDB via
+    * CAST(round(x*100, 0) AS BIGINT). */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Order-independent exact money sum, returned as double (one exact
+    * integer/100.0 division — bit-identical across engines). */
+  def moneySum(c: Column): Column = sum(cents(c)) / 100.0
+
+  /** Order-independent exact money avg: integer cents sum / count, two exact
+    * double divisions. */
+  def moneyAvg(c: Column): Column = sum(cents(c)) / count(lit(1)) / 100.0
+
+  /** DuckDB-side fragments mirroring the helpers above (kept adjacent so the
+    * two dialects stay in sync). */
+  object sql {
+    def cents(x: String): String = s"CAST(round(($x)*100, 0) AS BIGINT)"
+    def moneySum(x: String): String = s"(CAST(sum(${cents(x)}) AS BIGINT) / 100.0)"
+    def moneyAvg(x: String): String = s"(CAST(sum(${cents(x)}) AS BIGINT) / count(*) / 100.0)"
+  }
+}

@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.T
+
+/** Core relational operator coverage: scan+filter+project, hash aggregate,
+  * broadcast + shuffle joins, window functions, set ops, rollup, semi/anti
+  * joins, top-k. These are the engine's bread-and-butter plans; the takuan
+  * parity queries (see [[ParityQueries]]) and the LLM-pipeline operators all
+  * compose out of the same physical machinery exercised here.
+  *
+  * Scale notes (100 TB design rules applied at sf0.1 too):
+  *  - dimension tables (region/nation/customer/supplier/part) are broadcast —
+  *    no shuffle of the fact table for those joins;
+  *  - fact-fact joins (orders x lineitem) shuffle on the join key once and
+  *    aggregation reuses that partitioning where possible;
+  *  - all filters are plain column predicates -> pushed to the parquet scan;
+  *  - top-k is orderBy+limit -> TakeOrderedAndProject, never a full sort.
+  */
+object Relational {
+  import T.{t, cents, moneySum, moneyAvg}
+
+  /** TPC-H Q1 shape: scan -> filter -> hash aggregate (map-side partial agg,
+    * one exchange on the 2-column group key). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3 shape: broadcast(customer-filter) x orders, shuffle join to
+    * lineitem on orderkey, aggregate by orderkey, top-10. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: chain of broadcast joins over the dimension hierarchy
+    * (region->nation->customer), one shuffle join orders x lineitem. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val dims = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+          .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window function: per-customer best order (row_number over a
+    * partitioned sort with a unique tie-break). */
+  def qWindowTopOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(cents(col("o_totalprice")).desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (cents(col("o_totalprice")) / 100.0).as("best_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Running aggregate window: cumulative revenue per supplier over time. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "lineitem")
+      .filter(col("l_suppkey") <= 3)
+      .withColumn("run_qty", sum(col("l_quantity").cast("long")).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Set operations: customers holding open ('O') orders but no finished
+    * ('F') orders — INTERSECT/EXCEPT distinct semantics. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val all = t(spark, dir, "customer").select(col("c_custkey").as("custkey"))
+    val open = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    val fin = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    all.intersect(open).except(fin).orderBy(col("custkey"))
+  }
+
+  /** Anti join: customers with no in-progress ('P') orders (NOT EXISTS). */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Semi join: parts that do appear in lineitem (EXISTS). */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .join(t(spark, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+
+  /** Rollup (grouping sets) with NULL-free output so cross-engine ordering
+    * is unambiguous: coalesce the rolled-up levels to 'ALL'. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Scalar subquery / global aggregate reuse: orders above the global
+    * average price. Demonstrates a broadcast of a 1-row aggregate. */
+  def qAboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val avgCents = ord.agg((sum(cents(col("o_totalprice"))) / count(lit(1))).as("avg_cents"))
+    ord.join(broadcast(avgCents))
+      .filter(cents(col("o_totalprice")) > col("avg_cents") * 3 / 2)
+      .select(col("o_orderkey"), (cents(col("o_totalprice")) / 100.0).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_window_top_order" -> (qWindowTopOrder _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_setops" -> (qSetOps _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_rollup" -> (qRollup _),
+    "q_above_avg" -> (qAboveAvg _),
+  )
+
+  import T.sql.{cents => c, moneySum => ms, moneyAvg => ma}
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  ${ms("l_extendedprice")} AS sum_base_price,
+         |  ${ms("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${ma("l_extendedprice")} AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${ms("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |  ${ms("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_window_top_order" ->
+      s"""SELECT o_custkey, o_orderkey, (${c("o_totalprice")} / 100.0) AS best_price
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY o_custkey
+         |    ORDER BY ${c("o_totalprice")} DESC, o_orderkey) AS rn
+         |  FROM orders)
+         |WHERE rn = 1
+         |ORDER BY o_custkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_setops" ->
+      """SELECT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  INTERSECT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_above_avg" ->
+      s"""SELECT o_orderkey, (${c("o_totalprice")} / 100.0) AS o_totalprice
+         |FROM orders
+         |WHERE ${c("o_totalprice")} > (
+         |  SELECT CAST(sum(${c("o_totalprice")}) AS BIGINT) / count(*) FROM orders) * 3 / 2
+         |ORDER BY o_orderkey""".stripMargin,
+  )
+}
