@@ -20,6 +20,18 @@ object T {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table stores nanosecond parquet timestamps, which Spark's
+    * vectorized reader rejects outright. Read `ts` as raw nanos
+    * (legacy.parquet.nanosAsLong) and convert with integer division — a
+    * double-based division would lose precision above 2^53 ns. The µs
+    * truncation matches DuckDB's CAST(ts AS TIMESTAMP) used by the oracle.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Exact cents: 2-decimal double -> long. Same result in DuckDB via
     * CAST(round(x*100, 0) AS BIGINT). */
   def cents(c: Column): Column = round(c * 100, 0).cast("long")

@@ -1,0 +1,101 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.config.{ParserConf, RuleConf, SensorConf}
+import graft.timefmt.GoTimeFormat
+
+/** The parse/classify hot path (reference: core/sensor.go:80-110,
+  * core/parser.go:64-80, core/rule.go:23-31), re-expressed as narrow
+  * DataFrame transformations: everything here fuses into a single
+  * whole-stage-codegen pipeline with zero shuffles — one pass over the raw
+  * lines regardless of sensor/rule count. Regex patterns are literals, so
+  * Catalyst compiles each `Pattern` once per task.
+  */
+object LogParser {
+
+  /** The raw-line input column (what `spark.read.text` produces). */
+  val LineCol = "value"
+
+  /** P1/P2: per-sensor regex tokenizer. A line that doesn't match the parser
+    * expression is dropped (reference: core/parser.go:65 — FindStringSubmatch
+    * returns nil ⇒ no event). Produces one StringType column per configured
+    * token; schema is fixed at plan-build time from config.
+    */
+  def tokenize(lines: DataFrame, parser: ParserConf,
+      currYear: Int = java.time.Year.now.getValue): DataFrame = {
+    val expr = parser.normalizedExpression
+    val withTokens = parser.tokens.toSeq.sortBy(_._2).foldLeft(
+      lines.filter(col(LineCol).rlike(expr))) { case (df, (name, idx)) =>
+      df.withColumn(name, regexp_extract(col(LineCol), expr, idx))
+    }
+    // P7 year repair (core/parser.go:55-62,72-74): applied to the datetime
+    // token only, when no year in [currYear-5, currYear] appears.
+    if (parser.tokens.contains("datetime")) {
+      val hasYear = col("datetime").rlike(GoTimeFormat.yearAlternation(currYear))
+      withTokens.withColumn("datetime",
+        when(hasYear, col("datetime"))
+          .otherwise(concat(lit(s"$currYear "), col("datetime"))))
+    } else withTokens
+  }
+
+  /** P4/P5: ordered first-match-wins rule classification
+    * (core/sensor.go:88-106 — `break` after first match ⇒ ≤1 event/line).
+    * Compiles to one lazily-evaluated CASE WHEN chain: codegen emits an
+    * early-exit branch per rule, preserving the reference's short-circuit.
+    * Rules are case-sensitive (core/rule.go:19). Rows matching no rule get
+    * NULL and are filtered by [[pipeline]].
+    */
+  def classifyColumn(rules: Seq[RuleConf]): Column =
+    rules.foldLeft(lit(null).cast("string")) { (acc, r) =>
+      coalesce(acc, when(col(r.token).rlike(r.expression), lit(r.name)))
+    }
+
+  /** P6: parse the (year-repaired) datetime token with the sensor's Go
+    * layout. `try_to_timestamp` nulls on failure — the reference emits the
+    * event anyway with zero time and routes the error to a side channel
+    * (core/sensor.go:98-101); [[malformedDatetimes]] is that side output. */
+  def datetimeColumn(parser: ParserConf): Column = {
+    val t = GoTimeFormat.translate(
+      if (GoTimeFormat.hasYearField(parser.datetimeFormat)) parser.datetimeFormat
+      else "2006 " + parser.datetimeFormat)
+    val src =
+      if (t.normalizeSpaces) regexp_replace(col("datetime"), " +", " ")
+      else col("datetime")
+    try_to_timestamp(src, lit(t.pattern))
+  }
+
+  /** Full per-sensor pipeline (reference §3.1 stages 1-3 + P9 column
+    * injection): lines -> events with the reference's table schema
+    * (models/event.go:7-20). `detectedAt` is injectable for reproducible
+    * golden tests; None means wall-clock `current_timestamp()`.
+    */
+  def pipeline(lines: DataFrame, sensor: SensorConf, nodeName: String,
+      detectedAt: Option[java.sql.Timestamp] = None,
+      currYear: Int = java.time.Year.now.getValue): DataFrame =
+    tokenize(lines, sensor.parser, currYear)
+      .withColumn("rule", classifyColumn(sensor.rules))
+      .filter(col("rule").isNotNull)
+      .withColumn("created_at", datetimeColumn(sensor.parser))
+      .withColumn("detected_at",
+        detectedAt.map(lit(_)).getOrElse(current_timestamp()))
+      .withColumn("node_name", lit(nodeName))
+      .withColumn("sensor", lit(sensor.name))
+      .withColumn("payload", col(LineCol))
+      .withColumn("country_code", lit(null).cast("string"))
+      .withColumn("country_name", lit(null).cast("string"))
+      .withColumn("reported_at", lit(null).cast("timestamp"))
+      .select("created_at", "detected_at", "node_name", "address",
+        "country_code", "country_name", "sensor", "rule", "payload",
+        "reported_at")
+
+  /** ST7 side output: classified rows whose datetime failed to parse.
+    * Routed to a quarantine sink instead of failing the stream. */
+  def malformedDatetimes(lines: DataFrame, sensor: SensorConf,
+      currYear: Int = java.time.Year.now.getValue): DataFrame =
+    tokenize(lines, sensor.parser, currYear)
+      .withColumn("rule", classifyColumn(sensor.rules))
+      .filter(col("rule").isNotNull)
+      .filter(datetimeColumn(sensor.parser).isNull)
+      .select(col(LineCol).as("payload"), col("datetime"))
+}

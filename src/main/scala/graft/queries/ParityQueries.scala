@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.config.{ParserConf, RuleConf, SensorConf}
+import graft.parse.LogParser
+import graft.enrich.GeoIp
+import graft.report.Reporter
+import graft.ops.AsOf
+
+/** Takuan-parity operators (SURVEY §2) exercised through the real library
+  * modules ([[LogParser]], [[GeoIp]], [[Reporter]], [[AsOf]]) over the
+  * driver's parquet corpus, each with a DuckDB oracle. The synthetic mapping:
+  * `events.user_id` becomes a dotted-quad address, `event_type` becomes the
+  * rule, and a nation-derived range table stands in for the GeoIP database.
+  */
+object ParityQueries {
+
+  private val IpBase = 167772160L // ip_to_num("10.0.0.0")
+
+  /** Synthetic dotted-quad address from user_id (10.0.x.y ⇒ ip = base+uid). */
+  private def addrCol = format_string("10.0.%d.%d",
+    expr("user_id div 256"), expr("user_id % 256"))
+  private val addrSql =
+    "('10.0.' || CAST(user_id // 256 AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR))"
+
+  /** Nation-derived geo range table: nation n covers 64 addresses. */
+  private def geoTable(spark: SparkSession, dir: String): DataFrame =
+    T.t(spark, dir, "nation").select(
+      (lit(IpBase) + col("n_nationkey").cast("long") * 64).as("start_ip_num"),
+      (lit(IpBase) + col("n_nationkey").cast("long") * 64 + 63).as("end_ip_num"),
+      col("n_name").as("country_code"),
+      col("n_name").as("country_name"))
+
+  private val geoSqlJoin =
+    s"""LEFT JOIN nation
+       |    ON (167772160 + user_id) >= (167772160 + n_nationkey * 64)
+       |   AND (167772160 + user_id) <= (167772160 + n_nationkey * 64 + 63)""".stripMargin
+
+  /** The ssh sensor from the reference config (config.example.yml:28-48),
+    * applied to log lines synthesized from the events table. */
+  private val sshSensor = SensorConf(
+    name = "ssh", filename = "", enabled = true, periodSecs = 10,
+    parser = ParserConf(
+      expression = "^(.+)\\s+.+\\s+sshd\\[\\d+\\]: (.+)\\s+(.+)\\s+port\\s+\\d+$",
+      datetimeFormat = "2006 Jan _2 15:04:05",
+      tokens = Map("datetime" -> 1, "message" -> 2, "address" -> 3)),
+    rules = Seq(
+      RuleConf("auth-failure", "message", "Authentication (failure|error|failed) for .+"),
+      RuleConf("user-enumeration", "message", "(Illegal|Invalid) user .+")))
+
+  /** Synthesized syslog lines: error→auth-failure, signup→user-enumeration,
+    * click/view/purchase→parses but matches no rule (dropped — exercising
+    * the ≤1-event-per-line contract). The port carries event_id so payloads
+    * are unique. */
+  private def syslogLines(spark: SparkSession, dir: String): DataFrame =
+    T.events(spark, dir).select(
+      format_string("%s host sshd[77]: %s %s port %d",
+        date_format(col("ts"), "MMM d HH:mm:ss"),
+        when(col("event_type") === "error", "Authentication failed for root")
+          .when(col("event_type") === "signup", "Invalid user admin from")
+          .otherwise("Accepted publickey for deploy from"),
+        addrCol,
+        col("event_id")).as("value"))
+
+  // ---------------------------------------------------------------- queries
+
+  /** P1: regex tokenizer — named capture-group projection, non-matches
+    * dropped. */
+  def p1RegexTokenize(spark: SparkSession, dir: String): DataFrame =
+    T.events(spark, dir)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).as("k_str"))
+      .filter(col("k_str") =!= "")
+      .select(col("event_id"), col("k_str").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  /** P5: first-match-wins ordered rule classification over document text —
+    * via the library's CASE WHEN builder (order is semantic). */
+  def p5FirstMatchRules(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(
+      RuleConf("mentions_window", "text", "window"),
+      RuleConf("mentions_join", "text", "join"),
+      RuleConf("mentions_spark", "text", "spark"))
+    T.t(spark, dir, "documents")
+      .withColumn("rule", LogParser.classifyColumn(rules))
+      .filter(col("rule").isNotNull)
+      .select(col("doc_id"), col("rule"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** P6: datetime parse round-trip with the http sensor's Go layout
+    * (02/Jan/2006:15:04:05 → dd/MMM/yyyy:HH:mm:ss). */
+  def p6DatetimeParse(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = graft.timefmt.GoTimeFormat.translate("02/Jan/2006:15:04:05")
+    T.events(spark, dir)
+      .select(col("event_id"),
+        date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss").as("dt_str"))
+      .select(col("event_id"),
+        try_to_timestamp(col("dt_str"), lit(fmt.pattern)).as("parsed"))
+      .orderBy(col("event_id"))
+  }
+
+  /** F9: ip_to_num — the codegen'd Catalyst expression vs arithmetic. */
+  def f9IpToNum(spark: SparkSession, dir: String): DataFrame =
+    T.events(spark, dir)
+      .select(col("event_id"), addrCol.as("address"))
+      .withColumn("ip_num", graft.functions.GraftFunctions.ip_to_num(col("address")))
+      .orderBy(col("event_id"))
+
+  /** J1: GeoIP broadcast range join via the bucketed equi-join. */
+  def j1GeoRangeJoin(spark: SparkSession, dir: String): DataFrame =
+    GeoIp.enrich(
+      T.events(spark, dir).select(col("event_id"), addrCol.as("address")),
+      geoTable(spark, dir))
+      .select(col("event_id"), col("country_code"))
+      .orderBy(col("event_id"))
+
+  /** A1-A4 + O1: the full takuan report (address grouping, nested
+    * sensor/rule counters, stringification, desc sort) via Reporter. */
+  def a1ReportCounters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = GeoIp.enrich(
+      T.events(spark, dir).select(col("event_id"), col("event_type"), addrCol.as("address")),
+      geoTable(spark, dir))
+      .select(col("address"), lit("app").as("sensor"),
+        col("event_type").as("rule"), col("country_code"), col("country_name"))
+    Reporter.report(ev)
+  }
+
+  /** A5/O2/O3: per-country counts, top 5 — the tweet summary aggregation. */
+  def a5CountryTopk(spark: SparkSession, dir: String): DataFrame =
+    Reporter.countrySummary(
+      GeoIp.enrich(
+        T.events(spark, dir).select(col("event_id"), addrCol.as("address")),
+        geoTable(spark, dir))
+        // NULL order keys sort differently across engines — pin unmatched to '??'
+        .withColumn("country_code", coalesce(col("country_code"), lit("??"))))
+      .limit(5)
+
+  /** S6/P8-analogue: filtered scan with parquet pushdown. */
+  def s6FilteredScan(spark: SparkSession, dir: String): DataFrame =
+    T.events(spark, dir)
+      .filter(col("event_type") === "error" && col("value") > 50)
+      .select(col("event_id"), col("user_id"), (T.cents(col("value")) / 100.0).as("value"))
+      .orderBy(col("event_id"))
+
+  /** A6: report totals (row count + distinct addresses) in one pass. */
+  def a6Totals(spark: SparkSession, dir: String): DataFrame =
+    T.events(spark, dir)
+      .agg(count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("n_addresses"))
+
+  /** ST4 extension: event-time tumbling window aggregation. */
+  def st4EventWindow(spark: SparkSession, dir: String): DataFrame =
+    T.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), T.moneySum(col("value")).as("value_sum"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("value_sum"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Beyond-parity: backward as-of join — each purchase matched to the
+    * user's most recent click at-or-before it. */
+  def asofPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOf.backward(purchases, clicks, key = "user_id", ts = "ts", rightCols = Seq("value"))
+      .select(col("event_id"), col("user_id"), col("asof_ts").as("click_ts"),
+        col("asof_value").as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The full parse→classify→datetime pipeline (P1+P2+P5+P6+P7+P9) on
+    * synthesized syslog lines, through LogParser.pipeline with the
+    * reference's ssh sensor config. currYear pinned to the data's year so
+    * the year-repair hack reconstructs the original timestamps. */
+  def takuanSshPipeline(spark: SparkSession, dir: String): DataFrame =
+    LogParser.pipeline(
+      syslogLines(spark, dir), sshSensor, nodeName = "node1",
+      detectedAt = Some(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")),
+      currYear = 2024)
+      .select(col("payload"), col("address"), col("rule"), col("created_at"),
+        col("node_name"), col("sensor"))
+      .orderBy(col("payload"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_regex_tokenize" -> (p1RegexTokenize _),
+    "p5_first_match_rules" -> (p5FirstMatchRules _),
+    "p6_datetime_parse" -> (p6DatetimeParse _),
+    "f9_ip_to_num" -> (f9IpToNum _),
+    "j1_geo_range_join" -> (j1GeoRangeJoin _),
+    "a1_report_counters" -> (a1ReportCounters _),
+    "a5_country_topk" -> (a5CountryTopk _),
+    "s6_filtered_scan" -> (s6FilteredScan _),
+    "a6_totals" -> (a6Totals _),
+    "st4_event_window" -> (st4EventWindow _),
+    "asof_purchase_click" -> (asofPurchaseClick _),
+    "takuan_ssh_pipeline" -> (takuanSshPipeline _),
+  )
+
+  import T.sql.{cents => c, moneySum => ms}
+
+  val oracle: Map[String, String] = Map(
+    "p1_regex_tokenize" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+        |FROM events
+        |WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
+        |ORDER BY event_id""".stripMargin,
+    "p5_first_match_rules" ->
+      """SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, 'window') THEN 'mentions_window'
+        |       WHEN regexp_matches(text, 'join') THEN 'mentions_join'
+        |       WHEN regexp_matches(text, 'spark') THEN 'mentions_spark'
+        |  END AS rule
+        |FROM documents
+        |WHERE regexp_matches(text, 'window|join|spark')
+        |ORDER BY doc_id""".stripMargin,
+    "p6_datetime_parse" ->
+      """SELECT event_id,
+        |  strptime(strftime(CAST(ts AS TIMESTAMP), '%d/%b/%Y:%H:%M:%S'), '%d/%b/%Y:%H:%M:%S') AS parsed
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "f9_ip_to_num" ->
+      s"""SELECT event_id, $addrSql AS address,
+         |  (167772160 + CAST(user_id // 256 AS BIGINT) * 256 + user_id % 256) AS ip_num
+         |FROM events
+         |ORDER BY event_id""".stripMargin,
+    "j1_geo_range_join" ->
+      s"""SELECT event_id, n_name AS country_code
+         |FROM events
+         |$geoSqlJoin
+         |ORDER BY event_id""".stripMargin,
+    "a1_report_counters" ->
+      s"""WITH ev AS (
+         |  SELECT $addrSql AS address, 'app' AS sensor, event_type AS rule,
+         |         n_name AS country_code, n_name AS country_name
+         |  FROM events
+         |  $geoSqlJoin
+         |), per AS (
+         |  SELECT address, sensor, rule, min(country_code) AS cc,
+         |         min(country_name) AS cn, count(*) AS n
+         |  FROM ev GROUP BY address, sensor, rule
+         |)
+         |SELECT address, min(cc) AS country_code, min(cn) AS country_name,
+         |  CAST(sum(n) AS BIGINT) AS total_events,
+         |  string_agg(sensor || '/' || rule || ':' || n, '|'
+         |    ORDER BY sensor || '/' || rule || ':' || n) AS counters
+         |FROM per GROUP BY address
+         |ORDER BY total_events DESC, address""".stripMargin,
+    "a5_country_topk" ->
+      s"""SELECT coalesce(n_name, '??') AS country_code, count(*) AS n
+         |FROM events
+         |$geoSqlJoin
+         |GROUP BY 1
+         |ORDER BY n DESC, country_code
+         |LIMIT 5""".stripMargin,
+    "s6_filtered_scan" ->
+      s"""SELECT event_id, user_id, (${c("value")} / 100.0) AS value
+         |FROM events
+         |WHERE event_type = 'error' AND value > 50
+         |ORDER BY event_id""".stripMargin,
+    "a6_totals" ->
+      """SELECT count(*) AS total_events,
+        |  count(DISTINCT user_id) AS n_addresses
+        |FROM events""".stripMargin,
+    "st4_event_window" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         |  count(*) AS n, ${ms("value")} AS value_sum
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY hour, event_type""".stripMargin,
+    "asof_purchase_click" ->
+      """SELECT p.event_id, p.user_id, c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "takuan_ssh_pipeline" ->
+      s"""WITH lines AS (
+         |  SELECT strftime(CAST(ts AS TIMESTAMP), '%b %-d %H:%M:%S')
+         |           || ' host sshd[77]: '
+         |           || CASE WHEN event_type = 'error' THEN 'Authentication failed for root'
+         |                   WHEN event_type = 'signup' THEN 'Invalid user admin from'
+         |                   ELSE 'Accepted publickey for deploy from' END
+         |           || ' ' || $addrSql || ' port ' || event_id AS payload,
+         |         $addrSql AS address,
+         |         CASE WHEN event_type = 'error' THEN 'auth-failure'
+         |              WHEN event_type = 'signup' THEN 'user-enumeration'
+         |         END AS rule,
+         |         date_trunc('second', CAST(ts AS TIMESTAMP)) AS created_at
+         |  FROM events
+         |)
+         |SELECT payload, address, rule, created_at,
+         |  'node1' AS node_name, 'ssh' AS sensor
+         |FROM lines
+         |WHERE rule IS NOT NULL
+         |ORDER BY payload""".stripMargin,
+  )
+}

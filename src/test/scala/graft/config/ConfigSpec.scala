@@ -1,0 +1,56 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigSpec extends AnyFunSuite {
+
+  test("loads the fixture config with both sensors") {
+    val c = GraftConfig.load("src/test/resources/fixtures/config.yml")
+    assert(c.nodeName == "testnode")
+    assert(c.sensors.map(_.name) == Seq("ssh", "http"))
+    val ssh = c.sensors.head
+    assert(ssh.parser.tokens == Map("datetime" -> 1, "message" -> 2, "address" -> 3))
+    assert(ssh.rules.map(_.name) == Seq("auth-failure", "user-enumeration"))
+    assert(c.sensors(1).rules.map(_.name) ==
+      Seq("CVE-2017-9841", "XDebug", "php_files_scan", "not_a_browser"))
+  }
+
+  test("(?i) is force-prefixed once") {
+    val p = ParserConf("^abc$", "2006", Map("address" -> 1, "datetime" -> 2))
+    assert(p.normalizedExpression == "(?i)^abc$")
+    val p2 = ParserConf("(?i)^abc$", "2006", Map("address" -> 1, "datetime" -> 2))
+    assert(p2.normalizedExpression == "(?i)^abc$")
+  }
+
+  test("missing mandatory token fails at load (parser.go:32-36 parity)") {
+    val yaml =
+      """name: x
+        |sensors:
+        |- name: bad
+        |  filename: /dev/null
+        |  parser:
+        |    expression: '^(.+)$'
+        |    datetime_format: '2006'
+        |    tokens:
+        |      datetime: 1
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](GraftConfig.fromYaml(yaml))
+    assert(e.getMessage.contains("address"))
+  }
+
+  test("invalid regex fails at load (config.go:35-39 parity)") {
+    val yaml =
+      """name: x
+        |sensors:
+        |- name: bad
+        |  filename: /dev/null
+        |  parser:
+        |    expression: '^((+invalid$'
+        |    datetime_format: '2006'
+        |    tokens:
+        |      datetime: 1
+        |      address: 2
+        |""".stripMargin
+    intercept[java.util.regex.PatternSyntaxException](GraftConfig.fromYaml(yaml))
+  }
+}

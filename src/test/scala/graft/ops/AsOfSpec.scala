@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+
+  def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("backward as-of join picks latest right row at-or-before left ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")))
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1.0),
+      (10L, ts("2024-01-01 11:00:00"), 2.0),
+      (20L, ts("2024-01-01 09:00:00"), 3.0), // equal ts -> inclusive
+      (20L, ts("2024-01-01 10:00:00"), 4.0)) // after left -> excluded
+      .toDF("k", "ts", "v")
+    val got = AsOf.backward(left, right, "k", "ts", Seq("v"))
+      .orderBy("id")
+      .select("id", "asof_v")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("left row with no preceding right row gets NULLs") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 08:00:00"))).toDF("id", "k", "ts")
+    val right = Seq((10L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "ts", "v")
+    val r = AsOf.backward(left, right, "k", "ts", Seq("v")).head()
+    assert(r.isNullAt(r.fieldIndex("asof_v")))
+    assert(r.isNullAt(r.fieldIndex("asof_ts")))
+  }
+
+  test("left columns pass through unchanged") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"), "x")).toDF("id", "k", "ts", "tag")
+    val right = Seq((10L, ts("2024-01-01 09:00:00"), 5.0)).toDF("k", "ts", "v")
+    val out = AsOf.backward(left, right, "k", "ts", Seq("v"))
+    assert(out.columns.toSeq == Seq("id", "k", "ts", "tag", "asof_v", "asof_ts"))
+    assert(out.head().getAs[String]("tag") == "x")
+  }
+}
