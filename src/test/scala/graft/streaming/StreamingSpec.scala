@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.config.GraftConfig
+import graft.enrich.GeoIp
+
+class StreamingSpec extends SparkSpec {
+
+  def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  def writeLog(dir: String, name: String, lines: String*): Unit =
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+
+  lazy val conf = GraftConfig.load(fixture("config.yml"))
+
+  test("streaming ingest: parse+classify+geo-enrich, exactly-once across batches (S1-S5, ST1, ST6)") {
+    val logDir = tmp("graft-logs")
+    val eventsPath = tmp("graft-events") + "/events"
+    val ckpt = tmp("graft-ckpt")
+    val sensor = conf.sensors.find(_.name == "ssh").get.copy(filename = logDir)
+    val geo = GeoIp.fromCsv(spark, fixture("geo.csv"))
+
+    writeLog(logDir, "auth.1.log",
+      "Aug  3 11:22:33 host1 sshd[1]: Authentication failed for root 203.0.113.7 port 1",
+      "Aug  3 11:22:34 host1 sshd[2]: Accepted publickey for deploy 192.0.2.10 port 2",
+      "garbage line")
+
+    val q = Ingest.sensorQuery(spark, sensor, "testnode", eventsPath, ckpt,
+      Some(geo), Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val batch1 = spark.read.parquet(eventsPath)
+    assert(batch1.count() == 1) // only the auth-failure line produces an event
+    val r = batch1.head()
+    assert(r.getAs[String]("rule") == "auth-failure")
+    assert(r.getAs[String]("country_code") == "US") // geo enrichment in-stream
+    assert(r.getAs[String]("node_name") == "testnode")
+
+    // second sweep: a new rotated file appears; only the new file is read
+    writeLog(logDir, "auth.2.log",
+      "Aug  3 11:25:00 host1 sshd[3]: Invalid user admin 198.51.100.23 port 3")
+    val q2 = Ingest.sensorQuery(spark, sensor, "testnode", eventsPath, ckpt,
+      Some(geo), Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val all = spark.read.parquet(eventsPath)
+    assert(all.count() == 2) // no re-ingest of file 1 (checkpoint restart, S3/S4)
+    assert(all.filter(col("rule") === "user-enumeration").count() == 1)
+  }
+
+  test("sink partitions by (event_date, sensor) for downstream pruning") {
+    val logDir = tmp("graft-logs2")
+    val eventsPath = tmp("graft-events2") + "/events"
+    val sensor = conf.sensors.find(_.name == "ssh").get.copy(filename = logDir)
+    writeLog(logDir, "a.log",
+      "Aug  3 11:22:33 host1 sshd[1]: Authentication failed for root 203.0.113.7 port 1")
+    val q = Ingest.sensorQuery(spark, sensor, "n", eventsPath, tmp("ck2"),
+      None, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val dirs = new java.io.File(eventsPath).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("event_date=")))
+  }
+
+  test("report job: CSV + publisher side effects from a batch (ST2, S10-S12)") {
+    import spark.implicits._
+    val events = Seq(
+      ("1.1.1.1", "US", "United States", "ssh", "auth-failure"),
+      ("1.1.1.1", "US", "United States", "ssh", "auth-failure"),
+      ("2.2.2.2", "NL", "Netherlands", "http", "XDebug"))
+      .toDF("address", "country_code", "country_name", "sensor", "rule")
+    val outDir = tmp("graft-reports")
+    val pub = new LogPublisher
+    val now = java.time.ZonedDateTime.of(2026, 8, 3, 12, 0, 0, 0, java.time.ZoneOffset.UTC)
+    val n = ReportJob.reportBatch(events, outDir, pub, now)
+    assert(n == 2) // two addresses
+    assert(pub.published.exists(_.contains("reporting 2 addresses, 3 total events")))
+    assert(pub.published.exists(s => s.startsWith("tweet: 3 new events from") &&
+      s.contains("🇺🇸  (2)") && s.contains("#takuan #threatreport")))
+    val csv = new java.io.File(s"$outDir/report_2026-08-03T12:00:00+0000.csv")
+      .listFiles().filter(_.getName.endsWith(".csv"))
+    assert(csv.length == 1)
+  }
+
+  test("empty batch produces no report (warmup/no-op parity)") {
+    val pub = new LogPublisher
+    val empty = spark.emptyDataFrame
+    assert(ReportJob.reportBatch(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq())), "/tmp/none", pub) == 0)
+    assert(pub.published.isEmpty)
+  }
+
+  test("streaming report cadence over the events table (ST2 streaming form)") {
+    val logDir = tmp("graft-logs3")
+    val eventsPath = tmp("graft-events3") + "/events"
+    val sensor = conf.sensors.find(_.name == "ssh").get.copy(filename = logDir)
+    writeLog(logDir, "a.log",
+      "Aug  3 11:22:33 host1 sshd[1]: Authentication failed for root 203.0.113.7 port 1",
+      "Aug  3 11:22:35 host1 sshd[2]: Authentication failed for root 203.0.113.7 port 2")
+    Ingest.sensorQuery(spark, sensor, "n", eventsPath, tmp("ck3"),
+      None, Trigger.AvailableNow()).awaitTermination(120000)
+
+    val pub = new LogPublisher
+    val q = ReportJob.stream(spark, eventsPath, tmp("graft-reports3"), tmp("ck3r"), pub, 1)
+    try {
+      q.processAllAvailable()
+      assert(pub.published.exists(_.contains("2 total events")))
+    } finally q.stop()
+  }
+}
