@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines (SURVEY §2.10):
+  * exact (hash group-by), MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale shapes:
+  *  - exact: one shuffle on the 128-bit content hash; map-side combine
+  *    collapses most duplicates before the exchange.
+  *  - MinHash+LSH: signatures are one groupBy over exploded shingles
+  *    (shuffle keyed by doc — shingle rows combine map-side); candidate
+  *    generation is an equi-join on band keys (shuffle keyed by band
+  *    value), never an O(n²) cross product; only candidates pay the exact
+  *    Jaccard verification.
+  *  - SimHash: one aggregation per doc; near-pair search is a pigeonhole
+  *    band join (hamming ≤ d guarantees ≥1 of d+1 bands equal).
+  *
+  * Hashing is md5-based everywhere — deterministic, seed-stable across
+  * engines and runs (no JVM-hash or RNG dependence).
+  */
+object Dedup {
+
+  /** Text normalization for content hashing: lowercase, strip
+    * non-alphanumerics (keep spaces), collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Deterministic 60-bit hash of a string under seed `i`. */
+  def hashStr(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed|"), c)), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup by content key: one row per duplicate *group* with the
+    * surviving (minimum) id and member count. `keyOf` defaults to md5 of
+    * the normalized full text. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", keyOf: Column => Column = c => md5(c)): DataFrame =
+    docs
+      .select(col(idCol), keyOf(normalize(col(textCol))).as("content_key"))
+      .groupBy(col("content_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") > 1)
+
+  /** Exact dedup: keep the minimum-id member of each content group. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val keyed = docs.withColumn("__key", md5(normalize(col(textCol))))
+    val keep = keyed.groupBy(col("__key")).agg(min(col(idCol)).as(idCol))
+    keyed.join(keep, Seq("__key", idCol), "left_semi").drop("__key")
+  }
+
+  /** Distinct word-unigram shingle set, exploded to (id, gram) rows. */
+  def explodedShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(split(normalize(col(textCol)), " "))).as("gram"))
+      .filter(col("gram") =!= "")
+
+  /** MinHash signatures: numHashes columns h0..h{n-1}, each the min seeded
+    * hash over the doc's shingle set. */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val aggs = (0 until numHashes).map(i => min(hashStr(col("gram"), i)).as(s"h$i"))
+    explodedShingles(docs, idCol, textCol)
+      .groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band of `rowsPerBand`
+    * consecutive signature components. Output (id_a < id_b) distinct. */
+  def lshCandidates(signatures: DataFrame, numHashes: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val key = concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      signatures.select(col("id"), lit(b).as("band"), key.as("band_key"))
+    }.reduce(_ unionAll _)
+    val l = bands.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val r = bands.select(col("band"), col("band_key"), col("id").as("id_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for the given candidate pairs only. */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = explodedShingles(docs, idCol, textCol).cache()
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(grams.select(col("id").as("id_a"), col("gram")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("gram").as("gram_b")), Seq("id_b"))
+      .filter(col("gram") === col("gram_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → band candidates →
+    * exact-Jaccard verification ≥ threshold. */
+  def minHashLshPairs(docs: DataFrame, threshold: Double, numHashes: Int = 8,
+      rowsPerBand: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    jaccardVerify(docs,
+      lshCandidates(minhashSignatures(docs, numHashes, idCol, textCol),
+        numHashes, rowsPerBand),
+      idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+
+  /** SimHash signature (default 16 bits): bit j is the sign of the sum of
+    * ±1 votes from each distinct word's hash bit j. */
+  def simhashSignatures(docs: DataFrame, bits: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = explodedShingles(docs, idCol, textCol)
+      .withColumn("h", hashStr(col("gram"), 999))
+    val votes = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j"))
+    val sig = (0 until bits).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    grams.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found via
+    * pigeonhole banding: split the signature into maxHamming+1 chunks; any
+    * pair within distance shares ≥1 identical chunk, so an equi-join on
+    * (chunk index, chunk value) finds all of them without O(n²). */
+  def simhashNearPairs(signatures: DataFrame, bits: Int = 16,
+      maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = bits / nChunks
+    val mask = (1L << chunkBits) - 1
+    val chunks = (0 until nChunks).map(i =>
+      signatures.select(col("id"), col("simhash"), lit(i).as("chunk"),
+        shiftright(col("simhash"), i * chunkBits).bitwiseAND(lit(mask)).as("ck")))
+      .reduce(_ unionAll _)
+    val l = chunks.select(col("chunk"), col("ck"), col("id").as("id_a"),
+      col("simhash").as("sig_a"))
+    val r = chunks.select(col("chunk"), col("ck"), col("id").as("id_b"),
+      col("simhash").as("sig_b"))
+    l.join(r, Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Character n-gram Jaccard between candidate pairs (brute within a
+    * bounded slice; use MinHash-LSH for open-ended corpora). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substring($textCol, i, $n))")))
+          .as("gram"))
+      .cache()
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = grams.select(col("id").as("id_a"), col("gram"))
+      .join(grams.select(col("id").as("id_b"), col("gram")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

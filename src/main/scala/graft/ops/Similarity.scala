@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search over `ArrayType(FloatType)` columns
+  * (SURVEY §2.10; the `embeddings` testdata table).
+  *
+  * All arithmetic promotes each element to double *before* multiplying and
+  * accumulates left-to-right — per-row deterministic, engine-portable, and
+  * still whole-stage-codegen'd (zip_with/aggregate are built-in higher-order
+  * functions, no UDFs).
+  *
+  * Scale design: brute-force top-k is the exact baseline — a broadcast of
+  * the (small) query set against an arbitrarily large corpus, no shuffle of
+  * the corpus, TakeOrderedAndProject per query via a window. The scale path
+  * is sign-LSH bucketing ([[signLshBucket]]): 2^p deterministic hyperplane
+  * buckets prune the corpus ~2^p-fold before exact re-ranking; recall is
+  * tunable with multi-probe (hamming-adjacent buckets).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ with per-element double promotion. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** cosine = dot / (||a|| * ||b||), written exactly like the oracle SQL. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbours for each query vector.
+    *
+    * @param queries (qidCol, vecCol) — small, broadcast side
+    * @param corpus  (cidCol, vecCol) — large side, scanned once
+    * @param roundTo decimal places to round similarity to before ranking
+    *                (pins cross-engine float determinism; ties broken by id)
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      qidCol: String = "vec_id", cidCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val sim = round(cosine(col("__qv"), col("__cv")), roundTo)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic hyperplanes for sign-LSH (seeded, reproducible across
+    * runs and plan rebuilds — no RNG at execution time). */
+  private[ops] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit p = sign(v · plane_p). Vectors in the same
+    * bucket are cosine-close with high probability. */
+  def signLshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    planes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * (multi-probe: the exact bucket plus all hamming-1 neighbours), then
+    * exact cosine re-ranking. The bucket equi-join replaces the cross
+    * product — this is the 100 TB shape (shuffle by bucket, ~uniform);
+    * probing 1+p of 2^p buckets trades recall for a ~2^p/(p+1) corpus
+    * reduction. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int = 6, dim: Int = 64, multiProbe: Boolean = true,
+      qidCol: String = "vec_id", cidCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+    val qb = signLshBucket(col(vecCol), nPlanes, dim)
+    val probeBuckets =
+      if (multiProbe)
+        array((qb +: (0 until nPlanes).map(i => qb.bitwiseXOR(lit(1L << i)))): _*)
+      else array(qb)
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(probeBuckets).as("__qb"))
+    val c = corpus.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      signLshBucket(col(vecCol), nPlanes, dim).as("__cb"))
+    val sim = round(cosine(col("__qv"), col("__cv")), roundTo)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q),
+        col("__qb") === col("__cb") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** All pairs with cosine above a threshold (embedding near-dup detection).
+    * Exact O(n²) form — callers at scale should pre-block with
+    * [[signLshBucket]] (pass `blockByBucket = true`). */
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockByBucket: Boolean = false, nPlanes: Int = 4, dim: Int = 64,
+      roundTo: Int = 6): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va")).alias("a")
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb")).alias("b")
+    val base =
+      if (blockByBucket) {
+        val ab = a.withColumn("__ba", signLshBucket(col("__va"), nPlanes, dim))
+        val bb = b.withColumn("__bb", signLshBucket(col("__vb"), nPlanes, dim))
+        ab.join(bb, col("id_a") < col("id_b") && col("__ba") === col("__bb"))
+      } else a.join(b, col("id_a") < col("id_b"))
+    base
+      .withColumn("sim", round(cosine(col("__va"), col("__vb")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (SURVEY §2.10):
+  * token counting, quality scoring, language-ID heuristics, and document
+  * fingerprinting. Everything is built-in-expression arithmetic — narrow,
+  * codegen'd, shuffle-free per document.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword token count: alphabetic runs, digit runs, and single
+    * punctuation marks each count as one token. */
+  def subwordTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to all characters (exact integer
+    * arithmetic, single final division). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Ratio of tokens that are stopwords. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is")
+
+  def stopwordRatio(text: Column): Column = {
+    val words = split(Dedup.normalize(text), " ")
+    size(filter(words, w => w.isInCollection(Stopwords))).cast("double") /
+      greatest(size(words), lit(1))
+  }
+
+  /** Mean word length (exact int sums, one division). */
+  def avgWordLen(text: Column): Column = {
+    val words = split(Dedup.normalize(text), " ")
+    aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      greatest(size(words), lit(1))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation and a natural stopword rate. Deterministic arithmetic —
+    * the exact formula matters less than it being stable and monotone in
+    * the signals (C4/Gopher-style heuristic filtering). */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(tokenCount(text).between(5, 5000), lit(1.0)).otherwise(lit(0.2))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
+    val stopOk = least(stopwordRatio(text) * 5, lit(1.0))
+    round(lenOk * 0.4 + punctOk * 0.3 + stopOk * 0.3, 6)
+  }
+
+  /** Language-ID by stopword-marker voting (n-gram heuristic). Marker hits
+    * are counted per language; the language with the most hits wins, ties
+    * resolved in declaration order. Real pipelines plug in fastText-style
+    * models via the same column contract. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  def langGuess(text: Column): Column = {
+    val words = split(Dedup.normalize(text), " ")
+    val hits = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(words, w => w.isInCollection(markers)))
+    }
+    // argmax with declaration-order tie-break: lang_i wins iff its count is
+    // strictly greater than every earlier lang and >= every later one.
+    val best = hits.zipWithIndex.foldLeft(lit("unknown")) {
+      case (acc, ((lang, cnt), i)) =>
+        val beatsEarlier = hits.take(i).map(_._2 < cnt)
+        val tiesLater = hits.drop(i + 1).map(_._2 <= cnt)
+        val isBest = (beatsEarlier ++ tiesLater :+ (cnt > 0)).reduce(_ && _)
+        when(isBest && acc === "unknown", lit(lang)).otherwise(acc)
+    }
+    best
+  }
+
+  /** Whole-document fingerprint: md5 of normalized text. */
+  def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
+
+  /** Winnowing-style robust fingerprint: the minimum hash over all
+    * `window`-char sliding substrings of the normalized text — stable under
+    * small local edits (k-gram winnowing, Schleimer et al.). Built from
+    * higher-order functions, no UDF. */
+  def robustFingerprint(text: Column, window: Int = 8): Column = {
+    val norm = Dedup.normalize(text)
+    array_min(transform(
+      sequence(lit(1), greatest(length(norm) - (window - 1), lit(1))),
+      i => md5(norm.substr(i, lit(window)))))
+  }
+
+  /** One-pass document profile used by the curation queries. */
+  def profile(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      subwordTokenCount(col(textCol)).as("n_subwords"),
+      length(col(textCol)).as("n_chars_actual"),
+      round(punctRatio(col(textCol)), 6).as("punct_ratio"),
+      round(stopwordRatio(col(textCol)), 6).as("stopword_ratio"),
+      round(avgWordLen(col(textCol)), 6).as("avg_word_len"),
+      qualityScore(col(textCol)).as("quality"),
+      langGuess(col(textCol)).as("lang_guess"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}

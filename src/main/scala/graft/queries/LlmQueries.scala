@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+
+/** Training-data-pipeline operators (SURVEY §2.10) over the documents /
+  * embeddings corpus, each driven through the real library modules with a
+  * DuckDB oracle replicating the exact arithmetic (md5-keyed hashing,
+  * double-promoted dot products, integer-exact ratios).
+  */
+object LlmQueries {
+
+  // Shared DuckDB fragments mirroring graft.ops.Dedup/TextAnalysis helpers.
+  private def normSql(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private def hashSql(seed: Int, e: String) =
+    s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
+  private val gramsCte =
+    s"""grams AS (
+       |  SELECT doc_id AS id, g.gram
+       |  FROM documents,
+       |       unnest(list_distinct(string_split(${normSql("text")}, ' '))) AS g(gram)
+       |  WHERE g.gram <> '' AND doc_id < 500
+       |)""".stripMargin
+
+  def dedupExactPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(T.t(spark, dir, "documents"),
+        keyOf = c => md5(concat_ws(" ", slice(split(c, " "), 1, 3))))
+      .orderBy(col("content_key"))
+
+  /** Bounded to a fixed doc slice: the synthetic word-soup corpus is
+    * *genuinely* near-duplicate-dense (mean unigram Jaccard ≈ 0.5), so an
+    * unbounded pair listing is Θ(n²) rows by construction — a fixed slice
+    * keeps the verification join's output invariant across scale factors
+    * while still driving the full signature→band→verify pipeline. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairs(
+      T.t(spark, dir, "documents").filter(col("doc_id") < 500), threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearPairs(
+      Dedup.simhashSignatures(
+        T.t(spark, dir, "documents").filter(col("doc_id") < 500)))
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      T.t(spark, dir, "documents").filter(col("doc_id") < 100),
+      n = 3, threshold = 0.55)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(T.t(spark, dir, "embeddings"), threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def simBruteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Approximate (sign-LSH) top-k — no SQL oracle by design; recall is
+    * asserted against the brute-force baseline in the ScalaTest spec. */
+  def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def textProfile(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.profile(T.t(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  def textRobustFingerprint(spark: SparkSession, dir: String): DataFrame =
+    T.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.robustFingerprint(col("text")).as("rfp"))
+      .orderBy(col("doc_id"))
+
+  def mmBinaryFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(spark,
+        Multimodal.attachBinary(T.t(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(spark,
+        Multimodal.attachBinary(T.t(spark, dir, "documents").filter(col("doc_id") < 50)))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_prefix" -> (dedupExactPrefix _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "sim_brute_topk" -> (simBruteTopk _),
+    "sim_lsh_topk" -> (simLshTopk _),
+    "text_profile" -> (textProfile _),
+    "text_robust_fingerprint" -> (textRobustFingerprint _),
+    "mm_binary_features" -> (mmBinaryFeatures _),
+    "mm_frame_sample" -> (mmFrameSample _),
+  )
+
+  private val dotSql =
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+  private def cosSql(d: String, aa: String, bb: String) =
+    s"($d / (sqrt($aa) * sqrt($bb)))"
+  private val cosineExpr = cosSql(dotSql,
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))",
+    "list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")
+
+  // TextAnalysis fragments (all arithmetic CAST to DOUBLE to match Spark).
+  private val wordsSql = s"string_split(${normSql("text")}, ' ')"
+  private val nTokensSql = "len(string_split_regex(trim(text), '\\s+'))"
+  private val punctSql =
+    "(CAST(length(text) - length(regexp_replace(text, '[!\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))"
+  private val stopSql =
+    s"(CAST(len(list_filter($wordsSql, w -> list_contains(['the','a','an','of','to','and','in','is'], w))) AS DOUBLE) / greatest(len($wordsSql), 1))"
+  private val awlSql =
+    s"(CAST(list_sum(list_transform($wordsSql, w -> length(w))) AS DOUBLE) / greatest(len($wordsSql), 1))"
+  private def hitsSql(markers: Seq[String]) =
+    s"len(list_filter($wordsSql, w -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], w)))"
+  private val langSql = {
+    val h = TextAnalysis.LangMarkers.map { case (l, m) => l -> hitsSql(m) }
+    val Seq(en, de, es, fr) = h.map(_._2)
+    s"""CASE
+       |  WHEN $en > 0 AND $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       |  WHEN $de > 0 AND $de > $en AND $de >= $es AND $de >= $fr THEN 'de'
+       |  WHEN $es > 0 AND $es > $en AND $es > $de AND $es >= $fr THEN 'es'
+       |  WHEN $fr > 0 AND $fr > $en AND $fr > $de AND $fr > $es THEN 'fr'
+       |  ELSE 'unknown' END""".stripMargin
+  }
+  private val qualitySql =
+    s"""round(
+       |  (CASE WHEN $nTokensSql BETWEEN 5 AND 5000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.2 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
+       |  + (CAST(1.0 AS DOUBLE) - least($punctSql * 4, CAST(1.0 AS DOUBLE))) * CAST(0.3 AS DOUBLE)
+       |  + least($stopSql * 5, CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE), 6)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_prefix" ->
+      s"""SELECT md5(array_to_string((string_split(${normSql("text")}, ' '))[1:3], ' ')) AS content_key,
+         |  min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM documents
+         |GROUP BY 1
+         |HAVING count(*) > 1
+         |ORDER BY content_key""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $gramsCte,
+         |sig AS (
+         |  SELECT id,
+         |    ${(0 until 8).map(i => s"min(${hashSql(i, "gram")}) AS h$i").mkString(",\n    ")}
+         |  FROM grams GROUP BY id
+         |),
+         |bands AS (
+         |  SELECT id, r.range AS band,
+         |    CASE r.range
+         |      WHEN 0 THEN h0 || ',' || h1
+         |      WHEN 1 THEN h2 || ',' || h3
+         |      WHEN 2 THEN h4 || ',' || h5
+         |      ELSE h6 || ',' || h7 END AS band_key
+         |  FROM sig CROSS JOIN range(4) r
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+         |),
+         |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN grams ga ON ga.id = c.id_a
+         |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+         |  GROUP BY c.id_a, c.id_b
+         |)
+         |SELECT i.id_a, i.id_b,
+         |  round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.id = i.id_a
+         |JOIN sizes sb ON sb.id = i.id_b
+         |WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $gramsCte,
+         |g2 AS (SELECT id, ${hashSql(999, "gram")} AS h FROM grams),
+         |votes AS (
+         |  SELECT id, r.range AS j,
+         |    sum(CASE WHEN (h >> CAST(r.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM g2 CROSS JOIN range(16) r GROUP BY id, r.range
+         |),
+         |sigs AS (
+         |  SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY id
+         |),
+         |chunks AS (
+         |  SELECT id, simhash, r.range AS chunk,
+         |    (simhash >> CAST(r.range * 4 AS INTEGER)) & 15 AS ck
+         |  FROM sigs CROSS JOIN range(4) r
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.ck = b.ck AND a.id < b.id
+         |)
+         |SELECT id_a, id_b, hamming FROM pairs
+         |WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |grams AS (
+        |  SELECT doc_id AS id, g.gram
+        |  FROM docs,
+        |       unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(length(text) - 2, 1)),
+        |         i -> substring(text, CAST(i AS INTEGER), 3)))) AS g(gram)
+        |),
+        |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+        |  GROUP BY a.id, b.id
+        |)
+        |SELECT i.id_a, i.id_b, round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.id = i.id_a
+        |JOIN sizes sb ON sb.id = i.id_b
+        |WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.55
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round($cosineExpr, 6) AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE round($cosineExpr, 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "sim_brute_topk" ->
+      s"""SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    round($cosineExpr, 6) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round($cosineExpr, 6) DESC, b.vec_id) AS rank
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 10)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "text_profile" ->
+      s"""SELECT doc_id,
+         |  $nTokensSql AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_subwords,
+         |  length(text) AS n_chars_actual,
+         |  round($punctSql, 6) AS punct_ratio,
+         |  round($stopSql, 6) AS stopword_ratio,
+         |  round($awlSql, 6) AS avg_word_len,
+         |  $qualitySql AS quality,
+         |  $langSql AS lang_guess,
+         |  md5(${normSql("text")}) AS fingerprint
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "text_robust_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_min(list_transform(
+         |    generate_series(1, greatest(length(${normSql("text")}) - 7, 1)),
+         |    i -> md5(substring(${normSql("text")}, CAST(i AS INTEGER), 8)))) AS rfp
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "mm_binary_features" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte,
+        |  CAST(list_sum(list_transform(string_split(text, ''), ch -> ascii(ch))) AS BIGINT) AS checksum,
+        |  CAST((length(text) - 1) // 16 + 1 AS BIGINT) AS n_frames,
+        |  CAST(16 + (ascii(substring(text, 1, 1)) & 15) AS INTEGER) AS width,
+        |  CAST(16 + (ascii(substring(text, 2, 1)) & 15) AS INTEGER) AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(r.range // 16 AS INTEGER) AS frame_idx,
+        |  CAST(ascii(substring(text, CAST(r.range + 1 AS INTEGER), 1)) AS INTEGER) AS frame_byte
+        |FROM documents CROSS JOIN range(0, 100000, 16) r
+        |WHERE doc_id < 50 AND r.range < length(text)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups by normalized content") {
+    val d = docs(
+      1L -> "Hello, World!",
+      2L -> "hello   world",   // same after normalization
+      3L -> "different text",
+      4L -> "HELLO WORLD")
+    val groups = Dedup.exactGroups(d).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keep_id") == 1L)
+    assert(groups.head.getAs[Long]("n_dups") == 3L)
+    val kept = Dedup.dropExactDuplicates(d).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("minhash-lsh finds planted near-duplicates, skips unrelated docs") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"word$i").mkString(" ") + " extra token"
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val pairs = Dedup.minHashLshPairs(d, threshold = 0.7).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("jaccard") > 0.9)
+  }
+
+  test("minhash signature is order-insensitive (set semantics)") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "gamma alpha beta")
+    val sigs = Dedup.minhashSignatures(d).collect()
+    assert(sigs.length == 2)
+    val a = sigs.find(_.getLong(0) == 1L).get
+    val b = sigs.find(_.getLong(0) == 2L).get
+    (1 to 8).foreach(i => assert(a.getLong(i) == b.getLong(i)))
+  }
+
+  test("simhash: identical docs get identical signatures; near docs are close") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> (1 to 50).map(i => s"zzz$i").mkString(" "))
+    val sigs = Dedup.simhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashNearPairs(Dedup.simhashSignatures(d)).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getAs[Int]("hamming") == 0))
+  }
+
+  test("ngram jaccard: shared character grams score high") {
+    val d = docs(1L -> "abcdefghij", 2L -> "abcdefghiX", 3L -> "zzzzzzzzzz")
+    val pairs = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("lsh candidate generation is a band equi-join, not a cross product") {
+    val d = docs((1L to 20L).map(i => i -> s"completely unique text number $i ${"x" * i.toInt}"): _*)
+    val plan = Dedup.lshCandidates(Dedup.minhashSignatures(d))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

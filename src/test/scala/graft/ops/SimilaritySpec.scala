@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  def emb(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    import spark.implicits._
+    val d = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 2f), Seq(1f, 2f), 1.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0)).toDF("a", "b", "expect")
+    val got = d.select(Similarity.cosine(col("a"), col("b")).as("c"), col("expect")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("brute-force top-k ranks by similarity with id tie-break") {
+    val corpus = emb(
+      1L -> Seq(1f, 0f),
+      2L -> Seq(0.9f, 0.1f),
+      3L -> Seq(0f, 1f),
+      4L -> Seq(0.95f, 0.05f))
+    val got = Similarity.bruteForceTopK(
+      emb(1L -> Seq(1f, 0f)), corpus, k = 2)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(got.toSeq.sortBy(_._2) == Seq((4L, 1), (2L, 2)))
+  }
+
+  test("lsh top-k achieves high recall vs brute force on real embeddings") {
+    val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, e, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(queries, e, k = 5, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // 4 planes, multi-probe: ~5/16 of the corpus probed
+    assert(recall > 0.35, s"lsh recall $recall too low")
+    assert(lsh.size <= brute.size)
+  }
+
+  test("near-dup pairs: threshold filters and id_a < id_b") {
+    val d = emb(1L -> Seq(1f, 0f), 2L -> Seq(0.99f, 0.01f), 3L -> Seq(0f, 1f))
+    val pairs = Similarity.nearDupPairs(d, threshold = 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force corpus side is never shuffled (broadcast contract)") {
+    val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = Similarity.bruteForceTopK(e.filter(col("vec_id") < 3), e, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$plan")
+  }
+}
