@@ -32,6 +32,15 @@ object T {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Spread a (small, single-partition) input across all cores before a
+    * compute-heavy narrow stage. The testdata files are a few MB, so the
+    * scan yields 1-2 partitions and CPU-bound stages (regex, hashing,
+    * pairwise dot products) would otherwise serialize on one thread. The
+    * shuffle moves only the small input once; at production scale the scan
+    * is already wide and callers skip this. */
+  def par(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   /** Exact cents: 2-decimal double -> long. Same result in DuckDB via
     * CAST(round(x*100, 0) AS BIGINT). */
   def cents(c: Column): Column = round(c * 100, 0).cast("long")

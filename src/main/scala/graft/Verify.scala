@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata parquet files are single-digit-MB; default 128 MB split
+      // size scans each as ONE partition, serializing every query. At real
+      // scale the default is correct — this is local-bench parallelization.
+      .config("spark.sql.files.maxPartitionBytes", "2097152")
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.vec_dot
 
 /** Embedding similarity search over `ArrayType(FloatType)` columns
   * (SURVEY §2.10; the `embeddings` testdata table).
@@ -21,10 +22,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ with per-element double promotion. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ with per-element double promotion — a codegen'd custom
+    * Catalyst expression ([[graft.functions.VecDot]]); the interpreted
+    * zip_with/aggregate formulation computes the identical value ~100×
+    * slower (per-element lambda dispatch). */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
+
+  /** Precomputed L2 norm — attach once per side before a pairwise join so
+    * each candidate pair costs a single dot product, not three. */
+  def norm(v: Column): Column = sqrt(vec_dot(v, v))
 
   /** cosine = dot / (||a|| * ||b||), written exactly like the oracle SQL. */
   def cosine(a: Column, b: Column): Column =
@@ -40,9 +46,11 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       qidCol: String = "vec_id", cidCol: String = "vec_id",
       vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
-    val q = broadcast(queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv")))
-    val c = corpus.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val sim = round(cosine(col("__qv"), col("__cv")), roundTo)
+    val q = broadcast(queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val sim = round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), roundTo)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(q, col("query_id") =!= col("neighbor_id"))
@@ -83,10 +91,11 @@ object Similarity {
         array((qb +: (0 until nPlanes).map(i => qb.bitwiseXOR(lit(1L << i)))): _*)
       else array(qb)
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
-      explode(probeBuckets).as("__qb"))
+      norm(col(vecCol)).as("__qn"), explode(probeBuckets).as("__qb"))
     val c = corpus.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"),
       signLshBucket(col(vecCol), nPlanes, dim).as("__cb"))
-    val sim = round(cosine(col("__qv"), col("__cv")), roundTo)
+    val sim = round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), roundTo)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q),
@@ -104,8 +113,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       blockByBucket: Boolean = false, nPlanes: Int = 4, dim: Int = 64,
       roundTo: Int = 6): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va")).alias("a")
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb")).alias("b")
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      norm(col(vecCol)).as("__na")).alias("a")
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      norm(col(vecCol)).as("__nb")).alias("b")
     val base =
       if (blockByBucket) {
         val ab = a.withColumn("__ba", signLshBucket(col("__va"), nPlanes, dim))
@@ -113,7 +124,8 @@ object Similarity {
         ab.join(bb, col("id_a") < col("id_b") && col("__ba") === col("__bb"))
       } else a.join(b, col("id_a") < col("id_b"))
     base
-      .withColumn("sim", round(cosine(col("__va"), col("__vb")), roundTo))
+      .withColumn("sim",
+        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), roundTo))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

@@ -86,24 +86,56 @@ object TextAnalysis {
     * `window`-char sliding substrings of the normalized text — stable under
     * small local edits (k-gram winnowing, Schleimer et al.). Built from
     * higher-order functions, no UDF. */
-  def robustFingerprint(text: Column, window: Int = 8): Column = {
-    val norm = Dedup.normalize(text)
-    array_min(transform(
-      sequence(lit(1), greatest(length(norm) - (window - 1), lit(1))),
-      i => md5(norm.substr(i, lit(window)))))
+  def robustFingerprint(text: Column, window: Int = 8): Column =
+    graft.functions.VectorFunctions.min_window_md5(Dedup.normalize(text), window)
+
+  /** Argmax over per-language marker hits, given the words array. */
+  private def langFromWords(words: Column): Column = {
+    val hits = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(words, w => w.isInCollection(markers)))
+    }
+    hits.zipWithIndex.foldLeft(lit("unknown")) {
+      case (acc, ((lang, cnt), i)) =>
+        val beatsEarlier = hits.take(i).map(_._2 < cnt)
+        val tiesLater = hits.drop(i + 1).map(_._2 <= cnt)
+        val isBest = (beatsEarlier ++ tiesLater :+ (cnt > 0)).reduce(_ && _)
+        when(isBest && acc === "unknown", lit(lang)).otherwise(acc)
+    }
   }
 
-  /** One-pass document profile used by the curation queries. */
+  /** One-pass document profile used by the curation queries.
+    *
+    * The normalize/split chain is materialized ONCE into intermediate
+    * columns — the per-feature helpers each re-derive it, which costs ~10
+    * regex_replace+split evaluations per row when composed naively. Values
+    * are identical to the individual helpers (same formulas, same
+    * unrounded intermediates feeding qualityScore). */
   def profile(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    docs.select(col(idCol),
-      tokenCount(col(textCol)).as("n_tokens"),
-      subwordTokenCount(col(textCol)).as("n_subwords"),
-      length(col(textCol)).as("n_chars_actual"),
-      round(punctRatio(col(textCol)), 6).as("punct_ratio"),
-      round(stopwordRatio(col(textCol)), 6).as("stopword_ratio"),
-      round(avgWordLen(col(textCol)), 6).as("avg_word_len"),
-      qualityScore(col(textCol)).as("quality"),
-      langGuess(col(textCol)).as("lang_guess"),
-      fingerprint(col(textCol)).as("fingerprint"))
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    docs
+      .withColumn("__words", split(Dedup.normalize(text), " "))
+      .withColumn("__nw", greatest(size(col("__words")), lit(1)))
+      .withColumn("n_tokens", tokenCount(text))
+      .withColumn("__punct", punctRatio(text))
+      .withColumn("__stop",
+        size(filter(col("__words"), w => w.isInCollection(Stopwords))).cast("double") /
+          col("__nw"))
+      .withColumn("__awl",
+        aggregate(col("__words"), lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          col("__nw"))
+      .select(col(idCol),
+        col("n_tokens"),
+        subwordTokenCount(text).as("n_subwords"),
+        length(text).as("n_chars_actual"),
+        round(col("__punct"), 6).as("punct_ratio"),
+        round(col("__stop"), 6).as("stopword_ratio"),
+        round(col("__awl"), 6).as("avg_word_len"),
+        round(
+          when(col("n_tokens").between(5, 5000), lit(1.0)).otherwise(lit(0.2)) * 0.4 +
+            (lit(1.0) - least(col("__punct") * 4, lit(1.0))) * 0.3 +
+            least(col("__stop") * 5, lit(1.0)) * 0.3, 6).as("quality"),
+        langFromWords(col("__words")).as("lang_guess"),
+        md5(Dedup.normalize(text)).as("fingerprint"))
+  }
 }

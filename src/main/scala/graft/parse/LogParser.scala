@@ -21,14 +21,20 @@ object LogParser {
     * expression is dropped (reference: core/parser.go:65 — FindStringSubmatch
     * returns nil ⇒ no event). Produces one StringType column per configured
     * token; schema is fixed at plan-build time from config.
+    *
+    * One regex pass per line via the codegen'd [[graft.functions.RegexGroups]]
+    * expression — stock `rlike` + N×`regexp_extract` would re-match the
+    * (backtracking-heavy) parser pattern N+1 times per row.
     */
   def tokenize(lines: DataFrame, parser: ParserConf,
       currYear: Int = java.time.Year.now.getValue): DataFrame = {
-    val expr = parser.normalizedExpression
+    val groups = graft.functions.RegexFunctions
+      .regex_groups(col(LineCol), parser.normalizedExpression)
     val withTokens = parser.tokens.toSeq.sortBy(_._2).foldLeft(
-      lines.filter(col(LineCol).rlike(expr))) { case (df, (name, idx)) =>
-      df.withColumn(name, regexp_extract(col(LineCol), expr, idx))
-    }
+      lines.withColumn("__groups", groups).filter(col("__groups").isNotNull)) {
+      case (df, (name, idx)) =>
+        df.withColumn(name, coalesce(get(col("__groups"), lit(idx - 1)), lit("")))
+    }.drop("__groups")
     // P7 year repair (core/parser.go:55-62,72-74): applied to the datetime
     // token only, when no year in [currYear-5, currYear] appears.
     if (parser.tokens.contains("datetime")) {

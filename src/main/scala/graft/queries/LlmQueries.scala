@@ -57,11 +57,11 @@ object LlmQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(T.t(spark, dir, "embeddings"), threshold = 0.4)
+    Similarity.nearDupPairs(T.par(spark, T.t(spark, dir, "embeddings")), threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
   def simBruteTopk(spark: SparkSession, dir: String): DataFrame = {
-    val emb = T.t(spark, dir, "embeddings")
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -75,11 +75,11 @@ object LlmQueries {
   }
 
   def textProfile(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.profile(T.t(spark, dir, "documents"))
+    TextAnalysis.profile(T.par(spark, T.t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
   def textRobustFingerprint(spark: SparkSession, dir: String): DataFrame =
-    T.t(spark, dir, "documents")
+    T.par(spark, T.t(spark, dir, "documents"))
       .select(col("doc_id"),
         TextAnalysis.robustFingerprint(col("text")).as("rfp"))
       .orderBy(col("doc_id"))

@@ -63,6 +63,7 @@ object ParityQueries {
           .otherwise("Accepted publickey for deploy from"),
         addrCol,
         col("event_id")).as("value"))
+      .transform(df => T.par(spark, df))
 
   // ---------------------------------------------------------------- queries
 
@@ -240,9 +241,9 @@ object ParityQueries {
          |  FROM events
          |  $geoSqlJoin
          |), per AS (
-         |  SELECT address, sensor, rule, min(country_code) AS cc,
-         |         min(country_name) AS cn, count(*) AS n
-         |  FROM ev GROUP BY address, sensor, rule
+         |  SELECT address, country_code AS cc, country_name AS cn,
+         |         sensor, rule, count(*) AS n
+         |  FROM ev GROUP BY address, country_code, country_name, sensor, rule
          |)
          |SELECT address, min(cc) AS country_code, min(cn) AS country_name,
          |  CAST(sum(n) AS BIGINT) AS total_events,

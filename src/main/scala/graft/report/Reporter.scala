@@ -30,16 +30,20 @@ object Reporter {
     * is pinned to `min` — deterministic and almost always identical, since
     * an address maps to one country. */
   def report(events: DataFrame): DataFrame = {
+    // Country columns ride in the level-1 GROUP BY key rather than as
+    // min() aggregates: a string min() forces SortAggregate (immutable agg
+    // buffer), while a pure count() stays in codegen'd HashAggregate. Geo
+    // enrichment maps an address to exactly one country within a batch, so
+    // the key extension doesn't split groups.
     val perRule = events
-      .groupBy(col("address"), col("sensor"), col("rule"))
-      .agg(count(lit(1)).as("n"),
-        min(col("country_code")).as("cc"),
-        min(col("country_name")).as("cn"))
+      .groupBy(col("address"), col("country_code"), col("country_name"),
+        col("sensor"), col("rule"))
+      .agg(count(lit(1)).as("n"))
     perRule
       .groupBy(col("address"))
       .agg(
-        min(col("cc")).as("country_code"),
-        min(col("cn")).as("country_name"),
+        min(col("country_code")).as("country_code"),
+        min(col("country_name")).as("country_name"),
         sum(col("n")).as("total_events"),
         concat_ws("|", array_sort(collect_list(
           concat_ws(":", concat_ws("/", col("sensor"), col("rule")), col("n")))))
