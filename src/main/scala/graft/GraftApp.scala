@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.config.GraftConfig
+import graft.enrich.GeoIp
+import graft.streaming.{Ingest, LogPublisher, ReportJob}
+
+/** Service entry point (reference: cmd/takuan/main.go:16-36): load + validate
+  * config, start one ingest stream per enabled sensor, start the report
+  * cadence, run until terminated. `--geo` runs the one-shot geo backfill
+  * instead (reference: cmd/takuan/vars.go:20, core/aggregator.go:174-209).
+  *
+  * Usage:
+  *   graft.GraftApp <config.yml> <eventsPath> <checkpointRoot> <reportDir> [geoCsv]
+  *   graft.GraftApp --geo <geoCsv> <eventsPath> <outPath>
+  */
+object GraftApp {
+
+  def session(appName: String = "graft"): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+    // under spark-submit the master comes from the launcher; standalone
+    // runs (tests, local smoke) fall back to all local cores
+    val withMaster =
+      if (sys.props.contains("spark.master")) b else b.master("local[*]")
+    val s = withMaster.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "--geo" :: geoCsv :: eventsPath :: outPath :: Nil =>
+      val spark = session("graft-geo-backfill")
+      val (refreshed, changed) = GeoIp.backfill(
+        spark.read.parquet(eventsPath), GeoIp.fromCsv(spark, geoCsv))
+      val total = refreshed.count()
+      val nChanged = refreshed.filter(changed).count()
+      refreshed.write.mode("overwrite").parquet(outPath)
+      // counter-log parity with core/aggregator.go:206
+      println(s"[graft] geo backfill: $nChanged/$total events updated -> $outPath")
+      spark.stop()
+
+    case configPath :: eventsPath :: checkpointRoot :: reportDir :: rest =>
+      val spark = session()
+      val conf = GraftConfig.load(configPath) // fail-fast regex/token checks
+      val geo = rest.headOption.map(GeoIp.fromCsv(spark, _))
+      val streams = Ingest.startAll(spark, conf, eventsPath, checkpointRoot, geo)
+      require(streams.nonEmpty, "no enabled sensors in config")
+      val reporter = conf.reports.filter(_.enabled).map { r =>
+        ReportJob.stream(spark, eventsPath, reportDir,
+          s"$checkpointRoot/__report", new LogPublisher, r.periodSecs)
+      }
+      println(s"[graft] ${streams.size} sensor stream(s) + " +
+        s"${reporter.size} report stream(s) running")
+      spark.streams.awaitAnyTermination()
+
+    case _ =>
+      System.err.println(
+        """usage: graft.GraftApp <config.yml> <eventsPath> <checkpointRoot> <reportDir> [geoCsv]
+          |       graft.GraftApp --geo <geoCsv> <eventsPath> <outPath>""".stripMargin)
+      sys.exit(2)
+  }
+}

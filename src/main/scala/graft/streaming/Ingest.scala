@@ -41,19 +41,32 @@ object Ingest {
       checkpointRoot: String,
       geo: Option[DataFrame] = None,
       trigger: Trigger = null): StreamingQuery = {
-    val lines = spark.readStream.text(sensor.filename)
+    // The reference tails a single file (core/sensor.go:51); Spark's file
+    // source takes a directory. A config pointing at a plain file maps to
+    // parent-dir + glob on that name — same data, rotation-friendly.
+    val f = new java.io.File(sensor.filename)
+    val lines =
+      if (f.isFile)
+        spark.readStream.option("pathGlobFilter", f.getName).text(f.getParent)
+      else spark.readStream.text(sensor.filename)
     val parsed = LogParser.pipeline(lines, sensor, nodeName)
     val enriched = geo.map(g => GeoIp.enrich(parsed, g)
         .select(parsed.columns.map(col): _*))
       .getOrElse(parsed)
     val withDate = enriched.withColumn("event_date", to_date(col("detected_at")))
-    val writer = withDate.writeStream
+    // Each sensor commits into its own hive-style partition directory
+    // (sensor=<name>/event_date=…). Concurrent streams appending to ONE
+    // directory race on the shared _temporary committer dir; per-sensor
+    // roots isolate the committers, and partition discovery still exposes
+    // `sensor` as a column when reading eventsPath as one table.
+    val sensorDir = s"$eventsPath/sensor=${sensor.name}"
+    val writer = withDate.drop("sensor").writeStream
       .queryName(s"graft-ingest-${sensor.name}")
       .option("checkpointLocation", s"$checkpointRoot/${sensor.name}")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append")
-          .partitionBy("event_date", "sensor")
-          .parquet(eventsPath)
+          .partitionBy("event_date")
+          .parquet(sensorDir)
         ()
       }
     Option(trigger).map(writer.trigger)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/** Physical-plan contracts — the shapes that keep these queries viable at
+  * 100 TB. A green correctness run with the wrong plan (cartesian product,
+  * unpushed filter, full sort for a top-k) is a latent scale bug; these
+  * specs pin the plan, not just the output.
+  */
+class PlanSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val p = queries.Relational.q1PricingSummary(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+  }
+
+  test("column pruning: q1 reads only the 5 needed lineitem columns") {
+    val p = plan(queries.Relational.q1PricingSummary(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("dimension joins broadcast (q5: no shuffle of the fact side for dims)") {
+    val p = plan(queries.Relational.q5LocalSupplier(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort (q3)") {
+    val p = plan(queries.Relational.q3ShippingPriority(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("geo enrichment is a broadcast hash equi-join on the bucket key") {
+    val p = plan(queries.ParityQueries.j1GeoRangeJoin(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("report aggregate is hash-based, not sort-based") {
+    val p = plan(queries.ParityQueries.a1ReportCounters(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+    // level-1 count aggregate must not fall back to SortAggregate
+    assert(!p.linesIterator.exists(l =>
+      l.contains("SortAggregate") && l.contains("count(1)")), p)
+  }
+
+  test("parse pipeline is a single narrow stage (no exchange before sink)") {
+    import org.apache.spark.sql.functions._
+    val conf = config.GraftConfig.load(fixture("config.yml"))
+    val lines = spark.read.text(fixture("auth.log"))
+    val p = plan(parse.LogParser.pipeline(lines, conf.sensors.head, "n"))
+    assert(!p.contains("Exchange"), s"parse pipeline should not shuffle:\n$p")
+  }
+
+  test("as-of join costs exactly one exchange (sort-merge shape)") {
+    val p = plan(queries.ParityQueries.asofPurchaseClick(spark, dir))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith(":- Exchange"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("minhash-lsh candidate join is a shuffle hash/sort-merge equi-join") {
+    val docs = T.t(spark, dir, "documents")
+    val p = plan(ops.Dedup.lshCandidates(ops.Dedup.minhashSignatures(docs)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

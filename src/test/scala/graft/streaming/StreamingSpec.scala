@@ -53,7 +53,7 @@ class StreamingSpec extends SparkSpec {
     assert(all.filter(col("rule") === "user-enumeration").count() == 1)
   }
 
-  test("sink partitions by (event_date, sensor) for downstream pruning") {
+  test("sink partitions by (sensor, event_date) for downstream pruning") {
     val logDir = tmp("graft-logs2")
     val eventsPath = tmp("graft-events2") + "/events"
     val sensor = conf.sensors.find(_.name == "ssh").get.copy(filename = logDir)
@@ -62,8 +62,14 @@ class StreamingSpec extends SparkSpec {
     val q = Ingest.sensorQuery(spark, sensor, "n", eventsPath, tmp("ck2"),
       None, Trigger.AvailableNow())
     q.awaitTermination(120000)
-    val dirs = new java.io.File(eventsPath).listFiles().map(_.getName)
-    assert(dirs.exists(_.startsWith("event_date=")))
+    val top = new java.io.File(eventsPath).listFiles().map(_.getName)
+    assert(top.contains("sensor=ssh"))
+    val below = new java.io.File(s"$eventsPath/sensor=ssh").listFiles().map(_.getName)
+    assert(below.exists(_.startsWith("event_date=")))
+    // partition discovery restores `sensor` as a column
+    val df = spark.read.parquet(eventsPath)
+    assert(df.columns.contains("sensor"))
+    assert(df.head().getAs[String]("sensor") == "ssh")
   }
 
   test("report job: CSV + publisher side effects from a batch (ST2, S10-S12)") {
