@@ -101,6 +101,27 @@ class StreamingSpec extends SparkSpec {
     assert(pub.published.isEmpty)
   }
 
+  test("watermarked event-time window aggregation in a stream (ST3/ST4 extension)") {
+    import spark.implicits._
+    val src = tmp("graft-winsrc")
+    graft.T.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val agg = spark.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", tmp("graft-winck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode emits only windows older than the watermark — with the
+    // whole batch read at once, all but the last open window close
+    val rows = spark.sql("SELECT count(*) FROM win_out").head().getLong(0)
+    assert(rows > 0)
+  }
+
   test("streaming report cadence over the events table (ST2 streaming form)") {
     val logDir = tmp("graft-logs3")
     val eventsPath = tmp("graft-events3") + "/events"
