@@ -13,6 +13,8 @@ import graft.multimodal.Multimodal
   */
 object LlmQueries {
 
+  import T.sql.{cents => c0}
+
   // Shared DuckDB fragments mirroring graft.ops.Dedup/TextAnalysis helpers.
   private def normSql(c: String) =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
@@ -95,7 +97,23 @@ object LlmQueries {
         Multimodal.attachBinary(T.t(spark, dir, "documents").filter(col("doc_id") < 50)))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Gap-based sessionization over the events stream table (30-min gap). */
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessions.summarize(T.events(spark, dir), "user_id", "ts", 1800)
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** Salted two-stage aggregation — results bit-identical to the plain
+    * GROUP BY (the oracle), plan skew-proof. */
+  def saltedHotKeyAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Salted.countAndSums(
+      T.events(spark, dir), key = Seq("event_type"), saltFrom = col("event_id"),
+      buckets = 16, sums = Seq(T.cents(col("value")) -> "value_cents"))
+      .select(col("event_type"), col("n"), (col("value_cents") / 100.0).as("value_sum"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize_events" -> (sessionizeEvents _),
+    "salted_hot_key_agg" -> (saltedHotKeyAgg _),
     "dedup_exact_prefix" -> (dedupExactPrefix _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -145,6 +163,30 @@ object LlmQueries {
        |  + least($stopSql * 5, CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE), 6)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sessionize_events" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+        |y AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL
+        |               OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |             THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT user_id, ts,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+        |      FROM y)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_secs
+        |FROM z GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "salted_hot_key_agg" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  (CAST(sum(${c0("value")}) AS BIGINT) / 100.0) AS value_sum
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
     "dedup_exact_prefix" ->
       s"""SELECT md5(array_to_string((string_split(${normSql("text")}, ' '))[1:3], ' ')) AS content_key,
          |  min(doc_id) AS keep_id, count(*) AS n_dups

@@ -144,7 +144,33 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Cube (all grouping-set combinations), NULL-free for stable ordering. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Scalar string-function parity (F2/F3/F5): format, concat with
+    * separator, prefix test, substring, case mapping. */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"),
+        format_string("%s/%d", col("n_name"), col("n_nationkey")).as("tag"),
+        concat_ws("-", col("n_name"), col("r_name")).as("path"),
+        col("n_name").startsWith("A").as("starts_a"),
+        substring(col("n_name"), 1, 3).as("prefix3"),
+        concat(upper(substring(col("n_name"), 1, 1)),
+          lower(substring(col("n_name"), 2, 100))).as("pretty"))
+      .orderBy(col("n_nationkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> (qCube _),
+    "q_string_funcs" -> (qStringFuncs _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -160,6 +186,22 @@ object Relational {
   import T.sql.{cents => c, moneySum => ms, moneyAvg => ma}
 
   val oracle: Map[String, String] = Map(
+    "q_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS n, ${ms("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT n_nationkey,
+        |  printf('%s/%d', n_name, n_nationkey) AS tag,
+        |  n_name || '-' || r_name AS path,
+        |  starts_with(n_name, 'A') AS starts_a,
+        |  substring(n_name, 1, 3) AS prefix3,
+        |  upper(substring(n_name, 1, 1)) || lower(substring(n_name, 2, 100)) AS pretty
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

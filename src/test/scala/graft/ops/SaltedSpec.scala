@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SaltedSpec extends SparkSpec {
+
+  test("salted aggregation is bit-identical to plain groupBy") {
+    val ev = graft.T.events(spark, "/root/testdata/sf0.001")
+    val salted = Salted.countAndSums(ev, Seq("event_type"), col("event_id"),
+        buckets = 16, sums = Seq(graft.T.cents(col("value")) -> "cents"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val plain = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(graft.T.cents(col("value"))).as("cents"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("partial aggregate fans out over the salt (skew split)") {
+    import spark.implicits._
+    // one pathological key
+    val hot = (1L to 1000L).map(i => ("hot", i)).toDF("k", "id")
+    val partial = hot.withColumn("__salt", pmod(hash(col("id")), lit(8)))
+      .groupBy("k", "__salt").count()
+    assert(partial.count() == 8) // the hot key split into 8 partial groups
+  }
+}

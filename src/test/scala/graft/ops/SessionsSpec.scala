@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SessionsSpec extends SparkSpec {
+
+  def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("gap-based session assignment splits on gaps > threshold") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")), // same session (gap 600s)
+      (1L, ts("2024-01-01 11:00:00")), // new session (gap 3000s > 1800)
+      (2L, ts("2024-01-01 10:00:00"))) // other key
+      .toDF("user_id", "ts")
+    val got = Sessions.assign(ev, "user_id", "ts", 1800)
+      .orderBy("user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("session_id")))
+    assert(got.toSeq == Seq((1L, 0L), (1L, 0L), (1L, 1L), (2L, 0L)))
+  }
+
+  test("session summary: bounds, counts, duration") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:29:00")),
+      (1L, ts("2024-01-01 12:00:00")))
+      .toDF("user_id", "ts")
+    val got = Sessions.summarize(ev, "user_id", "ts", 1800)
+      .orderBy("session_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("n_events") == 2)
+    assert(got(0).getAs[Long]("duration_secs") == 1740)
+    assert(got(1).getAs[Long]("n_events") == 1)
+    assert(got(1).getAs[Long]("duration_secs") == 0)
+  }
+
+  test("exact boundary: gap == threshold stays in the session") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00"))) // exactly 1800s -> same session
+      .toDF("user_id", "ts")
+    assert(Sessions.summarize(ev, "user_id", "ts", 1800).count() == 1)
+  }
+
+  test("streaming sessionization closes sessions on gap (ST5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Sessions.streamingSessions(spark, input.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // session 1 for user 1; closed when the watermark (driven by the
+      // 12:00 event minus the gap) passes its last-event + gap
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 14:00:00"))) // advances watermark again
+      q.processAllAvailable()
+      val closed = spark.sql("SELECT user_id, n_events FROM sess_out WHERE user_id = 1")
+        .collect()
+      assert(closed.length >= 1) // first session closed by watermark advance
+      assert(closed.head.getLong(1) == 2)
+    } finally q.stop()
+  }
+}
