@@ -77,6 +77,15 @@ object ParityQueries {
       .select(col("event_id"), col("k_str").cast("long").as("k"))
       .orderBy(col("event_id"))
 
+  /** JSON field extraction from the props column (semi-structured
+    * projection — companion to the regex tokenizer). */
+  def p1bJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    T.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .orderBy(col("event_id"))
+
   /** P5: first-match-wins ordered rule classification over document text —
     * via the library's CASE WHEN builder (order is semantic). */
   def p5FirstMatchRules(spark: SparkSession, dir: String): DataFrame = {
@@ -189,6 +198,7 @@ object ParityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_regex_tokenize" -> (p1RegexTokenize _),
+    "p1b_json_extract" -> (p1bJsonExtract _),
     "p5_first_match_rules" -> (p5FirstMatchRules _),
     "p6_datetime_parse" -> (p6DatetimeParse _),
     "f9_ip_to_num" -> (f9IpToNum _),
@@ -205,6 +215,12 @@ object ParityQueries {
   import T.sql.{cents => c, moneySum => ms}
 
   val oracle: Map[String, String] = Map(
+    "p1b_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     "p1_regex_tokenize" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
         |FROM events
