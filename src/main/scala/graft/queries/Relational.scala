@@ -168,7 +168,22 @@ object Relational {
           lower(substring(col("n_name"), 2, 100))).as("pretty"))
       .orderBy(col("n_nationkey"))
 
+  /** Full outer join: per-nation customer vs supplier counts (some nations
+    * may exist on only one side); NULL-free keys for stable ordering. */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = t(spark, dir, "supplier").groupBy(col("s_nationkey").as("nk2"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("nk") === col("nk2"), "full_outer")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer" -> (qFullOuter _),
     "q_cube" -> (qCube _),
     "q_string_funcs" -> (qStringFuncs _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -186,6 +201,15 @@ object Relational {
   import T.sql.{cents => c, moneySum => ms, moneyAvg => ma}
 
   val oracle: Map[String, String] = Map(
+    "q_full_outer" ->
+      """SELECT coalesce(c.nk, s.nk2) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk2, count(*) AS n_supp
+        |      FROM supplier GROUP BY 1) s
+        |  ON c.nk = s.nk2
+        |ORDER BY nationkey""".stripMargin,
     "q_cube" ->
       s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
          |  coalesce(o_orderpriority, 'ALL') AS priority,

@@ -101,6 +101,34 @@ class StreamingSpec extends SparkSpec {
     assert(pub.published.isEmpty)
   }
 
+  test("stream-stream interval join with watermarks (beyond-reference streaming)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val c = clicks.toDS().toDF("user_id", "click_ts").withWatermark("click_ts", "1 hour")
+    val b = buys.toDS().toDF("buy_user", "buy_ts").withWatermark("buy_ts", "1 hour")
+    // purchases joined to clicks at most 30 min before them
+    val joined = b.join(c,
+      expr("""buy_user = user_id AND
+             |click_ts <= buy_ts AND
+             |click_ts >= buy_ts - INTERVAL 30 MINUTES""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .option("checkpointLocation", tmp("graft-ssj-ck")).start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 08:00:00")),
+        (2L, ts("2024-01-01 10:10:00")))
+      buys.addData((1L, ts("2024-01-01 10:15:00")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, click_ts FROM ssj_out").collect()
+      // only user 1's 10:00 click is within [09:45, 10:15]
+      assert(got.length == 1)
+      assert(got.head.getTimestamp(1) == ts("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+
   test("watermarked event-time window aggregation in a stream (ST3/ST4 extension)") {
     import spark.implicits._
     val src = tmp("graft-winsrc")
