@@ -182,7 +182,58 @@ object Relational {
       .orderBy(col("nationkey"))
   }
 
+  /** Pivot: per-orderstatus counts by priority as columns (PIVOT operator;
+    * explicit value list so the output schema is static). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .count()
+      .na.fill(0L)
+      .select(col("o_orderstatus"), col("1-URGENT").as("urgent"),
+        col("2-HIGH").as("high"), col("3-MEDIUM").as("medium"),
+        col("4-NOT SPECIFIED").as("unspecified"), col("5-LOW").as("low"))
+      .orderBy(col("o_orderstatus"))
+
+  /** TPC-H Q4 shape: correlated EXISTS (orders with any late lineitem),
+    * aggregated by priority. */
+  def qExistsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** HAVING: nations whose customers hold more than 400k in total balance. */
+  def qHaving(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(moneySum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n"))
+      .filter(col("total_bal") > 400000.0)
+      .orderBy(col("c_nationkey"))
+
+  /** Exact interpolated percentiles over integer cents (deterministic:
+    * linear interpolation between exact longs). */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        (expr(s"percentile(CAST(round(o_totalprice*100, 0) AS LONG), 0.5)") / 100.0)
+          .as("median_price"),
+        (expr(s"percentile(CAST(round(o_totalprice*100, 0) AS LONG), 0.9)") / 100.0)
+          .as("p90_price"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> (qPivot _),
+    "q_exists_agg" -> (qExistsAgg _),
+    "q_having" -> (qHaving _),
+    "q_percentile" -> (qPercentile _),
     "q_full_outer" -> (qFullOuter _),
     "q_cube" -> (qCube _),
     "q_string_funcs" -> (qStringFuncs _),
@@ -201,6 +252,36 @@ object Relational {
   import T.sql.{cents => c, moneySum => ms, moneyAvg => ma}
 
   val oracle: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q_exists_agg" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_having" ->
+      s"""SELECT c_nationkey, ${ms("c_acctbal")} AS total_bal, count(*) AS n
+         |FROM customer
+         |GROUP BY c_nationkey
+         |HAVING ${ms("c_acctbal")} > 400000.0
+         |ORDER BY c_nationkey""".stripMargin,
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+        |  (quantile_cont(CAST(round(o_totalprice*100, 0) AS BIGINT), 0.5) / 100.0) AS median_price,
+        |  (quantile_cont(CAST(round(o_totalprice*100, 0) AS BIGINT), 0.9) / 100.0) AS p90_price
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_full_outer" ->
       """SELECT coalesce(c.nk, s.nk2) AS nationkey,
         |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
