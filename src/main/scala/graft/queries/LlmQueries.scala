@@ -111,7 +111,20 @@ object LlmQueries {
       .select(col("event_type"), col("n"), (col("value_cents") / 100.0).as("value_sum"))
       .orderBy(col("event_type"))
 
+  /** Curation facets: corpus quality metrics rolled up by source
+    * (min/max are exact on doubles; token sums are exact longs). */
+  def textFacets(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.profile(T.par(spark, T.t(spark, dir, "documents")))
+      .join(T.t(spark, dir, "documents").select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_facets" -> (textFacets _),
     "sessionize_events" -> (sessionizeEvents _),
     "salted_hot_key_agg" -> (saltedHotKeyAgg _),
     "dedup_exact_prefix" -> (dedupExactPrefix _),
@@ -293,6 +306,18 @@ object LlmQueries {
          |  WHERE a.vec_id < 10)
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    "text_facets" ->
+      s"""WITH prof AS (
+         |  SELECT doc_id, source,
+         |    $nTokensSql AS n_tokens,
+         |    $qualitySql AS quality
+         |  FROM documents
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  min(quality) AS min_quality, max(quality) AS max_quality
+         |FROM prof GROUP BY source
+         |ORDER BY source""".stripMargin,
     "text_profile" ->
       s"""SELECT doc_id,
          |  $nTokensSql AS n_tokens,

@@ -39,4 +39,21 @@ class GoTimeFormatSpec extends AnyFunSuite {
     assert(hasYearField("2006 Jan _2"))
     assert(!hasYearField("Jan _2 15:04:05"))
   }
+
+  test("common Go reference layouts translate correctly") {
+    assert(translate("2006-01-02T15:04:05Z07:00").pattern == "yyyy-MM-dd'T'HH:mm:ssXXX") // RFC3339
+    assert(translate("Mon Jan _2 15:04:05 2006").pattern == "EEE MMM d HH:mm:ss yyyy") // ANSIC
+    assert(translate("Mon, 02 Jan 2006 15:04:05 MST").pattern == "EEE, dd MMM yyyy HH:mm:ss zzz") // RFC1123
+    assert(translate("01/02/06").pattern == "MM/dd/yy")
+    assert(translate("15:04:05.000000").pattern == "HH:mm:ss.SSSSSS")
+  }
+
+  test("translated pattern round-trips through Spark's parser") {
+    // compile check: every translated pattern must be accepted by java.time
+    for (layout <- Seq("2006 Jan _2 15:04:05", "02/Jan/2006:15:04:05 -0700",
+        "2006-01-02T15:04:05", "Mon Jan _2 15:04:05 2006")) {
+      val t = translate(layout)
+      java.time.format.DateTimeFormatter.ofPattern(t.pattern) // must not throw
+    }
+  }
 }
