@@ -101,6 +101,27 @@ class StreamingSpec extends SparkSpec {
     assert(pub.published.isEmpty)
   }
 
+  test("streaming dedup: dropDuplicates within the watermark (exactly-once by id)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = in.toDS().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", tmp("graft-dd-ck")).start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 10:02:00")), (3L, ts("2024-01-01 10:03:00"))) // 1 is a dup
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks (beyond-reference streaming)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
