@@ -24,9 +24,11 @@ object AsOf {
 
   /** @param rightCols right-side payload columns to carry; they appear in
     *                   the output as `asof_<name>`, NULL when no right row
-    *                   precedes the left row. */
+    *                   precedes the left row.
+    * @param toleranceSeconds if set, matches older than `ts - tolerance`
+    *                   are nulled out (bounded-staleness as-of). */
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String], toleranceSeconds: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val carried = rightCols.map("asof_" + _) :+ s"asof_$ts"
     val rTagged = right.select(
@@ -44,11 +46,18 @@ object AsOf {
     val w = Window.partitionBy(F.col(key))
       .orderBy(F.col(ts), F.col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    carried.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>
+    val matched = carried.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>
         df.withColumn(c, F.last(F.col(c), ignoreNulls = true).over(w))
       }
       .filter(F.col("__side") === 1)
       .drop("__side")
-      .select((leftCols ++ carried).map(F.col): _*)
+    val bounded = toleranceSeconds.fold(matched) { tol =>
+      val stale = F.col(s"asof_$ts") <
+        (F.col(ts).cast("long") - tol).cast("timestamp")
+      carried.foldLeft(matched) { (df, c) =>
+        df.withColumn(c, F.when(stale, F.lit(null)).otherwise(F.col(c)))
+      }
+    }
+    bounded.select((leftCols ++ carried).map(F.col): _*)
   }
 }

@@ -155,6 +155,19 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dedup a corpus end-to-end: drop the higher-id member of every
+    * verified MinHash-LSH pair. Greedy (not connected components): for a
+    * chain a~b~c it keeps `a` and may keep `c` if (a,c) itself is below the
+    * threshold — the standard one-pass policy used by large-scale text
+    * dedup, avoiding an iterative graph computation. */
+  def dropNearDuplicates(docs: DataFrame, threshold: Double,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val drops = minHashLshPairs(docs, threshold, numHashes, rowsPerBand, idCol, textCol)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Character n-gram Jaccard between candidate pairs (brute within a
     * bounded slice; use MinHash-LSH for open-ended corpora). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,

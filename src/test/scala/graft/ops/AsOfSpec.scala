@@ -36,6 +36,21 @@ class AsOfSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("asof_ts")))
   }
 
+  test("tolerance bounds staleness: too-old matches become NULL") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),   // click 20 min earlier -> ok
+      (2L, 10L, ts("2024-01-01 12:00:00")))   // click 140 min earlier -> stale
+      .toDF("id", "k", "ts")
+    val right = Seq((10L, ts("2024-01-01 09:40:00"), 1.0)).toDF("k", "ts", "v")
+    val got = AsOf.backward(left, right, "k", "ts", Seq("v"),
+        toleranceSeconds = Some(3600))
+      .orderBy("id").collect()
+    assert(got(0).getAs[Double]("asof_v") == 1.0)
+    assert(got(1).isNullAt(got(1).fieldIndex("asof_v")))
+    assert(got(1).isNullAt(got(1).fieldIndex("asof_ts")))
+  }
+
   test("left columns pass through unchanged") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"), "x")).toDF("id", "k", "ts", "tag")

@@ -55,6 +55,16 @@ class DedupSpec extends SparkSpec {
       r.getAs[Int]("hamming") == 0))
   }
 
+  test("dropNearDuplicates keeps the min-id member of each near-dup pair") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"word$i").mkString(" ") + " extra token"
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val kept = Dedup.dropNearDuplicates(d, threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("ngram jaccard: shared character grams score high") {
     val d = docs(1L -> "abcdefghij", 2L -> "abcdefghiX", 3L -> "zzzzzzzzzz")
     val pairs = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5).collect()
