@@ -51,6 +51,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("bucket-blocked near-dup pairs are a high-recall subset of brute force") {
+    val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Similarity.nearDupPairs(e, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1 hyperplane: P(same bucket) = 1 - θ/π ≈ 0.6 at cosine 0.3
+    val blocked = Similarity.nearDupPairs(e, threshold = 0.3,
+        blockByBucket = true, nPlanes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(brute))
+    if (brute.nonEmpty) {
+      val recall = blocked.size.toDouble / brute.size
+      assert(recall > 0.3, s"blocked recall $recall")
+    }
+  }
+
   test("brute-force corpus side is never shuffled (broadcast contract)") {
     val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = Similarity.bruteForceTopK(e.filter(col("vec_id") < 3), e, 5)
