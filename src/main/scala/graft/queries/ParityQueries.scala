@@ -169,6 +169,15 @@ object ParityQueries {
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("value_sum"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** ST4 extension: sliding event-time windows (2h window, 1h slide —
+    * each event lands in two overlapping windows). */
+  def st4SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    T.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), T.moneySum(col("value")).as("value_sum"))
+      .select(col("window.start").as("win_start"), col("n"), col("value_sum"))
+      .orderBy(col("win_start"))
+
   /** Beyond-parity: backward as-of join — each purchase matched to the
     * user's most recent click at-or-before it. */
   def asofPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
@@ -208,6 +217,7 @@ object ParityQueries {
     "s6_filtered_scan" -> (s6FilteredScan _),
     "a6_totals" -> (a6Totals _),
     "st4_event_window" -> (st4EventWindow _),
+    "st4_sliding_window" -> (st4SlidingWindow _),
     "asof_purchase_click" -> (asofPurchaseClick _),
     "takuan_ssh_pipeline" -> (takuanSshPipeline _),
   )
@@ -289,6 +299,15 @@ object ParityQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour, event_type""".stripMargin,
+    "st4_sliding_window" ->
+      s"""WITH slid AS (
+         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - to_hours(r.range) AS win_start,
+         |         value
+         |  FROM events CROSS JOIN range(2) r
+         |)
+         |SELECT win_start, count(*) AS n, ${ms("value")} AS value_sum
+         |FROM slid GROUP BY win_start
+         |ORDER BY win_start""".stripMargin,
     "asof_purchase_click" ->
       """SELECT p.event_id, p.user_id, c.ts AS click_ts, c.value AS click_value
         |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
