@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus curation operators for training-data pipelines: deterministic
+  * stratified sampling, train/val/test split assignment, and PII redaction.
+  *
+  * All randomness is content-addressed — a salted md5 draw per key — so
+  * results are reproducible across runs, engines, cluster sizes, and
+  * re-partitioning (unlike `rand()`-based sampling, which changes per task
+  * retry and per partition layout). Every operator is a map-only pass:
+  * no shuffle, embarrassingly parallel at any scale.
+  */
+object Curation {
+
+  /** 2^60 — the md5-prefix draw below is 60 bits. */
+  val HashDenom: Double = (1L << 60).toDouble
+
+  /** Deterministic U[0,1) draw from a key under a named salt. Independent
+    * salts give independent draws (sampling vs splitting must not
+    * correlate — otherwise e.g. every sampled-out doc would also be the
+    * 'test' split of another pipeline stage). */
+  def hashFraction(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + "|"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long") / lit(HashDenom)
+
+  /** DuckDB-side mirror of [[hashFraction]] (kept adjacent per the T.sql
+    * convention so the dialects stay in sync). */
+  def hashFractionSql(keyExpr: String, salt: String): String =
+    s"(CAST('0x' || substring(md5('$salt|' || CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT)" +
+      s" / ${HashDenom.toLong}.0)"
+
+  /** Stratified downsampling: keep a row iff its hash draw is below the
+    * rate of its stratum. Rates ship as a broadcast dim join (at scale the
+    * strata table may be thousands of sources — never a literal CASE chain
+    * baked into the plan). Strata absent from `rates` fall back to
+    * `defaultRate`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "samp"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = broadcast(rates.toSeq.toDF(strataCol, "__rate"))
+    df.join(ratesDf, Seq(strataCol), "left")
+      .where(hashFraction(col(keyCol), salt) < coalesce(col("__rate"), lit(defaultRate)))
+      .drop("__rate")
+  }
+
+  /** Split-bound prefix sums for `assignSplit` — exposed so the oracle SQL
+    * can embed the exact same double values (0.8+0.1 is 0.9000000000000001
+    * in IEEE; regenerating the bounds in another engine's decimal parser
+    * would diverge on the boundary draw). */
+  def splitBounds(weights: Seq[(String, Double)]): Seq[(String, Double)] =
+    weights.zip(weights.scanLeft(0.0)(_ + _._2).tail).map { case ((n, _), b) => (n, b) }
+
+  /** Assign each key to a named split with the given weights (fractions
+    * summing to ~1). Pure map-side expression; content-stable. */
+  def assignSplit(key: Column, weights: Seq[(String, Double)],
+      salt: String = "split"): Column = {
+    require(weights.nonEmpty)
+    val u = hashFraction(key, salt)
+    val bounds = splitBounds(weights)
+    bounds.init.reverse.foldLeft(lit(bounds.last._1)) {
+      case (els, (name, bound)) => when(u < lit(bound), lit(name)).otherwise(els)
+    }
+  }
+
+  /** Java-and-RE2-compatible PII patterns (DuckDB's regexp engine is RE2 —
+    * stick to syntax both accept: no lookarounds, no backrefs). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d-]{7,}"
+
+  /** Redact emails, IPv4s, then phone-shaped tokens (fixed order — the
+    * patterns can overlap, so order is part of the contract). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+}

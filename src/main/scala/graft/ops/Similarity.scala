@@ -106,6 +106,70 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** IVF coarse quantizer: every `every`-th vector by id, collected to the
+    * driver (k centroids are always driver/broadcast material — a few
+    * thousand small vectors even at 100 TB corpus scale). Deterministic
+    * selection stands in for k-means training; the IVF *plumbing* — tiny
+    * centroid table, map-side cell assignment, probe-restricted re-rank —
+    * is the part that matters for the scale shape and is identical.
+    * Sorted by id for reproducible expression trees. */
+  def ivfCentroids(corpus: DataFrame, every: Long,
+      cidCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] =
+    corpus.filter(col(cidCol) % every === 0)
+      .select(col(cidCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Per-centroid cosine scores as an array of (sim, -centroid_id) structs:
+    * `array_max` picks the best cell (highest sim, then lowest id — struct
+    * ordering is field-by-field, and max of -id is min id). All codegen'd:
+    * one VecDot per centroid, no shuffle, no HOF lambda in the corpus path. */
+  private def centroidScores(vec: Column, nrm: Column,
+      centroids: Array[(Long, Array[Float])], roundTo: Int): Column =
+    array(centroids.map { case (cid, cv) =>
+      val cl = array(cv.map(x => lit(x.toDouble)): _*)
+      struct(
+        round(vec_dot(vec, cl) / (nrm * sqrt(vec_dot(cl, cl))), roundTo).as("s"),
+        lit(-cid).as("nc"))
+    }: _*)
+
+  /** Approximate top-k via IVF (inverted file index): assign every corpus
+    * vector to its nearest centroid cell in a single map-only pass, probe
+    * the query's `nProbe` nearest cells, re-rank exactly inside them.
+    *
+    * 100 TB shape: the centroid set is broadcast (never shuffled), cell
+    * assignment is embarrassingly parallel, and the candidate join is a
+    * broadcast equi-join on cell id — the corpus is scanned once and only
+    * ~nProbe/nCells of it pays the exact re-rank. Complements [[lshTopK]]
+    * (data-independent hyperplanes) with a data-dependent partitioner.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int = 3,
+      centroidEvery: Long = 50, qidCol: String = "vec_id", cidCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+    val cents = ivfCentroids(corpus, centroidEvery, cidCol, vecCol)
+    require(cents.nonEmpty, s"no centroids: no $cidCol divisible by $centroidEvery")
+    val c = corpus.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
+      .withColumn("__cell",
+        -array_max(centroidScores(col("__cv"), col("__cn"), cents, roundTo)).getField("nc"))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"))
+      .withColumn("__probe", explode(transform(
+        slice(reverse(array_sort(centroidScores(col("__qv"), col("__qn"), cents, roundTo))),
+          1, nProbe),
+        s => -s.getField("nc"))))
+    val sim = round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), roundTo)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q),
+        col("__probe") === col("__cell") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** All pairs with cosine above a threshold (embedding near-dup detection).
     * Exact O(n²) form — callers at scale should pre-block with
     * [[signLshBucket]] (pass `blockByBucket = true`). */

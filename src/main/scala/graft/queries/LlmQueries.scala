@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Components, Curation, Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline operators (SURVEY §2.10) over the documents /
@@ -97,6 +97,54 @@ object LlmQueries {
         Multimodal.attachBinary(T.t(spark, dir, "documents").filter(col("doc_id") < 50)))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Transitive near-dup clustering: embedding-cosine pairs → connected
+    * components (large-star/small-star), so chains a~b~c collapse into one
+    * cluster keyed by the minimum member id. */
+  def dedupCcClusters(spark: SparkSession, dir: String): DataFrame =
+    Components.connectedComponents(
+      Similarity.nearDupPairs(T.par(spark, T.t(spark, dir, "embeddings")), threshold = 0.4),
+      "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+      .orderBy(col("vec_id"))
+
+  /** IVF approximate top-k: data-dependent cells, nProbe=3, exact re-rank
+    * inside probed cells — deterministic, so oracle-matched exactly. */
+  def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), T.par(spark, emb), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val SampleRates = Map(
+    "en" -> 0.5, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8, "zh" -> 0.2)
+  private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Deterministic curation: language-stratified downsample (cap dominant
+    * en, drop most zh) + content-stable train/val/test assignment. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(T.t(spark, dir, "documents"), "lang", "doc_id", SampleRates)
+      .withColumn("split", Curation.assignSplit(col("doc_id"), SplitWeights))
+      .select(col("doc_id"), col("lang"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** PII scrub: deterministic synthetic PII is appended to each doc (the
+    * word-soup corpus has none), then redacted; counts are taken pre-redact. */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@test.org from 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), (col("doc_id") % 100).cast("string"),
+      lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    T.par(spark, T.t(spark, dir, "documents"))
+      .select(col("doc_id"), withPii.as("__t"))
+      .select(col("doc_id"),
+        Curation.countMatches(col("__t"), Curation.EmailRe).as("n_emails"),
+        Curation.countMatches(col("__t"), Curation.Ipv4Re).as("n_ips"),
+        Curation.countMatches(col("__t"), Curation.PhoneRe).as("n_phones"),
+        md5(Curation.redactPii(col("__t"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gap-based sessionization over the events stream table (30-min gap). */
   def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sessions.summarize(T.events(spark, dir), "user_id", "ts", 1800)
@@ -132,8 +180,12 @@ object LlmQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_cc_clusters" -> (dedupCcClusters _),
     "sim_brute_topk" -> (simBruteTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
+    "sim_ivf_topk" -> (simIvfTopk _),
+    "sample_stratified" -> (sampleStratified _),
+    "text_pii_redact" -> (textPiiRedact _),
     "text_profile" -> (textProfile _),
     "text_robust_fingerprint" -> (textRobustFingerprint _),
     "mm_binary_features" -> (mmBinaryFeatures _),
@@ -175,7 +227,89 @@ object LlmQueries {
        |  + (CAST(1.0 AS DOUBLE) - least($punctSql * 4, CAST(1.0 AS DOUBLE))) * CAST(0.3 AS DOUBLE)
        |  + least($stopSql * 5, CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE), 6)""".stripMargin
 
+  // IVF oracle fragments: double-cast vectors, cosine between aliases.
+  private def ivfCos(a: String, b: String) =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  private val splitCaseSql = {
+    val bounds = Curation.splitBounds(SplitWeights)
+    val u = Curation.hashFractionSql("doc_id", "split")
+    bounds.init.map { case (n, b) => s"WHEN $u < $b THEN '$n'" }
+      .mkString("CASE ", " ", s" ELSE '${bounds.last._1}' END")
+  }
+  private val rateCaseSql =
+    SampleRates.toSeq.sorted.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", " ELSE 0.0 END")
+
+  private val piiTextSql =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@test.org from 10.' ||" +
+      " CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ||" +
+      " ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+  // Regexes contain no single quotes; SQL strings don't process backslashes.
+  private def sqlLit(re: String) = "'" + re + "'"
+
   val oracle: Map[String, String] = Map(
+    "dedup_cc_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE round($cosineExpr, 6) >= 0.4
+         |),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id AS vec_id, min(lab) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |             FROM embeddings WHERE vec_id % 50 = 0),
+         |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT c.vec_id, t.cid, ${ivfCos("c.v", "t.cv")} AS s
+         |  FROM corp c CROSS JOIN cent t),
+         |assign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM scored WHERE vec_id < 10) WHERE rn <= 3),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT cd.query_id, cd.neighbor_id, ${ivfCos("q.v", "n.v")} AS sim,
+         |    row_number() OVER (PARTITION BY cd.query_id
+         |      ORDER BY ${ivfCos("q.v", "n.v")} DESC, cd.neighbor_id) AS rank
+         |  FROM cand cd
+         |  JOIN corp q ON q.vec_id = cd.query_id
+         |  JOIN corp n ON n.vec_id = cd.neighbor_id)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source, $splitCaseSql AS split
+         |FROM documents
+         |WHERE ${Curation.hashFractionSql("doc_id", "samp")} < $rateCaseSql
+         |ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      s"""WITH t AS (SELECT doc_id, $piiTextSql AS txt FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt, ${sqlLit(Curation.EmailRe)})) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(txt, ${sqlLit(Curation.Ipv4Re)})) AS INTEGER) AS n_ips,
+         |  CAST(len(regexp_extract_all(txt, ${sqlLit(Curation.PhoneRe)})) AS INTEGER) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(txt,
+         |    ${sqlLit(Curation.EmailRe)}, '<EMAIL>', 'g'),
+         |    ${sqlLit(Curation.Ipv4Re)}, '<IP>', 'g'),
+         |    ${sqlLit(Curation.PhoneRe)}, '<PHONE>', 'g')) AS redacted_md5
+         |FROM t ORDER BY doc_id""".stripMargin,
     "sessionize_events" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |x AS (SELECT user_id, ts,

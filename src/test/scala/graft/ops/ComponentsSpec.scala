@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+
+  def cc(pairs: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(pairs.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Reference union-find for cross-checking. */
+  def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain collapses to one component rooted at the minimum") {
+    assert(cc(1L -> 2L, 2L -> 3L, 3L -> 4L) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint pairs stay separate") {
+    assert(cc(1L -> 2L, 10L -> 11L, 20L -> 21L) ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("components merge through a late bridge edge") {
+    assert(cc(1L -> 2L, 3L -> 4L, 2L -> 3L) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("duplicate, reversed, and self-loop edges are harmless") {
+    assert(cc(2L -> 1L, 1L -> 2L, 2L -> 2L, 1L -> 2L) == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("long path converges within the iteration bound (log-round contraction)") {
+    val path = (0L until 200L).map(i => i -> (i + 1))
+    val got = cc(path: _*)
+    assert(got.size == 201 && got.values.forall(_ == 0L))
+  }
+
+  test("matches union-find on a pseudo-random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    assert(cc(pairs: _*) == unionFind(pairs))
+  }
+
+  test("cluster sizes summarize per component") {
+    import spark.implicits._
+    val comps = Components.connectedComponents(
+      Seq(1L -> 2L, 2L -> 3L, 10L -> 11L).toDF("src", "dst"))
+    val sizes = Components.clusterSizes(comps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 3L, 10L -> 2L))
+  }
+}

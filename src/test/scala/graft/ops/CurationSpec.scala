@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+
+  test("hashFraction is in [0,1), deterministic, and salt-independent") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+      .select(Curation.hashFraction(col("id"), "a").as("ua"),
+        Curation.hashFraction(col("id"), "b").as("ub"))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getDouble(0) >= 0 && r.getDouble(0) < 1))
+    // different salts decorrelate: mean abs diff well away from 0
+    val diff = rows.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).sum / rows.length
+    assert(diff > 0.2)
+    // rerun gives identical draws
+    assert(df.collect().map(_.getDouble(0)).toSeq ==
+      rows.map(_.getDouble(0)).toSeq)
+  }
+
+  test("stratifiedSample keeps ~rate per stratum and is content-stable") {
+    import spark.implicits._
+    val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val out = Curation.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "zh" -> 0.1))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") - 1000L) < 150)
+    assert(math.abs(byLang("zh") - 200L) < 80)
+    // unknown strata drop by default
+    val docs2 = docs.withColumn("lang", lit("xx"))
+    assert(Curation.stratifiedSample(docs2, "lang", "doc_id", Map("en" -> 0.5)).count() == 0)
+    // sampling decision survives reordering/repartitioning
+    val again = Curation.stratifiedSample(docs.repartition(7), "lang", "doc_id",
+      Map("en" -> 0.5, "zh" -> 0.1))
+    assert(again.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("assignSplit respects weights and covers every row") {
+    import spark.implicits._
+    val df = (0L until 5000L).toDF("id")
+      .select(Curation.assignSplit(col("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+    val counts = df.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 5000L)
+    assert(math.abs(counts("train") - 4000L) < 200)
+    assert(math.abs(counts("val") - 500L) < 100)
+  }
+
+  test("splitBounds exposes exact IEEE prefix sums") {
+    val b = Curation.splitBounds(Seq("a" -> 0.8, "b" -> 0.1, "c" -> 0.1))
+    assert(b.map(_._1) == Seq("a", "b", "c"))
+    assert(b(0)._2 == 0.8 && b(1)._2 == 0.8 + 0.1)
+  }
+
+  test("redactPii scrubs emails, IPs, and phones; counts match") {
+    import spark.implicits._
+    val df = Seq(
+      "mail bob.smith+x@example.co.uk end",
+      "ip 192.168.0.1 and 10.0.0.255 here",
+      "call +1-555-123-4567 now",
+      "clean text with 1.2 version and a@b only").toDF("t")
+    val got = df.select(
+      Curation.redactPii(col("t")).as("r"),
+      Curation.countMatches(col("t"), Curation.EmailRe).as("ne"),
+      Curation.countMatches(col("t"), Curation.Ipv4Re).as("ni"),
+      Curation.countMatches(col("t"), Curation.PhoneRe).as("np")).collect()
+    assert(got(0).getString(0) == "mail <EMAIL> end" && got(0).getInt(1) == 1)
+    assert(got(1).getString(0) == "ip <IP> and <IP> here" && got(1).getInt(2) == 2)
+    assert(got(2).getString(0) == "call <PHONE> now" && got(2).getInt(3) == 1)
+    // "1.2" is not an IP; "a@b" lacks a TLD — untouched
+    assert(got(3).getString(0) == "clean text with 1.2 version and a@b only")
+  }
+}
