@@ -11,45 +11,56 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: alternating large-star / small-star (Kiveris et al.,
   * "Connected Components in MapReduce and Beyond", SoCC'14). Each round is
-  * two shuffles (a groupBy per star step); convergence is O(log² n) rounds
-  * on adversarial graphs and 2-4 rounds on real near-dup graphs — unlike
+  * a fixed small number of shuffles; convergence is O(log² n) rounds on
+  * adversarial graphs and 2-4 rounds on real near-dup graphs — unlike
   * naive min-label propagation, which needs O(graph diameter) rounds and
-  * dies on long chains at 100 TB scale. Iteration state is a plain edge
-  * DataFrame, `localCheckpoint`ed each round to truncate lineage (on a real
-  * cluster: `checkpoint` to durable storage); convergence is detected with
-  * an order-independent checksum aggregate, one tiny action per round, no
-  * driver-side data movement.
+  * dies on long chains at 100 TB scale.
+  *
+  * Scale mechanics:
+  *  - iteration state is a plain edge DataFrame, `localCheckpoint`ed lazily
+  *    each round so the convergence checksum's aggregate is the single
+  *    action that both materializes the round and truncates lineage (on a
+  *    real cluster: `checkpoint` to durable storage);
+  *  - loop parallelism is sized from the *edge count*, not inherited from
+  *    the (much wider) corpus scan that produced the pairs — a near-dup
+  *    edge set is orders of magnitude smaller than the corpus, and paying
+  *    the corpus's task count per round dominates small-graph runtimes;
+  *  - convergence detection is an order-independent bit_xor checksum
+  *    (overflow-free under ANSI mode), no driver-side data movement.
   */
 object Components {
 
   /** Large-star: for every node u, link all strictly-larger neighbors to
     * the minimum of u's neighborhood (including u itself). Keeps every
-    * edge's component connected while pointing big ids at small ids. */
-  private def largeStar(edges: DataFrame): DataFrame = {
+    * edge's component connected while pointing big ids at small ids.
+    * Output may contain duplicates — the next small-star dedups. */
+  private def largeStar(edges: DataFrame, parts: Int): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-    sym.groupBy(col("src"))
+    sym.repartition(parts, col("src"))
+      .groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("m"),
         collect_set(col("dst")).as("nbrs"))
       .select(col("m"), explode(col("nbrs")).as("v"), col("src"))
       .where(col("v") > col("src"))
       .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** Small-star: orient each edge (big, small); every big node links its
     * small neighbors (and itself) to the minimum among them. */
-  private def smallStar(edges: DataFrame): DataFrame = {
+  private def smallStar(edges: DataFrame, parts: Int): DataFrame = {
     val oriented = edges.select(
       greatest(col("src"), col("dst")).as("src"),
       least(col("src"), col("dst")).as("dst"))
-    oriented.groupBy(col("src"))
+    oriented.repartition(parts, col("src"))
+      .groupBy(col("src"))
       .agg(min(col("dst")).as("m"), collect_set(col("dst")).as("nbrs"))
       .select(col("m"), col("src"),
         explode(concat(col("nbrs"), array(col("src")))).as("v"))
       .where(col("v") =!= col("m"))
       .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
+      .repartition(parts, col("src"), col("dst"))
+      .dropDuplicates("src", "dst")
   }
 
   /** Order-independent checksum of an edge set (one scalar action).
@@ -61,40 +72,79 @@ object Components {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Rows-per-partition target for the iteration (edges are 16-byte pairs;
+    * a few million rows per task keeps tasks ~100 MB and launch overhead
+    * amortized). */
+  private val RowsPerPartition = 4000000L
+
+  /** Driver-side union-find finish for a contracted graph that fits in
+    * driver memory (≤ smallGraphThreshold edges ≈ tens of MB). Replaces
+    * O(log n) further distributed rounds — each a full shuffle cycle — with
+    * one collect. Deterministic: the union rule keeps the minimum id as
+    * root, so the result is the same partition the distributed fixpoint
+    * yields. */
+  private def localFinish(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    import spark.implicits._
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "component")
+  }
+
   /** Connected components of the undirected graph given by (srcCol, dstCol)
     * pairs. Returns one row per node that appears in any edge:
     * (id, component) with component = the minimum node id in the group.
     *
     * Self-loops are ignored; the input may contain duplicates either way
     * round. `maxIter` is a safety bound — the algorithm provably converges,
-    * typically in < 5 rounds.
+    * typically in < 5 rounds. `loopPartitions` overrides the edge-count
+    * derived loop parallelism (0 = auto).
     */
   def connectedComponents(pairs: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst", maxIter: Int = 25): DataFrame = {
+      dstCol: String = "dst", maxIter: Int = 25,
+      loopPartitions: Int = 0,
+      smallGraphThreshold: Long = 1L << 21): DataFrame = {
+    val spark = pairs.sparkSession
     var edges = pairs
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var prev = checksum(edges)
+    val parts =
+      if (loopPartitions > 0) loopPartitions
+      else math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (prev._2 / RowsPerPartition).toInt + 1))
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+    while (!converged && it < maxIter && prev._2 > smallGraphThreshold) {
+      val next = smallStar(largeStar(edges, parts), parts).localCheckpoint(false)
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
       edges = next
       it += 1
     }
-    // Fixpoint is a star forest: every edge is (member, root). Roots map to
-    // themselves; members to their root.
-    val roots = edges.select(col("dst")).distinct()
-      .join(edges.select(col("src")).distinct(), col("dst") === col("src"), "left_anti")
-      .select(col("dst").as("id"), col("dst").as("component"))
+    // Contracted below the driver threshold before reaching the fixpoint:
+    // finish locally (components are unchanged by contraction rounds).
+    if (!converged) return localFinish(spark, edges)
+    // Fixpoint is a star forest (Kiveris et al. Thm 1): every edge is
+    // (member, root), members appear exactly once as src and never as dst,
+    // roots only as dst. So components = member rows + one row per root.
     edges.select(col("src").as("id"), col("dst").as("component"))
-      .unionAll(roots)
-      .distinct()
+      .unionAll(edges.select(col("dst").as("id"), col("dst").as("component")).distinct())
   }
 
   /** Cluster summary: one row per component with its size and id range. */

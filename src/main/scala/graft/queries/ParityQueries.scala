@@ -178,6 +178,18 @@ object ParityQueries {
       .select(col("window.start").as("win_start"), col("n"), col("value_sum"))
       .orderBy(col("win_start"))
 
+  /** ST5 extension: native session windows (gap-merged event-time sessions,
+    * the Structured-Streaming-compatible formulation of sessionization —
+    * complements the lag+cumsum batch version in `sessionize_events`).
+    * Session end is last-event + gap, new session at gap boundary (>=). */
+  def st5SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    T.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "20 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Beyond-parity: backward as-of join — each purchase matched to the
     * user's most recent click at-or-before it. */
   def asofPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
@@ -218,6 +230,7 @@ object ParityQueries {
     "a6_totals" -> (a6Totals _),
     "st4_event_window" -> (st4EventWindow _),
     "st4_sliding_window" -> (st4SlidingWindow _),
+    "st5_session_window" -> (st5SessionWindow _),
     "asof_purchase_click" -> (asofPurchaseClick _),
     "takuan_ssh_pipeline" -> (takuanSshPipeline _),
   )
@@ -308,6 +321,20 @@ object ParityQueries {
          |SELECT win_start, count(*) AS n, ${ms("value")} AS value_sum
          |FROM slid GROUP BY win_start
          |ORDER BY win_start""".stripMargin,
+    "st5_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+        |y AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 20 MINUTE
+        |             THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT user_id, ts,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 20 MINUTE AS session_end, count(*) AS n_events
+        |FROM z GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "asof_purchase_click" ->
       """SELECT p.event_id, p.user_id, c.ts AS click_ts, c.value AS click_value
         |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -229,7 +229,107 @@ object Relational {
           .as("p90_price"))
       .orderBy(col("o_orderstatus"))
 
+  /** TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    * Supplier and customer nations resolve through broadcast dims; the only
+    * shuffles are the two fact joins (lineitem x orders on orderkey). */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = t(spark, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(spark, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val supp = t(spark, dir, "supplier").join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = t(spark, dir, "customer").join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+    * Aggregation keys carry the (functionally dependent) customer attributes
+    * so no second join is needed after the agg. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q18 shape: large-volume orders — aggregate lineitem by order,
+    * filter on the aggregate, join the qualifying keys back (semi-join on
+    * an aggregated set). */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 60)
+    t(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (cents(col("o_totalprice")) / 100.0).as("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  /** Correlated scalar subquery per group: orders priced at >2x their own
+    * customer's average. Decorrelates to an aggregate + equi-join — the
+    * per-customer average is itself a shuffle-once hash aggregate. */
+  def qAboveCustAvg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val custAvg = ord.groupBy(col("o_custkey").as("ck"))
+      .agg((sum(cents(col("o_totalprice"))) / count(lit(1))).as("avg_cents"))
+    ord.join(custAvg, col("o_custkey") === col("ck"))
+      .filter(cents(col("o_totalprice")) > col("avg_cents") * 2)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (cents(col("o_totalprice")) / 100.0).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Window navigation: lead/lag — days since each customer's previous
+    * order and until the next one. */
+  def qWindowLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"),
+        datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate")).as("days_to_next"))
+      // NULL-free order keys: first/last rows have NULL lag/lead — pin to -1
+      .select(col("o_custkey"), col("o_orderkey"),
+        coalesce(col("days_since_prev"), lit(-1)).as("days_since_prev"),
+        coalesce(col("days_to_next"), lit(-1)).as("days_to_next"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): exactly the (status),
+    * (priority), and () sets — no (status, priority) pair. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q_above_cust_avg" -> (qAboveCustAvg _),
+    "q_window_lead_lag" -> (qWindowLeadLag _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
     "q_exists_agg" -> (qExistsAgg _),
     "q_having" -> (qHaving _),
@@ -252,6 +352,68 @@ object Relational {
   import T.sql.{cents => c, moneySum => ms, moneyAvg => ma}
 
   val oracle: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |  ${ms("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3')
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name,
+         |  ${ms("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+    "q18_large_orders" ->
+      s"""SELECT o_orderkey, o_custkey, (${c("o_totalprice")} / 100.0) AS o_totalprice,
+         |  CAST(sum_qty AS BIGINT) AS sum_qty
+         |FROM orders
+         |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+         |      FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 60) big
+         |  ON o_orderkey = big.l_orderkey
+         |ORDER BY sum_qty DESC, o_orderkey
+         |LIMIT 50""".stripMargin,
+    "q_above_cust_avg" ->
+      s"""SELECT o_orderkey, o_custkey, (${c("o_totalprice")} / 100.0) AS o_totalprice
+         |FROM orders o
+         |JOIN (SELECT o_custkey AS ck,
+         |        (CAST(sum(${c("o_totalprice")}) AS BIGINT) / count(*)) AS avg_cents
+         |      FROM orders GROUP BY o_custkey) a
+         |  ON o.o_custkey = a.ck
+         |WHERE ${c("o_totalprice")} > avg_cents * 2
+         |ORDER BY o_orderkey""".stripMargin,
+    "q_window_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(coalesce(date_diff('day',
+        |    CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)), -1) AS INTEGER)
+        |    AS days_since_prev,
+        |  CAST(coalesce(date_diff('day',
+        |    CAST(o_orderdate AS DATE), CAST(lead(o_orderdate) OVER w AS DATE)), -1) AS INTEGER)
+        |    AS days_to_next
+        |FROM orders
+        |WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS n, ${ms("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, priority""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderstatus,
         |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,

@@ -5,7 +5,15 @@ import graft.SparkSpec
 
 class ComponentsSpec extends SparkSpec {
 
+  /** threshold=0 forces the distributed large-star/small-star loop (the
+    * default would route these tiny graphs to the driver union-find). */
   def cc(pairs: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(pairs.toDF("src", "dst"), smallGraphThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  def ccLocal(pairs: (Long, Long)*): Map[Long, Long] = {
     import spark.implicits._
     Components.connectedComponents(pairs.toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -55,6 +63,14 @@ class ComponentsSpec extends SparkSpec {
     val pairs = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
       .filter { case (a, b) => a != b }
     assert(cc(pairs: _*) == unionFind(pairs))
+  }
+
+  test("driver union-find finish agrees with the distributed fixpoint") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(200)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    assert(ccLocal(pairs: _*) == cc(pairs: _*))
+    assert(ccLocal(1L -> 2L, 2L -> 3L) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
   test("cluster sizes summarize per component") {
