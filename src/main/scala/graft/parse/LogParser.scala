@@ -30,8 +30,14 @@ object LogParser {
       currYear: Int = java.time.Year.now.getValue): DataFrame = {
     val groups = graft.functions.RegexFunctions
       .regex_groups(col(LineCol), parser.normalizedExpression)
+    // explode(array(...)) is a deliberate optimizer fence: a Generate's
+    // output can't be substituted into pushed-down predicates or collapsed
+    // into downstream projections, so the (expensive) regex matches exactly
+    // once per row — a plain column alias gets re-expanded once per token
+    // plus once in the null filter (4 evals/row for the ssh parser).
     val withTokens = parser.tokens.toSeq.sortBy(_._2).foldLeft(
-      lines.withColumn("__groups", groups).filter(col("__groups").isNotNull)) {
+      lines.select(col("*"), explode(array(groups)).as("__groups"))
+        .filter(col("__groups").isNotNull)) {
       case (df, (name, idx)) =>
         df.withColumn(name, coalesce(get(col("__groups"), lit(idx - 1)), lit("")))
     }.drop("__groups")
@@ -57,6 +63,19 @@ object LogParser {
       coalesce(acc, when(col(r.token).rlike(r.expression), lit(r.name)))
     }
 
+  /** "Matches any rule" — one combined alternation regex per target token
+    * instead of the full per-rule CASE chain. Used as the pipeline's drop
+    * filter so the (expensive, ordered) [[classifyColumn]] chain runs only
+    * on surviving rows: a filter on `classifyColumn(...).isNotNull` would
+    * make Catalyst evaluate every rule regex twice per row (once in the
+    * pushed-down predicate, once in the projection — no cross-operator
+    * subexpression elimination in codegen). OR across tokens is
+    * order-insensitive, so the per-token grouping is safe. */
+  def anyRuleMatch(rules: Seq[RuleConf]): Column =
+    rules.groupBy(_.token).toSeq.sortBy(_._1).map { case (token, rs) =>
+      col(token).rlike(rs.map(r => s"(?:${r.expression})").mkString("|"))
+    }.reduce(_ || _)
+
   /** P6: parse the (year-repaired) datetime token with the sensor's Go
     * layout. `try_to_timestamp` nulls on failure — the reference emits the
     * event anyway with zero time and routes the error to a side channel
@@ -80,8 +99,8 @@ object LogParser {
       detectedAt: Option[java.sql.Timestamp] = None,
       currYear: Int = java.time.Year.now.getValue): DataFrame =
     tokenize(lines, sensor.parser, currYear)
+      .filter(anyRuleMatch(sensor.rules))
       .withColumn("rule", classifyColumn(sensor.rules))
-      .filter(col("rule").isNotNull)
       .withColumn("created_at", datetimeColumn(sensor.parser))
       .withColumn("detected_at",
         detectedAt.map(lit(_)).getOrElse(current_timestamp()))
@@ -100,8 +119,7 @@ object LogParser {
   def malformedDatetimes(lines: DataFrame, sensor: SensorConf,
       currYear: Int = java.time.Year.now.getValue): DataFrame =
     tokenize(lines, sensor.parser, currYear)
-      .withColumn("rule", classifyColumn(sensor.rules))
-      .filter(col("rule").isNotNull)
+      .filter(anyRuleMatch(sensor.rules))
       .filter(datetimeColumn(sensor.parser).isNull)
       .select(col(LineCol).as("payload"), col("datetime"))
 }
