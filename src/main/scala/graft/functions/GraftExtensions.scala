@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectFunction((FunctionIdentifier("ip_to_num"),
       info("ip_to_num", "ip_to_num(str) - dotted-quad IPv4 to numeric, NULL if invalid"),
       (exprs: Seq[Expression]) => IpToNum(exprs.head)))

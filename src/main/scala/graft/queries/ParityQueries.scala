@@ -127,6 +127,17 @@ object ParityQueries {
       .select(col("event_id"), col("country_code"))
       .orderBy(col("event_id"))
 
+  /** J1 via the automatic [[graft.plans.RangeJoinRewrite]] optimizer rule:
+    * the raw BETWEEN join (no hand-bucketing) — the rule turns it into the
+    * same bucketed hash equi-join GeoIp.enrich builds manually. */
+  def j2AutoRangeJoin(spark: SparkSession, dir: String): DataFrame =
+    T.events(spark, dir).select(col("event_id"), addrCol.as("address"))
+      .withColumn("ip", graft.functions.GraftFunctions.ip_to_num(col("address")))
+      .join(geoTable(spark, dir),
+        col("ip") >= col("start_ip_num") && col("ip") <= col("end_ip_num"), "left_outer")
+      .select(col("event_id"), col("country_code"))
+      .orderBy(col("event_id"))
+
   /** A1-A4 + O1: the full takuan report (address grouping, nested
     * sensor/rule counters, stringification, desc sort) via Reporter. */
   def a1ReportCounters(spark: SparkSession, dir: String): DataFrame = {
@@ -224,6 +235,7 @@ object ParityQueries {
     "p6_datetime_parse" -> (p6DatetimeParse _),
     "f9_ip_to_num" -> (f9IpToNum _),
     "j1_geo_range_join" -> (j1GeoRangeJoin _),
+    "j2_auto_range_join" -> (j2AutoRangeJoin _),
     "a1_report_counters" -> (a1ReportCounters _),
     "a5_country_topk" -> (a5CountryTopk _),
     "s6_filtered_scan" -> (s6FilteredScan _),
@@ -269,6 +281,11 @@ object ParityQueries {
          |FROM events
          |ORDER BY event_id""".stripMargin,
     "j1_geo_range_join" ->
+      s"""SELECT event_id, n_name AS country_code
+         |FROM events
+         |$geoSqlJoin
+         |ORDER BY event_id""".stripMargin,
+    "j2_auto_range_join" ->
       s"""SELECT event_id, n_name AS country_code
          |FROM events
          |$geoSqlJoin
