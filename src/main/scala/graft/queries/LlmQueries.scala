@@ -145,6 +145,14 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** HLL++ cardinality sketch vs exact distinct — rows-only driver check
+    * (sketch estimates aren't reproducible across engines); the ≤rsd error
+    * bound is asserted in SketchesSpec. */
+  def sketchCardinality(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.cardinalityWithExact(
+      T.events(spark, dir), Seq("event_type"), "user_id")
+      .orderBy(col("event_type"))
+
   /** Gap-based sessionization over the events stream table (30-min gap). */
   def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sessions.summarize(T.events(spark, dir), "user_id", "ts", 1800)
@@ -186,6 +194,7 @@ object LlmQueries {
     "sim_ivf_topk" -> (simIvfTopk _),
     "sample_stratified" -> (sampleStratified _),
     "text_pii_redact" -> (textPiiRedact _),
+    "sketch_cardinality" -> (sketchCardinality _),
     "text_profile" -> (textProfile _),
     "text_robust_fingerprint" -> (textRobustFingerprint _),
     "mm_binary_features" -> (mmBinaryFeatures _),
