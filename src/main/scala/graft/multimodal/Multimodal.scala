@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata; per-item decode /
   * feature-extraction runs as partition-wise batch functions.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): [[decodeStub]] is a deterministic fake standing in for e.g.
-  * a JPEG decode. Everything around it — the binary schema, the
-  * `mapPartitions` batch shape, partition sizing, the metadata contract —
-  * is the real production plumbing and is tested. Swapping the stub for a
-  * real codec changes one function.
+  * Image decode/resize is REAL — [[decodeImage]] / [[extractImageFeatures]]
+  * / [[resizeImages]] use the JDK's built-in javax.imageio codecs
+  * (PNG/JPEG/GIF/BMP) and are tested against generated PNGs. Audio/video
+  * codecs are STUBBED ([[decodeStub]] — no ffmpeg-class libraries in this
+  * environment): a deterministic fake behind the same partition-wise batch
+  * contract, so swapping in a real codec changes one function. The binary
+  * schema, `mapPartitions` batch shape, partition sizing, and metadata
+  * contract are the production plumbing either way.
   *
   * Scale notes: media rows are large, so the pipeline keeps them in
   * `binary` columns (never strings), processes partition-wise with
@@ -76,6 +78,87 @@ object Multimodal {
             height = h)
         }
       }
+  }
+
+  /** Image features from a real decode. */
+  case class ImageFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      mean_luma: Double)
+
+  /** REAL image decode via the JDK's built-in codecs (PNG/JPEG/GIF/BMP —
+    * javax.imageio ships with every JVM; no external libraries). Returns
+    * None for undecodable bytes. This replaces the stub for image mimes;
+    * audio/video codecs remain stubbed (no ffmpeg in this environment). */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Partition-wise REAL image feature extraction: decode, dimensions, and
+    * mean luminance (ITU-R BT.601 luma over RGB). Undecodable rows yield
+    * width=height=-1 — the quarantine contract, not a task failure: one
+    * corrupt image must never kill a 100 TB stage. */
+  def extractImageFeatures(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("mime")).as[MediaItem]
+      .mapPartitions { items =>
+        items.map { it =>
+          decodeImage(Option(it.media).getOrElse(Array.emptyByteArray)) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              var luma = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  luma += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              ImageFeatures(it.doc_id, w, h, w.toLong * h, luma / math.max(w.toLong * h, 1L))
+            case None => ImageFeatures(it.doc_id, -1, -1, 0L, 0.0)
+          }
+        }
+      }
+  }
+
+  /** REAL image resize (JDK Graphics2D, bilinear) — returns re-encoded PNG
+    * bytes, or the input unchanged if undecodable. The shape to note for
+    * scale: resize happens inside the partition iterator, and only the
+    * (smaller) resized bytes flow downstream. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      maxDim: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("mime")).as[MediaItem]
+      .mapPartitions { items =>
+        items.map { it =>
+          val bytes = Option(it.media).getOrElse(Array.emptyByteArray)
+          val out = decodeImage(bytes) match {
+            case Some(img) if math.max(img.getWidth, img.getHeight) > maxDim =>
+              val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+              val (nw, nh) = (math.max(1, (img.getWidth * scale).toInt),
+                math.max(1, (img.getHeight * scale).toInt))
+              val dst = new java.awt.image.BufferedImage(nw, nh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+              g.dispose()
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", buf)
+              buf.toByteArray
+            case _ => bytes
+          }
+          (it.doc_id, out, "image/png")
+        }
+      }
+      .toDF("doc_id", "media", "mime")
   }
 
   /** Frame sampling: keep every `stride`-th byte as a "frame" payload —
