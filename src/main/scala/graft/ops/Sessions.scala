@@ -53,6 +53,80 @@ object Sessions {
     * instantiates it reflectively). */
   case class SessionState(start: Long, last: Long, n: Long)
 
+  /** Sessionizer on the Spark 4 `transformWithState` API — the successor to
+    * flatMapGroupsWithState: named state variables behind an explicit
+    * handle, first-class timers (several can be live per key), and the
+    * multi-column-family RocksDB state store. Sessions close when the
+    * watermark drives an event-time timer past last-event + gap. A timer is
+    * (re)registered per batch; stale timers are filtered in the expiry
+    * callback against the current session tail. */
+  class SessionProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[Session] = {
+      val sorted = rows.map(_._2.getTime).toList.sorted
+      var closed = List.empty[Session]
+      var cur = if (state.exists()) Some(state.get()) else None
+      sorted.foreach { t =>
+        cur match {
+          case Some(s) if t - s.last <= gapSeconds * 1000 =>
+            cur = Some(s.copy(last = t, n = s.n + 1))
+          case Some(s) =>
+            closed ::= Session(key,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        getHandle.registerTimer(s.last + gapSeconds * 1000)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      if (!state.exists()) return Iterator.empty
+      val s = state.get()
+      // Only the timer matching the current session tail closes it; earlier
+      // timers from superseded batches are stale no-ops.
+      if (expiredTimerInfo.getExpiryTimeInMs() >= s.last + gapSeconds * 1000) {
+        state.clear()
+        Iterator.single(Session(key,
+          new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** Streaming sessionization via [[SessionProcessor]] — requires the
+    * RocksDB state store provider (transformWithState needs multiple
+    * column families; set
+    * spark.sql.streaming.stateStore.providerClass=
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider). */
+  def streamingSessionsTws(spark: SparkSession,
+      events: Dataset[(Long, java.sql.Timestamp)], gapSeconds: Long): Dataset[Session] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.toDF("user_id", "ts")
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming sessionization with explicit state: sessions close when the
     * *watermark* passes last-event + gap (event-time timeout — deterministic
     * and replayable, unlike a wall-clock timeout, which in as-fast-as-

@@ -69,4 +69,35 @@ class SessionsSpec extends SparkSpec {
       assert(closed.head.getLong(1) == 2)
     } finally q.stop()
   }
+
+  test("transformWithState sessionization (Spark 4 arbitrary-state API + RocksDB store)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Sessions.streamingSessionsTws(spark, input.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_tws_out").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      val closed = spark.sql(
+        "SELECT user_id, n_events FROM sess_tws_out WHERE user_id = 1").collect()
+      assert(closed.length >= 1, "first session should close via event-time timer")
+      assert(closed.head.getLong(1) == 2)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
