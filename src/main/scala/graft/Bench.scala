@@ -18,6 +18,10 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // collect_list aggs (report counters) fall back to sort-based after
+      // 128 in-memory keys by default — far too conservative for small
+      // per-key buffers; keep them hash-based.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.adaptive.enabled", "true")
       // testdata parquet files are single-digit-MB; default 128 MB split
       // size scans each as ONE partition, serializing every query. At real

@@ -140,14 +140,11 @@ object ParityQueries {
 
   /** A1-A4 + O1: the full takuan report (address grouping, nested
     * sensor/rule counters, stringification, desc sort) via Reporter. */
-  def a1ReportCounters(spark: SparkSession, dir: String): DataFrame = {
-    val ev = GeoIp.enrich(
-      T.events(spark, dir).select(col("event_id"), col("event_type"), addrCol.as("address")),
+  def a1ReportCounters(spark: SparkSession, dir: String): DataFrame =
+    Reporter.reportLateEnrich(
+      T.events(spark, dir).select(addrCol.as("address"), lit("app").as("sensor"),
+        col("event_type").as("rule")),
       geoTable(spark, dir))
-      .select(col("address"), lit("app").as("sensor"),
-        col("event_type").as("rule"), col("country_code"), col("country_name"))
-    Reporter.report(ev)
-  }
 
   /** A5/O2/O3: per-country counts, top 5 — the tweet summary aggregation. */
   def a5CountryTopk(spark: SparkSession, dir: String): DataFrame =

@@ -53,6 +53,34 @@ object Reporter {
       .orderBy(col("total_events").desc, col("address"))
   }
 
+  /** [[report]] with late geo enrichment: aggregate first, enrich the
+    * (address, sensor, rule) aggregate rows — not the raw events. The
+    * address→country mapping is functional, so results are identical to
+    * `report(GeoIp.enrich(events, geo))`, but the geo join touches
+    * |distinct address×rule| rows instead of |events|: at 100 TB that is
+    * the difference between enriching billions of rows and enriching a few
+    * million aggregates. The reference enriches per event at ingest
+    * (core/aggregator.go:62-66) because its store is row-per-event; a
+    * columnar engine needn't. */
+  def reportLateEnrich(events: DataFrame, geo: DataFrame,
+      addrCol: String = "address"): DataFrame = {
+    val perRule = events
+      .groupBy(col(addrCol), col("sensor"), col("rule"))
+      .agg(count(lit(1)).as("n"))
+    graft.enrich.GeoIp.enrich(perRule, geo, addrCol)
+      .groupBy(col(addrCol))
+      .agg(
+        min(col("country_code")).as("country_code"),
+        min(col("country_name")).as("country_name"),
+        sum(col("n")).as("total_events"),
+        concat_ws("|", array_sort(collect_list(
+          concat_ws(":", concat_ws("/", col("sensor"), col("rule")), col("n")))))
+          .as("counters"))
+      .select(col(addrCol), col("country_code"), col("country_name"),
+        col("total_events"), col("counters"))
+      .orderBy(col("total_events").desc, col(addrCol))
+  }
+
   /** S10: write the report CSV. `singleFile` reproduces the reference's
     * one-file-per-report artifact (fine for operational report sizes); at
     * data-warehouse scale leave it false and get one file per partition. */

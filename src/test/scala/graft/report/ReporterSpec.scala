@@ -68,4 +68,21 @@ class ReporterSpec extends SparkSpec {
   test("totals: events + distinct addresses in one pass (A6)") {
     assert(Reporter.totals(mkEvents()) == (4L, 2L))
   }
+
+  test("late-enrich report is identical to enrich-then-report") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val geo = graft.T.t(spark, dir, "nation").select(
+      (lit(167772160L) + col("n_nationkey").cast("long") * 64).as("start_ip_num"),
+      (lit(167772160L) + col("n_nationkey").cast("long") * 64 + 63).as("end_ip_num"),
+      col("n_name").as("country_code"), col("n_name").as("country_name"))
+    val ev = graft.T.events(spark, dir).select(
+      format_string("10.0.%d.%d", expr("user_id div 256"), expr("user_id % 256")).as("address"),
+      lit("app").as("sensor"), col("event_type").as("rule"))
+    val early = Reporter.report(graft.enrich.GeoIp.enrich(ev, geo))
+      .collect().map(_.toSeq).toSeq
+    val late = Reporter.reportLateEnrich(ev, geo)
+      .collect().map(_.toSeq).toSeq
+    assert(late == early)
+  }
 }
