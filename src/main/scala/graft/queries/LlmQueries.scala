@@ -145,6 +145,24 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Flagship end-to-end curation chain — the composition a training-data
+    * pipeline actually runs: quality gate → language gate → exact dedup
+    * (keep min id per normalized content) → language-stratified sample →
+    * train/val/test split. Every stage is deterministic, so the whole
+    * pipeline is oracle-checked as one query. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val prof = TextAnalysis.profile(T.par(spark, docs))
+      .select(col("doc_id"), col("quality"), col("lang_guess"))
+    val gated = docs.join(prof, Seq("doc_id"))
+      .filter(col("quality") >= 0.5 && col("lang_guess") =!= "unknown")
+    val deduped = Dedup.dropExactDuplicates(gated)
+    Curation.stratifiedSample(deduped, "lang", "doc_id", SampleRates)
+      .withColumn("split", Curation.assignSplit(col("doc_id"), SplitWeights))
+      .select(col("doc_id"), col("lang"), col("lang_guess"), col("quality"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** HLL++ cardinality sketch vs exact distinct — rows-only driver check
     * (sketch estimates aren't reproducible across engines); the ≤rsd error
     * bound is asserted in SketchesSpec. */
@@ -195,6 +213,7 @@ object LlmQueries {
     "sample_stratified" -> (sampleStratified _),
     "text_pii_redact" -> (textPiiRedact _),
     "sketch_cardinality" -> (sketchCardinality _),
+    "curation_pipeline" -> (curationPipeline _),
     "text_profile" -> (textProfile _),
     "text_robust_fingerprint" -> (textRobustFingerprint _),
     "mm_binary_features" -> (mmBinaryFeatures _),
@@ -306,6 +325,25 @@ object LlmQueries {
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source, $splitCaseSql AS split
          |FROM documents
+         |WHERE ${Curation.hashFractionSql("doc_id", "samp")} < $rateCaseSql
+         |ORDER BY doc_id""".stripMargin,
+    "curation_pipeline" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang, text,
+         |    $qualitySql AS quality, $langSql AS lang_guess
+         |  FROM documents
+         |),
+         |filtered AS (
+         |  SELECT * FROM gated
+         |  WHERE quality >= 0.5 AND lang_guess <> 'unknown'
+         |),
+         |deduped AS (
+         |  SELECT * FROM filtered
+         |  WHERE doc_id IN (
+         |    SELECT min(doc_id) FROM filtered GROUP BY md5(${normSql("text")}))
+         |)
+         |SELECT doc_id, lang, lang_guess, quality, $splitCaseSql AS split
+         |FROM deduped
          |WHERE ${Curation.hashFractionSql("doc_id", "samp")} < $rateCaseSql
          |ORDER BY doc_id""".stripMargin,
     "text_pii_redact" ->
