@@ -60,4 +60,46 @@ object AsOf {
     }
     bounded.select((leftCols ++ carried).map(F.col): _*)
   }
+
+  /** Forward as-of join — for each left row, the *earliest* right row with
+    * `right.ts >= left.ts` within the same key (the "next event after"
+    * lookup). Mirror of [[backward]]: same union-and-window shape, with a
+    * [current, +inf) frame and `first(ignoreNulls)`. Left rows sort before
+    * right rows at equal ts, giving inclusive (`>=`) semantics.
+    *
+    * @param toleranceSeconds if set, matches later than `ts + tolerance`
+    *                   are nulled out (bounded look-ahead). */
+  def forward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], toleranceSeconds: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carried = rightCols.map("asof_" + _) :+ s"asof_$ts"
+    val rTagged = right.select(
+      (Seq(F.col(key), F.col(ts), F.lit(1).as("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => F.lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => F.col(c).as("asof_" + c)) :+
+        F.col(ts).as(s"asof_$ts")): _*)
+    val lTagged = left.select(
+      (Seq(F.col(key), F.col(ts), F.lit(0).as("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(F.col) ++
+        rightCols.map(c =>
+          F.lit(null).cast(right.schema(c).dataType).as("asof_" + c)) :+
+        F.lit(null).cast(right.schema(ts).dataType).as(s"asof_$ts")): _*)
+    val w = Window.partitionBy(F.col(key))
+      .orderBy(F.col(ts), F.col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = carried.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>
+        df.withColumn(c, F.first(F.col(c), ignoreNulls = true).over(w))
+      }
+      .filter(F.col("__side") === 0)
+      .drop("__side")
+    val bounded = toleranceSeconds.fold(matched) { tol =>
+      val far = F.col(s"asof_$ts") >
+        (F.col(ts).cast("long") + tol).cast("timestamp")
+      carried.foldLeft(matched) { (df, c) =>
+        df.withColumn(c, F.when(far, F.lit(null)).otherwise(F.col(c)))
+      }
+    }
+    bounded.select((leftCols ++ carried).map(F.col): _*)
+  }
 }

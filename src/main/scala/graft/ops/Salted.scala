@@ -40,4 +40,22 @@ object Salted {
       .agg(sum(col("__pn")).as(countName),
         sums.zipWithIndex.map { case ((_, name), i) => sum(col(s"__ps$i")).as(name) }: _*)
   }
+
+  /** Skew-proof equi-join: salt the big side deterministically and
+    * replicate the small side once per salt bucket, so a hot join key
+    * spreads over `buckets` tasks instead of funneling through one.
+    * Results are identical to `big.join(small, key)` — every (big row,
+    * small row) key match meets in exactly one salt bucket.
+    *
+    * This is the manual form of what AQE's skew-join handles for sort-merge
+    * joins at runtime; it composes with any join the planner picks and also
+    * covers aggregate-after-join patterns AQE can't split. Cost: the small
+    * side is shuffled `buckets`-fold (keep it the dimension side). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: Seq[String],
+      saltFrom: Column, buckets: Int): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(hash(saltFrom), lit(buckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, key :+ "__salt").drop("__salt")
+  }
 }

@@ -185,6 +185,19 @@ object LlmQueries {
       .select(col("event_type"), col("n"), (col("value_cents") / 100.0).as("value_sum"))
       .orderBy(col("event_type"))
 
+  /** Skew-proof equi-join: salted big side x replicated dim — results
+    * identical to the plain join (the oracle). */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_group", upper(substring(col("event_type"), 1, 1)))
+    graft.ops.Salted.saltedJoin(ev, dim, Seq("event_type"), col("event_id"), buckets = 8)
+      .groupBy(col("type_group"))
+      .agg(count(lit(1)).as("n"),
+        (sum(T.cents(col("value"))) / 100.0).as("value_sum"))
+      .orderBy(col("type_group"))
+  }
+
   /** Curation facets: corpus quality metrics rolled up by source
     * (min/max are exact on doubles; token sums are exact longs). */
   def textFacets(spark: SparkSession, dir: String): DataFrame =
@@ -201,6 +214,7 @@ object LlmQueries {
     "text_facets" -> (textFacets _),
     "sessionize_events" -> (sessionizeEvents _),
     "salted_hot_key_agg" -> (saltedHotKeyAgg _),
+    "salted_skew_join" -> (saltedSkewJoin _),
     "dedup_exact_prefix" -> (dedupExactPrefix _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -375,6 +389,16 @@ object LlmQueries {
         |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_secs
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "salted_skew_join" ->
+      s"""WITH dim AS (
+         |  SELECT DISTINCT event_type,
+         |    upper(substring(event_type, 1, 1)) AS type_group
+         |  FROM events)
+         |SELECT type_group, count(*) AS n,
+         |  (CAST(sum(${c0("value")}) AS BIGINT) / 100.0) AS value_sum
+         |FROM events JOIN dim USING (event_type)
+         |GROUP BY type_group
+         |ORDER BY type_group""".stripMargin,
     "salted_hot_key_agg" ->
       s"""SELECT event_type, count(*) AS n,
          |  (CAST(sum(${c0("value")}) AS BIGINT) / 100.0) AS value_sum

@@ -212,6 +212,20 @@ object ParityQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Beyond-parity: forward as-of join — each purchase matched to the
+    * user's next click at-or-after it. */
+  def asofNextClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOf.forward(purchases, clicks, key = "user_id", ts = "ts", rightCols = Seq("value"))
+      .select(col("event_id"), col("user_id"), col("asof_ts").as("click_ts"),
+        col("asof_value").as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** The full parse→classify→datetime pipeline (P1+P2+P5+P6+P7+P9) on
     * synthesized syslog lines, through LogParser.pipeline with the
     * reference's ssh sensor config. currYear pinned to the data's year so
@@ -241,6 +255,7 @@ object ParityQueries {
     "st4_sliding_window" -> (st4SlidingWindow _),
     "st5_session_window" -> (st5SessionWindow _),
     "asof_purchase_click" -> (asofPurchaseClick _),
+    "asof_next_click" -> (asofNextClick _),
     "takuan_ssh_pipeline" -> (takuanSshPipeline _),
   )
 
@@ -357,6 +372,15 @@ object ParityQueries {
         |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
         |      FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "asof_next_click" ->
+      """SELECT p.event_id, p.user_id, c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "takuan_ssh_pipeline" ->
       s"""WITH lines AS (

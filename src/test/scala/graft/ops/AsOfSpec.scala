@@ -59,4 +59,23 @@ class AsOfSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "k", "ts", "tag", "asof_v", "asof_ts"))
     assert(out.head().getAs[String]("tag") == "x")
   }
+
+  test("forward as-of: earliest right at-or-after, inclusive, with tolerance") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 11:00:00"), "b"),
+      (2L, ts("2024-01-01 09:00:00"), "c")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 2.0),
+      (1L, ts("2024-01-01 12:00:00"), 3.0)).toDF("user_id", "ts", "value")
+    val got = AsOf.forward(left, right, "user_id", "ts", Seq("value"))
+      .collect().map(r => (r.getAs[String]("tag"), Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble))).toMap
+    assert(got("a") == Some(1.0)) // inclusive: right at same ts matches
+    assert(got("b") == Some(3.0)) // next click after 11:00 is 12:00
+    assert(got("c") == None)      // user 2 has no clicks
+    val bounded = AsOf.forward(left, right, "user_id", "ts", Seq("value"),
+        toleranceSeconds = Some(1800))
+      .collect().map(r => (r.getAs[String]("tag"), Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble))).toMap
+    assert(bounded("b") == None) // 12:00 is beyond 11:00 + 30min
+  }
 }

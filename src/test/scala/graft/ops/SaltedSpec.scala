@@ -26,4 +26,18 @@ class SaltedSpec extends SparkSpec {
       .groupBy("k", "__salt").count()
     assert(partial.count() == 8) // the hot key split into 8 partial groups
   }
+
+  test("salted join equals the plain join (skew-proof, no dup/loss)") {
+    import spark.implicits._
+    // skewed: 90% of rows share one key
+    val big = (1L to 1000L).map(i => (if (i <= 900) "hot" else s"k${i % 7}", i))
+      .toDF("k", "v")
+    val dim = Seq(("hot", 1), ("k1", 2), ("k2", 3), ("k3", 4)).toDF("k", "d")
+    val plain = big.join(dim, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val salted = Salted.saltedJoin(big, dim, Seq("k"), col("v"), buckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(salted == plain)
+    assert(!Salted.saltedJoin(big, dim, Seq("k"), col("v"), 8).columns.contains("__salt"))
+  }
 }
