@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 /** Physical-plan contracts — the shapes that keep these queries viable at
@@ -73,5 +74,29 @@ class PlanSpec extends SparkSpec {
     val docs = T.t(spark, dir, "documents")
     val p = plan(ops.Dedup.lshCandidates(ops.Dedup.minhashSignatures(docs)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ivf: probe join broadcasts the query side; no cartesian product") {
+    val e = T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = graft.ops.Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 3,
+      centroidEvery = 100).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
+  test("regex tokenizer evaluates the parser pattern exactly once per row") {
+    val q = graft.queries.ParityQueries.takuanSshPipeline(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert("regex_groups".r.findAllIn(plan).length == 1,
+      s"regex_groups must appear once (optimizer fence):\n$plan")
+  }
+
+  test("salted join spreads the key space: join keys include the salt") {
+    import spark.implicits._
+    val big = (1L to 100L).map(i => ("k", i)).toDF("k", "v")
+    val dim = Seq(("k", 1)).toDF("k", "d")
+    val plan = graft.ops.Salted.saltedJoin(big, dim, Seq("k"), col("v"), 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt must be a join key:\n$plan")
   }
 }
