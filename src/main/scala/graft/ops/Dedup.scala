@@ -84,10 +84,16 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over shingle sets for the given candidate pairs only. */
+  /** Exact Jaccard over shingle sets for the given candidate pairs only.
+    *
+    * The shingle relation is deliberately NOT cached: it is an exploded
+    * (≈10×) copy of the corpus text, so at scale materializing it costs
+    * far more than recomputing the narrow normalize+split+explode stage
+    * per consumer — and Spark recomputes it inside each shuffle's map
+    * side, never holding it whole. */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val grams = explodedShingles(docs, idCol, textCol).cache()
+    val grams = explodedShingles(docs, idCol, textCol)
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(grams.select(col("id").as("id_a"), col("gram")), Seq("id_a"))
@@ -176,7 +182,6 @@ object Dedup {
         explode(array_distinct(expr(
           s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), i -> substring($textCol, i, $n))")))
           .as("gram"))
-      .cache()
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = grams.select(col("id").as("id_a"), col("gram"))
       .join(grams.select(col("id").as("id_b"), col("gram")), Seq("gram"))
