@@ -76,4 +76,25 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(!auto.queryExecution.executedPlan.toString.contains("NestedLoop"))
     assert(auto.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet == manual)
   }
+
+  test("randomized equivalence: rewrite on vs off agree on 200 intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val pts = (1L to 300L).map(i => (i, rnd.nextLong() % 500000L)).toDF("id", "p")
+    val rngs = (1L to 200L).map { i =>
+      val a = rnd.nextLong() % 500000L
+      val b = a + (rnd.nextInt(200000) - 20000) // some inverted
+      (i, a, b)
+    }.toDF("rid", "lo", "hi")
+    def run(): Set[(Long, Long)] =
+      pts.join(rngs, col("p") >= col("lo") && col("p") <= col("hi"))
+        .select(col("id"), col("rid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withRule = run()
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    val without = try run() finally
+      spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    assert(withRule == without)
+    assert(withRule.nonEmpty)
+  }
 }
