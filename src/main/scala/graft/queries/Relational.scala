@@ -323,7 +323,40 @@ object Relational {
         col("n"), col("total"))
       .orderBy(col("status"), col("priority"))
 
+  /** TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share).
+    * Both numerator and denominator are exact integer-cents sums; the
+    * single final division is the only float op. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO",
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).otherwise(lit(0L)))
+          * 100.0 /
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          .as("promo_share_pct"))
+
+  /** TPC-H Q19 shape: disjunction of conjunctive band predicates across the
+    * join — the planner must keep the join equi-key and evaluate the OR as
+    * a post-join filter (or push the common l_partkey=p_partkey). */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(5, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(10, 40)))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q19_disjunctive" -> (q19Disjunctive _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -352,6 +385,22 @@ object Relational {
   import T.sql.{cents => c, moneySum => ms, moneyAvg => ma}
 
   val oracle: Map[String, String] = Map(
+    "q14_promo_revenue" ->
+      s"""SELECT (CAST(sum(CASE WHEN p_type = 'PROMO'
+         |         THEN ${c("l_extendedprice * (1 - l_discount)")} ELSE 0 END) AS BIGINT)
+         |        * 100.0 /
+         |        CAST(sum(${c("l_extendedprice * (1 - l_discount)")}) AS BIGINT))
+         |       AS promo_share_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+    "q19_disjunctive" ->
+      s"""SELECT ${ms("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5 AND 30)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
     "q7_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
