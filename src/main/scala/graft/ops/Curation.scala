@@ -66,6 +66,21 @@ object Curation {
     }
   }
 
+  /** Deterministic per-stratum cap: keep at most `cap` rows per stratum,
+    * chosen by salted hash rank (content-stable — the same rows survive
+    * regardless of partitioning or cluster size, unlike LIMIT-per-group).
+    * One shuffle on the stratum; the window never materializes a group in
+    * memory (row_number streams over the sorted run). */
+  def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
+      cap: Int, salt: String = "cap"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashFraction(col(keyCol), salt), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** Java-and-RE2-compatible PII patterns (DuckDB's regexp engine is RE2 —
     * stick to syntax both accept: no lookarounds, no backrefs). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

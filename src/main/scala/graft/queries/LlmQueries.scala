@@ -185,6 +185,13 @@ object LlmQueries {
       .select(col("event_type"), col("n"), (col("value_cents") / 100.0).as("value_sum"))
       .orderBy(col("event_type"))
 
+  /** Per-source document cap: at most 12 docs per source, hash-ranked —
+    * the corpus-balancing primitive (content-stable, partition-invariant). */
+  def sampleCapPerSource(spark: SparkSession, dir: String): DataFrame =
+    Curation.capPerStratum(T.t(spark, dir, "documents"), "source", "doc_id", cap = 12)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** Skew-proof equi-join: salted big side x replicated dim — results
     * identical to the plain join (the oracle). */
   def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -215,6 +222,7 @@ object LlmQueries {
     "sessionize_events" -> (sessionizeEvents _),
     "salted_hot_key_agg" -> (saltedHotKeyAgg _),
     "salted_skew_join" -> (saltedSkewJoin _),
+    "sample_cap_per_source" -> (sampleCapPerSource _),
     "dedup_exact_prefix" -> (dedupExactPrefix _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -336,6 +344,14 @@ object LlmQueries {
          |  JOIN corp n ON n.vec_id = cd.neighbor_id)
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    "sample_cap_per_source" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${Curation.hashFractionSql("doc_id", "cap")}, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 12
+         |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source, $splitCaseSql AS split
          |FROM documents

@@ -75,4 +75,21 @@ class CurationSpec extends SparkSpec {
     // "1.2" is not an IP; "a@b" lacks a TLD — untouched
     assert(got(3).getString(0) == "clean text with 1.2 version and a@b only")
   }
+
+  test("capPerStratum keeps at most cap rows per stratum, partition-invariant") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"src${i % 5}")).toDF("doc_id", "source")
+    val capped = Curation.capPerStratum(docs, "source", "doc_id", cap = 7)
+    val bySrc = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.forall(_ == 7L) && bySrc.size == 5)
+    // small strata survive whole
+    val tiny = (0L until 3L).map(i => (i, "only")).toDF("doc_id", "source")
+    assert(Curation.capPerStratum(tiny, "source", "doc_id", 10).count() == 3)
+    // same survivors regardless of partitioning
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.capPerStratum(docs.repartition(11), "source", "doc_id", 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
