@@ -50,6 +50,22 @@ object Dedup {
     keyed.join(keep, Seq("__key", idCol), "left_semi").drop("__key")
   }
 
+  /** Exact dedup in one pass: row_number over (content key, id) keeps the
+    * minimum-id member without the groupBy + semi-join back-join — the
+    * input subtree is evaluated once, which matters when it is an
+    * expensive derived relation (e.g. a profile join). Same result as
+    * [[dropExactDuplicates]]; same single shuffle, but a per-key sort run
+    * instead of a map-side-combined aggregate — prefer the agg+semi-join
+    * form when the input is a cheap scan with high duplication. */
+  def dropExactDuplicatesOnePass(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(normalize(col(textCol)))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Distinct word-unigram shingle set, exploded to (id, gram) rows. */
   def explodedShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),

@@ -156,7 +156,9 @@ object LlmQueries {
       .select(col("doc_id"), col("quality"), col("lang_guess"))
     val gated = docs.join(prof, Seq("doc_id"))
       .filter(col("quality") >= 0.5 && col("lang_guess") =!= "unknown")
-    val deduped = Dedup.dropExactDuplicates(gated)
+    // one-pass dedup: the gated relation embeds the (expensive) profile —
+    // the agg+semi-join form would evaluate it twice
+    val deduped = Dedup.dropExactDuplicatesOnePass(gated)
     Curation.stratifiedSample(deduped, "lang", "doc_id", SampleRates)
       .withColumn("split", Curation.assignSplit(col("doc_id"), SplitWeights))
       .select(col("doc_id"), col("lang"), col("lang_guess"), col("quality"), col("split"))

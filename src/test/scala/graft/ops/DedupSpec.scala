@@ -78,4 +78,15 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("one-pass exact dedup equals the agg+semi-join form") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "other text"),
+      (5L, "HELLO world."), (9L, "other  text")).toDF("doc_id", "text")
+    val a = Dedup.dropExactDuplicates(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Dedup.dropExactDuplicatesOnePass(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a == Set(1L, 3L))
+  }
 }
