@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.count_in_set
 
 /** Text-analysis operators for training-data curation (SURVEY §2.10):
   * token counting, quality scoring, language-ID heuristics, and document
@@ -30,14 +31,16 @@ object TextAnalysis {
 
   def stopwordRatio(text: Column): Column = {
     val words = split(Dedup.normalize(text), " ")
-    size(filter(words, w => w.isInCollection(Stopwords))).cast("double") /
+    count_in_set(words, Stopwords).cast("double") /
       greatest(size(words), lit(1))
   }
 
   /** Mean word length (exact int sums, one division). */
   def avgWordLen(text: Column): Column = {
     val words = split(Dedup.normalize(text), " ")
-    aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+    // Σ length(w) == length of the empty-separator join — a codegen'd
+    // builtin, vs the interpreted aggregate() lambda.
+    length(concat_ws("", words)).cast("double") /
       greatest(size(words), lit(1))
   }
 
@@ -65,7 +68,7 @@ object TextAnalysis {
   def langGuess(text: Column): Column = {
     val words = split(Dedup.normalize(text), " ")
     val hits = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(words, w => w.isInCollection(markers)))
+      lang -> count_in_set(words, markers)
     }
     // argmax with declaration-order tie-break: lang_i wins iff its count is
     // strictly greater than every earlier lang and >= every later one.
@@ -92,7 +95,7 @@ object TextAnalysis {
   /** Argmax over per-language marker hits, given the words array. */
   private def langFromWords(words: Column): Column = {
     val hits = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(words, w => w.isInCollection(markers)))
+      lang -> count_in_set(words, markers)
     }
     hits.zipWithIndex.foldLeft(lit("unknown")) {
       case (acc, ((lang, cnt), i)) =>
@@ -119,11 +122,9 @@ object TextAnalysis {
       .withColumn("n_tokens", tokenCount(text))
       .withColumn("__punct", punctRatio(text))
       .withColumn("__stop",
-        size(filter(col("__words"), w => w.isInCollection(Stopwords))).cast("double") /
-          col("__nw"))
+        count_in_set(col("__words"), Stopwords).cast("double") / col("__nw"))
       .withColumn("__awl",
-        aggregate(col("__words"), lit(0L), (acc, w) => acc + length(w)).cast("double") /
-          col("__nw"))
+        length(concat_ws("", col("__words"))).cast("double") / col("__nw"))
       .select(col(idCol),
         col("n_tokens"),
         subwordTokenCount(text).as("n_subwords"),
