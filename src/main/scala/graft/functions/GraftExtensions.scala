@@ -38,6 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"regex_groups pattern must be a literal, got $other")
       }))
+    e.injectFunction((FunctionIdentifier("count_in_set"),
+      info("count_in_set", "count_in_set(arr, item, ...) - occurrences of array elements among the literal items"),
+      (exprs: Seq[Expression]) => {
+        val items = exprs.tail.map {
+          case Literal(v, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"count_in_set items must be literals, got $other")
+        }
+        CountInSet(exprs.head, items)
+      }))
     e.injectFunction((FunctionIdentifier("min_window_md5"),
       info("min_window_md5", "min_window_md5(str, window) - winnowing fingerprint"),
       (exprs: Seq[Expression]) => exprs(1) match {

@@ -28,4 +28,12 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT regex_groups('x', concat('a', 'b'))").head()
     }
   }
+
+  test("count_in_set counts with multiplicity via SQL") {
+    val r = spark.sql(
+      "SELECT count_in_set(array('the','cat','the','dog'), 'the', 'a', 'an')").head()
+    assert(r.getInt(0) == 2)
+    assert(spark.sql(
+      "SELECT count_in_set(cast(array() AS ARRAY<STRING>), 'x')").head().getInt(0) == 0)
+  }
 }
