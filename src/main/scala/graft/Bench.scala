@@ -49,10 +49,35 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The harness that consumes this output keeps only the last ~2000
+    // characters of stdout; a per-query map over the full registry blows
+    // past that and truncates the JSON mid-line. So: print the full map to
+    // stderr for dev profiling, and keep the stdout JSON line compact — a
+    // representative headline subset, 3-decimal seconds, total over ALL
+    // queries in "value".
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    System.err.println(s"[bench] full per-query seconds: $full")
+    val headlineSet = headline.filter(h => results.exists(_._1 == h))
+    val qs = results.filter(r => headlineSet.contains(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Headline queries for the compact stdout JSON — one or two per operator
+    * family (TPC-H shapes, parity pipeline, range join, as-of,
+    * sessionization, dedup family, ANN, text analysis, curation, skew,
+    * multimodal, windows). */
+  private val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q7_volume_shipping", "q18_large_orders", "takuan_ssh_pipeline",
+    "a1_report_counters", "j2_auto_range_join", "asof_purchase_click",
+    "sessionize_events", "st5_session_window", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_cc_clusters", "dedup_embedding_cosine",
+    "sim_brute_topk", "sim_ivf_topk", "text_profile",
+    "text_robust_fingerprint", "curation_pipeline", "salted_skew_join",
+    "mm_binary_features", "q_window_running", "q_percentile")
 }

@@ -139,7 +139,16 @@ object Components {
     }
     // Contracted below the driver threshold before reaching the fixpoint:
     // finish locally (components are unchanged by contraction rounds).
-    if (!converged) return localFinish(spark, edges)
+    // Only when the edge set actually shrank below the threshold — a loop
+    // that exhausted maxIter with a still-large graph must fail, not
+    // silently collect() an arbitrarily large edge set to the driver.
+    if (!converged) {
+      if (prev._2 <= smallGraphThreshold) return localFinish(spark, edges)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds with " +
+          s"${prev._2} edges remaining (> smallGraphThreshold=" +
+          s"$smallGraphThreshold); raise maxIter")
+    }
     // Fixpoint is a star forest (Kiveris et al. Thm 1): every edge is
     // (member, root), members appear exactly once as src and never as dst,
     // roots only as dst. So components = member rows + one row per root.

@@ -79,8 +79,13 @@ object Sessions {
       var cur = if (state.exists()) Some(state.get()) else None
       sorted.foreach { t =>
         cur match {
+          // min/max merge: a late event from a later batch (above the
+          // watermark, t < s.last) must extend the session, never pull its
+          // tail backwards — otherwise an already-registered timer at
+          // oldLast+gap would close it prematurely with a wrong end.
           case Some(s) if t - s.last <= gapSeconds * 1000 =>
-            cur = Some(s.copy(last = t, n = s.n + 1))
+            cur = Some(SessionState(
+              math.min(s.start, t), math.max(s.last, t), s.n + 1))
           case Some(s) =>
             closed ::= Session(key,
               new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
@@ -154,8 +159,12 @@ object Sessions {
             var cur = state.getOption
             sorted.foreach { t =>
               cur match {
+                // Same min/max merge as SessionProcessor: never move the
+                // tail backwards on an out-of-order (late but above-
+                // watermark) event.
                 case Some(s) if t - s.last <= gapSeconds * 1000 =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
+                  cur = Some(SessionState(
+                    math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed ::= Session(key,
                     new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)

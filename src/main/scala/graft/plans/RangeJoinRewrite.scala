@@ -24,9 +24,28 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * distinct — so every original match survives exactly once, and the
   * original range predicate (kept in the condition) prunes false bucket
   * collisions. Arithmetic shift floors toward -inf, so negative keys
-  * bucket correctly. Rows with NULL or inverted (lo > hi) ranges match
-  * nothing in the original join; `sequence()` yields NULL/empty for them
-  * and the non-outer Generate drops the row — same result.
+  * bucket correctly. Rows with NULL bounds match nothing in the original
+  * join; the guard (or `sequence()` itself) yields NULL for them and the
+  * non-outer Generate drops the row — same result. Rows with inverted
+  * (lo > hi) bounds also match nothing originally; the guard emits an
+  * EMPTY bucket list for them — never Spark's default-step behavior,
+  * where `sequence()` without a step defaults to step -1 and would emit a
+  * (possibly enormous) descending bucket list.
+  *
+  * The rewritten join is wrapped in `Project(join.output)` so the rule is
+  * output-preserving: the generated `__range_bucket` attribute never leaks
+  * to parents (positional parents like Union, or a root-level query, would
+  * otherwise see an extra column).
+  *
+  * Replication guard: a pathologically wide range row (say a catch-all
+  * [0, Long.Max] sentinel) would explode into span >> bits buckets —
+  * `sequence()` hard-fails past its max length, turning a query that
+  * previously completed (slowly, via BNLJ) into a runtime error. The
+  * rewrite therefore caps per-row replication at
+  * spark.graft.rangeJoin.maxBucketsPerRange (default 4096): when both
+  * bounds are foldable the span is checked at plan time (skip the rewrite
+  * if too wide); otherwise a runtime check raises a documented error
+  * naming the conf, instead of an opaque Sequence overflow.
   *
   * Applied only when:
   *  - the join has NO cross-side equality conjunct already (an equi key
@@ -52,8 +71,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def enabled: Boolean =
     conf.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
+  // Clamped to [2, 62]: the runtime span check subtracts shifted bounds as
+  // longs, which cannot overflow once values are shifted by >= 2 bits.
   private def bucketBits: Int =
-    conf.getConfString("spark.graft.rangeJoin.bucketBits", "16").toInt
+    math.min(math.max(
+      conf.getConfString("spark.graft.rangeJoin.bucketBits", "16").toInt, 2), 62)
+  private def maxBucketsPerRange: Long =
+    conf.getConfString("spark.graft.rangeJoin.maxBucketsPerRange", "4096").toLong
 
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType
@@ -98,19 +122,44 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           case Some((point, lo, hi, pointOnLeft))
               if explodableSideAllowed(joinType, pointOnLeft) =>
             val bits = bucketBits
+            val maxB = maxBucketsPerRange
+            val loB = ShiftRight(lo, Literal(bits))
+            val hiB = ShiftRight(hi, Literal(bits))
+            // Bounds always carry references (sideOf rejects reference-free
+            // expressions), so the replication guard is per-row at runtime.
+            // timeZoneId must be set: Sequence is TimeZoneAware and stays
+            // unresolved without it (plan validation rejects the rewrite).
+            val seq = Sequence(loB, hiB, None, Some(conf.sessionLocalTimeZone))
+            val emptyBuckets = Literal.create(Seq.empty[Long], seq.dataType)
+            val span = Add(
+              Subtract(Cast(hiB, LongType), Cast(loB, LongType)),
+              Literal(1L))
+            // NULL span (NULL bound) and inverted ranges (span <= 0)
+            // generate nothing — matching the original join, where such
+            // rows match no point. Only genuinely wide forward ranges
+            // fail, with a conf-named error instead of an opaque
+            // Sequence-length overflow.
+            val guarded: Expression = CaseWhen(Seq(
+              (IsNull(span), Literal.create(null, seq.dataType)),
+              (LessThanOrEqual(span, Literal(0L)), emptyBuckets),
+              (LessThanOrEqual(span, Literal(maxB)), seq)),
+              Cast(new RaiseError(Literal(
+                "graft range-join rewrite: a range row spans more " +
+                  "than spark.graft.rangeJoin.maxBucketsPerRange=" +
+                  s"$maxB buckets at bucketBits=$bits; raise " +
+                  "maxBucketsPerRange or bucketBits, or set " +
+                  "spark.graft.rangeJoin.enabled=false")), seq.dataType))
             val rangeChild = if (pointOnLeft) right else left
             val bucket = AttributeReference("__range_bucket", point.dataType)()
-            val gen = Generate(
-              // timeZoneId must be set: Sequence is TimeZoneAware and stays
-              // unresolved without it (plan validation rejects the rewrite).
-              Explode(Sequence(
-                ShiftRight(lo, Literal(bits)), ShiftRight(hi, Literal(bits)),
-                None, Some(conf.sessionLocalTimeZone))),
+            val gen = Generate(Explode(guarded),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(bucket), child = rangeChild)
             val newCond = And(EqualTo(ShiftRight(point, Literal(bits)), bucket), cond)
-            if (pointOnLeft) Join(left, gen, joinType, Some(newCond), hint)
-            else Join(gen, right, joinType, Some(newCond), hint)
+            val newJoin =
+              if (pointOnLeft) Join(left, gen, joinType, Some(newCond), hint)
+              else Join(gen, right, joinType, Some(newCond), hint)
+            // Output-preserving: never leak __range_bucket to parents.
+            Project(j.output, newJoin)
           case _ => j
         }
     }

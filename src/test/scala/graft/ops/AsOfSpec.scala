@@ -78,4 +78,23 @@ class AsOfSpec extends SparkSpec {
       .collect().map(r => (r.getAs[String]("tag"), Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble))).toMap
     assert(bounded("b") == None) // 12:00 is beyond 11:00 + 30min
   }
+
+  test("ties on (key, ts): deterministic pick, all carried columns from one row") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 10:05:00"))).toDF("id", "k", "ts")
+    val tied = Seq(
+      (10L, ts("2024-01-01 10:00:00"), "a", 1.0),
+      (10L, ts("2024-01-01 10:00:00"), "b", 2.0),
+      (10L, ts("2024-01-01 10:00:00"), "c", 3.0))
+    // same answer regardless of input order / partitioning, and asof_tag +
+    // asof_v always from the same right row (payload travels as one struct)
+    for (rows <- Seq(tied, tied.reverse); parts <- Seq(1, 3)) {
+      val right = rows.toDF("k", "ts", "tag", "v").repartition(parts)
+      val b = AsOf.backward(left, right, "k", "ts", Seq("tag", "v")).head()
+      assert(b.getAs[String]("asof_tag") == "c" && b.getAs[Double]("asof_v") == 3.0)
+      val fLeft = Seq((1L, 10L, ts("2024-01-01 09:00:00"))).toDF("id", "k", "ts")
+      val f = AsOf.forward(fLeft, right, "k", "ts", Seq("tag", "v")).head()
+      assert(f.getAs[String]("asof_tag") == "a" && f.getAs[Double]("asof_v") == 1.0)
+    }
+  }
 }

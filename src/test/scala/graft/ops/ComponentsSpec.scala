@@ -73,6 +73,23 @@ class ComponentsSpec extends SparkSpec {
     assert(ccLocal(1L -> 2L, 2L -> 3L) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("maxIter exhaustion with a still-large graph fails instead of collecting") {
+    import spark.implicits._
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 4L -> 5L).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(pairs, maxIter = 0, smallGraphThreshold = 0)
+    }
+    assert(e.getMessage.contains("smallGraphThreshold"))
+  }
+
+  test("maxIter=0 with a small graph still finishes via the driver union-find") {
+    import spark.implicits._
+    val got = Components.connectedComponents(
+      Seq(1L -> 2L, 2L -> 3L, 4L -> 5L).toDF("src", "dst"), maxIter = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("cluster sizes summarize per component") {
     import spark.implicits._
     val comps = Components.connectedComponents(

@@ -70,6 +70,68 @@ class SessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order late event never moves the session tail backwards (fMGWS)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Sessions.streamingSessions(spark, input.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo_out").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // late but above-watermark (wm = 10:20 - 30min = 9:50): merges into
+      // the open session and must NOT pull its tail back to 10:10
+      input.addData((1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 13:00:00"))) // wm -> 12:30, close it
+      q.processAllAvailable()
+      val s = spark.sql(
+        "SELECT start, end, n_events FROM sess_ooo_out WHERE user_id = 1").collect()
+      assert(s.length == 1)
+      assert(s.head.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+      assert(s.head.getTimestamp(1) == ts("2024-01-01 10:20:00"),
+        "session end must stay at the max event time seen")
+      assert(s.head.getLong(2) == 3)
+    } finally q.stop()
+  }
+
+  test("out-of-order late event never moves the session tail backwards (TWS)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Sessions.streamingSessionsTws(spark, input.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo_tws_out").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:10:00"))) // late, above watermark
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val s = spark.sql(
+        "SELECT start, end, n_events FROM sess_ooo_tws_out WHERE user_id = 1").collect()
+      assert(s.length == 1, s"expected one closed session, got ${s.length}")
+      assert(s.head.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+      assert(s.head.getTimestamp(1) == ts("2024-01-01 10:20:00"),
+        "a stale timer (from before the late event) must not close the " +
+          "session early with a rewound end")
+      assert(s.head.getLong(2) == 3)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState sessionization (Spark 4 arbitrary-state API + RocksDB store)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -77,6 +77,49 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(auto.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet == manual)
   }
 
+  test("rewrite is output-preserving: no __range_bucket leak, Union arity holds") {
+    val j = points.join(ranges, col("p") >= col("lo") && col("p") <= col("hi"))
+    val physOut = j.queryExecution.executedPlan.output.map(_.name)
+    assert(!physOut.contains("__range_bucket"), physOut.mkString(","))
+    assert(physOut.length == j.columns.length)
+    // positional parent over the raw (unprojected) join result
+    assert(j.union(j).collect().length == 6)
+  }
+
+  test("catch-all wide range row fails with the documented guard error") {
+    val wide = Seq((0L, Long.MaxValue, "all")).toDF("lo", "hi", "tag")
+    val j = points.join(wide, col("p") >= col("lo") && col("p") <= col("hi"))
+    assert(!j.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    val e = intercept[Throwable] { j.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("maxBucketsPerRange"))),
+      s"wanted guard error, got: $e")
+  }
+
+  test("inverted wide sentinel row matches nothing instead of exploding") {
+    // pre-guard, sequence() defaulted to step -1 and built a 2^47-element
+    // descending bucket list for this row
+    val inv = Seq((Long.MaxValue, 0L, "inv"), (0L, 65535L, "a"))
+      .toDF("lo", "hi", "tag")
+    val got = points.join(inv, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select(col("id"), col("tag")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a")))
+  }
+
+  test("maxBucketsPerRange conf tightens/loosens the guard") {
+    val wide = Seq((0L, 400000L, "w")).toDF("lo", "hi", "tag") // 7 buckets
+    def run() = points
+      .join(wide, col("p") >= col("lo") && col("p") <= col("hi"))
+      .count()
+    spark.conf.set("spark.graft.rangeJoin.maxBucketsPerRange", "2")
+    try intercept[Throwable] { run() }
+    finally spark.conf.unset("spark.graft.rangeJoin.maxBucketsPerRange")
+    assert(run() == 3L) // default 4096 admits it
+  }
+
   test("randomized equivalence: rewrite on vs off agree on 200 intervals") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
