@@ -106,37 +106,72 @@ object TextAnalysis {
     }
   }
 
+  /** Materialize the normalized word array ONCE behind an
+    * explode(array(...)) Generate fence. Every downstream reference to
+    * `__words` is then a bound attribute: Catalyst's projection collapsing
+    * and filter pushdown substitute ALIASES into every use site (no
+    * cross-reference CSE), so without the fence the normalize+split regex
+    * chain is re-expanded once per reference — ~50 times per row inside
+    * the language-argmax CASE ladder alone. Same trick as
+    * LogParser.tokenize. */
+  private def withWords(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("*"),
+      explode(array(split(Dedup.normalize(col(textCol)), " "))).as("__words"))
+
+  /** Quality formula over a materialized words column (same arithmetic as
+    * [[qualityScore]], which re-derives words from the raw text). */
+  private def qualityFromWords(text: Column, w: Column): Column = {
+    val nw = greatest(size(w), lit(1))
+    val stop = count_in_set(w, Stopwords).cast("double") / nw
+    round(
+      when(tokenCount(text).between(5, 5000), lit(1.0)).otherwise(lit(0.2)) * 0.4 +
+        (lit(1.0) - least(punctRatio(text) * 4, lit(1.0))) * 0.3 +
+        least(stop * 5, lit(1.0)) * 0.3, 6)
+  }
+
+  /** Map-only gating annotation: every input column plus (quality,
+    * lang_guess), computed with the same formulas as [[profile]].
+    *
+    * This replaces the join-docs-back-to-profile(docs) formulation in
+    * gating pipelines — that shape shuffles the whole corpus TWICE on the
+    * id (once per join side) for what is a purely per-row computation; at
+    * scale the exchange dominates. This shape shuffles nothing, and the
+    * [[withWords]] fence keeps the text kernels at one evaluation per row
+    * even under filter pushdown. */
+  def annotateQualityLang(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val w = col("__words")
+    withWords(docs, textCol)
+      .withColumn("quality", qualityFromWords(text, w))
+      .withColumn("lang_guess", langFromWords(w))
+      .drop("__words")
+  }
+
   /** One-pass document profile used by the curation queries.
     *
-    * The normalize/split chain is materialized ONCE into intermediate
-    * columns — the per-feature helpers each re-derive it, which costs ~10
-    * regex_replace+split evaluations per row when composed naively. Values
-    * are identical to the individual helpers (same formulas, same
-    * unrounded intermediates feeding qualityScore). */
+    * The normalize/split chain is materialized ONCE via the [[withWords]]
+    * Generate fence — `withColumn` intermediates are NOT enough: Catalyst
+    * collapses the projections and inlines the alias into every use site
+    * (~50 re-evaluations per row inside the language argmax). Values are
+    * identical to the individual helpers (same formulas, same unrounded
+    * intermediates feeding qualityScore). */
   def profile(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val text = col(textCol)
-    docs
-      .withColumn("__words", split(Dedup.normalize(text), " "))
-      .withColumn("__nw", greatest(size(col("__words")), lit(1)))
-      .withColumn("n_tokens", tokenCount(text))
-      .withColumn("__punct", punctRatio(text))
-      .withColumn("__stop",
-        count_in_set(col("__words"), Stopwords).cast("double") / col("__nw"))
-      .withColumn("__awl",
-        length(concat_ws("", col("__words"))).cast("double") / col("__nw"))
+    val w = col("__words")
+    val nw = greatest(size(w), lit(1))
+    val punct = punctRatio(text)
+    val stop = count_in_set(w, Stopwords).cast("double") / nw
+    withWords(docs, textCol)
       .select(col(idCol),
-        col("n_tokens"),
+        tokenCount(text).as("n_tokens"),
         subwordTokenCount(text).as("n_subwords"),
         length(text).as("n_chars_actual"),
-        round(col("__punct"), 6).as("punct_ratio"),
-        round(col("__stop"), 6).as("stopword_ratio"),
-        round(col("__awl"), 6).as("avg_word_len"),
-        round(
-          when(col("n_tokens").between(5, 5000), lit(1.0)).otherwise(lit(0.2)) * 0.4 +
-            (lit(1.0) - least(col("__punct") * 4, lit(1.0))) * 0.3 +
-            least(col("__stop") * 5, lit(1.0)) * 0.3, 6).as("quality"),
-        langFromWords(col("__words")).as("lang_guess"),
+        round(punct, 6).as("punct_ratio"),
+        round(stop, 6).as("stopword_ratio"),
+        round(length(concat_ws("", w)).cast("double") / nw, 6).as("avg_word_len"),
+        qualityFromWords(text, w).as("quality"),
+        langFromWords(w).as("lang_guess"),
         md5(Dedup.normalize(text)).as("fingerprint"))
   }
 }

@@ -152,9 +152,10 @@ object LlmQueries {
     * pipeline is oracle-checked as one query. */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = T.t(spark, dir, "documents")
-    val prof = TextAnalysis.profile(T.par(spark, docs))
-      .select(col("doc_id"), col("quality"), col("lang_guess"))
-    val gated = docs.join(prof, Seq("doc_id"))
+    // map-only gate: annotate appends quality/lang_guess in place (values
+    // identical to profile's) — the join-back-to-profile formulation would
+    // shuffle the corpus twice on doc_id for a per-row computation
+    val gated = TextAnalysis.annotateQualityLang(T.par(spark, docs))
       .filter(col("quality") >= 0.5 && col("lang_guess") =!= "unknown")
     // one-pass dedup: the gated relation embeds the (expensive) profile —
     // the agg+semi-join form would evaluate it twice
