@@ -16,6 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Relational2.queries ++
       graft.queries.ParityQueries.queries ++
       graft.queries.LlmQueries.queries
 
@@ -23,6 +24,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
+      graft.queries.Relational2.oracle ++
       graft.queries.ParityQueries.oracle ++
       graft.queries.LlmQueries.oracle
 }

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.T
+
+/** Second wave of relational coverage: the remaining TPC-H query shapes
+  * expressible over the available tables (no partsupp / comment / shipmode
+  * columns exist, so predicates substitute equivalent columns while keeping
+  * each query's PLAN shape — the point of the exercise), plus advanced
+  * window framing (ntile/percent_rank/cume_dist, RANGE frames,
+  * first/last_value).
+  *
+  * Determinism recipe as everywhere: exact integer-cents money, NULL-free
+  * unique ORDER BY keys, aliases matched to the oracle SQL.
+  *
+  * Scale notes:
+  *  - dimension joins (part/supplier/nation/customer) broadcast;
+  *  - Q17/Q2 self-join aggregates shuffle the (pre-filtered) fact once on
+  *    the part key and reuse that partitioning for the rejoin;
+  *  - Q13 is the one shape that must shuffle the full customer x orders
+  *    outer join — its group key (c_custkey) is the join key, so the
+  *    aggregation is exchange-free after the join.
+  */
+object Relational2 {
+  import T.{t, cents, moneySum}
+
+  /** TPC-H Q4 shape: EXISTS -> left-semi join against the fact, then a
+    * small hash aggregate on the priority. (No commit/receipt dates in
+    * this schema; the returned-flag lines stand in as the EXISTS payload.) */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .join(t(spark, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q9 shape: fact x 4 broadcast dims, group by (nation, year).
+    * Profit has no supplycost term here (no partsupp table). */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").filter(col("p_name").contains("widget"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("profit"))
+      .orderBy(col("nation"), col("o_year"))
+
+  /** TPC-H Q12 shape: fact-fact join + conditional counts per class
+    * (l_linestatus stands in for the missing l_shipmode). */
+  def q12ShipPriority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** TPC-H Q13 shape: customer x orders LEFT OUTER with an ON-clause
+    * filter, per-customer count, then the distribution of counts. The
+    * first aggregate groups on the join key, so it is exchange-free after
+    * the join; the second is a tiny re-aggregation. */
+  def q13CustDistribution(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q16 shape: distinct-supplier count per part attribute triple,
+    * excluding a NOT IN supplier set (negative balance stands in for the
+    * complaints predicate). countDistinct expands to a two-phase
+    * aggregate; the anti join against the tiny exclusion set broadcasts. */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").filter(col("p_size").isin(1, 5, 9, 13))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  /** TPC-H Q17 shape: correlated per-part average quantity, decorrelated
+    * to an aggregate + rejoin on the part key. The below-half-average
+    * predicate is exact integer arithmetic (qty * 2 * cnt < sum), never a
+    * float average. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val bparts = broadcast(
+      t(spark, dir, "part").filter(col("p_brand") === "Brand#3").select(col("p_partkey")))
+    val li3 = t(spark, dir, "lineitem")
+      .join(bparts, col("l_partkey") === col("p_partkey"))
+    val stats = li3.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    li3.join(stats, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast("long") * col("cnt") * 2 < col("sum_qty"))
+      .agg(moneySum(col("l_extendedprice")).as("small_qty_rev"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22 shape: global scalar aggregate (positive-balance average)
+    * broadcast against every customer, anti join to "no finished orders"
+    * (every customer has SOME order in this synthetic data — the status
+    * filter keeps the anti join non-trivial at every scale factor), group
+    * by segment (stands in for the phone-prefix country code). */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val posAvg = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(cents(col("c_acctbal"))) / count(lit(1))).as("avg_cents"))
+    cust.crossJoin(broadcast(posAvg))
+      .filter(cents(col("c_acctbal")) > col("avg_cents"))
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q2 core shape: per-part minimum offer, rejoined to recover the
+    * offering supplier (min suppkey breaks price ties deterministically),
+    * then broadcast dims for names. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val minPrice = li.groupBy(col("l_partkey").as("pk"))
+      .agg(min(cents(col("l_extendedprice"))).as("min_price_cents"))
+    val best = li
+      .join(minPrice, col("l_partkey") === col("pk") &&
+        cents(col("l_extendedprice")) === col("min_price_cents"))
+      .groupBy(col("l_partkey"), col("min_price_cents"))
+      .agg(min(col("l_suppkey")).as("best_suppkey"))
+    best
+      .join(broadcast(t(spark, dir, "part").filter(col("p_type") === "LARGE")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("best_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"),
+        (col("min_price_cents") / 100.0).as("min_price"),
+        col("best_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Ranking-function sweep over one window: ntile, percent_rank,
+    * cume_dist, dense_rank — all on a NULL-free unique ordering. The
+    * float-returning ranks are ratios of small exact integers, identical
+    * across engines; rounded anyway for belt-and-braces. */
+  def qNtileRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(cents(col("c_acctbal")), col("c_custkey"))
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("tile"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        dense_rank().over(w).as("drank"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window frames: a RANGE frame over a numeric ordering (orders within
+    * $1000 below the current price — peers included by VALUE, so ties are
+    * deterministic by construction) plus ROWS-framed first/last_value over
+    * the full partition. */
+  def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(cents(col("o_totalprice")))
+      .rangeBetween(-100000, 0)
+    val fullPart = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sum(cents(col("o_totalprice"))).over(byPrice) / 100.0).as("near_total"),
+        first(col("o_orderkey")).over(fullPart).as("first_ok"),
+        last(col("o_orderkey")).over(fullPart).as("last_ok"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q12_ship_priority" -> (q12ShipPriority _),
+    "q13_cust_distribution" -> (q13CustDistribution _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q_ntile_ranks" -> (qNtileRanks _),
+    "q_range_frame" -> (qRangeFrame _),
+  )
+
+  import T.sql.{cents => c, moneySum => ms}
+
+  val oracle: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  ${ms("l_extendedprice * (1 - l_discount)")} AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year""".stripMargin,
+    "q12_ship_priority" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+        |    AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer
+        |      LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderpriority <> '5-LOW') o
+        |        ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_size IN (1, 5, 9, 13)
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      s"""SELECT ${ms("l_extendedprice")} AS small_qty_rev, count(*) AS n_lines
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+         |JOIN (SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         |        count(*) AS cnt
+         |      FROM lineitem JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+         |      GROUP BY 1) s
+         |  ON l_partkey = pk
+         |WHERE CAST(l_quantity AS BIGINT) * cnt * 2 < sum_qty""".stripMargin,
+    "q22_idle_customers" ->
+      s"""SELECT c_mktsegment, count(*) AS numcust, ${ms("c_acctbal")} AS totacctbal
+         |FROM customer
+         |WHERE ${c("c_acctbal")} > (SELECT CAST(sum(${c("c_acctbal")}) AS BIGINT) * 1.0
+         |                             / count(*)
+         |                           FROM customer WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+    "q2_min_cost_supplier" ->
+      s"""SELECT p_partkey, p_brand, (min_price_cents / 100.0) AS min_price,
+         |  best_suppkey, s_name, n_name
+         |FROM (SELECT l_partkey, min_price_cents, min(l_suppkey) AS best_suppkey
+         |      FROM lineitem
+         |      JOIN (SELECT l_partkey AS pk, min(${c("l_extendedprice")}) AS min_price_cents
+         |            FROM lineitem GROUP BY 1) m
+         |        ON l_partkey = pk AND ${c("l_extendedprice")} = min_price_cents
+         |      GROUP BY 1, 2) b
+         |JOIN part ON p_partkey = l_partkey AND p_type = 'LARGE'
+         |JOIN supplier ON s_suppkey = best_suppkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |ORDER BY p_partkey""".stripMargin,
+    "q_ntile_ranks" ->
+      s"""SELECT c_custkey, c_mktsegment,
+         |  ntile(4) OVER w AS tile,
+         |  round(percent_rank() OVER w, 6) AS prank,
+         |  round(cume_dist() OVER w, 6) AS cdist,
+         |  dense_rank() OVER w AS drank
+         |FROM customer
+         |WHERE c_custkey <= 300
+         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY ${c("c_acctbal")}, c_custkey)
+         |ORDER BY c_custkey""".stripMargin,
+    "q_range_frame" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  (CAST(sum(${c("o_totalprice")}) OVER (PARTITION BY o_custkey
+         |     ORDER BY ${c("o_totalprice")}
+         |     RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0)
+         |    AS near_total,
+         |  first_value(o_orderkey) OVER w2 AS first_ok,
+         |  last_value(o_orderkey) OVER w2 AS last_ok
+         |FROM orders
+         |WHERE o_custkey <= 100
+         |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+  )
+}
