@@ -212,4 +212,21 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Streaming exact dedup: drop re-arrivals of the same content key while
+    * it is inside the watermark window. State is bounded — the key expires
+    * once the watermark passes its event time (unbounded-state streaming
+    * dedup dies at corpus scale; the watermark bound is what makes this a
+    * production shape). The key is the md5 content hash, so replays and
+    * byte-identical re-crawls are dropped, not just identical rows.
+    *
+    * Input must carry an event-time column; output is the deduplicated
+    * stream with the content key attached. */
+  def streamingDropDuplicates(docs: DataFrame, tsCol: String,
+      watermark: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_key", md5(normalize(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_key")
 }

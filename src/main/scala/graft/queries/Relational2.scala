@@ -195,7 +195,41 @@ object Relational2 {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Datetime function sweep (F6/F7 family beyond the parity queries):
+    * truncation, field extraction, month-end, day arithmetic, date
+    * difference — all with explicit INTEGER casts where the engines'
+    * default widths differ. */
+  def qDatetimeFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_add(col("o_orderdate"), 30).as("plus30"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_epoch"))
+      .orderBy(col("o_orderkey"))
+
+  /** Array/higher-order function sweep over the documents table: split,
+    * distinct, sort, slice, join, contains, transform+max. */
+  def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    t(spark, dir, "documents")
+      .filter(col("doc_id") <= 200)
+      .select(col("doc_id"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct"),
+        array_join(slice(array_sort(words), 1, 3), ",").as("first3"),
+        array_contains(words, "the").as("has_the"),
+        array_max(transform(words, w => length(w))).as("longest"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_datetime_funcs" -> (qDatetimeFuncs _),
+    "q_array_funcs" -> (qArrayFuncs _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q12_ship_priority" -> (q12ShipPriority _),
@@ -211,6 +245,32 @@ object Relational2 {
   import T.sql.{cents => c, moneySum => ms}
 
   val oracle: Map[String, String] = Map(
+    "q_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+        |    AS days_since_epoch
+        |FROM orders
+        |WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_words,
+        |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INTEGER)
+        |    AS n_distinct,
+        |  array_to_string(list_sort(string_split_regex(trim(text), '\s+'))[1:3], ',')
+        |    AS first3,
+        |  list_contains(string_split_regex(trim(text), '\s+'), 'the') AS has_the,
+        |  CAST(list_max(list_transform(string_split_regex(trim(text), '\s+'),
+        |    w -> length(w))) AS INTEGER) AS longest
+        |FROM documents
+        |WHERE doc_id <= 200
+        |ORDER BY doc_id""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

@@ -89,4 +89,39 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(a == b && a == Set(1L, 3L))
   }
+
+  test("streaming dedup drops re-arrivals within the watermark, readmits after") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = Dedup.streamingDropDuplicates(
+      input.toDS().toDF("doc_id", "text", "ts"), "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out").start()
+    try {
+      // batch 1: two byte-different spellings of the same content + one unique
+      input.addData(
+        (1L, "Hello, World!", ts("2024-01-01 10:00:00")),
+        (2L, "hello   world", ts("2024-01-01 10:01:00")),
+        (3L, "something else", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      // batch 2: replay inside the watermark window -> dropped
+      input.addData((4L, "HELLO WORLD", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // batch 3: same content, late enough to advance the watermark, but the
+      // key's state (first-seen + 10min) is still live when this batch runs
+      input.addData((5L, "hello world", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // batch 4: state expired (watermark moved past 10:00 + 10min) -> readmit
+      input.addData((6L, "hello world", ts("2024-01-01 11:05:00")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM sdedup_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(got.intersect(Set(1L, 2L)).size == 1, s"one of the batch-1 dups survives: $got")
+      assert(got.contains(3L) && got.contains(6L), s"unique + readmitted: $got")
+      assert(!got.contains(4L) && !got.contains(5L), s"in-window replays dropped: $got")
+    } finally q.stop()
+  }
 }
