@@ -195,6 +195,24 @@ object Relational2 {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** TPC-H Q11 shape: per-group value filtered against a GLOBAL aggregate
+    * (HAVING against a scalar subquery) — parts worth more than 1.5x the
+    * average part (a fixed share-of-total threshold returns nothing once
+    * the part count scales up; the average is scale-invariant). The
+    * comparison is exact integer arithmetic: value * 2 * n > 3 * total.
+    * The global aggregate is a one-row broadcast over the per-part
+    * aggregate, not a second shuffle of the fact. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = t(spark, dir, "lineitem").groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+    val total = perPart.agg(sum(col("value_cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_cents") * 2 * col("n_parts") > col("total_cents") * 3)
+      .select(col("l_partkey"), (col("value_cents") / 100.0).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
   /** Datetime function sweep (F6/F7 family beyond the parity queries):
     * truncation, field extraction, month-end, day arithmetic, date
     * difference — all with explicit INTEGER casts where the engines'
@@ -228,6 +246,7 @@ object Relational2 {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_important_parts" -> (q11ImportantParts _),
     "q_datetime_funcs" -> (qDatetimeFuncs _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q4_order_priority" -> (q4OrderPriority _),
@@ -245,6 +264,15 @@ object Relational2 {
   import T.sql.{cents => c, moneySum => ms}
 
   val oracle: Map[String, String] = Map(
+    "q11_important_parts" ->
+      s"""WITH v AS (SELECT l_partkey, CAST(sum(${c("l_extendedprice")}) AS BIGINT)
+         |             AS value_cents
+         |           FROM lineitem GROUP BY l_partkey)
+         |SELECT l_partkey, (value_cents / 100.0) AS value
+         |FROM v
+         |WHERE value_cents * 2 * (SELECT count(*) FROM v) >
+         |      (SELECT sum(value_cents) FROM v) * 3
+         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q_datetime_funcs" ->
       """SELECT o_orderkey,
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,

@@ -99,4 +99,22 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("__salt"), s"salt must be a join key:\n$plan")
   }
+
+  test("hive-partitioned scans prune partitions (PartitionFilters, not data filters)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    (1L to 100L).map(i => (i, s"s${i % 4}", i % 10))
+      .toDF("id", "sensor", "bucket")
+      .write.partitionBy("sensor").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("sensor") === "s1" && col("id") > 50)
+    val scan = q.queryExecution.executedPlan.toString
+    // the sensor predicate must land in PartitionFilters (directory pruning
+    // at 100 TB means never listing, let alone reading, the other sensors),
+    // while the id predicate is pushed to the parquet reader
+    assert(scan.contains("PartitionFilters: [isnotnull(sensor"),
+      s"expected partition pruning on sensor:\n$scan")
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,50)]"),
+      s"expected id pushdown:\n$scan")
+    assert(q.count() == 12) // ids ≡ 1 (mod 4) in (50, 100]
+  }
 }
