@@ -20,8 +20,9 @@ import graft.functions.GraftFunctions.ip_to_num
 object GeoIp {
 
   /** Expected geo schema: start_ip_num, end_ip_num, country_code,
-    * country_name (FIXTURES.md B.4 — the mmdb content flattened to ranges;
-    * converting the binary mmdb itself is an offline one-time step). */
+    * country_name (FIXTURES.md B.4 — the mmdb content flattened to
+    * ranges). [[Mmdb.fromMmdb]] reads the binary `.mmdb` directly into the
+    * same schema; this CSV form covers pre-flattened exports. */
   def fromCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true")
       .schema("start_ip_num LONG, end_ip_num LONG, country_code STRING, country_name STRING")

@@ -79,6 +79,43 @@ class AsOfSpec extends SparkSpec {
     assert(bounded("b") == None) // 12:00 is beyond 11:00 + 30min
   }
 
+  test("randomized: matches the quadratic as-of definition (with ties)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def t(h: Int) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
+    // coarse time grid + few keys -> plenty of exact (key, ts) ties
+    val leftRows = (1 to 120).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, t(rnd.nextInt(50))))
+    val rightRows = (1 to 150).map(_ =>
+      ((rnd.nextInt(5) + 1).toLong, t(rnd.nextInt(50)),
+        s"t${rnd.nextInt(9)}", rnd.nextInt(100).toDouble))
+    val l = leftRows.toDF("id", "k", "ts")
+    val r = rightRows.toDF("k", "ts", "tag", "v")
+
+    val gotB = AsOf.backward(l, r, "k", "ts", Seq("tag", "v"))
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.getAs[String]("asof_tag")), Option(x.getAs[Any]("asof_v")))).toMap
+    val gotF = AsOf.forward(l, r, "k", "ts", Seq("tag", "v"))
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.getAs[String]("asof_tag")), Option(x.getAs[Any]("asof_v")))).toMap
+
+    leftRows.foreach { case (id, k, ts) =>
+      // backward: max by (ts, payload struct); forward: min by same
+      val befores = rightRows.filter(rr => rr._1 == k && !rr._2.after(ts))
+      val afters = rightRows.filter(rr => rr._1 == k && !rr._2.before(ts))
+      val expB = if (befores.isEmpty) (None, None) else {
+        val m = befores.maxBy(rr => (rr._2.getTime, rr._3, rr._4))
+        (Some(m._3), Some(m._4))
+      }
+      val expF = if (afters.isEmpty) (None, None) else {
+        val m = afters.minBy(rr => (rr._2.getTime, rr._3, rr._4))
+        (Some(m._3), Some(m._4))
+      }
+      assert(gotB(id) == expB, s"backward mismatch for left id=$id k=$k ts=$ts")
+      assert(gotF(id) == expF, s"forward mismatch for left id=$id k=$k ts=$ts")
+    }
+  }
+
   test("ties on (key, ts): deterministic pick, all carried columns from one row") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2024-01-01 10:05:00"))).toDF("id", "k", "ts")
