@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * Image decode/resize is REAL — [[decodeImage]] / [[extractImageFeatures]]
   * / [[resizeImages]] use the JDK's built-in javax.imageio codecs
-  * (PNG/JPEG/GIF/BMP) and are tested against generated PNGs. Audio/video
-  * codecs are STUBBED ([[decodeStub]] — no ffmpeg-class libraries in this
-  * environment): a deterministic fake behind the same partition-wise batch
-  * contract, so swapping in a real codec changes one function. The binary
-  * schema, `mapPartitions` batch shape, partition sizing, and metadata
-  * contract are the production plumbing either way.
+  * (PNG/JPEG/GIF/BMP), tested against generated PNGs. Audio decode is REAL
+  * too — [[decodeAudio]] / [[extractAudioFeatures]] use the JDK's
+  * javax.sound.sampled codecs (WAV/AIFF/AU PCM), tested against generated
+  * WAVs. Video remains STUBBED ([[decodeStub]] — no ffmpeg-class libraries
+  * in this environment): a deterministic fake behind the same
+  * partition-wise batch contract, so swapping in a real codec changes one
+  * function. The binary schema, `mapPartitions` batch shape, partition
+  * sizing, and metadata contract are the production plumbing either way.
   *
   * Scale notes: media rows are large, so the pipeline keeps them in
   * `binary` columns (never strings), processes partition-wise with
@@ -159,6 +161,86 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "media", "mime")
+  }
+
+  /** Audio features from a real decode. */
+  case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      rms: Double)
+
+  /** REAL audio decode via the JDK's built-in javax.sound.sampled codecs
+    * (WAV/AIFF/AU PCM ship with every JVM — no external libraries).
+    * Returns (format, raw PCM bytes), or None for undecodable input. */
+  def decodeAudio(bytes: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val pcm = ais.readAllBytes()
+      ais.close()
+      Some((fmt, pcm))
+    } catch { case _: Exception => None }
+
+  /** Deterministic 16-bit mono PCM WAV from a seed — the test/query signal
+    * generator (sample i = ((seed*31 + i*7) mod 65536) - 32768), encoded
+    * through the JDK's own WAV writer. */
+  def synthWav(seed: Long, nFrames: Int, sampleRate: Float = 8000f): Array[Byte] = {
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = (((seed * 31 + i.toLong * 7) % 65536L) - 32768L).toInt
+      data(2 * i) = (v & 0xff).toByte // WAV PCM is little-endian
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Partition-wise REAL audio feature extraction: decode, frame count,
+    * duration, RMS amplitude (exact integer sum of squares, one final
+    * sqrt). Supports 16-bit (either endianness) and 8-bit PCM; undecodable
+    * rows yield sample_rate=-1 — the same quarantine contract as images:
+    * one corrupt file must never kill a 100 TB stage. */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("mime")).as[MediaItem]
+      .mapPartitions { items =>
+        items.map { it =>
+          decodeAudio(Option(it.media).getOrElse(Array.emptyByteArray)) match {
+            case Some((fmt, pcm)) if fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8 =>
+              val bytesPerSample = fmt.getSampleSizeInBits / 8
+              val channels = fmt.getChannels
+              val frameSize = bytesPerSample * channels
+              val nFrames = pcm.length / frameSize
+              val nSamples = nFrames.toLong * channels
+              var sumSq = 0L
+              var i = 0
+              while (i + bytesPerSample <= pcm.length) {
+                val v =
+                  if (bytesPerSample == 1) (pcm(i) & 0xff) - 128
+                  else if (fmt.isBigEndian) (pcm(i) << 8) | (pcm(i + 1) & 0xff)
+                  else (pcm(i + 1) << 8) | (pcm(i) & 0xff)
+                sumSq += v.toLong * v
+                i += bytesPerSample
+              }
+              val rate = fmt.getSampleRate.toInt
+              AudioFeatures(it.doc_id, rate, channels, nFrames.toLong,
+                nFrames.toLong * 1000L / rate,
+                math.sqrt(sumSq.toDouble / math.max(nSamples, 1L)))
+            case _ => AudioFeatures(it.doc_id, -1, 0, 0L, 0L, 0.0)
+          }
+        }
+      }
   }
 
   /** Frame sampling: keep every `stride`-th byte as a "frame" payload —

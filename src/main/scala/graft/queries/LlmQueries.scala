@@ -97,6 +97,24 @@ object LlmQueries {
         Multimodal.attachBinary(T.t(spark, dir, "documents").filter(col("doc_id") < 50)))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** REAL audio path, oracle-checked: a deterministic PCM signal per doc is
+    * encoded through the JDK's WAV writer, decoded back through
+    * javax.sound.sampled, and reduced to features the oracle can recompute
+    * from the signal formula (exact integer sum of squares, one final
+    * sqrt). */
+  def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = T.t(spark, dir, "documents")
+      .filter(col("doc_id") <= 300).select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions(_.map(id =>
+      (id, Multimodal.synthWav(id, (100 + id % 50).toInt), "audio/wav")))
+      .toDF("doc_id", "media", "mime")
+    Multimodal.extractAudioFeatures(spark, media).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("duration_ms"), round(col("rms"), 6).as("rms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Transitive near-dup clustering: embedding-cosine pairs → connected
     * components (large-star/small-star), so chains a~b~c collapse into one
     * cluster keyed by the minimum member id. */
@@ -243,6 +261,7 @@ object LlmQueries {
     "text_robust_fingerprint" -> (textRobustFingerprint _),
     "mm_binary_features" -> (mmBinaryFeatures _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_audio_features" -> (mmAudioFeatures _),
   )
 
   private val dotSql =
@@ -578,5 +597,20 @@ object LlmQueries {
         |FROM documents CROSS JOIN range(0, 100000, 16) r
         |WHERE doc_id < 50 AND r.range < length(text)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // The WAV round-trip is opaque to SQL, but the decoded features are
+    // fully determined by the synth formula: n = 100 + doc_id % 50 frames
+    // of sample_i = ((doc_id*31 + i*7) % 65536) - 32768 at 8 kHz mono.
+    "mm_audio_features" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+        |  CAST((100 + doc_id % 50) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  round(sqrt(list_sum(list_transform(range(100 + doc_id % 50),
+        |      i -> pow(((doc_id * 31 + i * 7) % 65536) - 32768, 2)))
+        |    / (100 + doc_id % 50)), 6) AS rms
+        |FROM documents
+        |WHERE doc_id <= 300
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -89,4 +89,37 @@ class MultimodalSpec extends SparkSpec {
     val r2 = Multimodal.decodeImage(out(2L)).get
     assert(r2.getWidth == 10 && r2.getHeight == 10)
   }
+
+  test("real WAV decode: features match the synthesized signal") {
+    import spark.implicits._
+    val media = Seq(7L, 13L).toDS().mapPartitions(_.map(id =>
+      (id, Multimodal.synthWav(id, 120, 8000f), "audio/wav")))
+      .toDF("doc_id", "media", "mime")
+    val got = Multimodal.extractAudioFeatures(spark, media)
+      .collect().map(f => f.doc_id -> f).toMap
+    got.foreach { case (id, f) =>
+      assert(f.sample_rate == 8000 && f.channels == 1 && f.n_frames == 120)
+      assert(f.duration_ms == 15) // 120 frames / 8 kHz
+      // exact RMS from the generator formula
+      val sumSq = (0 until 120).map { i =>
+        val v = ((id * 31 + i.toLong * 7) % 65536L) - 32768L
+        v * v
+      }.sum
+      assert(math.abs(f.rms - math.sqrt(sumSq.toDouble / 120)) < 1e-9,
+        s"rms mismatch for $id")
+    }
+  }
+
+  test("corrupt audio bytes quarantine instead of failing the task") {
+    import spark.implicits._
+    val wav = Multimodal.synthWav(1L, 50)
+    val media = Seq(
+      (1L, wav, "audio/wav"),
+      (2L, "not a wav file at all".getBytes, "audio/wav"),
+      (3L, wav.take(10), "audio/wav")) // truncated header
+      .toDF("doc_id", "media", "mime")
+    val got = Multimodal.extractAudioFeatures(spark, media)
+      .collect().map(f => f.doc_id -> f.sample_rate).toMap
+    assert(got(1L) == 8000 && got(2L) == -1 && got(3L) == -1)
+  }
 }
