@@ -110,6 +110,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real animated-GIF decode: one row per frame with real pixel stats") {
+    import spark.implicits._
+    def gray(level: Int, w: Int, h: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(level, level, level))
+      g.fillRect(0, 0, w, h); g.dispose()
+      img
+    }
+    val gif = Multimodal.encodeGif(Seq(gray(0, 8, 6), gray(128, 8, 6), gray(255, 8, 6)))
+    val media = Seq((1L, gif, "image/gif"), (2L, "junk".getBytes, "image/gif"))
+      .toDF("doc_id", "media", "mime")
+    val got = Multimodal.extractGifFrames(spark, media).collect()
+      .sortBy(f => (f.doc_id, f.frame_idx))
+    assert(got.length == 3, "3 frames from doc 1, zero from corrupt doc 2")
+    assert(got.forall(f => f.doc_id == 1L && f.width == 8 && f.height == 6))
+    // GIF palettes quantize, but black < mid-gray < white must survive
+    assert(got(0).mean_luma < 1.0)
+    assert(got(1).mean_luma > got(0).mean_luma && got(2).mean_luma > got(1).mean_luma)
+    assert(got(2).mean_luma > 250.0)
+  }
+
   test("corrupt audio bytes quarantine instead of failing the task") {
     import spark.implicits._
     val wav = Multimodal.synthWav(1L, 50)

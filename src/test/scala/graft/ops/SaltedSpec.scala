@@ -40,4 +40,38 @@ class SaltedSpec extends SparkSpec {
     assert(salted == plain)
     assert(!Salted.saltedJoin(big, dim, Seq("k"), col("v"), 8).columns.contains("__salt"))
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the automatic path)") {
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force sort-merge
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one pathologically hot key vs a long tail
+      val big = (1L to 60000L)
+        .map(i => (if (i <= 50000) "hot" else s"k${i % 97}", i, "x" * 32))
+        .toDF("k", "v", "pad")
+      val dim = (Seq("hot") ++ (0 until 97).map(i => s"k$i")).map((_, 1))
+        .toDF("k", "d")
+      val j = big.join(dim, Seq("k"))
+      // collect() drives THIS Dataset's QueryExecution (count() would build
+      // a different one and prune the padding below the skew threshold);
+      // the adaptive plan is final only after execution
+      assert(j.collect().length == 60000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE to mark the hot partition skewed:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
