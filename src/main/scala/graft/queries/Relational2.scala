@@ -245,7 +245,37 @@ object Relational2 {
       .orderBy(col("doc_id"))
   }
 
+  /** Multiset set-ops: INTERSECT ALL / EXCEPT ALL (bag semantics — distinct
+    * physical operators from the DISTINCT variants already covered by
+    * q_setops). Duplicate rows are the point, so the order key is not
+    * unique; identical rows sort stably regardless. */
+  def qSetopsAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val b = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      .unionAll(a.exceptAll(b).withColumn("op", lit("except_all")))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  /** String function sweep 2: edit distance, character translation,
+    * padding, reversal, field splitting, substring search. */
+  def qStringFuncs2(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_partkey") <= 300)
+      .select(col("p_partkey"),
+        levenshtein(col("p_name"), lit("red widget")).as("lev"),
+        translate(col("p_name"), "aeiou", "12345").as("xlat"),
+        lpad(col("p_brand"), 10, "*").as("padded"),
+        reverse(col("p_name")).as("rev"),
+        substring_index(col("p_name"), " ", 1).as("first_word"),
+        instr(col("p_name"), "e").cast("int").as("e_pos"))
+      .orderBy(col("p_partkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_setops_all" -> (qSetopsAll _),
+    "q_string_funcs2" -> (qStringFuncs2 _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q_datetime_funcs" -> (qDatetimeFuncs _),
     "q_array_funcs" -> (qArrayFuncs _),
@@ -264,6 +294,28 @@ object Relational2 {
   import T.sql.{cents => c, moneySum => ms}
 
   val oracle: Map[String, String] = Map(
+    "q_setops_all" ->
+      """SELECT o_custkey, 'intersect_all' AS op FROM
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |   INTERSECT ALL
+        |   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT o_custkey, 'except_all' AS op FROM
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |   EXCEPT ALL
+        |   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY op, o_custkey""".stripMargin,
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, 'red widget') AS INTEGER) AS lev,
+        |  translate(p_name, 'aeiou', '12345') AS xlat,
+        |  lpad(p_brand, 10, '*') AS padded,
+        |  reverse(p_name) AS rev,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  CAST(strpos(p_name, 'e') AS INTEGER) AS e_pos
+        |FROM part
+        |WHERE p_partkey <= 300
+        |ORDER BY p_partkey""".stripMargin,
     "q11_important_parts" ->
       s"""WITH v AS (SELECT l_partkey, CAST(sum(${c("l_extendedprice")}) AS BIGINT)
          |             AS value_cents

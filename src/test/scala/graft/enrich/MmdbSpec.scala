@@ -39,7 +39,7 @@ object MmdbTestWriter {
     Array((((1 << 5) | ((target >> 8) & 0x7)).toByte), (target & 0xFF).toByte)
   }
 
-  private def metaBytes(nodeCount: Int, ipVersion: Int): Array[Byte] = {
+  private def metaBytes(nodeCount: Int, ipVersion: Int, recordSize: Int): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream()
     def str(s: String): Unit = {
       val b = s.getBytes("UTF-8"); buf.write((2 << 5) | b.length); buf.write(b)
@@ -63,7 +63,7 @@ object MmdbTestWriter {
     str("ip_version"); uint(5, ipVersion)
     str("languages"); buf.write(1); buf.write(11 - 7); str("en") // array, 1 elem
     str("node_count"); uint(6, nodeCount)
-    str("record_size"); uint(5, 24)
+    str("record_size"); uint(5, recordSize)
     buf.toByteArray
   }
 
@@ -71,7 +71,8 @@ object MmdbTestWriter {
     * entries. `viaPointer` country codes get their tree record routed
     * through a data-section pointer (exercises pointer decoding). */
   def build(entries: Seq[(Long, Int, String)], countries: Seq[(String, String)],
-      ipVersion: Int = 4, viaPointer: Set[String] = Set.empty): Array[Byte] = {
+      ipVersion: Int = 4, viaPointer: Set[String] = Set.empty,
+      recordSize: Int = 24): Array[Byte] = {
     val root = new Node
     entries.foreach { case (base, plen, code) =>
       var n = root
@@ -132,8 +133,21 @@ object MmdbTestWriter {
     val used = scala.collection.mutable.Set.empty[String]
     val tree = new java.io.ByteArrayOutputStream()
     nodes.foreach { n =>
-      Seq(recordValue(n.left, used), recordValue(n.right, used)).foreach { v =>
-        tree.write((v >> 16) & 0xFF); tree.write((v >> 8) & 0xFF); tree.write(v & 0xFF)
+      val (l, r) = (recordValue(n.left, used), recordValue(n.right, used))
+      recordSize match {
+        case 24 =>
+          Seq(l, r).foreach { v =>
+            tree.write((v >> 16) & 0xFF); tree.write((v >> 8) & 0xFF); tree.write(v & 0xFF)
+          }
+        case 28 => // l low 24 bits, then [l hi nibble | r hi nibble], r low 24
+          tree.write((l >> 16) & 0xFF); tree.write((l >> 8) & 0xFF); tree.write(l & 0xFF)
+          tree.write((((l >> 24) & 0xF) << 4) | ((r >> 24) & 0xF))
+          tree.write((r >> 16) & 0xFF); tree.write((r >> 8) & 0xFF); tree.write(r & 0xFF)
+        case 32 =>
+          Seq(l, r).foreach { v =>
+            tree.write((v >> 24) & 0xFF); tree.write((v >> 16) & 0xFF)
+            tree.write((v >> 8) & 0xFF); tree.write(v & 0xFF)
+          }
       }
     }
 
@@ -141,7 +155,7 @@ object MmdbTestWriter {
     out.write(tree.toByteArray)
     out.write(new Array[Byte](16)) // data-section separator
     out.write(data)
-    out.write(metaBytes(nodeCount, ipVersion))
+    out.write(metaBytes(nodeCount, ipVersion, recordSize))
     out.toByteArray
   }
 
@@ -177,6 +191,15 @@ class MmdbSpec extends SparkSpec {
     val got = Mmdb.readRanges(bytes)
       .map(r => (r.startIpNum, r.endIpNum, r.countryCode, r.countryName)).toSet
     assert(got == expected)
+  }
+
+  test("28-bit and 32-bit record sizes round-trip identically") {
+    for (rs <- Seq(28, 32)) {
+      val bytes = MmdbTestWriter.build(entries, countries, recordSize = rs)
+      val got = Mmdb.readRanges(bytes)
+        .map(r => (r.startIpNum, r.endIpNum, r.countryCode, r.countryName)).toSet
+      assert(got == expected, s"record size $rs")
+    }
   }
 
   test("v6 mmdb: IPv4 ranges read from the ::/96 subtree") {
