@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import graft.config.GraftConfig
-import graft.enrich.GeoIp
+import graft.enrich.{GeoIp, Mmdb}
 import graft.streaming.{Ingest, LogPublisher, ReportJob}
 
 /** Service entry point (reference: cmd/takuan/main.go:16-36): load + validate
@@ -11,10 +11,18 @@ import graft.streaming.{Ingest, LogPublisher, ReportJob}
   * instead (reference: cmd/takuan/vars.go:20, core/aggregator.go:174-209).
   *
   * Usage:
-  *   graft.GraftApp <config.yml> <eventsPath> <checkpointRoot> <reportDir> [geoCsv]
-  *   graft.GraftApp --geo <geoCsv> <eventsPath> <outPath>
+  *   graft.GraftApp <config.yml> <eventsPath> <checkpointRoot> <reportDir> [geoDb]
+  *   graft.GraftApp --geo <geoDb> <eventsPath> <outPath>
+  *
+  * `geoDb` is either a flattened range CSV or a binary `.mmdb` file (the
+  * reference's native format — read by [[Mmdb]], selected by extension).
   */
 object GraftApp {
+
+  /** Geo source by extension: `.mmdb` binary or flattened-range CSV. */
+  private def geoSource(spark: SparkSession, path: String) =
+    if (path.endsWith(".mmdb")) Mmdb.fromMmdb(spark, path)
+    else GeoIp.fromCsv(spark, path)
 
   def session(appName: String = "graft"): SparkSession = {
     val b = SparkSession.builder()
@@ -34,7 +42,7 @@ object GraftApp {
     case "--geo" :: geoCsv :: eventsPath :: outPath :: Nil =>
       val spark = session("graft-geo-backfill")
       val (refreshed, changed) = GeoIp.backfill(
-        spark.read.parquet(eventsPath), GeoIp.fromCsv(spark, geoCsv))
+        spark.read.parquet(eventsPath), geoSource(spark, geoCsv))
       val total = refreshed.count()
       val nChanged = refreshed.filter(changed).count()
       refreshed.write.mode("overwrite").parquet(outPath)
@@ -45,7 +53,7 @@ object GraftApp {
     case configPath :: eventsPath :: checkpointRoot :: reportDir :: rest =>
       val spark = session()
       val conf = GraftConfig.load(configPath) // fail-fast regex/token checks
-      val geo = rest.headOption.map(GeoIp.fromCsv(spark, _))
+      val geo = rest.headOption.map(geoSource(spark, _))
       val streams = Ingest.startAll(spark, conf, eventsPath, checkpointRoot, geo)
       require(streams.nonEmpty, "no enabled sensors in config")
       val reporter = conf.reports.filter(_.enabled).map { r =>

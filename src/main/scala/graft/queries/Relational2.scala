@@ -138,7 +138,14 @@ object Relational2 {
     * offering supplier (min suppkey breaks price ties deterministically),
     * then broadcast dims for names. */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // restrict the fact to qualifying parts BEFORE the per-part aggregate:
+    // per-part minima are independent across parts, so pre-filtering is
+    // value-identical and avoids aggregating the (at scale, much larger)
+    // non-qualifying remainder
+    val parts = broadcast(t(spark, dir, "part").filter(col("p_type") === "LARGE"))
     val li = t(spark, dir, "lineitem")
+      .join(parts.select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .drop("p_partkey")
     val minPrice = li.groupBy(col("l_partkey").as("pk"))
       .agg(min(cents(col("l_extendedprice"))).as("min_price_cents"))
     val best = li
@@ -147,8 +154,7 @@ object Relational2 {
       .groupBy(col("l_partkey"), col("min_price_cents"))
       .agg(min(col("l_suppkey")).as("best_suppkey"))
     best
-      .join(broadcast(t(spark, dir, "part").filter(col("p_type") === "LARGE")),
-        col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .join(broadcast(t(spark, dir, "supplier")),
         col("best_suppkey") === col("s_suppkey"))
       .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
