@@ -76,6 +76,28 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Corpus vocabulary building: bigram counts over normalized words —
+    * the n-gram statistics pass of a pretraining pipeline (explode →
+    * count; map-side combine collapses repeats before the shuffle, so the
+    * exchange carries the vocabulary, not the corpus). Top-100 by
+    * (count desc, bigram) is a unique deterministic order. */
+  def textNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    docs
+      .withColumn("__w", split(Dedup.normalize(col("text")), " "))
+      .filter(size(col("__w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__w")) - 2),
+        i => concat_ws(" ",
+          element_at(col("__w"), i + 1), element_at(col("__w"), i + 2))))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(100)
+  }
+
   def textProfile(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.profile(T.par(spark, T.t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
@@ -262,6 +284,7 @@ object LlmQueries {
     "mm_binary_features" -> (mmBinaryFeatures _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_features" -> (mmAudioFeatures _),
+    "text_ngrams" -> (textNgrams _),
   )
 
   private val dotSql =
@@ -597,6 +620,17 @@ object LlmQueries {
         |FROM documents CROSS JOIN range(0, 100000, 16) r
         |WHERE doc_id < 50 AND r.range < length(text)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "text_ngrams" ->
+      s"""WITH d AS (SELECT string_split(${normSql("text")}, ' ') AS ws FROM documents),
+         |b AS (SELECT unnest(list_transform(range(len(ws) - 1),
+         |        i -> ws[i + 1] || ' ' || ws[i + 2])) AS bigram
+         |      FROM d WHERE len(ws) >= 2)
+         |SELECT bigram, count(*) AS n
+         |FROM b
+         |GROUP BY bigram
+         |HAVING count(*) >= 2
+         |ORDER BY n DESC, bigram
+         |LIMIT 100""".stripMargin,
     // The WAV round-trip is opaque to SQL, but the decoded features are
     // fully determined by the synth formula: n = 100 + doc_id % 50 frames
     // of sample_i = ((doc_id*31 + i*7) % 65536) - 32768 at 8 kHz mono.

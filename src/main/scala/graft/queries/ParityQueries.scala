@@ -226,6 +226,31 @@ object ParityQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Beyond-parity event analytics: strict-ordering conversion funnel
+    * view → click → purchase. Each stage's entry is the user's first
+    * qualifying event at-or-after the previous stage's entry, so an early
+    * purchase before any view does not count. Three joins on user_id — the
+    * stage relations shrink monotonically, and each join key equals the
+    * upstream aggregate's grouping key, so partitioning is reused. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+      .unionAll(c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+      .unionAll(p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+      .select(col("stage"), col("n_users"))
+      .orderBy(col("stage"))
+  }
+
   /** The full parse→classify→datetime pipeline (P1+P2+P5+P6+P7+P9) on
     * synthesized syslog lines, through LogParser.pipeline with the
     * reference's ssh sensor config. currYear pinned to the data's year so
@@ -256,6 +281,7 @@ object ParityQueries {
     "st5_session_window" -> (st5SessionWindow _),
     "asof_purchase_click" -> (asofPurchaseClick _),
     "asof_next_click" -> (asofNextClick _),
+    "funnel_conversion" -> (funnelConversion _),
     "takuan_ssh_pipeline" -> (takuanSshPipeline _),
   )
 
@@ -335,6 +361,21 @@ object ParityQueries {
       """SELECT count(*) AS total_events,
         |  count(DISTINCT user_id) AS n_addresses
         |FROM events""".stripMargin,
+    "funnel_conversion" ->
+      """WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts
+        |           FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.v_ts
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.c_ts
+        |      GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
     "st4_event_window" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          |  count(*) AS n, ${ms("value")} AS value_sum
