@@ -83,15 +83,29 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing at least one band of `rowsPerBand`
-    * consecutive signature components. Output (id_a < id_b) distinct. */
+    * consecutive signature components. Output (id_a < id_b) distinct.
+    *
+    * The per-band rows come from ONE explode over the signature relation —
+    * not a union of per-band projections. A union gives every branch a
+    * different projection under its exchange, so nothing is reusable and
+    * the (shuffle-heavy) signature aggregation re-executes once per band
+    * per join side — 8 corpus passes at numHashes=8. With the explode the
+    * signature subtree appears once per join side (2 passes max), and when
+    * the planner shuffles both sides symmetrically (sort-merge at scale)
+    * exchange reuse collapses that to a single pass. */
   def lshCandidates(signatures: DataFrame, numHashes: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
     val nBands = numHashes / rowsPerBand
-    val bands = (0 until nBands).map { b =>
-      val key = concat_ws(",",
-        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-      signatures.select(col("id"), lit(b).as("band"), key.as("band_key"))
-    }.reduce(_ unionAll _)
+    val bandArr = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+          .as("band_key"))
+    }: _*)
+    val bands = signatures
+      .select(col("id"), explode(bandArr).as("__bk"))
+      .select(col("id"), col("__bk").getField("band").as("band"),
+        col("__bk").getField("band_key").as("band_key"))
     val l = bands.select(col("band"), col("band_key"), col("id").as("id_a"))
     val r = bands.select(col("band"), col("band_key"), col("id").as("id_b"))
     l.join(r, Seq("band", "band_key"))
