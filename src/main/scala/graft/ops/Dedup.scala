@@ -175,10 +175,17 @@ object Dedup {
     val nChunks = maxHamming + 1
     val chunkBits = bits / nChunks
     val mask = (1L << chunkBits) - 1
-    val chunks = (0 until nChunks).map(i =>
-      signatures.select(col("id"), col("simhash"), lit(i).as("chunk"),
-        shiftright(col("simhash"), i * chunkBits).bitwiseAND(lit(mask)).as("ck")))
-      .reduce(_ unionAll _)
+    // one explode, not a union of per-chunk projections — same reasoning
+    // as lshCandidates: keep the signature aggregation in the plan once
+    // per join side instead of once per chunk per side
+    val chunkArr = array((0 until nChunks).map(i =>
+      struct(lit(i).as("chunk"),
+        shiftright(col("simhash"), i * chunkBits).bitwiseAND(lit(mask))
+          .as("ck"))): _*)
+    val chunks = signatures
+      .select(col("id"), col("simhash"), explode(chunkArr).as("__c"))
+      .select(col("id"), col("simhash"),
+        col("__c").getField("chunk").as("chunk"), col("__c").getField("ck").as("ck"))
     val l = chunks.select(col("chunk"), col("ck"), col("id").as("id_a"),
       col("simhash").as("sig_a"))
     val r = chunks.select(col("chunk"), col("ck"), col("id").as("id_b"),
