@@ -229,25 +229,35 @@ object ParityQueries {
   /** Beyond-parity event analytics: strict-ordering conversion funnel
     * view → click → purchase. Each stage's entry is the user's first
     * qualifying event at-or-after the previous stage's entry, so an early
-    * purchase before any view does not count. Three joins on user_id — the
-    * stage relations shrink monotonically, and each join key equals the
-    * upstream aggregate's grouping key, so partitioning is reused. */
+    * purchase before any view does not count.
+    *
+    * Single-pass shape: one shuffle on user_id, three chained
+    * whole-partition window minima (each conditioned on the previous
+    * stage's entry time), then a per-user reduce and a tiny global count.
+    * The per-stage aggregate-and-join formulation reads the events table
+    * once per stage per reference (~6 scans); this reads it once. */
   def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
-    val ev = T.events(spark, dir)
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, Seq("user_id"))
-      .filter(col("ts") >= col("v_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c, Seq("user_id"))
-      .filter(col("ts") >= col("c_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
-    v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
-      .unionAll(c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
-      .unionAll(p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
-      .select(col("stage"), col("n_users"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val staged = T.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" && col("ts") >= col("v_ts"),
+          col("ts"))).over(w))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("c_ts"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("v_ts")).as("v_ts"), max(col("c_ts")).as("c_ts"),
+        max(col("p_ts")).as("p_ts"))
+    val counts = staged.agg(
+      count(col("v_ts")).as("n_view"), count(col("c_ts")).as("n_click"),
+      count(col("p_ts")).as("n_purchase"))
+    counts.select(expr(
+      "stack(3, '1_view', n_view, '2_click', n_click, '3_purchase', n_purchase)")
+      .as(Seq("stage", "n_users")))
       .orderBy(col("stage"))
   }
 
