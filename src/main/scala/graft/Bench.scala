@@ -83,11 +83,12 @@ object Bench {
     * multimodal, windows). */
   private val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q7_volume_shipping", "q18_large_orders", "takuan_ssh_pipeline",
-    "a1_report_counters", "j2_auto_range_join", "asof_purchase_click",
-    "sessionize_events", "st5_session_window", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_cc_clusters", "dedup_embedding_cosine",
-    "sim_brute_topk", "sim_ivf_topk", "text_profile",
-    "text_robust_fingerprint", "curation_pipeline", "salted_skew_join",
-    "mm_binary_features", "q_window_running", "q_percentile")
+    "q9_product_profit", "q13_cust_distribution", "q18_large_orders",
+    "takuan_ssh_pipeline", "a1_report_counters", "j2_auto_range_join",
+    "asof_purchase_click", "sessionize_events", "st5_session_window",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_cc_clusters",
+    "dedup_embedding_cosine", "sim_brute_topk", "sim_ivf_topk",
+    "text_profile", "text_ngrams", "curation_pipeline", "salted_skew_join",
+    "funnel_conversion", "mm_audio_features", "q_window_running",
+    "q_percentile")
 }

@@ -100,6 +100,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"salt must be a join key:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // local files are far below the 10 GB default application threshold
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // bloom needs a shuffle join
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val part = spark.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") === "Brand#3")
+      val j = li.join(part, col("l_partkey") === col("p_partkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      // the filtered dim side builds a bloom filter that is pushed into the
+      // fact scan as a might_contain runtime filter — rows for other brands
+      // never leave the scan, let alone reach the shuffle
+      assert(plan.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n$plan")
+      assert(j.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("hive-partitioned scans prune partitions (PartitionFilters, not data filters)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
