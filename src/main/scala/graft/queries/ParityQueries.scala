@@ -81,8 +81,11 @@ object ParityQueries {
     * projection — companion to the regex tokenizer). */
   def p1bJsonExtract(spark: SparkSession, dir: String): DataFrame =
     T.events(spark, dir)
+      // Generate fence: the isNotNull filter on the alias would otherwise
+      // be pushed below the projection with the JSON parse inlined -
+      // two full get_json_object evaluations per row
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        explode(array(get_json_object(col("props"), "$.k").cast("long"))).as("k"))
       .filter(col("k").isNotNull)
       .orderBy(col("event_id"))
 
