@@ -60,15 +60,19 @@ object Ingest {
     // roots isolate the committers, and partition discovery still exposes
     // `sensor` as a column when reading eventsPath as one table.
     val sensorDir = s"$eventsPath/sensor=${sensor.name}"
+    // Native parquet file sink, not a foreachBatch append: the sink's
+    // _spark_metadata manifest commits each batch's files atomically, so a
+    // crash between writing files and recording the batch cannot
+    // double-append on retry (foreachBatch + plain append is exactly-once
+    // only down to batch granularity). The manifest dir starts with '_',
+    // which partition discovery ignores when the whole eventsPath is read
+    // as one table.
     val writer = withDate.drop("sensor").writeStream
       .queryName(s"graft-ingest-${sensor.name}")
+      .format("parquet")
+      .option("path", sensorDir)
+      .partitionBy("event_date")
       .option("checkpointLocation", s"$checkpointRoot/${sensor.name}")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append")
-          .partitionBy("event_date")
-          .parquet(sensorDir)
-        ()
-      }
     Option(trigger).map(writer.trigger)
       .getOrElse(writer.trigger(Trigger.ProcessingTime(s"${sensor.periodSecs} seconds")))
       .start()
