@@ -219,6 +219,35 @@ object Relational2 {
       .orderBy(col("value").desc, col("l_partkey"))
   }
 
+  /** TPC-H Q6 shape, deliberately through the SQL TEXT front end
+    * (temp view + spark.sql) rather than the DataFrame API — the parser/
+    * analyzer entry path, exercising the same session extensions. The SQL
+    * itself uses the exact-cents recipe so it hash-matches the oracle. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("graft_q6_lineitem")
+    spark.sql(
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)) AS BIGINT) / 100.0D
+        |         AS revenue,
+        |       count(*) AS n_lines
+        |FROM graft_q6_lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** Wide→long unpivot (stack generator): each order row melts into one
+    * row per measure. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"),
+        (cents(col("o_totalprice")) / 100.0).as("price"),
+        year(col("o_orderdate")).cast("double").as("yr"))
+      .select(col("o_orderkey"), expr(
+        "stack(2, 'price', price, 'yr', yr)").as(Seq("measure", "val")))
+      .orderBy(col("o_orderkey"), col("measure"))
+
   /** Datetime function sweep (F6/F7 family beyond the parity queries):
     * truncation, field extraction, month-end, day arithmetic, date
     * difference — all with explicit INTEGER casts where the engines'
@@ -280,6 +309,8 @@ object Relational2 {
       .orderBy(col("p_partkey"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q_unpivot" -> (qUnpivot _),
     "q_setops_all" -> (qSetopsAll _),
     "q_string_funcs2" -> (qStringFuncs2 _),
     "q11_important_parts" -> (q11ImportantParts _),
@@ -300,6 +331,22 @@ object Relational2 {
   import T.sql.{cents => c, moneySum => ms}
 
   val oracle: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      s"""SELECT (CAST(sum(${c("l_extendedprice * l_discount")}) AS BIGINT) / 100.0)
+         |         AS revenue,
+         |       count(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q_unpivot" ->
+      s"""SELECT o_orderkey, 'price' AS measure, (${c("o_totalprice")} / 100.0) AS val
+         |FROM orders WHERE o_orderkey <= 200
+         |UNION ALL
+         |SELECT o_orderkey, 'yr', CAST(year(o_orderdate) AS DOUBLE)
+         |FROM orders WHERE o_orderkey <= 200
+         |ORDER BY o_orderkey, measure""".stripMargin,
     "q_setops_all" ->
       """SELECT o_custkey, 'intersect_all' AS op FROM
         |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
