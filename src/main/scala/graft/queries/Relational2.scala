@@ -219,6 +219,96 @@ object Relational2 {
       .orderBy(col("value").desc, col("l_partkey"))
   }
 
+  /** TPC-H Q8 shape: national market share — the fraction of a region's
+    * yearly revenue supplied by one nation. Numerator and denominator are
+    * conditional exact-cents sums in ONE aggregate over the star join. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val custNation = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_2",
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .otherwise(lit(0L))) * 1.0 /
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          .as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q15 shape: top supplier(s) by period revenue — an aggregate
+    * compared against the max OVER the same aggregate (the view+scalar-max
+    * formulation, decorrelated to a one-row broadcast). */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev_cents"))
+    val mx = rev.agg(max(col("rev_cents")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_cents") === col("mx"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_cents") / 100.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q20 shape: nested IN over a grouped HAVING subquery — suppliers
+    * who moved more than a threshold quantity of any SMALL part
+    * (semi-join against the (supplier, part) aggregate). */
+  def q20PartSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val bulk = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").filter(col("p_type") === "SMALL")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .filter(col("qty") > 50)
+      .select(col("l_suppkey")).distinct()
+    t(spark, dir, "supplier")
+      .join(bulk, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21 shape: double correlation on the same fact — suppliers with
+    * a returned line in a multi-supplier order where NO other supplier's
+    * line was returned (EXISTS + NOT EXISTS as semi + anti join with
+    * non-equal supplier conjuncts). */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val r = pairs.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val all = pairs.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val waiting = r
+      .join(all.select(col("l_orderkey").as("b_ok"), col("l_suppkey").as("b_sk")),
+        col("l_orderkey") === col("b_ok") && col("l_suppkey") =!= col("b_sk"),
+        "left_semi")
+      .join(r.select(col("l_orderkey").as("c_ok"), col("l_suppkey").as("c_sk")),
+        col("l_orderkey") === col("c_ok") && col("l_suppkey") =!= col("c_sk"),
+        "left_anti")
+    waiting
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q6 shape, deliberately through the SQL TEXT front end
     * (temp view + spark.sql) rather than the DataFrame API — the parser/
     * analyzer entry path, exercising the same session extensions. The SQL
@@ -309,6 +399,10 @@ object Relational2 {
       .orderBy(col("p_partkey"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> (q8MarketShare _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q20_part_suppliers" -> (q20PartSuppliers _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q_unpivot" -> (qUnpivot _),
     "q_setops_all" -> (qSetopsAll _),
@@ -331,6 +425,57 @@ object Relational2 {
   import T.sql.{cents => c, moneySum => ms}
 
   val oracle: Map[String, String] = Map(
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  (CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+         |       THEN ${c("l_extendedprice * (1 - l_discount)")} ELSE 0 END) AS BIGINT)
+         |    * 1.0 /
+         |   CAST(sum(${c("l_extendedprice * (1 - l_discount)")}) AS BIGINT)) AS mkt_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |GROUP BY 1
+         |ORDER BY o_year""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+         |    sum(${c("l_extendedprice * (1 - l_discount)")}) AS rev_cents
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, (CAST(rev_cents AS BIGINT) / 100.0) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q20_part_suppliers" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_suppkey, s_name, numwait
+        |FROM (SELECT a.l_suppkey, count(*) AS numwait
+        |      FROM (SELECT DISTINCT l_orderkey, l_suppkey
+        |            FROM lineitem WHERE l_returnflag = 'R') a
+        |      WHERE EXISTS (SELECT 1 FROM lineitem b
+        |                    WHERE b.l_orderkey = a.l_orderkey
+        |                      AND b.l_suppkey <> a.l_suppkey)
+        |        AND NOT EXISTS (SELECT 1 FROM lineitem c
+        |                        WHERE c.l_orderkey = a.l_orderkey
+        |                          AND c.l_suppkey <> a.l_suppkey
+        |                          AND c.l_returnflag = 'R')
+        |      GROUP BY a.l_suppkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 20""".stripMargin,
     "q6_forecast_revenue" ->
       s"""SELECT (CAST(sum(${c("l_extendedprice * l_discount")}) AS BIGINT) / 100.0)
          |         AS revenue,
