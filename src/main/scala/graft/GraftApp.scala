@@ -29,6 +29,10 @@ object GraftApp {
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // report counters use collect_list; the default ObjectHashAggregate
+      // fallback (sort-based after 128 in-memory keys) is far too
+      // conservative for small per-key buffers
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     // under spark-submit the master comes from the launcher; standalone
     // runs (tests, local smoke) fall back to all local cores
     val withMaster =
