@@ -82,20 +82,46 @@ object LlmQueries {
     * exchange carries the vocabulary, not the corpus). Top-100 by
     * (count desc, bigram) is a unique deterministic order. */
   def textNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val docs = T.par(spark, T.t(spark, dir, "documents"))
-    docs
-      .withColumn("__w", split(Dedup.normalize(col("text")), " "))
-      .filter(size(col("__w")) >= 2)
-      .select(explode(transform(
-        sequence(lit(0), size(col("__w")) - 2),
-        i => concat_ws(" ",
-          element_at(col("__w"), i + 1), element_at(col("__w"), i + 2))))
-        .as("bigram"))
+    bigramRows(T.par(spark, T.t(spark, dir, "documents")))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .orderBy(col("n").desc, col("bigram"))
       .limit(100)
+  }
+
+  /** Per-doc word-bigram rows (shared by the vocabulary and boilerplate
+    * queries). */
+  private def bigramRows(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__w", split(Dedup.normalize(col("text")), " "))
+      .filter(size(col("__w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("__w")) - 2),
+        i => concat_ws(" ",
+          element_at(col("__w"), i + 1), element_at(col("__w"), i + 2))))
+        .as("bigram"))
+
+  /** Boilerplate / contamination detection: flag documents containing any
+    * of the corpus's top-K most frequent bigrams, with the count of
+    * distinct hot bigrams per doc. This is the decontamination SHAPE — a
+    * probe set broadcast against the corpus n-gram relation — with the
+    * probe set derived from the corpus itself (top-K is deterministic at
+    * any scale; a benchmark decontamination run swaps in the benchmark's
+    * n-grams as the probe table). Two corpus passes: one to build the
+    * probe aggregate, one to score — at scale the n-gram counts would be
+    * checkpointed between the two. */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = bigramRows(T.par(spark, T.t(spark, dir, "documents")))
+    val hot = bigrams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+      .select(col("bigram"))
+    bigrams.join(broadcast(hot), Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bigram")).as("n_hot_bigrams"))
+      .orderBy(col("doc_id"))
   }
 
   def textProfile(spark: SparkSession, dir: String): DataFrame =
@@ -285,6 +311,7 @@ object LlmQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_features" -> (mmAudioFeatures _),
     "text_ngrams" -> (textNgrams _),
+    "text_boilerplate" -> (textBoilerplate _),
   )
 
   private val dotSql =
@@ -620,6 +647,19 @@ object LlmQueries {
         |FROM documents CROSS JOIN range(0, 100000, 16) r
         |WHERE doc_id < 50 AND r.range < length(text)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH b AS (SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+         |        i -> ws[i + 1] || ' ' || ws[i + 2])) AS bigram
+         |      FROM (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+         |            FROM documents)
+         |      WHERE len(ws) >= 2),
+         |hot AS (SELECT bigram FROM
+         |  (SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+         |   ORDER BY n DESC, bigram LIMIT 20))
+         |SELECT doc_id, count(DISTINCT b.bigram) AS n_hot_bigrams
+         |FROM b JOIN hot ON b.bigram = hot.bigram
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "text_ngrams" ->
       s"""WITH d AS (SELECT string_split(${normSql("text")}, ' ') AS ws FROM documents),
          |b AS (SELECT unnest(list_transform(range(len(ws) - 1),
