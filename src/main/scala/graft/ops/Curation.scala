@@ -87,6 +87,21 @@ object Curation {
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\+\\d[\\d-]{7,}"
 
+  /** Instrument a gating stage with pass/total counters via
+    * `Dataset.observe` — the metrics ride the job that materializes the
+    * result, so monitoring a 100 TB gate costs zero extra passes (the
+    * naive `df.count()` before-and-after doubles the pipeline). Returns
+    * the filtered frame plus the Observation handle; read
+    * `observation.get` after an action completes. */
+  def observedGate(df: DataFrame, name: String,
+      keep: Column): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val observed = df.observe(obs,
+      count(lit(1)).as("total_rows"),
+      sum(when(keep, 1L).otherwise(0L)).as("kept_rows"))
+    (observed.filter(keep), obs)
+  }
+
   /** Redact emails, IPv4s, then phone-shaped tokens (fixed order — the
     * patterns can overlap, so order is part of the contract). */
   def redactPii(text: Column): Column =

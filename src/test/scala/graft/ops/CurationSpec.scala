@@ -92,4 +92,15 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("observed gate counts pass/total in the same job (no second pass)") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, if (i % 4 == 0) 0.9 else 0.1))
+      .toDF("doc_id", "quality")
+    val (gated, obs) = Curation.observedGate(docs, "quality_gate",
+      col("quality") >= 0.5)
+    assert(gated.count() == 25)
+    val m = obs.get
+    assert(m("total_rows") == 100L && m("kept_rows") == 25L)
+  }
 }
