@@ -90,6 +90,27 @@ class DedupSpec extends SparkSpec {
     assert(a == b && a == Set(1L, 3L))
   }
 
+  test("normalize is idempotent and matches the reference implementation") {
+    import spark.implicits._
+    // the md5(normalize(text)) content key underpins every exact-dedup
+    // operator AND the DuckDB oracle SQL — normalize must be a projection
+    // (idempotent) and match a plain-Scala reference exactly
+    def ref(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcXYZ 012!@#$%^&*()_+ü\n\t.,;:'\"-"
+    val samples = (1 to 200).map(_ =>
+      (1 to rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val got = samples.toDF("s")
+      .select(Dedup.normalize(col("s")).as("once"),
+        Dedup.normalize(Dedup.normalize(col("s"))).as("twice"))
+      .collect()
+    got.zip(samples).foreach { case (r, s) =>
+      assert(r.getString(0) == r.getString(1), s"not idempotent on ${s.take(40)}")
+      assert(r.getString(0) == ref(s), s"diverges from reference on ${s.take(40)}")
+    }
+  }
+
   test("streaming dedup drops re-arrivals within the watermark, readmits after") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
