@@ -132,6 +132,53 @@ object Sessions {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One update from the per-type counter stream. */
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** MapState demo on the Spark 4 transformWithState API: per-user
+    * per-event-type running counts held in a map column family — the
+    * state-type surface beyond [[SessionProcessor]]'s single ValueState
+    * (one RocksDB column family per state variable; per-entry point
+    * lookups, no whole-map deserialization per key like the
+    * flatMapGroupsWithState era). Emits the updated (type, n) pairs each
+    * batch. */
+  class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), TypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, TimerValues, TTLConfig}
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, t) =>
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + 1L)
+        touched += t
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  /** Streaming per-user per-type counters via [[TypeCountProcessor]]
+    * (requires the RocksDB state store provider, as transformWithState
+    * always does). */
+  def streamingTypeCounts(spark: SparkSession,
+      events: Dataset[(Long, String)]): Dataset[TypeCount] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_._1)
+      .transformWithState(new TypeCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming sessionization with explicit state: sessions close when the
     * *watermark* passes last-event + gap (event-time timeout — deterministic
     * and replayable, unlike a wall-clock timeout, which in as-fast-as-

@@ -97,8 +97,11 @@ object ParityQueries {
       RuleConf("mentions_join", "text", "join"),
       RuleConf("mentions_spark", "text", "spark"))
     T.t(spark, dir, "documents")
+      // anyRuleMatch first: filtering on classifyColumn(...).isNotNull
+      // would re-evaluate the whole ordered rlike CASE chain inside the
+      // pushed-down predicate (same trap LogParser.pipeline guards against)
+      .filter(LogParser.anyRuleMatch(rules))
       .withColumn("rule", LogParser.classifyColumn(rules))
-      .filter(col("rule").isNotNull)
       .select(col("doc_id"), col("rule"))
       .orderBy(col("doc_id"))
   }

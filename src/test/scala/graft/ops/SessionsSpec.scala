@@ -132,6 +132,39 @@ class SessionsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState: per-user per-type running counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String)]
+    val q = Sessions.streamingTypeCounts(spark, input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("type_counts_out").start()
+    try {
+      input.addData((1L, "view"), (1L, "view"), (1L, "click"), (2L, "view"))
+      q.processAllAvailable()
+      input.addData((1L, "view"), (2L, "purchase"))
+      q.processAllAvailable()
+      // state persists across batches: the LATEST update per (user, type)
+      // carries the cumulative count
+      val latest = spark.sql(
+        "SELECT user_id, event_type, max(n) AS n FROM type_counts_out GROUP BY 1, 2")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(latest == Map(
+        (1L, "view") -> 3L, (1L, "click") -> 1L,
+        (2L, "view") -> 1L, (2L, "purchase") -> 1L))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState sessionization (Spark 4 arbitrary-state API + RocksDB store)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
