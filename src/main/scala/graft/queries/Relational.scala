@@ -36,8 +36,9 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** TPC-H Q3 shape: broadcast(customer-filter) x orders, shuffle join to
-    * lineitem on orderkey, aggregate by orderkey, top-10. */
+  /** TPC-H Q3 shape: filtered customer x orders (AQE broadcasts at small
+    * sizes; no manual hint — customer scales with the data), shuffle join
+    * to lineitem on orderkey, aggregate by orderkey, top-10. */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(spark, dir, "orders")
@@ -45,7 +46,7 @@ object Relational {
     val li = t(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -64,7 +65,7 @@ object Relational {
           .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
           .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
@@ -243,8 +244,8 @@ object Relational {
       .select(col("c_custkey"), col("cust_nation"))
     t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_3"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
@@ -259,7 +260,7 @@ object Relational {
     t(spark, dir, "lineitem")
       .filter(col("l_returnflag") === "R")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
@@ -332,7 +333,7 @@ object Relational {
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
       .filter(col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
-      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .agg(
         (sum(when(col("p_type") === "PROMO",
           cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).otherwise(lit(0L)))
@@ -345,7 +346,7 @@ object Relational {
     * a post-join filter (or push the common l_partkey=p_partkey). */
   def q19Disjunctive(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 20)) ||

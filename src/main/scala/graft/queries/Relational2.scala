@@ -16,7 +16,11 @@ import graft.T
   * unique ORDER BY keys, aliases matched to the oracle SQL.
   *
   * Scale notes:
-  *  - dimension joins (part/supplier/nation/customer) broadcast;
+  *  - explicit broadcast() hints only on bounded-by-construction relations
+  *    (nation/region, one-row aggregates); part/supplier/customer scale
+  *    with the data, so their joins are left to CBO/AQE — broadcast at
+  *    test sizes, graceful shuffle joins at 100 TB instead of a forced
+  *    broadcast OOM;
   *  - Q17/Q2 self-join aggregates shuffle the (pre-filtered) fact once on
   *    the part key and reuse that partitioning for the rejoin;
   *  - Q13 is the one shape that must shuffle the full customer x orders
@@ -39,13 +43,13 @@ object Relational2 {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))
 
-  /** TPC-H Q9 shape: fact x 4 broadcast dims, group by (nation, year).
+  /** TPC-H Q9 shape: fact x 4 dims star join, group by (nation, year).
     * Profit has no supplycost term here (no partsupp table). */
   def q9ProductProfit(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "part").filter(col("p_name").contains("widget"))),
+      .join(t(spark, dir, "part").filter(col("p_name").contains("widget")),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"),
@@ -88,10 +92,10 @@ object Relational2 {
     * aggregate; the anti join against the tiny exclusion set broadcasts. */
   def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "part").filter(col("p_size").isin(1, 5, 9, 13))),
+      .join(t(spark, dir, "part").filter(col("p_size").isin(1, 5, 9, 13)),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(spark, dir, "supplier").filter(col("s_acctbal") < 0)
-        .select(col("s_suppkey"))),
+      .join(t(spark, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey")),
         col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -102,8 +106,8 @@ object Relational2 {
     * predicate is exact integer arithmetic (qty * 2 * cnt < sum), never a
     * float average. */
   def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val bparts = broadcast(
-      t(spark, dir, "part").filter(col("p_brand") === "Brand#3").select(col("p_partkey")))
+    val bparts =
+      t(spark, dir, "part").filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
     val li3 = t(spark, dir, "lineitem")
       .join(bparts, col("l_partkey") === col("p_partkey"))
     val stats = li3.groupBy(col("l_partkey").as("pk"))
@@ -142,7 +146,7 @@ object Relational2 {
     // per-part minima are independent across parts, so pre-filtering is
     // value-identical and avoids aggregating the (at scale, much larger)
     // non-qualifying remainder
-    val parts = broadcast(t(spark, dir, "part").filter(col("p_type") === "LARGE"))
+    val parts = t(spark, dir, "part").filter(col("p_type") === "LARGE")
     val li = t(spark, dir, "lineitem")
       .join(parts.select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
       .drop("p_partkey")
@@ -235,8 +239,8 @@ object Relational2 {
       .select(col("s_suppkey"), col("supp_nation"))
     t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
       .agg(
         (sum(when(col("supp_nation") === "NATION_2",
@@ -260,7 +264,7 @@ object Relational2 {
     val mx = rev.agg(max(col("rev_cents")).as("mx"))
     rev.crossJoin(broadcast(mx))
       .filter(col("rev_cents") === col("mx"))
-      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         (col("rev_cents") / 100.0).as("total_revenue"))
       .orderBy(col("s_suppkey"))
@@ -271,8 +275,8 @@ object Relational2 {
     * (semi-join against the (supplier, part) aggregate). */
   def q20PartSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val bulk = t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "part").filter(col("p_type") === "SMALL")
-        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "part").filter(col("p_type") === "SMALL")
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(col("l_quantity").cast("long")).as("qty"))
       .filter(col("qty") > 50)
@@ -303,7 +307,7 @@ object Relational2 {
     waiting
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(20)
