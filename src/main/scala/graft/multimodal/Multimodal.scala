@@ -93,7 +93,9 @@ object Multimodal {
   /** REAL image decode via the JDK's built-in codecs (PNG/JPEG/GIF/BMP —
     * javax.imageio ships with every JVM; no external libraries). Returns
     * None for undecodable bytes. This replaces the stub for image mimes;
-    * audio/video codecs remain stubbed (no ffmpeg in this environment). */
+    * see [[decodeAudio]] (real, javax.sound) and [[decodeGifFrames]]
+    * (real multi-frame GIF); only ffmpeg-class video codecs stay behind
+    * [[decodeStub]]. */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
