@@ -107,19 +107,31 @@ object Similarity {
   }
 
   /** IVF coarse quantizer: every `every`-th vector by id, collected to the
-    * driver (k centroids are always driver/broadcast material — a few
-    * thousand small vectors even at 100 TB corpus scale). Deterministic
+    * driver (centroids are driver/broadcast material). Deterministic
     * selection stands in for k-means training; the IVF *plumbing* — tiny
     * centroid table, map-side cell assignment, probe-restricted re-rank —
     * is the part that matters for the scale shape and is identical.
-    * Sorted by id for reproducible expression trees. */
+    * Sorted by id for reproducible expression trees.
+    *
+    * The centroid COUNT is corpus_size / every, i.e. linear in the corpus
+    * for a fixed `every` — callers must scale `every` with the data (or
+    * k-means-train a fixed k). `maxCentroids` makes the mistake fail
+    * loudly instead of silently collecting an unbounded set to the driver
+    * and OOMing mid-broadcast. */
   def ivfCentroids(corpus: DataFrame, every: Long,
-      cidCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] =
-    corpus.filter(col(cidCol) % every === 0)
+      cidCol: String = "vec_id", vecCol: String = "embedding",
+      maxCentroids: Int = 1 << 17): Array[(Long, Array[Float])] = {
+    val cents = corpus.filter(col(cidCol) % every === 0)
       .select(col(cidCol).cast("long"), col(vecCol))
+      .limit(maxCentroids + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    require(cents.length <= maxCentroids,
+      s"ivfCentroids: more than $maxCentroids centroids at every=$every — " +
+        "raise `every` in proportion to the corpus (or raise maxCentroids)")
+    cents
+  }
 
   /** Per-centroid cosine scores as an array of (sim, -centroid_id) structs:
     * `array_max` picks the best cell (highest sim, then lowest id — struct

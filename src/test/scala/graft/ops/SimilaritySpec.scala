@@ -100,4 +100,17 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side should broadcast:\n$plan")
   }
+
+  test("ivf centroid guard fails loudly on an unbounded centroid set") {
+    import spark.implicits._
+    val e = (0L until 300L).map(i => (i, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfCentroids(e, every = 1, maxCentroids = 100)
+    }
+    assert(ex.getMessage.contains("maxCentroids"))
+    // within the bound: all centroids collected, deterministic order
+    assert(Similarity.ivfCentroids(e, every = 10).map(_._1).toSeq ==
+      (0L until 300L by 10).toSeq)
+  }
 }
