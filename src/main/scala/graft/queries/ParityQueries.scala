@@ -267,6 +267,23 @@ object ParityQueries {
       .orderBy(col("stage"))
   }
 
+  /** Beyond-parity event analytics: the behavior transition matrix —
+    * counts of consecutive (prev_type → type) pairs per user sequence
+    * (first-order Markov statistics). One shuffle on user_id for the lag
+    * window, then a tiny global aggregate over the |types|² matrix.
+    * Ordering ties broken by event_id, so the sequence is deterministic. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    T.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   /** The full parse→classify→datetime pipeline (P1+P2+P5+P6+P7+P9) on
     * synthesized syslog lines, through LogParser.pipeline with the
     * reference's ssh sensor config. currYear pinned to the data's year so
@@ -298,6 +315,7 @@ object ParityQueries {
     "asof_purchase_click" -> (asofPurchaseClick _),
     "asof_next_click" -> (asofNextClick _),
     "funnel_conversion" -> (funnelConversion _),
+    "event_transitions" -> (eventTransitions _),
     "takuan_ssh_pipeline" -> (takuanSshPipeline _),
   )
 
@@ -377,6 +395,15 @@ object ParityQueries {
       """SELECT count(*) AS total_events,
         |  count(DISTINCT user_id) AS n_addresses
         |FROM events""".stripMargin,
+    "event_transitions" ->
+      """SELECT prev_type, event_type, count(*) AS n
+        |FROM (SELECT event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |      FROM events)
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin,
     "funnel_conversion" ->
       """WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts
         |           FROM events WHERE event_type = 'view' GROUP BY user_id),
