@@ -124,6 +124,17 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Importance sampling: keep each document with probability equal to its
+    * quality score — a content-stable hash draw compared against a
+    * computed per-row rate. Map-only (annotate + filter, no shuffle);
+    * the soft version of the hard quality gate, preserving a calibrated
+    * share of mid-quality data instead of a cliff. */
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.annotateQualityLang(T.par(spark, T.t(spark, dir, "documents")))
+      .filter(Curation.hashFraction(col("doc_id"), "wsamp") < col("quality"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+
   def textProfile(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.profile(T.par(spark, T.t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
@@ -312,6 +323,7 @@ object LlmQueries {
     "mm_audio_features" -> (mmAudioFeatures _),
     "text_ngrams" -> (textNgrams _),
     "text_boilerplate" -> (textBoilerplate _),
+    "sample_importance" -> (sampleImportance _),
   )
 
   private val dotSql =
@@ -647,6 +659,11 @@ object LlmQueries {
         |FROM documents CROSS JOIN range(0, 100000, 16) r
         |WHERE doc_id < 50 AND r.range < length(text)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "sample_importance" ->
+      s"""SELECT doc_id, lang, $qualitySql AS quality
+         |FROM documents
+         |WHERE ${Curation.hashFractionSql("doc_id", "wsamp")} < $qualitySql
+         |ORDER BY doc_id""".stripMargin,
     "text_boilerplate" ->
       s"""WITH b AS (SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
          |        i -> ws[i + 1] || ' ' || ws[i + 2])) AS bigram
