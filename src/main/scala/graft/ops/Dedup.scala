@@ -211,6 +211,24 @@ object Dedup {
     docs.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-complete near-dedup: transitive closure over the verified
+    * pairs (connected components), keeping exactly the minimum-id
+    * representative of each near-dup cluster. For a chain a~b~c where
+    * (a,c) itself scores below the threshold, the greedy
+    * [[dropNearDuplicates]] keeps BOTH a and c; this keeps only a. Costs
+    * the component iteration on the pair graph — which is orders of
+    * magnitude smaller than the corpus — on top of the same pair
+    * generation. */
+  def dropNearDuplicatesConnected(docs: DataFrame, threshold: Double,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = minHashLshPairs(docs, threshold, numHashes, rowsPerBand, idCol, textCol)
+    val losers = Components.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component")) // non-representative members
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Character n-gram Jaccard between candidate pairs (brute within a
     * bounded slice; use MinHash-LSH for open-ended corpora). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,

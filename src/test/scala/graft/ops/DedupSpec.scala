@@ -65,6 +65,26 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("cluster-complete near-dedup collapses hub clusters the greedy pass keeps") {
+    // 1 and 2 are NOT near-dups of each other, but both near-dup hub 5:
+    // greedy (drop any id_b) keeps {1, 2}; transitive closure keeps {1}
+    val doc1 = (1 to 40).map(i => s"word$i").mkString(" ")
+    val doc2 = (41 to 80).map(i => s"word$i").mkString(" ")
+    val hub5 = (11 to 70).map(i => s"word$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val d = docs(1L -> doc1, 2L -> doc2, 5L -> hub5, 9L -> other)
+    // rowsPerBand=1: single-hash bands catch the ~0.43-jaccard hub edges
+    val pairs = Dedup.minHashLshPairs(d, threshold = 0.35, rowsPerBand = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 5L), (2L, 5L)), s"expected hub edges, got $pairs")
+    val greedy = Dedup.dropNearDuplicates(d, 0.35, rowsPerBand = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val connected = Dedup.dropNearDuplicatesConnected(d, 0.35, rowsPerBand = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(greedy == Set(1L, 2L, 9L))
+    assert(connected == Set(1L, 9L), "one representative per transitive cluster")
+  }
+
   test("ngram jaccard: shared character grams score high") {
     val d = docs(1L -> "abcdefghij", 2L -> "abcdefghiX", 3L -> "zzzzzzzzzz")
     val pairs = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5).collect()
