@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Relational2.queries ++
       graft.queries.ParityQueries.queries ++
-      graft.queries.LlmQueries.queries
+      graft.queries.LlmQueries.queries ++
+      graft.queries.LlmQueries2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Relational2.oracle ++
       graft.queries.ParityQueries.oracle ++
-      graft.queries.LlmQueries.oracle
+      graft.queries.LlmQueries.oracle ++
+      graft.queries.LlmQueries2.oracle
 }

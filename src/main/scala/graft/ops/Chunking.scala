@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-size overlapping document chunking — the context-window
+  * preparation step of a training-data pipeline (SURVEY §2.10 extension):
+  * long documents are sliced into `size`-char windows every `stride`
+  * chars so downstream tokenization sees bounded inputs with
+  * `size - stride` chars of overlap preserving cross-boundary context.
+  *
+  * Map-only: offsets come from a per-row `sequence()` explode and the
+  * slice is a `substring` — no shuffle, no state, a pure narrow stage
+  * that pipelines straight into the tokenizer/writer at any corpus size.
+  * (Token-budgeted chunking swaps the char offsets for token offsets from
+  * a tokenizer column; the plumbing is identical.)
+  */
+object Chunking {
+
+  /** Chunk text into windows of `size` chars starting every `stride`
+    * chars (`size > stride` ⇒ overlap). The final window may be shorter
+    * than `size`; every document yields at least one chunk (empty text ⇒
+    * one empty chunk), so no doc silently disappears.
+    *
+    * Output: (idCol, chunk_idx, chunk_len, chunk_md5) — the slice itself
+    * is hashed rather than carried so the relation stays narrow; callers
+    * that need the text select `substring` themselves from the offset
+    * `chunk_idx * stride`. */
+  def chunkFixed(docs: DataFrame, size: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val chunk = substring(col(textCol), col("__off") + 1, size)
+    docs
+      .select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0),
+          greatest(length(col(textCol)) - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "__off")))
+      .select(col(idCol), col("chunk_idx"),
+        length(chunk).as("chunk_len"), md5(chunk).as("chunk_md5"))
+  }
+}

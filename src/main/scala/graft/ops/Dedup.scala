@@ -72,6 +72,57 @@ object Dedup {
         explode(array_distinct(split(normalize(col(textCol)), " "))).as("gram"))
       .filter(col("gram") =!= "")
 
+  /** Distinct word n-gram shingles, exploded to (id, gram) rows. Documents
+    * with fewer than `n` normalized words yield no shingles (and so no
+    * rows). */
+  def wordShingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__w", split(normalize(col(textCol)), " "))
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("__w")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("__w"), i + j + 1)): _*))))
+          .as("gram"))
+
+  /** Cross-document duplicated-span scoring — the repeated-substring
+    * dedup signal (RefinedWeb/C4 style), approximated at word-shingle
+    * granularity: for each document, the share of its distinct word
+    * n-gram shingles that also occur in at least one OTHER document,
+    * plus a keep/drop verdict at `dropAbove`.
+    *
+    * Scale shape: explode distinct shingles (map-side) → document
+    * frequency per shingle (shuffle keyed by shingle, map-side combined)
+    * → keep only shingles with df ≥ 2 — the duplicated minority, usually
+    * a small fraction of the shingle vocabulary — and join that reduced
+    * relation back to the shingle rows before the per-doc count (second
+    * shuffle keyed by doc). Documents with zero duplicated shingles never
+    * reach the join; the final left join restores them at fraction 0.
+    *
+    * df counts *documents* (shingles are distinct within a doc), so a
+    * span repeated many times inside one document does not flag it —
+    * that within-doc signal is [[TextAnalysis.repetitionProfile]]. */
+  def shingleDupStats(docs: DataFrame, n: Int = 5, dropAbove: Double = 0.7,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shingles = wordShingles(docs, n, idCol, textCol)
+    val dupShingles = shingles.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gram"))
+    val perDocTotal = shingles.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val perDocDup = shingles.join(dupShingles, Seq("gram"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_shingles"))
+    perDocTotal.join(perDocDup, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_shingles"),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_shingles") / col("n_shingles"), 6))
+      .withColumn("keep", col("dup_fraction") <= dropAbove)
+  }
+
   /** MinHash signatures: numHashes columns h0..h{n-1}, each the min seeded
     * hash over the doc's shingle set. */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 8,

@@ -174,4 +174,83 @@ object TextAnalysis {
         langFromWords(w).as("lang_guess"),
         md5(Dedup.normalize(text)).as("fingerprint"))
   }
+
+  /** Normalized words exploded to (id, w) rows, empties dropped. */
+  private def explodedWords(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+
+  /** Within-document repetition metrics (Gopher-style quality signals):
+    * word count, distinct-word ratio, the most-frequent word's share of
+    * all words, and the duplicated-bigram share. Documents whose
+    * normalized text is empty yield no row (they have no words).
+    *
+    * Shape: explode → two-phase aggregation ((id, gram) counts combine
+    * map-side, then per-doc rollup), NOT a per-row O(words²)
+    * higher-order-function lambda — a 1 MB document stays linear, and the
+    * wide explode never crosses an exchange un-aggregated. */
+  def repetitionProfile(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = explodedWords(docs, idCol, textCol)
+    val wordStats = words.groupBy(col("id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("c")).as("top_c"))
+    val bigramStats = docs
+      .withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol).as("id"), explode(transform(
+        sequence(lit(0), size(col("__w")) - 2),
+        i => concat_ws(" ",
+          element_at(col("__w"), i + 1), element_at(col("__w"), i + 2))))
+        .as("b"))
+      .groupBy(col("id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    // left join: a one-word doc has words but no bigrams — dup share 0
+    wordStats.join(bigramStats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_words"), col("n_distinct_words"),
+        round(col("n_distinct_words") / col("n_words"), 6)
+          .as("distinct_word_ratio"),
+        round(col("top_c") / col("n_words"), 6).as("top_word_share"),
+        coalesce(
+          round(lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams"), 6),
+          lit(0.0)).as("dup_bigram_share"))
+  }
+
+  /** Per-document top-k salient terms by tf·idf with a LINEAR idf
+    * (idf = N/df, not ln(N/df)): ln() is transcendental and only
+    * 1-ulp-accurate (Java Math.log vs a C libm disagree), while integer
+    * ratios under IEEE division are correctly rounded everywhere — the
+    * ranking keeps tf·idf's monotonicity (increasing in tf, decreasing in
+    * df) and the scores are bit-reproducible across engines. Ties resolve
+    * by term, so the top-k is total-order deterministic.
+    *
+    * Shape: (doc, term) tf counts (one shuffle, map-side combined), term
+    * df derived FROM the tf relation (vocabulary-sized, not corpus-
+    * sized), joined back on term, then a per-doc top-k window. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val nDocs = docs.count()
+    val tf = explodedWords(docs, idCol, textCol)
+      .groupBy(col("id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("w"))
+    tf.join(df, Seq("w"))
+      .withColumn("score",
+        round(col("tf") * (lit(nDocs.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("w").as("term"),
+        col("tf"), col("df"), col("score"), col("rank"))
+  }
 }

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.ops.{Chunking, Dedup, TextAnalysis}
+
+/** Round-4 training-data-pipeline operators (SURVEY §2.10 extensions):
+  * cross-document duplicated-span scoring, within-document repetition
+  * metrics, fixed-window chunking, and tf·idf term salience — each driven
+  * through the library modules with a DuckDB oracle replicating the exact
+  * arithmetic (integer counts, correctly-rounded double ratios; no
+  * transcendental functions anywhere, so every score is bit-reproducible
+  * across engines).
+  */
+object LlmQueries2 {
+
+  // DuckDB mirror of Dedup.normalize.
+  private def normSql(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Cross-doc duplicated-shingle scoring over the corpus (word 5-grams,
+    * drop above 70% duplicated) — the repeated-span dedup signal. */
+  def dedupShingleXdoc(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingleDupStats(T.par(spark, T.t(spark, dir, "documents")), n = 5)
+      .orderBy(col("doc_id"))
+
+  /** Within-doc repetition metrics (Gopher-style quality signals). */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionProfile(T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
+  /** Overlapping fixed-window chunking: 64-char windows every 48 chars. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Chunking.chunkFixed(T.par(spark, T.t(spark, dir, "documents")),
+        size = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Top-3 salient terms per document by linear-idf tf·idf. */
+  def textTfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(T.par(spark, T.t(spark, dir, "documents")), k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_shingle_xdoc" -> (dedupShingleXdoc _),
+    "text_repetition" -> (textRepetition _),
+    "doc_chunks" -> (docChunks _),
+    "text_tfidf_topk" -> (textTfidfTopk _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_shingle_xdoc" ->
+      s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+         |           FROM documents),
+         |s AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(len(ws) - 4), i -> array_to_string(ws[i + 1 : i + 5], ' ')))) AS gram
+         |  FROM w WHERE len(ws) >= 5),
+         |d AS (SELECT gram FROM (
+         |        SELECT gram, count(*) AS df FROM s GROUP BY gram) WHERE df >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY doc_id),
+         |dup AS (SELECT s.doc_id, count(*) AS n_dup FROM s JOIN d USING (gram)
+         |        GROUP BY s.doc_id)
+         |SELECT t.doc_id, t.n_shingles,
+         |  coalesce(p.n_dup, 0) AS n_dup_shingles,
+         |  round(CAST(coalesce(p.n_dup, 0) AS DOUBLE) / t.n_shingles, 6) AS dup_fraction,
+         |  (round(CAST(coalesce(p.n_dup, 0) AS DOUBLE) / t.n_shingles, 6) <= 0.7) AS keep
+         |FROM tot t LEFT JOIN dup p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM n),
+         |wf AS (SELECT * FROM w WHERE wd <> ''),
+         |wc AS (SELECT doc_id, wd, count(*) AS c FROM wf GROUP BY doc_id, wd),
+         |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |         count(*) AS n_distinct_words, max(c) AS top_c
+         |       FROM wc GROUP BY doc_id),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+         |         i -> ws[i + 1] || ' ' || ws[i + 2])) AS b
+         |       FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM n)
+         |       WHERE len(ws) >= 2),
+         |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+         |ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |         count(*) AS n_distinct_bigrams
+         |       FROM bc GROUP BY doc_id)
+         |SELECT wa.doc_id, wa.n_words, wa.n_distinct_words,
+         |  round(CAST(wa.n_distinct_words AS DOUBLE) / wa.n_words, 6) AS distinct_word_ratio,
+         |  round(CAST(wa.top_c AS DOUBLE) / wa.n_words, 6) AS top_word_share,
+         |  coalesce(round(1.0 - CAST(ba.n_distinct_bigrams AS DOUBLE) / ba.n_bigrams, 6),
+         |    0.0) AS dup_bigram_share
+         |FROM wa LEFT JOIN ba USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "doc_chunks" ->
+      """SELECT doc_id, CAST(r.range // 48 AS INTEGER) AS chunk_idx,
+        |  CAST(length(substring(text, CAST(r.range + 1 AS INTEGER), 64)) AS INTEGER) AS chunk_len,
+        |  md5(substring(text, CAST(r.range + 1 AS INTEGER), 64)) AS chunk_md5
+        |FROM documents CROSS JOIN range(0, 100000, 48) r
+        |WHERE r.range <= greatest(length(text) - 1, 0)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_tfidf_topk" ->
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM n),
+         |tf AS (SELECT doc_id, wd, count(*) AS tf FROM w WHERE wd <> ''
+         |       GROUP BY doc_id, wd),
+         |df AS (SELECT wd, count(*) AS df FROM tf GROUP BY wd),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |s AS (SELECT tf.doc_id, tf.wd AS term, tf.tf, df.df,
+         |        round(tf.tf * ((SELECT n FROM nd) / df.df), 6) AS score
+         |      FROM tf JOIN df USING (wd)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, term) AS rk FROM s)
+         |SELECT doc_id, term, tf, df, score, CAST(rk AS INTEGER) AS rank
+         |FROM r WHERE rk <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+  )
+}

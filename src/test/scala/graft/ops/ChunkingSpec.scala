@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ChunkingSpec extends SparkSpec {
+
+  test("fixed-window chunking: offsets, overlap, short tail") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 chars
+    val out = Chunking.chunkFixed(docs, size = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    // offsets 0,3,6,9 -> abcd, defg, ghij, j
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(out.map(_.getInt(2)).toSeq == Seq(4, 4, 4, 1))
+    // overlap: chunk 0 ends with 'd', chunk 1 starts with 'd'
+    val md5d = spark.sql("SELECT md5('defg')").head().getString(0)
+    assert(out(1).getString(3) == md5d)
+  }
+
+  test("every doc yields at least one chunk, including empty text") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "xy")).toDF("doc_id", "text")
+    val out = Chunking.chunkFixed(docs, size = 8, stride = 8)
+    assert(out.count() == 2)
+    val empty = out.filter(col("doc_id") === 1).head()
+    assert(empty.getInt(2) == 0) // zero-length chunk, not a dropped doc
+  }
+
+  test("chunking is map-only: no exchange in the plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdef")).toDF("doc_id", "text")
+    val plan = Chunking.chunkFixed(docs, 4, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

@@ -165,4 +165,30 @@ class DedupSpec extends SparkSpec {
       assert(!got.contains(4L) && !got.contains(5L), s"in-window replays dropped: $got")
     } finally q.stop()
   }
+
+  test("cross-doc shingle dup stats: shared spans flagged, unique docs clean") {
+    import spark.implicits._
+    // docs 1 and 2 share the leading 6 words (two distinct 5-gram
+    // shingles); doc 3 is entirely unique; doc 4 is too short to shingle
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "one two three four five six apple banana cherry"),
+      (3L, "alpha beta gamma delta epsilon zeta eta"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.shingleDupStats(docs, n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // doc 1: 5 shingles, 2 shared with doc 2
+    assert(out(1L) == ((5L, 2L, 0.4, true)))
+    assert(out(2L) == ((5L, 2L, 0.4, true)))
+    assert(out(3L) == ((3L, 0L, 0.0, true)))
+    assert(!out.contains(4L)) // < n words: no shingles, no row
+    // near-identical docs cross the drop threshold
+    val clones = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k")).toDF("doc_id", "text")
+    val dupped = Dedup.shingleDupStats(clones, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(dupped == Map(1L -> false, 2L -> false)) // 5/6 dup > 0.7: drop both
+  }
 }

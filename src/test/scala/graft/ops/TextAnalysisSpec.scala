@@ -67,4 +67,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.columns.length == 10)
     assert(df.count() == 500)
   }
+
+  test("repetition profile: counts, top-word share, dup-bigram share") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),      // bigrams: "a a","a a","a b" -> 3 total, 2 distinct
+      (2L, "x y z"),        // no repetition at all
+      (3L, "solo")          // one word: no bigrams -> dup share 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 4 && d1.getLong(2) == 2)
+    assert(d1.getDouble(3) == 0.5)        // distinct ratio 2/4
+    assert(d1.getDouble(4) == 0.75)       // "a" is 3 of 4 words
+    assert(d1.getDouble(5) == 0.333333)   // 1 - 2/3 rounded
+    val d2 = out(2L)
+    assert(d2.getDouble(3) == 1.0 && d2.getDouble(5) == 0.0)
+    val d3 = out(3L)
+    assert(d3.getLong(1) == 1 && d3.getDouble(5) == 0.0)
+  }
+
+  test("tf-idf top-k: corpus-wide terms score low, rare terms rank first") {
+    import spark.implicits._
+    // "common" is in every doc (df=3, idf=1); each doc has a unique term
+    val docs = Seq(
+      (1L, "common rare1 rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common rare3")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1: rare1 tf=2 df=1 -> 2*(3/1)=6; common tf=2 df=3 -> 2*(3/3)=2
+    assert(out((1L, 1)) == (("rare1", 2L, 1L, 6.0)))
+    assert(out((1L, 2)) == (("common", 2L, 3L, 2.0)))
+    // doc 2: rare2 1*3=3 beats common 1*1=1
+    assert(out((2L, 1))._1 == "rare2" && out((2L, 2))._1 == "common")
+  }
 }
