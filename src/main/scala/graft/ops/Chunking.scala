@@ -29,7 +29,7 @@ object Chunking {
   def chunkFixed(docs: DataFrame, size: Int, stride: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(size > 0 && stride > 0, "size and stride must be positive")
-    val chunk = substring(col(textCol), col("__off") + 1, size)
+    val chunk = col(textCol).substr(col("__off") + 1, lit(size))
     docs
       .select(col(idCol), col(textCol),
         posexplode(sequence(lit(0),
