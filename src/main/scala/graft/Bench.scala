@@ -88,6 +88,7 @@ object Bench {
     "asof_purchase_click", "sessionize_events", "st5_session_window",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cc_clusters",
     "dedup_embedding_cosine", "sim_brute_topk", "sim_ivf_topk",
+    "sim_ivf_trained_topk",
     "text_profile", "text_ngrams", "curation_pipeline", "salted_skew_join",
     "funnel_conversion", "mm_audio_features", "q_window_running",
     "q_percentile")

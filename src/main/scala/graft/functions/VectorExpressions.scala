@@ -136,6 +136,150 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** Driver-built IVF centroid index, attached to expressions as a single
+  * reference object (`ctx.addReferenceObj`) rather than per-element
+  * literals — the plan and generated code stay O(1) in centroid count, so
+  * a 100k-centroid quantizer neither blows the constant pool nor the
+  * 64KB JIT method limit. Serializable: ships once per executor inside
+  * the task binary, like a broadcast.
+  *
+  * Arithmetic contract (must stay oracle-exact): cosine = dotFD-style
+  * left-to-right double accumulation, rounded HALF_UP to `roundTo`
+  * places exactly like Spark's `round()`; ties broken by lowest
+  * centroid id. `ids` must be sorted ascending.
+  */
+final class IvfIndex(val ids: Array[Long], vecs: Array[Array[Float]],
+    roundTo: Int) extends Serializable {
+  require(ids.length == vecs.length && ids.nonEmpty, "empty/ragged centroid set")
+
+  private val norms: Array[Double] = vecs.map { cv =>
+    var acc = 0.0; var i = 0
+    while (i < cv.length) { acc += cv(i).toDouble * cv(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+
+  def size: Int = ids.length
+
+  private def roundN(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Ids of the `topN` nearest centroids by (rounded cosine desc, id asc). */
+  def nearestCells(v: ArrayData, topN: Int): ArrayData = {
+    val n = ids.length
+    val d = v.numElements()
+    var vAcc = 0.0
+    var i = 0
+    while (i < d) { val x = v.getFloat(i).toDouble; vAcc += x * x; i += 1 }
+    val vNorm = math.sqrt(vAcc)
+    val sims = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val cv = vecs(c)
+      val m = math.min(d, cv.length)
+      var acc = 0.0
+      i = 0
+      while (i < m) { acc += v.getFloat(i).toDouble * cv(i).toDouble; i += 1 }
+      sims(c) = roundN(acc / (vNorm * norms(c)))
+      c += 1
+    }
+    val k = math.min(topN, n)
+    val out = new Array[Long](k)
+    val taken = new Array[Boolean](n)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      c = 0
+      while (c < n) {
+        // strict > keeps the earliest (lowest-id) centroid on rounded ties
+        if (!taken(c) && (best < 0 || sims(c) > sims(best))) best = c
+        c += 1
+      }
+      taken(best) = true
+      out(r) = ids(best)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Nearest-centroid assignment against a driver-built [[IvfIndex]]:
+  * returns the `topN` best cell ids as ArrayType(Long). The index rides
+  * along as one reference object, so plan size is independent of the
+  * centroid count (the fix for the lit-per-element formulation that
+  * exploded at a few thousand centroids). */
+case class NearestCells(child: Expression, index: IvfIndex, topN: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if topN > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells expects (ARRAY<FLOAT>, topN>0), got ${child.dataType.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override protected def nullSafeEval(input: Any): Any =
+    index.nearestCells(input.asInstanceOf[ArrayData], topN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("ivfIndex", index, classOf[IvfIndex].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $idx.nearestCells($a, $topN);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
+/** Sign-LSH hyperplane set as a single reference object (same plan-size
+  * rationale as [[IvfIndex]]): bit p of the bucket is sign(v·plane_p),
+  * dotFD-promoted exactly like the literal-array formulation it replaces. */
+final class PlaneSet(planes: Array[Array[Double]]) extends Serializable {
+  require(planes.nonEmpty && planes.length <= 63, "1..63 planes")
+
+  def bucket(v: ArrayData): Long = {
+    var b = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val m = math.min(v.numElements(), pl.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += v.getFloat(i).toDouble * pl(i); i += 1 }
+      if (acc >= 0) b |= (1L << p)
+      p += 1
+    }
+    b
+  }
+}
+
+/** Sign-LSH bucket id over an ArrayType(Float) column. */
+case class SignLshBucket(child: Expression, planeSet: PlaneSet)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"sign_lsh_bucket expects ARRAY<FLOAT>, got ${child.dataType.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    planeSet.bucket(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ps = ctx.addReferenceObj("planeSet", planeSet, classOf[PlaneSet].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ps.bucket($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBucket =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprint expression: min md5 over sliding windows. The
   * per-row work is a whole loop, so interpreted eval is already tight;
   * CodegenFallback keeps surrounding stages codegen'd. */
@@ -161,4 +305,8 @@ object VectorFunctions {
     shim.column(VecDot(shim.expression(a), shim.expression(b)))
   def min_window_md5(c: Column, window: Int): Column =
     shim.column(MinWindowMd5(shim.expression(c), window))
+  def nearest_cells(v: Column, index: IvfIndex, topN: Int): Column =
+    shim.column(NearestCells(shim.expression(v), index, topN))
+  def sign_lsh_bucket(v: Column, planeSet: PlaneSet): Column =
+    shim.column(SignLshBucket(shim.expression(v), planeSet))
 }

@@ -3,7 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorFunctions.vec_dot
+import graft.functions.{IvfIndex, PlaneSet}
+import graft.functions.VectorFunctions.{vec_dot, nearest_cells, sign_lsh_bucket}
 
 /** Embedding similarity search over `ArrayType(FloatType)` columns
   * (SURVEY §2.10; the `embeddings` testdata table).
@@ -61,19 +62,20 @@ object Similarity {
   }
 
   /** Deterministic hyperplanes for sign-LSH (seeded, reproducible across
-    * runs and plan rebuilds — no RNG at execution time). */
-  private[ops] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    * runs and plan rebuilds — no RNG at execution time). Exposed within
+    * graft so oracle SQL can be generated from the same constants. */
+  private[graft] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
   /** Sign-LSH bucket id: bit p = sign(v · plane_p). Vectors in the same
-    * bucket are cosine-close with high probability. */
+    * bucket are cosine-close with high probability. The plane matrix rides
+    * as ONE reference object ([[graft.functions.PlaneSet]]), not per-element
+    * literals, so plan size is O(1) in nPlanes × dim. */
   def signLshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
-    planes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    sign_lsh_bucket(vec,
+      new PlaneSet(planes(nPlanes, dim, seed).map(_.toArray).toArray))
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * (multi-probe: the exact bucket plus all hamming-1 neighbours), then
@@ -133,18 +135,81 @@ object Similarity {
     cents
   }
 
-  /** Per-centroid cosine scores as an array of (sim, -centroid_id) structs:
-    * `array_max` picks the best cell (highest sim, then lowest id — struct
-    * ordering is field-by-field, and max of -id is min id). All codegen'd:
-    * one VecDot per centroid, no shuffle, no HOF lambda in the corpus path. */
-  private def centroidScores(vec: Column, nrm: Column,
-      centroids: Array[(Long, Array[Float])], roundTo: Int): Column =
-    array(centroids.map { case (cid, cv) =>
-      val cl = array(cv.map(x => lit(x.toDouble)): _*)
-      struct(
-        round(vec_dot(vec, cl) / (nrm * sqrt(vec_dot(cl, cl))), roundTo).as("s"),
-        lit(-cid).as("nc"))
-    }: _*)
+  /** Distributed Lloyd/k-means training of IVF centroids over an
+    * `ArrayType(Float)` column — the production-quality replacement for the
+    * [[ivfCentroids]] stride-sampling stand-in.
+    *
+    * 100 TB shape, per iteration:
+    *  - ASSIGN: the same [[graft.functions.NearestCells]] reference-object
+    *    pass as [[ivfTopK]] — map-only, the centroid matrix rides in the
+    *    task binary, the corpus is scanned once and never shuffled.
+    *  - UPDATE: `groupBy(cell)` with one codegen'd `sum` per dimension plus
+    *    a count. Partial aggregation collapses each partition to ≤ k rows
+    *    before the exchange, so the shuffle carries O(partitions × k × dim)
+    *    doubles — never the corpus — and the ≤ k result rows collect to the
+    *    driver as the next centroid matrix.
+    *
+    * Initialization is content-stable (the k lowest `md5(id)` rows), so the
+    * same corpus always trains from the same seeds regardless of file order
+    * or partitioning. Assignment uses cosine (norm-invariant), making this
+    * spherical k-means; empty cells keep their previous centroid.
+    *
+    * Float-sum caveat: the per-dimension mean is a double sum in partition
+    * order, so trained centroids are deterministic for a fixed partitioning
+    * but not bit-identical across different partition layouts — train once,
+    * persist, and query via [[ivfTopKWith]] when bit-stable results matter.
+    */
+  def trainIvfCentroids(corpus: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): Array[(Long, Array[Float])] = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val seeds = corpus
+      .select(md5(col(idCol).cast("string")).as("__h"), col(vecCol))
+      .orderBy(col("__h"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(seeds.nonEmpty, "empty corpus")
+    val ids = seeds.indices.map(_.toLong).toArray
+    val dim = seeds.head.length
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val index = new IvfIndex(ids, cents, roundTo)
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("__v"), i + 1).cast("double")).as(s"__s$i"))
+      val rows = corpus
+        .select(col(vecCol).as("__v"))
+        .withColumn("__cell", nearest_cells(col("__v"), index, 1).getItem(0))
+        .groupBy(col("__cell"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        val cell = r.getLong(0).toInt
+        val n = r.getLong(1).toDouble
+        next(cell) = Array.tabulate(dim)(i => (r.getDouble(i + 2) / n).toFloat)
+      }
+      cents = next
+    }
+    ids.zip(cents)
+  }
+
+  /** Mean cosine distance (1 − cos) of every corpus vector to its assigned
+    * centroid — the training objective, for convergence monitoring. */
+  def ivfInertia(corpus: DataFrame, cents: Array[(Long, Array[Float])],
+      vecCol: String = "embedding", roundTo: Int = 6): Double = {
+    val index = new IvfIndex(cents.map(_._1), cents.map(_._2), roundTo)
+    val centDf = broadcast(
+      corpus.sparkSession.createDataFrame(
+        cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      ).toDF("__cell", "__cv"))
+    corpus
+      .select(col(vecCol).as("__v"))
+      .withColumn("__cell", nearest_cells(col("__v"), index, 1).getItem(0))
+      .join(centDf, "__cell")
+      .agg(avg(lit(1.0) - cosine(col("__v"), col("__cv"))))
+      .head().getDouble(0)
+  }
 
   /** Approximate top-k via IVF (inverted file index): assign every corpus
     * vector to its nearest centroid cell in a single map-only pass, probe
@@ -155,22 +220,34 @@ object Similarity {
     * broadcast equi-join on cell id — the corpus is scanned once and only
     * ~nProbe/nCells of it pays the exact re-rank. Complements [[lshTopK]]
     * (data-independent hyperplanes) with a data-dependent partitioner.
-    */
+    *
+    * Cell assignment is [[graft.functions.NearestCells]] over a
+    * driver-built [[graft.functions.IvfIndex]]: the centroid matrix is one
+    * reference object in the plan (NOT per-element literals), so 100k
+    * centroids cost the same plan/codegen size as 10 — the assignment
+    * kernel is a tight generated-code loop, O(cells × dim) per row with
+    * zero allocation beyond the top-N id array. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int = 3,
       centroidEvery: Long = 50, qidCol: String = "vec_id", cidCol: String = "vec_id",
       vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
     val cents = ivfCentroids(corpus, centroidEvery, cidCol, vecCol)
     require(cents.nonEmpty, s"no centroids: no $cidCol divisible by $centroidEvery")
+    ivfTopKWith(queries, corpus, cents, k, nProbe, qidCol, cidCol, vecCol, roundTo)
+  }
+
+  /** [[ivfTopK]] against an explicit centroid set — e.g. one trained with
+    * [[trainIvfCentroids]] or loaded from a previous run. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+      cents: Array[(Long, Array[Float])], k: Int, nProbe: Int = 3,
+      qidCol: String = "vec_id", cidCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+    val index = new IvfIndex(cents.map(_._1), cents.map(_._2), roundTo)
     val c = corpus.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"))
-      .withColumn("__cell",
-        -array_max(centroidScores(col("__cv"), col("__cn"), cents, roundTo)).getField("nc"))
+      .withColumn("__cell", nearest_cells(col("__cv"), index, 1).getItem(0))
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
         norm(col(vecCol)).as("__qn"))
-      .withColumn("__probe", explode(transform(
-        slice(reverse(array_sort(centroidScores(col("__qv"), col("__qn"), cents, roundTo))),
-          1, nProbe),
-        s => -s.getField("nc"))))
+      .withColumn("__probe", explode(nearest_cells(col("__qv"), index, nProbe)))
     val sim = round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), roundTo)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -183,11 +260,15 @@ object Similarity {
   }
 
   /** All pairs with cosine above a threshold (embedding near-dup detection).
-    * Exact O(n²) form — callers at scale should pre-block with
-    * [[signLshBucket]] (pass `blockByBucket = true`). */
+    *
+    * The DEFAULT is the bucket-blocked form: a sign-LSH equi-join that
+    * shuffles by bucket and never materializes the cross product — the
+    * only shape that survives a 100 TB corpus. `blockByBucket = false`
+    * opts into the exact O(n²) BNLJ baseline, for small slices and for
+    * recall measurement only. */
   def nearDupPairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      blockByBucket: Boolean = false, nPlanes: Int = 4, dim: Int = 64,
+      blockByBucket: Boolean = true, nPlanes: Int = 4, dim: Int = 64,
       roundTo: Int = 6): DataFrame = {
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       norm(col(vecCol)).as("__na")).alias("a")

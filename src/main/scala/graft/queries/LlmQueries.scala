@@ -58,8 +58,20 @@ object LlmQueries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Embedding near-dup pairs in the scale shape: sign-LSH bucket equi-join
+    * (the [[Similarity.nearDupPairs]] default), never the O(n²) cross
+    * product. The oracle replicates the bucket from the same seeded
+    * hyperplanes, so the blocked semantics are hash-checked exactly. */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(T.par(spark, T.t(spark, dir, "embeddings")), threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact all-pairs baseline on a bounded slice — ground truth for recall
+    * measurement of the blocked form; never the shape shipped at scale. */
+  def dedupEmbeddingCosineExact(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(
+      T.par(spark, T.t(spark, dir, "embeddings")).filter(col("vec_id") < 1000),
+      threshold = 0.4, blockByBucket = false)
       .orderBy(col("id_a"), col("id_b"))
 
   def simBruteTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -172,6 +184,18 @@ object LlmQueries {
       .select(col("doc_id"), col("sample_rate"), col("channels"),
         col("n_frames"), col("duration_ms"), round(col("rms"), 6).as("rms"))
       .orderBy(col("doc_id"))
+  }
+
+  /** IVF over k-means-TRAINED centroids (distributed Lloyd iterations) —
+    * no SQL oracle by design: the per-dimension mean is a float sum whose
+    * value isn't engine-portable bit-for-bit. Recall and convergence are
+    * asserted against the brute-force baseline in SimilaritySpec. */
+  def simIvfTrainedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(T.par(spark, emb), k = 10, iters = 3)
+    Similarity.ivfTopKWith(emb.filter(col("vec_id") < 10), T.par(spark, emb),
+        cents, k = 5)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Transitive near-dup clustering: embedding-cosine pairs → connected
@@ -308,10 +332,12 @@ object LlmQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_embedding_cosine_exact" -> (dedupEmbeddingCosineExact _),
     "dedup_cc_clusters" -> (dedupCcClusters _),
     "sim_brute_topk" -> (simBruteTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
+    "sim_ivf_trained_topk" -> (simIvfTrainedTopk _),
     "sample_stratified" -> (sampleStratified _),
     "text_pii_redact" -> (textPiiRedact _),
     "sketch_cardinality" -> (sketchCardinality _),
@@ -365,6 +391,16 @@ object LlmQueries {
   private def ivfCos(a: String, b: String) =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
+  /** Sign-LSH bucket replicated in SQL from the SAME seeded hyperplanes
+    * the Spark side uses (`Similarity.planes(4, 64, 42)`), so the blocked
+    * (scale-path) join semantics are oracle-checked exactly rather than
+    * downgraded to a rows-only probe. */
+  private def lshBucketSql(emb: String): String =
+    Similarity.planes(4, 64).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(CAST($emb AS DOUBLE[]), [${p.mkString(", ")}]) >= 0" +
+        s" THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   private val splitCaseSql = {
     val bounds = Curation.splitBounds(SplitWeights)
     val u = Curation.hashFractionSql("doc_id", "split")
@@ -384,9 +420,12 @@ object LlmQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_cc_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE bkt AS (
+         |  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bkt
+         |  FROM embeddings),
+         |pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id AND a.bkt = b.bkt
          |  WHERE round($cosineExpr, 6) >= 0.4
          |),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -596,9 +635,20 @@ object LlmQueries {
         |WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.55
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_embedding_cosine" ->
+      s"""WITH a AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bkt
+         |           FROM embeddings),
+         |     b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bkt
+         |           FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round($cosineExpr, 6) AS sim
+         |FROM a JOIN b ON a.vec_id < b.vec_id AND a.bkt = b.bkt
+         |WHERE round($cosineExpr, 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_cosine_exact" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round($cosineExpr, 6) AS sim
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
          |WHERE round($cosineExpr, 6) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
     "sim_brute_topk" ->

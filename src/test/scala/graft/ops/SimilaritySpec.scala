@@ -47,13 +47,13 @@ class SimilaritySpec extends SparkSpec {
 
   test("near-dup pairs: threshold filters and id_a < id_b") {
     val d = emb(1L -> Seq(1f, 0f), 2L -> Seq(0.99f, 0.01f), 3L -> Seq(0f, 1f))
-    val pairs = Similarity.nearDupPairs(d, threshold = 0.9).collect()
+    val pairs = Similarity.nearDupPairs(d, threshold = 0.9, blockByBucket = false).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
   test("bucket-blocked near-dup pairs are a high-recall subset of brute force") {
     val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
-    val brute = Similarity.nearDupPairs(e, threshold = 0.3)
+    val brute = Similarity.nearDupPairs(e, threshold = 0.3, blockByBucket = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // 1 hyperplane: P(same bucket) = 1 - θ/π ≈ 0.6 at cosine 0.3
     val blocked = Similarity.nearDupPairs(e, threshold = 0.3,
@@ -99,6 +99,48 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side should broadcast:\n$plan")
+  }
+
+  test("k-means training: right shape, lowers inertia, deterministic rerun") {
+    val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val seeds = Similarity.trainIvfCentroids(e, k = 5, iters = 0)
+    val trained = Similarity.trainIvfCentroids(e, k = 5, iters = 3)
+    assert(trained.length == 5 && trained.forall(_._2.length == 64))
+    assert(trained.map(_._1).toSeq == (0L until 5L).toSeq)
+    // Lloyd iterations must not worsen the objective
+    val i0 = Similarity.ivfInertia(e, seeds)
+    val i3 = Similarity.ivfInertia(e, trained)
+    assert(i3 <= i0 + 1e-9, s"inertia rose: $i0 -> $i3")
+    // content-stable init + fixed partitioning => identical retrain
+    val again = Similarity.trainIvfCentroids(e, k = 5, iters = 3)
+    assert(trained.map(_._2.toSeq).toSeq == again.map(_._2.toSeq).toSeq)
+  }
+
+  test("trained centroids drive ivfTopKWith at useful recall") {
+    val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, e, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.trainIvfCentroids(e, k = 5, iters = 3)
+    val ivf = Similarity.ivfTopKWith(queries, e, cents, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"trained-ivf recall $recall too low")
+  }
+
+  test("ivf plan stays O(1) in centroid count (reference-object index)") {
+    import spark.implicits._
+    val dim = 8
+    val e = (0L until 2000L)
+      .map(i => (i, Array.tabulate(dim)(j => ((i * 31 + j) % 17).toFloat - 8f)))
+      .toDF("vec_id", "embedding")
+    // 2000 centroids: the per-element lit() formulation this replaced blew
+    // past plan/codegen limits here; the IvfIndex form must stay compact.
+    val out = Similarity.ivfTopK(e.filter(col("vec_id") < 3), e, k = 3,
+      centroidEvery = 1, nProbe = 2)
+    val planLen = out.queryExecution.executedPlan.toString.length
+    assert(planLen < 100 * 1000, s"plan grew with centroid count: $planLen chars")
+    assert(out.count() > 0)
   }
 
   test("ivf centroid guard fails loudly on an unbounded centroid set") {
