@@ -61,8 +61,14 @@ object GraftApp {
       val streams = Ingest.startAll(spark, conf, eventsPath, checkpointRoot, geo)
       require(streams.nonEmpty, "no enabled sensors in config")
       val reporter = conf.reports.filter(_.enabled).map { r =>
+        // repository configured => real git publication (S11); otherwise
+        // log-only (the reference requires the repo section to publish)
+        val publisher =
+          if (r.gitConfigured)
+            new graft.report.GitPublisher(r.localDir, r.remote, r.httpBase).init()
+          else new LogPublisher
         ReportJob.stream(spark, eventsPath, reportDir,
-          s"$checkpointRoot/__report", new LogPublisher, r.periodSecs)
+          s"$checkpointRoot/__report", publisher, r.periodSecs)
       }
       println(s"[graft] ${streams.size} sensor stream(s) + " +
         s"${reporter.size} report stream(s) running")

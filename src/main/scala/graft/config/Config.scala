@@ -58,7 +58,14 @@ final case class SensorConf(
   }
 }
 
-final case class ReportsConf(enabled: Boolean, periodSecs: Int, localDir: String)
+/** `reports:` section (reference: config.example.yml:11-17 + Reporter
+  * struct, core/reporter.go:23-32): repository.local is the worktree,
+  * .remote the push target, .http the public URL base for report links. */
+final case class ReportsConf(enabled: Boolean, periodSecs: Int, localDir: String,
+    remote: String = "", httpBase: String = "") {
+  /** Git publication is configured iff a push target is present. */
+  def gitConfigured: Boolean = remote.nonEmpty && localDir.nonEmpty
+}
 
 final case class GraftConfig(
     nodeName: String,
@@ -123,7 +130,9 @@ object GraftConfig {
         val repo = Option(r.get("repository"))
           .map(_.asInstanceOf[java.util.Map[String, Object]])
         ReportsConf(bool(r, "enabled", false), int(r, "period", 3600),
-          repo.map(str(_, "local", "")).getOrElse(""))
+          repo.map(str(_, "local", "")).getOrElse(""),
+          repo.map(str(_, "remote", "")).getOrElse(""),
+          repo.map(str(_, "http", "")).getOrElse(""))
       }
 
     GraftConfig(str(root, "name", "local"), sensors.toSeq, reports)

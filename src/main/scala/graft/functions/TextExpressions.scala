@@ -22,6 +22,38 @@ object TextOps {
     }
     c
   }
+
+  /** Single-pass text normalization, semantically identical to
+    * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", " "), " +", " "))`:
+    * lowercase, then emit maximal `[a-z0-9]+` runs joined by single spaces.
+    *
+    * Equivalence argument: the inner regex maps every UTF-16 code unit
+    * outside `[a-z0-9 ]` to a space (surrogate halves each count as one
+    * unit — so does `charAt` here); the outer regex collapses space runs;
+    * trim drops the ends. Composed, that is exactly "alnum runs joined by
+    * one space". Lowercasing goes through `UTF8String.toLowerCase`, the
+    * same call Spark's `lower()` makes. One pass, no regex engine — this
+    * sits under every dedup/text-analysis operator, so it is the hottest
+    * scalar kernel in the library. */
+  def normalize(s: UTF8String): UTF8String = {
+    val lowered = s.toLowerCase.toString
+    val n = lowered.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = lowered.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        sb.append(c)
+        pendingSpace = false
+      } else {
+        pendingSpace = true
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** Codegen'd membership counter over a string array against a literal set:
@@ -60,7 +92,32 @@ case class CountInSet(child: Expression, items: Seq[String])
     copy(child = newChild)
 }
 
+/** Codegen'd [[TextOps.normalize]]: one static call in generated code in
+  * place of two regexp_replace passes. */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"normalize_text expects STRING, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextOps.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextOps.normalize($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def count_in_set(arr: Column, items: Seq[String]): Column =
     shim.column(CountInSet(shim.expression(arr), items))
+  def normalize_text(c: Column): Column =
+    shim.column(NormalizeText(shim.expression(c)))
 }

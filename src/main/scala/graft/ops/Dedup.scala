@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Text normalization for content hashing: lowercase, strip
-    * non-alphanumerics (keep spaces), collapse whitespace. */
+    * non-alphanumerics (keep spaces), collapse whitespace. A single-pass
+    * codegen kernel ([[graft.functions.NormalizeText]]) semantically
+    * identical to the two-regex formulation
+    * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", " "), " +", " "))`
+    * it replaces (equivalence is property-tested in NormalizeSpec). */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+    graft.functions.TextFunctions.normalize_text(text)
 
   /** Deterministic 60-bit hash of a string under seed `i`. */
   def hashStr(c: Column, seed: Int): Column =

@@ -15,6 +15,26 @@ class ConfigSpec extends AnyFunSuite {
       Seq("CVE-2017-9841", "XDebug", "php_files_scan", "not_a_browser"))
   }
 
+  test("reports.repository parses local/remote/http (config.example.yml:11-17)") {
+    val c = GraftConfig.fromYaml(
+      """name: n
+        |reports:
+        |  enabled: true
+        |  period: 1800
+        |  repository:
+        |    http: 'https://example.org/reports/blob/master/'
+        |    remote: 'git@example.org:reports.git'
+        |    local: '/var/log/graft/reports'
+        |""".stripMargin)
+    val r = c.reports.get
+    assert(r.enabled && r.periodSecs == 1800)
+    assert(r.localDir == "/var/log/graft/reports")
+    assert(r.remote == "git@example.org:reports.git")
+    assert(r.httpBase == "https://example.org/reports/blob/master/")
+    assert(r.gitConfigured)
+    assert(!ReportsConf(enabled = true, 3600, "").gitConfigured)
+  }
+
   test("(?i) is force-prefixed once") {
     val p = ParserConf("^abc$", "2006", Map("address" -> 1, "datetime" -> 2))
     assert(p.normalizedExpression == "(?i)^abc$")
