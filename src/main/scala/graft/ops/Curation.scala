@@ -113,4 +113,37 @@ object Curation {
 
   def countMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Sequence packing: assign each document a (shard, bin, offset) slot in
+    * fixed token-budget bins — the pretraining step that concatenates
+    * documents into context-length rows. Greedy fill in a content-stable
+    * order (md5 of the key): each doc starts at its shard's running token
+    * sum; `bin_id = start / maxTokens`; a doc that straddles a boundary is
+    * split/truncated by the downstream writer (standard packing-with-
+    * truncation semantics — no bin is left short except each shard's last).
+    *
+    * Scale shape: a GLOBAL running sum would serialize the corpus through
+    * one partition, so packing is sharded — `nShards` independent hash
+    * shards, each a `Window.partitionBy(shard)` cumulative sum, all
+    * computed in parallel after one shuffle by shard. Bins are keyed
+    * (shard, bin) so ids never collide across shards. At 100 TB with
+    * balanced md5 shards, each shard's window sees corpus/nShards rows.
+    * Deterministic: same corpus → same packing, independent of partition
+    * layout or cluster size. */
+  def packSequences(df: DataFrame, maxTokens: Long, nShards: Int = 256,
+      keyCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+    require(maxTokens > 0 && nShards > 0, "maxTokens and nShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"))
+    df
+      .withColumn("__h", md5(col(keyCol).cast("string")))
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 2), 16, 10).cast("int"), lit(nShards)))
+      .withColumn("__start",
+        coalesce(sum(col(tokensCol)).over(w) - col(tokensCol), lit(0L)))
+      .select(col(keyCol), col("shard"),
+        floor(col("__start") / maxTokens).as("bin_id"),
+        pmod(col("__start"), lit(maxTokens)).as("bin_offset"),
+        col(tokensCol))
+  }
 }

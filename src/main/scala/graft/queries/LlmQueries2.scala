@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Chunking, Dedup, TextAnalysis}
+import graft.ops.{Chunking, Curation, Dedup, TextAnalysis}
 
 /** Round-4 training-data-pipeline operators (SURVEY §2.10 extensions):
   * cross-document duplicated-span scoring, within-document repetition
@@ -41,11 +41,22 @@ object LlmQueries2 {
     TextAnalysis.tfidfTopK(T.par(spark, T.t(spark, dir, "documents")), k = 3)
       .orderBy(col("doc_id"), col("rank"))
 
+  /** Sequence packing: whitespace token counts → greedy fill of 512-token
+    * bins in content-stable order across 8 hash shards. */
+  def samplePackBins(spark: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(
+      T.par(spark, T.t(spark, dir, "documents"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      maxTokens = 512, nShards = 8)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_shingle_xdoc" -> (dedupShingleXdoc _),
     "text_repetition" -> (textRepetition _),
     "doc_chunks" -> (docChunks _),
     "text_tfidf_topk" -> (textTfidfTopk _),
+    "sample_pack_bins" -> (samplePackBins _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -97,6 +108,21 @@ object LlmQueries2 {
         |FROM documents CROSS JOIN range(0, 100000, 48) r
         |WHERE r.range <= greatest(length(text) - 1, 0)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "sample_pack_bins" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens, h,
+        |    CAST(CAST('0x' || substring(h, 1, 2) AS BIGINT) % 8 AS INTEGER) AS shard
+        |  FROM t),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0) AS strt
+        |  FROM s)
+        |SELECT doc_id, shard, strt // 512 AS bin_id, strt % 512 AS bin_offset,
+        |  n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_tfidf_topk" ->
       s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
          |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM n),

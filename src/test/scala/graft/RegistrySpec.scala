@@ -17,7 +17,10 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("oracle SQL tracks the query registry") {
-    val rowsOnly = Set("sim_lsh_topk", "sketch_cardinality")
+    // rows-only by design: LSH top-k is recall-tested vs brute force,
+    // sketch estimates aren't engine-portable, trained-IVF centroids are
+    // float means (not bit-portable) — each spec-asserted instead.
+    val rowsOnly = Set("sim_lsh_topk", "sketch_cardinality", "sim_ivf_trained_topk")
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

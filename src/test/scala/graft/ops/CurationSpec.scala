@@ -103,4 +103,33 @@ class CurationSpec extends SparkSpec {
     val m = obs.get
     assert(m("total_rows") == 100L && m("kept_rows") == 25L)
   }
+
+  test("sequence packing: contiguous shard fill, slot arithmetic, partition-invariant") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, 1 + (i % 37).toInt))
+      .toDF("doc_id", "n_tokens")
+    val packed = Curation.packSequences(docs, maxTokens = 100, nShards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(packed.length == 400)
+    // slot arithmetic: start = bin_id*max + offset; offset < max
+    packed.foreach { case (_, _, bin, off, _) =>
+      assert(off >= 0 && off < 100 && bin >= 0)
+    }
+    // per shard, starts are the exact running sum of token counts: sorted
+    // by start, each doc begins where the previous ended
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val byStart = rows.map { case (_, _, bin, off, n) => (bin * 100 + off, n) }
+        .sortBy(_._1)
+      byStart.scanLeft(0L) { case (expect, (start, n)) =>
+        assert(start == expect, s"gap: doc starts at $start, expected $expect")
+        expect + n
+      }
+    }
+    // content-stable: identical packing on any partition layout
+    val again = Curation.packSequences(docs.repartition(13), 100, 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(packed.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }

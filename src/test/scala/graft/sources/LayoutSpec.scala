@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
@@ -16,6 +17,14 @@ class LayoutSpec extends SparkSpec {
   test("bucketed tables join and aggregate with zero exchange") {
     spark.sql("DROP TABLE IF EXISTS ev_bucketed")
     spark.sql("DROP TABLE IF EXISTS users_bucketed")
+    // a previous JVM's in-memory catalog is gone but its warehouse dirs
+    // survive; CTAS refuses to reuse the location
+    Seq("ev_bucketed", "users_bucketed").foreach { t =>
+      val p = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete(_))
+    }
     val events = graft.T.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_type"), col("value"))
     Layout.writeBucketed(events, "ev_bucketed", Seq("user_id"), 4, Seq("user_id"))
