@@ -307,6 +307,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Fixed word-window span segmentation of the normalized text:
+    * (id, span_idx, span) rows, where span `i` is words
+    * `[i*spanWords, (i+1)*spanWords)` joined by single spaces. The last
+    * span of a document may be shorter. Map-only (normalize + split +
+    * posexplode; no shuffle). */
+  def spanSegments(docs: DataFrame, spanWords: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__w", split(normalize(col(textCol)), " "))
+      .select(col(idCol).as("id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("__w")), lit(spanWords)),
+          off => array_join(slice(col("__w"), off, lit(spanWords)), " "))))
+      .select(col("id"), col("pos").cast("int").as("span_idx"),
+        col("col").as("span"))
+
+  /** Span-level exact dedup with reassembly (the C4/RefinedWeb
+    * repeated-span REMOVAL policy, at fixed word-window granularity):
+    * drop every span whose normalized content occurs in at least `minDf`
+    * distinct documents — from ALL of them — and reassemble each
+    * document from its surviving spans in order. Unlike
+    * [[shingleDupStats]] (which only scores documents), this rewrites
+    * the text, keeping the unique remainder of partially-boilerplate
+    * documents instead of dropping or keeping them whole.
+    *
+    * Spans repeated only WITHIN one document (df = 1) are kept — that
+    * signal is [[TextAnalysis.repetitionProfile]]'s.
+    *
+    * Scale shape: spans are map-only; df is a distinct-(key, doc) pass
+    * then a count per key (shuffles keyed by the 128-bit span hash,
+    * map-side combined); only the df ≥ minDf minority — boilerplate is
+    * a small fraction of the span vocabulary — joins back to the span
+    * rows; reassembly is one shuffle keyed by doc. The span text itself
+    * never shuffles twice: the df relation carries only hashes. */
+  def dropDuplicateSpans(docs: DataFrame, spanWords: Int = 20,
+      minDf: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = spanSegments(docs, spanWords, idCol, textCol)
+      .withColumn("__key", md5(col("span")))
+    val dupKeys = spans.select(col("__key"), col("id")).distinct()
+      .groupBy(col("__key")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("__key"), lit(true).as("__dup"))
+    spans.join(dupKeys, Seq("__key"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__dup").isNull,
+            struct(col("span_idx"), col("span"))))),
+          s => s.getField("span")), " ").as("kept_text"))
+      .select(col("id").as(idCol), col("n_spans"), col("n_dropped"),
+        col("kept_text"))
+  }
+
   /** Streaming exact dedup: drop re-arrivals of the same content key while
     * it is inside the watermark window. State is bounded — the key expires
     * once the watermark passes its event time (unbounded-state streaming

@@ -235,10 +235,13 @@ object TextAnalysis {
     *
     * Shape: (doc, term) tf counts (one shuffle, map-side combined), term
     * df derived FROM the tf relation (vocabulary-sized, not corpus-
-    * sized), joined back on term, then a per-doc top-k window. */
+    * sized), joined back on term, then a per-doc top-k window. The
+    * corpus size N rides the same job as a broadcast one-row aggregate
+    * (a column-less count — parquet answers it from row-group metadata)
+    * instead of a separate driver-side count() action. */
   def tfidfTopK(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val nDocs = docs.count()
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val tf = explodedWords(docs, idCol, textCol)
       .groupBy(col("id"), col("w"))
       .agg(count(lit(1)).as("tf"))
@@ -246,8 +249,10 @@ object TextAnalysis {
     val byScore = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("score").desc, col("w"))
     tf.join(df, Seq("w"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        round(col("tf") * (lit(nDocs.toDouble) / col("df")), 6))
+        round(col("tf") * (col("__n_docs") / col("df")), 6))
+      .drop("__n_docs")
       .withColumn("rank", row_number().over(byScore))
       .filter(col("rank") <= k)
       .select(col("id").as(idCol), col("w").as("term"),

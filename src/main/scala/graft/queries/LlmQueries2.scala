@@ -51,7 +51,15 @@ object LlmQueries2 {
       maxTokens = 512, nShards = 8)
       .orderBy(col("doc_id"))
 
+  /** Span-level exact dedup with reassembly: drop 20-word spans present
+    * in ≥2 documents from all of them; rebuild each doc from the rest. */
+  def dedupSpanExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicateSpans(T.par(spark, T.t(spark, dir, "documents")),
+        spanWords = 20, minDf = 2)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_exact" -> (dedupSpanExact _),
     "dedup_shingle_xdoc" -> (dedupShingleXdoc _),
     "text_repetition" -> (textRepetition _),
     "doc_chunks" -> (docChunks _),
@@ -60,6 +68,24 @@ object LlmQueries2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_span_exact" ->
+      s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+         |           FROM documents),
+         |s AS (SELECT doc_id, CAST((r.range - 1) // 20 AS INTEGER) AS span_idx,
+         |        array_to_string(ws[CAST(r.range AS INTEGER) :
+         |          CAST(r.range + 19 AS INTEGER)], ' ') AS span
+         |      FROM w CROSS JOIN range(1, 100001, 20) r
+         |      WHERE r.range <= len(ws)),
+         |d AS (SELECT span FROM (
+         |        SELECT span, count(DISTINCT doc_id) AS df FROM s GROUP BY span)
+         |      WHERE df >= 2),
+         |f AS (SELECT s.doc_id, s.span_idx, s.span, (d.span IS NOT NULL) AS dup
+         |      FROM s LEFT JOIN d ON s.span = d.span)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN NOT dup THEN span END, ' '
+         |    ORDER BY span_idx), '') AS kept_text
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_shingle_xdoc" ->
       s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
          |           FROM documents),

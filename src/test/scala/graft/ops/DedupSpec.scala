@@ -191,4 +191,30 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(dupped == Map(1L -> false, 2L -> false)) // 5/6 dup > 0.7: drop both
   }
+
+  test("span dedup drops cross-doc repeated spans, keeps the remainder in order") {
+    import spark.implicits._
+    // spanWords=3: doc 1 = [A][B], doc 2 = [A][C], doc 3 unique,
+    // doc 4 repeats its own span twice but shares it with nobody
+    val docs = Seq(
+      (1L, "one two three unique tail here"),
+      (2L, "one two three other words now"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "rep rep rep rep rep rep")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(docs, spanWords = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 1L, "unique tail here")))
+    assert(out(2L) == ((2L, 1L, "other words now")))
+    assert(out(3L) == ((2L, 0L, "alpha beta gamma delta")))
+    // within-doc repetition alone (df=1 across docs) is NOT dropped
+    assert(out(4L) == ((2L, 0L, "rep rep rep rep rep rep")))
+    // a doc whose every span is shared reassembles to the empty string
+    val boiler = Seq(
+      (1L, "same old words same old words"),
+      (2L, "same old words same old words")).toDF("doc_id", "text")
+    val all = Dedup.dropDuplicateSpans(boiler, spanWords = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(all == Map(1L -> "", 2L -> ""))
+  }
 }
