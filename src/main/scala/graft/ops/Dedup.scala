@@ -137,6 +137,24 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** (id, band, band_key) rows from a signature relation — one explode,
+    * shared by the self-join ([[lshCandidates]]) and cross-corpus
+    * ([[crossCorpusPairs]]) band joins. */
+  private def bandRows(signatures: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bandArr = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+          .as("band_key"))
+    }: _*)
+    signatures
+      .select(col("id"), explode(bandArr).as("__bk"))
+      .select(col("id"), col("__bk").getField("band").as("band"),
+        col("__bk").getField("band_key").as("band_key"))
+  }
+
   /** LSH candidate pairs: docs sharing at least one band of `rowsPerBand`
     * consecutive signature components. Output (id_a < id_b) distinct.
     *
@@ -150,17 +168,7 @@ object Dedup {
     * exchange reuse collapses that to a single pass. */
   def lshCandidates(signatures: DataFrame, numHashes: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
-    val nBands = numHashes / rowsPerBand
-    val bandArr = array((0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",",
-          (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-          .as("band_key"))
-    }: _*)
-    val bands = signatures
-      .select(col("id"), explode(bandArr).as("__bk"))
-      .select(col("id"), col("__bk").getField("band").as("band"),
-        col("__bk").getField("band_key").as("band_key"))
+    val bands = bandRows(signatures, numHashes, rowsPerBand)
     val l = bands.select(col("band"), col("band_key"), col("id").as("id_a"))
     val r = bands.select(col("band"), col("band_key"), col("id").as("id_b"))
     l.join(r, Seq("band", "band_key"))
@@ -305,6 +313,63 @@ object Dedup {
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Cross-corpus near-duplicate pairs: (corpus_id, probe_id, jaccard)
+    * for every corpus document whose shingle-set Jaccard against some
+    * probe document reaches `threshold` — the train/test DECONTAMINATION
+    * primitive (flag training docs that near-duplicate an eval-set
+    * document). Same signature→band→verify pipeline as
+    * [[minHashLshPairs]], but the band join is corpus × probes instead
+    * of a self-join, so cost scales with the probe set: the probe side
+    * of the band join and the verification joins is |probes|-sized
+    * (eval sets are tiny next to a training corpus — Catalyst/AQE
+    * broadcasts it), and the corpus is never self-paired. */
+  def crossCorpusPairs(corpus: DataFrame, probes: DataFrame,
+      threshold: Double, numHashes: Int = 8, rowsPerBand: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cBands = bandRows(minhashSignatures(corpus, numHashes, idCol, textCol),
+      numHashes, rowsPerBand)
+    val pBands = bandRows(minhashSignatures(probes, numHashes, idCol, textCol),
+      numHashes, rowsPerBand)
+    val cand = cBands
+      .select(col("band"), col("band_key"), col("id").as("corpus_id"))
+      .join(pBands.select(col("band"), col("band_key"), col("id").as("probe_id")),
+        Seq("band", "band_key"))
+      .select(col("corpus_id"), col("probe_id"))
+      .distinct()
+    val cGrams = explodedShingles(corpus, idCol, textCol)
+    val pGrams = explodedShingles(probes, idCol, textCol)
+    val cSizes = cGrams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val pSizes = pGrams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(cGrams.select(col("id").as("corpus_id"), col("gram")), Seq("corpus_id"))
+      .join(pGrams.select(col("id").as("probe_id"), col("gram").as("gram_b")),
+        Seq("probe_id"))
+      .filter(col("gram") === col("gram_b"))
+      .groupBy(col("corpus_id"), col("probe_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cSizes.select(col("id").as("corpus_id"), col("sz").as("sz_a")),
+        Seq("corpus_id"))
+      .join(pSizes.select(col("id").as("probe_id"), col("sz").as("sz_b")),
+        Seq("probe_id"))
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("probe_id"), col("jaccard"))
+  }
+
+  /** Decontaminate a training corpus against an eval/benchmark probe
+    * set: drop every corpus document flagged by [[crossCorpusPairs]].
+    * The probe set itself is never modified. */
+  def decontaminate(corpus: DataFrame, probes: DataFrame,
+      threshold: Double, numHashes: Int = 8, rowsPerBand: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val contaminated = crossCorpusPairs(corpus, probes, threshold,
+        numHashes, rowsPerBand, idCol, textCol)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Fixed word-window span segmentation of the normalized text:

@@ -20,13 +20,22 @@ object LlmQueries {
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
   private def hashSql(seed: Int, e: String) =
     s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
-  private val gramsCte =
-    s"""grams AS (
+  private def gramsCteFor(name: String, pred: String) =
+    s"""$name AS (
        |  SELECT doc_id AS id, g.gram
        |  FROM documents,
        |       unnest(list_distinct(string_split(${normSql("text")}, ' '))) AS g(gram)
-       |  WHERE g.gram <> '' AND doc_id < 500
+       |  WHERE g.gram <> '' AND $pred
        |)""".stripMargin
+  private val gramsCte = gramsCteFor("grams", "doc_id < 500")
+  private val sigCols =
+    (0 until 8).map(i => s"min(${hashSql(i, "gram")}) AS h$i").mkString(",\n    ")
+  private val bandCase =
+    """CASE r.range
+      |      WHEN 0 THEN h0 || ',' || h1
+      |      WHEN 1 THEN h2 || ',' || h3
+      |      WHEN 2 THEN h4 || ',' || h5
+      |      ELSE h6 || ',' || h7 END""".stripMargin
 
   def dedupExactPrefix(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(T.t(spark, dir, "documents"),
@@ -321,7 +330,22 @@ object LlmQueries {
         max(col("quality")).as("max_quality"))
       .orderBy(col("source"))
 
+  /** Train/test decontamination pairs: even-id docs as the training
+    * corpus, odd-id docs as the eval probe set (same bounded slice as
+    * the self-join minhash query, for the same Θ(n²)-density reason) —
+    * every corpus doc near-duplicating a probe doc at Jaccard ≥ 0.5. */
+  def deconCrossPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents").filter(col("doc_id") < 500)
+    Dedup.crossCorpusPairs(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), threshold = 0.5)
+      .select(col("corpus_id"), col("probe_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("corpus_id"), col("probe_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decon_cross_pairs" -> (deconCrossPairs _),
     "text_facets" -> (textFacets _),
     "sessionize_events" -> (sessionizeEvents _),
     "salted_hot_key_agg" -> (saltedHotKeyAgg _),
@@ -551,6 +575,33 @@ object LlmQueries {
          |GROUP BY 1
          |HAVING count(*) > 1
          |ORDER BY content_key""".stripMargin,
+    "decon_cross_pairs" ->
+      s"""WITH ${gramsCteFor("gc", "doc_id < 500 AND doc_id % 2 = 0")},
+         |${gramsCteFor("gp", "doc_id < 500 AND doc_id % 2 = 1")},
+         |sc AS (SELECT id, $sigCols FROM gc GROUP BY id),
+         |sp AS (SELECT id, $sigCols FROM gp GROUP BY id),
+         |bc AS (SELECT id, r.range AS band, $bandCase AS band_key
+         |       FROM sc CROSS JOIN range(4) r),
+         |bp AS (SELECT id, r.range AS band, $bandCase AS band_key
+         |       FROM sp CROSS JOIN range(4) r),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS corpus_id, b.id AS probe_id
+         |  FROM bc a JOIN bp b ON a.band = b.band AND a.band_key = b.band_key),
+         |szc AS (SELECT id, count(*) AS sz FROM gc GROUP BY id),
+         |szp AS (SELECT id, count(*) AS sz FROM gp GROUP BY id),
+         |inter AS (
+         |  SELECT c.corpus_id, c.probe_id, count(*) AS i
+         |  FROM cand c
+         |  JOIN gc ga ON ga.id = c.corpus_id
+         |  JOIN gp gb ON gb.id = c.probe_id AND gb.gram = ga.gram
+         |  GROUP BY c.corpus_id, c.probe_id)
+         |SELECT i.corpus_id, i.probe_id,
+         |  round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
+         |FROM inter i
+         |JOIN szc sa ON sa.id = i.corpus_id
+         |JOIN szp sb ON sb.id = i.probe_id
+         |WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5
+         |ORDER BY corpus_id, probe_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $gramsCte,
          |sig AS (

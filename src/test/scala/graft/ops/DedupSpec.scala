@@ -192,6 +192,24 @@ class DedupSpec extends SparkSpec {
     assert(dupped == Map(1L -> false, 2L -> false)) // 5/6 dup > 0.7: drop both
   }
 
+  test("cross-corpus decontamination flags corpus docs near-duplicating probes") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"word$i").mkString(" ") + " extra token"
+    val clean = (1 to 40).map(i => s"other$i").mkString(" ")
+    val corpus = docs(1L -> nearDup, 2L -> clean)
+    val probes = docs(10L -> base)
+    val pairs = Dedup.crossCorpusPairs(corpus, probes, threshold = 0.7).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+    assert(pairs.head.getAs[Double]("jaccard") > 0.9)
+    // the probe corpus is never self-paired: identical docs WITHIN the
+    // corpus are not flagged unless they also match a probe
+    val c2 = docs(1L -> clean, 2L -> clean)
+    assert(Dedup.crossCorpusPairs(c2, probes, threshold = 0.7).isEmpty)
+    val kept = Dedup.decontaminate(corpus, probes, threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("span dedup drops cross-doc repeated spans, keeps the remainder in order") {
     import spark.implicits._
     // spanWords=3: doc 1 = [A][B], doc 2 = [A][C], doc 3 unique,
