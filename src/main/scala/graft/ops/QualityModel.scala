@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality classification — the trained-filter
+  * stage of a pretraining curation pipeline (the DCLM / FineWeb-edu
+  * shape: a cheap linear classifier over hashed bag-of-words features,
+  * applied corpus-wide after heuristic gates).
+  *
+  * Scale shapes:
+  *  - featurization is map-only per word + ONE shuffle keyed by
+  *    (doc, bucket) with map-side combine — the exchange carries the
+  *    sparse feature relation, never the text;
+  *  - scoring is one aggregation over the feature relation; the weight
+  *    vector rides the plan as a single array [[lit]]eral (constant plan
+  *    size in `dim`, the same discipline as the IVF centroid fix);
+  *  - training is batch gradient descent: per iteration one margin
+  *    aggregation and one per-bucket gradient aggregation (both
+  *    map-side combined), with only the `dim`-sized gradient vector
+  *    ever collected to the driver — the corpus itself never moves.
+  *
+  * Feature hashing is md5-based ([[Dedup.hashStr]]) — deterministic
+  * across runs, engines, and partitionings. Training involves float
+  * sums whose partition order varies, so learned weights are
+  * run-deterministic only to float-sum reordering; the spec asserts
+  * separability/accuracy, and engine-parity is checked through the
+  * integer-weight scoring variant whose arithmetic is exact.
+  */
+object QualityModel {
+
+  /** Sparse hashed bag-of-words features: (id, bucket, n) rows, where
+    * bucket = md5-hash(word) mod dim and n is the word's in-document
+    * count. Documents whose normalized text is empty yield no rows. */
+  def hashedFeatures(docs: DataFrame, dim: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    docs.select(col(idCol).as("id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("id"),
+        pmod(Dedup.hashStr(col("w"), 77), lit(dim.toLong)).as("bucket"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Map-only logistic scoring: margin = bias + Σ n·w[bucket] and
+    * p_keep = sigmoid(margin) per document. Weights are embedded as one
+    * array literal — plan size is constant in `dim`. */
+  def scoreLogistic(docs: DataFrame, weights: Array[Double], bias: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = lit(weights)
+    hashedFeatures(docs, weights.length, idCol, textCol)
+      .groupBy(col("id"))
+      .agg(sum(col("n") * element_at(w, (col("bucket") + 1).cast("int")))
+        .as("__m"))
+      .select(col("id").as(idCol),
+        (col("__m") + lit(bias)).as("margin"),
+        (lit(1.0) / (lit(1.0) + exp(-(col("__m") + lit(bias))))).as("p_keep"))
+  }
+
+  /** Batch-gradient logistic regression over hashed features. `docs`
+    * must carry a 0/1 `labelCol`. Per iteration: margins under the
+    * current weights (one aggregation), per-bucket gradients (one
+    * aggregation; the bias gradient rides along as pseudo-bucket -1),
+    * and a `dim`-bounded collect for the driver-side update — `dim` is
+    * capped so that collect can never become a corpus-sized action.
+    * Returns (weights, bias). */
+  def trainLogistic(docs: DataFrame, dim: Int = 4096, iters: Int = 10,
+      lr: Double = 0.5, l2: Double = 0.0, idCol: String = "doc_id",
+      labelCol: String = "label", textCol: String = "text"): (Array[Double], Double) = {
+    require(dim > 0 && dim <= (1 << 20),
+      s"dim=$dim out of range: the per-iteration collect is dim-sized")
+    require(iters > 0, "iters must be positive")
+    val feats = hashedFeatures(docs, dim, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = docs.select(col(idCol).as("id"),
+        col(labelCol).cast("double").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = labels.count().toDouble
+      // bias as pseudo-bucket -1 with n=1: its gradient row comes out of
+      // the same aggregation as the weight gradients (one collect/iter)
+      val featsB = feats.unionByName(
+        labels.select(col("id"), lit(-1L).as("bucket"), lit(1L).as("n")))
+      val w = Array.fill(dim)(0.0)
+      var b = 0.0
+      for (_ <- 0 until iters) {
+        val wLit = lit(w)
+        val margins = feats.groupBy(col("id"))
+          .agg(sum(col("n") * element_at(wLit, (col("bucket") + 1).cast("int")))
+            .as("m"))
+        val resid = labels.join(margins, Seq("id"), "left")
+          .select(col("id"),
+            (lit(1.0) / (lit(1.0) + exp(-(coalesce(col("m"), lit(0.0)) + lit(b))))
+              - col("y")).as("r"))
+        val grads = featsB.join(resid, Seq("id"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("n") * col("r")).as("g"))
+          .collect()
+        grads.foreach { row =>
+          val k = row.getLong(0).toInt
+          val g = row.getDouble(1) / nDocs
+          if (k < 0) b -= lr * g
+          else w(k) -= lr * (g + l2 * w(k))
+        }
+      }
+      (w, b)
+    } finally { feats.unpersist(); labels.unpersist() }
+  }
+
+  /** Engine-parity scoring variant with md5-derived INTEGER weights
+    * (w[bucket] ∈ [-10, 10]): the margin is an exact integer sum —
+    * order-independent and bit-identical across engines — while the
+    * plan shape (map-only featurize → one combine shuffle → one score
+    * aggregation) is exactly [[scoreLogistic]]'s. This is what the
+    * DuckDB oracle checks; the learned-float path differs only in
+    * where the weights come from. */
+  def integerWeightScore(docs: DataFrame, dim: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hashedFeatures(docs, dim, idCol, textCol)
+      .withColumn("w",
+        pmod(Dedup.hashStr(col("bucket").cast("string"), 55), lit(21L)) - 10L)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("n") * col("w")).as("margin"))
+      .select(col("id").as(idCol), col("n_features"), col("margin"),
+        (col("margin") > 0).as("keep"))
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Chunking, Curation, Dedup, TextAnalysis}
+import graft.ops.{Chunking, Curation, Dedup, QualityModel, TextAnalysis}
 
 /** Round-4 training-data-pipeline operators (SURVEY §2.10 extensions):
   * cross-document duplicated-span scoring, within-document repetition
@@ -58,7 +58,15 @@ object LlmQueries2 {
         spanWords = 20, minDf = 2)
       .orderBy(col("doc_id"))
 
+  /** Model-based quality scoring in the engine-parity (integer-weight)
+    * form: hashed bag-of-words margin per document, dim=256. */
+  def qualityModelScore(spark: SparkSession, dir: String): DataFrame =
+    QualityModel.integerWeightScore(
+        T.par(spark, T.t(spark, dir, "documents")), dim = 256)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_model_score" -> (qualityModelScore _),
     "dedup_span_exact" -> (dedupSpanExact _),
     "dedup_shingle_xdoc" -> (dedupShingleXdoc _),
     "text_repetition" -> (textRepetition _),
@@ -67,7 +75,23 @@ object LlmQueries2 {
     "sample_pack_bins" -> (samplePackBins _),
   )
 
+  // DuckDB mirror of Dedup.hashStr (60-bit md5-prefix hash under a seed).
+  private def hashSql(seed: Int, e: String) =
+    s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
+
   val oracle: Map[String, String] = Map(
+    "quality_model_score" ->
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM n),
+         |f AS (SELECT doc_id, ${hashSql(77, "wd")} % 256 AS bucket,
+         |        count(*) AS cnt
+         |      FROM w WHERE wd <> '' GROUP BY 1, 2),
+         |s AS (SELECT doc_id, count(*) AS n_features,
+         |        CAST(sum(cnt * ((${hashSql(55, "CAST(bucket AS VARCHAR)")} % 21) - 10))
+         |          AS BIGINT) AS margin
+         |      FROM f GROUP BY doc_id)
+         |SELECT doc_id, n_features, margin, margin > 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     "dedup_span_exact" ->
       s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
          |           FROM documents),

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QualityModelSpec extends SparkSpec {
+
+  test("logistic training separates a planted vocabulary split") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    def doc(vocab: Seq[String]) =
+      (1 to 12).map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+    val good = (1 to 20).map(i => s"good$i")
+    val bad = (1 to 20).map(i => s"bad$i")
+    val rows = (1 to 60).map(i => (i.toLong, doc(good), 1)) ++
+      (61 to 120).map(i => (i.toLong, doc(bad), 0))
+    val docs = rows.toDF("doc_id", "text", "label")
+    val (w, b) = QualityModel.trainLogistic(docs, dim = 1024, iters = 15, lr = 2.0)
+    val scored = QualityModel.scoreLogistic(docs, w, b)
+    val acc = docs.join(scored, "doc_id")
+      .filter((col("p_keep") > 0.5) === (col("label") === 1))
+      .count().toDouble / 120
+    assert(acc >= 0.9, s"training-set accuracy $acc")
+    // positive docs should sit clearly above negative ones on margin
+    val mPos = scored.filter(col("doc_id") <= 60).agg(avg("margin")).head().getDouble(0)
+    val mNeg = scored.filter(col("doc_id") > 60).agg(avg("margin")).head().getDouble(0)
+    assert(mPos > mNeg, s"mean margins not separated: $mPos vs $mNeg")
+  }
+
+  test("integer-weight scoring is exact and partition-invariant") {
+    import spark.implicits._
+    val docs = (1 to 50).map(i => (i.toLong, s"alpha beta w$i gamma gamma"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      QualityModel.integerWeightScore(df, dim = 64).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+    val a = run(docs)
+    val b = run(docs.repartition(7))
+    assert(a == b, "margin must be partition-invariant (exact integer sums)")
+    assert(a.values.forall { case (nf, _, _) => nf >= 1 })
+  }
+}
