@@ -76,6 +76,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("cross-corpus decontamination join is an equi-join, never cartesian") {
+    val docs = T.t(spark, dir, "documents")
+    val p = plan(ops.Dedup.crossCorpusPairs(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), threshold = 0.5))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("span dedup: span text shuffles by hash key; no cartesian anywhere") {
+    val docs = T.t(spark, dir, "documents")
+    val p = plan(ops.Dedup.dropDuplicateSpans(docs, spanWords = 20))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("quality scoring is two hash aggregations; weights add no join") {
+    val docs = T.t(spark, dir, "documents")
+    val p = plan(ops.QualityModel.scoreLogistic(docs, Array.fill(64)(0.1), 0.0))
+    assert(!p.contains("Join"), s"literal weights must not become a join:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("ivf: probe join broadcasts the query side; no cartesian product") {
     val e = T.t(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = graft.ops.Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 3,
