@@ -165,10 +165,23 @@ object Dedup {
     * per join side — 8 corpus passes at numHashes=8. With the explode the
     * signature subtree appears once per join side (2 passes max), and when
     * the planner shuffles both sides symmetrically (sort-merge at scale)
-    * exchange reuse collapses that to a single pass. */
+    * exchange reuse collapses that to a single pass.
+    *
+    * Hot buckets are the quadratic failure mode at corpus scale: a
+    * boilerplate cluster of a million near-identical documents lands in
+    * ONE band bucket and would emit 10^12 candidate pairs. `maxBucket`
+    * > 0 drops buckets with more members than that bound before
+    * pairing (one count aggregation + anti-join on the band relation).
+    * Members of a dropped bucket can still pair through their OTHER,
+    * less degenerate bands; fully-boilerplate clusters are exact or
+    * near-exact duplicates — [[exactGroups]]' hash dedup catches those
+    * for a linear cost, which is why dropping them HERE is sound
+    * pipeline design, not silent recall loss. 0 = unguarded (exact
+    * band semantics, what the DuckDB oracle mirrors). */
   def lshCandidates(signatures: DataFrame, numHashes: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
-    val bands = bandRows(signatures, numHashes, rowsPerBand)
+      rowsPerBand: Int = 2, maxBucket: Int = 0): DataFrame = {
+    val bands = capBuckets(bandRows(signatures, numHashes, rowsPerBand),
+      Seq("band", "band_key"), maxBucket)
     val l = bands.select(col("band"), col("band_key"), col("id").as("id_a"))
     val r = bands.select(col("band"), col("band_key"), col("id").as("id_b"))
     l.join(r, Seq("band", "band_key"))
@@ -176,6 +189,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
   }
+
+  /** Drop key-group buckets holding more than `maxBucket` members
+    * before a bucket self-join. No-op when maxBucket <= 0. */
+  private def capBuckets(rows: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) rows
+    else {
+      val hot = rows.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > maxBucket)
+        .drop("__c")
+      rows.join(hot, keys, "left_anti")
+    }
 
   /** Exact Jaccard over shingle sets for the given candidate pairs only.
     *
@@ -206,10 +232,10 @@ object Dedup {
     * exact-Jaccard verification ≥ threshold. */
   def minHashLshPairs(docs: DataFrame, threshold: Double, numHashes: Int = 8,
       rowsPerBand: Int = 2, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", maxBucket: Int = 0): DataFrame =
     jaccardVerify(docs,
       lshCandidates(minhashSignatures(docs, numHashes, idCol, textCol),
-        numHashes, rowsPerBand),
+        numHashes, rowsPerBand, maxBucket),
       idCol, textCol)
       .filter(col("jaccard") >= threshold)
 
@@ -232,9 +258,11 @@ object Dedup {
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found via
     * pigeonhole banding: split the signature into maxHamming+1 chunks; any
     * pair within distance shares ≥1 identical chunk, so an equi-join on
-    * (chunk index, chunk value) finds all of them without O(n²). */
+    * (chunk index, chunk value) finds all of them without O(n²).
+    * `maxBucket` bounds degenerate chunk buckets exactly as in
+    * [[lshCandidates]]. */
   def simhashNearPairs(signatures: DataFrame, bits: Int = 16,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 0): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = bits / nChunks
     val mask = (1L << chunkBits) - 1
@@ -245,10 +273,13 @@ object Dedup {
       struct(lit(i).as("chunk"),
         shiftright(col("simhash"), i * chunkBits).bitwiseAND(lit(mask))
           .as("ck"))): _*)
-    val chunks = signatures
-      .select(col("id"), col("simhash"), explode(chunkArr).as("__c"))
-      .select(col("id"), col("simhash"),
-        col("__c").getField("chunk").as("chunk"), col("__c").getField("ck").as("ck"))
+    val chunks = capBuckets(
+      signatures
+        .select(col("id"), col("simhash"), explode(chunkArr).as("__c"))
+        .select(col("id"), col("simhash"),
+          col("__c").getField("chunk").as("chunk"),
+          col("__c").getField("ck").as("ck")),
+      Seq("chunk", "ck"), maxBucket)
     val l = chunks.select(col("chunk"), col("ck"), col("id").as("id_a"),
       col("simhash").as("sig_a"))
     val r = chunks.select(col("chunk"), col("ck"), col("id").as("id_b"),

@@ -192,6 +192,27 @@ class DedupSpec extends SparkSpec {
     assert(dupped == Map(1L -> false, 2L -> false)) // 5/6 dup > 0.7: drop both
   }
 
+  test("hot-bucket guard bounds degenerate LSH buckets, keeps normal pairs") {
+    // 30 identical boilerplate docs (every band bucket has 30 members)
+    // plus one genuine near-dup pair in a separate vocabulary
+    val boiler = (1 to 30).map(i => i.toLong -> (1 to 20).map(j => s"b$j").mkString(" "))
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"word$i").mkString(" ") + " extra token"
+    val d = docs(boiler :+ (100L -> base) :+ (101L -> nearDup): _*)
+    val sigs = Dedup.minhashSignatures(d)
+    val unguarded = Dedup.lshCandidates(sigs).count()
+    val guarded = Dedup.lshCandidates(sigs, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded >= 30L * 29 / 2, s"boilerplate cluster pairs expected: $unguarded")
+    // the 30-member buckets are dropped; the 2-member bucket survives
+    assert(guarded == Set((100L, 101L)), s"guarded candidates: $guarded")
+    // same guard on the simhash chunk join
+    val sPairs = Dedup.simhashNearPairs(Dedup.simhashSignatures(d), maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sPairs.contains((100L, 101L)) &&
+      !sPairs.exists { case (a, b) => a <= 30 && b <= 30 }, s"simhash guarded: $sPairs")
+  }
+
   test("cross-corpus decontamination flags corpus docs near-duplicating probes") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val nearDup = (1 to 38).map(i => s"word$i").mkString(" ") + " extra token"
