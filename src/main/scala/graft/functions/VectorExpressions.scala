@@ -280,6 +280,57 @@ case class SignLshBucket(child: Expression, planeSet: PlaneSet)
     copy(child = newChild)
 }
 
+/** Dense projection matrix as a single reference object (plan-size
+  * rationale of [[IvfIndex]]/[[PlaneSet]]): out[j] = Σᵢ v[i]·m[j][i],
+  * dotFD-promoted left-to-right — the fixed fold order keeps results
+  * bit-stable and oracle-exact. */
+final class ProjMatrix(rows: Array[Array[Double]]) extends Serializable {
+  require(rows.nonEmpty, "empty projection matrix")
+
+  def outDim: Int = rows.length
+
+  def project(v: ArrayData): ArrayData = {
+    val out = new Array[Double](rows.length)
+    var j = 0
+    while (j < rows.length) {
+      val r = rows(j)
+      val m = math.min(v.numElements(), r.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += v.getFloat(i).toDouble * r(i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Matrix-vector projection of an ArrayType(Float) column against a
+  * driver-built [[ProjMatrix]]. */
+case class VecProject(child: Expression, matrix: ProjMatrix)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"vec_project expects ARRAY<FLOAT>, got ${child.dataType.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_project"
+
+  override protected def nullSafeEval(input: Any): Any =
+    matrix.project(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("projMatrix", matrix, classOf[ProjMatrix].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $m.project($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecProject =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprint expression: min md5 over sliding windows. The
   * per-row work is a whole loop, so interpreted eval is already tight;
   * CodegenFallback keeps surrounding stages codegen'd. */
@@ -307,6 +358,8 @@ object VectorFunctions {
     shim.column(MinWindowMd5(shim.expression(c), window))
   def nearest_cells(v: Column, index: IvfIndex, topN: Int): Column =
     shim.column(NearestCells(shim.expression(v), index, topN))
+  def vec_project(v: Column, matrix: ProjMatrix): Column =
+    shim.column(VecProject(shim.expression(v), matrix))
   def sign_lsh_bucket(v: Column, planeSet: PlaneSet): Column =
     shim.column(SignLshBucket(shim.expression(v), planeSet))
 }

@@ -3,8 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{IvfIndex, PlaneSet}
-import graft.functions.VectorFunctions.{vec_dot, nearest_cells, sign_lsh_bucket}
+import graft.functions.{IvfIndex, PlaneSet, ProjMatrix}
+import graft.functions.VectorFunctions.{vec_dot, nearest_cells, sign_lsh_bucket, vec_project}
 
 /** Embedding similarity search over `ArrayType(FloatType)` columns
   * (SURVEY §2.10; the `embeddings` testdata table).
@@ -59,6 +59,35 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Seeded ±1 sign matrix (outDim × dim) for random projection —
+    * deterministic; exposed within graft so oracle SQL embeds the same
+    * constants. */
+  private[graft] def signMatrix(outDim: Int, dim: Int,
+      seed: Long = 7L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(outDim, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Johnson–Lindenstrauss sign random projection: reduce a dim-float
+    * embedding to outDim doubles, out[j] = Σᵢ v[i]·s[j][i] with seeded
+    * ±1 entries. Cosine is scale-invariant, so the conventional
+    * 1/√outDim factor is omitted and every sum stays an exact
+    * fixed-order fold (bit-stable, oracle-checkable). Map-only: the
+    * matrix rides the plan as ONE reference object
+    * ([[graft.functions.ProjMatrix]]) — plan and codegen are O(1) in
+    * outDim × dim. The 100 TB use: project once, run ANN recall
+    * experiments or coarse clustering in the reduced space at
+    * outDim/dim of the I/O and FLOPs, verify winners with full-dim
+    * cosine. */
+  def randomProject(emb: DataFrame, outDim: Int, dim: Int,
+      seed: Long = 7L, roundTo: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val m = new ProjMatrix(signMatrix(outDim, dim, seed).map(_.clone))
+    emb.select(col(idCol),
+      transform(vec_project(col(vecCol), m), x => round(x, roundTo))
+        .as("proj"))
   }
 
   /** Deterministic hyperplanes for sign-LSH (seeded, reproducible across

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Chunking, Curation, Dedup, QualityModel, TextAnalysis}
+import graft.ops.{Chunking, Curation, Dedup, QualityModel, Similarity, TextAnalysis}
 
 /** Round-4 training-data-pipeline operators (SURVEY §2.10 extensions):
   * cross-document duplicated-span scoring, within-document repetition
@@ -65,7 +65,14 @@ object LlmQueries2 {
         T.par(spark, T.t(spark, dir, "documents")), dim = 256)
       .orderBy(col("doc_id"))
 
+  /** JL sign random projection of the embedding corpus: 64 → 8 dims. */
+  def embSignProject(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(T.par(spark, T.t(spark, dir, "embeddings")),
+        outDim = 8, dim = 64)
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_sign_project" -> (embSignProject _),
     "quality_model_score" -> (qualityModelScore _),
     "dedup_span_exact" -> (dedupSpanExact _),
     "dedup_shingle_xdoc" -> (dedupShingleXdoc _),
@@ -80,6 +87,17 @@ object LlmQueries2 {
     s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "emb_sign_project" -> {
+      // the same seeded ±1 matrix the Spark expression carries
+      val m = Similarity.signMatrix(8, 64)
+      val elems = m.map(r =>
+        "round(list_dot_product(CAST(embedding AS DOUBLE[]), [" +
+          r.map(v => if (v > 0) "1.0" else "-1.0").mkString(",") +
+          "]), 6)").mkString(",\n    ")
+      s"""SELECT vec_id, [
+         |    $elems] AS proj
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
     "quality_model_score" ->
       s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
          |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM n),

@@ -155,4 +155,25 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfCentroids(e, every = 10).map(_._1).toSeq ==
       (0L until 300L by 10).toSeq)
   }
+
+  test("sign random projection: one-hot rows recover matrix columns exactly") {
+    val dim = 16
+    val m = Similarity.signMatrix(outDim = 4, dim = dim)
+    // one-hot vector e_i projects to (m(0)(i), m(1)(i), m(2)(i), m(3)(i))
+    val oneHots = (0 until dim).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => if (j == i) 1f else 0f))
+    }
+    val out = Similarity.randomProject(emb(oneHots: _*), outDim = 4, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    (0 until dim).foreach { i =>
+      assert(out(i.toLong) == (0 until 4).map(j => m(j)(i)),
+        s"column $i mismatch")
+    }
+    // partition-invariant (fixed-order fold per row, no shuffle involved)
+    val v = emb(oneHots: _*)
+    val a = Similarity.randomProject(v, 4, dim).collect().map(_.toSeq).toSet
+    val b = Similarity.randomProject(v.repartition(5), 4, dim)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
