@@ -315,4 +315,44 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
+    * k-means cluster — train spherical k-means, compare pairs only
+    * WITHIN a cell, drop every member whose cosine to a lower-id
+    * cell-mate reaches `threshold`. Returns the surviving rows.
+    *
+    * Versus [[nearDupPairs]]' sign-LSH blocking: the cells are
+    * data-dependent, adapting to corpus density (dense regions split
+    * across many cells, keeping per-cell pair counts bounded where
+    * oblivious hyperplanes would overload one bucket). Scale shape:
+    * map-only cell assignment against the [[graft.functions.IvfIndex]]
+    * reference object, ONE equi-join shuffle keyed by cell — never a
+    * cross product across cells; per-cell cost is O(cellSize²), sized
+    * by k. */
+  def semanticDedup(emb: DataFrame, threshold: Double, k: Int = 64,
+      iters: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 6): DataFrame =
+    semanticDedupWith(emb, trainIvfCentroids(emb, k, iters, idCol, vecCol, roundTo),
+      threshold, idCol, vecCol, roundTo)
+
+  /** [[semanticDedup]] against an explicit (trained/persisted) centroid
+    * set. */
+  def semanticDedupWith(emb: DataFrame, cents: Array[(Long, Array[Float])],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+    val index = new IvfIndex(cents.map(_._1), cents.map(_._2), roundTo)
+    val cell = emb.select(col(idCol), col(vecCol))
+      .withColumn("__cell", nearest_cells(col(vecCol), index, 1).getItem(0))
+    val a = cell.select(col("__cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), norm(col(vecCol)).as("__na"))
+    val b = cell.select(col("__cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), norm(col(vecCol)).as("__nb"))
+    val drops = a.join(b, Seq("__cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")),
+        roundTo) >= threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    emb.join(drops, Seq(idCol), "left_anti")
+  }
 }

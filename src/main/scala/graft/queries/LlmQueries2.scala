@@ -71,7 +71,19 @@ object LlmQueries2 {
         outDim = 8, dim = 64)
       .orderBy(col("vec_id"))
 
+  /** SemDeDup over the embedding corpus: trained k-means cells, in-cell
+    * cosine ≥ 0.4 (the corpus's near-dup band, same threshold as
+    * `dedup_embedding_cosine`) drops the higher id. Rows-only (trained
+    * centroids are float means — not engine-portable); semantics
+    * spec-asserted. */
+  def simSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(
+        T.par(spark, T.t(spark, dir, "embeddings")), threshold = 0.4, k = 16)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_semantic_dedup" -> (simSemanticDedup _),
     "emb_sign_project" -> (embSignProject _),
     "quality_model_score" -> (qualityModelScore _),
     "dedup_span_exact" -> (dedupSpanExact _),

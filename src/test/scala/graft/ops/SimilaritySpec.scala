@@ -156,6 +156,20 @@ class SimilaritySpec extends SparkSpec {
       (0L until 300L by 10).toSeq)
   }
 
+  test("semantic dedup keeps one representative per clone group") {
+    // three exact-clone groups in well-separated directions + singletons
+    def unit(dir: Int): Seq[Float] = Seq.tabulate(8)(i => if (i == dir) 1f else 0f)
+    val rows =
+      Seq(1L, 10L, 20L).map(_ -> unit(0)) ++   // clone group A
+      Seq(2L, 11L).map(_ -> unit(1)) ++        // clone group B
+      Seq(3L -> unit(2), 4L -> unit(3))        // singletons
+    val kept = Similarity.semanticDedup(emb(rows: _*), threshold = 0.95,
+        k = 4, iters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // identical vectors always share a cell: one survivor per group
+    assert(kept == Set(1L, 2L, 3L, 4L), s"survivors: $kept")
+  }
+
   test("sign random projection: one-hot rows recover matrix columns exactly") {
     val dim = 16
     val m = Similarity.signMatrix(outDim = 4, dim = dim)
