@@ -146,4 +146,48 @@ object Curation {
         pmod(col("__start"), lit(maxTokens)).as("bin_offset"),
         col(tokensCol))
   }
+
+  /** Exact per-source token-budget sampling — build a training mix by
+    * taking documents from each source, in a content-stable order, until
+    * that source's token budget is EXACTLY respected (every kept prefix
+    * sums ≤ budget; the straddling document and everything after it are
+    * dropped — prefix semantics, not a knapsack). Sources absent from
+    * `budgets` are dropped entirely. Rate-based sampling
+    * ([[sampleStratified]]) only hits a budget in expectation; this hits
+    * it deterministically, which is what a curriculum/mix spec needs.
+    *
+    * Scale shape: the same sharded-cumsum trick as [[packSequences]] —
+    * a global per-source running sum would serialize each source
+    * through one partition, so the order is (shard, md5) with
+    * per-shard parallel cumulative sums, stitched into a global
+    * position by adding the (sources × nShards)-sized shard-prefix
+    * offsets. One shuffle keyed (source, shard) + one tiny window.
+    * Deterministic and partition-invariant. */
+  def sampleTokenBudget(docs: DataFrame, budgets: Map[String, Long],
+      nShards: Int = 256, idCol: String = "doc_id",
+      sourceCol: String = "source", tokensCol: String = "n_tokens"): DataFrame = {
+    require(budgets.nonEmpty && nShards > 0, "need budgets and positive shards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = broadcast(budgets.toSeq.toDF(sourceCol, "__budget"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol), col("__shard")).orderBy(col("__h"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("__shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = docs
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__shard",
+        pmod(conv(substring(col("__h"), 1, 2), 16, 10).cast("int"), lit(nShards)))
+      .withColumn("__cum", sum(col(tokensCol)).over(wIn))
+    val offsets = cum.groupBy(col(sourceCol), col("__shard"))
+      .agg(sum(col(tokensCol)).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select(col(sourceCol), col("__shard"), col("__off"))
+    cum.join(offsets, Seq(sourceCol, "__shard"))
+      .join(b, Seq(sourceCol))
+      .filter(col("__off") + col("__cum") <= col("__budget"))
+      .select(col(idCol), col(sourceCol), col(tokensCol),
+        (col("__off") + col("__cum")).as("budget_pos"))
+  }
 }

@@ -82,7 +82,22 @@ object LlmQueries2 {
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
 
+  // Mix spec for sample_token_budget: even sources 300 tokens, odd 100;
+  // src19 deliberately unbudgeted (dropped). Shared with the oracle SQL.
+  private val mixBudgets: Seq[(String, Long)] =
+    (0 until 19).map(i => s"src$i" -> (if (i % 2 == 0) 300L else 100L))
+
+  /** Exact token-budget mix sampling over the documents corpus. */
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Curation.sampleTokenBudget(
+      T.par(spark, T.t(spark, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      budgets = mixBudgets.toMap, nShards = 8)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_token_budget" -> (sampleTokenBudget _),
     "sim_semantic_dedup" -> (simSemanticDedup _),
     "emb_sign_project" -> (embSignProject _),
     "quality_model_score" -> (qualityModelScore _),
@@ -99,6 +114,33 @@ object LlmQueries2 {
     s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "sample_token_budget" -> {
+      val budgetRows = mixBudgets
+        .map { case (s, t) => s"('$s', CAST($t AS BIGINT))" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |s AS (SELECT *, CAST(CAST('0x' || substring(h, 1, 2) AS BIGINT) % 8
+         |        AS INTEGER) AS shard FROM t),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard
+         |        ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        AS cum FROM s),
+         |o AS (SELECT source, shard, sum(n_tokens) AS tot FROM s
+         |      GROUP BY source, shard),
+         |o2 AS (SELECT source, shard,
+         |        coalesce(sum(tot) OVER (PARTITION BY source ORDER BY shard
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |       FROM o),
+         |b AS (SELECT * FROM (VALUES $budgetRows) AS v(source, budget))
+         |SELECT c.doc_id, c.source, c.n_tokens,
+         |  CAST(c.cum + o2.off AS BIGINT) AS budget_pos
+         |FROM c
+         |JOIN o2 ON c.source = o2.source AND c.shard = o2.shard
+         |JOIN b ON c.source = b.source
+         |WHERE c.cum + o2.off <= b.budget
+         |ORDER BY doc_id""".stripMargin
+    },
     "emb_sign_project" -> {
       // the same seeded ±1 matrix the Spark expression carries
       val m = Similarity.signMatrix(8, 64)

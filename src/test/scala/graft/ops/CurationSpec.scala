@@ -104,6 +104,34 @@ class CurationSpec extends SparkSpec {
     assert(m("total_rows") == 100L && m("kept_rows") == 25L)
   }
 
+  test("token-budget sampling: exact prefix budgets, drops unbudgeted sources") {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, s"s${i % 3}", 10 + (i % 7).toInt))
+      .toDF("doc_id", "source", "n_tokens")
+    val budgets = Map("s0" -> 200L, "s1" -> 55L) // s2 unbudgeted
+    val kept = Curation.sampleTokenBudget(docs, budgets, nShards = 4)
+    val bySource = kept.groupBy("source")
+      .agg(sum("n_tokens").as("t"), max("budget_pos").as("maxPos"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!bySource.contains("s2"), "unbudgeted source must be dropped")
+    budgets.foreach { case (s, budget) =>
+      val (t, maxPos) = bySource(s)
+      assert(t <= budget, s"$s over budget: $t > $budget")
+      assert(t == maxPos, s"$s: budget_pos must equal the running token sum")
+    }
+    // maximality: every dropped budgeted doc would overshoot from its
+    // global position (its prefix position exceeds the budget)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val droppedS1 = docs.filter(col("source") === "s1")
+      .collect().map(_.getLong(0)).count(id => !keptIds.contains(id))
+    assert(droppedS1 > 0, "s1's small budget must drop something")
+    // partition invariance
+    val again = Curation.sampleTokenBudget(docs.repartition(13), budgets, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == kept.collect().map(r => (r.getLong(0), r.getLong(3))).toSet)
+  }
+
   test("sequence packing: contiguous shard fill, slot arithmetic, partition-invariant") {
     import spark.implicits._
     val docs = (1L to 400L).map(i => (i, 1 + (i % 37).toInt))
