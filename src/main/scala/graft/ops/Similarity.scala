@@ -316,6 +316,63 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Contrastive training-pair mining: for each anchor, its exact
+    * nearest neighbour as the positive plus `negatives` deterministic
+    * random negatives drawn from a hash panel — the (anchor, positive,
+    * negatives...) tuples an embedding-model trainer consumes.
+    *
+    * Negative sampling never touches an anchor × corpus product: the
+    * corpus is bucketed by a 16-bit prefix of its id hash, each
+    * bucket's min-hash member survives (one parallel window pass over
+    * the corpus), and the survivors are densely indexed into a
+    * ≤`nBuckets`-row PANEL (the dense index is a single-partition
+    * window, but only over the already-reduced panel — bounded by
+    * construction — and the panel broadcasts). Each (anchor, draw)
+    * pair hashes to `index = h mod panelSize` and takes that panel
+    * member: map-only, content-stable, uniform across the panel, and
+    * no draw is ever lost to an empty bucket. A draw landing on the
+    * anchor itself is dropped; a draw may coincide with the positive —
+    * at corpus scale the probability is negligible and determinism
+    * matters more than exclusion.
+    *
+    * Output: (query_id, pair_id, sim, pair_type ∈ positive|negative,
+    * draw), sim rounded to `roundTo`. */
+  def mineContrastivePairs(anchors: DataFrame, corpus: DataFrame,
+      negatives: Int = 3, nBuckets: Int = 1 << 16,
+      qidCol: String = "vec_id", cidCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+    require(negatives > 0 && nBuckets > 0, "need positive negatives/buckets")
+    val pos = bruteForceTopK(anchors, corpus, 1, qidCol, cidCol, vecCol, roundTo)
+      .select(col("query_id"), col("neighbor_id").as("pair_id"), col("sim"),
+        lit("positive").as("pair_type"), lit(0).as("draw"))
+    val ring = corpus.select(col(cidCol).as("pair_id"), col(vecCol).as("__nv"),
+        md5(col(cidCol).cast("string")).as("__ch"))
+      .withColumn("__bucket",
+        pmod(conv(substring(col("__ch"), 1, 4), 16, 10).cast("long"),
+          lit(nBuckets.toLong)))
+    val wB = Window.partitionBy(col("__bucket")).orderBy(col("__ch"))
+    val reduced = ring
+      .withColumn("__rn", row_number().over(wB)).filter(col("__rn") === 1)
+    val panel = reduced
+      .withColumn("__idx",
+        row_number().over(Window.orderBy(col("__ch"))).cast("long") - 1)
+      .select(col("__idx"), col("pair_id"), col("__nv"))
+    val panelSize = panel.select(count(lit(1)).as("__n"))
+    val draws = anchors
+      .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("draw", explode(array((1 to negatives).map(lit(_)): _*)))
+      .crossJoin(broadcast(panelSize))
+      .withColumn("__idx",
+        pmod(Dedup.hashStr(concat(col("query_id").cast("string"), lit("|"),
+          col("draw").cast("string")), 13), col("__n")))
+    val neg = draws.join(broadcast(panel), Seq("__idx"))
+      .filter(col("query_id") =!= col("pair_id"))
+      .select(col("query_id"), col("pair_id"),
+        round(cosine(col("__qv"), col("__nv")), roundTo).as("sim"),
+        lit("negative").as("pair_type"), col("draw"))
+    pos.unionByName(neg)
+  }
+
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
     * k-means cluster — train spherical k-means, compare pairs only
     * WITHIN a cell, drop every member whose cosine to a lower-id

@@ -96,7 +96,17 @@ object LlmQueries2 {
       budgets = mixBudgets.toMap, nShards = 8)
       .orderBy(col("doc_id"))
 
+  /** Contrastive pair mining: 10 anchors, exact positive + 3 hash-panel
+    * negatives each (64-bucket panel). */
+  def mineContrastive(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    Similarity.mineContrastivePairs(
+        emb.filter(col("vec_id") < 10), emb, negatives = 3, nBuckets = 64)
+      .orderBy(col("query_id"), col("pair_type"), col("draw"), col("pair_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mine_contrastive_pairs" -> (mineContrastive _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "sim_semantic_dedup" -> (simSemanticDedup _),
     "emb_sign_project" -> (embSignProject _),
@@ -113,7 +123,48 @@ object LlmQueries2 {
   private def hashSql(seed: Int, e: String) =
     s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
 
+  // DuckDB cosine between two DOUBLE[]-cast embeddings (left-to-right
+  // fold, matching the VecDot kernel).
+  private def cosDuck(a: String, b: String) =
+    s"""(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) /
+       |   (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) *
+       |    sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "mine_contrastive_pairs" ->
+      s"""WITH ring AS (
+         |  SELECT vec_id AS pair_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS ch,
+         |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS BIGINT) % 64
+         |      AS bucket
+         |  FROM embeddings),
+         |panel AS (SELECT row_number() OVER (ORDER BY ch) - 1 AS idx,
+         |    pair_id, embedding FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY ch) AS rn
+         |    FROM ring) WHERE rn = 1),
+         |psize AS (SELECT count(*) AS n FROM panel),
+         |anchors AS (SELECT vec_id AS query_id, embedding AS qv
+         |            FROM embeddings WHERE vec_id < 10),
+         |pos AS (SELECT query_id, pair_id, sim,
+         |          'positive' AS pair_type, 0 AS draw FROM (
+         |    SELECT a.query_id, b.vec_id AS pair_id,
+         |      round(${cosDuck("a.qv", "b.embedding")}, 6) AS sim,
+         |      row_number() OVER (PARTITION BY a.query_id
+         |        ORDER BY round(${cosDuck("a.qv", "b.embedding")}, 6) DESC, b.vec_id)
+         |        AS rn
+         |    FROM anchors a JOIN embeddings b ON b.vec_id <> a.query_id)
+         |  WHERE rn = 1),
+         |draws AS (SELECT query_id, qv, CAST(d.range + 1 AS INTEGER) AS draw,
+         |    CAST('0x' || substring(md5('13|' || CAST(query_id AS VARCHAR) || '|'
+         |      || CAST(d.range + 1 AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % (SELECT n FROM psize) AS idx
+         |  FROM anchors CROSS JOIN range(3) d),
+         |neg AS (SELECT w.query_id, p.pair_id,
+         |    round(${cosDuck("w.qv", "p.embedding")}, 6) AS sim,
+         |    'negative' AS pair_type, w.draw
+         |  FROM draws w JOIN panel p USING (idx)
+         |  WHERE p.pair_id <> w.query_id)
+         |SELECT * FROM pos UNION ALL SELECT * FROM neg
+         |ORDER BY query_id, pair_type, draw, pair_id""".stripMargin,
     "sample_token_budget" -> {
       val budgetRows = mixBudgets
         .map { case (s, t) => s"('$s', CAST($t AS BIGINT))" }.mkString(", ")

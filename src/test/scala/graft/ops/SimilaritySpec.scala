@@ -156,6 +156,26 @@ class SimilaritySpec extends SparkSpec {
       (0L until 300L by 10).toSeq)
   }
 
+  test("contrastive mining: exact positive, deterministic panel negatives") {
+    def unit(dir: Int): Seq[Float] = Seq.tabulate(8)(i => if (i == dir) 1f else 0f)
+    val corpus = emb((1L -> Seq(1f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f)) +:
+      (2L -> Seq(1f, 0.12f, 0f, 0f, 0f, 0f, 0f, 0f)) +:
+      (10L to 30L).map(i => i -> unit((i % 6).toInt + 2)): _*)
+    val out = Similarity.mineContrastivePairs(
+      corpus.filter(col("vec_id") === 1L), corpus, negatives = 3, nBuckets = 16)
+      .collect()
+    val pos = out.filter(_.getString(3) == "positive")
+    assert(pos.length == 1 && pos.head.getLong(1) == 2L,
+      s"positive must be the true nearest neighbour: ${pos.toSeq}")
+    val negs = out.filter(_.getString(3) == "negative")
+    assert(negs.length == 3 && negs.forall(_.getLong(1) != 1L))
+    // deterministic: identical output across partitionings
+    val again = Similarity.mineContrastivePairs(
+      corpus.filter(col("vec_id") === 1L), corpus.repartition(5),
+      negatives = 3, nBuckets = 16).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("semantic dedup keeps one representative per clone group") {
     // three exact-clone groups in well-separated directions + singletons
     def unit(dir: Int): Seq[Float] = Seq.tabulate(8)(i => if (i == dir) 1f else 0f)
