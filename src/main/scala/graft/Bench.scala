@@ -88,7 +88,9 @@ object Bench {
     "asof_purchase_click", "sessionize_events", "st5_session_window",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cc_clusters",
     "dedup_embedding_cosine", "sim_brute_topk", "sim_ivf_topk",
-    "sim_ivf_trained_topk",
+    "sim_ivf_trained_topk", "sim_semantic_dedup", "emb_sign_project",
+    "mine_contrastive_pairs", "dedup_span_exact", "decon_cross_pairs",
+    "quality_model_score", "sample_token_budget",
     "text_profile", "text_ngrams", "curation_pipeline", "salted_skew_join",
     "funnel_conversion", "mm_audio_features", "q_window_running",
     "q_percentile")

@@ -104,6 +104,34 @@ class CurationSpec extends SparkSpec {
     assert(m("total_rows") == 100L && m("kept_rows") == 25L)
   }
 
+  test("streaming curation: quality gate + watermark dedup compose on a stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val good = "the quick brown fox is a dog and the cat is happy"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // the batch gate is stateless map-only, so the same code runs on a
+    // stream; watermark dedup bounds the state behind it
+    val gated = TextAnalysis.annotateQualityLang(
+        input.toDS().toDF("doc_id", "text", "ts"))
+      .filter(col("quality") >= 0.5 && col("lang_guess") =!= "unknown")
+    val out = Dedup.streamingDropDuplicates(gated, "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scur_out").start()
+    try {
+      input.addData(
+        (1L, good, ts("2024-01-01 10:00:00")),
+        (2L, good.toUpperCase, ts("2024-01-01 10:01:00")), // dup after normalize
+        (3L, "zz", ts("2024-01-01 10:02:00")))             // fails the gate
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM scur_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(got.size == 1 && got.subsetOf(Set(1L, 2L)),
+        s"one gate-passing copy survives: $got")
+    } finally q.stop()
+  }
+
   test("token-budget sampling: exact prefix budgets, drops unbudgeted sources") {
     import spark.implicits._
     val docs = (0L until 200L)
