@@ -30,6 +30,55 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Deterministic fixed-point PageRank over a directed edge list, in
+    * integer micro-units (`unit` = mass 1.0): every contribution and
+    * update is integer arithmetic — `pr div outdeg` per edge, damping
+    * as the rational 17/20 — so per-node scores are EXACTLY
+    * order-independent and engine-portable (the DuckDB oracle unrolls
+    * the same iterations; float PageRank can never hash-match across
+    * engines because the in-neighbor sum order differs). Runs a FIXED
+    * `iters` iterations: rank use-cases (centrality ordering, cluster
+    * hubs) stabilize in a few rounds, and a fixed count is what an
+    * oracle can replay. Dangling nodes leak their mass (the standard
+    * simplified variant) — total mass is not conserved, relative
+    * ranking is unaffected.
+    *
+    * Scale shape per iteration: one join edges ⋈ ranks ⋈ outdeg
+    * (shuffles keyed by src — outdeg reuses the ranks partitioning),
+    * one aggregation keyed by dst with map-side combine. Iteration
+    * state is `localCheckpoint`ed like the component loop. The single
+    * `nodes.count()` action sizes the uniform prior. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst",
+      unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && unit > 0, "need iters >= 1 and a positive unit")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val u0 = unit / n
+    val base = 3 * u0 / 20
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var pr = nodes.withColumn("pr", lit(u0))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      pr = nodes
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20"))
+            .as("pr"))
+        .localCheckpoint(false)
+    }
+    pr
+  }
+
   /** Large-star: for every node u, link all strictly-larger neighbors to
     * the minimum of u's neighborhood (including u itself). Keeps every
     * edge's component connected while pointing big ids at small ids.

@@ -20,7 +20,7 @@ object LlmQueries {
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
   private def hashSql(seed: Int, e: String) =
     s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
-  private def gramsCteFor(name: String, pred: String) =
+  private[queries] def gramsCteFor(name: String, pred: String) =
     s"""$name AS (
        |  SELECT doc_id AS id, g.gram
        |  FROM documents,
@@ -28,9 +28,9 @@ object LlmQueries {
        |  WHERE g.gram <> '' AND $pred
        |)""".stripMargin
   private val gramsCte = gramsCteFor("grams", "doc_id < 500")
-  private val sigCols =
+  private[queries] val sigCols =
     (0 until 8).map(i => s"min(${hashSql(i, "gram")}) AS h$i").mkString(",\n    ")
-  private val bandCase =
+  private[queries] val bandCase =
     """CASE r.range
       |      WHEN 0 THEN h0 || ',' || h1
       |      WHEN 1 THEN h2 || ',' || h3

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Chunking, Curation, Dedup, QualityModel, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Components, Curation, Dedup, QualityModel, Similarity, TextAnalysis}
 
 /** Round-4 training-data-pipeline operators (SURVEY §2.10 extensions):
   * cross-document duplicated-span scoring, within-document repetition
@@ -105,7 +105,21 @@ object LlmQueries2 {
       .orderBy(col("query_id"), col("pair_type"), col("draw"), col("pair_id"))
   }
 
+  /** Fixed-point PageRank (3 iterations, integer micro-units) over the
+    * symmetric near-dup graph from the bounded minhash slice — cluster
+    * centrality, bit-exact across engines. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(
+      T.t(spark, dir, "documents").filter(col("doc_id") < 500), threshold = 0.5)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    Components.pageRank(edges, iters = 3)
+      .select(col("id").as("doc_id"), col("pr"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _),
     "mine_contrastive_pairs" -> (mineContrastive _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "sim_semantic_dedup" -> (simSemanticDedup _),
@@ -131,6 +145,44 @@ object LlmQueries2 {
        |    sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> {
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, CAST(sum(p.pr // o.outdeg) AS BIGINT) AS s
+           |  FROM edges e JOIN p${i - 1} p ON p.id = e.src
+           |  JOIN od o ON o.src = e.src
+           |  GROUP BY e.dst),
+           |p$i AS (SELECT n.id,
+           |    (3 * (SELECT u0 FROM k)) // 20 + (17 * coalesce(c.s, 0)) // 20 AS pr
+           |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${LlmQueries.gramsCteFor("grams", "doc_id < 500")},
+         |sig AS (SELECT id, ${LlmQueries.sigCols} FROM grams GROUP BY id),
+         |bands AS (SELECT id, r.range AS band, ${LlmQueries.bandCase} AS band_key
+         |  FROM sig CROSS JOIN range(4) r),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN grams ga ON ga.id = c.id_a
+         |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+         |  GROUP BY c.id_a, c.id_b),
+         |pairs AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b
+         |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
+         |edges AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs)),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |k AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS u0 FROM nodes),
+         |od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |p0 AS (SELECT id, (SELECT u0 FROM k) AS pr FROM nodes),
+         |$iterCtes
+         |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr
+         |FROM p3 ORDER BY doc_id""".stripMargin
+    },
     "mine_contrastive_pairs" ->
       s"""WITH ring AS (
          |  SELECT vec_id AS pair_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS ch,

@@ -33,6 +33,21 @@ class ComponentsSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  test("fixed-point pageRank: hub outranks leaves, exact partition invariance") {
+    import spark.implicits._
+    // symmetric star: center 0 <-> leaves 1..6
+    val edges = (1L to 6L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val pr = Components.pageRank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.keySet == (0L to 6L).toSet)
+    assert(pr(0L) > pr(1L), s"hub must outrank a leaf: $pr")
+    assert((1L to 6L).map(pr).toSet.size == 1, s"leaves must tie exactly: $pr")
+    // integer arithmetic: bit-identical across partitionings
+    val again = Components.pageRank(edges.repartition(7), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr == again)
+  }
+
   test("chain collapses to one component rooted at the minimum") {
     assert(cc(1L -> 2L, 2L -> 3L, 3L -> 4L) ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
