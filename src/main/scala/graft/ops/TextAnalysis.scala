@@ -20,6 +20,21 @@ object TextAnalysis {
   def subwordTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** REAL BPE subword tokenization of the normalized text against a
+    * ranked merge list (e.g. a GPT-2-style merges.txt): the classic
+    * greedy lowest-rank-pair algorithm, run per word by the codegen'd
+    * [[graft.functions.BpeEncode]] expression whose table rides the
+    * plan as ONE reference object — a 50k-merge vocabulary costs the
+    * same plan size as 5. Map-only; complements the
+    * [[subwordTokenCount]] heuristic with vocabulary-exact counts. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.TextFunctions.bpe_encode(Dedup.normalize(text),
+      new graft.functions.BpeTable(merges))
+
+  /** size([[bpeTokens]]) — the exact-token-budget counter. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeTokens(text, merges))
+
   /** Ratio of punctuation characters to all characters (exact integer
     * arithmetic, single final division). */
   def punctRatio(text: Column): Column =

@@ -104,4 +104,21 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 2: rare2 1*3=3 beats common 1*1=1
     assert(out((2L, 1))._1 == "rare2" && out((2L, 2))._1 == "common")
   }
+
+  test("BPE tokenization follows the ranked merge table exactly") {
+    import spark.implicits._
+    val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "r")
+    val docs = Seq((1L, "Low lower!"), (2L, "lolo"), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.bpeTokens(col("text"), merges).as("toks"),
+        TextAnalysis.bpeTokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getInt(2)))).toMap
+    // "low lower" -> [low] [low, er] (lowest-rank pair first, per word)
+    assert(got(1L) == ((Seq("low", "low", "er"), 3)))
+    // one merge pass merges EVERY occurrence of the best pair
+    assert(got(2L) == ((Seq("lo", "lo"), 2)))
+    // no applicable merges: one token per code point
+    assert(got(3L) == ((Seq("x", "y", "z"), 3)))
+  }
 }
