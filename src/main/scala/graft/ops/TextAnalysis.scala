@@ -35,6 +35,57 @@ object TextAnalysis {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(bpeTokens(text, merges))
 
+  /** Distributed BPE merge-table training (Sennrich et al., the
+    * standard subword-NMT algorithm): learn `k` merges by repeatedly
+    * taking the corpus's most frequent adjacent symbol pair.
+    *
+    * The scale insight: BPE statistics depend only on the WORD
+    * VOCABULARY with frequencies, not the corpus — so the corpus is
+    * reduced once to a (word, freq) relation (one map-side-combined
+    * shuffle; vocabulary size, not corpus size), and every training
+    * round re-tokenizes that vocabulary with the merges learned so far
+    * (the codegen [[graft.functions.BpeEncode]] kernel), explodes
+    * adjacent token pairs weighted by word frequency, and aggregates
+    * the best pair — k rounds × one vocabulary-sized aggregation, with
+    * only a single (pair, count) row ever reaching the driver per
+    * round. Ties break lexicographically, so training is deterministic
+    * and partition-invariant (integer counts, total order). Training
+    * stops early if no pair occurs at least `minFreq` times. */
+  def trainBpeMerges(docs: DataFrame, k: Int, minFreq: Long = 2,
+      textCol: String = "text"): Seq[(String, String)] = {
+    require(k > 0, "k must be positive")
+    val vocab = docs
+      .select(explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (merges.size < k && !done) {
+        val toks =
+          if (merges.isEmpty) split(col("w"), "").as("toks")
+          else graft.functions.TextFunctions.bpe_encode(col("w"),
+            new graft.functions.BpeTable(merges.toSeq)).as("toks")
+        val best = vocab
+          .select(col("freq"), toks)
+          .filter(size(col("toks")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("a"),
+              element_at(col("toks"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a"), col("p.b"))
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        if (best.isEmpty || best.head.getLong(2) < minFreq) done = true
+        else merges += ((best.head.getString(0), best.head.getString(1)))
+      }
+      merges.toSeq
+    } finally { vocab.unpersist(); () }
+  }
+
   /** Ratio of punctuation characters to all characters (exact integer
     * arithmetic, single final division). */
   def punctRatio(text: Column): Column =

@@ -118,7 +118,20 @@ object LlmQueries2 {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end BPE: train 8 merges on the corpus vocabulary, apply
+    * them corpus-wide. Rows-only (iterative training has no SQL
+    * mirror); the training algorithm itself is spec-verified against
+    * the classic subword-NMT example. */
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val merges = TextAnalysis.trainBpeMerges(docs, k = 8)
+    docs.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> (textBpeTrain _),
     "graph_pagerank" -> (graphPagerank _),
     "mine_contrastive_pairs" -> (mineContrastive _),
     "sample_token_budget" -> (sampleTokenBudget _),

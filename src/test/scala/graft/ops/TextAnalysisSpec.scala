@@ -121,4 +121,23 @@ class TextAnalysisSpec extends SparkSpec {
     // no applicable merges: one token per code point
     assert(got(3L) == ((Seq("x", "y", "z"), 3)))
   }
+
+  test("distributed BPE training learns the classic merges deterministically") {
+    import spark.implicits._
+    // the standard subword-NMT example vocabulary:
+    // low x5, lower x2, newest x6, widest x3
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, k = 3)
+    // hand-derived: (e,s)=9 ties (s,t)=9 -> lexicographic; then (es,t)=9;
+    // then (l,o)=7 ties (o,w)=7 -> lexicographic
+    assert(merges == Seq("e" -> "s", "es" -> "t", "l" -> "o"), merges.toString)
+    // integer counts + total-order tie-break: partition-invariant
+    assert(TextAnalysis.trainBpeMerges(docs.repartition(7), k = 3) == merges)
+    // applying the learned merges tokenizes as the algorithm dictates
+    val newest = Seq((1L, "newest")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeTokens(col("text"), merges)).head().getSeq[String](0)
+    assert(newest == Seq("n", "e", "w", "est"))
+  }
 }
