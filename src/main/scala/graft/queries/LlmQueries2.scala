@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.T
 import graft.ops.{Chunking, Components, Curation, Dedup, QualityModel, Similarity, TextAnalysis}
 
-/** Round-4 training-data-pipeline operators (SURVEY §2.10 extensions):
-  * cross-document duplicated-span scoring, within-document repetition
-  * metrics, fixed-window chunking, and tf·idf term salience — each driven
-  * through the library modules with a DuckDB oracle replicating the exact
-  * arithmetic (integer counts, correctly-rounded double ratios; no
-  * transcendental functions anywhere, so every score is bit-reproducible
-  * across engines).
+/** Round-4/5 training-data-pipeline operators (SURVEY §2.10 extensions):
+  * duplicated-span scoring and removal, repetition metrics, chunking,
+  * tf·idf, sequence packing, token-budget mix sampling, model-based
+  * quality scoring, embedding projection, contrastive mining, PageRank,
+  * and BPE — each driven through the library modules, almost all with a
+  * DuckDB oracle replicating the exact arithmetic (integer counts,
+  * correctly-rounded double ratios, fixed-order folds; no transcendental
+  * functions anywhere, so every score is bit-reproducible across
+  * engines).
   */
 object LlmQueries2 {
 
