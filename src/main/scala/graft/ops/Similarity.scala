@@ -316,6 +316,31 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Int8 scalar quantization of float embeddings — the 4× storage cut
+    * that makes a 100 TB embedding store a 25 TB one: per vector,
+    * scale = max|v|/127 and q[i] = round(v[i]/scale) ∈ [-127, 127].
+    * Map-only, per-row arithmetic in fixed order (oracle-exact); the
+    * all-zero vector quantizes to scale 0 with zero codes. Reconstruct
+    * with [[dequantizeInt8]]; reconstruction error is ≤ scale/2 per
+    * element — re-rank survivors with full-precision vectors. */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val amax = array_max(transform(col(vecCol), x => abs(x)))
+    emb
+      .withColumn("scale",
+        when(amax === 0f, lit(0.0)).otherwise(amax / lit(127.0)))
+      .select(col(idCol), col("scale"),
+        transform(col(vecCol), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(round(x / col("scale")).cast("int"))).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: v'[i] = q[i]·scale as float. */
+  def dequantizeInt8(q: DataFrame, idCol: String = "vec_id"): DataFrame =
+    q.select(col(idCol),
+      transform(col("q"), x => (x.cast("double") * col("scale")).cast("float"))
+        .as("embedding"))
+
   /** Contrastive training-pair mining: for each anchor, its exact
     * nearest neighbour as the positive plus `negatives` deterministic
     * random negatives drawn from a hash panel — the (anchor, positive,

@@ -132,7 +132,13 @@ object LlmQueries2 {
       .orderBy(col("doc_id"))
   }
 
+  /** Int8 scalar quantization of the embedding corpus. */
+  def embQuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(T.par(spark, T.t(spark, dir, "embeddings")))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_quantize_int8" -> (embQuantizeInt8 _),
     "text_bpe_train" -> (textBpeTrain _),
     "graph_pagerank" -> (graphPagerank _),
     "mine_contrastive_pairs" -> (mineContrastive _),
@@ -160,6 +166,18 @@ object LlmQueries2 {
        |    sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "emb_quantize_int8" ->
+      """WITH a AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+        |      AS amax
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
+        |  CASE WHEN amax = 0
+        |    THEN list_transform(CAST(embedding AS DOUBLE[]), x -> 0)
+        |    ELSE list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x / (amax / 127.0)) AS INTEGER)) END AS q
+        |FROM a ORDER BY vec_id""".stripMargin,
     "graph_pagerank" -> {
       val iterCtes = (1 to 3).map { i =>
         s"""c$i AS (SELECT e.dst AS id, CAST(sum(p.pr // o.outdeg) AS BIGINT) AS s

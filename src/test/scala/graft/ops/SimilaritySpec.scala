@@ -156,6 +156,29 @@ class SimilaritySpec extends SparkSpec {
       (0L until 300L by 10).toSeq)
   }
 
+  test("int8 quantization: codes in range, roundtrip error <= scale/2") {
+    val vecs = emb(
+      1L -> Seq(0.5f, -1.0f, 0.25f, 0.0f),
+      2L -> Seq(0f, 0f, 0f, 0f),
+      3L -> Seq(127f, -64f, 1f, 0.5f))
+    val q = Similarity.quantizeInt8(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    // the max-magnitude element maps to +/-127; zero vector -> scale 0
+    assert(q(1L)._2.contains(-127) && q(1L)._2.forall(c => c.abs <= 127))
+    assert(q(2L) == ((0.0, Seq(0, 0, 0, 0))))
+    assert(q(3L)._2.head == 127)
+    // reconstruction error bounded by scale/2 per element
+    val rt = Similarity.dequantizeInt8(Similarity.quantizeInt8(vecs))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val orig = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    orig.foreach { case (id, v) =>
+      val scale = q(id)._1
+      v.zip(rt(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= scale / 2 + 1e-6, s"vec $id: $a vs $b")
+      }
+    }
+  }
+
   test("contrastive mining: exact positive, deterministic panel negatives") {
     def unit(dir: Int): Seq[Float] = Seq.tabulate(8)(i => if (i == dir) 1f else 0f)
     val corpus = emb((1L -> Seq(1f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f)) +:
