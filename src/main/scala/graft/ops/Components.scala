@@ -52,8 +52,14 @@ object Components {
       srcCol: String = "src", dstCol: String = "dst",
       unit: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && unit > 0, "need iters >= 1 and a positive unit")
+    // materialize the (small) edge relation ONCE: it feeds the node set,
+    // the out-degree aggregate, and every iteration's contribution join —
+    // without the checkpoint each consumer re-executes the full upstream
+    // pipeline that produced the edges (e.g. a complete MinHash pass
+    // per iteration)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
+      .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint()

@@ -359,6 +359,11 @@ object LlmQueries2 {
          |    0.0) AS dup_bigram_share
          |FROM wa LEFT JOIN ba USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // range(0, 100000, 48) silently caps the mirror at 100k-char
+    // documents (the engine itself has no such bound); ChunkingSpec
+    // asserts the gate corpus stays far below the cap. The same bound
+    // applies to dedup_span_exact's range(1, 100001, 20) over WORD
+    // counts (words <= chars, so the chunk assertion covers it).
     "doc_chunks" ->
       """SELECT doc_id, CAST(r.range // 48 AS INTEGER) AS chunk_idx,
         |  CAST(length(substring(text, CAST(r.range + 1 AS INTEGER), 64)) AS INTEGER) AS chunk_len,

@@ -33,4 +33,14 @@ class ChunkingSpec extends SparkSpec {
     val plan = Chunking.chunkFixed(docs, 4, 3).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("gate corpus stays under the doc_chunks oracle's 100k-char mirror cap") {
+    // the DuckDB mirror enumerates offsets from range(0, 100000, 48) —
+    // a document of >= 100k chars would silently lose its tail chunks
+    // in the ORACLE (the engine has no such bound). Pin the gate data
+    // well below the cap so the mirror is exhaustive.
+    val maxLen = graft.T.t(spark, "/root/testdata/sf0.01", "documents")
+      .agg(max(length(col("text")))).head().getInt(0)
+    assert(maxLen < 50000, s"doc_chunks oracle cap at risk: max doc $maxLen chars")
+  }
 }
