@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet persistence for trained model artifacts — the train-once /
+  * persist / reuse flow: IVF centroids ([[graft.ops.Similarity.trainIvfCentroids]]),
+  * logistic quality weights ([[graft.ops.QualityModel.trainLogistic]]),
+  * and BPE merge tables ([[graft.ops.TextAnalysis.trainBpeMerges]]) are
+  * all driver-sized, data-dependent, and expensive to recompute — a
+  * production pipeline trains them in a maintenance job and every later
+  * run loads the artifact instead of re-scanning the corpus. Plain
+  * parquet with explicit ordering columns: engine-portable, inspectable
+  * with any reader, and stable under partition layout (ordering is by
+  * stored rank/index columns, never file order). */
+object Artifacts {
+
+  /** (cell_id, vec) centroid rows. */
+  def saveCentroids(spark: SparkSession, cents: Array[(Long, Array[Float])],
+      path: String): Unit = {
+    import spark.implicits._
+    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell_id", "vec")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  def loadCentroids(spark: SparkSession, path: String): Array[(Long, Array[Float])] =
+    spark.read.parquet(path).orderBy(col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+  /** (idx, value) weight rows; the bias is stored at idx = -1. */
+  def saveLogistic(spark: SparkSession, weights: Array[Double], bias: Double,
+      path: String): Unit = {
+    import spark.implicits._
+    (weights.zipWithIndex.map { case (w, i) => (i, w) } :+ ((-1, bias)))
+      .toSeq.toDF("idx", "value")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  def loadLogistic(spark: SparkSession, path: String): (Array[Double], Double) = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dim = rows.keys.max + 1
+    (Array.tabulate(dim)(rows(_)), rows(-1))
+  }
+
+  /** (rank, a, b) merge rows; rank is the merge priority. */
+  def saveBpeMerges(spark: SparkSession, merges: Seq[(String, String)],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  def loadBpeMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("rank")).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toSeq
+}

@@ -1,0 +1,48 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.{Similarity, TextAnalysis}
+
+class ArtifactsSpec extends SparkSpec {
+
+  test("centroids round-trip and drive ivfTopKWith identically") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("artifacts").toString
+    val emb = (0L until 60L).map(i => (i, Seq.tabulate(4)(j => (i % 5 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(emb, k = 3, iters = 2)
+    Artifacts.saveCentroids(spark, cents, s"$tmp/cents")
+    val loaded = Artifacts.loadCentroids(spark, s"$tmp/cents")
+    assert(loaded.map(_._1).toSeq == cents.map(_._1).toSeq)
+    assert(loaded.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    val q = emb.filter(col("vec_id") < 3)
+    val orig = Similarity.ivfTopKWith(q, emb, cents, k = 2).collect().map(_.toSeq).toSet
+    val again = Similarity.ivfTopKWith(q, emb, loaded, k = 2).collect().map(_.toSeq).toSet
+    assert(orig == again)
+  }
+
+  test("logistic weights and BPE merges round-trip exactly") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("artifacts").toString
+    val w = Array.tabulate(16)(i => i * 0.125 - 1.0)
+    Artifacts.saveLogistic(spark, w, bias = 0.375, s"$tmp/logit")
+    val (w2, b2) = Artifacts.loadLogistic(spark, s"$tmp/logit")
+    assert(w2.sameElements(w) && b2 == 0.375)
+
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(6)("newest"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, k = 3)
+    Artifacts.saveBpeMerges(spark, merges, s"$tmp/bpe")
+    assert(Artifacts.loadBpeMerges(spark, s"$tmp/bpe") == merges)
+    // loaded merges tokenize identically
+    val t1 = docs.select(TextAnalysis.bpeTokens(col("text"), merges))
+      .collect().map(_.getSeq[String](0))
+    val t2 = docs.select(TextAnalysis.bpeTokens(col("text"),
+        Artifacts.loadBpeMerges(spark, s"$tmp/bpe")))
+      .collect().map(_.getSeq[String](0))
+    assert(t1.zip(t2).forall { case (a, b) => a == b })
+  }
+}
