@@ -90,6 +90,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("token-budget sampling plans with no cartesian; budgets broadcast") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"s${i % 3}", 10)).toDF("doc_id", "source", "n_tokens")
+    val p = plan(ops.Curation.sampleTokenBudget(docs, Map("s0" -> 100L, "s1" -> 50L)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"budget dim must broadcast:\n$p")
+  }
+
+  test("pageRank iterations are equi-joins over the checkpointed edges") {
+    import spark.implicits._
+    val edges = (1L to 20L).map(i => (i, i % 7)).toDF("src", "dst")
+    val p = plan(ops.Components.pageRank(edges, iters = 2))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("quality scoring is two hash aggregations; weights add no join") {
     val docs = T.t(spark, dir, "documents")
     val p = plan(ops.QualityModel.scoreLogistic(docs, Array.fill(64)(0.1), 0.0))

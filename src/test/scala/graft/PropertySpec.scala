@@ -86,6 +86,25 @@ object PropertySpec extends Properties("graft") {
       n == matching && n <= lines.length
     }
 
+  // --- span dedup reconstruction law --------------------------------------
+  // with an unreachable df threshold nothing is dropped, and rejoining the
+  // word-window spans with single spaces must reconstruct EXACTLY the
+  // normalized text — segmentation loses nothing, for any input
+  property("span dedup with an unreachable df reconstructs normalized text") =
+    forAll(Gen.listOfN(5, Gen.listOfN(25,
+      Gen.oneOf("abzXZ 019!@#ü\n\t.,-".toSeq)).map(_.mkString))) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val kept = graft.ops.Dedup.dropDuplicateSpans(
+          docs, spanWords = 3, minDf = Int.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      val norm = docs
+        .select(col("doc_id"), graft.ops.Dedup.normalize(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      norm.forall { case (id, n) => kept(id) == n }
+    }
+
   // --- report totals law --------------------------------------------------
   property("report counters sum to total_events per address") =
     forAll(Gen.listOfN(50, for {
