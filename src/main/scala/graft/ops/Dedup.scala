@@ -459,6 +459,32 @@ object Dedup {
         col("kept_text"))
   }
 
+  /** WITHIN-document repeated-span removal: keep the FIRST occurrence
+    * of each distinct span inside a document, drop later repeats — the
+    * repetition-trimming cleanup for degenerate generation loops and
+    * template stutter. Cross-document boilerplate is
+    * [[dropDuplicateSpans]]'s job; the two compose.
+    *
+    * Shape: one aggregation keyed (doc, span hash) with map-side
+    * combine — first occurrence is just min(span_idx) — then the
+    * reassembly aggregation keyed by doc. No joins at all. */
+  def dropRepeatedSpansWithinDoc(docs: DataFrame, spanWords: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    spanSegments(docs, spanWords, idCol, textCol)
+      .withColumn("__key", md5(col("span")))
+      .groupBy(col("id"), col("__key"))
+      .agg(min(col("span_idx")).as("first_idx"),
+        first(col("span")).as("span"), // one key ↔ one span text
+        count(lit(1)).as("occ"))
+      .groupBy(col("id"))
+      .agg(sum(col("occ")).as("n_spans"),
+        sum(col("occ") - 1).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("first_idx"), col("span")))),
+          s => s.getField("span")), " ").as("kept_text"))
+      .select(col("id").as(idCol), col("n_spans"), col("n_dropped"),
+        col("kept_text"))
+
   /** Streaming exact dedup: drop re-arrivals of the same content key while
     * it is inside the watermark window. State is bounded — the key expires
     * once the watermark passes its event time (unbounded-state streaming

@@ -137,7 +137,15 @@ object LlmQueries2 {
     Similarity.quantizeInt8(T.par(spark, T.t(spark, dir, "embeddings")))
       .orderBy(col("vec_id"))
 
+  /** Within-doc repeated-span trimming at 2-word granularity (short
+    * spans so the word-soup corpus exhibits real repeats). */
+  def dedupSpanWithin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropRepeatedSpansWithinDoc(
+        T.par(spark, T.t(spark, dir, "documents")), spanWords = 2)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_within" -> (dedupSpanWithin _),
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "text_bpe_train" -> (textBpeTrain _),
     "graph_pagerank" -> (graphPagerank _),
@@ -166,6 +174,21 @@ object LlmQueries2 {
        |    sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_span_within" ->
+      s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+         |           FROM documents),
+         |s AS (SELECT doc_id, CAST((r.range - 1) // 2 AS INTEGER) AS span_idx,
+         |        array_to_string(ws[CAST(r.range AS INTEGER) :
+         |          CAST(r.range + 1 AS INTEGER)], ' ') AS span
+         |      FROM w CROSS JOIN range(1, 100001, 2) r
+         |      WHERE r.range <= len(ws)),
+         |g AS (SELECT doc_id, span, min(span_idx) AS first_idx,
+         |        count(*) AS occ
+         |      FROM s GROUP BY doc_id, span)
+         |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_spans,
+         |  CAST(sum(occ - 1) AS BIGINT) AS n_dropped,
+         |  string_agg(span, ' ' ORDER BY first_idx) AS kept_text
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "emb_quantize_int8" ->
       """WITH a AS (SELECT vec_id, embedding,
         |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))

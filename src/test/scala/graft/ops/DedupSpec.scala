@@ -213,6 +213,19 @@ class DedupSpec extends SparkSpec {
       !sPairs.exists { case (a, b) => a <= 30 && b <= 30 }, s"simhash guarded: $sPairs")
   }
 
+  test("within-doc span trimming keeps first occurrences in order") {
+    // spanWords=2: doc 1 = [a b][c d][a b][e f] -> drop the repeat;
+    // doc 2 has no repeats; the repeat ACROSS docs 1 and 2 is untouched
+    val d = docs(
+      1L -> "a b c d a b e f",
+      2L -> "a b x y")
+    val out = Dedup.dropRepeatedSpansWithinDoc(d, spanWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((4L, 1L, "a b c d e f")))
+    assert(out(2L) == ((2L, 0L, "a b x y")))
+  }
+
   test("cross-corpus decontamination flags corpus docs near-duplicating probes") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val nearDup = (1 to 38).map(i => s"word$i").mkString(" ") + " extra token"
