@@ -44,19 +44,27 @@ object QualityModel {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Map-only logistic scoring: margin = bias + Σ n·w[bucket] and
+  /** Logistic scoring: margin = bias + Σ n·w[bucket] and
     * p_keep = sigmoid(margin) per document. Weights are embedded as one
-    * array literal — plan size is constant in `dim`. */
+    * array literal — plan size is constant in `dim`. Every input row
+    * gets an output row: documents whose normalized text is empty have
+    * no feature rows, so their aggregated margin is missing — they are
+    * left-joined back and score margin = bias (the exact value
+    * [[trainLogistic]] assigns them via its coalesce), so a downstream
+    * keep/drop filter always sees them. */
   def scoreLogistic(docs: DataFrame, weights: Array[Double], bias: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = lit(weights)
-    hashedFeatures(docs, weights.length, idCol, textCol)
+    val margins = hashedFeatures(docs, weights.length, idCol, textCol)
       .groupBy(col("id"))
       .agg(sum(col("n") * element_at(w, (col("bucket") + 1).cast("int")))
         .as("__m"))
+    docs.select(col(idCol).as("id"))
+      .join(margins, Seq("id"), "left")
+      .withColumn("__mb", coalesce(col("__m"), lit(0.0)) + lit(bias))
       .select(col("id").as(idCol),
-        (col("__m") + lit(bias)).as("margin"),
-        (lit(1.0) / (lit(1.0) + exp(-(col("__m") + lit(bias))))).as("p_keep"))
+        col("__mb").as("margin"),
+        (lit(1.0) / (lit(1.0) + exp(-col("__mb")))).as("p_keep"))
   }
 
   /** Batch-gradient logistic regression over hashed features. `docs`

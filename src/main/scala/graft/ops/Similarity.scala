@@ -350,14 +350,19 @@ object Similarity {
     * corpus is bucketed by a 16-bit prefix of its id hash, each
     * bucket's min-hash member survives (one parallel window pass over
     * the corpus), and the survivors are densely indexed into a
-    * ≤`nBuckets`-row PANEL (the dense index is a single-partition
-    * window, but only over the already-reduced panel — bounded by
-    * construction — and the panel broadcasts). Each (anchor, draw)
-    * pair hashes to `index = h mod panelSize` and takes that panel
-    * member: map-only, content-stable, uniform across the panel, and
-    * no draw is ever lost to an empty bucket. A draw landing on the
-    * anchor itself is dropped; a draw may coincide with the positive —
-    * at corpus scale the probability is negligible and determinism
+    * ≤`nBuckets`-row PANEL. The dense index is derived WITHOUT any
+    * global window: survivors (one per occupied bucket) rank within a
+    * 256-way bucket-prefix group (partitioned window), and cross-group
+    * offsets come from a triangular self-join of the ≤256-row
+    * group-count relation — so no stage ever funnels into a single
+    * partition. The reduced survivor set is `localCheckpoint`ed (≤
+    * `nBuckets` rows) so the offset aggregate and the panel join read
+    * it instead of re-scanning the corpus. Each (anchor, draw) pair
+    * hashes to `index = h mod panelSize` and takes that panel member:
+    * map-only, content-stable, uniform across the panel, and no draw
+    * is ever lost to an empty bucket. A draw landing on the anchor
+    * itself is dropped; a draw may coincide with the positive — at
+    * corpus scale the probability is negligible and determinism
     * matters more than exclusion.
     *
     * Output: (query_id, pair_id, sim, pair_type ∈ positive|negative,
@@ -378,9 +383,23 @@ object Similarity {
     val wB = Window.partitionBy(col("__bucket")).orderBy(col("__ch"))
     val reduced = ring
       .withColumn("__rn", row_number().over(wB)).filter(col("__rn") === 1)
-    val panel = reduced
+      .select(col("pair_id"), col("__nv"), col("__bucket"))
+      .localCheckpoint()
+    // Dense index in __bucket order (survivors are unique per bucket):
+    // rank within a 256-way prefix group + cumulative group offsets from
+    // a triangular self-join of the tiny group-count relation. No global
+    // window anywhere in the plan.
+    val grp = (col("__bucket") * lit(256L) / lit(nBuckets.toLong)).cast("long")
+    val g = reduced.withColumn("__g", grp)
+    val counts = g.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+    val offsets = counts.alias("a")
+      .join(counts.alias("b"), col("b.__g") < col("a.__g"), "left")
+      .groupBy(col("a.__g").as("__g"))
+      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+    val wG = Window.partitionBy(col("__g")).orderBy(col("__bucket"))
+    val panel = g.join(broadcast(offsets), Seq("__g"))
       .withColumn("__idx",
-        row_number().over(Window.orderBy(col("__ch"))).cast("long") - 1)
+        col("__off") + row_number().over(wG).cast("long") - 1)
       .select(col("__idx"), col("pair_id"), col("__nv"))
     val panelSize = panel.select(count(lit(1)).as("__n"))
     val draws = anchors
@@ -400,8 +419,18 @@ object Similarity {
 
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
     * k-means cluster — train spherical k-means, compare pairs only
-    * WITHIN a cell, drop every member whose cosine to a lower-id
-    * cell-mate reaches `threshold`. Returns the surviving rows.
+    * WITHIN a cell, connect members whose pairwise cosine reaches
+    * `threshold`, and keep exactly one representative per connected
+    * duplicate group. Returns the surviving rows.
+    *
+    * Divergence from the paper, pinned for determinism: the survivor is
+    * the group's MINIMUM id (Abbas et al. select by distance to the
+    * centroid, which is a float ordering that isn't engine-portable).
+    * Group closure uses connected components over the within-cell pair
+    * graph — the same keep-one-per-group semantics as
+    * [[Dedup.dropNearDuplicatesConnected]] — so a chain a~b~c drops
+    * both b and c even when a≁c, and never drops a member merely
+    * because a lower-id member that was itself dropped matched it.
     *
     * Versus [[nearDupPairs]]' sign-LSH blocking: the cells are
     * data-dependent, adapting to corpus density (dense regions split
@@ -409,32 +438,54 @@ object Similarity {
     * oblivious hyperplanes would overload one bucket). Scale shape:
     * map-only cell assignment against the [[graft.functions.IvfIndex]]
     * reference object, ONE equi-join shuffle keyed by cell — never a
-    * cross product across cells; per-cell cost is O(cellSize²), sized
-    * by k. */
+    * cross product across cells; the component iteration runs on the
+    * pair graph, which is orders of magnitude smaller than the corpus.
+    *
+    * Per-cell cost is O(cellSize²) with E[cellSize] = corpus/k — SIZE k
+    * WITH THE CORPUS (k ≈ corpus / targetCellSize, the paper trains
+    * 50k–100k cells for billions of points). `maxCellSize` is the
+    * explicit guard for when k was sized wrong: cells above the cap are
+    * excluded from pair generation (all their members survive — a
+    * documented recall sacrifice, exactly the `maxBucket` contract in
+    * [[Dedup.lshCandidates]]) instead of silently going quadratic. */
   def semanticDedup(emb: DataFrame, threshold: Double, k: Int = 64,
       iters: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding", roundTo: Int = 6): DataFrame =
+      vecCol: String = "embedding", roundTo: Int = 6,
+      maxCellSize: Int = 0): DataFrame =
     semanticDedupWith(emb, trainIvfCentroids(emb, k, iters, idCol, vecCol, roundTo),
-      threshold, idCol, vecCol, roundTo)
+      threshold, idCol, vecCol, roundTo, maxCellSize)
 
   /** [[semanticDedup]] against an explicit (trained/persisted) centroid
-    * set. */
+    * set. `maxCellSize > 0` caps the quadratic corner: oversized cells
+    * skip pair generation entirely (members all survive). */
   def semanticDedupWith(emb: DataFrame, cents: Array[(Long, Array[Float])],
       threshold: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+      vecCol: String = "embedding", roundTo: Int = 6,
+      maxCellSize: Int = 0): DataFrame = {
     val index = new IvfIndex(cents.map(_._1), cents.map(_._2), roundTo)
-    val cell = emb.select(col(idCol), col(vecCol))
+    val cell0 = emb.select(col(idCol), col(vecCol))
       .withColumn("__cell", nearest_cells(col(vecCol), index, 1).getItem(0))
+    val cell =
+      if (maxCellSize <= 0) cell0
+      else {
+        val hot = cell0.groupBy(col("__cell"))
+          .agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > maxCellSize)
+          .drop("__c")
+        cell0.join(hot, Seq("__cell"), "left_anti")
+      }
     val a = cell.select(col("__cell"), col(idCol).as("id_a"),
       col(vecCol).as("__va"), norm(col(vecCol)).as("__na"))
     val b = cell.select(col("__cell"), col(idCol).as("id_b"),
       col(vecCol).as("__vb"), norm(col(vecCol)).as("__nb"))
-    val drops = a.join(b, Seq("__cell"))
+    val pairs = a.join(b, Seq("__cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")),
         roundTo) >= threshold)
-      .select(col("id_b").as(idCol))
-      .distinct()
-    emb.join(drops, Seq(idCol), "left_anti")
+      .select(col("id_a"), col("id_b"))
+    val losers = Components.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component")) // non-representative members
+      .select(col("id").as(idCol))
+    emb.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -89,8 +89,11 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Approximate (sign-LSH) top-k — no SQL oracle by design; recall is
-    * asserted against the brute-force baseline in the ScalaTest spec. */
+  /** Approximate (sign-LSH) top-k, oracle-checked exactly: the seeded
+    * hyperplanes, the multi-probe bucket set (exact bucket + all
+    * hamming-1 neighbours) and the re-rank are all replicated in the
+    * DuckDB SQL; recall vs brute force is additionally asserted in the
+    * ScalaTest spec. */
   def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = T.t(spark, dir, "embeddings")
     Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
@@ -416,11 +419,11 @@ object LlmQueries {
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   /** Sign-LSH bucket replicated in SQL from the SAME seeded hyperplanes
-    * the Spark side uses (`Similarity.planes(4, 64, 42)`), so the blocked
-    * (scale-path) join semantics are oracle-checked exactly rather than
-    * downgraded to a rows-only probe. */
-  private def lshBucketSql(emb: String): String =
-    Similarity.planes(4, 64).zipWithIndex.map { case (p, i) =>
+    * the Spark side uses (`Similarity.planes(nPlanes, 64, 42)`), so the
+    * blocked (scale-path) join semantics are oracle-checked exactly rather
+    * than downgraded to a rows-only probe. */
+  private def lshBucketSql(emb: String, nPlanes: Int = 4): String =
+    Similarity.planes(nPlanes, 64).zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product(CAST($emb AS DOUBLE[]), [${p.mkString(", ")}]) >= 0" +
         s" THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
@@ -702,6 +705,26 @@ object LlmQueries {
          |  ON a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
          |WHERE round($cosineExpr, 6) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    // lshTopK(nPlanes = 6, multiProbe): probe set = exact bucket + one
+    // xor per plane bit; a corpus vector's single bucket matches at most
+    // one of the 7 distinct probes, so no DISTINCT is needed.
+    "sim_lsh_topk" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    ${lshBucketSql("embedding", 6)} AS bkt
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM c WHERE vec_id < 10),
+         |probes AS (SELECT query_id, qv, unnest([bkt,
+         |    xor(bkt, 1), xor(bkt, 2), xor(bkt, 4),
+         |    xor(bkt, 8), xor(bkt, 16), xor(bkt, 32)]) AS pb FROM q),
+         |cand AS (SELECT p.query_id, p.qv, n.vec_id AS neighbor_id, n.v AS nv
+         |  FROM probes p JOIN c n ON n.bkt = p.pb AND n.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT query_id, neighbor_id, ${ivfCos("qv", "nv")} AS sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${ivfCos("qv", "nv")} DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "sim_brute_topk" ->
       s"""SELECT query_id, neighbor_id, sim, rank FROM (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -67,11 +67,15 @@ object LlmQueries2 {
         T.par(spark, T.t(spark, dir, "documents")), dim = 256)
       .orderBy(col("doc_id"))
 
-  /** JL sign random projection of the embedding corpus: 64 → 8 dims. */
+  /** JL sign random projection of the embedding corpus: 64 → 8 dims.
+    * Flattened to one (vec_id, idx, pv) row per output element so the
+    * full array content is hash-comparable (the correctness harness
+    * cannot sort array-typed cells). */
   def embSignProject(spark: SparkSession, dir: String): DataFrame =
     Similarity.randomProject(T.par(spark, T.t(spark, dir, "embeddings")),
         outDim = 8, dim = 64)
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("idx", "pv")))
+      .orderBy(col("vec_id"), col("idx"))
 
   /** SemDeDup over the embedding corpus: trained k-means cells, in-cell
     * cosine ≥ 0.4 (the corpus's near-dup band, same threshold as
@@ -132,10 +136,14 @@ object LlmQueries2 {
       .orderBy(col("doc_id"))
   }
 
-  /** Int8 scalar quantization of the embedding corpus. */
+  /** Int8 scalar quantization of the embedding corpus, flattened to one
+    * (vec_id, scale, idx, qv) row per code so the full quantized content
+    * is hash-comparable (the harness cannot sort array-typed cells). */
   def embQuantizeInt8(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(T.par(spark, T.t(spark, dir, "embeddings")))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("q")).as(Seq("idx", "qv")))
+      .orderBy(col("vec_id"), col("idx"))
 
   /** Within-doc repeated-span trimming at 2-word granularity (short
     * spans so the word-soup corpus exhibits real repeats). */
@@ -190,17 +198,18 @@ object LlmQueries2 {
          |  string_agg(span, ' ' ORDER BY first_idx) AS kept_text
          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "emb_quantize_int8" ->
-      """WITH a AS (SELECT vec_id, embedding,
+      """WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
         |      AS amax
         |  FROM embeddings)
         |SELECT vec_id,
         |  CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
-        |  CASE WHEN amax = 0
-        |    THEN list_transform(CAST(embedding AS DOUBLE[]), x -> 0)
-        |    ELSE list_transform(CAST(embedding AS DOUBLE[]),
-        |      x -> CAST(round(x / (amax / 127.0)) AS INTEGER)) END AS q
-        |FROM a ORDER BY vec_id""".stripMargin,
+        |  CAST(r.range AS INTEGER) AS idx,
+        |  CASE WHEN amax = 0 THEN 0
+        |    ELSE CAST(round(v[CAST(r.range + 1 AS INTEGER)] / (amax / 127.0))
+        |      AS INTEGER) END AS qv
+        |FROM a CROSS JOIN range(64) r
+        |ORDER BY vec_id, idx""".stripMargin,
     "graph_pagerank" -> {
       val iterCtes = (1 to 3).map { i =>
         s"""c$i AS (SELECT e.dst AS id, CAST(sum(p.pr // o.outdeg) AS BIGINT) AS s
@@ -245,7 +254,7 @@ object LlmQueries2 {
          |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS BIGINT) % 64
          |      AS bucket
          |  FROM embeddings),
-         |panel AS (SELECT row_number() OVER (ORDER BY ch) - 1 AS idx,
+         |panel AS (SELECT row_number() OVER (ORDER BY bucket) - 1 AS idx,
          |    pair_id, embedding FROM (
          |    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY ch) AS rn
          |    FROM ring) WHERE rn = 1),
@@ -307,9 +316,13 @@ object LlmQueries2 {
         "round(list_dot_product(CAST(embedding AS DOUBLE[]), [" +
           r.map(v => if (v > 0) "1.0" else "-1.0").mkString(",") +
           "]), 6)").mkString(",\n    ")
-      s"""SELECT vec_id, [
+      s"""WITH p AS (SELECT vec_id, [
          |    $elems] AS proj
-         |FROM embeddings ORDER BY vec_id""".stripMargin
+         |FROM embeddings)
+         |SELECT vec_id, CAST(r.range AS INTEGER) AS idx,
+         |  proj[CAST(r.range + 1 AS INTEGER)] AS pv
+         |FROM p CROSS JOIN range(8) r
+         |ORDER BY vec_id, idx""".stripMargin
     },
     "quality_model_score" ->
       s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
@@ -406,7 +419,8 @@ object LlmQueries2 {
         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0) AS strt
         |  FROM s)
-        |SELECT doc_id, shard, strt // 512 AS bin_id, strt % 512 AS bin_offset,
+        |SELECT doc_id, shard, CAST(strt // 512 AS BIGINT) AS bin_id,
+        |  CAST(strt % 512 AS BIGINT) AS bin_offset,
         |  n_tokens
         |FROM c ORDER BY doc_id""".stripMargin,
     "text_tfidf_topk" ->

@@ -105,11 +105,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("quality scoring is two hash aggregations; weights add no join") {
+  test("quality scoring: hash aggregations + one id back-join; weights stay a literal") {
     val docs = T.t(spark, dir, "documents")
     val p = plan(ops.QualityModel.scoreLogistic(docs, Array.fill(64)(0.1), 0.0))
-    assert(!p.contains("Join"), s"literal weights must not become a join:\n$p")
+    // the weight array must ride as a literal (a weights-table formulation
+    // would join per feature row); the only join is the empty-doc back-join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"literal weights must not become a non-equi join:\n$p")
     assert(p.contains("HashAggregate"), p)
+  }
+
+  test("no registry query plans an unpartitioned (global) window") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // A Window with an empty partitionSpec funnels the whole relation into
+    // one task — the scale bug class that mine_contrastive_pairs' panel
+    // indexing used to carry. Scan every registry query's physical plan so
+    // the next one cannot land silently.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, dir).queryExecution.sparkPlan
+        p.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => name
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => name
+        }.headOption
+    }
+    assert(offenders.isEmpty,
+      s"global (unpartitioned) Window planned by: ${offenders.distinct.mkString(", ")}")
   }
 
   test("ivf: probe join broadcasts the query side; no cartesian product") {

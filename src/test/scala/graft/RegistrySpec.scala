@@ -17,12 +17,11 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("oracle SQL tracks the query registry") {
-    // rows-only by design: LSH top-k is recall-tested vs brute force,
-    // sketch estimates aren't engine-portable, trained-IVF centroids are
-    // float means (not bit-portable, also under the SemDeDup query), and
-    // iterative BPE training has no SQL mirror — each spec-asserted
-    // instead.
-    val rowsOnly = Set("sim_lsh_topk", "sketch_cardinality",
+    // rows-only by design: sketch estimates aren't engine-portable,
+    // trained-IVF centroids are float means (not bit-portable, also under
+    // the SemDeDup query), and iterative BPE training has no SQL mirror —
+    // each spec-asserted instead.
+    val rowsOnly = Set("sketch_cardinality",
       "sim_ivf_trained_topk", "sim_semantic_dedup", "text_bpe_train")
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
