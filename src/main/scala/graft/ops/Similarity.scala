@@ -288,6 +288,19 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Map-only nearest-centroid cell assignment against an explicit
+    * centroid set (e.g. one loaded from [[graft.sources.Artifacts]]) —
+    * the serve half of the train-once/reuse-everywhere flow. The
+    * centroid matrix rides the plan as one [[graft.functions.IvfIndex]]
+    * reference object; the corpus is scanned once, never shuffled. */
+  def assignCells(emb: DataFrame, cents: Array[(Long, Array[Float])],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    val index = new IvfIndex(cents.map(_._1), cents.map(_._2), roundTo)
+    emb.select(col(idCol),
+      nearest_cells(col(vecCol), index, 1).getItem(0).as("cell"))
+  }
+
   /** All pairs with cosine above a threshold (embedding near-dup detection).
     *
     * The DEFAULT is the bucket-blocked form: a sign-LSH equi-join that

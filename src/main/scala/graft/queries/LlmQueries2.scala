@@ -145,6 +145,43 @@ object LlmQueries2 {
         posexplode(col("q")).as(Seq("idx", "qv")))
       .orderBy(col("vec_id"), col("idx"))
 
+  /** Train-once / persist / serve-everywhere, end-to-end under the gate:
+    * BPE merges, logistic weights, and k-means centroids are trained (or
+    * deterministically derived), written through
+    * [[graft.sources.Artifacts]], loaded back, and SERVED — BPE token
+    * counts from the loaded merge table, p_keep from the loaded weights,
+    * nearest-cell assignment from the loaded centroids — all in one
+    * relation. Rows-only by design (trained centroids and float margins
+    * aren't engine-portable); the load-equals-saved laws are asserted in
+    * ArtifactsSpec, and this query proves the persisted-artifact path
+    * under the driver gate rather than only in specs. */
+  def artifactTrainServe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Artifacts
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+    Artifacts.saveBpeMerges(spark,
+      TextAnalysis.trainBpeMerges(docs, k = 8), s"$tmp/bpe")
+    Artifacts.saveCentroids(spark,
+      Similarity.trainIvfCentroids(emb, k = 8, iters = 2), s"$tmp/cents")
+    val seededW = { // deterministic stand-in for a trainLogistic run
+      val r = new scala.util.Random(5)
+      Array.fill(64)((r.nextInt(21) - 10) / 10.0)
+    }
+    Artifacts.saveLogistic(spark, seededW, 0.1, s"$tmp/logit")
+    val merges = Artifacts.loadBpeMerges(spark, s"$tmp/bpe")
+    val (w, b) = Artifacts.loadLogistic(spark, s"$tmp/logit")
+    val cents = Artifacts.loadCentroids(spark, s"$tmp/cents")
+    docs.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+      .join(QualityModel.scoreLogistic(docs, w, b), Seq("doc_id"))
+      .join(Similarity.assignCells(emb, cents)
+        .withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        round(col("p_keep"), 6).as("p_keep"), col("cell"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Within-doc repeated-span trimming at 2-word granularity (short
     * spans so the word-soup corpus exhibits real repeats). */
   def dedupSpanWithin(spark: SparkSession, dir: String): DataFrame =
@@ -154,6 +191,7 @@ object LlmQueries2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_span_within" -> (dedupSpanWithin _),
+    "artifact_train_serve" -> (artifactTrainServe _),
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "text_bpe_train" -> (textBpeTrain _),
     "graph_pagerank" -> (graphPagerank _),

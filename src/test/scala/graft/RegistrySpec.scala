@@ -19,10 +19,11 @@ class RegistrySpec extends SparkSpec {
   test("oracle SQL tracks the query registry") {
     // rows-only by design: sketch estimates aren't engine-portable,
     // trained-IVF centroids are float means (not bit-portable, also under
-    // the SemDeDup query), and iterative BPE training has no SQL mirror —
-    // each spec-asserted instead.
+    // the SemDeDup and artifact-serve queries), and iterative BPE training
+    // has no SQL mirror — each spec-asserted instead.
     val rowsOnly = Set("sketch_cardinality",
-      "sim_ivf_trained_topk", "sim_semantic_dedup", "text_bpe_train")
+      "sim_ivf_trained_topk", "sim_semantic_dedup", "text_bpe_train",
+      "artifact_train_serve")
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -213,6 +213,38 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L, 4L), s"survivors: $kept")
   }
 
+  test("semantic dedup closes chains: one survivor per connected group") {
+    // chain in one cell: 1 at 0°, 9 at 25°, 5 at 50° (cos 25° ≈ 0.906,
+    // cos 50° ≈ 0.64). Edges at threshold 0.9: (1,9) and (9,5) only.
+    // Keep-one-per-group semantics keeps {1}; the old transitive-drop
+    // rule would keep 5 too (its only direct match, 9, has a larger id).
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val rows = emb(1L -> at(0), 9L -> at(25), 5L -> at(50))
+    val cents = Array(0L -> Array(1f, 0f))
+    val kept = Similarity.semanticDedupWith(rows, cents, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"survivors: $kept")
+  }
+
+  test("semantic dedup maxCellSize cap excludes oversized cells from pairing") {
+    def unit(dir: Int): Seq[Float] = Seq.tabulate(4)(i => if (i == dir) 1f else 0f)
+    val rows = emb(Seq(1L, 2L, 3L).map(_ -> unit(0)) :+ (4L -> unit(1)): _*)
+    val cents = Array(0L -> unit(0).toArray, 1L -> unit(1).toArray)
+    // uncapped: the clone cell of 3 dedups to its min id
+    val kept0 = Similarity.semanticDedupWith(rows, cents, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept0 == Set(1L, 4L), s"survivors: $kept0")
+    // capped at 2: the 3-member cell skips pair generation — all survive
+    // (the documented recall sacrifice; never a quadratic blowup)
+    val kept2 = Similarity.semanticDedupWith(rows, cents, threshold = 0.95,
+        maxCellSize = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L, 2L, 3L, 4L), s"survivors: $kept2")
+  }
+
   test("sign random projection: one-hot rows recover matrix columns exactly") {
     val dim = 16
     val m = Similarity.signMatrix(outDim = 4, dim = dim)

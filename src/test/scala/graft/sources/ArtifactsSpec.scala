@@ -45,4 +45,21 @@ class ArtifactsSpec extends SparkSpec {
       .collect().map(_.getSeq[String](0))
     assert(t1.zip(t2).forall { case (a, b) => a == b })
   }
+
+  test("artifact_train_serve registry query serves persisted artifacts") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.LlmQueries2.artifactTrainServe(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(1) > 0, s"n_bpe_tokens must be positive: $r")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0,
+        s"p_keep must be a probability: $r")
+      assert(r.getLong(3) >= 0 && r.getLong(3) < 8, s"cell out of range: $r")
+    }
+    // deterministic end-to-end: retrain + repersist + reserve is identical
+    val again = graft.queries.LlmQueries2.artifactTrainServe(spark, dir)
+      .collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
