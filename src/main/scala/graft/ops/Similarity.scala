@@ -354,6 +354,42 @@ object Similarity {
       transform(col("q"), x => (x.cast("double") * col("scale")).cast("float"))
         .as("embedding"))
 
+  /** Chunk→document mean-pooling of embeddings in EXACT micro-units —
+    * the aggregation that turns per-chunk vectors into one document
+    * vector (retrieval pipelines pool before indexing). Each element is
+    * floored to integer micro-units (1e-6 resolution) first, so the
+    * cross-row sum is an integer: order-independent, partition-
+    * invariant, and engine-exact, where a float sum is none of those.
+    * Pooling error < 1e-6 per element — far below embedding noise.
+    *
+    * Output is the flattened (group, idx, mean_micro, n_vecs) relation —
+    * scalar rows hash-compare under the oracle gate, and
+    * `transform(..., x / 1e6)` rebuilds a float vector when needed.
+    *
+    * Floor-division portability: every addend is offset by +10⁹ before
+    * the integral division so the dividend is non-negative — there
+    * Spark's truncating `div` and DuckDB's flooring `//` agree — and
+    * the offset divides out exactly (adds 10⁹ to the quotient,
+    * subtracted back).
+    *
+    * Scale shape: posexplode (dim rows per vector) → ONE combine-agg
+    * shuffle keyed by (group, element index). No window, no join. */
+  def meanPoolMicro(emb: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    // offset bound: elements to |v| ≤ 10³ stay non-negative, and
+    // n·offset stays inside a long for groups up to ~9·10⁹ vectors
+    val offset = 1000000000L
+    emb.select(col(groupCol).as("group_id"), posexplode(col(vecCol)))
+      .select(col("group_id"), col("pos").as("idx"),
+        (floor(col("col").cast("double") * lit(1000000.0)) + lit(offset))
+          .as("__m"))
+      .groupBy(col("group_id"), col("idx"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__m")).as("__s"))
+      .select(col("group_id"), col("idx"),
+        (expr("__s div n_vecs") - lit(offset)).as("mean_micro"),
+        col("n_vecs"))
+  }
+
   /** Contrastive training-pair mining: for each anchor, its exact
     * nearest neighbour as the positive plus `negatives` deterministic
     * random negatives drawn from a hash panel — the (anchor, positive,

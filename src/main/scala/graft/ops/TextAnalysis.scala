@@ -291,6 +291,63 @@ object TextAnalysis {
           lit(0.0)).as("dup_bigram_share"))
   }
 
+  /** Corpus-LM document scoring — the CCNet/Gopher "language-model
+    * quality" signal in an exactly-rational form. Train corpus bigram
+    * counts c(w₁w₂) and first-word marginals c(w₁·); score every
+    * document by the mean Laplace-smoothed conditional frequency of its
+    * bigram occurrences, in integer micro-units: per occurrence
+    * `unit·(c(w₁w₂)+1) div (c(w₁·)+V)` with V the first-word vocabulary
+    * size, per document the floor mean. Smoothing is what makes it a
+    * signal: unsmoothed, a singleton bigram with a singleton first word
+    * scores a perfect c/c = 1 — gibberish would rank highest. No
+    * logarithms (transcendentals aren't bit-portable across engines);
+    * the arithmetic-mean surrogate keeps the keep/drop ranking of the
+    * usual log-perplexity. In-distribution text built from frequent
+    * continuations scores high; random word soup scores ≈ unit/V.
+    *
+    * Every input document gets a row: docs with no bigrams (< 2 words)
+    * come back with n_bigrams = 0 and lm_micro = 0 via the left
+    * back-join, so a downstream filter always sees them.
+    *
+    * Scale shape: the count relations are vocabulary-sized (map-side
+    * combined before their exchanges); V rides along as a broadcast
+    * one-row aggregate; scoring is two equi-joins of the per-doc bigram
+    * relation against the counts, keyed by bigram/first word. Two
+    * corpus passes (train + score) — at 100 TB the counts would be
+    * persisted between jobs via [[graft.sources.Artifacts]]-style
+    * parquet. `unit·(c+1)` needs headroom: with unit = 10⁶ the product
+    * stays in a long up to ~9·10¹² occurrences of one bigram. */
+  def bigramLmScore(docs: DataFrame, unit: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol).as("id"), explode(transform(
+        sequence(lit(0), size(col("__w")) - 2),
+        i => struct(
+          element_at(col("__w"), i + 1).as("w1"),
+          concat_ws(" ", element_at(col("__w"), i + 1),
+            element_at(col("__w"), i + 2)).as("b"))))
+        .as("__p"))
+      .select(col("id"), col("__p.w1").as("w1"), col("__p.b").as("b"))
+    val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val cw = bg.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    val vocab = bg.agg(countDistinct(col("w1")).as("__v"))
+    val db = bg.groupBy(col("id"), col("b"), col("w1"))
+      .agg(count(lit(1)).as("n"))
+    val scored = db.join(cb, Seq("b")).join(cw, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__occ", expr(s"($unit * (cb + 1)) div (cw + __v)"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        expr("sum(n * __occ) div sum(n)").as("lm_micro"))
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
+  }
+
   /** Per-document top-k salient terms by tf·idf with a LINEAR idf
     * (idf = N/df, not ln(N/df)): ln() is transcendental and only
     * 1-ulp-accurate (Java Math.log vs a C libm disagree), while integer

@@ -182,6 +182,20 @@ object LlmQueries2 {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-bigram LM quality score per document (exact micro-units). */
+  def textLmBigram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
+  /** Chunk→doc mean pooling: 4 consecutive vec_ids pool to one pseudo-doc
+    * vector, flattened to exact (group, idx, mean_micro, n) rows. */
+  def embMeanPool(spark: SparkSession, dir: String): DataFrame =
+    Similarity.meanPoolMicro(
+      T.par(spark, T.t(spark, dir, "embeddings"))
+        .withColumn("group_id", expr("vec_id div 4")),
+      groupCol = "group_id")
+      .orderBy(col("group_id"), col("idx"))
+
   /** Within-doc repeated-span trimming at 2-word granularity (short
     * spans so the word-soup corpus exhibits real repeats). */
   def dedupSpanWithin(spark: SparkSession, dir: String): DataFrame =
@@ -192,6 +206,8 @@ object LlmQueries2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_span_within" -> (dedupSpanWithin _),
     "artifact_train_serve" -> (artifactTrainServe _),
+    "text_lm_bigram" -> (textLmBigram _),
+    "emb_mean_pool" -> (embMeanPool _),
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "text_bpe_train" -> (textBpeTrain _),
     "graph_pagerank" -> (graphPagerank _),
@@ -235,6 +251,44 @@ object LlmQueries2 {
          |  CAST(sum(occ - 1) AS BIGINT) AS n_dropped,
          |  string_agg(span, ' ' ORDER BY first_idx) AS kept_text
          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Laplace-smoothed bigram conditionals in integer micro-units; the
+    // 100k-position range cap matches the doc_chunks convention (the
+    // corpus stays far below it, ChunkingSpec-asserted).
+    "text_lm_bigram" ->
+      s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+         |           FROM documents),
+         |bg AS (SELECT doc_id,
+         |         ws[CAST(r.range + 1 AS INTEGER)] AS w1,
+         |         ws[CAST(r.range + 1 AS INTEGER)] || ' ' ||
+         |           ws[CAST(r.range + 2 AS INTEGER)] AS b
+         |       FROM w CROSS JOIN range(0, 100000) r
+         |       WHERE r.range <= len(ws) - 2),
+         |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+         |cw AS (SELECT w1, count(*) AS cw FROM bg GROUP BY w1),
+         |vv AS (SELECT count(DISTINCT w1) AS v FROM bg),
+         |db AS (SELECT doc_id, b, w1, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+         |s AS (SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_bigrams,
+         |        CAST(sum(db.n * ((1000000 * (cb.cb + 1)) //
+         |            (cw.cw + (SELECT v FROM vv)))) // sum(db.n) AS BIGINT)
+         |          AS lm_micro
+         |      FROM db JOIN cb USING (b) JOIN cw USING (w1)
+         |      GROUP BY db.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(s.lm_micro, 0) AS BIGINT) AS lm_micro
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // Mean pooling in exact micro-units; +1e9 offset keeps the dividend
+    // non-negative so DuckDB's flooring // matches Spark's truncating div.
+    "emb_mean_pool" ->
+      """WITH x AS (SELECT vec_id // 4 AS group_id, CAST(r.range AS INTEGER) AS idx,
+        |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)
+        |      * 1000000) AS BIGINT) + 1000000000 AS m
+        |  FROM embeddings CROSS JOIN range(64) r)
+        |SELECT group_id, idx,
+        |  CAST(sum(m) // count(*) - 1000000000 AS BIGINT) AS mean_micro,
+        |  count(*) AS n_vecs
+        |FROM x GROUP BY group_id, idx
+        |ORDER BY group_id, idx""".stripMargin,
     "emb_quantize_int8" ->
       """WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))

@@ -245,6 +245,26 @@ class SimilaritySpec extends SparkSpec {
     assert(kept2 == Set(1L, 2L, 3L, 4L), s"survivors: $kept2")
   }
 
+  test("mean pooling in micro-units: exact values, floor semantics, invariance") {
+    import org.apache.spark.sql.functions.expr
+    // group 0: 0.25 + (-0.75) + 0.0 over 3 vectors -> sum -500000 micro,
+    // floor(-500000/3) = -166667 (floor, not truncation toward zero)
+    val rows = emb(
+      0L -> Seq(0.25f, 1f), 1L -> Seq(-0.75f, 1f), 2L -> Seq(0f, 1f),
+      10L -> Seq(0.5f, -0.5f))
+      .withColumn("group_id", expr("vec_id div 4"))
+    val out = Similarity.meanPoolMicro(rows, "group_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out((0L, 0)) == (-166667L, 3L), s"got ${out((0L, 0))}")
+    assert(out((0L, 1)) == (1000000L, 3L))
+    assert(out((2L, 0)) == (500000L, 1L))
+    assert(out((2L, 1)) == (-500000L, 1L))
+    // partition-invariant: integer sums are order-independent
+    val again = Similarity.meanPoolMicro(rows.repartition(7), "group_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out == again)
+  }
+
   test("sign random projection: one-hot rows recover matrix columns exactly") {
     val dim = 16
     val m = Similarity.signMatrix(outDim = 4, dim = dim)

@@ -140,4 +140,26 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.bpeTokens(col("text"), merges)).head().getSeq[String](0)
     assert(newest == Seq("n", "e", "w", "est"))
   }
+
+  test("bigram LM score: smoothed conditionals, hand-computed micro-units") {
+    import spark.implicits._
+    // corpus: "the cat" occurs twice (frequent continuation), everything
+    // else is a singleton. First-word vocab V = {the, cat, zebra, quark}.
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"),
+      (3L, "zebra quark blip"), (4L, "single")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: "the cat" -> 1e6*(2+1) div (2+4) = 500000;
+    //        "cat sat" -> 1e6*(1+1) div (2+4) = 333333; mean = 416666
+    assert(out(1L) == (2L, 416666L), s"got ${out(1L)}")
+    assert(out(2L) == (2L, 416666L))
+    // doc 3: singleton bigrams w/ singleton first words:
+    //        1e6*2 div (1+4) = 400000 each — smoothing keeps them BELOW
+    //        the frequent-continuation doc (unsmoothed they'd be 1e6)
+    assert(out(3L) == (2L, 400000L), s"got ${out(3L)}")
+    assert(out(1L)._2 > out(3L)._2)
+    // doc 4 has no bigrams but still gets a row
+    assert(out(4L) == (0L, 0L))
+  }
 }
