@@ -71,6 +71,26 @@ object Curation {
     * regardless of partitioning or cluster size, unlike LIMIT-per-group).
     * One shuffle on the stratum; the window never materializes a group in
     * memory (row_number streams over the sorted run). */
+  /** Exact-count global sample: the `n` rows with the lowest salted
+    * content hash — a deterministic reservoir draw ("give me a uniform
+    * 100k-doc sample of the corpus"), independent of partitioning and
+    * file order. Rate sampling ([[stratifiedSample]]) only hits a target
+    * COUNT in expectation; this is exact.
+    *
+    * Physical shape is the reason it scales: `orderBy(hash).limit(n)`
+    * plans as TakeOrderedAndProject — each task keeps an n-row heap and
+    * the driver merges heaps — never a global sort of the corpus
+    * (PlanSpec-asserted). Driver memory is O(n·row), so n is for
+    * samples, not for partitioning the corpus. */
+  def sampleGlobal(df: DataFrame, n: Int, keyCol: String,
+      salt: String = "gsamp"): DataFrame = {
+    require(n > 0, "n must be positive")
+    df.withColumn("__h", hashFraction(col(keyCol), salt))
+      .orderBy(col("__h"), col(keyCol))
+      .limit(n)
+      .drop("__h")
+  }
+
   def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
       cap: Int, salt: String = "cap"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

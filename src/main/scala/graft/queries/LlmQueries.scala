@@ -308,6 +308,13 @@ object LlmQueries {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Exact-count global sample: the 100 hash-lowest docs of the corpus —
+    * TakeOrderedAndProject shape (per-task heaps, no global sort). */
+  def sampleGlobal(spark: SparkSession, dir: String): DataFrame =
+    Curation.sampleGlobal(T.t(spark, dir, "documents"), n = 100, keyCol = "doc_id")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** Skew-proof equi-join: salted big side x replicated dim — results
     * identical to the plain join (the oracle). */
   def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -354,6 +361,7 @@ object LlmQueries {
     "salted_hot_key_agg" -> (saltedHotKeyAgg _),
     "salted_skew_join" -> (saltedSkewJoin _),
     "sample_cap_per_source" -> (sampleCapPerSource _),
+    "sample_global" -> (sampleGlobal _),
     "dedup_exact_prefix" -> (dedupExactPrefix _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -501,6 +509,12 @@ object LlmQueries {
          |      ORDER BY ${Curation.hashFractionSql("doc_id", "cap")}, doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= 12
+         |ORDER BY doc_id""".stripMargin,
+    "sample_global" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source FROM documents
+         |  ORDER BY ${Curation.hashFractionSql("doc_id", "gsamp")}, doc_id
+         |  LIMIT 100)
          |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source, $splitCaseSql AS split

@@ -188,4 +188,21 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
     assert(packed.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("global sample: exact count, partition-invariant, nested draws") {
+    import spark.implicits._
+    val docs = (1L to 1000L).map(i => (i, s"s${i % 7}")).toDF("doc_id", "source")
+    val s100 = Curation.sampleGlobal(docs, 100, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s100.size == 100)
+    // partition-invariant draw
+    val again = Curation.sampleGlobal(docs.repartition(17), 100, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s100 == again)
+    // nestedness: hash-ranked draws grow monotonically — the 50-sample is
+    // exactly the first half of the 100-sample (resizable samples for free)
+    val s50 = Curation.sampleGlobal(docs, 50, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s50.subsetOf(s100) && s50.size == 50)
+  }
 }
