@@ -91,6 +91,28 @@ object Curation {
       .drop("__h")
   }
 
+  /** Keep the top `qMicro`/10⁶ fraction of each stratum by score —
+    * "top quartile per domain" — with EXACT rank arithmetic instead of
+    * an approximate quantile: row ranks by (score desc, key), a row
+    * survives iff rank ≤ ceil(q·n) where n is its stratum size, all in
+    * integer micro-units (`rank·10⁶ ≤ qMicro·n` rounded up) — so the
+    * cut is deterministic, ties are total-ordered, and the oracle can
+    * replay it bit-for-bit. One Window pass per stratum computes both
+    * the rank and the stratum size (same partition spec → one exec).
+    * Skewed strata behave like any other per-stratum window: the
+    * partition key spreads the corpus; a single pathological stratum is
+    * the caller's salting problem, exactly as in [[capPerStratum]]. */
+  def keepTopQuantile(df: DataFrame, strataCol: String, scoreCol: String,
+      keyCol: String, qMicro: Long): DataFrame = {
+    require(qMicro >= 0 && qMicro <= 1000000L, "qMicro is a fraction in micro-units")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    val wOrd = w.orderBy(col(scoreCol).desc, col(keyCol))
+    df.withColumn("__rk", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(w))
+      .where(expr(s"__rk <= ($qMicro * __n + 999999) div 1000000"))
+      .drop("__rk", "__n")
+  }
+
   def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
       cap: Int, salt: String = "cap"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

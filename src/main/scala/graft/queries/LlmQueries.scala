@@ -308,6 +308,29 @@ object LlmQueries {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Per-source top-quantile gate: keep the top 25% of each source's
+    * docs by token count — exact rank arithmetic, no approximate
+    * quantiles, total-order deterministic. */
+  def sampleTopQuantile(spark: SparkSession, dir: String): DataFrame =
+    Curation.keepTopQuantile(
+      T.par(spark, T.t(spark, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      strataCol = "source", scoreCol = "n_tokens", keyCol = "doc_id",
+      qMicro = 250000L)
+      .orderBy(col("doc_id"))
+
+  /** End-to-end near-dup REMOVAL, oracle-checked: MinHash pairs →
+    * connected components → keep exactly the min-id representative of
+    * every transitive cluster (chains a~b~c lose both b and c). The
+    * cluster labeling is checked by `dedup_cc_clusters`; this checks
+    * the surviving corpus itself. */
+  def dedupConnectedKeep(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDuplicatesConnected(
+      T.t(spark, dir, "documents").filter(col("doc_id") < 500), threshold = 0.5)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
   /** Exact-count global sample: the 100 hash-lowest docs of the corpus —
     * TakeOrderedAndProject shape (per-task heaps, no global sort). */
   def sampleGlobal(spark: SparkSession, dir: String): DataFrame =
@@ -362,6 +385,8 @@ object LlmQueries {
     "salted_skew_join" -> (saltedSkewJoin _),
     "sample_cap_per_source" -> (sampleCapPerSource _),
     "sample_global" -> (sampleGlobal _),
+    "sample_top_quantile" -> (sampleTopQuantile _),
+    "dedup_connected_keep" -> (dedupConnectedKeep _),
     "dedup_exact_prefix" -> (dedupExactPrefix _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -509,6 +534,47 @@ object LlmQueries {
          |      ORDER BY ${Curation.hashFractionSql("doc_id", "cap")}, doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= 12
+         |ORDER BY doc_id""".stripMargin,
+    "sample_top_quantile" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST($nTokensSql AS INTEGER) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY n_tokens DESC, doc_id) AS rk,
+         |      count(*) OVER (PARTITION BY source) AS n
+         |      FROM t)
+         |SELECT doc_id, source, n_tokens FROM r
+         |WHERE rk <= (250000 * n + 999999) // 1000000
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_connected_keep" ->
+      s"""WITH RECURSIVE $gramsCte,
+         |sig AS (SELECT id, $sigCols FROM grams GROUP BY id),
+         |bands AS (SELECT id, r.range AS band, $bandCase AS band_key
+         |  FROM sig CROSS JOIN range(4) r),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN grams ga ON ga.id = c.id_a
+         |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+         |  GROUP BY c.id_a, c.id_b),
+         |pairs AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b
+         |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |losers AS (SELECT id FROM (
+         |    SELECT id, min(lab) AS component FROM reach GROUP BY id)
+         |  WHERE component <> id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id < 500 AND doc_id NOT IN (SELECT id FROM losers)
          |ORDER BY doc_id""".stripMargin,
     "sample_global" ->
       s"""SELECT doc_id, source FROM (

@@ -189,6 +189,22 @@ class CurationSpec extends SparkSpec {
     assert(packed.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("top-quantile gate: exact ceil cut, deterministic ties, edge fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      // source a: 5 docs, q=0.25 -> ceil(1.25)=2 survivors (scores 50, 40)
+      (1L, "a", 10), (2L, "a", 20), (3L, "a", 30), (4L, "a", 40), (5L, "a", 50),
+      // source b: all-tied scores -> key order decides, ceil(0.25*4)=1
+      (11L, "b", 7), (12L, "b", 7), (13L, "b", 7), (14L, "b", 7)
+    ).toDF("doc_id", "source", "n_tokens")
+    def kept(q: Long) =
+      Curation.keepTopQuantile(docs, "source", "n_tokens", "doc_id", q)
+        .collect().map(_.getLong(0)).toSet
+    assert(kept(250000L) == Set(4L, 5L, 11L), s"got ${kept(250000L)}")
+    assert(kept(1000000L) == (1L to 5L).toSet ++ (11L to 14L).toSet)
+    assert(kept(0L) == Set.empty)
+  }
+
   test("global sample: exact count, partition-invariant, nested draws") {
     import spark.implicits._
     val docs = (1L to 1000L).map(i => (i, s"s${i % 7}")).toDF("doc_id", "source")
