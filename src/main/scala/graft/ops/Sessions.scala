@@ -34,6 +34,31 @@ object Sessions {
       .drop("__prev_ts", "__new_session")
   }
 
+  /** Weekly cohort retention over an event stream: users are cohorted by
+    * the epoch-week of their FIRST event; each (cohort_week, week_offset)
+    * cell counts the distinct users of that cohort active `week_offset`
+    * weeks later — the classic retention triangle. All date arithmetic
+    * is integer epoch-day division (no timezones, no float), so the
+    * result is engine-exact.
+    *
+    * Scale shape: one user-keyed aggregation for the first-event
+    * relation (map-side combined), one equi-join back on the user key,
+    * one distinct-count aggregation keyed by the (cohort, offset) cell —
+    * the same plan at any user cardinality; nothing collects. */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firsts = events
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("__first_date"))
+    events.select(col(userCol), to_date(col(tsCol)).as("__d"))
+      .join(firsts, Seq(userCol))
+      .select(col(userCol),
+        expr("datediff(__first_date, DATE'1970-01-01') div 7").as("cohort_week"),
+        expr("datediff(__d, __first_date) div 7").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Per-session summary: bounds, event count, duration. */
   def summarize(events: DataFrame, key: String, ts: String, gapSeconds: Long): DataFrame =
     assign(events, key, ts, gapSeconds)

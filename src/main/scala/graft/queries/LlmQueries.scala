@@ -292,6 +292,12 @@ object LlmQueries {
     graft.ops.Sessions.summarize(T.events(spark, dir), "user_id", "ts", 1800)
       .orderBy(col("user_id"), col("session_id"))
 
+  /** Weekly cohort retention triangle over the events table — integer
+    * epoch-week arithmetic, engine-exact. */
+  def eventRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessions.cohortRetention(T.events(spark, dir))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
   /** Salted two-stage aggregation — results bit-identical to the plain
     * GROUP BY (the oracle), plan skew-proof. */
   def saltedHotKeyAgg(spark: SparkSession, dir: String): DataFrame =
@@ -381,6 +387,7 @@ object LlmQueries {
     "decon_cross_pairs" -> (deconCrossPairs _),
     "text_facets" -> (textFacets _),
     "sessionize_events" -> (sessionizeEvents _),
+    "event_retention" -> (eventRetention _),
     "salted_hot_key_agg" -> (saltedHotKeyAgg _),
     "salted_skew_join" -> (saltedSkewJoin _),
     "sample_cap_per_source" -> (sampleCapPerSource _),
@@ -635,6 +642,16 @@ object LlmQueries {
         |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_secs
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "event_retention" ->
+      """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |           FROM events),
+        |f AS (SELECT user_id, min(d) AS fd FROM e GROUP BY user_id)
+        |SELECT CAST((f.fd - DATE '1970-01-01') // 7 AS BIGINT) AS cohort_week,
+        |  CAST((e.d - f.fd) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "salted_skew_join" ->
       s"""WITH dim AS (
          |  SELECT DISTINCT event_type,

@@ -195,4 +195,26 @@ class SessionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("cohort retention: hand-computed weekly triangle") {
+    import spark.implicits._
+    // epoch week boundaries: 1970-01-01 is day 0, so week w covers
+    // days [7w, 7w+7). u1 first on day 0 (week 0), active days 0, 3, 14
+    // (offsets 0, 0, 2); u2 first day 1 (week 0), active day 8 (offset 1);
+    // u3 first day 7 (week 1), active day 7 only.
+    def d(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(1970, 1, 1).plusDays(day).atTime(12, 0))
+    val ev = Seq(
+      (1L, d(0)), (1L, d(3)), (1L, d(14)),
+      (2L, d(1)), (2L, d(8)),
+      (3L, d(7))).toDF("user_id", "ts")
+    val out = Sessions.cohortRetention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, // u1 (days 0,3) + u2 (day 1) in their first week
+      (0L, 1L) -> 1L, // u2 back in week offset 1 (day 8)
+      (0L, 2L) -> 1L, // u1 back in week offset 2 (day 14)
+      (1L, 0L) -> 1L  // u3's cohort is epoch week 1
+    ), s"got $out")
+  }
 }
