@@ -63,10 +63,19 @@ object GraftApp {
       val reporter = conf.reports.filter(_.enabled).map { r =>
         // repository configured => real git publication (S11); otherwise
         // log-only (the reference requires the repo section to publish)
-        val publisher =
+        val base: graft.streaming.ReportPublisher =
           if (r.gitConfigured)
             new graft.report.GitPublisher(r.localDir, r.remote, r.httpBase).init()
           else new LogPublisher
+        // twitter credentials configured => real OAuth1 POST on the
+        // summary channel (S12; reference: core/config.go:46-50 gates on
+        // twitter.enabled the same way)
+        val publisher = conf.twitter.filter(_.configured).map { t =>
+          new graft.report.TwitterSummaryPublisher(
+            new graft.report.TwitterPoster(graft.report.OAuth1Creds(
+              t.consumerKey, t.consumerSecret, t.accessKey, t.accessSecret)),
+            base): graft.streaming.ReportPublisher
+        }.getOrElse(base)
         ReportJob.stream(spark, eventsPath, reportDir,
           s"$checkpointRoot/__report", publisher, r.periodSecs)
       }

@@ -67,10 +67,20 @@ final case class ReportsConf(enabled: Boolean, periodSecs: Int, localDir: String
   def gitConfigured: Boolean = remote.nonEmpty && localDir.nonEmpty
 }
 
+/** `twitter:` section (reference: core/twitter.go:20-24 — enabled flag
+  * plus the OAuth1 consumer/access key pairs). */
+final case class TwitterConf(enabled: Boolean, consumerKey: String = "",
+    consumerSecret: String = "", accessKey: String = "", accessSecret: String = "") {
+  def configured: Boolean =
+    enabled && consumerKey.nonEmpty && consumerSecret.nonEmpty &&
+      accessKey.nonEmpty && accessSecret.nonEmpty
+}
+
 final case class GraftConfig(
     nodeName: String,
     sensors: Seq[SensorConf],
-    reports: Option[ReportsConf] = None) {
+    reports: Option[ReportsConf] = None,
+    twitter: Option[TwitterConf] = None) {
   def enabledSensors: Seq[SensorConf] = sensors.filter(_.enabled)
 }
 
@@ -135,6 +145,14 @@ object GraftConfig {
           repo.map(str(_, "http", "")).getOrElse(""))
       }
 
-    GraftConfig(str(root, "name", "local"), sensors.toSeq, reports)
+    val twitter = Option(root.get("twitter"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]])
+      .map { t =>
+        TwitterConf(bool(t, "enabled", false),
+          str(t, "consumer_key", ""), str(t, "consumer_secret", ""),
+          str(t, "access_key", ""), str(t, "access_secret", ""))
+      }
+
+    GraftConfig(str(root, "name", "local"), sensors.toSeq, reports, twitter)
   }
 }

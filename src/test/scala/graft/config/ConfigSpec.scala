@@ -73,4 +73,26 @@ class ConfigSpec extends AnyFunSuite {
         |""".stripMargin
     intercept[java.util.regex.PatternSyntaxException](GraftConfig.fromYaml(yaml))
   }
+
+  test("twitter section parses OAuth1 key pairs (twitter.go:20-24 parity)") {
+    val yaml =
+      """name: x
+        |twitter:
+        |  enabled: true
+        |  consumer_key: ck
+        |  consumer_secret: cs
+        |  access_key: ak
+        |  access_secret: as
+        |sensors: []
+        |""".stripMargin
+    val conf = GraftConfig.fromYaml(yaml)
+    assert(conf.twitter.exists(_.configured))
+    assert(conf.twitter.get.consumerKey == "ck" && conf.twitter.get.accessSecret == "as")
+    // enabled without credentials is NOT configured (no silent half-setup)
+    val partial = GraftConfig.fromYaml(
+      "name: x\ntwitter:\n  enabled: true\n  consumer_key: ck\nsensors: []\n")
+    assert(partial.twitter.exists(t => t.enabled && !t.configured))
+    // absent section => None
+    assert(GraftConfig.fromYaml("name: x\nsensors: []\n").twitter.isEmpty)
+  }
 }
