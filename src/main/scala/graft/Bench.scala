@@ -93,5 +93,9 @@ object Bench {
     "quality_model_score", "sample_token_budget",
     "text_profile", "text_ngrams", "curation_pipeline", "salted_skew_join",
     "funnel_conversion", "mm_audio_features", "q_window_running",
-    "q_percentile")
+    "q_percentile",
+    // round-6 additions: LM scoring, exact pooling, global sample,
+    // retention, end-to-end near-dup removal
+    "text_lm_bigram", "emb_mean_pool", "sample_global", "event_retention",
+    "dedup_connected_keep")
 }
