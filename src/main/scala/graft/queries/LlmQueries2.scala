@@ -160,10 +160,14 @@ object LlmQueries2 {
     val docs = T.par(spark, T.t(spark, dir, "documents"))
     val emb = T.par(spark, T.t(spark, dir, "embeddings"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+    // train on a bounded deterministic sample, serve corpus-wide — the
+    // production split (a maintenance job trains, every run serves)
     Artifacts.saveBpeMerges(spark,
-      TextAnalysis.trainBpeMerges(docs, k = 8), s"$tmp/bpe")
+      TextAnalysis.trainBpeMerges(docs.filter(col("doc_id") < 500), k = 8),
+      s"$tmp/bpe")
     Artifacts.saveCentroids(spark,
-      Similarity.trainIvfCentroids(emb, k = 8, iters = 2), s"$tmp/cents")
+      Similarity.trainIvfCentroids(emb.filter(col("vec_id") < 2000), k = 8,
+        iters = 2), s"$tmp/cents")
     val seededW = { // deterministic stand-in for a trainLogistic run
       val r = new scala.util.Random(5)
       Array.fill(64)((r.nextInt(21) - 10) / 10.0)
