@@ -117,6 +117,36 @@ object QualityModel {
     } finally { feats.unpersist(); labels.unpersist() }
   }
 
+  /** Precision/recall sweep over every distinct score threshold — the
+    * classifier-calibration primitive (pick the keep/drop cut for a
+    * target precision). At threshold t the prediction is score ≥ t;
+    * each output row carries tp/fp/fn and precision/recall in integer
+    * micro-units (exact, engine-portable — intended for integer scores
+    * like [[integerWeightScore]] margins).
+    *
+    * Scale shape: one aggregation collapses the corpus to the
+    * distinct-score relation (vocabulary-sized for integer scores);
+    * the running totals come from a TRIANGULAR SELF-JOIN of that tiny
+    * relation (b.threshold ≥ a.threshold), never a global window — the
+    * corpus is scanned once and nothing funnels into one task. */
+  def prCurve(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val per = scored.groupBy(col(scoreCol).as("threshold"))
+      .agg(count(lit(1)).as("__n"), sum(col(labelCol).cast("long")).as("__pos"))
+    val totals = per.agg(coalesce(sum(col("__pos")), lit(0L)).as("__p"))
+    val cum = per.alias("a")
+      .join(per.alias("b"), col("b.threshold") >= col("a.threshold"))
+      .groupBy(col("a.threshold").as("threshold"))
+      .agg(sum(col("b.__n")).as("__np"), sum(col("b.__pos")).as("tp"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("threshold"), col("tp"),
+        (col("__np") - col("tp")).as("fp"),
+        (col("__p") - col("tp")).as("fn"),
+        expr("tp * 1000000 div __np").as("precision_micro"),
+        expr("CASE WHEN __p = 0 THEN 0 ELSE tp * 1000000 div __p END")
+          .as("recall_micro"))
+  }
+
   /** Engine-parity scoring variant with md5-derived INTEGER weights
     * (w[bucket] ∈ [-10, 10]): the margin is an exact integer sum —
     * order-independent and bit-identical across engines — while the

@@ -186,6 +186,19 @@ object LlmQueries2 {
       .orderBy(col("doc_id"))
   }
 
+  /** PR threshold sweep of the integer-weight quality scorer against an
+    * is-English label — every distinct margin as a cut, tp/fp/fn and
+    * precision/recall in exact micro-units. */
+  def qualityPrCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val scored = QualityModel
+      .integerWeightScore(T.par(spark, docs), dim = 256)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("label", (col("lang") === "en").cast("int"))
+    QualityModel.prCurve(scored, "margin", "label")
+      .orderBy(col("threshold"))
+  }
+
   /** Corpus-bigram LM quality score per document (exact micro-units). */
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLmScore(T.par(spark, T.t(spark, dir, "documents")))
@@ -211,6 +224,7 @@ object LlmQueries2 {
     "dedup_span_within" -> (dedupSpanWithin _),
     "artifact_train_serve" -> (artifactTrainServe _),
     "text_lm_bigram" -> (textLmBigram _),
+    "quality_pr_curve" -> (qualityPrCurve _),
     "emb_mean_pool" -> (embMeanPool _),
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "text_bpe_train" -> (textBpeTrain _),
@@ -231,6 +245,19 @@ object LlmQueries2 {
   // DuckDB mirror of Dedup.hashStr (60-bit md5-prefix hash under a seed).
   private def hashSql(seed: Int, e: String) =
     s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
+
+  // Shared margin CTE of the integer-weight quality scorer (used by the
+  // score query and the PR-curve sweep).
+  private val marginCte =
+    s"""n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+       |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM n),
+       |f AS (SELECT doc_id, ${hashSql(77, "wd")} % 256 AS bucket,
+       |        count(*) AS cnt
+       |      FROM w WHERE wd <> '' GROUP BY 1, 2),
+       |s AS (SELECT doc_id, count(*) AS n_features,
+       |        CAST(sum(cnt * ((${hashSql(55, "CAST(bucket AS VARCHAR)")} % 21) - 10))
+       |          AS BIGINT) AS margin
+       |      FROM f GROUP BY doc_id)""".stripMargin
 
   // DuckDB cosine between two DOUBLE[]-cast embeddings (left-to-right
   // fold, matching the VecDot kernel).
@@ -421,17 +448,29 @@ object LlmQueries2 {
          |ORDER BY vec_id, idx""".stripMargin
     },
     "quality_model_score" ->
-      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
-         |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM n),
-         |f AS (SELECT doc_id, ${hashSql(77, "wd")} % 256 AS bucket,
-         |        count(*) AS cnt
-         |      FROM w WHERE wd <> '' GROUP BY 1, 2),
-         |s AS (SELECT doc_id, count(*) AS n_features,
-         |        CAST(sum(cnt * ((${hashSql(55, "CAST(bucket AS VARCHAR)")} % 21) - 10))
-         |          AS BIGINT) AS margin
-         |      FROM f GROUP BY doc_id)
+      s"""WITH $marginCte
          |SELECT doc_id, n_features, margin, margin > 0 AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+    "quality_pr_curve" ->
+      s"""WITH $marginCte,
+         |lab AS (SELECT s.doc_id, s.margin,
+         |          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+         |        FROM s JOIN documents d USING (doc_id)),
+         |per AS (SELECT margin AS threshold, count(*) AS n,
+         |          CAST(sum(label) AS BIGINT) AS pos
+         |        FROM lab GROUP BY margin),
+         |tot AS (SELECT CAST(coalesce(sum(pos), 0) AS BIGINT) AS p FROM per),
+         |cum AS (SELECT a.threshold, CAST(sum(b.n) AS BIGINT) AS np,
+         |          CAST(sum(b.pos) AS BIGINT) AS tp
+         |        FROM per a JOIN per b ON b.threshold >= a.threshold
+         |        GROUP BY a.threshold)
+         |SELECT threshold, tp, np - tp AS fp,
+         |  (SELECT p FROM tot) - tp AS fn,
+         |  CAST(tp * 1000000 // np AS BIGINT) AS precision_micro,
+         |  CAST(CASE WHEN (SELECT p FROM tot) = 0 THEN 0
+         |    ELSE tp * 1000000 // (SELECT p FROM tot) END AS BIGINT)
+         |    AS recall_micro
+         |FROM cum ORDER BY threshold""".stripMargin,
     "dedup_span_exact" ->
       s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
          |           FROM documents),

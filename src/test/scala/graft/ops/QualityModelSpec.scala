@@ -40,4 +40,23 @@ class QualityModelSpec extends SparkSpec {
     assert(a == b, "margin must be partition-invariant (exact integer sums)")
     assert(a.values.forall { case (nf, _, _) => nf >= 1 })
   }
+
+  test("PR curve: hand-computed sweep, recall monotone in threshold") {
+    import spark.implicits._
+    val scored = Seq((1L, 3L, 1), (2L, 3L, 0), (3L, 2L, 1), (4L, 1L, 0))
+      .toDF("doc_id", "margin", "label")
+    val out = QualityModel.prCurve(scored, "margin", "label").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // t=3: preds {1,2} -> tp 1 fp 1 fn 1, prec 1/2, rec 1/2
+    assert(out(3L) == (1L, 1L, 1L, 500000L, 500000L), s"got ${out(3L)}")
+    // t=2: preds {1,2,3} -> tp 2 fp 1 fn 0, prec 2/3 (floor), rec 1
+    assert(out(2L) == (2L, 1L, 0L, 666666L, 1000000L))
+    // t=1: everything predicted -> tp 2 fp 2 fn 0, prec 1/2, rec 1
+    assert(out(1L) == (2L, 2L, 0L, 500000L, 1000000L))
+    // recall never increases as the threshold rises
+    val byT = out.toSeq.sortBy(_._1).map(_._2._5)
+    assert(byT.zip(byT.tail).forall { case (lo, hi) => lo >= hi })
+  }
 }
