@@ -131,8 +131,12 @@ object QualityModel {
     * corpus is scanned once and nothing funnels into one task. */
   def prCurve(scored: DataFrame, scoreCol: String,
       labelCol: String): DataFrame = {
+    // localCheckpoint: the distinct-score relation feeds BOTH sides of the
+    // triangular join plus the totals aggregate — without it each consumer
+    // re-executes the corpus-wide scoring subtree (3 corpus scans for one)
     val per = scored.groupBy(col(scoreCol).as("threshold"))
       .agg(count(lit(1)).as("__n"), sum(col(labelCol).cast("long")).as("__pos"))
+      .localCheckpoint()
     val totals = per.agg(coalesce(sum(col("__pos")), lit(0L)).as("__p"))
     val cum = per.alias("a")
       .join(per.alias("b"), col("b.threshold") >= col("a.threshold"))
