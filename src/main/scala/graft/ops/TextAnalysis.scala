@@ -330,12 +330,21 @@ object TextAnalysis {
             element_at(col("__w"), i + 2)).as("b"))))
         .as("__p"))
       .select(col("id"), col("__p.w1").as("w1"), col("__p.b").as("b"))
-    val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("cb"))
-    val cw = bg.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
-    val vocab = bg.agg(countDistinct(col("w1")).as("__v"))
+    // ONE corpus pass trains every count relation: the per-(bigram,
+    // first-word) counts are vocabulary-sized and localCheckpoint'ed, so
+    // the marginals and V derive from the materialized checkpoint instead
+    // of re-exploding the corpus per consumer (b determines w1 — words
+    // carry no spaces post-normalize — so (b, w1) has the same
+    // cardinality as b alone). The only other corpus pass is the per-doc
+    // bigram relation itself.
+    val cbw = bg.groupBy(col("b"), col("w1")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    val cw = cbw.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    val vocab = cw.agg(count(lit(1)).as("__v"))
     val db = bg.groupBy(col("id"), col("b"), col("w1"))
       .agg(count(lit(1)).as("n"))
-    val scored = db.join(cb, Seq("b")).join(cw, Seq("w1"))
+    val scored = db.join(cbw.select(col("b"), col("cb")), Seq("b"))
+      .join(cw, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("__occ", expr(s"($unit * (cb + 1)) div (cw + __v)"))
       .groupBy(col("id"))
