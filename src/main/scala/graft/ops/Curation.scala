@@ -71,6 +71,32 @@ object Curation {
     * regardless of partitioning or cluster size, unlike LIMIT-per-group).
     * One shuffle on the stratum; the window never materializes a group in
     * memory (row_number streams over the sorted run). */
+  /** Temperature-flattened mixture sampling at τ = ½ — the pretraining
+    * data-mix op that tempers source shares toward `share ∝ n^τ`: each
+    * row of stratum s keeps with probability `sqrt(n_min / n_s)`, so the
+    * smallest source is kept whole and larger sources are downsampled by
+    * the square-root of their size ratio. Content-stable hash draws;
+    * `n_min` rides as a broadcast one-row aggregate.
+    *
+    * Engine-exact by construction: the keep probability uses only
+    * correctly-rounded IEEE ops (one long/long→double division, one
+    * sqrt) compared against the exact md5 hash fraction — no float sums,
+    * so the keep SET is bit-identical across engines and partitionings.
+    * The strata-count relation is localCheckpoint'ed (strata-sized) so
+    * the corpus is scanned once for counts and once for the gated scan. */
+  def temperatureFlatten(df: DataFrame, strataCol: String, keyCol: String,
+      salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__ns"))
+      .localCheckpoint()
+    val nmin = counts.agg(min(col("__ns")).as("__nmin"))
+    df.join(broadcast(counts), Seq(strataCol))
+      .crossJoin(broadcast(nmin))
+      .where(hashFraction(col(keyCol), salt) <
+        sqrt(col("__nmin") / col("__ns")))
+      .drop("__ns", "__nmin")
+  }
+
   /** Exact-count global sample: the `n` rows with the lowest salted
     * content hash — a deterministic reservoir draw ("give me a uniform
     * 100k-doc sample of the corpus"), independent of partitioning and

@@ -337,6 +337,13 @@ object LlmQueries {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-flattened source mix (τ = ½): large sources downsampled
+    * by sqrt of their size ratio to the smallest — engine-exact keep set. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    Curation.temperatureFlatten(T.t(spark, dir, "documents"), "source", "doc_id")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** Exact-count global sample: the 100 hash-lowest docs of the corpus —
     * TakeOrderedAndProject shape (per-task heaps, no global sort). */
   def sampleGlobal(spark: SparkSession, dir: String): DataFrame =
@@ -393,6 +400,7 @@ object LlmQueries {
     "sample_cap_per_source" -> (sampleCapPerSource _),
     "sample_global" -> (sampleGlobal _),
     "sample_top_quantile" -> (sampleTopQuantile _),
+    "sample_temperature" -> (sampleTemperature _),
     "dedup_connected_keep" -> (dedupConnectedKeep _),
     "dedup_exact_prefix" -> (dedupExactPrefix _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -541,6 +549,14 @@ object LlmQueries {
          |      ORDER BY ${Curation.hashFractionSql("doc_id", "cap")}, doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= 12
+         |ORDER BY doc_id""".stripMargin,
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+         |m AS (SELECT min(ns) AS nmin FROM c)
+         |SELECT doc_id, source
+         |FROM documents JOIN c USING (source)
+         |WHERE ${Curation.hashFractionSql("doc_id", "temp")} <
+         |  sqrt(CAST((SELECT nmin FROM m) AS DOUBLE) / ns)
          |ORDER BY doc_id""".stripMargin,
     "sample_top_quantile" ->
       s"""WITH t AS (SELECT doc_id, source,

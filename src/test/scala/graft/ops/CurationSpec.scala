@@ -205,6 +205,28 @@ class CurationSpec extends SparkSpec {
     assert(kept(0L) == Set.empty)
   }
 
+  test("temperature flattening: smallest source whole, sqrt-ratio shares") {
+    import spark.implicits._
+    // sources: a=1000 docs, b=250, c=10 (smallest -> kept whole)
+    val docs = ((1L to 1000L).map(i => (i, "a")) ++
+      (2001L to 2250L).map(i => (i, "b")) ++
+      (3001L to 3010L).map(i => (i, "c"))).toDF("doc_id", "source")
+    val kept = Curation.temperatureFlatten(docs, "source", "doc_id")
+      .select("source").collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    // c: p = sqrt(10/10) = 1 -> all 10 survive
+    assert(kept("c") == 10, s"got $kept")
+    // a: p = sqrt(10/1000) = 0.1 -> ~100; b: p = sqrt(10/250) = 0.2 -> ~50
+    assert(kept("a") > 60 && kept("a") < 140, s"got $kept")
+    assert(kept("b") > 25 && kept("b") < 75, s"got $kept")
+    // deterministic across partitionings (bit-identical keep set)
+    val a = Curation.temperatureFlatten(docs, "source", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.temperatureFlatten(docs.repartition(13), "source", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("global sample: exact count, partition-invariant, nested draws") {
     import spark.implicits._
     val docs = (1L to 1000L).map(i => (i, s"s${i % 7}")).toDF("doc_id", "source")
