@@ -151,6 +151,36 @@ object QualityModel {
           .as("recall_micro"))
   }
 
+  /** Exact ROC-AUC in integer micro-units, from the pairwise
+    * formulation: AUC = (concordant + ties/2) / (P·N) where a
+    * (negative, positive) pair is concordant when the positive scores
+    * strictly higher, tied at equal scores. Both counts come from the
+    * same vocabulary-sized distinct-score relation as [[prCurve]] — a
+    * strict-inequality triangular join for concordance plus a per-score
+    * product for ties — so there is no global rank, no global window,
+    * and every quantity is an exact integer (output is one row:
+    * (n_pos, n_neg, concordant, tied, auc_micro)). Degenerate inputs
+    * (no positives or no negatives) yield auc_micro = 0 rather than a
+    * division error. */
+  def aucExact(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val per = scored.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("__n"), sum(col(labelCol).cast("long")).as("__pos"))
+      .withColumn("__neg", col("__n") - col("__pos"))
+      .localCheckpoint()
+    val conc = per.alias("a").join(per.alias("b"), col("a.s") < col("b.s"))
+      .agg(coalesce(sum(col("a.__neg") * col("b.__pos")), lit(0L)).as("concordant"))
+    val ties = per
+      .agg(coalesce(sum(col("__pos") * col("__neg")), lit(0L)).as("tied"),
+        coalesce(sum(col("__pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__neg")), lit(0L)).as("n_neg"))
+    ties.crossJoin(conc)
+      .select(col("n_pos"), col("n_neg"), col("concordant"), col("tied"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+               |ELSE (1000000 * concordant + 500000 * tied) div (n_pos * n_neg)
+               |END""".stripMargin).as("auc_micro"))
+  }
+
   /** Engine-parity scoring variant with md5-derived INTEGER weights
     * (w[bucket] ∈ [-10, 10]): the margin is an exact integer sum —
     * order-independent and bit-identical across engines — while the

@@ -199,6 +199,17 @@ object LlmQueries2 {
       .orderBy(col("threshold"))
   }
 
+  /** Exact ROC-AUC of the integer-weight scorer against the is-English
+    * label — one row, every count an exact integer. */
+  def qualityAuc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val scored = QualityModel
+      .integerWeightScore(T.par(spark, docs), dim = 256)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("label", (col("lang") === "en").cast("int"))
+    QualityModel.aucExact(scored, "margin", "label")
+  }
+
   /** Corpus-bigram LM quality score per document (exact micro-units). */
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLmScore(T.par(spark, T.t(spark, dir, "documents")))
@@ -225,6 +236,7 @@ object LlmQueries2 {
     "artifact_train_serve" -> (artifactTrainServe _),
     "text_lm_bigram" -> (textLmBigram _),
     "quality_pr_curve" -> (qualityPrCurve _),
+    "quality_auc" -> (qualityAuc _),
     "emb_mean_pool" -> (embMeanPool _),
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "text_bpe_train" -> (textBpeTrain _),
@@ -282,6 +294,27 @@ object LlmQueries2 {
          |  CAST(sum(occ - 1) AS BIGINT) AS n_dropped,
          |  string_agg(span, ' ' ORDER BY first_idx) AS kept_text
          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "quality_auc" ->
+      s"""WITH $marginCte,
+         |lab AS (SELECT s.doc_id, s.margin,
+         |          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+         |        FROM s JOIN documents d USING (doc_id)),
+         |per AS (SELECT margin AS sc, count(*) AS n,
+         |          CAST(sum(label) AS BIGINT) AS pos
+         |        FROM lab GROUP BY margin),
+         |per2 AS (SELECT sc, n, pos, n - pos AS neg FROM per),
+         |conc AS (SELECT CAST(coalesce(sum(a.neg * b.pos), 0) AS BIGINT)
+         |           AS concordant
+         |         FROM per2 a JOIN per2 b ON a.sc < b.sc),
+         |t AS (SELECT CAST(coalesce(sum(pos * neg), 0) AS BIGINT) AS tied,
+         |        CAST(coalesce(sum(pos), 0) AS BIGINT) AS n_pos,
+         |        CAST(coalesce(sum(neg), 0) AS BIGINT) AS n_neg
+         |      FROM per2)
+         |SELECT n_pos, n_neg, concordant, tied,
+         |  CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+         |    ELSE (1000000 * concordant + 500000 * tied) // (n_pos * n_neg)
+         |    END AS BIGINT) AS auc_micro
+         |FROM t CROSS JOIN conc""".stripMargin,
     // Laplace-smoothed bigram conditionals in integer micro-units; the
     // 100k-position range cap matches the doc_chunks convention (the
     // corpus stays far below it, ChunkingSpec-asserted).

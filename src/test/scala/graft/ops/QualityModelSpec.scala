@@ -59,4 +59,23 @@ class QualityModelSpec extends SparkSpec {
     val byT = out.toSeq.sortBy(_._1).map(_._2._5)
     assert(byT.zip(byT.tail).forall { case (lo, hi) => lo >= hi })
   }
+
+  test("exact AUC: hand-computed concordance with a tie; degenerate -> 0") {
+    import spark.implicits._
+    val scored = Seq((1L, 5L, 1), (2L, 4L, 1), (3L, 3L, 0), (4L, 3L, 1),
+      (5L, 2L, 0), (6L, 1L, 0)).toDF("doc_id", "margin", "label")
+    val r = QualityModel.aucExact(scored, "margin", "label").head()
+    // P=3, N=3, concordant=8, tied=1 -> (8e6 + 5e5) div 9 = 944444
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((3L, 3L, 8L, 1L, 944444L)), s"got $r")
+    // perfect separation -> exactly 1.0
+    val perfect = Seq((1L, 9L, 1), (2L, 8L, 1), (3L, 1L, 0))
+      .toDF("doc_id", "margin", "label")
+    assert(QualityModel.aucExact(perfect, "margin", "label")
+      .head().getLong(4) == 1000000L)
+    // single-class input yields 0, not a division error
+    val onlyPos = Seq((1L, 2L, 1), (2L, 1L, 1)).toDF("doc_id", "margin", "label")
+    assert(QualityModel.aucExact(onlyPos, "margin", "label")
+      .head().getLong(4) == 0L)
+  }
 }
