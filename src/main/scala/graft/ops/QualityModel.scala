@@ -161,7 +161,12 @@ object QualityModel {
     * and every quantity is an exact integer (output is one row:
     * (n_pos, n_neg, concordant, tied, auc_micro)). Degenerate inputs
     * (no positives or no negatives) yield auc_micro = 0 rather than a
-    * division error. */
+    * division error.
+    *
+    * Intended for labeled EVALUATION sets: the micro-unit multiply needs
+    * 10⁶·concordant ≤ Long.Max, i.e. P·N ≲ 9·10¹² (≈ 3M positives ×
+    * 3M negatives) — far above any human-labeled set, far below corpus
+    * scale. Corpus-wide score distributions belong in [[prCurve]]. */
   def aucExact(scored: DataFrame, scoreCol: String,
       labelCol: String): DataFrame = {
     val per = scored.groupBy(col(scoreCol).as("s"))
