@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap join — the temporal/range primitive for "which
+  * sessions/outages/spans overlapped" questions that a raw
+  * `a.start <= b.end AND b.start <= a.end` join plans as a nested-loop
+  * cross product.
+  *
+  * Scale shape: each interval explodes to the fixed-width buckets it
+  * spans, candidates meet on bucket EQUALITY (a shuffle-partitionable
+  * hash join), and every overlapping pair is counted exactly once by
+  * keeping only its FIRST shared bucket — the filter
+  * `bucket == greatest(startBucket_a, startBucket_b)` — so no
+  * `distinct` is needed and input multiplicities are preserved
+  * (duplicate input rows produce duplicate output pairs, exactly like
+  * the naive join). The exact overlap predicate re-verifies every
+  * candidate, so bucketization never changes the result, only the plan.
+  *
+  * `maxBucketsPerInterval` bounds the explode fan-out: one pathological
+  * interval spanning the whole timeline would otherwise replicate into
+  * every bucket (the same failure mode RangeJoinRewrite guards with
+  * maxBucketsPerRange). The check is in-plan (`raise_error`), failing
+  * the job loudly instead of silently exploding.
+  */
+object Intervals {
+
+  /** Join rows of `a` and `b` whose [start, end] intervals overlap
+    * (closed intervals, `longs`; overlap iff aStart <= bEnd and
+    * bStart <= aEnd). Output: all columns of `a` then all of `b` —
+    * prefix/rename collisions are the caller's to resolve, as with any
+    * join.
+    *
+    * Both frames' column names must be disjoint (rename before joining,
+    * as with any self-join) and the four bound columns integral (cast
+    * timestamps to epoch seconds first).
+    *
+    * @param bucketWidth bucket size in the interval unit; pick it near
+    *                    the TYPICAL interval length so most intervals
+    *                    explode to 1-2 buckets */
+  def overlapJoin(a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketWidth: Long, maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(df: DataFrame, s: String, e: String, bkCol: String): DataFrame = {
+      val lo = col(s).cast("long")
+      val hi = col(e).cast("long")
+      val span = expr(s"($e div $bucketWidth) - ($s div $bucketWidth) + 1")
+      df.filter(lo <= hi)
+        .withColumn(bkCol, explode(sequence(
+          when(span <= maxBucketsPerInterval,
+            expr(s"$s div $bucketWidth"))
+            .otherwise(raise_error(concat(
+              lit(s"overlapJoin: interval spans more than " +
+                s"$maxBucketsPerInterval buckets at width $bucketWidth — " +
+                "raise bucketWidth or maxBucketsPerInterval ("),
+              lo.cast("string"), lit(".."), hi.cast("string"), lit(")")))),
+          expr(s"$e div $bucketWidth"))))
+    }
+    val ae = buckets(a, aStart, aEnd, "__bka")
+    val be = buckets(b, bStart, bEnd, "__bkb")
+    val firstShared = greatest(
+      expr(s"$aStart div $bucketWidth"), expr(s"$bStart div $bucketWidth"))
+    ae.join(be,
+        col("__bka") === col("__bkb") &&
+          col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+          col("__bka") === firstShared)
+      .drop("__bka", "__bkb")
+  }
+}

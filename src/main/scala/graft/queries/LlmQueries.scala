@@ -292,6 +292,25 @@ object LlmQueries {
     graft.ops.Sessions.summarize(T.events(spark, dir), "user_id", "ts", 1800)
       .orderBy(col("user_id"), col("session_id"))
 
+  /** Concurrent-session detection: which sessions of two user cohorts
+    * overlapped in time — the interval-overlap join in its bucketized
+    * exactly-once form (never a nested-loop cross product). */
+  def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sess = graft.ops.Sessions
+      .summarize(T.events(spark, dir), "user_id", "ts", 1800)
+    def side(par: Long, p: String) = sess
+      .filter(col("user_id") % 2 === par)
+      .select(col("user_id").as(s"${p}_user"),
+        col("session_id").as(s"${p}_session"),
+        unix_timestamp(col("session_start")).as(s"${p}_start"),
+        unix_timestamp(col("session_end")).as(s"${p}_end"))
+    graft.ops.Intervals.overlapJoin(
+        side(0, "a"), side(1, "b"),
+        "a_start", "a_end", "b_start", "b_end", bucketWidth = 3600)
+      .select(col("a_user"), col("a_session"), col("b_user"), col("b_session"))
+      .orderBy(col("a_user"), col("a_session"), col("b_user"), col("b_session"))
+  }
+
   /** Weekly cohort retention triangle over the events table — integer
     * epoch-week arithmetic, engine-exact. */
   def eventRetention(spark: SparkSession, dir: String): DataFrame =
@@ -395,6 +414,7 @@ object LlmQueries {
     "text_facets" -> (textFacets _),
     "sessionize_events" -> (sessionizeEvents _),
     "event_retention" -> (eventRetention _),
+    "session_overlap" -> (sessionOverlap _),
     "salted_hot_key_agg" -> (saltedHotKeyAgg _),
     "salted_skew_join" -> (saltedSkewJoin _),
     "sample_cap_per_source" -> (sampleCapPerSource _),
@@ -658,6 +678,28 @@ object LlmQueries {
         |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_secs
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "session_overlap" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+        |y AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL
+        |               OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |             THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT user_id, ts,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+        |      FROM y),
+        |s AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |        CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+        |        CAST(floor(epoch(max(ts))) AS BIGINT) AS s_end
+        |      FROM z GROUP BY user_id, session_id)
+        |SELECT a.user_id AS a_user, a.session_id AS a_session,
+        |  b.user_id AS b_user, b.session_id AS b_session
+        |FROM s a JOIN s b
+        |  ON a.user_id % 2 = 0 AND b.user_id % 2 = 1
+        | AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+        |ORDER BY a_user, a_session, b_user, b_session""".stripMargin,
     "event_retention" ->
       """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
         |           FROM events),
