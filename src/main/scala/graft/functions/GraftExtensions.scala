@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // after RangeJoinRewrite: a point-in-range join matches both patterns
+    // (a point is a degenerate interval) and the point rule's single-side
+    // explode is the better plan; either rewrite adds the equi conjunct
+    // that makes the other skip.
+    e.injectOptimizerRule(_ => graft.plans.OverlapJoinRewrite)
     e.injectFunction((FunctionIdentifier("ip_to_num"),
       info("ip_to_num", "ip_to_num(str) - dotted-quad IPv4 to numeric, NULL if invalid"),
       (exprs: Seq[Expression]) => IpToNum(exprs.head)))

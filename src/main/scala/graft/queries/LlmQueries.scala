@@ -311,6 +311,25 @@ object LlmQueries {
       .orderBy(col("a_user"), col("a_session"), col("b_user"), col("b_session"))
   }
 
+  /** The same concurrent-session question written as a RAW overlap
+    * predicate join — the [[graft.plans.OverlapJoinRewrite]] optimizer
+    * rule turns it into the bucketized equi-join automatically (no
+    * hand-bucketing); results identical to `session_overlap`. */
+  def autoOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sess = graft.ops.Sessions
+      .summarize(T.events(spark, dir), "user_id", "ts", 1800)
+    def side(par: Long, p: String) = sess
+      .filter(col("user_id") % 2 === par)
+      .select(col("user_id").as(s"${p}_user"),
+        col("session_id").as(s"${p}_session"),
+        unix_timestamp(col("session_start")).as(s"${p}_start"),
+        unix_timestamp(col("session_end")).as(s"${p}_end"))
+    side(0, "a").join(side(1, "b"),
+        col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select(col("a_user"), col("a_session"), col("b_user"), col("b_session"))
+      .orderBy(col("a_user"), col("a_session"), col("b_user"), col("b_session"))
+  }
+
   /** Weekly cohort retention triangle over the events table — integer
     * epoch-week arithmetic, engine-exact. */
   def eventRetention(spark: SparkSession, dir: String): DataFrame =
@@ -415,6 +434,7 @@ object LlmQueries {
     "sessionize_events" -> (sessionizeEvents _),
     "event_retention" -> (eventRetention _),
     "session_overlap" -> (sessionOverlap _),
+    "j3_auto_overlap_join" -> (autoOverlapJoin _),
     "salted_hot_key_agg" -> (saltedHotKeyAgg _),
     "salted_skew_join" -> (saltedSkewJoin _),
     "sample_cap_per_source" -> (sampleCapPerSource _),
@@ -512,6 +532,31 @@ object LlmQueries {
       " ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
   // Regexes contain no single quotes; SQL strings don't process backslashes.
   private def sqlLit(re: String) = "'" + re + "'"
+
+  // Shared by session_overlap and j3_auto_overlap_join (explicit
+  // bucketized API vs raw predicate + optimizer rewrite — same relation).
+  private val sessionOverlapSql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |x AS (SELECT user_id, ts,
+      |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+      |y AS (SELECT user_id, ts,
+      |        CASE WHEN prev IS NULL
+      |               OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+      |             THEN 1 ELSE 0 END AS ns FROM x),
+      |z AS (SELECT user_id, ts,
+      |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      |      FROM y),
+      |s AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |        CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+      |        CAST(floor(epoch(max(ts))) AS BIGINT) AS s_end
+      |      FROM z GROUP BY user_id, session_id)
+      |SELECT a.user_id AS a_user, a.session_id AS a_session,
+      |  b.user_id AS b_user, b.session_id AS b_session
+      |FROM s a JOIN s b
+      |  ON a.user_id % 2 = 0 AND b.user_id % 2 = 1
+      | AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+      |ORDER BY a_user, a_session, b_user, b_session""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_cc_clusters" ->
@@ -678,28 +723,9 @@ object LlmQueries {
         |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_secs
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
-    "session_overlap" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |x AS (SELECT user_id, ts,
-        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
-        |y AS (SELECT user_id, ts,
-        |        CASE WHEN prev IS NULL
-        |               OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
-        |             THEN 1 ELSE 0 END AS ns FROM x),
-        |z AS (SELECT user_id, ts,
-        |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
-        |      FROM y),
-        |s AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-        |        CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
-        |        CAST(floor(epoch(max(ts))) AS BIGINT) AS s_end
-        |      FROM z GROUP BY user_id, session_id)
-        |SELECT a.user_id AS a_user, a.session_id AS a_session,
-        |  b.user_id AS b_user, b.session_id AS b_session
-        |FROM s a JOIN s b
-        |  ON a.user_id % 2 = 0 AND b.user_id % 2 = 1
-        | AND a.s_start <= b.s_end AND b.s_start <= a.s_end
-        |ORDER BY a_user, a_session, b_user, b_session""".stripMargin,
+    "session_overlap" -> sessionOverlapSql,
+    // the auto-rewritten raw-predicate form computes the same relation
+    "j3_auto_overlap_join" -> sessionOverlapSql,
     "event_retention" ->
       """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
         |           FROM events),

@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class OverlapJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  def a = Seq((1L, 0L, 100000L), (2L, 200000L, 300000L), (3L, 999999999L, 999999999L))
+    .toDF("a_id", "a_s", "a_e")
+  def b = Seq((10L, 50000L, 150000L), (20L, 310000L, 320000L), (30L, 0L, 999999L))
+    .toDF("b_id", "b_s", "b_e")
+
+  private def overlap = col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
+
+  test("pure overlap join plans as a hash equi-join, not nested-loop") {
+    val j = a.join(b, overlap)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"expected bucketed equi-join:\n$plan")
+    assert(plan.contains("__ov_bucket"), s"rewrite did not fire:\n$plan")
+  }
+
+  test("rewrite preserves inner-join results exactly, once per pair") {
+    // pairs share MANY buckets at /16 width — each must appear once
+    val got = a.join(b, overlap).select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = Seq((1L, 10L), (1L, 30L), (2L, 30L))
+    assert(got == naive, s"got $got")
+  }
+
+  test("random fuzz: rewrite equals the naive join, multiplicities included") {
+    val rnd = new scala.util.Random(3)
+    val mk = (n: Int, p: String) => Seq.tabulate(n) { i =>
+      val s = rnd.nextInt(1 << 20).toLong
+      (i.toLong, s, s + rnd.nextInt(1 << 18))
+    }.toDF(s"${p}_id", s"${p}_s", s"${p}_e")
+    val x = mk(150, "a")
+    val y = mk(150, "b")
+    val fast = x.join(y, overlap).select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val off = spark.conf.getOption("spark.graft.overlapJoin.enabled")
+    spark.conf.set("spark.graft.overlapJoin.enabled", "false")
+    try {
+      val naive = x.join(y, overlap).select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(fast == naive)
+    } finally off match {
+      case Some(v) => spark.conf.set("spark.graft.overlapJoin.enabled", v)
+      case None => spark.conf.unset("spark.graft.overlapJoin.enabled")
+    }
+  }
+
+  test("inverted interval rows still match per the raw predicate") {
+    // a row with start > end matches b iff b covers [end, start] — the
+    // rewrite normalizes with least/greatest instead of dropping the row
+    val inv = Seq((7L, 10L, 5L)).toDF("a_id", "a_s", "a_e")
+    val bb = Seq((1L, 0L, 20L), (2L, 6L, 8L), (3L, 11L, 12L))
+      .toDF("b_id", "b_s", "b_e")
+    val got = inv.join(bb, overlap).select(col("b_id"))
+      .collect().map(_.getLong(0)).toSet
+    // b1: 10<=20 && 0<=5 yes; b2: 10<=8 no; b3: 10<=12 && 11<=5 no
+    assert(got == Set(1L), s"got $got")
+  }
+
+  test("joins with an equi key are left alone; rule can be disabled") {
+    val l = Seq((1L, 0L, 5L)).toDF("k", "s1", "e1")
+    val r = Seq((1L, 2L, 9L)).toDF("k2", "s2", "e2")
+    val j = l.join(r, col("k") === col("k2") &&
+      col("s1") <= col("e2") && col("s2") <= col("e1"))
+    assert(!j.queryExecution.executedPlan.toString.contains("__ov_bucket"))
+    assert(j.count() == 1)
+  }
+
+  test("point-in-range joins stay with the range rule's single-side explode") {
+    val points = Seq((1L, 7L)).toDF("id", "p")
+    val ranges = Seq((0L, 10L, "r")).toDF("lo", "hi", "tag")
+    val plan = points.join(ranges, col("p") >= col("lo") && col("p") <= col("hi"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__range_bucket") && !plan.contains("__ov_bucket"),
+      s"point-in-range must use RangeJoinRewrite:\n$plan")
+  }
+
+  test("pathologically wide interval fails with the conf-named error") {
+    val wide = Seq((1L, 0L, Long.MaxValue / 2)).toDF("a_id", "a_s", "a_e")
+    val e = intercept[Exception] {
+      wide.join(b, overlap).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("maxBucketsPerInterval")),
+      s"got: ${msgs(e)}")
+  }
+}

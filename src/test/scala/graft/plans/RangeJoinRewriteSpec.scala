@@ -50,11 +50,18 @@ class RangeJoinRewriteSpec extends SparkSpec {
   }
 
   test("rule can be disabled by conf") {
+    // a point is a degenerate interval, so the overlap rule would pick
+    // this join up once the range rule steps aside — disable both to
+    // reach the planner's raw nested loop
     spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    spark.conf.set("spark.graft.overlapJoin.enabled", "false")
     try {
       val j = points.join(ranges, col("p") >= col("lo") && col("p") <= col("hi"))
       assert(j.queryExecution.executedPlan.toString.contains("NestedLoop"))
-    } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    } finally {
+      spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+      spark.conf.set("spark.graft.overlapJoin.enabled", "true")
+    }
   }
 
   test("matches the hand-bucketed GeoIp.enrich on real data") {
