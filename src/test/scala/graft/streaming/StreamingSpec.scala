@@ -92,6 +92,38 @@ class StreamingSpec extends SparkSpec {
     assert(csv.length == 1)
   }
 
+  test("report batch publishes the summary through the REAL twitter poster (S12)") {
+    import spark.implicits._
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.HttpServer
+    val events = Seq(
+      ("1.1.1.1", "US", "United States", "ssh", "auth-failure"),
+      ("2.2.2.2", "NL", "Netherlands", "http", "XDebug"))
+      .toDF("address", "country_code", "country_name", "sensor", "rule")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var body: String = null
+    server.createContext("/post", exchange => {
+      body = new String(exchange.getRequestBody.readAllBytes, "UTF-8")
+      exchange.sendResponseHeaders(200, 2)
+      exchange.getResponseBody.write("ok".getBytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val poster = new graft.report.TwitterPoster(
+        graft.report.OAuth1Creds("ck", "cs", "ak", "as"),
+        endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/post")
+      val inner = new LogPublisher
+      val pub = new graft.report.TwitterSummaryPublisher(poster, inner)
+      val n = ReportJob.reportBatch(events, tmp("graft-tw-reports"), pub)
+      assert(n == 2)
+      // CSV publication went to the inner publisher; the tweet hit the wire
+      assert(inner.published.exists(_.startsWith("csv:")))
+      assert(body != null && body.startsWith("status=2%20new%20events%20from%20"))
+      assert(body.contains("%23takuan")) // "#takuan" form-encoded
+    } finally server.stop(0)
+  }
+
   test("empty batch produces no report (warmup/no-op parity)") {
     val pub = new LogPublisher
     val empty = spark.emptyDataFrame
