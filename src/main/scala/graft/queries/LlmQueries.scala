@@ -296,8 +296,13 @@ object LlmQueries {
     * overlapped in time — the interval-overlap join in its bucketized
     * exactly-once form (never a nested-loop cross product). */
   def sessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // the session relation (~10x smaller than the event log) feeds BOTH
+    // cohort sides of the self-join — materialize it once instead of
+    // running the sessionize window twice (at petabyte scale: persist /
+    // checkpoint to cluster storage between the two consumers)
     val sess = graft.ops.Sessions
       .summarize(T.events(spark, dir), "user_id", "ts", 1800)
+      .localCheckpoint()
     def side(par: Long, p: String) = sess
       .filter(col("user_id") % 2 === par)
       .select(col("user_id").as(s"${p}_user"),
@@ -318,6 +323,7 @@ object LlmQueries {
   def autoOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
     val sess = graft.ops.Sessions
       .summarize(T.events(spark, dir), "user_id", "ts", 1800)
+      .localCheckpoint() // both cohort sides read it (see sessionOverlap)
     def side(par: Long, p: String) = sess
       .filter(col("user_id") % 2 === par)
       .select(col("user_id").as(s"${p}_user"),
