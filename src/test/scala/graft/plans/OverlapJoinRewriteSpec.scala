@@ -63,6 +63,25 @@ class OverlapJoinRewriteSpec extends SparkSpec {
     assert(got == Set(1L), s"got $got")
   }
 
+  test("negative coordinates bucket correctly (arithmetic shift floors)") {
+    val x = Seq((1L, -200000L, -100000L), (2L, -50L, 50L))
+      .toDF("a_id", "a_s", "a_e")
+    val y = Seq((10L, -150000L, -120000L), (20L, -10L, 10L), (30L, 100L, 200L))
+      .toDF("b_id", "b_s", "b_e")
+    val j = x.join(y, overlap)
+    assert(j.queryExecution.executedPlan.toString.contains("__ov_bucket"))
+    val got = j.select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 10L), (2L, 20L)), s"got $got")
+  }
+
+  test("semi joins are not rewritten (both-side explode would duplicate)") {
+    val l = Seq((1L, 0L, 100000L)).toDF("a_id", "a_s", "a_e")
+    val p = l.join(b, overlap, "left_semi").queryExecution.executedPlan.toString
+    assert(!p.contains("__ov_bucket"), s"semi join must stay un-rewritten:\n$p")
+    assert(l.join(b, overlap, "left_semi").count() == 1)
+  }
+
   test("joins with an equi key are left alone; rule can be disabled") {
     val l = Seq((1L, 0L, 5L)).toDF("k", "s1", "e1")
     val r = Seq((1L, 2L, 9L)).toDF("k2", "s2", "e2")
