@@ -291,6 +291,36 @@ object TextAnalysis {
           lit(0.0)).as("dup_bigram_share"))
   }
 
+  /** Feature-hashing ("hashing trick") document embedding: `dim` signed
+    * buckets, vec[d] = Σ sign(w)·count(w) over words w with
+    * hash(w) mod dim = d, sign(w) = ±1 from an independent hash bit
+    * (Weinberger et al., ICML'09) — the model-free dense representation
+    * that feeds coarse clustering, near-dup blocking and ANN when no
+    * learned embeddings exist. Exact integer arithmetic end-to-end
+    * (md5-derived hashes, signed counts), so the embedding is
+    * bit-identical across engines and partitionings.
+    *
+    * Output is the SPARSE (id, idx, value) relation — only occupied
+    * buckets emit rows (scalar rows hash-compare under the oracle gate;
+    * pivot to a dense array with a groupBy + array build when a vector
+    * column is needed). Shape: explode words → one combine-aggregated
+    * shuffle keyed (id, bucket); the exchange carries the sparse
+    * feature relation, never the text. */
+  def hashEmbedding(docs: DataFrame, dim: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    docs.select(col(idCol).as("id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("id"),
+        pmod(Dedup.hashStr(col("w"), 31), lit(dim.toLong)).as("idx"),
+        (pmod(Dedup.hashStr(col("w"), 47), lit(2L)) * 2L - 1L).as("__sign"))
+      .groupBy(col("id"), col("idx"))
+      .agg(sum(col("__sign")).as("value"))
+      .select(col("id").as(idCol), col("idx").cast("int").as("idx"),
+        col("value"))
+  }
+
   /** Corpus-LM document scoring — the CCNet/Gopher "language-model
     * quality" signal in an exactly-rational form. Train corpus bigram
     * counts c(w₁w₂) and first-word marginals c(w₁·); score every

@@ -210,6 +210,12 @@ object LlmQueries2 {
     QualityModel.aucExact(scored, "margin", "label")
   }
 
+  /** Feature-hashed 64-dim document embeddings (sparse scalar rows). */
+  def textHashEmbedding(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashEmbedding(T.par(spark, T.t(spark, dir, "documents")),
+        dim = 64)
+      .orderBy(col("doc_id"), col("idx"))
+
   /** Corpus-bigram LM quality score per document (exact micro-units). */
   def textLmBigram(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLmScore(T.par(spark, T.t(spark, dir, "documents")))
@@ -237,6 +243,7 @@ object LlmQueries2 {
     "text_lm_bigram" -> (textLmBigram _),
     "quality_pr_curve" -> (qualityPrCurve _),
     "quality_auc" -> (qualityAuc _),
+    "text_hash_embedding" -> (textHashEmbedding _),
     "emb_mean_pool" -> (embMeanPool _),
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "text_bpe_train" -> (textBpeTrain _),
@@ -294,6 +301,16 @@ object LlmQueries2 {
          |  CAST(sum(occ - 1) AS BIGINT) AS n_dropped,
          |  string_agg(span, ' ' ORDER BY first_idx) AS kept_text
          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_hash_embedding" ->
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM n),
+         |f AS (SELECT doc_id,
+         |        CAST(${hashSql(31, "wd")} % 64 AS INTEGER) AS idx,
+         |        (${hashSql(47, "wd")} % 2) * 2 - 1 AS sgn
+         |      FROM w WHERE wd <> '')
+         |SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS value
+         |FROM f GROUP BY doc_id, idx
+         |ORDER BY doc_id, idx""".stripMargin,
     "quality_auc" ->
       s"""WITH $marginCte,
          |lab AS (SELECT s.doc_id, s.margin,

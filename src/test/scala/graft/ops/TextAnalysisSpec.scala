@@ -141,6 +141,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(newest == Seq("n", "e", "w", "est"))
   }
 
+  test("hash embedding: signed counts, sparse rows, similarity ordering") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon"),
+      (3L, "zeta eta theta iota"), (4L, "rho rho rho")).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashEmbedding(docs, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // one repeated word = exactly one bucket with |value| = count
+    val d4 = rows.filter(_._1 == 4L)
+    assert(d4.length == 1 && math.abs(d4.head._3) == 3, s"got ${d4.toSeq}")
+    // all values bound by word count; buckets in range
+    assert(rows.forall { case (_, idx, v) => idx >= 0 && idx < 64 && math.abs(v) <= 4 })
+    // sparse dot product: near-identical docs score higher than disjoint
+    def dot(a: Long, b: Long): Long = {
+      val ma = rows.filter(_._1 == a).map(r => r._2 -> r._3).toMap
+      rows.filter(_._1 == b).map(r => ma.getOrElse(r._2, 0L) * r._3).sum
+    }
+    assert(dot(1L, 2L) > dot(1L, 3L), s"${dot(1L, 2L)} vs ${dot(1L, 3L)}")
+    // partition-invariant (integer sums)
+    val again = TextAnalysis.hashEmbedding(docs.repartition(7), dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("bigram LM score: smoothed conditionals, hand-computed micro-units") {
     import spark.implicits._
     // corpus: "the cat" occurs twice (frequent continuation), everything
