@@ -94,8 +94,10 @@ object Bench {
     "text_profile", "text_ngrams", "curation_pipeline", "salted_skew_join",
     "funnel_conversion", "mm_audio_features", "q_window_running",
     "q_percentile",
-    // round-6 additions: LM scoring, exact pooling, global sample,
-    // retention, end-to-end near-dup removal
+    // round-6 additions: LM scoring, exact pooling, global/temperature
+    // sampling, retention, end-to-end near-dup removal, overlap join,
+    // calibration, hashing-trick embeddings
     "text_lm_bigram", "emb_mean_pool", "sample_global", "event_retention",
-    "dedup_connected_keep")
+    "dedup_connected_keep", "sample_temperature", "session_overlap",
+    "quality_pr_curve", "quality_auc", "text_hash_embedding")
 }
