@@ -163,6 +163,18 @@ object LlmQueries {
     TextAnalysis.profile(T.par(spark, T.t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** Language-ID confusion matrix: predicted (marker-voting langGuess)
+    * × labeled lang with counts — the quality measurement for the
+    * classifier itself. One combine-aggregated shuffle on the
+    * (label, prediction) pair; cell count is bounded by |langs|². */
+  def textLangConfusion(spark: SparkSession, dir: String): DataFrame =
+    T.par(spark, T.t(spark, dir, "documents"))
+      .select(col("lang"),
+        TextAnalysis.langGuess(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_guess"))
+
   def textRobustFingerprint(spark: SparkSession, dir: String): DataFrame =
     T.par(spark, T.t(spark, dir, "documents"))
       .select(col("doc_id"),
@@ -464,6 +476,7 @@ object LlmQueries {
     "sketch_cardinality" -> (sketchCardinality _),
     "curation_pipeline" -> (curationPipeline _),
     "text_profile" -> (textProfile _),
+    "text_lang_confusion" -> (textLangConfusion _),
     "text_robust_fingerprint" -> (textRobustFingerprint _),
     "mm_binary_features" -> (mmBinaryFeatures _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -934,6 +947,11 @@ object LlmQueries {
          |  min(quality) AS min_quality, max(quality) AS max_quality
          |FROM prof GROUP BY source
          |ORDER BY source""".stripMargin,
+    "text_lang_confusion" ->
+      s"""SELECT lang, $langSql AS lang_guess, count(*) AS n
+         |FROM documents
+         |GROUP BY 1, 2
+         |ORDER BY lang, lang_guess""".stripMargin,
     "text_profile" ->
       s"""SELECT doc_id,
          |  $nTokensSql AS n_tokens,
