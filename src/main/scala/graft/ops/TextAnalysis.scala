@@ -321,6 +321,23 @@ object TextAnalysis {
         col("value"))
   }
 
+  /** Dense `ArrayType(FloatType)` form of [[hashEmbedding]] — the glue
+    * that feeds raw text into the embedding stack ([[Similarity]]'s
+    * k-means / ANN / SemDeDup operators) with no learned model. One
+    * extra per-doc aggregation over the sparse relation; the dense
+    * array is built by an index lookup over a per-doc map, so the
+    * result is partition-invariant like the sparse form. */
+  def denseHashEmbedding(docs: DataFrame, dim: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    hashEmbedding(docs, dim, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("value"))))
+        .as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i.cast("int")), lit(0L))
+            .cast("float")).as("embedding"))
+
   /** Corpus-LM document scoring — the CCNet/Gopher "language-model
     * quality" signal in an exactly-rational form. Train corpus bigram
     * counts c(w₁w₂) and first-word marginals c(w₁·); score every

@@ -210,6 +210,20 @@ object LlmQueries2 {
     QualityModel.aucExact(scored, "margin", "label")
   }
 
+  /** Model-free text clustering end-to-end: raw documents → dense
+    * hashing-trick embeddings → spherical k-means (trained on a bounded
+    * deterministic sample) → corpus-wide cell assignment. Rows-only
+    * (trained centroids are float means); the planted-topic separation
+    * law is spec-asserted in TextAnalysisSpec. */
+  def textClusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    val dense = TextAnalysis.denseHashEmbedding(
+      T.par(spark, T.t(spark, dir, "documents")), dim = 64)
+    val cents = Similarity.trainIvfCentroids(
+      dense.filter(col("doc_id") < 500), k = 8, iters = 2, idCol = "doc_id")
+    Similarity.assignCells(dense, cents, idCol = "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Feature-hashed 64-dim document embeddings (sparse scalar rows). */
   def textHashEmbedding(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.hashEmbedding(T.par(spark, T.t(spark, dir, "documents")),
@@ -244,6 +258,7 @@ object LlmQueries2 {
     "quality_pr_curve" -> (qualityPrCurve _),
     "quality_auc" -> (qualityAuc _),
     "text_hash_embedding" -> (textHashEmbedding _),
+    "text_cluster_assign" -> (textClusterAssign _),
     "emb_mean_pool" -> (embMeanPool _),
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "text_bpe_train" -> (textBpeTrain _),

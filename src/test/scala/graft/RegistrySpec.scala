@@ -23,7 +23,7 @@ class RegistrySpec extends SparkSpec {
     // has no SQL mirror — each spec-asserted instead.
     val rowsOnly = Set("sketch_cardinality",
       "sim_ivf_trained_topk", "sim_semantic_dedup", "text_bpe_train",
-      "artifact_train_serve")
+      "artifact_train_serve", "text_cluster_assign")
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -165,6 +165,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("dense hash embeddings separate planted topics under k-means") {
+    import spark.implicits._
+    // two disjoint vocabularies -> orthogonal hash embeddings -> k-means
+    // with k=2 must put the topics in different cells
+    val sports = Seq("goal match striker keeper penalty corner",
+      "match goal keeper offside striker league")
+    val cooking = Seq("flour butter oven sugar yeast dough",
+      "butter sugar dough oven flour recipe")
+    val docs = (sports ++ cooking).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val dense = TextAnalysis.denseHashEmbedding(docs, dim = 64)
+    // dense form agrees with the sparse relation
+    val sparse = TextAnalysis.hashEmbedding(docs, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    dense.collect().foreach { r =>
+      val id = r.getLong(0)
+      r.getSeq[Float](1).zipWithIndex.foreach { case (v, i) =>
+        assert(v == sparse.getOrElse((id, i), 0L).toFloat, s"doc $id idx $i")
+      }
+    }
+    val cents = Similarity.trainIvfCentroids(dense, k = 2, iters = 3, idCol = "doc_id")
+    val cells = Similarity.assignCells(dense, cents, idCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(0L) == cells(1L) && cells(2L) == cells(3L),
+      s"topic members must share a cell: $cells")
+    assert(cells(0L) != cells(2L), s"topics must separate: $cells")
+  }
+
   test("bigram LM score: smoothed conditionals, hand-computed micro-units") {
     import spark.implicits._
     // corpus: "the cat" occurs twice (frequent continuation), everything
