@@ -391,6 +391,39 @@ object Dedup {
       .select(col("corpus_id"), col("probe_id"), col("jaccard"))
   }
 
+  /** Containment-based decontamination pairs: for every (corpus doc,
+    * probe doc) sharing word n-gram shingles,
+    * containment = |shingles(corpus) ∩ shingles(probe)| / |shingles(probe)|
+    * — the asymmetric criterion that catches a SHORT eval probe embedded
+    * in a long training document, where the symmetric Jaccard of
+    * [[crossCorpusPairs]] vanishes (the standard benchmark-contamination
+    * rule: n-gram overlap measured against the probe, not the union).
+    *
+    * Scale shape: candidates come straight from the shared-shingle
+    * equi-join of the probe shingle relation (probe-sized) against the
+    * corpus shingle relation; |∩| falls out of that join with a
+    * combine-agg keyed (corpus, probe), probe sizes join back from a
+    * probe-sized aggregate, and the corpus is never self-paired. Word
+    * n-gram shingles are high-entropy join keys, so the gram join has no
+    * hot keys — the reason this blocks on n-grams and never unigrams. */
+  def crossCorpusContainment(corpus: DataFrame, probes: DataFrame,
+      threshold: Double, n: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cG = wordShingles(corpus, n, idCol, textCol)
+      .select(col("id").as("corpus_id"), col("gram"))
+    val pG = wordShingles(probes, n, idCol, textCol)
+      .select(col("id").as("probe_id"), col("gram"))
+    val pSizes = pG.groupBy(col("probe_id")).agg(count(lit(1)).as("__psz"))
+    cG.join(pG, Seq("gram"))
+      .groupBy(col("corpus_id"), col("probe_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(pSizes, Seq("probe_id"))
+      .withColumn("containment", col("inter") / col("__psz"))
+      .filter(col("containment") >= threshold)
+      .select(col("corpus_id"), col("probe_id"), col("inter"),
+        col("containment"))
+  }
+
   /** Decontaminate a training corpus against an eval/benchmark probe
     * set: drop every corpus document flagged by [[crossCorpusPairs]].
     * The probe set itself is never modified. */

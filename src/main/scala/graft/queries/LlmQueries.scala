@@ -446,7 +446,24 @@ object LlmQueries {
       .orderBy(col("corpus_id"), col("probe_id"))
   }
 
+  /** Containment decontamination: short probes (the first 120 chars of
+    * odd docs) checked against the even-doc corpus — the asymmetric
+    * criterion that catches short eval questions inside long training
+    * documents where Jaccard vanishes. */
+  def deconContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents").filter(col("doc_id") < 500)
+    Dedup.crossCorpusContainment(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), substring(col("text"), 1, 120).as("text")),
+        threshold = 0.6, n = 5)
+      .select(col("corpus_id"), col("probe_id"), col("inter"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("corpus_id"), col("probe_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decon_containment" -> (deconContainment _),
     "decon_cross_pairs" -> (deconCrossPairs _),
     "text_facets" -> (textFacets _),
     "sessionize_events" -> (sessionizeEvents _),
@@ -778,6 +795,31 @@ object LlmQueries {
          |GROUP BY 1
          |HAVING count(*) > 1
          |ORDER BY content_key""".stripMargin,
+    "decon_containment" ->
+      s"""WITH cd AS (SELECT doc_id, text FROM documents
+         |            WHERE doc_id < 500 AND doc_id % 2 = 0),
+         |pd AS (SELECT doc_id, substring(text, 1, 120) AS text FROM documents
+         |       WHERE doc_id < 500 AND doc_id % 2 = 1),
+         |cw AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM cd),
+         |pw AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM pd),
+         |cg AS (SELECT doc_id AS corpus_id, unnest(list_distinct(list_transform(
+         |         range(len(ws) - 4), i -> array_to_string(ws[i + 1 : i + 5], ' '))))
+         |         AS gram
+         |       FROM cw WHERE len(ws) >= 5),
+         |pg AS (SELECT doc_id AS probe_id, unnest(list_distinct(list_transform(
+         |         range(len(ws) - 4), i -> array_to_string(ws[i + 1 : i + 5], ' '))))
+         |         AS gram
+         |       FROM pw WHERE len(ws) >= 5),
+         |psz AS (SELECT probe_id, count(*) AS psz FROM pg GROUP BY probe_id),
+         |inter AS (SELECT cg.corpus_id, pg.probe_id, count(*) AS i
+         |          FROM cg JOIN pg USING (gram)
+         |          GROUP BY cg.corpus_id, pg.probe_id)
+         |SELECT inter.corpus_id, inter.probe_id,
+         |  CAST(inter.i AS BIGINT) AS inter,
+         |  round(inter.i / psz.psz, 6) AS containment
+         |FROM inter JOIN psz USING (probe_id)
+         |WHERE inter.i / psz.psz >= 0.6
+         |ORDER BY corpus_id, probe_id""".stripMargin,
     "decon_cross_pairs" ->
       s"""WITH ${gramsCteFor("gc", "doc_id < 500 AND doc_id % 2 = 0")},
          |${gramsCteFor("gp", "doc_id < 500 AND doc_id % 2 = 1")},

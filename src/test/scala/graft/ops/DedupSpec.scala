@@ -269,4 +269,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(all == Map(1L -> "", 2L -> ""))
   }
+
+  test("containment catches a short probe inside a long doc where jaccard fails") {
+    import spark.implicits._
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val corpus = Seq((2L, s"$filler $quote")).toDF("doc_id", "text")
+    val probes = Seq((1L, quote)).toDF("doc_id", "text")
+    // probe shingles: 2 five-grams, both present in the corpus doc
+    val got = Dedup.crossCorpusContainment(corpus, probes, threshold = 0.9, n = 5)
+      .collect()
+    assert(got.length == 1 && got.head.getDouble(3) == 1.0, s"got ${got.toSeq}")
+    // the symmetric jaccard of the same pair is tiny — the asymmetric
+    // criterion is the one that flags the contamination
+    val j = Dedup.crossCorpusPairs(corpus, probes, threshold = 0.0)
+      .collect()
+    assert(j.isEmpty || j.head.getDouble(2) < 0.1,
+      s"jaccard should vanish for a short probe: ${j.toSeq}")
+    // an unrelated probe is not flagged
+    val clean = Seq((9L, "one two three four five six")).toDF("doc_id", "text")
+    assert(Dedup.crossCorpusContainment(corpus, clean, 0.1, n = 5).collect().isEmpty)
+  }
 }
