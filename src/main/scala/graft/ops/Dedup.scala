@@ -436,6 +436,18 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminate]]'s containment twin: drop every corpus document
+    * containing at least `threshold` of ANY probe's shingles — the
+    * benchmark-decontamination removal pass run before training. */
+  def decontaminateContainment(corpus: DataFrame, probes: DataFrame,
+      threshold: Double, n: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val contaminated = crossCorpusContainment(corpus, probes, threshold, n,
+        idCol, textCol)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Fixed word-window span segmentation of the normalized text:
     * (id, span_idx, span) rows, where span `i` is words
     * `[i*spanWords, (i+1)*spanWords)` joined by single spaces. The last

@@ -289,5 +289,12 @@ class DedupSpec extends SparkSpec {
     // an unrelated probe is not flagged
     val clean = Seq((9L, "one two three four five six")).toDF("doc_id", "text")
     assert(Dedup.crossCorpusContainment(corpus, clean, 0.1, n = 5).collect().isEmpty)
+    // the removal pass drops the contaminated doc, keeps the clean one
+    val corpus2 = corpus.unionByName(
+      Seq((3L, "totally different content " + (1 to 10).map(i => s"x$i").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val kept = Dedup.decontaminateContainment(corpus2, probes, threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), s"kept $kept")
   }
 }
