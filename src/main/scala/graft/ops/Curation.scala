@@ -139,6 +139,35 @@ object Curation {
       .drop("__rk", "__n")
   }
 
+  /** Per-stratum winsorization: cap `scoreCol` at the stratum's top
+    * `qMicro`/10⁶ quantile — outlier clipping before length-weighted
+    * sampling or budget math, so one pathological document cannot
+    * dominate a source's token mass. The threshold is EXACT rank
+    * arithmetic like [[keepTopQuantile]] (the value at rank
+    * ceil(q·n) in (score desc, key) order — deterministic, total-order
+    * ties), never an approximate quantile. Emits every input row with
+    * `<scoreCol>_clipped = least(score, threshold)`.
+    *
+    * Shape: one Window pass per stratum (rank + size share the
+    * partition sort), the ≤|strata|-row threshold relation broadcast
+    * back. */
+  def clipAtQuantile(df: DataFrame, strataCol: String, scoreCol: String,
+      keyCol: String, qMicro: Long): DataFrame = {
+    require(qMicro > 0 && qMicro <= 1000000L, "qMicro is a fraction in micro-units")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    val wOrd = w.orderBy(col(scoreCol).desc, col(keyCol))
+    val ranked = df
+      .withColumn("__rk", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(w))
+    val thresholds = ranked
+      .filter(expr(s"__rk = ($qMicro * __n + 999999) div 1000000"))
+      .select(col(strataCol), col(scoreCol).as("__t"))
+    ranked.drop("__rk", "__n")
+      .join(broadcast(thresholds), Seq(strataCol))
+      .withColumn(s"${scoreCol}_clipped", least(col(scoreCol), col("__t")))
+      .drop("__t")
+  }
+
   def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
       cap: Int, salt: String = "cap"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

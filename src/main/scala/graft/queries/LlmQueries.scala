@@ -400,6 +400,19 @@ object LlmQueries {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Winsorize token counts at each source's top-10% quantile — exact
+    * rank-arithmetic outlier capping before budget/sampling math. */
+  def sampleWinsorize(spark: SparkSession, dir: String): DataFrame =
+    Curation.clipAtQuantile(
+      T.par(spark, T.t(spark, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      strataCol = "source", scoreCol = "n_tokens", keyCol = "doc_id",
+      qMicro = 100000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("n_tokens_clipped"))
+      .orderBy(col("doc_id"))
+
   /** Exact-count global sample: the 100 hash-lowest docs of the corpus —
     * TakeOrderedAndProject shape (per-task heaps, no global sort). */
   def sampleGlobal(spark: SparkSession, dir: String): DataFrame =
@@ -476,6 +489,7 @@ object LlmQueries {
     "sample_global" -> (sampleGlobal _),
     "sample_top_quantile" -> (sampleTopQuantile _),
     "sample_temperature" -> (sampleTemperature _),
+    "sample_winsorize" -> (sampleWinsorize _),
     "dedup_connected_keep" -> (dedupConnectedKeep _),
     "dedup_exact_prefix" -> (dedupExactPrefix _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -658,6 +672,20 @@ object LlmQueries {
          |FROM documents JOIN c USING (source)
          |WHERE ${Curation.hashFractionSql("doc_id", "temp")} <
          |  sqrt(CAST((SELECT nmin FROM m) AS DOUBLE) / ns)
+         |ORDER BY doc_id""".stripMargin,
+    "sample_winsorize" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST($nTokensSql AS INTEGER) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY n_tokens DESC, doc_id) AS rk,
+         |      count(*) OVER (PARTITION BY source) AS n
+         |      FROM t),
+         |th AS (SELECT source, n_tokens AS t FROM r
+         |       WHERE rk = (100000 * n + 999999) // 1000000)
+         |SELECT doc_id, source, n_tokens,
+         |  least(n_tokens, th.t) AS n_tokens_clipped
+         |FROM t JOIN th USING (source)
          |ORDER BY doc_id""".stripMargin,
     "sample_top_quantile" ->
       s"""WITH t AS (SELECT doc_id, source,

@@ -227,6 +227,23 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("winsorize: clips at the exact per-stratum quantile value") {
+    import spark.implicits._
+    // source a: scores 10..100 by 10 (n=10); top-20% rank = ceil(2) = 2
+    // -> threshold is the 2nd-highest value (90); 100 clips to 90
+    val docs = (1L to 10L).map(i => (i, "a", (i * 10).toInt))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Curation.clipAtQuantile(docs, "source", "n_tokens", "doc_id",
+        qMicro = 200000L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_tokens_clipped"))).toMap
+    assert(out.size == 10)
+    assert(out(10L) == (100, 90), s"got ${out(10L)}")
+    assert(out(9L) == (90, 90) && out(1L) == (10, 10))
+    // every clipped value <= threshold, unclipped values unchanged
+    assert(out.values.forall { case (v, c) => c == math.min(v, 90) })
+  }
+
   test("global sample: exact count, partition-invariant, nested draws") {
     import spark.implicits._
     val docs = (1L to 1000L).map(i => (i, s"s${i % 7}")).toDF("doc_id", "source")
