@@ -39,7 +39,10 @@ object Bench {
     // Optional comma-separated query filter (dev profiling loop).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // registry queries + the planted-skew scenarios (BenchSkew): the skew
+    // envelope is benched every round alongside the uniform corpus
+    val results = (SparkEntry.queries.toSeq ++ BenchSkew.scenarios.toSeq)
+      .sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -62,10 +65,11 @@ object Bench {
     // whole-stage-codegen compilation (10x the steady-state on some
     // queries); the headline numbers report best-of-2 so they measure
     // execution, not javac.
+    val allQueries = SparkEntry.queries ++ BenchSkew.scenarios
     val headlineSet = headline.filter(h => results.exists(_._1 == h))
     val warm = results.filter(r => headlineSet.contains(r._1)).map { case (name, t1) =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try allQueries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       name -> math.min(t1, (System.nanoTime() - t0) / 1e9)
@@ -99,5 +103,9 @@ object Bench {
     // calibration, hashing-trick embeddings
     "text_lm_bigram", "emb_mean_pool", "sample_global", "event_retention",
     "dedup_connected_keep", "sample_temperature", "session_overlap",
-    "quality_pr_curve", "quality_auc", "text_hash_embedding")
+    "quality_pr_curve", "quality_auc", "text_hash_embedding",
+    // round-7 additions: planted-skew envelope (BenchSkew scenarios) +
+    // the now-oracle-checked clustering queries
+    "skew_minhash_hot_bucket", "skew_overlap_hot_bucket",
+    "skew_salted_hot_key", "text_cluster_assign", "artifact_train_serve")
 }

@@ -143,18 +143,30 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   * 64KB JIT method limit. Serializable: ships once per executor inside
   * the task binary, like a broadcast.
   *
+  * Centroids are stored as doubles: float centroids promote exactly, and
+  * integer micro-unit centroids ([[IvfIndex.fromMicro]], the
+  * oracle-exact k-means path) ride as exact integers — cosine is
+  * scale-invariant, so micro-unit coordinates assign identically to the
+  * micro/10⁶ centroids they encode, with no float-precision loss.
+  *
   * Arithmetic contract (must stay oracle-exact): cosine = dotFD-style
   * left-to-right double accumulation, rounded HALF_UP to `roundTo`
   * places exactly like Spark's `round()`; ties broken by lowest
-  * centroid id. `ids` must be sorted ascending.
+  * centroid id. `ids` must be sorted ascending. Zero-norm vectors or
+  * centroids produce NaN similarities whose ordering is NOT
+  * engine-portable (this scan keeps the first index; SQL engines sort
+  * NaN highest) — callers must not feed all-zero vectors.
   */
-final class IvfIndex(val ids: Array[Long], vecs: Array[Array[Float]],
+final class IvfIndex private (val ids: Array[Long], vecs: Array[Array[Double]],
     roundTo: Int) extends Serializable {
   require(ids.length == vecs.length && ids.nonEmpty, "empty/ragged centroid set")
 
+  def this(ids: Array[Long], vecs: Array[Array[Float]], roundTo: Int) =
+    this(ids, vecs.map(v => v.map(_.toDouble)): Array[Array[Double]], roundTo)
+
   private val norms: Array[Double] = vecs.map { cv =>
     var acc = 0.0; var i = 0
-    while (i < cv.length) { acc += cv(i).toDouble * cv(i).toDouble; i += 1 }
+    while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
     math.sqrt(acc)
   }
 
@@ -180,7 +192,7 @@ final class IvfIndex(val ids: Array[Long], vecs: Array[Array[Float]],
       val m = math.min(d, cv.length)
       var acc = 0.0
       i = 0
-      while (i < m) { acc += v.getFloat(i).toDouble * cv(i).toDouble; i += 1 }
+      while (i < m) { acc += v.getFloat(i).toDouble * cv(i); i += 1 }
       sims(c) = roundN(acc / (vNorm * norms(c)))
       c += 1
     }
@@ -202,6 +214,17 @@ final class IvfIndex(val ids: Array[Long], vecs: Array[Array[Float]],
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+object IvfIndex {
+  /** Index over integer micro-unit centroids (element = micro/10⁶,
+    * [[graft.ops.Similarity.trainIvfCentroidsMicro]]): each long converts
+    * to double exactly (|micro| < 2⁵³ always holds here), so assignment
+    * arithmetic is bit-reproducible in any engine that evaluates the same
+    * rounded-cosine argmax over the same integers. */
+  def fromMicro(ids: Array[Long], micro: Array[Array[Long]],
+      roundTo: Int): IvfIndex =
+    new IvfIndex(ids, micro.map(v => v.map(_.toDouble)), roundTo)
 }
 
 /** Nearest-centroid assignment against a driver-built [[IvfIndex]]:

@@ -83,18 +83,23 @@ object Curation {
     * sqrt) compared against the exact md5 hash fraction — no float sums,
     * so the keep SET is bit-identical across engines and partitionings.
     * The strata-count relation is localCheckpoint'ed (strata-sized) so
-    * the corpus is scanned once for counts and once for the gated scan. */
+    * the corpus is scanned once for counts and once for the gated scan.
+    *
+    * NULL strata form their own stratum (null-safe count join), exactly
+    * as in the window-based [[keepTopQuantile]]/[[clipAtQuantile]] —
+    * the three quantile/sampling ops agree on NULL-stratum rows. */
   def temperatureFlatten(df: DataFrame, strataCol: String, keyCol: String,
       salt: String = "temp"): DataFrame = {
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("__ns"))
+      .withColumnRenamed(strataCol, "__strata")
       .localCheckpoint()
     val nmin = counts.agg(min(col("__ns")).as("__nmin"))
-    df.join(broadcast(counts), Seq(strataCol))
+    df.join(broadcast(counts), col(strataCol) <=> col("__strata"))
       .crossJoin(broadcast(nmin))
       .where(hashFraction(col(keyCol), salt) <
         sqrt(col("__nmin") / col("__ns")))
-      .drop("__ns", "__nmin")
+      .drop("__strata", "__ns", "__nmin")
   }
 
   /** Exact-count global sample: the `n` rows with the lowest salted
@@ -150,7 +155,8 @@ object Curation {
     *
     * Shape: one Window pass per stratum (rank + size share the
     * partition sort), the ≤|strata|-row threshold relation broadcast
-    * back. */
+    * back (null-safe on the stratum, so NULL strata clip against their
+    * own threshold — consistent with the window-only [[keepTopQuantile]]). */
   def clipAtQuantile(df: DataFrame, strataCol: String, scoreCol: String,
       keyCol: String, qMicro: Long): DataFrame = {
     require(qMicro > 0 && qMicro <= 1000000L, "qMicro is a fraction in micro-units")
@@ -161,11 +167,11 @@ object Curation {
       .withColumn("__n", count(lit(1)).over(w))
     val thresholds = ranked
       .filter(expr(s"__rk = ($qMicro * __n + 999999) div 1000000"))
-      .select(col(strataCol), col(scoreCol).as("__t"))
+      .select(col(strataCol).as("__strata"), col(scoreCol).as("__t"))
     ranked.drop("__rk", "__n")
-      .join(broadcast(thresholds), Seq(strataCol))
+      .join(broadcast(thresholds), col(strataCol) <=> col("__strata"))
       .withColumn(s"${scoreCol}_clipped", least(col(scoreCol), col("__t")))
-      .drop("__t")
+      .drop("__strata", "__t")
   }
 
   def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,

@@ -32,6 +32,15 @@ object Intervals {
     * prefix/rename collisions are the caller's to resolve, as with any
     * join.
     *
+    * "Inverted" rows (start > end) participate exactly as they would in
+    * the raw-predicate join this replaces (and in the
+    * [[graft.plans.OverlapJoinRewrite]] auto-rewrite of that predicate):
+    * bucketization runs over the NORMALIZED bounds
+    * [least(s,e), greatest(s,e)] — the raw predicate holds iff the
+    * normalized intervals intersect — and the exact predicate then
+    * re-verifies every candidate, so the three overlap paths agree on
+    * every input.
+    *
     * Both frames' column names must be disjoint (rename before joining,
     * as with any self-join) and the four bound columns integral (cast
     * timestamps to epoch seconds first).
@@ -44,24 +53,28 @@ object Intervals {
       bucketWidth: Long, maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def buckets(df: DataFrame, s: String, e: String, bkCol: String): DataFrame = {
-      val lo = col(s).cast("long")
-      val hi = col(e).cast("long")
-      val span = expr(s"($e div $bucketWidth) - ($s div $bucketWidth) + 1")
-      df.filter(lo <= hi)
-        .withColumn(bkCol, explode(sequence(
-          when(span <= maxBucketsPerInterval,
-            expr(s"$s div $bucketWidth"))
-            .otherwise(raise_error(concat(
-              lit(s"overlapJoin: interval spans more than " +
-                s"$maxBucketsPerInterval buckets at width $bucketWidth — " +
-                "raise bucketWidth or maxBucketsPerInterval ("),
-              lo.cast("string"), lit(".."), hi.cast("string"), lit(")")))),
-          expr(s"$e div $bucketWidth"))))
+      val lo = s"least($s, $e)"
+      val hi = s"greatest($s, $e)"
+      val span = expr(s"($hi div $bucketWidth) - ($lo div $bucketWidth) + 1")
+      // NULL bounds: span is NULL -> NULL sequence start -> the non-outer
+      // explode drops the row, matching the raw join (NULL matches nothing)
+      df.withColumn(bkCol, explode(sequence(
+        when(span.isNull, lit(null).cast("long"))
+          .when(span <= maxBucketsPerInterval,
+            expr(s"$lo div $bucketWidth"))
+          .otherwise(raise_error(concat(
+            lit(s"overlapJoin: interval spans more than " +
+              s"$maxBucketsPerInterval buckets at width $bucketWidth — " +
+              "raise bucketWidth or maxBucketsPerInterval ("),
+            expr(lo).cast("string"), lit(".."), expr(hi).cast("string"),
+            lit(")")))),
+        expr(s"$hi div $bucketWidth"))))
     }
     val ae = buckets(a, aStart, aEnd, "__bka")
     val be = buckets(b, bStart, bEnd, "__bkb")
     val firstShared = greatest(
-      expr(s"$aStart div $bucketWidth"), expr(s"$bStart div $bucketWidth"))
+      expr(s"least($aStart, $aEnd) div $bucketWidth"),
+      expr(s"least($bStart, $bEnd) div $bucketWidth"))
     ae.join(be,
         col("__bka") === col("__bkb") &&
           col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&

@@ -179,7 +179,7 @@ object QualityModel {
       .agg(coalesce(sum(col("__pos") * col("__neg")), lit(0L)).as("tied"),
         coalesce(sum(col("__pos")), lit(0L)).as("n_pos"),
         coalesce(sum(col("__neg")), lit(0L)).as("n_neg"))
-    ties.crossJoin(conc)
+    ties.crossJoin(broadcast(conc))
       .select(col("n_pos"), col("n_neg"), col("concordant"), col("tied"),
         expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
                |ELSE (1000000 * concordant + 500000 * tied) div (n_pos * n_neg)

@@ -223,6 +223,71 @@ object Similarity {
     ids.zip(cents)
   }
 
+  /** [[trainIvfCentroids]] in EXACT integer micro-units — the
+    * engine-portable (oracle-checkable) k-means: same spherical Lloyd
+    * algorithm, same content-stable seeding, but centroid coordinates
+    * are longs (element × 10⁶, floored) and every update is integer
+    * arithmetic, so the trained centroids are bit-identical across
+    * partitionings, cluster sizes, and engines — the same discipline as
+    * [[graft.ops.Components.pageRank]] and [[meanPoolMicro]].
+    *
+    * Per iteration:
+    *  - ASSIGN: rounded-cosine argmax against the micro-unit centroids
+    *    (cosine is scale-invariant, so micro coordinates assign exactly
+    *    like the micro/10⁶ means they encode) — map-only via the
+    *    [[graft.functions.IvfIndex]] reference object, corpus never
+    *    shuffled.
+    *  - UPDATE: per (cell, dimension), an integer sum of the members'
+    *    floor(element·10⁶) with the +10⁹ offset that keeps the dividend
+    *    non-negative (truncating and flooring division agree there; the
+    *    offset divides out exactly). Partial aggregation collapses each
+    *    partition to ≤ k rows before the exchange; the ≤ k result rows
+    *    collect to the driver, where the division happens in exact long
+    *    arithmetic. Empty cells keep their previous centroid.
+    *
+    * Envelope: elements must satisfy |x| ≤ 10³ (offset bound) and cells
+    * up to ~4.6·10⁹ members (long sum headroom at the offset); no
+    * all-zero vectors (NaN cosine ordering is not engine-portable — see
+    * [[graft.functions.IvfIndex]]). */
+  def trainIvfCentroidsMicro(corpus: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): Array[(Long, Array[Long])] = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val offset = 1000000000L
+    val seeds = corpus
+      .select(md5(col(idCol).cast("string")).as("__h"), col(vecCol))
+      .orderBy(col("__h"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(seeds.nonEmpty, "empty corpus")
+    val ids = seeds.indices.map(_.toLong).toArray
+    val dim = seeds.head.length
+    var cents: Array[Array[Long]] =
+      seeds.map(_.map(x => math.floor(x.toDouble * 1000000.0).toLong))
+    for (_ <- 1 to iters) {
+      val index = IvfIndex.fromMicro(ids, cents, roundTo)
+      val sums = (0 until dim).map(i =>
+        sum(floor(element_at(col("__v"), i + 1).cast("double") * lit(1000000.0))
+          .cast("long") + lit(offset)).as(s"__s$i"))
+      val rows = corpus
+        .select(col(vecCol).as("__v"))
+        .withColumn("__cell", nearest_cells(col("__v"), index, 1).getItem(0))
+        .groupBy(col("__cell"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        val cell = r.getLong(0).toInt
+        val n = r.getLong(1)
+        // dividend non-negative by the offset -> truncation == floor
+        next(cell) = Array.tabulate(dim)(i => r.getLong(i + 2) / n - offset)
+      }
+      cents = next
+    }
+    ids.zip(cents)
+  }
+
   /** Mean cosine distance (1 − cos) of every corpus vector to its assigned
     * centroid — the training objective, for convergence monitoring. */
   def ivfInertia(corpus: DataFrame, cents: Array[(Long, Array[Float])],
@@ -269,8 +334,27 @@ object Similarity {
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
       cents: Array[(Long, Array[Float])], k: Int, nProbe: Int = 3,
       qidCol: String = "vec_id", cidCol: String = "vec_id",
-      vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
-    val index = new IvfIndex(cents.map(_._1), cents.map(_._2), roundTo)
+      vecCol: String = "embedding", roundTo: Int = 6): DataFrame =
+    ivfTopKIndexed(queries, corpus,
+      new IvfIndex(cents.map(_._1), cents.map(_._2), roundTo),
+      k, nProbe, qidCol, cidCol, vecCol, roundTo)
+
+  /** [[ivfTopKWith]] over integer micro-unit centroids
+    * ([[trainIvfCentroidsMicro]] /
+    * [[graft.sources.Artifacts.loadCentroidsMicro]]) — the fully
+    * oracle-exact trained-IVF serve path. */
+  def ivfTopKWithMicro(queries: DataFrame, corpus: DataFrame,
+      cents: Array[(Long, Array[Long])], k: Int, nProbe: Int = 3,
+      qidCol: String = "vec_id", cidCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 6): DataFrame =
+    ivfTopKIndexed(queries, corpus,
+      IvfIndex.fromMicro(cents.map(_._1), cents.map(_._2), roundTo),
+      k, nProbe, qidCol, cidCol, vecCol, roundTo)
+
+  private def ivfTopKIndexed(queries: DataFrame, corpus: DataFrame,
+      index: IvfIndex, k: Int, nProbe: Int,
+      qidCol: String, cidCol: String, vecCol: String,
+      roundTo: Int): DataFrame = {
     val c = corpus.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"))
       .withColumn("__cell", nearest_cells(col("__cv"), index, 1).getItem(0))
@@ -295,11 +379,23 @@ object Similarity {
     * reference object; the corpus is scanned once, never shuffled. */
   def assignCells(emb: DataFrame, cents: Array[(Long, Array[Float])],
       idCol: String = "vec_id", vecCol: String = "embedding",
-      roundTo: Int = 6): DataFrame = {
-    val index = new IvfIndex(cents.map(_._1), cents.map(_._2), roundTo)
+      roundTo: Int = 6): DataFrame =
+    assignCellsIndexed(emb,
+      new IvfIndex(cents.map(_._1), cents.map(_._2), roundTo), idCol, vecCol)
+
+  /** [[assignCells]] over integer micro-unit centroids — serve half of
+    * the oracle-exact [[trainIvfCentroidsMicro]] flow. */
+  def assignCellsMicro(emb: DataFrame, cents: Array[(Long, Array[Long])],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame =
+    assignCellsIndexed(emb,
+      IvfIndex.fromMicro(cents.map(_._1), cents.map(_._2), roundTo),
+      idCol, vecCol)
+
+  private def assignCellsIndexed(emb: DataFrame, index: IvfIndex,
+      idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol),
       nearest_cells(col(vecCol), index, 1).getItem(0).as("cell"))
-  }
 
   /** All pairs with cosine above a threshold (embedding near-dup detection).
     *
@@ -504,14 +600,41 @@ object Similarity {
     semanticDedupWith(emb, trainIvfCentroids(emb, k, iters, idCol, vecCol, roundTo),
       threshold, idCol, vecCol, roundTo, maxCellSize)
 
+  /** [[semanticDedup]] with integer micro-unit k-means training
+    * ([[trainIvfCentroidsMicro]]) — identical semantics, but the trained
+    * cells (and therefore the whole dedup decision) are bit-exact across
+    * engines, so the result is DuckDB-oracle-checkable. */
+  def semanticDedupMicro(emb: DataFrame, threshold: Double, k: Int = 64,
+      iters: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 6,
+      maxCellSize: Int = 0): DataFrame =
+    semanticDedupWithMicro(emb,
+      trainIvfCentroidsMicro(emb, k, iters, idCol, vecCol, roundTo),
+      threshold, idCol, vecCol, roundTo, maxCellSize)
+
   /** [[semanticDedup]] against an explicit (trained/persisted) centroid
     * set. `maxCellSize > 0` caps the quadratic corner: oversized cells
     * skip pair generation entirely (members all survive). */
   def semanticDedupWith(emb: DataFrame, cents: Array[(Long, Array[Float])],
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding", roundTo: Int = 6,
-      maxCellSize: Int = 0): DataFrame = {
-    val index = new IvfIndex(cents.map(_._1), cents.map(_._2), roundTo)
+      maxCellSize: Int = 0): DataFrame =
+    semanticDedupIndexed(emb,
+      new IvfIndex(cents.map(_._1), cents.map(_._2), roundTo),
+      threshold, idCol, vecCol, roundTo, maxCellSize)
+
+  /** [[semanticDedupWith]] over integer micro-unit centroids. */
+  def semanticDedupWithMicro(emb: DataFrame, cents: Array[(Long, Array[Long])],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 6,
+      maxCellSize: Int = 0): DataFrame =
+    semanticDedupIndexed(emb,
+      IvfIndex.fromMicro(cents.map(_._1), cents.map(_._2), roundTo),
+      threshold, idCol, vecCol, roundTo, maxCellSize)
+
+  private def semanticDedupIndexed(emb: DataFrame, index: IvfIndex,
+      threshold: Double, idCol: String, vecCol: String, roundTo: Int,
+      maxCellSize: Int): DataFrame = {
     val cell0 = emb.select(col(idCol), col(vecCol))
       .withColumn("__cell", nearest_cells(col(vecCol), index, 1).getItem(0))
     val cell =

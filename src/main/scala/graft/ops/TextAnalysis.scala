@@ -131,22 +131,8 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es"),
     "fr" -> Seq("le", "la", "les", "et", "est"))
 
-  def langGuess(text: Column): Column = {
-    val words = split(Dedup.normalize(text), " ")
-    val hits = LangMarkers.map { case (lang, markers) =>
-      lang -> count_in_set(words, markers)
-    }
-    // argmax with declaration-order tie-break: lang_i wins iff its count is
-    // strictly greater than every earlier lang and >= every later one.
-    val best = hits.zipWithIndex.foldLeft(lit("unknown")) {
-      case (acc, ((lang, cnt), i)) =>
-        val beatsEarlier = hits.take(i).map(_._2 < cnt)
-        val tiesLater = hits.drop(i + 1).map(_._2 <= cnt)
-        val isBest = (beatsEarlier ++ tiesLater :+ (cnt > 0)).reduce(_ && _)
-        when(isBest && acc === "unknown", lit(lang)).otherwise(acc)
-    }
-    best
-  }
+  def langGuess(text: Column): Column =
+    langFromWords(split(Dedup.normalize(text), " "))
 
   /** Whole-document fingerprint: md5 of normalized text. */
   def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
@@ -158,18 +144,25 @@ object TextAnalysis {
   def robustFingerprint(text: Column, window: Int = 8): Column =
     graft.functions.VectorFunctions.min_window_md5(Dedup.normalize(text), window)
 
-  /** Argmax over per-language marker hits, given the words array. */
+  /** Argmax over per-language marker hits, given the words array: lang_i
+    * wins iff its count is strictly greater than every earlier lang's and
+    * >= every later one's (declaration-order tie-break). The per-language
+    * win conditions are mutually exclusive, so a first-match coalesce
+    * chain (the P5 pattern) expresses the argmax directly — no fold
+    * accumulator, no sentinel comparison (the old `acc === "unknown"`
+    * seed constructed a trivially-true equals predicate that tripped
+    * Spark's Column WARN on every plan build). */
   private def langFromWords(words: Column): Column = {
     val hits = LangMarkers.map { case (lang, markers) =>
       lang -> count_in_set(words, markers)
     }
-    hits.zipWithIndex.foldLeft(lit("unknown")) {
-      case (acc, ((lang, cnt), i)) =>
-        val beatsEarlier = hits.take(i).map(_._2 < cnt)
-        val tiesLater = hits.drop(i + 1).map(_._2 <= cnt)
-        val isBest = (beatsEarlier ++ tiesLater :+ (cnt > 0)).reduce(_ && _)
-        when(isBest && acc === "unknown", lit(lang)).otherwise(acc)
+    val arms = hits.zipWithIndex.map { case ((lang, cnt), i) =>
+      val beatsEarlier = hits.take(i).map(_._2 < cnt)
+      val tiesLater = hits.drop(i + 1).map(_._2 <= cnt)
+      val isBest = (beatsEarlier ++ tiesLater :+ (cnt > 0)).reduce(_ && _)
+      when(isBest, lit(lang))
     }
+    coalesce(arms :+ lit("unknown"): _*)
   }
 
   /** Materialize the normalized word array ONCE behind an

@@ -36,6 +36,22 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * or drop preserved rows), with no existing cross-side equality
   * conjunct, on deterministic same-typed int/long bounds.
   *
+  * KNOWN BEHAVIORAL TRADE-OFF: the pattern matches any Inner join whose
+  * condition carries two opposite cross-side integral inequalities —
+  * including a generic theta join over four unrelated columns, which is
+  * semantically an overlap of the two (possibly inverted, hence the
+  * least/greatest normalization) "intervals" those columns span. The
+  * rewrite is always RESULT-correct for such queries, but rows whose
+  * normalized span exceeds `maxBucketsPerInterval` buckets hit the
+  * in-plan guard and fail loudly where the nested-loop plan would have
+  * (slowly) succeeded. This is deliberate: at the scale this library
+  * targets, the BNLJ over unrelated wide-range columns IS the failure,
+  * and a conf-named error beats an unkillable O(|a|·|b|) stage. Escape
+  * hatches, in preference order: raise
+  * spark.graft.overlapJoin.bucketBits (wider buckets, fewer per row),
+  * raise maxBucketsPerInterval, or set
+  * spark.graft.overlapJoin.enabled=false for the session.
+  *
   * Tuning: spark.graft.overlapJoin.enabled (default true),
   * spark.graft.overlapJoin.bucketBits (default 16),
   * spark.graft.overlapJoin.maxBucketsPerInterval (default 4096) — the

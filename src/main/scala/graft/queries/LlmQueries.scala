@@ -210,14 +210,16 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** IVF over k-means-TRAINED centroids (distributed Lloyd iterations) —
-    * no SQL oracle by design: the per-dimension mean is a float sum whose
-    * value isn't engine-portable bit-for-bit. Recall and convergence are
-    * asserted against the brute-force baseline in SimilaritySpec. */
+  /** IVF over k-means-TRAINED centroids — the integer micro-unit Lloyd
+    * variant ([[Similarity.trainIvfCentroidsMicro]]), so the trained
+    * centroids and therefore the whole probe/re-rank are bit-exact and
+    * the DuckDB oracle replays training (3 unrolled iterations) plus the
+    * serve path. Recall/convergence vs brute force stay asserted in
+    * SimilaritySpec. */
   def simIvfTrainedTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = T.t(spark, dir, "embeddings")
-    val cents = Similarity.trainIvfCentroids(T.par(spark, emb), k = 10, iters = 3)
-    Similarity.ivfTopKWith(emb.filter(col("vec_id") < 10), T.par(spark, emb),
+    val cents = Similarity.trainIvfCentroidsMicro(T.par(spark, emb), k = 10, iters = 3)
+    Similarity.ivfTopKWithMicro(emb.filter(col("vec_id") < 10), T.par(spark, emb),
         cents, k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -655,6 +657,32 @@ object LlmQueries {
          |  FROM cand cd
          |  JOIN corp q ON q.vec_id = cd.query_id
          |  JOIN corp n ON n.vec_id = cd.neighbor_id)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    // trained-IVF: replay the 3 unrolled micro-unit k-means iterations
+    // (KmeansSql mirrors Similarity.trainIvfCentroidsMicro exactly), then
+    // the same probe/re-rank as sim_ivf_topk against the trained cells.
+    "sim_ivf_trained_topk" ->
+      s"""WITH src AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |${KmeansSql.trainCtes("src", "TRUE", k = 10, iters = 3, dim = 64)},
+         |cent AS (SELECT cell, cm FROM c3),
+         |assign AS (${KmeansSql.assignSql("src", "cent")}),
+         |probes AS (SELECT vid AS query_id, cell FROM (
+         |    SELECT s.vid, c.cell,
+         |      row_number() OVER (PARTITION BY s.vid
+         |        ORDER BY ${KmeansSql.cosMicro("s.v", "c.cm")} DESC, c.cell) AS rn
+         |    FROM src s CROSS JOIN cent c WHERE s.vid < 10) WHERE rn <= 3),
+         |cand AS (SELECT p.query_id, a.vid AS neighbor_id
+         |  FROM probes p JOIN assign a USING (cell)
+         |  WHERE a.vid <> p.query_id)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT cd.query_id, cd.neighbor_id, ${ivfCos("q.v", "n.v")} AS sim,
+         |    row_number() OVER (PARTITION BY cd.query_id
+         |      ORDER BY ${ivfCos("q.v", "n.v")} DESC, cd.neighbor_id) AS rank
+         |  FROM cand cd
+         |  JOIN src q ON q.vid = cd.query_id
+         |  JOIN src n ON n.vid = cd.neighbor_id)
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
     "sample_cap_per_source" ->

@@ -79,11 +79,13 @@ object LlmQueries2 {
 
   /** SemDeDup over the embedding corpus: trained k-means cells, in-cell
     * cosine ≥ 0.4 (the corpus's near-dup band, same threshold as
-    * `dedup_embedding_cosine`) drops the higher id. Rows-only (trained
-    * centroids are float means — not engine-portable); semantics
-    * spec-asserted. */
+    * `dedup_embedding_cosine`) with connected-component min-id
+    * survivors. Training is the integer micro-unit k-means
+    * ([[Similarity.semanticDedupMicro]]), so the oracle replays the full
+    * trajectory — 3 unrolled training iterations, cell assignment,
+    * in-cell pairs, recursive-CTE components — bit-for-bit. */
   def simSemanticDedup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedup(
+    Similarity.semanticDedupMicro(
         T.par(spark, T.t(spark, dir, "embeddings")), threshold = 0.4, k = 16)
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
@@ -145,16 +147,28 @@ object LlmQueries2 {
         posexplode(col("q")).as(Seq("idx", "qv")))
       .orderBy(col("vec_id"), col("idx"))
 
+  // Integer weight vector served through the logistic artifact (seeded,
+  // data-independent — the stand-in for a trainLogistic run). Integer
+  // values keep the served margin an exact double sum (order-independent,
+  // engine-portable); shared with the oracle SQL's literal list.
+  private val servedWeights: Array[Long] = {
+    val r = new scala.util.Random(5)
+    Array.fill(64)((r.nextInt(21) - 10).toLong)
+  }
+
   /** Train-once / persist / serve-everywhere, end-to-end under the gate:
-    * BPE merges, logistic weights, and k-means centroids are trained (or
-    * deterministically derived), written through
-    * [[graft.sources.Artifacts]], loaded back, and SERVED — BPE token
-    * counts from the loaded merge table, p_keep from the loaded weights,
-    * nearest-cell assignment from the loaded centroids — all in one
-    * relation. Rows-only by design (trained centroids and float margins
-    * aren't engine-portable); the load-equals-saved laws are asserted in
-    * ArtifactsSpec, and this query proves the persisted-artifact path
-    * under the driver gate rather than only in specs. */
+    * BPE merges, integer logistic weights, and micro-unit k-means
+    * centroids are trained (or deterministically derived), written
+    * through [[graft.sources.Artifacts]], loaded back, and SERVED —
+    * margin/keep from the loaded weights, nearest-cell assignment from
+    * the loaded centroids — in one relation the DuckDB oracle replays
+    * exactly (training included: the centroids are integer micro-units,
+    * the margins exact integer sums). The BPE merge table rides the same
+    * save/load round-trip and is asserted equal to the trained table
+    * in-query; its token counts are excluded from the output because
+    * iterative merge APPLICATION has no SQL mirror (`text_bpe_train`
+    * covers that serving path, rows-only; the load-equals-saved laws
+    * stay in ArtifactsSpec). */
   def artifactTrainServe(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Artifacts
     val docs = T.par(spark, T.t(spark, dir, "documents"))
@@ -162,27 +176,27 @@ object LlmQueries2 {
     val tmp = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
     // train on a bounded deterministic sample, serve corpus-wide — the
     // production split (a maintenance job trains, every run serves)
-    Artifacts.saveBpeMerges(spark,
-      TextAnalysis.trainBpeMerges(docs.filter(col("doc_id") < 500), k = 8),
-      s"$tmp/bpe")
-    Artifacts.saveCentroids(spark,
-      Similarity.trainIvfCentroids(emb.filter(col("vec_id") < 2000), k = 8,
+    val trainedMerges =
+      TextAnalysis.trainBpeMerges(docs.filter(col("doc_id") < 500), k = 8)
+    Artifacts.saveBpeMerges(spark, trainedMerges, s"$tmp/bpe")
+    Artifacts.saveCentroidsMicro(spark,
+      Similarity.trainIvfCentroidsMicro(emb.filter(col("vec_id") < 2000), k = 8,
         iters = 2), s"$tmp/cents")
-    val seededW = { // deterministic stand-in for a trainLogistic run
-      val r = new scala.util.Random(5)
-      Array.fill(64)((r.nextInt(21) - 10) / 10.0)
-    }
-    Artifacts.saveLogistic(spark, seededW, 0.1, s"$tmp/logit")
+    Artifacts.saveLogistic(spark, servedWeights.map(_.toDouble), 0.0, s"$tmp/logit")
     val merges = Artifacts.loadBpeMerges(spark, s"$tmp/bpe")
+    require(merges == trainedMerges,
+      "BPE merge table drifted through the save/load round-trip")
     val (w, b) = Artifacts.loadLogistic(spark, s"$tmp/logit")
-    val cents = Artifacts.loadCentroids(spark, s"$tmp/cents")
+    val cents = Artifacts.loadCentroidsMicro(spark, s"$tmp/cents")
     docs.select(col("doc_id"),
-        TextAnalysis.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
-      .join(QualityModel.scoreLogistic(docs, w, b), Seq("doc_id"))
-      .join(Similarity.assignCells(emb, cents)
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .join(QualityModel.scoreLogistic(docs, w, b)
+        .select(col("doc_id"), col("margin").cast("long").as("margin")),
+        Seq("doc_id"))
+      .join(Similarity.assignCellsMicro(emb, cents)
         .withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
-      .select(col("doc_id"), col("n_bpe_tokens"),
-        round(col("p_keep"), 6).as("p_keep"), col("cell"))
+      .select(col("doc_id"), col("n_tokens"), col("margin"),
+        (col("margin") > 0).as("keep"), col("cell"))
       .orderBy(col("doc_id"))
   }
 
@@ -211,16 +225,18 @@ object LlmQueries2 {
   }
 
   /** Model-free text clustering end-to-end: raw documents → dense
-    * hashing-trick embeddings → spherical k-means (trained on a bounded
-    * deterministic sample) → corpus-wide cell assignment. Rows-only
-    * (trained centroids are float means); the planted-topic separation
-    * law is spec-asserted in TextAnalysisSpec. */
+    * hashing-trick embeddings → spherical k-means (integer micro-unit
+    * training on a bounded deterministic sample) → corpus-wide cell
+    * assignment. The oracle rebuilds the dense embeddings from the hash
+    * formula and replays the 2 unrolled training iterations; the
+    * planted-topic separation law stays spec-asserted in
+    * TextAnalysisSpec. */
   def textClusterAssign(spark: SparkSession, dir: String): DataFrame = {
     val dense = TextAnalysis.denseHashEmbedding(
       T.par(spark, T.t(spark, dir, "documents")), dim = 64)
-    val cents = Similarity.trainIvfCentroids(
+    val cents = Similarity.trainIvfCentroidsMicro(
       dense.filter(col("doc_id") < 500), k = 8, iters = 2, idCol = "doc_id")
-    Similarity.assignCells(dense, cents, idCol = "doc_id")
+    Similarity.assignCellsMicro(dense, cents, idCol = "doc_id")
       .orderBy(col("doc_id"))
   }
 
@@ -300,7 +316,86 @@ object LlmQueries2 {
        |   (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) *
        |    sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))))""".stripMargin
 
+  // DuckDB mirror of TextAnalysis.tokenCount.
+  private val nTokensSql = "len(string_split_regex(trim(text), '\\s+'))"
+
   val oracle: Map[String, String] = Map(
+    // Replay of the micro-unit k-means trajectory (3 iterations), serve
+    // assignment, in-cell pair generation, recursive-CTE connected
+    // components, and min-id survivor selection — the full SemDeDup
+    // decision, bit-for-bit.
+    "sim_semantic_dedup" ->
+      s"""WITH RECURSIVE src AS (
+         |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${KmeansSql.trainCtes("src", "TRUE", k = 16, iters = 3, dim = 64)},
+         |cent AS (SELECT cell, cm FROM c3),
+         |asg AS (${KmeansSql.assignSql("src", "cent")}),
+         |pairs AS (SELECT a.vid AS id_a, b.vid AS id_b
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
+         |  JOIN src va ON va.vid = a.vid
+         |  JOIN src vb ON vb.vid = b.vid
+         |  WHERE round(${cosDuck("va.v", "vb.v")}, 6) >= 0.4),
+         |edges AS (SELECT id_a AS u, id_b AS w FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.w, r.lab FROM reach r JOIN edges e ON e.u = r.id),
+         |losers AS (SELECT id FROM (
+         |    SELECT id, min(lab) AS component FROM reach GROUP BY id)
+         |  WHERE component <> id)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM losers)
+         |ORDER BY vec_id""".stripMargin,
+    // Dense hashing-trick embeddings rebuilt from the hash formula, then
+    // the 2-iteration micro-unit k-means replay and corpus-wide serve.
+    "text_cluster_assign" ->
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM n),
+         |f AS (SELECT doc_id,
+         |        CAST(${hashSql(31, "wd")} % 64 AS INTEGER) AS idx,
+         |        (${hashSql(47, "wd")} % 2) * 2 - 1 AS sgn
+         |      FROM w WHERE wd <> ''),
+         |sp AS (SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS value
+         |       FROM f GROUP BY doc_id, idx),
+         |ids AS (SELECT DISTINCT doc_id FROM sp),
+         |src AS (SELECT i.doc_id AS vid,
+         |          list(CAST(coalesce(s.value, 0) AS DOUBLE) ORDER BY r.range) AS v
+         |        FROM ids i CROSS JOIN range(64) r
+         |        LEFT JOIN sp s ON s.doc_id = i.doc_id AND s.idx = r.range
+         |        GROUP BY i.doc_id),
+         |${KmeansSql.trainCtes("src", "vid < 500", k = 8, iters = 2, dim = 64)},
+         |cent AS (SELECT cell, cm FROM c2),
+         |asg AS (${KmeansSql.assignSql("src", "cent")})
+         |SELECT vid AS doc_id, cell FROM asg
+         |ORDER BY doc_id""".stripMargin,
+    // Served artifacts replayed: micro k-means training + assignment for
+    // `cell`, the seeded integer weight list for `margin`/`keep`,
+    // whitespace token counts for `n_tokens`.
+    "artifact_train_serve" -> {
+      val wList = servedWeights.mkString("[", ", ", "]")
+      s"""WITH src AS (
+         |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${KmeansSql.trainCtes("src", "vid < 2000", k = 8, iters = 2, dim = 64)},
+         |cent AS (SELECT cell, cm FROM c2),
+         |asg AS (${KmeansSql.assignSql("src", "cent")}),
+         |nn AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |ww AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM nn),
+         |ff AS (SELECT doc_id, CAST(${hashSql(77, "wd")} % 64 AS INTEGER) AS bucket,
+         |         count(*) AS cnt
+         |       FROM ww WHERE wd <> '' GROUP BY 1, 2),
+         |ss AS (SELECT doc_id,
+         |         CAST(sum(cnt * ($wList)[bucket + 1]) AS BIGINT) AS margin
+         |       FROM ff GROUP BY doc_id)
+         |SELECT d.doc_id, CAST($nTokensSql AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(ss.margin, 0) AS BIGINT) AS margin,
+         |  coalesce(ss.margin, 0) > 0 AS keep,
+         |  a.cell
+         |FROM documents d
+         |LEFT JOIN ss USING (doc_id)
+         |JOIN asg a ON a.vid = d.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
     "dedup_span_within" ->
       s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
          |           FROM documents),

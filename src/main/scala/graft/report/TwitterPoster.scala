@@ -94,10 +94,25 @@ class TwitterPoster(creds: OAuth1Creds,
 }
 
 /** [[ReportPublisher]] wiring the real poster into the summary channel
-  * (S12); CSV/git publication delegates to the inner publisher (S11). */
+  * (S12); CSV/git publication delegates to the inner publisher (S11).
+  *
+  * Failures are LOGGED, never propagated (reference: core/twitter.go
+  * OnBatch logs "error tweeting" and continues): a transient network or
+  * API error inside the report tick must not fail the streaming batch and
+  * take the CSV/git channels down with it. Non-2xx responses are treated
+  * the same way. */
 class TwitterSummaryPublisher(poster: TwitterPoster, inner: ReportPublisher)
     extends ReportPublisher {
   override def publishCsv(dir: String, addresses: Long, events: Long): String =
     inner.publishCsv(dir, addresses, events)
-  override def publishSummary(tweet: String): Unit = poster.postStatus(tweet)
+  override def publishSummary(tweet: String): Unit =
+    try {
+      val (code, body) = poster.postStatus(tweet)
+      if (code < 200 || code >= 300)
+        System.err.println(
+          s"[graft] error tweeting: HTTP $code ${body.take(200)}")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] error tweeting: ${e.getMessage}")
+    }
 }

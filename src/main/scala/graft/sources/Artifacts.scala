@@ -28,6 +28,22 @@ object Artifacts {
     spark.read.parquet(path).orderBy(col("cell_id")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
 
+  /** (cell_id, vec) integer micro-unit centroid rows
+    * ([[graft.ops.Similarity.trainIvfCentroidsMicro]]) — longs persist
+    * bit-exactly, so a load is always the trained artifact, not a float
+    * round-trip of it. */
+  def saveCentroidsMicro(spark: SparkSession, cents: Array[(Long, Array[Long])],
+      path: String): Unit = {
+    import spark.implicits._
+    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell_id", "vec")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  def loadCentroidsMicro(spark: SparkSession, path: String): Array[(Long, Array[Long])] =
+    spark.read.parquet(path).orderBy(col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+
   /** (idx, value) weight rows; the bias is stored at idx = -1. */
   def saveLogistic(spark: SparkSession, weights: Array[Double], bias: Double,
       path: String): Unit = {

@@ -4,7 +4,8 @@ package graft
   * that return rows; a data-dependent predicate drifting to an empty result
   * would "pass" while testing nothing. Every registered query must return
   * rows at the smallest scale factor, and the oracle map must track the
-  * registry exactly (modulo the two documented rows-only entries). */
+  * registry exactly (modulo the documented rows-only set below — currently
+  * two entries). */
 class RegistrySpec extends SparkSpec {
 
   val dir = "/root/testdata/sf0.001"
@@ -17,13 +18,12 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("oracle SQL tracks the query registry") {
-    // rows-only by design: sketch estimates aren't engine-portable,
-    // trained-IVF centroids are float means (not bit-portable, also under
-    // the SemDeDup and artifact-serve queries), and iterative BPE training
-    // has no SQL mirror — each spec-asserted instead.
-    val rowsOnly = Set("sketch_cardinality",
-      "sim_ivf_trained_topk", "sim_semantic_dedup", "text_bpe_train",
-      "artifact_train_serve", "text_cluster_assign")
+    // rows-only by design: sketch estimates aren't engine-portable, and
+    // iterative BPE merge APPLICATION has no SQL mirror — each
+    // spec-asserted instead (SketchesSpec error bound; TextAnalysisSpec
+    // classic-example BPE). Everything k-means-trained moved to the
+    // integer micro-unit path in round 7 and is oracle-checked.
+    val rowsOnly = Set("sketch_cardinality", "text_bpe_train")
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

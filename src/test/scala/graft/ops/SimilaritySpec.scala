@@ -116,6 +116,32 @@ class SimilaritySpec extends SparkSpec {
     assert(trained.map(_._2.toSeq).toSeq == again.map(_._2.toSeq).toSeq)
   }
 
+  test("micro k-means: integer centroids, PARTITION-INVARIANT retrain") {
+    val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = Similarity.trainIvfCentroidsMicro(e.repartition(1), k = 5, iters = 3)
+    val b = Similarity.trainIvfCentroidsMicro(e.repartition(13), k = 5, iters = 3)
+    assert(a.length == 5 && a.forall(_._2.length == 64))
+    assert(a.map(_._1).toSeq == (0L until 5L).toSeq)
+    // the property the float path cannot offer: layout never changes the
+    // trained artifact (integer sums are order-independent)
+    assert(a.map(_._2.toSeq).toSeq == b.map(_._2.toSeq).toSeq)
+    // micro coordinates are the quantized means: |x| stays in the 1e9
+    // offset envelope for this corpus
+    assert(a.forall(_._2.forall(v => math.abs(v) < 1000000000L)))
+  }
+
+  test("micro-trained centroids drive ivfTopKWithMicro at useful recall") {
+    val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, e, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.trainIvfCentroidsMicro(e, k = 5, iters = 3)
+    val ivf = Similarity.ivfTopKWithMicro(queries, e, cents, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"micro trained-ivf recall $recall too low")
+  }
+
   test("trained centroids drive ivfTopKWith at useful recall") {
     val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter(col("vec_id") < 10)

@@ -100,6 +100,65 @@ class OverlapJoinRewriteSpec extends SparkSpec {
       s"point-in-range must use RangeJoinRewrite:\n$plan")
   }
 
+  test("rewrite fires through projections and filters stacked above the inputs") {
+    // the shapes users actually write: derived columns + a filter between
+    // the base relation and the join — the rewrite must see through them
+    val aa = a.withColumn("a_len", col("a_e") - col("a_s"))
+      .filter(col("a_id") < 3)
+      .select(col("a_id"), col("a_s"), col("a_e"), col("a_len"))
+    val bb = b.filter(col("b_id") >= 10)
+      .withColumn("b_tag", concat(lit("s"), col("b_id")))
+    val j = aa.join(bb, overlap)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("__ov_bucket"), s"rewrite defeated by nesting:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+    val got = j.select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 10L), (1L, 30L), (2L, 30L)), s"got $got")
+  }
+
+  test("rewrite fires on computed (non-attribute) bounds") {
+    // bounds that are expressions over one side, not bare columns — e.g.
+    // the unix_timestamp(...) users inline instead of pre-projecting
+    val cond = (col("a_s") + lit(0L)) <= (col("b_e") + lit(0L)) &&
+      (col("b_s") + lit(0L)) <= (col("a_e") + lit(0L))
+    val j = a.join(b, cond)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("__ov_bucket"), s"rewrite defeated by expr bounds:\n$plan")
+    val got = j.select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 10L), (1L, 30L), (2L, 30L)), s"got $got")
+  }
+
+  test("rewrite + AQE: adaptive replan keeps the bucketed equi-join result") {
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // checkpointed side feeding both join inputs — the production shape
+      // (session_overlap) where AQE rewrites stages at runtime
+      val base = a.localCheckpoint()
+      val left = base.filter(col("a_id") % 2 === 1)
+      val right = base.filter(col("a_id") % 2 === 0)
+        .select(col("a_id").as("b_id"), col("a_s").as("b_s"), col("a_e").as("b_e"))
+      val j = left.join(right, overlap)
+      assert(j.queryExecution.executedPlan.toString.contains("__ov_bucket"))
+      val got = j.select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // a1=[0,100000] vs a2=[200000,300000]: no; a3 point vs a2: no
+      assert(got == Seq(), s"got $got")
+      // and cases with matches, through the same checkpoint (both probe
+      // intervals stay under the maxBucketsPerInterval guard)
+      val probes = Seq((99L, 0L, 200000L), (98L, 999999000L, 1000000000L))
+        .toDF("b_id", "b_s", "b_e")
+      val got2 = left.join(probes, overlap).select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got2 == Seq((1L, 99L), (3L, 98L)), s"got $got2")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("pathologically wide interval fails with the conf-named error") {
     val wide = Seq((1L, 0L, Long.MaxValue / 2)).toDF("a_id", "a_s", "a_e")
     val e = intercept[Exception] {

@@ -46,16 +46,31 @@ class ArtifactsSpec extends SparkSpec {
     assert(t1.zip(t2).forall { case (a, b) => a == b })
   }
 
+  test("micro centroids round-trip exactly and drive ivfTopKWithMicro identically") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("artifacts").toString
+    val emb = (0L until 60L).map(i => (i, Seq.tabulate(4)(j => (i % 5 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroidsMicro(emb, k = 3, iters = 2)
+    Artifacts.saveCentroidsMicro(spark, cents, s"$tmp/cents")
+    val loaded = Artifacts.loadCentroidsMicro(spark, s"$tmp/cents")
+    assert(loaded.map(_._1).toSeq == cents.map(_._1).toSeq)
+    assert(loaded.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    val q = emb.filter(col("vec_id") < 3)
+    val orig = Similarity.ivfTopKWithMicro(q, emb, cents, k = 2).collect().map(_.toSeq).toSet
+    val again = Similarity.ivfTopKWithMicro(q, emb, loaded, k = 2).collect().map(_.toSeq).toSet
+    assert(orig == again)
+  }
+
   test("artifact_train_serve registry query serves persisted artifacts") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.queries.LlmQueries2.artifactTrainServe(spark, dir)
       .collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      assert(r.getInt(1) > 0, s"n_bpe_tokens must be positive: $r")
-      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0,
-        s"p_keep must be a probability: $r")
-      assert(r.getLong(3) >= 0 && r.getLong(3) < 8, s"cell out of range: $r")
+      assert(r.getInt(1) > 0, s"n_tokens must be positive: $r")
+      assert(r.getBoolean(3) == (r.getLong(2) > 0), s"keep must mirror margin: $r")
+      assert(r.getLong(4) >= 0 && r.getLong(4) < 8, s"cell out of range: $r")
     }
     // deterministic end-to-end: retrain + repersist + reserve is identical
     val again = graft.queries.LlmQueries2.artifactTrainServe(spark, dir)
