@@ -55,14 +55,18 @@ object ReportJob {
     } finally report.unpersist()
   }
 
-  /** Streaming cadence over the ingested events table. */
+  /** Streaming cadence over the ingested events table. `now` is the
+    * report clock (injectable so end-to-end runs are deterministic and
+    * golden-comparable, exactly like the batch path). */
   def stream(
       spark: SparkSession,
       eventsPath: String,
       outDir: String,
       checkpoint: String,
       publisher: ReportPublisher,
-      periodSecs: Int = 3600): StreamingQuery = {
+      periodSecs: Int = 3600,
+      now: () => java.time.ZonedDateTime =
+        () => java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)): StreamingQuery = {
     val schema = spark.read.parquet(eventsPath).schema
     spark.readStream.schema(schema).parquet(eventsPath)
       .writeStream
@@ -70,7 +74,7 @@ object ReportJob {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(s"$periodSecs seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        reportBatch(batch, outDir, publisher)
+        reportBatch(batch, outDir, publisher, now())
         ()
       }
       .start()
