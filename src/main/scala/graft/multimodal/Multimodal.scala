@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * (PNG/JPEG/GIF/BMP), tested against generated PNGs. Audio decode is REAL
   * too — [[decodeAudio]] / [[extractAudioFeatures]] use the JDK's
   * javax.sound.sampled codecs (WAV/AIFF/AU PCM), tested against generated
-  * WAVs. Video remains STUBBED ([[decodeStub]] — no ffmpeg-class libraries
-  * in this environment): a deterministic fake behind the same
-  * partition-wise batch contract, so swapping in a real codec changes one
-  * function. The binary schema, `mapPartitions` batch shape, partition
-  * sizing, and metadata contract are the production plumbing either way.
+  * WAVs. Video is REAL as of round 7 for the MJPEG-AVI container —
+  * [[decodeAviFrames]] walks the RIFF chunk tree by hand and decodes each
+  * frame chunk's JPEG payload through javax.imageio (what webcams/capture
+  * cards emit; no ffmpeg-class native codec needed). Only inter-frame
+  * codecs (H.264-class) stay out of scope; [[decodeStub]] remains solely
+  * as the generic opaque-binary profiler for unknown mimes. The binary
+  * schema, `mapPartitions` batch shape, partition sizing, and metadata
+  * contract are the production plumbing either way.
   *
   * Scale notes: media rows are large, so the pipeline keeps them in
   * `binary` columns (never strings), processes partition-wise with
@@ -45,10 +48,11 @@ object Multimodal {
     docs.withColumn("media", col(textCol).cast("binary"))
       .withColumn("mime", lit(mime))
 
-  /** STUB decode: a deterministic fake "codec" — derives frame count and
-    * dimensions from the byte stream instead of a real decoder. Replace the
-    * body with an actual codec call (e.g. javax.imageio / ffmpeg) when the
-    * libraries exist; the signature is the production contract. */
+  /** Opaque-binary profiler for UNKNOWN mimes: derives nominal frame
+    * count and dimensions from the byte stream without decoding. Real
+    * codecs cover image ([[decodeImage]]), audio ([[decodeAudio]]), GIF
+    * ([[decodeGifFrames]]) and MJPEG-AVI video ([[decodeAviFrames]]);
+    * this remains only for payloads none of them claim. */
   def decodeStub(bytes: Array[Byte], frameStride: Int): (Long, Int, Int) = {
     val nFrames = if (bytes.isEmpty) 0L else ((bytes.length - 1) / frameStride + 1).toLong
     val width = 16 + (if (bytes.isEmpty) 0 else bytes(0) & 0x0f)
@@ -316,6 +320,157 @@ object Multimodal {
               y += 1
             }
             FrameFeatures(it.doc_id, idx, w, h, luma / math.max(w.toLong * h, 1L))
+          }
+      }
+  }
+
+  /** ITU-R BT.601 mean luma over all pixels (row-major accumulation —
+    * fixed order, deterministic). */
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var luma = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        luma += 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    luma / math.max(w.toLong * h, 1L)
+  }
+
+  // ------------- REAL video container: MJPEG-in-AVI (RIFF) -------------
+  // Pure-JVM: the container is a hand-rolled RIFF writer/parser and every
+  // frame payload is a JPEG handled by javax.imageio — no ffmpeg-class
+  // native codecs needed. MJPEG-AVI is a real interchange format (what
+  // many webcams/capture cards emit), so the one-file → many-frames video
+  // path is now an actual decoder, not decodeStub.
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Encode frames as an MJPEG AVI through the JDK's JPEG writer (the
+    * fixture/test generator for the real decode path — the same role
+    * [[synthWav]] and [[encodeGif]] play for audio/GIF). */
+  def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage],
+      fps: Int = 25): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    val jpegs = frames.map { f =>
+      // JPEG has no alpha: draw onto an RGB canvas first when needed
+      val rgb =
+        if (f.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) f
+        else {
+          val d = new java.awt.image.BufferedImage(f.getWidth, f.getHeight,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = d.createGraphics(); g.drawImage(f, 0, 0, null); g.dispose()
+          d
+        }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(rgb, "jpg", buf)
+      buf.toByteArray
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      fcc(id) ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(typ) ++ body)
+    val avih = le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)
+    val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames.length) ++
+      le32(0) ++ le32(-1) ++ le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      fcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** REAL AVI decode: walk the RIFF chunk tree, decode every video frame
+    * chunk (`..dc`/`..db` — MJPEG payloads are plain JPEGs) through
+    * javax.imageio. Returns all frames in stream order; empty for
+    * undecodable/corrupt bytes (quarantine contract). Tolerates truncated
+    * files by clamping chunk extents to the buffer. */
+  def decodeAviFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] =
+    try {
+      def fourcc(o: Int) = new String(bytes, o, 4, "US-ASCII")
+      def rd32(o: Int): Long =
+        ((bytes(o) & 0xffL)) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return Seq.empty
+      val out = scala.collection.mutable.ArrayBuffer[java.awt.image.BufferedImage]()
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(off)
+          val sz = rd32(off + 4)
+          val dataStart = off + 8
+          val dataEnd = math.min(dataStart + sz, end.toLong).toInt
+          if (dataEnd < dataStart) return
+          if (id == "LIST" && dataEnd - dataStart >= 4) walk(dataStart + 4, dataEnd)
+          else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")))
+            decodeImage(java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
+              .foreach(out += _)
+          off = dataStart + (sz + (sz & 1)).toInt
+        }
+      }
+      walk(12, bytes.length)
+      out.toSeq
+    } catch { case _: Exception => Seq.empty }
+
+  /** Deterministic MJPEG-AVI from a seed: (2 + seed mod 3) solid-gray
+    * frames of (16 + seed mod 8) × (12 + seed mod 5) — dimensions and
+    * frame count are formula-derived, so the oracle recomputes them
+    * without a decoder (the [[synthWav]] discipline; pixel values go
+    * through the lossy JPEG codec and are spec-asserted, not
+    * oracle-hashed). */
+  def synthMjpegAvi(seed: Long): Array[Byte] = {
+    val n = (2 + seed % 3).toInt
+    val w = (16 + seed % 8).toInt
+    val h = (12 + seed % 5).toInt
+    val frames = (0 until n).map { idx =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = ((seed * 37 + idx * 91) % 256).toInt
+      val rgb = (v << 16) | (v << 8) | v
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      img
+    }
+    encodeMjpegAvi(frames)
+  }
+
+  /** Partition-wise REAL video frame extraction: one AVI row fans out to
+    * one row per decoded frame with dimensions and mean luma — the same
+    * generator shape as [[extractGifFrames]], now over an actual video
+    * container. Undecodable media yields zero rows (generator-shaped
+    * quarantine). */
+  def extractVideoFrames(spark: SparkSession, media: DataFrame): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("mime")).as[MediaItem]
+      .flatMap { it =>
+        decodeAviFrames(Option(it.media).getOrElse(Array.emptyByteArray))
+          .zipWithIndex.map { case (img, idx) =>
+            FrameFeatures(it.doc_id, idx, img.getWidth, img.getHeight,
+              meanLuma(img))
           }
       }
   }

@@ -210,6 +210,25 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL video path, oracle-checked: a deterministic MJPEG-AVI per doc
+    * (formula-derived frame count and dimensions) is encoded through the
+    * hand-rolled RIFF writer + JDK JPEG codec, decoded back through the
+    * RIFF parser, and reduced to per-frame rows whose dimensions the
+    * oracle recomputes from the synthesis formula — the [[mmAudioFeatures]]
+    * discipline applied to video (pixel values cross the lossy JPEG codec
+    * and are spec-asserted instead). */
+  def mmVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = T.t(spark, dir, "documents")
+      .filter(col("doc_id") <= 200).select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions(_.map(id =>
+      (id, Multimodal.synthMjpegAvi(id), "video/x-msvideo")))
+      .toDF("doc_id", "media", "mime")
+    Multimodal.extractVideoFrames(spark, media).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** IVF over k-means-TRAINED centroids — the integer micro-unit Lloyd
     * variant ([[Similarity.trainIvfCentroidsMicro]]), so the trained
     * centroids and therefore the whole probe/re-rank are bit-exact and
@@ -514,6 +533,7 @@ object LlmQueries {
     "mm_binary_features" -> (mmBinaryFeatures _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_features" -> (mmAudioFeatures _),
+    "mm_video_frames" -> (mmVideoFrames _),
     "text_ngrams" -> (textNgrams _),
     "text_boilerplate" -> (textBoilerplate _),
     "sample_importance" -> (sampleImportance _),
@@ -1085,6 +1105,16 @@ object LlmQueries {
         |  CAST(ascii(substring(text, CAST(r.range + 1 AS INTEGER), 1)) AS INTEGER) AS frame_byte
         |FROM documents CROSS JOIN range(0, 100000, 16) r
         |WHERE doc_id < 50 AND r.range < length(text)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // mirror of Multimodal.synthMjpegAvi's construction formula: the AVI
+    // round-trips through a real RIFF+JPEG encode/decode on the Spark
+    // side; the oracle recomputes the formula-derived frame geometry.
+    "mm_video_frames" ->
+      """SELECT doc_id, CAST(r.range AS INTEGER) AS frame_idx,
+        |  CAST(16 + doc_id % 8 AS INTEGER) AS width,
+        |  CAST(12 + doc_id % 5 AS INTEGER) AS height
+        |FROM documents CROSS JOIN range(4) r
+        |WHERE doc_id <= 200 AND r.range < 2 + doc_id % 3
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "sample_importance" ->
       s"""SELECT doc_id, lang, $qualitySql AS quality

@@ -133,6 +133,43 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2).mean_luma > 250.0)
   }
 
+  test("real MJPEG-AVI decode: RIFF round-trip, per-frame rows, real pixels") {
+    import spark.implicits._
+    def gray(level: Int, w: Int, h: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(level, level, level))
+      g.fillRect(0, 0, w, h); g.dispose()
+      img
+    }
+    val avi = Multimodal.encodeMjpegAvi(Seq(gray(10, 20, 14), gray(240, 20, 14)))
+    // container sanity: it IS an AVI
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val media = Seq(
+      (1L, avi, "video/x-msvideo"),
+      (2L, "definitely not an avi".getBytes, "video/x-msvideo"),
+      (3L, avi.take(40), "video/x-msvideo")) // truncated mid-header
+      .toDF("doc_id", "media", "mime")
+    val got = Multimodal.extractVideoFrames(spark, media).collect()
+      .sortBy(f => (f.doc_id, f.frame_idx))
+    // 2 frames from doc 1; corrupt + truncated docs quarantine to 0 rows
+    assert(got.length == 2 && got.forall(_.doc_id == 1L))
+    assert(got.forall(f => f.width == 20 && f.height == 14))
+    // JPEG is lossy but dark vs bright must survive the codec
+    assert(got(0).mean_luma < 60.0 && got(1).mean_luma > 200.0)
+  }
+
+  test("synthMjpegAvi geometry matches its formula (the oracle contract)") {
+    for (seed <- 0L to 12L) {
+      val frames = Multimodal.decodeAviFrames(Multimodal.synthMjpegAvi(seed))
+      assert(frames.length == (2 + seed % 3).toInt, s"frame count for $seed")
+      assert(frames.forall(_.getWidth == (16 + seed % 8).toInt), s"width for $seed")
+      assert(frames.forall(_.getHeight == (12 + seed % 5).toInt), s"height for $seed")
+    }
+  }
+
   test("corrupt audio bytes quarantine instead of failing the task") {
     import spark.implicits._
     val wav = Multimodal.synthWav(1L, 50)
