@@ -448,6 +448,83 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** [[crossCorpusContainment]] with a BLOOM semi-join reduction — the
+    * 100 TB form. The probe gram set is tiny (eval sets are thousands of
+    * docs) but the corpus gram relation is corpus-sized, and the plain
+    * gram equi-join shuffles ALL of it. Here a bloom filter over the
+    * probe grams (built distributedly, collected driver-side like a
+    * broadcast dimension, shipped as one reference object) drops
+    * non-probe corpus grams MAP-SIDE, so the exchange carries roughly
+    * |corpus grams ∩ probe grams| (+fpp of the rest) instead of every
+    * corpus gram. Bloom filters have no false negatives and the exact
+    * equi-join still verifies every survivor, so the result is
+    * IDENTICAL to the ungated operator — only the shuffled volume
+    * changes (DedupSpec asserts the equality).
+    *
+    * Driver memory bound: the filter costs ~1.2·|probe grams|·ln(1/fpp)
+    * bits — `maxBloomBytes` fails loudly if a mis-sized probe set would
+    * materialize a multi-GB filter on the driver. */
+  def crossCorpusContainmentBloom(corpus: DataFrame, probes: DataFrame,
+      threshold: Double, n: Int = 5, fpp: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBloomBytes: Long = 256L << 20): DataFrame = {
+    // probe grams feed the size aggregate, the bloom build, and the join:
+    // checkpoint the (probe-sized) relation so wordShingles runs once
+    val pG = wordShingles(probes, n, idCol, textCol)
+      .select(col("id").as("probe_id"), col("gram"))
+      .localCheckpoint()
+    val nGrams = math.max(pG.count(), 1L)
+    val bloom = pG.stat.bloomFilter(hashStr(col("gram"), 91), nGrams, fpp)
+    require(bloom.bitSize() / 8 <= maxBloomBytes,
+      s"crossCorpusContainmentBloom: ${bloom.bitSize() / 8} bloom bytes for " +
+        s"$nGrams probe grams exceeds maxBloomBytes=$maxBloomBytes — " +
+        "shrink the probe set, raise fpp, or raise the cap")
+    val cG = wordShingles(corpus, n, idCol, textCol)
+      .select(col("id").as("corpus_id"), col("gram"))
+      .filter(graft.functions.BloomFunctions.bloom_might_contain(
+        hashStr(col("gram"), 91), bloom))
+    val pSizes = pG.groupBy(col("probe_id")).agg(count(lit(1)).as("__psz"))
+    cG.join(pG, Seq("gram"))
+      .groupBy(col("corpus_id"), col("probe_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(pSizes, Seq("probe_id"))
+      .withColumn("containment", col("inter") / col("__psz"))
+      .filter(col("containment") >= threshold)
+      .select(col("corpus_id"), col("probe_id"), col("inter"),
+        col("containment"))
+  }
+
+  /** Content fingerprint ledger: one row per distinct normalized-content
+    * md5 — the persisted "what have we already ingested" artifact of an
+    * INCREMENTAL dedup pipeline (write it per snapshot; the next
+    * snapshot's batch anti-joins against it instead of re-scanning every
+    * previous snapshot). Vocabulary-of-contents-sized, map-side combined. */
+  def fingerprintLedger(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(md5(normalize(col(textCol))).as("fingerprint")).distinct()
+
+  /** Incremental-snapshot dedup: from a NEW batch, keep only documents
+    * whose content was neither seen in the `ledger` (fingerprints of all
+    * previous snapshots, [[fingerprintLedger]]) nor duplicated earlier in
+    * the batch itself (min-id survivor, as everywhere in this module).
+    *
+    * Scale shape: one map-side fingerprint per row, a broadcast-friendly
+    * anti-join against the ledger (ledger rows are distinct md5 strings —
+    * far smaller than the corpus that produced them), and the standard
+    * one-pass in-batch window. This is the daily-increment shape: the
+    * full historical corpus is never re-read, only its ledger. */
+  def dropSeenDocs(newDocs: DataFrame, ledger: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keyed = newDocs.withColumn("__fp", md5(normalize(col(textCol))))
+    val unseen = keyed.join(
+      ledger.select(col("fingerprint").as("__fp")), Seq("__fp"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    unseen
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   /** Fixed word-window span segmentation of the normalized text:
     * (id, span_idx, span) rows, where span `i` is words
     * `[i*spanWords, (i+1)*spanWords)` joined by single spaces. The last

@@ -496,8 +496,43 @@ object LlmQueries {
       .orderBy(col("corpus_id"), col("probe_id"))
   }
 
+  /** [[deconContainment]] through the bloom semi-join reduction
+    * ([[Dedup.crossCorpusContainmentBloom]]): the probe-gram bloom drops
+    * non-probe corpus grams map-side before the shuffle. Same relation,
+    * same oracle — bloom filters have no false negatives and the exact
+    * join verifies every survivor. */
+  def deconBloomGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents").filter(col("doc_id") < 500)
+    Dedup.crossCorpusContainmentBloom(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), substring(col("text"), 1, 120).as("text")),
+        threshold = 0.6, n = 5)
+      .select(col("corpus_id"), col("probe_id"), col("inter"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("corpus_id"), col("probe_id"))
+  }
+
+  /** Incremental-snapshot dedup, ledger persistence included: the even
+    * docs are "snapshot N" whose fingerprint ledger is WRITTEN to
+    * parquet; the odd docs are the new batch, deduped against the
+    * LOADED ledger and within themselves (min-id survivor). The full
+    * historical corpus is never re-read — only its ledger. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    Dedup.fingerprintLedger(docs.filter(col("doc_id") % 2 === 0))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    Dedup.dropSeenDocs(docs.filter(col("doc_id") % 2 === 1),
+        spark.read.parquet(tmp))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decon_containment" -> (deconContainment _),
+    "decon_bloom_gate" -> (deconBloomGate _),
+    "dedup_incremental" -> (dedupIncremental _),
     "decon_cross_pairs" -> (deconCrossPairs _),
     "text_facets" -> (textFacets _),
     "sessionize_events" -> (sessionizeEvents _),
@@ -629,6 +664,34 @@ object LlmQueries {
       |  ON a.user_id % 2 = 0 AND b.user_id % 2 = 1
       | AND a.s_start <= b.s_end AND b.s_start <= a.s_end
       |ORDER BY a_user, a_session, b_user, b_session""".stripMargin
+
+  // Shared by decon_containment and decon_bloom_gate (ungated vs
+  // bloom-semi-join-reduced operator — identical relation).
+  private val deconContainmentSql: String =
+      s"""WITH cd AS (SELECT doc_id, text FROM documents
+         |            WHERE doc_id < 500 AND doc_id % 2 = 0),
+         |pd AS (SELECT doc_id, substring(text, 1, 120) AS text FROM documents
+         |       WHERE doc_id < 500 AND doc_id % 2 = 1),
+         |cw AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM cd),
+         |pw AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM pd),
+         |cg AS (SELECT doc_id AS corpus_id, unnest(list_distinct(list_transform(
+         |         range(len(ws) - 4), i -> array_to_string(ws[i + 1 : i + 5], ' '))))
+         |         AS gram
+         |       FROM cw WHERE len(ws) >= 5),
+         |pg AS (SELECT doc_id AS probe_id, unnest(list_distinct(list_transform(
+         |         range(len(ws) - 4), i -> array_to_string(ws[i + 1 : i + 5], ' '))))
+         |         AS gram
+         |       FROM pw WHERE len(ws) >= 5),
+         |psz AS (SELECT probe_id, count(*) AS psz FROM pg GROUP BY probe_id),
+         |inter AS (SELECT cg.corpus_id, pg.probe_id, count(*) AS i
+         |          FROM cg JOIN pg USING (gram)
+         |          GROUP BY cg.corpus_id, pg.probe_id)
+         |SELECT inter.corpus_id, inter.probe_id,
+         |  CAST(inter.i AS BIGINT) AS inter,
+         |  round(inter.i / psz.psz, 6) AS containment
+         |FROM inter JOIN psz USING (probe_id)
+         |WHERE inter.i / psz.psz >= 0.6
+         |ORDER BY corpus_id, probe_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_cc_clusters" ->
@@ -871,31 +934,22 @@ object LlmQueries {
          |GROUP BY 1
          |HAVING count(*) > 1
          |ORDER BY content_key""".stripMargin,
-    "decon_containment" ->
-      s"""WITH cd AS (SELECT doc_id, text FROM documents
-         |            WHERE doc_id < 500 AND doc_id % 2 = 0),
-         |pd AS (SELECT doc_id, substring(text, 1, 120) AS text FROM documents
-         |       WHERE doc_id < 500 AND doc_id % 2 = 1),
-         |cw AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM cd),
-         |pw AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM pd),
-         |cg AS (SELECT doc_id AS corpus_id, unnest(list_distinct(list_transform(
-         |         range(len(ws) - 4), i -> array_to_string(ws[i + 1 : i + 5], ' '))))
-         |         AS gram
-         |       FROM cw WHERE len(ws) >= 5),
-         |pg AS (SELECT doc_id AS probe_id, unnest(list_distinct(list_transform(
-         |         range(len(ws) - 4), i -> array_to_string(ws[i + 1 : i + 5], ' '))))
-         |         AS gram
-         |       FROM pw WHERE len(ws) >= 5),
-         |psz AS (SELECT probe_id, count(*) AS psz FROM pg GROUP BY probe_id),
-         |inter AS (SELECT cg.corpus_id, pg.probe_id, count(*) AS i
-         |          FROM cg JOIN pg USING (gram)
-         |          GROUP BY cg.corpus_id, pg.probe_id)
-         |SELECT inter.corpus_id, inter.probe_id,
-         |  CAST(inter.i AS BIGINT) AS inter,
-         |  round(inter.i / psz.psz, 6) AS containment
-         |FROM inter JOIN psz USING (probe_id)
-         |WHERE inter.i / psz.psz >= 0.6
-         |ORDER BY corpus_id, probe_id""".stripMargin,
+    // the bloom-gated form computes the identical relation (no false
+    // negatives + exact verify), so both keys share one oracle
+    "decon_bloom_gate" -> deconContainmentSql,
+    "dedup_incremental" ->
+      s"""WITH old AS (SELECT DISTINCT md5(${normSql("text")}) AS fp
+         |            FROM documents WHERE doc_id % 2 = 0),
+         |nw AS (SELECT doc_id, md5(${normSql("text")}) AS fp
+         |       FROM documents WHERE doc_id % 2 = 1),
+         |unseen AS (SELECT doc_id, fp FROM nw
+         |           WHERE fp NOT IN (SELECT fp FROM old)),
+         |k AS (SELECT doc_id,
+         |        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |      FROM unseen)
+         |SELECT doc_id FROM k WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+    "decon_containment" -> deconContainmentSql,
     "decon_cross_pairs" ->
       s"""WITH ${gramsCteFor("gc", "doc_id < 500 AND doc_id % 2 = 0")},
          |${gramsCteFor("gp", "doc_id < 500 AND doc_id % 2 = 1")},

@@ -232,8 +232,13 @@ object LlmQueries2 {
     * planted-topic separation law stays spec-asserted in
     * TextAnalysisSpec. */
   def textClusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    // the dense relation feeds seeding + every training pass + the serve
+    // scan: localCheckpoint so the multi-shuffle hash-embedding subtree
+    // runs ONCE, not once per consumer (at 100 TB: persist the embedded
+    // corpus to cluster storage between the two jobs)
     val dense = TextAnalysis.denseHashEmbedding(
       T.par(spark, T.t(spark, dir, "documents")), dim = 64)
+      .localCheckpoint()
     val cents = Similarity.trainIvfCentroidsMicro(
       dense.filter(col("doc_id") < 500), k = 8, iters = 2, idCol = "doc_id")
     Similarity.assignCellsMicro(dense, cents, idCol = "doc_id")

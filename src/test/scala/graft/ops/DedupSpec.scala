@@ -297,4 +297,52 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(3L), s"kept $kept")
   }
+
+  test("bloom-gated containment: identical result, gate visible in the plan") {
+    val docs = graft.T.t(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val probes = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("text"))
+    val gated = Dedup.crossCorpusContainmentBloom(corpus, probes,
+      threshold = 0.6, n = 5)
+    // the map-side reduction must actually be planned
+    assert(gated.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"), "bloom gate missing from the plan")
+    val a = gated.collect().map(_.toSeq).toSet
+    val b = Dedup.crossCorpusContainment(corpus, probes, threshold = 0.6, n = 5)
+      .collect().map(_.toSeq).toSet
+    // no false negatives + exact verify => identical relation
+    assert(a == b, s"bloom gate changed the result: ${a.diff(b)} / ${b.diff(a)}")
+    assert(a.nonEmpty, "slice produced no pairs — tests nothing")
+  }
+
+  test("bloom size guard fails loudly instead of materializing a huge filter") {
+    import spark.implicits._
+    val corpus = Seq((2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val probes = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.crossCorpusContainmentBloom(corpus, probes, threshold = 0.5,
+        fpp = 1e-10, maxBloomBytes = 4L)
+    }
+    assert(e.getMessage.contains("maxBloomBytes"))
+  }
+
+  test("incremental dedup: ledger drops seen content, batch keeps min-id") {
+    import spark.implicits._
+    val old = Seq((0L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "ALPHA beta"),   // seen in ledger (normalization folds case)
+      (13L, "epsilon zeta"), // new
+      (15L, "epsilon zeta"), // in-batch dup of 13 -> dropped
+      (17L, "eta theta")     // new
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropSeenDocs(batch, Dedup.fingerprintLedger(old))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(13L, 17L), s"kept $kept")
+    // an empty ledger degrades to plain in-batch exact dedup
+    val emptyLedger = Dedup.fingerprintLedger(old.filter(col("doc_id") < 0))
+    val kept2 = Dedup.dropSeenDocs(batch, emptyLedger)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(11L, 13L, 17L), s"kept $kept2")
+  }
 }
