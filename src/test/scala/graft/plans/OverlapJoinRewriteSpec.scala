@@ -159,6 +159,39 @@ class OverlapJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: API bucketization == rewrite == naive join, inverted rows included") {
+    // the three overlap paths (explicit Intervals.overlapJoin, the
+    // optimizer rewrite of the raw predicate, and the naive nested-loop
+    // join with the rule disabled) must agree on EVERY input — including
+    // inverted (start > end) intervals, which all paths now normalize
+    val rnd = new scala.util.Random(11)
+    val mk = (n: Int, p: String) => Seq.tabulate(n) { i =>
+      val s = rnd.nextInt(1 << 20).toLong
+      val e = if (rnd.nextInt(5) == 0) s - rnd.nextInt(1 << 10) // inverted
+              else s + rnd.nextInt(1 << 14)
+      (i.toLong, s, e)
+    }.toDF(s"${p}_id", s"${p}_s", s"${p}_e")
+    val x = mk(120, "a")
+    val y = mk(120, "b")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaApi = pairs(graft.ops.Intervals.overlapJoin(
+      x, y, "a_s", "a_e", "b_s", "b_e", bucketWidth = 4096))
+    val viaRewrite = pairs(x.join(y, overlap))
+    val off = spark.conf.getOption("spark.graft.overlapJoin.enabled")
+    spark.conf.set("spark.graft.overlapJoin.enabled", "false")
+    try {
+      val naive = pairs(x.join(y, overlap))
+      assert(viaApi == naive, "explicit API diverged from the naive join")
+      assert(viaRewrite == naive, "rewrite diverged from the naive join")
+      assert(naive.nonEmpty, "fuzz produced no pairs — tests nothing")
+    } finally off match {
+      case Some(v) => spark.conf.set("spark.graft.overlapJoin.enabled", v)
+      case None => spark.conf.unset("spark.graft.overlapJoin.enabled")
+    }
+  }
+
   test("pathologically wide interval fails with the conf-named error") {
     val wide = Seq((1L, 0L, Long.MaxValue / 2)).toDF("a_id", "a_s", "a_e")
     val e = intercept[Exception] {
