@@ -192,6 +192,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bloom gate filters corpus grams BELOW the exchange (map-side reduction)") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val docs = T.t(spark, dir, "documents")
+    val df = ops.Dedup.crossCorpusContainmentBloom(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), threshold = 0.6)
+    val p = df.queryExecution.sparkPlan
+    val gates = p.collect {
+      case f: FilterExec if f.condition.toString.contains("bloom_might_contain") => f
+    }
+    assert(gates.nonEmpty, s"bloom gate missing from the plan:\n$p")
+    // the reduction only pays off if the gate runs before the corpus gram
+    // relation is shuffled: no exchange may exist beneath the gate filter
+    assert(gates.forall(g => g.collect { case e: Exchange => e }.isEmpty),
+      s"bloom gate sits above an exchange (post-shuffle — no reduction):\n$p")
+  }
+
   test("hive-partitioned scans prune partitions (PartitionFilters, not data filters)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
