@@ -63,9 +63,17 @@ object OverlapJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def enabled: Boolean =
     conf.getConfString("spark.graft.overlapJoin.enabled", "true").toBoolean
+  // Default 2^12 bucket units: for epoch-SECOND bounds (the common case
+  // in this engine's session/event data) that is ~68-minute buckets —
+  // near typical session/outage lengths, so most intervals explode to
+  // 1-2 buckets while false bucket collisions stay low. 2^16 buckets
+  // (~18 h at second resolution) made every same-day interval a
+  // candidate pair: measurably slower on the session-overlap parity
+  // query with zero pruning benefit. Milli/micro-resolution users should
+  // raise bucketBits accordingly (and the guard scales with it).
   private def bucketBits: Int =
     math.min(math.max(
-      conf.getConfString("spark.graft.overlapJoin.bucketBits", "16").toInt, 2), 62)
+      conf.getConfString("spark.graft.overlapJoin.bucketBits", "12").toInt, 2), 62)
   private def maxBuckets: Long =
     conf.getConfString("spark.graft.overlapJoin.maxBucketsPerInterval", "4096").toLong
 
