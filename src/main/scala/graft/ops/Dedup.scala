@@ -525,6 +525,42 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** [[dropSeenDocs]] as a STREAMING `foreachBatch` body: dedup the
+    * micro-batch against the ledger at `ledgerPath` (absent on the first
+    * batch = empty ledger), append the survivors' fingerprints back, and
+    * return the survivors for the caller's sink. Turns incremental-
+    * snapshot dedup into a live pipeline — each arriving batch sees
+    * everything any earlier batch kept.
+    *
+    * Crash semantics: a retry after appending but before the sink commit
+    * re-appends the same fingerprints — DUPLICATE LEDGER ROWS ARE
+    * HARMLESS (the anti-join is idempotent in the ledger's multiplicity),
+    * but the retried batch's survivors are then dropped as "seen", so
+    * the sink must be idempotent at batch granularity, the standard
+    * foreachBatch contract. Compact the ledger (distinct rewrite)
+    * whenever duplicate mass grows noticeable. */
+  def dedupBatchAgainstLedger(batch: DataFrame, ledgerPath: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val ledger =
+      try spark.read.parquet(ledgerPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(
+                "fingerprint", org.apache.spark.sql.types.StringType))))
+      }
+    val fresh = dropSeenDocs(batch, ledger, idCol, textCol)
+      .localCheckpoint() // survivors feed the append AND the caller's sink
+    fingerprintLedger(fresh, textCol)
+      .write.mode("append").parquet(ledgerPath)
+    fresh
+  }
+
   /** Fixed word-window span segmentation of the normalized text:
     * (id, span_idx, span) rows, where span `i` is words
     * `[i*spanWords, (i+1)*spanWords)` joined by single spaces. The last

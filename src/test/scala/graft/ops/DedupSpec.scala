@@ -327,6 +327,34 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBloomBytes"))
   }
 
+  test("streaming incremental dedup: each batch sees every earlier batch's ledger") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ledger = java.nio.file.Files.createTempDirectory("graft-sledger")
+      .resolve("ledger").toString
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        survivors ++= Dedup.dedupBatchAgainstLedger(batch, ledger)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try {
+      in.addData((1L, "alpha beta"), (2L, "gamma delta"), (3L, "ALPHA beta"))
+      q.processAllAvailable() // batch 1: 3 is an in-batch dup of 1
+      in.addData((11L, "gamma delta"), (12L, "epsilon zeta"))
+      q.processAllAvailable() // batch 2: 11 was seen by batch 1's ledger
+      in.addData((21L, "epsilon zeta"), (22L, "alpha beta"))
+      q.processAllAvailable() // batch 3: both seen by earlier batches
+      assert(survivors.toSet == Set(1L, 2L, 12L), s"survivors $survivors")
+    } finally q.stop()
+  }
+
   test("incremental dedup: ledger drops seen content, batch keeps min-id") {
     import spark.implicits._
     val old = Seq((0L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
