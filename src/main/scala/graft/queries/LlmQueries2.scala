@@ -127,9 +127,11 @@ object LlmQueries2 {
   }
 
   /** End-to-end BPE: train 8 merges on the corpus vocabulary, apply
-    * them corpus-wide. Rows-only (iterative training has no SQL
-    * mirror); the training algorithm itself is spec-verified against
-    * the classic subword-NMT example. */
+    * them corpus-wide. Oracle-checked as of round 7: [[BpeSql]] replays
+    * the full training trajectory (8 unrolled rounds, each with an
+    * L-iteration delimited-string tokenization fixpoint) and the
+    * corpus-wide serve in DuckDB; the training algorithm additionally
+    * stays spec-verified against the classic subword-NMT example. */
   def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     val docs = T.par(spark, T.t(spark, dir, "documents"))
     val merges = TextAnalysis.trainBpeMerges(docs, k = 8)
@@ -325,6 +327,10 @@ object LlmQueries2 {
   private val nTokensSql = "len(string_split_regex(trim(text), '\\s+'))"
 
   val oracle: Map[String, String] = Map(
+    // Full BPE training + serving replay (BpeSql): 8 unrolled training
+    // rounds over the vocabulary, delimited-string merge application,
+    // corpus-wide token counts.
+    "text_bpe_train" -> BpeSql.textBpeTrainSql(normSql("text"), k = 8),
     // Replay of the micro-unit k-means trajectory (3 iterations), serve
     // assignment, in-cell pair generation, recursive-CTE connected
     // components, and min-id survivor selection — the full SemDeDup

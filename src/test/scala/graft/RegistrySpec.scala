@@ -5,7 +5,7 @@ package graft
   * would "pass" while testing nothing. Every registered query must return
   * rows at the smallest scale factor, and the oracle map must track the
   * registry exactly (modulo the documented rows-only set below — currently
-  * two entries). */
+  * one entry). */
 class RegistrySpec extends SparkSpec {
 
   val dir = "/root/testdata/sf0.001"
@@ -18,12 +18,11 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("oracle SQL tracks the query registry") {
-    // rows-only by design: sketch estimates aren't engine-portable, and
-    // iterative BPE merge APPLICATION has no SQL mirror — each
-    // spec-asserted instead (SketchesSpec error bound; TextAnalysisSpec
-    // classic-example BPE). Everything k-means-trained moved to the
-    // integer micro-unit path in round 7 and is oracle-checked.
-    val rowsOnly = Set("sketch_cardinality", "text_bpe_train")
+    // rows-only by design: sketch ESTIMATES aren't engine-portable (the
+    // one genuinely probabilistic output; its error bound is asserted in
+    // SketchesSpec). Everything trained — k-means and BPE included — is
+    // oracle-checked trajectory-and-all as of round 7.
+    val rowsOnly = Set("sketch_cardinality")
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -141,6 +141,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(newest == Seq("n", "e", "w", "est"))
   }
 
+  test("BPE oracle envelope: corpus words fit the fixpoint iteration bound") {
+    // the text_bpe_train oracle (BpeSql) iterates each tokenization pass
+    // L = 8 times — sufficient iff every normalized word has <= 9 code
+    // points (tokens shrink by >= 1 per iteration). Pin the corpus bound
+    // so a future data change cannot silently under-iterate the mirror.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val maxLen = graft.T.t(spark, s"/root/testdata/$sf", "documents")
+        .select(explode(split(Dedup.normalize(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .agg(max(length(col("w"))))
+        .head().getInt(0)
+      assert(maxLen <= 9,
+        s"$sf: max word length $maxLen exceeds the BPE oracle's L=8 bound")
+    }
+  }
+
   test("hash embedding: signed counts, sparse rows, similarity ordering") {
     import spark.implicits._
     val docs = Seq(
