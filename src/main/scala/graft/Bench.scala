@@ -107,5 +107,8 @@ object Bench {
     // round-7 additions: planted-skew envelope (BenchSkew scenarios) +
     // the now-oracle-checked clustering queries
     "skew_minhash_hot_bucket", "skew_overlap_hot_bucket",
-    "skew_salted_hot_key", "text_cluster_assign", "artifact_train_serve")
+    "skew_salted_hot_key", "text_cluster_assign", "artifact_train_serve",
+    // round-7 additions: product quantization (trained codes + ADC top-k)
+    // and the FastSS fuzzy vocabulary join
+    "emb_pq_encode", "sim_pq_topk", "sim_ivfpq_topk", "text_fuzzy_pairs")
 }

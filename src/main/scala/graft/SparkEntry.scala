@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Relational2.queries ++
       graft.queries.ParityQueries.queries ++
       graft.queries.LlmQueries.queries ++
-      graft.queries.LlmQueries2.queries
+      graft.queries.LlmQueries2.queries ++
+      graft.queries.PqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.Relational2.oracle ++
       graft.queries.ParityQueries.oracle ++
       graft.queries.LlmQueries.oracle ++
-      graft.queries.LlmQueries2.oracle
+      graft.queries.LlmQueries2.oracle ++
+      graft.queries.PqQueries.oracle
 }

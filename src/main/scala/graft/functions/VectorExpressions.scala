@@ -354,6 +354,137 @@ case class VecProject(child: Expression, matrix: ProjMatrix)
     copy(child = newChild)
 }
 
+/** Product-quantization codebook (Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011) as a single
+  * reference object — same plan-size rationale as [[IvfIndex]]: m·k·subDim
+  * centroid elements ride the plan as ONE object, not per-element literals.
+  *
+  * All arithmetic is EXACT integer micro-units, so encoding and ADC
+  * distances are bit-reproducible across engines (the oracle replays them
+  * in SQL): an element quantizes to floor(x·10⁶) (a long), a sub-distance
+  * is Σᵢ(xᵢ−cᵢ)² over longs, ties break to the LOWEST cell (strict `<`
+  * scan). Envelope: |element| ≤ 30 keeps every per-subspace sum inside a
+  * long for subDim ≤ 1024 ((6·10⁷)²·1024 < 2⁶³); the unit-normalized
+  * embeddings this engine quantizes sit far inside it.
+  *
+  * `books(s)(c)` is the micro-unit centroid of cell `c` in subspace `s`;
+  * all subspaces share the cell count k. */
+final class PqCodebook(val subDim: Int, books: Array[Array[Array[Long]]])
+    extends Serializable {
+  require(books.nonEmpty && books.forall(_.length == books(0).length) &&
+    books(0).nonEmpty, "empty/ragged codebook")
+
+  /** Number of subspaces. */
+  def m: Int = books.length
+  /** Cells per subspace. */
+  def k: Int = books(0).length
+
+  @inline private def micro(x: Float): Long =
+    math.floor(x.toDouble * 1000000.0).toLong
+
+  private def subDist(v: ArrayData, s: Int, cm: Array[Long]): Long = {
+    var d = 0L
+    var i = 0
+    val base = s * subDim
+    while (i < subDim) {
+      val diff = micro(v.getFloat(base + i)) - cm(i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  /** Code (cell id) per subspace: exact-integer L2 argmin, ties to the
+    * lowest cell. */
+  def encode(v: ArrayData): ArrayData = {
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val d = subDist(v, s, book(c))
+        // strict < keeps the lowest cell on exact-integer ties
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toLong
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Asymmetric distance (ADC): exact micro-unit squared L2 between the
+    * RAW query vector and the code-addressed centroids — the query pays
+    * full precision, the corpus only its m-byte code. */
+  def adc(q: ArrayData, codes: ArrayData): Long = {
+    var total = 0L
+    var s = 0
+    while (s < m) {
+      total += subDist(q, s, books(s)(codes.getLong(s).toInt))
+      s += 1
+    }
+    total
+  }
+}
+
+/** PQ encoding of an ArrayType(Float) vector against a driver-built
+  * [[PqCodebook]]: ArrayType(Long) of one cell id per subspace. */
+case class PqEncode(child: Expression, codebook: PqCodebook)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects ARRAY<FLOAT>, got ${child.dataType.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    codebook.encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, classOf[PqCodebook].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cb.encode($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** ADC distance between a raw ArrayType(Float) query vector and an
+  * ArrayType(Long) PQ code word, against a driver-built [[PqCodebook]]. */
+case class PqAdc(left: Expression, right: Expression, codebook: PqCodebook)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc expects (ARRAY<FLOAT>, ARRAY<BIGINT>), got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(q: Any, codes: Any): Any =
+    codebook.adc(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, classOf[PqCodebook].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $cb.adc($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
 /** Winnowing fingerprint expression: min md5 over sliding windows. The
   * per-row work is a whole loop, so interpreted eval is already tight;
   * CodegenFallback keeps surrounding stages codegen'd. */
@@ -385,4 +516,8 @@ object VectorFunctions {
     shim.column(VecProject(shim.expression(v), matrix))
   def sign_lsh_bucket(v: Column, planeSet: PlaneSet): Column =
     shim.column(SignLshBucket(shim.expression(v), planeSet))
+  def pq_encode(v: Column, codebook: PqCodebook): Column =
+    shim.column(PqEncode(shim.expression(v), codebook))
+  def pq_adc(q: Column, codes: Column, codebook: PqCodebook): Column =
+    shim.column(PqAdc(shim.expression(q), shim.expression(codes), codebook))
 }

@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{IvfIndex, PqCodebook}
+import graft.functions.VectorFunctions.{nearest_cells, pq_adc, pq_encode}
+
+/** Product quantization (Jégou, Douze, Schmid, IEEE TPAMI 2011): compress
+  * each d-dim embedding into m small integers — one k-means cell id per
+  * d/m-dim subspace — and search with asymmetric distances (ADC) computed
+  * between the RAW query vector and the code-addressed centroids.
+  *
+  * Why this is a 100 TB operator: a float32 d=64 embedding is 256 bytes;
+  * its m=4 PQ code is 4 longs (and 4 BYTES once k ≤ 256 codes are packed
+  * at rest) — a 32-64× smaller scan for candidate generation, which is
+  * the difference between an ANN sweep that fits the page cache and one
+  * that re-reads the lake. The codebook (m·k·subDim longs) is a driver
+  * object broadcast with the task binary; encoding is map-only; ADC
+  * ranking touches only (query × code) pairs.
+  *
+  * Everything is EXACT integer micro-unit arithmetic (the
+  * [[graft.functions.PqCodebook]] contract): training, encoding, and ADC
+  * are bit-reproducible across engines, so every derived query is
+  * hash-checked against the DuckDB oracle ([[graft.queries.PqSql]])
+  * rather than spec-trusted — the same discipline as
+  * [[Similarity.trainIvfCentroidsMicro]] / [[Components.pageRank]].
+  */
+object Pq {
+
+  private val Offset = 1000000000L
+
+  /** Train per-subspace k-means codebooks with exact integer micro-unit
+    * Lloyd iterations.
+    *
+    *  - SEEDS: the k lowest-md5(id) vectors (content-stable, the same
+    *    seeding as [[Similarity.trainIvfCentroidsMicro]]), sliced per
+    *    subspace; cells numbered 0..k-1 in hash order.
+    *  - ASSIGN: exact-integer L2 argmin per (vector, subspace) — a single
+    *    map-only pass; all m subspaces of one iteration share ONE job
+    *    (posexplode of the code array), so an iteration costs one corpus
+    *    scan regardless of m.
+    *  - UPDATE: per (subspace, cell, dim) integer sums with the +10⁹
+    *    offset (truncating `div` == flooring `//` on non-negative
+    *    dividends); partial aggregation collapses each partition to
+    *    ≤ m·k rows before the exchange, and only those rows reach the
+    *    driver. Empty cells keep their previous centroid.
+    *
+    * Returns books(s)(c) = micro-unit centroid of cell c in subspace s. */
+  def trainPqCodebooksMicro(corpus: DataFrame, m: Int, k: Int,
+      iters: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
+    require(m > 0 && k > 0 && iters >= 0, "m, k positive; iters >= 0")
+    val seeds = corpus
+      .select(md5(col(idCol).cast("string")).as("__h"), col(vecCol))
+      .orderBy(col("__h"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(seeds.nonEmpty, "empty corpus")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    var books: Array[Array[Array[Long]]] = Array.tabulate(m)(s =>
+      seeds.map(v => Array.tabulate(subDim)(i =>
+        math.floor(v(s * subDim + i).toDouble * 1000000.0).toLong)))
+    for (_ <- 1 to iters) {
+      val cb = new PqCodebook(subDim, books)
+      val sums = (0 until subDim).map(i =>
+        sum(floor(element_at(col("__v"), col("__sub") * subDim + i + 1)
+            .cast("double") * lit(1000000.0)).cast("long") + lit(Offset))
+          .as(s"__s$i"))
+      val rows = corpus
+        .select(col(vecCol).as("__v"))
+        .select(col("__v"),
+          posexplode(pq_encode(col("__v"), cb)).as(Seq("__sub", "__cell")))
+        .groupBy(col("__sub"), col("__cell"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      rows.foreach { r =>
+        val s = r.getInt(0)
+        val cell = r.getLong(1).toInt
+        val n = r.getLong(2)
+        // dividend non-negative by the offset -> truncation == floor
+        next(s)(cell) = Array.tabulate(subDim)(i => r.getLong(i + 3) / n - Offset)
+      }
+      books = next
+    }
+    books
+  }
+
+  /** Map-only PQ encoding: one (id, sub, code) row per subspace — the
+    * flattened scalar shape the oracle hashes exactly. */
+  def encodeFlat(emb: DataFrame, books: Array[Array[Array[Long]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = codebook(books)
+    emb.select(col(idCol),
+        posexplode(pq_encode(col(vecCol), cb)).as(Seq("sub", "code")))
+  }
+
+  /** Map-only PQ encoding keeping the code ARRAY — the storage/serve
+    * shape ([[pqTopKWith]] consumes it). */
+  def encode(emb: DataFrame, books: Array[Array[Array[Long]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), pq_encode(col(vecCol), codebook(books)).as("codes"))
+
+  /** Exhaustive ADC top-k ("PQ flat"): encode the corpus once (map-only),
+    * broadcast the query panel, rank every (query, code) pair by exact
+    * integer ADC distance asc (ties to the lowest neighbor id).
+    *
+    * Scale shape: same broadcast-nested-loop class as the exact
+    * brute-force baseline it approximates — the win is bandwidth, not
+    * asymptotics: the inner scan reads m code longs per corpus row
+    * instead of d floats, and each distance is m table lookups of
+    * pre-slice sums instead of d multiplies. Compose with IVF cells
+    * (probe then ADC-rank, Faiss's IVFADC) when the corpus outgrows even
+    * the code scan. */
+  def pqTopKWith(queries: DataFrame, corpus: DataFrame,
+      books: Array[Array[Array[Long]]], topK: Int,
+      qidCol: String = "vec_id", cidCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = codebook(books)
+    val c = corpus.select(col(cidCol).as("neighbor_id"),
+      pq_encode(col(vecCol), cb).as("__codes"))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", pq_adc(col("__qv"), col("__codes"), cb))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+  }
+
+  /** IVF-PQ (Faiss's IVFADC): coarse-quantize the corpus into IVF cells
+    * (micro-unit trained centroids, map-only [[graft.functions.NearestCells]]
+    * assignment), probe each query's `nProbe` nearest cells, and rank ONLY
+    * the probed candidates by exact integer ADC distance.
+    *
+    * This is the composition that actually serves 100 TB: the IVF side
+    * cuts the candidate set to ~nProbe/nCells of the corpus (broadcast
+    * equi-join on cell id — no code scan of unprobed cells), and the PQ
+    * side makes each surviving candidate cost m code lookups instead of a
+    * d-float read. Both index objects ride the plan as reference objects;
+    * the corpus is scanned once and never shuffled. */
+  def ivfPqTopKWithMicro(queries: DataFrame, corpus: DataFrame,
+      ivfCents: Array[(Long, Array[Long])], books: Array[Array[Array[Long]]],
+      topK: Int, nProbe: Int = 3, qidCol: String = "vec_id",
+      cidCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    val cb = codebook(books)
+    val index = IvfIndex.fromMicro(ivfCents.map(_._1), ivfCents.map(_._2), roundTo)
+    val c = corpus.select(col(cidCol).as("neighbor_id"),
+      pq_encode(col(vecCol), cb).as("__codes"),
+      nearest_cells(col(vecCol), index, 1).getItem(0).as("__cell"))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__probe", explode(nearest_cells(col("__qv"), index, nProbe)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    c.join(broadcast(q),
+        col("__probe") === col("__cell") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", pq_adc(col("__qv"), col("__codes"), cb))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+  }
+
+  /** ADC reconstruction error of one vector against its own code —
+    * `pq_adc(v, pq_encode(v))`, the training objective (per-row, for
+    * convergence monitoring and specs). */
+  def selfDistortion(emb: DataFrame, books: Array[Array[Array[Long]]],
+      vecCol: String = "embedding"): Column = {
+    val cb = codebook(books)
+    pq_adc(col(vecCol), pq_encode(col(vecCol), cb), cb)
+  }
+
+  private def codebook(books: Array[Array[Array[Long]]]): PqCodebook = {
+    require(books.nonEmpty && books(0).nonEmpty && books(0)(0).nonEmpty,
+      "empty codebook")
+    new PqCodebook(books(0)(0).length, books)
+  }
+}

@@ -430,4 +430,41 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("w").as("term"),
         col("tf"), col("df"), col("score"), col("rank"))
   }
+
+  /** All vocabulary word pairs within edit distance 1 (typo clustering /
+    * vocab normalization), via the FastSS deletion-neighborhood trick
+    * (Bocek, Hunt, Stiller, "Fast Similarity Search in Large
+    * Dictionaries", Univ. of Zurich TR ifi-2007.02; the same family as
+    * SymSpell): two words are within one edit iff their depth-1 deletion
+    * neighborhoods intersect (substitution: delete the differing char
+    * from both; insert/delete: delete the extra char from the longer), so
+    * candidates come from an EQUI-join on deletion variants — never a
+    * vocabulary cross product — and a final `levenshtein ≤ 1` filter
+    * discards the distance-2 survivors the neighborhoods admit (e.g.
+    * "xa"/"ay" share variant "a"). The result is EXACT: completeness is
+    * the FastSS theorem, precision is the verify filter.
+    *
+    * 100 TB shape: the corpus collapses to its vocabulary (the same
+    * combine-agg distinct the df relations use) before anything
+    * pairwise; each word fans out to ≤ maxLen+1 variant keys; variant
+    * buckets are alphabet-bounded (a key of length L is reachable only
+    * from its ≤ |Σ|·(L+1) single-insertion parents and itself), so no
+    * hot-bucket cap is needed — the join is structurally skew-proof. */
+  def fuzzyVocabPairs(docs: DataFrame, textCol: String = "text",
+      minLen: Int = 2, maxLen: Int = 24): DataFrame = {
+    val vocab = docs
+      .select(explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")).between(minLen, maxLen))
+      .distinct()
+    val keyed = vocab.select(col("w"), explode(array_distinct(concat(
+      array(col("w")),
+      expr("transform(sequence(1, char_length(w)), " +
+        "i -> concat(substr(w, 1, i-1), substr(w, i+1, char_length(w))))"))))
+      .as("k"))
+    keyed.as("a")
+      .join(keyed.as("b"), col("a.k") === col("b.k") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .distinct()
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+  }
 }

@@ -274,7 +274,28 @@ object LlmQueries2 {
         T.par(spark, T.t(spark, dir, "documents")), spanWords = 2)
       .orderBy(col("doc_id"))
 
+  /** Typo clustering over the vocabulary via the FastSS deletion-
+    * neighborhood join ([[TextAnalysis.fuzzyVocabPairs]]). The word-soup
+    * corpus has no organic near-miss words (30 distinct words, all ≥ 2
+    * edits apart), so each doc plants one deterministic deletion typo of
+    * its first word (position keyed by doc_id) — the `text_pii_redact`
+    * precedent. The oracle is the BRUTE-FORCE levenshtein self-join (an
+    * independent implementation), so a hash match also proves the
+    * deletion-neighborhood candidates complete. */
+  def textFuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(Dedup.normalize(col("text")), " ").getItem(0)
+    val p = pmod(col("doc_id"), length(w)) + lit(1)
+    val typo = concat(w.substr(lit(1), p - lit(1)),
+      w.substr(p + lit(1), length(w)))
+    val aug = T.t(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" "),
+        when(length(w) >= 1, typo).otherwise(lit(""))).as("text"))
+    TextAnalysis.fuzzyVocabPairs(T.par(spark, aug))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_fuzzy_pairs" -> (textFuzzyPairs _),
     "dedup_span_within" -> (dedupSpanWithin _),
     "artifact_train_serve" -> (artifactTrainServe _),
     "text_lm_bigram" -> (textLmBigram _),
@@ -327,6 +348,25 @@ object LlmQueries2 {
   private val nTokensSql = "len(string_split_regex(trim(text), '\\s+'))"
 
   val oracle: Map[String, String] = Map(
+    // Brute-force ground truth for the FastSS deletion-neighborhood join:
+    // the same typo-planted corpus, then a direct levenshtein self-join
+    // over the vocabulary (length band |Δlen| ≤ 1 is implied by lev ≤ 1).
+    "text_fuzzy_pairs" ->
+      s"""WITH base AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |fw AS (SELECT doc_id, norm, string_split(norm, ' ')[1] AS w FROM base),
+         |aug AS (SELECT concat(norm, ' ',
+         |    CASE WHEN length(w) >= 1 THEN concat(
+         |      substr(w, 1, CAST(doc_id % length(w) AS INTEGER)),
+         |      substr(w, CAST(doc_id % length(w) + 2 AS INTEGER), length(w)))
+         |    ELSE '' END) AS t FROM fw),
+         |vocab AS (SELECT DISTINCT gram AS w FROM (
+         |    SELECT unnest(string_split(t, ' ')) AS gram FROM aug)
+         |  WHERE length(gram) BETWEEN 2 AND 24)
+         |SELECT a.w AS w1, b.w AS w2
+         |FROM vocab a JOIN vocab b
+         |  ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 1
+         |  AND levenshtein(a.w, b.w) <= 1
+         |ORDER BY w1, w2""".stripMargin,
     // Full BPE training + serving replay (BpeSql): 8 unrolled training
     // rounds over the vocabulary, delimited-string merge application,
     // corpus-wide token counts.

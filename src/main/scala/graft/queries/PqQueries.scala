@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.ops.Pq
+
+/** Registry entries for product quantization ([[graft.ops.Pq]]): trained
+  * micro-unit codebooks, corpus encoding, and exhaustive ADC top-k —
+  * each hash-checked against the unrolled [[PqSql]] DuckDB oracle.
+  *
+  * Shared parameters (Spark and oracle MUST agree): m=16 subspaces of
+  * subDim=4 over the 64-dim embeddings, k=32 cells per subspace (16×5-bit
+  * codes ≈ 10 bytes/vector — a 25× smaller scan than the float rows),
+  * 3 Lloyd iterations, queries = vec_id < 10, top-5. The synthetic
+  * corpus is UNIFORM random — PQ's adversarial case (no cluster
+  * structure to exploit; distances concentrate) — and still recalls
+  * ~half of the exact top-5 (floor asserted in PqSpec); clustered real
+  * embeddings sit far above that. */
+object PqQueries {
+
+  private val M = 16
+  private val K = 32
+  private val Iters = 3
+  private val SubDim = 4 // 64-dim embeddings / M
+  private val TopK = 5
+
+  private def books(spark: SparkSession, dir: String) = {
+    val emb = T.t(spark, dir, "embeddings")
+    Pq.trainPqCodebooksMicro(T.par(spark, emb), m = M, k = K, iters = Iters)
+  }
+
+  /** Trained PQ codes of the whole corpus, flattened to (vec_id, sub,
+    * code) scalar rows — training and encoding both oracle-replayed. */
+  def embPqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    Pq.encodeFlat(emb, books(spark, dir))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
+  /** Exhaustive ADC top-5 for the 10-query panel over the PQ-encoded
+    * corpus — the "PQ flat" index, 32-64× less scan bandwidth than the
+    * float brute force it approximates (recall vs brute asserted in
+    * PqSpec). */
+  def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    Pq.pqTopKWith(emb.filter(col("vec_id") < 10), T.par(spark, emb),
+        books(spark, dir), topK = TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-PQ (Faiss IVFADC): micro-trained IVF cells (k=10, the
+    * `sim_ivf_trained_topk` quantizer) restrict candidates to 3 probed
+    * cells; PQ codes rank them by exact integer ADC. The oracle replays
+    * BOTH trainings (KmeansSql chain + prefixed PqSql chain) and the
+    * probe/rank serve path. */
+  def simIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    val par = T.par(spark, emb)
+    val cents = graft.ops.Similarity.trainIvfCentroidsMicro(par, k = 10, iters = 3)
+    Pq.ivfPqTopKWithMicro(emb.filter(col("vec_id") < 10), par,
+        cents, books(spark, dir), topK = TopK, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pq_encode" -> (embPqEncode _),
+    "sim_pq_topk" -> (simPqTopk _),
+    "sim_ivfpq_topk" -> (simIvfPqTopk _),
+  )
+
+  private val srcCte =
+    """src AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+      |        FROM embeddings)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "emb_pq_encode" ->
+      s"""WITH $srcCte,
+         |${PqSql.trainCtes(k = K, iters = Iters, m = M, subDim = SubDim)}
+         |SELECT vid AS vec_id, CAST(sub AS INTEGER) AS sub,
+         |  CAST(code AS BIGINT) AS code
+         |FROM enc ORDER BY vec_id, sub""".stripMargin,
+    "sim_pq_topk" ->
+      s"""WITH $srcCte,
+         |${PqSql.trainCtes(k = K, iters = Iters, m = M, subDim = SubDim)},
+         |${PqSql.adcTopKSql(iters = Iters, qPred = "qm.vid < 10", topK = TopK)}"""
+        .stripMargin,
+    "sim_ivfpq_topk" ->
+      s"""WITH $srcCte,
+         |${KmeansSql.trainCtes("src", "TRUE", k = 10, iters = 3, dim = 64)},
+         |cent AS (SELECT cell, cm FROM c3),
+         |assign AS (${KmeansSql.assignSql("src", "cent")}),
+         |probes AS (SELECT vid AS qid, cell FROM (
+         |    SELECT s.vid, c.cell,
+         |      row_number() OVER (PARTITION BY s.vid
+         |        ORDER BY ${KmeansSql.cosMicro("s.v", "c.cm")} DESC, c.cell) AS rn
+         |    FROM src s CROSS JOIN cent c WHERE s.vid < 10) WHERE rn <= 3),
+         |cand AS (SELECT p.qid, a.vid AS nid
+         |  FROM probes p JOIN assign a USING (cell)
+         |  WHERE a.vid <> p.qid),
+         |${PqSql.trainCtes(k = K, iters = Iters, m = M, subDim = SubDim,
+             prefix = "p")},
+         |${PqSql.adcTopKSql(iters = Iters, qPred = "qm.vid < 10", topK = TopK,
+             prefix = "p",
+             candJoin = "JOIN cand ON cand.qid = qm.vid AND cand.nid = e.vid")}"""
+        .stripMargin,
+  )
+}

@@ -230,4 +230,41 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 4 has no bigrams but still gets a row
     assert(out(4L) == (0L, 0L))
   }
+
+  test("fuzzyVocabPairs: exact edit-distance-1 pairs, no cross product") {
+    import spark.implicits._
+    val docs = Seq(
+      "kitten sleeps", "kiten sleeps",   // deletion typo of kitten
+      "mitten purrs",                    // substitution neighbor of kitten
+      "dog barks", "dogs bark",          // insertion neighbor
+      "xa ay zz").toDF("text")           // xa/ay share deletion variant "a"
+                                         // but are distance 2 — must NOT pair
+    val got = TextAnalysis.fuzzyVocabPairs(docs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = Set(
+      ("kiten", "kitten"), ("kitten", "mitten"),
+      ("bark", "barks"), ("dog", "dogs"))
+    assert(got == want, s"got $got")
+    assert(!got.contains(("xa", "ay")) && !got.contains(("ay", "xa")))
+    val plan = TextAnalysis.fuzzyVocabPairs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must stay an equi-join on deletion variants:\n$plan")
+  }
+
+  test("fuzzyVocabPairs agrees with brute-force levenshtein on a real slice") {
+    val docs = graft.T.t(spark, "/root/testdata/sf0.001", "documents")
+      .limit(100)
+    val vocab = docs
+      .select(explode(split(Dedup.normalize(col("text")), " ")).as("w"))
+      .filter(length(col("w")).between(2, 24)).distinct()
+    val brute = vocab.as("a").crossJoin(vocab.as("b"))
+      .filter(col("a.w") < col("b.w") &&
+        levenshtein(col("a.w"), col("b.w")) <= 1)
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+    val fast = TextAnalysis.fuzzyVocabPairs(docs)
+    assert(fast.except(brute).isEmpty && brute.except(fast).isEmpty,
+      "FastSS must return exactly the brute-force pair set")
+  }
 }
