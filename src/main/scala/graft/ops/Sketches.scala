@@ -49,4 +49,121 @@ object Sketches {
     * Karp et al. counting, one pass, no shuffle of raw values. */
   def heavyHitters(df: DataFrame, cols: Seq[String], support: Double = 0.01): DataFrame =
     df.stat.freqItems(cols.toArray, support)
+
+  // ---------------------------------------------------------------------
+  // Engine-portable HLL (Flajolet et al. 2007 HyperLogLog): unlike the
+  // built-in approx_count_distinct above (whose HLL++ buffers are a Spark
+  // implementation detail), every step here is md5 + integer arithmetic,
+  // so registers AND estimate replay bit-identically in any SQL engine —
+  // this is what upgraded the sketch query from rows-only to a full
+  // DuckDB-oracle hash check.
+  // ---------------------------------------------------------------------
+
+  /** Register width: 2^b registers; the 60-bit md5 hash splits into a
+    * b-bit bucket and a (60-b)-bit tail whose leading-zero rank feeds the
+    * register. b=8 → rsd ≈ 1.04/√256 ≈ 6.5%. */
+  val HllB = 8
+
+  private val HllSeed = 77
+
+  /** Per-group HLL registers: (group..., bucket, max_rank). THIS relation
+    * is the sketch — fixed size (≤ 2^b rows/group), one pass, and
+    * mergeable by `max` per bucket (associative/commutative/idempotent),
+    * so partial sketches from shards/snapshots union+re-max into the
+    * sketch of the union corpus without touching raw values. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      b: Int = HllB): DataFrame = {
+    val wBits = 60 - b
+    val wDiv = 1L << wBits
+    val rankMax = wBits + 1
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        Dedup.hashStr(col(valueCol).cast("string"), HllSeed).as("__h"): _*)
+      .withColumn("__bucket", expr(s"__h div $wDiv"))
+      .withColumn("__w", pmod(col("__h"), lit(wDiv)))
+      // rank = leading zeros of the wBits-wide tail + 1 = rankMax − bitlen;
+      // bin() has no leading zeros in Spark OR DuckDB, so bitlen is its
+      // length (w=0 → rank = rankMax, the all-zeros tail)
+      .withColumn("__rank", when(col("__w") === 0, lit(rankMax))
+        .otherwise(lit(rankMax) - length(bin(col("__w")))))
+      .groupBy(groupCols.map(col) :+ col("__bucket").as("bucket"): _*)
+      .agg(max(col("__rank")).as("max_rank"))
+  }
+
+  /** HLL estimate from the registers, in EXACT integer micro-units: the
+    * raw harmonic-mean estimator α·m²/Z with Z scaled by 2^rankMax so
+    * every 2^−M_j term is an exact integer, α as the exact rational
+    * 7213·m/(10·(1000m+1079)) (the standard α_m constant for m ≥ 128),
+    * and ONE integral division at the end — floor semantics agree across
+    * engines on the non-negative operands. No logs, no floats: the
+    * estimate itself hash-matches the oracle.
+    *
+    * This is the RAW estimator: below ~2.5m true distinct it biases high
+    * (the regime classical HLL patches with linear counting, which needs
+    * a log — not integer-exact); the spec pins the error envelope in the
+    * sketch's working range instead. */
+  def hllCardinality(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      b: Int = HllB): DataFrame = {
+    val m = 1 << b
+    val rankMax = 60 - b + 1
+    // est_micro = floor(10⁶·αNum·m²·2^rankMax / (αDen·Zs)),
+    // Zs = Σ_buckets 2^(rankMax − M_j)  (empty buckets: M_j = 0)
+    val alphaNum = BigInt(7213) * m
+    val alphaDen = BigInt(10) * (BigInt(1000) * m + 1079)
+    val numerator = BigInt(10).pow(6) * alphaNum * m * m * (BigInt(1) << rankMax)
+    hllRegisters(df, groupCols, valueCol, b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $rankMax - max_rank) " +
+          "AS DECIMAL(38,0))")).as("__znon"),
+        count(lit(1)).as("__nreg"))
+      .withColumn("__zs", col("__znon") +
+        (lit(m) - col("__nreg")).cast("decimal(38,0)") *
+          lit((BigInt(1) << rankMax).toLong).cast("decimal(38,0)"))
+      .withColumn("approx_distinct_micro",
+        expr(s"CAST($numerator AS DECIMAL(38,0)) div " +
+          s"(CAST($alphaDen AS DECIMAL(38,0)) * __zs)"))
+      .drop("__znon", "__nreg", "__zs")
+  }
+
+  /** [[hllCardinality]] alongside the exact distinct count (accuracy
+    * dashboards; the exact side is what the sketch avoids at scale). */
+  def hllCardinalityWithExact(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, b: Int = HllB): DataFrame =
+    hllCardinality(df, groupCols, valueCol, b)
+      .join(df.groupBy(groupCols.map(col): _*)
+        .agg(countDistinct(col(valueCol)).as("exact_distinct")),
+        groupCols)
+
+  /** DuckDB mirror of [[hllCardinalityWithExact]] (kept adjacent so the
+    * two dialects share constants): `groupCol` and `valueExpr` over
+    * `table`, same seed/b/α rationals, same single integral division. */
+  def hllCardinalitySql(table: String, groupCol: String, valueExpr: String,
+      b: Int = HllB): String = {
+    val m = 1 << b
+    val wDiv = 1L << (60 - b)
+    val rankMax = 60 - b + 1
+    val alphaNum = BigInt(7213) * m
+    val alphaDen = BigInt(10) * (BigInt(1000) * m + 1079)
+    val numerator = BigInt(10).pow(6) * alphaNum * m * m * (BigInt(1) << rankMax)
+    s"""WITH hsrc AS (SELECT $groupCol AS g,
+       |    CAST('0x' || substring(md5('$HllSeed|' || CAST($valueExpr AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS h
+       |  FROM $table WHERE $valueExpr IS NOT NULL),
+       |regs AS (SELECT g, h // $wDiv AS bucket,
+       |    max(CASE WHEN h % $wDiv = 0 THEN $rankMax
+       |        ELSE $rankMax - length(bin(h % $wDiv)) END) AS max_rank
+       |  FROM hsrc GROUP BY 1, 2),
+       |zs AS (SELECT g,
+       |    sum(CAST((CAST(1 AS BIGINT) << ($rankMax - max_rank)) AS HUGEINT)) +
+       |    ($m - count(*)) * CAST((CAST(1 AS BIGINT) << $rankMax) AS HUGEINT) AS zs
+       |  FROM regs GROUP BY 1),
+       |ex AS (SELECT $groupCol AS g, count(DISTINCT $valueExpr) AS exact_distinct
+       |  FROM $table WHERE $valueExpr IS NOT NULL GROUP BY 1)
+       |SELECT z.g AS $groupCol,
+       |  CAST($numerator // ($alphaDen * z.zs) AS BIGINT) AS approx_distinct_micro,
+       |  ex.exact_distinct
+       |FROM zs z JOIN ex ON ex.g = z.g
+       |ORDER BY 1""".stripMargin
+  }
 }

@@ -315,8 +315,14 @@ object LlmQueries {
   /** HLL++ cardinality sketch vs exact distinct — rows-only driver check
     * (sketch estimates aren't reproducible across engines); the ≤rsd error
     * bound is asserted in SketchesSpec. */
+  /** Per-event-type distinct-user sketch via the ENGINE-PORTABLE HLL
+    * ([[graft.ops.Sketches.hllRegisters]]): md5 registers + pure-integer
+    * harmonic estimate, so the approximation itself hash-matches the
+    * DuckDB oracle — the query that was rows-only while it used Spark's
+    * opaque HLL++ buffers. Exact count rides along for the accuracy
+    * contract (relative error pinned in SketchesSpec). */
   def sketchCardinality(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Sketches.cardinalityWithExact(
+    graft.ops.Sketches.hllCardinalityWithExact(
       T.events(spark, dir), Seq("event_type"), "user_id")
       .orderBy(col("event_type"))
 
@@ -694,6 +700,11 @@ object LlmQueries {
          |ORDER BY corpus_id, probe_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Engine-portable HLL replay: same md5 registers, same exact-rational
+    // α, same single integral division (Sketches.hllCardinalitySql keeps
+    // the constants in one place).
+    "sketch_cardinality" ->
+      graft.ops.Sketches.hllCardinalitySql("events", "event_type", "user_id"),
     "dedup_cc_clusters" ->
       s"""WITH RECURSIVE bkt AS (
          |  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bkt

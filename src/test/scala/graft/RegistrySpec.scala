@@ -4,8 +4,7 @@ package graft
   * that return rows; a data-dependent predicate drifting to an empty result
   * would "pass" while testing nothing. Every registered query must return
   * rows at the smallest scale factor, and the oracle map must track the
-  * registry exactly (modulo the documented rows-only set below — currently
-  * one entry). */
+  * registry exactly — since round 7 there is NO rows-only query left. */
 class RegistrySpec extends SparkSpec {
 
   val dir = "/root/testdata/sf0.001"
@@ -18,17 +17,15 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("oracle SQL tracks the query registry") {
-    // rows-only by design: sketch ESTIMATES aren't engine-portable (the
-    // one genuinely probabilistic output; its error bound is asserted in
-    // SketchesSpec). Everything trained — k-means and BPE included — is
-    // oracle-checked trajectory-and-all as of round 7.
-    val rowsOnly = Set("sketch_cardinality")
+    // The rows-only set is EMPTY as of round 7: the last holdout
+    // (sketch_cardinality) switched to the engine-portable HLL — md5
+    // registers + pure-integer harmonic estimate — so even the
+    // probabilistic sketch hash-matches its DuckDB replay. Everything
+    // trained (k-means, BPE) is oracle-checked trajectory-and-all.
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == rowsOnly,
-      s"queries without an oracle beyond the documented rows-only set: " +
-        s"${missing -- rowsOnly}")
+    assert(missing.isEmpty, s"queries without an oracle: $missing")
   }
 
   test("flagship entry returns rows") {

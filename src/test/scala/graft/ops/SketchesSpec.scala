@@ -25,6 +25,58 @@ class SketchesSpec extends SparkSpec {
     assert(run(ev) == run(ev.repartition(13)))
   }
 
+  test("portable hll estimate is within its rsd envelope in-regime") {
+    // m=256 ⇒ rsd ≈ 1.04/√256 ≈ 6.5%; the raw estimator's regime is
+    // n ≥ 2.5m = 640 — at sf0.1 every group holds 1500 distinct users,
+    // so pin a 3-sigma-ish envelope there
+    val ev = graft.T.events(spark, "/root/testdata/sf0.1")
+    val rows = Sketches.hllCardinalityWithExact(ev, Seq("event_type"), "user_id")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1) / 1e6
+      val exact = r.getLong(2)
+      val err = math.abs(approx - exact) / exact
+      assert(err < 0.20, s"${r.getString(0)}: approx=$approx exact=$exact err=$err")
+    }
+  }
+
+  test("portable hll below-regime bias is upward and bounded (documented)") {
+    // below 2.5m the RAW estimator biases HIGH — the regime classical HLL
+    // patches with linear counting, whose ln() is not integer-portable;
+    // we keep the raw estimator (oracle-exact) and pin the bias shape
+    val ev = graft.T.events(spark, "/root/testdata/sf0.01") // 150 < 640
+    Sketches.hllCardinalityWithExact(ev, Seq("event_type"), "user_id")
+      .collect().foreach { r =>
+        val approx = r.getLong(1) / 1e6
+        val exact = r.getLong(2).toDouble
+        assert(approx >= exact * 0.8 && approx <= exact * 3.0,
+          s"${r.getString(0)}: approx=$approx exact=$exact")
+      }
+  }
+
+  test("portable hll registers merge by max: union corpus == merged shards") {
+    val ev = graft.T.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("user_id"))
+    val whole = Sketches.hllRegisters(ev, Seq("event_type"), "user_id")
+    val shardA = ev.filter(col("user_id") % 2 === 0)
+    val shardB = ev.filter(col("user_id") % 2 =!= 0)
+    val merged = Sketches.hllRegisters(shardA, Seq("event_type"), "user_id")
+      .unionByName(Sketches.hllRegisters(shardB, Seq("event_type"), "user_id"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("max_rank")).as("max_rank"))
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty,
+      "per-bucket max must merge shard sketches into the union's sketch")
+  }
+
+  test("portable hll is partition-invariant (exact integer pipeline)") {
+    val ev = graft.T.events(spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllCardinality(df, Seq("event_type"), "user_id")
+        .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(run(ev) == run(ev.repartition(13)))
+  }
+
   test("approx quantiles bracket the exact percentiles in rank") {
     val ev = graft.T.events(spark, "/root/testdata/sf0.01")
     val approx = Sketches.quantiles(ev, Seq.empty, "value", Seq(0.5, 0.9))
