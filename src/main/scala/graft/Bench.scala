@@ -44,7 +44,13 @@ object Bench {
     val results = (SparkEntry.queries.toSeq ++ BenchSkew.scenarios.toSeq)
       .sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+      .zipWithIndex.map { case ((name, fn), i) =>
+      // Broadcast / localCheckpoint blocks from finished queries are
+      // reclaimed lazily by the ContextCleaner (it reacts to driver GC);
+      // over a 130+-query run the backlog distorts later queries' times
+      // (observed: a 2 s query reading 12 s late in the run). A periodic
+      // explicit GC, OUTSIDE the timed window, keeps attribution honest.
+      if (i % 25 == 0 && i > 0) System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -108,7 +114,8 @@ object Bench {
     // the now-oracle-checked clustering queries
     "skew_minhash_hot_bucket", "skew_overlap_hot_bucket",
     "skew_salted_hot_key", "text_cluster_assign", "artifact_train_serve",
-    // round-7 additions: product quantization (trained codes + ADC top-k)
-    // and the FastSS fuzzy vocabulary join
-    "emb_pq_encode", "sim_pq_topk", "sim_ivfpq_topk", "text_fuzzy_pairs")
+    // round-7 additions: product quantization (trained codes + ADC top-k),
+    // the FastSS fuzzy vocabulary join, and the portable-CMS heavy hitters
+    "emb_pq_encode", "sim_pq_topk", "sim_ivfpq_topk", "text_fuzzy_pairs",
+    "sketch_heavy_hitters")
 }

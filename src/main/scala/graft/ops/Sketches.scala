@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * are fixed-size, one-pass, map-side-combinable — the only shuffle payload
   * is a few-KB buffer per group, independent of data volume.
   *
-  * Determinism note: the estimates are deterministic for a given input
-  * *set* (HLL++ and GK summaries are order-insensitive for the merge
-  * parameters Spark uses), but not reproducible across engines — so these
-  * register as rows-only driver checks; exactness bounds are asserted in
-  * SketchesSpec against exact aggregates (rsd / quantile-rank error).
+  * Determinism note: the built-in sketches below (approx_count_distinct,
+  * approx_percentile, freqItems) are deterministic for a given input
+  * *set* but not reproducible across engines; their accuracy bounds are
+  * asserted in SketchesSpec against exact aggregates. The engine-portable
+  * HLL and Count-Min sections further down trade the built-ins' tuned
+  * buffers for md5 + pure-integer arithmetic, making the estimates
+  * themselves bit-identical across engines — those power the
+  * DuckDB-oracle-checked registry queries.
   */
 object Sketches {
 
@@ -165,5 +168,107 @@ object Sketches {
        |  ex.exact_distinct
        |FROM zs z JOIN ex ON ex.g = z.g
        |ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Engine-portable Count-Min sketch (Cormode & Muthukrishnan 2005):
+  // d md5-hash rows × 2^wBits integer counters. Like the portable HLL
+  // above, every step is md5 + integer arithmetic, so the counter
+  // relation AND the point estimates replay bit-identically in any SQL
+  // engine. The counter relation is the sketch: ≤ d·2^wBits rows no
+  // matter the input size, built in one pass with map-side combine, and
+  // mergeable across shards/snapshots by per-cell SUM (the estimate of a
+  // union corpus = estimates from summed counters).
+  // ---------------------------------------------------------------------
+
+  /** Hash rows (d): estimate = min over d independent hashings; error
+    * probability decays as (1/2)^d for the standard ε=e/w bound. */
+  val CmsD = 4
+
+  /** Counter-array width: 2^wBits counters per hash row. Overcount of a
+    * probe is ≤ e·N/2^wBits with prob 1−(1/e)^d (N = input rows). */
+  val CmsWBits = 10
+
+  private val CmsSeed = 91
+
+  /** Per-cell counters: (hash_row, bucket, cnt). One explode to d cells
+    * per input row, one groupBy — the only shuffle payload is the
+    * fixed-size cell key space, independent of input volume. */
+  def cmsCounters(df: DataFrame, valueCol: String,
+      d: Int = CmsD, wBits: Int = CmsWBits): DataFrame = {
+    val w = 1L << wBits
+    val cells = (0 until d).map { i =>
+      struct(lit(i).as("r"),
+        pmod(Dedup.hashStr(col(valueCol).cast("string"), CmsSeed + i), lit(w)).as("b"))
+    }
+    df.filter(col(valueCol).isNotNull)
+      .select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.r").as("hash_row"), col("c.b").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for the distinct values of `probes(valueCol)`:
+    * min over the d counters each value hashes to (missing cell → 0).
+    * The counter side is fixed-size, so it broadcasts — probing is a
+    * map-only pass over arbitrarily many probe values. Estimates are
+    * deterministic one-sided overcounts: cms_estimate ≥ true count. */
+  def cmsEstimates(counters: DataFrame, probes: DataFrame, valueCol: String,
+      d: Int = CmsD, wBits: Int = CmsWBits): DataFrame = {
+    val w = 1L << wBits
+    val cells = (0 until d).map { i =>
+      struct(lit(i).as("r"),
+        pmod(Dedup.hashStr(col(valueCol).cast("string"), CmsSeed + i), lit(w)).as("b"))
+    }
+    probes.select(col(valueCol)).distinct()
+      .select(col(valueCol), explode(array(cells: _*)).as("c"))
+      .join(broadcast(counters),
+        col("c.r") === col("hash_row") && col("c.b") === col("bucket"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+  }
+
+  /** Heavy hitters by sketch: CMS estimates for every distinct value,
+    * exact count alongside (the accuracy contract: estimate ≥ exact,
+    * overcount bounded in SketchesSpec), top `k` by estimate. At scale
+    * the exact side is what the sketch replaces; it rides along here as
+    * the per-row accuracy witness, same as [[hllCardinalityWithExact]]. */
+  def cmsHeavyHitters(df: DataFrame, valueCol: String, k: Int,
+      d: Int = CmsD, wBits: Int = CmsWBits): DataFrame = {
+    val src = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as(valueCol))
+    val counters = cmsCounters(src, valueCol, d, wBits)
+    cmsEstimates(counters, src, valueCol, d, wBits)
+      .join(src.groupBy(col(valueCol)).agg(count(lit(1)).as("exact_cnt")), valueCol)
+      .orderBy(col("cms_estimate").desc, col(valueCol))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[cmsHeavyHitters]] (adjacent so both dialects
+    * share the d/w/seed constants and the min-over-rows estimator). */
+  def cmsHeavyHittersSql(table: String, valueExpr: String, k: Int,
+      d: Int = CmsD, wBits: Int = CmsWBits): String = {
+    val w = 1L << wBits
+    s"""WITH src AS (SELECT CAST($valueExpr AS VARCHAR) AS v
+       |  FROM $table WHERE $valueExpr IS NOT NULL),
+       |cells AS (SELECT
+       |    r.i AS hash_row,
+       |    CAST('0x' || substring(md5(($CmsSeed + r.i) || '|' || v), 1, 15)
+       |      AS BIGINT) % $w AS bucket
+       |  FROM src CROSS JOIN range($d) r(i)),
+       |counters AS (SELECT hash_row, bucket, count(*) AS cnt
+       |  FROM cells GROUP BY 1, 2),
+       |probes AS (SELECT DISTINCT v FROM src),
+       |pcells AS (SELECT v, r.i AS hash_row,
+       |    CAST('0x' || substring(md5(($CmsSeed + r.i) || '|' || v), 1, 15)
+       |      AS BIGINT) % $w AS bucket
+       |  FROM probes CROSS JOIN range($d) r(i)),
+       |est AS (SELECT v, min(coalesce(c.cnt, 0)) AS cms_estimate
+       |  FROM pcells p LEFT JOIN counters c USING (hash_row, bucket)
+       |  GROUP BY 1),
+       |ex AS (SELECT v, count(*) AS exact_cnt FROM src GROUP BY 1)
+       |SELECT est.v AS $valueExpr, est.cms_estimate, ex.exact_cnt
+       |FROM est JOIN ex USING (v)
+       |ORDER BY est.cms_estimate DESC, est.v
+       |LIMIT $k""".stripMargin
   }
 }

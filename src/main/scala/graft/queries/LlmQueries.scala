@@ -326,6 +326,14 @@ object LlmQueries {
       T.events(spark, dir), Seq("event_type"), "user_id")
       .orderBy(col("event_type"))
 
+  /** Heavy hitters by engine-portable Count-Min sketch
+    * ([[graft.ops.Sketches.cmsCounters]]): md5 hash rows + integer
+    * counters, so the one-sided overcounting estimates themselves
+    * hash-match the DuckDB oracle. Exact count rides along as the
+    * per-row accuracy witness (overcount bound pinned in SketchesSpec). */
+  def sketchHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.cmsHeavyHitters(T.events(spark, dir), "user_id", 50)
+
   /** Gap-based sessionization over the events stream table (30-min gap). */
   def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sessions.summarize(T.events(spark, dir), "user_id", "ts", 1800)
@@ -567,6 +575,7 @@ object LlmQueries {
     "sample_stratified" -> (sampleStratified _),
     "text_pii_redact" -> (textPiiRedact _),
     "sketch_cardinality" -> (sketchCardinality _),
+    "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "curation_pipeline" -> (curationPipeline _),
     "text_profile" -> (textProfile _),
     "text_lang_confusion" -> (textLangConfusion _),
@@ -705,6 +714,11 @@ object LlmQueries {
     // the constants in one place).
     "sketch_cardinality" ->
       graft.ops.Sketches.hllCardinalitySql("events", "event_type", "user_id"),
+    // Engine-portable CMS replay: same per-row md5 hashing, same counter
+    // cells, same min-over-rows estimate (constants shared in
+    // Sketches.cmsHeavyHittersSql).
+    "sketch_heavy_hitters" ->
+      graft.ops.Sketches.cmsHeavyHittersSql("events", "user_id", 50),
     "dedup_cc_clusters" ->
       s"""WITH RECURSIVE bkt AS (
          |  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bkt

@@ -99,4 +99,44 @@ class SketchesSpec extends SparkSpec {
       .head().getString(0)
     assert(freq.contains(top))
   }
+
+  test("cms estimates are one-sided overcounts with bounded error") {
+    val ev = graft.T.events(spark, "/root/testdata/sf0.01")
+    val n = ev.filter(col("user_id").isNotNull).count()
+    val rows = Sketches.cmsHeavyHitters(ev, "user_id", 50).collect()
+    assert(rows.length == 50)
+    // CM guarantee: exact ≤ estimate ≤ exact + e·N/w with prob 1−(1/e)^d;
+    // pin the deterministic lower bound row-by-row and a generous
+    // multiple of the expected-overcount bound (N/w per row in
+    // expectation, d-row min far below it)
+    val w = 1L << Sketches.CmsWBits
+    rows.foreach { r =>
+      val est = r.getLong(1)
+      val exact = r.getLong(2)
+      assert(est >= exact, s"${r.getString(0)}: est=$est < exact=$exact")
+      assert(est - exact <= math.max(4L, 3L * n / w),
+        s"${r.getString(0)}: overcount ${est - exact} beyond bound")
+    }
+  }
+
+  test("cms counters merge by sum: union corpus == merged shards") {
+    val ev = graft.T.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"))
+    val whole = Sketches.cmsCounters(ev, "user_id")
+    val merged = Sketches.cmsCounters(ev.filter(col("user_id") % 2 === 0), "user_id")
+      .unionByName(Sketches.cmsCounters(ev.filter(col("user_id") % 2 =!= 0), "user_id"))
+      .groupBy(col("hash_row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty,
+      "per-cell sum must merge shard counters into the union's counters")
+  }
+
+  test("cms is partition-invariant and probes-from-anywhere consistent") {
+    val ev = graft.T.events(spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsHeavyHitters(df, "user_id", 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(ev) == run(ev.repartition(13)))
+  }
 }
