@@ -271,4 +271,102 @@ object Sketches {
        |ORDER BY est.cms_estimate DESC, est.v
        |LIMIT $k""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // Engine-portable quantile sketch: a log-binned histogram in the style
+  // of HdrHistogram (Gil Tene) / DDSketch (Masson, Lee & Pham, VLDB'19) —
+  // each power-of-two octave of the micro-unit value axis splits into 16
+  // linear sub-bins, so any positive value lands in a bin whose width is
+  // ≤ 1/16 of its magnitude (≤ 6.25% relative error) while the whole
+  // 63-bit range needs ≤ 16·63 ≈ 1000 bins. Completes the portable-sketch
+  // triad (HLL cardinality, CMS frequency, histogram quantiles): bin
+  // assignment is bit arithmetic on integers, the histogram merges by
+  // per-bin SUM, and quantile extraction is integer rank comparison — so
+  // estimates replay bit-identically in any SQL engine.
+  // ---------------------------------------------------------------------
+
+  /** Sub-bins per octave (16): bin width ≤ 2^(blen−5) for a blen-bit
+    * value, i.e. ≤ 1/16 of the bin's lower bound. */
+  val QSubBins = 16
+
+  /** Log-binned histogram of `floor(valueCol·10⁶)` per group:
+    * (group…, bin, cnt). Values < 16 micro-units get exact unit bins
+    * (ids 1..15); non-positive values pool in bin 0; a blen-bit value
+    * (blen ≥ 5) maps to bin 16·blen + top-4-bits-after-the-leading-one.
+    * Bin ids increase with value, so rank order is preserved. One pass,
+    * map-side combinable, ≤ ~1000 bins per group at any data volume. */
+  def histRegisters(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        floor(col(valueCol).cast("double") * lit(1000000.0)).cast("long").as("__x"): _*)
+      .withColumn("__blen", length(bin(col("__x"))))
+      .withColumn("bin",
+        when(col("__x") <= 0, lit(0L))
+          .when(col("__x") < 16, col("__x"))
+          .otherwise(lit(QSubBins.toLong) * col("__blen") +
+            expr("shiftright(__x, __blen - 5)") - 16L))
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Lower bound of a histogram bin in micro units — the quantile
+    * estimate reported for any rank landing in the bin (one-sided
+    * underestimate, ≥ value/(1+1/16)). */
+  private def binLo(bin: Column): Column =
+    // `div`, not `/`+CAST: float division CASTs truncate in Spark but
+    // round in DuckDB — integer division agrees everywhere
+    when(bin < 16, bin)
+      .otherwise(expr(s"shiftleft(16 + bin % $QSubBins, CAST(bin div $QSubBins AS INT) - 5)")
+        .cast("long"))
+
+  /** p50/p90/p99 per group from the log-binned histogram, in exact
+    * integer arithmetic: rank target ceil(p·n) compared as
+    * cum·den ≥ num·n, first qualifying bin's lower bound reported.
+    * The cumulative count is a per-group window (never global). */
+  def histQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    histRegisters(df, groupCols, valueCol)
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__n", sum(col("cnt")).over(wAll))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        min(when(col("__cum") * 2 >= col("__n"), binLo(col("bin")))).as("p50_micro"),
+        min(when(col("__cum") * 10 >= col("__n") * 9, binLo(col("bin")))).as("p90_micro"),
+        min(when(col("__cum") * 100 >= col("__n") * 99, binLo(col("bin")))).as("p99_micro"),
+        sum(col("cnt")).as("n"))
+  }
+
+  /** DuckDB mirror of [[histQuantiles]] (adjacent so both dialects share
+    * the binning and rank arithmetic). */
+  def histQuantilesSql(table: String, groupCol: String,
+      valueExpr: String): String =
+    s"""WITH src AS (SELECT $groupCol AS g,
+       |    CAST(floor(CAST($valueExpr AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+       |  FROM $table WHERE $valueExpr IS NOT NULL),
+       |binned AS (SELECT g,
+       |    CASE WHEN x <= 0 THEN 0
+       |         WHEN x < 16 THEN x
+       |         ELSE $QSubBins * length(bin(x)) + (x >> (length(bin(x)) - 5)) - 16
+       |    END AS bin
+       |  FROM src),
+       |hist AS (SELECT g, bin, count(*) AS cnt FROM binned GROUP BY 1, 2),
+       |cums AS (SELECT g, bin, cnt,
+       |    sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+       |    sum(cnt) OVER (PARTITION BY g) AS n
+       |  FROM hist),
+       |los AS (SELECT g, cum, n,
+       |    CASE WHEN bin < 16 THEN bin
+       |         ELSE (16 + bin % $QSubBins) << ((bin // $QSubBins) - 5)
+       |    END AS lo
+       |  FROM cums)
+       |SELECT g AS $groupCol,
+       |  min(CASE WHEN cum * 2 >= n THEN lo END) AS p50_micro,
+       |  min(CASE WHEN cum * 10 >= n * 9 THEN lo END) AS p90_micro,
+       |  min(CASE WHEN cum * 100 >= n * 99 THEN lo END) AS p99_micro,
+       |  CAST(max(n) AS BIGINT) AS n
+       |FROM los GROUP BY 1
+       |ORDER BY 1""".stripMargin
 }

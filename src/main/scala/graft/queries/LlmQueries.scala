@@ -326,6 +326,15 @@ object LlmQueries {
       T.events(spark, dir), Seq("event_type"), "user_id")
       .orderBy(col("event_type"))
 
+  /** Value quantiles (p50/p90/p99) per event type by the engine-portable
+    * log-binned histogram ([[graft.ops.Sketches.histRegisters]]):
+    * HdrHistogram-style octave/sub-bin assignment in integer bit
+    * arithmetic, so the ≤6.25%-relative-error estimates hash-match the
+    * DuckDB replay (accuracy envelope pinned in SketchesSpec). */
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.histQuantiles(T.events(spark, dir), Seq("event_type"), "value")
+      .orderBy(col("event_type"))
+
   /** Heavy hitters by engine-portable Count-Min sketch
     * ([[graft.ops.Sketches.cmsCounters]]): md5 hash rows + integer
     * counters, so the one-sided overcounting estimates themselves
@@ -576,6 +585,7 @@ object LlmQueries {
     "text_pii_redact" -> (textPiiRedact _),
     "sketch_cardinality" -> (sketchCardinality _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
+    "sketch_quantiles" -> (sketchQuantiles _),
     "curation_pipeline" -> (curationPipeline _),
     "text_profile" -> (textProfile _),
     "text_lang_confusion" -> (textLangConfusion _),
@@ -719,6 +729,10 @@ object LlmQueries {
     // Sketches.cmsHeavyHittersSql).
     "sketch_heavy_hitters" ->
       graft.ops.Sketches.cmsHeavyHittersSql("events", "user_id", 50),
+    // Engine-portable histogram-quantile replay: same octave/sub-bin ids,
+    // same integer rank comparison (Sketches.histQuantilesSql).
+    "sketch_quantiles" ->
+      graft.ops.Sketches.histQuantilesSql("events", "event_type", "value"),
     "dedup_cc_clusters" ->
       s"""WITH RECURSIVE bkt AS (
          |  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bkt

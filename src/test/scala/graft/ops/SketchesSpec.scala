@@ -139,4 +139,55 @@ class SketchesSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(run(ev) == run(ev.repartition(13)))
   }
+
+  test("histogram quantiles are within the 1/16 relative-error envelope") {
+    val ev = graft.T.events(spark, "/root/testdata/sf0.01")
+    val est = Sketches.histQuantiles(ev, Seq("event_type"), "value")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    Seq(0.5 -> 0, 0.9 -> 1, 0.99 -> 2).foreach { case (p, slot) =>
+      ev.groupBy("event_type")
+        .agg(expr(s"percentile(value, $p)").as("exact"))
+        .collect().foreach { r =>
+          val exactMicro = r.getDouble(1) * 1e6
+          val lo = slot match {
+            case 0 => est(r.getString(0))._1
+            case 1 => est(r.getString(0))._2
+            case _ => est(r.getString(0))._3
+          }
+          // the estimate is a bin lower bound: value/(1+1/16) ≤ lo ≤ value
+          // (percentile() interpolates, so allow one bin width of slack)
+          assert(lo <= exactMicro * 1.07 && lo >= exactMicro / 1.15,
+            s"${r.getString(0)} p=$p: lo=$lo exact=$exactMicro")
+        }
+    }
+  }
+
+  test("histogram registers merge by sum: union corpus == merged shards") {
+    val ev = graft.T.events(spark, "/root/testdata/sf0.001")
+      .filter(col("value").isNotNull)
+    val whole = Sketches.histRegisters(ev, Seq("event_type"), "value")
+    val merged = Sketches.histRegisters(ev.filter(col("user_id") % 2 === 0),
+        Seq("event_type"), "value")
+      .unionByName(Sketches.histRegisters(ev.filter(col("user_id") % 2 =!= 0),
+        Seq("event_type"), "value"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty,
+      "per-bin sum must merge shard histograms into the union's histogram")
+  }
+
+  test("histogram bin count stays bounded regardless of value range") {
+    import spark.implicits._
+    val wide = Seq(0.000001, 0.5, 1.0, 3.14, 1e3, 1e6, 1e9, 5e11)
+      .flatMap(v => Seq.fill(4)(v)).toDF("value").withColumn("g", lit("all"))
+    val hist = Sketches.histRegisters(wide, Seq("g"), "value")
+    // 8 magnitudes over 18 decades → still one bin per distinct octave
+    // position, far under the 16·63 ceiling
+    assert(hist.count() <= 16 * 63)
+    // rank order preserved: bins increase with value
+    val bins = Sketches.histRegisters(
+      Seq(1.0, 2.0, 4.0, 8.0, 1e6).toDF("value").withColumn("g", lit("all")),
+      Seq("g"), "value").orderBy("bin").collect().map(_.getLong(1))
+    assert(bins.sorted.sameElements(bins))
+  }
 }
