@@ -397,6 +397,88 @@ object TextAnalysis {
         coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
   }
 
+  /** Trigram language-model score with interpolated backoff — the
+    * KenLM-shaped upgrade of [[bigramLmScore]]: per trigram,
+    * score = (4·P₃ + 2·P₂ + P₁) div 7 where each Pₖ is the
+    * Laplace-smoothed order-k conditional in exact integer micro-units
+    * (P₃ = unit·(c₃+1) div (ctx₂+V), P₂ over the (w2,w3) bigram,
+    * P₁ the unigram), and per document the floor mean over its
+    * trigrams. Fixed rational interpolation weights (4:2:1) replace
+    * KenLM's tuned floats — transcendental-free, so the score replays
+    * bit-exactly in any SQL engine. Rare trigrams back off smoothly:
+    * an unseen trigram of a common bigram still scores near
+    * 2/7·P₂-level rather than the unigram floor.
+    *
+    * Every count relation derives from ONE exploded trigram pass:
+    * c₃ by trigram (its prefix-context marginal by prefix sum),
+    * c₂₃ by the (w2,w3) suffix bigram (its w2 marginal by sum),
+    * c₁ by w3, with N = Σc₁ and V = |distinct w3| riding along as a
+    * broadcast one-row aggregate. Docs with < 3 words come back with
+    * n_trigrams = 0, lm3_micro = 0 via the left back-join.
+    *
+    * Scale shape: count relations are distinct-n-gram-sized (map-side
+    * combined; the trigram relation is the big one — at 100 TB it
+    * would persist between jobs via [[graft.sources.Artifacts]]-style
+    * parquet, exactly how KenLM materializes its count files); scoring
+    * is equi-joins of the per-doc trigram relation against the counts.
+    * Overflow envelope: every Pₖ ≤ unit, so the weighted sum ≤ 7·unit
+    * and `unit·(c+1)` holds to ~9·10¹² occurrences of one n-gram. */
+  def trigramLmScore(docs: DataFrame, unit: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tg = docs
+      .withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
+      .filter(size(col("__w")) >= 3)
+      .select(col(idCol).as("id"), explode(transform(
+        sequence(lit(0), size(col("__w")) - 3),
+        i => struct(
+          concat_ws(" ", element_at(col("__w"), i + 1),
+            element_at(col("__w"), i + 2),
+            element_at(col("__w"), i + 3)).as("t"),
+          concat_ws(" ", element_at(col("__w"), i + 1),
+            element_at(col("__w"), i + 2)).as("b12"),
+          concat_ws(" ", element_at(col("__w"), i + 2),
+            element_at(col("__w"), i + 3)).as("b23"),
+          element_at(col("__w"), i + 2).as("w2"),
+          element_at(col("__w"), i + 3).as("w3"))))
+        .as("__p"))
+      .select(col("id"), col("__p.t").as("t"), col("__p.b12").as("b12"),
+        col("__p.b23").as("b23"), col("__p.w2").as("w2"), col("__p.w3").as("w3"))
+    // one corpus pass trains every order's counts; the n-gram-keyed
+    // relations are checkpointed so marginals/V/N derive from the
+    // materialized counts, not a corpus re-explode per consumer
+    val c3 = tg.groupBy(col("t"), col("b12")).agg(count(lit(1)).as("c3"))
+      .localCheckpoint()
+    val ctx2 = c3.groupBy(col("b12")).agg(sum(col("c3")).as("ctx2"))
+    val c23 = tg.groupBy(col("b23"), col("w2")).agg(count(lit(1)).as("c23"))
+      .localCheckpoint()
+    val ctx1 = c23.groupBy(col("w2")).agg(sum(col("c23")).as("ctx1"))
+    val c1 = tg.groupBy(col("w3")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val nv = c1.agg(sum(col("c1")).as("__n"), count(lit(1)).as("__v"))
+    val dt = tg.groupBy(col("id"), col("t"), col("b12"), col("b23"),
+        col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n"))
+    val scored = dt
+      .join(c3.select(col("t"), col("c3")), Seq("t"))
+      .join(ctx2, Seq("b12"))
+      .join(c23.select(col("b23"), col("c23")), Seq("b23"))
+      .join(ctx1, Seq("w2"))
+      .join(c1, Seq("w3"))
+      .crossJoin(broadcast(nv))
+      .withColumn("__p3", expr(s"($unit * (c3 + 1)) div (ctx2 + __v)"))
+      .withColumn("__p2", expr(s"($unit * (c23 + 1)) div (ctx1 + __v)"))
+      .withColumn("__p1", expr(s"($unit * (c1 + 1)) div (__n + __v)"))
+      .withColumn("__s", expr("(4 * __p3 + 2 * __p2 + __p1) div 7"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_trigrams"),
+        expr("sum(n * __s) div sum(n)").as("lm3_micro"))
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("lm3_micro"), lit(0L)).as("lm3_micro"))
+  }
+
   /** Per-document top-k salient terms by tf·idf with a LINEAR idf
     * (idf = N/df, not ln(N/df)): ln() is transcendental and only
     * 1-ulp-accurate (Java Math.log vs a C libm disagree), while integer

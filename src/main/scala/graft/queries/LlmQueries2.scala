@@ -258,6 +258,12 @@ object LlmQueries2 {
     TextAnalysis.bigramLmScore(T.par(spark, T.t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** Trigram LM with interpolated backoff (4:2:1 rational weights,
+    * Laplace at every order, exact integer micro-units throughout). */
+  def textLmTrigram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.trigramLmScore(T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
   /** Chunk→doc mean pooling: 4 consecutive vec_ids pool to one pseudo-doc
     * vector, flattened to exact (group, idx, mean_micro, n) rows. */
   def embMeanPool(spark: SparkSession, dir: String): DataFrame =
@@ -299,6 +305,7 @@ object LlmQueries2 {
     "dedup_span_within" -> (dedupSpanWithin _),
     "artifact_train_serve" -> (artifactTrainServe _),
     "text_lm_bigram" -> (textLmBigram _),
+    "text_lm_trigram" -> (textLmTrigram _),
     "quality_pr_curve" -> (qualityPrCurve _),
     "quality_auc" -> (qualityAuc _),
     "text_hash_embedding" -> (textHashEmbedding _),
@@ -517,6 +524,49 @@ object LlmQueries2 {
          |      GROUP BY db.doc_id)
          |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
          |  CAST(coalesce(s.lm_micro, 0) AS BIGINT) AS lm_micro
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // Trigram replay: every count relation re-derived from the same
+    // exploded trigram pass; each order's Laplace conditional floored
+    // separately, then the 4:2:1 // 7 combine — all operands
+    // non-negative, so // (floor) and div (truncate) agree.
+    // (MATERIALIZED: the trigram relation feeds 7 consumers — inlined,
+    // DuckDB re-plans the explode per consumer and the gate runs >90 s;
+    // materialized it runs in ~0.1 s.)
+    "text_lm_trigram" ->
+      s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+         |           FROM documents),
+         |tg AS MATERIALIZED (SELECT doc_id,
+         |         ws[CAST(r.range + 1 AS INTEGER)] || ' ' ||
+         |           ws[CAST(r.range + 2 AS INTEGER)] || ' ' ||
+         |           ws[CAST(r.range + 3 AS INTEGER)] AS t,
+         |         ws[CAST(r.range + 1 AS INTEGER)] || ' ' ||
+         |           ws[CAST(r.range + 2 AS INTEGER)] AS b12,
+         |         ws[CAST(r.range + 2 AS INTEGER)] || ' ' ||
+         |           ws[CAST(r.range + 3 AS INTEGER)] AS b23,
+         |         ws[CAST(r.range + 2 AS INTEGER)] AS w2,
+         |         ws[CAST(r.range + 3 AS INTEGER)] AS w3
+         |       FROM w CROSS JOIN range(0, 100000) r
+         |       WHERE r.range <= len(ws) - 3),
+         |c3 AS (SELECT t, count(*) AS c3 FROM tg GROUP BY t),
+         |x2 AS (SELECT b12, count(*) AS ctx2 FROM tg GROUP BY b12),
+         |c23 AS (SELECT b23, count(*) AS c23 FROM tg GROUP BY b23),
+         |x1 AS (SELECT w2, count(*) AS ctx1 FROM tg GROUP BY w2),
+         |c1 AS (SELECT w3, count(*) AS c1 FROM tg GROUP BY w3),
+         |nv AS (SELECT count(*) AS n, count(DISTINCT w3) AS v FROM tg),
+         |dt AS (SELECT doc_id, t, b12, b23, w2, w3, count(*) AS n
+         |       FROM tg GROUP BY 1, 2, 3, 4, 5, 6),
+         |s AS (SELECT dt.doc_id, CAST(sum(dt.n) AS BIGINT) AS n_trigrams,
+         |        CAST(sum(dt.n * ((4 * ((1000000 * (c3.c3 + 1)) // (x2.ctx2 + nv.v))
+         |                        + 2 * ((1000000 * (c23.c23 + 1)) // (x1.ctx1 + nv.v))
+         |                        +     ((1000000 * (c1.c1 + 1)) // (nv.n + nv.v))) // 7))
+         |          // sum(dt.n) AS BIGINT) AS lm3_micro
+         |      FROM dt JOIN c3 USING (t) JOIN x2 USING (b12)
+         |           JOIN c23 USING (b23) JOIN x1 USING (w2) JOIN c1 USING (w3)
+         |           CROSS JOIN nv
+         |      GROUP BY dt.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         |  CAST(coalesce(s.lm3_micro, 0) AS BIGINT) AS lm3_micro
          |FROM documents d LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     // Mean pooling in exact micro-units; +1e9 offset keeps the dividend

@@ -231,6 +231,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == (0L, 0L))
   }
 
+  test("trigram LM with backoff: hand-computed interpolated micro-units") {
+    import spark.implicits._
+    // "a b c" occurs twice; next-word vocab V = {c, d, e}, N = 4 trigrams
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "a b c": p3 = 1e6·3 div (2+3) = 600000, p2("b c"|b) = 1e6·3 div
+    //   (2+3) = 600000, p1(c) = 1e6·3 div (4+3) = 428571
+    //   → (4·600000 + 2·600000 + 428571) div 7 = 575510
+    // "b c d": p3 = 1e6·2 div 5 = 400000, p2("c d"|c) = 400000,
+    //   p1(d) = 1e6·2 div 7 = 285714 → 2685714 div 7 = 383673
+    // doc mean: (575510 + 383673) div 2 = 479591
+    assert(out(1L) == (2L, 479591L), s"got ${out(1L)}")
+    assert(out(2L) == (2L, 479591L))
+    // < 3 words: zero trigrams but still a row
+    assert(out(3L) == (0L, 0L))
+    // backoff property: an unseen trigram whose suffix bigram is common
+    // outranks pure word soup — score via a probe doc scored against the
+    // SAME corpus (append and rescore)
+    val probe = docs.union(Seq((9L, "z b c")).toDF("doc_id", "text"))
+    val probed = TextAnalysis.trigramLmScore(probe).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(probed(9L) > 0L)
+  }
+
   test("fuzzyVocabPairs: exact edit-distance-1 pairs, no cross product") {
     import spark.implicits._
     val docs = Seq(
