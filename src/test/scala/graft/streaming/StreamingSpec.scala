@@ -203,6 +203,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows > 0)
   }
 
+  test("streaming sketches: HLL registers and CMS counters equal the batch sketch") {
+    // the portable sketches are plain groupBy aggregations (max / count),
+    // so the SAME builder runs unmodified on a stream — complete-mode
+    // output of a fixed-size relation. The streamed sketch must equal
+    // the batch sketch over the same data (order-insensitive merge).
+    val src = tmp("graft-sketchsrc")
+    graft.T.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+
+    val hllQ = graft.ops.Sketches.hllRegisters(stream, Seq("event_type"), "user_id")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out")
+      .option("checkpointLocation", tmp("graft-sketchck1"))
+      .trigger(Trigger.AvailableNow()).start()
+    hllQ.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM hll_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.ops.Sketches.hllRegisters(
+        spark.read.parquet(src), Seq("event_type"), "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch, "streamed HLL registers must equal batch registers")
+
+    val cmsQ = graft.ops.Sketches.cmsCounters(
+        stream.filter(col("user_id").isNotNull).select(col("user_id")), "user_id")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out")
+      .option("checkpointLocation", tmp("graft-sketchck2"))
+      .trigger(Trigger.AvailableNow()).start()
+    cmsQ.awaitTermination(120000)
+    val streamedCms = spark.sql("SELECT * FROM cms_out").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batchCms = graft.ops.Sketches.cmsCounters(
+        spark.read.parquet(src).filter(col("user_id").isNotNull)
+          .select(col("user_id")), "user_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamedCms == batchCms, "streamed CMS counters must equal batch counters")
+  }
+
   test("streaming report cadence over the events table (ST2 streaming form)") {
     val logDir = tmp("graft-logs3")
     val eventsPath = tmp("graft-events3") + "/events"
