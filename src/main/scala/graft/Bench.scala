@@ -22,6 +22,11 @@ object Bench {
       // 128 in-memory keys by default — far too conservative for small
       // per-key buffers; keep them hash-based.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // Static conf, default 100 entries: a 130+-query session generates
+      // thousands of whole-stage classes, so the janino cache churns and
+      // the best-of-2 "warm" pass re-compiles every plan from scratch.
+      // Sized to hold the whole registry's generated classes.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.adaptive.enabled", "true")
       // testdata parquet files are single-digit-MB; default 128 MB split
       // size scans each as ONE partition, serializing every query. At real

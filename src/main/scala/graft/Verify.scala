@@ -13,6 +13,8 @@ object Verify {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // default 100 entries churns across a 130+-query dump (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // collect_list aggs (report counters) fall back to sort-based after
       // 128 in-memory keys by default — far too conservative for small
       // per-key buffers; keep them hash-based.

@@ -148,6 +148,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
   }
 
+  test("cms probing broadcasts the fixed-size counter relation; top-k is a heap") {
+    val ev = T.events(spark, "/root/testdata/sf0.001")
+    val plan = graft.ops.Sketches.cmsHeavyHitters(ev, "user_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"counter relation must broadcast (it is sketch-sized by construction):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-task heaps, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
+  test("histogram quantiles: one aggregation over the bin relation, no cartesian") {
+    val ev = T.events(spark, "/root/testdata/sf0.001")
+    val plan = graft.ops.Sketches.histQuantiles(ev, Seq("event_type"), "value")
+      .queryExecution.executedPlan.toString
+    // the cumulative window is group-partitioned (the fleet-wide
+    // no-global-window test also covers the registry query); here pin
+    // the absence of joins entirely — the sketch is join-free
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("Join"), s"histogram quantiles must be join-free:\n$plan")
+  }
+
   test("regex tokenizer evaluates the parser pattern exactly once per row") {
     val q = graft.queries.ParityQueries.takuanSshPipeline(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
