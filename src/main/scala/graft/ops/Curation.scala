@@ -174,6 +174,30 @@ object Curation {
       .drop("__strata", "__t")
   }
 
+  /** Sketch-driven winsorization — the 100 TB form of [[clipAtQuantile]]:
+    * clip at the log-binned-histogram p99 ([[Sketches.histQuantiles]])
+    * instead of the exact rank. The exact form sorts every stratum
+    * (a Window pass over all rows); this form builds the fixed-size
+    * histogram in one map-side-combined pass and broadcasts the
+    * ≤|strata|-row threshold relation back — no per-row sort anywhere,
+    * at the cost of the sketch's ≤6.25% relative threshold error
+    * (one-sided: the bin lower bound, so it clips slightly MORE than
+    * exact p99). Null-safe on the stratum, same as [[clipAtQuantile]].
+    * Emits `<valueCol>_micro` and the clipped `<valueCol>_clipped_micro`
+    * (micro-units: the sketch's exact integer domain). */
+  def winsorizeBySketch(df: DataFrame, strataCol: String,
+      valueCol: String): DataFrame = {
+    val thresholds = graft.ops.Sketches
+      .histQuantiles(df, Seq(strataCol), valueCol)
+      .select(col(strataCol).as("__strata"), col("p99_micro"))
+    df.join(broadcast(thresholds), col(strataCol) <=> col("__strata"))
+      .withColumn(s"${valueCol}_micro",
+        floor(col(valueCol).cast("double") * lit(1000000.0)).cast("long"))
+      .withColumn(s"${valueCol}_clipped_micro",
+        least(col(s"${valueCol}_micro"), col("p99_micro")))
+      .drop("__strata", "p99_micro")
+  }
+
   def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
       cap: Int, salt: String = "cap"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -457,6 +457,18 @@ object LlmQueries {
         col("n_tokens_clipped"))
       .orderBy(col("doc_id"))
 
+  /** Sketch-driven winsorization over the events stream: clip value at
+    * the per-event-type log-binned-histogram p99 — the one-pass,
+    * sort-free scale form of `sample_winsorize` (which is exact-rank).
+    * The sketch threshold replays bit-exactly, so even the approximate
+    * path is hash-oracle-checked. */
+  def sketchWinsorize(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.winsorizeBySketch(
+      T.events(spark, dir), strataCol = "event_type", valueCol = "value")
+      .select(col("event_id"), col("event_type"),
+        col("value_micro"), col("value_clipped_micro"))
+      .orderBy(col("event_id"))
+
   /** Exact-count global sample: the 100 hash-lowest docs of the corpus —
     * TakeOrderedAndProject shape (per-task heaps, no global sort). */
   def sampleGlobal(spark: SparkSession, dir: String): DataFrame =
@@ -569,6 +581,7 @@ object LlmQueries {
     "sample_top_quantile" -> (sampleTopQuantile _),
     "sample_temperature" -> (sampleTemperature _),
     "sample_winsorize" -> (sampleWinsorize _),
+    "sketch_winsorize" -> (sketchWinsorize _),
     "dedup_connected_keep" -> (dedupConnectedKeep _),
     "dedup_exact_prefix" -> (dedupExactPrefix _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -837,6 +850,18 @@ object LlmQueries {
          |  least(n_tokens, th.t) AS n_tokens_clipped
          |FROM t JOIN th USING (source)
          |ORDER BY doc_id""".stripMargin,
+    // Sketch-path winsorize: the whole histogram-quantile replay rides
+    // as a nested-WITH CTE; the clip itself is integer least().
+    "sketch_winsorize" ->
+      s"""WITH q AS (
+         |${graft.ops.Sketches.histQuantilesSql("events", "event_type", "value")}),
+         |e AS (SELECT event_id, event_type,
+         |    CAST(floor(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS value_micro
+         |  FROM events)
+         |SELECT e.event_id, e.event_type, e.value_micro,
+         |  least(e.value_micro, q.p99_micro) AS value_clipped_micro
+         |FROM e JOIN q ON e.event_type IS NOT DISTINCT FROM q.event_type
+         |ORDER BY e.event_id""".stripMargin,
     "sample_top_quantile" ->
       s"""WITH t AS (SELECT doc_id, source,
          |    CAST($nTokensSql AS INTEGER) AS n_tokens

@@ -260,4 +260,28 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(s50.subsetOf(s100) && s50.size == 50)
   }
+
+  test("sketch winsorize: clips only the p99 tail, threshold brackets exact p99") {
+    val ev = graft.T.events(spark, "/root/testdata/sf0.01")
+    val out = Curation.winsorizeBySketch(ev, "event_type", "value")
+    val rows = out.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("value_clipped_micro") < col("value_micro"), 1L)
+        .otherwise(0L)).as("clipped"),
+      max(col("value_clipped_micro")).as("t_sketch")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, clipped, tSketch) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // only the tail above the (one-sided-low) sketch p99 clips:
+      // ≥ ~1% of rows, but bounded by the 1/16 bin slack
+      assert(clipped >= n / 100, s"${r.getString(0)}: clipped=$clipped of $n")
+      assert(clipped <= n * 4 / 100, s"${r.getString(0)}: clipped=$clipped of $n")
+      // the attained clip cap is the sketch threshold; exact p99 lies in
+      // its bin: t_sketch ≤ p99_exact ≤ t_sketch·(1+1/16)
+      val p99 = ev.filter(col("event_type") === r.getString(0))
+        .stat.approxQuantile("value", Array(0.99), 0.0)(0) * 1e6
+      assert(tSketch <= p99 * 1.001 && tSketch >= p99 / 1.08,
+        s"${r.getString(0)}: t_sketch=$tSketch exact_p99=$p99")
+    }
+  }
 }
