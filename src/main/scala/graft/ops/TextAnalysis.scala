@@ -479,6 +479,53 @@ object TextAnalysis {
         coalesce(col("lm3_micro"), lit(0L)).as("lm3_micro"))
   }
 
+  /** Two-sample χ² homogeneity drift between corpus slices — the
+    * distribution monitor a pipeline runs between snapshots, sources or
+    * filter stages: per word, the χ² contribution of the (slice A,
+    * slice B) occurrence split against the pooled expectation, in exact
+    * integer micro-units. Per-word total in closed form:
+    * χ²_w = (o_A·N_B − o_B·N_A)²·(N_A+N_B) / (N_A·N_B·(o_A+o_B)),
+    * identical slices ⇒ 0 for every word; words private to one slice
+    * rank by their mass. Exactly rational — no transcendentals, so the
+    * statistic replays bit-identically in any SQL engine (a KL/G-test
+    * needs logs; Pearson χ² keeps the same ranking for drift triage).
+    *
+    * Shape: one vocabulary-sized count relation per slice (map-side
+    * combined), full outer join on word (absent ⇒ 0), slice totals ride
+    * as a broadcast one-row aggregate, top-k by (χ², word) is per-task
+    * heaps. Overflow envelope (DECIMAL(38,0) intermediates):
+    * (o·N)²·(N_A+N_B)·10⁶ < 10³⁸ holds while o·N < 10¹⁵·√(N_A+N_B) —
+    * beyond that, pre-scale counts per-mille before calling. */
+  def corpusDriftChisq(a: DataFrame, b: DataFrame, k: Int,
+      unit: Long = 1000000L, textCol: String = "text"): DataFrame = {
+    def wordCounts(df: DataFrame, cnt: String) = df
+      .select(explode(split(Dedup.normalize(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as(cnt))
+    val ca = wordCounts(a, "o_a")
+    val cb = wordCounts(b, "o_b")
+    val joined = ca.join(cb, Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("o_a"), lit(0L)).as("o_a"),
+        coalesce(col("o_b"), lit(0L)).as("o_b"))
+    val totals = joined
+      .agg(sum(col("o_a")).as("__na"), sum(col("o_b")).as("__nb"))
+    joined.crossJoin(broadcast(totals))
+      // every operand casts to DECIMAL(38,0) BEFORE its first multiply —
+      // o·N alone can pass 2^63 inside the envelope
+      .withColumn("__d", expr(
+        "CAST(o_a AS DECIMAL(38,0)) * CAST(__nb AS DECIMAL(38,0)) - " +
+          "CAST(o_b AS DECIMAL(38,0)) * CAST(__na AS DECIMAL(38,0))"))
+      .withColumn("chi2_micro", expr(
+        s"CAST($unit AS DECIMAL(38,0)) * __d * __d * " +
+          "CAST(__na + __nb AS DECIMAL(38,0)) div " +
+          "(CAST(__na AS DECIMAL(38,0)) * CAST(__nb AS DECIMAL(38,0)) * " +
+          "CAST(o_a + o_b AS DECIMAL(38,0)))"))
+      .select(col("word"), col("o_a"), col("o_b"), col("chi2_micro"))
+      .orderBy(col("chi2_micro").desc, col("word"))
+      .limit(k)
+  }
+
   /** Per-document top-k salient terms by tf·idf with a LINEAR idf
     * (idf = N/df, not ln(N/df)): ln() is transcendental and only
     * 1-ulp-accurate (Java Math.log vs a C libm disagree), while integer

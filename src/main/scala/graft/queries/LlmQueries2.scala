@@ -264,6 +264,16 @@ object LlmQueries2 {
     TextAnalysis.trigramLmScore(T.par(spark, T.t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** Corpus drift: top-50 words by two-sample χ² contribution between
+    * the English slice and the rest — the snapshot-vs-snapshot
+    * distribution monitor, exactly rational (no logs), so even the
+    * statistic is hash-oracle-checked. */
+  def textDriftChisq(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    TextAnalysis.corpusDriftChisq(
+      docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"), k = 50)
+  }
+
   /** Chunk→doc mean pooling: 4 consecutive vec_ids pool to one pseudo-doc
     * vector, flattened to exact (group, idx, mean_micro, n) rows. */
   def embMeanPool(spark: SparkSession, dir: String): DataFrame =
@@ -306,6 +316,7 @@ object LlmQueries2 {
     "artifact_train_serve" -> (artifactTrainServe _),
     "text_lm_bigram" -> (textLmBigram _),
     "text_lm_trigram" -> (textLmTrigram _),
+    "text_drift_chisq" -> (textDriftChisq _),
     "quality_pr_curve" -> (qualityPrCurve _),
     "quality_auc" -> (qualityAuc _),
     "text_hash_embedding" -> (textHashEmbedding _),
@@ -569,6 +580,30 @@ object LlmQueries2 {
          |  CAST(coalesce(s.lm3_micro, 0) AS BIGINT) AS lm3_micro
          |FROM documents d LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // χ² drift replay: same closed-form per-word contribution, HUGEINT
+    // intermediates mirroring Spark's DECIMAL(38,0); dividend sign —
+    // the squared difference — is non-negative, so // and div agree.
+    "text_drift_chisq" ->
+      s"""WITH wa AS (SELECT unnest(string_split(${normSql("text")}, ' ')) AS word
+         |           FROM documents WHERE lang = 'en'),
+         |wb AS (SELECT unnest(string_split(${normSql("text")}, ' ')) AS word
+         |       FROM documents WHERE lang <> 'en'),
+         |ca AS (SELECT word, count(*) AS o_a FROM wa WHERE word <> '' GROUP BY 1),
+         |cb AS (SELECT word, count(*) AS o_b FROM wb WHERE word <> '' GROUP BY 1),
+         |j AS (SELECT word, coalesce(o_a, 0) AS o_a, coalesce(o_b, 0) AS o_b
+         |      FROM ca FULL JOIN cb USING (word)),
+         |t AS (SELECT sum(o_a) AS na, sum(o_b) AS nb FROM j)
+         |SELECT j.word, j.o_a, j.o_b,
+         |  CAST((CAST(1000000 AS HUGEINT)
+         |        * (CAST(j.o_a AS HUGEINT) * t.nb - CAST(j.o_b AS HUGEINT) * t.na)
+         |        * (CAST(j.o_a AS HUGEINT) * t.nb - CAST(j.o_b AS HUGEINT) * t.na)
+         |        * CAST(t.na + t.nb AS HUGEINT))
+         |      // (CAST(t.na AS HUGEINT) * CAST(t.nb AS HUGEINT)
+         |         * CAST(j.o_a + j.o_b AS HUGEINT))
+         |    AS BIGINT) AS chi2_micro
+         |FROM j CROSS JOIN t
+         |ORDER BY chi2_micro DESC, j.word
+         |LIMIT 50""".stripMargin,
     // Mean pooling in exact micro-units; +1e9 offset keeps the dividend
     // non-negative so DuckDB's flooring // matches Spark's truncating div.
     "emb_mean_pool" ->

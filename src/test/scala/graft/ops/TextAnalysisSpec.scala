@@ -257,6 +257,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probed(9L) > 0L)
   }
 
+  test("corpus drift χ²: hand-computed contributions, zero for identical slices") {
+    import spark.implicits._
+    val a = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val b = Seq((2L, "a b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.corpusDriftChisq(a, b, k = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // o_a(a)=2, o_b(a)=1, N_A=N_B=3: d = 2·3−1·3 = 3,
+    // χ² = 10⁶·9·6 div (3·3·3) = 2_000_000 — symmetric for "b"
+    assert(out("a") == (2L, 1L, 2000000L), s"got ${out("a")}")
+    assert(out("b") == (1L, 2L, 2000000L))
+    // identical slices: every contribution is exactly zero
+    val same = TextAnalysis.corpusDriftChisq(a, a, k = 10).collect()
+    assert(same.nonEmpty && same.forall(_.getLong(3) == 0L))
+    // a slice-private word carries its full mass as drift
+    val priv = TextAnalysis.corpusDriftChisq(
+      Seq((1L, "x x")).toDF("doc_id", "text"),
+      Seq((2L, "y")).toDF("doc_id", "text"), k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(priv("x") > 0L && priv("y") > 0L)
+  }
+
   test("fuzzyVocabPairs: exact edit-distance-1 pairs, no cross product") {
     import spark.implicits._
     val docs = Seq(
