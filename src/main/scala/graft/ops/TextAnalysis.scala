@@ -504,10 +504,14 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as(cnt))
     val ca = wordCounts(a, "o_a")
     val cb = wordCounts(b, "o_b")
+    // checkpointed: both the totals aggregate and the scoring pass read
+    // this vocabulary-sized relation — one materialization, not two
+    // corpus re-explodes (same discipline as the LM count relations)
     val joined = ca.join(cb, Seq("word"), "full_outer")
       .select(col("word"),
         coalesce(col("o_a"), lit(0L)).as("o_a"),
         coalesce(col("o_b"), lit(0L)).as("o_b"))
+      .localCheckpoint()
     val totals = joined
       .agg(sum(col("o_a")).as("__na"), sum(col("o_b")).as("__nb"))
     joined.crossJoin(broadcast(totals))
