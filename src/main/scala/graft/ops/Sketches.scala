@@ -243,6 +243,80 @@ object Sketches {
       .limit(k)
   }
 
+  /** Per-group heavy hitters by the same CMS construction: one counter
+    * array PER GROUP — cells keyed (group…, hash_row, bucket), still
+    * ≤ d·2^wBits rows per group and mergeable by sum — then the
+    * min-over-rows estimate per (group, value) and a per-group top-k
+    * window (group-partitioned, never global). The scale form of exact
+    * per-group top-k: the shuffle payload is the fixed-size cell space
+    * per group, not the raw value space. */
+  def cmsHeavyHittersByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int,
+      d: Int = CmsD, wBits: Int = CmsWBits): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = 1L << wBits
+    val cells = (0 until d).map { i =>
+      struct(lit(i).as("r"),
+        pmod(Dedup.hashStr(col(valueCol).cast("string"), CmsSeed + i), lit(w)).as("b"))
+    }
+    val src = df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ col(valueCol).cast("string").as(valueCol): _*)
+    // counter-side group columns renamed __cg_* — the probe side joins
+    // back to the same lineage, so shared names would be ambiguous
+    val counters = src
+      .select(groupCols.map(col) :+ explode(array(cells: _*)).as("c"): _*)
+      .groupBy(groupCols.map(g => col(g).as(s"__cg_$g")) :+
+        col("c.r").as("hash_row") :+ col("c.b").as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val est = src.dropDuplicates(groupCols :+ valueCol)
+      .select(groupCols.map(col) :+ col(valueCol) :+
+        explode(array(cells: _*)).as("c"): _*)
+      .join(counters,
+        groupCols.map(g => col(g) <=> col(s"__cg_$g"))
+          .reduce(_ && _) && col("c.r") === col("hash_row") &&
+          col("c.b") === col("bucket"), "left")
+      .select(groupCols.map(col) :+ col(valueCol) :+
+        coalesce(col("cnt"), lit(0L)).as("cnt"): _*)
+      .groupBy(groupCols.map(col) :+ col(valueCol): _*)
+      .agg(min(col("cnt")).as("cms_estimate"))
+    val rank = row_number().over(Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("cms_estimate").desc, col(valueCol)))
+    est.withColumn("__rk", rank).filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** DuckDB mirror of [[cmsHeavyHittersByGroup]]. */
+  def cmsHeavyHittersByGroupSql(table: String, groupCol: String,
+      valueExpr: String, k: Int,
+      d: Int = CmsD, wBits: Int = CmsWBits): String = {
+    val w = 1L << wBits
+    s"""WITH src AS (SELECT $groupCol AS g, CAST($valueExpr AS VARCHAR) AS v
+       |  FROM $table WHERE $valueExpr IS NOT NULL),
+       |cells AS (SELECT g, r.i AS hash_row,
+       |    CAST('0x' || substring(md5(($CmsSeed + r.i) || '|' || v), 1, 15)
+       |      AS BIGINT) % $w AS bucket
+       |  FROM src CROSS JOIN range($d) r(i)),
+       |counters AS (SELECT g, hash_row, bucket, count(*) AS cnt
+       |  FROM cells GROUP BY 1, 2, 3),
+       |probes AS (SELECT DISTINCT g, v FROM src),
+       |pcells AS (SELECT g, v, r.i AS hash_row,
+       |    CAST('0x' || substring(md5(($CmsSeed + r.i) || '|' || v), 1, 15)
+       |      AS BIGINT) % $w AS bucket
+       |  FROM probes CROSS JOIN range($d) r(i)),
+       |est AS (SELECT p.g, p.v, min(coalesce(c.cnt, 0)) AS cms_estimate
+       |  FROM pcells p LEFT JOIN counters c
+       |    ON p.g IS NOT DISTINCT FROM c.g
+       |   AND p.hash_row = c.hash_row AND p.bucket = c.bucket
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT g, v, cms_estimate,
+       |    row_number() OVER (PARTITION BY g
+       |      ORDER BY cms_estimate DESC, v) AS r
+       |  FROM est)
+       |SELECT g AS $groupCol, v AS $valueExpr, cms_estimate
+       |FROM rk WHERE r <= $k
+       |ORDER BY 1, cms_estimate DESC, 2""".stripMargin
+  }
+
   /** DuckDB mirror of [[cmsHeavyHitters]] (adjacent so both dialects
     * share the d/w/seed constants and the min-over-rows estimator). */
   def cmsHeavyHittersSql(table: String, valueExpr: String, k: Int,

@@ -335,6 +335,14 @@ object LlmQueries {
     graft.ops.Sketches.histQuantiles(T.events(spark, dir), Seq("event_type"), "value")
       .orderBy(col("event_type"))
 
+  /** Per-event-type top-5 users by the grouped CMS — one counter array
+    * per group, group-partitioned top-k window (the scale form of
+    * per-group exact top-k). */
+  def sketchGroupTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.cmsHeavyHittersByGroup(
+      T.events(spark, dir), Seq("event_type"), "user_id", 5)
+      .orderBy(col("event_type"), col("cms_estimate").desc, col("user_id"))
+
   /** Heavy hitters by engine-portable Count-Min sketch
     * ([[graft.ops.Sketches.cmsCounters]]): md5 hash rows + integer
     * counters, so the one-sided overcounting estimates themselves
@@ -599,6 +607,7 @@ object LlmQueries {
     "sketch_cardinality" -> (sketchCardinality _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "sketch_quantiles" -> (sketchQuantiles _),
+    "sketch_group_topk" -> (sketchGroupTopk _),
     "curation_pipeline" -> (curationPipeline _),
     "text_profile" -> (textProfile _),
     "text_lang_confusion" -> (textLangConfusion _),
@@ -746,6 +755,8 @@ object LlmQueries {
     // same integer rank comparison (Sketches.histQuantilesSql).
     "sketch_quantiles" ->
       graft.ops.Sketches.histQuantilesSql("events", "event_type", "value"),
+    "sketch_group_topk" ->
+      graft.ops.Sketches.cmsHeavyHittersByGroupSql("events", "event_type", "user_id", 5),
     "dedup_cc_clusters" ->
       s"""WITH RECURSIVE bkt AS (
          |  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bkt

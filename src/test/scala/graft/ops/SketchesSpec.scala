@@ -140,6 +140,23 @@ class SketchesSpec extends SparkSpec {
     assert(run(ev) == run(ev.repartition(13)))
   }
 
+  test("grouped cms: per-group one-sided overcounts, k rows per group") {
+    val ev = graft.T.events(spark, "/root/testdata/sf0.01")
+    val rows = Sketches.cmsHeavyHittersByGroup(ev, Seq("event_type"), "user_id", 5)
+      .collect()
+    val perGroup = rows.groupBy(_.getString(0))
+    assert(perGroup.nonEmpty && perGroup.values.forall(_.length == 5))
+    val exact = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), col("user_id").cast("string").as("u"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) >= exact(key),
+        s"$key: est=${r.getLong(2)} < exact=${exact(key)}")
+    }
+  }
+
   test("histogram quantiles are within the 1/16 relative-error envelope") {
     val ev = graft.T.events(spark, "/root/testdata/sf0.01")
     val est = Sketches.histQuantiles(ev, Seq("event_type"), "value")
