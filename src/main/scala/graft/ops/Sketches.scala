@@ -106,6 +106,23 @@ object Sketches {
     * a log — not integer-exact); the spec pins the error envelope in the
     * sketch's working range instead. */
   def hllCardinality(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      b: Int = HllB): DataFrame =
+    hllCardinalityFromRegisters(hllRegisters(df, groupCols, valueCol, b),
+      groupCols, b)
+
+  /** Merge two register relations (e.g. a persisted ledger + the new
+    * snapshot's registers): per-bucket max — associative, commutative,
+    * idempotent, so ledger updates need only the NEW batch's raw values;
+    * history stays a ≤2^b-rows-per-group parquet. */
+  def mergeHllRegisters(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("max_rank")).as("max_rank"))
+
+  /** The integer-exact estimate from an existing register relation —
+    * the serve side of the ledger flow ([[mergeHllRegisters]]). */
+  def hllCardinalityFromRegisters(regs: DataFrame, groupCols: Seq[String],
       b: Int = HllB): DataFrame = {
     val m = 1 << b
     val rankMax = 60 - b + 1
@@ -114,7 +131,7 @@ object Sketches {
     val alphaNum = BigInt(7213) * m
     val alphaDen = BigInt(10) * (BigInt(1000) * m + 1079)
     val numerator = BigInt(10).pow(6) * alphaNum * m * m * (BigInt(1) << rankMax)
-    hllRegisters(df, groupCols, valueCol, b)
+    regs
       .groupBy(groupCols.map(col): _*)
       .agg(
         sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $rankMax - max_rank) " +

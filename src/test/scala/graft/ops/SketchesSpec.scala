@@ -193,6 +193,29 @@ class SketchesSpec extends SparkSpec {
       "per-bin sum must merge shard histograms into the union's histogram")
   }
 
+  test("hll ledger: persisted registers + new batch == union estimate") {
+    // the incremental flow: day-1 registers persist to parquet; day-2
+    // merges its own registers against the loaded ledger — history's raw
+    // values are never re-read, yet the estimate is bit-identical to
+    // recomputing over the union corpus
+    val ev = graft.T.events(spark, "/root/testdata/sf0.001")
+    val day1 = ev.filter(col("event_id") % 2 === 0)
+    val day2 = ev.filter(col("event_id") % 2 =!= 0)
+    val ledgerPath = java.nio.file.Files
+      .createTempDirectory("graft-hll-ledger").toString
+    Sketches.hllRegisters(day1, Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(ledgerPath)
+    val merged = Sketches.mergeHllRegisters(
+      spark.read.parquet(ledgerPath),
+      Sketches.hllRegisters(day2, Seq("event_type"), "user_id"),
+      Seq("event_type"))
+    def est(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllCardinalityFromRegisters(df, Seq("event_type"))
+        .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    val whole = Sketches.hllRegisters(ev, Seq("event_type"), "user_id")
+    assert(est(merged) == est(whole))
+  }
+
   test("histogram bin count stays bounded regardless of value range") {
     import spark.implicits._
     val wide = Seq(0.000001, 0.5, 1.0, 3.14, 1e3, 1e6, 1e9, 5e11)
