@@ -130,6 +130,29 @@ class OverlapJoinRewriteSpec extends SparkSpec {
     assert(got == Seq((1L, 10L), (1L, 30L), (2L, 30L)), s"got $got")
   }
 
+  test("generic theta join over four unrelated columns stays result-correct") {
+    // the documented trade-off case (OverlapJoinRewrite scaladoc): the
+    // pattern also matches a.x <= b.p AND b.q <= a.y where the four
+    // columns are NOT two intervals. The rewrite treats (x,y)/(q,p) as
+    // possibly-inverted intervals via least/greatest and must still be
+    // RESULT-exact — compare against the rule-disabled nested-loop run
+    val ta = Seq((1L, 5L, 900L), (2L, 300L, 100L), (3L, 950L, 40L))
+      .toDF("t_id", "x", "y")
+    val tb = Seq((10L, 20L, 800L), (20L, 500L, 999L), (30L, 1L, 2L))
+      .toDF("u_id", "p", "q")
+    val cond = col("x") <= col("p") && col("q") <= col("y")
+    def run() = ta.join(tb, cond).select(col("t_id"), col("u_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val rewritten = run()
+    val plan = ta.join(tb, cond).queryExecution.executedPlan.toString
+    assert(plan.contains("__ov_bucket"), s"expected the rule to fire:\n$plan")
+    spark.conf.set("spark.graft.overlapJoin.enabled", "false")
+    try {
+      val naive = run()
+      assert(rewritten == naive, s"rewritten=$rewritten naive=$naive")
+    } finally spark.conf.set("spark.graft.overlapJoin.enabled", "true")
+  }
+
   test("rewrite + AQE: adaptive replan keeps the bucketed equi-join result") {
     val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
