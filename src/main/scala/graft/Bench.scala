@@ -27,6 +27,11 @@ object Bench {
       // the best-of-2 "warm" pass re-compiles every plan from scratch.
       // Sized to hold the whole registry's generated classes.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // NOTE: spark.cleaner.periodicGC.interval stays at its 30-minute
+      // default ON PURPOSE: a short interval forces full driver GCs
+      // DURING timed queries (measured +30 s of roving spikes across a
+      // full run). The per-25-query System.gc() below drains the
+      // ContextCleaner backlog at untimed safe points instead.
       .config("spark.sql.adaptive.enabled", "true")
       // testdata parquet files are single-digit-MB; default 128 MB split
       // size scans each as ONE partition, serializing every query. At real
