@@ -66,7 +66,17 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // localCheckpoint blocks (MEMORY_AND_DISK persisted RDDs) from the
+      // query just finished are dead the moment its DataFrame goes out of
+      // scope, but the ContextCleaner only reclaims them after a driver
+      // GC notices the dangling ref — across 140+ queries the backlog
+      // grows to GBs of storage memory and late-run queries pay for it
+      // (observed: one 2 s query reading 35 s). Queries never share
+      // persisted RDDs, so drop them synchronously at this untimed point.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      name -> elapsed
     }
     // The harness that consumes this output keeps only the last ~2000
     // characters of stdout; a per-query map over the full registry blows
@@ -88,7 +98,10 @@ object Bench {
       try allQueries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> math.min(t1, (System.nanoTime() - t0) / 1e9)
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      name -> math.min(t1, t)
     }
     val qs = warm.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
