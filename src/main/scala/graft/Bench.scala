@@ -141,5 +141,7 @@ object Bench {
     // the FastSS fuzzy vocabulary join, and the portable-CMS heavy hitters
     "emb_pq_encode", "sim_pq_topk", "sim_ivfpq_topk", "text_fuzzy_pairs",
     "sketch_heavy_hitters", "sketch_quantiles", "text_lm_trigram",
-    "sketch_winsorize", "text_drift_chisq", "sketch_group_topk")
+    "sketch_winsorize", "text_drift_chisq", "sketch_group_topk",
+    // round-7 additions: readability gate + Heaps-law vocabulary growth
+    "text_readability", "text_vocab_growth")
 }

@@ -564,6 +564,103 @@ object TextAnalysis {
         col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Flesch reading-ease and Flesch–Kincaid grade level in exact integer
+    * milli-units (readability filtering, the classic C4/Gopher-adjacent
+    * quality gate). Classic heuristics, made engine-exact:
+    *
+    *   - words      = non-empty normalized tokens, clamped ≥ 1
+    *   - sentences  = `[.!?]+` runs in the RAW text, clamped ≥ 1
+    *   - syllables  = `[aeiouy]+` vowel runs in the normalized text,
+    *                  plus 1 for every vowel-less word (the standard
+    *                  "every word has at least one syllable" floor)
+    *
+    * FRE  = 206.835 − 1.015·(W/S) − 84.6·(SY/W)
+    * FKGL = 0.39·(W/S) + 11.8·(SY/W) − 15.59
+    *
+    * Both are evaluated over the common denominator S·W as ONE integer
+    * `div` in milli-units (engine-portable: `div` / `//` agree for
+    * non-negative operands — negative scores clamp to 0, the usual
+    * "hardest texts" floor of the 0–100 FRE scale).
+    *
+    * Scale shape: map-only (narrow, codegen'd regex counting — no
+    * shuffle, no explode); the vowel-less-word count rides the same
+    * whole-string regex pass (`[^ ]*[aeiouy][^ ]*` matches exactly the
+    * words containing a vowel — a match cannot span the space
+    * delimiter), not a per-element lambda. */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val norm = Dedup.normalize(col(textCol))
+    docs
+      .select(col(idCol),
+        when(norm === "", 0L)
+          .otherwise(size(split(norm, " ")).cast("long")).as("__w0"),
+        size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+          .cast("long").as("__s0"),
+        size(regexp_extract_all(norm, lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("__vruns"),
+        size(regexp_extract_all(norm, lit("[^ ]*[aeiouy][^ ]*"), lit(0)))
+          .cast("long").as("__wvowel"))
+      .select(col(idCol),
+        greatest(col("__w0"), lit(1L)).as("words"),
+        greatest(col("__s0"), lit(1L)).as("sentences"),
+        (col("__vruns") + greatest(col("__w0"), lit(1L)) - col("__wvowel"))
+          .as("syllables"))
+      .withColumn("fre_milli", greatest(lit(0L), expr(
+        """(206835 * sentences * words - 1015 * words * words
+          | - 84600 * syllables * sentences) div (sentences * words)"""
+          .stripMargin)))
+      .withColumn("fkgl_milli", greatest(lit(0L), expr(
+        """(390 * words * words + 11800 * syllables * sentences
+          | - 15590 * sentences * words) div (sentences * words)"""
+          .stripMargin)))
+  }
+
+  /** Heaps-law vocabulary-growth curve: for each ingestion-order bucket
+    * of `bucketDocs` documents, how many corpus-new bigrams that bucket
+    * introduces and the cumulative vocabulary size up to it — the
+    * saturation diagnostic for "is more data still adding anything?"
+    * (bigrams rather than unigrams so small vocabularies don't saturate
+    * in the first bucket). First occurrence is attributed to the MINIMUM
+    * doc id containing the bigram, so the curve is deterministic and
+    * partition-invariant.
+    *
+    * Scale shape: corpus → exploded bigrams → one (gram, min id)
+    * aggregation (vocabulary-sized output, map-side combined), bucketed
+    * by integer division; the cumulative column comes from a TRIANGULAR
+    * SELF-JOIN of the tiny per-bucket relation (the [[QualityModel
+    * .prCurve]] discipline) — never a global window, so nothing funnels
+    * into one task. Buckets that introduce nothing still appear (doc
+    * buckets left-join the new-gram counts), so the curve has no holes. */
+  def vocabGrowth(docs: DataFrame, bucketDocs: Long = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bucketDocs > 0, "bucketDocs must be positive")
+    val grams = docs
+      .select(col(idCol).cast("long").as("__id"),
+        split(Dedup.normalize(col(textCol)), " ").as("__w"))
+      .select(col("__id"), explode(expr(
+        """filter(zip_with(__w, slice(__w, 2, size(__w)),
+          | (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"""
+          .stripMargin)).as("gram"))
+      .filter(col("gram") =!= " ")
+    val newPerBucket = grams
+      .groupBy(col("gram")).agg(min(col("__id")).as("__first"))
+      .groupBy(expr(s"__first div $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("new_grams"))
+    val buckets = docs
+      .groupBy(expr(s"CAST($idCol AS BIGINT) div $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("docs_n"))
+      .join(newPerBucket, Seq("bucket"), "left")
+      .select(col("bucket"), col("docs_n"),
+        coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+      .localCheckpoint()
+    buckets.alias("a")
+      .join(buckets.alias("b"), col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(min(col("a.docs_n")).as("docs_n"),
+        min(col("a.new_grams")).as("new_grams"),
+        sum(col("b.new_grams")).as("cum_vocab"))
+  }
+
   /** All vocabulary word pairs within edit distance 1 (typo clustering /
     * vocab normalization), via the FastSS deletion-neighborhood trick
     * (Bocek, Hunt, Stiller, "Fast Similarity Search in Large

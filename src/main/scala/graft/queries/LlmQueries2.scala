@@ -310,7 +310,20 @@ object LlmQueries2 {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** Flesch reading-ease / FK grade in exact milli-units (map-only). */
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
+  /** Heaps-law bigram-vocabulary growth curve, 50-doc buckets. */
+  def textVocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(T.par(spark, T.t(spark, dir, "documents")),
+        bucketDocs = 50)
+      .orderBy(col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (textReadability _),
+    "text_vocab_growth" -> (textVocabGrowth _),
     "text_fuzzy_pairs" -> (textFuzzyPairs _),
     "dedup_span_within" -> (dedupSpanWithin _),
     "artifact_train_serve" -> (artifactTrainServe _),
@@ -366,6 +379,50 @@ object LlmQueries2 {
   private val nTokensSql = "len(string_split_regex(trim(text), '\\s+'))"
 
   val oracle: Map[String, String] = Map(
+    "text_readability" ->
+      s"""WITH n AS (SELECT doc_id, text, ${normSql("text")} AS norm
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    CASE WHEN norm = '' THEN 0
+         |         ELSE len(string_split(norm, ' ')) END AS w0,
+         |    len(regexp_extract_all(text, '[.!?]+')) AS s0,
+         |    len(regexp_extract_all(norm, '[aeiouy]+')) AS vruns,
+         |    len(regexp_extract_all(norm, '[^ ]*[aeiouy][^ ]*')) AS wvowel
+         |  FROM n),
+         |m AS (SELECT doc_id, greatest(w0, 1) AS words,
+         |    greatest(s0, 1) AS sentences,
+         |    vruns + greatest(w0, 1) - wvowel AS syllables
+         |  FROM c)
+         |SELECT doc_id, CAST(words AS BIGINT) AS words,
+         |  CAST(sentences AS BIGINT) AS sentences,
+         |  CAST(syllables AS BIGINT) AS syllables,
+         |  CAST(greatest(0, (206835 * sentences * words
+         |      - 1015 * words * words - 84600 * syllables * sentences)
+         |    // (sentences * words)) AS BIGINT) AS fre_milli,
+         |  CAST(greatest(0, (390 * words * words
+         |      + 11800 * syllables * sentences - 15590 * sentences * words)
+         |    // (sentences * words)) AS BIGINT) AS fkgl_milli
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_vocab_growth" ->
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm
+         |  FROM documents),
+         |w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |    i -> ws[i] || ' ' || ws[i + 1])) AS gram
+         |  FROM w WHERE len(ws) >= 2),
+         |f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram),
+         |nb AS (SELECT first_id // 50 AS bucket, count(*) AS new_grams
+         |  FROM f GROUP BY 1),
+         |b AS (SELECT doc_id // 50 AS bucket, count(*) AS docs_n
+         |  FROM documents GROUP BY 1),
+         |j AS (SELECT b.bucket, b.docs_n,
+         |    coalesce(nb.new_grams, 0) AS new_grams
+         |  FROM b LEFT JOIN nb USING (bucket))
+         |SELECT bucket, CAST(docs_n AS BIGINT) AS docs_n,
+         |  CAST(new_grams AS BIGINT) AS new_grams,
+         |  CAST((SELECT sum(j2.new_grams) FROM j j2
+         |        WHERE j2.bucket <= j.bucket) AS BIGINT) AS cum_vocab
+         |FROM j ORDER BY bucket""".stripMargin,
     // Brute-force ground truth for the FastSS deletion-neighborhood join:
     // the same typo-planted corpus, then a direct levenshtein self-join
     // over the vocabulary (length band |Δlen| ≤ 1 is implied by lev ≤ 1).

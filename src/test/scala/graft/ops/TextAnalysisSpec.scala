@@ -314,4 +314,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fast.except(brute).isEmpty && brute.except(fast).isEmpty,
       "FastSS must return exactly the brute-force pair set")
   }
+
+  test("readability: hand-computed Flesch / FK milli-units") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world. it is sunny!"), // W=5 S=2 SY=7
+      (2L, "tv hmm."),                   // vowel-less words floor at 1 syllable
+      (3L, "ababababab")                 // dense: FRE clamps to 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs).orderBy("doc_id").collect()
+    // doc 1: FRE = (206835*2*5 - 1015*25 - 84600*7*2) div 10 = 85857
+    //        FKGL = (390*25 + 11800*14 - 15590*10) div 10 = 1905
+    assert(r(0).getAs[Long]("words") == 5)
+    assert(r(0).getAs[Long]("sentences") == 2)
+    assert(r(0).getAs[Long]("syllables") == 7)
+    assert(r(0).getAs[Long]("fre_milli") == 85857)
+    assert(r(0).getAs[Long]("fkgl_milli") == 1905)
+    // doc 2: W=2, S=1 (one "." run), zero vowel runs -> SY = 2 (floor)
+    assert(r(1).getAs[Long]("syllables") == 2)
+    // doc 3: one word, 5 'a'-runs -> 84.6*5 sinks FRE below zero -> clamp
+    assert(r(2).getAs[Long]("syllables") == 5)
+    assert(r(2).getAs[Long]("fre_milli") == 0)
+    assert(r(2).getAs[Long]("fkgl_milli") == 390 + 11800 * 5 - 15590)
+  }
+
+  test("vocabGrowth: hand-computed curve, holes filled, invariance") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c"), // introduces "a b", "b c"
+      (1L, "a b"),   // nothing new
+      (2L, "b c d"), // introduces "c d"
+      (3L, "")       // no bigrams at all
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabGrowth(docs, bucketDocs = 2)
+      .orderBy("bucket").collect()
+    assert(r.map(x => (x.getAs[Long]("bucket"), x.getAs[Long]("docs_n"),
+      x.getAs[Long]("new_grams"), x.getAs[Long]("cum_vocab"))).toSeq ==
+      Seq((0L, 2L, 2L, 2L), (1L, 2L, 1L, 3L)))
+    // a bucket whose docs introduce nothing still appears with 0
+    val r2 = TextAnalysis.vocabGrowth(
+        Seq((0L, "x y"), (1L, "q r"), (2L, "x y"), (3L, "q r"))
+          .toDF("doc_id", "text"), bucketDocs = 2)
+      .orderBy("bucket").collect()
+    assert(r2.map(x => (x.getAs[Long]("bucket"),
+      x.getAs[Long]("new_grams"), x.getAs[Long]("cum_vocab"))).toSeq ==
+      Seq((0L, 2L, 2L), (1L, 0L, 2L)))
+    // partition-invariant: min-id first-occurrence is order-free
+    val base = TextAnalysis.vocabGrowth(docs, bucketDocs = 2)
+    val shuffled = TextAnalysis.vocabGrowth(docs.repartition(7), bucketDocs = 2)
+    assert(base.except(shuffled).isEmpty && shuffled.except(base).isEmpty)
+  }
 }
