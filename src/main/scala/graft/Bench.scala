@@ -142,6 +142,7 @@ object Bench {
     "emb_pq_encode", "sim_pq_topk", "sim_ivfpq_topk", "text_fuzzy_pairs",
     "sketch_heavy_hitters", "sketch_quantiles", "text_lm_trigram",
     "sketch_winsorize", "text_drift_chisq", "sketch_group_topk",
-    // round-7 additions: readability gate + Heaps-law vocabulary growth
-    "text_readability", "text_vocab_growth")
+    // round-7 additions: readability gate, Heaps-law vocabulary growth,
+    // median/MAD event anomalies
+    "text_readability", "text_vocab_growth", "event_outliers")
 }

@@ -253,4 +253,36 @@ object Sessions {
           }
       }
   }
+
+  /** Robust per-group outlier detection by the median/MAD rule (the
+    * log-analytics anomaly gate: unlike mean/stddev, one huge spike
+    * cannot mask the others — breakdown point 50%). A row is an outlier
+    * when |value − median| > k·MAD, evaluated EXACTLY: values go to
+    * integer cents, the median to half-cents and the MAD to
+    * quarter-cents (doubling before each `percentile` keeps the
+    * interpolated midpoint integer-valued, hence exactly representable
+    * and engine-portable), so the flag is an integer comparison —
+    * `2·dev_half > k·mad_quarter` — with no float threshold anywhere.
+    *
+    * Scale shape: two grouped exact-percentile aggregations over the
+    * group column plus broadcast joins of the group-sized stats back to
+    * the stream — three narrow scans of the source, no corpus-sized
+    * shuffle. Exact `percentile` buffers each GROUP's values, so use it
+    * when per-group cardinality is bounded (log streams keyed by
+    * sensor/type); the unbounded-group scale form is the histogram
+    * sketch ([[graft.ops.Sketches]], `sketch_winsorize` precedent). */
+  def robustOutliers(events: DataFrame, groupCol: String = "event_type",
+      valueCol: String = "value", k: Int = 3): DataFrame = {
+    val ev = events.withColumn("cents",
+      expr(s"CAST(round($valueCol * 100, 0) AS LONG)"))
+    val med = ev.groupBy(col(groupCol))
+      .agg(expr("CAST(percentile(2 * cents, 0.5D) AS LONG)").as("med_half"))
+    val dev = ev.join(broadcast(med), Seq(groupCol))
+      .withColumn("dev_half", abs(expr("2 * cents - med_half")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("CAST(percentile(2 * dev_half, 0.5D) AS LONG)")
+        .as("mad_quarter"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .filter(expr(s"2 * dev_half > $k * mad_quarter"))
+  }
 }

@@ -297,6 +297,15 @@ object ParityQueries {
         col("node_name"), col("sensor"))
       .orderBy(col("payload"))
 
+  /** Robust per-type value anomalies: |value − median| > 3·MAD in exact
+    * integer half/quarter-cents ([[graft.ops.Sessions.robustOutliers]]).
+    * The log-analytics "this sensor's numbers went weird" gate. */
+  def eventOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessions.robustOutliers(T.events(spark, dir))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("med_half"), col("dev_half"), col("mad_quarter"))
+      .orderBy(col("event_type"), col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_regex_tokenize" -> (p1RegexTokenize _),
     "p1b_json_extract" -> (p1bJsonExtract _),
@@ -316,12 +325,30 @@ object ParityQueries {
     "asof_next_click" -> (asofNextClick _),
     "funnel_conversion" -> (funnelConversion _),
     "event_transitions" -> (eventTransitions _),
+    "event_outliers" -> (eventOutliers _),
     "takuan_ssh_pipeline" -> (takuanSshPipeline _),
   )
 
   import T.sql.{cents => c, moneySum => ms}
 
   val oracle: Map[String, String] = Map(
+    "event_outliers" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(quantile_cont(2 * cents, 0.5) AS BIGINT) AS med_half
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.cents, m.med_half,
+        |    abs(2 * e.cents - m.med_half) AS dev_half
+        |  FROM e JOIN m USING (event_type)),
+        |s AS (SELECT event_type,
+        |    CAST(quantile_cont(2 * dev_half, 0.5) AS BIGINT) AS mad_quarter
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.cents, d.med_half, d.dev_half,
+        |  s.mad_quarter
+        |FROM d JOIN s USING (event_type)
+        |WHERE 2 * d.dev_half > 3 * s.mad_quarter
+        |ORDER BY d.event_type, d.event_id""".stripMargin,
     "p1b_json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

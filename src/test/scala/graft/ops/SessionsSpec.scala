@@ -217,4 +217,25 @@ class SessionsSpec extends SparkSpec {
       (1L, 0L) -> 1L  // u3's cohort is epoch week 1
     ), s"got $out")
   }
+
+  test("robustOutliers: median/MAD rule flags the spike, not the bulk") {
+    import spark.implicits._
+    // group a: values 1..7 plus a 100.0 spike. median = 4.5 (half-cents
+    // 900), devs |2c-900| = {700,500,300,100,100,300,500,19100}, MAD of
+    // those (quarter-cents over 2*dev) = 800 -> threshold 3*800 = 2400
+    // in quarter-cents: only the spike's 2*19100 = 38200 exceeds it.
+    val ev = ((1 to 7).map(i => (i.toLong, "a", i.toDouble)) :+
+      (8L, "a", 100.0) :+ (9L, "b", 5.0))
+      .toDF("event_id", "event_type", "value")
+    val out = Sessions.robustOutliers(ev).select("event_id").as[Long]
+      .collect().toSeq
+    assert(out == Seq(8L), s"got $out")
+    // a constant group has MAD 0: every deviation > 0 is an outlier,
+    // the constant rows themselves are not
+    val const = Seq((1L, "c", 2.0), (2L, "c", 2.0), (3L, "c", 9.0))
+      .toDF("event_id", "event_type", "value")
+    val out2 = Sessions.robustOutliers(const).select("event_id").as[Long]
+      .collect().toSeq
+    assert(out2 == Seq(3L), s"got $out2")
+  }
 }
