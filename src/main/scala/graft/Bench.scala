@@ -144,5 +144,6 @@ object Bench {
     "sketch_winsorize", "text_drift_chisq", "sketch_group_topk",
     // round-7 additions: readability gate, Heaps-law vocabulary growth,
     // median/MAD event anomalies
-    "text_readability", "text_vocab_growth", "event_outliers")
+    "text_readability", "text_vocab_growth", "event_outliers",
+    "graph_triangles")
 }

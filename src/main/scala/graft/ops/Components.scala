@@ -215,4 +215,52 @@ object Components {
   def clusterSizes(components: DataFrame): DataFrame =
     components.groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+
+  /** Per-vertex triangle counts over an undirected graph — the local
+    * clustering / community-density primitive (how clique-like is each
+    * near-dup neighborhood?).
+    *
+    * Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW'11;
+    * the MapReduce form of Schank's forward algorithm). Every edge is
+    * oriented from its lower-(degree, id) endpoint to the higher one;
+    * wedges are built by joining oriented edges on their shared SOURCE
+    * and each wedge is closed by probing the oriented edge between its
+    * two targets. Orientation caps out-degree at O(√m) — a celebrity
+    * vertex with a million neighbors SOURCES almost no wedges because
+    * nearly all its edges point INTO it — which is exactly the
+    * curse-of-the-last-reducer fix; without it the hub's reducer would
+    * enumerate ~deg² wedges. Each triangle is counted exactly once (its
+    * vertices totally ordered by (degree, id); the wedge fixes the
+    * minimum as source). Everything is equi-joins and counts —
+    * deterministic, integer, engine-portable.
+    *
+    * Input: canonical undirected pairs (`aCol` < `bCol`); output one row
+    * (id, n_tri) per vertex that participates in ≥ 1 triangle. */
+  def triangleCounts(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val und = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val ord = und
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = ord.select(
+      when(fwd, col("u")).otherwise(col("v")).as("s"),
+      when(fwd, col("v")).otherwise(col("u")).as("t"),
+      when(fwd, col("dv")).otherwise(col("du")).as("dt"))
+    val wedges = oriented.alias("o1")
+      .join(oriented.alias("o2"), col("o1.s") === col("o2.s") &&
+        (col("o1.dt") < col("o2.dt") ||
+          (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
+      .select(col("o1.s").as("a"), col("o1.t").as("b"), col("o2.t").as("c"))
+    val tris = wedges.join(oriented.select(col("s").as("b"), col("t").as("c")),
+      Seq("b", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
 }

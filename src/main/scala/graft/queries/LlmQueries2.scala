@@ -126,6 +126,19 @@ object LlmQueries2 {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-doc triangle counts over the near-dup graph ([[Components
+    * .triangleCounts]], degree-ordered orientation): how clique-like
+    * each near-duplicate neighborhood is — flat pair counts can't
+    * distinguish a hub-and-spokes template from a mutual-copy cluster;
+    * triangles can. Same edge relation as `graph_pagerank`. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(
+      T.t(spark, dir, "documents").filter(col("doc_id") < 500), threshold = 0.5)
+    Components.triangleCounts(pairs)
+      .select(col("id").as("doc_id"), col("n_tri"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end BPE: train 8 merges on the corpus vocabulary, apply
     * them corpus-wide. Oracle-checked as of round 7: [[BpeSql]] replays
     * the full training trajectory (8 unrolled rounds, each with an
@@ -338,6 +351,7 @@ object LlmQueries2 {
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "text_bpe_train" -> (textBpeTrain _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _),
     "mine_contrastive_pairs" -> (mineContrastive _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "sim_semantic_dedup" -> (simSemanticDedup _),
@@ -686,6 +700,44 @@ object LlmQueries2 {
         |      AS INTEGER) END AS qv
         |FROM a CROSS JOIN range(64) r
         |ORDER BY vec_id, idx""".stripMargin,
+    "graph_triangles" ->
+      s"""WITH ${LlmQueries.gramsCteFor("grams", "doc_id < 500")},
+         |sig AS (SELECT id, ${LlmQueries.sigCols} FROM grams GROUP BY id),
+         |bands AS (SELECT id, r.range AS band, ${LlmQueries.bandCase} AS band_key
+         |  FROM sig CROSS JOIN range(4) r),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN grams ga ON ga.id = c.id_a
+         |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+         |  GROUP BY c.id_a, c.id_b),
+         |pairs AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b
+         |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
+         |und AS (SELECT id_a AS u, id_b AS v FROM pairs),
+         |deg AS (SELECT id, count(*) AS d FROM (
+         |  SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id),
+         |o AS (SELECT
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         |      THEN e.u ELSE e.v END AS s,
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+         |      THEN e.v ELSE e.u END AS t
+         |  FROM und e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+         |ot AS (SELECT o.s, o.t, d.d AS dt FROM o JOIN deg d ON d.id = o.t),
+         |w AS (SELECT o1.s AS a, o1.t AS b, o2.t AS c
+         |  FROM ot o1 JOIN ot o2 ON o1.s = o2.s
+         |    AND (o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t))),
+         |tri AS (SELECT w.a, w.b, w.c
+         |  FROM w JOIN o ON o.s = w.b AND o.t = w.c),
+         |pv AS (SELECT id, count(*) AS n_tri FROM (
+         |  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri) GROUP BY id)
+         |SELECT id AS doc_id, CAST(n_tri AS BIGINT) AS n_tri
+         |FROM pv ORDER BY doc_id""".stripMargin,
     "graph_pagerank" -> {
       val iterCtes = (1 to 3).map { i =>
         s"""c$i AS (SELECT e.dst AS id, CAST(sum(p.pr // o.outdeg) AS BIGINT) AS s

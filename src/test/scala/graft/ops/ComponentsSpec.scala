@@ -113,4 +113,26 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sizes == Map(1L -> 3L, 10L -> 2L))
   }
+
+  test("triangleCounts: cliques count, stars and paths don't") {
+    import spark.implicits._
+    // K4 on 1-4 (4 triangles, each vertex in 3), two triangles sharing
+    // edge 6-7, a star at 9 and a path 20-21-22 (no triangles)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val pairs = (k4 ++ Seq((5L, 6L), (5L, 7L), (6L, 7L), (6L, 8L), (7L, 8L),
+      (9L, 10L), (9L, 11L), (9L, 12L), (20L, 21L), (21L, 22L)))
+      .toDF("id_a", "id_b")
+    val got = Components.triangleCounts(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 2L, 7L -> 2L, 8L -> 1L), s"got $got")
+    // orientation-invariance: reversed/duplicated input edges collapse
+    val messy = pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+      .unionByName(pairs)
+    val got2 = Components
+      .triangleCounts(messy.select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
 }
