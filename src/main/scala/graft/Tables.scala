@@ -20,16 +20,29 @@ object T {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores nanosecond parquet timestamps, which Spark's
-    * vectorized reader rejects outright. Read `ts` as raw nanos
-    * (legacy.parquet.nanosAsLong) and convert with integer division — a
-    * double-based division would lose precision above 2^53 ns. The µs
-    * truncation matches DuckDB's CAST(ts AS TIMESTAMP) used by the oracle.
+  /** The events table has carried two `ts` encodings across testdata
+    * generations: nanosecond parquet timestamps (which Spark's vectorized
+    * reader rejects outright — read as raw nanos via
+    * legacy.parquet.nanosAsLong and convert with integer division; a
+    * double-based division would lose precision above 2^53 ns) and plain
+    * microsecond timestamps (read natively). Dispatch on the loaded type so
+    * both generations work; either way the µs value matches DuckDB's
+    * CAST(ts AS TIMESTAMP) used by the oracle.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Normalize to TimestampType (LTZ) — the type the ns generation
+        // produced. Sessions pin spark.sql.session.timeZone=UTC, so the
+        // wall-clock values are unchanged; watermarks and long casts
+        // (which reject NTZ) keep working.
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already a (µs) LTZ timestamp column
+    }
   }
 
   /** Spread a (small, single-partition) input across all cores before a

@@ -479,6 +479,52 @@ object TextAnalysis {
         coalesce(col("lm3_micro"), lit(0L)).as("lm3_micro"))
   }
 
+  /** PMI collocation mining — the phrase detector of training-data
+    * pipelines (word2vec's phrase pass, "new york" → one token;
+    * Mikolov et al. 2013, arXiv:1310.4546): adjacent word pairs whose
+    * joint frequency beats the independence expectation. The score is
+    * the PMI *ratio* in exact integer micro-units,
+    * ratio_micro = (N·c₁₂·10⁶) div (c₁·c₂), where c₁₂ is the pair
+    * count, c₁/c₂ the left/right bigram-position marginals, and
+    * N = Σc₁₂ — the monotone transform of PMI = log(ratio) with the
+    * log dropped (transcendentals aren't bit-portable across engines;
+    * the ranking is identical). `minCount` suppresses the
+    * singleton-pair artifact (two hapax words always score N·10⁶).
+    *
+    * Scale shape: ONE corpus explode produces the pair relation; the
+    * (w1,w2) counts are distinct-bigram-sized and localCheckpoint'ed so
+    * both marginals and N derive from the materialized counts, not a
+    * corpus re-explode per consumer (the LM-count discipline). Scoring
+    * is two vocabulary-sized equi-joins plus a broadcast one-row N;
+    * top-k is per-task heaps (TakeOrderedAndProject). Overflow
+    * envelope: N·c₁₂·10⁶ must stay below 2⁶³ — holds to N·c₁₂ ≤ 9·10¹²;
+    * beyond that, downshift the unit or pre-scale counts per-mille. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    val pairs = docs
+      .withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
+      .filter(size(col("__w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__w")) - 2),
+        i => struct(element_at(col("__w"), i + 1).as("w1"),
+          element_at(col("__w"), i + 2).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = c12.agg(sum(col("c12")).as("__n"))
+    c12.filter(col("c12") >= minCount)
+      .join(c1, Seq("w1"))
+      .join(c2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("(__n * c12 * 1000000) div (c1 * c2)").as("pmi_ratio_micro"))
+      .orderBy(col("pmi_ratio_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Two-sample χ² homogeneity drift between corpus slices — the
     * distribution monitor a pipeline runs between snapshots, sources or
     * filter stages: per word, the χ² contribution of the (slice A,

@@ -27,6 +27,12 @@ object LlmQueries2 {
     Dedup.shingleDupStats(T.par(spark, T.t(spark, dir, "documents")), n = 5)
       .orderBy(col("doc_id"))
 
+  /** PMI collocations (word2vec phrase-mining pass): adjacent pairs
+    * ranked by the integer-exact PMI ratio. */
+  def textPmiPairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(T.par(spark, T.t(spark, dir, "documents")),
+      minCount = 5, k = 100)
+
   /** Within-doc repetition metrics (Gopher-style quality signals). */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionProfile(T.par(spark, T.t(spark, dir, "documents")))
@@ -360,6 +366,7 @@ object LlmQueries2 {
     "dedup_span_exact" -> (dedupSpanExact _),
     "dedup_shingle_xdoc" -> (dedupShingleXdoc _),
     "text_repetition" -> (textRepetition _),
+    "text_pmi_pairs" -> (textPmiPairs _),
     "doc_chunks" -> (docChunks _),
     "text_tfidf_topk" -> (textTfidfTopk _),
     "sample_pack_bins" -> (samplePackBins _),
@@ -912,6 +919,25 @@ object LlmQueries2 {
          |  (round(CAST(coalesce(p.n_dup, 0) AS DOUBLE) / t.n_shingles, 6) <= 0.7) AS keep
          |FROM tot t LEFT JOIN dup p USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "text_pmi_pairs" ->
+      s"""WITH d AS (SELECT string_split(${normSql("text")}, ' ') AS ws
+         |           FROM documents),
+         |b AS (SELECT unnest(list_transform(range(len(ws) - 1),
+         |        i -> ws[i + 1] || ' ' || ws[i + 2])) AS bigram
+         |      FROM d WHERE len(ws) >= 2),
+         |p AS (SELECT string_split(bigram, ' ')[1] AS w1,
+         |             string_split(bigram, ' ')[2] AS w2 FROM b),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+         |c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2),
+         |nn AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM c12)
+         |SELECT c12.w1, c12.w2, c12.c12,
+         |  CAST((nn.n * c12.c12 * 1000000) // (c1.c1 * c2.c2) AS BIGINT)
+         |    AS pmi_ratio_micro
+         |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nn
+         |WHERE c12.c12 >= 5
+         |ORDER BY pmi_ratio_micro DESC, c12.w1, c12.w2
+         |LIMIT 100""".stripMargin,
     "text_repetition" ->
       s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
          |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM n),

@@ -257,6 +257,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probed(9L) > 0L)
   }
 
+  test("PMI collocations: hand-computed ratios, marginals unaffected by minCount") {
+    import spark.implicits._
+    // Two alternating-pair docs. Pair relation (N = 18):
+    //   (new,york) x5, (york,new) x4, (big,apple) x5, (apple,big) x4
+    // marginals: c1(new)=5 c1(york)=4 c1(big)=5 c1(apple)=4 (c2 mirror)
+    val docs = Seq(
+      (1L, "new york new york new york new york new york"),
+      (2L, "big apple big apple big apple big apple big apple"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 4, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // (18*4*1e6) div (4*4) = 4500000; (18*5*1e6) div (5*5) = 3600000
+    assert(out.toSeq == Seq(
+      ("apple", "big", 4L, 4500000L), ("york", "new", 4L, 4500000L),
+      ("big", "apple", 5L, 3600000L), ("new", "york", 5L, 3600000L)))
+    // raising minCount drops rows but never changes surviving scores:
+    // the marginals and N come from the UNfiltered pair counts
+    val strict = TextAnalysis.pmiCollocations(docs, minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(strict.toSeq == Seq(
+      ("big", "apple", 5L, 3600000L), ("new", "york", 5L, 3600000L)))
+  }
+
   test("corpus drift χ²: hand-computed contributions, zero for identical slices") {
     import spark.implicits._
     val a = Seq((1L, "a a b")).toDF("doc_id", "text")
