@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.ParityQueries.queries ++
       graft.queries.LlmQueries.queries ++
       graft.queries.LlmQueries2.queries ++
+      graft.queries.LlmQueries3.queries ++
       graft.queries.PqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.ParityQueries.oracle ++
       graft.queries.LlmQueries.oracle ++
       graft.queries.LlmQueries2.oracle ++
+      graft.queries.LlmQueries3.oracle ++
       graft.queries.PqQueries.oracle
 }

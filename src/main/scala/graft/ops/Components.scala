@@ -239,9 +239,12 @@ object Components {
     * (id, n_tri) per vertex that participates in ≥ 1 triangle. */
   def triangleCounts(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
+    // materialize the edge set once: deg + ord both consume it, and the
+    // upstream pair relation (typically a MinHash pipeline) is expensive
     val und = pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
       .filter(col("u") < col("v")).distinct()
+      .localCheckpoint()
     val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
     val ord = und
@@ -249,10 +252,13 @@ object Components {
       .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // three consumers (both wedge sides + the closing probe) — checkpoint
+    // so the degree joins run once, not per consumer
     val oriented = ord.select(
       when(fwd, col("u")).otherwise(col("v")).as("s"),
       when(fwd, col("v")).otherwise(col("u")).as("t"),
       when(fwd, col("dv")).otherwise(col("du")).as("dt"))
+      .localCheckpoint()
     val wedges = oriented.alias("o1")
       .join(oriented.alias("o2"), col("o1.s") === col("o2.s") &&
         (col("o1.dt") < col("o2.dt") ||
@@ -262,5 +268,47 @@ object Components {
       Seq("b", "c"))
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007, Phys. Rev. E 76) over an undirected graph,
+    * made fully deterministic: every vertex starts labeled with its own
+    * id, and each fixed iteration relabels every vertex with the most
+    * frequent label among its neighbors, ties broken by the MINIMUM
+    * label — no randomized vertex order, so the trajectory is
+    * engine-replayable (the oracle unrolls the iterations, like
+    * [[pageRank]]'s).
+    *
+    * The argmax-by-(count, min-label) is a single combine aggregate —
+    * `max(struct(count, -label))` — not a per-vertex window, so each
+    * iteration is exactly two shuffles (neighbor-label join keyed by
+    * vertex, then the argmax agg). Edge state is `localCheckpoint`ed
+    * once and per-iteration label relations are checkpointed like the
+    * connected-components loop; iteration count is fixed and small
+    * (community cores stabilize in 2-5 sweeps on near-dup graphs).
+    *
+    * Output: (id, community) for every non-isolated vertex. */
+  def labelPropagation(pairs: DataFrame, iters: Int = 2,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val und = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val edges = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val cnt = edges
+        .join(labels.select(col("id").as("v"), col("lbl")), Seq("v"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+      labels = cnt
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("id"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    labels.select(col("id"), col("lbl").as("community"))
   }
 }

@@ -659,4 +659,68 @@ object Dedup {
       .withColumn("content_key", md5(normalize(col(textCol))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_key")
+
+  /** Corpus-level similarity matrix between sources via bottom-k
+    * sketches (Broder 1997's minwise estimator in its bottom-k form;
+    * Cohen & Kaplan 2007) — the dedup-triage view ABOVE the document
+    * level: which pairs of crawl sources / dumps / snapshots share so
+    * much shingle mass that cross-source dedup should run between them
+    * at all. Estimating all P² source overlaps from per-source sketches
+    * costs a fraction of one document-level dedup pass.
+    *
+    * Per source: the k smallest distinct 60-bit shingle hashes (its
+    * bottom-k sketch). Per source pair: merge the two sketches, keep
+    * the k' = min(k, |union|) smallest of the union, and count members
+    * present in BOTH sketches — j_micro = unit·|both ∩ bottom-k'(∪)|
+    * div k', an unbiased Jaccard estimate. Every step is integer /
+    * hash arithmetic on md5 values, so the oracle replays it exactly.
+    *
+    * Scale shape: the corpus collapses to distinct (source, hash) in
+    * one map-side-combined pass; per-source bottom-k is a window over
+    * that distinct relation (partitioned by source — never global);
+    * everything after operates on the P·k-row sketch relation. The
+    * source inventory is collected to the driver to enumerate pairs —
+    * bounded by definition (it is the stratum inventory, same class as
+    * [[Curation.stratifiedSample]]'s rates dim; SCALING.md). Pair
+    * expansion is two equi-joins of the pair list against the sketch
+    * relation — no cross join, no theta join. */
+  def sourceBottomKSim(docs: DataFrame, n: Int = 3, k: Int = 128,
+      srcCol: String = "source", textCol: String = "text",
+      unit: Long = 1000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashes = wordShingles(docs, n, idCol = srcCol)
+      .select(col("id").as("source"), hashStr(col("gram"), 0).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    val sk = hashes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+      .localCheckpoint()
+    // bounded stratum inventory (see scaladoc) — enumerate ordered pairs
+    val sources = sk.select(col("source")).distinct()
+      .as[String].collect().sorted
+    val pairs = broadcast(
+      (for { a <- sources; b <- sources if a < b } yield (a, b))
+        .toSeq.toDF("s1", "s2"))
+    val merged = pairs
+      .join(sk.select(col("source").as("s1"), col("h")), Seq("s1"))
+      .select(col("s1"), col("s2"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(pairs
+        .join(sk.select(col("source").as("s2"), col("h")), Seq("s2"))
+        .select(col("s1"), col("s2"), col("h"),
+          lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy(col("s1"), col("s2"), col("h"))
+      .agg(max(col("in_a")).as("a"), max(col("in_b")).as("b"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s1"), col("s2")).orderBy(col("h"))
+    merged.withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= k)
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(col("a") * col("b")).as("n_both"))
+      .select(col("s1"), col("s2"),
+        expr(s"($unit * n_both) div k_eff").as("j_micro"))
+  }
 }

@@ -370,19 +370,19 @@ object TextAnalysis {
             element_at(col("__w"), i + 2)).as("b"))))
         .as("__p"))
       .select(col("id"), col("__p.w1").as("w1"), col("__p.b").as("b"))
-    // ONE corpus pass trains every count relation: the per-(bigram,
-    // first-word) counts are vocabulary-sized and localCheckpoint'ed, so
-    // the marginals and V derive from the materialized checkpoint instead
-    // of re-exploding the corpus per consumer (b determines w1 — words
-    // carry no spaces post-normalize — so (b, w1) has the same
-    // cardinality as b alone). The only other corpus pass is the per-doc
-    // bigram relation itself.
-    val cbw = bg.groupBy(col("b"), col("w1")).agg(count(lit(1)).as("cb"))
+    // ONE corpus pass trains every count relation: the per-doc bigram
+    // relation is reduced and localCheckpoint'ed first, and the corpus
+    // counts, marginals, and V all derive from that materialization by
+    // summing its per-doc counts — the corpus is never re-exploded
+    // (b determines w1 — words carry no spaces post-normalize — so
+    // (b, w1) has the same cardinality as b alone).
+    val db = bg.groupBy(col("id"), col("b"), col("w1"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val cbw = db.groupBy(col("b"), col("w1")).agg(sum(col("n")).as("cb"))
       .localCheckpoint()
     val cw = cbw.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
     val vocab = cw.agg(count(lit(1)).as("__v"))
-    val db = bg.groupBy(col("id"), col("b"), col("w1"))
-      .agg(count(lit(1)).as("n"))
     val scored = db.join(cbw.select(col("b"), col("cb")), Seq("b"))
       .join(cw, Seq("w1"))
       .crossJoin(broadcast(vocab))
@@ -443,21 +443,24 @@ object TextAnalysis {
         .as("__p"))
       .select(col("id"), col("__p.t").as("t"), col("__p.b12").as("b12"),
         col("__p.b23").as("b23"), col("__p.w2").as("w2"), col("__p.w3").as("w3"))
-    // one corpus pass trains every order's counts; the n-gram-keyed
-    // relations are checkpointed so marginals/V/N derive from the
-    // materialized counts, not a corpus re-explode per consumer
-    val c3 = tg.groupBy(col("t"), col("b12")).agg(count(lit(1)).as("c3"))
-      .localCheckpoint()
-    val ctx2 = c3.groupBy(col("b12")).agg(sum(col("c3")).as("ctx2"))
-    val c23 = tg.groupBy(col("b23"), col("w2")).agg(count(lit(1)).as("c23"))
-      .localCheckpoint()
-    val ctx1 = c23.groupBy(col("w2")).agg(sum(col("c23")).as("ctx1"))
-    val c1 = tg.groupBy(col("w3")).agg(count(lit(1)).as("c1"))
-      .localCheckpoint()
-    val nv = c1.agg(sum(col("c1")).as("__n"), count(lit(1)).as("__v"))
+    // ONE corpus pass trains every order's counts: the per-doc trigram
+    // relation is reduced and localCheckpoint'ed first, and every
+    // count relation (each order, its marginals, V/N) derives from that
+    // materialization by summing its per-doc counts — the corpus is
+    // exploded exactly once, not once per count consumer
     val dt = tg.groupBy(col("id"), col("t"), col("b12"), col("b23"),
         col("w2"), col("w3"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val c3 = dt.groupBy(col("t"), col("b12")).agg(sum(col("n")).as("c3"))
+      .localCheckpoint()
+    val ctx2 = c3.groupBy(col("b12")).agg(sum(col("c3")).as("ctx2"))
+    val c23 = dt.groupBy(col("b23"), col("w2")).agg(sum(col("n")).as("c23"))
+      .localCheckpoint()
+    val ctx1 = c23.groupBy(col("w2")).agg(sum(col("c23")).as("ctx1"))
+    val c1 = dt.groupBy(col("w3")).agg(sum(col("n")).as("c1"))
+      .localCheckpoint()
+    val nv = c1.agg(sum(col("c1")).as("__n"), count(lit(1)).as("__v"))
     val scored = dt
       .join(c3.select(col("t"), col("c3")), Seq("t"))
       .join(ctx2, Seq("b12"))
@@ -742,5 +745,60 @@ object TextAnalysis {
       .select(col("a.w").as("w1"), col("b.w").as("w2"))
       .distinct()
       .filter(levenshtein(col("w1"), col("w2")) <= 1)
+  }
+
+  /** BM25 top-k retrieval over the corpus (Robertson & Walker, Okapi
+    * BM25; Robertson & Zaragoza 2009 survey) — the lexical-retrieval
+    * scorer of RAG / training-data search pipelines, in an exactly
+    * rational form so the full ranking replays bit-identically in any
+    * SQL engine.
+    *
+    * Standard BM25 with k₁ = 1.2, b = 0.75 is, per query term,
+    *   idf(t) · tf·(k₁+1) / (tf + k₁·(1−b) + k₁·b·dl/avgdl).
+    * Two transcendental-free substitutions keep it integer-exact:
+    *  - idf's log is dropped, keeping its monotone rational argument
+    *    (the Robertson–Spärck Jones odds (N−df+½)/(df+½), doubled to
+    *    clear the halves): idf_micro = unit·(2(N−df)+1) div (2df+1) —
+    *    the same log-free trick [[pmiCollocations]] uses; per-term
+    *    ordering is unchanged.
+    *  - avgdl = L/N stays a ratio: multiplying the tf quotient through
+    *    by 10·L makes every operand integral:
+    *    tf_micro = unit·22·tf·L div (10·tf·L + 3·L + 9·dl·N).
+    * Per (doc, term): (idf_micro · tf_micro) div unit; per doc the sum
+    * over matched query terms; top-k by (score desc, id) — total order,
+    * so the LIMIT boundary is engine-stable.
+    *
+    * 100 TB shape: one corpus tokenize pass feeds both the per-doc
+    * length relation (map-side-combined count) and the tf relation —
+    * which the `isin(terms)` filter shrinks to query-matching rows
+    * BEFORE its shuffle; df and the (L, N) totals are query-sized /
+    * one-row broadcasts; the final top-k is a TakeOrderedAndProject
+    * (per-task heaps, no global sort). Overflow envelope:
+    * unit·22·tf·L needs tf·L ≲ 4·10¹¹ per long — beyond that, serve
+    * from DECIMAL(38,0) or pre-reduced per-shard (tf, dl) relations. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 50,
+      unit: Long = 1000000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val dl = words.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("L"), count(lit(1)).as("N"))
+    val tf = words.filter(col("w").isin(terms: _*))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(dl, Seq("id"))
+      .join(broadcast(dfRel), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", expr(s"($unit * (2*(N - df) + 1)) div (2*df + 1)"))
+      .withColumn("__tfp",
+        expr(s"($unit * 22 * tf * L) div (10*tf*L + 3*L + 9*dl*N)"))
+      .withColumn("__s", expr(s"(__idf * __tfp) div $unit"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__s")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("n_terms"), col("bm25_micro"))
   }
 }

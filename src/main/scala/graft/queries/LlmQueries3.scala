@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.ops.{Components, Dedup, Pca, TextAnalysis}
+
+/** Round-8 training-data-pipeline operators: BM25 lexical retrieval,
+  * power-iteration PCA projection, label-propagation community
+  * detection over the near-dup graph, and corpus-level source-pair
+  * similarity from bottom-k sketches. Each keeps the repo's exactness
+  * contract — integer/rational arithmetic only, no transcendentals —
+  * so every query has a full DuckDB replay oracle, training loops
+  * included (unrolled like `graph_pagerank`'s).
+  */
+object LlmQueries3 {
+
+  // DuckDB mirror of Dedup.normalize (same as the sibling registries).
+  private def normSql(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Query terms for the BM25 demo query — common corpus words so the
+    * candidate set spans sources; shared with the oracle literal list. */
+  private val Bm25Terms = Seq("spark", "join", "window", "stream")
+
+  /** BM25 top-50 retrieval (integer-exact variant; see
+    * [[TextAnalysis.bm25TopK]]). */
+  def textBm25TopK(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(T.par(spark, T.t(spark, dir, "documents")),
+      Bm25Terms, k = 50)
+
+  /** Leading principal component by 3 power iterations (milli-unit
+    * integers), trained on the bounded `vec_id < 2000` slice and served
+    * corpus-wide as a pure map — the train-bounded / serve-everywhere
+    * split every trained operator here uses. */
+  def embPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val v = Pca.powerDirection(emb.filter(col("vec_id") < 2000), dim = 64,
+      iters = 3)
+    Pca.projectMicro(emb, v).orderBy(col("vec_id"))
+  }
+
+  /** Deterministic label-propagation communities (2 sweeps, min-label
+    * ties) over the same near-dup edge relation as `graph_pagerank`. */
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(
+      T.t(spark, dir, "documents").filter(col("doc_id") < 500),
+      threshold = 0.5)
+    Components.labelPropagation(pairs, iters = 2)
+      .select(col("id").as("doc_id"), col("community"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Source-pair Jaccard estimates from per-source bottom-128 sketches
+    * of word 3-gram shingles — the corpus-level dedup-triage matrix. */
+  def sourceBottomkSim(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sourceBottomKSim(T.par(spark, T.t(spark, dir, "documents")),
+        n = 3, k = 128)
+      .orderBy(col("s1"), col("s2"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> (textBm25TopK _),
+    "emb_pca_project" -> (embPcaProject _),
+    "graph_label_prop" -> (graphLabelProp _),
+    "source_bottomk_sim" -> (sourceBottomkSim _))
+
+  // ---- DuckDB oracles ---------------------------------------------------
+
+  // Unrolled power-iteration replay: y = X·v, u = Xᵀ·y, then the
+  // sign-split renormalization (abs before //, so floor == truncate).
+  private val pcaIterCtes = (1 to 3).map { i =>
+    s"""y$i AS (SELECT x.vec_id, CAST(sum(x.x * v${i - 1}.v) AS BIGINT) AS y
+       |  FROM xm x JOIN v${i - 1} ON v${i - 1}.idx = x.idx
+       |  GROUP BY x.vec_id),
+       |u$i AS (SELECT x.idx, CAST(sum(x.x * y$i.y) AS BIGINT) AS u
+       |  FROM xm x JOIN y$i ON y$i.vec_id = x.vec_id
+       |  GROUP BY x.idx),
+       |m$i AS (SELECT greatest(max(abs(u)), 1) AS m FROM u$i),
+       |v$i AS (SELECT idx, CAST(CASE WHEN u < 0
+       |    THEN -((abs(u) * 1000) // (SELECT m FROM m$i))
+       |    ELSE (abs(u) * 1000) // (SELECT m FROM m$i) END AS BIGINT) AS v
+       |  FROM u$i)""".stripMargin
+  }.mkString(",\n")
+
+  // Synchronous LPA replay: neighbor-label counts, then argmax by
+  // (count DESC, label ASC) — the window form of max(struct(c, -lbl)).
+  private val lpaIterCtes = (1 to 2).map { i =>
+    s"""n$i AS (SELECT e.src AS id, l.lbl, count(*) AS c
+       |  FROM edges e JOIN l${i - 1} l ON l.id = e.dst
+       |  GROUP BY e.src, l.lbl),
+       |l$i AS (SELECT id, lbl FROM (
+       |    SELECT id, lbl,
+       |      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+       |    FROM n$i) WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
+  val oracle: Map[String, String] = Map(
+    "text_bm25_topk" ->
+      s"""WITH wf AS (
+         |  SELECT doc_id AS id, w.w
+         |  FROM documents,
+         |       unnest(string_split(${normSql("text")}, ' ')) AS w(w)
+         |  WHERE w.w <> ''),
+         |dl AS (SELECT id, count(*) AS dl FROM wf GROUP BY id),
+         |st AS (SELECT CAST(sum(dl) AS BIGINT) AS l, count(*) AS n FROM dl),
+         |tf AS (SELECT id, w, count(*) AS tf FROM wf
+         |       WHERE w IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY id, w),
+         |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |sc AS (SELECT tf.id,
+         |    ((1000000 * (2 * (st.n - dfr.df) + 1)) // (2 * dfr.df + 1))
+         |      AS idf,
+         |    ((1000000 * 22 * tf.tf * st.l)
+         |      // (10 * tf.tf * st.l + 3 * st.l + 9 * dl.dl * st.n)) AS tfp
+         |  FROM tf JOIN dl USING (id) JOIN dfr USING (w) CROSS JOIN st)
+         |SELECT id AS doc_id, count(*) AS n_terms,
+         |  CAST(sum((idf * tfp) // 1000000) AS BIGINT) AS bm25_micro
+         |FROM sc GROUP BY id
+         |ORDER BY bm25_micro DESC, doc_id
+         |LIMIT 50""".stripMargin,
+    "emb_pca_project" ->
+      s"""WITH xm AS (SELECT vec_id, CAST(r.range AS INTEGER) AS idx,
+         |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)
+         |      * 1000) AS BIGINT) AS x
+         |  FROM embeddings CROSS JOIN range(64) r WHERE vec_id < 2000),
+         |v0 AS (SELECT CAST(r.range AS INTEGER) AS idx,
+         |    CAST(1000 AS BIGINT) AS v FROM range(64) r),
+         |$pcaIterCtes,
+         |xall AS (SELECT vec_id, CAST(r.range AS INTEGER) AS idx,
+         |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)
+         |      * 1000) AS BIGINT) AS x
+         |  FROM embeddings CROSS JOIN range(64) r)
+         |SELECT x.vec_id, CAST(sum(x.x * v3.v) AS BIGINT) AS proj_micro
+         |FROM xall x JOIN v3 ON v3.idx = x.idx
+         |GROUP BY x.vec_id
+         |ORDER BY x.vec_id""".stripMargin,
+    "graph_label_prop" ->
+      s"""WITH ${LlmQueries.gramsCteFor("grams", "doc_id < 500")},
+         |sig AS (SELECT id, ${LlmQueries.sigCols} FROM grams GROUP BY id),
+         |bands AS (SELECT id, r.range AS band, ${LlmQueries.bandCase} AS band_key
+         |  FROM sig CROSS JOIN range(4) r),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN grams ga ON ga.id = c.id_a
+         |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+         |  GROUP BY c.id_a, c.id_b),
+         |pairs AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b
+         |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
+         |edges AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs)),
+         |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+         |$lpaIterCtes
+         |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community
+         |FROM l2 ORDER BY doc_id""".stripMargin,
+    "source_bottomk_sim" ->
+      s"""WITH w AS (SELECT source, string_split(${normSql("text")}, ' ') AS ws
+         |           FROM documents),
+         |g AS (SELECT DISTINCT source,
+         |    ws[CAST(r.range + 1 AS INTEGER)] || ' ' ||
+         |      ws[CAST(r.range + 2 AS INTEGER)] || ' ' ||
+         |      ws[CAST(r.range + 3 AS INTEGER)] AS gram
+         |  FROM w CROSS JOIN range(0, 100000) r
+         |  WHERE r.range <= len(ws) - 3),
+         |h AS (SELECT DISTINCT source,
+         |    CAST('0x' || substring(md5('0|' || gram), 1, 15) AS BIGINT) AS h
+         |  FROM g),
+         |sk AS (SELECT source, h FROM (
+         |    SELECT source, h,
+         |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |    FROM h) WHERE rn <= 128),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |p AS (SELECT a.source AS s1, b.source AS s2
+         |      FROM srcs a JOIN srcs b ON a.source < b.source),
+         |m AS (
+         |  SELECT p.s1, p.s2, sk.h, 1 AS in_a, 0 AS in_b
+         |  FROM p JOIN sk ON sk.source = p.s1
+         |  UNION ALL
+         |  SELECT p.s1, p.s2, sk.h, 0, 1
+         |  FROM p JOIN sk ON sk.source = p.s2),
+         |u AS (SELECT s1, s2, h, max(in_a) AS a, max(in_b) AS b
+         |      FROM m GROUP BY s1, s2, h),
+         |r AS (SELECT *, row_number()
+         |        OVER (PARTITION BY s1, s2 ORDER BY h) AS rn FROM u)
+         |SELECT s1, s2,
+         |  CAST((1000000 * sum(a * b)) // count(*) AS BIGINT) AS j_micro
+         |FROM r WHERE rn <= 128 GROUP BY s1, s2
+         |ORDER BY s1, s2""".stripMargin)
+}
