@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr straight through instead of
+// wrapping every line in sbt's [info]/[error] log prefixes: the bench
+// driver parses graft.Bench's final stdout JSON line, and an "[info] "
+// prefix breaks json.loads on it (BENCH_r*.json "parsed": null r1-r8).
+run / outputStrategy := Some(StdoutOutput)
+// ...and drop sbt's own trailing "[success] Total time" line so the
+// bench's metric JSON is the final line of the whole sbt invocation.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -22,10 +22,14 @@ object Bench {
       // 128 in-memory keys by default — far too conservative for small
       // per-key buffers; keep them hash-based.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
-      // Static conf, default 100 entries: a 130+-query session generates
+      // Static conf, default 100 entries: a 150+-query session generates
       // thousands of whole-stage classes, so the janino cache churns and
-      // the best-of-2 "warm" pass re-compiles every plan from scratch.
-      // Sized to hold the whole registry's generated classes.
+      // warm passes re-compile every plan from scratch. Sizing: the r8
+      // registry (151 queries + 3 skew scenarios) compiles ~2,600 classes
+      // per cold pass (CodegenMetrics, logged per-pass below), so 5000
+      // holds the entire session with ~2x headroom; churn is verified
+      // every bench run by the per-pass compile-count lines — warm-pass
+      // deltas near zero mean no eviction.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       // NOTE: spark.cleaner.periodicGC.interval stays at its 30-minute
       // default ON PURPOSE: a short interval forces full driver GCs
@@ -41,6 +45,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Unpersisting a localCheckpoint'ed RDD (the between-query cleanup
+    // below) logs a WARN per RDD ("lineage has been truncated and cannot
+    // be recomputed") — correct but irrelevant here since no query ever
+    // re-reads another query's checkpoint. Over 150 queries the spam
+    // buries the final metric line, so drop that logger to ERROR.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // Uncounted warmup: JVM/codegen/classloading otherwise lands entirely
     // on whichever query happens to run first.
     try SparkEntry.queries.get("q1_pricing_summary")
@@ -49,64 +60,77 @@ object Bench {
     // Optional comma-separated query filter (dev profiling loop).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     // registry queries + the planted-skew scenarios (BenchSkew): the skew
     // envelope is benched every round alongside the uniform corpus
-    val results = (SparkEntry.queries.toSeq ++ BenchSkew.scenarios.toSeq)
+    val registry = (SparkEntry.queries.toSeq ++ BenchSkew.scenarios.toSeq)
       .sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .zipWithIndex.map { case ((name, fn), i) =>
-      // Broadcast / localCheckpoint blocks from finished queries are
-      // reclaimed lazily by the ContextCleaner (it reacts to driver GC);
-      // over a 130+-query run the backlog distorts later queries' times
-      // (observed: a 2 s query reading 12 s late in the run). A periodic
-      // explicit GC, OUTSIDE the timed window, keeps attribution honest.
-      if (i % 25 == 0 && i > 0) System.gc()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Median-of-N (default 3): a single-shot run cannot distinguish noise
+    // (GC pause, sandbox scheduling, one-off codegen compile) from a real
+    // regression — r8's "16-query regression cluster" sat entirely in
+    // untouched code for exactly this reason. Pass 0 eats plan + codegen
+    // compilation; the median of three discards one-sided outliers.
+    val samples = (0 until passes).map { pass =>
+      val res = registry.zipWithIndex.map { case ((name, fn), i) =>
+        // Broadcast / localCheckpoint blocks from finished queries are
+        // reclaimed lazily by the ContextCleaner (it reacts to driver GC);
+        // over a 150+-query run the backlog distorts later queries' times
+        // (observed: a 2 s query reading 12 s late in the run). A periodic
+        // explicit GC, OUTSIDE the timed window, keeps attribution honest.
+        if (i % 25 == 0 && (i > 0 || pass > 0)) System.gc()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // localCheckpoint blocks (MEMORY_AND_DISK persisted RDDs) from the
+        // query just finished are dead the moment its DataFrame goes out
+        // of scope, but the ContextCleaner only reclaims them after a
+        // driver GC notices the dangling ref — across 150+ queries the
+        // backlog grows to GBs of storage memory and late-run queries pay
+        // for it (observed: one 2 s query reading 35 s). Queries never
+        // share persisted RDDs, so drop them synchronously here, untimed.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        name -> elapsed
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // localCheckpoint blocks (MEMORY_AND_DISK persisted RDDs) from the
-      // query just finished are dead the moment its DataFrame goes out of
-      // scope, but the ContextCleaner only reclaims them after a driver
-      // GC notices the dangling ref — across 140+ queries the backlog
-      // grows to GBs of storage memory and late-run queries pay for it
-      // (observed: one 2 s query reading 35 s). Queries never share
-      // persisted RDDs, so drop them synchronously at this untimed point.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      name -> elapsed
+      // Codegen-cache churn evidence: cumulative janino compile count
+      // after each pass. If the cache holds the whole registry, passes
+      // 2..N add ~nothing; a large warm-pass delta means eviction churn
+      // and the maxEntries conf above needs a bump.
+      val m = org.apache.spark.metrics.source.CodegenMetrics
+      System.err.println(s"[bench] after pass $pass: cumulative codegen " +
+        s"compiled=${m.METRIC_COMPILATION_TIME.getCount} classes")
+      res
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val medians = registry.map(_._1).map { name =>
+      name -> median(samples.map(_.find(_._1 == name).get._2))
     }
     // The harness that consumes this output keeps only the last ~2000
     // characters of stdout; a per-query map over the full registry blows
-    // past that and truncates the JSON mid-line. So: print the full map to
-    // stderr for dev profiling, and keep the stdout JSON line compact — a
-    // representative headline subset, 3-decimal seconds, total over ALL
-    // queries in "value".
-    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // past that and truncates the JSON mid-line. So: print the full map
+    // (with all per-pass samples) to stderr for dev profiling, and keep
+    // the stdout JSON line compact — a representative headline subset,
+    // 3-decimal seconds, total over ALL queries in "value".
+    val full = medians.map { case (k, v) =>
+      val raw = samples.map(_.find(_._1 == k).get._2)
+        .map(t => f"$t%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":{\"median\":" + f"$v%.3f" + ",\"samples\":" + raw + "}"
+    }.mkString("{", ",", "}")
+    System.err.println(s"[bench] per-query seconds: $full")
+    val headlineSet = headline.filter(h => medians.exists(_._1 == h))
+    val qs = medians.filter(r => headlineSet.contains(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    System.err.println(s"[bench] full per-query seconds: $full")
-    // A single execution of each query is dominated by one-shot plan +
-    // whole-stage-codegen compilation (10x the steady-state on some
-    // queries); the headline numbers report best-of-2 so they measure
-    // execution, not javac.
-    val allQueries = SparkEntry.queries ++ BenchSkew.scenarios
-    val headlineSet = headline.filter(h => results.exists(_._1 == h))
-    val warm = results.filter(r => headlineSet.contains(r._1)).map { case (name, t1) =>
-      val t0 = System.nanoTime()
-      try allQueries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val t = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      name -> math.min(t1, t)
-    }
-    val qs = warm.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).sum
+    System.out.flush(); System.err.flush()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${medians.size},"agg":"median","passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 
