@@ -683,10 +683,17 @@ object Dedup {
     * bounded by definition (it is the stratum inventory, same class as
     * [[Curation.stratifiedSample]]'s rates dim; SCALING.md). Pair
     * expansion is two equi-joins of the pair list against the sketch
-    * relation — no cross join, no theta join. */
+    * relation — no cross join, no theta join.
+    *
+    * `maxSources` is the named quadratic-corner guard (SCALING.md
+    * principle 6, same class as `maxBloomBytes` above): the broadcast
+    * pair list is P·(P−1)/2 rows, so a mis-pointed `srcCol` (e.g. a
+    * doc-id column with 10k distinct values) would silently build a
+    * 50M-row broadcast. Fail loudly instead; a catalog genuinely wider
+    * than the default needs the caller to raise the cap consciously. */
   def sourceBottomKSim(docs: DataFrame, n: Int = 3, k: Int = 128,
       srcCol: String = "source", textCol: String = "text",
-      unit: Long = 1000000L): DataFrame = {
+      unit: Long = 1000000L, maxSources: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val hashes = wordShingles(docs, n, idCol = srcCol)
@@ -700,6 +707,12 @@ object Dedup {
     // bounded stratum inventory (see scaladoc) — enumerate ordered pairs
     val sources = sk.select(col("source")).distinct()
       .as[String].collect().sorted
+    require(sources.length <= maxSources,
+      s"sourceBottomKSim: ${sources.length} distinct '$srcCol' values " +
+        s"exceeds maxSources=$maxSources — the pair list is P*(P-1)/2 " +
+        s"rows and would broadcast ${sources.length.toLong * (sources.length - 1) / 2} " +
+        "pairs; check srcCol points at a source/dump column (not an id), " +
+        "or raise maxSources explicitly")
     val pairs = broadcast(
       (for { a <- sources; b <- sources if a < b } yield (a, b))
         .toSeq.toDF("s1", "s2"))

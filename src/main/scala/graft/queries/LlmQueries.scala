@@ -1230,10 +1230,11 @@ object LlmQueries {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
-      """SELECT doc_id, CAST(r.range // 16 AS INTEGER) AS frame_idx,
-        |  CAST(ascii(substring(text, CAST(r.range + 1 AS INTEGER), 1)) AS INTEGER) AS frame_byte
-        |FROM documents CROSS JOIN range(0, 100000, 16) r
-        |WHERE doc_id < 50 AND r.range < length(text)
+      """SELECT doc_id, CAST(r.i // 16 AS INTEGER) AS frame_idx,
+        |  CAST(ascii(substring(text, CAST(r.i + 1 AS INTEGER), 1)) AS INTEGER) AS frame_byte
+        |FROM documents CROSS JOIN LATERAL
+        |  (SELECT unnest(generate_series(0, length(text) - 1, 16)) AS i) r
+        |WHERE doc_id < 50
         |ORDER BY doc_id, frame_idx""".stripMargin,
     // mirror of Multimodal.synthMjpegAvi's construction formula: the AVI
     // round-trips through a real RIFF+JPEG encode/decode on the Spark

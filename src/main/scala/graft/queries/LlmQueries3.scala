@@ -163,11 +163,11 @@ object LlmQueries3 {
       s"""WITH w AS (SELECT source, string_split(${normSql("text")}, ' ') AS ws
          |           FROM documents),
          |g AS (SELECT DISTINCT source,
-         |    ws[CAST(r.range + 1 AS INTEGER)] || ' ' ||
-         |      ws[CAST(r.range + 2 AS INTEGER)] || ' ' ||
-         |      ws[CAST(r.range + 3 AS INTEGER)] AS gram
-         |  FROM w CROSS JOIN range(0, 100000) r
-         |  WHERE r.range <= len(ws) - 3),
+         |    ws[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+         |      ws[CAST(r.i + 2 AS INTEGER)] || ' ' ||
+         |      ws[CAST(r.i + 3 AS INTEGER)] AS gram
+         |  FROM w CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(0, len(ws) - 3)) AS i) r),
          |h AS (SELECT DISTINCT source,
          |    CAST('0x' || substring(md5('0|' || gram), 1, 15) AS BIGINT) AS h
          |  FROM g),

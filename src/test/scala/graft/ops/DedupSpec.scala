@@ -327,6 +327,18 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBloomBytes"))
   }
 
+  test("source-pair guard fails loudly instead of broadcasting P^2 pairs") {
+    import spark.implicits._
+    // 4 distinct sources against maxSources=3: the require must fire at
+    // pair-enumeration time, before any pair join is built.
+    val docs = (1 to 4).map(i => (s"src$i", "a b c d e f"))
+      .toDF("source", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sourceBottomKSim(docs, maxSources = 3)
+    }
+    assert(e.getMessage.contains("maxSources"))
+  }
+
   test("streaming incremental dedup: each batch sees every earlier batch's ledger") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
