@@ -49,6 +49,12 @@ object Pca {
       embCol: String = "embedding"): Array[Long] = {
     // one materialization feeds every iteration's two passes
     val xm = emb.select(toMilli(col(embCol)).as("xm")).localCheckpoint()
+    powerLoop(xm, dim, iters)
+  }
+
+  /** The shared power-iteration loop over a pre-quantized `xm`
+    * (array<long>) relation. */
+  private def powerLoop(xm: DataFrame, dim: Int, iters: Int): Array[Long] = {
     var v = Array.fill(dim)(1000L)
     for (_ <- 1 to iters) {
       val vLit = array(v.map(lit(_)): _*)
@@ -66,6 +72,57 @@ object Pca {
     v
   }
 
+  /** Top-`r` principal directions by power iteration with Hotelling-style
+    * data deflation, all in exact integer arithmetic.
+    *
+    * After each direction v, the training slice is deflated by removing
+    * the v-component of every row:  x' = (x·(v·v) − v·(x·v)) div (v·v) —
+    * the exact-integer form of x − v (x·v)/(v·v), rescaled back to milli
+    * range by the truncating division. The division is sign-split
+    * (sign · (abs div vv)) so Spark's truncate-toward-zero `div` and
+    * DuckDB's flooring `//` agree on negatives and the oracle replays the
+    * whole trajectory bit-exactly.
+    *
+    * Deflation rounding bleeds ≤1 unit per entry per component — power
+    * iteration is self-correcting, so later directions stay accurate;
+    * they are near-orthogonal, not exactly so, same class of statement as
+    * the fixed-iteration (no-convergence-test) training loop itself.
+    *
+    * Overflow envelope: v·v ≤ d·10⁶ and |x·v| ≤ d·|x|∞·10³, so the
+    * deflation numerator is ≤ 2·d²·|x|∞·10⁹ ≈ 2⁵³ for d=64 even after a
+    * couple of deflations (|x'|∞ ≤ |x|∞ + 10³·|x·v|/(v·v) ≤ 65·10³); the
+    * power-iteration passes then bound N by ~3·10⁴ rows — which is why
+    * training runs on the same bounded slice as [[powerDirection]], with
+    * serving corpus-wide as a pure map. */
+  def powerDirections(emb: DataFrame, dim: Int = 64, r: Int = 2,
+      iters: Int = 3, embCol: String = "embedding"): Seq[Array[Long]] = {
+    require(r >= 1 && r <= dim, s"powerDirections: r=$r out of [1, $dim]")
+    var xm = emb.select(toMilli(col(embCol)).as("xm")).localCheckpoint()
+    val dirs = Seq.newBuilder[Array[Long]]
+    for (c <- 1 to r) {
+      val v = powerLoop(xm, dim, iters)
+      dirs += v
+      if (c < r) {
+        val vv = v.map(x => x * x).sum max 1L
+        val vArr = v.mkString("array(", "L, ", "L)")
+        // x' = sign(num) * (abs(num) div vv), num = x*vv - v_j*(x·v):
+        // outer lambda reference (__xv) + integral `div` need the SQL form
+        xm = xm
+          .withColumn("__xv", aggregate(
+            zip_with(col("xm"), array(v.map(lit(_)): _*), (a, b) => a * b),
+            lit(0L), (acc, p) => acc + p))
+          .selectExpr(
+            s"""zip_with(xm, $vArr, (x, vj) -> CASE
+               |  WHEN x * ${vv}L - vj * __xv < 0
+               |  THEN -((-(x * ${vv}L - vj * __xv)) div ${vv}L)
+               |  ELSE (x * ${vv}L - vj * __xv) div ${vv}L END) AS xm"""
+              .stripMargin)
+          .localCheckpoint()
+      }
+    }
+    dirs.result()
+  }
+
   /** Project every embedding onto a trained milli-unit direction — the
     * corpus-wide serve pass, a pure map (micro-unit scores: milli·milli). */
   def projectMicro(emb: DataFrame, v: Array[Long], idCol: String = "vec_id",
@@ -74,5 +131,17 @@ object Pca {
     emb.select(col(idCol),
       aggregate(zip_with(toMilli(col(embCol)), vLit, (a, b) => a * b),
         lit(0L), (acc, p) => acc + p).as("proj_micro"))
+  }
+
+  /** Corpus-wide serve for a trained direction list — one `pc<i>_micro`
+    * score column per direction, still a single pure-map pass (the
+    * directions ride along as literals; nothing N-dependent). */
+  def projectMicroTopR(emb: DataFrame, dirs: Seq[Array[Long]],
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val xm = toMilli(col(embCol))
+    emb.select(col(idCol) +: dirs.zipWithIndex.map { case (v, i) =>
+      aggregate(zip_with(xm, array(v.map(lit(_)): _*), (a, b) => a * b),
+        lit(0L), (acc, p) => acc + p).as(s"pc${i + 1}_micro")
+    }: _*)
   }
 }

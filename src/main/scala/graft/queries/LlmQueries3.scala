@@ -40,6 +40,17 @@ object LlmQueries3 {
     Pca.projectMicro(emb, v).orderBy(col("vec_id"))
   }
 
+  /** Top-2 principal components via power iteration + integer-exact
+    * deflation ([[Pca.powerDirections]]), trained on the bounded slice
+    * and served corpus-wide as one pure-map pass with both score
+    * columns. */
+  def embPcaTopR(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val dirs = Pca.powerDirections(emb.filter(col("vec_id") < 2000),
+      dim = 64, r = 2, iters = 3)
+    Pca.projectMicroTopR(emb, dirs).orderBy(col("vec_id"))
+  }
+
   /** Deterministic label-propagation communities (2 sweeps, min-label
     * ties) over the same near-dup edge relation as `graph_pagerank`. */
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
@@ -61,6 +72,7 @@ object LlmQueries3 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> (textBm25TopK _),
     "emb_pca_project" -> (embPcaProject _),
+    "emb_pca_topr" -> (embPcaTopR _),
     "graph_label_prop" -> (graphLabelProp _),
     "source_bottomk_sim" -> (sourceBottomkSim _))
 
@@ -68,19 +80,26 @@ object LlmQueries3 {
 
   // Unrolled power-iteration replay: y = X·v, u = Xᵀ·y, then the
   // sign-split renormalization (abs before //, so floor == truncate).
-  private val pcaIterCtes = (1 to 3).map { i =>
-    s"""y$i AS (SELECT x.vec_id, CAST(sum(x.x * v${i - 1}.v) AS BIGINT) AS y
-       |  FROM xm x JOIN v${i - 1} ON v${i - 1}.idx = x.idx
+  // Parameterized by the data-relation name and a CTE-name prefix so the
+  // deflated second component replays with the same template. Every CTE
+  // is MATERIALIZED: DuckDB inlines multiply-referenced CTEs, and an
+  // unrolled iteration chain re-evaluates exponentially in depth without
+  // the hint (observed: the 2-component chain never finished).
+  private def pcaIters(xm: String, p: String) = (1 to 3).map { i =>
+    s"""${p}y$i AS MATERIALIZED (SELECT x.vec_id, CAST(sum(x.x * ${p}v${i - 1}.v) AS BIGINT) AS y
+       |  FROM $xm x JOIN ${p}v${i - 1} ON ${p}v${i - 1}.idx = x.idx
        |  GROUP BY x.vec_id),
-       |u$i AS (SELECT x.idx, CAST(sum(x.x * y$i.y) AS BIGINT) AS u
-       |  FROM xm x JOIN y$i ON y$i.vec_id = x.vec_id
+       |${p}u$i AS MATERIALIZED (SELECT x.idx, CAST(sum(x.x * ${p}y$i.y) AS BIGINT) AS u
+       |  FROM $xm x JOIN ${p}y$i ON ${p}y$i.vec_id = x.vec_id
        |  GROUP BY x.idx),
-       |m$i AS (SELECT greatest(max(abs(u)), 1) AS m FROM u$i),
-       |v$i AS (SELECT idx, CAST(CASE WHEN u < 0
-       |    THEN -((abs(u) * 1000) // (SELECT m FROM m$i))
-       |    ELSE (abs(u) * 1000) // (SELECT m FROM m$i) END AS BIGINT) AS v
-       |  FROM u$i)""".stripMargin
+       |${p}m$i AS MATERIALIZED (SELECT greatest(max(abs(u)), 1) AS m FROM ${p}u$i),
+       |${p}v$i AS MATERIALIZED (SELECT idx, CAST(CASE WHEN u < 0
+       |    THEN -((abs(u) * 1000) // (SELECT m FROM ${p}m$i))
+       |    ELSE (abs(u) * 1000) // (SELECT m FROM ${p}m$i) END AS BIGINT) AS v
+       |  FROM ${p}u$i)""".stripMargin
   }.mkString(",\n")
+
+  private val pcaIterCtes = pcaIters("xm", "")
 
   // Synchronous LPA replay: neighbor-label counts, then argmax by
   // (count DESC, label ASC) — the window form of max(struct(c, -lbl)).
@@ -132,6 +151,36 @@ object LlmQueries3 {
          |  FROM embeddings CROSS JOIN range(64) r)
          |SELECT x.vec_id, CAST(sum(x.x * v3.v) AS BIGINT) AS proj_micro
          |FROM xall x JOIN v3 ON v3.idx = x.idx
+         |GROUP BY x.vec_id
+         |ORDER BY x.vec_id""".stripMargin,
+    "emb_pca_topr" ->
+      s"""WITH xm AS MATERIALIZED (SELECT vec_id, CAST(r.range AS INTEGER) AS idx,
+         |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)
+         |      * 1000) AS BIGINT) AS x
+         |  FROM embeddings CROSS JOIN range(64) r WHERE vec_id < 2000),
+         |v0 AS (SELECT CAST(r.range AS INTEGER) AS idx,
+         |    CAST(1000 AS BIGINT) AS v FROM range(64) r),
+         |${pcaIters("xm", "")},
+         |vv AS MATERIALIZED (SELECT CAST(sum(v * v) AS BIGINT) AS vv FROM v3),
+         |xv AS MATERIALIZED (SELECT x.vec_id, CAST(sum(x.x * v3.v) AS BIGINT) AS xv
+         |  FROM xm x JOIN v3 ON v3.idx = x.idx GROUP BY x.vec_id),
+         |xm2 AS MATERIALIZED (SELECT x.vec_id, x.idx,
+         |    CAST(CASE WHEN x.x * vv.vv - v3.v * xv.xv < 0
+         |      THEN -((-(x.x * vv.vv - v3.v * xv.xv)) // vv.vv)
+         |      ELSE (x.x * vv.vv - v3.v * xv.xv) // vv.vv END AS BIGINT) AS x
+         |  FROM xm x JOIN v3 ON v3.idx = x.idx
+         |    JOIN xv ON xv.vec_id = x.vec_id CROSS JOIN vv),
+         |bv0 AS (SELECT CAST(r.range AS INTEGER) AS idx,
+         |    CAST(1000 AS BIGINT) AS v FROM range(64) r),
+         |${pcaIters("xm2", "b")},
+         |xall AS (SELECT vec_id, CAST(r.range AS INTEGER) AS idx,
+         |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)
+         |      * 1000) AS BIGINT) AS x
+         |  FROM embeddings CROSS JOIN range(64) r)
+         |SELECT x.vec_id,
+         |  CAST(sum(x.x * a.v) AS BIGINT) AS pc1_micro,
+         |  CAST(sum(x.x * b.v) AS BIGINT) AS pc2_micro
+         |FROM xall x JOIN v3 a ON a.idx = x.idx JOIN bv3 b ON b.idx = x.idx
          |GROUP BY x.vec_id
          |ORDER BY x.vec_id""".stripMargin,
     "graph_label_prop" ->

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PcaSpec extends SparkSpec {
+
+  private def syntheticEmb(n: Int, dim: Int) = {
+    import spark.implicits._
+    // deterministic anisotropic cloud: strong variance on axis 0, weaker
+    // on axis 1, noise elsewhere — the planted spectrum the power method
+    // must recover
+    (0 until n).map { i =>
+      val arr = Array.tabulate(dim) { j =>
+        val base = ((i * 31 + j * 17) % 97 - 48) / 970.0f
+        if (j == 0) ((i % 19) - 9) / 10.0f
+        else if (j == 1) ((i % 7) - 3) / 12.0f + base / 4
+        else base / 10
+      }
+      (i.toLong, arr)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("powerDirections: r directions, deterministic, near-orthogonal") {
+    val emb = syntheticEmb(300, 16)
+    val d1 = Pca.powerDirections(emb, dim = 16, r = 2, iters = 3)
+    val d2 = Pca.powerDirections(emb, dim = 16, r = 2, iters = 3)
+    assert(d1.size == 2)
+    assert(d1.map(_.toSeq) == d2.map(_.toSeq), "training is not deterministic")
+    assert(d1.head.toSeq == Pca.powerDirection(emb, dim = 16, iters = 3).toSeq,
+      "leading direction must match the single-component trainer")
+    // deflation must remove the leading component: cos(v1, v2) well under
+    // the cos between v1 and a random axis-ish vector
+    val Seq(v1, v2) = d1.map(_.map(_.toDouble))
+    val cos = math.abs(v1.zip(v2).map { case (a, b) => a * b }.sum) /
+      (math.sqrt(v1.map(x => x * x).sum) * math.sqrt(v2.map(x => x * x).sum))
+    assert(cos < 0.15, s"directions not near-orthogonal: |cos|=$cos")
+  }
+
+  test("projectMicroTopR: one score column per direction, pure map") {
+    val emb = syntheticEmb(50, 16)
+    val dirs = Pca.powerDirections(emb, dim = 16, r = 2, iters = 2)
+    val out = Pca.projectMicroTopR(emb, dirs)
+    assert(out.columns.toSeq == Seq("vec_id", "pc1_micro", "pc2_micro"))
+    assert(out.count() == 50)
+    // serve is a map: no exchange in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"serve pass shuffles:\n$plan")
+  }
+}
