@@ -773,9 +773,15 @@ object TextAnalysis {
     * which the `isin(terms)` filter shrinks to query-matching rows
     * BEFORE its shuffle; df and the (L, N) totals are query-sized /
     * one-row broadcasts; the final top-k is a TakeOrderedAndProject
-    * (per-task heaps, no global sort). Overflow envelope:
-    * unit·22·tf·L needs tf·L ≲ 4·10¹¹ per long — beyond that, serve
-    * from DECIMAL(38,0) or pre-reduced per-shard (tf, dl) relations. */
+    * (per-task heaps, no global sort). Overflow envelope: the binding
+    * long constraint is tf_micro's unit·22·tf·L term, tf·L ≲ 4·10¹¹ —
+    * beyond that, serve from DECIMAL(38,0) or pre-reduced per-shard
+    * (tf, dl) relations. The per-term product __idf·__tfp is NOT long
+    * arithmetic: with df=1, idf ≈ 0.67·unit·N and tfp tops out at
+    * 2.2·unit, so the product wraps a long around N ≈ 6·10⁶ docs — it
+    * is therefore computed in DECIMAL(38,0) (HUGEINT in the oracle),
+    * which carries it exactly to N ~ 10¹⁸ before the div-unit brings
+    * the per-term score back into long range. */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 50,
       unit: Long = 1000000L, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -794,11 +800,63 @@ object TextAnalysis {
       .withColumn("__idf", expr(s"($unit * (2*(N - df) + 1)) div (2*df + 1)"))
       .withColumn("__tfp",
         expr(s"($unit * 22 * tf * L) div (10*tf*L + 3*L + 9*dl*N)"))
-      .withColumn("__s", expr(s"(__idf * __tfp) div $unit"))
+      .withColumn("__s", expr("(CAST(__idf AS DECIMAL(38,0)) * " +
+        s"CAST(__tfp AS DECIMAL(38,0))) div $unit"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("__s")).as("bm25_micro"))
       .orderBy(col("bm25_micro").desc, col("id"))
       .limit(k)
       .select(col("id").as(idCol), col("n_terms"), col("bm25_micro"))
+  }
+
+  /** BM25 retrieval for a SET of queries — the batch-retrieval form a
+    * real RAG / data-search pipeline runs (score N queries against the
+    * corpus in one pass), where [[bm25TopK]] is the single-query
+    * primitive. `queries` carries (query_id, terms array).
+    *
+    * Same rational scoring as [[bm25TopK]] (scaladoc there, overflow
+    * envelope included). The multi-query shape: the distinct term
+    * vocabulary across ALL queries gates the tf relation with a
+    * broadcast semi-join BEFORE its shuffle (one corpus pass no matter
+    * how many queries); per-corpus df comes from that same tf relation;
+    * the (term → query) fan-out is a broadcast equi-join of
+    * query-catalog size; and top-k is a per-query window — partitioned
+    * by query_id, never global, so adding queries adds partitions, not
+    * sort depth. */
+  def bm25MultiQuery(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      unit: Long = 1000000L, idCol: String = "doc_id",
+      textCol: String = "text", qidCol: String = "query_id",
+      termsCol: String = "terms"): DataFrame = {
+    val qt = queries.select(col(qidCol).as("qid"),
+      explode(col(termsCol)).as("w")).distinct()
+    val words = docs
+      .select(col(idCol).as("id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val dl = words.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("L"), count(lit(1)).as("N"))
+    val tf = words
+      .join(broadcast(qt.select(col("w")).distinct()), Seq("w"), "leftsemi")
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(qt), Seq("w"))
+      .join(dl, Seq("id"))
+      .join(broadcast(dfRel), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", expr(s"($unit * (2*(N - df) + 1)) div (2*df + 1)"))
+      .withColumn("__tfp",
+        expr(s"($unit * 22 * tf * L) div (10*tf*L + 3*L + 9*dl*N)"))
+      .withColumn("__s", expr("(CAST(__idf AS DECIMAL(38,0)) * " +
+        s"CAST(__tfp AS DECIMAL(38,0))) div $unit"))
+      .groupBy(col("qid"), col("id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__s")).as("bm25_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("bm25_micro").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid").as(qidCol), col("id").as(idCol), col("rk"),
+        col("n_terms"), col("bm25_micro"))
   }
 }

@@ -23,11 +23,30 @@ object LlmQueries3 {
     * candidate set spans sources; shared with the oracle literal list. */
   private val Bm25Terms = Seq("spark", "join", "window", "stream")
 
+  /** The multi-query BM25 catalog — distinct lexical fields per query so
+    * the per-query rankings genuinely differ; shared with the oracle's
+    * VALUES list. */
+  private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join", "window"),
+    2 -> Seq("stream", "window"),
+    3 -> Seq("data", "table", "query"),
+    4 -> Seq("spark", "stream"))
+
   /** BM25 top-50 retrieval (integer-exact variant; see
     * [[TextAnalysis.bm25TopK]]). */
   def textBm25TopK(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25TopK(T.par(spark, T.t(spark, dir, "documents")),
       Bm25Terms, k = 50)
+
+  /** Batch BM25: 4 queries scored in one corpus pass, top-10 each via
+    * the per-query window ([[TextAnalysis.bm25MultiQuery]]). */
+  def textBm25MultiQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Bm25Queries.toDF("query_id", "terms")
+    TextAnalysis.bm25MultiQuery(
+        T.par(spark, T.t(spark, dir, "documents")), qs, k = 10)
+      .orderBy(col("query_id"), col("rk"))
+  }
 
   /** Leading principal component by 3 power iterations (milli-unit
     * integers), trained on the bounded `vec_id < 2000` slice and served
@@ -71,6 +90,7 @@ object LlmQueries3 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> (textBm25TopK _),
+    "text_bm25_multiquery" -> (textBm25MultiQuery _),
     "emb_pca_project" -> (embPcaProject _),
     "emb_pca_topr" -> (embPcaTopR _),
     "graph_label_prop" -> (graphLabelProp _),
@@ -133,10 +153,41 @@ object LlmQueries3 {
          |      // (10 * tf.tf * st.l + 3 * st.l + 9 * dl.dl * st.n)) AS tfp
          |  FROM tf JOIN dl USING (id) JOIN dfr USING (w) CROSS JOIN st)
          |SELECT id AS doc_id, count(*) AS n_terms,
-         |  CAST(sum((idf * tfp) // 1000000) AS BIGINT) AS bm25_micro
+         |  CAST(sum((CAST(idf AS HUGEINT) * tfp) // 1000000) AS BIGINT) AS bm25_micro
          |FROM sc GROUP BY id
          |ORDER BY bm25_micro DESC, doc_id
          |LIMIT 50""".stripMargin,
+    "text_bm25_multiquery" ->
+      s"""WITH qt(qid, w) AS (VALUES ${Bm25Queries.flatMap { case (q, ts) =>
+              ts.map(t => s"($q, '$t')") }.mkString(", ")}),
+         |wf AS (
+         |  SELECT doc_id AS id, w.w
+         |  FROM documents,
+         |       unnest(string_split(${normSql("text")}, ' ')) AS w(w)
+         |  WHERE w.w <> ''),
+         |dl AS (SELECT id, count(*) AS dl FROM wf GROUP BY id),
+         |st AS (SELECT CAST(sum(dl) AS BIGINT) AS l, count(*) AS n FROM dl),
+         |tf AS (SELECT id, w, count(*) AS tf FROM wf
+         |       WHERE w IN (SELECT w FROM qt)
+         |       GROUP BY id, w),
+         |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |sc AS (SELECT qt.qid, tf.id,
+         |    ((1000000 * (2 * (st.n - dfr.df) + 1)) // (2 * dfr.df + 1))
+         |      AS idf,
+         |    ((1000000 * 22 * tf.tf * st.l)
+         |      // (10 * tf.tf * st.l + 3 * st.l + 9 * dl.dl * st.n)) AS tfp
+         |  FROM tf JOIN qt USING (w) JOIN dl USING (id)
+         |    JOIN dfr USING (w) CROSS JOIN st),
+         |agg AS (SELECT qid, id, count(*) AS n_terms,
+         |    CAST(sum((CAST(idf AS HUGEINT) * tfp) // 1000000) AS BIGINT)
+         |      AS bm25_micro
+         |  FROM sc GROUP BY qid, id)
+         |SELECT qid AS query_id, id AS doc_id, CAST(rk AS INTEGER) AS rk,
+         |  n_terms, bm25_micro
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY bm25_micro DESC, id) AS rk FROM agg)
+         |WHERE rk <= 10
+         |ORDER BY query_id, rk""".stripMargin,
     "emb_pca_project" ->
       s"""WITH xm AS (SELECT vec_id, CAST(r.range AS INTEGER) AS idx,
          |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)
