@@ -425,24 +425,7 @@ object TextAnalysis {
     * and `unit·(c+1)` holds to ~9·10¹² occurrences of one n-gram. */
   def trigramLmScore(docs: DataFrame, unit: Long = 1000000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tg = docs
-      .withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
-      .filter(size(col("__w")) >= 3)
-      .select(col(idCol).as("id"), explode(transform(
-        sequence(lit(0), size(col("__w")) - 3),
-        i => struct(
-          concat_ws(" ", element_at(col("__w"), i + 1),
-            element_at(col("__w"), i + 2),
-            element_at(col("__w"), i + 3)).as("t"),
-          concat_ws(" ", element_at(col("__w"), i + 1),
-            element_at(col("__w"), i + 2)).as("b12"),
-          concat_ws(" ", element_at(col("__w"), i + 2),
-            element_at(col("__w"), i + 3)).as("b23"),
-          element_at(col("__w"), i + 2).as("w2"),
-          element_at(col("__w"), i + 3).as("w3"))))
-        .as("__p"))
-      .select(col("id"), col("__p.t").as("t"), col("__p.b12").as("b12"),
-        col("__p.b23").as("b23"), col("__p.w2").as("w2"), col("__p.w3").as("w3"))
+    val tg = trigramRelation(docs, idCol, textCol)
     // ONE corpus pass trains every order's counts: the per-doc trigram
     // relation is reduced and localCheckpoint'ed first, and every
     // count relation (each order, its marginals, V/N) derives from that
@@ -471,6 +454,99 @@ object TextAnalysis {
       .withColumn("__p3", expr(s"($unit * (c3 + 1)) div (ctx2 + __v)"))
       .withColumn("__p2", expr(s"($unit * (c23 + 1)) div (ctx1 + __v)"))
       .withColumn("__p1", expr(s"($unit * (c1 + 1)) div (__n + __v)"))
+      .withColumn("__s", expr("(4 * __p3 + 2 * __p2 + __p1) div 7"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_trigrams"),
+        expr("sum(n * __s) div sum(n)").as("lm3_micro"))
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("lm3_micro"), lit(0L)).as("lm3_micro"))
+  }
+
+  /** The per-doc trigram relation both the inline scorer and the
+    * train/serve split explode exactly once: (id, trigram, its two
+    * bigrams, middle and last word). */
+  private def trigramRelation(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
+      .filter(size(col("__w")) >= 3)
+      .select(col(idCol).as("id"), explode(transform(
+        sequence(lit(0), size(col("__w")) - 3),
+        i => struct(
+          concat_ws(" ", element_at(col("__w"), i + 1),
+            element_at(col("__w"), i + 2),
+            element_at(col("__w"), i + 3)).as("t"),
+          concat_ws(" ", element_at(col("__w"), i + 1),
+            element_at(col("__w"), i + 2)).as("b12"),
+          concat_ws(" ", element_at(col("__w"), i + 2),
+            element_at(col("__w"), i + 3)).as("b23"),
+          element_at(col("__w"), i + 2).as("w2"),
+          element_at(col("__w"), i + 3).as("w3"))))
+        .as("__p"))
+      .select(col("id"), col("__p.t").as("t"), col("__p.b12").as("b12"),
+        col("__p.b23").as("b23"), col("__p.w2").as("w2"), col("__p.w3").as("w3"))
+
+  /** Train the trigram-LM count relations on a (bounded or full) corpus
+    * slice — the KenLM count-file step, one exploded pass, three
+    * distinct-n-gram-sized relations out: (t, b12) → c3, (b23, w2) → c23,
+    * w3 → c1. Everything the serve pass needs (context marginals, N, V)
+    * derives from these three by summation, so they ARE the model —
+    * persist them via [[graft.sources.Artifacts.saveLmCounts]] and score
+    * any corpus anywhere ([[scoreTrigramCounts]]) without touching the
+    * training corpus again. */
+  def trainTrigramCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame, DataFrame) = {
+    val dt = trigramRelation(docs, idCol, textCol)
+      .groupBy(col("id"), col("t"), col("b12"), col("b23"),
+        col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    (dt.groupBy(col("t"), col("b12")).agg(sum(col("n")).as("c3")),
+      dt.groupBy(col("b23"), col("w2")).agg(sum(col("n")).as("c23")),
+      dt.groupBy(col("w3")).agg(sum(col("n")).as("c1")))
+  }
+
+  /** Serve a trained trigram LM over ANY corpus — the score-everywhere
+    * half of the train-once split. Same interpolated-backoff formula as
+    * [[trigramLmScore]], but counts come from the (loaded) model
+    * relations, joined LEFT so n-grams the model never saw score at
+    * their Laplace floor (count 0 → (0+1) numerator) instead of
+    * dropping out — the correct open-vocabulary behavior.
+    *
+    * Scale shape: context marginals and the (N, V) one-row broadcast
+    * are re-derived from the count relations (model-sized, not
+    * corpus-sized); the serve corpus is exploded once and scored by
+    * vocabulary-keyed equi-joins — identical join plan to the inline
+    * scorer, with the model side typically much smaller than the
+    * serve corpus. */
+  def scoreTrigramCounts(docs: DataFrame, c3: DataFrame, c23: DataFrame,
+      c1: DataFrame, unit: Long = 1000000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ctx2 = c3.groupBy(col("b12")).agg(sum(col("c3")).as("ctx2"))
+    val ctx1 = c23.groupBy(col("w2")).agg(sum(col("c23")).as("ctx1"))
+    val nv = c1.agg(sum(col("c1")).as("__n"), count(lit(1)).as("__v"))
+    val dt = trigramRelation(docs, idCol, textCol)
+      .groupBy(col("id"), col("t"), col("b12"), col("b23"),
+        col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n"))
+    val scored = dt
+      .join(c3.select(col("t"), col("c3")), Seq("t"), "left")
+      .join(ctx2, Seq("b12"), "left")
+      .join(c23.select(col("b23"), col("c23")), Seq("b23"), "left")
+      .join(ctx1, Seq("w2"), "left")
+      .join(c1, Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("__c3", coalesce(col("c3"), lit(0L)))
+      .withColumn("__x2", coalesce(col("ctx2"), lit(0L)))
+      .withColumn("__c23", coalesce(col("c23"), lit(0L)))
+      .withColumn("__x1", coalesce(col("ctx1"), lit(0L)))
+      .withColumn("__c1", coalesce(col("c1"), lit(0L)))
+      .withColumn("__p3", expr(s"($unit * (__c3 + 1)) div (__x2 + __v)"))
+      .withColumn("__p2", expr(s"($unit * (__c23 + 1)) div (__x1 + __v)"))
+      .withColumn("__p1", expr(s"($unit * (__c1 + 1)) div (__n + __v)"))
       .withColumn("__s", expr("(4 * __p3 + 2 * __p2 + __p1) div 7"))
       .groupBy(col("id"))
       .agg(sum(col("n")).as("n_trigrams"),

@@ -59,6 +59,24 @@ object LlmQueries3 {
     Pca.projectMicro(emb, v).orderBy(col("vec_id"))
   }
 
+  /** Trigram-LM train-once / persist / score-everywhere under the gate:
+    * count relations trained on the bounded doc_id < 500 slice, written
+    * through [[graft.sources.Artifacts.saveLmCounts]] (KenLM-style
+    * distributed count files), loaded back, and served corpus-wide with
+    * open-vocabulary Laplace floors for unseen n-grams
+    * ([[TextAnalysis.scoreTrigramCounts]]). */
+  def artifactLmServe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Artifacts
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    val (c3, c23, c1) =
+      TextAnalysis.trainTrigramCounts(docs.filter(col("doc_id") < 500))
+    Artifacts.saveLmCounts(spark, s"$tmp/lm", c3, c23, c1)
+    val (l3, l23, l1) = Artifacts.loadLmCounts(spark, s"$tmp/lm")
+    TextAnalysis.scoreTrigramCounts(docs, l3, l23, l1)
+      .orderBy(col("doc_id"))
+  }
+
   /** Top-2 principal components via power iteration + integer-exact
     * deflation ([[Pca.powerDirections]]), trained on the bounded slice
     * and served corpus-wide as one pure-map pass with both score
@@ -93,6 +111,7 @@ object LlmQueries3 {
     "text_bm25_multiquery" -> (textBm25MultiQuery _),
     "emb_pca_project" -> (embPcaProject _),
     "emb_pca_topr" -> (embPcaTopR _),
+    "artifact_lm_serve" -> (artifactLmServe _),
     "graph_label_prop" -> (graphLabelProp _),
     "source_bottomk_sim" -> (sourceBottomkSim _))
 
@@ -204,6 +223,52 @@ object LlmQueries3 {
          |FROM xall x JOIN v3 ON v3.idx = x.idx
          |GROUP BY x.vec_id
          |ORDER BY x.vec_id""".stripMargin,
+    // Train/serve trigram-LM replay: counts from the doc_id < 500 slice,
+    // scoring over the full corpus with LEFT joins + Laplace floors for
+    // unseen n-grams (coalesce(c, 0) + 1). MATERIALIZED for the same
+    // multi-consumer reason as text_lm_trigram's oracle.
+    "artifact_lm_serve" ->
+      s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+         |           FROM documents),
+         |tg AS MATERIALIZED (SELECT doc_id,
+         |         ws[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+         |           ws[CAST(r.i + 2 AS INTEGER)] || ' ' ||
+         |           ws[CAST(r.i + 3 AS INTEGER)] AS t,
+         |         ws[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+         |           ws[CAST(r.i + 2 AS INTEGER)] AS b12,
+         |         ws[CAST(r.i + 2 AS INTEGER)] || ' ' ||
+         |           ws[CAST(r.i + 3 AS INTEGER)] AS b23,
+         |         ws[CAST(r.i + 2 AS INTEGER)] AS w2,
+         |         ws[CAST(r.i + 3 AS INTEGER)] AS w3
+         |       FROM w CROSS JOIN LATERAL
+         |         (SELECT unnest(generate_series(0, len(ws) - 3)) AS i) r),
+         |tr AS MATERIALIZED (SELECT * FROM tg WHERE doc_id < 500),
+         |c3 AS (SELECT t, count(*) AS c3 FROM tr GROUP BY t),
+         |x2 AS (SELECT b12, count(*) AS ctx2 FROM tr GROUP BY b12),
+         |c23 AS (SELECT b23, count(*) AS c23 FROM tr GROUP BY b23),
+         |x1 AS (SELECT w2, count(*) AS ctx1 FROM tr GROUP BY w2),
+         |c1 AS (SELECT w3, count(*) AS c1 FROM tr GROUP BY w3),
+         |nv AS MATERIALIZED (SELECT count(*) AS n, count(DISTINCT w3) AS v
+         |      FROM tr),
+         |dt AS (SELECT doc_id, t, b12, b23, w2, w3, count(*) AS n
+         |       FROM tg GROUP BY 1, 2, 3, 4, 5, 6),
+         |s AS (SELECT dt.doc_id, CAST(sum(dt.n) AS BIGINT) AS n_trigrams,
+         |        CAST(sum(dt.n * ((4 * ((1000000 * (coalesce(c3.c3, 0) + 1))
+         |                               // (coalesce(x2.ctx2, 0) + nv.v))
+         |                        + 2 * ((1000000 * (coalesce(c23.c23, 0) + 1))
+         |                               // (coalesce(x1.ctx1, 0) + nv.v))
+         |                        +     ((1000000 * (coalesce(c1.c1, 0) + 1))
+         |                               // (nv.n + nv.v))) // 7))
+         |          // sum(dt.n) AS BIGINT) AS lm3_micro
+         |      FROM dt LEFT JOIN c3 USING (t) LEFT JOIN x2 USING (b12)
+         |           LEFT JOIN c23 USING (b23) LEFT JOIN x1 USING (w2)
+         |           LEFT JOIN c1 USING (w3)
+         |           CROSS JOIN nv
+         |      GROUP BY dt.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         |  CAST(coalesce(s.lm3_micro, 0) AS BIGINT) AS lm3_micro
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "emb_pca_topr" ->
       s"""WITH xm AS MATERIALIZED (SELECT vec_id, CAST(r.range AS INTEGER) AS idx,
          |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)

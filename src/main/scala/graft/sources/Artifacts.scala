@@ -72,4 +72,24 @@ object Artifacts {
   def loadBpeMerges(spark: SparkSession, path: String): Seq[(String, String)] =
     spark.read.parquet(path).orderBy(col("rank")).collect()
       .map(r => r.getString(1) -> r.getString(2)).toSeq
+
+  /** Trigram-LM count relations ([[graft.ops.TextAnalysis.trainTrigramCounts]])
+    * — the one artifact here that is NOT driver-sized: n-gram count
+    * tables are vocabulary-scale, so they persist as distributed
+    * DataFrames (no coalesce(1), no collect — KenLM's count files,
+    * parquet-shaped) and load back as DataFrames for the serve-side
+    * equi-joins of [[graft.ops.TextAnalysis.scoreTrigramCounts]]. */
+  def saveLmCounts(spark: SparkSession, path: String,
+      c3: org.apache.spark.sql.DataFrame, c23: org.apache.spark.sql.DataFrame,
+      c1: org.apache.spark.sql.DataFrame): Unit = {
+    c3.write.mode(SaveMode.Overwrite).parquet(s"$path/c3")
+    c23.write.mode(SaveMode.Overwrite).parquet(s"$path/c23")
+    c1.write.mode(SaveMode.Overwrite).parquet(s"$path/c1")
+  }
+
+  def loadLmCounts(spark: SparkSession, path: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) =
+    (spark.read.parquet(s"$path/c3"), spark.read.parquet(s"$path/c23"),
+      spark.read.parquet(s"$path/c1"))
 }

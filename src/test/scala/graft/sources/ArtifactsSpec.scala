@@ -46,6 +46,35 @@ class ArtifactsSpec extends SparkSpec {
     assert(t1.zip(t2).forall { case (a, b) => a == b })
   }
 
+  test("trigram-LM counts round-trip and serve identically to inline scoring") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("artifacts").toString
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "a dog ran over the mat"),
+      (4L, "the cat ran over a hat"),
+      (5L, "entirely novel words appear here now")).toDF("doc_id", "text")
+    val (c3, c23, c1) = TextAnalysis.trainTrigramCounts(docs)
+    Artifacts.saveLmCounts(spark, s"$tmp/lm", c3, c23, c1)
+    val (l3, l23, l1) = Artifacts.loadLmCounts(spark, s"$tmp/lm")
+    // same-corpus serve through the loaded artifact == the inline scorer
+    // (every n-gram is in-vocabulary, so the left joins never null)
+    val inline = TextAnalysis.trigramLmScore(docs)
+      .collect().map(_.toSeq).toSet
+    val served = TextAnalysis.scoreTrigramCounts(docs, l3, l23, l1)
+      .collect().map(_.toSeq).toSet
+    assert(inline == served, "artifact serve diverged from inline scoring")
+    // open vocabulary: a doc the model never saw still scores (Laplace
+    // floor), it does not drop out or null
+    val unseen = Seq((9L, "completely fresh trigram content today"))
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.scoreTrigramCounts(unseen, l3, l23, l1)
+      .collect().head
+    assert(row.getLong(1) == 3L, "unseen doc lost its trigram count")
+    assert(row.getLong(2) > 0L, "unseen doc must score the Laplace floor, not 0")
+  }
+
   test("micro centroids round-trip exactly and drive ivfTopKWithMicro identically") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("artifacts").toString
