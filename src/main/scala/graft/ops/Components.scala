@@ -282,10 +282,18 @@ object Components {
     * The argmax-by-(count, min-label) is a single combine aggregate —
     * `max(struct(count, -label))` — not a per-vertex window, so each
     * iteration is exactly two shuffles (neighbor-label join keyed by
-    * vertex, then the argmax agg). Edge state is `localCheckpoint`ed
-    * once and per-iteration label relations are checkpointed like the
-    * connected-components loop; iteration count is fixed and small
-    * (community cores stabilize in 2-5 sweeps on near-dup graphs).
+    * vertex, then the argmax agg). Edge state is lazily
+    * `localCheckpoint`ed (no job until the first sweep consumes it) and
+    * per-iteration label relations are checkpointed like the
+    * connected-components loop.
+    *
+    * `iters` is the sweep BUDGET, not a fixed count: after each sweep an
+    * order-independent label checksum (the CC loop's fixpoint trick)
+    * stops the loop as soon as a sweep changed nothing. Synchronous LPA
+    * at a fixpoint stays fixed — sweep(L) = L implies every later sweep
+    * returns L — so early exit is result-identical to running the full
+    * budget, and the unrolled oracle stays valid while deep community
+    * structures can be given a large budget without plan blowup.
     *
     * Output: (id, community) for every non-isolated vertex. */
   def labelPropagation(pairs: DataFrame, iters: Int = 2,
@@ -295,11 +303,14 @@ object Components {
       .filter(col("u") =!= col("v")).distinct()
     val edges = und
       .unionByName(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+      .localCheckpoint(false)
+    var prev = labelChecksum(labels)
+    var converged = false
+    var it = 0
+    while (it < iters && !converged) {
       val cnt = edges
         .join(labels.select(col("id").as("v"), col("lbl")), Seq("v"))
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -308,7 +319,20 @@ object Components {
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("u").as("id"), (-col("m.nl")).as("lbl"))
         .localCheckpoint(false)
+      val cur = labelChecksum(labels)
+      converged = cur == prev
+      prev = cur
+      it += 1
     }
     labels.select(col("id"), col("lbl").as("community"))
+  }
+
+  /** Order-independent checksum of a label assignment (one scalar
+    * action) — same xor-of-hashes form as the edge [[checksum]]. */
+  private def labelChecksum(labels: DataFrame): (Long, Long) = {
+    val r = labels.agg(
+      coalesce(expr("bit_xor(xxhash64(id, lbl))"), lit(0L)),
+      count(lit(1))).head()
+    (r.getLong(0), r.getLong(1))
   }
 }

@@ -135,4 +135,23 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == got)
   }
+
+  test("labelPropagation: min-label communities, budget-invariant fixpoint") {
+    import spark.implicits._
+    // two cliques bridged by nothing: labels collapse to each clique's
+    // minimum id within 2 sweeps
+    val cliqueA = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cliqueB = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val pairs = (cliqueA ++ cliqueB).toDF("id_a", "id_b")
+    val r2 = Components.labelPropagation(pairs, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == ((1L to 4L).map(_ -> 1L) ++ (10L to 13L).map(_ -> 10L)).toMap,
+      s"got $r2")
+    // a large sweep budget must return the identical assignment — the
+    // checksum fixpoint exits as soon as a sweep is a no-op, so the
+    // budget is semantics-free (and the loop doesn't build 50 plans)
+    val r50 = Components.labelPropagation(pairs, iters = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r50 == r2)
+  }
 }
