@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off 10× weak-scaling probe for the most expensive registry queries
+  * (VERDICT r8 item 7): confirms wall-time grows ~linearly from sf0.1 to a
+  * synthetic sf1.0, instead of asserting the 100× design claim untested.
+  *
+  * The synthetic corpus replicates sf0.1 ten times WITHOUT inflating
+  * near-dup density — a naive 10× copy makes every document an exact dup
+  * of 9 others, so pair-listing operators would blow up quadratically for
+  * OUTPUT-size reasons and the probe would measure data realism, not plan
+  * scaling. Copy k instead:
+  *  - documents: every word prefixed `c<k>` (copy 0 untouched) — each
+  *    copy keeps the original's internal near-dup structure (the word map
+  *    is a bijection on shingles) while cross-copy Jaccard is exactly 0;
+  *  - embeddings: the float array rotated by k positions — norms and the
+  *    within-copy distance structure survive, cross-copy cosine decorrelates;
+  *  - ids offset by k·10⁷ so every row is addressable.
+  * The result is 10 structurally identical, mutually invisible shards —
+  * the canonical weak-scaling instance.
+  *
+  * Output: one line per (query, scale) with seconds, then the ratio table
+  * that SCALING.md records. Times are best-of-2 (codegen amortized, same
+  * convention as the bench's warm numbers). */
+object ScaleProbe {
+
+  private val Copies = 10
+  private val Offset = 10000000L
+
+  def synth(spark: SparkSession, src: String, dst: String): Unit = {
+    val fs = new java.io.File(dst)
+    if (new java.io.File(s"$dst/_DONE").exists()) return
+    fs.mkdirs()
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until Copies).map { k =>
+      val d = docs.withColumn("doc_id", col("doc_id") + lit(k * Offset))
+      if (k == 0) d
+      else d.withColumn("text", array_join(
+        transform(split(col("text"), " "), w => concat(lit(s"c$k"), w)), " "))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until Copies).map { k =>
+      val e = emb.withColumn("vec_id", col("vec_id") + lit(k * Offset))
+      if (k == 0) e
+      else e.withColumn("embedding",
+        concat(slice(col("embedding"), k + 1, 64 - k),
+          slice(col("embedding"), 1, k)))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    new java.io.File(s"$dst/_DONE").createNewFile()
+    ()
+  }
+
+  /** graph_triangles widened past its registry doc_id < 500 bound: the
+    * same operator stack over the < 500 slice OF EVERY COPY (10 disjoint
+    * isomorphic graphs at the synthetic scale, the original graph at
+    * sf0.1). */
+  private def trianglesProbe(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Dedup.minHashLshPairs(
+      T.t(spark, dir, "documents").filter(col("doc_id") % Offset < 500),
+      threshold = 0.5)
+    graft.ops.Components.triangleCounts(pairs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val synthDir = "/tmp/graft-sf1-synth"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "2097152")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    synth(spark, sf01, synthDir)
+
+    val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "artifact_train_serve" -> SparkEntry.queries("artifact_train_serve"),
+      "graph_triangles_x10" -> (trianglesProbe _),
+      "sim_ivfpq_topk" -> SparkEntry.queries("sim_ivfpq_topk"),
+      "text_lm_trigram" -> SparkEntry.queries("text_lm_trigram"),
+      "sim_semantic_dedup" -> SparkEntry.queries("sim_semantic_dedup"))
+
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        t
+      }
+      ts.min
+    }
+    println(f"| query | sf0.1 s | sf1.0-synth s | ratio (ideal 10) |")
+    probes.foreach { case (name, fn) =>
+      val a = time(fn, sf01)
+      val b = time(fn, synthDir)
+      println(f"| $name | $a%.2f | $b%.2f | ${b / a}%.1f |")
+    }
+    spark.stop()
+  }
+}
