@@ -61,6 +61,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Recall@k of an approximate ranked neighbor list against the exact
+    * one — THE standard ANN index-quality metric (what a FAISS/IVF
+    * benchmark reports), computed in-engine so index-parameter sweeps
+    * (nProbe, nPlanes, k·cells) can be evaluated on the cluster instead
+    * of exporting result sets. Both inputs are (query_id, neighbor_id,
+    * rank) relations, i.e. any of the `*TopK` operators' outputs; per
+    * query, recall_micro = unit·|approx ∩ exact| div |exact ranks ≤ k|
+    * — exact integer arithmetic, so the metric itself oracle-replays.
+    *
+    * Scale shape: one equi-join on (query_id, neighbor_id) between two
+    * query-set-sized relations (≤ |Q|·k rows each — never corpus-sized),
+    * then a per-query combine-agg. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+      unit: Long = 1000000L): DataFrame =
+    exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(approx.filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__k_eff"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        expr(s"($unit * n_hit) div __k_eff").as("recall_micro"))
+
   /** Seeded ±1 sign matrix (outDim × dim) for random projection —
     * deterministic; exposed within graft so oracle SQL embeds the same
     * constants. */

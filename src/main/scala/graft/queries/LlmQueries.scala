@@ -261,6 +261,17 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN quality eval under the gate: recall@5 of the IVF index against
+    * brute-force ground truth, per query ([[Similarity.recallAtK]]) —
+    * both rankings AND the metric replay exactly in the oracle. */
+  def simRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, T.par(spark, emb), k = 5)
+    val approx = Similarity.ivfTopK(q, T.par(spark, emb), k = 5)
+    Similarity.recallAtK(approx, exact, k = 5).orderBy(col("query_id"))
+  }
+
   private val SampleRates = Map(
     "en" -> 0.5, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8, "zh" -> 0.2)
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -601,6 +612,7 @@ object LlmQueries {
     "sim_brute_topk" -> (simBruteTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
+    "sim_recall_eval" -> (simRecallEval _),
     "sim_ivf_trained_topk" -> (simIvfTrainedTopk _),
     "sample_stratified" -> (sampleStratified _),
     "text_pii_redact" -> (textPiiRedact _),
@@ -805,6 +817,53 @@ object LlmQueries {
          |  JOIN corp n ON n.vec_id = cd.neighbor_id)
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    // Recall@5 eval: the sim_ivf_topk and sim_brute_topk replays as CTEs,
+    // then the integer recall metric over their (query, neighbor) sets.
+    "sim_recall_eval" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |             FROM embeddings WHERE vec_id % 50 = 0),
+         |corp AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings),
+         |scored AS MATERIALIZED (
+         |  SELECT c.vec_id, t.cid, ${ivfCos("c.v", "t.cv")} AS s
+         |  FROM corp c CROSS JOIN cent t),
+         |assign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM scored WHERE vec_id < 10) WHERE rn <= 3),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |aprx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |    row_number() OVER (PARTITION BY cd.query_id
+         |      ORDER BY ${ivfCos("q.v", "n.v")} DESC, cd.neighbor_id) AS rank
+         |  FROM cand cd
+         |  JOIN corp q ON q.vec_id = cd.query_id
+         |  JOIN corp n ON n.vec_id = cd.neighbor_id)
+         |  WHERE rank <= 5),
+         |ext AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round($cosineExpr, 6) DESC, b.vec_id) AS rank
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 10)
+         |  WHERE rank <= 5)
+         |SELECT e.query_id,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST((1000000 * count(a.neighbor_id)) // count(*) AS BIGINT)
+         |    AS recall_micro
+         |FROM ext e LEFT JOIN aprx a
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id
+         |ORDER BY e.query_id""".stripMargin,
     // trained-IVF: replay the 3 unrolled micro-unit k-means iterations
     // (KmeansSql mirrors Similarity.trainIvfCentroidsMicro exactly), then
     // the same probe/re-rank as sim_ivf_topk against the trained cells.
