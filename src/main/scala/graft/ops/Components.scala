@@ -327,6 +327,61 @@ object Components {
     labels.select(col("id"), col("lbl").as("community"))
   }
 
+  /** Newman modularity of a community assignment over an undirected
+    * graph — the standard partition-quality score (Newman & Girvan 2004,
+    * Phys. Rev. E 69: Q = Σ_c [e_c/m − (d_c/2m)²]), the companion eval
+    * to [[labelPropagation]]: did the sweeps find real structure
+    * (Q > 0) or noise (Q ≈ 0)?
+    *
+    * Exact integer form, per community:
+    *   q_micro = unit·(4·m·e_c − d_c²) div (4·m²)
+    * (the common-denominator form of the two terms), sign-split so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree when a
+    * community is sparser than chance (negative numerator). Output one
+    * row per community: (community, e_c, d_c, q_micro); Q itself is the
+    * sum of q_micro — left to the consumer so the relation stays
+    * per-community informative.
+    *
+    * Scale shape: canonical edges join the label relation twice (two
+    * shuffles on node id), then everything is community-keyed
+    * combine-aggs; m rides along as a one-row broadcast, no driver
+    * action. Overflow envelope: unit·4·m² bounds m at ~1.5·10⁶ edges
+    * for unit = 10⁶ — downshift the unit for denser graphs. */
+  def modularity(pairs: DataFrame, communities: DataFrame,
+      unit: Long = 1000000L, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val und = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val lab = communities.select(col("id").cast("long").as("id"),
+      col("community").cast("long").as("c"))
+    val withC = und
+      .join(lab.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
+      .join(lab.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+      .localCheckpoint(false)
+    val mRel = withC.agg(count(lit(1)).as("m"))
+    val ec = withC.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("c")).agg(count(lit(1)).as("e_c"))
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val dc = deg.join(lab, Seq("id"))
+      .groupBy(col("c")).agg(sum(col("d")).as("d_c"))
+    dc.join(ec, Seq("c"), "left")
+      .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+      .crossJoin(broadcast(mRel))
+      .withColumn("q_micro", expr(
+        s"""CASE WHEN 4 * m * e_c - d_c * d_c < 0
+           |THEN -((-($unit * (4 * m * e_c - d_c * d_c))) div (4 * m * m))
+           |ELSE ($unit * (4 * m * e_c - d_c * d_c)) div (4 * m * m)
+           |END""".stripMargin))
+      .select(col("c").as("community"), col("e_c"), col("d_c"),
+        col("q_micro"))
+  }
+
   /** Order-independent checksum of a label assignment (one scalar
     * action) — same xor-of-hashes form as the edge [[checksum]]. */
   private def labelChecksum(labels: DataFrame): (Long, Long) = {

@@ -99,6 +99,19 @@ object LlmQueries3 {
       .orderBy(col("doc_id"))
   }
 
+  /** Modularity of the LPA communities over the same near-dup graph —
+    * the partition-quality eval ([[Components.modularity]]); one lazy
+    * checkpoint shares the MinHash pair pipeline between the LPA sweeps
+    * and the metric. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(
+      T.t(spark, dir, "documents").filter(col("doc_id") < 500),
+      threshold = 0.5)
+      .localCheckpoint(false)
+    val comm = Components.labelPropagation(pairs, iters = 2)
+    Components.modularity(pairs, comm).orderBy(col("community"))
+  }
+
   /** Source-pair Jaccard estimates from per-source bottom-128 sketches
     * of word 3-gram shingles — the corpus-level dedup-triage matrix. */
   def sourceBottomkSim(spark: SparkSession, dir: String): DataFrame =
@@ -113,6 +126,7 @@ object LlmQueries3 {
     "emb_pca_topr" -> (embPcaTopR _),
     "artifact_lm_serve" -> (artifactLmServe _),
     "graph_label_prop" -> (graphLabelProp _),
+    "graph_modularity" -> (graphModularity _),
     "source_bottomk_sim" -> (sourceBottomkSim _))
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -151,6 +165,33 @@ object LlmQueries3 {
        |      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
        |    FROM n$i) WHERE rn = 1)""".stripMargin
   }.mkString(",\n")
+
+  // Shared LPA replay chain (MinHash pairs over the doc_id < 500 slice →
+  // symmetric edges → unrolled sweeps → l2), reused by the community and
+  // modularity oracles. MATERIALIZED where multiply consumed.
+  private lazy val lpaChainCtes =
+    s"""${LlmQueries.gramsCteFor("grams", "doc_id < 500")},
+       |sig AS (SELECT id, ${LlmQueries.sigCols} FROM grams GROUP BY id),
+       |bands AS (SELECT id, r.range AS band, ${LlmQueries.bandCase} AS band_key
+       |  FROM sig CROSS JOIN range(4) r),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+       |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN grams ga ON ga.id = c.id_a
+       |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+       |  GROUP BY c.id_a, c.id_b),
+       |pairs AS MATERIALIZED (SELECT i.id_a, i.id_b FROM inter i
+       |  JOIN sizes sa ON sa.id = i.id_a
+       |  JOIN sizes sb ON sb.id = i.id_b
+       |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
+       |edges AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs)),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+       |$lpaIterCtes""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "text_bm25_topk" ->
@@ -300,30 +341,36 @@ object LlmQueries3 {
          |GROUP BY x.vec_id
          |ORDER BY x.vec_id""".stripMargin,
     "graph_label_prop" ->
-      s"""WITH ${LlmQueries.gramsCteFor("grams", "doc_id < 500")},
-         |sig AS (SELECT id, ${LlmQueries.sigCols} FROM grams GROUP BY id),
-         |bands AS (SELECT id, r.range AS band, ${LlmQueries.bandCase} AS band_key
-         |  FROM sig CROSS JOIN range(4) r),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
-         |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
-         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
-         |  FROM cand c
-         |  JOIN grams ga ON ga.id = c.id_a
-         |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
-         |  GROUP BY c.id_a, c.id_b),
-         |pairs AS (SELECT i.id_a, i.id_b FROM inter i
-         |  JOIN sizes sa ON sa.id = i.id_a
-         |  JOIN sizes sb ON sb.id = i.id_b
-         |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
-         |edges AS (SELECT DISTINCT src, dst FROM (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs)),
-         |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
-         |$lpaIterCtes
+      s"""WITH $lpaChainCtes
          |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community
          |FROM l2 ORDER BY doc_id""".stripMargin,
+    // Modularity replay over the same LPA chain: m / intra-community
+    // edges / community degree sums, then the sign-split
+    // common-denominator q_micro (negative when a community is sparser
+    // than chance — abs before //, so floor == truncate).
+    "graph_modularity" ->
+      s"""WITH $lpaChainCtes,
+         |wc AS (SELECT p.id_a, p.id_b, la.lbl AS cu, lb.lbl AS cv
+         |  FROM pairs p JOIN l2 la ON la.id = p.id_a
+         |    JOIN l2 lb ON lb.id = p.id_b),
+         |mm AS (SELECT count(*) AS m FROM wc),
+         |ec AS (SELECT cu AS c, count(*) AS e_c FROM wc
+         |  WHERE cu = cv GROUP BY cu),
+         |deg AS (SELECT id, count(*) AS d FROM (
+         |  SELECT id_a AS id FROM pairs
+         |  UNION ALL SELECT id_b FROM pairs) GROUP BY id),
+         |dc AS (SELECT l.lbl AS c, CAST(sum(d.d) AS BIGINT) AS d_c
+         |  FROM deg d JOIN l2 l ON l.id = d.id GROUP BY l.lbl)
+         |SELECT CAST(dc.c AS BIGINT) AS community,
+         |  CAST(coalesce(ec.e_c, 0) AS BIGINT) AS e_c, dc.d_c,
+         |  CAST(CASE WHEN 4 * mm.m * coalesce(ec.e_c, 0) - dc.d_c * dc.d_c < 0
+         |    THEN -((-(1000000 * (4 * mm.m * coalesce(ec.e_c, 0)
+         |                         - dc.d_c * dc.d_c))) // (4 * mm.m * mm.m))
+         |    ELSE (1000000 * (4 * mm.m * coalesce(ec.e_c, 0)
+         |                     - dc.d_c * dc.d_c)) // (4 * mm.m * mm.m)
+         |    END AS BIGINT) AS q_micro
+         |FROM dc LEFT JOIN ec ON ec.c = dc.c CROSS JOIN mm
+         |ORDER BY community""".stripMargin,
     "source_bottomk_sim" ->
       s"""WITH w AS (SELECT source, string_split(${normSql("text")}, ' ') AS ws
          |           FROM documents),

@@ -154,4 +154,19 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r50 == r2)
   }
+
+  test("modularity: two clean cliques score Q = 0.5 exactly") {
+    import spark.implicits._
+    val cliqueA = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cliqueB = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val pairs = (cliqueA ++ cliqueB).toDF("id_a", "id_b")
+    val comm = Components.labelPropagation(pairs, iters = 2)
+    val q = Components.modularity(pairs, comm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // m = 12; per clique e_c = 6, d_c = 12:
+    // q_micro = 1e6*(4*12*6 - 144) div (4*144) = 1e6*144/576 = 250000
+    assert(q.toSet == Set((1L, 6L, 12L, 250000L), (10L, 6L, 12L, 250000L)),
+      s"got ${q.toSeq}")
+    assert(q.map(_._4).sum == 500000L) // Q = 0.5, the textbook two-clique value
+  }
 }
