@@ -191,8 +191,9 @@ object Dedup {
   }
 
   /** Drop key-group buckets holding more than `maxBucket` members
-    * before a bucket self-join. No-op when maxBucket <= 0. */
-  private def capBuckets(rows: DataFrame, keys: Seq[String],
+    * before a bucket self-join. No-op when maxBucket <= 0. (Shared with
+    * [[Similarity.knnGraph]]'s bucket blocking.) */
+  private[graft] def capBuckets(rows: DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame =
     if (maxBucket <= 0) rows
     else {

@@ -162,6 +162,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** All-corpus k-nearest-neighbor GRAPH via sign-LSH blocking — the
+    * input primitive of graph-based pipelines (SemDeDup-style cluster
+    * pruning, kNN-graph community detection, mutual-kNN outlier
+    * removal), where the `*TopK` operators answer external queries.
+    *
+    * Shape: every vector lands in its sign bucket once (map-only); the
+    * probe side explodes to the exact bucket plus its hamming-1
+    * neighbours (multiProbe, same recall trade as [[lshTopK]]); the
+    * bucket EQUI-join replaces the corpus cross product; per-node top-k
+    * is a window partitioned by the node — never global. A (q, c) pair
+    * can match through at most one probe bucket (c has exactly one
+    * bucket), so no dedup pass is needed.
+    *
+    * `maxBucket` is the hot-bucket guard ([[Dedup.capBuckets]], same
+    * soundness argument as the MinHash band cap): a degenerate
+    * boilerplate cluster would otherwise emit |bucket|² candidates.
+    * 0 = unguarded exact bucket semantics (what the oracle mirrors). */
+  def knnGraph(emb: DataFrame, k: Int, nPlanes: Int = 4, dim: Int = 64,
+      multiProbe: Boolean = true, maxBucket: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"),
+      signLshBucket(col(vecCol), nPlanes, dim).as("__b"))
+    val cSide = Dedup.capBuckets(base, Seq("__b"), maxBucket)
+    val probes =
+      if (multiProbe)
+        array((col("__b") +:
+          (0 until nPlanes).map(i => col("__b").bitwiseXOR(lit(1L << i)))): _*)
+      else array(col("__b"))
+    val aSide = base.select(col("id").as("qid"), col("__v").as("__qv"),
+      col("__n").as("__qn"), explode(probes).as("__b"))
+    val sim = round(dot(col("__qv"), col("__v")) / (col("__qn") * col("__n")),
+      roundTo)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    cSide.join(aSide, Seq("__b"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(idCol), col("id").as("neighbor_id"),
+        col("sim"), col("rank"))
+  }
+
   /** IVF coarse quantizer: every `every`-th vector by id, collected to the
     * driver (centroids are driver/broadcast material). Deterministic
     * selection stands in for k-means training; the IVF *plumbing* — tiny

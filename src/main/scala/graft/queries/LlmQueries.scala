@@ -261,6 +261,14 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** All-corpus kNN graph (k = 3) via sign-LSH bucket blocking with
+    * hamming-1 multi-probe ([[Similarity.knnGraph]]) — every vector's
+    * approximate neighborhood in one bucket equi-join, no cross
+    * product. */
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(T.par(spark, T.t(spark, dir, "embeddings")), k = 3)
+      .orderBy(col("vec_id"), col("rank"))
+
   /** ANN quality eval under the gate: recall@5 of the IVF index against
     * brute-force ground truth, per query ([[Similarity.recallAtK]]) —
     * both rankings AND the metric replay exactly in the oracle. */
@@ -613,6 +621,7 @@ object LlmQueries {
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_recall_eval" -> (simRecallEval _),
+    "sim_knn_graph" -> (simKnnGraph _),
     "sim_ivf_trained_topk" -> (simIvfTrainedTopk _),
     "sample_stratified" -> (sampleStratified _),
     "text_pii_redact" -> (textPiiRedact _),
@@ -817,6 +826,29 @@ object LlmQueries {
          |  JOIN corp n ON n.vec_id = cd.neighbor_id)
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    // kNN-graph replay: the same seeded sign buckets, the same hamming-1
+    // probe set on the query side, exact-bucket on the corpus side,
+    // per-node rank window.
+    "sim_knn_graph" ->
+      s"""WITH bkt AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    ${lshBucketSql("embedding")} AS b
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT vec_id AS qid, v AS qv, p.pb
+         |  FROM bkt, unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)])
+         |    AS p(pb)),
+         |cand AS (
+         |  SELECT q.qid, c.vec_id AS nid, q.qv, c.v
+         |  FROM pr q JOIN bkt c ON c.b = q.pb AND c.vec_id <> q.qid)
+         |SELECT vec_id, neighbor_id, sim, rank FROM (
+         |  SELECT qid AS vec_id, nid AS neighbor_id,
+         |    ${ivfCos("qv", "v")} AS sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${ivfCos("qv", "v")} DESC, nid) AS rank
+         |  FROM cand)
+         |WHERE rank <= 3
+         |ORDER BY vec_id, rank""".stripMargin,
     // Recall@5 eval: the sim_ivf_topk and sim_brute_topk replays as CTEs,
     // then the integer recall metric over their (query, neighbor) sets.
     "sim_recall_eval" ->
