@@ -661,6 +661,43 @@ object Dedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_key")
 
+  /** Row-local minhash signature key — the same seeded 60-bit hashes as
+    * [[minhashSignatures]], but computed as a pure column expression
+    * (array_min over the row's shingle set per seed, no aggregation),
+    * which is what makes it usable as a streaming dedup key. Empty
+    * shingle sets (docs that normalize to nothing) fall back to the
+    * exact content hash so they never all collide on one key. */
+  def signatureKey(textCol: Column, numHashes: Int = 8): Column = {
+    val grams = filter(array_distinct(split(normalize(textCol), " ")),
+      g => g =!= "")
+    val sig = (0 until numHashes)
+      .map(i => array_min(transform(grams, g => hashStr(g, i))))
+    when(size(grams) === 0, concat(lit("e:"), md5(normalize(textCol))))
+      .otherwise(concat_ws(",", sig: _*))
+  }
+
+  /** Streaming NEAR-dup dedup: drop arrivals whose full minhash
+    * signature collides with an earlier document inside the watermark
+    * window — the streaming counterpart of the MinHash batch pipeline,
+    * with the band-join replaced by signature-key state lookup (state is
+    * watermark-bounded exactly like [[streamingDropDuplicates]]).
+    *
+    * Matching on the FULL signature is the conservative end of the LSH
+    * dial: two documents collide only when every one of the `numHashes`
+    * minima agrees — certain for identical shingle SETS (reorderings,
+    * duplicated words, whitespace/punctuation variants), probability
+    * ≈ J^numHashes for Jaccard-J pairs, so false drops are vanishingly
+    * rare. Recall for partial overlaps is deliberately traded away;
+    * batch band-LSH remains the thorough pass, this gate stops the
+    * (overwhelmingly common) trivial-rewrite floods in flight. */
+  def streamingDropNearDuplicates(docs: DataFrame, tsCol: String,
+      watermark: String, numHashes: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("sig_key", signatureKey(col(textCol), numHashes))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("sig_key")
+
   /** Corpus-level similarity matrix between sources via bottom-k
     * sketches (Broder 1997's minwise estimator in its bottom-k form;
     * Cohen & Kaplan 2007) — the dedup-triage view ABOVE the document

@@ -367,6 +367,51 @@ class DedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: signature collisions drop within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, Long, String)]
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val q = in.toDF().toDF("doc_id", "off", "text")
+      .withColumn("ts", expr("timestamp_millis(" + base + "L + off * 1000)"))
+      .transform(d => Dedup.streamingDropNearDuplicates(d, "ts", "10 minutes"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= batch.select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try {
+      in.addData(
+        (1L, 0L, "alpha beta gamma delta"),
+        // word REORDER + case + punctuation: same shingle set, certain
+        // signature collision — exactly what exact dedup cannot catch
+        (2L, 1L, "Delta gamma, BETA alpha!"),
+        (3L, 2L, "epsilon zeta eta theta"))
+      q.processAllAvailable() // 2 dropped as a near-dup of 1
+      in.addData((11L, 3L, "beta alpha delta gamma"), (12L, 4L, "iota kappa"))
+      q.processAllAvailable() // 11 collides with batch-1 state
+      assert(got.toSet == Set(1L, 3L, 12L), s"survivors $got")
+    } finally q.stop()
+  }
+
+  test("signatureKey: set semantics, empty-text fallback distinct") {
+    import spark.implicits._
+    val keys = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma beta ALPHA alpha"),
+      (3L, "alpha beta delta"), (4L, "..."), (5L, "!!!"), (6L, "???  x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.signatureKey(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys(1L) == keys(2L), "same shingle set must collide")
+    assert(keys(1L) != keys(3L), "different sets must not collide")
+    assert(keys(4L) == keys(5L), "empty-normalizing docs share the empty key")
+    assert(keys(4L) != keys(6L), "empty fallback must not swallow non-empty docs")
+  }
+
   test("incremental dedup: ledger drops seen content, batch keeps min-id") {
     import spark.implicits._
     val old = Seq((0L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
