@@ -148,6 +148,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
   }
 
+  test("knn graph: bucket equi-join, never cartesian; window is node-partitioned") {
+    val e = T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = graft.ops.Similarity.knnGraph(e, k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"kNN graph must join on the sign bucket, not cross:\n$plan")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "per-node top-k window must be partitioned")
+  }
+
+  test("multi-query bm25: query catalog broadcasts; tf gated below its exchange") {
+    import spark.implicits._
+    val docs = T.t(spark, "/root/testdata/sf0.001", "documents")
+    val qs = Seq((1, Seq("spark", "join")), (2, Seq("stream"))).toDF("query_id", "terms")
+    val plan = graft.ops.TextAnalysis.bm25MultiQuery(docs, qs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query catalog / df relations must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ONE allowed nested-loop is the broadcast cross with the
+    // one-row (L, N) stats relation — same pattern as single-query bm25
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(plan).isEmpty,
+      s"non-broadcast nested loop:\n$plan")
+  }
+
   test("cms probing broadcasts the fixed-size counter relation; top-k is a heap") {
     val ev = T.events(spark, "/root/testdata/sf0.001")
     val plan = graft.ops.Sketches.cmsHeavyHitters(ev, "user_id", 10)
