@@ -60,7 +60,32 @@ private[queries] object BpeSql {
 
   /** The complete `text_bpe_train` oracle: train `k` merges (minFreq 2)
     * on the corpus vocabulary, serve token counts corpus-wide. */
-  def textBpeTrainSql(normSql: String, k: Int): String = {
+  def textBpeTrainSql(normSql: String, k: Int): String =
+    "WITH " + trainServeCtes(normSql, k) + s"""
+       |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS INTEGER) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-language tokenizer fertility from the same trained merges:
+    * fertility_micro = unit·Σ(bpe tokens) div Σ(words) per lang. */
+  def textBpeFertilitySql(normSql: String, k: Int): String =
+    "WITH " + trainServeCtes(normSql, k) + s""",
+       |wcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw
+       |  FROM dw GROUP BY doc_id)
+       |SELECT d.lang,
+       |  CAST(sum(coalesce(agg.n, 0)) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(coalesce(wcnt.nw, 0)) AS BIGINT) AS n_words,
+       |  CAST((1000000 * sum(coalesce(agg.n, 0)))
+       |       // greatest(sum(coalesce(wcnt.nw, 0)), 1) AS BIGINT)
+       |    AS fertility_micro
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |  LEFT JOIN wcnt USING (doc_id)
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+
+  /** Shared train + serve chain, ending at `agg`(doc_id, n) = per-doc
+    * BPE token counts, with `dw`(doc_id, wd) also in scope. */
+  private def trainServeCtes(normSql: String, k: Int): String = {
     val parts = Seq.newBuilder[String]
     parts += s"""v AS MATERIALIZED (
        |  SELECT wd AS w, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -98,9 +123,6 @@ private[queries] object BpeSql {
        |  FROM documents) WHERE wd <> ''),
        |agg AS (SELECT dw.doc_id, CAST(sum(wc.nt) AS BIGINT) AS n
        |  FROM dw JOIN wc ON wc.w = dw.wd GROUP BY dw.doc_id)""".stripMargin
-    "WITH " + parts.result().mkString(",\n") + s"""
-       |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS INTEGER) AS n_bpe_tokens
-       |FROM documents d LEFT JOIN agg USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
+    parts.result().mkString(",\n")
   }
 }

@@ -159,6 +159,25 @@ object LlmQueries2 {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language tokenizer fertility (BPE tokens per word) from the
+    * same trained merge table as `text_bpe_train` — the multilingual
+    * tokenizer-efficiency diagnostic (a language with high fertility
+    * pays more sequence length per word of content). Exact integer
+    * micro-units; train + serve + aggregation all replay in SQL. */
+  def textBpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val merges = TextAnalysis.trainBpeMerges(docs, k = 8)
+    docs.select(col("lang"),
+        TextAnalysis.bpeTokenCount(col("text"), merges).cast("long").as("nt"),
+        size(filter(split(Dedup.normalize(col("text")), " "),
+          w => w =!= "")).cast("long").as("nw"))
+      .groupBy(col("lang"))
+      .agg(sum(col("nt")).as("n_bpe_tokens"), sum(col("nw")).as("n_words"),
+        expr("(1000000 * sum(nt)) div greatest(sum(nw), 1)")
+          .as("fertility_micro"))
+      .orderBy(col("lang"))
+  }
+
   /** Int8 scalar quantization of the embedding corpus, flattened to one
     * (vec_id, scale, idx, qv) row per code so the full quantized content
     * is hash-comparable (the harness cannot sort array-typed cells). */
@@ -356,6 +375,7 @@ object LlmQueries2 {
     "emb_mean_pool" -> (embMeanPool _),
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_fertility" -> (textBpeFertility _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "mine_contrastive_pairs" -> (mineContrastive _),
@@ -467,6 +487,7 @@ object LlmQueries2 {
     // rounds over the vocabulary, delimited-string merge application,
     // corpus-wide token counts.
     "text_bpe_train" -> BpeSql.textBpeTrainSql(normSql("text"), k = 8),
+    "text_bpe_fertility" -> BpeSql.textBpeFertilitySql(normSql("text"), k = 8),
     // Replay of the micro-unit k-means trajectory (3 iterations), serve
     // assignment, in-cell pair generation, recursive-CTE connected
     // components, and min-id survivor selection — the full SemDeDup
