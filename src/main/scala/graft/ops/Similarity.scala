@@ -207,6 +207,28 @@ object Similarity {
         col("sim"), col("rank"))
   }
 
+  /** kNN in-degree outlier detection (ODIN; Hautamäki, Kärkkäinen &
+    * Fränti, ICPR 2004): a vector that almost never appears in OTHER
+    * vectors' k-nearest lists sits isolated in embedding space — the
+    * mislabeled / off-distribution / garbage-encoding signal of an
+    * embedding corpus, computed from the [[knnGraph]] relation alone.
+    * Every vector gets a row: (id, in_degree, is_outlier ⇔ in_degree ≤
+    * maxInDegree). One combine-agg on the graph (|V|·k rows) plus a
+    * left back-join to restore zero-in-degree vectors — nothing
+    * corpus-quadratic anywhere. */
+  def knnInDegreeOutliers(emb: DataFrame, k: Int = 3, maxInDegree: Long = 1,
+      nPlanes: Int = 4, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val indeg = knnGraph(emb, k, nPlanes, dim, idCol = idCol, vecCol = vecCol)
+      .groupBy(col("neighbor_id").as(idCol))
+      .agg(count(lit(1)).as("in_degree"))
+    emb.select(col(idCol))
+      .join(indeg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .withColumn("is_outlier", col("in_degree") <= maxInDegree)
+  }
+
   /** IVF coarse quantizer: every `every`-th vector by id, collected to the
     * driver (centroids are driver/broadcast material). Deterministic
     * selection stands in for k-means training; the IVF *plumbing* — tiny

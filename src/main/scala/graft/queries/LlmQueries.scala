@@ -269,6 +269,13 @@ object LlmQueries {
     Similarity.knnGraph(T.par(spark, T.t(spark, dir, "embeddings")), k = 3)
       .orderBy(col("vec_id"), col("rank"))
 
+  /** ODIN outliers: kNN-graph in-degree ≤ 1 flags isolated embeddings
+    * ([[Similarity.knnInDegreeOutliers]]). */
+  def embKnnOutliers(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnInDegreeOutliers(
+        T.par(spark, T.t(spark, dir, "embeddings")), k = 3)
+      .orderBy(col("vec_id"))
+
   /** ANN quality eval under the gate: recall@5 of the IVF index against
     * brute-force ground truth, per query ([[Similarity.recallAtK]]) —
     * both rankings AND the metric replay exactly in the oracle. */
@@ -622,6 +629,7 @@ object LlmQueries {
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_recall_eval" -> (simRecallEval _),
     "sim_knn_graph" -> (simKnnGraph _),
+    "emb_knn_outliers" -> (embKnnOutliers _),
     "sim_ivf_trained_topk" -> (simIvfTrainedTopk _),
     "sample_stratified" -> (sampleStratified _),
     "text_pii_redact" -> (textPiiRedact _),
@@ -849,6 +857,32 @@ object LlmQueries {
          |  FROM cand)
          |WHERE rank <= 3
          |ORDER BY vec_id, rank""".stripMargin,
+    // ODIN outliers: the sim_knn_graph replay, then in-degree per target
+    // with a left back-join restoring in-degree-0 vectors.
+    "emb_knn_outliers" ->
+      s"""WITH bkt AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    ${lshBucketSql("embedding")} AS b
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT vec_id AS qid, v AS qv, p.pb
+         |  FROM bkt, unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)])
+         |    AS p(pb)),
+         |cand AS (
+         |  SELECT q.qid, c.vec_id AS nid, q.qv, c.v
+         |  FROM pr q JOIN bkt c ON c.b = q.pb AND c.vec_id <> q.qid),
+         |g AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${ivfCos("qv", "v")} DESC, nid) AS rank
+         |  FROM cand)
+         |  WHERE rank <= 3),
+         |indeg AS (SELECT nid AS vec_id, CAST(count(*) AS BIGINT) AS in_degree
+         |  FROM g GROUP BY nid)
+         |SELECT e.vec_id, coalesce(i.in_degree, 0) AS in_degree,
+         |  coalesce(i.in_degree, 0) <= 1 AS is_outlier
+         |FROM embeddings e LEFT JOIN indeg i USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin,
     // Recall@5 eval: the sim_ivf_topk and sim_brute_topk replays as CTEs,
     // then the integer recall metric over their (query, neighbor) sets.
     "sim_recall_eval" ->
