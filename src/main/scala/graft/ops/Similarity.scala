@@ -578,6 +578,36 @@ object Similarity {
         col("n_vecs"))
   }
 
+  /** Pairwise cosine separation between per-group embedding centroids —
+    * the class/source-level geometry diagnostic (are my labels actually
+    * separated in embedding space? is one crawl source drifting into
+    * another's region?): centroids via [[meanPoolMicro]]'s exact
+    * integer means, then cosine between every group pair from exact
+    * integer dot/norm sums (one correctly-rounded double division at
+    * the end — engine-portable like the brute-force ranker).
+    *
+    * The group inventory is bounded by definition (labels / sources —
+    * the same stratum class as [[graft.ops.Dedup.sourceBottomKSim]]'s
+    * catalog); the pair join runs on the P·d centroid relation, never
+    * the corpus. */
+  def groupCentroidSeparation(emb: DataFrame, groupCol: String,
+      vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+    val cent = meanPoolMicro(emb, groupCol, vecCol)
+    val a = cent.select(col("group_id").as("g1"), col("idx"),
+      col("mean_micro").as("x1"))
+    val b = cent.select(col("group_id").as("g2"), col("idx"),
+      col("mean_micro").as("x2"))
+    a.join(b, Seq("idx")).filter(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(sum(col("x1") * col("x2")).as("__d"),
+        sum(col("x1") * col("x1")).as("__na"),
+        sum(col("x2") * col("x2")).as("__nb"))
+      .select(col("g1"), col("g2"),
+        round(col("__d") / (sqrt(greatest(col("__na"), lit(1L)).cast("double")) *
+          sqrt(greatest(col("__nb"), lit(1L)).cast("double"))), roundTo)
+          .as("cos_centroid"))
+  }
+
   /** Contrastive training-pair mining: for each anchor, its exact
     * nearest neighbour as the positive plus `negatives` deterministic
     * random negatives drawn from a hash panel — the (anchor, positive,

@@ -178,6 +178,14 @@ object LlmQueries2 {
       .orderBy(col("lang"))
   }
 
+  /** Per-label centroid cosine separation — the class-geometry
+    * diagnostic ([[Similarity.groupCentroidSeparation]] keyed by the
+    * embeddings table's label column). */
+  def embLabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.groupCentroidSeparation(
+        T.par(spark, T.t(spark, dir, "embeddings")), "label")
+      .orderBy(col("g1"), col("g2"))
+
   /** Int8 scalar quantization of the embedding corpus, flattened to one
     * (vec_id, scale, idx, qv) row per code so the full quantized content
     * is hash-comparable (the harness cannot sort array-typed cells). */
@@ -373,6 +381,7 @@ object LlmQueries2 {
     "text_hash_embedding" -> (textHashEmbedding _),
     "text_cluster_assign" -> (textClusterAssign _),
     "emb_mean_pool" -> (embMeanPool _),
+    "emb_label_centroids" -> (embLabelCentroids _),
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_fertility" -> (textBpeFertility _),
@@ -705,6 +714,25 @@ object LlmQueries2 {
          |LIMIT 50""".stripMargin,
     // Mean pooling in exact micro-units; +1e9 offset keeps the dividend
     // non-negative so DuckDB's flooring // matches Spark's truncating div.
+    // Centroid separation: the same offset-mean as emb_mean_pool keyed
+    // by label, then pairwise cosine from exact integer dot/norm sums.
+    "emb_label_centroids" ->
+      """WITH x AS (SELECT label AS g, CAST(r.range AS INTEGER) AS idx,
+        |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)
+        |      * 1000000) AS BIGINT) + 1000000000 AS m
+        |  FROM embeddings CROSS JOIN range(64) r),
+        |c AS (SELECT g, idx,
+        |    CAST(sum(m) // count(*) - 1000000000 AS BIGINT) AS v
+        |  FROM x GROUP BY g, idx),
+        |p AS (SELECT a.g AS g1, b.g AS g2, a.v AS x1, b.v AS x2
+        |  FROM c a JOIN c b ON a.idx = b.idx AND a.g < b.g)
+        |SELECT g1, g2,
+        |  round(CAST(sum(x1 * x2) AS DOUBLE) /
+        |    (sqrt(CAST(greatest(sum(x1 * x1), 1) AS DOUBLE)) *
+        |     sqrt(CAST(greatest(sum(x2 * x2), 1) AS DOUBLE))), 6)
+        |    AS cos_centroid
+        |FROM p GROUP BY g1, g2
+        |ORDER BY g1, g2""".stripMargin,
     "emb_mean_pool" ->
       """WITH x AS (SELECT vec_id // 4 AS group_id, CAST(r.range AS INTEGER) AS idx,
         |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)
