@@ -661,6 +661,41 @@ object Dedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_key")
 
+  /** Band-miss recall of the MinHash-LSH pipeline against exhaustive
+    * Jaccard ground truth on a BOUNDED slice — the dedup counterpart of
+    * [[Similarity.recallAtK]]: verified LSH pairs are a subset of the
+    * exact relation by construction (every candidate is re-checked with
+    * exact Jaccard), so precision is 1 and the number that matters is
+    * recall — the fraction of true ≥-threshold pairs the banding scheme
+    * surfaces, i.e. the knob check for (numHashes, rowsPerBand) against
+    * a given threshold. Ground truth is a brute shingle-sharing
+    * self-join: bounded-slice-only by design, like
+    * [[ngramJaccardPairs]] (production corpora tune on a slice, then
+    * run the banded pipeline everywhere). Output is one row:
+    * (n_exact, n_lsh, recall_micro). */
+  def lshRecallEval(docs: DataFrame, threshold: Double, numHashes: Int = 8,
+      rowsPerBand: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text", unit: Long = 1000000L): DataFrame = {
+    val grams = explodedShingles(docs, idCol, textCol)
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val exact = grams.select(col("id").as("id_a"), col("gram"))
+      .join(grams.select(col("id").as("id_b"), col("gram")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), Seq("id_b"))
+      .filter(col("i") / (col("sa") + col("sb") - col("i")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val lsh = minHashLshPairs(docs, threshold, numHashes, rowsPerBand,
+        idCol, textCol)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    exact.join(lsh, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_lsh"))
+      .select(col("n_exact"), col("n_lsh"),
+        expr(s"($unit * n_lsh) div greatest(n_exact, 1)").as("recall_micro"))
+  }
+
   /** Row-local minhash signature key — the same seeded 60-bit hashes as
     * [[minhashSignatures]], but computed as a pure column expression
     * (array_min over the row's shingle set per seed, no aggregation),

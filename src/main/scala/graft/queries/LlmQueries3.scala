@@ -112,6 +112,14 @@ object LlmQueries3 {
     Components.modularity(pairs, comm).orderBy(col("community"))
   }
 
+  /** Band-recall of the MinHash-LSH dedup pipeline vs exhaustive
+    * Jaccard ground truth on the bounded doc_id < 300 slice
+    * ([[Dedup.lshRecallEval]]). */
+  def dedupLshRecall(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecallEval(
+      T.par(spark, T.t(spark, dir, "documents")).filter(col("doc_id") < 300),
+      threshold = 0.5)
+
   /** Source-pair Jaccard estimates from per-source bottom-128 sketches
     * of word 3-gram shingles — the corpus-level dedup-triage matrix. */
   def sourceBottomkSim(spark: SparkSession, dir: String): DataFrame =
@@ -127,6 +135,7 @@ object LlmQueries3 {
     "artifact_lm_serve" -> (artifactLmServe _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_modularity" -> (graphModularity _),
+    "dedup_lsh_recall" -> (dedupLshRecall _),
     "source_bottomk_sim" -> (sourceBottomkSim _))
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -344,6 +353,33 @@ object LlmQueries3 {
       s"""WITH $lpaChainCtes
          |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community
          |FROM l2 ORDER BY doc_id""".stripMargin,
+    // LSH band-recall replay: exact >= 0.5 pairs from the brute shingle
+    // self-join, banded candidates from the same signature CTEs, and the
+    // verified intersection (cand ∩ exact = the pipeline's output).
+    "dedup_lsh_recall" ->
+      s"""WITH ${LlmQueries.gramsCteFor("grams", "doc_id < 300")},
+         |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+         |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |ex AS MATERIALIZED (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b
+         |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
+         |sig AS (SELECT id, ${LlmQueries.sigCols} FROM grams GROUP BY id),
+         |bands AS (SELECT id, r.range AS band, ${LlmQueries.bandCase} AS band_key
+         |  FROM sig CROSS JOIN range(4) r),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |hit AS (SELECT c.id_a, c.id_b, 1 AS h
+         |  FROM cand c JOIN ex e ON e.id_a = c.id_a AND e.id_b = c.id_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(coalesce(h.h, 0)) AS BIGINT) AS n_lsh,
+         |  CAST((1000000 * sum(coalesce(h.h, 0))) // greatest(count(*), 1)
+         |    AS BIGINT) AS recall_micro
+         |FROM ex e LEFT JOIN hit h
+         |  ON h.id_a = e.id_a AND h.id_b = e.id_b""".stripMargin,
     // Modularity replay over the same LPA chain: m / intra-community
     // edges / community degree sums, then the sign-split
     // common-denominator q_micro (negative when a community is sparser
