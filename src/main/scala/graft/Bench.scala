@@ -169,5 +169,9 @@ object Bench {
     // round-7 additions: readability gate, Heaps-law vocabulary growth,
     // median/MAD event anomalies
     "text_readability", "text_vocab_growth", "event_outliers",
-    "graph_triangles")
+    "graph_triangles",
+    // round-9 additions: cluster-quality silhouette, trained lang-ID,
+    // weighted sampling, DSIR importance selection
+    "emb_silhouette", "text_ct_langid", "sample_weighted",
+    "curation_dsir_select")
 }

@@ -38,4 +38,20 @@ object Chunking {
       .select(col(idCol), col("chunk_idx"),
         length(chunk).as("chunk_len"), md5(chunk).as("chunk_md5"))
   }
+
+  /** [[chunkFixed]] carrying the chunk TEXT instead of its hash — the
+    * form the embedding/indexing path consumes (a RAG pipeline chunks,
+    * then embeds each chunk). Same map-only window arithmetic; output
+    * (idCol, chunk_idx, chunk_text). */
+  def chunkWithText(docs: DataFrame, size: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    docs
+      .select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0),
+          greatest(length(col(textCol)) - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "__off")))
+      .select(col(idCol), col("chunk_idx"),
+        col(textCol).substr(col("__off") + 1, lit(size)).as("chunk_text"))
+  }
 }

@@ -382,6 +382,54 @@ object Components {
         col("q_micro"))
   }
 
+  /** k-core of the undirected near-dup graph (Seidman 1983, "Network
+    * structure and minimum degree") — the density filter that isolates
+    * the heavily-duplicated kernel of a corpus (boilerplate families,
+    * template farms): iteratively peel every vertex with degree < k
+    * until a fixpoint; what survives is the maximal subgraph where
+    * every member has ≥ k within-subgraph neighbors.
+    *
+    * Distributed peeling, two shuffles per sweep: degree = one
+    * combine-agg over the symmetric edge relation, survivors semi-join
+    * both endpoints back. `sweeps` is a BUDGET like
+    * [[labelPropagation]]'s: peeling only shrinks the edge set, so an
+    * unchanged edge COUNT (one scalar action per sweep, cheaper than a
+    * checksum) certifies the fixpoint, and at a fixpoint every later
+    * sweep is the identity — early exit is result-identical to the full
+    * budget, which keeps the unrolled oracle valid.
+    *
+    * Output: (id, core_degree) for every vertex surviving the budget —
+    * at convergence the true k-core with within-core degrees. */
+  def kCore(pairs: DataFrame, k: Int, sweeps: Int = 5,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    require(k >= 1 && sweeps >= 1, "k and sweeps must be positive")
+    val und = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var edges = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false)
+    var n = edges.count()
+    var converged = false
+    var it = 0
+    while (it < sweeps && !converged) {
+      val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("u"))
+        .localCheckpoint(false) // consumed twice (both endpoints)
+      edges = edges
+        .join(keep, Seq("u"))
+        .join(keep.select(col("u").as("v")), Seq("v"))
+        .select(col("u"), col("v"))
+        .localCheckpoint(false)
+      val m = edges.count()
+      converged = m == n
+      n = m
+      it += 1
+    }
+    edges.groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
+      .select(col("u").as("id"), col("core_degree"))
+  }
+
   /** Order-independent checksum of a label assignment (one scalar
     * action) — same xor-of-hashes form as the edge [[checksum]]. */
   private def labelChecksum(labels: DataFrame): (Long, Long) = {

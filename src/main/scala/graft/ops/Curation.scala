@@ -198,6 +198,38 @@ object Curation {
       .drop("__strata", "p99_micro")
   }
 
+  /** Weighted sampling without replacement — sequential Poisson sampling
+    * (Ohlsson 1998, the πps order-sampling scheme): each row gets priority
+    * `hash / weight` and the `n` lowest-priority rows survive, so
+    * inclusion probability is approximately proportional to the weight
+    * ("sample 100k docs weighted by token count"). The classic
+    * Efraimidis–Spirakis exponential keys (u^(1/w)) need transcendental
+    * pow; the Ohlsson priority is ORDER-equivalent for sampling purposes
+    * and stays in exact integer arithmetic: the 60-bit content hash
+    * integer-divided by the integer weight, ties broken by key — so the
+    * sample SET is bit-identical across engines, partitionings, and
+    * cluster sizes.
+    *
+    * Physical shape is [[sampleGlobal]]'s: `orderBy(priority).limit(n)`
+    * plans as TakeOrderedAndProject — per-task n-row heaps merged on the
+    * driver, never a global sort. Rows with weight ≤ 0 are excluded (a
+    * zero-weight doc must never be drawn; guarding here keeps the
+    * division total). */
+  def sampleWeighted(df: DataFrame, n: Int, weightCol: String,
+      keyCol: String, salt: String = "wsamp"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val h = conv(substring(md5(concat(lit(salt + "|"),
+      col(keyCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    // integer div (both operands non-negative, so div == floor in every
+    // engine), never float division — the priority stays exactly replayable
+    df.where(col(weightCol) > 0)
+      .withColumn("__h", h)
+      .withColumn("__prio", expr(s"__h div CAST($weightCol AS BIGINT)"))
+      .orderBy(col("__prio"), col(keyCol))
+      .limit(n)
+      .drop("__h", "__prio")
+  }
+
   def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
       cap: Int, salt: String = "cap"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

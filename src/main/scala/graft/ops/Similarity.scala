@@ -608,6 +608,101 @@ object Similarity {
           .as("cos_centroid"))
   }
 
+  /** Per-group embedding anisotropy — the representation-geometry
+    * diagnostic of Ethayarajh (2019, "How Contextual are Contextualized
+    * Word Representations?"): the expected cosine between two random
+    * vectors of a group is ≈ ‖μ‖² / E‖v‖² (how much of the space the
+    * group actually uses — ≈1 means all vectors point the same way, a
+    * collapsed/degenerate embedding source; ≈0 means isotropic spread).
+    * Computed exactly in integer micro-units: μ from [[meanPoolMicro]]'s
+    * exact integer means, per-vector squared norms from floored micro
+    * elements, the corpus sum in DECIMAL(38,0) (a long wraps past
+    * ~1.4·10⁵ vectors·64 dims), and one integral division at the end.
+    *
+    * Scale shape: two corpus passes — the meanPool combine-agg keyed
+    * (group, idx) and a map-only per-vector norm into a per-group
+    * combine-agg — then group-sized joins. Nothing pairwise: the
+    * "expected pairwise cosine" is computed from the identity, never
+    * from pairs. */
+  def anisotropyByGroup(emb: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val mu = meanPoolMicro(emb, groupCol, vecCol)
+      .groupBy(col("group_id"))
+      .agg(sum(col("mean_micro") * col("mean_micro")).as("mu_sq"))
+    val norms = emb
+      .select(col(groupCol).as("group_id"), expr(
+        s"""aggregate($vecCol, 0L, (acc, x) ->
+           | acc + CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+           |     * CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"""
+          .stripMargin).as("__nv"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("__nv").cast("decimal(38,0)")).as("__s"))
+      .select(col("group_id"), col("n_vecs"),
+        expr("CAST(__s div n_vecs AS BIGINT)").as("mean_sq_norm"))
+    mu.join(norms, Seq("group_id"))
+      .select(col("group_id"), col("n_vecs"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * mu_sq)
+          | div greatest(mean_sq_norm, 1) AS BIGINT)""".stripMargin)
+          .as("aniso_micro"))
+  }
+
+  /** Per-cell simplified silhouette of a trained k-means clustering —
+    * the cluster-quality eval (is k right? which cells are mush?) in the
+    * centroid-based "simplified silhouette" form (Hruschka et al. 2004):
+    * per vector, a = cosine distance to its OWN (nearest) centroid and
+    * b = distance to the nearest OTHER centroid, s = (b − a) / max(a, b).
+    * The classic silhouette needs all intra/inter pairwise distances
+    * (O(n²)); the simplified form replaces cluster means of pair
+    * distances with distance-to-centroid, making it one corpus pass —
+    * the only form that survives 100 TB.
+    *
+    * Exactness: distances are micro-unit integers (round(cos·10⁶) of the
+    * fixed-order double cosine — the same rounded-cosine discipline as
+    * [[trainIvfCentroidsMicro]]'s assignment), and s is a non-negative
+    * integer ratio (own centroid is the argmin, so b ≥ a and the
+    * truncating div equals floor in every engine).
+    *
+    * Scale shape: the k-row micro-centroid relation broadcasts; the
+    * corpus fans out ×k map-side (never a shuffle), then ONE combine-agg
+    * keyed by vector id carries k (dist, cell) structs per id into a
+    * bounded `array_sort(collect_list)` buffer (≤ k structs — driver-
+    * bounded by the centroid count, not the corpus), and the per-cell
+    * roll-up is a second k-row-output agg. No window, no self-join. */
+  def silhouetteByCell(emb: DataFrame,
+      cents: Array[(Long, Array[Long])], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(cents.length >= 2, "silhouette needs at least 2 centroids")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.toSeq.map { case (cell, cm) => (cell, cm.toSeq) }
+        .toDF("__cell", "__cm"))
+    val cmd = transform(col("__cm"), x => x.cast("double"))
+    val cos = dot(col(vecCol), cmd) / (norm(col(vecCol)) * sqrt(dot(cmd, cmd)))
+    val distMicro = (lit(1000000L) - round(cos * lit(1000000.0), 0).cast("long"))
+    val perVec = emb.select(col(idCol).as("__id"), col(vecCol))
+      .crossJoin(centDf)
+      .select(col("__id"), struct(distMicro.as("d"), col("__cell").as("c")).as("__dc"))
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(col("__dc"))).as("__l"))
+      .select(col("__id"),
+        col("__l").getItem(0).getField("c").as("cell"),
+        col("__l").getItem(0).getField("d").as("__a"),
+        col("__l").getItem(1).getField("d").as("__b"))
+      // b ≥ a by the sort, so the dividend is non-negative: div == floor
+      .withColumn("__s",
+        expr("((__b - __a) * 1000000) div greatest(__b, 1)"))
+    perVec.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__a")).as("__sa"), sum(col("__b")).as("__sb"),
+        sum(col("__s")).as("__ss"))
+      .select(col("cell"), col("n"),
+        expr("__sa div n").as("mean_intra_micro"),
+        expr("__sb div n").as("mean_inter_micro"),
+        expr("__ss div n").as("mean_sil_micro"))
+  }
+
   /** Contrastive training-pair mining: for each anchor, its exact
     * nearest neighbour as the positive plus `negatives` deterministic
     * random negatives drawn from a hash panel — the (anchor, positive,

@@ -786,6 +786,46 @@ object TextAnalysis {
         sum(col("b.new_grams")).as("cum_vocab"))
   }
 
+  /** Per-document novelty share — the per-doc face of [[vocabGrowth]]'s
+    * corpus curve (the curriculum / data-ordering signal: which docs
+    * still contribute unseen content?): for each document, the fraction
+    * of its DISTINCT word bigrams whose corpus-wide first occurrence is
+    * this document, in integer micro-units. First occurrence is
+    * attributed to the MINIMUM doc id containing the bigram (the
+    * vocabGrowth convention), so the score is deterministic and
+    * partition-invariant. Every input doc gets a row — gram-less docs
+    * (< 2 words) come back with zeros via the left back-join.
+    *
+    * Scale shape: exploded bigrams → one distinct (doc, gram) combine-
+    * agg → the vocabulary-sized (gram, min id) relation → join back on
+    * gram (re-uses the gram partitioning) → one per-doc count agg. No
+    * window, nothing pairwise. */
+  def docNovelty(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val docGram = docs
+      .select(col(idCol).cast("long").as("__id"),
+        split(Dedup.normalize(col(textCol)), " ").as("__w"))
+      .select(col("__id"), explode(expr(
+        """filter(zip_with(__w, slice(__w, 2, size(__w)),
+          | (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"""
+          .stripMargin)).as("gram"))
+      .filter(col("gram") =!= " ")
+      .distinct()
+    val first = docGram.groupBy(col("gram")).agg(min(col("__id")).as("__first"))
+    val perDoc = docGram.join(first, Seq("gram"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col(idCol).cast("long").as("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_micro",
+        expr("(1000000 * n_novel) div greatest(n_grams, 1)"))
+  }
+
   /** All vocabulary word pairs within edit distance 1 (typo clustering /
     * vocab normalization), via the FastSS deletion-neighborhood trick
     * (Bocek, Hunt, Stiller, "Fast Similarity Search in Large
@@ -934,5 +974,142 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .select(col("qid").as(qidCol), col("id").as(idCol), col("rk"),
         col("n_terms"), col("bm25_micro"))
+  }
+
+  /** Character trigrams of the normalized text (the Cavnar–Trenkle
+    * feature space; spaces act as word boundaries like the paper's
+    * padding). Texts shorter than 3 chars yield an empty array — the
+    * guard matters because `sequence(1, 0)` would otherwise produce a
+    * DESCENDING range, not an empty one. */
+  private[graft] def charTrigrams(text: Column): Column = {
+    val t = Dedup.normalize(text)
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array())
+  }
+
+  /** TRAINED language identification via n-gram rank profiles (Cavnar &
+    * Trenkle 1994, "N-Gram-Based Text Categorization") — the classic
+    * out-of-place measure, complementing the marker-voting [[langGuess]]
+    * heuristic with a model learned from a labeled slice:
+    *  - per language, the `profileSize` most frequent char trigrams of
+    *    the training slice, ranked 1..P by (count desc, gram asc);
+    *  - per document, its own top-P trigram ranks the same way;
+    *  - distance(doc, lang) = Σ over the doc profile of
+    *    |rank_doc − rank_lang|, with the paper's maximum penalty P for
+    *    grams absent from the language profile;
+    *  - prediction = argmin distance, ties to the lexicographically
+    *    first language.
+    * Pure integer arithmetic end to end — ranks, penalties, and the
+    * argmin are all total-ordered, so the prediction replays
+    * bit-identically in any engine.
+    *
+    * Scale shape: the language profiles are one vocabulary-sized
+    * combine-agg + a per-LANGUAGE window (|langs| partitions over a
+    * vocabulary-sized relation), collapsing to an |langs|·P-row
+    * broadcast; doc profiles are a per-DOC window (partitioned by id,
+    * never global); scoring fans each doc-profile row out ×|langs| via
+    * a broadcast nested-loop over the distinct-language relation and a
+    * broadcast LEFT equi-join against the profile — no corpus × corpus
+    * anything, one extra shuffle total (the doc-gram agg). */
+  def ctLangPredict(docs: DataFrame, train: DataFrame,
+      profileSize: Int = 40, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    require(profileSize > 0, "profileSize must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val langProf = train
+      .select(col(langCol).as("__plang"),
+        explode(charTrigrams(col(textCol))).as("__pg"))
+      .groupBy(col("__plang"), col("__pg")).agg(count(lit(1)).as("__c"))
+      .withColumn("__rl", row_number().over(
+        W.partitionBy(col("__plang")).orderBy(col("__c").desc, col("__pg"))))
+      .filter(col("__rl") <= profileSize)
+      .select(col("__plang"), col("__pg"), col("__rl"))
+      .localCheckpoint(false) // |langs|·P rows; consumed by langs + join
+    val langs = langProf.select(col("__plang").as("__cand")).distinct()
+    val docProf = docs
+      .select(col(idCol).as("__id"), col(langCol).as("__true"),
+        explode(charTrigrams(col(textCol))).as("__g"))
+      .groupBy(col("__id"), col("__true"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rd", row_number().over(
+        W.partitionBy(col("__id")).orderBy(col("__c").desc, col("__g"))))
+      .filter(col("__rd") <= profileSize)
+    docProf
+      .crossJoin(broadcast(langs))
+      .join(broadcast(langProf),
+        col("__cand") === col("__plang") && col("__g") === col("__pg"), "left")
+      .groupBy(col("__id"), col("__true"), col("__cand"))
+      .agg(sum(coalesce(abs(col("__rd") - col("__rl")),
+        lit(profileSize.toLong))).as("__dist"))
+      .groupBy(col("__id"), col("__true"))
+      .agg(min(struct(col("__dist"), col("__cand"))).as("__m"))
+      .select(col("__id").as(idCol), col("__true").as(langCol),
+        col("__m").getField("__cand").as("pred_lang"),
+        col("__m").getField("__dist").as("oop_dist"))
+  }
+
+  /** Importance-weighted data selection score — the DSIR / Moore–Lewis
+    * family (Xie et al. 2023 "Data Selection for Language Models via
+    * Importance Resampling"; Moore & Lewis 2010) in the repo's
+    * rational-arithmetic form: score each document by how much its
+    * hashed n-gram features look like a TARGET distribution versus the
+    * raw pool. Where the papers sum per-feature LOG-likelihood ratios,
+    * this sums the Laplace-smoothed ratios themselves in micro-units
+    * (the same monotone log-free substitution as [[bm25TopK]]'s idf) and
+    * divides by the gram count — per-gram ratio ordering is unchanged,
+    * and every step is integer/decimal-exact, so the score replays
+    * bit-identically in the oracle.
+    *
+    * Features are word unigrams + bigrams hashed into `buckets` buckets
+    * (DSIR's hashed-ngram feature space, md5-addressed like every other
+    * content hash here). Per bucket: ratio_micro =
+    * unit·(cT+1)·(NR+B) // ((cR+1)·(NT+B)) — target counts cT over rows
+    * matching `targetPred`, raw counts cR over the rest; the products
+    * ride DECIMAL(38,0) (long would wrap around corpus sizes ~10⁶).
+    * Per doc: (Σ ratio_micro over its grams) div n_grams.
+    *
+    * Scale shape: gram extraction + bucketing is map-only; the bucket
+    * count relation is `buckets` rows (one map-side-combined shuffle,
+    * lazily checkpointed for its two consumers); the ratio relation
+    * broadcasts back; the per-doc score is ONE combine-agg keyed by id.
+    * Nothing anywhere is corpus-pairwise. */
+  def ngramImportanceScore(docs: DataFrame, targetPred: Column,
+      buckets: Int = 1024, unit: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val grams = docs
+      .select(col(idCol).as("__id"), targetPred.as("__t"),
+        split(Dedup.normalize(col(textCol)), " ").as("__w"))
+      .select(col("__id"), col("__t"), explode(concat(
+        filter(col("__w"), w => w =!= ""),
+        // zip_with pads the shorter side with null -> concat -> null;
+        // the IS NOT NULL filter leaves exactly the n-1 adjacent pairs
+        // (normalize guarantees no empty interior words)
+        expr("""filter(zip_with(__w, slice(__w, 2, size(__w)),
+          | (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"""
+          .stripMargin))).as("__g"))
+      .filter(col("__g") =!= "")
+      .withColumn("__b",
+        conv(substring(md5(concat(lit("dsir|"), col("__g"))), 1, 15), 16, 10)
+          .cast("long") % buckets)
+    val counts = grams
+      .groupBy(col("__b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("cr"))
+      .localCheckpoint(false) // ≤ buckets rows; consumed by totals + join
+    val totals = counts.agg(sum(col("ct")).as("NT"), sum(col("cr")).as("NR"))
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select(col("__b"), expr(
+        s"""(CAST($unit AS DECIMAL(38,0)) * CAST(ct + 1 AS DECIMAL(38,0))
+           |  * CAST(NR + $buckets AS DECIMAL(38,0)))
+           | div (CAST(cr + 1 AS DECIMAL(38,0))
+           |  * CAST(NT + $buckets AS DECIMAL(38,0)))""".stripMargin)
+        .as("__r"))
+    grams.join(broadcast(ratio), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__r")).as("__sr"))
+      .select(col("__id").as(idCol), col("n_grams"),
+        expr("__sr div n_grams").cast("long").as("ratio_micro"))
   }
 }

@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.ops.{Chunking, Components, Curation, Dedup, Similarity, TextAnalysis}
+
+/** Round-9 training-data-pipeline operators: centroid-based cluster
+  * quality (simplified silhouette), trained n-gram-rank language ID
+  * (Cavnar–Trenkle), weighted sampling without replacement (sequential
+  * Poisson), and importance-weighted data selection (DSIR / Moore–Lewis
+  * shape). Same exactness contract as the sibling registries — integer
+  * and decimal arithmetic only, so every query has a full DuckDB replay
+  * oracle, training trajectories included.
+  */
+object LlmQueries4 {
+
+  // DuckDB mirror of Dedup.normalize (same as the sibling registries).
+  private def normSql(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Per-cell simplified silhouette of the trained micro k-means
+    * clustering (k=8, 2 iterations, trained on the bounded vec_id<2000
+    * slice like `text_cluster_assign`) — is k right, which cells are
+    * mush ([[Similarity.silhouetteByCell]]). */
+  def embSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val cents = Similarity.trainIvfCentroidsMicro(
+      emb.filter(col("vec_id") < 2000), k = 8, iters = 2)
+    Similarity.silhouetteByCell(emb, cents).orderBy(col("cell"))
+  }
+
+  /** Trained language ID: Cavnar–Trenkle trigram rank profiles learned
+    * from the labeled doc_id<250 slice, every document scored by
+    * out-of-place distance ([[TextAnalysis.ctLangPredict]]). */
+  def textCtLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    TextAnalysis.ctLangPredict(docs, docs.filter(col("doc_id") < 250))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Weighted sample without replacement: 200 documents drawn with
+    * inclusion probability ∝ n_chars via sequential Poisson priorities
+    * ([[Curation.sampleWeighted]]). */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Curation.sampleWeighted(T.par(spark, T.t(spark, dir, "documents")),
+        n = 200, weightCol = "n_chars", keyCol = "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** DSIR-style data selection: hashed-ngram importance ratios against
+    * the lang='en' target slice, top-100 documents by score
+    * ([[TextAnalysis.ngramImportanceScore]]). */
+  def curationDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    TextAnalysis.ngramImportanceScore(docs, col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .orderBy(col("ratio_micro").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        col("ratio_micro"))
+  }
+
+  /** End-to-end RAG indexing/retrieval composition: fixed-window chunking
+    * ([[Chunking.chunkWithText]], 64/48) → model-free dense hash
+    * embeddings per chunk → micro k-means coarse quantizer trained on
+    * the bounded vid<500000 slice → IVF retrieval of doc 0's chunks
+    * against the whole chunk corpus (nProbe=2, top-5). Every stage is
+    * the oracle-exact primitive; this query gates their composition. */
+  def ragChunkRetrieve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val chunks = Chunking.chunkWithText(docs, size = 64, stride = 48)
+      .select((col("doc_id") * 1000 + col("chunk_idx")).cast("long").as("vid"),
+        col("chunk_text"))
+    // the embedded chunk relation feeds seeding + training + both serve
+    // scans: checkpoint so the multi-shuffle subtree runs once
+    val emb = TextAnalysis.denseHashEmbedding(chunks, dim = 64,
+      idCol = "vid", textCol = "chunk_text").localCheckpoint()
+    val cents = Similarity.trainIvfCentroidsMicro(
+      emb.filter(col("vid") < 500000), k = 8, iters = 2, idCol = "vid")
+    Similarity.ivfTopKWithMicro(emb.filter(col("vid") < 1000), emb, cents,
+        k = 5, nProbe = 2, qidCol = "vid", cidCol = "vid")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-document novelty share: fraction of each doc's distinct bigrams
+    * first seen (min doc id) in that doc ([[TextAnalysis.docNovelty]]). */
+  def textNovelty(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.docNovelty(T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
+  /** Per-label embedding anisotropy — expected random-pair cosine
+    * ‖μ‖²/E‖v‖² in exact micro-units ([[Similarity.anisotropyByGroup]]). */
+  def embAnisotropy(spark: SparkSession, dir: String): DataFrame =
+    Similarity.anisotropyByGroup(
+        T.par(spark, T.t(spark, dir, "embeddings")), "label")
+      .orderBy(col("group_id"))
+
+  /** 3-core of the near-dup graph (doc_id<500 slice, same MinHash pair
+    * chain as `graph_label_prop`): the heavily-duplicated kernel, with
+    * within-core degrees ([[Components.kCore]], sweep budget 3). */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(
+      T.t(spark, dir, "documents").filter(col("doc_id") < 500),
+      threshold = 0.5)
+    Components.kCore(pairs, k = 3, sweeps = 3)
+      .select(col("id").as("doc_id"), col("core_degree"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_silhouette" -> (embSilhouette _),
+    "text_ct_langid" -> (textCtLangid _),
+    "sample_weighted" -> (sampleWeighted _),
+    "curation_dsir_select" -> (curationDsirSelect _),
+    "rag_chunk_retrieve" -> (ragChunkRetrieve _),
+    "text_novelty" -> (textNovelty _),
+    "emb_anisotropy" -> (embAnisotropy _),
+    "graph_kcore" -> (graphKcore _))
+
+  // ---- DuckDB oracles ---------------------------------------------------
+
+  // DuckDB mirror of Dedup.hashStr (60-bit md5-prefix hash under a seed).
+  private def hashSql(seed: Int, e: String) =
+    s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
+
+  // Rounded-6 cosine between two DOUBLE[] exprs (the ivfTopK re-rank
+  // metric — same fixed-order double arithmetic as the Spark VecDot).
+  private def cos6(a: String, b: String) =
+    s"round(list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  // The MinHash-LSH verified-pair chain over the doc_id<500 slice
+  // (grams → 8-hash signatures → 4 bands → candidates → exact-Jaccard
+  // verify) — the same relation every graph_* oracle replays.
+  private lazy val pairChainCtes =
+    s"""${LlmQueries.gramsCteFor("grams", "doc_id < 500")},
+       |sig AS (SELECT id, ${LlmQueries.sigCols} FROM grams GROUP BY id),
+       |bands AS (SELECT id, r.range AS band, ${LlmQueries.bandCase} AS band_key
+       |  FROM sig CROSS JOIN range(4) r),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+       |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN grams ga ON ga.id = c.id_a
+       |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+       |  GROUP BY c.id_a, c.id_b),
+       |pairs AS MATERIALIZED (SELECT i.id_a, i.id_b FROM inter i
+       |  JOIN sizes sa ON sa.id = i.id_a
+       |  JOIN sizes sb ON sb.id = i.id_b
+       |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5)""".stripMargin
+
+  // Unrolled k-core peeling sweeps: degree → survivors → endpoint
+  // semi-joins, e0 = the symmetric edge relation.
+  private def kcoreSweeps(k: Int, sweeps: Int) = (1 to sweeps).map { i =>
+    s"""d$i AS (SELECT src, count(*) AS d FROM e${i - 1} GROUP BY src),
+       |k$i AS MATERIALIZED (SELECT src FROM d$i WHERE d >= $k),
+       |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+       |  JOIN k$i a ON a.src = e.src
+       |  JOIN k$i b ON b.src = e.dst)""".stripMargin
+  }.mkString(",\n")
+
+  val oracle: Map[String, String] = Map(
+    // Silhouette replay: the KmeansSql unrolled training (2 iterations,
+    // vid<2000 slice), then per (vector, cell) micro cosine distances,
+    // rank-1/rank-2 via the per-vector window, and the per-cell integer
+    // means. d = 10⁶ − round(cos·10⁶) mirrors silhouetteByCell exactly.
+    "emb_silhouette" ->
+      s"""WITH src AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |${KmeansSql.trainCtes("src", "vid < 2000", k = 8, iters = 2, dim = 64)},
+         |cent AS (SELECT cell, cm FROM c2),
+         |dc AS (SELECT s.vid, c.cell,
+         |    1000000 - CAST(round(list_dot_product(s.v, CAST(c.cm AS DOUBLE[]))
+         |      / (sqrt(list_dot_product(s.v, s.v))
+         |         * sqrt(list_dot_product(CAST(c.cm AS DOUBLE[]),
+         |                                 CAST(c.cm AS DOUBLE[]))))
+         |      * 1000000, 0) AS BIGINT) AS d
+         |  FROM src s CROSS JOIN cent c),
+         |rk AS (SELECT vid, cell, d,
+         |    row_number() OVER (PARTITION BY vid ORDER BY d, cell) AS rn
+         |  FROM dc),
+         |ab AS (SELECT a.vid, a.cell, a.d AS da, b.d AS db,
+         |    ((b.d - a.d) * 1000000) // greatest(b.d, 1) AS s
+         |  FROM rk a JOIN rk b ON b.vid = a.vid AND b.rn = 2
+         |  WHERE a.rn = 1)
+         |SELECT CAST(cell AS BIGINT) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(da) // count(*) AS BIGINT) AS mean_intra_micro,
+         |  CAST(sum(db) // count(*) AS BIGINT) AS mean_inter_micro,
+         |  CAST(sum(s) // count(*) AS BIGINT) AS mean_sil_micro
+         |FROM ab GROUP BY cell
+         |ORDER BY cell""".stripMargin,
+    // Cavnar–Trenkle replay: char trigrams of the normalized text, the
+    // per-language top-40 rank profile from the doc_id<250 slice, the
+    // per-document top-40 profile, out-of-place distance with penalty 40
+    // for profile misses, argmin by (dist, lang).
+    "text_ct_langid" ->
+      s"""WITH nt AS (SELECT doc_id, lang, ${normSql("text")} AS t
+         |            FROM documents),
+         |tg AS (SELECT doc_id, lang, substring(t, CAST(r.i AS INTEGER), 3) AS g
+         |  FROM nt CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) r),
+         |lpc AS (SELECT lang AS plang, g AS pg, count(*) AS c
+         |  FROM tg WHERE doc_id < 250 GROUP BY 1, 2),
+         |lp AS MATERIALIZED (SELECT plang, pg, rl FROM (
+         |    SELECT plang, pg,
+         |      row_number() OVER (PARTITION BY plang
+         |        ORDER BY c DESC, pg) AS rl
+         |    FROM lpc) WHERE rl <= 40),
+         |langs AS (SELECT DISTINCT plang AS cand FROM lp),
+         |dpc AS (SELECT doc_id, lang, g, count(*) AS c
+         |  FROM tg GROUP BY 1, 2, 3),
+         |dp AS (SELECT doc_id, lang, g, rd FROM (
+         |    SELECT doc_id, lang, g,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY c DESC, g) AS rd
+         |    FROM dpc) WHERE rd <= 40),
+         |sc AS (SELECT dp.doc_id, dp.lang, l.cand,
+         |    CAST(sum(coalesce(abs(dp.rd - lp.rl), 40)) AS BIGINT) AS dist
+         |  FROM dp CROSS JOIN langs l
+         |  LEFT JOIN lp ON lp.plang = l.cand AND lp.pg = dp.g
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_id, lang, cand AS pred_lang, dist AS oop_dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY dist, cand) AS rn FROM sc)
+         |WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+    // Sequential Poisson replay: integer priority hash // weight, the
+    // 200 lowest (priority, doc_id) rows.
+    "sample_weighted" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    row_number() OVER (ORDER BY
+         |      (CAST('0x' || substring(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 15)
+         |        AS BIGINT) // CAST(n_chars AS BIGINT)),
+         |      doc_id) AS rn
+         |  FROM documents WHERE n_chars > 0)
+         |WHERE rn <= 200
+         |ORDER BY doc_id""".stripMargin,
+    // DSIR replay: hashed unigram+bigram buckets, Laplace-smoothed
+    // target/raw ratio per bucket in HUGEINT (the DECIMAL(38,0) mirror),
+    // per-doc mean ratio, top-100 by (score desc, id).
+    "curation_dsir_select" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split(${normSql("text")}, ' ') AS ws
+         |           FROM documents),
+         |uni AS (SELECT doc_id, lang, u.w AS g
+         |  FROM w, unnest(ws) AS u(w) WHERE u.w <> ''),
+         |bi AS (SELECT doc_id, lang,
+         |    ws[CAST(r.i AS INTEGER)] || ' ' || ws[CAST(r.i + 1 AS INTEGER)] AS g
+         |  FROM w CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) r
+         |  WHERE ws[CAST(r.i AS INTEGER)] <> ''
+         |    AND ws[CAST(r.i + 1 AS INTEGER)] <> ''),
+         |g AS (SELECT doc_id, (lang = 'en') AS t,
+         |    CAST('0x' || substring(md5('dsir|' || g), 1, 15) AS BIGINT)
+         |      % 1024 AS b
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |cnt AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+         |  FROM g GROUP BY b),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |    CAST(sum(cr) AS BIGINT) AS nr FROM cnt),
+         |rat AS (SELECT b,
+         |    (CAST(1000000 AS HUGEINT) * (ct + 1) * (nr + 1024))
+         |      // ((cr + 1) * (nt + 1024)) AS r
+         |  FROM cnt CROSS JOIN tot),
+         |ds AS (SELECT g.doc_id, count(*) AS n_grams, sum(r.r) AS sr
+         |  FROM g JOIN rat r USING (b) GROUP BY 1)
+         |SELECT d.doc_id, d.source,
+         |  CAST(ds.n_grams AS BIGINT) AS n_grams,
+         |  CAST(ds.sr // ds.n_grams AS BIGINT) AS ratio_micro
+         |FROM ds JOIN documents d USING (doc_id)
+         |ORDER BY ratio_micro DESC, d.doc_id
+         |LIMIT 100""".stripMargin,
+    // RAG composition replay: chunk windows → signed hash-bucket dense
+    // vectors (the text_cluster_assign embedding CTEs, keyed by chunk
+    // vid) → unrolled micro k-means → probe-2 IVF → rounded-cosine
+    // re-rank top-5 (the sim_ivf_trained_topk serve shape).
+    "rag_chunk_retrieve" ->
+      s"""WITH ck AS (
+         |  SELECT doc_id * 1000 + o.i // 48 AS vid,
+         |    substring(text, CAST(o.i + 1 AS INTEGER), 64) AS t
+         |  FROM documents CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(0, greatest(length(text) - 1, 0),
+         |       48)) AS i) o),
+         |nn AS (SELECT vid, ${normSql("t")} AS norm FROM ck),
+         |w AS (SELECT vid, unnest(string_split(norm, ' ')) AS wd FROM nn),
+         |f AS (SELECT vid, CAST(${hashSql(31, "wd")} % 64 AS INTEGER) AS idx,
+         |        (${hashSql(47, "wd")} % 2) * 2 - 1 AS sgn
+         |      FROM w WHERE wd <> ''),
+         |sp AS (SELECT vid, idx, CAST(sum(sgn) AS BIGINT) AS value
+         |       FROM f GROUP BY 1, 2),
+         |ids AS (SELECT DISTINCT vid FROM sp),
+         |src AS MATERIALIZED (SELECT i.vid,
+         |    list(CAST(coalesce(s.value, 0) AS DOUBLE) ORDER BY r.range) AS v
+         |  FROM ids i CROSS JOIN range(64) r
+         |  LEFT JOIN sp s ON s.vid = i.vid AND s.idx = r.range
+         |  GROUP BY i.vid),
+         |${KmeansSql.trainCtes("src", "vid < 500000", k = 8, iters = 2, dim = 64)},
+         |cent AS (SELECT cell, cm FROM c2),
+         |assign AS MATERIALIZED (${KmeansSql.assignSql("src", "cent")}),
+         |probes AS (SELECT vid AS query_id, cell FROM (
+         |    SELECT s.vid, c.cell,
+         |      row_number() OVER (PARTITION BY s.vid
+         |        ORDER BY ${KmeansSql.cosMicro("s.v", "c.cm")} DESC, c.cell) AS rn
+         |    FROM src s CROSS JOIN cent c WHERE s.vid < 1000) WHERE rn <= 2),
+         |cnd AS (SELECT p.query_id, a.vid AS neighbor_id
+         |  FROM probes p JOIN assign a USING (cell)
+         |  WHERE a.vid <> p.query_id)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT cd.query_id, cd.neighbor_id, ${cos6("q.v", "n.v")} AS sim,
+         |    row_number() OVER (PARTITION BY cd.query_id
+         |      ORDER BY ${cos6("q.v", "n.v")} DESC, cd.neighbor_id) AS rank
+         |  FROM cnd cd
+         |  JOIN src q ON q.vid = cd.query_id
+         |  JOIN src n ON n.vid = cd.neighbor_id)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    // Novelty replay: distinct per-doc bigrams, min-doc-id first
+    // occurrence, per-doc novel share; gram-less docs keep zeros.
+    "text_novelty" ->
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm
+         |  FROM documents),
+         |w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+         |bg AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)),
+         |    i -> ws[i] || ' ' || ws[i + 1])) AS gram
+         |  FROM w WHERE len(ws) >= 2),
+         |fst AS (SELECT gram, min(doc_id) AS f FROM bg GROUP BY gram),
+         |per AS (SELECT bg.doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN fst.f = bg.doc_id THEN 1 ELSE 0 END) AS n_novel
+         |  FROM bg JOIN fst USING (gram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CAST((1000000 * coalesce(per.n_novel, 0))
+         |    // greatest(coalesce(per.n_grams, 0), 1) AS BIGINT) AS novelty_micro
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // Anisotropy replay: micro means per (label, idx) with the offset
+    // division, per-vector squared micro norms, group ratio in HUGEINT.
+    "emb_anisotropy" ->
+      """WITH x AS (SELECT vec_id, label AS g, CAST(r.range AS INTEGER) AS idx,
+        |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)
+        |      * 1000000) AS BIGINT) AS m
+        |  FROM embeddings CROSS JOIN range(64) r),
+        |mu AS (SELECT g, idx,
+        |    CAST(sum(m + 1000000000) // count(*) - 1000000000 AS BIGINT)
+        |      AS mean_micro
+        |  FROM x GROUP BY g, idx),
+        |ms AS (SELECT g, CAST(sum(mean_micro * mean_micro) AS BIGINT) AS mu_sq
+        |  FROM mu GROUP BY g),
+        |pv AS (SELECT g, vec_id, CAST(sum(m * m) AS BIGINT) AS nv2
+        |  FROM x GROUP BY g, vec_id),
+        |nrm AS (SELECT g, count(*) AS n_vecs,
+        |    CAST(sum(CAST(nv2 AS HUGEINT)) // count(*) AS BIGINT)
+        |      AS mean_sq_norm
+        |  FROM pv GROUP BY g)
+        |SELECT ms.g AS group_id, CAST(nrm.n_vecs AS BIGINT) AS n_vecs,
+        |  CAST((CAST(1000000 AS HUGEINT) * ms.mu_sq)
+        |    // greatest(nrm.mean_sq_norm, 1) AS BIGINT) AS aniso_micro
+        |FROM ms JOIN nrm USING (g)
+        |ORDER BY group_id""".stripMargin,
+    // k-core replay: the shared MinHash pair chain → symmetric edges →
+    // 3 unrolled peeling sweeps → surviving within-core degrees.
+    "graph_kcore" ->
+      s"""WITH $pairChainCtes,
+         |e0 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs)),
+         |${kcoreSweeps(k = 3, sweeps = 3)}
+         |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM e3 GROUP BY src
+         |ORDER BY doc_id""".stripMargin)
+}

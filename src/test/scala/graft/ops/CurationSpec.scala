@@ -284,4 +284,26 @@ class CurationSpec extends SparkSpec {
         s"${r.getString(0)}: t_sketch=$tSketch exact_p99=$p99")
     }
   }
+
+  test("sampleWeighted: exact n, weight-proportional inclusion, invariant") {
+    import spark.implicits._
+    // 100 heavy rows (weight 500) among 900 light rows (weight 1)
+    val df = (0L until 1000L)
+      .map(i => (i, if (i < 100) 500L else 1L)).toDF("id", "w")
+    val out = Curation.sampleWeighted(df, n = 100, weightCol = "w",
+      keyCol = "id")
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 100)
+    // heavy rows carry ~98% of total weight -> they dominate the sample
+    assert(ids.count(_ < 100L) > 80, s"only ${ids.count(_ < 100L)} heavy rows")
+    // deterministic + partition-invariant
+    val again = Curation.sampleWeighted(df.repartition(7), n = 100,
+      weightCol = "w", keyCol = "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+    // non-positive weights are never drawn
+    val withZero = df.withColumn("w", when(col("id") < 999L, col("w")).otherwise(0L))
+    assert(!Curation.sampleWeighted(withZero, n = 1000, weightCol = "w",
+      keyCol = "id").select("id").collect().map(_.getLong(0)).contains(999L))
+  }
 }

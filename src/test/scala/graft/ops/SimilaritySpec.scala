@@ -311,4 +311,31 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("silhouetteByCell: planted clusters score near 1, counts partition the corpus") {
+    import spark.implicits._
+    // two tight orthogonal clusters + their exact centroids in micro-units
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.05f, 0f, 0f)), (1L, Seq(0.9f, 0.0f, 0f, 0f)),
+      (2L, Seq(1.0f, -0.05f, 0f, 0f)),
+      (3L, Seq(0.0f, 0.02f, 1.0f, 0f)), (4L, Seq(0f, -0.02f, 0.95f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(
+      0L -> Array(1000000L, 0L, 0L, 0L),
+      1L -> Array(0L, 0L, 1000000L, 0L))
+    val out = Similarity.silhouetteByCell(emb, cents).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L)._1 == 3L && out(1L)._1 == 2L) // n per cell partitions corpus
+    // tight, near-orthogonal clusters: silhouette close to the 10^6 max
+    assert(out.values.forall(_._2 > 900000L), s"low silhouette: $out")
+    // partition invariance
+    val again = Similarity.silhouetteByCell(emb.repartition(5), cents)
+      .collect().map(_.toSeq).toSet
+    assert(again == Similarity.silhouetteByCell(emb, cents).collect().map(_.toSeq).toSet)
+    // a 1-centroid clustering has no "nearest other" — must fail loudly
+    intercept[IllegalArgumentException] {
+      Similarity.silhouetteByCell(emb, cents.take(1))
+    }
+  }
 }

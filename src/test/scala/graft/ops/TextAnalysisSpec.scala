@@ -387,4 +387,55 @@ class TextAnalysisSpec extends SparkSpec {
     val shuffled = TextAnalysis.vocabGrowth(docs.repartition(7), bucketDocs = 2)
     assert(base.except(shuffled).isEmpty && shuffled.except(base).isEmpty)
   }
+
+  test("ctLangPredict: planted disjoint vocabularies classify correctly") {
+    import spark.implicits._
+    // two "languages" with disjoint character content
+    val aa = "foo bar bazz foo bar"
+    val bb = "qux quux corge qux"
+    val docs = Seq(
+      (0L, aa, "aa"), (1L, "bar bazz foo", "aa"),
+      (2L, bb, "bb"), (3L, "corge qux quux", "bb"),
+      (4L, "foo foo bar", "aa"), (5L, "quux qux corge corge", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val train = docs.filter(col("doc_id") < 4)
+    val out = TextAnalysis.ctLangPredict(docs, train)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(out.size == 6)
+    out.foreach { case (id, (truth, pred, _)) =>
+      assert(pred == truth, s"doc $id predicted $pred, wanted $truth")
+    }
+    // own-profile docs sit closer than the penalty-everything distance
+    assert(out(0L)._3 < out.values.map(_._3).max * 2)
+    // partition invariance: ranks and argmin are total-ordered
+    val again = TextAnalysis.ctLangPredict(docs.repartition(7), train)
+      .collect().map(_.toSeq).toSet
+    assert(again == TextAnalysis.ctLangPredict(docs, train)
+      .collect().map(_.toSeq).toSet)
+  }
+
+  test("ngramImportanceScore: target-like docs outscore raw-like docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha alpha gamma alpha", true),
+      (1L, "alpha gamma alpha alpha", true),
+      (2L, "beta beta delta beta", false),
+      (3L, "beta delta beta beta", false),
+      (4L, "alpha alpha alpha alpha", false), // target-looking raw doc
+      (5L, "beta beta beta beta", false))     // raw-looking raw doc
+      .toDF("doc_id", "text", "is_t")
+    val out = TextAnalysis.ngramImportanceScore(docs, col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.size == 6)
+    // the alpha-heavy doc carries target-heavy buckets -> higher ratio
+    assert(out(4L) > out(5L),
+      s"target-like ${out(4L)} should outscore raw-like ${out(5L)}")
+    assert(out(0L) > out(2L))
+    // partition invariance (bucket counts are combine-aggs; ratios exact)
+    val again = TextAnalysis.ngramImportanceScore(docs.repartition(7), col("is_t"))
+      .collect().map(_.toSeq).toSet
+    assert(again == TextAnalysis.ngramImportanceScore(docs, col("is_t"))
+      .collect().map(_.toSeq).toSet)
+  }
 }
