@@ -173,5 +173,6 @@ object Bench {
     // round-9 additions: cluster-quality silhouette, trained lang-ID,
     // weighted sampling, DSIR importance selection
     "emb_silhouette", "text_ct_langid", "sample_weighted",
-    "curation_dsir_select")
+    "curation_dsir_select", "rag_chunk_retrieve", "text_novelty",
+    "emb_anisotropy", "graph_kcore")
 }

@@ -43,4 +43,21 @@ class ChunkingSpec extends SparkSpec {
       .agg(max(length(col("text")))).head().getInt(0)
     assert(maxLen < 50000, s"doc_chunks oracle cap at risk: max doc $maxLen chars")
   }
+
+  test("chunkWithText: window texts, short tail, empty doc keeps one chunk") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
+    val out = Chunking.chunkWithText(docs, size = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(out == Map(
+      (1L, 0) -> "abcd", (1L, 1) -> "defg", (1L, 2) -> "ghij",
+      (1L, 3) -> "j", (2L, 0) -> ""))
+    // text is the substring the md5 form hashes: the two forms agree
+    val hashed = Chunking.chunkFixed(docs, size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(3)).toMap
+    out.foreach { case (k, t) =>
+      assert(hashed(k) == org.apache.commons.codec.digest.DigestUtils.md5Hex(t))
+    }
+  }
 }

@@ -169,4 +169,26 @@ class ComponentsSpec extends SparkSpec {
       s"got ${q.toSeq}")
     assert(q.map(_._4).sum == 500000L) // Q = 0.5, the textbook two-clique value
   }
+
+  test("kCore: K4 kernel survives k=3, pendants peel, cascades empty a path") {
+    import spark.implicits._
+    // K4 {1..4} + pendant path 4-5-6: 5 and 6 never reach degree 3
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val g = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("id_a", "id_b")
+    val core = Components.kCore(g, k = 3, sweeps = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core")
+    // a path has no 2-core: endpoint peeling cascades to empty
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    assert(Components.kCore(path, k = 2, sweeps = 5).count() == 0L)
+    // but a cycle is its own 2-core
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    assert(Components.kCore(cycle, k = 2, sweeps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    // budget invariance: once converged, a larger budget changes nothing
+    val a = Components.kCore(g, k = 3, sweeps = 3).collect().map(_.toSeq).toSet
+    val b = Components.kCore(g, k = 3, sweeps = 10).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

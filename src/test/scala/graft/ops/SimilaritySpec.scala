@@ -312,6 +312,29 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("anisotropyByGroup: collapsed group scores 1, isotropic group scores 0") {
+    import spark.implicits._
+    val emb = Seq(
+      // group 0: all identical -> mu == v -> anisotropy exactly 10^6
+      (0L, Seq(0.5f, 0.5f, 0f, 0f), 0),
+      (1L, Seq(0.5f, 0.5f, 0f, 0f), 0),
+      // group 1: +/-e1, +/-e2 -> mu = 0 -> anisotropy 0
+      (2L, Seq(1f, 0f, 0f, 0f), 1), (3L, Seq(-1f, 0f, 0f, 0f), 1),
+      (4L, Seq(0f, 1f, 0f, 0f), 1), (5L, Seq(0f, -1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.anisotropyByGroup(emb, "label").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0)._1 == 2L && out(1)._1 == 4L)
+    assert(out(0)._2 == 1000000L, s"collapsed group: ${out(0)}")
+    // floor(-1.0 * 1e6) is exact, means are exactly 0
+    assert(out(1)._2 == 0L, s"isotropic group: ${out(1)}")
+    // partition invariance (integer sums throughout)
+    val again = Similarity.anisotropyByGroup(emb.repartition(5), "label")
+      .collect().map(_.toSeq).toSet
+    assert(again == Similarity.anisotropyByGroup(emb, "label")
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("silhouetteByCell: planted clusters score near 1, counts partition the corpus") {
     import spark.implicits._
     // two tight orthogonal clusters + their exact centroids in micro-units

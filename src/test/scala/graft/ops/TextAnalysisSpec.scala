@@ -415,6 +415,25 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("docNovelty: hand-computed novel shares, zeros for gram-less docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c"),  // "a b", "b c" both first here -> 2/2
+      (1L, "a b d"),  // "a b" seen, "b d" novel -> 1/2
+      (2L, ""),       // no grams -> zeros
+      (3L, "a b"))    // "a b" seen -> 0/1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.docNovelty(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      0L -> (2L, 2L, 1000000L), 1L -> (2L, 1L, 500000L),
+      2L -> (0L, 0L, 0L), 3L -> (1L, 0L, 0L)), s"got $out")
+    // min-doc-id attribution is partition-invariant
+    val again = TextAnalysis.docNovelty(docs.repartition(7))
+      .collect().map(_.toSeq).toSet
+    assert(again == TextAnalysis.docNovelty(docs).collect().map(_.toSeq).toSet)
+  }
+
   test("ngramImportanceScore: target-like docs outscore raw-like docs") {
     import spark.implicits._
     val docs = Seq(
