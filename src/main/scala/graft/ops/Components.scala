@@ -298,9 +298,12 @@ object Components {
     * Output: (id, community) for every non-isolated vertex. */
   def labelPropagation(pairs: DataFrame, iters: Int = 2,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    // checkpoint BEFORE the symmetrizing union (same double-evaluation
+    // fence as kCore's: und feeds both union branches)
     val und = pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
     val edges = und
       .unionByName(und.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(false)
@@ -403,9 +406,13 @@ object Components {
   def kCore(pairs: DataFrame, k: Int, sweeps: Int = 5,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     require(k >= 1 && sweeps >= 1, "k and sweeps must be positive")
+    // checkpoint BEFORE the symmetrizing union: und feeds both branches,
+    // so an un-fenced upstream pair pipeline (e.g. the MinHash chain)
+    // would run twice for one materialization
     val und = pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
     var edges = und
       .unionByName(und.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(false)
