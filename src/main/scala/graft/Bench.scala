@@ -174,5 +174,6 @@ object Bench {
     // weighted sampling, DSIR importance selection
     "emb_silhouette", "text_ct_langid", "sample_weighted",
     "curation_dsir_select", "rag_chunk_retrieve", "text_novelty",
-    "emb_anisotropy", "graph_kcore")
+    "emb_anisotropy", "graph_kcore", "emb_davies_bouldin",
+    "mix_plan_uniform")
 }

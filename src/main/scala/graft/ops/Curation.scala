@@ -230,6 +230,44 @@ object Curation {
       .drop("__h", "__prio")
   }
 
+  /** Data-mix planning for a uniform target mixture — the "how do I
+    * actually hit my data recipe" arithmetic of pretraining mixtures
+    * (the Pile / LLaMA-style recipes where under-represented sources are
+    * up-sampled for multiple epochs and over-represented ones are rate-
+    * sampled down): given per-stratum token masses and a total token
+    * budget, each stratum gets quota = budget div P tokens, and the plan
+    * reports, per stratum,
+    *  - `rate_micro`  = min(1, quota/n) — the [[stratifiedSample]] rate
+    *    that downsamples an over-quota source,
+    *  - `epochs_micro` = quota/n — >10⁶ means the source must repeat
+    *    (up-sample epochs) to fill its quota,
+    *  - `shortfall_tokens` = max(0, quota − n) — the mass that up-
+    *    sampling must supply.
+    * All integer arithmetic (one div per ratio), so the plan replays
+    * exactly; the non-uniform-shares form is the same join with a
+    * shares dim instead of the broadcast stratum count.
+    *
+    * Scale shape: ONE combine-agg to the |strata|-row count relation;
+    * everything after is arithmetic on that relation with the stratum
+    * count riding as a one-row broadcast. */
+  def planMixUniform(docs: DataFrame, strataCol: String, tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val counts = docs.groupBy(col(strataCol))
+      .agg(sum(tokens.cast("long")).as("n_tokens"))
+      .localCheckpoint(false) // |strata| rows; consumed with its own count
+    val p = counts.agg(count(lit(1)).as("__p"))
+    counts.crossJoin(broadcast(p))
+      .withColumn("quota_tokens", expr(s"$budget div __p"))
+      .withColumn("rate_micro", expr(
+        "least(1000000L, (1000000 * quota_tokens) div greatest(n_tokens, 1))"))
+      .withColumn("epochs_micro", expr(
+        "(1000000 * quota_tokens) div greatest(n_tokens, 1)"))
+      .withColumn("shortfall_tokens",
+        expr("greatest(0L, quota_tokens - n_tokens)"))
+      .drop("__p")
+  }
+
   def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
       cap: Int, salt: String = "cap"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

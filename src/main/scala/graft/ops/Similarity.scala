@@ -703,6 +703,60 @@ object Similarity {
         expr("__ss div n").as("mean_sil_micro"))
   }
 
+  /** Per-cell Davies–Bouldin index (Davies & Bouldin 1979) — the
+    * companion cluster-quality metric to [[silhouetteByCell]], built on
+    * the same micro-unit cosine distances: DB_i = max_{j≠i}
+    * (S_i + S_j) / M_ij with S = within-cell mean distance to the own
+    * centroid and M = centroid–centroid distance. LOWER is better
+    * (compact cells, far-apart centroids); cells whose DB is dominated
+    * by one close neighbor are merge candidates — the "is k too big?"
+    * probe where silhouette answers "is k too small?".
+    *
+    * Exactness: S_i re-uses [[silhouetteByCell]]'s floored mean intra
+    * distance; the k×k centroid-distance matrix is computed driver-side
+    * from the micro centroid array with the same fixed-order double
+    * cosine and HALF_UP micro rounding the oracle replays; the final
+    * ratio is one integral division of longs.
+    *
+    * Scale shape: everything corpus-sized is [[silhouetteByCell]]'s one
+    * combine-agg; the pair matrix is k² driver rows joined broadcast
+    * onto the k-row per-cell relation. */
+  def daviesBouldinByCell(emb: DataFrame,
+      cents: Array[(Long, Array[Long])], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(cents.length >= 2, "Davies-Bouldin needs at least 2 centroids")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sil = silhouetteByCell(emb, cents, idCol, vecCol)
+      .select(col("cell"), col("n"), col("mean_intra_micro"))
+      .localCheckpoint(false) // k rows; consumed by both join sides
+    def cosMicroDist(a: Array[Long], b: Array[Long]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      // HALF_UP away-from-zero — the rounding DuckDB's round() applies
+      1000000L - new java.math.BigDecimal(cos * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    val pairRows = for {
+      (ci, vi) <- cents.toSeq; (cj, vj) <- cents.toSeq if ci != cj
+    } yield (ci, cj, cosMicroDist(vi, vj))
+    val pairs = broadcast(pairRows.toDF("__ci", "__cj", "__m"))
+    sil.join(pairs, col("cell") === col("__ci"))
+      .join(sil.select(col("cell").as("__cj2"),
+        col("mean_intra_micro").as("__sj")), col("__cj") === col("__cj2"))
+      .groupBy(col("cell"), col("n"), col("mean_intra_micro"))
+      .agg(max(expr(
+        "((mean_intra_micro + __sj) * 1000000) div greatest(__m, 1)"))
+        .as("db_micro"))
+  }
+
   /** Contrastive training-pair mining: for each anchor, its exact
     * nearest neighbour as the positive plus `negatives` deterministic
     * random negatives drawn from a hash panel — the (anchor, positive,

@@ -108,6 +108,25 @@ object LlmQueries4 {
       .orderBy(col("doc_id"))
   }
 
+  /** Davies–Bouldin companion to `emb_silhouette` over the same trained
+    * clustering ([[Similarity.daviesBouldinByCell]]) — lower is better;
+    * the "is k too big" probe. */
+  def embDaviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val cents = Similarity.trainIvfCentroidsMicro(
+      emb.filter(col("vec_id") < 2000), k = 8, iters = 2)
+    Similarity.daviesBouldinByCell(emb, cents).orderBy(col("cell"))
+  }
+
+  /** Uniform-target mix plan over sources at a 30k-token budget
+    * ([[Curation.planMixUniform]]): per-source rates, epochs, and
+    * up-sampling shortfalls. */
+  def mixPlanUniform(spark: SparkSession, dir: String): DataFrame =
+    Curation.planMixUniform(T.par(spark, T.t(spark, dir, "documents")),
+        "source", size(split(trim(col("text")), "\\s+")).cast("long"),
+        budget = 30000L)
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_silhouette" -> (embSilhouette _),
     "text_ct_langid" -> (textCtLangid _),
@@ -116,7 +135,9 @@ object LlmQueries4 {
     "rag_chunk_retrieve" -> (ragChunkRetrieve _),
     "text_novelty" -> (textNovelty _),
     "emb_anisotropy" -> (embAnisotropy _),
-    "graph_kcore" -> (graphKcore _))
+    "graph_kcore" -> (graphKcore _),
+    "emb_davies_bouldin" -> (embDaviesBouldin _),
+    "mix_plan_uniform" -> (mixPlanUniform _))
 
   // ---- DuckDB oracles ---------------------------------------------------
 
@@ -363,6 +384,62 @@ object LlmQueries4 {
         |    // greatest(nrm.mean_sq_norm, 1) AS BIGINT) AS aniso_micro
         |FROM ms JOIN nrm USING (g)
         |ORDER BY group_id""".stripMargin,
+    // Davies–Bouldin replay: the silhouette chain's own-cell distances
+    // → per-cell mean intra, plus the k×k centroid-distance matrix and
+    // the max (S_i+S_j)/M_ij ratio.
+    "emb_davies_bouldin" ->
+      s"""WITH src AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |${KmeansSql.trainCtes("src", "vid < 2000", k = 8, iters = 2, dim = 64)},
+         |cent AS (SELECT cell, cm FROM c2),
+         |dc AS (SELECT s.vid, c.cell,
+         |    1000000 - CAST(round(list_dot_product(s.v, CAST(c.cm AS DOUBLE[]))
+         |      / (sqrt(list_dot_product(s.v, s.v))
+         |         * sqrt(list_dot_product(CAST(c.cm AS DOUBLE[]),
+         |                                 CAST(c.cm AS DOUBLE[]))))
+         |      * 1000000, 0) AS BIGINT) AS d
+         |  FROM src s CROSS JOIN cent c),
+         |own AS (SELECT vid, cell, d FROM (
+         |    SELECT vid, cell, d,
+         |      row_number() OVER (PARTITION BY vid ORDER BY d, cell) AS rn
+         |    FROM dc) WHERE rn = 1),
+         |percell AS MATERIALIZED (SELECT cell, count(*) AS n,
+         |    CAST(sum(d) // count(*) AS BIGINT) AS s
+         |  FROM own GROUP BY cell),
+         |mm AS (SELECT a.cell AS ci, b.cell AS cj,
+         |    1000000 - CAST(round(
+         |      list_dot_product(CAST(a.cm AS DOUBLE[]), CAST(b.cm AS DOUBLE[]))
+         |      / (sqrt(list_dot_product(CAST(a.cm AS DOUBLE[]),
+         |                               CAST(a.cm AS DOUBLE[])))
+         |         * sqrt(list_dot_product(CAST(b.cm AS DOUBLE[]),
+         |                                 CAST(b.cm AS DOUBLE[]))))
+         |      * 1000000, 0) AS BIGINT) AS m
+         |  FROM cent a JOIN cent b ON a.cell <> b.cell)
+         |SELECT p.cell, CAST(p.n AS BIGINT) AS n, p.s AS mean_intra_micro,
+         |  CAST(max(((p.s + q.s) * 1000000) // greatest(mm.m, 1)) AS BIGINT)
+         |    AS db_micro
+         |FROM percell p JOIN mm ON mm.ci = p.cell
+         |JOIN percell q ON q.cell = mm.cj
+         |GROUP BY p.cell, p.n, p.s
+         |ORDER BY p.cell""".stripMargin,
+    // Mix-plan replay: per-source whitespace token masses, uniform
+    // quota = budget div P, integer rate/epoch/shortfall arithmetic.
+    "mix_plan_uniform" ->
+      s"""WITH c AS (SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source),
+         |p AS (SELECT count(*) AS p FROM c)
+         |SELECT source, n_tokens,
+         |  CAST(30000 // p.p AS BIGINT) AS quota_tokens,
+         |  CAST(least(1000000, (1000000 * (30000 // p.p))
+         |    // greatest(n_tokens, 1)) AS BIGINT) AS rate_micro,
+         |  CAST((1000000 * (30000 // p.p))
+         |    // greatest(n_tokens, 1) AS BIGINT) AS epochs_micro,
+         |  CAST(greatest(0, (30000 // p.p) - n_tokens) AS BIGINT)
+         |    AS shortfall_tokens
+         |FROM c CROSS JOIN p
+         |ORDER BY source""".stripMargin,
     // k-core replay: the shared MinHash pair chain → symmetric edges →
     // 3 unrolled peeling sweeps → surviving within-core degrees.
     "graph_kcore" ->

@@ -285,6 +285,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("planMixUniform: hand-computed quotas, rates, epochs, shortfalls") {
+    import spark.implicits._
+    val docs = Seq(("A", 100L), ("B", 50L), ("C", 10L)).toDF("src", "n")
+    val out = Curation.planMixUniform(docs, "src", col("n"), budget = 120L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // P = 3 -> quota 40 each
+    assert(out("A") == (100L, 40L, 400000L, 400000L, 0L), s"A: ${out("A")}")
+    assert(out("B") == (50L, 40L, 800000L, 800000L, 0L), s"B: ${out("B")}")
+    // C is under quota: rate caps at 1, epochs 4x, 30 tokens short
+    assert(out("C") == (10L, 40L, 1000000L, 4000000L, 30L), s"C: ${out("C")}")
+  }
+
   test("sampleWeighted: exact n, weight-proportional inclusion, invariant") {
     import spark.implicits._
     // 100 heavy rows (weight 500) among 900 light rows (weight 1)

@@ -335,6 +335,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("daviesBouldinByCell: compact well-separated clusters score low") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.05f, 0f, 0f)), (1L, Seq(0.9f, 0.0f, 0f, 0f)),
+      (2L, Seq(1.0f, -0.05f, 0f, 0f)),
+      (3L, Seq(0.0f, 0.02f, 1.0f, 0f)), (4L, Seq(0f, -0.02f, 0.95f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(
+      0L -> Array(1000000L, 0L, 0L, 0L),
+      1L -> Array(0L, 0L, 1000000L, 0L))
+    val out = Similarity.daviesBouldinByCell(emb, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.keySet == Set(0L, 1L))
+    // S ~ 0.002, M ~ 1.0 -> DB well under 0.3 for tight orthogonal groups
+    assert(out.values.forall(_ < 300000L), s"high DB: $out")
+    intercept[IllegalArgumentException] {
+      Similarity.daviesBouldinByCell(emb, cents.take(1))
+    }
+  }
+
   test("silhouetteByCell: planted clusters score near 1, counts partition the corpus") {
     import spark.implicits._
     // two tight orthogonal clusters + their exact centroids in micro-units
