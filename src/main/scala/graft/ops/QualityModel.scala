@@ -203,4 +203,36 @@ object QualityModel {
         sum(col("n") * col("w")).as("margin"))
       .select(col("id").as(idCol), col("n_features"), col("margin"),
         (col("margin") > 0).as("keep"))
+
+  /** Calibration / reliability diagram of a scored corpus (the classic
+    * classifier-calibration readout, DeGroot & Fienberg 1983): bucket
+    * rows into fixed-width score bins and report, per bin, the count,
+    * the positive count, the empirical positive rate, and the mean
+    * score — "does a higher margin actually mean a higher keep-worthy
+    * fraction" is the question a quality-filter owner asks before
+    * trusting a threshold ([[prCurve]] sweeps thresholds; this audits
+    * the score's meaning between them).
+    *
+    * All integer: the bin is floor(score / binWidth) and both the rate
+    * and the mean are sign-split integral divisions, so the whole
+    * diagram replays bit-identically. One combine-agg, bin-count-sized
+    * output — nothing else. */
+  def reliabilityBins(scored: DataFrame, scoreCol: String,
+      labelCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    scored
+      .withColumn("bin", expr(
+        s"""CASE WHEN $scoreCol < 0
+           | THEN -((-CAST($scoreCol AS BIGINT) + ${binWidth - 1}) div $binWidth)
+           | ELSE CAST($scoreCol AS BIGINT) div $binWidth END"""
+          .stripMargin))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(col(scoreCol).cast("long")).as("__sm"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) div n").as("pos_rate_micro"),
+        expr("""CASE WHEN __sm < 0 THEN -((-__sm) div n)
+          | ELSE __sm div n END""".stripMargin).as("mean_score"))
+  }
 }

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Chunking, Components, Curation, Dedup, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Components, Curation, Dedup, QualityModel,
+  Similarity, TextAnalysis}
 
 /** Round-9 training-data-pipeline operators: centroid-based cluster
   * quality (simplified silhouette), trained n-gram-rank language ID
@@ -127,7 +128,21 @@ object LlmQueries4 {
         budget = 30000L)
       .orderBy(col("source"))
 
+  /** Calibration audit of the integer-weight quality scorer against the
+    * is-English label: 50-wide margin bins → empirical positive rates
+    * ([[QualityModel.reliabilityBins]]) — the companion readout to
+    * `quality_pr_curve`/`quality_auc`. */
+  def qualityReliability(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val scored = QualityModel.integerWeightScore(T.par(spark, docs), dim = 256)
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").cast("int").as("label")), Seq("doc_id"))
+    QualityModel.reliabilityBins(scored, "margin", "label", binWidth = 50L)
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_reliability" -> (qualityReliability _),
     "emb_silhouette" -> (embSilhouette _),
     "text_ct_langid" -> (textCtLangid _),
     "sample_weighted" -> (sampleWeighted _),
@@ -183,7 +198,40 @@ object LlmQueries4 {
        |  JOIN k$i b ON b.src = e.dst)""".stripMargin
   }.mkString(",\n")
 
+  // The integer-weight margin CTEs (mirror of LlmQueries2's marginCte —
+  // kept textually identical so the scorer has ONE cross-registry shape).
+  private lazy val marginCte =
+    s"""n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+       |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM n),
+       |f AS (SELECT doc_id, ${hashSql(77, "wd")} % 256 AS bucket,
+       |        count(*) AS cnt
+       |      FROM w WHERE wd <> '' GROUP BY 1, 2),
+       |s AS (SELECT doc_id, count(*) AS n_features,
+       |        CAST(sum(cnt * ((${hashSql(55, "CAST(bucket AS VARCHAR)")} % 21) - 10))
+       |          AS BIGINT) AS margin
+       |      FROM f GROUP BY doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // Reliability replay: margins + is-English labels, sign-split
+    // floor bins of width 50, integer rates and means.
+    "quality_reliability" ->
+      s"""WITH $marginCte,
+         |lab AS (SELECT s.doc_id, s.margin,
+         |          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+         |        FROM s JOIN documents d USING (doc_id)),
+         |b AS (SELECT CASE WHEN margin < 0
+         |        THEN -((-margin + 49) // 50) ELSE margin // 50 END AS bin,
+         |        margin, label
+         |      FROM lab)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(label) AS BIGINT) AS n_pos,
+         |  CAST((1000000 * sum(label)) // count(*) AS BIGINT)
+         |    AS pos_rate_micro,
+         |  CAST(CASE WHEN sum(margin) < 0
+         |    THEN -((-sum(margin)) // count(*))
+         |    ELSE sum(margin) // count(*) END AS BIGINT) AS mean_score
+         |FROM b GROUP BY bin
+         |ORDER BY bin""".stripMargin,
     // Silhouette replay: the KmeansSql unrolled training (2 iterations,
     // vid<2000 slice), then per (vector, cell) micro cosine distances,
     // rank-1/rank-2 via the per-vector window, and the per-cell integer

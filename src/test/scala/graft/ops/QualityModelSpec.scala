@@ -78,4 +78,20 @@ class QualityModelSpec extends SparkSpec {
     assert(QualityModel.aucExact(onlyPos, "margin", "label")
       .head().getLong(4) == 0L)
   }
+
+  test("reliabilityBins: hand-computed bins, rates, and sign-split means") {
+    import spark.implicits._
+    val scored = Seq((10L, 1), (60L, 1), (70L, 0), (-10L, 0), (-60L, 1))
+      .toDF("margin", "label")
+    val out = QualityModel.reliabilityBins(scored, "margin", "label", 50L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out == Map(
+      0L -> (1L, 1L, 1000000L, 10L),    // [0, 50)
+      1L -> (2L, 1L, 500000L, 65L),     // [50, 100)
+      -1L -> (1L, 0L, 0L, -10L),        // [-50, 0)
+      -2L -> (1L, 1L, 1000000L, -60L)), // [-100, -50)
+      s"got $out")
+  }
 }
