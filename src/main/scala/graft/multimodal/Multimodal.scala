@@ -169,6 +169,98 @@ object Multimodal {
       .toDF("doc_id", "media", "mime")
   }
 
+  /** Per-image average-hash row; undecodable rows carry width = -1 and an
+    * empty hash (the quarantine contract). */
+  case class ImageAHash(doc_id: Long, width: Int, height: Int, ahash: String)
+
+  /** Perceptual average hash (aHash — the classic 64-bit perceptual
+    * fingerprint family of pHash/dHash, per Krawetz's canonical
+    * description): the image is reduced to an 8×8 grid of mean
+    * luminances and each cell compares against the global mean; two
+    * images with the same hash are perceptual duplicates regardless of
+    * re-encoding, and small edits flip few bits (hamming-robust).
+    *
+    * EXACT integer form so the hash replays in SQL: integer milli-luma
+    * (299·R + 587·G + 114·B) per pixel, grid cell of pixel (x, y) is
+    * (y·8 div h, x·8 div w) (floor mapping — any dimensions, no
+    * resampling kernel), and the threshold compares cross-multiplied
+    * sums — cellSum·nPixels ≥ totalSum·cellPixels — never a float mean.
+    * The hash is the 64-char row-major bit string (portable across
+    * engines without signed-64-bit gymnastics). Overflow envelope:
+    * cellSum·nPixels ≲ 2.6·10⁵·p_cell·p — exact through ~8 MP images;
+    * larger inputs go through [[resizeImages]] first. */
+  def imageAHash(img: java.awt.image.BufferedImage): String = {
+    val w = img.getWidth; val h = img.getHeight
+    val bs = new Array[Long](64)
+    val bp = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        val luma = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        val b = by * 8 + bx
+        bs(b) += luma
+        bp(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = bs.sum
+    val n = w.toLong * h
+    val sb = new StringBuilder(64)
+    var i = 0
+    while (i < 64) {
+      sb.append(if (bs(i) * n >= total * bp(i)) '1' else '0')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Partition-wise REAL perceptual hashing: decode + [[imageAHash]] per
+    * row; undecodable rows quarantine (width = -1, empty hash) instead of
+    * failing the stage. Only the 64-char hash flows downstream — the
+    * dedup shuffle never moves image bytes. */
+  def extractImageAHashes(spark: SparkSession,
+      media: DataFrame): Dataset[ImageAHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("mime")).as[MediaItem]
+      .mapPartitions { items =>
+        items.map { it =>
+          decodeImage(Option(it.media).getOrElse(Array.emptyByteArray)) match {
+            case Some(img) =>
+              ImageAHash(it.doc_id, img.getWidth, img.getHeight, imageAHash(img))
+            case None => ImageAHash(it.doc_id, -1, -1, "")
+          }
+        }
+      }
+  }
+
+  /** Deterministic grayscale PNG from a seed — the image-path signal
+    * generator (pixel (x, y) = (seed·13 + x·31 + y·7) mod 256 on all
+    * three channels), encoded through the JDK's own lossless PNG
+    * writer so decode returns the exact pattern. */
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (((seed * 13 + x.toLong * 31 + y.toLong * 7) % 256L) & 0xff).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Audio features from a real decode. */
   case class AudioFeatures(
       doc_id: Long,

@@ -141,7 +141,32 @@ object LlmQueries4 {
       .orderBy(col("bin"))
   }
 
+  /** REAL perceptual-hash image dedup, oracle-checked: deterministic
+    * grayscale PNGs (pattern seed = doc_id mod 40, so seed collisions
+    * plant exact perceptual duplicates) go through the JDK's lossless
+    * PNG codec, are aHashed for real
+    * ([[graft.multimodal.Multimodal.extractImageAHashes]]), and cluster
+    * by hash with a min-id canonical — the mmAudioFeatures discipline:
+    * real codec in the middle, synthesis-formula replay outside. */
+  def mmImageAhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val ids = T.t(spark, dir, "documents")
+      .filter(col("doc_id") <= 300).select(col("doc_id")).as[Long]
+    val media = ids.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(id =>
+        (id, Multimodal.synthPng(id % 40, 32, 24), "image/png")))
+      .toDF("doc_id", "media", "mime")
+    val hashed = Multimodal.extractImageAHashes(spark, media).toDF()
+    val cl = hashed.groupBy(col("ahash")).agg(min(col("doc_id")).as("cluster_id"))
+    hashed.join(cl, Seq("ahash"))
+      .select(col("doc_id"), col("ahash"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_ahash_dedup" -> (mmImageAhashDedup _),
     "quality_reliability" -> (qualityReliability _),
     "emb_silhouette" -> (embSilhouette _),
     "text_ct_langid" -> (textCtLangid _),
@@ -212,6 +237,35 @@ object LlmQueries4 {
        |      FROM f GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // aHash replay from the synthesis formula: the PNG round-trip is
+    // lossless, so pixel (x,y) = (seed*13 + x*31 + y*7) % 256 rebuilds
+    // exactly; 8x8 floor-mapped cells, cross-multiplied threshold, the
+    // 64-char bit string, min-id clusters.
+    "mm_image_ahash_dedup" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 40 AS seed
+        |  FROM documents WHERE doc_id <= 300),
+        |px AS (SELECT doc_id, seed, x.range AS x, y.range AS y,
+        |    ((seed * 13 + x.range * 31 + y.range * 7) % 256) AS g
+        |  FROM ids CROSS JOIN range(32) x CROSS JOIN range(24) y),
+        |bl AS (SELECT doc_id,
+        |    ((y * 8) // 24) * 8 + ((x * 8) // 32) AS b,
+        |    CAST(sum(1000 * g) AS BIGINT) AS bs,
+        |    count(*) AS bp
+        |  FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(bs) AS BIGINT) AS total,
+        |    CAST(sum(bp) AS BIGINT) AS n
+        |  FROM bl GROUP BY doc_id),
+        |bits AS (SELECT bl.doc_id, bl.b,
+        |    CASE WHEN bl.bs * tot.n >= tot.total * bl.bp
+        |      THEN '1' ELSE '0' END AS bit
+        |  FROM bl JOIN tot USING (doc_id)),
+        |hsh AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS ahash
+        |  FROM bits GROUP BY doc_id),
+        |cl AS (SELECT ahash, min(doc_id) AS cluster_id FROM hsh GROUP BY ahash)
+        |SELECT h.doc_id, h.ahash, cl.cluster_id,
+        |  h.doc_id = cl.cluster_id AS is_canonical
+        |FROM hsh h JOIN cl USING (ahash)
+        |ORDER BY h.doc_id""".stripMargin,
     // Reliability replay: margins + is-English labels, sign-split
     // floor bins of width 50, integer rates and means.
     "quality_reliability" ->

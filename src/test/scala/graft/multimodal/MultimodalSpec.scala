@@ -182,4 +182,32 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(f => f.doc_id -> f.sample_rate).toMap
     assert(got(1L) == 8000 && got(2L) == -1 && got(3L) == -1)
   }
+
+  test("aHash: codec-invariant, edit-robust, pattern-sensitive, quarantined") {
+    import spark.implicits._
+    // same pattern through the lossless codec -> identical 64-bit hash
+    val a = Multimodal.decodeImage(Multimodal.synthPng(7L, 32, 24)).get
+    val b = Multimodal.decodeImage(Multimodal.synthPng(7L, 32, 24)).get
+    val ha = Multimodal.imageAHash(a)
+    assert(ha.length == 64 && ha.forall(c => c == '0' || c == '1'))
+    assert(ha == Multimodal.imageAHash(b))
+    // a one-pixel edit flips at most a couple of bits (hamming-robust)
+    val edited = Multimodal.decodeImage(Multimodal.synthPng(7L, 32, 24)).get
+    edited.setRGB(3, 3, 0xffffff)
+    val hamming = ha.zip(Multimodal.imageAHash(edited)).count(p => p._1 != p._2)
+    assert(hamming <= 4, s"one-pixel edit moved $hamming bits")
+    // a different pattern lands above the one-pixel-edit envelope
+    // (adjacent gradient seeds stay fairly close — 7 bits here)
+    val hc = Multimodal.imageAHash(
+      Multimodal.decodeImage(Multimodal.synthPng(8L, 32, 24)).get)
+    assert(ha.zip(hc).count(p => p._1 != p._2) > 4)
+    // undecodable bytes quarantine with width=-1 and an empty hash
+    val media = Seq(
+      (1L, Multimodal.synthPng(1L, 16, 16), "image/png"),
+      (2L, "not an image".getBytes, "image/png"))
+      .toDF("doc_id", "media", "mime")
+    val rows = Multimodal.extractImageAHashes(spark, media)
+      .collect().map(r => r.doc_id -> ((r.width, r.ahash.length))).toMap
+    assert(rows(1L) == ((16, 64)) && rows(2L) == ((-1, 0)))
+  }
 }
