@@ -608,6 +608,100 @@ object Similarity {
           .as("cos_centroid"))
   }
 
+  /** Cluster purity of a cell assignment against external labels — the
+    * classic external clustering eval (purity per cell = share of its
+    * dominant label): did the unsupervised cells recover the labeled
+    * structure? Pure integers: per-cell label counts, argmax by
+    * (count desc, label asc) via one combine `max(struct)` (never a
+    * window), purity = 10⁶·top div n.
+    *
+    * Scale shape: one equi-join of the assignment and label relations
+    * keyed by id, then two combine-aggs ((cell, label) counts → per-cell
+    * argmax). Output is cell-count-sized. */
+  def clusterPurity(assign: DataFrame, labels: DataFrame,
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame =
+    assign.join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(col("cell"), col(labelCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("cell"))
+      .agg(sum(col("__c")).as("n"),
+        max(struct(col("__c"),
+          (-col(labelCol).cast("long")).as("__nl"))).as("__m"))
+      .select(col("cell"), col("n"),
+        (-col("__m").getField("__nl")).as("top_label"),
+        col("__m").getField("__c").as("top_count"))
+      .withColumn("purity_micro", expr("(1000000 * top_count) div n"))
+
+  /** Maximal Marginal Relevance top-k (Carbonell & Goldstein 1998) —
+    * diversity-aware retrieval: greedily pick the candidate maximizing
+    * λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s), so near-duplicate hits
+    * don't crowd the result list (the re-rank stage after ANN in a RAG
+    * pipeline).
+    *
+    * Exact integer scoring: all similarities are round(cos·10⁶) of the
+    * fixed-order double cosine (the [[daviesBouldinByCell]] rounding
+    * contract), and the MMR score stays the UNdivided long
+    * λμ·sim_q − (10⁶−λμ)·max_sel (≤ 10¹² — exact, no precision-losing
+    * division), ties by id. The first pick scores max_sel = 0, i.e.
+    * pure query similarity.
+    *
+    * Scale shape: one distributed pass computes query sims and takes
+    * the `n` first-stage candidates as a TakeOrderedAndProject; the
+    * candidate relation (n rows, driver-bounded by the first stage
+    * like [[bruteForceTopK]]'s query set) is checkpointed, and each of
+    * the k greedy steps is one candidate-sized job whose selected-set
+    * sims ride as ≤k literal vector columns — the corpus is scanned
+    * exactly once. */
+  def mmrTopK(queryVec: Array[Float], corpus: DataFrame, n: Int, k: Int,
+      lambdaMicro: Long = 700000L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(n > 0 && k > 0 && k <= n, "need 0 < k <= n")
+    require(lambdaMicro >= 0 && lambdaMicro <= 1000000L, "lambda in [0, 1e6]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def normD(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    def cosMicro(v: Column, other: Array[Double]): Column =
+      round(dot(v, lit(other)) / (norm(v) * lit(normD(other)))
+        * lit(1000000.0), 0).cast("long")
+    val qd = queryVec.map(_.toDouble)
+    val cand = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("__sq", cosMicro(col("__v"), qd))
+      .orderBy(col("__sq").desc, col("id"))
+      .limit(n)
+      .localCheckpoint() // n rows; re-read by each greedy step
+    var remaining = cand
+    var selected = List.empty[Array[Double]]
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Int, Long, Long)]
+    var rank = 1
+    while (rank <= k) {
+      val ms = selected match {
+        case Nil => lit(0L)
+        case s :: Nil => cosMicro(col("__v"), s) // greatest() needs >= 2 args
+        case ss => greatest(ss.map(s => cosMicro(col("__v"), s)): _*)
+      }
+      val best = remaining
+        .withColumn("__ms", ms)
+        .withColumn("__score",
+          expr(s"$lambdaMicro * __sq - ${1000000L - lambdaMicro} * __ms"))
+        .orderBy(col("__score").desc, col("id"))
+        .limit(1)
+        .select(col("id"), col("__v"), col("__sq"), col("__score"))
+        .collect()
+      if (best.nonEmpty) {
+        val r = best(0)
+        out += ((r.getLong(0), rank, r.getLong(2), r.getLong(3)))
+        selected ::= r.getSeq[Float](1).toArray.map(_.toDouble)
+        remaining = remaining.filter(col("id") =!= r.getLong(0))
+      }
+      rank += 1
+    }
+    out.toSeq.toDF(idCol, "rank", "simq_micro", "score")
+  }
+
   /** Per-group embedding anisotropy — the representation-geometry
     * diagnostic of Ethayarajh (2019, "How Contextual are Contextualized
     * Word Representations?"): the expected cosine between two random

@@ -165,7 +165,33 @@ object LlmQueries4 {
       .orderBy(col("doc_id"))
   }
 
+  /** External clustering eval: purity of the trained k-means cells
+    * against the embedding labels ([[Similarity.clusterPurity]]) — the
+    * third leg of the cluster-quality triad with `emb_silhouette`
+    * (internal, "is k too small") and `emb_davies_bouldin` ("is k too
+    * big"). */
+  def embClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val cents = Similarity.trainIvfCentroidsMicro(
+      emb.filter(col("vec_id") < 2000), k = 8, iters = 2)
+    Similarity.clusterPurity(Similarity.assignCellsMicro(emb, cents),
+        emb.select(col("vec_id"), col("label")))
+      .orderBy(col("cell"))
+  }
+
+  /** Diversity-aware retrieval: MMR re-ranking of vec 0's top-30
+    * first-stage candidates, k=5, λ=0.7 ([[Similarity.mmrTopK]]). */
+  def simMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val qv = T.t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+      .head().getAs[Seq[Float]]("embedding").toArray
+    Similarity.mmrTopK(qv, emb.filter(col("vec_id") =!= 0), n = 30, k = 5)
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cluster_purity" -> (embClusterPurity _),
+    "sim_mmr_rerank" -> (simMmrRerank _),
     "mm_image_ahash_dedup" -> (mmImageAhashDedup _),
     "quality_reliability" -> (qualityReliability _),
     "emb_silhouette" -> (embSilhouette _),
@@ -190,6 +216,28 @@ object LlmQueries4 {
   private def cos6(a: String, b: String) =
     s"round(list_dot_product($a, $b) / " +
       s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  // Micro-unit cosine (round(cos·10⁶) as BIGINT) — the silhouette / DB /
+  // MMR rounding contract.
+  private def cosMicroSql(a: String, b: String) =
+    s"CAST(round(list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))" +
+      " * 1000000, 0) AS BIGINT)"
+
+  // Unrolled MMR greedy steps 2..k: candidates minus the selected set,
+  // max selected-sim per candidate, argmax of the undivided long score.
+  private def mmrSteps(k: Int, lm: Long) = (2 to k).map { i =>
+    s"""c$i AS (SELECT c.* FROM cand c
+       |  WHERE c.vid NOT IN (SELECT vid FROM sel${i - 1})),
+       |m$i AS (SELECT c.vid, max(${cosMicroSql("c.v", "s.v")}) AS ms
+       |  FROM c$i c CROSS JOIN sel${i - 1} s GROUP BY c.vid),
+       |p$i AS MATERIALIZED (SELECT c.vid, c.v, c.sq, m.ms,
+       |    $lm * c.sq - ${1000000L - lm} * m.ms AS score
+       |  FROM c$i c JOIN m$i m USING (vid)
+       |  ORDER BY score DESC, c.vid LIMIT 1),
+       |sel$i AS (SELECT vid, v FROM sel${i - 1}
+       |  UNION ALL SELECT vid, v FROM p$i)""".stripMargin
+  }.mkString(",\n")
 
   // The MinHash-LSH verified-pair chain over the doc_id<500 slice
   // (grams → 8-hash signatures → 4 bands → candidates → exact-Jaccard
@@ -237,6 +285,53 @@ object LlmQueries4 {
        |      FROM f GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Purity replay: trained cells + serve assignment, per-(cell, label)
+    // counts, argmax by (count desc, label asc), integer purity.
+    "emb_cluster_purity" ->
+      s"""WITH src AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |${KmeansSql.trainCtes("src", "vid < 2000", k = 8, iters = 2, dim = 64)},
+         |cent AS (SELECT cell, cm FROM c2),
+         |asg AS (${KmeansSql.assignSql("src", "cent")}),
+         |lab AS (SELECT vec_id AS vid, label FROM embeddings),
+         |cnt AS (SELECT a.cell, l.label, count(*) AS c
+         |  FROM asg a JOIN lab l USING (vid) GROUP BY 1, 2),
+         |top AS (SELECT cell, label, c,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY c DESC, label) AS rn
+         |  FROM cnt),
+         |tot AS (SELECT cell, CAST(sum(c) AS BIGINT) AS n
+         |  FROM cnt GROUP BY cell)
+         |SELECT t.cell, tot.n, CAST(t.label AS BIGINT) AS top_label,
+         |  CAST(t.c AS BIGINT) AS top_count,
+         |  CAST((1000000 * t.c) // tot.n AS BIGINT) AS purity_micro
+         |FROM top t JOIN tot USING (cell)
+         |WHERE t.rn = 1
+         |ORDER BY t.cell""".stripMargin,
+    // MMR replay: micro query sims, top-30 first stage, then 5 unrolled
+    // greedy steps with the exact long score λμ·sq − (10⁶−λμ)·max_sel.
+    "sim_mmr_rerank" ->
+      s"""WITH src AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |q AS (SELECT v FROM src WHERE vid = 0),
+         |sq AS (SELECT s.vid, s.v, ${cosMicroSql("s.v", "q.v")} AS sq
+         |  FROM src s CROSS JOIN q WHERE s.vid <> 0),
+         |cand AS MATERIALIZED (SELECT vid, v, sq FROM sq
+         |  ORDER BY sq DESC, vid LIMIT 30),
+         |p1 AS MATERIALIZED (SELECT vid, v, sq, CAST(0 AS BIGINT) AS ms,
+         |    700000 * sq AS score
+         |  FROM cand ORDER BY score DESC, vid LIMIT 1),
+         |sel1 AS (SELECT vid, v FROM p1),
+         |${mmrSteps(k = 5, lm = 700000L)}
+         |SELECT vid AS vec_id, CAST(rank AS INTEGER) AS rank,
+         |  sq AS simq_micro, CAST(score AS BIGINT) AS score
+         |FROM (
+         |  SELECT vid, 1 AS rank, sq, score FROM p1
+         |  UNION ALL SELECT vid, 2, sq, score FROM p2
+         |  UNION ALL SELECT vid, 3, sq, score FROM p3
+         |  UNION ALL SELECT vid, 4, sq, score FROM p4
+         |  UNION ALL SELECT vid, 5, sq, score FROM p5)
+         |ORDER BY rank""".stripMargin,
     // aHash replay from the synthesis formula: the PNG round-trip is
     // lossless, so pixel (x,y) = (seed*13 + x*31 + y*7) % 256 rebuilds
     // exactly; 8x8 floor-mapped cells, cross-multiplied threshold, the

@@ -122,6 +122,13 @@ class PlanSpec extends SparkSpec {
       s"expected per-task heap top-n:\n$p")
   }
 
+  test("weighted sampling is TakeOrderedAndProject, never a full sort") {
+    val docs = T.t(spark, dir, "documents")
+    val p = plan(ops.Curation.sampleWeighted(docs, 100, "n_chars", "doc_id"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-task heap top-n:\n$p")
+  }
+
   test("no registry query plans an unpartitioned (global) window") {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     // A Window with an empty partitionSpec funnels the whole relation into

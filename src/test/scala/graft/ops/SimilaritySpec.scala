@@ -312,6 +312,44 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("clusterPurity: hand-computed shares, argmax ties to the lowest label") {
+    import spark.implicits._
+    val assign = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 2L), (7L, 2L)).toDF("vec_id", "cell")
+    val labels = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1), (5L, 1),
+      (6L, 3), (7L, 2)).toDF("vec_id", "label")
+    val out = Similarity.clusterPurity(assign, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out(0L) == (3L, 0L, 2L, 666666L), s"cell 0: ${out(0L)}")
+    assert(out(1L) == (2L, 1L, 2L, 1000000L), s"cell 1: ${out(1L)}")
+    // 1-1 tie between labels 2 and 3 -> lowest label wins
+    assert(out(2L) == (2L, 2L, 1L, 500000L), s"cell 2: ${out(2L)}")
+  }
+
+  test("mmrTopK: diversity penalty promotes the non-duplicate candidate") {
+    import spark.implicits._
+    // #1 and #2 are near-duplicates of EACH OTHER (both ~0.9 relevant);
+    // #3 is equally relevant but on the other side of the query
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.44f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.43f, 0f, 0f)),
+      (3L, Seq(0.9f, -0.44f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Array(1.0f, 0f, 0f, 0f)
+    val mmr = Similarity.mmrTopK(q, corpus, n = 3, k = 3,
+        lambdaMicro = 500000L)
+      .collect().map(r => (r.getInt(1), r.getLong(0))).toMap
+    // plain top-k would put the duplicate pair first (2 then 1); MMR
+    // promotes the diverse #3 to rank 2, demoting the duplicate
+    assert(mmr == Map(1 -> 2L, 2 -> 3L, 3 -> 1L), s"got $mmr")
+    // rerun is identical (content-addressed, no RNG)
+    val again = Similarity.mmrTopK(q, corpus, n = 3, k = 3,
+        lambdaMicro = 500000L)
+      .collect().map(r => (r.getInt(1), r.getLong(0))).toMap
+    assert(again == mmr)
+  }
+
   test("anisotropyByGroup: collapsed group scores 1, isotropic group scores 0") {
     import spark.implicits._
     val emb = Seq(
