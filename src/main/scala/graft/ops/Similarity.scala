@@ -702,6 +702,65 @@ object Similarity {
     out.toSeq.toDF(idCol, "rank", "simq_micro", "score")
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal — the 2-approximation to the k-center objective): pick
+    * the corpus vector farthest (max cosine distance) from everything
+    * selected so far, k times — the classic diverse-coreset sampler
+    * ("give me k maximally-spread exemplars to label/inspect/seed").
+    * Deterministic: the seed is the minimum id and every pick breaks
+    * ties by id; distances are the micro-unit rounded cosine contract,
+    * so the whole traversal replays in SQL.
+    *
+    * Scale shape: k passes over the corpus, each a map-only min-over-
+    * selected distance (≤k literal vector columns — plan width grows
+    * with k, which is a coreset size, not a corpus size) into a
+    * 1-row TakeOrderedAndProject argmax. Nothing is ever collected
+    * except the k picked rows. */
+  def kCenterCoreset(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def normD(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    def distMicro(v: Column, other: Array[Double]): Column =
+      lit(1000000L) - round(dot(v, lit(other)) / (norm(v) * lit(normD(other)))
+        * lit(1000000.0), 0).cast("long")
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__v"))
+    val seed = base.orderBy(col("id")).limit(1).collect()
+    require(seed.nonEmpty, "empty corpus")
+    var selected =
+      List(seed(0).getSeq[Float](1).toArray.map(_.toDouble))
+    val picked = scala.collection.mutable.Set(seed(0).getLong(0))
+    val out = scala.collection.mutable.ListBuffer(
+      (seed(0).getLong(0), 1, 0L))
+    var rank = 2
+    while (rank <= k) {
+      val dmin = selected match {
+        case s :: Nil => distMicro(col("__v"), s)
+        case ss => least(ss.map(s => distMicro(col("__v"), s)): _*)
+      }
+      val best = base.filter(!col("id").isInCollection(picked.toSeq))
+        .withColumn("__d", dmin)
+        .orderBy(col("__d").desc, col("id"))
+        .limit(1)
+        .select(col("id"), col("__v"), col("__d"))
+        .collect()
+      if (best.nonEmpty) {
+        val r = best(0)
+        out += ((r.getLong(0), rank, r.getLong(2)))
+        selected ::= r.getSeq[Float](1).toArray.map(_.toDouble)
+        picked += r.getLong(0)
+      }
+      rank += 1
+    }
+    out.toSeq.toDF(idCol, "rank", "dist_micro")
+  }
+
   /** Per-group embedding anisotropy — the representation-geometry
     * diagnostic of Ethayarajh (2019, "How Contextual are Contextualized
     * Word Representations?"): the expected cosine between two random

@@ -189,7 +189,15 @@ object LlmQueries4 {
       .orderBy(col("rank"))
   }
 
+  /** Diverse coreset: 6 farthest-point exemplars from the embedding
+    * corpus ([[Similarity.kCenterCoreset]]). */
+  def embKcenterCoreset(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterCoreset(
+        T.par(spark, T.t(spark, dir, "embeddings")), k = 6)
+      .orderBy(col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kcenter_coreset" -> (embKcenterCoreset _),
     "emb_cluster_purity" -> (embClusterPurity _),
     "sim_mmr_rerank" -> (simMmrRerank _),
     "mm_image_ahash_dedup" -> (mmImageAhashDedup _),
@@ -284,7 +292,40 @@ object LlmQueries4 {
        |          AS BIGINT) AS margin
        |      FROM f GROUP BY doc_id)""".stripMargin
 
+  // Unrolled k-center greedy steps 2..k: per-vector min distance to the
+  // selected set, argmax by (d desc, vid).
+  private def kcenterSteps(k: Int) = (2 to k).map { i =>
+    s"""kd$i AS (SELECT s.vid,
+       |    min(1000000 - ${cosMicroSql("s.v", "t.v")}) AS d
+       |  FROM src s CROSS JOIN ksel${i - 1} t
+       |  WHERE s.vid NOT IN (SELECT vid FROM ksel${i - 1})
+       |  GROUP BY s.vid),
+       |g$i AS MATERIALIZED (SELECT kk.vid, s.v, kk.d
+       |  FROM kd$i kk JOIN src s ON s.vid = kk.vid
+       |  ORDER BY kk.d DESC, kk.vid LIMIT 1),
+       |ksel$i AS (SELECT vid, v FROM ksel${i - 1}
+       |  UNION ALL SELECT vid, v FROM g$i)""".stripMargin
+  }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    // k-center replay: min-id seed, then 5 unrolled farthest-point picks.
+    "emb_kcenter_coreset" ->
+      s"""WITH src AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |g1 AS MATERIALIZED (SELECT vid, v, CAST(0 AS BIGINT) AS d
+         |  FROM src ORDER BY vid LIMIT 1),
+         |ksel1 AS (SELECT vid, v FROM g1),
+         |${kcenterSteps(6)}
+         |SELECT vid AS vec_id, CAST(rank AS INTEGER) AS rank,
+         |  CAST(d AS BIGINT) AS dist_micro
+         |FROM (
+         |  SELECT vid, 1 AS rank, d FROM g1
+         |  UNION ALL SELECT vid, 2, d FROM g2
+         |  UNION ALL SELECT vid, 3, d FROM g3
+         |  UNION ALL SELECT vid, 4, d FROM g4
+         |  UNION ALL SELECT vid, 5, d FROM g5
+         |  UNION ALL SELECT vid, 6, d FROM g6)
+         |ORDER BY rank""".stripMargin,
     // Purity replay: trained cells + serve assignment, per-(cell, label)
     // counts, argmax by (count desc, label asc), integer purity.
     "emb_cluster_purity" ->

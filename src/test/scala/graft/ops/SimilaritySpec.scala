@@ -350,6 +350,22 @@ class SimilaritySpec extends SparkSpec {
     assert(again == mmr)
   }
 
+  test("kCenterCoreset: farthest-point picks span the clusters, skip duplicates") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)), (1L, Seq(0.99f, 0.01f, 0f, 0f)),
+      (2L, Seq(0f, 1.0f, 0f, 0f)), (3L, Seq(0.01f, 0.99f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 1.0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val picks = Similarity.kCenterCoreset(corpus, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(0), r.getLong(2)))
+    // seed = min id; then the orthogonal clusters (1e6 distance, id tie
+    // to 2); the near-duplicates 1 and 3 are never picked
+    assert(picks.map(p => (p._1, p._2)).toSeq ==
+      Seq((1, 0L), (2, 2L), (3, 4L)), s"got ${picks.toSeq}")
+    assert(picks(0)._3 == 0L && picks(1)._3 == 1000000L)
+  }
+
   test("anisotropyByGroup: collapsed group scores 1, isotropic group scores 0") {
     import spark.implicits._
     val emb = Seq(
