@@ -176,5 +176,6 @@ object Bench {
     "curation_dsir_select", "rag_chunk_retrieve", "text_novelty",
     "emb_anisotropy", "graph_kcore", "emb_davies_bouldin",
     "mix_plan_uniform", "quality_reliability", "mm_image_ahash_dedup",
-    "emb_cluster_purity", "sim_mmr_rerank", "emb_kcenter_coreset")
+    "emb_cluster_purity", "sim_mmr_rerank", "emb_kcenter_coreset",
+    "dedup_connected_best")
 }

@@ -324,6 +324,37 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDuplicatesConnected]] keeping the BEST-scoring member of
+    * each near-dup cluster instead of the minimum id — what a production
+    * pipeline actually wants (keep the longest / highest-quality copy,
+    * drop the rest): representative = argmax (`scoreCol`, −id) per
+    * component, one combine `max(struct)` over the component relation
+    * (never a window). `scoreCol` must be integral (quality margins,
+    * n_chars, token counts — the repo's scores all are); ties break to
+    * the lowest id, so the survivor set is deterministic.
+    *
+    * Same scale shape as the min-id form plus two component-relation-
+    * sized joins (the component relation is pair-graph-sized — orders
+    * of magnitude under the corpus). */
+  def dropNearDuplicatesConnectedBest(docs: DataFrame, threshold: Double,
+      scoreCol: String, numHashes: Int = 8, rowsPerBand: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = minHashLshPairs(docs, threshold, numHashes, rowsPerBand,
+      idCol, textCol)
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+      .localCheckpoint(false) // pair-graph-sized; consumed twice below
+    val scored = comp.join(
+      docs.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("long").as("__s")), Seq("id"))
+    val reps = scored.groupBy(col("component"))
+      .agg(max(struct(col("__s"), (-col("id")).as("__ni"))).as("__m"))
+      .select((-col("__m").getField("__ni")).as("id"))
+    val losers = comp.select(col("id"))
+      .join(reps, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Character n-gram Jaccard between candidate pairs (brute within a
     * bounded slice; use MinHash-LSH for open-ended corpora). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,

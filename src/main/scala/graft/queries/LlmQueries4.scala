@@ -196,7 +196,19 @@ object LlmQueries4 {
         T.par(spark, T.t(spark, dir, "embeddings")), k = 6)
       .orderBy(col("rank"))
 
+  /** Cluster-complete near-dedup keeping the LONGEST member of each
+    * cluster (score = n_chars) instead of the min id — the production
+    * keep-best policy ([[Dedup.dropNearDuplicatesConnectedBest]]);
+    * `dedup_connected_keep` is the min-id baseline on the same slice. */
+  def dedupConnectedBest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDuplicatesConnectedBest(
+        T.t(spark, dir, "documents").filter(col("doc_id") < 500),
+        threshold = 0.5, scoreCol = "n_chars")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_connected_best" -> (dedupConnectedBest _),
     "emb_kcenter_coreset" -> (embKcenterCoreset _),
     "emb_cluster_purity" -> (embClusterPurity _),
     "sim_mmr_rerank" -> (simMmrRerank _),
@@ -308,6 +320,29 @@ object LlmQueries4 {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    // Keep-best connected dedup replay: the shared MinHash pair chain →
+    // recursive-CTE components → argmax (n_chars desc, id) representative
+    // per component → surviving corpus.
+    "dedup_connected_best" ->
+      s"""WITH RECURSIVE $pairChainCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+         |sc AS (SELECT c.id, c.component, d.n_chars AS s
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+         |rep AS (SELECT id FROM (
+         |    SELECT id, row_number() OVER (PARTITION BY component
+         |      ORDER BY s DESC, id) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |losers AS (SELECT id FROM comp
+         |  WHERE id NOT IN (SELECT id FROM rep))
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id < 500 AND doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
     // k-center replay: min-id seed, then 5 unrolled farthest-point picks.
     "emb_kcenter_coreset" ->
       s"""WITH src AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v

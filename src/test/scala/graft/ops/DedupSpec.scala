@@ -83,6 +83,14 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(greedy == Set(1L, 2L, 9L))
     assert(connected == Set(1L, 9L), "one representative per transitive cluster")
+    // keep-best: hub 5 is the LONGEST member (60 words vs 40), so the
+    // best-scoring policy keeps it where min-id kept 1
+    val best = Dedup.dropNearDuplicatesConnectedBest(
+        d.withColumn("len", org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text"))),
+        0.35, scoreCol = "len", rowsPerBand = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(5L, 9L), s"longest member should represent: $best")
   }
 
   test("ngram jaccard: shared character grams score high") {
