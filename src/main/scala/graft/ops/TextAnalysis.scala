@@ -786,6 +786,33 @@ object TextAnalysis {
         sum(col("b.new_grams")).as("cum_vocab"))
   }
 
+  /** HTML → text extraction — the first stage of every web-corpus
+    * pipeline (the trafilatura/jusText problem in its deterministic
+    * regex core): drop script/style payloads and comments, strip tags,
+    * decode the common entities, collapse whitespace. A pure
+    * codegen'd expression chain (RE2-compatible patterns — inline
+    * (?is) flags and non-greedy spans only, no lookarounds), so it
+    * runs map-side at any scale AND replays verbatim in the oracle's
+    * regexp_replace chain. Entity decode order is fixed and `&amp;`
+    * decodes LAST, so "&amp;lt;" yields "&lt;" (the standard
+    * double-escape behavior), identically in both engines.
+    *
+    * Deliberately structural-only: readability-class content extraction
+    * (link-density scoring, main-content detection) layers on top of
+    * this kernel; the 100 TB property — one narrow map stage, no parse
+    * tree, no UDF — lives here. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) => regexp_replace(c, k, v) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Per-document novelty share — the per-doc face of [[vocabGrowth]]'s
     * corpus curve (the curriculum / data-ordering signal: which docs
     * still contribute unseen content?): for each document, the fraction

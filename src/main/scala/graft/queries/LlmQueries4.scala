@@ -207,7 +207,27 @@ object LlmQueries4 {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** HTML extraction over synthesized pages: each doc is wrapped in a
+    * full page (head/style/script/comment/heading + planted entities)
+    * and stripped back to text ([[TextAnalysis.stripHtml]]); the oracle
+    * rebuilds the page and replays the identical regex chain. */
+  def textHtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val page = concat(
+      lit("<html><head><title>t</title><style>p { color: red; }</style>" +
+        "</head><body><script>var x = 1 < 2;</script><h1>"),
+      col("source"),
+      lit("</h1><!-- comment --><p>"), col("text"),
+      lit(" &lt;tag&gt; &amp;amp; done</p></body></html>"))
+    docs.select(col("doc_id"),
+        TextAnalysis.stripHtml(page).as("__t"))
+      .select(col("doc_id"), length(col("__t")).as("text_len"),
+        md5(col("__t")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_html_strip" -> (textHtmlStrip _),
     "dedup_connected_best" -> (dedupConnectedBest _),
     "emb_kcenter_coreset" -> (embKcenterCoreset _),
     "emb_cluster_purity" -> (embClusterPurity _),
@@ -319,7 +339,34 @@ object LlmQueries4 {
        |  UNION ALL SELECT vid, v FROM g$i)""".stripMargin
   }.mkString(",\n")
 
+  // DuckDB mirror of TextAnalysis.stripHtml: the identical regex chain
+  // with 'g' flags (DuckDB replaces first-only by default; Spark all).
+  private def stripHtmlSql(e: String) = {
+    val noScript =
+      s"regexp_replace($e, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')"
+    val noComment = s"regexp_replace($noScript, '(?s)<!--.*?-->', ' ', 'g')"
+    val noTags = s"regexp_replace($noComment, '<[^>]*>', ' ', 'g')"
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) =>
+        s"regexp_replace($c, '$k', '$v', 'g')" }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   val oracle: Map[String, String] = Map(
+    // HTML-strip replay: rebuild the synthesized page, run the same
+    // strip chain, hash the extracted text.
+    "text_html_strip" ->
+      s"""SELECT doc_id,
+         |  CAST(length(t) AS INTEGER) AS text_len, md5(t) AS text_md5
+         |FROM (SELECT doc_id, ${stripHtmlSql(
+             "'<html><head><title>t</title><style>p { color: red; }</style>" +
+               "</head><body><script>var x = 1 < 2;</script><h1>' || source" +
+               " || '</h1><!-- comment --><p>' || text" +
+               " || ' &lt;tag&gt; &amp;amp; done</p></body></html>'")} AS t
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     // Keep-best connected dedup replay: the shared MinHash pair chain →
     // recursive-CTE components → argmax (n_chars desc, id) representative
     // per component → surviving corpus.

@@ -415,6 +415,20 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("stripHtml: scripts/styles/comments/tags go, entities decode, double-escape kept") {
+    import spark.implicits._
+    val html = "<html><head><style>p{x:1}</style></head><body>" +
+      "<script>if (1 < 2) alert('hi');</script>" +
+      "<!-- secret --><h1>Title</h1><p>A &amp; B &lt;ok&gt;   spaced" +
+      "&nbsp;out</p><p>&amp;lt;literal&amp;gt;</p></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(TextAnalysis.stripHtml(col("h")).as("t")).head().getString(0)
+    assert(out == "Title A & B <ok> spaced out &lt;literal&gt;", s"got: $out")
+    // no tags, scripts, or comment payloads survive
+    assert(!out.contains("secret") && !out.contains("alert") &&
+      !out.contains("x:1"))
+  }
+
   test("docNovelty: hand-computed novel shares, zeros for gram-less docs") {
     import spark.implicits._
     val docs = Seq(
