@@ -6,13 +6,19 @@ import graft.T
 import graft.ops.{Chunking, Components, Curation, Dedup, QualityModel,
   Similarity, TextAnalysis}
 
-/** Round-9 training-data-pipeline operators: centroid-based cluster
-  * quality (simplified silhouette), trained n-gram-rank language ID
-  * (Cavnar–Trenkle), weighted sampling without replacement (sequential
-  * Poisson), and importance-weighted data selection (DSIR / Moore–Lewis
-  * shape). Same exactness contract as the sibling registries — integer
-  * and decimal arithmetic only, so every query has a full DuckDB replay
-  * oracle, training trajectories included.
+/** Round-9 training-data-pipeline operators: the cluster-quality triad
+  * (simplified silhouette / Davies–Bouldin / purity), trained
+  * Cavnar–Trenkle language ID, sequential-Poisson weighted sampling,
+  * DSIR-style importance selection, the end-to-end RAG
+  * chunk→embed→IVF→retrieve composition, per-doc novelty, embedding
+  * anisotropy, k-core peeling, uniform mix planning, classifier
+  * reliability bins, perceptual-hash (aHash) image dedup over the real
+  * PNG codec, MMR diverse retrieval, k-center coreset selection,
+  * keep-best connected dedup, and HTML→text extraction. Same exactness
+  * contract as the sibling registries — integer / DECIMAL(38,0)
+  * arithmetic and rounded-micro cosines only, so every query has a
+  * full DuckDB replay oracle, training trajectories and greedy
+  * traversals included.
   */
 object LlmQueries4 {
 
