@@ -239,6 +239,66 @@ object Multimodal {
       }
   }
 
+  /** Gradient (difference) perceptual hash — dHash, [[imageAHash]]'s
+    * sibling from the same Krawetz family, robust where aHash is weak
+    * (global brightness/contrast shifts cancel out of neighbor
+    * differences): the image reduces to a 9×8 grid of integer milli-luma
+    * cell sums (floor mapping, any dimensions) and each of the 64 bits
+    * compares a cell against its right neighbor — cross-multiplied
+    * (sumL·pixR < sumR·pixL), never a float mean. Same 64-char bit
+    * string output and overflow envelope as [[imageAHash]]. */
+  def imageDHash(img: java.awt.image.BufferedImage): String = {
+    val w = img.getWidth; val h = img.getHeight
+    val bs = new Array[Long](72)
+    val bp = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 9 / w
+        val rgb = img.getRGB(x, y)
+        val luma = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        val b = by * 9 + bx
+        bs(b) += luma
+        bp(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new StringBuilder(64)
+    var row = 0
+    while (row < 8) {
+      var c = 0
+      while (c < 8) {
+        val l = row * 9 + c
+        val r = l + 1
+        sb.append(if (bs(l) * bp(r) < bs(r) * bp(l)) '1' else '0')
+        c += 1
+      }
+      row += 1
+    }
+    sb.toString
+  }
+
+  /** Partition-wise [[imageDHash]] extraction — same shape and
+    * quarantine contract as [[extractImageAHashes]]. */
+  def extractImageDHashes(spark: SparkSession,
+      media: DataFrame): Dataset[ImageAHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("mime")).as[MediaItem]
+      .mapPartitions { items =>
+        items.map { it =>
+          decodeImage(Option(it.media).getOrElse(Array.emptyByteArray)) match {
+            case Some(img) =>
+              ImageAHash(it.doc_id, img.getWidth, img.getHeight, imageDHash(img))
+            case None => ImageAHash(it.doc_id, -1, -1, "")
+          }
+        }
+      }
+  }
+
   /** Deterministic grayscale PNG from a seed — the image-path signal
     * generator (pixel (x, y) = (seed·13 + x·31 + y·7) mod 256 on all
     * three channels), encoded through the JDK's own lossless PNG

@@ -268,6 +268,28 @@ object Curation {
       .drop("__p")
   }
 
+  /** Per-stratum rank normalization — put scores from different sources
+    * (or different scoring models) on ONE comparable [0, 1] scale before
+    * mixing: pct = 10⁶·(rank−1) div (n−1), rank by (score asc, key) —
+    * the exact-integer quantile-normalization transform (the feature-
+    * engineering sibling of [[keepTopQuantile]]'s gate: same window,
+    * but it EMITS the normalized score instead of cutting). Single-row
+    * strata normalize to 0; ties are total-ordered by key, so the
+    * transform is deterministic and engine-replayable.
+    *
+    * One Window pass per stratum (rank + size share the partition
+    * sort) — the same skew posture as every per-stratum window here. */
+  def rankNormalize(df: DataFrame, strataCol: String, scoreCol: String,
+      keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    val wOrd = w.orderBy(col(scoreCol).asc, col(keyCol))
+    df.withColumn("__rk", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn(s"${scoreCol}_pct_micro",
+        expr("(1000000 * (__rk - 1)) div greatest(__n - 1, 1)"))
+      .drop("__rk", "__n")
+  }
+
   def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
       cap: Int, salt: String = "cap"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

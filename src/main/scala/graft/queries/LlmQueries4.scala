@@ -232,7 +232,39 @@ object LlmQueries4 {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source rank normalization of n_chars onto one [0, 10⁶] scale
+    * ([[Curation.rankNormalize]]) — cross-source score comparability
+    * before mixing. */
+  def sampleRankNormalize(spark: SparkSession, dir: String): DataFrame =
+    Curation.rankNormalize(T.par(spark, T.t(spark, dir, "documents")),
+        "source", "n_chars", "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("n_chars_pct_micro"))
+      .orderBy(col("doc_id"))
+
+  /** Gradient-hash (dHash) sibling of `mm_image_ahash_dedup` over the
+    * same synthesized corpus ([[graft.multimodal.Multimodal.imageDHash]]). */
+  def mmImageDhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val ids = T.t(spark, dir, "documents")
+      .filter(col("doc_id") <= 300).select(col("doc_id")).as[Long]
+    val media = ids.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(id =>
+        (id, Multimodal.synthPng(id % 40, 32, 24), "image/png")))
+      .toDF("doc_id", "media", "mime")
+    val hashed = Multimodal.extractImageDHashes(spark, media).toDF()
+      .withColumnRenamed("ahash", "dhash")
+    val cl = hashed.groupBy(col("dhash")).agg(min(col("doc_id")).as("cluster_id"))
+    hashed.join(cl, Seq("dhash"))
+      .select(col("doc_id"), col("dhash"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_rank_normalize" -> (sampleRankNormalize _),
+    "mm_image_dhash_dedup" -> (mmImageDhashDedup _),
     "text_html_strip" -> (textHtmlStrip _),
     "dedup_connected_best" -> (dedupConnectedBest _),
     "emb_kcenter_coreset" -> (embKcenterCoreset _),
@@ -361,6 +393,45 @@ object LlmQueries4 {
   }
 
   val oracle: Map[String, String] = Map(
+    // Rank-normalization replay: per-source (score asc, id) ranks →
+    // integer percentile.
+    "sample_rank_normalize" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST((1000000 * (rk - 1)) // greatest(n - 1, 1) AS BIGINT)
+        |    AS n_chars_pct_micro
+        |FROM (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // dHash replay: same 32x24 synthesis formula, 9x8 floor-mapped
+    // cells, right-neighbor cross-multiplied comparisons in row-major
+    // bit order, min-id clusters.
+    "mm_image_dhash_dedup" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 40 AS seed
+        |  FROM documents WHERE doc_id <= 300),
+        |px AS (SELECT doc_id, seed, x.range AS x, y.range AS y,
+        |    ((seed * 13 + x.range * 31 + y.range * 7) % 256) AS g
+        |  FROM ids CROSS JOIN range(32) x CROSS JOIN range(24) y),
+        |bl AS (SELECT doc_id,
+        |    ((y * 8) // 24) * 9 + ((x * 9) // 32) AS b,
+        |    CAST(sum(1000 * g) AS BIGINT) AS bs,
+        |    count(*) AS bp
+        |  FROM px GROUP BY 1, 2),
+        |bits AS (SELECT a.doc_id,
+        |    (a.b // 9) * 8 + (a.b % 9) AS idx,
+        |    CASE WHEN a.bs * b.bp < b.bs * a.bp
+        |      THEN '1' ELSE '0' END AS bit
+        |  FROM bl a JOIN bl b ON b.doc_id = a.doc_id AND b.b = a.b + 1
+        |  WHERE a.b % 9 < 8),
+        |hsh AS (SELECT doc_id, string_agg(bit, '' ORDER BY idx) AS dhash
+        |  FROM bits GROUP BY doc_id),
+        |cl AS (SELECT dhash, min(doc_id) AS cluster_id FROM hsh GROUP BY dhash)
+        |SELECT h.doc_id, h.dhash, cl.cluster_id,
+        |  h.doc_id = cl.cluster_id AS is_canonical
+        |FROM hsh h JOIN cl USING (dhash)
+        |ORDER BY h.doc_id""".stripMargin,
     // HTML-strip replay: rebuild the synthesized page, run the same
     // strip chain, hash the extracted text.
     "text_html_strip" ->

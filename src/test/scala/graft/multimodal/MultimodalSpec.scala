@@ -210,4 +210,26 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.doc_id -> ((r.width, r.ahash.length))).toMap
     assert(rows(1L) == ((16, 64)) && rows(2L) == ((-1, 0)))
   }
+
+  test("dHash: brightness-shift invariant where aHash is not required to be") {
+    def gradImg(offset: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) {
+        val g = ((x * 5 + y * 3) % 180) + offset // stays in [0, 255]
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val h0 = Multimodal.imageDHash(gradImg(0))
+    assert(h0.length == 64 && h0.forall(c => c == '0' || c == '1'))
+    // a uniform +60 brightness shift leaves every neighbor DIFFERENCE
+    // intact -> identical dHash (the property aHash lacks)
+    assert(h0 == Multimodal.imageDHash(gradImg(60)))
+    // different content is far apart
+    val flat = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val hFlat = Multimodal.imageDHash(flat)
+    assert(h0 != hFlat)
+  }
 }

@@ -299,6 +299,20 @@ class CurationSpec extends SparkSpec {
     assert(out("C") == (10L, 40L, 1000000L, 4000000L, 30L), s"C: ${out("C")}")
   }
 
+  test("rankNormalize: hand-computed percentiles, singletons at 0, id ties") {
+    import spark.implicits._
+    val df = Seq((1L, "A", 10L), (2L, "A", 30L), (3L, "A", 20L),
+      (4L, "B", 99L), (5L, "A", 20L)).toDF("id", "src", "s")
+    val out = Curation.rankNormalize(df, "src", "s", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // A ranks by (s asc, id): 1(10)->0, 3(20)->2/3, 5(20)->1/3... wait
+    // (20, id 3) before (20, id 5): ranks 1=id1, 2=id3, 3=id5, 4=id2
+    assert(out(1L) == 0L)
+    assert(out(3L) == 333333L && out(5L) == 666666L) // tie ordered by id
+    assert(out(2L) == 1000000L)
+    assert(out(4L) == 0L) // singleton stratum normalizes to 0
+  }
+
   test("sampleWeighted: exact n, weight-proportional inclusion, invariant") {
     import spark.implicits._
     // 100 heavy rows (weight 500) among 900 light rows (weight 1)
