@@ -67,6 +67,15 @@ object ScaleProbe {
     graft.ops.Components.triangleCounts(pairs)
   }
 
+  /** graph_kcore widened past its registry bound the same way as
+    * [[trianglesProbe]]: the < 500 slice of every copy. */
+  private def kcoreProbe(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Dedup.minHashLshPairs(
+      T.t(spark, dir, "documents").filter(col("doc_id") % Offset < 500),
+      threshold = 0.5)
+    graft.ops.Components.kCore(pairs, k = 3, sweeps = 3)
+  }
+
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val synthDir = "/tmp/graft-sf1-synth"
@@ -92,7 +101,17 @@ object ScaleProbe {
       "graph_triangles_x10" -> (trianglesProbe _),
       "sim_ivfpq_topk" -> SparkEntry.queries("sim_ivfpq_topk"),
       "text_lm_trigram" -> SparkEntry.queries("text_lm_trigram"),
-      "sim_semantic_dedup" -> SparkEntry.queries("sim_semantic_dedup"))
+      "sim_semantic_dedup" -> SparkEntry.queries("sim_semantic_dedup"),
+      // round-9 additions: trained lang-ID (profiles train on copy 0,
+      // scoring scales), the RAG composition (k-means trains on copy 0,
+      // chunk embedding + retrieval scale), silhouette (same
+      // bounded-train / corpus-serve split), DSIR (bucket counts scale),
+      // and k-core over the per-copy graph like the triangles probe
+      "text_ct_langid" -> SparkEntry.queries("text_ct_langid"),
+      "rag_chunk_retrieve" -> SparkEntry.queries("rag_chunk_retrieve"),
+      "emb_silhouette" -> SparkEntry.queries("emb_silhouette"),
+      "curation_dsir_select" -> SparkEntry.queries("curation_dsir_select"),
+      "graph_kcore_x10" -> (kcoreProbe _))
 
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val ts = (1 to 2).map { _ =>
