@@ -178,5 +178,5 @@ object Bench {
     "mix_plan_uniform", "quality_reliability", "mm_image_ahash_dedup",
     "emb_cluster_purity", "sim_mmr_rerank", "emb_kcenter_coreset",
     "dedup_connected_best", "text_html_strip", "sample_rank_normalize",
-    "mm_image_dhash_dedup")
+    "mm_image_dhash_dedup", "mm_audio_fingerprint_dedup")
 }

@@ -401,6 +401,73 @@ object Multimodal {
       }
   }
 
+  /** Per-clip audio fingerprint row; undecodable rows carry
+    * sample_rate = -1 and an empty print (the quarantine contract). */
+  case class AudioPrint(doc_id: Long, sample_rate: Int, n_samples: Long,
+      aprint: String)
+
+  /** Energy-profile audio fingerprint — the audio face of
+    * [[imageAHash]]'s grid trick (a Shazam-lite signature without the
+    * FFT, so it stays in exact integers): the decoded PCM stream maps
+    * onto 16 floor-assigned windows (sample i → window i·16 div n — any
+    * clip length, no resampling), each window sums |sample|, and the
+    * 15-bit print compares each window's MEAN |sample| against its
+    * right neighbor cross-multiplied (sumL·cntR < sumR·cntL) — the
+    * [[imageDHash]] neighbor-difference form, invariant to uniform gain
+    * the way dHash is to brightness. Deterministic for 16-bit and 8-bit
+    * PCM of either endianness.
+    *
+    * Like every perceptual hash here, equal prints group duplicates and
+    * hamming distance ranks near-matches; only the 15-char string ever
+    * leaves the decode stage. */
+  def audioFingerprint(fmt: javax.sound.sampled.AudioFormat,
+      pcm: Array[Byte]): String = {
+    val bytesPerSample = fmt.getSampleSizeInBits / 8
+    val n = pcm.length / bytesPerSample
+    if (n < 16) return ""
+    val ws = new Array[Long](16)
+    val wc = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      val off = i * bytesPerSample
+      val v =
+        if (bytesPerSample == 1) (pcm(off) & 0xff) - 128
+        else if (fmt.isBigEndian) (pcm(off) << 8) | (pcm(off + 1) & 0xff)
+        else (pcm(off + 1) << 8) | (pcm(off) & 0xff)
+      val w = (i.toLong * 16 / n).toInt
+      ws(w) += math.abs(v.toLong)
+      wc(w) += 1
+      i += 1
+    }
+    val sb = new StringBuilder(15)
+    var w = 0
+    while (w < 15) {
+      sb.append(if (ws(w) * wc(w + 1) < ws(w + 1) * wc(w)) '1' else '0')
+      w += 1
+    }
+    sb.toString
+  }
+
+  /** Partition-wise REAL audio fingerprinting: decode +
+    * [[audioFingerprint]]; undecodable rows quarantine. */
+  def extractAudioPrints(spark: SparkSession,
+      media: DataFrame): Dataset[AudioPrint] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("mime")).as[MediaItem]
+      .mapPartitions { items =>
+        items.map { it =>
+          decodeAudio(Option(it.media).getOrElse(Array.emptyByteArray)) match {
+            case Some((fmt, pcm))
+                if fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8 =>
+              val n = pcm.length / (fmt.getSampleSizeInBits / 8)
+              AudioPrint(it.doc_id, fmt.getSampleRate.toInt, n.toLong,
+                audioFingerprint(fmt, pcm))
+            case _ => AudioPrint(it.doc_id, -1, 0L, "")
+          }
+        }
+      }
+  }
+
   /** One decoded animation frame's features. */
   case class FrameFeatures(
       doc_id: Long,

@@ -262,7 +262,33 @@ object LlmQueries4 {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL audio-fingerprint dedup: deterministic PCM clips (seed =
+    * doc_id mod 40 fixes both signal and length, planting exact
+    * perceptual duplicates) go through the JDK WAV codec, are
+    * fingerprinted from the decoded samples
+    * ([[graft.multimodal.Multimodal.extractAudioPrints]]), and cluster
+    * by print — the audio face of `mm_image_ahash_dedup`. */
+  def mmAudioFingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val ids = T.t(spark, dir, "documents")
+      .filter(col("doc_id") <= 300).select(col("doc_id")).as[Long]
+    val media = ids.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val seed = id % 40
+        (id, Multimodal.synthWav(seed, (320 + seed * 5).toInt), "audio/wav")
+      })
+      .toDF("doc_id", "media", "mime")
+    val printed = Multimodal.extractAudioPrints(spark, media).toDF()
+    val cl = printed.groupBy(col("aprint")).agg(min(col("doc_id")).as("cluster_id"))
+    printed.join(cl, Seq("aprint"))
+      .select(col("doc_id"), col("aprint"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_fingerprint_dedup" -> (mmAudioFingerprintDedup _),
     "sample_rank_normalize" -> (sampleRankNormalize _),
     "mm_image_dhash_dedup" -> (mmImageDhashDedup _),
     "text_html_strip" -> (textHtmlStrip _),
@@ -393,6 +419,34 @@ object LlmQueries4 {
   }
 
   val oracle: Map[String, String] = Map(
+    // Audio-fingerprint replay: the WAV round-trip is lossless 16-bit
+    // PCM, so sample i = ((seed*31 + i*7) % 65536) - 32768 rebuilds
+    // exactly; 16 floor-mapped windows of |sample|, neighbor
+    // cross-multiplied bits, min-id clusters.
+    "mm_audio_fingerprint_dedup" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 40 AS seed
+        |  FROM documents WHERE doc_id <= 300),
+        |sm AS (SELECT doc_id, seed, s.i AS i,
+        |    abs(((seed * 31 + s.i * 7) % 65536) - 32768) AS a
+        |  FROM ids CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(0, 319 + seed * 5)) AS i) s),
+        |wsum AS (SELECT doc_id, (i * 16) // (320 + seed * 5) AS w,
+        |    CAST(sum(a) AS BIGINT) AS ws, count(*) AS wc
+        |  FROM sm GROUP BY 1, 2),
+        |bits AS (SELECT a.doc_id, a.w AS idx,
+        |    CASE WHEN a.ws * b.wc < b.ws * a.wc
+        |      THEN '1' ELSE '0' END AS bit
+        |  FROM wsum a JOIN wsum b
+        |    ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 15),
+        |hsh AS (SELECT doc_id, string_agg(bit, '' ORDER BY idx) AS aprint
+        |  FROM bits GROUP BY doc_id),
+        |cl AS (SELECT aprint, min(doc_id) AS cluster_id
+        |  FROM hsh GROUP BY aprint)
+        |SELECT h.doc_id, h.aprint, cl.cluster_id,
+        |  h.doc_id = cl.cluster_id AS is_canonical
+        |FROM hsh h JOIN cl USING (aprint)
+        |ORDER BY h.doc_id""".stripMargin,
     // Rank-normalization replay: per-source (score asc, id) ranks →
     // integer percentile.
     "sample_rank_normalize" ->

@@ -211,6 +211,37 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1L) == ((16, 64)) && rows(2L) == ((-1, 0)))
   }
 
+  test("audio fingerprint: codec round-trip stable, gain-invariant, quarantined") {
+    import spark.implicits._
+    def pcmLE(samples: Array[Int]): Array[Byte] = {
+      val out = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        out(2 * i) = (samples(i) & 0xff).toByte
+        out(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      out
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val sig = Array.tabulate(160)(i => (math.sin(i / 7.0) * 900).toInt)
+    val p0 = Multimodal.audioFingerprint(fmt, pcmLE(sig))
+    assert(p0.length == 15 && p0.forall(c => c == '0' || c == '1'))
+    // uniform 2x gain scales every window sum equally -> identical print
+    assert(p0 == Multimodal.audioFingerprint(fmt, pcmLE(sig.map(_ * 2))))
+    // a different signal shape prints differently
+    val other = Array.tabulate(160)(i => (math.sin(i / 2.0) * 900).toInt)
+    assert(p0 != Multimodal.audioFingerprint(fmt, pcmLE(other)))
+    // the real WAV round-trip is stable: same seed -> same print
+    val media = Seq(
+      (1L, Multimodal.synthWav(5L, 345), "audio/wav"),
+      (2L, Multimodal.synthWav(5L, 345), "audio/wav"),
+      (3L, "not audio".getBytes, "audio/wav"))
+      .toDF("doc_id", "media", "mime")
+    val rows = Multimodal.extractAudioPrints(spark, media)
+      .collect().map(r => r.doc_id -> ((r.sample_rate, r.aprint))).toMap
+    assert(rows(1L)._2 == rows(2L)._2 && rows(1L)._2.length == 15)
+    assert(rows(3L) == ((-1, "")))
+  }
+
   test("dHash: brightness-shift invariant where aHash is not required to be") {
     def gradImg(offset: Int): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(32, 24,
