@@ -1084,4 +1084,39 @@ object Similarity {
       .select(col("id").as(idCol))
     emb.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * any number of ranked retrieval lists — THE standard way a hybrid
+    * retriever merges its lexical (BM25) and dense (ANN) legs without
+    * score calibration: per (query, doc), rrf = Σ_lists 1/(k₀ + rank),
+    * here in exact integer micro-units (`unit div (k₀ + rank)`, every
+    * operand non-negative) so the fused ranking oracle-replays.
+    *
+    * Inputs are (query_id, doc_id, rank) relations — any `*TopK`
+    * operator output. Ties in the fused score break by doc id, so the
+    * LIMIT boundary is engine-stable.
+    *
+    * Scale shape: every input is already query-set-sized (≤ |Q|·k rows
+    * — never corpus-sized); the union + combine-agg shuffles that tiny
+    * relation once on (query_id, doc_id), and the final top-k is a
+    * per-query window. Adding retrieval legs adds rows to the union,
+    * not stages. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 10, k0: Int = 60,
+      unit: Long = 1000000L, qidCol: String = "query_id",
+      idCol: String = "doc_id", rankCol: String = "rank"): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val u = lists
+      .map(_.select(col(qidCol).as("qid"), col(idCol).as("id"),
+        col(rankCol).cast("long").as("rk")))
+      .reduce(_ unionByName _)
+    val fused = u.groupBy(col("qid"), col("id"))
+      .agg(count(lit(1)).as("n_lists"),
+        sum(expr(s"$unit div ($k0 + rk)")).as("rrf_micro"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_micro").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(qidCol), col("id").as(idCol), col("rank"),
+        col("n_lists"), col("rrf_micro"))
+  }
 }

@@ -1003,6 +1003,69 @@ object TextAnalysis {
         col("n_terms"), col("bm25_micro"))
   }
 
+  /** Dense-hash cosine retrieval as a SPARSE inverted-index join — the
+    * model-free dense leg of a hybrid retriever. Both sides go through
+    * [[hashEmbedding]] (signed feature hashing, integer bucket sums);
+    * instead of materializing dense arrays and crossing queries with
+    * the corpus, the sparse (id, idx, value) relations equi-join on the
+    * feature index, exactly like a term-at-a-time inverted index: only
+    * documents sharing at least one occupied bucket with a query are
+    * ever scored, and the corpus-side relation shuffles once on `idx`
+    * regardless of query count.
+    *
+    * Exactness: all feature values are integer sign-sums, so the dot
+    * product and both squared norms are exact longs, and ranking uses
+    * the signed squared cosine  sign(dot)·unit·dot² div (‖q‖²·‖d‖²) —
+    * a monotone image of cosine that needs no square root. The dot²
+    * and norm products are computed in DECIMAL(38,0) (HUGEINT in the
+    * oracle): with per-bucket sums bounded by document word count W,
+    * dot² ≲ (dim·(W/dim)²)² wraps a long already at W ≈ 2·10⁴ — the
+    * decimal path carries it exactly to W ~ 10⁹. Sign is applied
+    * OUTSIDE the division so both engines divide non-negative operands
+    * (truncating div == flooring //).
+    *
+    * 100 TB shape: corpus features build in one pass (map-side combined
+    * on (id, idx)); the query-side feature/norm relations are
+    * query-catalog-sized broadcasts; the per-(query, doc) partial dot
+    * aggregates map-side; top-k is a per-query window, never global. */
+  def hashCosineTopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      dim: Int = 64, unit: Long = 1000000L, idCol: String = "doc_id",
+      textCol: String = "text", qidCol: String = "query_id",
+      qtextCol: String = "qtext"): DataFrame = {
+    val cf = hashEmbedding(docs, dim, idCol, textCol)
+      .select(col(idCol).as("id"), col("idx"), col("value").as("cv"))
+      .localCheckpoint(false) // feeds both the norm agg and the dot join
+    val qf = hashEmbedding(queries, dim, qidCol, qtextCol)
+      .select(col(qidCol).as("qid"), col("idx"), col("value").as("qv"))
+      .localCheckpoint(false)
+    val cn = cf.groupBy(col("id")).agg(sum(col("cv") * col("cv")).as("cn2"))
+    val qn = qf.groupBy(col("qid")).agg(sum(col("qv") * col("qv")).as("qn2"))
+    val dotRel = cf.join(broadcast(qf), Seq("idx"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("qv") * col("cv")).as("dot"))
+    val scored = dotRel
+      .join(cn, Seq("id"))
+      .join(broadcast(qn), Seq("qid"))
+      // greatest(·,1): a side whose signed buckets fully cancel has a
+      // zero norm WITH feature rows present — its dot is then 0 too, so
+      // the clamp only replaces 0/0 (engine-divergent) with an exact 0
+      .withColumn("cossq_micro", expr(
+        s"""CAST(CASE WHEN dot < 0 THEN
+           |  -((CAST($unit AS DECIMAL(38,0)) * dot * dot) div
+           |    (CAST(greatest(cn2, 1) AS DECIMAL(38,0)) * greatest(qn2, 1)))
+           |ELSE
+           |  (CAST($unit AS DECIMAL(38,0)) * dot * dot) div
+           |    (CAST(greatest(cn2, 1) AS DECIMAL(38,0)) * greatest(qn2, 1))
+           |END AS BIGINT)""".stripMargin))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cossq_micro").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(qidCol), col("id").as(idCol), col("rank"),
+        col("dot"), col("cossq_micro"))
+  }
+
   /** Character trigrams of the normalized text (the Cavnar–Trenkle
     * feature space; spaces act as word boundaries like the paper's
     * padding). Texts shorter than 3 chars yield an empty array — the

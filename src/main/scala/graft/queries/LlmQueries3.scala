@@ -26,7 +26,7 @@ object LlmQueries3 {
   /** The multi-query BM25 catalog — distinct lexical fields per query so
     * the per-query rankings genuinely differ; shared with the oracle's
     * VALUES list. */
-  private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+  private[queries] val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     1 -> Seq("spark", "join", "window"),
     2 -> Seq("stream", "window"),
     3 -> Seq("data", "table", "query"),

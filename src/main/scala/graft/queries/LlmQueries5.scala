@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.ops.{Similarity, TextAnalysis}
+
+/** Round-9 (second batch) training-data-pipeline operators: hybrid
+  * lexical+dense retrieval fused by reciprocal rank (the production RAG
+  * retriever shape), with the same exactness contract as the sibling
+  * registries — integer / DECIMAL(38,0) arithmetic only, so every query
+  * carries a full DuckDB replay oracle. */
+object LlmQueries5 {
+
+  // DuckDB mirrors of Dedup.normalize / Dedup.hashStr (same as siblings).
+  private def normSql(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private def hashSql(seed: Int, e: String) =
+    s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
+
+  /** Hybrid retrieval: the BM25 lexical leg and the sparse dense-hash
+    * cosine leg run over the same 4-query catalog
+    * ([[LlmQueries3.Bm25Queries]]), top-10 each, fused by exact
+    * integer reciprocal-rank fusion ([[Similarity.rrfFuse]], k₀=60) —
+    * the calibration-free merge a production RAG retriever ships. */
+  def simRrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val qs = LlmQueries3.Bm25Queries.toDF("query_id", "terms")
+    val qtext = LlmQueries3.Bm25Queries
+      .map { case (q, ts) => (q, ts.mkString(" ")) }
+      .toDF("query_id", "qtext")
+    val lex = TextAnalysis.bm25MultiQuery(docs, qs, k = 10)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rank"))
+    val dense = TextAnalysis.hashCosineTopK(docs, qtext, k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    Similarity.rrfFuse(Seq(lex, dense), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_rrf_hybrid" -> (simRrfHybrid _))
+
+  // Shared VALUES list for the query catalog (kept adjacent to the
+  // Spark-side constant it mirrors).
+  private val qtValues = LlmQueries3.Bm25Queries
+    .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+
+  def oracle: Map[String, String] = Map(
+    // Full replay: the BM25 multiquery chain (LlmQueries3's oracle, k=10)
+    // + the sparse hash-cosine chain (text_hash_embedding's feature CTE on
+    // both sides, HUGEINT signed-squared cosine) + integer RRF fusion.
+    "sim_rrf_hybrid" ->
+      s"""WITH qt(qid, w) AS (VALUES $qtValues),
+         |wf AS (
+         |  SELECT doc_id AS id, w.w
+         |  FROM documents,
+         |       unnest(string_split(${normSql("text")}, ' ')) AS w(w)
+         |  WHERE w.w <> ''),
+         |dl AS (SELECT id, count(*) AS dl FROM wf GROUP BY id),
+         |st AS (SELECT CAST(sum(dl) AS BIGINT) AS l, count(*) AS n FROM dl),
+         |tf AS (SELECT id, w, count(*) AS tf FROM wf
+         |       WHERE w IN (SELECT w FROM qt)
+         |       GROUP BY id, w),
+         |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |sc AS (SELECT qt.qid, tf.id,
+         |    ((1000000 * (2 * (st.n - dfr.df) + 1)) // (2 * dfr.df + 1))
+         |      AS idf,
+         |    ((1000000 * 22 * tf.tf * st.l)
+         |      // (10 * tf.tf * st.l + 3 * st.l + 9 * dl.dl * st.n)) AS tfp
+         |  FROM tf JOIN qt USING (w) JOIN dl USING (id)
+         |    JOIN dfr USING (w) CROSS JOIN st),
+         |agg AS (SELECT qid, id,
+         |    CAST(sum((CAST(idf AS HUGEINT) * tfp) // 1000000) AS BIGINT)
+         |      AS bm25_micro
+         |  FROM sc GROUP BY qid, id),
+         |lex AS (SELECT qid, id, rk FROM
+         |    (SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |       ORDER BY bm25_micro DESC, id) AS rk FROM agg)
+         |  WHERE rk <= 10),
+         |cf AS (SELECT id, idx, CAST(sum(sgn) AS BIGINT) AS cv FROM
+         |    (SELECT id, CAST(${hashSql(31, "w")} % 64 AS INTEGER) AS idx,
+         |       (${hashSql(47, "w")} % 2) * 2 - 1 AS sgn FROM wf)
+         |  GROUP BY id, idx),
+         |qf AS (SELECT qid, idx, CAST(sum(sgn) AS BIGINT) AS qv FROM
+         |    (SELECT qid, CAST(${hashSql(31, "w")} % 64 AS INTEGER) AS idx,
+         |       (${hashSql(47, "w")} % 2) * 2 - 1 AS sgn FROM qt)
+         |  GROUP BY qid, idx),
+         |cn AS (SELECT id, CAST(sum(cv * cv) AS BIGINT) AS cn2
+         |       FROM cf GROUP BY id),
+         |qn AS (SELECT qid, CAST(sum(qv * qv) AS BIGINT) AS qn2
+         |       FROM qf GROUP BY qid),
+         |dt AS (SELECT qid, id, CAST(sum(qv * cv) AS BIGINT) AS dot
+         |       FROM cf JOIN qf USING (idx) GROUP BY qid, id),
+         |den AS (SELECT qid, id, CAST(CASE WHEN dot < 0 THEN
+         |      -((CAST(1000000 AS HUGEINT) * dot * dot) //
+         |        (CAST(greatest(cn2, 1) AS HUGEINT) * greatest(qn2, 1)))
+         |    ELSE (CAST(1000000 AS HUGEINT) * dot * dot) //
+         |        (CAST(greatest(cn2, 1) AS HUGEINT) * greatest(qn2, 1))
+         |    END AS BIGINT) AS cossq
+         |  FROM dt JOIN cn USING (id) JOIN qn USING (qid)),
+         |dns AS (SELECT qid, id, rnk FROM
+         |    (SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |       ORDER BY cossq DESC, id) AS rnk FROM den)
+         |  WHERE rnk <= 10),
+         |un AS (SELECT qid, id, rk FROM lex
+         |       UNION ALL SELECT qid, id, rnk FROM dns),
+         |fz AS (SELECT qid, id, count(*) AS n_lists,
+         |    CAST(sum(1000000 // (60 + rk)) AS BIGINT) AS rrf_micro
+         |  FROM un GROUP BY qid, id)
+         |SELECT qid AS query_id, id AS doc_id, CAST(rank AS INTEGER) AS rank,
+         |  n_lists, rrf_micro
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY rrf_micro DESC, id) AS rank FROM fz)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin)
+}

@@ -435,4 +435,19 @@ class SimilaritySpec extends SparkSpec {
       Similarity.silhouetteByCell(emb, cents.take(1))
     }
   }
+
+  test("rrfFuse: hand-computed integer reciprocal ranks, doc in both lists wins") {
+    import spark.implicits._
+    val lex = Seq((1, 10L, 1), (1, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val dns = Seq((1, 11L, 1), (1, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Similarity.rrfFuse(Seq(lex, dns), k = 3)
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_lists"), r.getAs[Long]("rrf_micro")))
+      .sortBy(_._1)
+    // 10^6 div 61 = 16393, 10^6 div 62 = 16129; doc 11 sums both lists
+    assert(got.toSeq == Seq(
+      (1, 11L, 2L, 32522L), (2, 10L, 1L, 16393L), (3, 12L, 1L, 16129L)))
+    intercept[IllegalArgumentException] { Similarity.rrfFuse(Seq.empty) }
+  }
 }

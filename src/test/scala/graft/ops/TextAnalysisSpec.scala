@@ -471,4 +471,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == TextAnalysis.ngramImportanceScore(docs, col("is_t"))
       .collect().map(_.toSeq).toSet)
   }
+
+  test("hashCosineTopK: identical text scores exactly unit, ranks first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta"),
+      (3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val qs = Seq((7, "alpha beta gamma")).toDF("query_id", "qtext")
+    val got = TextAnalysis.hashCosineTopK(docs, qs, k = 3)
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cossq_micro")))
+      .sortBy(_._1)
+    // exact self-similarity: dot = cn2 = qn2, so unit·dot² div (cn2·qn2)
+    // is exactly 10^6 with zero float involvement
+    assert(got.head == ((1, 1L, 1000000L)))
+    assert(got.forall(_._3 <= 1000000L))
+    assert(got.map(_._2).contains(2L) && got.map(_._2).contains(3L))
+    // partition invariance: sparse feature sums are combine-aggs
+    val again = TextAnalysis.hashCosineTopK(docs.repartition(5), qs, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(again ==
+      TextAnalysis.hashCosineTopK(docs, qs, k = 3).collect().map(_.toSeq).toSet)
+  }
 }
