@@ -123,6 +123,75 @@ object Pca {
     dirs.result()
   }
 
+  /** Trained diagonal-whitening statistics: per dimension, the exact
+    * integer triple (n, Σx, isqrt(n·Σx² − (Σx)²)) over the (bounded)
+    * training slice, with x the milli-quantized coordinate. The scaled
+    * standard deviation sd = isqrt(n·Σx² − (Σx)²) is chosen so the
+    * serve-side z-score needs NO division by n:
+    *   z = (x − Σx/n) / (sd/n) = (n·x − Σx) / sd.
+    * isqrt is the EXACT integer square root (`BigInteger.sqrtAndRemainder`)
+    * — `floor(sqrt(double))` can round across an integer boundary near
+    * perfect squares, so the oracle re-derives exactness with a ±1
+    * correction on the double result.
+    *
+    * Whitening before ANN indexing / semantic dedup is the standard fix
+    * for anisotropic embedding spaces (the [[graft.ops.Similarity]]
+    * `anisotropyByGroup` probe measures the disease; this is the cure's
+    * first-order, per-dimension form — full ZCA needs the rotation
+    * [[powerDirections]] provides).
+    *
+    * Scale shape: one pass over the training slice (posexplode +
+    * dim-keyed combine agg), a dim-bounded (d-row) driver collect —
+    * the same bounded-collect discipline as [[powerDirection]]. Long
+    * envelope: n·Σx² ≤ n²·x²max means n ≲ 3·10⁹ rows at |x| ≤ 10³
+    * milli before the variance product wraps, far above any sensible
+    * training slice. */
+  def whitenStats(emb: DataFrame, dim: Int = 64,
+      embCol: String = "embedding"): (Long, Array[Long], Array[Long]) = {
+    val st = emb
+      .select(posexplode(toMilli(col(embCol))).as(Seq("idx", "x")))
+      .groupBy(col("idx"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    require(st.nonEmpty, "whitenStats: empty training slice")
+    val n = st.values.head._1
+    val s1 = Array.tabulate(dim)(i => st.get(i).map(_._2).getOrElse(0L))
+    val sd = Array.tabulate(dim) { i =>
+      val (nn, a, b) = st.getOrElse(i, (n, 0L, 0L))
+      val v = java.math.BigInteger.valueOf(nn)
+        .multiply(java.math.BigInteger.valueOf(b))
+        .subtract(java.math.BigInteger.valueOf(a)
+          .multiply(java.math.BigInteger.valueOf(a)))
+      v.sqrt().longValueExact()
+    }
+    (n, s1, sd)
+  }
+
+  /** Serve trained whitening corpus-wide — a pure map emitting sparse
+    * (id, idx, z_micro) rows: z_micro = unit·(n·x − Σx) div sd with the
+    * division sign-split (truncating div == flooring // on the
+    * non-negative operands both engines then see). A constant dimension
+    * (sd = 0) whitens to exactly 0 — its numerator is 0 for every
+    * in-distribution row — via the greatest(sd, 1) clamp. */
+  def whitenMicro(emb: DataFrame, n: Long, s1: Array[Long],
+      sd: Array[Long], unit: Long = 1000000L, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val s1Lit = array(s1.map(lit(_)): _*)
+    val sdLit = array(sd.map(x => lit(math.max(x, 1L))): _*)
+    emb
+      .select(col(idCol), posexplode(toMilli(col(embCol))).as(Seq("idx", "x")))
+      .withColumn("__s1", element_at(s1Lit, col("idx") + 1))
+      .withColumn("__sd", element_at(sdLit, col("idx") + 1))
+      .withColumn("z_micro", expr(
+        s"""CASE WHEN $n * x - __s1 < 0
+           |  THEN -(($unit * -($n * x - __s1)) div __sd)
+           |  ELSE ($unit * ($n * x - __s1)) div __sd END""".stripMargin))
+      .select(col(idCol), col("idx"), col("z_micro"))
+  }
+
   /** Project every embedding onto a trained milli-unit direction — the
     * corpus-wide serve pass, a pure map (micro-unit scores: milli·milli). */
   def projectMicro(emb: DataFrame, v: Array[Long], idCol: String = "vec_id",

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Similarity, TextAnalysis}
+import graft.ops.{Pca, Similarity, TextAnalysis}
 
 /** Round-9 (second batch) training-data-pipeline operators: hybrid
   * lexical+dense retrieval fused by reciprocal rank (the production RAG
@@ -38,8 +38,21 @@ object LlmQueries5 {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Diagonal whitening: per-dimension mean/scale trained on the bounded
+    * vec_id<2000 slice (exact integer stats + isqrt), served as a pure
+    * map over the vec_id<300 slice as sparse (id, idx, z_micro) rows
+    * ([[Pca.whitenStats]] / [[Pca.whitenMicro]]) — the first-order
+    * anisotropy fix applied before ANN indexing. */
+  def embWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val (n, s1, sd) = Pca.whitenStats(emb.filter(col("vec_id") < 2000))
+    Pca.whitenMicro(emb.filter(col("vec_id") < 300), n, s1, sd)
+      .orderBy(col("vec_id"), col("idx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_rrf_hybrid" -> (simRrfHybrid _))
+    "sim_rrf_hybrid" -> (simRrfHybrid _),
+    "emb_whiten" -> (embWhiten _))
 
   // Shared VALUES list for the query catalog (kept adjacent to the
   // Spark-side constant it mirrors).
@@ -113,5 +126,35 @@ object LlmQueries5 {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid
          |        ORDER BY rrf_micro DESC, id) AS rank FROM fz)
          |WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin)
+         |ORDER BY query_id, rank""".stripMargin,
+    // Whitening replay: integer per-dim stats on the train slice, exact
+    // isqrt re-derived from floor(sqrt(double)) with a ±1 correction
+    // (sqrt can round across an integer boundary near perfect squares),
+    // then the sign-split serve division. greatest(sd, 1) mirrors the
+    // constant-dimension clamp.
+    "emb_whiten" ->
+      s"""WITH xm AS (SELECT vec_id, CAST(r.range AS INTEGER) AS idx,
+         |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)
+         |      * 1000) AS BIGINT) AS x
+         |  FROM embeddings CROSS JOIN range(64) r),
+         |st AS (SELECT idx, count(*) AS n, CAST(sum(x) AS BIGINT) AS s1,
+         |         CAST(sum(x * x) AS BIGINT) AS s2
+         |       FROM xm WHERE vec_id < 2000 GROUP BY idx),
+         |sd0 AS (SELECT idx, n, s1, n * s2 - s1 * s1 AS v,
+         |          CAST(floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+         |            AS BIGINT) AS s
+         |        FROM st),
+         |sdx AS (SELECT idx, n, s1,
+         |          greatest(s - CASE WHEN s * s > v THEN 1 ELSE 0 END
+         |            + CASE WHEN (s + 1) * (s + 1) <= v THEN 1 ELSE 0 END,
+         |            1) AS sd
+         |        FROM sd0)
+         |SELECT x.vec_id, x.idx,
+         |  CAST(CASE WHEN sdx.n * x.x - sdx.s1 < 0
+         |    THEN -((1000000 * -(sdx.n * x.x - sdx.s1)) // sdx.sd)
+         |    ELSE (1000000 * (sdx.n * x.x - sdx.s1)) // sdx.sd
+         |  END AS BIGINT) AS z_micro
+         |FROM xm x JOIN sdx USING (idx)
+         |WHERE x.vec_id < 300
+         |ORDER BY vec_id, idx""".stripMargin)
 }

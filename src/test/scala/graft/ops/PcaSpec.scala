@@ -47,4 +47,37 @@ class PcaSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"serve pass shuffles:\n$plan")
   }
+
+  test("whitenStats/whitenMicro: zero mean, unit variance, constant dim -> 0") {
+    import spark.implicits._
+    val dim = 4
+    val emb = (0 until 200).map { i =>
+      // dim 0: wide spread; dim 1: narrow; dim 2: constant; dim 3: offset
+      (i.toLong, Array(
+        ((i % 20) - 10) / 10.0f, ((i % 5) - 2) / 50.0f, 0.25f,
+        0.5f + ((i % 11) - 5) / 30.0f))
+    }.toDF("vec_id", "embedding")
+    val (n, s1, sd) = Pca.whitenStats(emb, dim)
+    assert(n == 200L && sd(2) == 0L) // constant dimension has zero spread
+    val z = Pca.whitenMicro(emb, n, s1, sd, idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // constant dim whitens to exactly 0
+    assert(z.filter(_._2 == 2).forall(_._3 == 0L))
+    // per-dim mean of z is ~0: |Σz| bounded by n units of truncation
+    val byDim = z.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    for (d <- Seq(0, 1, 3)) {
+      assert(math.abs(byDim(d).sum) <= 200L * 2,
+        s"dim $d mean off: ${byDim(d).sum}")
+      // variance ~ unit^2 (1e12) within 2%: scale is really removed
+      val v = byDim(d).map(x => x.toDouble * x).sum / 200
+      assert(math.abs(v - 1e12) < 2e10, s"dim $d var $v")
+    }
+    // partition invariance of the trained stats
+    val (n2, s12, sd2) = Pca.whitenStats(emb.repartition(7), dim)
+    assert(n2 == n && s12.toSeq == s1.toSeq && sd2.toSeq == sd.toSeq)
+    // serve is a map: no exchange
+    val plan = Pca.whitenMicro(emb, n, s1, sd)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"whiten serve shuffles:\n$plan")
+  }
 }
