@@ -430,6 +430,107 @@ object Sketches {
         sum(col("cnt")).as("n"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift between two slices of a numeric
+    * column, over the SHARED [[histRegisters]] log-bin space — the
+    * distribution-shift companion to [[TextAnalysis.corpusDriftChisq]] (χ² sees
+    * reweighted categories; KS sees a shifted/stretched numeric
+    * distribution, e.g. document length drifting between crawl
+    * snapshots). Exact integer arithmetic on the binned ECDFs:
+    *   KS_scaled = max over bins of |cumA·nB − cumB·nA|,
+    *   ks_micro  = unit·KS_scaled div (nA·nB),
+    * plus the location of the gap (min bin attaining the max, and its
+    * [[binLo]] lower bound in micro units) — the "where did it move"
+    * diagnostic. Cross-multiplied cumulative products run in
+    * DECIMAL(38,0) (HUGEINT in the oracle): cum·n wraps a long at
+    * ~3·10⁹ rows per side, far below a 100 TB corpus.
+    *
+    * Scale shape: ONE corpus pass (the map-side-combined histogram);
+    * everything after operates on the ≤ ~1000-row bin relation — the
+    * cumulative sums come from a triangular self-join of that tiny
+    * relation (never a global window), and the totals ride along as a
+    * one-row broadcast. The binning caps KS resolution at the bin width
+    * (≤ 1/16 relative) — the standard sketch trade, same as
+    * [[histQuantiles]]. */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String, unit: Long = 1000000L): DataFrame = {
+    val h = histRegisters(
+      df.filter(col(groupCol).isin(groupA, groupB)), Seq(groupCol), valueCol)
+    val bins = h
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col(groupCol) === groupA, col("cnt")).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, col("cnt")).otherwise(0L)).as("cb"))
+      .localCheckpoint(false) // ≤ ~1000 rows; feeds both triangular sides + totals
+    val cums = bins.as("x")
+      .join(bins.select(col("bin").as("__b2"), col("ca").as("__ca2"),
+        col("cb").as("__cb2")), col("__b2") <= col("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__ca2")).as("cuma"), sum(col("__cb2")).as("cumb"))
+    val tot = bins.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val d = cums.crossJoin(broadcast(tot))
+      .withColumn("__d", expr(
+        "abs(CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na)"))
+      .localCheckpoint(false) // consumed by the max agg AND the argmax join
+    val m = d.groupBy(col("na"), col("nb"))
+      .agg(max(col("__d")).as("__dm"))
+    m.join(d.select(col("bin"), col("__d").as("__d2")),
+        col("__d2") === col("__dm"))
+      .groupBy(col("na"), col("nb"), col("__dm"))
+      .agg(min(col("bin")).as("ks_bin"))
+      .withColumn("ks_micro", expr(
+        s"""CAST(($unit * __dm) div
+           |  (CAST(greatest(na, 1) AS DECIMAL(38,0)) * greatest(nb, 1))
+           |  AS BIGINT)""".stripMargin))
+      // binLo's arithmetic inlined against ks_bin (the helper's expr is
+      // bound to a column literally named `bin`)
+      .withColumn("ks_at_micro", expr(
+        s"""CAST(CASE WHEN ks_bin < 16 THEN ks_bin
+           |  ELSE shiftleft(16 + ks_bin % $QSubBins,
+           |    CAST(ks_bin div $QSubBins AS INT) - 5)
+           |END AS BIGINT)""".stripMargin))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("ks_micro"),
+        col("ks_bin"), col("ks_at_micro"))
+  }
+
+  /** DuckDB mirror of [[ksDrift]] (adjacent so both dialects share the
+    * binning and the cross-multiplied ECDF arithmetic). */
+  def ksDriftSql(table: String, groupCol: String, valueExpr: String,
+      groupA: String, groupB: String): String =
+    s"""WITH src AS (SELECT $groupCol AS g,
+       |    CAST(floor(CAST($valueExpr AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+       |  FROM $table WHERE $valueExpr IS NOT NULL
+       |    AND $groupCol IN ('$groupA', '$groupB')),
+       |binned AS (SELECT g,
+       |    CASE WHEN x <= 0 THEN 0
+       |         WHEN x < 16 THEN x
+       |         ELSE $QSubBins * length(bin(x)) + (x >> (length(bin(x)) - 5)) - 16
+       |    END AS bin
+       |  FROM src),
+       |hist AS (SELECT bin,
+       |    CAST(sum(CASE WHEN g = '$groupA' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN g = '$groupB' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM binned GROUP BY bin),
+       |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+       |          CAST(sum(cb) AS BIGINT) AS nb FROM hist),
+       |cums AS (SELECT bin,
+       |    CAST(sum(ca) OVER (ORDER BY bin) AS BIGINT) AS cuma,
+       |    CAST(sum(cb) OVER (ORDER BY bin) AS BIGINT) AS cumb
+       |  FROM hist),
+       |d AS (SELECT bin,
+       |    abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) AS dd
+       |  FROM cums CROSS JOIN tot),
+       |m AS (SELECT max(dd) AS dm FROM d),
+       |am AS (SELECT min(bin) AS ks_bin FROM d, m WHERE d.dd = m.dm)
+       |SELECT tot.na AS n_a, tot.nb AS n_b,
+       |  CAST((1000000 * m.dm) //
+       |    (CAST(greatest(tot.na, 1) AS HUGEINT) * greatest(tot.nb, 1))
+       |    AS BIGINT) AS ks_micro,
+       |  am.ks_bin,
+       |  CAST(CASE WHEN am.ks_bin < 16 THEN am.ks_bin
+       |    ELSE (16 + am.ks_bin % $QSubBins) << ((am.ks_bin // $QSubBins) - 5)
+       |  END AS BIGINT) AS ks_at_micro
+       |FROM tot, m, am""".stripMargin
+
   /** DuckDB mirror of [[histQuantiles]] (adjacent so both dialects share
     * the binning and rank arithmetic). */
   def histQuantilesSql(table: String, groupCol: String,

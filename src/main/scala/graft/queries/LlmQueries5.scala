@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Pca, Similarity, TextAnalysis}
+import graft.ops.{Pca, Similarity, Sketches, TextAnalysis}
 
 /** Round-9 (second batch) training-data-pipeline operators: hybrid
   * lexical+dense retrieval fused by reciprocal rank (the production RAG
@@ -50,9 +50,18 @@ object LlmQueries5 {
       .orderBy(col("vec_id"), col("idx"))
   }
 
+  /** Two-sample KS drift of the document-length distribution between the
+    * 'en' and 'zh' slices over the shared log-bin sketch
+    * ([[Sketches.ksDrift]]) — the numeric-shift companion to
+    * `text_drift_chisq`. */
+  def qualityKsDrift(spark: SparkSession, dir: String): DataFrame =
+    Sketches.ksDrift(T.par(spark, T.t(spark, dir, "documents")),
+      "lang", "n_chars", "en", "zh")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_rrf_hybrid" -> (simRrfHybrid _),
-    "emb_whiten" -> (embWhiten _))
+    "emb_whiten" -> (embWhiten _),
+    "quality_ks_drift" -> (qualityKsDrift _))
 
   // Shared VALUES list for the query catalog (kept adjacent to the
   // Spark-side constant it mirrors).
@@ -156,5 +165,7 @@ object LlmQueries5 {
          |  END AS BIGINT) AS z_micro
          |FROM xm x JOIN sdx USING (idx)
          |WHERE x.vec_id < 300
-         |ORDER BY vec_id, idx""".stripMargin)
+         |ORDER BY vec_id, idx""".stripMargin,
+    "quality_ks_drift" ->
+      Sketches.ksDriftSql("documents", "lang", "n_chars", "en", "zh"))
 }

@@ -230,4 +230,23 @@ class SketchesSpec extends SparkSpec {
       Seq("g"), "value").orderBy("bin").collect().map(_.getLong(1))
     assert(bins.sorted.sameElements(bins))
   }
+
+  test("ksDrift: separated groups -> unit, identical groups -> 0") {
+    import spark.implicits._
+    // complete separation: every A value below every B value
+    val sep = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 40).map(i => ("b", 1000.0 + i))).toDF("g", "value")
+    val s = Sketches.ksDrift(sep, "g", "value", "a", "b").collect().head
+    assert(s.getAs[Long]("n_a") == 50L && s.getAs[Long]("n_b") == 40L)
+    assert(s.getAs[Long]("ks_micro") == 1000000L) // ECDF gap of exactly 1
+    // identical samples: every bin has cumA·nB == cumB·nA
+    val same = ((1 to 30).map(i => ("a", i * 3.0)) ++
+      (1 to 30).map(i => ("b", i * 3.0))).toDF("g", "value")
+    val z = Sketches.ksDrift(same, "g", "value", "a", "b").collect().head
+    assert(z.getAs[Long]("ks_micro") == 0L)
+    // partition invariance (histogram + triangular cumsum are combine-aggs)
+    val again = Sketches.ksDrift(sep.repartition(7), "g", "value", "a", "b")
+      .collect().map(_.toSeq).toSet
+    assert(again == Set(s.toSeq))
+  }
 }
