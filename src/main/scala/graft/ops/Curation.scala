@@ -279,6 +279,83 @@ object Curation {
     *
     * One Window pass per stratum (rank + size share the partition
     * sort) — the same skew posture as every per-stratum window here. */
+  /** Curriculum schedule construction: rank each stratum's documents by
+    * difficulty, cut into `nBuckets` equal-depth difficulty buckets, and
+    * emit the round-robin interleaved training order (easy bucket's
+    * first doc, next bucket's first doc, …, wrap) — the standard
+    * curriculum-learning layout that ramps difficulty WITHIN every
+    * window of `nBuckets` consecutive examples instead of front-loading
+    * all easy data. `sched_rank = pos_in_bucket·nBuckets + bucket` is
+    * a pure expression of the two ranks, so the whole schedule costs
+    * two per-stratum window passes and no extra shuffle.
+    *
+    * Exact integer arithmetic (equal-depth bucket = (nBuckets·(rk−1))
+    * div n, ties total-ordered by key) — deterministic and
+    * engine-replayable. Per-stratum windows share [[rankNormalize]]'s
+    * skew posture: a stratum must fit a partition sort; shard + stitch
+    * (the [[sampleTokenBudget]] pattern) past that. */
+  def curriculumInterleave(df: DataFrame, strataCol: String,
+      scoreCol: String, keyCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    val wOrd = w.orderBy(col(scoreCol).asc, col(keyCol))
+    val ranked = df
+      .withColumn("__rk", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("bucket", expr(s"($nBuckets * (__rk - 1)) div __n"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("bucket"))
+      .orderBy(col(scoreCol).asc, col(keyCol))
+    ranked
+      .withColumn("pos_in_bucket", (row_number().over(wB) - 1).cast("long"))
+      .withColumn("sched_rank",
+        expr(s"pos_in_bucket * $nBuckets + bucket"))
+      .drop("__rk", "__n")
+  }
+
+  /** Epoch-aware data-mix planning: given a per-stratum token target,
+    * how many FULL epochs of each stratum does the run take, and which
+    * deterministic subset fills the fractional last epoch?
+    * Per stratum:  epochs_micro = unit·target div tokens,
+    * full_epochs = epochs_micro div unit, and the fractional epoch
+    * admits exactly the documents whose integer hash draw
+    * (`hash mod unit`, salt-keyed — no float in the inclusion test)
+    * falls below frac_micro — so the plan names its partial-epoch
+    * membership, not just a rate, and replays bit-identically.
+    * Small-stratum upsampling (full_epochs ≥ 2) and large-stratum
+    * subsampling (full_epochs = 0) fall out of the same arithmetic —
+    * this is [[planMixUniform]]'s missing epoch dimension.
+    *
+    * Scale shape: one combine-agg to the |strata|-row token relation,
+    * broadcast back for the membership test, one more combine-agg —
+    * no window, no per-doc state. */
+  def planMixEpochs(docs: DataFrame, strataCol: String, targetTokens: Long,
+      idCol: String = "doc_id", tokensCol: String = "n_tokens",
+      hashSeed: Int = 97, unit: Long = 1000000L): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    val c = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("n_tokens_tot"))
+      .withColumn("epochs_micro",
+        expr(s"(${unit}L * ${targetTokens}L) div greatest(n_tokens_tot, 1)"))
+      .withColumn("full_epochs", expr(s"epochs_micro div ${unit}L"))
+      .withColumn("frac_micro", expr(s"epochs_micro % ${unit}L"))
+    val h = docs.select(col(strataCol),
+      col(tokensCol).cast("long").as("__tok"),
+      pmod(Dedup.hashStr(col(idCol).cast("string"), hashSeed), lit(unit))
+        .as("__hm"))
+    h.join(broadcast(c), Seq(strataCol))
+      .groupBy(col(strataCol), col("n_docs"), col("n_tokens_tot"),
+        col("epochs_micro"), col("full_epochs"), col("frac_micro"))
+      .agg(
+        sum(when(col("__hm") < col("frac_micro"), 1L).otherwise(0L))
+          .as("partial_docs"),
+        sum(when(col("__hm") < col("frac_micro"), col("__tok"))
+          .otherwise(0L)).as("partial_tokens"))
+      .withColumn("planned_tokens",
+        expr("full_epochs * n_tokens_tot + partial_tokens"))
+  }
+
   def rankNormalize(df: DataFrame, strataCol: String, scoreCol: String,
       keyCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))

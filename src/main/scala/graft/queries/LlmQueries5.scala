@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Pca, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Curation, Pca, Similarity, Sketches, TextAnalysis}
 
 /** Round-9 (second batch) training-data-pipeline operators: hybrid
   * lexical+dense retrieval fused by reciprocal rank (the production RAG
@@ -58,10 +58,30 @@ object LlmQueries5 {
     Sketches.ksDrift(T.par(spark, T.t(spark, dir, "documents")),
       "lang", "n_chars", "en", "zh")
 
+  /** Curriculum schedule: per-source difficulty deciles by n_chars,
+    * round-robin interleaved training order
+    * ([[Curation.curriculumInterleave]]). */
+  def sampleCurriculum(spark: SparkSession, dir: String): DataFrame =
+    Curation.curriculumInterleave(
+        T.par(spark, T.t(spark, dir, "documents"))
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", "doc_id")
+      .orderBy(col("source"), col("sched_rank"), col("doc_id"))
+
+  /** Epoch-aware mix plan: 20k-token-per-source target over n_chars,
+    * full-epoch counts + named fractional-epoch membership
+    * ([[Curation.planMixEpochs]]). */
+  def mixEpochPlan(spark: SparkSession, dir: String): DataFrame =
+    Curation.planMixEpochs(T.par(spark, T.t(spark, dir, "documents")),
+        "source", targetTokens = 20000L, tokensCol = "n_chars")
+      .orderBy(col("source"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_rrf_hybrid" -> (simRrfHybrid _),
     "emb_whiten" -> (embWhiten _),
-    "quality_ks_drift" -> (qualityKsDrift _))
+    "quality_ks_drift" -> (qualityKsDrift _),
+    "sample_curriculum" -> (sampleCurriculum _),
+    "mix_epoch_plan" -> (mixEpochPlan _))
 
   // Shared VALUES list for the query catalog (kept adjacent to the
   // Spark-side constant it mirrors).
@@ -167,5 +187,44 @@ object LlmQueries5 {
          |WHERE x.vec_id < 300
          |ORDER BY vec_id, idx""".stripMargin,
     "quality_ks_drift" ->
-      Sketches.ksDriftSql("documents", "lang", "n_chars", "en", "zh"))
+      Sketches.ksDriftSql("documents", "lang", "n_chars", "en", "zh"),
+    "sample_curriculum" ->
+      s"""WITH r AS (SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM documents),
+         |b AS (SELECT doc_id, source, n_chars,
+         |    CAST((10 * (rk - 1)) // n AS BIGINT) AS bucket FROM r),
+         |p AS (SELECT *, CAST(row_number() OVER (PARTITION BY source, bucket
+         |      ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS pos_in_bucket
+         |  FROM b)
+         |SELECT doc_id, source, n_chars, bucket, pos_in_bucket,
+         |  CAST(pos_in_bucket * 10 + bucket AS BIGINT) AS sched_rank
+         |FROM p ORDER BY source, sched_rank, doc_id""".stripMargin,
+    "mix_epoch_plan" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_tokens_tot
+         |  FROM documents GROUP BY source),
+         |f AS (SELECT source, n_docs, n_tokens_tot,
+         |    CAST((CAST(1000000 AS BIGINT) * 20000)
+         |      // greatest(n_tokens_tot, 1) AS BIGINT) AS epochs_micro
+         |  FROM c),
+         |e AS (SELECT *, epochs_micro // 1000000 AS full_epochs,
+         |    epochs_micro % 1000000 AS frac_micro FROM f),
+         |h AS (SELECT source, n_chars,
+         |    CAST('0x' || substring(md5('97|' || CAST(doc_id AS VARCHAR)),
+         |      1, 15) AS BIGINT) % 1000000 AS hm
+         |  FROM documents),
+         |p AS (SELECT h.source,
+         |    CAST(sum(CASE WHEN hm < frac_micro THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS partial_docs,
+         |    CAST(sum(CASE WHEN hm < frac_micro THEN n_chars ELSE 0 END)
+         |      AS BIGINT) AS partial_tokens
+         |  FROM h JOIN e USING (source) GROUP BY h.source)
+         |SELECT e.source, e.n_docs, e.n_tokens_tot, e.epochs_micro,
+         |  e.full_epochs, e.frac_micro, p.partial_docs, p.partial_tokens,
+         |  CAST(e.full_epochs * e.n_tokens_tot + p.partial_tokens
+         |    AS BIGINT) AS planned_tokens
+         |FROM e JOIN p USING (source) ORDER BY source""".stripMargin)
 }

@@ -334,4 +334,50 @@ class CurationSpec extends SparkSpec {
     assert(!Curation.sampleWeighted(withZero, n = 1000, weightCol = "w",
       keyCol = "id").select("id").collect().map(_.getLong(0)).contains(999L))
   }
+
+  test("curriculumInterleave: round-robin over equal-depth difficulty buckets") {
+    import spark.implicits._
+    val df = (1 to 6).map(i => (i.toLong, "s", i * 10)).toDF("id", "src", "score")
+    val got = Curation.curriculumInterleave(df, "src", "score", "id", nBuckets = 3)
+      .orderBy(col("sched_rank"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("sched_rank")))
+    // easy->hard within every window of 3: 1 (b0), 3 (b1), 5 (b2), 2, 4, 6
+    assert(got.toSeq == Seq((1L, 0L, 0L), (3L, 1L, 1L), (5L, 2L, 2L),
+      (2L, 0L, 3L), (4L, 1L, 4L), (6L, 2L, 5L)))
+    // partition invariance
+    val again = Curation.curriculumInterleave(df.repartition(5), "src",
+      "score", "id", nBuckets = 3).collect().map(_.toSeq).toSet
+    assert(again == Curation.curriculumInterleave(df, "src", "score", "id",
+      nBuckets = 3).collect().map(_.toSeq).toSet)
+  }
+
+  test("planMixEpochs: full epochs + named fractional membership add up") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => (i.toLong, "small", 10L)) ++ // 100 tokens
+      (11 to 30).map(i => (i.toLong, "big", 50L))).toDF("doc_id", "src", "n_tokens")
+    val got = Curation.planMixEpochs(df, "src", targetTokens = 250L)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val s = got("small") // 100 tokens -> 2.5 epochs
+    assert(s.getAs[Long]("epochs_micro") == 2500000L)
+    assert(s.getAs[Long]("full_epochs") == 2L)
+    assert(s.getAs[Long]("frac_micro") == 500000L)
+    assert(s.getAs[Long]("planned_tokens") ==
+      2L * 100L + s.getAs[Long]("partial_tokens"))
+    val b = got("big") // 1000 tokens -> 0.25 epochs: pure subsample
+    assert(b.getAs[Long]("full_epochs") == 0L)
+    assert(b.getAs[Long]("frac_micro") == 250000L)
+    assert(b.getAs[Long]("planned_tokens") == b.getAs[Long]("partial_tokens"))
+    // the fractional membership is the hash predicate, independently computed
+    val hm = df.select(col("doc_id"), col("src"),
+      pmod(Dedup.hashStr(col("doc_id").cast("string"), 97), lit(1000000L))
+        .as("hm")).collect().map(r => (r.getString(1), r.getLong(2)))
+    val expSmall = hm.count { case (g, h) => g == "small" && h < 500000L }
+    assert(s.getAs[Long]("partial_docs") == expSmall.toLong)
+    // partition invariance
+    val again = Curation.planMixEpochs(df.repartition(7), "src", 250L)
+      .collect().map(_.toSeq).toSet
+    assert(again ==
+      Curation.planMixEpochs(df, "src", 250L).collect().map(_.toSeq).toSet)
+  }
 }
