@@ -234,6 +234,49 @@ object TextAnalysis {
         md5(Dedup.normalize(text)).as("fingerprint"))
   }
 
+  /** Gopher-style hard-rule quality gate (Rae et al. 2021 §A1.1 shape):
+    * the pre-model document filter every large-corpus pipeline runs
+    * before any learned scoring, with each rule's verdict emitted as its
+    * own 0/1 flag so the DROP REASON is queryable (what fraction fell to
+    * word count vs stopword absence is the first question a data audit
+    * asks). Rules, all in exact integer comparisons over the normalized
+    * words (no ratios, no floats — cross-multiplied thresholds):
+    *   r_word_count: minWords ≤ n ≤ maxWords;
+    *   r_word_len:   3·n ≤ total word chars ≤ 10·n (mean length 3..10);
+    *   r_alpha:      10·n_alpha ≥ 8·n (≥80% words contain a letter);
+    *   r_stopwords:  ≥ 2 DISTINCT [[Stopwords]] members present;
+    * keep = every rule passes. Documents always get a row (empty text
+    * fails r_word_count with n = 0), so downstream anti-joins see the
+    * full corpus.
+    *
+    * Scale shape: pure map — one normalize/split per row, per-row array
+    * ops, no shuffle, no state. */
+  def gopherGate(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ws = filter(split(Dedup.normalize(col(textCol)), " "),
+      w => w =!= "")
+    val stopLit = array(Stopwords.map(lit(_)): _*)
+    docs.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        length(concat_ws("", col("__ws"))).cast("long").as("n_wchars"),
+        size(filter(col("__ws"), w => w.rlike("[a-z]"))).cast("long")
+          .as("n_alpha"),
+        size(array_intersect(array_distinct(col("__ws")), stopLit))
+          .cast("long").as("n_stop"))
+      .withColumn("r_word_count", expr(
+        s"CAST(n_words >= $minWords AND n_words <= $maxWords AS BIGINT)"))
+      .withColumn("r_word_len", expr(
+        "CAST(3 * n_words <= n_wchars AND n_wchars <= 10 * n_words " +
+          "AND n_words > 0 AS BIGINT)"))
+      .withColumn("r_alpha", expr(
+        "CAST(10 * n_alpha >= 8 * n_words AND n_words > 0 AS BIGINT)"))
+      .withColumn("r_stopwords", expr("CAST(n_stop >= 2 AS BIGINT)"))
+      .withColumn("keep", expr(
+        "r_word_count * r_word_len * r_alpha * r_stopwords"))
+  }
+
   /** Normalized words exploded to (id, w) rows, empties dropped. */
   private def explodedWords(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

@@ -76,7 +76,16 @@ object LlmQueries5 {
         "source", targetTokens = 20000L, tokensCol = "n_chars")
       .orderBy(col("source"))
 
+  /** Gopher-style hard-rule gate with per-rule drop reasons
+    * ([[TextAnalysis.gopherGate]], minWords=30 for the synthetic
+    * corpus's length profile). */
+  def qualityGopherGate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherGate(T.par(spark, T.t(spark, dir, "documents")),
+        minWords = 30)
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_gopher_gate" -> (qualityGopherGate _),
     "sim_rrf_hybrid" -> (simRrfHybrid _),
     "emb_whiten" -> (embWhiten _),
     "quality_ks_drift" -> (qualityKsDrift _),
@@ -89,6 +98,39 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    "quality_gopher_gate" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    list_filter(string_split(${normSql("text")}, ' '),
+         |      x -> x <> '') AS ws
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_wchars,
+         |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(len(list_intersect(list_distinct(ws),
+         |      ['the', 'a', 'an', 'of', 'to', 'and', 'in', 'is']))
+         |      AS BIGINT) AS n_stop
+         |  FROM w)
+         |SELECT doc_id, n_words, n_wchars, n_alpha, n_stop,
+         |  CAST(CASE WHEN n_words >= 30 AND n_words <= 100000
+         |    THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+         |  CAST(CASE WHEN 3 * n_words <= n_wchars
+         |      AND n_wchars <= 10 * n_words AND n_words > 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS r_word_len,
+         |  CAST(CASE WHEN 10 * n_alpha >= 8 * n_words AND n_words > 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+         |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS r_stopwords,
+         |  CAST((CASE WHEN n_words >= 30 AND n_words <= 100000
+         |      THEN 1 ELSE 0 END)
+         |    * (CASE WHEN 3 * n_words <= n_wchars
+         |        AND n_wchars <= 10 * n_words AND n_words > 0
+         |      THEN 1 ELSE 0 END)
+         |    * (CASE WHEN 10 * n_alpha >= 8 * n_words AND n_words > 0
+         |      THEN 1 ELSE 0 END)
+         |    * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     // Full replay: the BM25 multiquery chain (LlmQueries3's oracle, k=10)
     // + the sparse hash-cosine chain (text_hash_embedding's feature CTE on
     // both sides, HUGEINT signed-squared cosine) + integer RRF fusion.

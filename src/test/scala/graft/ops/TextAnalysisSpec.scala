@@ -472,6 +472,32 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("gopherGate: each rule trips on its planted violation, good doc keeps") {
+    import spark.implicits._
+    val good = (Seq("the", "of") ++ Seq.fill(40)("steady")).mkString(" ")
+    val short = "the of tiny doc here"
+    val shortWords = (Seq("the", "of") ++ Seq.fill(40)("aa")).mkString(" ")
+    val numeric = (Seq("the", "of") ++ Seq.fill(35)("12345")).mkString(" ")
+    val noStop = Seq.fill(35)("steady").mkString(" ")
+    val docs = Seq((1L, good), (2L, short), (3L, shortWords),
+      (4L, numeric), (5L, noStop)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherGate(docs, minWords = 30)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("r_word_count"), r.getAs[Long]("r_word_len"),
+          r.getAs[Long]("r_alpha"), r.getAs[Long]("r_stopwords"),
+          r.getAs[Long]("keep"))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 1L, 1L)))
+    assert(got(2L)._1 == 0L && got(2L)._5 == 0L) // too few words
+    assert(got(3L)._2 == 0L && got(3L)._5 == 0L) // mean word length < 3
+    assert(got(4L)._3 == 0L && got(4L)._5 == 0L) // digit soup
+    assert(got(5L)._4 == 0L && got(5L)._5 == 0L) // no stopwords
+    // every doc gets a row, map-only plan
+    assert(got.size == 5)
+    val plan = TextAnalysis.gopherGate(docs).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate shuffles:\n$plan")
+  }
+
   test("hashCosineTopK: identical text scores exactly unit, ranks first") {
     import spark.implicits._
     val docs = Seq(
