@@ -183,6 +183,24 @@ class PlanSpec extends SparkSpec {
       s"non-broadcast nested loop:\n$plan")
   }
 
+  test("hybrid dense leg: query features broadcast; bucket equi-join, no cartesian") {
+    import spark.implicits._
+    val docs = T.t(spark, "/root/testdata/sf0.001", "documents")
+    val qs = Seq((1, "spark join window"), (2, "stream table")).toDF("query_id", "qtext")
+    val df = graft.ops.TextAnalysis.hashCosineTopK(docs, qs, k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query features/norms must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(plan).isEmpty,
+      s"non-broadcast nested loop:\n$plan")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "per-query top-k window must be partitioned")
+  }
+
   test("cms probing broadcasts the fixed-size counter relation; top-k is a heap") {
     val ev = T.events(spark, "/root/testdata/sf0.001")
     val plan = graft.ops.Sketches.cmsHeavyHitters(ev, "user_id", 10)
