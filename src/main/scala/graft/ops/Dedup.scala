@@ -91,6 +91,56 @@ object Dedup {
             (0 until n).map(j => element_at(col("__w"), i + j + 1)): _*))))
           .as("gram"))
 
+  /** Position-resolved repeated-substring detection — the ExactSubstr
+    * shape (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better") at word-shingle granularity: find, for every
+    * document, the MAXIMAL runs of positions whose `w`-word shingle
+    * occurs at least `minCount` times anywhere in the corpus (within- or
+    * cross-document — any repeat is training-loss double-counting). A
+    * run of `s` consecutive shared shingle positions certifies a
+    * repeated substring of `s + w − 1` words, so the output
+    * (doc, start_word, len_words) names the exact spans a cutter would
+    * remove — [[crossDocSpanShare]] scores documents; this one locates
+    * the text. The suffix-array construction the paper uses is
+    * single-machine; shingle-position marking is its distributed
+    * approximation (repeats shorter than `w` words are invisible — the
+    * deliberate resolution floor).
+    *
+    * Scale shape: positional shingles hash to longs before any shuffle
+    * (the exchange carries (id, pos, hash), never text); occurrence
+    * counts are one map-side-combined agg; marking is a semi-join back
+    * on the hash; run-merging is ONE per-document window over the
+    * marked minority (repeated positions only). The classic
+    * consecutive-run trick (group key = pos − rank) keeps merging a
+    * pure expression. */
+  def repeatedSubstringRuns(docs: DataFrame, w: Int = 8,
+      minCount: Long = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(w >= 2 && minCount >= 2, "need shingle width >= 2, minCount >= 2")
+    val sh = docs
+      .withColumn("__w", split(normalize(col(textCol)), " "))
+      .filter(size(col("__w")) >= w)
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), size(col("__w")) - w),
+          i => hashStr(concat_ws(" ",
+            (0 until w).map(j => element_at(col("__w"), i + j + 1)): _*), 53)))
+          .as(Seq("pos", "h")))
+      .localCheckpoint(false) // feeds the count agg AND the semi-join probe
+    val shared = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("h"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    sh.join(shared, Seq("h"), "leftsemi")
+      .withColumn("__grp", col("pos") - row_number().over(wd))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).as("start_word"), count(lit(1)).as("n_shingles"))
+      .withColumn("len_words", col("n_shingles") + lit((w - 1).toLong))
+      .select(col("id").as(idCol), col("start_word"), col("len_words"),
+        col("n_shingles"))
+  }
+
   /** Cross-document duplicated-span scoring — the repeated-substring
     * dedup signal (RefinedWeb/C4 style), approximated at word-shingle
     * granularity: for each document, the share of its distinct word

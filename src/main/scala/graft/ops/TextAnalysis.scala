@@ -234,6 +234,42 @@ object TextAnalysis {
         md5(Dedup.normalize(text)).as("fingerprint"))
   }
 
+  /** Simpson/Herfindahl lexical concentration per document — the
+    * log-free diversity companion to entropy (entropy needs
+    * transcendentals; Simpson's Σp² is a rational function of the word
+    * counts, so it replays exactly): concentration = unit·Σc² div n²,
+    * diversity = unit − concentration. Word-soup and looping generations
+    * concentrate (few types dominate → high Σp²); natural prose
+    * diversifies. Ranks the same pathologies as entropy-based gates
+    * while staying integer-exact. Every input doc gets a row (wordless
+    * docs report 0/0 via the left back-join, the
+    * [[bigramLmScore]] convention).
+    *
+    * Scale shape: two combine-aggs ((id, word) counts → per-doc Σc²,
+    * n); the squared sums ride DECIMAL(38,0) (unit·Σc² wraps a long
+    * near 3·10⁶ words in one doc). */
+  def simpsonDiversity(docs: DataFrame, unit: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val per = explodedWords(docs, idCol, textCol)
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("id"))
+      .agg(sum(col("__c")).as("n_words"),
+        sum(col("__c") * col("__c")).as("__ss"))
+      .withColumn("simpson_micro", expr(
+        s"""CAST(($unit * CAST(__ss AS DECIMAL(38,0))) div
+           |  (CAST(n_words AS DECIMAL(38,0)) * n_words) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("diversity_micro", expr(s"$unit - simpson_micro"))
+      .select(col("id"), col("n_words"), col("simpson_micro"),
+        col("diversity_micro"))
+    docs.select(col(idCol))
+      .join(per, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("simpson_micro"), lit(0L)).as("simpson_micro"),
+        coalesce(col("diversity_micro"), lit(0L)).as("diversity_micro"))
+  }
+
   /** Gopher-style hard-rule quality gate (Rae et al. 2021 §A1.1 shape):
     * the pre-model document filter every large-corpus pipeline runs
     * before any learned scoring, with each rule's verdict emitted as its

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Curation, Pca, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Curation, Dedup, Pca, Similarity, Sketches, TextAnalysis}
 
 /** Round-9 (second batch) training-data-pipeline operators: hybrid
   * lexical+dense retrieval fused by reciprocal rank (the production RAG
@@ -84,7 +84,26 @@ object LlmQueries5 {
         minWords = 30)
       .orderBy(col("doc_id"))
 
+  /** Position-resolved repeated substrings (ExactSubstr shape): maximal
+    * runs of 4-word shingles occurring ≥2 times anywhere in the corpus
+    * ([[Dedup.repeatedSubstringRuns]], w=4 for the synthetic corpus's
+    * short near-dup spans). */
+  def dedupRepeatedRuns(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSubstringRuns(
+        T.par(spark, T.t(spark, dir, "documents")), w = 4)
+      .orderBy(col("doc_id"), col("start_word"))
+
+  /** Simpson lexical concentration/diversity per doc
+    * ([[TextAnalysis.simpsonDiversity]]) — the integer-exact entropy
+    * surrogate for gibberish/loop gating. */
+  def textSimpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.simpsonDiversity(
+        T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_repeated_runs" -> (dedupRepeatedRuns _),
+    "text_simpson_diversity" -> (textSimpsonDiversity _),
     "quality_gopher_gate" -> (qualityGopherGate _),
     "sim_rrf_hybrid" -> (simRrfHybrid _),
     "emb_whiten" -> (embWhiten _),
@@ -98,6 +117,49 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // ExactSubstr replay: positional shingle hashes, corpus occurrence
+    // counts, the pos − row_number() consecutive-run trick.
+    "dedup_repeated_runs" ->
+      s"""WITH wr AS (SELECT doc_id,
+         |    string_split(${normSql("text")}, ' ') AS ws
+         |  FROM documents),
+         |sh AS (SELECT doc_id, CAST(r.i AS INTEGER) AS pos,
+         |    ${hashSql(53, "array_to_string(ws[CAST(r.i + 1 AS INTEGER) : " +
+              "CAST(r.i + 4 AS INTEGER)], ' ')")} AS h
+         |  FROM wr CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(0, len(ws) - 4)) AS i) r
+         |  WHERE len(ws) >= 4),
+         |shared AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+         |mk AS (SELECT doc_id, pos FROM sh SEMI JOIN shared USING (h)),
+         |runs AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS grp
+         |  FROM mk)
+         |SELECT doc_id, CAST(min(pos) AS INTEGER) AS start_word,
+         |  CAST(count(*) + 3 AS BIGINT) AS len_words,
+         |  CAST(count(*) AS BIGINT) AS n_shingles
+         |FROM runs GROUP BY doc_id, grp
+         |ORDER BY doc_id, start_word""".stripMargin,
+    "text_simpson_diversity" ->
+      s"""WITH w AS (SELECT doc_id, w.w
+         |  FROM documents,
+         |       unnest(string_split(${normSql("text")}, ' ')) AS w(w)
+         |  WHERE w.w <> ''),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+         |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |    CAST(sum(c * c) AS BIGINT) AS ss
+         |  FROM c GROUP BY doc_id),
+         |m AS (SELECT doc_id, n_words,
+         |    CAST((1000000 * CAST(ss AS HUGEINT)) //
+         |      (CAST(n_words AS HUGEINT) * n_words) AS BIGINT)
+         |      AS simpson_micro
+         |  FROM s)
+         |SELECT d.doc_id,
+         |  coalesce(m.n_words, 0) AS n_words,
+         |  coalesce(m.simpson_micro, 0) AS simpson_micro,
+         |  coalesce(1000000 - m.simpson_micro, 0) AS diversity_micro
+         |FROM documents d LEFT JOIN m USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "quality_gopher_gate" ->
       s"""WITH w AS (SELECT doc_id,
          |    list_filter(string_split(${normSql("text")}, ' '),

@@ -438,4 +438,32 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept2 == Set(11L, 13L, 17L), s"kept $kept2")
   }
+
+  test("repeatedSubstringRuns: maximal cross-doc runs at exact positions") {
+    import spark.implicits._
+    // docs 1 and 2 share the 6-word phrase at word offsets 2 and 0;
+    // doc 3 is clean. With w=4, a 6-word repeat = a run of 3 shingles.
+    val shared = "lorem ipsum dolor sit amet consectetur"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"$shared zeta eta theta iota"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSubstringRuns(docs, w = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("start_word"),
+        r.getAs[Long]("len_words"), r.getAs[Long]("n_shingles")))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq((1L, 2, 6L, 3L), (2L, 0, 6L, 3L)), got.toSeq)
+    // a within-doc repeat is found too (any repeat double-counts loss)
+    val loop = Seq((9L, "x y z w junk filler x y z w")).toDF("doc_id", "text")
+    val self = Dedup.repeatedSubstringRuns(loop, w = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(self.toSeq == Seq((0, 4L), (6, 4L)), self.toSeq)
+    // partition invariance
+    val again = Dedup.repeatedSubstringRuns(docs.repartition(5), w = 4)
+      .collect().map(_.toSeq).toSet
+    assert(again ==
+      Dedup.repeatedSubstringRuns(docs, w = 4).collect().map(_.toSeq).toSet)
+  }
 }

@@ -472,6 +472,27 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("simpsonDiversity: hand-computed concentration, empty doc gets a 0 row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"),            // counts 2,1 -> ss=5, n=3 -> 5e6 div 9
+      (2L, "loop loop loop"),   // single type -> concentration = unit
+      (3L, "w x y z"),          // all distinct -> 4e6 div 16 = 250000
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.simpsonDiversity(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((3L, 555555L, 444445L)))
+    assert(got(2L) == ((3L, 1000000L, 0L)))
+    assert(got(3L) == ((4L, 250000L, 750000L)))
+    assert(got(4L) == ((0L, 0L, 0L))) // wordless doc still gets a row
+    // partition invariance
+    val again = TextAnalysis.simpsonDiversity(docs.repartition(5))
+      .collect().map(_.toSeq).toSet
+    assert(again ==
+      TextAnalysis.simpsonDiversity(docs).collect().map(_.toSeq).toSet)
+  }
+
   test("gopherGate: each rule trips on its planted violation, good doc keeps") {
     import spark.implicits._
     val good = (Seq("the", "of") ++ Seq.fill(40)("steady")).mkString(" ")
