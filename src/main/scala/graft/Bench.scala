@@ -178,5 +178,11 @@ object Bench {
     "mix_plan_uniform", "quality_reliability", "mm_image_ahash_dedup",
     "emb_cluster_purity", "sim_mmr_rerank", "emb_kcenter_coreset",
     "dedup_connected_best", "text_html_strip", "sample_rank_normalize",
-    "mm_image_dhash_dedup", "mm_audio_fingerprint_dedup")
+    "mm_image_dhash_dedup", "mm_audio_fingerprint_dedup",
+    // round-9 second batch: hybrid RRF retrieval, whitening, KS drift,
+    // curriculum/epoch-mix planning, Gopher gate, ExactSubstr runs,
+    // Simpson diversity
+    "sim_rrf_hybrid", "emb_whiten", "quality_ks_drift",
+    "sample_curriculum", "mix_epoch_plan", "quality_gopher_gate",
+    "dedup_repeated_runs", "text_simpson_diversity")
 }

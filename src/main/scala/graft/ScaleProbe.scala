@@ -111,7 +111,17 @@ object ScaleProbe {
       "rag_chunk_retrieve" -> SparkEntry.queries("rag_chunk_retrieve"),
       "emb_silhouette" -> SparkEntry.queries("emb_silhouette"),
       "curation_dsir_select" -> SparkEntry.queries("curation_dsir_select"),
-      "graph_kcore_x10" -> (kcoreProbe _))
+      "graph_kcore_x10" -> (kcoreProbe _),
+      // round-9 second batch: hybrid retrieval (both legs scan the
+      // corpus; query catalogs stay fixed) and ExactSubstr runs (the
+      // shingle count + semi-join + run windows all scale with corpus)
+      "sim_rrf_hybrid" -> SparkEntry.queries("sim_rrf_hybrid"),
+      "dedup_repeated_runs" -> SparkEntry.queries("dedup_repeated_runs"))
+
+    // optional probe-name filter (comma-separated) for incremental runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val selected = probes.filter { case (n, _) => only.isEmpty || only(n) }
 
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val ts = (1 to 2).map { _ =>
@@ -125,7 +135,7 @@ object ScaleProbe {
       ts.min
     }
     println(f"| query | sf0.1 s | sf1.0-synth s | ratio (ideal 10) |")
-    probes.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       val a = time(fn, sf01)
       val b = time(fn, synthDir)
       println(f"| $name | $a%.2f | $b%.2f | ${b / a}%.1f |")
