@@ -455,11 +455,22 @@ object Sketches {
       groupA: String, groupB: String, unit: Long = 1000000L): DataFrame = {
     val h = histRegisters(
       df.filter(col(groupCol).isin(groupA, groupB)), Seq(groupCol), valueCol)
-    val bins = h
+    ksFromCounts(h
       .groupBy(col("bin"))
       .agg(
         sum(when(col(groupCol) === groupA, col("cnt")).otherwise(0L)).as("ca"),
-        sum(when(col(groupCol) === groupB, col("cnt")).otherwise(0L)).as("cb"))
+        sum(when(col(groupCol) === groupB, col("cnt")).otherwise(0L)).as("cb")),
+      unit)
+  }
+
+  /** KS from PRE-BINNED counts — the mergeable-sketch form of
+    * [[ksDrift]]: `bins` is a (bin, ca, cb) relation in the
+    * [[histRegisters]] bin space. Because histograms merge by summing,
+    * the two sides can come from different jobs, different days, or a
+    * persisted reference artifact — which is exactly what
+    * [[ksAgainstReference]] and the streaming monitor exploit. */
+  def ksFromCounts(binsIn: DataFrame, unit: Long = 1000000L): DataFrame = {
+    val bins = binsIn
       .localCheckpoint(false) // ≤ ~1000 rows; feeds both triangular sides + totals
     val cums = bins.as("x")
       .join(bins.select(col("bin").as("__b2"), col("ca").as("__ca2"),
@@ -491,6 +502,46 @@ object Sketches {
       .select(col("na").as("n_a"), col("nb").as("n_b"), col("ks_micro"),
         col("ks_bin"), col("ks_at_micro"))
   }
+
+  /** KS of a batch against a persisted reference histogram — the
+    * monitoring form: `ref` is a (bin, cnt) [[histRegisters]] relation
+    * (typically written once by the reference job and read back as a
+    * small parquet artifact); the batch is histogrammed in one pass and
+    * compared bin-for-bin. */
+  def ksAgainstReference(df: DataFrame, ref: DataFrame, valueCol: String,
+      unit: Long = 1000000L): DataFrame = {
+    val cur = histRegisters(df.withColumn("__g", lit("cur")), Seq("__g"),
+      valueCol).select(col("bin"), col("cnt").as("ca"))
+    val r = ref.select(col("bin").as("__rb"), col("cnt").as("cb"))
+    ksFromCounts(
+      cur.join(r, col("bin") === col("__rb"), "full_outer")
+        .select(coalesce(col("bin"), col("__rb")).as("bin"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb")),
+      unit)
+  }
+
+  /** Streaming drift monitor: score every micro-batch's `valueCol`
+    * distribution against the reference histogram, appending one
+    * (batch_id, n_a, n_b, ks_micro, ks_bin, ks_at_micro) row per batch
+    * to `outPath` — the alarm feed a data-intake pipeline tails to
+    * catch a source going sideways BEFORE the corpus absorbs it. The
+    * reference relation is batch-sized (≤ ~1000 bins) and reused every
+    * batch; exactly-once via the checkpointed foreachBatch sink, like
+    * [[graft.streaming.ReportJob]]. */
+  def driftMonitor(stream: DataFrame, ref: DataFrame, valueCol: String,
+      outPath: String, checkpoint: String,
+      unit: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ksAgainstReference(batch, ref, valueCol, unit)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
 
   /** DuckDB mirror of [[ksDrift]] (adjacent so both dialects share the
     * binning and the cross-multiplied ECDF arithmetic). */

@@ -654,7 +654,7 @@ object LlmQueries {
     "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
   private def cosSql(d: String, aa: String, bb: String) =
     s"($d / (sqrt($aa) * sqrt($bb)))"
-  private val cosineExpr = cosSql(dotSql,
+  private[queries] val cosineExpr = cosSql(dotSql,
     "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))",
     "list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))")
 
@@ -693,7 +693,7 @@ object LlmQueries {
     * the Spark side uses (`Similarity.planes(nPlanes, 64, 42)`), so the
     * blocked (scale-path) join semantics are oracle-checked exactly rather
     * than downgraded to a rows-only probe. */
-  private def lshBucketSql(emb: String, nPlanes: Int = 4): String =
+  private[queries] def lshBucketSql(emb: String, nPlanes: Int = 4): String =
     Similarity.planes(nPlanes, 64).zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product(CAST($emb AS DOUBLE[]), [${p.mkString(", ")}]) >= 0" +
         s" THEN ${1L << i} ELSE 0 END)"

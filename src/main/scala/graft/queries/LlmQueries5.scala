@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Curation, Dedup, Pca, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Components, Curation, Dedup, Pca, Similarity, Sketches,
+  TextAnalysis}
 
 /** Round-9 (second batch) training-data-pipeline operators: hybrid
   * lexical+dense retrieval fused by reciprocal rank (the production RAG
@@ -101,7 +102,31 @@ object LlmQueries5 {
         T.par(spark, T.t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** Duplicate-cluster-size audit: the distribution a dedup run is judged
+    * by (how much of the corpus sits in how-big clusters). Same near-dup
+    * CC chain as `dedup_cc_clusters`; sizes histogrammed, singletons
+    * (docs in no pair) reported as the cluster_size = 1 row via the
+    * total-count difference — CC never emits them. */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val cc = Components.connectedComponents(
+      Similarity.nearDupPairs(emb, threshold = 0.4), "id_a", "id_b")
+      .localCheckpoint(false) // feeds the size histogram AND the clustered count
+    val hist = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", expr("cluster_size * n_clusters"))
+    val singletons = emb.agg(count(lit(1)).as("__t"))
+      .crossJoin(broadcast(cc.agg(count(lit(1)).as("__c"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("__t") - col("__c")).as("n_clusters"),
+        (col("__t") - col("__c")).as("n_docs"))
+    hist.unionByName(singletons).orderBy(col("cluster_size"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_repeated_runs" -> (dedupRepeatedRuns _),
     "text_simpson_diversity" -> (textSimpsonDiversity _),
     "quality_gopher_gate" -> (qualityGopherGate _),
@@ -117,6 +142,38 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // Same recursive-CTE CC replay as dedup_cc_clusters, aggregated to
+    // the size histogram; singletons from the total-count difference.
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE bkt AS (
+         |  SELECT vec_id, embedding, ${LlmQueries.lshBucketSql("embedding")} AS bkt
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id AND a.bkt = b.bkt
+         |  WHERE round(${LlmQueries.cosineExpr}, 6) >= 0.4
+         |),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+         |),
+         |cc AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component, count(*) AS cluster_size
+         |       FROM cc GROUP BY component),
+         |hist AS (SELECT cluster_size, count(*) AS n_clusters,
+         |    CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |  FROM sz GROUP BY cluster_size),
+         |tot AS (SELECT count(*) AS t FROM embeddings),
+         |cl AS (SELECT count(*) AS c FROM cc)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters,
+         |  n_docs
+         |FROM hist
+         |UNION ALL
+         |SELECT 1, t - c, t - c FROM tot, cl
+         |ORDER BY cluster_size""".stripMargin,
     // ExactSubstr replay: positional shingle hashes, corpus occurrence
     // counts, the pos − row_number() consecutive-run trick.
     "dedup_repeated_runs" ->

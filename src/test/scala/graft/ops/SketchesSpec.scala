@@ -231,6 +231,40 @@ class SketchesSpec extends SparkSpec {
     assert(bins.sorted.sameElements(bins))
   }
 
+  test("drift monitor: per-batch KS vs reference, shifted batch alarms") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def tdir(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // reference distribution: values 1..100
+    val ref = Sketches.histRegisters(
+      (1 to 100).map(_.toDouble).toDF("value").withColumn("__g", lit("r")),
+      Seq("__g"), "value").select(col("bin"), col("cnt"))
+      .localCheckpoint()
+    val in = MemoryStream[Double]
+    val out = tdir("graft-drift-out")
+    val q = Sketches.driftMonitor(in.toDS().toDF("value"), ref, "value",
+      out, tdir("graft-drift-ck"))
+    try {
+      in.addData((1 to 100).map(_.toDouble): _*) // same distribution
+      q.processAllAvailable()
+      in.addData((1 to 100).map(i => 100000.0 + i): _*) // hard shift
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select(col("batch_id"), col("ks_micro"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 0L, s"identical batch must score 0: $got")
+    assert(got(1L) == 1000000L, s"disjoint batch must score unit: $got")
+    // the batch-vs-reference form agrees with the one-pass grouped form
+    val both = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 100).map(i => ("b", 100000.0 + i))).toDF("g", "value")
+    val one = Sketches.ksDrift(both, "g", "value", "a", "b")
+      .collect().head.getAs[Long]("ks_micro")
+    assert(one == 1000000L)
+  }
+
   test("ksDrift: separated groups -> unit, identical groups -> 0") {
     import spark.implicits._
     // complete separation: every A value below every B value
