@@ -8,9 +8,14 @@ import graft.ops.{Components, Curation, Dedup, Pca, Similarity, Sketches,
 
 /** Round-9 (second batch) training-data-pipeline operators: hybrid
   * lexical+dense retrieval fused by reciprocal rank (the production RAG
-  * retriever shape), with the same exactness contract as the sibling
-  * registries — integer / DECIMAL(38,0) arithmetic only, so every query
-  * carries a full DuckDB replay oracle. */
+  * retriever shape), trained diagonal whitening, two-sample KS drift
+  * over the shared log-bin sketch, curriculum interleave scheduling,
+  * epoch-aware mix planning, the Gopher hard-rule gate with per-rule
+  * drop reasons, ExactSubstr-style repeated-substring runs, Simpson
+  * lexical diversity, and the duplicate-cluster-size audit — with the
+  * same exactness contract as the sibling registries: integer /
+  * DECIMAL(38,0) arithmetic only, so every query carries a full DuckDB
+  * replay oracle. */
 object LlmQueries5 {
 
   // DuckDB mirrors of Dedup.normalize / Dedup.hashStr (same as siblings).
