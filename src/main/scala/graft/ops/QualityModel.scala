@@ -186,6 +186,43 @@ object QualityModel {
                |END""".stripMargin).as("auc_micro"))
   }
 
+  /** [[aucExact]] per group — the per-slice model audit (does the
+    * quality classifier discriminate as well on src7 as on src3, or is
+    * a source's data being kept/dropped by a score that means nothing
+    * there?). Same pairwise formulation with the group key carried
+    * through every relation: distinct-score stats per (group, score),
+    * concordance from a group-keyed triangular join, one output row per
+    * group. Degenerate groups (single-class) report auc_micro = 0 like
+    * the global form.
+    *
+    * Scale: the triangular join squares only the per-GROUP distinct-
+    * score relation; P·N ≲ 9·10¹² applies per group. */
+  def aucByGroup(scored: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val per = scored.groupBy(col(groupCol).as("g"), col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("__n"), sum(col(labelCol).cast("long")).as("__pos"))
+      .withColumn("__neg", col("__n") - col("__pos"))
+      .localCheckpoint(false) // (group × score)-sized; feeds both join sides
+    val conc = per.alias("a")
+      .join(per.select(col("g").as("__g2"), col("s").as("__s2"),
+        col("__pos").as("__pos2")),
+        col("g") === col("__g2") && col("s") < col("__s2"))
+      .groupBy(col("g"))
+      .agg(coalesce(sum(col("__neg") * col("__pos2")), lit(0L))
+        .as("concordant"))
+    per.groupBy(col("g"))
+      .agg(coalesce(sum(col("__pos") * col("__neg")), lit(0L)).as("tied"),
+        coalesce(sum(col("__pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__neg")), lit(0L)).as("n_neg"))
+      .join(conc, Seq("g"), "left")
+      .withColumn("concordant", coalesce(col("concordant"), lit(0L)))
+      .select(col("g").as(groupCol), col("n_pos"), col("n_neg"),
+        col("concordant"), col("tied"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+               |ELSE (1000000 * concordant + 500000 * tied) div (n_pos * n_neg)
+               |END""".stripMargin).as("auc_micro"))
+  }
+
   /** Engine-parity scoring variant with md5-derived INTEGER weights
     * (w[bucket] ∈ [-10, 10]): the margin is an exact integer sum —
     * order-independent and bit-identical across engines — while the

@@ -407,7 +407,7 @@ object LlmQueries2 {
 
   // Shared margin CTE of the integer-weight quality scorer (used by the
   // score query and the PR-curve sweep).
-  private val marginCte =
+  private[queries] val marginCte =
     s"""n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
        |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM n),
        |f AS (SELECT doc_id, ${hashSql(77, "wd")} % 256 AS bucket,

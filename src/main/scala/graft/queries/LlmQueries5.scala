@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Components, Curation, Dedup, Pca, Similarity, Sketches,
-  TextAnalysis}
+import graft.ops.{Chunking, Components, Curation, Dedup, Pca, QualityModel,
+  Similarity, Sketches, TextAnalysis}
 
 /** Round-9 (second batch) training-data-pipeline operators: hybrid
   * lexical+dense retrieval fused by reciprocal rank (the production RAG
@@ -130,7 +130,28 @@ object LlmQueries5 {
     hist.unionByName(singletons).orderBy(col("cluster_size"))
   }
 
+  /** Sentence-aligned RAG chunking: 40-word chunks that never cut a
+    * sentence ([[Chunking.sentenceChunks]]). */
+  def ragSentenceChunks(spark: SparkSession, dir: String): DataFrame =
+    Chunking.sentenceChunks(T.par(spark, T.t(spark, dir, "documents")),
+        budgetWords = 40)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Per-source classifier audit: integer-weight margin scored against
+    * the lang='en' label, AUC per source ([[QualityModel.aucByGroup]])
+    * — the "is the filter biased against a source" readout. */
+  def qualityAucBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val scored = QualityModel.integerWeightScore(docs)
+      .join(docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").cast("int").as("label")), Seq("doc_id"))
+    QualityModel.aucByGroup(scored, "source", "margin", "label")
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rag_sentence_chunks" -> (ragSentenceChunks _),
+    "quality_auc_by_source" -> (qualityAucBySource _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_repeated_runs" -> (dedupRepeatedRuns _),
     "text_simpson_diversity" -> (textSimpsonDiversity _),
@@ -147,6 +168,52 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // Sentence split + word-offset chunk assignment + ordered reassembly.
+    "rag_sentence_chunks" ->
+      s"""WITH s0 AS (SELECT doc_id, CAST(r.i AS INTEGER) AS i,
+         |    trim(sp[CAST(r.i + 1 AS INTEGER)]) AS s
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS sp
+         |        FROM documents)
+         |  CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(0, len(sp) - 1)) AS i) r),
+         |sn AS (SELECT doc_id, i, s,
+         |    CAST(len(string_split_regex(s, '\\s+')) AS BIGINT) AS nw
+         |  FROM s0 WHERE s <> ''),
+         |o AS (SELECT *, CAST(coalesce(sum(nw) OVER (PARTITION BY doc_id
+         |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS off
+         |  FROM sn)
+         |SELECT doc_id, CAST(off // 40 AS BIGINT) AS chunk_idx,
+         |  count(*) AS n_sentences, CAST(sum(nw) AS BIGINT) AS n_words,
+         |  string_agg(s, ' ' ORDER BY i) AS chunk_text
+         |FROM o GROUP BY doc_id, off // 40
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // marginCte (LlmQueries2) + the grouped pairwise AUC.
+    "quality_auc_by_source" ->
+      s"""WITH ${LlmQueries2.marginCte},
+         |lab AS (SELECT s.doc_id, s.margin, d.source,
+         |          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+         |        FROM s JOIN documents d USING (doc_id)),
+         |per AS (SELECT source AS g, margin AS sc, count(*) AS n,
+         |          CAST(sum(label) AS BIGINT) AS pos
+         |        FROM lab GROUP BY 1, 2),
+         |per2 AS (SELECT g, sc, n, pos, n - pos AS neg FROM per),
+         |conc AS (SELECT a.g,
+         |    CAST(coalesce(sum(a.neg * b.pos), 0) AS BIGINT) AS concordant
+         |  FROM per2 a JOIN per2 b ON a.g = b.g AND a.sc < b.sc
+         |  GROUP BY a.g),
+         |t AS (SELECT g, CAST(coalesce(sum(pos * neg), 0) AS BIGINT) AS tied,
+         |        CAST(coalesce(sum(pos), 0) AS BIGINT) AS n_pos,
+         |        CAST(coalesce(sum(neg), 0) AS BIGINT) AS n_neg
+         |      FROM per2 GROUP BY g)
+         |SELECT t.g AS source, t.n_pos, t.n_neg,
+         |  CAST(coalesce(conc.concordant, 0) AS BIGINT) AS concordant,
+         |  t.tied,
+         |  CAST(CASE WHEN t.n_pos = 0 OR t.n_neg = 0 THEN 0
+         |    ELSE (1000000 * coalesce(conc.concordant, 0) + 500000 * t.tied)
+         |      // (t.n_pos * t.n_neg) END AS BIGINT) AS auc_micro
+         |FROM t LEFT JOIN conc ON conc.g = t.g
+         |ORDER BY source""".stripMargin,
     // Same recursive-CTE CC replay as dedup_cc_clusters, aggregated to
     // the size histogram; singletons from the total-count difference.
     "dedup_cluster_sizes" ->

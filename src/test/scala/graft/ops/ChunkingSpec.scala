@@ -60,4 +60,33 @@ class ChunkingSpec extends SparkSpec {
       assert(hashed(k) == org.apache.commons.codec.digest.DigestUtils.md5Hex(t))
     }
   }
+
+  test("sentenceChunks: never cuts a sentence, offsets assign chunks") {
+    import spark.implicits._
+    val docs = Seq((1L,
+      "one two three. four five. six seven eight nine ten. eleven"))
+      .toDF("doc_id", "text")
+    val got = Chunking.sentenceChunks(docs, budgetWords = 5)
+      .collect()
+      .map(r => r.getAs[Long]("chunk_idx") ->
+        (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_words"),
+          r.getAs[String]("chunk_text"))).toMap
+    assert(got(0L) == ((2L, 5L, "one two three. four five")) ||
+      got(0L) == ((2L, 5L, "one two three four five")),
+      s"chunk0: ${got(0L)}")
+    assert(got(1L)._2 == 5L && got(1L)._3.startsWith("six"))
+    assert(got(2L) == ((1L, 1L, "eleven")))
+    // a sentence longer than the budget overflows, never splits
+    val long = Seq((2L, "a b c d e f g h i j k l. tail"))
+      .toDF("doc_id", "text")
+    val lc = Chunking.sentenceChunks(long, budgetWords = 5)
+      .collect().map(r => r.getLong(1) -> r.getAs[String]("chunk_text")).toMap
+    assert(lc(0L) == "a b c d e f g h i j k l")
+    assert(lc(2L) == "tail") // next sentence lands at offset 12 -> chunk 2
+    // partition invariance
+    val again = Chunking.sentenceChunks(docs.repartition(5), 5)
+      .collect().map(_.toSeq).toSet
+    assert(again ==
+      Chunking.sentenceChunks(docs, 5).collect().map(_.toSeq).toSet)
+  }
 }

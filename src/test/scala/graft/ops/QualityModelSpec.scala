@@ -94,4 +94,27 @@ class QualityModelSpec extends SparkSpec {
       -2L -> (1L, 1L, 1000000L, -60L)), // [-100, -50)
       s"got $out")
   }
+
+  test("aucByGroup: separated group scores unit, all-tied group scores half") {
+    import spark.implicits._
+    val scored = Seq(
+      // group A: positives strictly above negatives -> AUC = 1
+      ("A", 3L, 1), ("A", 2L, 1), ("A", 1L, 0), ("A", 0L, 0),
+      // group B: one tied score with both classes -> AUC = 1/2
+      ("B", 5L, 1), ("B", 5L, 0),
+      // group C: degenerate (no negatives) -> 0 by convention
+      ("C", 7L, 1)).toDF("g", "score", "label")
+    val got = QualityModel.aucByGroup(scored, "g", "score", "label")
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[Long]("auc_micro"))).toMap
+    assert(got("A") == ((2L, 2L, 1000000L)), got)
+    assert(got("B") == ((1L, 1L, 500000L)), got)
+    assert(got("C") == ((1L, 0L, 0L)), got)
+    // agrees with the global form when restricted to one group
+    val globalA = QualityModel.aucExact(
+      scored.filter(col("g") === "A"), "score", "label")
+      .collect().head.getAs[Long]("auc_micro")
+    assert(globalA == 1000000L)
+  }
 }
