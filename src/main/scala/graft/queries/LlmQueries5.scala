@@ -149,7 +149,22 @@ object LlmQueries5 {
       .orderBy(col("source"))
   }
 
+  /** JSONL interchange round trip, gated end-to-end: the documents table
+    * exported as sharded JSONL ([[graft.sources.Jsonl.write]]), read
+    * back with explicit schema + quarantine ([[Jsonl.read]]), fingerprint
+    * compared against the original by the oracle. */
+  def sourceJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val path = "/tmp/graft-jsonl-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.sources.Jsonl.write(docs, path, shards = 4)
+    val (clean, _) = graft.sources.Jsonl.read(spark, path, docs.schema)
+    clean.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_jsonl_roundtrip" -> (sourceJsonlRoundtrip _),
     "rag_sentence_chunks" -> (ragSentenceChunks _),
     "quality_auc_by_source" -> (qualityAucBySource _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
@@ -168,6 +183,11 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // The round trip is lossless iff the re-read fingerprints equal the
+    // originals', which is exactly what this oracle states.
+    "source_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Sentence split + word-offset chunk assignment + ordered reassembly.
     "rag_sentence_chunks" ->
       s"""WITH s0 AS (SELECT doc_id, CAST(r.i AS INTEGER) AS i,
