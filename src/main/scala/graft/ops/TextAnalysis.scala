@@ -234,6 +234,41 @@ object TextAnalysis {
         md5(Dedup.normalize(text)).as("fingerprint"))
   }
 
+  /** Code-vs-prose detection — the corpus-separation signal every mixed
+    * crawl pipeline runs before deciding a document's tokenizer, mix
+    * bucket, and quality rules (prose rules like [[gopherGate]]'s
+    * stopword test MISFIRE on source code; code gets its own lane).
+    * Rule-based and integer-exact over the RAW text (code lives in the
+    * punctuation that [[graft.ops.Dedup.normalize]] strips):
+    *   n_sym     — structural symbols `{}[]();=<>`
+    *   n_kw      — language keyword hits (def/class/import/return/
+    *               function/var/const/void, word-bounded)
+    *   n_ident   — snake_case / camelCase identifiers
+    *   n_words   — whitespace tokens
+    * score = 1000·(4·n_kw + 2·n_ident + n_sym) div n_words (per-word
+    * symbol pressure, cross-multiplied — no float ratio), is_code at
+    * `threshold` (default 350 ≈ one structural symbol every third word
+    * with a sprinkling of keywords). RE2-compatible patterns only, so
+    * the verdict replays in any engine. Pure map, every doc gets a row. */
+  def codeDetect(docs: DataFrame, threshold: Long = 350L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+        Curation.countMatches(t, "[{}\\[\\]();=<>]").cast("long").as("n_sym"),
+        Curation.countMatches(t,
+          "\\b(def|class|import|return|function|var|const|void)\\b")
+          .cast("long").as("n_kw"),
+        Curation.countMatches(t,
+          "\\b[a-z]+(_[a-z0-9]+|[A-Z][a-z0-9]*)[A-Za-z0-9_]*\\b")
+          .cast("long").as("n_ident"),
+        greatest(size(split(trim(t), "\\s+")), lit(1)).cast("long")
+          .as("n_words"))
+      .withColumn("code_score",
+        expr("(1000 * (4 * n_kw + 2 * n_ident + n_sym)) div n_words"))
+      .withColumn("is_code",
+        expr(s"CAST(code_score >= $threshold AS BIGINT)"))
+  }
+
   /** Simpson/Herfindahl lexical concentration per document — the
     * log-free diversity companion to entropy (entropy needs
     * transcendentals; Simpson's Σp² is a rational function of the word

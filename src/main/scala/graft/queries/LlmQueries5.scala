@@ -163,7 +163,14 @@ object LlmQueries5 {
       .orderBy(col("doc_id"))
   }
 
+  /** Code-vs-prose lane assignment ([[TextAnalysis.codeDetect]]):
+    * integer symbol/keyword/identifier pressure per word. */
+  def textCodeDetect(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.codeDetect(T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_detect" -> (textCodeDetect _),
     "source_jsonl_roundtrip" -> (sourceJsonlRoundtrip _),
     "rag_sentence_chunks" -> (ragSentenceChunks _),
     "quality_auc_by_source" -> (qualityAucBySource _),
@@ -183,6 +190,25 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    "text_code_detect" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[{}\\[\\]();=<>]', 0))
+         |      AS BIGINT) AS n_sym,
+         |    CAST(len(regexp_extract_all(text,
+         |      '\\b(def|class|import|return|function|var|const|void)\\b', 0))
+         |      AS BIGINT) AS n_kw,
+         |    CAST(len(regexp_extract_all(text,
+         |      '\\b[a-z]+(_[a-z0-9]+|[A-Z][a-z0-9]*)[A-Za-z0-9_]*\\b', 0))
+         |      AS BIGINT) AS n_ident,
+         |    CAST(greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+         |      AS BIGINT) AS n_words
+         |  FROM documents)
+         |SELECT doc_id, n_sym, n_kw, n_ident, n_words,
+         |  CAST((1000 * (4 * n_kw + 2 * n_ident + n_sym)) // n_words
+         |    AS BIGINT) AS code_score,
+         |  CAST(CASE WHEN (1000 * (4 * n_kw + 2 * n_ident + n_sym))
+         |      // n_words >= 350 THEN 1 ELSE 0 END AS BIGINT) AS is_code
+         |FROM m ORDER BY doc_id""".stripMargin,
     // The round trip is lossless iff the re-read fingerprints equal the
     // originals', which is exactly what this oracle states.
     "source_jsonl_roundtrip" ->

@@ -472,6 +472,26 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("codeDetect: code blob flags, prose and empty text do not") {
+    import spark.implicits._
+    val code =
+      """def main(argc): return compute_sum(a, b) { var x = items[0]; }
+        |import os; class FooBar { const innerValue = myVar; }""".stripMargin
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "sleeps in the afternoon sun without a care in the world"
+    val docs = Seq((1L, code), (2L, prose), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.codeDetect(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("code_score"), r.getAs[Long]("is_code"))).toMap
+    assert(got(1L)._2 == 1L, s"code must flag: ${got(1L)}")
+    assert(got(2L)._2 == 0L, s"prose must not: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L))) // empty text scores 0, still gets a row
+    // partition invariance (pure map)
+    val again = TextAnalysis.codeDetect(docs.repartition(5))
+      .collect().map(_.toSeq).toSet
+    assert(again == TextAnalysis.codeDetect(docs).collect().map(_.toSeq).toSet)
+  }
+
   test("simpsonDiversity: hand-computed concentration, empty doc gets a 0 row") {
     import spark.implicits._
     val docs = Seq(
