@@ -169,7 +169,47 @@ object LlmQueries5 {
     TextAnalysis.codeDetect(T.par(spark, T.t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** End-to-end pretrain-prep composition, summarized per source: Gopher
+    * gate → exact dedup (min-id survivor) → epoch-aware mix plan — the
+    * whole prep in one gated query, with the attrition at each stage
+    * (docs_in → docs_gated → docs_deduped) and the final token plan.
+    * Sources losing every document survive as zero rows via the
+    * input-count spine. */
+  def pipelinePretrainPrep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+      .localCheckpoint(false) // spine + gate + dedup all read it
+    val gated = docs.join(
+      TextAnalysis.gopherGate(docs, minWords = 30)
+        .filter(col("keep") === 1).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .localCheckpoint(false) // feeds the gated count AND the dedup
+    val deduped = Dedup.dropExactDuplicates(gated)
+      .localCheckpoint(false) // feeds the dedup count AND the mix plan
+    val spine = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_in"))
+    val gc = gated.groupBy(col("source")).agg(count(lit(1)).as("docs_gated"))
+    val dc = deduped.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_deduped"))
+    val mix = Curation.planMixEpochs(deduped, "source",
+      targetTokens = 20000L, tokensCol = "n_chars")
+      .drop("n_docs")
+    spine
+      .join(gc, Seq("source"), "left")
+      .join(dc, Seq("source"), "left")
+      .join(mix, Seq("source"), "left")
+      .select(col("source"), col("docs_in"),
+        coalesce(col("docs_gated"), lit(0L)).as("docs_gated"),
+        coalesce(col("docs_deduped"), lit(0L)).as("docs_deduped"),
+        coalesce(col("n_tokens_tot"), lit(0L)).as("n_tokens_tot"),
+        coalesce(col("full_epochs"), lit(0L)).as("full_epochs"),
+        coalesce(col("frac_micro"), lit(0L)).as("frac_micro"),
+        coalesce(col("partial_tokens"), lit(0L)).as("partial_tokens"),
+        coalesce(col("planned_tokens"), lit(0L)).as("planned_tokens"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pretrain_prep" -> (pipelinePretrainPrep _),
     "text_code_detect" -> (textCodeDetect _),
     "source_jsonl_roundtrip" -> (sourceJsonlRoundtrip _),
     "rag_sentence_chunks" -> (ragSentenceChunks _),
@@ -190,6 +230,62 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // Gate + exact dedup + epoch mix, per-source attrition spine.
+    "pipeline_pretrain_prep" ->
+      s"""WITH gw AS (SELECT doc_id,
+         |    list_filter(string_split(${normSql("text")}, ' '),
+         |      x -> x <> '') AS ws
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_wchars,
+         |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(len(list_intersect(list_distinct(ws),
+         |      ['the', 'a', 'an', 'of', 'to', 'and', 'in', 'is']))
+         |      AS BIGINT) AS n_stop
+         |  FROM gw),
+         |keep AS (SELECT doc_id FROM gm
+         |  WHERE n_words >= 30 AND n_words <= 100000
+         |    AND 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
+         |    AND n_words > 0 AND 10 * n_alpha >= 8 * n_words
+         |    AND n_stop >= 2),
+         |k AS (SELECT d.* FROM documents d SEMI JOIN keep USING (doc_id)),
+         |dd AS (SELECT * FROM k WHERE doc_id IN
+         |  (SELECT min(doc_id) FROM k GROUP BY md5(${normSql("text")}))),
+         |c AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens_tot
+         |  FROM dd GROUP BY source),
+         |e AS (SELECT source, n_tokens_tot,
+         |    (CAST(1000000 AS BIGINT) * 20000)
+         |      // greatest(n_tokens_tot, 1) AS em
+         |  FROM c),
+         |e2 AS (SELECT source, n_tokens_tot, em // 1000000 AS full_epochs,
+         |    em % 1000000 AS frac_micro FROM e),
+         |h AS (SELECT source, n_chars,
+         |    CAST('0x' || substring(md5('97|' || CAST(doc_id AS VARCHAR)),
+         |      1, 15) AS BIGINT) % 1000000 AS hm
+         |  FROM dd),
+         |p AS (SELECT h.source,
+         |    CAST(sum(CASE WHEN hm < frac_micro THEN n_chars ELSE 0 END)
+         |      AS BIGINT) AS partial_tokens
+         |  FROM h JOIN e2 USING (source) GROUP BY h.source),
+         |spine AS (SELECT source, count(*) AS docs_in
+         |  FROM documents GROUP BY source),
+         |gc AS (SELECT source, count(*) AS docs_gated FROM k GROUP BY source),
+         |dc AS (SELECT source, count(*) AS docs_deduped
+         |  FROM dd GROUP BY source)
+         |SELECT spine.source, spine.docs_in,
+         |  CAST(coalesce(gc.docs_gated, 0) AS BIGINT) AS docs_gated,
+         |  CAST(coalesce(dc.docs_deduped, 0) AS BIGINT) AS docs_deduped,
+         |  CAST(coalesce(e2.n_tokens_tot, 0) AS BIGINT) AS n_tokens_tot,
+         |  CAST(coalesce(e2.full_epochs, 0) AS BIGINT) AS full_epochs,
+         |  CAST(coalesce(e2.frac_micro, 0) AS BIGINT) AS frac_micro,
+         |  CAST(coalesce(p.partial_tokens, 0) AS BIGINT) AS partial_tokens,
+         |  CAST(coalesce(e2.full_epochs * e2.n_tokens_tot
+         |    + p.partial_tokens, 0) AS BIGINT) AS planned_tokens
+         |FROM spine LEFT JOIN gc USING (source) LEFT JOIN dc USING (source)
+         |  LEFT JOIN e2 USING (source) LEFT JOIN p USING (source)
+         |ORDER BY source""".stripMargin,
     "text_code_detect" ->
       s"""WITH m AS (SELECT doc_id,
          |    CAST(len(regexp_extract_all(text, '[{}\\[\\]();=<>]', 0))
