@@ -234,6 +234,38 @@ object TextAnalysis {
         md5(Dedup.normalize(text)).as("fingerprint"))
   }
 
+  /** Unicode-script profile — step 0 of language handling at corpus
+    * scale (script routes the document BEFORE any word-level language
+    * ID makes sense: a CJK doc must not reach the whitespace tokenizer,
+    * an Arabic doc not the Latin stopword list). Counts characters in
+    * the major script ranges via `\x{…}` codepoint-class regexes — the
+    * ONE escape syntax Java regex and RE2 share, so the counts replay
+    * in any engine — and names the dominant script with count
+    * tie-breaks by fixed script order. Pure map; every doc gets a row
+    * (empty text → all zeros, dominant = 'none'). */
+  def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ranges = Seq(
+      "latin" -> "[A-Za-z]",
+      "cjk" -> "[\\x{4e00}-\\x{9fff}]",
+      "cyrillic" -> "[\\x{0400}-\\x{04ff}]",
+      "arabic" -> "[\\x{0600}-\\x{06ff}]",
+      "hangul" -> "[\\x{ac00}-\\x{d7af}]",
+      "greek" -> "[\\x{0370}-\\x{03ff}]")
+    val counted = docs.select(col(idCol) +: ranges.map { case (nm, re) =>
+      Curation.countMatches(col(textCol), re).cast("long").as(s"n_$nm")
+    }: _*)
+    // dominant = max count, ties by the fixed order above (greatest()
+    // would hide which script won a tie)
+    val dom = ranges.map(_._1).foldRight(lit("none")) { (nm, els) =>
+      when(col(s"n_$nm") > 0 &&
+        ranges.map(_._1).filter(_ != nm)
+          .map(o => col(s"n_$nm") >= col(s"n_$o"))
+          .reduce(_ && _), lit(nm)).otherwise(els)
+    }
+    counted.withColumn("dominant_script", dom)
+  }
+
   /** Code-vs-prose detection — the corpus-separation signal every mixed
     * crawl pipeline runs before deciding a document's tokenizer, mix
     * bucket, and quality rules (prose rules like [[gopherGate]]'s

@@ -208,7 +208,14 @@ object LlmQueries5 {
       .orderBy(col("source"))
   }
 
+  /** Unicode-script routing profile ([[TextAnalysis.scriptProfile]]) —
+    * per-doc script character counts + dominant script. */
+  def textScriptProfile(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scriptProfile(T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_script_profile" -> (textScriptProfile _),
     "pipeline_pretrain_prep" -> (pipelinePretrainPrep _),
     "text_code_detect" -> (textCodeDetect _),
     "source_jsonl_roundtrip" -> (sourceJsonlRoundtrip _),
@@ -230,6 +237,46 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    "text_script_profile" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]', 0)) AS BIGINT)
+         |      AS n_latin,
+         |    CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0))
+         |      AS BIGINT) AS n_cjk,
+         |    CAST(len(regexp_extract_all(text, '[\\x{0400}-\\x{04ff}]', 0))
+         |      AS BIGINT) AS n_cyrillic,
+         |    CAST(len(regexp_extract_all(text, '[\\x{0600}-\\x{06ff}]', 0))
+         |      AS BIGINT) AS n_arabic,
+         |    CAST(len(regexp_extract_all(text, '[\\x{ac00}-\\x{d7af}]', 0))
+         |      AS BIGINT) AS n_hangul,
+         |    CAST(len(regexp_extract_all(text, '[\\x{0370}-\\x{03ff}]', 0))
+         |      AS BIGINT) AS n_greek
+         |  FROM documents)
+         |SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic, n_hangul,
+         |  n_greek,
+         |  CASE
+         |    WHEN n_latin > 0 AND n_latin >= n_cjk AND n_latin >= n_cyrillic
+         |      AND n_latin >= n_arabic AND n_latin >= n_hangul
+         |      AND n_latin >= n_greek THEN 'latin'
+         |    WHEN n_cjk > 0 AND n_cjk >= n_latin AND n_cjk >= n_cyrillic
+         |      AND n_cjk >= n_arabic AND n_cjk >= n_hangul
+         |      AND n_cjk >= n_greek THEN 'cjk'
+         |    WHEN n_cyrillic > 0 AND n_cyrillic >= n_latin
+         |      AND n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic
+         |      AND n_cyrillic >= n_hangul AND n_cyrillic >= n_greek
+         |      THEN 'cyrillic'
+         |    WHEN n_arabic > 0 AND n_arabic >= n_latin AND n_arabic >= n_cjk
+         |      AND n_arabic >= n_cyrillic AND n_arabic >= n_hangul
+         |      AND n_arabic >= n_greek THEN 'arabic'
+         |    WHEN n_hangul > 0 AND n_hangul >= n_latin AND n_hangul >= n_cjk
+         |      AND n_hangul >= n_cyrillic AND n_hangul >= n_arabic
+         |      AND n_hangul >= n_greek THEN 'hangul'
+         |    WHEN n_greek > 0 AND n_greek >= n_latin AND n_greek >= n_cjk
+         |      AND n_greek >= n_cyrillic AND n_greek >= n_arabic
+         |      AND n_greek >= n_hangul THEN 'greek'
+         |    ELSE 'none'
+         |  END AS dominant_script
+         |FROM m ORDER BY doc_id""".stripMargin,
     // Gate + exact dedup + epoch mix, per-source attrition spine.
     "pipeline_pretrain_prep" ->
       s"""WITH gw AS (SELECT doc_id,

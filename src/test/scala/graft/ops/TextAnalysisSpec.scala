@@ -472,6 +472,26 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("scriptProfile: each planted script dominates; ties break by order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain latin text"),
+      (2L, "这是中文文本测试"),
+      (3L, "русский текст"),
+      (4L, "نص عربي"),
+      (5L, "한국어 텍스트"),
+      (6L, "ελληνικά"),
+      (7L, ""),        // empty -> none
+      (8L, "ab 中文")). // 2 latin vs 2 cjk: tie -> latin (fixed order)
+      toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[String]("dominant_script")).toMap
+    assert(got == Map(1L -> "latin", 2L -> "cjk", 3L -> "cyrillic",
+      4L -> "arabic", 5L -> "hangul", 6L -> "greek", 7L -> "none",
+      8L -> "latin"), got)
+  }
+
   test("codeDetect: code blob flags, prose and empty text do not") {
     import spark.implicits._
     val code =
