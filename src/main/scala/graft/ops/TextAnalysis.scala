@@ -1115,13 +1115,16 @@ object TextAnalysis {
   def bm25MultiQuery(docs: DataFrame, queries: DataFrame, k: Int = 10,
       unit: Long = 1000000L, idCol: String = "doc_id",
       textCol: String = "text", qidCol: String = "query_id",
-      termsCol: String = "terms"): DataFrame = {
+      termsCol: String = "terms",
+      wordsOpt: Option[DataFrame] = None): DataFrame = {
     val qt = queries.select(col(qidCol).as("qid"),
       explode(col(termsCol)).as("w")).distinct()
-    val words = docs
+    // wordsOpt: a pre-tokenized (id, w) relation — lets a hybrid
+    // retriever share ONE corpus tokenize pass across its legs
+    val words = wordsOpt.getOrElse(docs
       .select(col(idCol).as("id"),
         explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
-      .filter(col("w") =!= "")
+      .filter(col("w") =!= ""))
     val dl = words.groupBy(col("id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(sum(col("dl")).as("L"), count(lit(1)).as("N"))
     val tf = words
@@ -1174,12 +1177,27 @@ object TextAnalysis {
     * on (id, idx)); the query-side feature/norm relations are
     * query-catalog-sized broadcasts; the per-(query, doc) partial dot
     * aggregates map-side; top-k is a per-query window, never global. */
+  /** Sparse hash features from a pre-tokenized (id, w) relation — the
+    * shared-scan form of [[hashEmbedding]]'s feature build. */
+  private def hashFeaturesFromWords(words: DataFrame, dim: Int): DataFrame =
+    words
+      .select(col("id"),
+        pmod(Dedup.hashStr(col("w"), 31), lit(dim.toLong)).as("idx"),
+        (pmod(Dedup.hashStr(col("w"), 47), lit(2L)) * 2L - 1L).as("__sign"))
+      .groupBy(col("id"), col("idx"))
+      .agg(sum(col("__sign")).as("value"))
+      .select(col("id"), col("idx").cast("int").as("idx"), col("value"))
+
   def hashCosineTopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
       dim: Int = 64, unit: Long = 1000000L, idCol: String = "doc_id",
       textCol: String = "text", qidCol: String = "query_id",
-      qtextCol: String = "qtext"): DataFrame = {
-    val cf = hashEmbedding(docs, dim, idCol, textCol)
-      .select(col(idCol).as("id"), col("idx"), col("value").as("cv"))
+      qtextCol: String = "qtext",
+      wordsOpt: Option[DataFrame] = None): DataFrame = {
+    val cf = wordsOpt
+      .map(hashFeaturesFromWords(_, dim))
+      .getOrElse(hashEmbedding(docs, dim, idCol, textCol)
+        .select(col(idCol).as("id"), col("idx"), col("value")))
+      .select(col("id"), col("idx"), col("value").as("cv"))
       .localCheckpoint(false) // feeds both the norm agg and the dot join
     val qf = hashEmbedding(queries, dim, qidCol, qtextCol)
       .select(col(qidCol).as("qid"), col("idx"), col("value").as("qv"))

@@ -36,9 +36,19 @@ object LlmQueries5 {
     val qtext = LlmQueries3.Bm25Queries
       .map { case (q, ts) => (q, ts.mkString(" ")) }
       .toDF("query_id", "qtext")
-    val lex = TextAnalysis.bm25MultiQuery(docs, qs, k = 10)
+    // ONE corpus tokenize pass shared by both legs (at 100 TB the
+    // normalize+split scan is the dominant cost; both legs read this
+    // checkpointed relation instead of re-deriving it)
+    val words = docs
+      .select(col("doc_id").as("id"),
+        explode(split(graft.ops.Dedup.normalize(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .localCheckpoint()
+    val lex = TextAnalysis.bm25MultiQuery(docs, qs, k = 10,
+        wordsOpt = Some(words))
       .select(col("query_id"), col("doc_id"), col("rk").as("rank"))
-    val dense = TextAnalysis.hashCosineTopK(docs, qtext, k = 10)
+    val dense = TextAnalysis.hashCosineTopK(docs, qtext, k = 10,
+        wordsOpt = Some(words))
       .select(col("query_id"), col("doc_id"), col("rank"))
     Similarity.rrfFuse(Seq(lex, dense), k = 10)
       .orderBy(col("query_id"), col("rank"))
