@@ -224,7 +224,24 @@ object LlmQueries5 {
     TextAnalysis.scriptProfile(T.par(spark, T.t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** Histogram-sketch mergeability, gated end-to-end: the event-value
+    * histogram built as merge(hist(first half), hist(second half)) —
+    * two independent sketch jobs summed bin-wise, the distributed /
+    * incremental path — must equal the one-pass histogram the oracle
+    * computes directly. */
+  def sketchHistMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    def hist(part: DataFrame) = Sketches.histRegisters(
+      part.select(col("event_type"), col("value")), Seq("event_type"), "value")
+    val merged = hist(ev.filter(col("event_id") % 2 === 0))
+      .unionByName(hist(ev.filter(col("event_id") % 2 === 1)))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    merged.orderBy(col("event_type"), col("bin"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hist_merge" -> (sketchHistMerge _),
     "text_script_profile" -> (textScriptProfile _),
     "pipeline_pretrain_prep" -> (pipelinePretrainPrep _),
     "text_code_detect" -> (textCodeDetect _),
@@ -247,6 +264,21 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // One-pass direct histogram — equality with Spark's two-half merge
+    // IS the mergeability statement.
+    "sketch_hist_merge" ->
+      s"""WITH src AS (SELECT event_type AS g,
+         |    CAST(floor(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+         |  FROM events WHERE value IS NOT NULL),
+         |binned AS (SELECT g,
+         |    CASE WHEN x <= 0 THEN 0
+         |         WHEN x < 16 THEN x
+         |         ELSE 16 * length(bin(x)) + (x >> (length(bin(x)) - 5)) - 16
+         |    END AS bin
+         |  FROM src)
+         |SELECT g AS event_type, bin, count(*) AS cnt
+         |FROM binned GROUP BY 1, 2
+         |ORDER BY event_type, bin""".stripMargin,
     "text_script_profile" ->
       s"""WITH m AS (SELECT doc_id,
          |    CAST(len(regexp_extract_all(text, '[A-Za-z]', 0)) AS BIGINT)
