@@ -8,14 +8,18 @@ import graft.ops.{Chunking, Components, Curation, Dedup, Pca, QualityModel,
 
 /** Round-9 (second batch) training-data-pipeline operators: hybrid
   * lexical+dense retrieval fused by reciprocal rank (the production RAG
-  * retriever shape), trained diagonal whitening, two-sample KS drift
-  * over the shared log-bin sketch, curriculum interleave scheduling,
-  * epoch-aware mix planning, the Gopher hard-rule gate with per-rule
-  * drop reasons, ExactSubstr-style repeated-substring runs, Simpson
-  * lexical diversity, and the duplicate-cluster-size audit — with the
-  * same exactness contract as the sibling registries: integer /
-  * DECIMAL(38,0) arithmetic only, so every query carries a full DuckDB
-  * replay oracle. */
+  * retriever shape, one shared corpus tokenize pass), trained diagonal
+  * whitening, two-sample KS drift over the shared log-bin sketch,
+  * curriculum interleave scheduling, epoch-aware mix planning, the
+  * Gopher hard-rule gate with per-rule drop reasons, ExactSubstr-style
+  * repeated-substring runs, Simpson lexical diversity, the
+  * duplicate-cluster-size audit, sentence-aligned RAG chunking,
+  * per-source AUC model-bias auditing, the JSONL interchange round
+  * trip, code-vs-prose lane detection, the Unicode-script routing
+  * profile, histogram-sketch mergeability, and the end-to-end
+  * pretrain-prep composition — with the same exactness contract as the
+  * sibling registries: integer / DECIMAL(38,0) arithmetic only, so
+  * every query carries a full DuckDB replay oracle. */
 object LlmQueries5 {
 
   // DuckDB mirrors of Dedup.normalize / Dedup.hashStr (same as siblings).
