@@ -239,6 +239,100 @@ object Multimodal {
       }
   }
 
+  /** Per-frame 8×8 block milli-luma signature — the compact per-frame
+    * descriptor video ops diff instead of raw pixels (64 longs per
+    * frame, not w·h): each block carries floor(Σ luma_milli / pixels)
+    * with the same floor-block mapping and 1000-scaled BT.601 luma as
+    * [[imageAHash]] — exact integers, so signature-level operators
+    * (scene cuts, near-dup frames) replay in any engine. Decode runs
+    * inside the partition iterator (the multimodal contract: only the
+    * 64-long signature shuffles, never image bytes); undecodable frames
+    * quarantine as width = -1 with an empty signature. */
+  def extractFrameSignatures(spark: SparkSession,
+      frames: DataFrame): DataFrame = {
+    import spark.implicits._
+    frames.select(col("video_id"), col("frame_idx"), col("media"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { items =>
+        items.map { case (vid, f, media) =>
+          decodeImage(Option(media).getOrElse(Array.emptyByteArray)) match {
+            case Some(img) =>
+              val w = img.getWidth; val h = img.getHeight
+              val bs = new Array[Long](64)
+              val bp = new Array[Long](64)
+              var y = 0
+              while (y < h) {
+                val by = y * 8 / h
+                var x = 0
+                while (x < w) {
+                  val bx = x * 8 / w
+                  val rgb = img.getRGB(x, y)
+                  val b = by * 8 + bx
+                  bs(b) += 299L * ((rgb >> 16) & 0xff) +
+                    587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+                  bp(b) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              (vid, f, w, h,
+                Array.tabulate(64)(i => if (bp(i) == 0) 0L else bs(i) / bp(i)).toSeq)
+            case None => (vid, f, -1, -1, Seq.empty[Long])
+          }
+        }
+      }
+      .toDF("video_id", "frame_idx", "width", "height", "blocks")
+  }
+
+  /** Scene-cut detection over frame signatures: per video, the mean
+    * absolute block-luma change between consecutive frames
+    * (Σ|Δblock| div 64, exact milli integers via a frame-ordered lag
+    * window PARTITIONED BY video — never global), cut where the change
+    * meets `thresholdMilli`. The first frame of every video reports
+    * diff 0 / no cut (nothing to differ against). This is the shot-
+    * boundary primitive of video curation pipelines (sample one frame
+    * per scene instead of every Nth frame).
+    *
+    * Scale shape: input is the signature relation (64 longs per frame);
+    * one per-video window pass. Frame count per video bounds the
+    * window partition, not the corpus. */
+  def sceneCuts(sigs: DataFrame, thresholdMilli: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("video_id")).orderBy(col("frame_idx"))
+    sigs
+      .withColumn("__prev", lag(col("blocks"), 1).over(w))
+      .withColumn("diff_milli", coalesce(
+        expr("""aggregate(zip_with(blocks, __prev,
+               |  (a, b) -> abs(a - b)), 0L, (acc, v) -> acc + v) div 64"""
+          .stripMargin), lit(0L)))
+      .withColumn("is_cut",
+        expr(s"CAST(diff_milli >= $thresholdMilli AND __prev IS NOT NULL AS BIGINT)"))
+      .select(col("video_id"), col("frame_idx"), col("diff_milli"),
+        col("is_cut"))
+  }
+
+  /** Deterministic gradient PNG: g = level + x div 4 + y div 3 on all
+    * channels — NO modular wrap (callers keep level ≤ 240 so g < 256),
+    * so frame-difference arithmetic replays analytically; encoded
+    * through the JDK's lossless PNG writer like [[synthPng]]. */
+  def synthPngLinear(level: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((level + x / 4 + y / 3) & 0xff).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Gradient (difference) perceptual hash — dHash, [[imageAHash]]'s
     * sibling from the same Krawetz family, robust where aHash is weak
     * (global brightness/contrast shifts cancel out of neighbor

@@ -244,7 +244,31 @@ object LlmQueries5 {
     merged.orderBy(col("event_type"), col("bin"))
   }
 
+  /** Video scene-cut detection over REAL decoded frames: 5 synthetic
+    * videos × 10 gradient-PNG frames (lossless round trip, scenes of 4
+    * frames ⇒ cuts at frames 4 and 8), per-frame 8×8 block-luma
+    * signatures, per-video lag diff at a 20k-milli threshold
+    * ([[graft.multimodal.Multimodal.extractFrameSignatures]] /
+    * [[Multimodal.sceneCuts]]). */
+  def mmVideoSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val frames = spark.range(50)
+      .selectExpr("id div 10 AS video_id", "CAST(id % 10 AS INT) AS frame_idx")
+      .as[(Long, Int)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { case (v, f) =>
+        (v, f, Multimodal.synthPngLinear((f / 4) * 80L + (f % 4) * 2L, 32, 24))
+      })
+      .toDF("video_id", "frame_idx", "media")
+    Multimodal.sceneCuts(
+        Multimodal.extractFrameSignatures(spark, frames),
+        thresholdMilli = 20000L)
+      .orderBy(col("video_id"), col("frame_idx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_video_scene_cuts" -> (mmVideoSceneCuts _),
     "sketch_hist_merge" -> (sketchHistMerge _),
     "text_script_profile" -> (textScriptProfile _),
     "pipeline_pretrain_prep" -> (pipelinePretrainPrep _),
@@ -268,6 +292,31 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // Analytic replay of the gradient frames (no wrap, no clamp by
+    // construction), block sums, and the lag diff — the decode path is
+    // what Spark adds; the pixels are exact through the lossless PNG.
+    "mm_video_scene_cuts" ->
+      s"""WITH fr AS (SELECT v.range AS vid, f.range AS f
+         |  FROM range(5) v CROSS JOIN range(10) f),
+         |lv AS (SELECT vid, f, (f // 4) * 80 + (f % 4) * 2 AS level FROM fr),
+         |px AS (SELECT vid, f, x.range AS x, y.range AS y,
+         |    level + x.range // 4 + y.range // 3 AS g
+         |  FROM lv CROSS JOIN range(32) x CROSS JOIN range(24) y),
+         |bl AS (SELECT vid, f, ((y * 8) // 24) * 8 + ((x * 8) // 32) AS b,
+         |    CAST(sum(1000 * g) AS BIGINT) AS bs, count(*) AS bp
+         |  FROM px GROUP BY 1, 2, 3),
+         |sg AS (SELECT vid, f, b, bs // bp AS m FROM bl),
+         |df AS (SELECT a.vid, a.f,
+         |    CAST(sum(abs(a.m - p.m)) // 64 AS BIGINT) AS d
+         |  FROM sg a JOIN sg p ON p.vid = a.vid AND p.f = a.f - 1
+         |    AND p.b = a.b
+         |  GROUP BY 1, 2)
+         |SELECT fr.vid AS video_id, CAST(fr.f AS INTEGER) AS frame_idx,
+         |  CAST(coalesce(df.d, 0) AS BIGINT) AS diff_milli,
+         |  CAST(CASE WHEN coalesce(df.d, 0) >= 20000 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_cut
+         |FROM fr LEFT JOIN df ON df.vid = fr.vid AND df.f = fr.f
+         |ORDER BY video_id, frame_idx""".stripMargin,
     // One-pass direct histogram — equality with Spark's two-half merge
     // IS the mergeability statement.
     "sketch_hist_merge" ->

@@ -263,4 +263,27 @@ class MultimodalSpec extends SparkSpec {
     val hFlat = Multimodal.imageDHash(flat)
     assert(h0 != hFlat)
   }
+
+  test("scene cuts: boundaries detected exactly, corrupt frame quarantines") {
+    import spark.implicits._
+    // one video, 10 frames, scenes of 4 (level jumps at frames 4 and 8)
+    val frames = (0 until 10).map { f =>
+      (1L, f, Multimodal.synthPngLinear((f / 4) * 80L + (f % 4) * 2L, 32, 24))
+    }.toDF("video_id", "frame_idx", "media")
+    val sigs = Multimodal.extractFrameSignatures(spark, frames)
+    val cuts = Multimodal.sceneCuts(sigs, thresholdMilli = 20000L)
+      .collect().map(r => r.getAs[Int]("frame_idx") ->
+        (r.getAs[Long]("diff_milli"), r.getAs[Long]("is_cut"))).toMap
+    assert(cuts(0) == ((0L, 0L))) // first frame: nothing to differ against
+    assert(cuts.filter(_._2._2 == 1L).keySet == Set(4, 8), cuts)
+    // within-scene drift is exactly the 2-level luma step (gradient cancels)
+    assert(cuts(1)._1 == 2000L && cuts(5)._1 == 2000L, cuts)
+    // scene jump: 80 - 6 = 74 levels
+    assert(cuts(4)._1 == 74000L, cuts)
+    // corrupt bytes quarantine as width = -1, empty signature
+    val bad = Seq((2L, 0, Array[Byte](1, 2, 3))).toDF("video_id", "frame_idx", "media")
+    val q = Multimodal.extractFrameSignatures(spark, bad).collect().head
+    assert(q.getAs[Int]("width") == -1 &&
+      q.getAs[scala.collection.Seq[Long]]("blocks").isEmpty)
+  }
 }
