@@ -184,5 +184,8 @@ object Bench {
     // Simpson diversity
     "sim_rrf_hybrid", "emb_whiten", "quality_ks_drift",
     "sample_curriculum", "mix_epoch_plan", "quality_gopher_gate",
-    "dedup_repeated_runs", "text_simpson_diversity")
+    "dedup_repeated_runs", "text_simpson_diversity",
+    "dedup_cluster_sizes", "rag_sentence_chunks", "quality_auc_by_source",
+    "source_jsonl_roundtrip", "text_code_detect", "text_script_profile",
+    "pipeline_pretrain_prep", "sketch_hist_merge", "mm_video_scene_cuts")
 }

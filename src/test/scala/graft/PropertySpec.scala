@@ -121,4 +121,18 @@ object PropertySpec extends Properties("graft") {
         sum == r.getAs[Long]("total_events")
       } && report.map(_.getAs[Long]("total_events")).sum == rows.length
     }
+
+  // --- multimodal codec laws ----------------------------------------------
+
+  // The scene-cut oracle's entire validity rests on the JDK PNG round trip
+  // being bit-lossless: every decoded pixel must equal the analytic
+  // generator formula exactly, for any in-range level.
+  property("synthPngLinear round-trips exact pixels through the PNG codec") =
+    forAll(Gen.choose(0L, 200L)) { level =>
+      val img = graft.multimodal.Multimodal.decodeImage(
+        graft.multimodal.Multimodal.synthPngLinear(level, 16, 12)).get
+      (0 until 12).forall(y => (0 until 16).forall { x =>
+        ((img.getRGB(x, y) >> 8) & 0xff) == (level + x / 4 + y / 3).toInt
+      })
+    }
 }
