@@ -311,6 +311,29 @@ object Multimodal {
         col("is_cut"))
   }
 
+  /** Scene segmentation + keyframe selection over a [[sceneCuts]]
+    * relation: scene_id = running count of cuts up to the frame (an
+    * inclusive per-video window sum — a cut frame STARTS its scene),
+    * keyframe = each scene's first frame. One frame per scene is the
+    * standard sampling contract for video training data (adjacent
+    * frames are near-duplicates; scenes are the diversity unit).
+    * Output: (video_id, scene_id, keyframe_idx, n_frames) — per-scene,
+    * with the scene's frame count so a token-budget step can weight it.
+    *
+    * Scale shape: two passes over the frame-count-sized cut relation
+    * (inclusive cumsum window + (video, scene) combine-agg), both
+    * video-partitioned. */
+  def sceneKeyframes(cuts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("video_id")).orderBy(col("frame_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cuts
+      .withColumn("scene_id", sum(col("is_cut")).over(w))
+      .groupBy(col("video_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).as("keyframe_idx"),
+        count(lit(1)).as("n_frames"))
+  }
+
   /** Deterministic gradient PNG: g = level + x div 4 + y div 3 on all
     * channels — NO modular wrap (callers keep level ≤ 240 so g < 256),
     * so frame-difference arithmetic replays analytically; encoded

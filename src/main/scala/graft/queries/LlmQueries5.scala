@@ -267,7 +267,16 @@ object LlmQueries5 {
       .orderBy(col("video_id"), col("frame_idx"))
   }
 
+  /** One keyframe per detected scene over the same synthetic videos
+    * ([[Multimodal.sceneKeyframes]] over [[mmVideoSceneCuts]]'s cut
+    * relation) — the video-sampling contract (scenes, not every Nth
+    * frame, are the diversity unit). */
+  def mmSceneKeyframes(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.sceneKeyframes(mmVideoSceneCuts(spark, dir))
+      .orderBy(col("video_id"), col("scene_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_keyframes" -> (mmSceneKeyframes _),
     "mm_video_scene_cuts" -> (mmVideoSceneCuts _),
     "sketch_hist_merge" -> (sketchHistMerge _),
     "text_script_profile" -> (textScriptProfile _),
@@ -292,6 +301,37 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // The scene-cut replay + inclusive running cut count + per-scene
+    // roll-up.
+    "mm_scene_keyframes" ->
+      s"""WITH fr AS (SELECT v.range AS vid, f.range AS f
+         |  FROM range(5) v CROSS JOIN range(10) f),
+         |lv AS (SELECT vid, f, (f // 4) * 80 + (f % 4) * 2 AS level FROM fr),
+         |px AS (SELECT vid, f, x.range AS x, y.range AS y,
+         |    level + x.range // 4 + y.range // 3 AS g
+         |  FROM lv CROSS JOIN range(32) x CROSS JOIN range(24) y),
+         |bl AS (SELECT vid, f, ((y * 8) // 24) * 8 + ((x * 8) // 32) AS b,
+         |    CAST(sum(1000 * g) AS BIGINT) AS bs, count(*) AS bp
+         |  FROM px GROUP BY 1, 2, 3),
+         |sg AS (SELECT vid, f, b, bs // bp AS m FROM bl),
+         |df AS (SELECT a.vid, a.f,
+         |    CAST(sum(abs(a.m - p.m)) // 64 AS BIGINT) AS d
+         |  FROM sg a JOIN sg p ON p.vid = a.vid AND p.f = a.f - 1
+         |    AND p.b = a.b
+         |  GROUP BY 1, 2),
+         |cuts AS (SELECT fr.vid, fr.f,
+         |    CASE WHEN coalesce(df.d, 0) >= 20000 THEN 1 ELSE 0 END AS c
+         |  FROM fr LEFT JOIN df ON df.vid = fr.vid AND df.f = fr.f),
+         |sc AS (SELECT vid, f,
+         |    CAST(sum(c) OVER (PARTITION BY vid ORDER BY f
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS scene_id
+         |  FROM cuts)
+         |SELECT vid AS video_id, scene_id,
+         |  CAST(min(f) AS INTEGER) AS keyframe_idx,
+         |  count(*) AS n_frames
+         |FROM sc GROUP BY vid, scene_id
+         |ORDER BY video_id, scene_id""".stripMargin,
     // Analytic replay of the gradient frames (no wrap, no clamp by
     // construction), block sums, and the lag diff — the decode path is
     // what Spark adds; the pixels are exact through the lossless PNG.

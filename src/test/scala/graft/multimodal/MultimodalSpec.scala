@@ -285,5 +285,11 @@ class MultimodalSpec extends SparkSpec {
     val q = Multimodal.extractFrameSignatures(spark, bad).collect().head
     assert(q.getAs[Int]("width") == -1 &&
       q.getAs[scala.collection.Seq[Long]]("blocks").isEmpty)
+    // keyframes: one per scene, scene sizes 4/4/2
+    val kf = Multimodal.sceneKeyframes(
+        Multimodal.sceneCuts(sigs, thresholdMilli = 20000L))
+      .collect().map(r => r.getAs[Long]("scene_id") ->
+        (r.getAs[Int]("keyframe_idx"), r.getAs[Long]("n_frames"))).toMap
+    assert(kf == Map(0L -> ((0, 4L)), 1L -> ((4, 4L)), 2L -> ((8, 2L))), kf)
   }
 }
