@@ -151,6 +151,29 @@ object QualityModel {
           .as("recall_micro"))
   }
 
+  /** Operating-point selection from the PR sweep — the DECISION step
+    * after [[prCurve]]: the threshold with the highest recall among
+    * those meeting `minPrecisionMicro` (the "keep as much as possible
+    * at ≥ τ precision" rule every quality-filter deployment applies).
+    * If NO threshold qualifies, the best-precision point is returned
+    * instead with qualifies = 0 — one row always comes back, and the
+    * caller can see whether the target was met. Ties order by
+    * (precision desc, threshold asc) — a total order, engine-stable.
+    *
+    * Scale: one TakeOrderedAndProject over the distinct-score-sized PR
+    * relation. */
+  def selectThreshold(scored: DataFrame, scoreCol: String,
+      labelCol: String, minPrecisionMicro: Long): DataFrame =
+    prCurve(scored, scoreCol, labelCol)
+      .withColumn("qualifies",
+        expr(s"CAST(precision_micro >= $minPrecisionMicro AS BIGINT)"))
+      // qualifying rows rank by recall; the fallback ranks by precision
+      .orderBy(col("qualifies").desc,
+        expr("CASE WHEN qualifies = 1 THEN recall_micro " +
+          "ELSE precision_micro END").desc,
+        col("precision_micro").desc, col("threshold").asc)
+      .limit(1)
+
   /** Exact ROC-AUC in integer micro-units, from the pairwise
     * formulation: AUC = (concordant + ties/2) / (P·N) where a
     * (negative, positive) pair is concordant when the positive scores

@@ -275,7 +275,22 @@ object LlmQueries5 {
     graft.multimodal.Multimodal.sceneKeyframes(mmVideoSceneCuts(spark, dir))
       .orderBy(col("video_id"), col("scene_id"))
 
+  /** Operating-point selection: highest-recall threshold meeting 60%
+    * precision on the integer-weight margin vs the lang='en' label
+    * ([[QualityModel.selectThreshold]]) — the decision step after the
+    * `quality_pr_curve` sweep. */
+  def qualityThresholdSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val scored = QualityModel
+      .integerWeightScore(T.par(spark, docs), dim = 256)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("label", (col("lang") === "en").cast("int"))
+    QualityModel.selectThreshold(scored, "margin", "label",
+      minPrecisionMicro = 600000L)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_threshold_select" -> (qualityThresholdSelect _),
     "mm_scene_keyframes" -> (mmSceneKeyframes _),
     "mm_video_scene_cuts" -> (mmVideoSceneCuts _),
     "sketch_hist_merge" -> (sketchHistMerge _),
@@ -301,6 +316,37 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // The PR sweep (quality_pr_curve's chain) + the operating-point
+    // pick: qualifying rows rank by recall, the fallback by precision.
+    "quality_threshold_select" ->
+      s"""WITH ${LlmQueries2.marginCte},
+         |lab AS (SELECT s.doc_id, s.margin,
+         |          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+         |        FROM s JOIN documents d USING (doc_id)),
+         |per AS (SELECT margin AS threshold, count(*) AS n,
+         |          CAST(sum(label) AS BIGINT) AS pos
+         |        FROM lab GROUP BY margin),
+         |tot AS (SELECT CAST(coalesce(sum(pos), 0) AS BIGINT) AS p FROM per),
+         |cum AS (SELECT a.threshold, CAST(sum(b.n) AS BIGINT) AS np,
+         |          CAST(sum(b.pos) AS BIGINT) AS tp
+         |        FROM per a JOIN per b ON b.threshold >= a.threshold
+         |        GROUP BY a.threshold),
+         |pr AS (SELECT threshold, tp, np - tp AS fp,
+         |    (SELECT p FROM tot) - tp AS fn,
+         |    CAST(tp * 1000000 // np AS BIGINT) AS precision_micro,
+         |    CAST(CASE WHEN (SELECT p FROM tot) = 0 THEN 0
+         |      ELSE tp * 1000000 // (SELECT p FROM tot) END AS BIGINT)
+         |      AS recall_micro
+         |  FROM cum)
+         |SELECT threshold, tp, fp, fn, precision_micro, recall_micro,
+         |  CAST(CASE WHEN precision_micro >= 600000 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS qualifies
+         |FROM pr
+         |ORDER BY qualifies DESC,
+         |  CASE WHEN precision_micro >= 600000 THEN recall_micro
+         |    ELSE precision_micro END DESC,
+         |  precision_micro DESC, threshold ASC
+         |LIMIT 1""".stripMargin,
     // The scene-cut replay + inclusive running cut count + per-scene
     // roll-up.
     "mm_scene_keyframes" ->
