@@ -16,10 +16,12 @@ import graft.ops.{Chunking, Components, Curation, Dedup, Pca, QualityModel,
   * duplicate-cluster-size audit, sentence-aligned RAG chunking,
   * per-source AUC model-bias auditing, the JSONL interchange round
   * trip, code-vs-prose lane detection, the Unicode-script routing
-  * profile, histogram-sketch mergeability, and the end-to-end
-  * pretrain-prep composition — with the same exactness contract as the
-  * sibling registries: integer / DECIMAL(38,0) arithmetic only, so
-  * every query carries a full DuckDB replay oracle. */
+  * profile, histogram-sketch mergeability, the end-to-end pretrain-prep
+  * composition, video scene-cut detection + one-keyframe-per-scene
+  * sampling over real decoded frames, and PR operating-point selection
+  * — with the same exactness contract as the sibling registries:
+  * integer / DECIMAL(38,0) arithmetic only, so every query carries a
+  * full DuckDB replay oracle. */
 object LlmQueries5 {
 
   // DuckDB mirrors of Dedup.normalize / Dedup.hashStr (same as siblings).
