@@ -81,4 +81,36 @@ object Intervals {
           col("__bka") === firstShared)
       .drop("__bka", "__bkb")
   }
+
+  /** Merge overlapping-or-touching [start, end] intervals per key into
+    * maximal disjoint intervals — the interval-union primitive (coalesce
+    * activity windows, outage spans, retention leases; the flatten step
+    * before any "total covered time" accounting). Classic island
+    * detection, all window expressions: an interval starts a new island
+    * iff its start exceeds the running max end of everything before it
+    * (per key, ordered by (start, end)); island id = running count of
+    * starts; one combine-agg per island emits (min start, max end,
+    * member count). Closed-interval semantics: touching endpoints
+    * (`start == prev max end`) merge.
+    *
+    * Scale shape: one shuffle on the key, two frames over one window
+    * sort, one combine-agg — the [[graft.ops.Sessions]] posture (a key
+    * must fit a partition sort). */
+  def mergeOverlaps(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(startCol), col(endCol))
+    val wPrev = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__maxe", max(col(endCol)).over(wPrev))
+      .withColumn("__new",
+        (col("__maxe").isNull || col(startCol) > col("__maxe")).cast("long"))
+      .withColumn("__island", sum(col("__new")).over(wCum))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
+  }
 }

@@ -291,7 +291,37 @@ object LlmQueries5 {
       minPrecisionMicro = 600000L)
   }
 
+  /** Interval union: per-user 30-minute activity windows around click
+    * events merged into maximal disjoint spans
+    * ([[graft.ops.Intervals.mergeOverlaps]]). */
+  def intervalMergeActivity(spark: SparkSession, dir: String): DataFrame = {
+    val iv = graft.T.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").cast("long").as("start_sec"),
+        (col("ts").cast("long") + 1800L).as("end_sec"))
+    graft.ops.Intervals.mergeOverlaps(iv, "user_id", "start_sec", "end_sec")
+      .orderBy(col("user_id"), col("start_sec"))
+  }
+
+  /** Bounded-staleness as-of: each purchase matched to the user's latest
+    * click at most 1 hour old; older matches null out
+    * ([[graft.ops.AsOf.backward]] with toleranceSeconds). */
+  def asofToleranceClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.T.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.ops.AsOf.backward(purchases, clicks, key = "user_id", ts = "ts",
+        rightCols = Seq("value"), toleranceSeconds = Some(3600L))
+      .select(col("event_id"), col("user_id"),
+        col("asof_ts").as("click_ts"), col("asof_value").as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interval_merge_activity" -> (intervalMergeActivity _),
+    "asof_tolerance_click" -> (asofToleranceClick _),
     "quality_threshold_select" -> (qualityThresholdSelect _),
     "mm_scene_keyframes" -> (mmSceneKeyframes _),
     "mm_video_scene_cuts" -> (mmVideoSceneCuts _),
@@ -318,6 +348,44 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // Island detection with the same running-max/running-count windows.
+    "interval_merge_activity" ->
+      s"""WITH iv AS (SELECT user_id,
+         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 1800 AS e
+         |  FROM events WHERE event_type = 'click'),
+         |mx AS (SELECT user_id, s, e,
+         |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+         |  FROM iv),
+         |fl AS (SELECT user_id, s, e,
+         |    CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS nw
+         |  FROM mx),
+         |isl AS (SELECT user_id, s, e,
+         |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS island
+         |  FROM fl)
+         |SELECT user_id, CAST(min(s) AS BIGINT) AS start_sec,
+         |  CAST(max(e) AS BIGINT) AS end_sec, count(*) AS n_intervals
+         |FROM isl GROUP BY user_id, island
+         |ORDER BY user_id, start_sec""".stripMargin,
+    // DuckDB ASOF + tolerance as a post-filter: backward as-of picks the
+    // LATEST match <= ts, so nulling the stale one is exactly bounded
+    // staleness (no older candidate could qualify either).
+    "asof_tolerance_click" ->
+      """SELECT p.event_id, p.user_id,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.ts END
+        |    AS click_ts,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.value END
+        |    AS click_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     // The PR sweep (quality_pr_curve's chain) + the operating-point
     // pick: qualifying rows rank by recall, the fallback by precision.
     "quality_threshold_select" ->

@@ -63,4 +63,24 @@ class IntervalsSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("mergeOverlaps: chains merge, touching merges, gaps split, per-key") {
+    import spark.implicits._
+    val iv = Seq(
+      // key A: [0,10] u [5,20] u [20,30] chain-merges; [40,50] stands alone
+      ("A", 0L, 10L), ("A", 5L, 20L), ("A", 20L, 30L), ("A", 40L, 50L),
+      // key B: nested interval absorbs
+      ("B", 0L, 100L), ("B", 10L, 20L)).toDF("k", "s", "e")
+    val got = Intervals.mergeOverlaps(iv, "k", "s", "e")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      ("A", 0L, 30L, 3L), ("A", 40L, 50L, 1L), ("B", 0L, 100L, 2L)), got.toSeq)
+    // partition invariance
+    val again = Intervals.mergeOverlaps(iv.repartition(5), "k", "s", "e")
+      .collect().map(_.toSeq).toSet
+    assert(again ==
+      Intervals.mergeOverlaps(iv, "k", "s", "e").collect().map(_.toSeq).toSet)
+  }
 }
