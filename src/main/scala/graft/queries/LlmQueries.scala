@@ -289,7 +289,7 @@ object LlmQueries {
 
   private val SampleRates = Map(
     "en" -> 0.5, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8, "zh" -> 0.2)
-  private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private[queries] val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** Deterministic curation: language-stratified downsample (cap dominant
     * en, drop most zh) + content-stable train/val/test assignment. */
@@ -699,7 +699,7 @@ object LlmQueries {
         s" THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  private val splitCaseSql = {
+  private[queries] val splitCaseSql = {
     val bounds = Curation.splitBounds(SplitWeights)
     val u = Curation.hashFractionSql("doc_id", "split")
     bounds.init.map { case (n, b) => s"WHEN $u < $b THEN '$n'" }

@@ -319,7 +319,42 @@ object LlmQueries5 {
       .orderBy(col("event_id"))
   }
 
+  /** Split-leakage audit: near-dup pairs (the `dedup_minhash_lsh` chain,
+    * doc_id<500 slice) whose members landed in DIFFERENT train/val/test
+    * splits — the classic silent eval-inflation bug (a test doc whose
+    * near-duplicate sits in train). Per ordered split pair: leaked pair
+    * count and distinct docs involved. */
+  def splitLeakageCheck(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+      .filter(col("doc_id") < 500)
+    val splits = docs.select(col("doc_id"),
+      Curation.assignSplit(col("doc_id"), LlmQueries.SplitWeights)
+        .as("split"))
+      .localCheckpoint(false) // joined against both pair endpoints
+    val pairs = Dedup.minHashLshPairs(docs, threshold = 0.5)
+      .join(splits.select(col("doc_id").as("id_a"),
+        col("split").as("__sa")), Seq("id_a"))
+      .join(splits.select(col("doc_id").as("id_b"),
+        col("split").as("__sb")), Seq("id_b"))
+      .filter(col("__sa") =!= col("__sb"))
+      .select(least(col("__sa"), col("__sb")).as("split_lo"),
+        greatest(col("__sa"), col("__sb")).as("split_hi"),
+        col("id_a"), col("id_b"))
+      .localCheckpoint(false) // feeds the pair count AND the doc explode
+    val nPairs = pairs.groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = pairs
+      .select(col("split_lo"), col("split_hi"),
+        explode(array(col("id_a"), col("id_b"))).as("doc"))
+      .distinct()
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_docs"))
+    nPairs.join(nDocs, Seq("split_lo", "split_hi"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_leakage_check" -> (splitLeakageCheck _),
     "interval_merge_activity" -> (intervalMergeActivity _),
     "asof_tolerance_click" -> (asofToleranceClick _),
     "quality_threshold_select" -> (qualityThresholdSelect _),
@@ -348,6 +383,66 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // The dedup_minhash_lsh chain + the split CASE + cross-split
+    // filtering and the two roll-ups.
+    "split_leakage_check" ->
+      s"""WITH ${LlmQueries.gramsCteFor("grams", "doc_id < 500")},
+         |sig AS (
+         |  SELECT id,
+         |    ${(0 until 8).map(i => s"min(${hashSql(i, "gram")}) AS h$i")
+              .mkString(",\n    ")}
+         |  FROM grams GROUP BY id
+         |),
+         |bands AS (
+         |  SELECT id, r.range AS band,
+         |    CASE r.range
+         |      WHEN 0 THEN h0 || ',' || h1
+         |      WHEN 1 THEN h2 || ',' || h3
+         |      WHEN 2 THEN h4 || ',' || h5
+         |      ELSE h6 || ',' || h7 END AS band_key
+         |  FROM sig CROSS JOIN range(4) r
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+         |),
+         |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN grams ga ON ga.id = c.id_a
+         |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+         |  GROUP BY c.id_a, c.id_b
+         |),
+         |dup AS (
+         |  SELECT i.id_a, i.id_b
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b
+         |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5
+         |),
+         |spl AS (SELECT doc_id, ${LlmQueries.splitCaseSql} AS split
+         |  FROM documents WHERE doc_id < 500),
+         |leak AS (
+         |  SELECT least(a.split, b.split) AS split_lo,
+         |    greatest(a.split, b.split) AS split_hi, d.id_a, d.id_b
+         |  FROM dup d
+         |  JOIN spl a ON a.doc_id = d.id_a
+         |  JOIN spl b ON b.doc_id = d.id_b
+         |  WHERE a.split <> b.split
+         |),
+         |np AS (SELECT split_lo, split_hi, count(*) AS n_pairs
+         |  FROM leak GROUP BY 1, 2),
+         |nd AS (SELECT split_lo, split_hi, count(*) AS n_docs FROM (
+         |    SELECT DISTINCT split_lo, split_hi, doc FROM (
+         |      SELECT split_lo, split_hi, id_a AS doc FROM leak
+         |      UNION ALL
+         |      SELECT split_lo, split_hi, id_b FROM leak))
+         |  GROUP BY 1, 2)
+         |SELECT split_lo, split_hi, np.n_pairs, nd.n_docs
+         |FROM np JOIN nd USING (split_lo, split_hi)
+         |ORDER BY split_lo, split_hi""".stripMargin,
     // Island detection with the same running-max/running-count windows.
     "interval_merge_activity" ->
       s"""WITH iv AS (SELECT user_id,
