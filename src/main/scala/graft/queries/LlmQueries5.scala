@@ -353,7 +353,29 @@ object LlmQueries5 {
       .orderBy(col("split_lo"), col("split_hi"))
   }
 
+  /** Bucketed-layout round trip, gated end-to-end: customer and orders
+    * written as co-bucketed sorted tables ([[graft.sources.Layout
+    * .writeBucketed]], 8 buckets on the join key), joined THROUGH the
+    * bucketed tables (zero-exchange per LayoutSpec), aggregated per
+    * nation in exact cents — equality with the oracle's plain join says
+    * the layout changed the plan, not the data. */
+  def layoutBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    graft.sources.Layout.writeBucketed(T.t(spark, dir, "customer"),
+      s"graft_bkt_customer_$tag", Seq("c_custkey"), 8, Seq("c_custkey"))
+    graft.sources.Layout.writeBucketed(T.t(spark, dir, "orders"),
+      s"graft_bkt_orders_$tag", Seq("o_custkey"), 8, Seq("o_custkey"))
+    val c = spark.table(s"graft_bkt_customer_$tag")
+    val o = spark.table(s"graft_bkt_orders_$tag")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        T.moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("c_nationkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_bucketed_join" -> (layoutBucketedJoin _),
     "split_leakage_check" -> (splitLeakageCheck _),
     "interval_merge_activity" -> (intervalMergeActivity _),
     "asof_tolerance_click" -> (asofToleranceClick _),
@@ -383,6 +405,14 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // A plain join over the ORIGINAL parquet — layout must not change
+    // results, only plans.
+    "layout_bucketed_join" ->
+      s"""SELECT c_nationkey, count(*) AS n_orders,
+         |  ${T.sql.moneySum("o_totalprice")} AS total_price
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_nationkey
+         |ORDER BY c_nationkey""".stripMargin,
     // The dedup_minhash_lsh chain + the split CASE + cross-split
     // filtering and the two roll-ups.
     "split_leakage_check" ->
