@@ -18,7 +18,9 @@ import graft.ops.{Chunking, Components, Curation, Dedup, Pca, QualityModel,
   * trip, code-vs-prose lane detection, the Unicode-script routing
   * profile, histogram-sketch mergeability, the end-to-end pretrain-prep
   * composition, video scene-cut detection + one-keyframe-per-scene
-  * sampling over real decoded frames, and PR operating-point selection
+  * sampling over real decoded frames, PR operating-point selection,
+  * per-key interval union, the bounded-staleness as-of gate, the
+  * train/test split-leakage audit, and the bucketed-layout round trip
   * — with the same exactness contract as the sibling registries:
   * integer / DECIMAL(38,0) arithmetic only, so every query carries a
   * full DuckDB replay oracle. */
@@ -361,6 +363,22 @@ object LlmQueries5 {
     * the layout changed the plan, not the data. */
   def layoutBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // idempotence across sessions: DROP clears the catalog entry, the
+    // explicit delete clears a stale warehouse directory a FRESH session
+    // no longer knows about (saveAsTable refuses to overwrite it)
+    def reset(table: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val wh = java.nio.file.Paths.get(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      val loc = wh.resolve(table.toLowerCase)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    reset(s"graft_bkt_customer_$tag")
+    reset(s"graft_bkt_orders_$tag")
     graft.sources.Layout.writeBucketed(T.t(spark, dir, "customer"),
       s"graft_bkt_customer_$tag", Seq("c_custkey"), 8, Seq("c_custkey"))
     graft.sources.Layout.writeBucketed(T.t(spark, dir, "orders"),
