@@ -192,6 +192,27 @@ object Pca {
       .select(col(idCol), col("idx"), col("z_micro"))
   }
 
+  /** Diagonal-Mahalanobis outlier scoring from trained whitening stats:
+    * per vector, the mean squared whitened coordinate
+    * m2 = (Σ_d z_d²) div dim (micro² units — in-distribution vectors
+    * sit near unit² = 10¹²), flagged when m2 exceeds `tau` × unit² —
+    * the embedding-space novelty/garbage gate that [[whitenMicro]]'s
+    * stats buy for free (full Mahalanobis needs the covariance
+    * rotation; the diagonal form catches per-coordinate excursions,
+    * which is what corrupt embeddings look like). Pure map over the
+    * serve pass + one per-vector combine-agg. Long envelope:
+    * Σz² wraps at |z| ≈ 100σ across all 64 dims — far beyond any
+    * meaningful outlier. */
+  def whitenOutliers(emb: DataFrame, n: Long, s1: Array[Long],
+      sd: Array[Long], dim: Int = 64, tau: Long = 2L,
+      unit: Long = 1000000L, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    whitenMicro(emb, n, s1, sd, unit, idCol, embCol)
+      .groupBy(col(idCol))
+      .agg(expr(s"sum(z_micro * z_micro) div $dim").as("m2_microsq"))
+      .withColumn("is_outlier",
+        expr(s"CAST(m2_microsq > $tau * ${unit}L * ${unit}L AS BIGINT)"))
+
   /** Project every embedding onto a trained milli-unit direction — the
     * corpus-wide serve pass, a pure map (micro-unit scores: milli·milli). */
   def projectMicro(emb: DataFrame, v: Array[Long], idCol: String = "vec_id",

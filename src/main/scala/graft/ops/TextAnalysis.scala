@@ -234,6 +234,53 @@ object TextAnalysis {
         md5(Dedup.normalize(text)).as("fingerprint"))
   }
 
+  /** Green-list watermark detection (the Kirchenbauer et al. 2023
+    * scheme's detector side): a watermarking generator biases each next
+    * token toward a pseudorandom "green list" seeded by the previous
+    * token; the detector counts, over word bigrams, how many landed
+    * green (hash(prev|cur) mod 2 = 0 — a model-free hash partition
+    * standing in for the scheme's seeded list) and flags documents
+    * whose green excess is statistically impossible for natural text.
+    * For unwatermarked text greens ~ Binomial(n, ½), so the one-sided
+    * z-test  (2·greens − n) / √n > z  flags; squaring removes the
+    * square root:  excess > 0  AND  100·excess² ≥ z₁₀²·n  with z₁₀ the
+    * threshold in tenths — exact integer arithmetic, engine-portable.
+    * Synthetic-text filtering is a first-class corpus gate now that
+    * crawls contain generated text. Every doc gets a row (docs with no
+    * bigrams report zeros, unflagged).
+    *
+    * Scale shape: one tokenize pass, per-doc combine-agg, left
+    * back-join — [[bigramLmScore]]'s exact posture. Long envelope:
+    * 100·excess² wraps at n ≈ 3·10⁸ bigrams in ONE doc. */
+  def watermarkDetect(docs: DataFrame, z10: Long = 40L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol).as("id"),
+        explode(transform(sequence(lit(0), size(col("__w")) - 2),
+          i => concat_ws(" ", element_at(col("__w"), i + 1),
+            element_at(col("__w"), i + 2)))).as("b"))
+    val per = bg
+      .withColumn("__g",
+        (pmod(Dedup.hashStr(col("b"), 71), lit(2L)) === 0L).cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__g")).as("n_green"))
+      .withColumn("green_milli",
+        expr("(1000 * n_green) div greatest(n_bigrams, 1)"))
+      .withColumn("is_watermarked", expr(
+        s"""CAST(2 * n_green - n_bigrams > 0 AND
+           |  100 * (2 * n_green - n_bigrams) * (2 * n_green - n_bigrams)
+           |    >= $z10 * $z10 * n_bigrams AS BIGINT)""".stripMargin))
+    docs.select(col(idCol))
+      .join(per, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_green"), lit(0L)).as("n_green"),
+        coalesce(col("green_milli"), lit(0L)).as("green_milli"),
+        coalesce(col("is_watermarked"), lit(0L)).as("is_watermarked"))
+  }
+
   /** Unicode-script profile — step 0 of language handling at corpus
     * scale (script routes the document BEFORE any word-level language
     * ID makes sense: a CJK doc must not reach the whitespace tokenizer,

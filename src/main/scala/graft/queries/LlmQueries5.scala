@@ -392,7 +392,25 @@ object LlmQueries5 {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Green-list watermark detection over word bigrams
+    * ([[TextAnalysis.watermarkDetect]], z = 4.0) — the synthetic-text
+    * gate for crawls containing generated text. */
+  def textWatermarkDetect(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.watermarkDetect(T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
+  /** Diagonal-Mahalanobis embedding outliers from the emb_whiten stats
+    * (train vec_id<2000, serve corpus-wide;
+    * [[Pca.whitenOutliers]], τ = 2). */
+  def embWhitenOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val (n, s1, sd) = Pca.whitenStats(emb.filter(col("vec_id") < 2000))
+    Pca.whitenOutliers(emb, n, s1, sd).orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_watermark_detect" -> (textWatermarkDetect _),
+    "emb_whiten_outliers" -> (embWhitenOutliers _),
     "layout_bucketed_join" -> (layoutBucketedJoin _),
     "split_leakage_check" -> (splitLeakageCheck _),
     "interval_merge_activity" -> (intervalMergeActivity _),
@@ -423,6 +441,62 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    "text_watermark_detect" ->
+      s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+         |           FROM documents),
+         |bg AS (SELECT doc_id,
+         |    ws[CAST(r.i + 1 AS INTEGER)] || ' ' ||
+         |      ws[CAST(r.i + 2 AS INTEGER)] AS b
+         |  FROM w CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(0, len(ws) - 2)) AS i) r
+         |  WHERE len(ws) >= 2),
+         |per AS (SELECT doc_id, count(*) AS n,
+         |    CAST(sum(CASE WHEN ${hashSql(71, "b")} % 2 = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS g
+         |  FROM bg GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(per.n, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(per.g, 0) AS BIGINT) AS n_green,
+         |  CAST(coalesce((1000 * per.g) // greatest(per.n, 1), 0)
+         |    AS BIGINT) AS green_milli,
+         |  CAST(coalesce(CASE WHEN 2 * per.g - per.n > 0
+         |      AND 100 * (2 * per.g - per.n) * (2 * per.g - per.n)
+         |        >= 1600 * per.n
+         |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS is_watermarked
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // emb_whiten's stats chain served corpus-wide, rolled up to the
+    // per-vector mean squared whitened coordinate.
+    "emb_whiten_outliers" ->
+      s"""WITH xm AS (SELECT vec_id, CAST(r.range AS INTEGER) AS idx,
+         |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)
+         |      * 1000) AS BIGINT) AS x
+         |  FROM embeddings CROSS JOIN range(64) r),
+         |st AS (SELECT idx, count(*) AS n, CAST(sum(x) AS BIGINT) AS s1,
+         |         CAST(sum(x * x) AS BIGINT) AS s2
+         |       FROM xm WHERE vec_id < 2000 GROUP BY idx),
+         |sd0 AS (SELECT idx, n, s1, n * s2 - s1 * s1 AS v,
+         |          CAST(floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+         |            AS BIGINT) AS s
+         |        FROM st),
+         |sdx AS (SELECT idx, n, s1,
+         |          greatest(s - CASE WHEN s * s > v THEN 1 ELSE 0 END
+         |            + CASE WHEN (s + 1) * (s + 1) <= v THEN 1 ELSE 0 END,
+         |            1) AS sd
+         |        FROM sd0),
+         |z AS (SELECT x.vec_id,
+         |    CAST(CASE WHEN sdx.n * x.x - sdx.s1 < 0
+         |      THEN -((1000000 * -(sdx.n * x.x - sdx.s1)) // sdx.sd)
+         |      ELSE (1000000 * (sdx.n * x.x - sdx.s1)) // sdx.sd
+         |    END AS BIGINT) AS z
+         |  FROM xm x JOIN sdx USING (idx)),
+         |m AS (SELECT vec_id, CAST(sum(z * z) // 64 AS BIGINT) AS m2_microsq
+         |  FROM z GROUP BY vec_id)
+         |SELECT vec_id, m2_microsq,
+         |  CAST(CASE WHEN m2_microsq >
+         |      2 * CAST(1000000 AS BIGINT) * 1000000
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+         |FROM m ORDER BY vec_id""".stripMargin,
     // A plain join over the ORIGINAL parquet — layout must not change
     // results, only plans.
     "layout_bucketed_join" ->

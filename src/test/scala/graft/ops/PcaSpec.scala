@@ -48,6 +48,27 @@ class PcaSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"serve pass shuffles:\n$plan")
   }
 
+  test("whitenOutliers: planted far-out vector flags, cloud does not") {
+    import spark.implicits._
+    val dim = 4
+    val cloud = (0 until 300).map { i =>
+      (i.toLong, Array(((i % 20) - 10) / 10.0f, ((i % 7) - 3) / 10.0f,
+        ((i % 11) - 5) / 10.0f, ((i % 5) - 2) / 10.0f))
+    }
+    val planted = Seq((999L, Array(30.0f, -30.0f, 30.0f, -30.0f)))
+    val emb = (cloud ++ planted).toDF("vec_id", "embedding")
+    val (n, s1, sd) = Pca.whitenStats(
+      emb.filter(col("vec_id") < 2000 && col("vec_id") =!= 999L), dim)
+    // tau above the uniform-corner bound: a uniform [-a, a] coordinate
+    // whitens to at most sqrt(3) sigma, so an all-corners row peaks at
+    // mean z-squared = 3 — tau = 4 separates geometry from outliers
+    val got = Pca.whitenOutliers(emb, n, s1, sd, dim, tau = 4L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("is_outlier")).toMap
+    assert(got(999L) == 1L, s"planted outlier must flag: ${got(999L)}")
+    assert(got.count(_._2 == 1L) == 1, // nothing in the cloud flags
+      s"false positives: ${got.filter(_._2 == 1L)}")
+  }
+
   test("whitenStats/whitenMicro: zero mean, unit variance, constant dim -> 0") {
     import spark.implicits._
     val dim = 4

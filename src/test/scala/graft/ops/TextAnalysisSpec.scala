@@ -472,6 +472,35 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("watermarkDetect: greedy-green chain flags, natural text does not") {
+    import spark.implicits._
+    // replicate Dedup.hashStr(b, 71) to steer generation toward green
+    def green(b: String): Boolean = BigInt(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("71|" + b)
+        .take(15), 16) % 2 == 0
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    // watermarked generator: always pick a green continuation
+    val wm = new StringBuilder("alpha")
+    var cur = "alpha"
+    for (_ <- 1 to 60) {
+      val nxt = vocab.find(v => green(s"$cur $v")).getOrElse(vocab.head)
+      wm.append(" ").append(nxt); cur = nxt
+    }
+    // natural text: fixed pseudo-random walk, ignores greenness
+    val nat = (0 until 60).map(i => vocab((i * 7 + i * i * 3) % 8))
+      .mkString(" ")
+    val docs = Seq((1L, wm.toString), (2L, nat), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.watermarkDetect(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_green"),
+          r.getAs[Long]("is_watermarked"))).toMap
+    assert(got(1L)._2 == got(1L)._1 && got(1L)._3 == 1L, got) // all green
+    assert(got(2L)._3 == 0L, got)
+    assert(got(3L) == ((0L, 0L, 0L))) // no bigrams, still a row
+  }
+
   test("scriptProfile: each planted script dominates; ties break by order") {
     import spark.implicits._
     val docs = Seq(
