@@ -146,6 +146,46 @@ object Sketches {
       .drop("__znon", "__nreg", "__zs")
   }
 
+  /** Rolling-window distinct users from mergeable weekly HLL sketches —
+    * the WAU/MAU stickiness metric every engagement dashboard carries,
+    * computed WITHOUT ever re-reading raw history: one pass builds the
+    * per-week register ledger; each week's trailing `windowBuckets`-week
+    * distinct comes from merging those fixed-size sketches (per-bucket
+    * max — the [[mergeHllRegisters]] law), so a year of history costs
+    * 52·2^b register rows, not 52 corpus scans. stickiness_micro =
+    * unit·WAU div MAU (both raw-estimator micro counts; the ratio
+    * inherits the estimator's ±6.5% envelope per side).
+    *
+    * Scale shape: the ledger is (weeks × 2^b) rows; the rolling merge
+    * joins the week spine to it on a range of week ids (tiny × tiny);
+    * estimates are per-week combine-aggs. Nothing downstream of the
+    * first pass touches raw events. */
+  def rollingHllStickiness(df: DataFrame, tsCol: String, valueCol: String,
+      windowBuckets: Int = 4, b: Int = HllB,
+      unit: Long = 1000000L): DataFrame = {
+    require(windowBuckets >= 1, "windowBuckets must be >= 1")
+    val weekly = hllRegisters(
+      df.withColumn("__wk", expr(s"CAST($tsCol AS LONG) div 604800")),
+      Seq("__wk"), valueCol, b)
+      .localCheckpoint(false) // the ledger: feeds WAU + the rolling merge
+    val wau = hllCardinalityFromRegisters(weekly, Seq("__wk"), b)
+      .select(col("__wk").as("week"),
+        col("approx_distinct_micro").cast("long").as("wau_micro"))
+    val weeks = weekly.select(col("__wk").as("__wt")).distinct()
+    val rolled = weekly.join(broadcast(weeks),
+        col("__wk") <= col("__wt") &&
+          col("__wk") > col("__wt") - windowBuckets)
+      .groupBy(col("__wt"), col("bucket"))
+      .agg(max(col("max_rank")).as("max_rank"))
+    val mau = hllCardinalityFromRegisters(rolled, Seq("__wt"), b)
+      .select(col("__wt").as("week"),
+        col("approx_distinct_micro").cast("long").as("mau_micro"))
+    wau.join(mau, Seq("week"))
+      .withColumn("stickiness_micro", expr(
+        s"""CAST((CAST($unit AS DECIMAL(38,0)) * wau_micro) div
+           |  greatest(mau_micro, 1) AS BIGINT)""".stripMargin))
+  }
+
   /** [[hllCardinality]] alongside the exact distinct count (accuracy
     * dashboards; the exact side is what the sketch avoids at scale). */
   def hllCardinalityWithExact(df: DataFrame, groupCols: Seq[String],

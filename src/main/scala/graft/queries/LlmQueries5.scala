@@ -408,7 +408,14 @@ object LlmQueries5 {
     Pca.whitenOutliers(emb, n, s1, sd).orderBy(col("vec_id"))
   }
 
+  /** WAU / trailing-4-week MAU stickiness from mergeable weekly HLL
+    * ledgers over event users ([[Sketches.rollingHllStickiness]]). */
+  def sketchWauMau(spark: SparkSession, dir: String): DataFrame =
+    Sketches.rollingHllStickiness(T.events(spark, dir), "ts", "user_id")
+      .orderBy(col("week"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_wau_mau" -> (sketchWauMau _),
     "text_watermark_detect" -> (textWatermarkDetect _),
     "emb_whiten_outliers" -> (embWhitenOutliers _),
     "layout_bucketed_join" -> (layoutBucketedJoin _),
@@ -441,6 +448,46 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // Weekly HLL ledger + trailing-window register merge, all the same
+    // md5/integer arithmetic as Sketches.hllCardinalitySql.
+    "sketch_wau_mau" -> {
+      val b = Sketches.HllB; val m = 1 << b
+      val wDiv = 1L << (60 - b); val rankMax = 60 - b + 1
+      val alphaNum = BigInt(7213) * m
+      val alphaDen = BigInt(10) * (BigInt(1000) * m + 1079)
+      val numerator =
+        BigInt(10).pow(6) * alphaNum * m * m * (BigInt(1) << rankMax)
+      val zsExpr =
+        s"sum(CAST((CAST(1 AS BIGINT) << ($rankMax - max_rank)) AS HUGEINT))" +
+          s" + ($m - count(*)) * CAST((CAST(1 AS BIGINT) << $rankMax) AS HUGEINT)"
+      s"""WITH hsrc AS (SELECT
+         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 604800
+         |      AS wk,
+         |    CAST('0x' || substring(md5('77|' || CAST(user_id AS VARCHAR)),
+         |      1, 15) AS BIGINT) AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |regs AS (SELECT wk, h // $wDiv AS bucket,
+         |    max(CASE WHEN h % $wDiv = 0 THEN $rankMax
+         |        ELSE $rankMax - length(bin(h % $wDiv)) END) AS max_rank
+         |  FROM hsrc GROUP BY 1, 2),
+         |wz AS (SELECT wk, $zsExpr AS zs FROM regs GROUP BY 1),
+         |wau AS (SELECT wk AS week,
+         |    CAST($numerator // ($alphaDen * zs) AS BIGINT) AS wau_micro
+         |  FROM wz),
+         |wks AS (SELECT DISTINCT wk AS wt FROM regs),
+         |mregs AS (SELECT w.wt, r.bucket, max(r.max_rank) AS max_rank
+         |  FROM wks w JOIN regs r ON r.wk <= w.wt AND r.wk > w.wt - 4
+         |  GROUP BY 1, 2),
+         |mz AS (SELECT wt, $zsExpr AS zs FROM mregs GROUP BY 1),
+         |mau AS (SELECT wt AS week,
+         |    CAST($numerator // ($alphaDen * zs) AS BIGINT) AS mau_micro
+         |  FROM mz)
+         |SELECT wau.week, wau.wau_micro, mau.mau_micro,
+         |  CAST((CAST(1000000 AS HUGEINT) * wau.wau_micro) //
+         |    greatest(mau.mau_micro, 1) AS BIGINT) AS stickiness_micro
+         |FROM wau JOIN mau USING (week)
+         |ORDER BY week""".stripMargin
+    },
     "text_watermark_detect" ->
       s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
          |           FROM documents),

@@ -231,6 +231,35 @@ class SketchesSpec extends SparkSpec {
     assert(bins.sorted.sameElements(bins))
   }
 
+  test("rolling WAU/MAU: churn drops stickiness; estimates near truth") {
+    import spark.implicits._
+    // 6 weeks, 200 users/week, half-overlapping cohorts: user range
+    // [100w, 100w+200) — trailing-4-week union is 500 distinct users
+    val ev = (0 until 6).flatMap { w =>
+      (0 until 200).map(u =>
+        (new java.sql.Timestamp((w.toLong * 604800 + 3600) * 1000),
+          (100 * w + u).toLong))
+    }.toDF("ts", "user_id")
+    val got = Sketches.rollingHllStickiness(ev, "ts", "user_id")
+      .collect().map(r => r.getAs[Long]("week") ->
+        (r.getAs[Long]("wau_micro"), r.getAs[Long]("mau_micro"),
+          r.getAs[Long]("stickiness_micro"))).toMap
+    assert(got.size == 6)
+    val last = got(got.keySet.max)
+    // raw-HLL envelope is loose at small cardinalities — assert the
+    // ORDER property (WAU ~200 well below MAU ~500) not tight error
+    assert(last._1 < last._2, s"WAU must be below MAU: $last")
+    assert(last._3 < 700000L && last._3 > 200000L,
+      s"stickiness ~0.4 expected: $last")
+    // first week has no trailing history: MAU == WAU, stickiness = 1
+    assert(got(got.keySet.min)._3 == 1000000L)
+    // partition invariance (registers are max-merged combine-aggs)
+    val again = Sketches.rollingHllStickiness(ev.repartition(7), "ts",
+      "user_id").collect().map(_.toSeq).toSet
+    assert(again == Sketches.rollingHllStickiness(ev, "ts", "user_id")
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("drift monitor: per-batch KS vs reference, shifted batch alarms") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
