@@ -187,5 +187,9 @@ object Bench {
     "dedup_repeated_runs", "text_simpson_diversity",
     "dedup_cluster_sizes", "rag_sentence_chunks", "quality_auc_by_source",
     "source_jsonl_roundtrip", "text_code_detect", "text_script_profile",
-    "pipeline_pretrain_prep", "sketch_hist_merge", "mm_video_scene_cuts")
+    "pipeline_pretrain_prep", "sketch_hist_merge", "mm_video_scene_cuts",
+    "mm_scene_keyframes", "quality_threshold_select",
+    "interval_merge_activity", "asof_tolerance_click",
+    "split_leakage_check", "layout_bucketed_join", "text_watermark_detect",
+    "emb_whiten_outliers", "sketch_wau_mau")
 }
