@@ -414,7 +414,30 @@ object LlmQueries5 {
     Sketches.rollingHllStickiness(T.events(spark, dir), "ts", "user_id")
       .orderBy(col("week"))
 
+  /** Packing-efficiency roll-up over the `sample_pack_bins` layout:
+    * per shard, bins opened (straddling tails included), token
+    * utilization vs bin capacity — the padding-waste readout that sizes
+    * a training run's step count. */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val packed = Curation.packSequences(
+      T.par(spark, T.t(spark, dir, "documents"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      maxTokens = 512, nShards = 8)
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("bin_id") +
+          expr("(bin_offset + greatest(n_tokens, 1) - 1) div 512")) + 1)
+          .as("n_bins"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("capacity_tokens", expr("n_bins * 512"))
+      .withColumn("util_micro", expr(
+        "(1000000 * total_tokens) div greatest(capacity_tokens, 1)"))
+      .orderBy(col("shard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_efficiency" -> (packEfficiency _),
     "sketch_wau_mau" -> (sketchWauMau _),
     "text_watermark_detect" -> (textWatermarkDetect _),
     "emb_whiten_outliers" -> (embWhitenOutliers _),
@@ -448,6 +471,35 @@ object LlmQueries5 {
     .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // sample_pack_bins' cumsum chain + the per-shard roll-up; a doc's
+    // last touched bin is (start + tokens - 1) div 512.
+    "pack_efficiency" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+        |      AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens, h,
+        |    CAST(CAST('0x' || substring(h, 1, 2) AS BIGINT) % 8 AS INTEGER)
+        |      AS shard
+        |  FROM t),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens,
+        |      0) AS strt
+        |  FROM s),
+        |r AS (SELECT shard, count(*) AS n_docs,
+        |    CAST(max((strt // 512) +
+        |      ((strt % 512 + greatest(n_tokens, 1) - 1) // 512)) + 1
+        |      AS BIGINT) AS n_bins,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |  FROM c GROUP BY shard)
+        |SELECT shard, n_docs, n_bins,
+        |  total_tokens,
+        |  CAST(n_bins * 512 AS BIGINT) AS capacity_tokens,
+        |  CAST((1000000 * total_tokens) // greatest(n_bins * 512, 1)
+        |    AS BIGINT) AS util_micro
+        |FROM r ORDER BY shard""".stripMargin,
     // Weekly HLL ledger + trailing-window register merge, all the same
     // md5/integer arithmetic as Sketches.hllCardinalitySql.
     "sketch_wau_mau" -> {
