@@ -191,5 +191,5 @@ object Bench {
     "mm_scene_keyframes", "quality_threshold_select",
     "interval_merge_activity", "asof_tolerance_click",
     "split_leakage_check", "layout_bucketed_join", "text_watermark_detect",
-    "emb_whiten_outliers", "sketch_wau_mau")
+    "emb_whiten_outliers", "sketch_wau_mau", "pack_efficiency")
 }
