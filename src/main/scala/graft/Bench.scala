@@ -191,5 +191,9 @@ object Bench {
     "mm_scene_keyframes", "quality_threshold_select",
     "interval_merge_activity", "asof_tolerance_click",
     "split_leakage_check", "layout_bucketed_join", "text_watermark_detect",
-    "emb_whiten_outliers", "sketch_wau_mau", "pack_efficiency")
+    "emb_whiten_outliers", "sketch_wau_mau", "pack_efficiency",
+    // round-9 third batch: lossless prefix-filter similarity join, CDC
+    // materialization, k-anonymity release audit, contamination BFS
+    "dedup_ppjoin", "cdc_latest_snapshot", "scd2_history",
+    "privacy_k_anonymity", "graph_bfs_hops")
 }

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-log materialization operators: the two standard shapes for
+  * turning an append-only mutation log (CDC feed, crawl-snapshot diff
+  * stream, label-correction log) into servable state.
+  *
+  *  - [[latestSnapshot]]: the CURRENT state — last writer wins per key,
+  *    tombstones delete.
+  *  - [[scd2History]]: the FULL history — one validity interval per
+  *    version (slowly-changing-dimension type 2), the layout that lets
+  *    an as-of join ([[AsOf]]) answer "what was this row worth when the
+  *    training example was sampled".
+  *
+  * Both are one shuffle on the key followed by a key-partitioned window
+  * — never a global window — so they scale with the widest single key's
+  * version count, not with the log. Ordering within a key is
+  * (ts, seqCol) with an explicit unique tie-breaker, making the result
+  * deterministic under any partitioning (a bare ts tie would make
+  * "latest" partition-order-dependent).
+  */
+object Cdc {
+
+  /** Last-writer-wins compaction of a change log: one row per key —
+    * its latest version by (tsCol, seqCol) — with tombstoned keys
+    * (latest version satisfies `isDelete`) removed entirely.
+    *
+    * This is the Delta/Hudi/Iceberg "merge-on-read compaction" kernel
+    * expressed relationally: at 100 TB the log is hash-partitioned by
+    * key, each partition resolves its winners independently, and AQE
+    * coalesces the post-filter output. No driver state, no sort beyond
+    * the per-key window. */
+  def latestSnapshot(log: DataFrame, keyCols: Seq[String], tsCol: String,
+      seqCol: String, isDelete: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(seqCol).desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !isDelete)
+      .drop("__rn")
+  }
+
+  /** Slowly-changing-dimension type-2 history: every log row becomes a
+    * validity interval [valid_from, valid_to) per key, closed by the
+    * key's next version (lead over the key-partitioned window); the
+    * current version carries a NULL valid_to and is_current = true.
+    *
+    * The output is exactly the relation a bounded-staleness as-of join
+    * probes ([[AsOf.asOfJoin]] on valid_from with valid_to as the
+    * exclusion bound), so log → scd2History → as-of is the full
+    * point-in-time-correct feature-serving path. */
+  def scd2History(log: DataFrame, keyCols: Seq[String], tsCol: String,
+      seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(seqCol))
+    log.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

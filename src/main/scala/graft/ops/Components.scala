@@ -437,6 +437,60 @@ object Components {
       .select(col("u").as("id"), col("core_degree"))
   }
 
+  /** Bounded multi-source BFS: minimum hop distance (0..maxHops) from
+    * any seed vertex, over the undirected pair relation. The
+    * contamination-proximity primitive — "how many near-dup hops is
+    * each document from a KNOWN-bad seed" — where a plain decontam
+    * anti-join only removes direct hits, BFS depth grades the blast
+    * radius (a doc two template-hops from leaked eval data is still
+    * suspect).
+    *
+    * Frontier form: dist starts at 0 for seeds; each round joins the
+    * CURRENT FRONTIER (vertices first reached last round — not the
+    * whole reached set) against the edge relation and min-merges, so
+    * round r's join is |frontier_r|·d̄ work, the textbook
+    * level-synchronous BFS. maxHops bounds the loop (the oracle unrolls
+    * the same rounds); each round is one equi-join + one combine-agg
+    * min — two shuffles, no window, no driver state beyond the loop
+    * counter. localCheckpoint fences each round's result from re-deriving
+    * the upstream pair pipeline, same discipline as [[pageRank]].
+    *
+    * Output: (id, hops) for every vertex reached within maxHops —
+    * unreached vertices are absent (not sentinel-valued), so the result
+    * size is the reachable set, not the graph. */
+  def bfsHops(pairs: DataFrame, seeds: DataFrame, maxHops: Int = 3,
+      aCol: String = "id_a", bCol: String = "id_b",
+      seedCol: String = "id"): DataFrame = {
+    require(maxHops >= 1, "maxHops must be positive")
+    val und = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
+    val edges = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false)
+    var dist = seeds.select(col(seedCol).cast("long").as("id"))
+      .distinct()
+      .withColumn("hops", lit(0))
+      .localCheckpoint(false)
+    var frontier = dist
+    var hop = 1
+    while (hop <= maxHops) {
+      val next = frontier
+        .join(edges, frontier("id") === edges("u"))
+        .select(col("v").as("id"), lit(hop).as("hops"))
+        .join(dist.select(col("id"), lit(1).as("__seen")), Seq("id"), "left")
+        .filter(col("__seen").isNull)
+        .select(col("id"), col("hops"))
+        .distinct()
+        .localCheckpoint(false)
+      dist = dist.unionByName(next).localCheckpoint(false)
+      frontier = next
+      hop += 1
+    }
+    dist
+  }
+
   /** Order-independent checksum of a label assignment (one scalar
     * action) — same xor-of-hashes form as the edge [[checksum]]. */
   private def labelChecksum(labels: DataFrame): (Long, Long) = {

@@ -486,4 +486,25 @@ object Curation {
       .select(col(idCol), col(sourceCol), col(tokensCol),
         (col("__off") + col("__cum")).as("budget_pos"))
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple: for each distinct
+    * quasi-identifier combination, its equivalence-class size and
+    * whether it violates k-anonymity (class smaller than k — those rows
+    * are re-identifiable by the quasi-identifiers alone). The release
+    * gate that runs BEFORE a corpus with demographic/provenance columns
+    * ships: [[redactPii]] scrubs direct identifiers inside the text;
+    * this catches the indirect ones in the metadata.
+    *
+    * One map-side-combined aggregation on the quasi-identifier key —
+    * the output is attribute-combination-sized (not corpus-sized), so
+    * at 100 TB it is a single cheap pass; the violating classes join
+    * back against the corpus as a broadcast to drop or generalize the
+    * affected rows. */
+  def kAnonymityAudit(df: DataFrame, quasiIdCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiIdCols.nonEmpty && k >= 1, "need quasi-id columns and k >= 1")
+    df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
 }

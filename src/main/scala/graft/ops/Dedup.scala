@@ -890,4 +890,76 @@ object Dedup {
       .select(col("s1"), col("s2"),
         expr(s"($unit * n_both) div k_eff").as("j_micro"))
   }
+
+  /** Exact word-set-Jaccard self-join via PREFIX FILTERING (the
+    * SSJoin/PPJoin family, Chaudhuri et al. ICDE'06 / Xiao et al.
+    * WWW'08): all pairs with Jaccard(words(a), words(b)) ≥ num/den,
+    * without LSH's false negatives and without the all-pairs join
+    * [[ngramJaccardPairs]] pays.
+    *
+    * Why it is exact: if J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉ (because
+    * |A∪B| ≥ |A|), so at most |A| − ⌈t·|A|⌉ members of A fall outside
+    * the intersection; ordering every set by one GLOBAL token order and
+    * keeping each set's first |X| − ⌈t·|X|⌉ + 1 tokens (its prefix),
+    * any qualifying pair must collide on at least one prefix token.
+    * The candidate join therefore loses nothing, and the verification
+    * step keeps exactly the qualifying pairs.
+    *
+    * The global order is ascending document frequency (ties by token),
+    * so prefixes hold each document's RAREST tokens — the candidate
+    * join's key distribution is the df ordering's tail, which is what
+    * makes the filter selective: frequent tokens (huge buckets) never
+    * appear in a prefix unless a set is almost all stopwords.
+    *
+    * All arithmetic is integer: the threshold is the rational num/den,
+    * prefix length is n − ((num·n + den − 1) div den) + 1, and the
+    * verification predicate is c·den ≥ num·(n_a + n_b − c) — no float
+    * division, so a SQL oracle replays it bit-exactly.
+    *
+    * Scale shape: one tokenize+distinct pass (shuffle on (id, token)),
+    * one map-side-combined df aggregation (token-sized relation, join
+    * back to order tokens), a per-id window for prefix ranks (never
+    * global), the candidate equi-join on prefix tokens, and the
+    * verification join on candidate ids. No cross join anywhere; the
+    * quadratic corner (a token shared by many prefixes) is exactly the
+    * hot-bucket class every banded join here has, and is bounded by the
+    * df ordering itself — a token in B prefixes has df ≥ B, and high-df
+    * tokens are ranked out of prefixes first. */
+  def prefixFilterJaccardPairs(docs: DataFrame, num: Int, den: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(num > 0 && num <= den,
+      s"prefixFilterJaccardPairs: threshold $num/$den must be in (0, 1]")
+    val words = docs.select(col(idCol).as("id"),
+        explode(split(normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+      .localCheckpoint() // 3 consumers: df, sizes, verification join
+    val dfRel = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("w"))
+    val prefixes = words.join(dfRel, Seq("w"))
+      .withColumn("__rk", row_number().over(perDoc))
+      .join(sizes, Seq("id"))
+      .filter(col("__rk") <=
+        col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
+      .select(col("id"), col("w"))
+    val cand = prefixes.select(col("id").as("id_a"), col("w"))
+      .join(prefixes.select(col("id").as("id_b"), col("w")), Seq("w"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val inter = cand
+      .join(words.select(col("id").as("id_a"), col("w")), Seq("id_a"))
+      .join(words.select(col("id").as("id_b"), col("w").as("w_b")), Seq("id_b"))
+      .filter(col("w") === col("w_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .filter(col("inter") * den >= (col("n_a") + col("n_b") - col("inter")) * num)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("uni"))
+  }
 }

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.ops.{Cdc, Components, Curation, Dedup}
+
+/** Round-9 (third batch) operators: exact set-similarity self-join via
+  * prefix filtering (the PPJoin family — LSH-free, false-negative-free
+  * near-dup pairs), change-log materialization (last-writer-wins CDC
+  * snapshot and SCD type-2 validity intervals), the k-anonymity release
+  * audit over metadata quasi-identifiers, and bounded multi-source BFS
+  * hop distance over the near-dup graph (contamination blast radius).
+  *
+  * Same exactness contract as the sibling registries: integer / rational
+  * arithmetic in every similarity predicate, explicit unique tie-breakers
+  * in every window, so each query carries a full DuckDB replay oracle. */
+object LlmQueries6 {
+
+  // DuckDB mirror of Dedup.normalize (same as siblings).
+  private def normSql(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Exact word-Jaccard ≥ 0.9 pairs via prefix filtering
+    * ([[Dedup.prefixFilterJaccardPairs]]) over the bounded corpus slice.
+    * Unlike `dedup_minhash_lsh` this has NO false negatives — the
+    * candidate filter is lossless — so the oracle is the plain all-pairs
+    * definition, which the prefix-filtered plan must reproduce exactly. */
+  def dedupPpjoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+      .filter(col("doc_id") < 2000)
+    Dedup.prefixFilterJaccardPairs(docs, num = 9, den = 10)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Last-writer-wins CDC snapshot of the event log keyed by user:
+    * each user's latest event by (ts, event_id), with users whose latest
+    * event is an 'error' (the tombstone class in this test mapping)
+    * dropped entirely ([[Cdc.latestSnapshot]]). */
+  def cdcLatestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    Cdc.latestSnapshot(ev, Seq("user_id"), "ts", "event_id",
+        col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** SCD type-2 history of the event log keyed by user: every event
+    * becomes a [valid_from, valid_to) validity interval closed by the
+    * user's next event ([[Cdc.scd2History]]); the latest carries NULL
+    * valid_to / is_current = true. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Cdc.scd2History(ev, Seq("user_id"), "ts", "event_id")
+      .select(col("user_id"), col("event_id"),
+        col("version").cast("long").as("version"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** k-anonymity audit of the documents metadata under the
+    * quasi-identifier pair (lang, source) at k = 5
+    * ([[Curation.kAnonymityAudit]]): equivalence-class sizes with the
+    * re-identifiable (size < 5) classes flagged. */
+  def privacyKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Curation.kAnonymityAudit(
+        T.t(spark, dir, "documents"), Seq("lang", "source"), k = 5)
+      .orderBy(col("lang"), col("source"))
+
+  /** Bounded multi-source BFS over the near-dup graph (same MinHash
+    * edge relation as `graph_pagerank`): minimum hop distance 0..3 from
+    * the seed set doc_id ≡ 0 (mod 97) — the contamination-blast-radius
+    * grading a plain decontam anti-join can't express
+    * ([[Components.bfsHops]]). */
+  def graphBfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents").filter(col("doc_id") < 500)
+    val pairs = Dedup.minHashLshPairs(docs, threshold = 0.5)
+    val seeds = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("id"))
+    Components.bfsHops(pairs, seeds, maxHops = 3)
+      .select(col("id").as("doc_id"), col("hops"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_ppjoin" -> (dedupPpjoin _),
+    "cdc_latest_snapshot" -> (cdcLatestSnapshot _),
+    "scd2_history" -> (scd2History _),
+    "privacy_k_anonymity" -> (privacyKAnonymity _),
+    "graph_bfs_hops" -> (graphBfsHops _))
+
+  def oracle: Map[String, String] = Map(
+    // The oracle is the DEFINITION (all shared-token pairs, exact
+    // rational threshold), not a replay of the prefix filter — the
+    // filter is provably lossless, so both must agree bit-for-bit.
+    "dedup_ppjoin" ->
+      s"""WITH w AS (
+         |  SELECT DISTINCT doc_id AS id, u.w
+         |  FROM documents, unnest(string_split(${normSql("text")}, ' ')) AS u(w)
+         |  WHERE doc_id < 2000 AND u.w <> ''
+         |), sz AS (SELECT id, count(*) AS n FROM w GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+         |  FROM w a JOIN w b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(c AS BIGINT) AS inter,
+         |  CAST(sa.n + sb.n - c AS BIGINT) AS uni
+         |FROM inter
+         |JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+         |WHERE c * 10 >= 9 * (sa.n + sb.n - c)
+         |ORDER BY id_a, id_b""".stripMargin,
+    "cdc_latest_snapshot" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+    "scd2_history" ->
+      """SELECT user_id, event_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "privacy_k_anonymity" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS class_size,
+        |  count(*) < 5 AS at_risk
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    // Same MinHash edge CTEs as graph_triangles, then 3 unrolled
+    // level-synchronous BFS rounds (frontier = newly-reached only).
+    "graph_bfs_hops" ->
+      s"""WITH ${LlmQueries.gramsCteFor("grams", "doc_id < 500")},
+         |sig AS (SELECT id, ${LlmQueries.sigCols} FROM grams GROUP BY id),
+         |bands AS (SELECT id, r.range AS band, ${LlmQueries.bandCase} AS band_key
+         |  FROM sig CROSS JOIN range(4) r),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN grams ga ON ga.id = c.id_a
+         |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+         |  GROUP BY c.id_a, c.id_b),
+         |pairs AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b
+         |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
+         |und AS (SELECT id_a AS u, id_b AS v FROM pairs),
+         |edges AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+         |d0 AS (SELECT DISTINCT doc_id AS id FROM documents
+         |  WHERE doc_id < 500 AND doc_id % 97 = 0),
+         |f1 AS (SELECT DISTINCT e.v AS id FROM edges e JOIN d0 ON d0.id = e.u
+         |  WHERE e.v NOT IN (SELECT id FROM d0)),
+         |r1 AS (SELECT id FROM d0 UNION SELECT id FROM f1),
+         |f2 AS (SELECT DISTINCT e.v AS id FROM edges e JOIN f1 ON f1.id = e.u
+         |  WHERE e.v NOT IN (SELECT id FROM r1)),
+         |r2 AS (SELECT id FROM r1 UNION SELECT id FROM f2),
+         |f3 AS (SELECT DISTINCT e.v AS id FROM edges e JOIN f2 ON f2.id = e.u
+         |  WHERE e.v NOT IN (SELECT id FROM r2))
+         |SELECT id AS doc_id, hops FROM (
+         |  SELECT id, 0 AS hops FROM d0
+         |  UNION ALL SELECT id, 1 FROM f1
+         |  UNION ALL SELECT id, 2 FROM f2
+         |  UNION ALL SELECT id, 3 FROM f3)
+         |ORDER BY doc_id""".stripMargin)
+}

@@ -191,4 +191,20 @@ class ComponentsSpec extends SparkSpec {
     val b = Components.kCore(g, k = 3, sweeps = 10).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("bfsHops: min hop distance from multi-source seeds, bounded depth") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a triangle 10-11-12 and isolated seed 20
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 10L, 20L).toDF("id")
+    val got = Components.bfsHops(g, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, // 5 is 4 hops: absent
+      10L -> 0, 11L -> 1, 12L -> 1, 20L -> 0))
+    // multi-source min: adding seed 5 pulls 4 to distance 1
+    val got2 = Components.bfsHops(g, Seq(1L, 5L).toDF("id"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2 == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
 }

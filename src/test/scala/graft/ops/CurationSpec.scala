@@ -380,4 +380,17 @@ class CurationSpec extends SparkSpec {
     assert(again ==
       Curation.planMixEpochs(df, "src", 250L).collect().map(_.toSeq).toSet)
   }
+
+  test("kAnonymityAudit flags equivalence classes smaller than k") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("en", "web")) ++ Seq.fill(2)(("en", "books")) ++
+        Seq(("fr", "web")))
+      .toDF("lang", "source")
+    val got = Curation.kAnonymityAudit(df, Seq("lang", "source"), k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(("en", "web", 5L, false), ("en", "books", 2L, true),
+      ("fr", "web", 1L, true)))
+  }
 }

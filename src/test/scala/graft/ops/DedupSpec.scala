@@ -466,4 +466,40 @@ class DedupSpec extends SparkSpec {
     assert(again ==
       Dedup.repeatedSubstringRuns(docs, w = 4).collect().map(_.toSeq).toSet)
   }
+
+  test("prefix-filter join equals brute-force word Jaccard (lossless filter)") {
+    import spark.implicits._
+    // 30 docs over a tiny shared vocabulary — dense enough that pairs at
+    // several thresholds exist and the prefix filter has real work to do
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val d = docs((0 until 30).map { i =>
+      val words = vocab.indices.filter(j => (i + j) % 3 != 0 || j % (i % 4 + 1) == 0)
+        .map(vocab)
+      (i.toLong, words.mkString(" "))
+    }: _*)
+    def brute(num: Int, den: Int): Set[(Long, Long, Long, Long)] = {
+      val sets = d.collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSet).toMap
+      (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        c = (sets(a) & sets(b)).size.toLong
+        u = (sets(a) | sets(b)).size.toLong
+        if c * den >= num * u
+      } yield (a, b, c, u)).toSet
+    }
+    for ((num, den) <- Seq((1, 2), (7, 10), (9, 10))) {
+      val got = Dedup.prefixFilterJaccardPairs(d, num, den)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == brute(num, den), s"threshold $num/$den")
+    }
+    // partition invariance
+    val a = Dedup.prefixFilterJaccardPairs(d.repartition(7), 1, 2)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.prefixFilterJaccardPairs(d, 1, 2)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
