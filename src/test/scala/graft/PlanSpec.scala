@@ -76,6 +76,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("prefix-filter join: candidate + verification joins are equi-joins") {
+    val docs = T.t(spark, dir, "documents")
+    val p = plan(ops.Dedup.prefixFilterJaccardPairs(docs, num = 9, den = 10))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("cross-corpus decontamination join is an equi-join, never cartesian") {
     val docs = T.t(spark, dir, "documents")
     val p = plan(ops.Dedup.crossCorpusPairs(
