@@ -195,5 +195,6 @@ object Bench {
     // round-9 third batch: lossless prefix-filter similarity join, CDC
     // materialization, k-anonymity release audit, contamination BFS
     "dedup_ppjoin", "cdc_latest_snapshot", "scd2_history",
-    "privacy_k_anonymity", "graph_bfs_hops")
+    "privacy_k_anonymity", "graph_bfs_hops", "event_decayed_counts",
+    "corpus_snapshot_diff")
 }

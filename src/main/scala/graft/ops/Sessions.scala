@@ -285,4 +285,43 @@ object Sessions {
     dev.join(broadcast(mad), Seq(groupCol))
       .filter(expr(s"2 * dev_half > $k * mad_quarter"))
   }
+
+  /** Half-life-decayed engagement: per (key, class), the
+    * exponentially-decayed sum of cent values — recency-weighted
+    * popularity / activity, the freshness signal a data-mix or
+    * ranking pipeline feeds on (decayed source activity, decayed user
+    * engagement, decayed URL popularity).
+    *
+    * Exactness: decay is quantized to WHOLE half-lives against the
+    * stream's max timestamp (one-row broadcast): a row `b` half-lives
+    * old contributes `(cents · unit) div 2^min(b, 40)` micro-units —
+    * integer shift arithmetic only, so the oracle replays it
+    * bit-exactly (the idiomatic float `0.5^(Δt/h)` is
+    * order-dependent under summation and engine-divergent). The 2^40
+    * cap floors contributions older than 40 half-lives to the same
+    * negligible bucket instead of overflowing the shift.
+    *
+    * Scale shape: one scalar max-ts aggregation broadcast back
+    * (one-row crossJoin), then a single map + combine-agg on the
+    * (key, class) pair — no window, no per-key state; the output is
+    * key-cardinality-sized. In streaming form the same arithmetic
+    * merges incrementally: decayed sums age by a constant factor per
+    * half-life, so a ledger of per-period sums re-weights on read
+    * (the [[Sketches]] WAU/MAU ledger discipline). */
+  def decayedCounts(events: DataFrame, halfLifeSeconds: Long,
+      keyCols: Seq[String], tsCol: String = "ts",
+      valueCol: String = "value", unit: Long = 1000000L): DataFrame = {
+    require(halfLifeSeconds > 0, "halfLifeSeconds must be positive")
+    val maxTs = events.agg(max(unix_timestamp(col(tsCol))).as("__tmax"))
+    events.crossJoin(broadcast(maxTs))
+      .withColumn("__cents",
+        expr(s"CAST(round($valueCol * 100, 0) AS LONG)"))
+      .withColumn("__hl", least(
+        expr(s"(__tmax - unix_timestamp($tsCol)) div ${halfLifeSeconds}L"),
+        lit(40L)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr(s"(__cents * ${unit}L) div shiftleft(1L, CAST(__hl AS INT))"))
+          .as("decayed_micro"))
+  }
 }

@@ -3,14 +3,16 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Cdc, Components, Curation, Dedup}
+import graft.ops.{Cdc, Components, Curation, Dedup, Sessions}
 
 /** Round-9 (third batch) operators: exact set-similarity self-join via
   * prefix filtering (the PPJoin family — LSH-free, false-negative-free
   * near-dup pairs), change-log materialization (last-writer-wins CDC
   * snapshot and SCD type-2 validity intervals), the k-anonymity release
-  * audit over metadata quasi-identifiers, and bounded multi-source BFS
-  * hop distance over the near-dup graph (contamination blast radius).
+  * audit over metadata quasi-identifiers, bounded multi-source BFS
+  * hop distance over the near-dup graph (contamination blast radius),
+  * half-life-decayed engagement (integer shift decay), and the
+  * snapshot-over-snapshot corpus diff (incremental-reprocessing gate).
   *
   * Same exactness contract as the sibling registries: integer / rational
   * arithmetic in every similarity predicate, explicit unique tie-breakers
@@ -86,14 +88,75 @@ object LlmQueries6 {
       .orderBy(col("doc_id"))
   }
 
+  /** Half-life-decayed engagement per (user, event class): 7-day
+    * half-life, whole-half-life integer shift decay against the
+    * stream's max timestamp ([[Sessions.decayedCounts]]) — the
+    * recency-weighted activity signal, bit-exact across engines. */
+  def eventDecayedCounts(spark: SparkSession, dir: String): DataFrame =
+    Sessions.decayedCounts(T.events(spark, dir),
+        halfLifeSeconds = 7L * 86400L, keyCols = Seq("user_id", "event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Snapshot-over-snapshot corpus diff rolled up per source: old
+    * snapshot drops doc_id ≡ 7 (mod 10), new snapshot drops doc_id ≡ 3
+    * (mod 17) and rewrites the text of doc_id ≡ 0 (mod 13) —
+    * [[Dedup.snapshotDiff]] classifies
+    * every id added/removed/changed/unchanged by content hash; the
+    * roll-up is the incremental-reprocessing budget per source. */
+  def corpusSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val oldSnap = docs.filter(col("doc_id") % 10 =!= 7)
+    val newSnap = docs.filter(col("doc_id") % 17 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    Dedup.snapshotDiff(oldSnap, newSnap)
+      .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("status"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_ppjoin" -> (dedupPpjoin _),
     "cdc_latest_snapshot" -> (cdcLatestSnapshot _),
     "scd2_history" -> (scd2History _),
     "privacy_k_anonymity" -> (privacyKAnonymity _),
-    "graph_bfs_hops" -> (graphBfsHops _))
+    "graph_bfs_hops" -> (graphBfsHops _),
+    "event_decayed_counts" -> (eventDecayedCounts _),
+    "corpus_snapshot_diff" -> (corpusSnapshotDiff _))
 
   def oracle: Map[String, String] = Map(
+    "event_decayed_counts" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        |  FROM events),
+        |m AS (SELECT max(sec) AS tmax FROM e)
+        |SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum((cents * 1000000)
+        |    // (CAST(1 AS BIGINT) << CAST(least((tmax - sec) // 604800, 40) AS INTEGER)))
+        |    AS BIGINT) AS decayed_micro
+        |FROM e CROSS JOIN m
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "corpus_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id AS id, md5(${normSql("text")}) AS h_old
+         |  FROM documents WHERE doc_id % 10 <> 7),
+         |n AS (SELECT doc_id AS id,
+         |    md5(${normSql("CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END")}) AS h_new
+         |  FROM documents WHERE doc_id % 17 <> 3),
+         |d AS (SELECT coalesce(o.id, n.id) AS id,
+         |    CASE WHEN h_old IS NULL THEN 'added'
+         |         WHEN h_new IS NULL THEN 'removed'
+         |         WHEN h_old = h_new THEN 'unchanged'
+         |         ELSE 'changed' END AS status
+         |  FROM o FULL JOIN n ON o.id = n.id)
+         |SELECT s.source, d.status, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM d JOIN documents s ON s.doc_id = d.id
+         |GROUP BY s.source, d.status
+         |ORDER BY s.source, d.status""".stripMargin,
     // The oracle is the DEFINITION (all shared-token pairs, exact
     // rational threshold), not a replay of the prefix filter — the
     // filter is provably lossless, so both must agree bit-for-bit.

@@ -502,4 +502,21 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged by content") {
+    val oldSnap = docs(
+      1L -> "stable doc",
+      2L -> "doomed doc",
+      3L -> "old wording here",
+      4L -> "Punctuation, only!")
+    val newSnap = docs(
+      1L -> "stable doc",
+      3L -> "new wording here",
+      4L -> "punctuation only",      // same after normalization -> unchanged
+      5L -> "fresh doc")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "removed", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added"), got.toString)
+  }
 }

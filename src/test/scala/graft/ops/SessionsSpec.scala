@@ -238,4 +238,30 @@ class SessionsSpec extends SparkSpec {
       .collect().toSeq
     assert(out2 == Seq(3L), s"got $out2")
   }
+
+  test("decayedCounts: whole-half-life shift decay, hand-computed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      ("u1", 100L, 1.00), // 0 half-lives old -> full weight
+      ("u1", 95L, 1.00),  // 5s / hl=10 -> still bucket 0
+      ("u1", 80L, 1.00),  // 20s -> bucket 2 -> /4
+      ("u2", 100L, 2.00)) // anchor defines tmax = 100
+      .toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Sessions.decayedCounts(ev, halfLifeSeconds = 10L,
+        keyCols = Seq("user_id"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // u1: 100e6 + 100e6 + 100e6/4 = 225_000_000
+    assert(got("u1") == ((3L, 225000000L)), got.toString)
+    assert(got("u2") == ((1L, 200000000L)), got.toString)
+    // cap: an event 1000 half-lives old shifts by 40, not 1000
+    val old = Seq(("u3", 100L, 1.00), ("u3", 100L - 10000L, 1.00))
+      .toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val capped = Sessions.decayedCounts(old, halfLifeSeconds = 10L,
+        keyCols = Seq("user_id")).collect().head.getLong(2)
+    assert(capped == 100000000L + 100000000L / (1L << 40), capped.toString)
+  }
 }
