@@ -507,4 +507,31 @@ object Curation {
       .agg(count(lit(1)).as("class_size"))
       .withColumn("at_risk", col("class_size") < k)
   }
+
+  /** Leakage-safe split assignment: the split draw is keyed by the
+    * near-dup CLUSTER representative, not the document — every member
+    * of a duplicate cluster lands in the SAME split, so a test doc can
+    * never be a near-copy of a train doc (the failure mode
+    * `split_leakage_check` AUDITS, prevented by construction here;
+    * per-doc [[assignSplit]] scatters a 50-copy cluster across all
+    * three splits with probability ~1).
+    *
+    * `pairs` is any verified near-dup pair relation (MinHash, SimHash,
+    * prefix-filter…); docs in no pair are their own singleton cluster.
+    * Scale shape: [[graft.ops.Components.connectedComponents]] over the
+    * pair minority + one left join of the component labels back to the
+    * corpus + a map-side hash split — the corpus never enters the
+    * component loop. */
+  def splitByCluster(docs: DataFrame, pairs: DataFrame,
+      weights: Seq[(String, Double)], idCol: String = "doc_id",
+      aCol: String = "id_a", bCol: String = "id_b",
+      salt: String = "split"): DataFrame = {
+    val comps = graft.ops.Components
+      .connectedComponents(pairs, srcCol = aCol, dstCol = bCol)
+      .select(col("id").as(idCol), col("component"))
+    docs.join(comps, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("component"), col(idCol)))
+      .withColumn("split", assignSplit(col("cluster_rep"), weights, salt))
+      .drop("component")
+  }
 }

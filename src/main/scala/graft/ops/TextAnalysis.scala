@@ -1413,4 +1413,55 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_grams"),
         expr("__sr div n_grams").cast("long").as("ratio_micro"))
   }
+
+  /** Per-document language-consistency profile from SENTENCE-level
+    * language ID: number of sentences, number of adjacent-sentence
+    * language switches (code-switching signal), the dominant sentence
+    * language and its share in micro-units. A doc-level [[langGuess]]
+    * hides mixed-language documents entirely — a half-English,
+    * half-German page votes 'en' or 'de' and looks clean; the
+    * sentence-level profile exposes it (high switch count, low
+    * dominant share), which is what a language-routing or
+    * mixed-doc-filtering stage keys on.
+    *
+    * Sentences split on the same `\.\s+` boundary as
+    * [[Chunking.sentenceChunks]]; each sentence votes via the same
+    * marker argmax as [[langGuess]] (declaration-order tie-break), so
+    * both stages share one replayable definition. Dominant-language
+    * ties break toward the lexicographically GREATEST language code
+    * (max over (count, lang) structs — deterministic, engine-portable).
+    *
+    * Scale shape: one posexplode pass, a per-doc lag window + one
+    * (doc, lang) combine-agg + one per-doc argmax combine-agg — two
+    * shuffles on doc_id, no corpus-sized window, output one row per
+    * document. */
+  def sentenceLangProfile(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", unit: Long = 1000000L): DataFrame = {
+    val sents = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\.\\s+")).as(Seq("__i", "__s")))
+      .withColumn("__s", trim(col("__s")))
+      .filter(col("__s") =!= "")
+      .withColumn("__lang", langGuess(col("__s")))
+      .localCheckpoint(false) // consumed by the switch window + the counts
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__i"))
+    val switches = sents
+      .withColumn("__prev", lag(col("__lang"), 1).over(wd))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("__prev").isNotNull &&
+          col("__prev") =!= col("__lang"), 1L).otherwise(0L))
+          .as("n_switches"))
+    val dominant = sents.groupBy(col("id"), col("__lang"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("__c"), col("__lang"))).as("__m"))
+      .select(col("id"), col("__m.__lang").as("dominant_lang"),
+        col("__m.__c").as("__dc"))
+    switches.join(dominant, Seq("id"))
+      .select(col("id").as(idCol), col("n_sentences"), col("n_switches"),
+        col("dominant_lang"),
+        expr(s"($unit * __dc) div n_sentences").as("dominant_micro"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Cdc, Components, Curation, Dedup, Sessions}
+import graft.ops.{Cdc, Components, Curation, Dedup, Sessions, TextAnalysis}
 
 /** Round-9 (third batch) operators: exact set-similarity self-join via
   * prefix filtering (the PPJoin family — LSH-free, false-negative-free
@@ -117,6 +117,29 @@ object LlmQueries6 {
       .orderBy(col("source"), col("status"))
   }
 
+  /** Leakage-safe cluster-keyed split assignment over the bounded
+    * corpus slice: near-dup clusters from the MinHash pair relation,
+    * split drawn per cluster REPRESENTATIVE (80/10/10) so duplicate
+    * clusters never straddle splits ([[Curation.splitByCluster]]) —
+    * the constructive counterpart of `split_leakage_check`'s audit. */
+  def splitByCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents").filter(col("doc_id") < 500)
+    val pairs = Dedup.minHashLshPairs(docs, threshold = 0.5)
+    Curation.splitByCluster(docs.select(col("doc_id"), col("source")), pairs,
+        LlmQueries.SplitWeights)
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sentence-level language-consistency profile
+    * ([[TextAnalysis.sentenceLangProfile]]): switches between adjacent
+    * sentence languages + dominant-language share — the code-switching
+    * / mixed-document signal a doc-level language ID cannot see. */
+  def textMixedLang(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sentenceLangProfile(
+        T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_ppjoin" -> (dedupPpjoin _),
     "cdc_latest_snapshot" -> (cdcLatestSnapshot _),
@@ -124,9 +147,100 @@ object LlmQueries6 {
     "privacy_k_anonymity" -> (privacyKAnonymity _),
     "graph_bfs_hops" -> (graphBfsHops _),
     "event_decayed_counts" -> (eventDecayedCounts _),
-    "corpus_snapshot_diff" -> (corpusSnapshotDiff _))
+    "corpus_snapshot_diff" -> (corpusSnapshotDiff _),
+    "split_by_cluster" -> (splitByCluster _),
+    "text_mixed_lang" -> (textMixedLang _))
+
+  // Split CASE keyed by the cluster representative — the same exact IEEE
+  // bound values assignSplit bakes into the Spark plan (splitBounds).
+  private def splitCaseOn(keyExpr: String): String = {
+    val bounds = Curation.splitBounds(LlmQueries.SplitWeights)
+    val u = Curation.hashFractionSql(keyExpr, "split")
+    bounds.init.map { case (n, b) => s"WHEN $u < $b THEN '$n'" }
+      .mkString("CASE ", " ", s" ELSE '${bounds.last._1}' END")
+  }
+
+  // Sentence-level language argmax: same marker lists + declaration-order
+  // tie-break as TextAnalysis.langGuess, applied to a sentence expression.
+  private def langCaseOn(sentExpr: String): String = {
+    val ws = s"string_split(${normSql(sentExpr)}, ' ')"
+    def hits(markers: Seq[String]) =
+      s"len(list_filter($ws, w -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], w)))"
+    val h = TextAnalysis.LangMarkers.map { case (l, m) => l -> hits(m) }
+    val Seq(en, de, es, fr) = h.map(_._2)
+    s"""CASE
+       |  WHEN $en > 0 AND $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       |  WHEN $de > 0 AND $de > $en AND $de >= $es AND $de >= $fr THEN 'de'
+       |  WHEN $es > 0 AND $es > $en AND $es > $de AND $es >= $fr THEN 'es'
+       |  WHEN $fr > 0 AND $fr > $en AND $fr > $de AND $fr > $es THEN 'fr'
+       |  ELSE 'unknown' END""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
+    // MinHash pair chain (graph_triangles CTEs) → recursive components
+    // (min-label reach, the dedup_cc_clusters oracle form) → singleton
+    // fallback → the exact-IEEE split CASE on the representative.
+    "split_by_cluster" ->
+      s"""WITH RECURSIVE ${LlmQueries.gramsCteFor("grams", "doc_id < 500")},
+         |sig AS (SELECT id, ${LlmQueries.sigCols} FROM grams GROUP BY id),
+         |bands AS (SELECT id, r.range AS band, ${LlmQueries.bandCase} AS band_key
+         |  FROM sig CROSS JOIN range(4) r),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN grams ga ON ga.id = c.id_a
+         |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+         |  GROUP BY c.id_a, c.id_b),
+         |pairs AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b
+         |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep,
+         |  ${splitCaseOn("coalesce(c.component, d.doc_id)")} AS split
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |WHERE d.doc_id < 500
+         |ORDER BY d.doc_id""".stripMargin,
+    // Sentence split (rag_sentence_chunks CTE form) → per-sentence lang
+    // vote → adjacent-switch window + (doc, lang) counts → argmax by
+    // (count, lang) — Spark's max(struct) tie-break replayed as
+    // ORDER BY c DESC, lang DESC.
+    "text_mixed_lang" ->
+      s"""WITH s0 AS (SELECT doc_id, CAST(r.i AS INTEGER) AS i,
+         |    trim(sp[CAST(r.i + 1 AS INTEGER)]) AS s
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS sp
+         |        FROM documents)
+         |  CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(0, len(sp) - 1)) AS i) r),
+         |sl AS (SELECT doc_id, i, ${langCaseOn("s")} AS lang
+         |  FROM s0 WHERE s <> ''),
+         |sw AS (SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_sentences,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> lang
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+         |  FROM (SELECT doc_id, lang,
+         |      lag(lang) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+         |    FROM sl) GROUP BY doc_id),
+         |cnt AS (SELECT doc_id, lang, count(*) AS c
+         |  FROM sl GROUP BY doc_id, lang),
+         |dom AS (SELECT doc_id, lang AS dominant_lang, c FROM (
+         |  SELECT doc_id, lang, c, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY c DESC, lang DESC) AS rn FROM cnt) WHERE rn = 1)
+         |SELECT sw.doc_id, sw.n_sentences, sw.n_switches,
+         |  dom.dominant_lang,
+         |  CAST((1000000 * dom.c) // sw.n_sentences AS BIGINT)
+         |    AS dominant_micro
+         |FROM sw JOIN dom ON dom.doc_id = sw.doc_id
+         |ORDER BY sw.doc_id""".stripMargin,
     "event_decayed_counts" ->
       """WITH e AS (SELECT user_id, event_type,
         |    CAST(round(value * 100, 0) AS BIGINT) AS cents,

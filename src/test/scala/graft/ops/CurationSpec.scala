@@ -381,6 +381,32 @@ class CurationSpec extends SparkSpec {
       Curation.planMixEpochs(df, "src", 250L).collect().map(_.toSeq).toSet)
   }
 
+  test("splitByCluster: whole clusters share a split; singletons keyed by own id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // cluster {1,2,3} via a pair chain, cluster {10,11}, singletons 20, 21
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Curation.splitByCluster(docs, pairs, w)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    // one rep + one split per cluster, min-id representative
+    assert(Set(1L, 2L, 3L).map(byDoc(_)).size == 1)
+    assert(byDoc(1L)._1 == 1L)
+    assert(Set(10L, 11L).map(byDoc(_)).size == 1)
+    assert(byDoc(10L)._1 == 10L)
+    // singletons are their own rep, split = plain per-doc assignment
+    assert(byDoc(20L)._1 == 20L)
+    val expected = docs.select(col("doc_id"),
+        Curation.assignSplit(col("doc_id"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc(20L)._2 == expected(20L) && byDoc(21L)._2 == expected(21L))
+    // cluster split equals the REPRESENTATIVE's per-key draw
+    assert(byDoc(2L)._2 == expected(1L))
+  }
+
   test("kAnonymityAudit flags equivalence classes smaller than k") {
     import spark.implicits._
     val df = (Seq.fill(5)(("en", "web")) ++ Seq.fill(2)(("en", "books")) ++

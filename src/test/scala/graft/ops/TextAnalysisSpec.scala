@@ -611,4 +611,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again ==
       TextAnalysis.hashCosineTopK(docs, qs, k = 3).collect().map(_.toSeq).toSet)
   }
+
+  test("sentenceLangProfile: switches, dominant share, mixed-doc exposure") {
+    import spark.implicits._
+    val d = Seq(
+      // en, de, en -> 2 switches, dominant en 2/3
+      (1L, "the cat is a friend. der hund ist und brav. the end is near."),
+      // uniform en, no switches
+      (2L, "the a of. and the is. of and a."),
+      // single sentence
+      (3L, "la y el es")).toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceLangProfile(d)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((3L, 2L, "en", 666666L)), got(1L).toString)
+    assert(got(2L) == ((3L, 0L, "en", 1000000L)), got(2L).toString)
+    assert(got(3L) == ((1L, 0L, "es", 1000000L)), got(3L).toString)
+  }
 }
