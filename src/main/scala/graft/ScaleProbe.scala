@@ -76,6 +76,16 @@ object ScaleProbe {
     graft.ops.Components.kCore(pairs, k = 3, sweeps = 3)
   }
 
+  /** dedup_ppjoin widened to the < 2000 slice of every copy: 10 disjoint
+    * token universes (copy-prefixed words), so the df relation, prefix
+    * buckets, and verified pairs all scale 10× with zero cross-copy
+    * interaction — the prefix-filter join's weak-scaling instance. */
+  private def ppjoinProbe(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.prefixFilterJaccardPairs(
+      T.par(spark, T.t(spark, dir, "documents"))
+        .filter(col("doc_id") % Offset < 2000),
+      num = 9, den = 10)
+
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val synthDir = "/tmp/graft-sf1-synth"
@@ -116,7 +126,11 @@ object ScaleProbe {
       // corpus; query catalogs stay fixed) and ExactSubstr runs (the
       // shingle count + semi-join + run windows all scale with corpus)
       "sim_rrf_hybrid" -> SparkEntry.queries("sim_rrf_hybrid"),
-      "dedup_repeated_runs" -> SparkEntry.queries("dedup_repeated_runs"))
+      "dedup_repeated_runs" -> SparkEntry.queries("dedup_repeated_runs"),
+      // round-9 third batch: the prefix-filter similarity join over the
+      // per-copy slice (disjoint token universes — candidates, df, and
+      // verified pairs scale linearly, no cross-copy interaction)
+      "dedup_ppjoin_x10" -> (ppjoinProbe _))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
