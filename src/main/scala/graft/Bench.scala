@@ -196,5 +196,6 @@ object Bench {
     // materialization, k-anonymity release audit, contamination BFS
     "dedup_ppjoin", "cdc_latest_snapshot", "scd2_history",
     "privacy_k_anonymity", "graph_bfs_hops", "event_decayed_counts",
-    "corpus_snapshot_diff", "split_by_cluster", "text_mixed_lang")
+    "corpus_snapshot_diff", "split_by_cluster", "text_mixed_lang",
+    "source_orc_roundtrip")
 }

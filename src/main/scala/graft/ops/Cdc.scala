@@ -1,8 +1,15 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** One change-log mutation: key, (ts, seq) version vector, tombstone
+  * flag, payload. The streaming mirror of [[Cdc.latestSnapshot]]'s
+  * column contract. */
+case class CdcRecord(key: Long, ts: Long, seq: Long, deleted: Boolean,
+  payload: String)
 
 /** Change-log materialization operators: the two standard shapes for
   * turning an append-only mutation log (CDC feed, crawl-snapshot diff
@@ -60,4 +67,31 @@ object Cdc {
       .withColumn("version", row_number().over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Streaming last-writer-wins state: the incremental mirror of
+    * [[latestSnapshot]] — each micro-batch emits, per touched key, the
+    * key's new winning version by (ts, seq). Tombstones STAY IN STATE
+    * (and are emitted with `deleted = true`, the downstream delete
+    * marker): forgetting them would let a late out-of-order update
+    * resurrect a deleted key, which is the classic streaming-CDC bug.
+    * Late updates older than the stored winner are absorbed silently
+    * (the state re-emits unchanged) — same total order, so batch
+    * replay and streaming state always agree.
+    *
+    * State per key is ONE version (not the log), so state size is the
+    * live key space; `mapGroupsWithState` emits exactly one row per
+    * touched key per batch (Update mode). */
+  def streamingLatestState(log: Dataset[CdcRecord]): Dataset[CdcRecord] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    log.groupByKey(_.key)
+      .mapGroupsWithState[CdcRecord, CdcRecord](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[CdcRecord], state: GroupState[CdcRecord]) =>
+          val winner = (state.getOption.iterator ++ rows)
+            .maxBy(r => (r.ts, r.seq))
+          state.update(winner)
+          winner.copy(key = key)
+      }
+  }
+
 }

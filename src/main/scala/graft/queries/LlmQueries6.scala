@@ -140,6 +140,21 @@ object LlmQueries6 {
         T.par(spark, T.t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** ORC interchange round trip, gated end-to-end like
+    * `source_jsonl_roundtrip`: the documents table written as ORC
+    * (Spark-native writer, zlib), read back, fingerprint-compared
+    * against the parquet original by the oracle — the second columnar
+    * interchange format a mixed-engine lakehouse actually ships. */
+  def sourceOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val path = "/tmp/graft-orc-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    docs.write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_ppjoin" -> (dedupPpjoin _),
     "cdc_latest_snapshot" -> (cdcLatestSnapshot _),
@@ -149,7 +164,8 @@ object LlmQueries6 {
     "event_decayed_counts" -> (eventDecayedCounts _),
     "corpus_snapshot_diff" -> (corpusSnapshotDiff _),
     "split_by_cluster" -> (splitByCluster _),
-    "text_mixed_lang" -> (textMixedLang _))
+    "text_mixed_lang" -> (textMixedLang _),
+    "source_orc_roundtrip" -> (sourceOrcRoundtrip _))
 
   // Split CASE keyed by the cluster representative — the same exact IEEE
   // bound values assignSplit bakes into the Spark plan (splitBounds).
@@ -177,6 +193,9 @@ object LlmQueries6 {
   }
 
   def oracle: Map[String, String] = Map(
+    "source_orc_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // MinHash pair chain (graph_triangles CTEs) → recursive components
     // (min-label reach, the dedup_cc_clusters oracle form) → singleton
     // fallback → the exact-IEEE split CASE on the representative.

@@ -59,6 +59,45 @@ class CdcSpec extends SparkSpec {
       (2L, 1, "x", 15L, -1L, true)))
   }
 
+  test("streamingLatestState: LWW across batches; tombstones block resurrection") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcRecord]
+    val q = Cdc.streamingLatestState(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_state_out").start()
+    def latest(): Map[Long, (Long, Boolean, String)] = {
+      // Update sink appends one row per touched key per batch; the
+      // per-key winner is the max (ts, seq) emission.
+      spark.table("cdc_state_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getString(4)))
+        .groupBy(_._1)
+        .map { case (k, rows) =>
+          val w = rows.maxBy(t => (t._2, t._3))
+          k -> ((w._2, w._4, w._5))
+        }
+    }
+    try {
+      input.addData(CdcRecord(1L, 10L, 1L, false, "a"),
+        CdcRecord(1L, 20L, 2L, false, "b"), CdcRecord(2L, 5L, 3L, false, "x"))
+      q.processAllAvailable()
+      assert(latest() == Map(1L -> ((20L, false, "b")), 2L -> ((5L, false, "x"))))
+      // late out-of-order update (ts 15 < stored 20) is absorbed
+      input.addData(CdcRecord(1L, 15L, 4L, false, "stale"))
+      q.processAllAvailable()
+      assert(latest()(1L) == ((20L, false, "b")))
+      // tombstone wins and STAYS: a later-arriving older update cannot
+      // resurrect the key
+      input.addData(CdcRecord(2L, 30L, 5L, true, ""))
+      q.processAllAvailable()
+      input.addData(CdcRecord(2L, 25L, 6L, false, "zombie"))
+      q.processAllAvailable()
+      assert(latest()(2L) == ((30L, true, "")))
+    } finally q.stop()
+  }
+
   test("scd2History then as-of probe is point-in-time correct") {
     val l = log(
       (1L, 10L, 1L, "upsert", "a"),
