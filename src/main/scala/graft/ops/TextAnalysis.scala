@@ -1464,4 +1464,47 @@ object TextAnalysis {
         col("dominant_lang"),
         expr(s"($unit * __dc) div n_sentences").as("dominant_micro"))
   }
+
+  /** TextTiling-style topic segmentation summary: sentences are the
+    * tiles; a segment boundary falls between adjacent sentences whose
+    * lexical cohesion — Jaccard over their distinct normalized word
+    * sets — drops below the rational threshold num/den
+    * (`inter·den < num·union`, integer cross-multiplication like every
+    * similarity predicate here; Hearst 1997's block comparison reduced
+    * to the exact 1-sentence-block case). Output per document:
+    * sentence count, boundary count, segment count (boundaries + 1).
+    * The structure signal for long-document chunking policy: a doc
+    * with many low-cohesion boundaries is a concatenation (forum dump,
+    * scraped listing) that sentence-budget chunking should split at
+    * boundaries, not mid-topic.
+    *
+    * Scale shape: one posexplode pass, word sets built map-side as
+    * arrays (array_distinct — no per-word explosion), ONE per-doc lag
+    * window for adjacency, one combine-agg — a single shuffle on
+    * doc_id; the window partitions by doc, never globally. */
+  def topicSegments(docs: DataFrame, num: Int = 1, den: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(num > 0 && den > 0, "threshold must be a positive rational")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__i"))
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\.\\s+")).as(Seq("__i", "__s")))
+      .withColumn("__s", trim(col("__s")))
+      .filter(col("__s") =!= "")
+      .withColumn("__ws", array_remove(
+        array_distinct(split(graft.ops.Dedup.normalize(col("__s")), " ")), ""))
+      .withColumn("__prev", lag(col("__ws"), 1).over(wd))
+      .withColumn("__inter",
+        size(array_intersect(col("__prev"), col("__ws"))).cast("long"))
+      .withColumn("__uni",
+        (size(col("__prev")) + size(col("__ws"))).cast("long") - col("__inter"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("__prev").isNotNull &&
+          col("__inter") * den < col("__uni") * num, 1L).otherwise(0L))
+          .as("n_boundaries"))
+      .select(col("id").as(idCol), col("n_sentences"), col("n_boundaries"),
+        (col("n_boundaries") + 1L).as("n_segments"))
+  }
 }

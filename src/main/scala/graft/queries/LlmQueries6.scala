@@ -155,6 +155,45 @@ object LlmQueries6 {
       .orderBy(col("doc_id"))
   }
 
+  /** Host-graph centrality from real markup: pages are synthesized with
+    * three `<a href>` links each (host index arithmetic on doc_id, like
+    * `text_html_strip`'s page synthesis), hosts extracted from the HTML
+    * with `regexp_extract_all`, and the directed host→host link graph
+    * ranked by [[Components.pageRank]] (3 iterations, integer
+    * micro-units) — the crawl-frontier / source-reputation composition:
+    * extract → edge relation → centrality, all relational.
+    *
+    * Scale shape: extraction is one map pass over the corpus; the edge
+    * relation collapses to DISTINCT host pairs (host-cardinality-sized,
+    * not corpus-sized) before entering the rank loop. */
+  def graphHostRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    def a(j: Int, p: String) = concat(
+      lit("<a href=\"http://h"), (col("doc_id") * 7 + j) % 50,
+      lit(s".ex.com/$p\">$p</a>"))
+    val pages = docs.select(col("doc_id"),
+      concat(lit("<html><body>"), a(1, "a"), a(2, "b"), a(3, "c"),
+        lit("</body></html>")).as("__page"))
+    val edges = pages
+      .select((col("doc_id") % 50).as("src"),
+        explode(expr(
+          """regexp_extract_all(__page, '"http://h([0-9]+)\\.', 1)"""))
+          .as("__h"))
+      .select(col("src"), col("__h").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    Components.pageRank(edges, iters = 3)
+      .select(col("id").as("host_id"), col("pr"))
+      .orderBy(col("host_id"))
+  }
+
+  /** TextTiling-style topic segmentation summary
+    * ([[TextAnalysis.topicSegments]]): boundaries where adjacent
+    * sentences' word-set Jaccard drops below 1/5 — the
+    * concatenated-document detector chunking policy keys on. */
+  def textTopicSegments(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topicSegments(T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_ppjoin" -> (dedupPpjoin _),
     "cdc_latest_snapshot" -> (cdcLatestSnapshot _),
@@ -165,7 +204,9 @@ object LlmQueries6 {
     "corpus_snapshot_diff" -> (corpusSnapshotDiff _),
     "split_by_cluster" -> (splitByCluster _),
     "text_mixed_lang" -> (textMixedLang _),
-    "source_orc_roundtrip" -> (sourceOrcRoundtrip _))
+    "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
+    "graph_host_rank" -> (graphHostRank _),
+    "text_topic_segments" -> (textTopicSegments _))
 
   // Split CASE keyed by the cluster representative — the same exact IEEE
   // bound values assignSplit bakes into the Spark plan (splitBounds).
@@ -192,7 +233,70 @@ object LlmQueries6 {
        |  ELSE 'unknown' END""".stripMargin
   }
 
+  // Unrolled integer PageRank rounds over a DIRECTED edge relation
+  // (nodes = src ∪ dst — the symmetric-graph oracle's src-only node set
+  // would drop link-only hosts).
+  private val hostRankIters = (1 to 3).map { i =>
+    s"""c$i AS (SELECT e.dst AS id, CAST(sum(p.pr // o.outdeg) AS BIGINT) AS s
+       |  FROM edges e JOIN p${i - 1} p ON p.id = e.src
+       |  JOIN od o ON o.src = e.src
+       |  GROUP BY e.dst),
+       |p$i AS (SELECT n.id,
+       |    (3 * (SELECT u0 FROM k)) // 20 + (17 * coalesce(c.s, 0)) // 20 AS pr
+       |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
+  }.mkString(",\n")
+
   def oracle: Map[String, String] = Map(
+    // Sentence CTE + per-sentence distinct word lists + lag adjacency —
+    // the exact 1-sentence-block TextTiling reduction, integer threshold.
+    "text_topic_segments" ->
+      s"""WITH s0 AS (SELECT doc_id, CAST(r.i AS INTEGER) AS i,
+         |    trim(sp[CAST(r.i + 1 AS INTEGER)]) AS s
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS sp
+         |        FROM documents)
+         |  CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(0, len(sp) - 1)) AS i) r),
+         |sn AS (SELECT doc_id, i,
+         |    list_filter(list_distinct(string_split(${normSql("s")}, ' ')),
+         |      w -> w <> '') AS ws
+         |  FROM s0 WHERE s <> ''),
+         |o AS (SELECT doc_id, ws,
+         |    lag(ws) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+         |  FROM sn),
+         |m AS (SELECT doc_id, prev IS NOT NULL AS hasprev,
+         |    CASE WHEN prev IS NULL THEN 0
+         |         ELSE len(list_intersect(prev, ws)) END AS inter,
+         |    CASE WHEN prev IS NULL THEN 0
+         |         ELSE len(prev) + len(ws) - len(list_intersect(prev, ws))
+         |    END AS uni
+         |  FROM o)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+         |  CAST(sum(CASE WHEN hasprev AND inter * 5 < uni * 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+         |  CAST(sum(CASE WHEN hasprev AND inter * 5 < uni * 1
+         |    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_segments
+         |FROM m GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    // Page synthesis + regexp_extract_all replayed in SQL, then the
+    // unrolled integer PageRank chain (graph_pagerank's form, directed).
+    "graph_host_rank" ->
+      s"""WITH pg AS (SELECT doc_id,
+         |    '<html><body><a href="http://h' || ((doc_id * 7 + 1) % 50)
+         |    || '.ex.com/a">a</a><a href="http://h' || ((doc_id * 7 + 2) % 50)
+         |    || '.ex.com/b">b</a><a href="http://h' || ((doc_id * 7 + 3) % 50)
+         |    || '.ex.com/c">c</a></body></html>' AS page
+         |  FROM documents),
+         |lk AS (SELECT doc_id % 50 AS src, CAST(u.h AS BIGINT) AS dst
+         |  FROM pg, unnest(regexp_extract_all(page, '"http://h([0-9]+)\\.', 1)) AS u(h)),
+         |edges AS (SELECT DISTINCT src, dst FROM lk WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |k AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS u0 FROM nodes),
+         |od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |p0 AS (SELECT id, (SELECT u0 FROM k) AS pr FROM nodes),
+         |$hostRankIters
+         |SELECT id AS host_id, CAST(pr AS BIGINT) AS pr
+         |FROM p3 ORDER BY host_id""".stripMargin,
     "source_orc_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,

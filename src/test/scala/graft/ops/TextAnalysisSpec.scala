@@ -612,6 +612,24 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.hashCosineTopK(docs, qs, k = 3).collect().map(_.toSeq).toSet)
   }
 
+  test("topicSegments: boundary at the cohesion drop, none within a topic") {
+    import spark.implicits._
+    val d = Seq(
+      // two topics: cat sentences cohere, then a rocket sentence
+      (1L, "the cat sat here. the cat ran fast. rocket fuel burns hot."),
+      // one topic throughout
+      (2L, "alpha beta gamma one. alpha beta gamma two. alpha beta gamma three."),
+      // single sentence -> one segment, no boundary
+      (3L, "hello world")).toDF("doc_id", "text")
+    val got = TextAnalysis.topicSegments(d)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 1L, 2L)), got(1L).toString)
+    assert(got(2L) == ((3L, 0L, 1L)), got(2L).toString)
+    assert(got(3L) == ((1L, 0L, 1L)), got(3L).toString)
+  }
+
   test("sentenceLangProfile: switches, dominant share, mixed-doc exposure") {
     import spark.implicits._
     val d = Seq(
