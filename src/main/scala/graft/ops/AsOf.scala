@@ -70,8 +70,11 @@ object AsOf {
       df.withColumn(c, F.col("__asof").getField(c))
     }.drop("__side", "__asof")
     val bounded = toleranceSeconds.fold(unpacked) { tol =>
-      val stale = F.col(s"asof_$ts") <
-        (F.col(ts).cast("long") - tol).cast("timestamp")
+      // exact microsecond bound — a seconds-truncated cast would widen
+      // the window by the left row's fractional second (diverging from
+      // the SQL `ts - INTERVAL` definition on sub-second data)
+      val stale = F.unix_micros(F.col(s"asof_$ts")) <
+        F.unix_micros(F.col(ts)) - tol * 1000000L
       carried.foldLeft(unpacked) { (df, c) =>
         df.withColumn(c, F.when(stale, F.lit(null)).otherwise(F.col(c)))
       }
@@ -103,12 +106,46 @@ object AsOf {
       df.withColumn(c, F.col("__asof").getField(c))
     }.drop("__side", "__asof")
     val bounded = toleranceSeconds.fold(unpacked) { tol =>
-      val far = F.col(s"asof_$ts") >
-        (F.col(ts).cast("long") + tol).cast("timestamp")
+      // exact microsecond bound (see backward)
+      val far = F.unix_micros(F.col(s"asof_$ts")) >
+        F.unix_micros(F.col(ts)) + tol * 1000000L
       carried.foldLeft(unpacked) { (df, c) =>
         df.withColumn(c, F.when(far, F.lit(null)).otherwise(F.col(c)))
       }
     }
     bounded.select((leftCols ++ carried).map(F.col): _*)
+  }
+
+  /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): for
+    * each left row, the right row minimizing |Δts| within the same key
+    * and tolerance, ties between the backward and forward candidate
+    * resolved BACKWARD (the pandas convention). Composed from one
+    * [[backward]] and one [[forward]] pass recombined on a UNIQUE left
+    * id — two key-shuffles plus one id equi-join, still no range join
+    * anywhere. Per-side ties inherit each pass's deterministic struct
+    * resolution (backward greatest, forward least).
+    *
+    * @param leftIdCol a unique left key for the recombine join. */
+  def nearest(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], leftIdCol: String,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    val carried = rightCols.map("asof_" + _) :+ s"asof_$ts"
+    val b = backward(left, right, key, ts, rightCols, toleranceSeconds)
+    val f = forward(left, right, key, ts, rightCols, toleranceSeconds)
+    val fSide = carried.foldLeft(
+        f.select((Seq(leftIdCol) ++ carried).map(F.col): _*)) { (df, c) =>
+      df.withColumnRenamed(c, "f_" + c)
+    }
+    val joined = b.join(fSide, Seq(leftIdCol))
+    // exact microsecond deltas — a seconds-truncated compare would
+    // misorder sub-second near-ties between the two sides
+    val db = F.unix_micros(F.col(ts)) - F.unix_micros(F.col(s"asof_$ts"))
+    val dfw = F.unix_micros(F.col(s"f_asof_$ts")) - F.unix_micros(F.col(ts))
+    val useBackward = F.col(s"asof_$ts").isNotNull &&
+      (F.col(s"f_asof_$ts").isNull || db <= dfw)
+    carried.foldLeft(joined) { (df, c) =>
+      df.withColumn(c,
+        F.when(useBackward, F.col(c)).otherwise(F.col("f_" + c)))
+    }.drop(carried.map("f_" + _): _*)
   }
 }

@@ -286,6 +286,40 @@ object Sessions {
       .filter(expr(s"2 * dev_half > $k * mad_quarter"))
   }
 
+  /** Per-group trimmed mean in exact cents: drop the lowest and highest
+    * `num/den` fraction of each group BY RANK (deterministic
+    * (cents, seqCol) order — a value-threshold trim would be ambiguous
+    * on ties), average the interior. The robust central-tendency
+    * companion to [[robustOutliers]]: outliers are EXCLUDED from the
+    * estimate instead of flagged, which is what a per-source
+    * quality-score or latency summary wants when single spikes must
+    * not move the number.
+    *
+    * Cut arithmetic is integer — lo = (n·num) div den ranks dropped at
+    * each end, keep lo < rank ≤ n − lo — and the only division is the
+    * final one exact-long-sum / kept-count, so the oracle replays the
+    * double bit-for-bit. One shuffle on the group, one per-group rank
+    * window (never global), one combine-agg. */
+  def trimmedMean(events: DataFrame, groupCol: String, valueCol: String,
+      seqCol: String, num: Int = 1, den: Int = 10): DataFrame = {
+    require(num >= 0 && den > 0 && 2 * num < den,
+      "trim fraction must satisfy 0 <= num/den < 1/2")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__cents"), col(seqCol))
+    val ranked = events
+      .withColumn("__cents", expr(s"CAST(round($valueCol * 100, 0) AS LONG)"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__lo", expr(s"(__n * $num) div $den"))
+    ranked
+      .filter(col("__rn") > col("__lo") && col("__rn") <= col("__n") - col("__lo"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("__n")).as("n_total"),
+        sum(col("__cents")).as("__s"))
+      .select(col(groupCol), col("n_total"), col("n_kept"),
+        (col("__s") / col("n_kept")).as("trimmed_mean_cents"))
+  }
+
   /** Half-life-decayed engagement: per (key, class), the
     * exponentially-decayed sum of cent values — recency-weighted
     * popularity / activity, the freshness signal a data-mix or

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Cdc, Components, Curation, Dedup, Sessions, TextAnalysis}
+import graft.ops.{AsOf, Cdc, Components, Curation, Dedup, Sessions, TextAnalysis}
 
 /** Round-9 (third batch) operators: exact set-similarity self-join via
   * prefix filtering (the PPJoin family — LSH-free, false-negative-free
@@ -194,6 +194,34 @@ object LlmQueries6 {
     TextAnalysis.topicSegments(T.par(spark, T.t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** Nearest as-of join (pandas `direction='nearest'`): each purchase
+    * matched to its time-closest click within ±1 h, ties resolved
+    * backward ([[AsOf.nearest]] — composed backward+forward passes,
+    * exact microsecond deltas). */
+  def asofNearestClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOf.nearest(purchases, clicks, key = "user_id", ts = "ts",
+        rightCols = Seq("value"), leftIdCol = "event_id",
+        toleranceSeconds = Some(3600L))
+      .select(col("event_id"), col("user_id"), col("asof_ts").as("click_ts"),
+        col("asof_value").as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Per-event-class 10% trimmed mean in exact cents
+    * ([[Sessions.trimmedMean]]): rank-deterministic interior average —
+    * the robust summary where a single spike must not move the number. */
+  def eventTrimmedMean(spark: SparkSession, dir: String): DataFrame =
+    Sessions.trimmedMean(
+        T.events(spark, dir).select(col("event_id"), col("event_type"),
+          col("value")),
+        groupCol = "event_type", valueCol = "value", seqCol = "event_id")
+      .orderBy(col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_ppjoin" -> (dedupPpjoin _),
     "cdc_latest_snapshot" -> (cdcLatestSnapshot _),
@@ -206,7 +234,9 @@ object LlmQueries6 {
     "text_mixed_lang" -> (textMixedLang _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "graph_host_rank" -> (graphHostRank _),
-    "text_topic_segments" -> (textTopicSegments _))
+    "text_topic_segments" -> (textTopicSegments _),
+    "asof_nearest_click" -> (asofNearestClick _),
+    "event_trimmed_mean" -> (eventTrimmedMean _))
 
   // Split CASE keyed by the cluster representative — the same exact IEEE
   // bound values assignSplit bakes into the Spark plan (splitBounds).
@@ -247,6 +277,46 @@ object LlmQueries6 {
   }.mkString(",\n")
 
   def oracle: Map[String, String] = Map(
+    // The nearest-join DEFINITION: all candidates within ±1 h, ranked by
+    // (|Δµs|, backward-first, then each side's struct resolution —
+    // backward greatest (value, ts), forward least).
+    "asof_nearest_click" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (SELECT p.event_id, c.ts AS cts, c.value AS cv,
+        |    abs(epoch_us(c.ts) - epoch_us(p.ts)) AS ad,
+        |    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS side,
+        |    CASE WHEN c.ts <= p.ts THEN -c.value ELSE c.value END AS vkey,
+        |    CASE WHEN c.ts <= p.ts THEN -epoch_us(c.ts)
+        |         ELSE epoch_us(c.ts) END AS tkey
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |    AND c.ts <= p.ts + INTERVAL 1 HOUR),
+        |best AS (SELECT event_id, cts, cv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_id
+        |      ORDER BY ad, side, vkey, tkey) AS rn
+        |    FROM cand) WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, b.cts AS click_ts,
+        |  b.cv AS click_value
+        |FROM p LEFT JOIN best b ON b.event_id = p.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "event_trimmed_mean" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |k AS (SELECT event_type, cents, n FROM r
+        |  WHERE rn > (n * 1) // 10 AND rn <= n - (n * 1) // 10)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) AS trimmed_mean_cents
+        |FROM k GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // Sentence CTE + per-sentence distinct word lists + lag adjacency —
     // the exact 1-sentence-block TextTiling reduction, integer threshold.
     "text_topic_segments" ->

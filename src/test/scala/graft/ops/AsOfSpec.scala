@@ -134,4 +134,26 @@ class AsOfSpec extends SparkSpec {
       assert(f.getAs[String]("asof_tag") == "a" && f.getAs[Double]("asof_v") == 1.0)
     }
   }
+
+  test("nearest as-of: closest side wins, backward on ties, tolerance bounds") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // back 30m vs fwd 10m -> fwd
+      (2L, 10L, ts("2024-01-01 09:40:00")), // back 10m vs fwd 30m -> back
+      (3L, 20L, ts("2024-01-01 10:00:00")), // back 1h vs fwd 1h tie -> back
+      (4L, 30L, ts("2024-01-01 10:00:00"))) // only match beyond tolerance
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1.0),
+      (10L, ts("2024-01-01 10:10:00"), 2.0),
+      (20L, ts("2024-01-01 09:00:00"), 3.0),
+      (20L, ts("2024-01-01 11:00:00"), 4.0),
+      (30L, ts("2024-01-01 16:00:00"), 5.0))
+      .toDF("k", "ts", "v")
+    val got = AsOf.nearest(left, right, "k", "ts", Seq("v"), "id",
+        toleranceSeconds = Some(7200L))
+      .orderBy("id").select("id", "asof_v")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 2.0), (2L, 1.0), (3L, 3.0), (4L, null)))
+  }
 }

@@ -239,6 +239,20 @@ class SessionsSpec extends SparkSpec {
     assert(out2 == Seq(3L), s"got $out2")
   }
 
+  test("trimmedMean: rank-trimmed interior average, deterministic ties") {
+    import spark.implicits._
+    // group g: cents 1..10 -> trim 1 each end -> mean of 2..9 = 5.5 cents
+    val ev = ((1 to 10).map(i => (i.toLong, "g", i / 100.0)) :+
+        ((99L, "h", 7.00))) // tiny group: lo = 0, nothing trimmed
+      .toDF("event_id", "event_type", "value")
+    val got = Sessions.trimmedMean(ev, "event_type", "value", "event_id")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("g") == ((10L, 8L, 5.5)), got("g").toString)
+    assert(got("h") == ((1L, 1L, 700.0)), got("h").toString)
+  }
+
   test("decayedCounts: whole-half-life shift decay, hand-computed") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
