@@ -437,6 +437,57 @@ object Components {
       .select(col("u").as("id"), col("core_degree"))
   }
 
+  /** Personalized PageRank (random walk with restart to the SEED set):
+    * the teleport mass lands only on seeds — u0 = unit div |seeds| per
+    * seed, zero elsewhere — so rank measures proximity-weighted
+    * influence FROM the seeds rather than global centrality. The graded
+    * companion to [[bfsHops]]: BFS gives hop distance, PPR gives
+    * walk-probability mass (a doc two hops away through many short
+    * paths outranks one two hops away through a single path) — the
+    * standard contamination-influence / seed-expansion score.
+    *
+    * Same integer micro-unit discipline and per-iteration shape as
+    * [[pageRank]] (one join + one combine-agg over checkpointed edges;
+    * 17/20 damping, truncating div — bit-exact across engines, oracle
+    * unrolls the same rounds). Non-seed sinks leak mass like the
+    * uniform variant; scores are comparative, not a distribution. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3, srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "id", unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && unit > 0, "need iters >= 1 and a positive unit")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+      .localCheckpoint()
+    val sd = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .unionAll(sd.select(col("id"))).distinct()
+      .join(sd.withColumn("__seed", lit(1)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__seed"), lit(0)).as("__seed"))
+      .localCheckpoint()
+    val s = sd.count()
+    require(s > 0, "empty seed set")
+    val u0 = unit / s
+    val base = 3 * u0 / 20
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var pr = nodes.withColumn("pr", col("__seed") * lit(u0))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.select(col("id").as("src"), col("pr")), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      pr = nodes
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), col("__seed"),
+          (col("__seed") * lit(base) +
+            expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20")).as("pr"))
+        .localCheckpoint(false)
+    }
+    pr.select(col("id"), col("pr"))
+  }
+
   /** Bounded multi-source BFS: minimum hop distance (0..maxHops) from
     * any seed vertex, over the undirected pair relation. The
     * contamination-proximity primitive — "how many near-dup hops is

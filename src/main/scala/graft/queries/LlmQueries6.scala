@@ -222,6 +222,23 @@ object LlmQueries6 {
         groupCol = "event_type", valueCol = "value", seqCol = "event_id")
       .orderBy(col("event_type"))
 
+  /** Personalized PageRank from the contamination seed set (doc_id ≡ 0
+    * mod 97, same seeds and near-dup graph as `graph_bfs_hops`):
+    * walk-probability influence mass per doc
+    * ([[Components.personalizedPageRank]]) — the graded companion to
+    * BFS hop distance. */
+  def graphPpr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents").filter(col("doc_id") < 500)
+    val pairs = Dedup.minHashLshPairs(docs, threshold = 0.5)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val seeds = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("id"))
+    Components.personalizedPageRank(edges, seeds)
+      .select(col("id").as("doc_id"), col("pr").as("ppr"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_ppjoin" -> (dedupPpjoin _),
     "cdc_latest_snapshot" -> (cdcLatestSnapshot _),
@@ -236,7 +253,8 @@ object LlmQueries6 {
     "graph_host_rank" -> (graphHostRank _),
     "text_topic_segments" -> (textTopicSegments _),
     "asof_nearest_click" -> (asofNearestClick _),
-    "event_trimmed_mean" -> (eventTrimmedMean _))
+    "event_trimmed_mean" -> (eventTrimmedMean _),
+    "graph_ppr" -> (graphPpr _))
 
   // Split CASE keyed by the cluster representative — the same exact IEEE
   // bound values assignSplit bakes into the Spark plan (splitBounds).
@@ -276,7 +294,54 @@ object LlmQueries6 {
        |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
   }.mkString(",\n")
 
+  // Unrolled personalized-PageRank rounds: teleport mass only on seeds.
+  private val pprIters = (1 to 3).map { i =>
+    s"""c$i AS (SELECT e.dst AS id, CAST(sum(p.pr // o.outdeg) AS BIGINT) AS s
+       |  FROM edges e JOIN p${i - 1} p ON p.id = e.src
+       |  JOIN od o ON o.src = e.src
+       |  GROUP BY e.dst),
+       |p$i AS (SELECT n.id, n.seed,
+       |    n.seed * ((3 * (SELECT u0 FROM k)) // 20)
+       |      + (17 * coalesce(c.s, 0)) // 20 AS pr
+       |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
+  }.mkString(",\n")
+
   def oracle: Map[String, String] = Map(
+    // MinHash edge chain + seed-flagged node set + the unrolled
+    // walk-with-restart rounds (teleport mass on seeds only).
+    "graph_ppr" ->
+      s"""WITH ${LlmQueries.gramsCteFor("grams", "doc_id < 500")},
+         |sig AS (SELECT id, ${LlmQueries.sigCols} FROM grams GROUP BY id),
+         |bands AS (SELECT id, r.range AS band, ${LlmQueries.bandCase} AS band_key
+         |  FROM sig CROSS JOIN range(4) r),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN grams ga ON ga.id = c.id_a
+         |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+         |  GROUP BY c.id_a, c.id_b),
+         |pairs AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b
+         |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
+         |edges AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs)),
+         |sd AS (SELECT DISTINCT doc_id AS id FROM documents
+         |  WHERE doc_id < 500 AND doc_id % 97 = 0),
+         |nodes AS (SELECT id, max(seed) AS seed FROM (
+         |  SELECT src AS id, 0 AS seed FROM edges
+         |  UNION ALL SELECT dst, 0 FROM edges
+         |  UNION ALL SELECT id, 1 FROM sd) GROUP BY id),
+         |k AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS u0 FROM sd),
+         |od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |p0 AS (SELECT id, seed, seed * (SELECT u0 FROM k) AS pr FROM nodes),
+         |$pprIters
+         |SELECT id AS doc_id, CAST(pr AS BIGINT) AS ppr
+         |FROM p3 ORDER BY doc_id""".stripMargin,
     // The nearest-join DEFINITION: all candidates within ±1 h, ranked by
     // (|Δµs|, backward-first, then each side's struct resolution —
     // backward greatest (value, ts), forward least).

@@ -192,6 +192,29 @@ class ComponentsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("personalizedPageRank: hand-computed walk-with-restart on a path") {
+    import spark.implicits._
+    // path 1-2-3 (undirected), plus disconnected pair 7-8, isolated seed 9
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (7L, 8L), (8L, 7L)).toDF("src", "dst")
+    val seeds = Seq(1L, 9L).toDF("id")
+    val got = Components.personalizedPageRank(e, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // u0 = 1e12/2 = 5e11; base = 3*u0/20 = 7.5e10; unrolled by hand:
+    // p1: 1 -> 75e9, 2 -> 425e9, 3 -> 0, 9 -> 75e9
+    // p2: 1 -> 75e9+(17*212500000000)/20, 2 -> (17*75e9)/20, 3 -> 180625000000
+    // p3 below
+    assert(got(9L) == 75000000000L, got.toString)       // isolated seed: base only
+    assert(got(7L) == 0L && got(8L) == 0L, got.toString) // unreachable: zero mass
+    val p2_1 = 75000000000L + 17L * (425000000000L / 2) / 20
+    val p2_2 = 17L * 75000000000L / 20
+    val p2_3 = 17L * (425000000000L / 2) / 20
+    val p3_1 = 75000000000L + 17L * (p2_2 / 2) / 20
+    val p3_2 = 17L * (p2_1 + p2_3) / 20
+    val p3_3 = 17L * (p2_2 / 2) / 20
+    assert(got(1L) == p3_1 && got(2L) == p3_2 && got(3L) == p3_3, got.toString)
+  }
+
   test("bfsHops: min hop distance from multi-source seeds, bounded depth") {
     import spark.implicits._
     // path 1-2-3-4-5 plus a triangle 10-11-12 and isolated seed 20
