@@ -198,5 +198,6 @@ object Bench {
     "privacy_k_anonymity", "graph_bfs_hops", "event_decayed_counts",
     "corpus_snapshot_diff", "split_by_cluster", "text_mixed_lang",
     "source_orc_roundtrip", "graph_host_rank", "text_topic_segments",
-    "asof_nearest_click", "event_trimmed_mean", "graph_ppr")
+    "asof_nearest_click", "event_trimmed_mean", "graph_ppr",
+    "sketch_join_size")
 }

@@ -284,6 +284,34 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 
+  /** Equi-join SIZE estimate from two CMS sketches over the join key
+    * (Alon–Gibbons–Matias–Szegedy inner-product estimation): with both
+    * sides sketched under the SAME hash rows, row r's bucket-wise dot
+    * product Σ_b cntA(r,b)·cntB(r,b) over-estimates \|A ⋈ B\| (collisions
+    * only add), so the min over the d rows is a one-sided estimate:
+    * est ≥ true always, within e·N_A·N_B/2^wBits w.h.p.
+    *
+    * The planner primitive: decide whether a join needs the salted/AQE
+    * skew path — or is worth running at all — from two fixed-size
+    * (d·2^wBits-cell) sketches instead of executing the join. Each side
+    * is one map-side-combined pass; the dot product joins two
+    * sketch-sized relations — cost independent of data volume. */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame, valueCol: String,
+      d: Int = CmsD, wBits: Int = CmsWBits): DataFrame = {
+    val ca = cmsCounters(a, valueCol, d, wBits)
+    val cb = cmsCounters(b, valueCol, d, wBits)
+      .withColumnRenamed("cnt", "cnt_b")
+    val dots = ca.join(cb, Seq("hash_row", "bucket"))
+      .groupBy(col("hash_row"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("dot"))
+    // spine over all d rows: a hash row whose buckets never collide has
+    // dot 0 and MUST participate in the min (disjoint sides estimate 0,
+    // not the smallest nonzero row's dot)
+    a.sparkSession.range(d).toDF("hash_row")
+      .join(dots, Seq("hash_row"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("est_join_size"))
+  }
+
   /** Heavy hitters by sketch: CMS estimates for every distinct value,
     * exact count alongside (the accuracy contract: estimate ≥ exact,
     * overcount bounded in SketchesSpec), top `k` by estimate. At scale

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{AsOf, Cdc, Components, Curation, Dedup, Sessions, TextAnalysis}
+import graft.ops.{AsOf, Cdc, Components, Curation, Dedup, Sessions, Sketches, TextAnalysis}
 
 /** Round-9 (third batch) operators: exact set-similarity self-join via
   * prefix filtering (the PPJoin family — LSH-free, false-negative-free
@@ -239,6 +239,23 @@ object LlmQueries6 {
       .orderBy(col("doc_id"))
   }
 
+  /** AGMS join-size estimation ([[Sketches.cmsJoinSizeEstimate]]): the
+    * purchases ⋈ clicks (user_id) output size estimated from two
+    * fixed-size CMS sketches — min-over-rows bucket dot product — with
+    * the exact Σ cnt_p·cnt_c alongside as the accuracy witness
+    * (estimate ≥ exact by construction, the one-sided law). */
+  def sketchJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val c = ev.filter(col("event_type") === "click").select(col("user_id"))
+    val est = Sketches.cmsJoinSizeEstimate(p, c, "user_id")
+    val exact = p.groupBy(col("user_id")).agg(count(lit(1)).as("np"))
+      .join(c.groupBy(col("user_id")).agg(count(lit(1)).as("nc")),
+        Seq("user_id"))
+      .agg(sum(col("np") * col("nc")).as("exact_join_size"))
+    est.crossJoin(exact)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_ppjoin" -> (dedupPpjoin _),
     "cdc_latest_snapshot" -> (cdcLatestSnapshot _),
@@ -254,7 +271,8 @@ object LlmQueries6 {
     "text_topic_segments" -> (textTopicSegments _),
     "asof_nearest_click" -> (asofNearestClick _),
     "event_trimmed_mean" -> (eventTrimmedMean _),
-    "graph_ppr" -> (graphPpr _))
+    "graph_ppr" -> (graphPpr _),
+    "sketch_join_size" -> (sketchJoinSize _))
 
   // Split CASE keyed by the cluster representative — the same exact IEEE
   // bound values assignSplit bakes into the Spark plan (splitBounds).
@@ -307,6 +325,33 @@ object LlmQueries6 {
   }.mkString(",\n")
 
   def oracle: Map[String, String] = Map(
+    // CMS replay (seeds 91..94, 2^10 buckets, md5 60-bit hash) for both
+    // sides + min-over-rows dot product; exact side is the count join.
+    "sketch_join_size" ->
+      """WITH p AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+        |  WHERE event_type = 'click'),
+        |ca AS (SELECT r.range AS hr,
+        |    CAST('0x' || substring(md5(CAST(91 + r.range AS VARCHAR)
+        |      || '|' || v), 1, 15) AS BIGINT) % 1024 AS b,
+        |    count(*) AS cnt
+        |  FROM p CROSS JOIN range(4) r GROUP BY 1, 2),
+        |cb AS (SELECT r.range AS hr,
+        |    CAST('0x' || substring(md5(CAST(91 + r.range AS VARCHAR)
+        |      || '|' || v), 1, 15) AS BIGINT) % 1024 AS b,
+        |    count(*) AS cnt
+        |  FROM c CROSS JOIN range(4) r GROUP BY 1, 2),
+        |dots AS (SELECT ca.hr, sum(ca.cnt * cb.cnt) AS dot
+        |  FROM ca JOIN cb ON ca.hr = cb.hr AND ca.b = cb.b GROUP BY ca.hr),
+        |ex AS (SELECT CAST(sum(np * nc) AS BIGINT) AS exact_join_size FROM
+        |  (SELECT v, count(*) AS np FROM p GROUP BY v) a
+        |  JOIN (SELECT v, count(*) AS nc FROM c GROUP BY v) b USING (v))
+        |SELECT CAST((SELECT min(coalesce(dots.dot, 0)) FROM range(4) r
+        |    LEFT JOIN dots ON dots.hr = r.range) AS BIGINT)
+        |    AS est_join_size,
+        |  ex.exact_join_size
+        |FROM ex""".stripMargin,
     // MinHash edge chain + seed-flagged node set + the unrolled
     // walk-with-restart rounds (teleport mass on seeds only).
     "graph_ppr" ->

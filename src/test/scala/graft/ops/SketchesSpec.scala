@@ -312,4 +312,22 @@ class SketchesSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(again == Set(s.toSeq))
   }
+
+  test("cmsJoinSizeEstimate: one-sided, exact on a collision-free key set") {
+    import spark.implicits._
+    // a: key k appears k times; b: key k appears 2k times (k = 1..5)
+    val a = (1 to 5).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val b = (1 to 5).flatMap(k => Seq.fill(2 * k)(k.toLong)).toDF("k")
+    val exact = (1 to 5).map(k => k.toLong * (2 * k)).sum // sum 2k^2 = 110
+    val est = Sketches.cmsJoinSizeEstimate(a, b, "k")
+      .collect().head.getLong(0)
+    assert(est >= exact, s"one-sided law violated: $est < $exact")
+    // 5 keys in 1024 buckets: no collisions -> estimate is exact
+    assert(est == exact, s"expected exact $exact, got $est")
+    // disjoint key sets -> empty bucket intersection on every row -> 0
+    // (the row spine matters: a colliding row must not mask an empty one)
+    val d = Seq(100L, 101L).toDF("k")
+    val z = Sketches.cmsJoinSizeEstimate(a, d, "k").collect().head.getLong(0)
+    assert(z == 0L, s"disjoint sides must estimate 0, got $z")
+  }
 }
