@@ -199,5 +199,5 @@ object Bench {
     "corpus_snapshot_diff", "split_by_cluster", "text_mixed_lang",
     "source_orc_roundtrip", "graph_host_rank", "text_topic_segments",
     "asof_nearest_click", "event_trimmed_mean", "graph_ppr",
-    "sketch_join_size")
+    "sketch_join_size", "mix_source_gini")
 }

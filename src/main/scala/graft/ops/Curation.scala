@@ -367,6 +367,45 @@ object Curation {
       .drop("__rk", "__n")
   }
 
+  /** Per-stratum Gini coefficient of a non-negative value column — the
+    * inequality audit of mix planning: how unevenly token mass is spread
+    * across a source's documents (0 = perfectly uniform, →1 = one
+    * document carries everything). A source whose token mass concentrates
+    * in a few giant documents behaves very differently under per-document
+    * sampling than its document count suggests; this is the one-number
+    * monitor for that.
+    *
+    * Exactly rational via the rank form over the ascending-sorted values
+    * x_(1) ≤ … ≤ x_(n):  G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx), so
+    * gini_micro = unit·(2R − (n+1)·S) div (n·S) with R = Σ rank·x.
+    * `row_number` over (value, key) pins the permutation for plan
+    * determinism, but the RESULT is tie-break-invariant: swapping two
+    * equal values between adjacent ranks leaves Σ rank·x unchanged.
+    * The numerator is ≥ 0 for non-negative x, so floor-div agrees across
+    * engines (no negative-division divergence).
+    *
+    * 100 TB shape: one per-stratum rank window (a stratum must fit a
+    * partition sort — the exact-percentile / trimmed-mean class; beyond
+    * that, serve quantile-sketch summaries instead) feeding a map-side
+    * combined agg down to ONE row per stratum. Overflow: R ≤ n²·max(x)
+    * wraps a long near n ≈ 10⁵ at book-length documents, so both products
+    * ride DECIMAL(38,0) — exact past n ~ 10¹⁵ docs per stratum. */
+  def giniByStratum(df: DataFrame, strataCol: String, valueCol: String,
+      keyCol: String, unit: Long = 1000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col(valueCol).asc, col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"),
+        sum(expr(s"CAST(__rk AS DECIMAL(38,0)) * $valueCol")).as("__r"))
+      .withColumn("gini_micro", expr(
+        s"CAST(($unit * (2 * __r - CAST(__n + 1 AS DECIMAL(38,0)) * __s)) " +
+          s"div (CAST(__n AS DECIMAL(38,0)) * __s) AS BIGINT)"))
+      .select(col(strataCol), col("__n").as("n_rows"),
+        col("__s").cast("long").as("total_value"), col("gini_micro"))
+  }
+
   def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
       cap: Int, salt: String = "cap"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

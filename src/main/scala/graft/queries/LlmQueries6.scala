@@ -256,7 +256,22 @@ object LlmQueries6 {
     est.crossJoin(exact)
   }
 
+  /** Per-source Gini concentration of token mass over documents
+    * ([[Curation.giniByStratum]]): the mix-planning inequality audit —
+    * a source whose tokens concentrate in a few giant documents responds
+    * very differently to per-document sampling than its doc count
+    * suggests. Exactly rational (rank form, micro-units), so the oracle
+    * replays the whole statistic. */
+  def mixSourceGini(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Curation.giniByStratum(docs, "source", "n_tokens", "doc_id")
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_source_gini" -> (mixSourceGini _),
     "dedup_ppjoin" -> (dedupPpjoin _),
     "cdc_latest_snapshot" -> (cdcLatestSnapshot _),
     "scd2_history" -> (scd2History _),
@@ -325,6 +340,25 @@ object LlmQueries6 {
   }.mkString(",\n")
 
   def oracle: Map[String, String] = Map(
+    // Rank-form Gini in micro-units: G = (2R - (n+1)S) / (nS) with
+    // R = sum(rank * x) over the (value, doc_id)-sorted order; HUGEINT
+    // mirrors Spark's DECIMAL(38,0) intermediates exactly.
+    "mix_source_gini" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |rk AS (SELECT source, n_tokens, row_number()
+        |    OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS r
+        |  FROM t),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_tokens) AS BIGINT) AS s,
+        |    sum(CAST(r AS HUGEINT) * n_tokens) AS rr
+        |  FROM rk GROUP BY source)
+        |SELECT source, n AS n_rows, s AS total_value,
+        |  CAST((1000000 * (2 * rr - CAST(n + 1 AS HUGEINT) * s))
+        |    // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_micro
+        |FROM a ORDER BY source""".stripMargin,
     // CMS replay (seeds 91..94, 2^10 buckets, md5 60-bit hash) for both
     // sides + min-over-rows dot product; exact side is the count join.
     "sketch_join_size" ->

@@ -20,6 +20,25 @@ class CurationSpec extends SparkSpec {
       rows.map(_.getDouble(0)).toSeq)
   }
 
+  test("giniByStratum: hand-computed inequality, zero on uniform, tie-stable") {
+    import spark.implicits._
+    // a: [1,2,3,4] -> G = (2*30 - 5*10)/(4*10) = 0.25
+    // b: [5,5,5]   -> 0 exactly (uniform)
+    // c: [0,0,10]  -> (2*30 - 4*10)/(3*10) = 2/3 -> floor 666666 micro
+    val rows = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("a", 4L, 4L), ("b", 1L, 5L), ("b", 2L, 5L), ("b", 3L, 5L),
+      ("c", 1L, 0L), ("c", 2L, 0L), ("c", 3L, 10L))
+      .toDF("src", "id", "x")
+    val g = Curation.giniByStratum(rows, "src", "x", "id")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(g == Map("a" -> 250000L, "b" -> 0L, "c" -> 666666L))
+    // result is invariant to input order / partitioning (ties included)
+    val g2 = Curation.giniByStratum(rows.orderBy(col("x").desc)
+        .repartition(5), "src", "x", "id")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(g2 == g)
+  }
+
   test("stratifiedSample keeps ~rate per stratum and is content-stable") {
     import spark.implicits._
     val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
