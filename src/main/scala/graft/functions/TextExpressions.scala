@@ -35,6 +35,33 @@ object TextOps {
     * same call Spark's `lower()` makes. One pass, no regex engine — this
     * sits under every dedup/text-analysis operator, so it is the hottest
     * scalar kernel in the library. */
+  /** |A ∩ B| for two arrays SORTED ascending by UTF8String binary order
+    * (Spark's `sort_array` ordering for strings) with no duplicates —
+    * a single merge pass with binary compares. Callers guarantee the
+    * contract (graft stores per-document DISTINCT token arrays via
+    * sort_array); unsorted input silently undercounts, so this is
+    * deliberately NOT a general-purpose intersect.
+    *
+    * vs `size(array_intersect(a, b))`: no per-call hash-set build, no
+    * intersection-array allocation — the verification step of the
+    * PPJoin operator evaluates this once per candidate inside a join
+    * condition, where the optimizer may duplicate the expression, so
+    * per-eval cost matters more than anywhere else. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def normalize(s: UTF8String): UTF8String = {
     val lowered = s.toLowerCase.toString
     val n = lowered.length
@@ -113,6 +140,34 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeText =
     copy(child = newChild)
+}
+
+/** Codegen'd [[TextOps.sortedIntersectCount]]: merge-count over two
+  * sorted deduplicated ARRAY<STRING> columns. See the kernel scaladoc
+  * for the sortedness contract. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects two ARRAY<STRING>, got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextOps.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
 }
 
 /** Ranked BPE merge table as a single reference object (plan-size
@@ -219,6 +274,8 @@ object TextFunctions {
     shim.column(CountInSet(shim.expression(arr), items))
   def normalize_text(c: Column): Column =
     shim.column(NormalizeText(shim.expression(c)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    shim.column(SortedIntersectCount(shim.expression(a), shim.expression(b)))
   def bpe_encode(c: Column, table: BpeTable): Column =
     shim.column(BpeEncode(shim.expression(c), table))
 }

@@ -389,7 +389,17 @@ object Curation {
     * that, serve quantile-sketch summaries instead) feeding a map-side
     * combined agg down to ONE row per stratum. Overflow: R ≤ n²·max(x)
     * wraps a long near n ≈ 10⁵ at book-length documents, so both products
-    * ride DECIMAL(38,0) — exact past n ~ 10¹⁵ docs per stratum. */
+    * AND the value sum S ride DECIMAL(38,0) — exact past n ~ 10¹⁵ docs
+    * per stratum (a plain long S would wrap first, around 10¹⁴
+    * book-length docs, and diverge from a HUGEINT-summing oracle).
+    * `total_value` is reported as a long for schema stability and nulls
+    * if the exact decimal sum exceeds long range — the gini itself never
+    * loses exactness.
+    *
+    * All-zero strata (S = 0): gini is defined here as 0 (a constant
+    * vector is perfectly uniform — the 0/0 limit by the deflation
+    * convention). Without the guard Spark's `div` would yield NULL while
+    * engines with erroring integer division (DuckDB `//`) abort. */
   def giniByStratum(df: DataFrame, strataCol: String, valueCol: String,
       keyCol: String, unit: Long = 1000000L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -397,13 +407,15 @@ object Curation {
       .orderBy(col(valueCol).asc, col(keyCol))
     df.withColumn("__rk", row_number().over(w))
       .groupBy(col(strataCol))
-      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"),
+      .agg(count(lit(1)).as("__n"),
+        sum(expr(s"CAST($valueCol AS DECIMAL(38,0))")).as("__s"),
         sum(expr(s"CAST(__rk AS DECIMAL(38,0)) * $valueCol")).as("__r"))
       .withColumn("gini_micro", expr(
-        s"CAST(($unit * (2 * __r - CAST(__n + 1 AS DECIMAL(38,0)) * __s)) " +
-          s"div (CAST(__n AS DECIMAL(38,0)) * __s) AS BIGINT)"))
+        s"CASE WHEN __s = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          s"CAST(($unit * (2 * __r - CAST(__n + 1 AS DECIMAL(38,0)) * __s)) " +
+          s"div (CAST(__n AS DECIMAL(38,0)) * __s) AS BIGINT) END"))
       .select(col(strataCol), col("__n").as("n_rows"),
-        col("__s").cast("long").as("total_value"), col("gini_micro"))
+        expr("try_cast(__s AS BIGINT)").as("total_value"), col("gini_micro"))
   }
 
   def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,

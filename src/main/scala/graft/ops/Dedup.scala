@@ -932,14 +932,35 @@ object Dedup {
     * verification predicate is c·den ≥ num·(n_a + n_b − c) — no float
     * division, so a SQL oracle replays it bit-exactly.
     *
+    * Two further LOSSLESS structural optimizations (round 10):
+    *
+    *  - IDENTICAL-SET COLLAPSE. Documents with the exact same token SET
+    *    have pairwise J = 1 ≥ any threshold; the candidate machinery
+    *    never needs to see more than ONE representative per distinct
+    *    set. Sets are grouped by the sorted token array ITSELF (no hash
+    *    signature — collision-free by construction), within-group pairs
+    *    are emitted directly (inter = uni = n), and qualifying
+    *    representative pairs are expanded back through the membership
+    *    relation with least/greatest id normalization. Candidate-join
+    *    work drops quadratically in the duplication factor.
+    *
+    *  - MAP-SIDE PREFIXES. Each set's tokens are sorted ONCE by the
+    *    global (df, token) order inside the per-doc aggregation
+    *    (sort_array over (df, token) structs); the prefix is then just
+    *    slice + posexplode over the stored array — no per-doc
+    *    row_number window, no join back to sizes. Removes two shuffles
+    *    and the window exchange from the hot path.
+    *
     * Scale shape: one tokenize+distinct pass (shuffle on (id, token)),
-    * one map-side-combined df aggregation (token-sized relation, join
-    * back to order tokens), a per-id window for prefix ranks (never
-    * global), the pruned candidate equi-join on prefix tokens, then
-    * verification as the textbook PPJoin step: candidates equi-join the
-    * per-doc SORTED TOKEN ARRAY relation (one row per doc, carried next
-    * to the id) and intersect map-side — no per-token explosion, no
-    * |candidates|·|tokens| shuffle. No cross join anywhere. */
+    * one map-side-combined df aggregation (token-sized relation, joined
+    * back to order tokens), one per-id array aggregation, one
+    * array-keyed group collapse, then the pruned candidate equi-join on
+    * prefix tokens and verification as the textbook PPJoin step:
+    * candidates equi-join the per-set SORTED TOKEN ARRAY relation (one
+    * row per distinct set) and intersect map-side — no per-token
+    * explosion, no |candidates|·|tokens| shuffle. Membership expansion
+    * is two more equi-joins sized by the OUTPUT. No cross join
+    * anywhere. */
   def prefixFilterJaccardPairs(docs: DataFrame, num: Int, den: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(num > 0 && num <= den,
@@ -948,42 +969,79 @@ object Dedup {
         explode(split(normalize(col(textCol)), " ")).as("w"))
       .filter(col("w") =!= "")
       .distinct()
-      .localCheckpoint() // 3 consumers: df, prefix ranks, token arrays
+      .localCheckpoint() // 2 consumers: df relation, per-doc arrays
     val dfRel = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val arrays = words.groupBy(col("id"))
-      .agg(collect_list(col("w")).as("ws"), count(lit(1)).as("n"))
-      .localCheckpoint() // consumed by prefix ranks + both verify joins
-    val perDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("w"))
-    val prefixes = words.join(dfRel, Seq("w"))
-      .withColumn("rk", row_number().over(perDoc))
-      .join(arrays.select(col("id"), col("n")), Seq("id"))
-      .filter(col("rk") <=
-        col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
-      .select(col("id"), col("w"), col("rk"), col("n"))
+    // Per-doc token array sorted by the GLOBAL (df, token) order — the
+    // sort happens once here; prefixes and verification both reuse it.
+    val docSets = words.join(dfRel, Seq("w"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("dws"))
+      .select(col("id"), expr("transform(dws, x -> x.w)").as("ws"))
+    // Collapse identical token sets: group key is the sorted array
+    // itself (collision-free). gid = min member id stands in for the
+    // whole group during candidate generation + verification.
+    // wsl re-sorts the set lexically (UTF8 binary order): the verify
+    // merge-intersect kernel ([[graft.functions.TextOps.sortedIntersectCount]])
+    // requires sortedness under STRING comparison, which the (df, w)
+    // global order does not provide.
+    val groups = docSets.groupBy(col("ws"))
+      .agg(min(col("id")).as("gid"), collect_list(col("id")).as("ids"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("wsl", sort_array(col("ws")))
+      .localCheckpoint() // consumers: within-pairs, prefixes, verify, expand
+    // Identical sets: J = 1, qualifies at any threshold ≤ 1. All pair
+    // generation is map-side over the stored member array.
+    val within = groups.filter(size(col("ids")) >= 2)
+      .select(col("n"), explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("n"), col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("n").as("inter"),
+        col("n").as("uni"))
+    // Prefix = first (n − ⌈t·n⌉ + 1) tokens of the stored global-order
+    // array; rank comes free from posexplode. Map-side, no window.
+    val prefixes = groups
+      .select(col("gid"), col("n"),
+        posexplode(slice(col("ws"), lit(1),
+          (col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
+            .cast("int"))))
+      .select(col("gid"), col("col").as("w"), (col("pos") + 1).as("rk"),
+        col("n"))
     val cand = prefixes
-      .select(col("id").as("id_a"), col("w"), col("rk").as("rk_a"),
+      .select(col("gid").as("gid_a"), col("w"), col("rk").as("rk_a"),
         col("n").as("n_a"))
-      .join(prefixes.select(col("id").as("id_b"), col("w"),
+      .join(prefixes.select(col("gid").as("gid_b"), col("w"),
           col("rk").as("rk_b"), col("n").as("n_b")),
         Seq("w"))
-      .filter(col("id_a") < col("id_b") &&
+      .filter(col("gid_a") < col("gid_b") &&
         col("n_b") * den >= col("n_a") * num &&
         col("n_a") * den >= col("n_b") * num)
       .filter(lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")) >=
         expr(s"($num * (n_a + n_b) + ${num + den - 1}) div ${num + den}"))
-      .select(col("id_a"), col("id_b"))
+      .select(col("gid_a"), col("gid_b"))
       .distinct()
-    cand
-      .join(arrays.select(col("id").as("id_a"), col("ws").as("ws_a"),
-        col("n").as("n_a")), Seq("id_a"))
-      .join(arrays.select(col("id").as("id_b"), col("ws").as("ws_b"),
-        col("n").as("n_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b")))
-        .cast("long"))
+    val verified = cand
+      .join(groups.select(col("gid").as("gid_a"), col("wsl").as("ws_a"),
+        col("n").as("n_a")), Seq("gid_a"))
+      .join(groups.select(col("gid").as("gid_b"), col("wsl").as("ws_b"),
+        col("n").as("n_b")), Seq("gid_b"))
+      // The optimizer inlines the qualifying filter into the join
+      // condition and duplicates the intersect; the merge-count kernel
+      // keeps each (possibly triplicated) eval allocation-free.
+      .withColumn("inter", graft.functions.TextFunctions
+        .sorted_intersect_count(col("ws_a"), col("ws_b")))
       .filter(col("inter") * den >= (col("n_a") + col("n_b") - col("inter")) * num)
-      .select(col("id_a"), col("id_b"), col("inter"),
+      .select(col("gid_a"), col("gid_b"), col("inter"),
         (col("n_a") + col("n_b") - col("inter")).as("uni"))
+    // Expand representative pairs through group membership; member ids
+    // of different groups interleave, so normalize with least/greatest.
+    val cross = verified
+      .join(groups.select(col("gid").as("gid_a"), explode(col("ids")).as("ia")),
+        Seq("gid_a"))
+      .join(groups.select(col("gid").as("gid_b"), explode(col("ids")).as("ib")),
+        Seq("gid_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("inter"), col("uni"))
+    within.unionByName(cross)
   }
 
   /** Snapshot-over-snapshot diff: per document id, whether the new

@@ -11,10 +11,15 @@ import graft.enrich.GeoIp
   * aggregator's buffer/flush machinery).
   *
   * Semantic mapping from the reference's tail-a-single-file loop:
-  *  - S1 tail-file scan  → file-stream text source on the sensor's log
-  *    *directory* — in a Spark deployment, log shippers land rotated files
-  *    into a directory; each new file is discovered per micro-batch.
-  *  - S2 rotation reset  → new files are new inputs; no offset juggling.
+  *  - S1 tail-file scan  → a config naming a plain FILE gets the
+  *    [[TailFileSource]] (per-file byte-offset resume — literal tail -f
+  *    parity, including intra-file appends); a config naming a
+  *    *directory* gets the file-stream text source — log shippers land
+  *    rotated files into a directory; each new file is discovered per
+  *    micro-batch.
+  *  - S2 rotation reset  → tail source: size-below-offset reset, the
+  *    reference's own heuristic; directory source: new files are new
+  *    inputs, no offset juggling.
   *  - S3/S4 offset state → the streaming checkpoint WAL. Exactly-once
   *    versus the reference's at-least-once cursor (ST6 — an upgrade, not a
   *    divergence: the reference can both lose buffered events on crash and
@@ -41,13 +46,15 @@ object Ingest {
       checkpointRoot: String,
       geo: Option[DataFrame] = None,
       trigger: Trigger = null): StreamingQuery = {
-    // The reference tails a single file (core/sensor.go:51); Spark's file
-    // source takes a directory. A config pointing at a plain file maps to
-    // parent-dir + glob on that name — same data, rotation-friendly.
+    // The reference tails a single file (core/sensor.go:51). A config
+    // pointing at a plain file gets the byte-offset tail source
+    // ([[TailFileSource]] — S1/S2 parity: appends to the same file ARE
+    // re-scanned from the recorded offset, truncation resets); a
+    // directory gets Spark's file-discovery text source.
     val f = new java.io.File(sensor.filename)
     val lines =
       if (f.isFile)
-        spark.readStream.option("pathGlobFilter", f.getName).text(f.getParent)
+        spark.readStream.format("tail-file").load(f.getAbsolutePath)
       else spark.readStream.text(sensor.filename)
     val parsed = LogParser.pipeline(lines, sensor, nodeName)
     val enriched = geo.map(g => GeoIp.enrich(parsed, g)

@@ -39,6 +39,22 @@ class CurationSpec extends SparkSpec {
     assert(g2 == g)
   }
 
+  test("giniByStratum: all-zero stratum is 0 (not NULL), sum is overflow-safe") {
+    import spark.implicits._
+    // z: [0,0] — S = 0; deflation convention pins gini to 0 instead of
+    // the NULL a 0-denominator integer div would produce.
+    // big: two docs at long-wrapping magnitude — a plain BIGINT sum of
+    // 2 × (Long.MaxValue/2 + 1) wraps negative; the DECIMAL(38,0) sum
+    // keeps the exact value, so gini stays 0 for the uniform pair.
+    val big = Long.MaxValue / 2 + 1
+    val rows = Seq(("z", 1L, 0L), ("z", 2L, 0L),
+      ("big", 1L, big), ("big", 2L, big))
+      .toDF("src", "id", "x")
+    val g = Curation.giniByStratum(rows, "src", "x", "id")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(g == Map("z" -> 0L, "big" -> 0L))
+  }
+
   test("stratifiedSample keeps ~rate per stratum and is content-stable") {
     import spark.implicits._
     val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))

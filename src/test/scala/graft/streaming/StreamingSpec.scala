@@ -53,6 +53,71 @@ class StreamingSpec extends SparkSpec {
     assert(all.filter(col("rule") === "user-enumeration").count() == 1)
   }
 
+  test("tail-file source: append resume, partial lines, truncation reset (S1/S2)") {
+    val dir = tmp("graft-tail")
+    val file = Paths.get(dir, "auth.log")
+    val ckpt = tmp("graft-tail-ckpt")
+    val out = tmp("graft-tail-out") + "/rows"
+    // parquet sink (checkpoint-recoverable, unlike memory): each run
+    // drains whatever the tail source has past the recorded offset and
+    // stops; assertions are on the ACCUMULATED content, so duplicates
+    // would fail them as surely as losses.
+    def run(): Seq[String] = {
+      val q = spark.readStream.format("tail-file").load(file.toString)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(out).collect().map(_.getString(0)).toSeq.sorted
+    }
+    Files.write(file, "l1\nl2\n".getBytes)
+    assert(run() == Seq("l1", "l2"))
+    // append to the SAME file: exactly the appended lines are added
+    // (the checkpointed byte offset skips the already-read region —
+    // the intra-file S1 case the directory source cannot serve)
+    Files.write(file, "l3\nl4\n".getBytes, StandardOpenOption.APPEND)
+    assert(run() == Seq("l1", "l2", "l3", "l4"))
+    // a partial line (no terminator) stays out of the batch…
+    Files.write(file, "half".getBytes, StandardOpenOption.APPEND)
+    assert(run() == Seq("l1", "l2", "l3", "l4"))
+    // …and surfaces once its newline lands, as ONE complete line
+    Files.write(file, "-done\n".getBytes, StandardOpenOption.APPEND)
+    assert(run() == Seq("half-done", "l1", "l2", "l3", "l4"))
+    // truncation: size drops below the recorded offset -> reset to 0
+    // (core/sensor.go:60-68 semantics), fresh content read exactly once
+    Files.write(file, "fresh\n".getBytes,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    assert(run() == Seq("fresh", "half-done", "l1", "l2", "l3", "l4"))
+    // idle file, no growth -> empty batch, offset stable
+    assert(run() == Seq("fresh", "half-done", "l1", "l2", "l3", "l4"))
+  }
+
+  test("sensorQuery on a FILE config tails appends through the full pipeline (S1)") {
+    val dir = tmp("graft-tailq")
+    val logFile = Paths.get(dir, "auth.log")
+    val eventsPath = tmp("graft-tailq-events") + "/events"
+    val ckpt = tmp("graft-tailq-ckpt")
+    Files.write(logFile,
+      "Aug  3 11:22:33 host1 sshd[1]: Authentication failed for root 203.0.113.7 port 1\n".getBytes)
+    val sensor = conf.sensors.find(_.name == "ssh").get
+      .copy(filename = logFile.toString)
+    val q = Ingest.sensorQuery(spark, sensor, "n", eventsPath, ckpt,
+      None, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(eventsPath).count() == 1)
+    // append IN PLACE — the directory source would never re-visit this
+    // file; the tail source resumes at the stored byte offset
+    Files.write(logFile,
+      "Aug  3 11:25:00 host1 sshd[3]: Invalid user admin 198.51.100.23 port 3\n".getBytes,
+      StandardOpenOption.APPEND)
+    val q2 = Ingest.sensorQuery(spark, sensor, "n", eventsPath, ckpt,
+      None, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val all = spark.read.parquet(eventsPath)
+    assert(all.count() == 2) // appended event ingested exactly once
+    assert(all.filter(col("rule") === "user-enumeration").count() == 1)
+  }
+
   test("sink partitions by (sensor, event_date) for downstream pruning") {
     val logDir = tmp("graft-logs2")
     val eventsPath = tmp("graft-events2") + "/events"
