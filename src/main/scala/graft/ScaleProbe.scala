@@ -26,7 +26,13 @@ import org.apache.spark.sql.functions._
   * convention as the bench's warm numbers). */
 object ScaleProbe {
 
-  private val Copies = 10
+  /** Copy count: 10 by default (the per-round sf1.0 probe);
+    * SPARK_GRAFT_COPIES=30 runs the deeper 30× probe (VERDICT r9 item 5 —
+    * confirm no superlinear term hides above 10× for the two softest
+    * ratios). Capped at 64: the embedding-rotation bijection needs
+    * k < dim. */
+  private val Copies =
+    sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt.min(64)
   private val Offset = 10000000L
 
   def synth(spark: SparkSession, src: String, dst: String): Unit = {
@@ -88,7 +94,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val synthDir = "/tmp/graft-sf1-synth"
+    val synthDir = s"/tmp/graft-synth-x$Copies"
     val spark = SparkSession.builder()
       .master("local[32]")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -148,7 +154,7 @@ object ScaleProbe {
       }
       ts.min
     }
-    println(f"| query | sf0.1 s | sf1.0-synth s | ratio (ideal 10) |")
+    println(s"| query | sf0.1 s | x$Copies-synth s | ratio (ideal $Copies) |")
     selected.foreach { case (name, fn) =>
       val a = time(fn, sf01)
       val b = time(fn, synthDir)

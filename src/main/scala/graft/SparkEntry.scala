@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.LlmQueries4.queries ++
       graft.queries.LlmQueries5.queries ++
       graft.queries.LlmQueries6.queries ++
+      graft.queries.LlmQueries7.queries ++
       graft.queries.PqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.LlmQueries4.oracle ++
       graft.queries.LlmQueries5.oracle ++
       graft.queries.LlmQueries6.oracle ++
+      graft.queries.LlmQueries7.oracle ++
       graft.queries.PqQueries.oracle
 }

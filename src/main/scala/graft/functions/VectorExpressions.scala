@@ -394,9 +394,22 @@ final class PqCodebook(val subDim: Int, books: Array[Array[Array[Long]]])
     d
   }
 
-  /** Code (cell id) per subspace: exact-integer L2 argmin, ties to the
-    * lowest cell. */
-  def encode(v: ArrayData): ArrayData = {
+  /** As [[subDist]] but over an ALREADY-micro long-array vector — the
+    * residual-space input ([[graft.ops.Pq.trainResidualPq]]'s v_micro −
+    * coarse-centroid arrays), which must not be re-quantized. */
+  private def subDistMicro(v: ArrayData, s: Int, cm: Array[Long]): Long = {
+    var d = 0L
+    var i = 0
+    val base = s * subDim
+    while (i < subDim) {
+      val diff = v.getLong(base + i) - cm(i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  private def encodeWith(v: ArrayData, dist: (ArrayData, Int, Array[Long]) => Long): ArrayData = {
     val out = new Array[Long](m)
     var s = 0
     while (s < m) {
@@ -405,7 +418,7 @@ final class PqCodebook(val subDim: Int, books: Array[Array[Array[Long]]])
       var bestD = Long.MaxValue
       var c = 0
       while (c < book.length) {
-        val d = subDist(v, s, book(c))
+        val d = dist(v, s, book(c))
         // strict < keeps the lowest cell on exact-integer ties
         if (d < bestD) { bestD = d; best = c }
         c += 1
@@ -415,6 +428,13 @@ final class PqCodebook(val subDim: Int, books: Array[Array[Array[Long]]])
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Code (cell id) per subspace: exact-integer L2 argmin, ties to the
+    * lowest cell. */
+  def encode(v: ArrayData): ArrayData = encodeWith(v, subDist)
+
+  /** [[encode]] over an ARRAY<BIGINT> micro-unit vector. */
+  def encodeMicro(v: ArrayData): ArrayData = encodeWith(v, subDistMicro)
 
   /** Asymmetric distance (ADC): exact micro-unit squared L2 between the
     * RAW query vector and the code-addressed centroids — the query pays
@@ -428,45 +448,72 @@ final class PqCodebook(val subDim: Int, books: Array[Array[Array[Long]]])
     }
     total
   }
+
+  /** [[adc]] over an ARRAY<BIGINT> micro-unit query vector. */
+  def adcMicro(q: ArrayData, codes: ArrayData): Long = {
+    var total = 0L
+    var s = 0
+    while (s < m) {
+      total += subDistMicro(q, s, books(s)(codes.getLong(s).toInt))
+      s += 1
+    }
+    total
+  }
 }
 
-/** PQ encoding of an ArrayType(Float) vector against a driver-built
-  * [[PqCodebook]]: ArrayType(Long) of one cell id per subspace. */
+/** PQ encoding of a vector against a driver-built [[PqCodebook]]:
+  * ArrayType(Long) of one cell id per subspace. Accepts ARRAY<FLOAT>
+  * (raw vectors, floor(x·10⁶) quantization inside the kernel) or
+  * ARRAY<BIGINT> (already-micro residual vectors — no re-quantization). */
 case class PqEncode(child: Expression, codebook: PqCodebook)
     extends UnaryExpression {
 
+  private def micro: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"pq_encode expects ARRAY<FLOAT>, got ${child.dataType.sql}")
+      s"pq_encode expects ARRAY<FLOAT> or ARRAY<BIGINT>, got ${child.dataType.sql}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "pq_encode"
 
   override protected def nullSafeEval(input: Any): Any =
-    codebook.encode(input.asInstanceOf[ArrayData])
+    if (micro) codebook.encodeMicro(input.asInstanceOf[ArrayData])
+    else codebook.encode(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cb = ctx.addReferenceObj("pqCodebook", codebook, classOf[PqCodebook].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cb.encode($a);")
+    val fn = if (micro) "encodeMicro" else "encode"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cb.$fn($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
 }
 
-/** ADC distance between a raw ArrayType(Float) query vector and an
-  * ArrayType(Long) PQ code word, against a driver-built [[PqCodebook]]. */
+/** ADC distance between a query vector (ARRAY<FLOAT> raw, or
+  * ARRAY<BIGINT> micro-unit residual) and an ArrayType(Long) PQ code
+  * word, against a driver-built [[PqCodebook]]. */
 case class PqAdc(left: Expression, right: Expression, codebook: PqCodebook)
     extends BinaryExpression {
 
+  private def micro: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(LongType, _)) =>
+      case (ArrayType(FloatType, _) | ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"pq_adc expects (ARRAY<FLOAT>, ARRAY<BIGINT>), got " +
+        s"pq_adc expects (ARRAY<FLOAT>|ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
           s"${left.dataType.sql} and ${right.dataType.sql}")
     }
 
@@ -474,11 +521,13 @@ case class PqAdc(left: Expression, right: Expression, codebook: PqCodebook)
   override def prettyName: String = "pq_adc"
 
   override protected def nullSafeEval(q: Any, codes: Any): Any =
-    codebook.adc(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+    if (micro) codebook.adcMicro(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+    else codebook.adc(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cb = ctx.addReferenceObj("pqCodebook", codebook, classOf[PqCodebook].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $cb.adc($a, $b);")
+    val fn = if (micro) "adcMicro" else "adc"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $cb.$fn($a, $b);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =

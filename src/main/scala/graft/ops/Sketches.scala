@@ -589,6 +589,66 @@ object Sketches {
       unit)
   }
 
+  /** Grouped [[ksAgainstReference]]: one KS row PER GROUP against the
+    * same reference histogram, in ONE pass — the batch-replay form of
+    * the streaming [[driftMonitor]] (each group = one micro-batch of
+    * the monitored feed), which is what lets the streaming kernel's
+    * arithmetic be ORACLE-CHECKED rather than spec-trusted: replaying
+    * the batch partition of a day's events through this produces
+    * exactly the rows the monitor would have appended.
+    *
+    * Scale shape: one map-side-combined histogram pass over the feed;
+    * the reference (≤ ~1000 bins) is crossed with the bounded group
+    * inventory (monitoring cadence — days/batches, not data volume) so
+    * every group sees every reference bin; cumulative sums come from a
+    * per-group triangular join of the tiny bin relation (never a
+    * global window), per-group max/argmax after. */
+  def ksAgainstReferenceByGroup(df: DataFrame, ref: DataFrame,
+      groupCol: String, valueCol: String,
+      unit: Long = 1000000L): DataFrame = {
+    val cur = histRegisters(df, Seq(groupCol), valueCol)
+      .select(col(groupCol).as("__g"), col("bin"), col("cnt").as("__ca"))
+    val refBinsPerGroup = cur.select(col("__g")).distinct()
+      .crossJoin(broadcast(
+        ref.select(col("bin"), col("cnt").as("__cb"))))
+    val bins = refBinsPerGroup
+      .join(cur, Seq("__g", "bin"), "full_outer")
+      .select(col("__g"), col("bin"),
+        coalesce(col("__ca"), lit(0L)).as("ca"),
+        coalesce(col("__cb"), lit(0L)).as("cb"))
+      .localCheckpoint(false) // ≤ groups × ~1000 rows; 3 consumers below
+    val cums = bins
+      .join(bins.select(col("__g").as("__g2"), col("bin").as("__b2"),
+          col("ca").as("__ca2"), col("cb").as("__cb2")),
+        col("__g2") === col("__g") && col("__b2") <= col("bin"))
+      .groupBy(col("__g"), col("bin"))
+      .agg(sum(col("__ca2")).as("cuma"), sum(col("__cb2")).as("cumb"))
+    val tot = bins.groupBy(col("__g"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val d = cums.join(broadcast(tot), Seq("__g"))
+      .withColumn("__d", expr(
+        "abs(CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na)"))
+      .localCheckpoint(false) // consumed by the max agg AND the argmax join
+    val m = d.groupBy(col("__g"), col("na"), col("nb"))
+      .agg(max(col("__d")).as("__dm"))
+    m.join(d.select(col("__g").as("__g3"), col("bin"), col("__d").as("__d2")),
+        col("__g3") === col("__g") && col("__d2") === col("__dm"))
+      .groupBy(col("__g"), col("na"), col("nb"), col("__dm"))
+      .agg(min(col("bin")).as("ks_bin"))
+      .withColumn("ks_micro", expr(
+        s"""CAST(($unit * __dm) div
+           |  (CAST(greatest(na, 1) AS DECIMAL(38,0)) * greatest(nb, 1))
+           |  AS BIGINT)""".stripMargin))
+      .withColumn("ks_at_micro", expr(
+        s"""CAST(CASE WHEN ks_bin < 16 THEN ks_bin
+           |  ELSE shiftleft(16 + ks_bin % $QSubBins,
+           |    CAST(ks_bin div $QSubBins AS INT) - 5)
+           |END AS BIGINT)""".stripMargin))
+      .select(col("__g").as(groupCol), col("na").as("n_a"),
+        col("nb").as("n_b"), col("ks_micro"), col("ks_bin"),
+        col("ks_at_micro"))
+  }
+
   /** Streaming drift monitor: score every micro-batch's `valueCol`
     * distribution against the reference histogram, appending one
     * (batch_id, n_a, n_b, ks_micro, ks_bin, ks_at_micro) row per batch
@@ -596,7 +656,9 @@ object Sketches {
     * catch a source going sideways BEFORE the corpus absorbs it. The
     * reference relation is batch-sized (≤ ~1000 bins) and reused every
     * batch; exactly-once via the checkpointed foreachBatch sink, like
-    * [[graft.streaming.ReportJob]]. */
+    * [[graft.streaming.ReportJob]]. Arithmetic oracle-checked through
+    * the batch replay [[ksAgainstReferenceByGroup]]
+    * (`streaming_drift_replay`). */
   def driftMonitor(stream: DataFrame, ref: DataFrame, valueCol: String,
       outPath: String, checkpoint: String,
       unit: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery =

@@ -63,10 +63,28 @@ object PqQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Residual IVF-PQ (Faiss IVFADC proper): same coarse quantizer and
+    * candidate probing as `sim_ivfpq_topk`, but PQ codebooks are trained
+    * on and codes/distances computed over RESIDUALS v − centroid(cell) —
+    * the same m·k code budget spent on local displacement. The oracle
+    * replays the IVF training, the per-vector residual arithmetic, the
+    * residual PQ training, and the residual serve — all exact integers. */
+  def simIvfPqResidualTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    val par = T.par(spark, emb)
+    val cents = graft.ops.Similarity.trainIvfCentroidsMicro(par, k = 10, iters = 3)
+    val rbooks = Pq.trainResidualPqCodebooksMicro(par, cents,
+      m = M, k = K, iters = Iters)
+    Pq.ivfPqResidualTopKWithMicro(emb.filter(col("vec_id") < 10), par,
+        cents, rbooks, topK = TopK, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pq_encode" -> (embPqEncode _),
     "sim_pq_topk" -> (simPqTopk _),
     "sim_ivfpq_topk" -> (simIvfPqTopk _),
+    "sim_ivfpq_residual_topk" -> (simIvfPqResidualTopk _),
   )
 
   private val srcCte =
@@ -104,5 +122,35 @@ object PqQueries {
              prefix = "p",
              candJoin = "JOIN cand ON cand.qid = qm.vid AND cand.nid = e.vid")}"""
         .stripMargin,
+    "sim_ivfpq_residual_topk" -> {
+      val idx = s"CAST(sub.range * $SubDim + i.range + 1 AS INTEGER)"
+      val residX =
+        s"CAST(floor(s.v[$idx] * 1000000) AS BIGINT) - c.cm[$idx]"
+      s"""WITH $srcCte,
+         |${KmeansSql.trainCtes("src", "TRUE", k = 10, iters = 3, dim = 64)},
+         |cent AS (SELECT cell, cm FROM c3),
+         |assign AS (${KmeansSql.assignSql("src", "cent")}),
+         |probes AS (SELECT vid AS qid, cell FROM (
+         |    SELECT s.vid, c.cell,
+         |      row_number() OVER (PARTITION BY s.vid
+         |        ORDER BY ${KmeansSql.cosMicro("s.v", "c.cm")} DESC, c.cell) AS rn
+         |    FROM src s CROSS JOIN cent c WHERE s.vid < 10) WHERE rn <= 3),
+         |cand AS (SELECT p.qid, a.vid AS nid, p.cell
+         |  FROM probes p JOIN assign a USING (cell)
+         |  WHERE a.vid <> p.qid),
+         |resvm AS MATERIALIZED (SELECT s.vid, sub.range AS sub, i.range AS i,
+         |    $residX AS x
+         |  FROM src s JOIN assign a USING (vid) JOIN cent c ON c.cell = a.cell
+         |  CROSS JOIN range($M) sub CROSS JOIN range($SubDim) i),
+         |qrm AS MATERIALIZED (SELECT p.qid, p.cell, sub.range AS sub,
+         |    i.range AS i, $residX AS x
+         |  FROM probes p JOIN src s ON s.vid = p.qid
+         |  JOIN cent c ON c.cell = p.cell
+         |  CROSS JOIN range($M) sub CROSS JOIN range($SubDim) i),
+         |${PqSql.trainCtes(k = K, iters = Iters, m = M, subDim = SubDim,
+             prefix = "r", vmFrom = "resvm")},
+         |${PqSql.residualAdcTopKSql(iters = Iters, topK = TopK, prefix = "r")}"""
+        .stripMargin
+    },
   )
 }

@@ -406,6 +406,25 @@ class DedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup survivors equal the batch ledger replay") {
+    import spark.implicits._
+    // Same corpus as the streaming case above: the batch first-arrival-
+    // per-signature rule (the `streaming_sig_dedup` oracle query's
+    // shape) must reproduce the streaming survivors exactly — this is
+    // the bridge that lets the DuckDB oracle gate the streaming kernel.
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "Delta gamma, BETA alpha!"), (3L, "epsilon zeta eta theta"),
+      (11L, "beta alpha delta gamma"), (12L, "iota kappa"))
+      .toDF("doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sig_key")).orderBy(col("doc_id"))
+    val kept = docs
+      .select(col("doc_id"), Dedup.signatureKey(col("text"), 8).as("sig_key"))
+      .withColumn("kept", row_number().over(w) === lit(1))
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 12L)) // streaming survivors, same data
+  }
+
   test("signatureKey: set semantics, empty-text fallback distinct") {
     import spark.implicits._
     val keys = Seq(

@@ -121,4 +121,62 @@ class PqSpec extends SparkSpec {
     val hits = approx.intersect(exact).count()
     assert(hits >= 20, s"recall@5 over 10 queries too low: $hits/50")
   }
+
+  test("residual IVF-PQ beats raw IVF-PQ recall at equal m*k (clustered data)") {
+    import spark.implicits._
+    // 8 tight clusters in 64-dim: cluster g bumps dims [8g, 8g+8); members
+    // add a small structured perturbation. The coarse (IVF) quantizer
+    // resolves clusters, so within a probed cell the candidates differ
+    // ONLY by their displacement: a raw m*k=16*8 codebook spends its
+    // cells on absolute position (cluster-level, near-constant within a
+    // cell) and cannot rank members, while residual codebooks spend the
+    // SAME budget on the displacement itself — Faiss IVFADC's argument
+    // for residual encoding, reproduced deterministically.
+    val n = 200
+    val dim = 64
+    val clustered = (0 until n).map { id =>
+      val g = id % 8
+      val v = (0 until dim).map { d =>
+        val base = if (d / 8 == g) 1.0f else 0.0f
+        base + (((id * 31 + d * 7) % 11) - 5) * 0.004f
+      }
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding").cache()
+
+    val cents = Similarity.trainIvfCentroidsMicro(clustered, k = 8, iters = 3)
+    val queries = clustered.filter(col("vec_id") < 10)
+
+    // exact ground truth: full-precision micro L2 top-5
+    val micro = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val q = queries.select(col("vec_id").as("query_id"), micro(col("embedding")).as("qm"))
+    val c = clustered.select(col("vec_id").as("neighbor_id"), micro(col("embedding")).as("cm"))
+    val d2 = aggregate(zip_with(col("qm"), col("cm"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    val exact = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .cache()
+
+    val rawBooks = Pq.trainPqCodebooksMicro(clustered, m = 16, k = 8, iters = 3)
+    val rawHits = Pq.ivfPqTopKWithMicro(queries, clustered, cents, rawBooks,
+        topK = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+      .intersect(exact).count()
+
+    val resBooks = Pq.trainResidualPqCodebooksMicro(clustered, cents,
+      m = 16, k = 8, iters = 3)
+    val resHits = Pq.ivfPqResidualTopKWithMicro(queries, clustered, cents,
+        resBooks, topK = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+      .intersect(exact).count()
+
+    assert(resHits > rawHits,
+      s"residual recall must beat raw at equal budget: $resHits vs $rawHits of 50")
+    assert(resHits >= 30, s"residual recall floor: $resHits/50")
+  }
 }
