@@ -658,6 +658,76 @@ object TextAnalysis {
         coalesce(col("lm3_micro"), lit(0L)).as("lm3_micro"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney, ICASSP'95;
+    * Chen & Goodman 1998's interpolated form) — the smoothing the CCNet
+    * perplexity filter's KenLM models actually use, in exactly-rational
+    * integer form. Unlike Laplace ([[bigramLmScore]]), the backoff mass
+    * goes to the CONTINUATION distribution: per bigram occurrence
+    *
+    *   P_KN(w₂|w₁) = (c(w₁w₂) − d)/c(w₁·)
+    *               + d·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N_types
+    *
+    * with absolute discount d = 3/4 (the standard "D ≈ 0.75" fixed
+    * rational — tuned floats are not engine-portable). "the york" gets
+    * a LOW score even though "york" is frequent, because "york" follows
+    * few distinct words — the continuation insight Laplace misses.
+    *
+    * Integer micro form (both terms floor-div'd, d = 3/4 multiplied
+    * through): occ = unit·(4c−3) div (4·c(w₁·))
+    *               + unit·3·N₁₊(w₁·)·N₁₊(·w₂) div (4·c(w₁·)·N_types);
+    * per document the floor mean over bigram occurrences. Observed
+    * bigrams have c ≥ 1 so 4c−3 ≥ 1 — the max(·,0) clamp is vacuous on
+    * the scoring path. The second term's triple product rides
+    * DECIMAL(38,0) (wraps a long once N₁₊ counts pass ~10⁶ at
+    * unit = 10⁶ — i.e. at real-corpus vocabulary, not at test scale).
+    *
+    * Every input document gets a row (n_bigrams = 0, kn_micro = 0 via
+    * the left back-join). Scale shape identical to [[bigramLmScore]]:
+    * one corpus explode reduced per-doc then checkpointed; all count
+    * relations (bigram types, first-word marginals+fan-out, continuation
+    * fan-in, type total) are vocabulary-sized, map-side combined;
+    * scoring is three equi-joins plus a one-row broadcast. */
+  def kneserNeyBigramScore(docs: DataFrame, unit: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol).as("id"), explode(transform(
+        sequence(lit(0), size(col("__w")) - 2),
+        i => struct(
+          element_at(col("__w"), i + 1).as("w1"),
+          element_at(col("__w"), i + 2).as("w2"))))
+        .as("__p"))
+      .select(col("id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val db = bg.groupBy(col("id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val cb = db.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("cb"))
+      .localCheckpoint()
+    // c(w₁·) and N₁₊(w₁·) from ONE pass over the type relation
+    val cw = cb.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("n1w"))
+    val n1c = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1c"))
+    val nt = cb.agg(count(lit(1)).as("__nt"))
+    val scored = db
+      .join(cb, Seq("w1", "w2"))
+      .join(cw, Seq("w1"))
+      .join(n1c, Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .withColumn("__occ", expr(
+        s"($unit * (4 * cb - 3)) div (4 * cw) + " +
+          s"CAST((CAST($unit AS DECIMAL(38,0)) * 3 * n1w * n1c) div " +
+          "(CAST(4 AS DECIMAL(38,0)) * cw * __nt) AS BIGINT)"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        expr("sum(n * __occ) div sum(n)").as("kn_micro"))
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_micro"), lit(0L)).as("kn_micro"))
+  }
+
   /** The per-doc trigram relation both the inline scorer and the
     * train/serve split explode exactly once: (id, trigram, its two
     * bigrams, middle and last word). */

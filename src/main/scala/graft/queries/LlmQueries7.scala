@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Dedup, Sketches}
+import graft.ops.{Components, Dedup, Sketches, TextAnalysis}
 
 /** Round-10 registry: batch replays of the STREAMING kernels, giving the
   * in-flight operators the same DuckDB-oracle discipline as the batch
@@ -56,9 +56,42 @@ object LlmQueries7 {
       .orderBy(col("batch_id"))
   }
 
+  /** Interpolated Kneser–Ney bigram quality scores over the corpus
+    * ([[TextAnalysis.kneserNeyBigramScore]]) — the CCNet-style filter
+    * signal with continuation-count backoff, exactly rational. */
+  def textLmKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    TextAnalysis.kneserNeyBigramScore(docs).orderBy(col("doc_id"))
+  }
+
+  /** HITS hubs/authorities over the synthetic host link graph (the
+    * `graph_host_rank` edge relation) — [[Components.hits]], 3 exact
+    * integer iterations, full trajectory oracle-unrolled. */
+  def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    def a(j: Int, p: String) = concat(
+      lit("<a href=\"http://h"), (col("doc_id") * 7 + j) % 50,
+      lit(s".ex.com/$p\">$p</a>"))
+    val pages = docs.select(col("doc_id"),
+      concat(lit("<html><body>"), a(1, "a"), a(2, "b"), a(3, "c"),
+        lit("</body></html>")).as("__page"))
+    val edges = pages
+      .select((col("doc_id") % 50).as("src"),
+        explode(expr(
+          """regexp_extract_all(__page, '"http://h([0-9]+)\\.', 1)"""))
+          .as("__h"))
+      .select(col("src"), col("__h").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    Components.hits(edges, iters = 3)
+      .withColumnRenamed("id", "host_id")
+      .orderBy(col("host_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_sig_dedup" -> (streamingSigDedup _),
-    "streaming_drift_replay" -> (streamingDriftReplay _))
+    "streaming_drift_replay" -> (streamingDriftReplay _),
+    "text_lm_kneser_ney" -> (textLmKneserNey _),
+    "graph_hits" -> (graphHits _))
 
   // histRegisters binning, DuckDB form (shared with Sketches.ksDriftSql).
   private val binCase =
@@ -122,5 +155,70 @@ object LlmQueries7 {
          |      << (CAST(arg.ks_bin // ${Sketches.QSubBins} AS INTEGER) - 5)
          |  END AS BIGINT) AS ks_at_micro
          |FROM tot t JOIN m USING (g) JOIN arg USING (g)
-         |ORDER BY batch_id""".stripMargin)
+         |ORDER BY batch_id""".stripMargin,
+    "text_lm_kneser_ney" ->
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+         |bg AS (SELECT doc_id, ws[CAST(r.i AS INTEGER)] AS w1,
+         |    ws[CAST(r.i + 1 AS INTEGER)] AS w2
+         |  FROM w CROSS JOIN LATERAL
+         |    (SELECT unnest(range(1, len(ws))) AS i) r
+         |  WHERE len(ws) >= 2),
+         |db AS (SELECT doc_id AS id, w1, w2, count(*) AS n
+         |  FROM bg GROUP BY 1, 2, 3),
+         |cb AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS cb
+         |  FROM db GROUP BY 1, 2),
+         |cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw,
+         |    CAST(count(*) AS BIGINT) AS n1w FROM cb GROUP BY 1),
+         |n1c AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1c
+         |  FROM cb GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM cb),
+         |occ AS (SELECT db.id, db.n,
+         |    (1000000 * (4 * cb.cb - 3)) // (4 * cw.cw)
+         |    + CAST((CAST(1000000 AS HUGEINT) * 3 * cw.n1w * n1c.n1c)
+         |        // (CAST(4 AS HUGEINT) * cw.cw * nt.nt) AS BIGINT) AS o
+         |  FROM db JOIN cb USING (w1, w2) JOIN cw USING (w1)
+         |  JOIN n1c USING (w2) CROSS JOIN nt),
+         |sc AS (SELECT id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(n * o) // sum(n) AS BIGINT) AS kn_micro
+         |  FROM occ GROUP BY id)
+         |SELECT d.doc_id,
+         |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(sc.kn_micro, 0) AS kn_micro
+         |FROM documents d LEFT JOIN sc ON sc.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "graph_hits" -> {
+      val iterCtes = (1 to 3).map { i =>
+        s"""ar$i AS (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
+           |  FROM edges e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst),
+           |am$i AS (SELECT max(a) AS m FROM ar$i),
+           |a$i AS (SELECT n.id,
+           |    CAST((CAST(1000000 AS HUGEINT) * coalesce(ar.a, 0))
+           |      // greatest((SELECT m FROM am$i), 1) AS BIGINT) AS a
+           |  FROM nodes n LEFT JOIN ar$i ar USING (id)),
+           |hr$i AS (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS h
+           |  FROM edges e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
+           |hm$i AS (SELECT max(h) AS m FROM hr$i),
+           |h$i AS (SELECT n.id,
+           |    CAST((CAST(1000000 AS HUGEINT) * coalesce(hr.h, 0))
+           |      // greatest((SELECT m FROM hm$i), 1) AS BIGINT) AS h
+           |  FROM nodes n LEFT JOIN hr$i hr USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pg AS (SELECT doc_id,
+         |    '<html><body><a href="http://h' || ((doc_id * 7 + 1) % 50)
+         |    || '.ex.com/a">a</a><a href="http://h' || ((doc_id * 7 + 2) % 50)
+         |    || '.ex.com/b">b</a><a href="http://h' || ((doc_id * 7 + 3) % 50)
+         |    || '.ex.com/c">c</a></body></html>' AS page
+         |  FROM documents),
+         |lk AS (SELECT doc_id % 50 AS src, CAST(u.h AS BIGINT) AS dst
+         |  FROM pg, unnest(regexp_extract_all(page, '"http://h([0-9]+)\\.', 1)) AS u(h)),
+         |edges AS (SELECT DISTINCT src, dst FROM lk WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         |$iterCtes
+         |SELECT n.id AS host_id, h3.h AS hub_micro, a3.a AS auth_micro
+         |FROM nodes n JOIN h3 USING (id) JOIN a3 USING (id)
+         |ORDER BY host_id""".stripMargin
+    })
 }

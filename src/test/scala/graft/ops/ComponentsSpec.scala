@@ -230,4 +230,23 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got2 == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
   }
+
+  test("hits: hand-computed 3-iteration trajectory, zero rows kept") {
+    import spark.implicits._
+    // 1→3, 2→3, 1→4: 3 is the authority (two hub in-links), 1 the hub
+    // (links both authorities). Exact max-normalized integer trajectory:
+    //   i1: a=(3:1e6, 4:500000)        h=(1:1e6, 2:666666)
+    //   i2: a=(3:1e6, 4:600000)        h=(1:1e6, 2:625000)
+    //   i3: a=(3:1e6, 4:615384)        h=(1:1e6, 2:619047)
+    val e = Seq((1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Components.hits(e, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ((1000000L, 0L)), 2L -> ((619047L, 0L)),
+      3L -> ((0L, 1000000L)), 4L -> ((0L, 615384L))), got.toString)
+    // partition invariance
+    val got2 = Components.hits(e.repartition(5), iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got2 == got)
+  }
 }

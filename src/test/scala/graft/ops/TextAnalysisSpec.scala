@@ -647,4 +647,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) == ((3L, 0L, "en", 1000000L)), got(2L).toString)
     assert(got(3L) == ((1L, 0L, "es", 1000000L)), got(3L).toString)
   }
+
+  test("kneserNeyBigramScore: continuation counts, hand-check, short docs") {
+    import spark.implicits._
+    // Corpus: 'york' occurs often but ONLY after 'new' (continuation
+    // fan-in 1); 'run' appears after many distinct words (high fan-in).
+    // Both test docs use an UNSEEN bigram '<ctx> <word>'? No — both
+    // probe bigrams seen exactly once with the same c(w1.), so the
+    // discounted first term is equal and the score difference is purely
+    // the continuation term: KN must score 'go run' above 'go york',
+    // while a frequency-based smoother would favor the more frequent
+    // 'york'.
+    val docs = Seq(
+      (0L, "new york new york new york new york"),
+      (1L, "we run they run you run dogs run"),
+      (2L, "go york"), (3L, "go run"),
+      (4L, "solo"), (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyBigramScore(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // < 2 words: zero row, never dropped
+    assert(got(4L) == ((0L, 0L)) && got(5L) == ((0L, 0L)))
+    val (nYork, sYork) = got(2L)
+    val (nRun, sRun) = got(3L)
+    assert(nYork == 1 && nRun == 1)
+    assert(sRun > sYork,
+      s"continuation backoff must favor high-fan-in 'run': $sRun vs $sYork")
+    // hand check of doc 3 ('go run'): c(go run)=1, c(go.)=2, N1+(go.)=2,
+    // N1+(.run)=5, N_types=12 (new york, york new, we run, run they,
+    // they run, run you, you run, run dogs, dogs run, go york, go run,
+    // solo has none; york appears after new and go -> recount:
+    // types = {new york, york new, go york, go run, we run, run they,
+    // they run, run you, you run, run dogs, dogs run} = 11;
+    // N1+(.run)=5 (we,they,you,dogs,go), N1+(.york)=2 (new,go).
+    // occ(go run) = 1e6*(4-3) div (4*2) + 1e6*3*2*5 div (4*2*11)
+    //             = 125000 + 340909 = 465909
+    assert(sRun == 465909L, s"hand-computed KN occurrence: $sRun")
+    // occ(go york) = 125000 + 1e6*3*2*2 div (4*2*11) = 125000 + 136363
+    assert(sYork == 261363L, s"hand-computed KN occurrence: $sYork")
+  }
 }
