@@ -299,6 +299,85 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
   }
 
+  /** Balanced-variance dimension permutation for PQ (the "structured
+    * ordering" OPQ baseline, Ge et al. CVPR'13 §1's natural-vs-permuted
+    * comparison; also Jégou et al. TPAMI'11 §V-A's remark that PQ is
+    * sensitive to how dimensions are grouped): PQ quantizes each
+    * subspace with the same k cells, so piling the high-variance
+    * dimensions into one subspace starves it while low-variance
+    * subspaces waste codes. Sort dimensions by exact integer variance
+    * (n·Σx² − (Σx)², micro units, DECIMAL(38,0) products) and deal them
+    * SNAKE-wise across the m subspaces (round 0: 0,1,…,m−1; round 1:
+    * m−1,…,0; …), so every subspace gets one dimension from each
+    * variance stratum. Returns perm where perm(sub·subDim + r) = the
+    * original dimension index placed at slot r of subspace `sub` —
+    * deterministic, tie-broken by dimension index, oracle-replayable.
+    *
+    * This is deliberately the PERMUTATION member of the OPQ family, not
+    * the learned rotation: a permutation is exactly representable in
+    * integer arithmetic (a learned orthogonal matrix is not), so the
+    * whole train+encode trajectory stays bit-exact across engines. */
+  def balancedVariancePermutation(emb: DataFrame, dim: Int, m: Int,
+      vecCol: String = "embedding"): Array[Int] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val aggs = (0 until dim).flatMap { i =>
+      val x = s"CAST(floor(element_at($vecCol, ${i + 1}) * 1000000.0) AS DECIMAL(38,0))"
+      Seq(expr(s"sum($x)").as(s"__s$i"), expr(s"sum($x * $x)").as(s"__q$i"))
+    }
+    val row = emb.agg(count(lit(1)).as("__n"), aggs: _*).head()
+    val n = row.getLong(0)
+    // exact scaled variance n·Σx² − (Σx)² per dimension
+    val variances = (0 until dim).map { i =>
+      val s = row.getDecimal(1 + 2 * i + 1) // __q comes second per pair
+      val s1 = row.getDecimal(1 + 2 * i)
+      (new java.math.BigDecimal(n).multiply(s).subtract(s1.multiply(s1)), i)
+    }
+    val ranked = variances.sortWith { case ((va, ia), (vb, ib)) =>
+      val c = va.compareTo(vb)
+      c > 0 || (c == 0 && ia < ib)
+    }.map(_._2)
+    val subDim = dim / m
+    val perm = new Array[Int](dim)
+    ranked.zipWithIndex.foreach { case (origDim, k) =>
+      val round = k / m
+      val pos = k % m
+      val sub = if (round % 2 == 0) pos else m - 1 - pos
+      perm(sub * subDim + round) = origDim
+    }
+    perm
+  }
+
+  /** Micro-unit permuted-vector column: slot j holds
+    * floor(v(perm(j))·10⁶) — the input to permuted PQ train/encode. */
+  def permutedMicro(vecCol: String, perm: Array[Int]): Column = {
+    val slots = perm.map(d =>
+      floor(element_at(col(vecCol), d + 1).cast("double") * lit(1000000.0))
+        .cast("long"))
+    array(slots: _*)
+  }
+
+  /** Train PQ codebooks over the PERMUTED micro vectors — compose with
+    * [[balancedVariancePermutation]] for the OPQ-lite pipeline; spec
+    * asserts lower self-distortion than natural-order PQ on
+    * variance-skewed data at equal m·k. */
+  def trainPermutedPqCodebooksMicro(corpus: DataFrame, perm: Array[Int],
+      m: Int, k: Int, iters: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Array[Long]]] =
+    trainOnMicro(
+      corpus.select(col(idCol).as("__id"),
+        permutedMicro(vecCol, perm).as("__vm")),
+      m, k, iters)
+
+  /** Map-only permuted-PQ encoding, flattened to (id, sub, code). */
+  def encodePermutedFlat(emb: DataFrame, perm: Array[Int],
+      books: Array[Array[Array[Long]]], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = codebook(books)
+    emb.select(col(idCol),
+      posexplode(pq_encode(permutedMicro(vecCol, perm), cb))
+        .as(Seq("sub", "code")))
+  }
+
   /** ADC reconstruction error of one vector against its own code —
     * `pq_adc(v, pq_encode(v))`, the training objective (per-row, for
     * convergence monitoring and specs). */

@@ -80,11 +80,28 @@ object PqQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** OPQ-lite: balanced-variance dimension permutation (snake-dealt by
+    * exact integer variance), then the PQ chain over the PERMUTED micro
+    * vectors — the engine-portable member of the OPQ family (a learned
+    * rotation is not exactly representable; a permutation is). The
+    * oracle replays the variance ranking, the snake assignment, and the
+    * full permuted training/encode. */
+  def embOpqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    val par = T.par(spark, emb)
+    val perm = Pq.balancedVariancePermutation(par, dim = 64, m = M)
+    val pbooks = Pq.trainPermutedPqCodebooksMicro(par, perm,
+      m = M, k = K, iters = Iters)
+    Pq.encodePermutedFlat(emb, perm, pbooks)
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pq_encode" -> (embPqEncode _),
     "sim_pq_topk" -> (simPqTopk _),
     "sim_ivfpq_topk" -> (simIvfPqTopk _),
     "sim_ivfpq_residual_topk" -> (simIvfPqResidualTopk _),
+    "emb_opq_encode" -> (embOpqEncode _),
   )
 
   private val srcCte =
@@ -152,5 +169,29 @@ object PqQueries {
          |${PqSql.residualAdcTopKSql(iters = Iters, topK = TopK, prefix = "r")}"""
         .stripMargin
     },
+    "emb_opq_encode" ->
+      s"""WITH $srcCte,
+         |vm0 AS MATERIALIZED (SELECT vid, d.range AS dim,
+         |    CAST(floor(v[CAST(d.range + 1 AS INTEGER)] * 1000000) AS BIGINT) AS x
+         |  FROM src CROSS JOIN range(64) d),
+         |vstat AS (SELECT dim, count(*) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS s1, sum(CAST(x AS HUGEINT) * x) AS s2
+         |  FROM vm0 GROUP BY dim),
+         |rk AS (SELECT dim,
+         |    row_number() OVER (ORDER BY n * s2 - s1 * s1 DESC, dim) - 1 AS k
+         |  FROM vstat),
+         |perm AS (SELECT dim,
+         |    (CASE WHEN (k // $M) % 2 = 0 THEN k % $M
+         |          ELSE $M - 1 - (k % $M) END) * $SubDim + k // $M AS slot
+         |  FROM rk),
+         |pvm AS MATERIALIZED (SELECT vm0.vid,
+         |    CAST(p.slot // $SubDim AS BIGINT) AS sub,
+         |    CAST(p.slot % $SubDim AS BIGINT) AS i, vm0.x
+         |  FROM perm p JOIN vm0 ON vm0.dim = p.dim),
+         |${PqSql.trainCtes(k = K, iters = Iters, m = M, subDim = SubDim,
+             prefix = "o", vmFrom = "pvm")}
+         |SELECT vid AS vec_id, CAST(sub AS INTEGER) AS sub,
+         |  CAST(code AS BIGINT) AS code
+         |FROM oenc ORDER BY vec_id, sub""".stripMargin,
   )
 }

@@ -179,4 +179,45 @@ class PqSpec extends SparkSpec {
       s"residual recall must beat raw at equal budget: $resHits vs $rawHits of 50")
     assert(resHits >= 30, s"residual recall floor: $resHits/50")
   }
+
+  test("balanced-variance permutation cuts PQ distortion on skewed dims") {
+    import spark.implicits._
+    // dims 0-3 carry INDEPENDENT high-variance signal, 4-7 are
+    // near-constant. Natural order packs all four hot dims into
+    // subspace 0 (subDim=4) — k cells cannot cover four independent
+    // directions — while the snake deal gives each subspace two hot +
+    // two cold dims, so the same m*k budget quantizes strictly better.
+    // (Independence matters: CORRELATED hot dims packed together are
+    // the case where natural grouping wins — that is OPQ's whole
+    // subject.) Seeded java Random is LCG-spec'd: platform-stable.
+    val n = 120
+    val dim = 8
+    val rnd = new java.util.Random(42)
+    val skewed = (0 until n).map { id =>
+      val v = (0 until dim).map { d =>
+        val amp = if (d < 4) 1.0f else 0.01f
+        amp * (rnd.nextInt(17) - 8) / 8.0f
+      }
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding").cache()
+
+    val perm = Pq.balancedVariancePermutation(skewed, dim = dim, m = 2)
+    // every original dimension appears exactly once
+    assert(perm.sorted.toSeq == (0 until dim))
+    // each subspace holds exactly two hot dims (0-3) after the snake
+    assert(perm.slice(0, 4).count(_ < 4) == 2 && perm.slice(4, 8).count(_ < 4) == 2,
+      perm.toSeq.toString)
+
+    def distortion(books: Array[Array[Array[Long]]], p: Array[Int]): Long = {
+      val cb = new PqCodebook(dim / 2, books)
+      val vm = Pq.permutedMicro("embedding", p)
+      skewed.select(pq_adc(vm, pq_encode(vm, cb), cb).as("d"))
+        .agg(sum(col("d"))).head().getLong(0)
+    }
+    val natural = (0 until dim).toArray
+    val bN = Pq.trainPermutedPqCodebooksMicro(skewed, natural, m = 2, k = 4, iters = 3)
+    val bP = Pq.trainPermutedPqCodebooksMicro(skewed, perm, m = 2, k = 4, iters = 3)
+    val (dN, dP) = (distortion(bN, natural), distortion(bP, perm))
+    assert(dP < dN, s"permuted distortion $dP must beat natural $dN")
+  }
 }
