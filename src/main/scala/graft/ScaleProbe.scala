@@ -136,7 +136,10 @@ object ScaleProbe {
       // round-9 third batch: the prefix-filter similarity join over the
       // per-copy slice (disjoint token universes — candidates, df, and
       // verified pairs scale linearly, no cross-copy interaction)
-      "dedup_ppjoin_x10" -> (ppjoinProbe _))
+      "dedup_ppjoin_x10" -> (ppjoinProbe _),
+      // round-10: Kneser-Ney LM (all count relations scale with corpus
+      // vocabulary; scoring joins scale with the exploded bigrams)
+      "text_lm_kneser_ney" -> SparkEntry.queries("text_lm_kneser_ney"))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
