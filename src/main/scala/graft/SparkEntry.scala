@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.LlmQueries5.queries ++
       graft.queries.LlmQueries6.queries ++
       graft.queries.LlmQueries7.queries ++
+      graft.queries.LlmQueries8.queries ++
       graft.queries.PqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.LlmQueries5.oracle ++
       graft.queries.LlmQueries6.oracle ++
       graft.queries.LlmQueries7.oracle ++
+      graft.queries.LlmQueries8.oracle ++
       graft.queries.PqQueries.oracle
 }

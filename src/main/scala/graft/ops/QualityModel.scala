@@ -295,4 +295,100 @@ object QualityModel {
         expr("""CASE WHEN __sm < 0 THEN -((-__sm) div n)
           | ELSE __sm div n END""".stripMargin).as("mean_score"))
   }
+
+  /** Cohen's kappa (Cohen 1960) between two categorical label columns —
+    * chance-corrected agreement, the standard audit for "does the
+    * quality model actually agree with the gold labels beyond what
+    * class imbalance alone would produce" (raw accuracy is useless on a
+    * 95/5 corpus; kappa is not). Works for any number of classes.
+    *
+    * Exactly integer: with joint counts n_ab, diagonal D = Σ_c n_cc and
+    * chance mass E = Σ_c row_c · col_c,
+    *   kappa = (n·D − E) / (n² − E)
+    * (the usual (p_o − p_e)/(1 − p_e) multiplied through by n²), so
+    * kappa_micro is one sign-split integral division. Products ride
+    * DECIMAL(38,0): n² wraps a long past n ≈ 3·10⁹ rows — real at
+    * corpus scale.
+    *
+    * Scale shape: one combine-agg for the joint counts (classes ×
+    * classes rows — tiny), margins derived from it, one-row output.
+    * Nothing driver-side. */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String,
+      unit: Long = 1000000L): DataFrame = {
+    // class-pair contingency table — |classes|² rows, sketch-sized
+    val joint = df
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+      .localCheckpoint()
+    val rowm = joint.groupBy(col("a")).agg(sum(col("nab")).as("ra"))
+    val colm = joint.groupBy(col("b")).agg(sum(col("nab")).as("cb"))
+    // E = Σ_c ra_c·cb_c from the margins (a class absent from one
+    // margin contributes 0 — the full join + coalesce covers it)
+    val chance = rowm.withColumnRenamed("a", "c")
+      .join(colm.withColumnRenamed("b", "c"), Seq("c"), "full")
+      .agg(sum(expr(
+        """CAST(coalesce(ra, CAST(0 AS BIGINT)) AS DECIMAL(38,0))
+          | * coalesce(cb, CAST(0 AS BIGINT))""".stripMargin))
+        .as("__e"))
+    joint
+      .agg(sum(col("nab")).as("__n"),
+        sum(when(col("a") === col("b"), col("nab"))
+          .otherwise(lit(0L))).as("__d"))
+      .crossJoin(broadcast(chance))
+      .select(col("__n").as("n"), col("__d").as("n_agree"),
+        expr(s"($unit * __d) div __n").as("po_micro"),
+        expr(s"CAST(($unit * __e) div (CAST(__n AS DECIMAL(38,0)) * __n) " +
+          "AS BIGINT)").as("pe_micro"),
+        expr(s"""CAST(CASE
+          | WHEN CAST(__n AS DECIMAL(38,0)) * __n - __e = 0 THEN 0
+          | WHEN $unit * (CAST(__n AS DECIMAL(38,0)) * __d - __e) < 0
+          | THEN -((-($unit * (CAST(__n AS DECIMAL(38,0)) * __d - __e)))
+          |        div (CAST(__n AS DECIMAL(38,0)) * __n - __e))
+          | ELSE ($unit * (CAST(__n AS DECIMAL(38,0)) * __d - __e))
+          |      div (CAST(__n AS DECIMAL(38,0)) * __n - __e)
+          | END AS BIGINT)""".stripMargin).as("kappa_micro"))
+  }
+
+  /** Per-stratum decile calibration audit: within each stratum, rank
+    * rows by score (ties pinned by `idCol`), cut into `bins`
+    * equal-count bins, and report per (stratum, bin) the count,
+    * positives, empirical positive rate, and mean score — plus the
+    * bin's |pos_rate − nominal| gap against its nominal rank
+    * confidence (2b−1)/2B in micro units, whose count-weighted mean is
+    * the ECE-style calibration summary for a rank-calibrated filter.
+    * Per-stratum (per-source / per-language) is the shape a pipeline
+    * owner wants anyway: a model that is calibrated in aggregate but
+    * inverted on one source is exactly the failure this catches.
+    * Unlike [[reliabilityBins]] (fixed score widths) the bins are
+    * equal-population, so every bin's rate has the same variance.
+    *
+    * Deterministic: equal-depth bin = (bins·(rk−1)) div n over a
+    * (score, id) total order — unique, integer, engine-replayable
+    * (same cut rule as curriculum bucketing; `ntile`'s leftover
+    * distribution differs between engines, so it is NOT used). Windows
+    * are per-STRATUM, never global — a stratum must fit a partition
+    * sort, the usual exact-rank posture. */
+  def decileCalibration(scored: DataFrame, strataCol: String,
+      scoreCol: String, labelCol: String, idCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+    val wOrd = w.orderBy(col(scoreCol), col(idCol))
+    scored
+      .withColumn("__rk", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("bin", expr(s"($bins * (__rk - 1)) div __n + 1"))
+      .groupBy(col(strataCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(col(scoreCol).cast("long")).as("__sm"))
+      .select(col(strataCol), col("bin"), col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) div n").as("pos_rate_micro"),
+        expr("""CASE WHEN __sm < 0 THEN -((-__sm) div n)
+          | ELSE __sm div n END""".stripMargin).as("mean_score"),
+        expr(s"abs((1000000 * n_pos) div n - " +
+          s"(1000000 * (2 * bin - 1)) div ${2 * bins})").as("gap_micro"))
+  }
 }

@@ -742,4 +742,42 @@ object Sketches {
        |  CAST(max(n) AS BIGINT) AS n
        |FROM los GROUP BY 1
        |ORDER BY 1""".stripMargin
+
+  /** One-sided CUSUM changepoint detection (Page 1954) per group over an
+    * ordered integer series — the classic sequential drift alarm for a
+    * monitored feed (ingest volume, score mass, token counts): alarm as
+    * soon as cumulated excess over the reference level `k` passes the
+    * decision threshold `h`.
+    *
+    * The textbook recurrence s_i = max(0, s_{i-1} + x_i − k) is
+    * sequential, which would force a per-group sort-and-scan UDF. It
+    * has an exact window form: with prefix sums P_i = Σ_{j≤i}(x_j − k),
+    *   s_i = P_i − min(0, min_{j≤i} P_j)
+    * (the max-with-zero resets are exactly "subtract the lowest prefix
+    * seen so far, floored at the empty prefix 0"). Two stacked running
+    * windows per group — running sum, then running min — both
+    * partition-local after one hash partition by group, no self-joins,
+    * all integer arithmetic so the trajectory replays bit-identically.
+    *
+    * 100 TB shape: the window is per-GROUP (a monitored metric's series;
+    * thousands of rows), never a global window; groups parallelize
+    * across the cluster. Output: one row per input point with the
+    * statistic and the alarm flag.
+    *
+    * `kCol`/`hCol` are Column expressions so the reference level and
+    * decision threshold can come from a per-group baseline join (the
+    * usual deployment: k from last month's mean) or be literals. */
+  def cusumByGroup(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, kCol: Column, hCol: Column): DataFrame = {
+    val byG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df
+      .withColumn("x", col(valueCol).cast("long"))
+      .withColumn("__p", sum(col("x") - kCol).over(byG))
+      .withColumn("cusum",
+        col("__p") - least(lit(0L), min(col("__p")).over(byG)))
+      .select(col(groupCol), col(orderCol), col("x"),
+        col("cusum"), (col("cusum") > hCol).as("alarm"))
+  }
 }

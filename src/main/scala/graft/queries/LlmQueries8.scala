@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.ops.{Components, QualityModel, Sketches, UrlOps}
+
+/** Round-10 registry batch 8: graph link prediction, CUSUM changepoint
+  * monitoring, chance-corrected model-agreement + per-source calibration
+  * audits, and the C4-style URL canonicalization/dedup family. All
+  * exact-integer, all DuckDB-replayed.
+  */
+object LlmQueries8 {
+
+  // DuckDB mirror of Dedup.normalize (same as sibling batches).
+  private def normSql(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  // DuckDB mirror of Dedup.hashStr (seeded 60-bit md5 prefix).
+  private def hashSql(seed: Int, e: String) =
+    s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
+
+  // Integer-weight margin CTEs (mirror of LlmQueries2/4's marginCte).
+  private lazy val marginCte =
+    s"""n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+       |w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM n),
+       |f AS (SELECT doc_id, ${hashSql(77, "wd")} % 256 AS bucket,
+       |        count(*) AS cnt
+       |      FROM w WHERE wd <> '' GROUP BY 1, 2),
+       |s AS (SELECT doc_id, count(*) AS n_features,
+       |        CAST(sum(cnt * ((${hashSql(55, "CAST(bucket AS VARCHAR)")} % 21) - 10))
+       |          AS BIGINT) AS margin
+       |      FROM f GROUP BY doc_id)""".stripMargin
+
+  /** The deterministic crawl-URL fixture: every document gets a URL whose
+    * spelling varies in exactly the ways canonicalization must erase —
+    * scheme/host case, a www. label, a default :443 port, a trailing
+    * slash, a utm_ tracking param, a fragment — while the canonical
+    * resource is pinned by (doc_id mod 10, mod 4, mod 7, mod 3), so
+    * distinct doc_ids share canonical URLs (true crawl duplicates). */
+  private def urlFixture(doc: Column): Column = {
+    val tld = when(doc % 4 === 0, lit("COM")).when(doc % 4 === 1, lit("ORG"))
+      .when(doc % 4 === 2, lit("NET")).otherwise(lit("DEV"))
+    concat(
+      when(doc % 2 === 0, lit("https")).otherwise(lit("HTTPS")), lit("://"),
+      when(doc % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("h"), doc % 10, lit(".Example."), tld,
+      when(doc % 7 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), doc % 7,
+      when(doc % 5 === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(doc % 2 === 0, lit("utm_source=feed&")).otherwise(lit("")),
+      lit("id="), doc % 3,
+      when(doc % 4 === 1, concat(lit("#s"), doc % 5)).otherwise(lit("")))
+  }
+
+  // The same fixture as a DuckDB expression over doc_id.
+  private val urlFixtureSql =
+    """CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END || '://'
+      | || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+      | || 'h' || (doc_id % 10) || '.Example.'
+      | || CASE WHEN doc_id % 4 = 0 THEN 'COM' WHEN doc_id % 4 = 1 THEN 'ORG'
+      |         WHEN doc_id % 4 = 2 THEN 'NET' ELSE 'DEV' END
+      | || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+      | || '/p/' || (doc_id % 7)
+      | || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+      | || '?'
+      | || CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&' ELSE '' END
+      | || 'id=' || (doc_id % 3)
+      | || CASE WHEN doc_id % 4 = 1 THEN '#s' || (doc_id % 5) ELSE '' END"""
+      .stripMargin.replace("\n", "")
+
+  // Closed-form canonical of the fixture (what canonicalization must
+  // reduce every spelling to) — the oracle replays THIS, so the Spark
+  // side's regexp canonicalizer is checked end-to-end.
+  private val canonicalFixtureSql =
+    """'https://h' || (doc_id % 10) || '.example.'
+      | || CASE WHEN doc_id % 4 = 0 THEN 'com' WHEN doc_id % 4 = 1 THEN 'org'
+      |         WHEN doc_id % 4 = 2 THEN 'net' ELSE 'dev' END
+      | || '/p/' || (doc_id % 7) || '?id=' || (doc_id % 3)"""
+      .stripMargin.replace("\n", "")
+
+  /** Link prediction over the synthetic host link graph (the
+    * [[Components.linkPrediction]] family): for every unlinked 2-hop
+    * host pair, common neighbors, resource-allocation index,
+    * preferential attachment, and Jaccard — the crawl-frontier ranking
+    * companion to graph_hits/graph_host_rank. */
+  def graphLinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val e = docs.select((col("doc_id") % 50).as("src"),
+        explode(array((col("doc_id") * 7 + 1) % 50,
+          (col("doc_id") * 7 + 2) % 50,
+          (col("doc_id") * 7 + 3) % 50)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e.select(least(col("src"), col("dst")).as("id_a"),
+      greatest(col("src"), col("dst")).as("id_b")).distinct()
+    Components.linkPrediction(und).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** CUSUM drift alarms over the daily event-volume series, per event
+    * type ([[Sketches.cusumByGroup]]): reference level k = the type's
+    * own mean daily count (floor), decision threshold h = 2k. The
+    * window form replays bit-identically in SQL. */
+  def eventCusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    val daily = ev.groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val base = daily.groupBy(col("event_type"))
+      .agg(expr("sum(x) div count(1)").as("__k"))
+    val j = daily.join(broadcast(base), Seq("event_type"))
+    Sketches.cusumByGroup(j, "event_type", "day", "x",
+        col("__k"), col("__k") * 2)
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Cohen's kappa between the integer-weight quality model's keep
+    * decision and the is-English gold label
+    * ([[QualityModel.cohensKappa]]) — the chance-corrected agreement
+    * number behind quality_auc's ranking view. */
+  def qualityCohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val scored = QualityModel.integerWeightScore(T.par(spark, docs), dim = 256)
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").cast("int").as("gold")), Seq("doc_id"))
+      .withColumn("pred", (col("margin") > 0).cast("int"))
+    QualityModel.cohensKappa(scored, "pred", "gold")
+  }
+
+  /** Per-source decile calibration audit of the quality margin
+    * ([[QualityModel.decileCalibration]]): equal-population score bins
+    * within every source, empirical positive rate vs nominal rank
+    * confidence — the per-stratum ECE readout. */
+  def qualityDecileCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val scored = QualityModel.integerWeightScore(T.par(spark, docs), dim = 256)
+      .join(docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").cast("int").as("label")), Seq("doc_id"))
+    QualityModel.decileCalibration(scored, "source", "margin", "label",
+        "doc_id", bins = 10)
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** URL part extraction over the crawl fixture
+    * ([[UrlOps.withUrlParts]]): the Spark side parses with regexps; the
+    * oracle replays the synthesis formula closed-form. */
+  def urlParseProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+      .select(col("doc_id"), urlFixture(col("doc_id")).as("url"))
+    UrlOps.withUrlParts(docs, "url")
+      .select(col("doc_id"), col("url"), col("scheme"), col("host"),
+        col("path"), col("query"), col("fragment"),
+        col("registered_domain"), col("path_depth"), col("n_params"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL-level dedup ([[UrlOps.urlDedup]]): canonicalize every spelling
+    * and keep the minimum doc_id per canonical URL. */
+  def dedupUrlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+      .select(col("doc_id"), urlFixture(col("doc_id")).as("url"))
+    UrlOps.urlDedup(docs, "url", "doc_id")
+      .select(col("doc_id"), col("canonical_url"), col("keeper_id"),
+        col("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-registered-domain crawl triage ([[UrlOps.hostRollup]]): doc
+    * count, distinct canonical URLs, duplication ratio, content mass. */
+  def urlHostRollup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        urlFixture(col("doc_id")).as("url"))
+    UrlOps.hostRollup(docs, "url", "n_chars")
+      .select(col("registered_domain"), col("n_docs"), col("n_canonical"),
+        col("total_chars"), col("dup_ratio_micro"))
+      .orderBy(col("registered_domain"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_predict" -> (graphLinkPredict _),
+    "event_cusum_drift" -> (eventCusumDrift _),
+    "quality_cohens_kappa" -> (qualityCohensKappa _),
+    "quality_decile_calibration" -> (qualityDecileCalibration _),
+    "url_parse_profile" -> (urlParseProfile _),
+    "dedup_url_canonical" -> (dedupUrlCanonical _),
+    "url_host_rollup" -> (urlHostRollup _))
+
+  val oracle: Map[String, String] = Map(
+    "graph_link_predict" ->
+      s"""WITH lk AS (
+         |  SELECT doc_id % 50 AS src, (doc_id * 7 + 1) % 50 AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 2) % 50 FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 3) % 50 FROM documents),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM lk WHERE src <> dst),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+         |  GROUP BY 1),
+         |adj AS (SELECT u AS w, v AS t FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |adjd AS (SELECT a.w, a.t, deg.d AS dw FROM adj a
+         |  JOIN deg ON deg.id = a.w),
+         |wed AS (SELECT l.t AS a, r.t AS b, l.dw
+         |  FROM adjd l JOIN adjd r ON l.w = r.w AND l.t < r.t),
+         |cand AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+         |    CAST(sum(1000000 // dw) AS BIGINT) AS ra
+         |  FROM wed GROUP BY 1, 2),
+         |cand2 AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+         |  SELECT 1 FROM und WHERE und.u = c.a AND und.v = c.b))
+         |SELECT c.a AS id_a, c.b AS id_b, c.cn AS common_neighbors,
+         |  c.ra AS ra_micro,
+         |  CAST(da.d * db.d AS BIGINT) AS pref_attach,
+         |  CAST((1000000 * c.cn) // (da.d + db.d - c.cn) AS BIGINT)
+         |    AS jaccard_micro
+         |FROM cand2 c JOIN deg da ON da.id = c.a JOIN deg db ON db.id = c.b
+         |ORDER BY id_a, id_b""".stripMargin,
+    "event_cusum_drift" ->
+      s"""WITH d AS (SELECT event_type,
+         |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |k AS (SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS k
+         |  FROM d GROUP BY 1),
+         |p AS (SELECT d.event_type, d.day, d.x, k.k,
+         |    CAST(sum(d.x - k.k) OVER (PARTITION BY d.event_type
+         |      ORDER BY d.day) AS BIGINT) AS pp
+         |  FROM d JOIN k USING (event_type)),
+         |s AS (SELECT event_type, day, x, k,
+         |    CAST(pp - least(0, min(pp) OVER (PARTITION BY event_type
+         |      ORDER BY day)) AS BIGINT) AS cusum
+         |  FROM p)
+         |SELECT event_type, day, x, cusum, cusum > 2 * k AS alarm
+         |FROM s ORDER BY event_type, day""".stripMargin,
+    "quality_cohens_kappa" ->
+      s"""WITH $marginCte,
+         |lab AS (SELECT s.doc_id,
+         |    CASE WHEN s.margin > 0 THEN 1 ELSE 0 END AS pred,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS gold
+         |  FROM s JOIN documents d USING (doc_id)),
+         |j AS (SELECT pred, gold, count(*) AS nab FROM lab GROUP BY 1, 2),
+         |r AS (SELECT pred, sum(nab) AS ra FROM j GROUP BY 1),
+         |c AS (SELECT gold, sum(nab) AS cb FROM j GROUP BY 1),
+         |e AS (SELECT CAST(sum(CAST(coalesce(ra, 0) AS HUGEINT)
+         |    * coalesce(cb, 0)) AS HUGEINT) AS e
+         |  FROM r FULL JOIN c ON r.pred = c.gold),
+         |t AS (SELECT CAST(sum(nab) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN pred = gold THEN nab ELSE 0 END) AS BIGINT)
+         |      AS d
+         |  FROM j)
+         |SELECT n, d AS n_agree,
+         |  CAST((1000000 * d) // n AS BIGINT) AS po_micro,
+         |  CAST((1000000 * e.e) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+         |    AS pe_micro,
+         |  CAST(CASE
+         |    WHEN CAST(n AS HUGEINT) * n - e.e = 0 THEN 0
+         |    WHEN 1000000 * (CAST(n AS HUGEINT) * d - e.e) < 0
+         |    THEN -((-(1000000 * (CAST(n AS HUGEINT) * d - e.e)))
+         |           // (CAST(n AS HUGEINT) * n - e.e))
+         |    ELSE (1000000 * (CAST(n AS HUGEINT) * d - e.e))
+         |         // (CAST(n AS HUGEINT) * n - e.e)
+         |  END AS BIGINT) AS kappa_micro
+         |FROM t CROSS JOIN e""".stripMargin,
+    "quality_decile_calibration" ->
+      s"""WITH $marginCte,
+         |lab AS (SELECT s.doc_id, s.margin, d.source,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+         |  FROM s JOIN documents d USING (doc_id)),
+         |rk AS (SELECT source, margin, label,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY margin, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM lab),
+         |b AS (SELECT source, (10 * (rk - 1)) // n + 1 AS bin, margin, label
+         |  FROM rk)
+         |SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(label) AS BIGINT) AS n_pos,
+         |  CAST((1000000 * sum(label)) // count(*) AS BIGINT)
+         |    AS pos_rate_micro,
+         |  CAST(CASE WHEN sum(margin) < 0
+         |    THEN -((-sum(margin)) // count(*))
+         |    ELSE sum(margin) // count(*) END AS BIGINT) AS mean_score,
+         |  CAST(abs((1000000 * sum(label)) // count(*)
+         |    - (1000000 * (2 * bin - 1)) // 20) AS BIGINT) AS gap_micro
+         |FROM b GROUP BY source, bin
+         |ORDER BY source, bin""".stripMargin,
+    "url_parse_profile" ->
+      s"""SELECT doc_id,
+         |  $urlFixtureSql AS url,
+         |  'https' AS scheme,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+         |    || 'h' || (doc_id % 10) || '.Example.'
+         |    || CASE WHEN doc_id % 4 = 0 THEN 'COM'
+         |            WHEN doc_id % 4 = 1 THEN 'ORG'
+         |            WHEN doc_id % 4 = 2 THEN 'NET' ELSE 'DEV' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END AS host,
+         |  '/p/' || (doc_id % 7)
+         |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END AS path,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&' ELSE '' END
+         |    || 'id=' || (doc_id % 3) AS query,
+         |  CASE WHEN doc_id % 4 = 1 THEN 's' || (doc_id % 5) ELSE '' END
+         |    AS fragment,
+         |  'example.'
+         |    || CASE WHEN doc_id % 4 = 0 THEN 'com'
+         |            WHEN doc_id % 4 = 1 THEN 'org'
+         |            WHEN doc_id % 4 = 2 THEN 'net' ELSE 'dev' END
+         |    AS registered_domain,
+         |  2 AS path_depth,
+         |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS n_params
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_url_canonical" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    $canonicalFixtureSql AS canonical_url
+         |  FROM documents),
+         |k AS (SELECT canonical_url, min(doc_id) AS keeper_id
+         |  FROM c GROUP BY 1)
+         |SELECT c.doc_id, c.canonical_url, k.keeper_id,
+         |  c.doc_id = k.keeper_id AS is_canonical
+         |FROM c JOIN k USING (canonical_url)
+         |ORDER BY c.doc_id""".stripMargin,
+    "url_host_rollup" ->
+      s"""WITH c AS (SELECT doc_id, n_chars,
+         |    'example.'
+         |      || CASE WHEN doc_id % 4 = 0 THEN 'com'
+         |              WHEN doc_id % 4 = 1 THEN 'org'
+         |              WHEN doc_id % 4 = 2 THEN 'net' ELSE 'dev' END
+         |      AS registered_domain,
+         |    $canonicalFixtureSql AS canonical_url
+         |  FROM documents)
+         |SELECT registered_domain,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST((1000000 * (count(*) - count(DISTINCT canonical_url)))
+         |    // count(*) AS BIGINT) AS dup_ratio_micro
+         |FROM c GROUP BY 1
+         |ORDER BY registered_domain""".stripMargin)
+}

@@ -249,4 +249,43 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got2 == got)
   }
+
+  test("linkPrediction: path graph scores its one 2-hop pair exactly") {
+    import spark.implicits._
+    // 1—2—3: only candidate is (1,3) through center 2 (deg 2):
+    // cn=1, ra=1e6 div 2, pref=1·1, jaccard=1e6·1 div (1+1−1)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Components.linkPrediction(e).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 3L)))
+    assert(r.getAs[Long]("common_neighbors") == 1L)
+    assert(r.getAs[Long]("ra_micro") == 500000L)
+    assert(r.getAs[Long]("pref_attach") == 1L)
+    assert(r.getAs[Long]("jaccard_micro") == 1000000L)
+  }
+
+  test("linkPrediction: 4-cycle pairs, triangle yields none, hub guard throws") {
+    import spark.implicits._
+    // square 1-2-3-4-1: candidates are the two diagonals, each with two
+    // degree-2 centers: cn=2, ra=2·(1e6 div 2)=1e6, pref=2·2,
+    // jaccard=1e6·2 div (2+2−2)=1e6
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = Components.linkPrediction(sq)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("common_neighbors"), r.getAs[Long]("ra_micro"),
+          r.getAs[Long]("pref_attach"), r.getAs[Long]("jaccard_micro"))).toMap
+    assert(got == Map(
+      (1L, 3L) -> ((2L, 1000000L, 4L, 1000000L)),
+      (2L, 4L) -> ((2L, 1000000L, 4L, 1000000L))), got.toString)
+    // a closed triangle has no unlinked 2-hop pair
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(Components.linkPrediction(tri).collect().isEmpty)
+    // celebrity-hub quadratic corner: guarded, not silently enumerated
+    val star = (1L to 5L).map(l => (0L, l)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Components.linkPrediction(star, maxCenterDegree = 3L)
+    }
+    assert(ex.getMessage.contains("maxCenterDegree"))
+  }
 }

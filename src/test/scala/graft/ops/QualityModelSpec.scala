@@ -117,4 +117,44 @@ class QualityModelSpec extends SparkSpec {
       .collect().head.getAs[Long]("auc_micro")
     assert(globalA == 1000000L)
   }
+
+  test("cohensKappa: perfect, independent, and worse-than-chance agreement") {
+    import spark.implicits._
+    // perfect agreement -> kappa = 1
+    val perfect = Seq((0, 0), (0, 0), (1, 1), (1, 1)).toDF("a", "b")
+    val p = QualityModel.cohensKappa(perfect, "a", "b").collect().head
+    assert(p.getAs[Long]("n") == 4L && p.getAs[Long]("n_agree") == 4L)
+    assert(p.getAs[Long]("kappa_micro") == 1000000L)
+    // statistically independent -> kappa = 0 (po = pe = 1/2)
+    val indep = Seq((0, 0), (0, 1), (1, 0), (1, 1)).toDF("a", "b")
+    val i = QualityModel.cohensKappa(indep, "a", "b").collect().head
+    assert(i.getAs[Long]("po_micro") == 500000L)
+    assert(i.getAs[Long]("pe_micro") == 500000L)
+    assert(i.getAs[Long]("kappa_micro") == 0L)
+    // total disagreement on balanced classes -> kappa = -1 (sign-split div)
+    val anti = Seq((0, 1), (1, 0)).toDF("a", "b")
+    val a = QualityModel.cohensKappa(anti, "a", "b").collect().head
+    assert(a.getAs[Long]("kappa_micro") == -1000000L)
+  }
+
+  test("decileCalibration: equal-depth bins with pinned ties, exact gaps") {
+    import spark.implicits._
+    // one stratum, scores 1..10, label = score > 5, 5 bins of 2
+    val df = (1 to 10).map(s => ("s", s.toLong, if (s > 5) 1 else 0, s.toLong))
+      .toDF("src", "score", "label", "id")
+    val got = QualityModel.decileCalibration(df, "src", "score", "label",
+        "id", bins = 5)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("pos_rate_micro"),
+          r.getAs[Long]("mean_score"))).toMap
+    assert(got.keySet == (1L to 5L).toSet)
+    assert(got(1L) == ((2L, 0L, 1L)))            // scores 1,2
+    assert(got(3L) == ((2L, 500000L, 5L)))       // scores 5,6: one positive
+    assert(got(5L) == ((2L, 1000000L, 9L)))      // scores 9,10
+    // nominal confidence for bin 1 of 5 is 1/10 -> gap = |0 - 100000|
+    val g1 = QualityModel.decileCalibration(df, "src", "score", "label",
+        "id", bins = 5)
+      .filter(col("bin") === 1).collect().head.getAs[Long]("gap_micro")
+    assert(g1 == 100000L)
+  }
 }

@@ -330,4 +330,27 @@ class SketchesSpec extends SparkSpec {
     val z = Sketches.cmsJoinSizeEstimate(a, d, "k").collect().head.getLong(0)
     assert(z == 0L, s"disjoint sides must estimate 0, got $z")
   }
+
+  test("cusumByGroup matches the textbook max(0, s+x-k) recurrence") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1, 5L), ("a", 2, 5L), ("a", 3, 9L), ("a", 4, 9L), ("a", 5, 5L),
+      ("b", 1, 1L), ("b", 2, 9L))
+      .toDF("g", "t", "x")
+    val got = Sketches.cusumByGroup(df, "g", "t", "x", lit(5L), lit(6L))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Long]("cusum"), r.getAs[Boolean]("alarm"))).toMap
+    // a: s = 0,0,4,8,8 (alarm once s>6); b: dips below zero reset to 0,
+    // then 4 — the max(0,·) reset the prefix-min form must reproduce
+    assert(got == Map(
+      ("a", 1) -> ((0L, false)), ("a", 2) -> ((0L, false)),
+      ("a", 3) -> ((4L, false)), ("a", 4) -> ((8L, true)),
+      ("a", 5) -> ((8L, true)),
+      ("b", 1) -> ((0L, false)), ("b", 2) -> ((4L, false))), got.toString)
+    // reference sequential recurrence, cross-checked per group
+    def ref(xs: Seq[Long], k: Long): Seq[Long] =
+      xs.scanLeft(0L)((s, x) => math.max(0L, s + x - k)).tail
+    assert(ref(Seq(5, 5, 9, 9, 5), 5) == Seq(0L, 0L, 4L, 8L, 8L))
+    assert(ref(Seq(1, 9), 5) == Seq(0L, 4L))
+  }
 }

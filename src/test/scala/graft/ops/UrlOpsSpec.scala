@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class UrlOpsSpec extends SparkSpec {
+
+  test("withUrlParts extracts scheme/host/path/query/fragment and derived fields") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&id=3#frag"),
+      (2L, "http://h1.example.org/p"),
+      (3L, "https://localhost/x?a=1&b=2"))
+      .toDF("id", "url")
+    val rows = UrlOps.withUrlParts(df, "url").orderBy("id").collect()
+    val r1 = rows(0)
+    assert(r1.getAs[String]("scheme") == "https")
+    assert(r1.getAs[String]("host") == "WWW.Ex.COM:443")
+    assert(r1.getAs[String]("path") == "/a/b/")
+    assert(r1.getAs[String]("query") == "utm_source=x&id=3")
+    assert(r1.getAs[String]("fragment") == "frag")
+    assert(r1.getAs[String]("registered_domain") == "ex.com")
+    assert(r1.getAs[Int]("path_depth") == 2)
+    assert(r1.getAs[Int]("n_params") == 2)
+    val r2 = rows(1)
+    assert(r2.getAs[String]("scheme") == "http")
+    assert(r2.getAs[String]("registered_domain") == "h1.example.org"
+      .split('.').takeRight(2).mkString("."))
+    assert(r2.getAs[String]("query") == "")
+    assert(r2.getAs[Int]("n_params") == 0)
+    // single-label host: its own registered domain, no ANSI fault
+    assert(rows(2).getAs[String]("registered_domain") == "localhost")
+  }
+
+  test("canonicalUrl erases case, www, default port, fragment, utm, trailing slash") {
+    import spark.implicits._
+    val df = Seq(
+      "HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&id=3#f",
+      "https://ex.com/a/b?id=3",
+      "http://Ex.com:80/a/b?id=3&utm_medium=y",
+      "https://ex.com/a/b?z=1&a=2")
+      .toDF("url")
+    val canon = df.select(UrlOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(canon(0) == "https://ex.com/a/b?id=3")
+    assert(canon(1) == "https://ex.com/a/b?id=3")
+    assert(canon(2) == "http://ex.com/a/b?id=3")
+    // params are sorted so reorderings canonicalize equal
+    assert(canon(3) == "https://ex.com/a/b?a=2&z=1")
+  }
+
+  test("urlDedup keeps the minimum id per canonical URL") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "https://ex.com/a"),
+      (7L, "HTTPS://WWW.ex.com/a/"),
+      (3L, "https://ex.com/b"))
+      .toDF("doc_id", "url")
+    val out = UrlOps.urlDedup(df, "url", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 7L, 7L))
+    assert(out.map(_.getBoolean(3)).toSeq == Seq(true, true, false))
+  }
+
+  test("hostRollup counts docs, canonical URLs, and the dup ratio per domain") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://a.ex.com/x", 100L),
+      (2L, "https://WWW.a.ex.com/x/", 50L),
+      (3L, "https://b.ex.com/y", 25L),
+      (4L, "https://other.org/z", 10L))
+      .toDF("doc_id", "url", "n_chars")
+    val out = UrlOps.hostRollup(df, "url", "n_chars")
+      .orderBy("registered_domain").collect()
+    assert(out.length == 2)
+    val exCom = out(0)
+    assert(exCom.getAs[String]("registered_domain") == "ex.com")
+    assert(exCom.getAs[Long]("n_docs") == 3L)
+    assert(exCom.getAs[Long]("n_canonical") == 2L)
+    assert(exCom.getAs[Long]("total_chars") == 175L)
+    assert(exCom.getAs[Long]("dup_ratio_micro") == 1000000L / 3)
+  }
+}
