@@ -358,4 +358,29 @@ object Sessions {
         sum(expr(s"(__cents * ${unit}L) div shiftleft(1L, CAST(__hl AS INT))"))
           .as("decayed_micro"))
   }
+
+  /** Seasonal-naive forecast error per monitored series: the forecast
+    * for each point is the value exactly `season` points earlier in its
+    * group (lag-7 on daily series = "same weekday last week"), and the
+    * readout is the point-wise absolute error — the standard residual
+    * feed for pipeline-volume monitoring (a point whose seasonal
+    * residual is huge is the anomaly; a run of them is drift, which
+    * [[Sketches.cusumByGroup]] then accumulates).
+    *
+    * Points with no lag-`season` predecessor are dropped (no forecast
+    * exists — emitting NULL would poison downstream integer arithmetic
+    * and engines disagree on NULL ordering). All integer, one per-GROUP
+    * lag window — groups parallelize, nothing global. */
+  def seasonalNaiveError(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, season: Int = 7): DataFrame = {
+    require(season >= 1, "season must be at least 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df
+      .withColumn("x", col(valueCol).cast("long"))
+      .withColumn("forecast", lag(col("x"), season).over(w))
+      .filter(col("forecast").isNotNull)
+      .select(col(groupCol), col(orderCol), col("x"), col("forecast"),
+        abs(col("x") - col("forecast")).as("abs_err"))
+  }
 }

@@ -1577,4 +1577,103 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_sentences"), col("n_boundaries"),
         (col("n_boundaries") + 1L).as("n_segments"))
   }
+
+  /** RAKE-style keyword extraction (Rose et al. 2010), made fully
+    * deterministic and corpus-driven: the stopword set is the corpus's
+    * own `nStop` most frequent tokens (ties broken by token asc — no
+    * hand-curated list to drift), candidate phrases are the maximal
+    * stopword-free token runs of length ≤ `maxPhraseLen`, each word
+    * scores deg/freq over the kept phrases (deg = Σ length of phrases
+    * containing the occurrence, freq = occurrence count; integer micro
+    * units), and a phrase scores the sum of its member word scores.
+    * Output: the `topK` distinct phrases per document by
+    * (score desc, phrase asc), with rank.
+    *
+    * Scale shape: one posexplode pass; the stopword relation is nStop
+    * rows (broadcast); the phrase id is a per-DOC running count window
+    * (never global); word scores are one corpus-level combine-agg whose
+    * output is vocabulary-sized and joins back by word (broadcast at
+    * real vocabulary sizes); per-doc top-k is a doc-partitioned
+    * row_number. The maxPhraseLen cap bounds the per-phrase arrays —
+    * a pathological no-stopword document would otherwise make one
+    * phrase of the whole text. */
+  def rakeKeywords(docs: DataFrame, nStop: Int = 5, topK: Int = 3,
+      maxPhraseLen: Int = 4, unit: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nStop >= 0 && topK > 0 && maxPhraseLen > 0, "bad parameters")
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(Dedup.normalize(col(textCol)), " "))
+          .as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .localCheckpoint()
+    val stop = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(nStop)
+      .select(col("w"), lit(true).as("__stop"))
+    val marked = toks.join(broadcast(stop), Seq("w"), "left")
+      .withColumn("__isStop", coalesce(col("__stop"), lit(false)))
+      .withColumn("ph", sum(when(col("__isStop"), 1L).otherwise(0L))
+        .over(W.partitionBy(col("id")).orderBy(col("pos"))))
+    val phraseToks = marked.filter(!col("__isStop"))
+      .select(col("id"), col("ph"), col("pos"), col("w"))
+      .localCheckpoint()
+    val phraseLen = phraseToks.groupBy(col("id"), col("ph"))
+      .agg(count(lit(1)).as("len"))
+      .filter(col("len") <= maxPhraseLen)
+    val occ = phraseToks.join(phraseLen, Seq("id", "ph"))
+    val wordScore = occ.groupBy(col("w"))
+      .agg(sum(col("len")).as("__deg"), count(lit(1)).as("__freq"))
+      .select(col("w"), expr(s"($unit * __deg) div __freq").as("ws"))
+    val phrases = occ.join(wordScore, Seq("w"))
+      .groupBy(col("id"), col("ph"))
+      .agg(sum(col("ws")).as("score_micro"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").as("phrase"))
+    val distinctPhrases = phrases.groupBy(col("id"), col("phrase"))
+      .agg(max(col("score_micro")).as("score_micro"))
+    distinctPhrases
+      .withColumn("rank", row_number().over(W.partitionBy(col("id"))
+        .orderBy(col("score_micro").desc, col("phrase").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("id").as(idCol), col("rank"), col("phrase"),
+        col("score_micro"))
+  }
+
+  /** Blocklist (badwords) filtering, C4-style: count each document's
+    * tokens that appear in a flagged-term list and gate on the flagged
+    * fraction. The list joins as a broadcast relation — NOT an `isin`
+    * literal chain — so production-sized blocklists (10⁴–10⁵ terms)
+    * keep a hash-join plan instead of a megabyte of generated code.
+    * Exact integers: flag_frac_micro = unit·hits div n_tokens.
+    *
+    * Output: (id, n_tokens, n_flagged, flag_frac_micro, kept) per doc —
+    * every input document appears (zero-token docs keep with 0). */
+  def blocklistFilter(docs: DataFrame, terms: Seq[String],
+      maxFracMicro: Long = 100000L, unit: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxFracMicro >= 0, "maxFracMicro must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // dedupe AFTER lowercasing — case-variant spellings of one term must
+    // collapse to ONE join key, or each token match would multiply
+    val bl = broadcast(terms.map(_.toLowerCase).distinct.toDF("w")
+      .select(col("w"), lit(true).as("__bad")))
+    docs
+      .select(col(idCol).as("id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(bl, Seq("w"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__bad"), 1L).otherwise(0L)).as("n_flagged"))
+      .join(docs.select(col(idCol).as("id")), Seq("id"), "right")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .withColumn("flag_frac_micro",
+        expr(s"($unit * n_flagged) div greatest(n_tokens, 1)"))
+      .withColumn("kept", col("flag_frac_micro") <= maxFracMicro)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Components, QualityModel, Sketches, UrlOps}
+import graft.ops.{Components, QualityModel, Sessions, Sketches, TextAnalysis, UrlOps}
 
 /** Round-10 registry batch 8: graph link prediction, CUSUM changepoint
   * monitoring, chance-corrected model-agreement + per-source calibration
@@ -177,6 +177,37 @@ object LlmQueries8 {
       .orderBy(col("registered_domain"))
   }
 
+  /** RAKE keyword extraction over the corpus
+    * ([[TextAnalysis.rakeKeywords]]): corpus-driven stopwords (top 5
+    * tokens), stopword-free phrase runs ≤ 4 tokens, deg/freq word
+    * scores, top-3 phrases per doc. */
+  def textRakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    TextAnalysis.rakeKeywords(docs, nStop = 5, topK = 3, maxPhraseLen = 4)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** C4-style blocklist gate ([[TextAnalysis.blocklistFilter]]): flag
+    * fraction against a fixed term list, keep ≤ 10%. */
+  def textBlocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    TextAnalysis.blocklistFilter(docs,
+        Seq("slow", "big", "hash", "merge"), maxFracMicro = 100000L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Seasonal-naive residuals over daily event volumes per type
+    * ([[Sessions.seasonalNaiveError]], season = 7 days) — the anomaly
+    * feed that [[Sketches.cusumByGroup]] accumulates. */
+  def eventSeasonalError(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    val daily = ev.groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    Sessions.seasonalNaiveError(daily, "event_type", "day", "x", season = 7)
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "event_cusum_drift" -> (eventCusumDrift _),
@@ -184,7 +215,10 @@ object LlmQueries8 {
     "quality_decile_calibration" -> (qualityDecileCalibration _),
     "url_parse_profile" -> (urlParseProfile _),
     "dedup_url_canonical" -> (dedupUrlCanonical _),
-    "url_host_rollup" -> (urlHostRollup _))
+    "url_host_rollup" -> (urlHostRollup _),
+    "text_rake_keywords" -> (textRakeKeywords _),
+    "text_blocklist_filter" -> (textBlocklistFilter _),
+    "event_seasonal_error" -> (eventSeasonalError _))
 
   val oracle: Map[String, String] = Map(
     "graph_link_predict" ->
@@ -337,5 +371,74 @@ object LlmQueries8 {
          |  CAST((1000000 * (count(*) - count(DISTINCT canonical_url)))
          |    // count(*) AS BIGINT) AS dup_ratio_micro
          |FROM c GROUP BY 1
-         |ORDER BY registered_domain""".stripMargin)
+         |ORDER BY registered_domain""".stripMargin,
+    "text_rake_keywords" ->
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |sp AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+         |tk AS (SELECT doc_id AS id, CAST(r.i - 1 AS BIGINT) AS pos,
+         |    ws[CAST(r.i AS INTEGER)] AS w
+         |  FROM sp CROSS JOIN LATERAL
+         |    (SELECT unnest(range(1, len(ws) + 1)) AS i) r
+         |  WHERE ws[CAST(r.i AS INTEGER)] <> ''),
+         |stop AS (SELECT w FROM (
+         |  SELECT w, count(*) AS cnt FROM tk GROUP BY 1
+         |  ORDER BY cnt DESC, w LIMIT 5)),
+         |mk AS (SELECT id, pos, w,
+         |    w IN (SELECT w FROM stop) AS isstop FROM tk),
+         |phm AS (SELECT id, pos, w, isstop,
+         |    sum(CASE WHEN isstop THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY id ORDER BY pos) AS ph
+         |  FROM mk),
+         |pt AS (SELECT id, ph, pos, w FROM phm WHERE NOT isstop),
+         |pl AS (SELECT id, ph, CAST(count(*) AS BIGINT) AS len
+         |  FROM pt GROUP BY 1, 2 HAVING count(*) <= 4),
+         |occ AS (SELECT pt.id, pt.ph, pt.pos, pt.w, pl.len
+         |  FROM pt JOIN pl USING (id, ph)),
+         |wsr AS (SELECT w,
+         |    CAST((1000000 * sum(len)) // count(*) AS BIGINT) AS ws
+         |  FROM occ GROUP BY 1),
+         |phr AS (SELECT o.id, o.ph, CAST(sum(wsr.ws) AS BIGINT) AS sc,
+         |    string_agg(o.w, ' ' ORDER BY o.pos) AS phrase
+         |  FROM occ o JOIN wsr USING (w) GROUP BY 1, 2),
+         |dp AS (SELECT id, phrase, max(sc) AS score_micro
+         |  FROM phr GROUP BY 1, 2),
+         |rk AS (SELECT id, phrase, score_micro,
+         |    row_number() OVER (PARTITION BY id
+         |      ORDER BY score_micro DESC, phrase) AS rnk
+         |  FROM dp)
+         |SELECT id AS doc_id, rnk AS "rank", phrase, score_micro
+         |FROM rk WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
+    "text_blocklist_filter" ->
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |tk AS (SELECT doc_id AS id, u.w
+         |  FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+         |    unnest(ws) AS u(w)
+         |  WHERE u.w <> ''),
+         |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN w IN ('slow', 'big', 'hash', 'merge')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |  FROM tk GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(agg.n_tokens, 0) AS n_tokens,
+         |  coalesce(agg.n_flagged, 0) AS n_flagged,
+         |  CAST((1000000 * coalesce(agg.n_flagged, 0))
+         |    // greatest(coalesce(agg.n_tokens, 0), 1) AS BIGINT)
+         |    AS flag_frac_micro,
+         |  (1000000 * coalesce(agg.n_flagged, 0))
+         |    // greatest(coalesce(agg.n_tokens, 0), 1) <= 100000 AS kept
+         |FROM documents d LEFT JOIN agg ON agg.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "event_seasonal_error" ->
+      s"""WITH d AS (SELECT event_type,
+         |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_type, day, x,
+         |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY day)
+         |      AS forecast
+         |  FROM d)
+         |SELECT event_type, day, x, forecast, abs(x - forecast) AS abs_err
+         |FROM l WHERE forecast IS NOT NULL
+         |ORDER BY event_type, day""".stripMargin)
 }

@@ -278,4 +278,20 @@ class SessionsSpec extends SparkSpec {
         keyCols = Seq("user_id")).collect().head.getLong(2)
     assert(capped == 100000000L + 100000000L / (1L << 40), capped.toString)
   }
+
+  test("seasonalNaiveError: lag-season forecasts, leading points dropped") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1, 10L), ("a", 2, 20L), ("a", 3, 13L), ("a", 4, 18L),
+      ("a", 5, 30L),
+      ("b", 1, 5L), ("b", 2, 6L)).toDF("g", "t", "x")
+    val got = Sessions.seasonalNaiveError(df, "g", "t", "x", season = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Long]("forecast"), r.getAs[Long]("abs_err"))).toMap
+    // a: t3 f=10 |13-10|=3; t4 f=20 err 2; t5 f=13 err 17; b: none
+    assert(got == Map(
+      ("a", 3) -> ((10L, 3L)),
+      ("a", 4) -> ((20L, 2L)),
+      ("a", 5) -> ((13L, 17L))), got.toString)
+  }
 }

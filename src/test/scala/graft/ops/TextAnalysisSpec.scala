@@ -685,4 +685,55 @@ class TextAnalysisSpec extends SparkSpec {
     // occ(go york) = 125000 + 1e6*3*2*2 div (4*2*11) = 125000 + 136363
     assert(sYork == 261363L, s"hand-computed KN occurrence: $sYork")
   }
+
+  test("rakeKeywords: hand-computed deg/freq scores, corpus-driven stopword") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick fox the lazy dog"),
+      (2L, "the fox")).toDF("doc_id", "text")
+    // corpus stopword (top-1): 'the' (freq 3). Phrases: doc1 [quick fox],
+    // [lazy dog]; doc2 [fox]. Word scores (unit·deg div freq):
+    //   quick 2e6, lazy 2e6, dog 2e6, fox (2+1)e6 div 2 = 1500000.
+    // Phrase scores: lazy dog 4e6 > quick fox 3.5e6; doc2 fox 1.5e6.
+    val got = TextAnalysis.rakeKeywords(docs, nStop = 1, topK = 2,
+        maxPhraseLen = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (1L, 1) -> (("lazy dog", 4000000L)),
+      (1L, 2) -> (("quick fox", 3500000L)),
+      (2L, 1) -> (("fox", 1500000L))), got.toString)
+  }
+
+  test("rakeKeywords: maxPhraseLen drops oversized runs; ranks pin ties") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e x y")).toDF("doc_id", "text")
+    // no stopwords (nStop=0) -> the whole doc is ONE 7-token phrase,
+    // over the 2-token cap -> no keywords at all
+    assert(TextAnalysis.rakeKeywords(docs, nStop = 0, topK = 3,
+      maxPhraseLen = 2).collect().isEmpty)
+    // equal scores tie-break by phrase text ascending ('the' is the
+    // clear top-frequency stopword here)
+    val two = Seq((1L, "aa the bb the")).toDF("doc_id", "text")
+    val r = TextAnalysis.rakeKeywords(two, nStop = 1, topK = 2,
+        maxPhraseLen = 4)
+      .orderBy("rank").collect().map(x => (x.getInt(1), x.getString(2)))
+    assert(r.toSeq == Seq((1, "aa"), (2, "bb")), r.mkString(","))
+  }
+
+  test("blocklistFilter: exact flag fractions, zero-token doc kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good words only here"),
+      (2L, "bad bad good good good good good good good bad"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistFilter(docs, Seq("bad", "BAD"),
+        maxFracMicro = 250000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got(0) == ((4L, 0L, 0L, true)))
+    // 3 of 10 flagged = 300000 micro > 250000 -> dropped
+    assert(got(1) == ((10L, 3L, 300000L, false)))
+    assert(got(2) == ((0L, 0L, 0L, true)))
+  }
 }
