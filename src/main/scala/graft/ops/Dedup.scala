@@ -1071,4 +1071,61 @@ object Dedup {
           .otherwise("changed"))
       .select(col("id"), col("status"))
   }
+
+  /** Content-defined chunking dedup profile (the gear/Rabin CDC family,
+    * token-granular): a token ends a chunk iff its content hash ≡ 0
+    * mod `divisor` — boundaries move WITH the content, so an insertion
+    * early in a document shifts only its own chunk, and every other
+    * chunk still hashes identically (the property fixed-width
+    * [[spanSegments]] spans lack; this is how backup/dedup stores and
+    * long-doc near-dup pipelines localize edits). Expected chunk length
+    * = `divisor` tokens.
+    *
+    * Output, per document: n_tokens, n_chunks, n_shared_chunks (chunks
+    * whose content key also appears in ≥ 1 OTHER document),
+    * shared_frac_micro. Zero-token docs report (0, 0, 0, 0).
+    *
+    * Scale shape: one posexplode pass; the chunk id is a per-DOC
+    * running-sum window; chunk keys aggregate by (md5 of the joined
+    * chunk text); sharing is one combine-agg over the chunk-key
+    * relation (distinct-doc count per key) joined back by key. No
+    * cross products, nothing global. */
+  def cdcChunkProfile(docs: DataFrame, divisor: Int = 8, seed: Int = 31,
+      unit: Long = 1000000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(divisor >= 1, "divisor must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("__b",
+        when(pmod(hashStr(col("w"), seed), lit(divisor.toLong)) === 0, 1L)
+          .otherwise(0L))
+      // exclusive prefix sum: a boundary token is the LAST of its chunk
+      .withColumn("chunk",
+        sum(col("__b")).over(W.partitionBy(col("id")).orderBy(col("pos")))
+          - col("__b"))
+    val chunks = toks.groupBy(col("id"), col("chunk"))
+      .agg(count(lit(1)).as("clen"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ")).as("ckey"))
+      .localCheckpoint()
+    val sharing = chunks.groupBy(col("ckey"))
+      .agg(countDistinct(col("id")).as("__ndocs"))
+    val perDoc = chunks.join(sharing, Seq("ckey"))
+      .groupBy(col("id"))
+      .agg(sum(col("clen")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__ndocs") > 1, 1L).otherwise(0L))
+          .as("n_shared_chunks"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_shared_chunks"), lit(0L)).as("n_shared_chunks"))
+      .withColumn("shared_frac_micro",
+        expr(s"($unit * n_shared_chunks) div greatest(n_chunks, 1)"))
+  }
 }

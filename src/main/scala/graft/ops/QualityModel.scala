@@ -391,4 +391,42 @@ object QualityModel {
         expr(s"abs((1000000 * n_pos) div n - " +
           s"(1000000 * (2 * bin - 1)) div ${2 * bins})").as("gap_micro"))
   }
+
+  /** Robust (median/IQR) scaling of an integer score column per stratum
+    * — the outlier-immune normalization that makes scores comparable
+    * across sources before a global threshold (a mean/std z-score is
+    * dragged by the very outliers a quality score exists to flag).
+    * Exact order statistics: median = the value at rank ⌈n/2⌉, q1/q3 at
+    * ranks ⌈n/4⌉/⌈3n/4⌉ over the (value, id)-total-ordered stratum —
+    * deterministic, engine-replayable; robust_micro =
+    * unit·(v − median) div max(q3 − q1, 1), sign-split.
+    *
+    * Scale shape: per-STRATUM rank window + three conditional window
+    * maxes on the same partition (one Window exec), then pure row
+    * arithmetic — a stratum must fit a partition sort, the usual exact
+    * order-statistic posture ([[decileCalibration]]'s note). */
+  def robustScaleByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, unit: Long = 1000000L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val part = W.partitionBy(col(groupCol))
+    val wOrd = part.orderBy(col(valueCol), col(idCol))
+    df
+      .withColumn("__v", col(valueCol).cast("long"))
+      .withColumn("__rk", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("median",
+        max(when(expr("__rk = (__n + 1) div 2"), col("__v"))).over(part))
+      .withColumn("__q1",
+        max(when(expr("__rk = (__n + 3) div 4"), col("__v"))).over(part))
+      .withColumn("__q3",
+        max(when(expr("__rk = (3 * __n + 3) div 4"), col("__v"))).over(part))
+      .withColumn("iqr", col("__q3") - col("__q1"))
+      .withColumn("robust_micro", expr(
+        s"""CASE WHEN __v - median < 0
+           | THEN -(($unit * (median - __v)) div greatest(iqr, 1))
+           | ELSE ($unit * (__v - median)) div greatest(iqr, 1)
+           | END""".stripMargin))
+      .select(col(idCol), col(groupCol), col("__v").as(valueCol),
+        col("median"), col("iqr"), col("robust_micro"))
+  }
 }

@@ -1119,4 +1119,49 @@ object Similarity {
       .select(col("qid").as(qidCol), col("id").as(idCol), col("rank"),
         col("n_lists"), col("rrf_micro"))
   }
+
+  /** Matryoshka (MRL) truncation audit: how much of each embedding's
+    * direction survives keeping only the first `r` dimensions? For a
+    * prefix u of v, cos(v, u) = |u|/|v| = √(ssq_r/ssq) — so the whole
+    * audit needs only per-vector prefix sums of squares. Per prefix
+    * length, reports the vector count, the mean and the worst cosine in
+    * micro units — the table that decides how far a serving index can
+    * truncate MRL-trained embeddings before recall collapses.
+    *
+    * Determinism: components are micro-ized to integers first
+    * (floor(e·1000), the PCA-replay convention), the sums of squares
+    * are exact longs, and only the final √ratio runs in IEEE double +
+    * round — the same cross-engine-stable shape as the cosine kernels.
+    * Zero vectors report cos = unit (a zero vector loses nothing).
+    *
+    * Scale shape: one posexplode pass, one combine-agg per vector, a
+    * |prefixes|-way stack, one |prefixes|-row output agg. Nothing
+    * quadratic, no window. */
+  def matryoshkaEval(emb: DataFrame, prefixes: Seq[Int] = Seq(8, 16, 32),
+      unit: Long = 1000000L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_ >= 1), "bad prefixes")
+    val xs = emb
+      .select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("idx", "e")))
+      .withColumn("x", expr("CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)"))
+    val prefixAggs = prefixes.map(r =>
+      sum(when(col("idx") < r, col("x") * col("x")).otherwise(0L))
+        .as(s"ssq_$r"))
+    val aggs = sum(col("x") * col("x")).as("ssq") +: prefixAggs
+    val agg = xs.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val stacked = agg.selectExpr("id", "ssq",
+      s"stack(${prefixes.size}, " +
+        prefixes.map(r => s"$r, ssq_$r").mkString(", ") + ") AS (r, ssq_r)")
+    stacked
+      .withColumn("cosm", expr(
+        s"""CASE WHEN ssq = 0 THEN ${unit}L
+           | ELSE CAST(round(sqrt(CAST(ssq_r AS DOUBLE) / CAST(ssq AS DOUBLE))
+           |        * $unit, 0) AS BIGINT)
+           | END""".stripMargin))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(cosm) div count(1)").as("mean_cos_micro"),
+        min(col("cosm")).as("min_cos_micro"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Components, QualityModel, Sessions, Sketches, TextAnalysis, UrlOps}
+import graft.ops.{Components, Dedup, QualityModel, Sessions, Similarity, Sketches, TextAnalysis, UrlOps}
 
 /** Round-10 registry batch 8: graph link prediction, CUSUM changepoint
   * monitoring, chance-corrected model-agreement + per-source calibration
@@ -208,6 +208,61 @@ object LlmQueries8 {
       .orderBy(col("event_type"), col("day"))
   }
 
+  // Retrieval queries for hard-negative mining: gold relevance is
+  // planted as doc_id ≡ query_id (mod 10), so the oracle can replay it.
+  private val HardNegQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join"),
+    2 -> Seq("stream", "table"),
+    3 -> Seq("filter", "group"))
+
+  /** Hard-negative mining for retrieval training: per query, the top-10
+    * non-relevant documents from the top-30 BM25 retrieval pool
+    * ([[TextAnalysis.bm25MultiQuery]]) — the standard "mine negatives
+    * from what the retriever itself ranks highest" recipe. */
+  def mineHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val qs = HardNegQueries.toDF("query_id", "terms")
+    val pool = TextAnalysis.bm25MultiQuery(docs, qs, k = 30)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rk"))
+    pool.filter(col("doc_id") % 10 =!= col("query_id"))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= 10)
+      .select(col("query_id"), col("neg_rank"), col("doc_id"),
+        col("bm25_micro"))
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
+  /** Per-source robust (median/IQR) scaling of the quality margin
+    * ([[QualityModel.robustScaleByGroup]]) — cross-source-comparable
+    * scores for one global threshold. */
+  def qualityRobustScale(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val scored = QualityModel.integerWeightScore(T.par(spark, docs), dim = 256)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    QualityModel.robustScaleByGroup(scored, "source", "margin", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content-defined chunking dedup profile
+    * ([[Dedup.cdcChunkProfile]], divisor 8): per-doc chunk counts and
+    * the cross-document shared-chunk fraction. */
+  def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    Dedup.cdcChunkProfile(docs, divisor = 8, seed = 31)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Matryoshka truncation audit over the embeddings table
+    * ([[Similarity.matryoshkaEval]], prefixes 8/16/32 of 64): mean and
+    * worst direction-retention cosine per prefix length. */
+  def embMatryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    Similarity.matryoshkaEval(emb, prefixes = Seq(8, 16, 32))
+      .orderBy(col("r"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "event_cusum_drift" -> (eventCusumDrift _),
@@ -218,7 +273,11 @@ object LlmQueries8 {
     "url_host_rollup" -> (urlHostRollup _),
     "text_rake_keywords" -> (textRakeKeywords _),
     "text_blocklist_filter" -> (textBlocklistFilter _),
-    "event_seasonal_error" -> (eventSeasonalError _))
+    "event_seasonal_error" -> (eventSeasonalError _),
+    "mine_hard_negatives" -> (mineHardNegatives _),
+    "quality_robust_scale" -> (qualityRobustScale _),
+    "dedup_cdc_chunks" -> (dedupCdcChunks _),
+    "emb_matryoshka_eval" -> (embMatryoshkaEval _))
 
   val oracle: Map[String, String] = Map(
     "graph_link_predict" ->
@@ -440,5 +499,125 @@ object LlmQueries8 {
          |  FROM d)
          |SELECT event_type, day, x, forecast, abs(x - forecast) AS abs_err
          |FROM l WHERE forecast IS NOT NULL
-         |ORDER BY event_type, day""".stripMargin)
+         |ORDER BY event_type, day""".stripMargin,
+    "mine_hard_negatives" ->
+      s"""WITH qt(qid, w) AS (VALUES ${HardNegQueries.flatMap { case (q, ts) =>
+              ts.map(t => s"($q, '$t')") }.mkString(", ")}),
+         |wf AS (
+         |  SELECT doc_id AS id, w.w
+         |  FROM documents,
+         |       unnest(string_split(${normSql("text")}, ' ')) AS w(w)
+         |  WHERE w.w <> ''),
+         |dl AS (SELECT id, count(*) AS dl FROM wf GROUP BY id),
+         |st AS (SELECT CAST(sum(dl) AS BIGINT) AS l, count(*) AS n FROM dl),
+         |tf AS (SELECT id, w, count(*) AS tf FROM wf
+         |       WHERE w IN (SELECT w FROM qt)
+         |       GROUP BY id, w),
+         |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |sc AS (SELECT qt.qid, tf.id,
+         |    ((1000000 * (2 * (st.n - dfr.df) + 1)) // (2 * dfr.df + 1))
+         |      AS idf,
+         |    ((1000000 * 22 * tf.tf * st.l)
+         |      // (10 * tf.tf * st.l + 3 * st.l + 9 * dl.dl * st.n)) AS tfp
+         |  FROM tf JOIN qt USING (w) JOIN dl USING (id)
+         |    JOIN dfr USING (w) CROSS JOIN st),
+         |agg AS (SELECT qid, id, count(*) AS n_terms,
+         |    CAST(sum((CAST(idf AS HUGEINT) * tfp) // 1000000) AS BIGINT)
+         |      AS bm25_micro
+         |  FROM sc GROUP BY qid, id),
+         |pool AS (SELECT * FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY bm25_micro DESC, id) AS rk FROM agg)
+         |  WHERE rk <= 30),
+         |neg AS (SELECT qid, id, bm25_micro,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rk) AS neg_rank
+         |  FROM pool WHERE id % 10 <> qid)
+         |SELECT qid AS query_id, CAST(neg_rank AS INTEGER) AS neg_rank,
+         |  id AS doc_id, bm25_micro
+         |FROM neg WHERE neg_rank <= 10
+         |ORDER BY query_id, neg_rank""".stripMargin,
+    "quality_robust_scale" ->
+      s"""WITH $marginCte,
+         |lab AS (SELECT s.doc_id, s.margin, d.source
+         |  FROM s JOIN documents d USING (doc_id)),
+         |rk AS (SELECT doc_id, source, margin,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY margin, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM lab),
+         |qs AS (SELECT doc_id, source, margin,
+         |    max(CASE WHEN rk = (n + 1) // 2 THEN margin END)
+         |      OVER (PARTITION BY source) AS median,
+         |    max(CASE WHEN rk = (n + 3) // 4 THEN margin END)
+         |      OVER (PARTITION BY source) AS q1,
+         |    max(CASE WHEN rk = (3 * n + 3) // 4 THEN margin END)
+         |      OVER (PARTITION BY source) AS q3
+         |  FROM rk)
+         |SELECT doc_id, source, margin,
+         |  CAST(median AS BIGINT) AS median,
+         |  CAST(q3 - q1 AS BIGINT) AS iqr,
+         |  CAST(CASE WHEN margin - median < 0
+         |    THEN -((1000000 * (median - margin)) // greatest(q3 - q1, 1))
+         |    ELSE (1000000 * (margin - median)) // greatest(q3 - q1, 1)
+         |  END AS BIGINT) AS robust_micro
+         |FROM qs
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_cdc_chunks" ->
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |sp AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+         |tk AS (SELECT doc_id AS id, CAST(r.i - 1 AS BIGINT) AS pos,
+         |    ws[CAST(r.i AS INTEGER)] AS w
+         |  FROM sp CROSS JOIN LATERAL
+         |    (SELECT unnest(range(1, len(ws) + 1)) AS i) r
+         |  WHERE ws[CAST(r.i AS INTEGER)] <> ''),
+         |b AS (SELECT id, pos, w,
+         |    CASE WHEN ${hashSql(31, "w")} % 8 = 0 THEN 1 ELSE 0 END AS bf
+         |  FROM tk),
+         |ch AS (SELECT id, pos, w,
+         |    sum(bf) OVER (PARTITION BY id ORDER BY pos) - bf AS chunk
+         |  FROM b),
+         |ck AS (SELECT id, chunk, CAST(count(*) AS BIGINT) AS clen,
+         |    md5(string_agg(w, ' ' ORDER BY pos)) AS ckey
+         |  FROM ch GROUP BY 1, 2),
+         |sh AS (SELECT ckey, count(DISTINCT id) AS nd FROM ck GROUP BY 1),
+         |pd AS (SELECT ck.id, CAST(sum(ck.clen) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(CASE WHEN sh.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_shared_chunks
+         |  FROM ck JOIN sh USING (ckey) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(pd.n_tokens, 0) AS n_tokens,
+         |  coalesce(pd.n_chunks, 0) AS n_chunks,
+         |  coalesce(pd.n_shared_chunks, 0) AS n_shared_chunks,
+         |  CAST((1000000 * coalesce(pd.n_shared_chunks, 0))
+         |    // greatest(coalesce(pd.n_chunks, 0), 1) AS BIGINT)
+         |    AS shared_frac_micro
+         |FROM documents d LEFT JOIN pd ON pd.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "emb_matryoshka_eval" ->
+      s"""WITH xm AS (SELECT vec_id, CAST(r.range AS INTEGER) AS idx,
+         |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)
+         |      * 1000) AS BIGINT) AS x
+         |  FROM embeddings CROSS JOIN range(64) r),
+         |s AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS ssq,
+         |    CAST(sum(CASE WHEN idx < 8 THEN x * x ELSE 0 END) AS BIGINT)
+         |      AS s8,
+         |    CAST(sum(CASE WHEN idx < 16 THEN x * x ELSE 0 END) AS BIGINT)
+         |      AS s16,
+         |    CAST(sum(CASE WHEN idx < 32 THEN x * x ELSE 0 END) AS BIGINT)
+         |      AS s32
+         |  FROM xm GROUP BY 1),
+         |u AS (SELECT vec_id, 8 AS r, s8 AS sr, ssq FROM s
+         |  UNION ALL SELECT vec_id, 16, s16, ssq FROM s
+         |  UNION ALL SELECT vec_id, 32, s32, ssq FROM s),
+         |c AS (SELECT r,
+         |    CASE WHEN ssq = 0 THEN 1000000
+         |      ELSE CAST(round(sqrt(CAST(sr AS DOUBLE) / CAST(ssq AS DOUBLE))
+         |        * 1000000, 0) AS BIGINT) END AS cosm
+         |  FROM u)
+         |SELECT r, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(cosm) // count(*) AS BIGINT) AS mean_cos_micro,
+         |  CAST(min(cosm) AS BIGINT) AS min_cos_micro
+         |FROM c GROUP BY r
+         |ORDER BY r""".stripMargin)
 }

@@ -538,4 +538,40 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> "unchanged", 2L -> "removed", 3L -> "changed",
       4L -> "unchanged", 5L -> "added"), got.toString)
   }
+
+  test("cdcChunkProfile: divisor-1 degenerates to token sharing, zeros kept") {
+    import spark.implicits._
+    // divisor 1 -> every token is a boundary -> single-token chunks, so
+    // sharing is exactly cross-doc token overlap (fully predictable)
+    val docs = Seq((1L, "a b"), (2L, "c a"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunkProfile(docs, divisor = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1L, 500000L)),
+      2L -> ((2L, 2L, 1L, 500000L)),
+      3L -> ((0L, 0L, 0L, 0L))), got.toString)
+  }
+
+  test("cdcChunkProfile: identical docs share every chunk, unique doc none") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z w v u t s"),
+      (2L, "x y z w v u t s"),
+      (3L, "entirely different words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunkProfile(docs, divisor = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 1 and 2 chunk identically whatever the boundary draw -> all shared
+    assert(got(1L)._1 == got(1L)._2 && got(1L)._3 == 1000000L, got.toString)
+    assert(got(2L) == got(1L))
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0L, got.toString)
+    // partition invariance (hash boundaries are content-only)
+    val again = Dedup.cdcChunkProfile(docs.repartition(5), divisor = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again == got)
+  }
 }

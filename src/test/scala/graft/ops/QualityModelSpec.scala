@@ -157,4 +157,23 @@ class QualityModelSpec extends SparkSpec {
       .filter(col("bin") === 1).collect().head.getAs[Long]("gap_micro")
     assert(g1 == 100000L)
   }
+
+  test("robustScaleByGroup: exact rank-based median/IQR, sign-split scaling") {
+    import spark.implicits._
+    val df = (Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L)) ++
+      Seq(("b", 10L), ("b", 20L), ("b", 30L), ("b", 40L)))
+      .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      .toDF("g", "v", "id")
+    val got = QualityModel.robustScaleByGroup(df, "g", "v", "id")
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("v")) ->
+        (r.getAs[Long]("median"), r.getAs[Long]("iqr"),
+          r.getAs[Long]("robust_micro"))).toMap
+    // a (n=5): median rank 3 -> 3, q1 rank 2 -> 2, q3 rank 4 -> 4, iqr 2
+    assert(got(("a", 3L)) == ((3L, 2L, 0L)))
+    assert(got(("a", 5L)) == ((3L, 2L, 1000000L)))
+    assert(got(("a", 1L)) == ((3L, 2L, -1000000L)))
+    // b (n=4): median rank 2 -> 20, q1 rank 1 -> 10, q3 rank 3 -> 30
+    assert(got(("b", 40L)) == ((20L, 20L, 1000000L)))
+    assert(got(("b", 10L)) == ((20L, 20L, -500000L)))
+  }
 }

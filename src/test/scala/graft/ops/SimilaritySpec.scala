@@ -450,4 +450,21 @@ class SimilaritySpec extends SparkSpec {
       (1, 11L, 2L, 32522L), (2, 10L, 1L, 16393L), (3, 12L, 1L, 16129L)))
     intercept[IllegalArgumentException] { Similarity.rrfFuse(Seq.empty) }
   }
+
+  test("matryoshkaEval: hand-computed prefix cosines, zero vector = unit") {
+    import spark.implicits._
+    // v1 micro-izes to (3,4,0,0): ssq 25, prefix-1 ssq 9 -> cos .6;
+    // v2 is the zero vector -> cos = unit at every prefix
+    val emb = Seq(
+      (1L, Seq(0.003f, 0.004f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaEval(emb, prefixes = Seq(1, 2))
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("mean_cos_micro"),
+          r.getAs[Long]("min_cos_micro"))).toMap
+    assert(got == Map(
+      1 -> ((2L, 800000L, 600000L)),
+      2 -> ((2L, 1000000L, 1000000L))), got.toString)
+  }
 }
