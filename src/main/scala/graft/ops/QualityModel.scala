@@ -429,4 +429,54 @@ object QualityModel {
       .select(col(idCol), col(groupCol), col("__v").as(valueCol),
         col("median"), col("iqr"), col("robust_micro"))
   }
+
+  /** Confident-learning-lite label-noise audit (Northcutt, Jiang & Chuang,
+    * JAIR'21, binary margin form): per given class c, the confidence
+    * threshold t_c is the class's own mean score (floor; score for
+    * class 1 is the margin, for class 0 its negation), and a document
+    * is counted into joint cell (given, suggested) where `suggested` is
+    * the class whose threshold the document's score clears by the most
+    * (ties to the lower class id); documents clearing neither threshold
+    * keep suggested = given (no evidence to move them). Off-diagonal
+    * cells are the estimated label errors — the relabel/review queue's
+    * size, per direction.
+    *
+    * All integer: means are sign-split floor divisions, excesses are
+    * plain differences. Scale shape: one 2-row threshold aggregate
+    * broadcast back, one map-side classification pass, one 4-row-output
+    * combine-agg. */
+  def labelNoiseJoint(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    // one-row threshold relation; an ABSENT class gets a NULL threshold,
+    // so it is never suggested (every comparison against it is false)
+    val th = scored
+      .select(col(labelCol).cast("int").as("given"),
+        col(scoreCol).cast("long").as("__s"))
+      .agg(
+        sum(when(col("given") === 1, col("__s")).otherwise(0L)).as("__s1"),
+        sum(when(col("given") === 1, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("given") === 0, -col("__s")).otherwise(0L)).as("__s0"),
+        sum(when(col("given") === 0, 1L).otherwise(0L)).as("__n0"))
+      .select(
+        expr("""CASE WHEN __n1 = 0 THEN NULL
+          | WHEN __s1 < 0 THEN -((-__s1) div __n1)
+          | ELSE __s1 div __n1 END""".stripMargin).as("__t1"),
+        expr("""CASE WHEN __n0 = 0 THEN NULL
+          | WHEN __s0 < 0 THEN -((-__s0) div __n0)
+          | ELSE __s0 div __n0 END""".stripMargin).as("__t0"))
+    scored
+      .select(col(labelCol).cast("int").as("given"),
+        col(scoreCol).cast("long").as("__s"))
+      .crossJoin(broadcast(th))
+      .withColumn("__e1", col("__s") - col("__t1"))
+      .withColumn("__e0", -col("__s") - col("__t0"))
+      .withColumn("suggested",
+        when(col("__e1") >= 0 && col("__e0") >= 0,
+          when(col("__e0") >= col("__e1"), 0).otherwise(1))
+          .when(col("__e1") >= 0, 1)
+          .when(col("__e0") >= 0, 0)
+          .otherwise(col("given")))
+      .groupBy(col("given"), col("suggested"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

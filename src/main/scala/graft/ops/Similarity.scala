@@ -856,6 +856,55 @@ object Similarity {
         expr("__ss div n").as("mean_sil_micro"))
   }
 
+  /** Prototype-based data pruning (Sorscher et al., "Beyond neural
+    * scaling laws", NeurIPS'22): rank every vector by its cosine
+    * distance to its own cluster centroid and keep only the HARDEST
+    * `keepNum/keepDen` fraction per cell — easy, prototype-like
+    * examples near a centroid carry the least training signal at scale,
+    * and per-cell ranking keeps the kept set diverse (a global cut
+    * would empty the tight clusters first).
+    *
+    * Exactness: own-cell assignment and distance share
+    * [[silhouetteByCell]]'s rounded-cosine micro integers (argmin ties
+    * to the lowest cell — the assignment contract); the keep rule
+    * `rank·keepDen ≤ n·keepNum` is pure integers, ties pinned by id.
+    *
+    * Scale shape: k-row centroid broadcast, map-side ×k fan-out into a
+    * bounded per-id min-struct agg, then ONE per-CELL rank window
+    * (cells parallelize; a cell must fit a partition sort — shard past
+    * that) — no global window, no self-join. */
+  def prototypePruneByCell(emb: DataFrame,
+      cents: Array[(Long, Array[Long])], keepNum: Int, keepDen: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(cents.nonEmpty, "need trained centroids")
+    require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
+      "keep fraction must be a rational in [0, 1]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.toSeq.map { case (cell, cm) => (cell, cm.toSeq) }
+        .toDF("__cell", "__cm"))
+    val cmd = transform(col("__cm"), x => x.cast("double"))
+    val cos = dot(col(vecCol), cmd) / (norm(col(vecCol)) * sqrt(dot(cmd, cmd)))
+    val distMicro = lit(1000000L) - round(cos * lit(1000000.0), 0).cast("long")
+    val own = emb.select(col(idCol).as("id"), col(vecCol))
+      .crossJoin(centDf)
+      .select(col("id"),
+        struct(distMicro.as("d"), col("__cell").as("c")).as("__dc"))
+      .groupBy(col("id")).agg(min(col("__dc")).as("__m"))
+      .select(col("id"), col("__m").getField("c").as("cell"),
+        col("__m").getField("d").as("dist_micro"))
+    val w = Window.partitionBy(col("cell"))
+    own
+      .withColumn("rank_in_cell", row_number().over(
+        w.orderBy(col("dist_micro").desc, col("id"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("kept",
+        col("rank_in_cell") * keepDen <= col("__n") * keepNum)
+      .select(col("id").as(idCol), col("cell"), col("dist_micro"),
+        col("rank_in_cell"), col("kept"))
+  }
+
   /** Per-cell Davies–Bouldin index (Davies & Bouldin 1979) — the
     * companion cluster-quality metric to [[silhouetteByCell]], built on
     * the same micro-unit cosine distances: DB_i = max_{j≠i}

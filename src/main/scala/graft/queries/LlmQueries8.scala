@@ -263,6 +263,46 @@ object LlmQueries8 {
       .orderBy(col("r"))
   }
 
+  /** Prototype pruning over the embeddings table
+    * ([[Similarity.prototypePruneByCell]]): k-means trained on the
+    * vid<2000 slice (the silhouette discipline), every vector ranked by
+    * distance to its own centroid, hardest half kept per cell. */
+  def curationPrototypePrune(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val cents = Similarity.trainIvfCentroidsMicro(
+      emb.filter(col("vec_id") < 2000), k = 8, iters = 2)
+    Similarity.prototypePruneByCell(emb, cents, keepNum = 1, keepDen = 2)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Confident-learning label-noise joint counts
+    * ([[QualityModel.labelNoiseJoint]]) between the is-English gold
+    * label and the integer-weight margin. */
+  def qualityLabelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val scored = QualityModel.integerWeightScore(T.par(spark, docs), dim = 256)
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").cast("int").as("gold")), Seq("doc_id"))
+    QualityModel.labelNoiseJoint(scored, "margin", "gold")
+      .orderBy(col("given"), col("suggested"))
+  }
+
+  /** Hour-of-day seasonality profile per event type: share of traffic
+    * and peak-hour flags — the capacity-planning companion to the CUSUM
+    * and seasonal-residual monitors. */
+  def eventHourlyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    val hourly = ev.groupBy(col("event_type"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("__tot"), max(col("n")).as("__mx"))
+    hourly.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("n"),
+        expr("(1000000 * n) div __tot").as("pct_micro"),
+        (col("n") === col("__mx")).as("is_peak"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "event_cusum_drift" -> (eventCusumDrift _),
@@ -277,7 +317,10 @@ object LlmQueries8 {
     "mine_hard_negatives" -> (mineHardNegatives _),
     "quality_robust_scale" -> (qualityRobustScale _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
-    "emb_matryoshka_eval" -> (embMatryoshkaEval _))
+    "emb_matryoshka_eval" -> (embMatryoshkaEval _),
+    "curation_prototype_prune" -> (curationPrototypePrune _),
+    "quality_label_noise" -> (qualityLabelNoise _),
+    "event_hourly_profile" -> (eventHourlyProfile _))
 
   val oracle: Map[String, String] = Map(
     "graph_link_predict" ->
@@ -619,5 +662,82 @@ object LlmQueries8 {
          |  CAST(sum(cosm) // count(*) AS BIGINT) AS mean_cos_micro,
          |  CAST(min(cosm) AS BIGINT) AS min_cos_micro
          |FROM c GROUP BY r
-         |ORDER BY r""".stripMargin)
+         |ORDER BY r""".stripMargin,
+    // Prototype-prune replay: the silhouette oracle's trained centroids
+    // (KmeansSql, vid<2000, k=8, 2 iters) + rounded-cosine distances,
+    // then the per-cell hardest-half keep rule.
+    "curation_prototype_prune" ->
+      s"""WITH src AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |${KmeansSql.trainCtes("src", "vid < 2000", k = 8, iters = 2, dim = 64)},
+         |cent AS (SELECT cell, cm FROM c2),
+         |dc AS (SELECT s.vid, c.cell,
+         |    1000000 - CAST(round(list_dot_product(s.v, CAST(c.cm AS DOUBLE[]))
+         |      / (sqrt(list_dot_product(s.v, s.v))
+         |         * sqrt(list_dot_product(CAST(c.cm AS DOUBLE[]),
+         |                                 CAST(c.cm AS DOUBLE[]))))
+         |      * 1000000, 0) AS BIGINT) AS d
+         |  FROM src s CROSS JOIN cent c),
+         |own AS (SELECT vid, cell, d FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vid
+         |      ORDER BY d, cell) AS rn FROM dc) WHERE rn = 1),
+         |rkd AS (SELECT vid, cell, d,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY d DESC, vid) AS rank_in_cell,
+         |    count(*) OVER (PARTITION BY cell) AS n
+         |  FROM own)
+         |SELECT vid AS vec_id, cell, d AS dist_micro,
+         |  CAST(rank_in_cell AS INTEGER) AS rank_in_cell,
+         |  rank_in_cell * 2 <= n AS kept
+         |FROM rkd ORDER BY vec_id""".stripMargin,
+    "quality_label_noise" ->
+      s"""WITH $marginCte,
+         |lab AS (SELECT s.doc_id, s.margin,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS given
+         |  FROM s JOIN documents d USING (doc_id)),
+         |th AS (SELECT
+         |    CASE WHEN sum(CASE WHEN given = 1 THEN 1 ELSE 0 END) = 0
+         |      THEN NULL
+         |      WHEN sum(CASE WHEN given = 1 THEN margin ELSE 0 END) < 0
+         |      THEN -((-sum(CASE WHEN given = 1 THEN margin ELSE 0 END))
+         |             // sum(CASE WHEN given = 1 THEN 1 ELSE 0 END))
+         |      ELSE sum(CASE WHEN given = 1 THEN margin ELSE 0 END)
+         |           // sum(CASE WHEN given = 1 THEN 1 ELSE 0 END)
+         |    END AS t1,
+         |    CASE WHEN sum(CASE WHEN given = 0 THEN 1 ELSE 0 END) = 0
+         |      THEN NULL
+         |      WHEN sum(CASE WHEN given = 0 THEN -margin ELSE 0 END) < 0
+         |      THEN -((-sum(CASE WHEN given = 0 THEN -margin ELSE 0 END))
+         |             // sum(CASE WHEN given = 0 THEN 1 ELSE 0 END))
+         |      ELSE sum(CASE WHEN given = 0 THEN -margin ELSE 0 END)
+         |           // sum(CASE WHEN given = 0 THEN 1 ELSE 0 END)
+         |    END AS t0
+         |  FROM lab),
+         |cl AS (SELECT given,
+         |    CASE
+         |      WHEN (margin - th.t1) >= 0 AND (-margin - th.t0) >= 0
+         |      THEN (CASE WHEN (-margin - th.t0) >= (margin - th.t1)
+         |            THEN 0 ELSE 1 END)
+         |      WHEN (margin - th.t1) >= 0 THEN 1
+         |      WHEN (-margin - th.t0) >= 0 THEN 0
+         |      ELSE given
+         |    END AS suggested
+         |  FROM lab CROSS JOIN th)
+         |SELECT given, suggested, CAST(count(*) AS BIGINT) AS n
+         |FROM cl GROUP BY 1, 2
+         |ORDER BY given, suggested""".stripMargin,
+    "event_hourly_profile" ->
+      s"""WITH h AS (SELECT event_type,
+         |    CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+         |      AS hour,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+         |    CAST(max(n) AS BIGINT) AS mx
+         |  FROM h GROUP BY 1)
+         |SELECT h.event_type, h.hour, h.n,
+         |  CAST((1000000 * h.n) // t.tot AS BIGINT) AS pct_micro,
+         |  h.n = t.mx AS is_peak
+         |FROM h JOIN t USING (event_type)
+         |ORDER BY event_type, hour""".stripMargin)
 }

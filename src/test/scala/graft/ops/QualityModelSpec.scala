@@ -176,4 +176,23 @@ class QualityModelSpec extends SparkSpec {
     assert(got(("b", 40L)) == ((20L, 20L, 1000000L)))
     assert(got(("b", 10L)) == ((20L, 20L, -500000L)))
   }
+
+  test("labelNoiseJoint: hand-computed thresholds and joint counts") {
+    import spark.implicits._
+    // t1 = mean margin of given-1 = (10 + -2)/2 = 4
+    // t0 = mean (-margin) of given-0 = (5 + -1)/2 = 2
+    val scored = Seq((10L, 1), (-2L, 1), (-5L, 0), (1L, 0))
+      .toDF("margin", "gold")
+    val got = QualityModel.labelNoiseJoint(scored, "margin", "gold")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // (1, m=10): clears t1 only -> 1 | (1, m=-2): clears t0 only -> 0
+    // (0, m=-5): clears t0 only -> 0 | (0, m=1): clears neither -> 0
+    assert(got == Map((1, 1) -> 1L, (1, 0) -> 1L, (0, 0) -> 2L),
+      got.toString)
+    // a class absent from the data is never suggested (NULL threshold)
+    val oneClass = Seq((10L, 1), (-100L, 1)).toDF("margin", "gold")
+    val g2 = QualityModel.labelNoiseJoint(oneClass, "margin", "gold")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(g2 == Map((1, 1) -> 2L), g2.toString)
+  }
 }

@@ -467,4 +467,31 @@ class SimilaritySpec extends SparkSpec {
       1 -> ((2L, 800000L, 600000L)),
       2 -> ((2L, 1000000L, 1000000L))), got.toString)
   }
+
+  test("prototypePruneByCell: hardest half kept per cell, ties to low id") {
+    import spark.implicits._
+    // axis-aligned unit centroids; v2/v3 sit at cos .8 from their own
+    // centroid (dist 200000), v1/v4 exactly on it (dist 0)
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.8f, 0.6f)),
+      (3L, Seq(0.6f, 0.8f)), (4L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(
+      (0L, Array(1000000L, 0L)), (1L, Array(0L, 1000000L)))
+    val got = Similarity.prototypePruneByCell(emb, cents,
+        keepNum = 1, keepDen = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(got(1L) == ((0L, 0L, 2, false)))       // easy: pruned
+    assert(got(2L) == ((0L, 200000L, 1, true)))   // hard: kept
+    assert(got(3L) == ((1L, 200000L, 1, true)))
+    assert(got(4L) == ((1L, 0L, 2, false)))
+    // keep-everything and keep-nothing bounds
+    val all = Similarity.prototypePruneByCell(emb, cents, 1, 1)
+      .collect().map(_.getBoolean(4))
+    assert(all.forall(identity))
+    val none = Similarity.prototypePruneByCell(emb, cents, 0, 1)
+      .collect().map(_.getBoolean(4))
+    assert(none.forall(!_))
+  }
 }
