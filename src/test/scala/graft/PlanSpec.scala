@@ -308,4 +308,25 @@ class PlanSpec extends SparkSpec {
       s"expected id pushdown:\n$scan")
     assert(q.count() == 12) // ids ≡ 1 (mod 4) in (50, 100]
   }
+
+  test("link prediction: wedge build is an equi-join on the center, no cartesian") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    val plan = graft.ops.Components.linkPrediction(e)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"wedges must join on the shared center vertex:\n$plan")
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(plan).isEmpty,
+      s"non-broadcast nested loop in wedge build:\n$plan")
+  }
+
+  test("blocklist filter: the term list joins broadcast, tokens never shuffle to it") {
+    val docs = T.t(spark, dir, "documents")
+    val plan = graft.ops.TextAnalysis.blocklistFilter(docs,
+        Seq("slow", "big", "hash", "merge"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"term list must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
