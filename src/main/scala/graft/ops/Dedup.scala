@@ -1128,4 +1128,54 @@ object Dedup {
       .withColumn("shared_frac_micro",
         expr(s"($unit * n_shared_chunks) div greatest(n_chunks, 1)"))
   }
+
+  /** C4-style line/sentence-level dedup (Raffel et al. 2020 §2.2): any
+    * sentence whose normalized form occurs in at least `minOccurrences`
+    * DOCUMENTS corpus-wide is boilerplate (cookie banners, nav bars,
+    * license headers) and is dropped from every document; the document
+    * survives with its remaining sentences in original order. This is
+    * the between-doc LINE granularity the span/chunk families don't
+    * cover (spans are fixed word windows; chunks are hash-bounded runs).
+    *
+    * Output per document: n_sentences, n_dropped, kept_text (the
+    * surviving sentences re-joined with ". "), and the md5 of the kept
+    * text for cheap downstream exact-dedup. Sentence split: on `.`
+    * followed by whitespace — the [[graft.ops.Chunking]] convention.
+    *
+    * Scale shape: one posexplode pass; the repeated-sentence relation
+    * is one combine-agg on the sentence's md5 (distinct-doc counts —
+    * NEVER the sentence text after the hash is taken); the drop test
+    * joins back on the hash; reassembly is one per-doc combine-agg with
+    * a pos-sorted bounded buffer (sentences of ONE doc). */
+  def lineDedup(docs: DataFrame, minOccurrences: Int = 3,
+      unit: Long = 1000000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minOccurrences >= 2, "minOccurrences must be at least 2")
+    val sent = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\.\\s+")).as(Seq("pos", "s")))
+      .withColumn("s", trim(col("s")))
+      .filter(col("s") =!= "")
+      .withColumn("__h", md5(normalize(col("s"))))
+      .localCheckpoint()
+    val freq = sent.groupBy(col("__h"))
+      .agg(countDistinct(col("id")).as("__nd"))
+    val marked = sent.join(freq, Seq("__h"))
+      .withColumn("__drop", col("__nd") >= minOccurrences)
+    val perDoc = marked.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("__drop"),
+            struct(col("pos"), col("s"))))),
+          x => x.getField("s")), ". ").as("kept_text"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .withColumn("dropped_frac_micro",
+        expr(s"($unit * n_dropped) div greatest(n_sentences, 1)"))
+      .withColumn("kept_md5", md5(col("kept_text")))
+  }
 }

@@ -1169,6 +1169,60 @@ object Similarity {
         col("n_lists"), col("rrf_micro"))
   }
 
+  /** Ranked-retrieval quality eval — MRR and NDCG@k per query over a
+    * ranked candidate pool: the eval loop every retrieval pipeline
+    * (BM25, dense, hybrid) closes with. `ranked` carries
+    * (qidCol, rankCol, relCol); `nRel` carries (qidCol, n_rel) — the
+    * TOTAL corpus-wide relevant count per query, so the ideal DCG is
+    * the true ideal, not pool-limited.
+    *
+    * Exact integers: rank discounts d_r = round(unit / log₂(r+1)) are
+    * computed ONCE here (driver-side, k literals) and ride as a
+    * broadcast relation — the oracle interpolates the SAME literals, so
+    * no runtime float crosses engines. rr = unit div first-relevant
+    * rank; ndcg = unit·DCG div IDCG with IDCG the discount prefix sum
+    * at min(k, n_rel). Queries with nothing relevant score 0.
+    *
+    * Scale shape: pool is query-set-sized by construction; one
+    * combine-agg per query + two broadcast joins (k-row discounts,
+    * |Q|-row n_rel). */
+  def retrievalEval(ranked: DataFrame, nRel: DataFrame, k: Int = 10,
+      unit: Long = 1000000L, qidCol: String = "query_id",
+      rankCol: String = "rk", relCol: String = "rel"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val ds = discountTable(k, unit)
+    val discounts = broadcast(ds.toDF("r", "d", "pd"))
+    val perQ = ranked
+      .join(discounts.select(col("r").as(rankCol), col("d")),
+        Seq(rankCol), "left")
+      .groupBy(col(qidCol))
+      .agg(min(when(col(relCol), col(rankCol))).as("__fr"),
+        sum(when(col(relCol) && col(rankCol) <= k, col("d"))
+          .otherwise(0L)).as("dcg_micro"))
+    perQ.join(nRel, Seq(qidCol))
+      .join(discounts.select(col("r").as("__ir"), col("pd")),
+        expr(s"__ir = least($k, CAST(n_rel AS INT))"), "left")
+      .select(col(qidCol), col("n_rel"),
+        coalesce(expr(s"$unit div __fr"), lit(0L)).as("rr_micro"),
+        col("dcg_micro"),
+        coalesce(col("pd"), lit(0L)).as("idcg_micro"),
+        expr(s"""CASE WHEN coalesce(pd, CAST(0 AS BIGINT)) = 0
+          | THEN CAST(0 AS BIGINT)
+          | ELSE ($unit * dcg_micro) div pd END""".stripMargin)
+          .as("ndcg_micro"))
+  }
+
+  /** The (rank, discount, discount-prefix-sum) table retrievalEval and
+    * its oracle share: d_r = round(unit / log₂(r+1)). */
+  def discountTable(k: Int, unit: Long = 1000000L): Seq[(Int, Long, Long)] = {
+    val d = (1 to k).map(r =>
+      math.round(unit / (math.log(r + 1) / math.log(2.0))))
+    val prefix = d.scanLeft(0L)(_ + _).tail
+    (1 to k).map(r => (r, d(r - 1), prefix(r - 1)))
+  }
+
   /** Matryoshka (MRL) truncation audit: how much of each embedding's
     * direction survives keeping only the first `r` dimensions? For a
     * prefix u of v, cos(v, u) = |u|/|v| = √(ssq_r/ssq) — so the whole

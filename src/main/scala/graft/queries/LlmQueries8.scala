@@ -303,6 +303,58 @@ object LlmQueries8 {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Weighted host PageRank over the link graph WITH multiplicities
+    * ([[Components.weightedPageRank]]): parallel links between a host
+    * pair become edge weight, so heavily-linked neighbors dominate the
+    * rank the way the unweighted `graph_pagerank` cannot express. */
+  def graphWeightedRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val e = docs.select((col("doc_id") % 50).as("src"),
+        explode(array((col("doc_id") * 7 + 1) % 50,
+          (col("doc_id") * 7 + 2) % 50,
+          (col("doc_id") * 7 + 3) % 50)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+    Components.weightedPageRank(e, iters = 3)
+      .withColumnRenamed("id", "host_id")
+      .orderBy(col("host_id"))
+  }
+
+  /** MRR / NDCG@10 of the BM25 retriever against the planted relevance
+    * (doc_id ≡ query_id mod 10) over the top-30 pool
+    * ([[Similarity.retrievalEval]]) — the eval half of
+    * `mine_hard_negatives`' mining loop. */
+  def ragRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val qs = HardNegQueries.toDF("query_id", "terms")
+    val pool = TextAnalysis.bm25MultiQuery(docs, qs, k = 30)
+      .withColumn("rel", col("doc_id") % 10 === col("query_id"))
+    val qids = HardNegQueries.map(_._1)
+    val nRel = T.t(spark, dir, "documents")
+      .filter((col("doc_id") % 10).isin(qids.map(_.toLong): _*))
+      .groupBy((col("doc_id") % 10).cast("int").as("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    Similarity.retrievalEval(pool, nRel, k = 10)
+      .orderBy(col("query_id"))
+  }
+
+  // The boilerplate suffix the C4 line-dedup fixture plants on every doc.
+  private val Boilerplate =
+    ". all rights reserved to example corp. visit our homepage for more"
+
+  /** C4 line-level dedup ([[Dedup.lineDedup]]): every document gets two
+    * planted boilerplate sentences (so the corpus-wide ≥3-docs rule has
+    * certain hits), and the operator must drop exactly those while
+    * keeping each document's own prose in order. */
+  def dedupLineC4(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        concat(col("text"), lit(Boilerplate)).as("text"))
+    Dedup.lineDedup(docs, minOccurrences = 3)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "event_cusum_drift" -> (eventCusumDrift _),
@@ -320,7 +372,10 @@ object LlmQueries8 {
     "emb_matryoshka_eval" -> (embMatryoshkaEval _),
     "curation_prototype_prune" -> (curationPrototypePrune _),
     "quality_label_noise" -> (qualityLabelNoise _),
-    "event_hourly_profile" -> (eventHourlyProfile _))
+    "event_hourly_profile" -> (eventHourlyProfile _),
+    "graph_weighted_rank" -> (graphWeightedRank _),
+    "rag_retrieval_eval" -> (ragRetrievalEval _),
+    "dedup_line_c4" -> (dedupLineC4 _))
 
   val oracle: Map[String, String] = Map(
     "graph_link_predict" ->
@@ -739,5 +794,121 @@ object LlmQueries8 {
          |  CAST((1000000 * h.n) // t.tot AS BIGINT) AS pct_micro,
          |  h.n = t.mx AS is_peak
          |FROM h JOIN t USING (event_type)
-         |ORDER BY event_type, hour""".stripMargin)
+         |ORDER BY event_type, hour""".stripMargin,
+    "graph_weighted_rank" -> {
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS id,
+           |    CAST(sum((CAST(p.pr AS HUGEINT) * e.w) // o.st) AS BIGINT)
+           |      AS s
+           |  FROM edges e JOIN p${i - 1} p ON p.id = e.src
+           |  JOIN st o ON o.src = e.src
+           |  GROUP BY e.dst),
+           |p$i AS (SELECT n.id,
+           |    (3 * (SELECT u0 FROM k)) // 20
+           |      + (17 * coalesce(c.s, 0)) // 20 AS pr
+           |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lk AS (
+         |  SELECT doc_id % 50 AS src, (doc_id * 7 + 1) % 50 AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 2) % 50 FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 3) % 50 FROM documents),
+         |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM lk WHERE src <> dst GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |k AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS u0
+         |  FROM nodes),
+         |st AS (SELECT src, CAST(sum(w) AS BIGINT) AS st
+         |  FROM edges GROUP BY 1),
+         |p0 AS (SELECT id, (SELECT u0 FROM k) AS pr FROM nodes),
+         |$iterCtes
+         |SELECT id AS host_id, CAST(pr AS BIGINT) AS pr
+         |FROM p3 ORDER BY host_id""".stripMargin
+    },
+    "rag_retrieval_eval" -> {
+      val disc = graft.ops.Similarity.discountTable(10)
+        .map { case (r, d, pd) => s"($r, $d, $pd)" }.mkString(", ")
+      s"""WITH qt(qid, w) AS (VALUES ${HardNegQueries.flatMap { case (q, ts) =>
+              ts.map(t => s"($q, '$t')") }.mkString(", ")}),
+         |wf AS (
+         |  SELECT doc_id AS id, w.w
+         |  FROM documents,
+         |       unnest(string_split(${normSql("text")}, ' ')) AS w(w)
+         |  WHERE w.w <> ''),
+         |dl AS (SELECT id, count(*) AS dl FROM wf GROUP BY id),
+         |st AS (SELECT CAST(sum(dl) AS BIGINT) AS l, count(*) AS n FROM dl),
+         |tf AS (SELECT id, w, count(*) AS tf FROM wf
+         |       WHERE w IN (SELECT w FROM qt)
+         |       GROUP BY id, w),
+         |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |sc AS (SELECT qt.qid, tf.id,
+         |    ((1000000 * (2 * (st.n - dfr.df) + 1)) // (2 * dfr.df + 1))
+         |      AS idf,
+         |    ((1000000 * 22 * tf.tf * st.l)
+         |      // (10 * tf.tf * st.l + 3 * st.l + 9 * dl.dl * st.n)) AS tfp
+         |  FROM tf JOIN qt USING (w) JOIN dl USING (id)
+         |    JOIN dfr USING (w) CROSS JOIN st),
+         |agg AS (SELECT qid, id,
+         |    CAST(sum((CAST(idf AS HUGEINT) * tfp) // 1000000) AS BIGINT)
+         |      AS bm25_micro
+         |  FROM sc GROUP BY qid, id),
+         |pool AS (SELECT * FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY bm25_micro DESC, id) AS rk FROM agg)
+         |  WHERE rk <= 30),
+         |relp AS (SELECT qid, id, rk, (id % 10 = qid) AS rel FROM pool),
+         |disc(r, d, pd) AS (VALUES $disc),
+         |nrel AS (SELECT CAST(doc_id % 10 AS INTEGER) AS qid,
+         |    CAST(count(*) AS BIGINT) AS n_rel
+         |  FROM documents
+         |  WHERE doc_id % 10 IN (${HardNegQueries.map(_._1).mkString(", ")})
+         |  GROUP BY 1),
+         |perq AS (SELECT r.qid,
+         |    min(CASE WHEN r.rel THEN r.rk END) AS fr,
+         |    CAST(sum(CASE WHEN r.rel AND r.rk <= 10 THEN d.d ELSE 0 END)
+         |      AS BIGINT) AS dcg
+         |  FROM relp r LEFT JOIN disc d ON d.r = r.rk
+         |  GROUP BY r.qid)
+         |SELECT p.qid AS query_id, n.n_rel,
+         |  CAST(coalesce(1000000 // p.fr, 0) AS BIGINT) AS rr_micro,
+         |  p.dcg AS dcg_micro,
+         |  CAST(coalesce(d2.pd, 0) AS BIGINT) AS idcg_micro,
+         |  CAST(CASE WHEN coalesce(d2.pd, 0) = 0 THEN 0
+         |    ELSE (1000000 * p.dcg) // d2.pd END AS BIGINT) AS ndcg_micro
+         |FROM perq p JOIN nrel n ON n.qid = p.qid
+         |LEFT JOIN disc d2 ON d2.r = least(10, CAST(n.n_rel AS INTEGER))
+         |ORDER BY query_id""".stripMargin
+    },
+    "dedup_line_c4" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |    text || '$Boilerplate' AS t FROM documents),
+         |sx AS (SELECT doc_id AS id, CAST(r.i - 1 AS BIGINT) AS pos,
+         |    trim(ss[CAST(r.i AS INTEGER)]) AS s
+         |  FROM (SELECT doc_id, regexp_split_to_array(t, '\\.\\s+') AS ss
+         |        FROM aug)
+         |  CROSS JOIN LATERAL
+         |    (SELECT unnest(range(1, len(ss) + 1)) AS i) r),
+         |sent AS (SELECT id, pos, s, md5(${normSql("s")}) AS h
+         |  FROM sx WHERE s <> ''),
+         |fr AS (SELECT h, count(DISTINCT id) AS nd FROM sent GROUP BY 1),
+         |mk AS (SELECT sent.id, sent.pos, sent.s, fr.nd >= 3 AS dropq
+         |  FROM sent JOIN fr USING (h)),
+         |pd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sentences,
+         |    CAST(sum(CASE WHEN dropq THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dropped,
+         |    coalesce(string_agg(CASE WHEN NOT dropq THEN s END,
+         |      '. ' ORDER BY pos), '') AS kept_text
+         |  FROM mk GROUP BY id)
+         |SELECT d.doc_id,
+         |  coalesce(pd.n_sentences, 0) AS n_sentences,
+         |  coalesce(pd.n_dropped, 0) AS n_dropped,
+         |  coalesce(pd.kept_text, '') AS kept_text,
+         |  CAST((1000000 * coalesce(pd.n_dropped, 0))
+         |    // greatest(coalesce(pd.n_sentences, 0), 1) AS BIGINT)
+         |    AS dropped_frac_micro,
+         |  md5(coalesce(pd.kept_text, '')) AS kept_md5
+         |FROM documents d LEFT JOIN pd ON pd.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
 }

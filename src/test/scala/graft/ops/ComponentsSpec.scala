@@ -288,4 +288,32 @@ class ComponentsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("maxCenterDegree"))
   }
+
+  test("weightedPageRank: unit weights reproduce pageRank; weight shifts mass") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L))
+      .toDF("src", "dst")
+    val unweighted = Components.pageRank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unitW = Components.weightedPageRank(
+        edges.withColumn("weight", lit(1L)), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unitW == unweighted, s"unit weights must equal pageRank:\n" +
+      s"weighted=$unitW unweighted=$unweighted")
+    // tilt 0's mass toward 1: same topology, weight 3 on 0->1
+    val tilted = Seq((0L, 1L, 3L), (1L, 0L, 1L), (0L, 2L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "weight")
+    val w = Components.weightedPageRank(tilted, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(1L) > w(2L), s"heavier edge must outrank: $w")
+    // parallel edges coalesce by weight sum: (0->1 w2) == (0->1 w1 twice)
+    val dup = Seq((0L, 1L, 1L), (0L, 1L, 1L), (1L, 0L, 1L))
+      .toDF("src", "dst", "weight")
+    val merged = Seq((0L, 1L, 2L), (1L, 0L, 1L)).toDF("src", "dst", "weight")
+    val a = Components.weightedPageRank(dup, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Components.weightedPageRank(merged, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }

@@ -574,4 +574,25 @@ class DedupSpec extends SparkSpec {
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(again == got)
   }
+
+  test("lineDedup: corpus-frequent sentences drop, document order survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two. common line. three"),
+      (2L, "four. common line. five"),
+      (3L, "common line. six"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, minOccurrences = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == Map(
+      1L -> ((3L, 1L, "one two. three")),
+      2L -> ((3L, 1L, "four. five")),
+      3L -> ((2L, 1L, "six")),
+      4L -> ((0L, 0L, ""))), got.toString)
+    // below the occurrence floor nothing drops
+    val none = Dedup.lineDedup(docs, minOccurrences = 4)
+      .agg(org.apache.spark.sql.functions.sum("n_dropped")).head.getLong(0)
+    assert(none == 0L)
+  }
 }

@@ -494,4 +494,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getBoolean(4))
     assert(none.forall(!_))
   }
+
+  test("retrievalEval: hand-computed MRR and NDCG, zero-relevant guard") {
+    import spark.implicits._
+    // q1: relevant at ranks 2 and 3 of the pool; q2: nothing relevant
+    val ranked = Seq(
+      (1, 1, false), (1, 2, true), (1, 3, true),
+      (2, 1, false), (2, 2, false))
+      .toDF("query_id", "rk", "rel")
+    val nRel = Seq((1, 5L), (2, 0L)).toDF("query_id", "n_rel")
+    val got = Similarity.retrievalEval(ranked, nRel, k = 3)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("rr_micro"), r.getAs[Long]("dcg_micro"),
+          r.getAs[Long]("idcg_micro"), r.getAs[Long]("ndcg_micro"))).toMap
+    val Seq((_, d1, p1), (_, d2, _), (_, d3, p3)) =
+      Similarity.discountTable(3)
+    assert((d1, d2, d3) == ((1000000L, 630930L, 500000L)))
+    val dcg = d2 + d3
+    assert(got(1) == ((500000L, dcg, p3, 1000000L * dcg / p3)),
+      got.toString)
+    // no relevant docs anywhere: all zeros, no division fault
+    assert(got(2) == ((0L, 0L, 0L, 0L)), got.toString)
+  }
 }
