@@ -559,6 +559,24 @@ object Curation {
       .withColumn("at_risk", col("class_size") < k)
   }
 
+  /** l-diversity audit (Machanavajjhala et al., TKDD'07) — the
+    * [[kAnonymityAudit]] companion for the attack k-anonymity misses: a
+    * class can be large yet carry only ONE sensitive value, so knowing
+    * someone is in it reveals their attribute anyway. Per quasi-id
+    * equivalence class: size, distinct sensitive values, and the
+    * violation flag (distinct < l). Same one-aggregation scale shape as
+    * the k audit (attribute-combination-sized output; violating classes
+    * broadcast back to suppress or generalize). */
+  def lDiversityAudit(df: DataFrame, quasiIdCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiIdCols.nonEmpty && l >= 1,
+      "need quasi-id columns and l >= 1")
+    df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
+
   /** Leakage-safe split assignment: the split draw is keyed by the
     * near-dup CLUSTER representative, not the document — every member
     * of a duplicate cluster lands in the SAME split, so a test doc can

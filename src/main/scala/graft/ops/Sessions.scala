@@ -383,4 +383,39 @@ object Sessions {
       .select(col(groupCol), col(orderCol), col("x"), col("forecast"),
         abs(col("x") - col("forecast")).as("abs_err"))
   }
+
+  /** Per-entity inter-arrival gap statistics — exact order statistics
+    * (min / median / p90 / max, seconds) over the successive-event gaps
+    * of every key: the activity-cadence profile behind bot detection
+    * (sub-second medians), churn scoring (exploding gaps), and session
+    *-timeout calibration (the gap quantiles ARE the evidence for the
+    * sessionize threshold). Keys with fewer than 2 events have no gaps
+    * and are omitted.
+    *
+    * Exactness: median/p90 are values at ranks ⌈n/2⌉ / ⌈9n/10⌉ over the
+    * (gap, seq)-total-ordered gap list — the [[trimmedMean]] /
+    * robust-scale discipline. Two windows per key (event order for the
+    * lag, gap order for the ranks) + one combine-agg; a key's events
+    * must fit a partition sort, the usual exact-percentile posture. */
+  def interArrivalStats(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", seqCol: String = "event_id"): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byTime = W.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val gaps = events
+      .withColumn("__t", unix_timestamp(col(tsCol)))
+      .withColumn("gap_s", col("__t") - lag(col("__t"), 1).over(byTime))
+      .filter(col("gap_s").isNotNull)
+    val byGap = W.partitionBy(col(keyCol)).orderBy(col("gap_s"), col(seqCol))
+    gaps
+      .withColumn("__rk", row_number().over(byGap))
+      .withColumn("__n", count(lit(1)).over(W.partitionBy(col(keyCol))))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_s")).as("min_gap_s"),
+        max(when(expr("__rk = (__n + 1) div 2"), col("gap_s")))
+          .as("median_gap_s"),
+        max(when(expr("__rk = (9 * __n + 9) div 10"), col("gap_s")))
+          .as("p90_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+  }
 }

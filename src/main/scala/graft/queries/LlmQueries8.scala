@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Components, Dedup, QualityModel, Sessions, Similarity, Sketches, TextAnalysis, UrlOps}
+import graft.ops.{Components, Curation, Dedup, QualityModel, Sessions, Similarity, Sketches, TextAnalysis, UrlOps}
 
 /** Round-10 registry batch 8: graph link prediction, CUSUM changepoint
   * monitoring, chance-corrected model-agreement + per-source calibration
@@ -355,6 +355,24 @@ object LlmQueries8 {
       .orderBy(col("doc_id"))
   }
 
+  /** l-diversity audit over the event stream
+    * ([[Curation.lDiversityAudit]]): quasi-id = (event_type, day),
+    * sensitive attribute = user_id — a (type, day) class touched by
+    * fewer than 5 distinct users leaks who was active. */
+  def privacyLDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Curation.lDiversityAudit(ev, Seq("event_type", "day"), "user_id", l = 5)
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Per-user inter-arrival cadence profile
+    * ([[Sessions.interArrivalStats]]): exact min/median/p90/max event
+    * gaps in seconds — the sessionize-timeout / bot-cadence evidence. */
+  def eventInterarrival(spark: SparkSession, dir: String): DataFrame =
+    Sessions.interArrivalStats(T.events(spark, dir))
+      .orderBy(col("user_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "event_cusum_drift" -> (eventCusumDrift _),
@@ -375,7 +393,9 @@ object LlmQueries8 {
     "event_hourly_profile" -> (eventHourlyProfile _),
     "graph_weighted_rank" -> (graphWeightedRank _),
     "rag_retrieval_eval" -> (ragRetrievalEval _),
-    "dedup_line_c4" -> (dedupLineC4 _))
+    "dedup_line_c4" -> (dedupLineC4 _),
+    "privacy_l_diversity" -> (privacyLDiversity _),
+    "event_interarrival" -> (eventInterarrival _))
 
   val oracle: Map[String, String] = Map(
     "graph_link_predict" ->
@@ -910,5 +930,36 @@ object LlmQueries8 {
          |    AS dropped_frac_micro,
          |  md5(coalesce(pd.kept_text, '')) AS kept_md5
          |FROM documents d LEFT JOIN pd ON pd.id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin,
+    "privacy_l_diversity" ->
+      s"""SELECT event_type,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |  CAST(count(*) AS BIGINT) AS class_size,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+         |  count(DISTINCT user_id) < 5 AS at_risk
+         |FROM events GROUP BY 1, 2
+         |ORDER BY event_type, day""".stripMargin,
+    "event_interarrival" ->
+      s"""WITH g AS (SELECT user_id, event_id,
+         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+         |      - lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+         |        OVER (PARTITION BY user_id
+         |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_s
+         |  FROM events),
+         |g2 AS (SELECT user_id, event_id, gap_s FROM g
+         |  WHERE gap_s IS NOT NULL),
+         |rk AS (SELECT user_id, gap_s,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY gap_s, event_id) AS rk,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM g2)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         |  CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+         |  CAST(max(CASE WHEN rk = (n + 1) // 2 THEN gap_s END) AS BIGINT)
+         |    AS median_gap_s,
+         |  CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN gap_s END)
+         |    AS BIGINT) AS p90_gap_s,
+         |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
+         |FROM rk GROUP BY user_id
+         |ORDER BY user_id""".stripMargin)
 }

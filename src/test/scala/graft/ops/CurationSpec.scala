@@ -454,4 +454,22 @@ class CurationSpec extends SparkSpec {
     assert(got == Set(("en", "web", 5L, false), ("en", "books", 2L, true),
       ("fr", "web", 1L, true)))
   }
+
+  test("lDiversityAudit flags big-but-homogeneous classes k-anonymity passes") {
+    import spark.implicits._
+    // class (en, web): 5 rows but ONE sensitive value -> l-diversity
+    // catches what a k=5 anonymity audit calls safe
+    val df = (Seq.fill(5)(("en", "web", "cancer")) ++
+        Seq(("en", "books", "flu"), ("en", "books", "cold"),
+          ("en", "books", "cancer")))
+      .toDF("lang", "source", "dx")
+    val got = Curation.lDiversityAudit(df, Seq("lang", "source"), "dx", l = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      ("en", "web", 5L, 1L, true),
+      ("en", "books", 3L, 3L, false)), got.toString)
+  }
 }

@@ -294,4 +294,20 @@ class SessionsSpec extends SparkSpec {
       ("a", 4) -> ((20L, 2L)),
       ("a", 5) -> ((13L, 17L))), got.toString)
   }
+
+  test("interArrivalStats: exact gap order statistics; singletons omitted") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, 0L), (2L, 100L, 10L), (3L, 100L, 40L), (4L, 100L, 100L),
+      (5L, 200L, 7L)) // single event -> no gaps
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Sessions.interArrivalStats(ev)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("min_gap_s"),
+          r.getAs[Long]("median_gap_s"), r.getAs[Long]("p90_gap_s"),
+          r.getAs[Long]("max_gap_s"))).toMap
+    // gaps 10, 30, 60: median rank 2 -> 30, p90 rank ceil(2.7)=3 -> 60
+    assert(got == Map(100L -> ((3L, 10L, 30L, 60L, 60L))), got.toString)
+  }
 }
