@@ -139,7 +139,17 @@ object ScaleProbe {
       "dedup_ppjoin_x10" -> (ppjoinProbe _),
       // round-10: Kneser-Ney LM (all count relations scale with corpus
       // vocabulary; scoring joins scale with the exploded bigrams)
-      "text_lm_kneser_ney" -> SparkEntry.queries("text_lm_kneser_ney"))
+      "text_lm_kneser_ney" -> SparkEntry.queries("text_lm_kneser_ney"),
+      // round-10 batch-8 heavy hitters: RAKE (stopword relation stays
+      // nStop rows, phrase windows per doc, word scores vocabulary-
+      // sized), CDC chunk dedup (chunk-key relation scales with corpus,
+      // sharing agg stays key-wise), hard-negative mining (corpus
+      // tokenize scales, query catalog fixed), C4 line dedup (sentence
+      // hash relation scales, reassembly per doc)
+      "text_rake_keywords" -> SparkEntry.queries("text_rake_keywords"),
+      "dedup_cdc_chunks" -> SparkEntry.queries("dedup_cdc_chunks"),
+      "mine_hard_negatives" -> SparkEntry.queries("mine_hard_negatives"),
+      "dedup_line_c4" -> SparkEntry.queries("dedup_line_c4"))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
