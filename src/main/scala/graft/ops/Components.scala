@@ -600,6 +600,78 @@ object Components {
     dist
   }
 
+  /** Per-seed BFS distances — [[bfsHops]] keyed by (seed, node) so each
+    * seed's OWN reach is preserved instead of min-merged across the
+    * set. State and frontier rows are (seed, id) pairs: round r costs
+    * Σ_seeds |frontier_r(seed)|·d̄ — linear in the per-seed reach, the
+    * price of per-seed attribution. Same checkpointed level-synchronous
+    * loop, same maxHops bound. */
+  def perSeedBfs(pairs: DataFrame, seeds: DataFrame, maxHops: Int = 3,
+      aCol: String = "id_a", bCol: String = "id_b",
+      seedCol: String = "id"): DataFrame = {
+    require(maxHops >= 1, "maxHops must be positive")
+    val und = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
+    val edges = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false)
+    var dist = seeds.select(col(seedCol).cast("long").as("seed"))
+      .distinct()
+      .select(col("seed"), col("seed").as("id"), lit(0).as("hops"))
+      .localCheckpoint(false)
+    var frontier = dist
+    var hop = 1
+    while (hop <= maxHops) {
+      val next = frontier
+        .join(edges, frontier("id") === edges("u"))
+        .select(col("seed"), col("v").as("id"), lit(hop).as("hops"))
+        .join(dist.select(col("seed"), col("id"), lit(1).as("__seen")),
+          Seq("seed", "id"), "left")
+        .filter(col("__seen").isNull)
+        .select(col("seed"), col("id"), col("hops"))
+        .distinct()
+        .localCheckpoint(false)
+      dist = dist.unionByName(next).localCheckpoint(false)
+      frontier = next
+      hop += 1
+    }
+    dist
+  }
+
+  /** Truncated harmonic centrality (Boldi & Vigna 2014) of a seed set:
+    * H(s) = Σ_{v ≠ s reachable within maxHops} unit div d(s, v) — the
+    * influence readout that, unlike closeness, handles disconnected
+    * graphs gracefully (unreachable nodes contribute 0, not ∞). The
+    * maxHops truncation is the standard production form (hop-3
+    * neighborhoods carry nearly all the mass in small-world graphs) and
+    * is what an unrolled oracle can replay. Also reports the per-hop
+    * reach counts. One combine-agg over [[perSeedBfs]]'s output. */
+  def harmonicCentrality(pairs: DataFrame, seeds: DataFrame,
+      maxHops: Int = 3, unit: Long = 1000000L, aCol: String = "id_a",
+      bCol: String = "id_b", seedCol: String = "id"): DataFrame =
+    perSeedBfs(pairs, seeds, maxHops, aCol, bCol, seedCol)
+      .filter(col("hops") >= 1)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr(s"$unit div hops")).as("harmonic_micro"))
+
+  /** Degree distribution profile of an undirected graph: one row per
+    * distinct degree with the vertex count — the power-law-tail /
+    * celebrity-vertex triage that decides salting and
+    * [[linkPrediction]]'s `maxCenterDegree` before any quadratic
+    * operator runs. Two combine-aggs, degree-cardinality-sized out. */
+  def degreeProfile(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val und = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_vertices"))
+  }
+
   /** Order-independent checksum of a label assignment (one scalar
     * action) — same xor-of-hashes form as the edge [[checksum]]. */
   private def labelChecksum(labels: DataFrame): (Long, Long) = {

@@ -1178,4 +1178,34 @@ object Dedup {
         expr(s"($unit * n_dropped) div greatest(n_sentences, 1)"))
       .withColumn("kept_md5", md5(col("kept_text")))
   }
+
+  /** Exact-dedup token-impact rollup per stratum — the "what does dedup
+    * actually SAVE" readout that justifies the pipeline stage: per
+    * stratum, document and whitespace-token totals, how many of each
+    * sit in non-canonical exact duplicates (the rows dedup removes),
+    * and the token savings rate in micro units. Token counting is the
+    * [[graft.ops.TextAnalysis.tokenCount]] whitespace convention.
+    *
+    * Scale shape: one content-hash combine-agg (min id per key — the
+    * [[exactGroups]] relation), a hash-keyed join back, one
+    * stratum-sized output agg. */
+  def dedupTokenImpact(docs: DataFrame, strataCol: String,
+      unit: Long = 1000000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"), col(strataCol),
+      graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("long")
+        .as("__tok"),
+      md5(normalize(col(textCol))).as("__k"))
+    val keeper = keyed.groupBy(col("__k")).agg(min(col("id")).as("__keep"))
+    keyed.join(keeper, Seq("__k"))
+      .withColumn("__dup", col("id") =!= col("__keep"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("__tok")).as("total_tokens"),
+        sum(when(col("__dup"), col("__tok")).otherwise(0L))
+          .as("dup_tokens"))
+      .withColumn("savings_micro",
+        expr(s"($unit * dup_tokens) div greatest(total_tokens, 1)"))
+  }
 }

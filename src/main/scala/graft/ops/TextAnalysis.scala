@@ -1676,4 +1676,38 @@ object TextAnalysis {
         expr(s"($unit * n_flagged) div greatest(n_tokens, 1)"))
       .withColumn("kept", col("flag_frac_micro") <= maxFracMicro)
   }
+
+  /** Out-of-vocabulary rate under a fixed top-V corpus vocabulary — the
+    * tokenizer-coverage audit: before freezing a vocab (or shipping a
+    * BPE budget), what fraction of each document's tokens fall outside
+    * the `vocabSize` most frequent corpus tokens (ties broken by token
+    * asc, the RAKE stopword discipline)? Docs with high OOV under the
+    * corpus's own head vocabulary are the junk/format outliers.
+    *
+    * Scale shape: one tokenize pass; the vocabulary relation is V rows
+    * broadcast (a vocab fits a broadcast by construction — that's what
+    * makes it a vocab); per-doc counts are one combine-agg; zero-token
+    * docs report (0, 0, 0). */
+  def oovRate(docs: DataFrame, vocabSize: Int, unit: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .localCheckpoint()
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(vocabSize)
+      .select(col("w"), lit(true).as("__in"))
+    val perDoc = toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_frac_micro",
+        expr(s"($unit * n_oov) div greatest(n_tokens, 1)"))
+  }
 }

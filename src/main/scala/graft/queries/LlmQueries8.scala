@@ -373,6 +373,50 @@ object LlmQueries8 {
     Sessions.interArrivalStats(T.events(spark, dir))
       .orderBy(col("user_id"))
 
+  // The undirected host graph shared by the link-prediction / degree /
+  // harmonic queries (the graph_hits link fixture, canonicalized).
+  private def hostGraph(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    docs.select((col("doc_id") % 50).as("src"),
+        explode(array((col("doc_id") * 7 + 1) % 50,
+          (col("doc_id") * 7 + 2) % 50,
+          (col("doc_id") * 7 + 3) % 50)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("id_a"),
+        greatest(col("src"), col("dst")).as("id_b"))
+      .distinct()
+  }
+
+  /** Tokenizer-coverage audit ([[TextAnalysis.oovRate]], top-20 corpus
+    * vocabulary): per-doc OOV token fractions. */
+  def textOovRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    TextAnalysis.oovRate(docs, vocabSize = 20).orderBy(col("doc_id"))
+  }
+
+  /** Degree distribution of the host graph
+    * ([[Components.degreeProfile]]) — the hub-triage table that sizes
+    * quadratic-corner guards. */
+  def graphDegreeProfile(spark: SparkSession, dir: String): DataFrame =
+    Components.degreeProfile(hostGraph(spark, dir)).orderBy(col("d"))
+
+  /** Truncated harmonic centrality of hosts 0–4 over the host graph
+    * ([[Components.harmonicCentrality]], 3 hops). */
+  def graphHarmonic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = (0L to 4L).toDF("id")
+    Components.harmonicCentrality(hostGraph(spark, dir), seeds, maxHops = 3)
+      .orderBy(col("seed"))
+  }
+
+  /** Exact-dedup token-impact rollup per source
+    * ([[Dedup.dedupTokenImpact]]): the tokens-saved justification for
+    * the dedup stage. */
+  def dedupTokenImpact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupTokenImpact(T.par(spark, T.t(spark, dir, "documents")),
+        "source")
+      .orderBy(col("source"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "event_cusum_drift" -> (eventCusumDrift _),
@@ -395,7 +439,11 @@ object LlmQueries8 {
     "rag_retrieval_eval" -> (ragRetrievalEval _),
     "dedup_line_c4" -> (dedupLineC4 _),
     "privacy_l_diversity" -> (privacyLDiversity _),
-    "event_interarrival" -> (eventInterarrival _))
+    "event_interarrival" -> (eventInterarrival _),
+    "text_oov_rate" -> (textOovRate _),
+    "graph_degree_profile" -> (graphDegreeProfile _),
+    "graph_harmonic" -> (graphHarmonic _),
+    "dedup_token_impact" -> (dedupTokenImpact _))
 
   val oracle: Map[String, String] = Map(
     "graph_link_predict" ->
@@ -961,5 +1009,87 @@ object LlmQueries8 {
          |    AS BIGINT) AS p90_gap_s,
          |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
          |FROM rk GROUP BY user_id
-         |ORDER BY user_id""".stripMargin)
+         |ORDER BY user_id""".stripMargin,
+    "text_oov_rate" ->
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+         |tk AS (SELECT doc_id AS id, u.w
+         |  FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+         |    unnest(ws) AS u(w)
+         |  WHERE u.w <> ''),
+         |voc AS (SELECT w FROM (
+         |  SELECT w, count(*) AS cnt FROM tk GROUP BY 1
+         |  ORDER BY cnt DESC, w LIMIT 20)),
+         |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN w IN (SELECT w FROM voc) THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS n_oov
+         |  FROM tk GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(agg.n_tokens, 0) AS n_tokens,
+         |  coalesce(agg.n_oov, 0) AS n_oov,
+         |  CAST((1000000 * coalesce(agg.n_oov, 0))
+         |    // greatest(coalesce(agg.n_tokens, 0), 1) AS BIGINT)
+         |    AS oov_frac_micro
+         |FROM documents d LEFT JOIN agg ON agg.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "graph_degree_profile" ->
+      s"""WITH lk AS (
+         |  SELECT doc_id % 50 AS src, (doc_id * 7 + 1) % 50 AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 2) % 50 FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 3) % 50 FROM documents),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM lk WHERE src <> dst),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+         |  GROUP BY 1)
+         |SELECT d, CAST(count(*) AS BIGINT) AS n_vertices
+         |FROM deg GROUP BY d ORDER BY d""".stripMargin,
+    "graph_harmonic" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""f$i AS (SELECT DISTINCT d.seed, e.v AS id
+           |  FROM edges e JOIN f${i - 1} d ON d.id = e.u
+           |  WHERE NOT EXISTS (SELECT 1 FROM r${i - 1} x
+           |    WHERE x.seed = d.seed AND x.id = e.v)),
+           |r$i AS (SELECT seed, id, hops FROM r${i - 1}
+           |  UNION ALL SELECT seed, id, $i FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lk AS (
+         |  SELECT doc_id % 50 AS src, (doc_id * 7 + 1) % 50 AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 2) % 50 FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 3) % 50 FROM documents),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM lk WHERE src <> dst),
+         |edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         |seeds(seed) AS (VALUES (0), (1), (2), (3), (4)),
+         |r0 AS (SELECT seed, seed AS id, 0 AS hops FROM seeds),
+         |f0 AS (SELECT seed, seed AS id FROM seeds),
+         |$rounds
+         |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_micro
+         |FROM r3 WHERE hops >= 1
+         |GROUP BY seed ORDER BY seed""".stripMargin
+    },
+    "dedup_token_impact" ->
+      s"""WITH k AS (SELECT doc_id AS id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS tok,
+         |    md5(${normSql("text")}) AS ck
+         |  FROM documents),
+         |kp AS (SELECT ck, min(id) AS keep FROM k GROUP BY 1)
+         |SELECT k.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN k.id <> kp.keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  CAST(sum(k.tok) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN k.id <> kp.keep THEN k.tok ELSE 0 END)
+         |    AS BIGINT) AS dup_tokens,
+         |  CAST((1000000 * sum(CASE WHEN k.id <> kp.keep THEN k.tok
+         |    ELSE 0 END)) // greatest(sum(k.tok), 1) AS BIGINT)
+         |    AS savings_micro
+         |FROM k JOIN kp USING (ck)
+         |GROUP BY k.source
+         |ORDER BY k.source""".stripMargin)
 }

@@ -316,4 +316,30 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("perSeedBfs keeps per-seed distances; harmonic sums their reciprocals") {
+    import spark.implicits._
+    // path 1-2-3-4
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 4L).toDF("id")
+    val dist = Components.perSeedBfs(path, seeds, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(dist == Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 3L) -> 2,
+      (4L, 4L) -> 0, (4L, 3L) -> 1, (4L, 2L) -> 2), dist.toString)
+    // 3 hops reach the far end: H = 1e6/1 + 1e6/2 + 1e6/3 per seed
+    val h = Components.harmonicCentrality(path, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_reached"), r.getAs[Long]("harmonic_micro"))).toMap
+    assert(h == Map(
+      1L -> ((3L, 1833333L)), 4L -> ((3L, 1833333L))), h.toString)
+  }
+
+  test("degreeProfile: path graph endpoint/interior degrees") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Components.degreeProfile(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L), got.toString)
+  }
 }

@@ -595,4 +595,18 @@ class DedupSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_dropped")).head.getLong(0)
     assert(none == 0L)
   }
+
+  test("dedupTokenImpact: non-canonical duplicate tokens roll up per stratum") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "s1"), (2L, "x", "s1"), (3L, "y z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dedupTokenImpact(docs, "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got == Map(
+      "s1" -> ((2L, 1L, 2L, 1L, 500000L)),
+      "s2" -> ((1L, 0L, 2L, 0L, 0L))), got.toString)
+  }
 }

@@ -721,6 +721,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.toSeq == Seq((1, "aa"), (2, "bb")), r.mkString(","))
   }
 
+  test("oovRate: head vocabulary covers, tail tokens count as OOV") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "c"), (3L, ""))
+      .toDF("doc_id", "text")
+    // top-1 vocab = {a}; b and c are OOV
+    val got = TextAnalysis.oovRate(docs, vocabSize = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> ((3L, 1L, 333333L)),
+      2L -> ((1L, 1L, 1000000L)),
+      3L -> ((0L, 0L, 0L))), got.toString)
+  }
+
   test("blocklistFilter: exact flag fractions, zero-token doc kept") {
     import spark.implicits._
     val docs = Seq(
