@@ -353,4 +353,26 @@ class SketchesSpec extends SparkSpec {
     assert(ref(Seq(5, 5, 9, 9, 5), 5) == Seq(0L, 0L, 4L, 8L, 8L))
     assert(ref(Seq(1, 9), 5) == Seq(0L, 4L))
   }
+
+  test("cusumByGroup laws: non-negative, level-shift invariant, matches ref") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val xs = (1 to 300).map(i => ("g", i, rnd.nextInt(20).toLong))
+    val df = xs.toDF("g", "t", "x")
+    val base = Sketches.cusumByGroup(df, "g", "t", "x", lit(9L), lit(30L))
+      .collect().map(r => r.getInt(1) -> r.getAs[Long]("cusum")).toMap
+    assert(base.values.forall(_ >= 0L), "CUSUM is non-negative by definition")
+    // shifting every observation AND the reference by c leaves s unchanged
+    val shifted = Sketches.cusumByGroup(
+        df.withColumn("x", col("x") + 1000L), "g", "t", "x",
+        lit(1009L), lit(30L))
+      .collect().map(r => r.getInt(1) -> r.getAs[Long]("cusum")).toMap
+    assert(shifted == base, "level shift must cancel against k")
+    // exact agreement with the sequential textbook recurrence
+    def ref(vals: Seq[Long], k: Long): Seq[Long] =
+      vals.scanLeft(0L)((s, x) => math.max(0L, s + x - k)).tail
+    val expect = ref(xs.map(_._3), 9L).zipWithIndex
+      .map { case (s, i) => (i + 1) -> s }.toMap
+    assert(base == expect)
+  }
 }

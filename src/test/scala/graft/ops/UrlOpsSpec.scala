@@ -62,6 +62,33 @@ class UrlOpsSpec extends SparkSpec {
     assert(out.map(_.getBoolean(3)).toSeq == Seq(true, true, false))
   }
 
+  test("canonicalUrl is idempotent over a generated URL population") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val schemes = Seq("http", "HTTP", "https", "HTTPS")
+    val hosts = Seq("Ex.COM", "www.ex.com", "a.B.org:443", "x.io:80", "localhost")
+    val paths = Seq("", "/", "/a", "/a/b/", "/a//b///")
+    val queries = Seq("", "?id=1", "?utm_source=x&id=2", "?b=2&a=1&utm_x=3")
+    val frags = Seq("", "#f", "#x/y?z")
+    val urls = (1 to 500).map { _ =>
+      schemes(rnd.nextInt(schemes.size)) + "://" +
+        hosts(rnd.nextInt(hosts.size)) + paths(rnd.nextInt(paths.size)) +
+        queries(rnd.nextInt(queries.size)) + frags(rnd.nextInt(frags.size))
+    }
+    val df = urls.toDF("url")
+      .withColumn("c1", UrlOps.canonicalUrl(col("url")))
+    val bad = df.withColumn("c2", UrlOps.canonicalUrl(col("c1")))
+      .filter(col("c1") =!= col("c2"))
+      .collect()
+    assert(bad.isEmpty,
+      s"canonicalization must be a projection (idempotent): ${bad.take(3).mkString(";")}")
+    // canonical forms carry no fragment, no utm params, no default port
+    val dirty = df.filter(col("c1").contains("#") ||
+      col("c1").contains("utm_") || col("c1").contains(":443") ||
+      col("c1").contains(":80")).collect()
+    assert(dirty.isEmpty, dirty.take(3).mkString(";"))
+  }
+
   test("hostRollup counts docs, canonical URLs, and the dup ratio per domain") {
     import spark.implicits._
     val df = Seq(
