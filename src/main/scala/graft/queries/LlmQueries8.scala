@@ -417,6 +417,52 @@ object LlmQueries8 {
         "source")
       .orderBy(col("source"))
 
+  /** Cross-source duplication matrix — corpus forensics: which source
+    * pairs share verified near-duplicates, and how many. The MinHash
+    * pair relation (the `graph_pagerank` edge fixture) joined to each
+    * side's source, rolled up per unordered source pair. */
+  def dedupCrossSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents").filter(col("doc_id") < 500)
+    val pairs = Dedup.minHashLshPairs(docs, threshold = 0.5)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")),
+        Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Corpus n-gram duplication coverage per source: what fraction of
+    * 8-gram OCCURRENCES are repeats of an already-seen gram (within the
+    * source) — the n-gram-granularity companion to
+    * [[Dedup.dedupTokenImpact]]'s whole-doc statistic. One shingle
+    * pass, one (source, gram) combine-agg, one source-sized rollup. */
+  def textDupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val n = 8
+    val grams = docs
+      .withColumn("__w", split(Dedup.normalize(col("text")), " "))
+      .filter(size(col("__w")) >= n)
+      .select(col("source"),
+        explode(transform(sequence(lit(0), size(col("__w")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("__w"), i + j + 1)): _*)))
+          .as("g"))
+    grams.groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") - 1).as("n_repeat"))
+      .withColumn("repeat_frac_micro",
+        expr("(1000000 * n_repeat) div greatest(n_grams, 1)"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "event_cusum_drift" -> (eventCusumDrift _),
@@ -443,7 +489,9 @@ object LlmQueries8 {
     "text_oov_rate" -> (textOovRate _),
     "graph_degree_profile" -> (graphDegreeProfile _),
     "graph_harmonic" -> (graphHarmonic _),
-    "dedup_token_impact" -> (dedupTokenImpact _))
+    "dedup_token_impact" -> (dedupTokenImpact _),
+    "dedup_cross_source_matrix" -> (dedupCrossSourceMatrix _),
+    "text_dup_ngram_coverage" -> (textDupNgramCoverage _))
 
   val oracle: Map[String, String] = Map(
     "graph_link_predict" ->
@@ -1091,5 +1139,49 @@ object LlmQueries8 {
          |    AS savings_micro
          |FROM k JOIN kp USING (ck)
          |GROUP BY k.source
-         |ORDER BY k.source""".stripMargin)
+         |ORDER BY k.source""".stripMargin,
+    // The graph_pagerank MinHash verified-pair chain, rolled up per
+    // unordered source pair.
+    "dedup_cross_source_matrix" ->
+      s"""WITH ${LlmQueries.gramsCteFor("grams", "doc_id < 500")},
+         |sig AS (SELECT id, ${LlmQueries.sigCols} FROM grams GROUP BY id),
+         |bands AS (SELECT id, r.range AS band, ${LlmQueries.bandCase} AS band_key
+         |  FROM sig CROSS JOIN range(4) r),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN grams ga ON ga.id = c.id_a
+         |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+         |  GROUP BY c.id_a, c.id_b),
+         |pairs AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b
+         |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.id_a
+         |JOIN documents db ON db.doc_id = p.id_b
+         |GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin,
+    "text_dup_ngram_coverage" -> {
+      val gram = (1 to 8).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT source,
+         |    string_split(${normSql("text")}, ' ') AS ws FROM documents),
+         |g AS (SELECT source,
+         |    unnest(list_transform(range(len(ws) - 7), i -> $gram)) AS g
+         |  FROM d WHERE len(ws) >= 8),
+         |c AS (SELECT source, g, count(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_grams,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(c - 1) AS BIGINT) AS n_repeat,
+         |  CAST((1000000 * sum(c - 1)) // greatest(sum(c), 1) AS BIGINT)
+         |    AS repeat_frac_micro
+         |FROM c GROUP BY 1
+         |ORDER BY source""".stripMargin
+    })
 }
