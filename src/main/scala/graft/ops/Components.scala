@@ -672,6 +672,49 @@ object Components {
       .groupBy(col("d")).agg(count(lit(1)).as("n_vertices"))
   }
 
+  /** Degree assortativity coefficient (Newman 2002) of an undirected
+    * graph — do hubs link hubs (r > 0, social graphs) or leaves
+    * (r < 0, the web / most crawl graphs)? The sign decides whether
+    * hub-guards ([[linkPrediction]]'s `maxCenterDegree`) bite on a few
+    * celebrity vertices or on a correlated core.
+    *
+    * For a symmetric edge multiset (each undirected edge counted in
+    * both orientations) Pearson's r over (deg_u, deg_v) pairs needs NO
+    * square root: r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) since the two
+    * marginals coincide — every term is an exact integer
+    * (DECIMAL(38,0); (Σx)² wraps a long at ~3·10⁹ edge-endpoints), one
+    * sign-split division at the end. Degenerate (regular) graphs with
+    * zero variance report 0.
+    *
+    * Scale shape: degree agg + two endpoint joins + ONE one-row
+    * combine-agg — no window, nothing pairwise beyond the edge list
+    * itself. */
+  def assortativity(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", unit: Long = 1000000L): DataFrame = {
+    val und = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .filter(col("u") < col("v")).distinct()
+      .localCheckpoint()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+    sym.agg(count(lit(1)).as("__m"),
+        sum(expr("CAST(du AS DECIMAL(38,0))")).as("__sx"),
+        sum(expr("CAST(du AS DECIMAL(38,0)) * du")).as("__sxx"),
+        sum(expr("CAST(du AS DECIMAL(38,0)) * dv")).as("__sxy"))
+      .select(expr("__m div 2").as("n_edges"),
+        expr(s"""CAST(CASE
+          | WHEN __m * __sxx - __sx * __sx = 0 THEN 0
+          | WHEN $unit * (__m * __sxy - __sx * __sx) < 0
+          | THEN -((-($unit * (__m * __sxy - __sx * __sx)))
+          |        div (__m * __sxx - __sx * __sx))
+          | ELSE ($unit * (__m * __sxy - __sx * __sx))
+          |      div (__m * __sxx - __sx * __sx)
+          | END AS BIGINT)""".stripMargin).as("assortativity_micro"))
+  }
+
   /** Order-independent checksum of a label assignment (one scalar
     * action) — same xor-of-hashes form as the edge [[checksum]]. */
   private def labelChecksum(labels: DataFrame): (Long, Long) = {

@@ -463,6 +463,42 @@ object LlmQueries8 {
       .orderBy(col("source"))
   }
 
+  /** Degree assortativity of the host graph
+    * ([[Components.assortativity]]): one exact-integer row. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
+    Components.assortativity(hostGraph(spark, dir))
+
+  /** One-row corpus data card — the README table of a dataset release:
+    * document/source/language counts, char and whitespace-token mass,
+    * exact-duplicate share, mean document length, and the dominant
+    * language (argmax by count, ties pinned to the lexicographically
+    * LAST language via a (count, lang) TakeOrdered). All pieces are
+    * one-row aggregates broadcast-crossed together. */
+  def corpusDatacard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val keyed = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars").cast("long").as("__ch"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("__tok"),
+      md5(Dedup.normalize(col("text"))).as("__k"))
+    val keeper = keyed.groupBy(col("__k")).agg(min(col("doc_id")).as("__keep"))
+    val base = keyed.join(keeper, Seq("__k"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("__ch")).as("total_chars"),
+        sum(col("__tok")).as("total_tokens"),
+        sum(when(col("doc_id") =!= col("__keep"), 1L).otherwise(0L))
+          .as("dup_docs"))
+    val topLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("lang").desc).limit(1)
+      .select(col("lang").as("top_lang"), col("__n").as("top_lang_docs"))
+    base.crossJoin(broadcast(topLang))
+      .withColumn("dup_frac_micro",
+        expr("(1000000 * dup_docs) div greatest(n_docs, 1)"))
+      .withColumn("mean_doc_tokens",
+        expr("total_tokens div greatest(n_docs, 1)"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "event_cusum_drift" -> (eventCusumDrift _),
@@ -491,7 +527,9 @@ object LlmQueries8 {
     "graph_harmonic" -> (graphHarmonic _),
     "dedup_token_impact" -> (dedupTokenImpact _),
     "dedup_cross_source_matrix" -> (dedupCrossSourceMatrix _),
-    "text_dup_ngram_coverage" -> (textDupNgramCoverage _))
+    "text_dup_ngram_coverage" -> (textDupNgramCoverage _),
+    "graph_assortativity" -> (graphAssortativity _),
+    "corpus_datacard" -> (corpusDatacard _))
 
   val oracle: Map[String, String] = Map(
     "graph_link_predict" ->
@@ -1183,5 +1221,61 @@ object LlmQueries8 {
          |    AS repeat_frac_micro
          |FROM c GROUP BY 1
          |ORDER BY source""".stripMargin
-    })
+    },
+    "graph_assortativity" ->
+      s"""WITH lk AS (
+         |  SELECT doc_id % 50 AS src, (doc_id * 7 + 1) % 50 AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 2) % 50 FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 3) % 50 FROM documents),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM lk WHERE src <> dst),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+         |  GROUP BY 1),
+         |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         |j AS (SELECT du.d AS du, dv.d AS dv
+         |  FROM sym JOIN deg du ON du.id = sym.u
+         |  JOIN deg dv ON dv.id = sym.v),
+         |s AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+         |    CAST(sum(du) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(du AS HUGEINT) * du) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(du AS HUGEINT) * dv) AS HUGEINT) AS sxy
+         |  FROM j)
+         |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+         |  CAST(CASE
+         |    WHEN m * sxx - sx * sx = 0 THEN 0
+         |    WHEN 1000000 * (m * sxy - sx * sx) < 0
+         |    THEN -((-(1000000 * (m * sxy - sx * sx)))
+         |           // (m * sxx - sx * sx))
+         |    ELSE (1000000 * (m * sxy - sx * sx)) // (m * sxx - sx * sx)
+         |  END AS BIGINT) AS assortativity_micro
+         |FROM s""".stripMargin,
+    "corpus_datacard" ->
+      s"""WITH k AS (SELECT doc_id, lang, source,
+         |    CAST(n_chars AS BIGINT) AS ch,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS tok,
+         |    md5(${normSql("text")}) AS ck
+         |  FROM documents),
+         |kp AS (SELECT ck, min(doc_id) AS keep FROM k GROUP BY 1),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT k.source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT k.lang) AS BIGINT) AS n_langs,
+         |    CAST(sum(k.ch) AS BIGINT) AS total_chars,
+         |    CAST(sum(k.tok) AS BIGINT) AS total_tokens,
+         |    CAST(sum(CASE WHEN k.doc_id <> kp.keep THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dup_docs
+         |  FROM k JOIN kp USING (ck)),
+         |tl AS (SELECT lang AS top_lang, CAST(count(*) AS BIGINT)
+         |    AS top_lang_docs
+         |  FROM documents GROUP BY lang
+         |  ORDER BY count(*) DESC, lang DESC LIMIT 1)
+         |SELECT base.*, tl.top_lang, tl.top_lang_docs,
+         |  CAST((1000000 * base.dup_docs) // greatest(base.n_docs, 1)
+         |    AS BIGINT) AS dup_frac_micro,
+         |  CAST(base.total_tokens // greatest(base.n_docs, 1) AS BIGINT)
+         |    AS mean_doc_tokens
+         |FROM base CROSS JOIN tl""".stripMargin)
 }

@@ -342,4 +342,16 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 2L, 2L -> 2L), got.toString)
   }
+
+  test("assortativity: star is perfectly disassortative, regular graph 0") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val s = Components.assortativity(star).collect().head
+    assert(s.getAs[Long]("n_edges") == 3L)
+    assert(s.getAs[Long]("assortativity_micro") == -1000000L, s.toString)
+    // 4-cycle: every degree 2, zero variance -> defined as 0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    val c = Components.assortativity(cyc).collect().head
+    assert(c.getAs[Long]("assortativity_micro") == 0L, c.toString)
+  }
 }
