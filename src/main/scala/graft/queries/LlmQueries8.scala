@@ -499,6 +499,50 @@ object LlmQueries8 {
         expr("total_tokens div greatest(n_docs, 1)"))
   }
 
+  /** End-to-end web-curation pipeline over the batch-8 stages — the
+    * C4/RefinedWeb recipe as ONE composed query: URL-canonical dedup
+    * (keep the first crawl of each resource), corpus-frequent line
+    * removal, blocklist gating on the cleaned text, quality-model keep,
+    * and the final token accounting. Every stage's verdict is a column
+    * so the drop REASON survives (the curation-debugging requirement);
+    * final_keep is their conjunction and kept_tokens counts only
+    * surviving docs' post-line-dedup tokens. */
+  def pipelineWebCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"),
+        urlFixture(col("doc_id")).as("url"))
+    val urlKeep = UrlOps.urlDedup(docs, "url", "doc_id")
+      .select(col("doc_id"), col("is_canonical").as("url_keep"))
+    val lines = Dedup.lineDedup(
+        docs.select(col("doc_id"),
+          concat(col("text"), lit(Boilerplate)).as("text")),
+        minOccurrences = 3)
+      .select(col("doc_id"), col("n_dropped"), col("kept_text"))
+    val block = TextAnalysis.blocklistFilter(
+        lines.select(col("doc_id"), col("kept_text").as("text")),
+        Seq("slow", "big", "hash", "merge"), maxFracMicro = 100000L)
+      .select(col("doc_id"), col("flag_frac_micro"),
+        col("kept").as("block_keep"))
+    val quality = QualityModel.integerWeightScore(docs, dim = 256)
+      .select(col("doc_id"), col("margin"),
+        (col("margin") > 0).as("quality_keep"))
+    docs.select(col("doc_id"))
+      .join(urlKeep, Seq("doc_id"))
+      .join(lines, Seq("doc_id"))
+      .join(block, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("final_keep",
+        col("url_keep") && col("block_keep") && col("quality_keep"))
+      .withColumn("kept_tokens",
+        when(col("final_keep"),
+          TextAnalysis.tokenCount(col("kept_text")).cast("long"))
+          .otherwise(0L))
+      .select(col("doc_id"), col("url_keep"), col("n_dropped"),
+        col("flag_frac_micro"), col("margin"), col("quality_keep"),
+        col("block_keep"), col("final_keep"), col("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "event_cusum_drift" -> (eventCusumDrift _),
@@ -529,7 +573,8 @@ object LlmQueries8 {
     "dedup_cross_source_matrix" -> (dedupCrossSourceMatrix _),
     "text_dup_ngram_coverage" -> (textDupNgramCoverage _),
     "graph_assortativity" -> (graphAssortativity _),
-    "corpus_datacard" -> (corpusDatacard _))
+    "corpus_datacard" -> (corpusDatacard _),
+    "pipeline_web_curation" -> (pipelineWebCuration _))
 
   val oracle: Map[String, String] = Map(
     "graph_link_predict" ->
@@ -1277,5 +1322,64 @@ object LlmQueries8 {
          |    AS BIGINT) AS dup_frac_micro,
          |  CAST(base.total_tokens // greatest(base.n_docs, 1) AS BIGINT)
          |    AS mean_doc_tokens
-         |FROM base CROSS JOIN tl""".stripMargin)
+         |FROM base CROSS JOIN tl""".stripMargin,
+    // The batch-8 stage oracles chained: URL-canonical keeper, line
+    // dedup on the boilerplate-planted text, blocklist on the CLEANED
+    // text, the integer-weight margin, and the conjunction.
+    "pipeline_web_curation" ->
+      s"""WITH uc AS (SELECT doc_id,
+         |    $canonicalFixtureSql AS cu FROM documents),
+         |uk AS (SELECT c.doc_id, (c.doc_id = k.keep) AS url_keep
+         |  FROM uc c JOIN (SELECT cu, min(doc_id) AS keep
+         |    FROM uc GROUP BY 1) k USING (cu)),
+         |aug AS (SELECT doc_id,
+         |    text || '$Boilerplate' AS t FROM documents),
+         |sx AS (SELECT doc_id AS id, CAST(r.i - 1 AS BIGINT) AS pos,
+         |    trim(ss[CAST(r.i AS INTEGER)]) AS s
+         |  FROM (SELECT doc_id, regexp_split_to_array(t, '\\.\\s+') AS ss
+         |        FROM aug)
+         |  CROSS JOIN LATERAL
+         |    (SELECT unnest(range(1, len(ss) + 1)) AS i) r),
+         |sent AS (SELECT id, pos, s, md5(${normSql("s")}) AS h
+         |  FROM sx WHERE s <> ''),
+         |frq AS (SELECT h, count(DISTINCT id) AS nd FROM sent GROUP BY 1),
+         |mk AS (SELECT sent.id, sent.pos, sent.s, frq.nd >= 3 AS dropq
+         |  FROM sent JOIN frq USING (h)),
+         |pdl AS (SELECT id,
+         |    CAST(sum(CASE WHEN dropq THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dropped,
+         |    coalesce(string_agg(CASE WHEN NOT dropq THEN s END,
+         |      '. ' ORDER BY pos), '') AS kept_text
+         |  FROM mk GROUP BY id),
+         |tk2 AS (SELECT p.id, u.w
+         |  FROM (SELECT id, string_split(${normSql("kept_text")}, ' ') AS ws
+         |        FROM pdl) p,
+         |    unnest(p.ws) AS u(w)
+         |  WHERE u.w <> ''),
+         |bl AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN w IN ('slow', 'big', 'hash', 'merge')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |  FROM tk2 GROUP BY 1),
+         |blk AS (SELECT p.id,
+         |    CAST((1000000 * coalesce(bl.n_flagged, 0))
+         |      // greatest(coalesce(bl.n_tokens, 0), 1) AS BIGINT)
+         |      AS flag_frac_micro
+         |  FROM pdl p LEFT JOIN bl ON bl.id = p.id),
+         |$marginCte
+         |SELECT d.doc_id, uk.url_keep, pdl.n_dropped,
+         |  blk.flag_frac_micro, s.margin,
+         |  s.margin > 0 AS quality_keep,
+         |  blk.flag_frac_micro <= 100000 AS block_keep,
+         |  uk.url_keep AND blk.flag_frac_micro <= 100000
+         |    AND s.margin > 0 AS final_keep,
+         |  CAST(CASE WHEN uk.url_keep AND blk.flag_frac_micro <= 100000
+         |      AND s.margin > 0
+         |    THEN len(string_split_regex(trim(pdl.kept_text), '\\s+'))
+         |    ELSE 0 END AS BIGINT) AS kept_tokens
+         |FROM documents d
+         |JOIN uk ON uk.doc_id = d.doc_id
+         |JOIN pdl ON pdl.id = d.doc_id
+         |JOIN blk ON blk.id = d.doc_id
+         |JOIN s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
 }
