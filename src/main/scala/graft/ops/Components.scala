@@ -715,6 +715,54 @@ object Components {
           | END AS BIGINT)""".stripMargin).as("assortativity_micro"))
   }
 
+  /** Rich-club profile (Colizza et al. 2006): for each degree threshold
+    * k, how many vertices exceed it, how many edges run INSIDE that
+    * club, and the club's edge density φ(k) = 2m / (n(n−1)) in micro
+    * units — does the hub elite wire to itself (the hallmark of
+    * citation/collaboration graphs) or scatter (crawl graphs)?
+    * Complements [[assortativity]] (a single global r) with the
+    * per-threshold curve.
+    *
+    * Scale shape: one degree agg; per threshold one filtered count of
+    * the degree relation + one filtered count of the degree-annotated
+    * edge relation — the thresholds relation is a |ks|-row broadcast
+    * crossed against both, never a re-scan per k. Exact integers;
+    * clubs of size < 2 report density 0. */
+  def richClub(pairs: DataFrame, ks: Seq[Long],
+      aCol: String = "id_a", bCol: String = "id_b",
+      unit: Long = 1000000L): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0), "need non-negative thresholds")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val und = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .filter(col("u") < col("v")).distinct()
+      .localCheckpoint()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val kdf = broadcast(ks.distinct.sorted.toDF("k"))
+    val nRich = deg.crossJoin(kdf)
+      .filter(col("d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_rich"))
+    val edges = und
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+    val mRich = edges.crossJoin(kdf)
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("m_rich"))
+    kdf
+      .join(nRich, Seq("k"), "left")
+      .join(mRich, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_rich"), lit(0L)).as("n_rich"),
+        coalesce(col("m_rich"), lit(0L)).as("m_rich"))
+      .withColumn("density_micro", expr(
+        s"""CASE WHEN n_rich < 2 THEN CAST(0 AS BIGINT)
+           | ELSE ($unit * 2 * m_rich) div (n_rich * (n_rich - 1))
+           | END""".stripMargin))
+  }
+
   /** Order-independent checksum of a label assignment (one scalar
     * action) — same xor-of-hashes form as the edge [[checksum]]. */
   private def labelChecksum(labels: DataFrame): (Long, Long) = {

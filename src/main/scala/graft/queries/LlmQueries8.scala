@@ -543,6 +543,31 @@ object LlmQueries8 {
       .orderBy(col("doc_id"))
   }
 
+  /** Rich-club curve of the host graph ([[Components.richClub]],
+    * thresholds 2/4/8): is the hub elite self-wired? */
+  def graphRichClub(spark: SparkSession, dir: String): DataFrame =
+    Components.richClub(hostGraph(spark, dir), Seq(2L, 4L, 8L))
+      .orderBy(col("k"))
+
+  /** Top-20 three-step event paths across user timelines — the classic
+    * clickstream path-mining table (per-user lead windows, then one
+    * path-keyed count; the heap top-k is TakeOrdered, never a global
+    * sort). */
+  def eventTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("__e2", lead(col("event_type"), 1).over(w))
+      .withColumn("__e3", lead(col("event_type"), 2).over(w))
+      .filter(col("__e2").isNotNull && col("__e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("__e2"), col("__e3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "event_cusum_drift" -> (eventCusumDrift _),
@@ -574,7 +599,9 @@ object LlmQueries8 {
     "text_dup_ngram_coverage" -> (textDupNgramCoverage _),
     "graph_assortativity" -> (graphAssortativity _),
     "corpus_datacard" -> (corpusDatacard _),
-    "pipeline_web_curation" -> (pipelineWebCuration _))
+    "pipeline_web_curation" -> (pipelineWebCuration _),
+    "graph_rich_club" -> (graphRichClub _),
+    "event_top_paths" -> (eventTopPaths _))
 
   val oracle: Map[String, String] = Map(
     "graph_link_predict" ->
@@ -1381,5 +1408,47 @@ object LlmQueries8 {
          |JOIN pdl ON pdl.id = d.doc_id
          |JOIN blk ON blk.id = d.doc_id
          |JOIN s ON s.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin,
+    "graph_rich_club" ->
+      s"""WITH lk AS (
+         |  SELECT doc_id % 50 AS src, (doc_id * 7 + 1) % 50 AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 2) % 50 FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 3) % 50 FROM documents),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM lk WHERE src <> dst),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+         |  GROUP BY 1),
+         |ks(k) AS (VALUES (2), (4), (8)),
+         |nr AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_rich
+         |  FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k),
+         |ej AS (SELECT du.d AS du, dv.d AS dv
+         |  FROM und JOIN deg du ON du.id = und.u
+         |  JOIN deg dv ON dv.id = und.v),
+         |mr AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS m_rich
+         |  FROM ks JOIN ej ON ej.du > ks.k AND ej.dv > ks.k GROUP BY ks.k)
+         |SELECT CAST(ks.k AS BIGINT) AS k,
+         |  coalesce(nr.n_rich, 0) AS n_rich,
+         |  coalesce(mr.m_rich, 0) AS m_rich,
+         |  CAST(CASE WHEN coalesce(nr.n_rich, 0) < 2 THEN 0
+         |    ELSE (1000000 * 2 * coalesce(mr.m_rich, 0))
+         |         // (nr.n_rich * (nr.n_rich - 1)) END AS BIGINT)
+         |    AS density_micro
+         |FROM ks LEFT JOIN nr USING (k) LEFT JOIN mr USING (k)
+         |ORDER BY k""".stripMargin,
+    "event_top_paths" ->
+      s"""WITH p AS (SELECT event_type,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS e2,
+         |    lead(event_type, 2) OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS e3
+         |  FROM events)
+         |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         |GROUP BY 1
+         |ORDER BY n DESC, path
+         |LIMIT 20""".stripMargin)
 }

@@ -354,4 +354,20 @@ class ComponentsSpec extends SparkSpec {
     val c = Components.assortativity(cyc).collect().head
     assert(c.getAs[Long]("assortativity_micro") == 0L, c.toString)
   }
+
+  test("richClub: K4 core with pendants — density per threshold, empty club 0") {
+    import spark.implicits._
+    // K4 on 1..4 (each core vertex also carries one pendant -> deg 4)
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)) ++
+      Seq((1L, 11L), (2L, 12L), (3L, 13L), (4L, 14L))
+    val got = Components.richClub(k4.toDF("id_a", "id_b"), Seq(1L, 3L, 9L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // k=1: club = the 4 core vertices (deg 4 > 1), all 6 K4 edges inside
+    assert(got(1L) == ((4L, 6L, 1000000L)), got.toString)
+    // k=3: same club (pendants have deg 1)
+    assert(got(3L) == ((4L, 6L, 1000000L)), got.toString)
+    // k=9: nobody qualifies -> defined density 0
+    assert(got(9L) == ((0L, 0L, 0L)), got.toString)
+  }
 }
