@@ -175,5 +175,6 @@ object Bench {
     "q1_pricing_summary", "q9_product_profit", "takuan_ssh_pipeline",
     "j2_auto_range_join", "sessionize_events", "dedup_minhash_lsh",
     "dedup_ppjoin", "sim_ivf_topk", "text_fuzzy_pairs",
-    "curation_pipeline", "salted_skew_join", "mm_video_scene_cuts")
+    "curation_pipeline", "salted_skew_join", "mm_video_scene_cuts",
+    "pipeline_web_curation")
 }
