@@ -1223,6 +1223,35 @@ object Similarity {
     (1 to k).map(r => (r, d(r - 1), prefix(r - 1)))
   }
 
+  /** Per-dimension embedding mean shift between two corpus snapshots —
+    * the embedding-space drift monitor: a re-crawl or an encoder bump
+    * that moves the population mean moves retrieval and clustering with
+    * it, and the per-dimension table names WHICH directions moved.
+    * Components micro-ize to milli integers (floor(e·1000), the PCA
+    * convention); means are sign-split exact divisions; shift_milli is
+    * the absolute mean difference per dimension.
+    *
+    * Scale shape: one posexplode + (idx)-keyed combine-agg per side
+    * (dim-sized relations), one dim-keyed join — nothing corpus-pairwise.
+    * Dimensions missing from a side (shorter vectors) are omitted. */
+  def meanShiftByDim(a: DataFrame, b: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    def stats(df: DataFrame, sumName: String, nName: String): DataFrame =
+      df.select(posexplode(col(vecCol)).as(Seq("idx", "e")))
+        .withColumn("x",
+          expr("CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)"))
+        .groupBy(col("idx"))
+        .agg(sum(col("x")).as(sumName), count(lit(1)).as(nName))
+    def meanExpr(s: String, n: String) =
+      expr(s"""CASE WHEN $s < 0 THEN -((-$s) div $n)
+        | ELSE $s div $n END""".stripMargin)
+    stats(a, "__sa", "__na").join(stats(b, "__sb", "__nb"), Seq("idx"))
+      .select(col("idx"),
+        meanExpr("__sa", "__na").as("mean_a_milli"),
+        meanExpr("__sb", "__nb").as("mean_b_milli"))
+      .withColumn("shift_milli", abs(col("mean_a_milli") - col("mean_b_milli")))
+  }
+
   /** Matryoshka (MRL) truncation audit: how much of each embedding's
     * direction survives keeping only the first `r` dimensions? For a
     * prefix u of v, cos(v, u) = |u|/|v| = √(ssq_r/ssq) — so the whole

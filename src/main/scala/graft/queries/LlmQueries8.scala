@@ -568,6 +568,18 @@ object LlmQueries8 {
       .limit(20)
   }
 
+  /** Embedding-space drift between the first and second halves of the
+    * corpus ([[Similarity.meanShiftByDim]]): per-dimension mean shifts
+    * in milli units — the encoder/crawl drift monitor. */
+  def embSnapshotShift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val mid = T.t(spark, dir, "embeddings")
+      .agg(expr("CAST(max(vec_id) div 2 AS BIGINT)")).head().getLong(0)
+    Similarity.meanShiftByDim(
+        emb.filter(col("vec_id") <= mid), emb.filter(col("vec_id") > mid))
+      .orderBy(col("idx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "event_cusum_drift" -> (eventCusumDrift _),
@@ -601,7 +613,8 @@ object LlmQueries8 {
     "corpus_datacard" -> (corpusDatacard _),
     "pipeline_web_curation" -> (pipelineWebCuration _),
     "graph_rich_club" -> (graphRichClub _),
-    "event_top_paths" -> (eventTopPaths _))
+    "event_top_paths" -> (eventTopPaths _),
+    "emb_snapshot_shift" -> (embSnapshotShift _))
 
   val oracle: Map[String, String] = Map(
     "graph_link_predict" ->
@@ -1450,5 +1463,29 @@ object LlmQueries8 {
          |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
          |GROUP BY 1
          |ORDER BY n DESC, path
-         |LIMIT 20""".stripMargin)
+         |LIMIT 20""".stripMargin,
+    "emb_snapshot_shift" ->
+      s"""WITH mid AS (SELECT CAST(max(vec_id) // 2 AS BIGINT) AS m
+         |  FROM embeddings),
+         |xa AS (SELECT CAST(r.range AS INTEGER) AS idx,
+         |    CAST(sum(CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)]
+         |      AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sa,
+         |    CAST(count(*) AS BIGINT) AS na
+         |  FROM embeddings CROSS JOIN range(64) r CROSS JOIN mid
+         |  WHERE vec_id <= mid.m GROUP BY 1),
+         |xb AS (SELECT CAST(r.range AS INTEGER) AS idx,
+         |    CAST(sum(CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)]
+         |      AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sb,
+         |    CAST(count(*) AS BIGINT) AS nb
+         |  FROM embeddings CROSS JOIN range(64) r CROSS JOIN mid
+         |  WHERE vec_id > mid.m GROUP BY 1),
+         |m AS (SELECT xa.idx,
+         |    CAST(CASE WHEN sa < 0 THEN -((-sa) // na) ELSE sa // na END
+         |      AS BIGINT) AS mean_a_milli,
+         |    CAST(CASE WHEN sb < 0 THEN -((-sb) // nb) ELSE sb // nb END
+         |      AS BIGINT) AS mean_b_milli
+         |  FROM xa JOIN xb USING (idx))
+         |SELECT idx, mean_a_milli, mean_b_milli,
+         |  abs(mean_a_milli - mean_b_milli) AS shift_milli
+         |FROM m ORDER BY idx""".stripMargin)
 }
