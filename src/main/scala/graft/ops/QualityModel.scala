@@ -430,6 +430,47 @@ object QualityModel {
         col("median"), col("iqr"), col("robust_micro"))
   }
 
+  /** Tie-pinned Spearman rank correlation per stratum — the confounder
+    * audit ("is the quality score just measuring length?") in a form
+    * that is EXACTLY integer: ρ = 1 − 6Σd²/(n(n²−1)) over the two rank
+    * columns, with ties totally ordered by `idCol` (classic Spearman
+    * average-ranks ties are fractional and engine-fragile; the pinned
+    * variant is deterministic, replayable, and equal to it in the
+    * tie-free case). ρ lives in [−1, 1] → micro units via one
+    * sign-split division; singleton strata report 0.
+    *
+    * Scale shape: two per-STRATUM rank windows sharing the partition +
+    * one combine-agg to a stratum-sized output. 6·Σd² rides
+    * DECIMAL(38,0): Σd² < n³/3 wraps a long past n ≈ 3·10⁶ rows per
+    * stratum. A stratum must fit a partition sort (exact-rank class). */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, idCol: String, unit: Long = 1000000L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val part = W.partitionBy(col(groupCol))
+    df
+      .withColumn("__rx", row_number().over(
+        part.orderBy(col(xCol), col(idCol))))
+      .withColumn("__ry", row_number().over(
+        part.orderBy(col(yCol), col(idCol))))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(
+          "CAST(__rx - __ry AS DECIMAL(38,0)) * (__rx - __ry)"))
+          .as("__s2"))
+      .select(col(groupCol), col("n"),
+        expr(s"""CAST(CASE
+          | WHEN n < 2 THEN 0
+          | WHEN $unit * (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)
+          |        - 6 * __s2) < 0
+          | THEN -((-($unit * (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)
+          |            - 6 * __s2)))
+          |        div (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)))
+          | ELSE ($unit * (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)
+          |        - 6 * __s2))
+          |      div (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1))
+          | END AS BIGINT)""".stripMargin).as("spearman_micro"))
+  }
+
   /** Confident-learning-lite label-noise audit (Northcutt, Jiang & Chuang,
     * JAIR'21, binary margin form): per given class c, the confidence
     * threshold t_c is the class's own mean score (floor; score for

@@ -580,6 +580,32 @@ object LlmQueries8 {
       .orderBy(col("idx"))
   }
 
+  /** Length-bias audit of the quality margin per source
+    * ([[QualityModel.spearmanByGroup]]): exact tie-pinned Spearman ρ
+    * between margin and whitespace token count — a |ρ| near 1 means the
+    * "quality" model is a length detector. */
+  def qualityLengthBias(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val scored = QualityModel.integerWeightScore(T.par(spark, docs), dim = 256)
+      .join(docs.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+        Seq("doc_id"))
+    QualityModel.spearmanByGroup(scored, "source", "margin", "n_tok",
+        "doc_id")
+      .orderBy(col("source"))
+  }
+
+  /** Churn cohort table: users by LAST-active day — the retention
+    * readout's inverse (how much of the user base went dark when). One
+    * per-user max + one day-keyed count. */
+  def eventChurnCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    ev.groupBy(col("user_id"))
+      .agg(max(date_format(col("ts"), "yyyy-MM-dd")).as("last_day"))
+      .groupBy(col("last_day")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("last_day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "event_cusum_drift" -> (eventCusumDrift _),
@@ -614,7 +640,9 @@ object LlmQueries8 {
     "pipeline_web_curation" -> (pipelineWebCuration _),
     "graph_rich_club" -> (graphRichClub _),
     "event_top_paths" -> (eventTopPaths _),
-    "emb_snapshot_shift" -> (embSnapshotShift _))
+    "emb_snapshot_shift" -> (embSnapshotShift _),
+    "quality_length_bias" -> (qualityLengthBias _),
+    "event_churn_cohorts" -> (eventChurnCohorts _))
 
   val oracle: Map[String, String] = Map(
     "graph_link_predict" ->
@@ -1487,5 +1515,41 @@ object LlmQueries8 {
          |  FROM xa JOIN xb USING (idx))
          |SELECT idx, mean_a_milli, mean_b_milli,
          |  abs(mean_a_milli - mean_b_milli) AS shift_milli
-         |FROM m ORDER BY idx""".stripMargin)
+         |FROM m ORDER BY idx""".stripMargin,
+    "quality_length_bias" ->
+      s"""WITH $marginCte,
+         |lab AS (SELECT s.doc_id, s.margin, d.source,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tok
+         |  FROM s JOIN documents d USING (doc_id)),
+         |rk AS (SELECT source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY margin, doc_id) AS rx,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_tok, doc_id) AS ry
+         |  FROM lab),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS HUGEINT)
+         |      AS s2
+         |  FROM rk GROUP BY 1)
+         |SELECT source, n,
+         |  CAST(CASE
+         |    WHEN n < 2 THEN 0
+         |    WHEN 1000000 * (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+         |           - 6 * s2) < 0
+         |    THEN -((-(1000000 * (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+         |               - 6 * s2)))
+         |           // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)))
+         |    ELSE (1000000 * (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+         |           - 6 * s2))
+         |         // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+         |  END AS BIGINT) AS spearman_micro
+         |FROM a ORDER BY source""".stripMargin,
+    "event_churn_cohorts" ->
+      s"""WITH u AS (SELECT user_id,
+         |    max(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS last_day
+         |  FROM events GROUP BY 1)
+         |SELECT last_day, CAST(count(*) AS BIGINT) AS n_users
+         |FROM u GROUP BY 1
+         |ORDER BY last_day""".stripMargin)
 }

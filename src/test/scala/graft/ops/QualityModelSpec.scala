@@ -195,4 +195,20 @@ class QualityModelSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(g2 == Map((1, 1) -> 2L), g2.toString)
   }
+
+  test("spearmanByGroup: monotone +1, reversed -1, singleton 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", 1L, 10L, 1L), ("up", 2L, 20L, 2L), ("up", 3L, 30L, 3L),
+      ("dn", 1L, 30L, 4L), ("dn", 2L, 20L, 5L), ("dn", 3L, 10L, 6L),
+      ("one", 7L, 7L, 7L))
+      .toDF("g", "x", "y", "id")
+    val got = QualityModel.spearmanByGroup(df, "g", "x", "y", "id")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("spearman_micro"))).toMap
+    assert(got == Map(
+      "up" -> ((3L, 1000000L)),
+      "dn" -> ((3L, -1000000L)),
+      "one" -> ((1L, 0L))), got.toString)
+  }
 }
