@@ -606,6 +606,24 @@ object LlmQueries8 {
       .orderBy(col("last_day"))
   }
 
+  /** Local clustering coefficient per host: C(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)) in micro units over the host graph —
+    * [[Components.triangleCounts]] joined with degrees; vertices with
+    * deg < 2 (and triangle-free vertices) report 0. */
+  def graphClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val und = hostGraph(spark, dir).localCheckpoint(false)
+    val deg = und.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val tri = Components.triangleCounts(und)
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id").as("host_id"), col("d"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering_micro", expr(
+        """CASE WHEN d < 2 THEN CAST(0 AS BIGINT)
+          | ELSE (1000000 * 2 * n_tri) div (d * (d - 1)) END""".stripMargin))
+      .orderBy(col("host_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_predict" -> (graphLinkPredict _),
     "event_cusum_drift" -> (eventCusumDrift _),
@@ -642,7 +660,8 @@ object LlmQueries8 {
     "event_top_paths" -> (eventTopPaths _),
     "emb_snapshot_shift" -> (embSnapshotShift _),
     "quality_length_bias" -> (qualityLengthBias _),
-    "event_churn_cohorts" -> (eventChurnCohorts _))
+    "event_churn_cohorts" -> (eventChurnCohorts _),
+    "graph_clustering_coeff" -> (graphClusteringCoeff _))
 
   val oracle: Map[String, String] = Map(
     "graph_link_predict" ->
@@ -1551,5 +1570,31 @@ object LlmQueries8 {
          |  FROM events GROUP BY 1)
          |SELECT last_day, CAST(count(*) AS BIGINT) AS n_users
          |FROM u GROUP BY 1
-         |ORDER BY last_day""".stripMargin)
+         |ORDER BY last_day""".stripMargin,
+    "graph_clustering_coeff" ->
+      s"""WITH lk AS (
+         |  SELECT doc_id % 50 AS src, (doc_id * 7 + 1) % 50 AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 2) % 50 FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 50, (doc_id * 7 + 3) % 50 FROM documents),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM lk WHERE src <> dst),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+         |  GROUP BY 1),
+         |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
+         |  FROM und a JOIN und b ON b.u = a.v
+         |  JOIN und c ON c.u = a.u AND c.v = b.v),
+         |tv AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT x AS id FROM t UNION ALL SELECT y FROM t
+         |    UNION ALL SELECT z FROM t) GROUP BY 1)
+         |SELECT deg.id AS host_id, deg.d,
+         |  coalesce(tv.n_tri, 0) AS n_tri,
+         |  CAST(CASE WHEN deg.d < 2 THEN 0
+         |    ELSE (1000000 * 2 * coalesce(tv.n_tri, 0))
+         |         // (deg.d * (deg.d - 1)) END AS BIGINT)
+         |    AS clustering_micro
+         |FROM deg LEFT JOIN tv ON tv.id = deg.id
+         |ORDER BY host_id""".stripMargin)
 }
