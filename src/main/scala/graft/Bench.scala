@@ -89,15 +89,38 @@ object Bench {
 
     shards.zipWithIndex.foreach { case (shard, si) =>
       val spark = buildSession(cpus)
-      // Uncounted warmup: JVM/codegen/session startup otherwise lands
-      // entirely on whichever query happens to run first in the shard.
-      try shard.head._2(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      // Uncounted FULL warmup pass: every query in the shard runs once,
+      // discarded, before any timed pass. A first-query-only warmup
+      // (r10) left each query's own codegen compilation inside its
+      // first timed sample, inflating medians 2-4x for sub-second
+      // queries (r10 verdict: sketch_heavy_hitters 4.30 s recorded vs
+      // 1.14 s isolated). After this pass, every timed sample runs
+      // against compiled classes and a warm block manager.
+      // Session-scoped shared fixtures (SharedRels) stay persisted across
+      // queries BY DESIGN — unpersisting a localCheckpointed fixture
+      // destroys its only copy (truncated lineage), so the sweep must
+      // skip those blocks.
+      def sweepPersisted(): Unit = {
+        val keep = graft.queries.SharedRels.liveRddIds(spark)
+        spark.sparkContext.getPersistentRDDs.values
+          .filterNot(r => keep.contains(r.id))
+          .foreach(_.unpersist(blocking = true))
+      }
+      shard.foreach { case (name, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
+        sweepPersisted()
+      }
+      // Untimed GC between warmup and timed passes: warmup allocation
+      // garbage must not trigger a collection inside a timed sample.
+      System.gc()
       // Median-of-N (default 3): a single-shot run cannot distinguish
       // noise (GC pause, sandbox scheduling, one-off codegen compile)
-      // from a real regression. Pass 0 eats plan + codegen compilation;
-      // the median of three discards one-sided outliers.
+      // from a real regression. All passes are warm (see above); the
+      // median of three discards one-sided outliers, and the per-query
+      // MIN (reported alongside) bounds true cost from below.
       val passSamples = (0 until passes).map { pass =>
         val res = shard.map { case (name, fn) =>
           val t0 = System.nanoTime()
@@ -109,10 +132,10 @@ object Bench {
           // localCheckpoint blocks (MEMORY_AND_DISK persisted RDDs) from
           // the query just finished are dead the moment its DataFrame
           // goes out of scope, but the ContextCleaner only reclaims them
-          // after a driver GC notices the dangling ref. Queries never
+          // after a driver GC notices the dangling ref. Apart from the
+          // SharedRels fixtures (kept alive on purpose), queries never
           // share persisted RDDs, so drop them synchronously, untimed.
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = true))
+          sweepPersisted()
           name -> elapsed
         }
         // Codegen-cache churn evidence: cumulative janino compile count
@@ -126,6 +149,7 @@ object Bench {
         allSamples(name) =
           passSamples.map(_.find(_._1 == name).get._2)
       }
+      graft.queries.SharedRels.clear(spark)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -141,11 +165,14 @@ object Bench {
     val full = allSamples.toSeq.map { case (k, xs) =>
       val raw = xs.map(t => f"$t%.3f").mkString("[", ",", "]")
       "\"" + k + "\":{\"median\":" + f"${median(xs)}%.3f" +
+        ",\"min\":" + f"${xs.min}%.3f" +
         ",\"samples\":" + raw + "}"
     }.mkString("{", ",", "}")
     System.err.println(s"[bench] per-query seconds: $full")
     val total = medians.map(_._2).sum
+    val totalMin = allSamples.values.map(_.min).sum
     val detail = "{\"total\":" + f"$total%.3f" +
+      ",\"total_min\":" + f"$totalMin%.3f" +
       ",\"n_queries\":" + medians.size + ",\"passes\":" + passes +
       ",\"shard_size\":" + shardSize + ",\"sf\":\"" + sfDir +
       "\",\"queries\":" + full + "}"
@@ -161,7 +188,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     System.out.flush(); System.err.flush()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${medians.size},"agg":"median","passes":$passes,"shard_size":$shardSize,"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"n_queries":${medians.size},"agg":"median","passes":$passes,"shard_size":$shardSize,"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     System.out.flush()
   }
 

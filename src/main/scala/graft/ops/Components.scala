@@ -196,7 +196,8 @@ object Components {
     * one collect. Deterministic: the union rule keeps the minimum id as
     * root, so the result is the same partition the distributed fixpoint
     * yields. */
-  private def localFinish(spark: SparkSession, edges: DataFrame): DataFrame = {
+  private def localFinish(spark: SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -205,7 +206,7 @@ object Components {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.collect().foreach { row =>
+    edgeRows.foreach { row =>
       val (a, b) = (row.getLong(0), row.getLong(1))
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
@@ -235,6 +236,20 @@ object Components {
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(false)
+    // Small-graph fast path: ONE bounded action instead of the
+    // checksum-job-then-collect-job sequence. limit(T+1) pulls at most
+    // T+1 rows to the driver (a few tens of MB at the default threshold
+    // — exactly what localFinish would have collected anyway); if the
+    // whole edge set came back, union-find locally and skip the
+    // distributed loop entirely. Oversized graphs pay one early-exit
+    // partial scan and proceed through the normal fixpoint loop. Pair
+    // graphs (near-dup output) are orders of magnitude smaller than the
+    // corpus, so this is the common case — it halves the fixed job count
+    // of every CC-consuming query.
+    if (smallGraphThreshold <= (Int.MaxValue - 1).toLong) {
+      val probe = edges.limit(smallGraphThreshold.toInt + 1).collect()
+      if (probe.length <= smallGraphThreshold) return localFinish(spark, probe)
+    }
     var prev = checksum(edges)
     val parts =
       if (loopPartitions > 0) loopPartitions
@@ -256,7 +271,8 @@ object Components {
     // that exhausted maxIter with a still-large graph must fail, not
     // silently collect() an arbitrarily large edge set to the driver.
     if (!converged) {
-      if (prev._2 <= smallGraphThreshold) return localFinish(spark, edges)
+      if (prev._2 <= smallGraphThreshold)
+        return localFinish(spark, edges.collect())
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds with " +
           s"${prev._2} edges remaining (> smallGraphThreshold=" +
@@ -310,20 +326,43 @@ object Components {
       .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // The wedge stage does O(m^1.5) work off this relation with NO
+    // exchange below it (broadcast joins preserve input partitioning),
+    // so its partition count IS the stage's parallelism — and AQE
+    // typically coalesces the small upstream join output to one
+    // partition before the checkpoint, serializing the whole wedge
+    // enumeration on one core (measured: 2.8 s single-task stage at
+    // sf0.1). Repartition to compute parallelism first; the shuffle
+    // moves only the m-row edge relation, negligible next to the wedge
+    // work it parallelizes, and round-robin balances hub-heavy inputs.
+    val edgeCount = und.count()
+    val parts = math.max(
+      und.sparkSession.sparkContext.defaultParallelism,
+      (edgeCount / RowsPerPartition).toInt + 1)
     // three consumers (both wedge sides + the closing probe) — checkpoint
     // so the degree joins run once, not per consumer
     val oriented = ord.select(
       when(fwd, col("u")).otherwise(col("v")).as("s"),
       when(fwd, col("v")).otherwise(col("u")).as("t"),
       when(fwd, col("dv")).otherwise(col("du")).as("dt"))
+      .repartition(parts)
       .localCheckpoint()
+    // localCheckpoint leaves the relation with unknown stats, so Catalyst
+    // plans both wedge joins as SortMergeJoin — five exchanges + sorts on
+    // the wedge path (O(m^1.5) rows). The edge relation is already
+    // materialized, so its true size is one cached-RDD count away: when
+    // the edges fit a broadcast (the wedge side never does — it's the
+    // m^1.5 blowup), hint it and both joins become map-side hash probes.
+    // Beyond the threshold the stats-blind SMJ is the right plan anyway.
+    val orientedJ =
+      if (edgeCount <= 4000000L) broadcast(oriented) else oriented
     val wedges = oriented.alias("o1")
-      .join(oriented.alias("o2"), col("o1.s") === col("o2.s") &&
+      .join(orientedJ.alias("o2"), col("o1.s") === col("o2.s") &&
         (col("o1.dt") < col("o2.dt") ||
           (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
       .select(col("o1.s").as("a"), col("o1.t").as("b"), col("o2.t").as("c"))
-    val tris = wedges.join(oriented.select(col("s").as("b"), col("t").as("c")),
-      Seq("b", "c"))
+    val tris = wedges.join(
+      orientedJ.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
   }

@@ -284,35 +284,46 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       roundTo: Int = 6): Array[(Long, Array[Float])] = {
     require(k > 0 && iters >= 0, "k and iters must be positive")
-    val seeds = corpus
-      .select(md5(col(idCol).cast("string")).as("__h"), col(vecCol))
-      .orderBy(col("__h"))
-      .limit(k)
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
-    require(seeds.nonEmpty, "empty corpus")
-    val ids = seeds.indices.map(_.toLong).toArray
-    val dim = seeds.head.length
-    var cents = seeds
-    for (_ <- 1 to iters) {
-      val index = new IvfIndex(ids, cents, roundTo)
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("__v"), i + 1).cast("double")).as(s"__s$i"))
-      val rows = corpus
-        .select(col(vecCol).as("__v"))
-        .withColumn("__cell", nearest_cells(col("__v"), index, 1).getItem(0))
-        .groupBy(col("__cell"))
-        .agg(count(lit(1)).as("__n"), sums: _*)
+    // The Lloyd loop scans the training input iters+1 times (seeding plus
+    // one assignment pass per iteration). Persist the projected input for
+    // the loop's lifetime — the standard MLlib-KMeans discipline — so the
+    // upstream plan (scan, repartition, or a whole feature pipeline) runs
+    // once, not once per iteration. The training input is a bounded
+    // sample at scale (k-means training never runs over the full 100 TB
+    // corpus), so MEMORY_AND_DISK is safe.
+    val work = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = work
+        .select(md5(col(idCol).cast("string")).as("__h"), col(vecCol))
+        .orderBy(col("__h"))
+        .limit(k)
         .collect()
-      val next = cents.map(_.clone())
-      rows.foreach { r =>
-        val cell = r.getLong(0).toInt
-        val n = r.getLong(1).toDouble
-        next(cell) = Array.tabulate(dim)(i => (r.getDouble(i + 2) / n).toFloat)
+        .map(_.getSeq[Float](1).toArray)
+      require(seeds.nonEmpty, "empty corpus")
+      val ids = seeds.indices.map(_.toLong).toArray
+      val dim = seeds.head.length
+      var cents = seeds
+      for (_ <- 1 to iters) {
+        val index = new IvfIndex(ids, cents, roundTo)
+        val sums = (0 until dim).map(i =>
+          sum(element_at(col("__v"), i + 1).cast("double")).as(s"__s$i"))
+        val rows = work
+          .select(col(vecCol).as("__v"))
+          .withColumn("__cell", nearest_cells(col("__v"), index, 1).getItem(0))
+          .groupBy(col("__cell"))
+          .agg(count(lit(1)).as("__n"), sums: _*)
+          .collect()
+        val next = cents.map(_.clone())
+        rows.foreach { r =>
+          val cell = r.getLong(0).toInt
+          val n = r.getLong(1).toDouble
+          next(cell) = Array.tabulate(dim)(i => (r.getDouble(i + 2) / n).toFloat)
+        }
+        cents = next
       }
-      cents = next
-    }
-    ids.zip(cents)
+      ids.zip(cents)
+    } finally work.unpersist(blocking = false)
   }
 
   /** [[trainIvfCentroids]] in EXACT integer micro-units — the
@@ -357,27 +368,65 @@ object Similarity {
     val dim = seeds.head.length
     var cents: Array[Array[Long]] =
       seeds.map(_.map(x => math.floor(x.toDouble * 1000000.0).toLong))
-    for (_ <- 1 to iters) {
-      val index = IvfIndex.fromMicro(ids, cents, roundTo)
-      val sums = (0 until dim).map(i =>
-        sum(floor(element_at(col("__v"), i + 1).cast("double") * lit(1000000.0))
-          .cast("long") + lit(offset)).as(s"__s$i"))
-      val rows = corpus
-        .select(col(vecCol).as("__v"))
-        .withColumn("__cell", nearest_cells(col("__v"), index, 1).getItem(0))
-        .groupBy(col("__cell"))
-        .agg(count(lit(1)).as("__n"), sums: _*)
-        .collect()
-      val next = cents.map(_.clone())
-      rows.foreach { r =>
-        val cell = r.getLong(0).toInt
-        val n = r.getLong(1)
-        // dividend non-negative by the offset -> truncation == floor
-        next(cell) = Array.tabulate(dim)(i => r.getLong(i + 2) / n - offset)
+    if (iters == 0) return ids.zip(cents)
+    // The Lloyd loop is the MLlib-KMeans shape: cache the raw vectors
+    // once, then each iteration is ONE shuffle-free job — per-partition
+    // integer partial sums (assignment via the SAME [[IvfIndex]] kernel
+    // the SQL expression uses, element quantization via the same
+    // floor(x·10⁶) double arithmetic) merged on the driver. Long
+    // addition is associative, so the merged totals — and therefore the
+    // trained centroids — are bit-identical to the previous partial/
+    // final SQL aggregate, partition-layout-independent, and still
+    // exactly what the DuckDB oracle replays. The k·dim partial state
+    // per partition is the only thing collected (k ≤ ~10⁵ at scale);
+    // training inputs are bounded samples, so the cache is safe.
+    val vecs = corpus.select(col(vecCol)).rdd
+      .map(_.getSeq[Float](0).toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val index = IvfIndex.fromMicro(ids, cents, roundTo)
+        val partials = vecs.mapPartitions { it =>
+          val cnt = new Array[Long](k)
+          val sums = Array.ofDim[Long](k, dim)
+          it.foreach { v =>
+            val ad = org.apache.spark.sql.catalyst.expressions
+              .UnsafeArrayData.fromPrimitiveArray(v)
+            val cell = index.nearestCells(ad, 1).getLong(0).toInt
+            cnt(cell) += 1L
+            val row = sums(cell)
+            var i = 0
+            while (i < dim) {
+              row(i) += math.floor(v(i).toDouble * 1000000.0).toLong + offset
+              i += 1
+            }
+          }
+          Iterator.single((cnt, sums))
+        }.collect()
+        val cnt = new Array[Long](k)
+        val sums = Array.ofDim[Long](k, dim)
+        partials.foreach { case (pc, ps) =>
+          var c = 0
+          while (c < k) {
+            cnt(c) += pc(c)
+            var i = 0
+            while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+            c += 1
+          }
+        }
+        val next = cents.map(_.clone())
+        var c = 0
+        while (c < k) {
+          // empty cells keep their previous centroid; dividend
+          // non-negative by the offset -> truncation == floor
+          if (cnt(c) > 0L)
+            next(c) = Array.tabulate(dim)(i => sums(c)(i) / cnt(c) - offset)
+          c += 1
+        }
+        cents = next
       }
-      cents = next
-    }
-    ids.zip(cents)
+      ids.zip(cents)
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Mean cosine distance (1 − cos) of every corpus vector to its assigned

@@ -48,8 +48,7 @@ object LlmQueries {
     * keeps the verification join's output invariant across scale factors
     * while still driving the full signature→band→verify pipeline. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashLshPairs(
-      T.t(spark, dir, "documents").filter(col("doc_id") < 500), threshold = 0.5)
+    SharedRels.nearDupPairs500(spark, dir)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 

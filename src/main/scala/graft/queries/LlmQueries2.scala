@@ -91,8 +91,12 @@ object LlmQueries2 {
     * trajectory — 3 unrolled training iterations, cell assignment,
     * in-cell pairs, recursive-CTE components — bit-for-bit. */
   def simSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    // localCheckpoint: training (persisted internally) plus the serve
+    // path's three consumers (both pair-join sides, the survivor
+    // anti-join) would otherwise each re-run the scan+repartition.
     Similarity.semanticDedupMicro(
-        T.par(spark, T.t(spark, dir, "embeddings")), threshold = 0.4, k = 16)
+        T.par(spark, T.t(spark, dir, "embeddings")).localCheckpoint(),
+        threshold = 0.4, k = 16)
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
 
@@ -123,8 +127,7 @@ object LlmQueries2 {
     * symmetric near-dup graph from the bounded minhash slice — cluster
     * centrality, bit-exact across engines. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minHashLshPairs(
-      T.t(spark, dir, "documents").filter(col("doc_id") < 500), threshold = 0.5)
+    val pairs = SharedRels.nearDupPairs500(spark, dir)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     Components.pageRank(edges, iters = 3)
@@ -138,8 +141,7 @@ object LlmQueries2 {
     * distinguish a hub-and-spokes template from a mutual-copy cluster;
     * triangles can. Same edge relation as `graph_pagerank`. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minHashLshPairs(
-      T.t(spark, dir, "documents").filter(col("doc_id") < 500), threshold = 0.5)
+    val pairs = SharedRels.nearDupPairs500(spark, dir)
     Components.triangleCounts(pairs)
       .select(col("id").as("doc_id"), col("n_tri"))
       .orderBy(col("doc_id"))

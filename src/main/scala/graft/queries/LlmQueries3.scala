@@ -91,9 +91,7 @@ object LlmQueries3 {
   /** Deterministic label-propagation communities (2 sweeps, min-label
     * ties) over the same near-dup edge relation as `graph_pagerank`. */
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minHashLshPairs(
-      T.t(spark, dir, "documents").filter(col("doc_id") < 500),
-      threshold = 0.5)
+    val pairs = SharedRels.nearDupPairs500(spark, dir)
     Components.labelPropagation(pairs, iters = 2)
       .select(col("id").as("doc_id"), col("community"))
       .orderBy(col("doc_id"))
@@ -104,10 +102,7 @@ object LlmQueries3 {
     * checkpoint shares the MinHash pair pipeline between the LPA sweeps
     * and the metric. */
   def graphModularity(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minHashLshPairs(
-      T.t(spark, dir, "documents").filter(col("doc_id") < 500),
-      threshold = 0.5)
-      .localCheckpoint(false)
+    val pairs = SharedRels.nearDupPairs500(spark, dir)
     val comm = Components.labelPropagation(pairs, iters = 2)
     Components.modularity(pairs, comm).orderBy(col("community"))
   }

@@ -107,9 +107,7 @@ object LlmQueries4 {
     * chain as `graph_label_prop`): the heavily-duplicated kernel, with
     * within-core degrees ([[Components.kCore]], sweep budget 3). */
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minHashLshPairs(
-      T.t(spark, dir, "documents").filter(col("doc_id") < 500),
-      threshold = 0.5)
+    val pairs = SharedRels.nearDupPairs500(spark, dir)
     Components.kCore(pairs, k = 3, sweeps = 3)
       .select(col("id").as("doc_id"), col("core_degree"))
       .orderBy(col("doc_id"))

@@ -333,7 +333,7 @@ object LlmQueries5 {
       Curation.assignSplit(col("doc_id"), LlmQueries.SplitWeights)
         .as("split"))
       .localCheckpoint(false) // joined against both pair endpoints
-    val pairs = Dedup.minHashLshPairs(docs, threshold = 0.5)
+    val pairs = SharedRels.nearDupPairs500(spark, dir)
       .join(splits.select(col("doc_id").as("id_a"),
         col("split").as("__sa")), Seq("id_a"))
       .join(splits.select(col("doc_id").as("id_b"),

@@ -80,7 +80,7 @@ object LlmQueries6 {
     * ([[Components.bfsHops]]). */
   def graphBfsHops(spark: SparkSession, dir: String): DataFrame = {
     val docs = T.t(spark, dir, "documents").filter(col("doc_id") < 500)
-    val pairs = Dedup.minHashLshPairs(docs, threshold = 0.5)
+    val pairs = SharedRels.nearDupPairs500(spark, dir)
     val seeds = docs.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("id"))
     Components.bfsHops(pairs, seeds, maxHops = 3)
@@ -124,7 +124,7 @@ object LlmQueries6 {
     * the constructive counterpart of `split_leakage_check`'s audit. */
   def splitByCluster(spark: SparkSession, dir: String): DataFrame = {
     val docs = T.t(spark, dir, "documents").filter(col("doc_id") < 500)
-    val pairs = Dedup.minHashLshPairs(docs, threshold = 0.5)
+    val pairs = SharedRels.nearDupPairs500(spark, dir)
     Curation.splitByCluster(docs.select(col("doc_id"), col("source")), pairs,
         LlmQueries.SplitWeights)
       .select(col("doc_id"), col("cluster_rep"), col("split"))
@@ -229,7 +229,7 @@ object LlmQueries6 {
     * BFS hop distance. */
   def graphPpr(spark: SparkSession, dir: String): DataFrame = {
     val docs = T.t(spark, dir, "documents").filter(col("doc_id") < 500)
-    val pairs = Dedup.minHashLshPairs(docs, threshold = 0.5)
+    val pairs = SharedRels.nearDupPairs500(spark, dir)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     val seeds = docs.filter(col("doc_id") % 97 === 0)

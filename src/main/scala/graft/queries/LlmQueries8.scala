@@ -423,7 +423,7 @@ object LlmQueries8 {
     * side's source, rolled up per unordered source pair. */
   def dedupCrossSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
     val docs = T.t(spark, dir, "documents").filter(col("doc_id") < 500)
-    val pairs = Dedup.minHashLshPairs(docs, threshold = 0.5)
+    val pairs = SharedRels.nearDupPairs500(spark, dir)
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
