@@ -689,12 +689,23 @@ object Components {
     * reach counts. One combine-agg over [[perSeedBfs]]'s output. */
   def harmonicCentrality(pairs: DataFrame, seeds: DataFrame,
       maxHops: Int = 3, unit: Long = 1000000L, aCol: String = "id_a",
-      bCol: String = "id_b", seedCol: String = "id"): DataFrame =
-    perSeedBfs(pairs, seeds, maxHops, aCol, bCol, seedCol)
+      bCol: String = "id_b", seedCol: String = "id"): DataFrame = {
+    val agg = perSeedBfs(pairs, seeds, maxHops, aCol, bCol, seedCol)
       .filter(col("hops") >= 1)
       .groupBy(col("seed"))
       .agg(count(lit(1)).as("n_reached"),
         sum(expr(s"$unit div hops")).as("harmonic_micro"))
+    // An isolated seed reaches nothing: the hops>=1 filter removes its
+    // hop-0 self row and the groupBy would then emit NO row for it.
+    // "Unreachable contributes 0" must also hold for the seed itself —
+    // left-join the aggregate back onto the distinct seed set so every
+    // seed reports n_reached=0 / harmonic_micro=0 instead of vanishing.
+    seeds.select(col(seedCol).cast("long").as("seed")).distinct()
+      .join(agg, Seq("seed"), "left_outer")
+      .select(col("seed"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("harmonic_micro"), lit(0L)).as("harmonic_micro"))
+  }
 
   /** Degree distribution profile of an undirected graph: one row per
     * distinct degree with the vertex count — the power-law-tail /

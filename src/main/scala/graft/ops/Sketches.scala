@@ -312,11 +312,14 @@ object Sketches {
       .agg(min(coalesce(col("dot"), lit(0L))).as("est_join_size"))
   }
 
-  /** Heavy hitters by sketch: CMS estimates for every distinct value,
-    * exact count alongside (the accuracy contract: estimate ≥ exact,
-    * overcount bounded in SketchesSpec), top `k` by estimate. At scale
-    * the exact side is what the sketch replaces; it rides along here as
-    * the per-row accuracy witness, same as [[hllCardinalityWithExact]]. */
+  /** Heavy hitters by sketch, WITH the exact count alongside — the
+    * error-bound DEMONSTRATION form (the accuracy contract: estimate ≥
+    * exact, overcount bounded in SketchesSpec). The exact_cnt column is
+    * demonstrative only: it is computed by the very `groupBy(value)
+    * .count()` aggregation the sketch exists to avoid, so this entry
+    * point costs MORE than the exact query. For production serving use
+    * [[cmsTopK]] (sketch-only); at real scale the exact witness makes
+    * sense only on a sampled slice or in a one-off calibration run. */
   def cmsHeavyHitters(df: DataFrame, valueCol: String, k: Int,
       d: Int = CmsD, wBits: Int = CmsWBits): DataFrame = {
     val src = df.filter(col(valueCol).isNotNull)
@@ -326,6 +329,52 @@ object Sketches {
       .join(src.groupBy(col(valueCol)).agg(count(lit(1)).as("exact_cnt")), valueCol)
       .orderBy(col("cms_estimate").desc, col(valueCol))
       .limit(k)
+  }
+
+  /** Production heavy-hitters serve: top `k` values by CMS estimate
+    * ONLY — no exact-count join anywhere in the plan. The counter
+    * relation is fixed-size (d·2^wBits cells) and broadcasts; the probe
+    * side pays one distinct pass over the values and a map-side
+    * broadcast lookup per (value, hash row); the top-k is a
+    * TakeOrderedAndProject heap on (estimate desc, value). This is the
+    * entry point to use at scale — [[cmsHeavyHitters]] keeps the exact
+    * column as its accuracy demonstration. */
+  def cmsTopK(df: DataFrame, valueCol: String, k: Int,
+      d: Int = CmsD, wBits: Int = CmsWBits): DataFrame = {
+    val src = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as(valueCol))
+    val counters = cmsCounters(src, valueCol, d, wBits)
+    cmsEstimates(counters, src, valueCol, d, wBits)
+      .orderBy(col("cms_estimate").desc, col(valueCol))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[cmsTopK]] (shared constants, same md5 cells,
+    * same min-over-rows estimate, no exact side). */
+  def cmsTopKSql(table: String, valueExpr: String, k: Int,
+      d: Int = CmsD, wBits: Int = CmsWBits): String = {
+    val w = 1L << wBits
+    s"""WITH src AS (SELECT CAST($valueExpr AS VARCHAR) AS v
+       |  FROM $table WHERE $valueExpr IS NOT NULL),
+       |cells AS (SELECT
+       |    r.i AS hash_row,
+       |    CAST('0x' || substring(md5(($CmsSeed + r.i) || '|' || v), 1, 15)
+       |      AS BIGINT) % $w AS bucket
+       |  FROM src CROSS JOIN range($d) r(i)),
+       |counters AS (SELECT hash_row, bucket, count(*) AS cnt
+       |  FROM cells GROUP BY 1, 2),
+       |probes AS (SELECT DISTINCT v FROM src),
+       |pcells AS (SELECT v, r.i AS hash_row,
+       |    CAST('0x' || substring(md5(($CmsSeed + r.i) || '|' || v), 1, 15)
+       |      AS BIGINT) % $w AS bucket
+       |  FROM probes CROSS JOIN range($d) r(i)),
+       |est AS (SELECT v, min(coalesce(c.cnt, 0)) AS cms_estimate
+       |  FROM pcells p LEFT JOIN counters c USING (hash_row, bucket)
+       |  GROUP BY 1)
+       |SELECT v AS $valueExpr, cms_estimate
+       |FROM est
+       |ORDER BY cms_estimate DESC, v
+       |LIMIT $k""".stripMargin
   }
 
   /** Per-group heavy hitters by the same CMS construction: one counter

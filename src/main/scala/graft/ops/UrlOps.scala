@@ -21,12 +21,42 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
+  /** The common multi-label public suffixes (the high-traffic subset of
+    * the Mozilla Public Suffix List): hosts under these need the LAST
+    * THREE labels to form a registered domain — a naive last-two rule
+    * would merge every site under e.g. `co.uk` into one "domain". A
+    * bounded inline list (not the full 9k-entry PSL) keeps the
+    * expression pure/codegen-able; anything rarer falls back to the
+    * two-label rule, which [[hostRollup]]'s scaladoc flags. */
+  private val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "net.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.co", "com.pe", "com.ve",
+    "com.tr", "com.sa", "com.eg",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "co.za", "org.za", "co.kr", "or.kr",
+    "com.sg", "com.my", "com.hk", "com.tw", "com.ph", "com.vn",
+    "co.th", "co.id", "or.id", "com.pk", "com.bd")
+
   /** RFC-3986-lite part extraction, added as columns:
     * scheme (lowercased), host (raw), path, query (no '?'), fragment
-    * (no '#'), plus registered_domain (last two host labels, lowercased,
-    * port stripped), path_depth (count of non-empty segments) and
-    * n_params (count of non-empty '&'-separated query params). */
+    * (no '#'), plus registered_domain (lowercased, port stripped: last
+    * two host labels, or last THREE when the two-label tail is a known
+    * multi-label public suffix — [[MultiLabelSuffixes]]), path_depth
+    * (count of non-empty segments) and n_params (count of non-empty
+    * '&'-separated query params). */
   def withUrlParts(df: DataFrame, urlCol: String): DataFrame = {
+    // registered_domain pieces: CASE branches evaluate lazily, so the
+    // negative element_at indexes cannot fault under ANSI — each is
+    // guarded by its branch's label-count condition.
+    val base = regexp_replace(lower(col("host")), ":[0-9]+$", "")
+    val parts = split(base, "\\.")
+    val last2 = concat(element_at(parts, -2), lit("."), element_at(parts, -1))
+    val last3 = concat(element_at(parts, -3), lit("."), last2)
     df
       .withColumn("scheme",
         lower(regexp_extract(col(urlCol), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
@@ -36,18 +66,13 @@ object UrlOps {
         regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
       .withColumn("query", regexp_extract(col(urlCol), "\\?([^#]*)", 1))
       .withColumn("fragment", regexp_extract(col(urlCol), "#(.*)$", 1))
-      .withColumn("registered_domain", expr(
-        // last two host labels; a single-label host (e.g. localhost) is
-        // its own registered domain — guarded so ANSI element_at(-2)
-        // cannot fault on it
-        """CASE WHEN size(split(regexp_replace(lower(host), ':[0-9]+$', ''),
-          |               '\\.')) < 2
-          | THEN regexp_replace(lower(host), ':[0-9]+$', '')
-          | ELSE element_at(split(regexp_replace(lower(host), ':[0-9]+$', ''),
-          |        '\\.'), -2) || '.' ||
-          |      element_at(split(regexp_replace(lower(host), ':[0-9]+$', ''),
-          |        '\\.'), -1)
-          |END""".stripMargin))
+      .withColumn("registered_domain",
+        // a single-label host (e.g. localhost) is its own registered
+        // domain
+        when(size(parts) < 2, base)
+          .when(size(parts) >= 3 &&
+            last2.isin(MultiLabelSuffixes: _*), last3)
+          .otherwise(last2))
       .withColumn("path_depth",
         size(filter(split(col("path"), "/"), s => s =!= "")))
       .withColumn("n_params",
@@ -60,12 +85,17 @@ object UrlOps {
     * Two spellings canonicalize equal iff they address the same resource
     * under these (standard crawl-dedup) rules. */
   def canonicalUrl(urlCol: Column): Column = {
-    val host = regexp_replace(
-      regexp_replace(
-        lower(regexp_extract(urlCol, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
-        ":(443|80)$", ""),
-      "^www\\.", "")
     val scheme = lower(regexp_extract(urlCol, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawHost =
+      lower(regexp_extract(urlCol, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    // Strip only the port that is the DEFAULT for the URL's own scheme:
+    // http://host:443/x is a real non-default port (a different
+    // resource than http://host/x) and must survive — an unconditional
+    // ":(443|80)" strip collided those.
+    val portStripped = when(scheme === "http", regexp_replace(rawHost, ":80$", ""))
+      .when(scheme === "https", regexp_replace(rawHost, ":443$", ""))
+      .otherwise(rawHost)
+    val host = regexp_replace(portStripped, "^www\\.", "")
     val path = regexp_replace(
       regexp_extract(urlCol, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
       "/+$", "")
@@ -98,7 +128,14 @@ object UrlOps {
     * URLs, the URL-duplication ratio in micro units, and total content
     * chars — the host-level triage table ("which domains are mostly
     * duplicate spellings / boilerplate mirrors") that decides per-host
-    * crawl budgets. One aggregation, |domains| rows out. */
+    * crawl budgets. One aggregation, |domains| rows out.
+    *
+    * Domain granularity caveat: registered_domain covers the common
+    * multi-label public suffixes via [[MultiLabelSuffixes]]; hosts under
+    * a RARER multi-label suffix fall back to the last-two-labels rule
+    * and may merge unrelated sites into one row. For strict PSL
+    * semantics, join a full public-suffix table (it broadcasts — ~9k
+    * rows) and group by its registered domain instead. */
   def hostRollup(df: DataFrame, urlCol: String,
       charsCol: String, unit: Long = 1000000L): DataFrame = {
     withUrlParts(df, urlCol)

@@ -376,6 +376,12 @@ object LlmQueries {
   def sketchHeavyHitters(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.cmsHeavyHitters(T.events(spark, dir), "user_id", 50)
 
+  /** Sketch-only heavy-hitters serve ([[graft.ops.Sketches.cmsTopK]]):
+    * the production form — no exact-count join in the plan; the exact
+    * witness stays in `sketch_heavy_hitters` as the error-bound demo. */
+  def sketchTopkServed(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.cmsTopK(T.events(spark, dir), "user_id", 50)
+
   /** Gap-based sessionization over the events stream table (30-min gap). */
   def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sessions.summarize(T.events(spark, dir), "user_id", "ts", 1800)
@@ -634,6 +640,7 @@ object LlmQueries {
     "text_pii_redact" -> (textPiiRedact _),
     "sketch_cardinality" -> (sketchCardinality _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
+    "sketch_topk_served" -> (sketchTopkServed _),
     "sketch_quantiles" -> (sketchQuantiles _),
     "sketch_group_topk" -> (sketchGroupTopk _),
     "curation_pipeline" -> (curationPipeline _),
@@ -779,6 +786,8 @@ object LlmQueries {
     // Sketches.cmsHeavyHittersSql).
     "sketch_heavy_hitters" ->
       graft.ops.Sketches.cmsHeavyHittersSql("events", "user_id", 50),
+    "sketch_topk_served" ->
+      graft.ops.Sketches.cmsTopKSql("events", "user_id", 50),
     // Engine-portable histogram-quantile replay: same octave/sub-bin ids,
     // same integer rank comparison (Sketches.histQuantilesSql).
     "sketch_quantiles" ->

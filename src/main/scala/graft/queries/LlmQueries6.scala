@@ -266,7 +266,13 @@ object LlmQueries6 {
     val docs = T.par(spark, T.t(spark, dir, "documents"))
       .select(col("source"), col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-    Curation.giniByStratum(docs, "source", "n_tokens", "doc_id")
+    // Planted all-zero stratum: pins the S = 0 deflation guard (gini 0,
+    // not NULL/abort) under the oracle, not just in CurationSpec.
+    val zero = T.t(spark, dir, "documents").filter(col("doc_id") < 3)
+      .select(lit("zz_planted_zero").as("source"), col("doc_id"),
+        lit(0L).as("n_tokens"))
+    Curation.giniByStratum(docs.unionByName(zero), "source", "n_tokens",
+        "doc_id")
       .orderBy(col("source"))
   }
 
@@ -347,7 +353,10 @@ object LlmQueries6 {
       """WITH t AS (SELECT source, doc_id,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |      AS n_tokens
-        |  FROM documents),
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'zz_planted_zero', doc_id, CAST(0 AS BIGINT)
+        |  FROM documents WHERE doc_id < 3),
         |rk AS (SELECT source, n_tokens, row_number()
         |    OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS r
         |  FROM t),
@@ -356,8 +365,9 @@ object LlmQueries6 {
         |    sum(CAST(r AS HUGEINT) * n_tokens) AS rr
         |  FROM rk GROUP BY source)
         |SELECT source, n AS n_rows, s AS total_value,
-        |  CAST((1000000 * (2 * rr - CAST(n + 1 AS HUGEINT) * s))
-        |    // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_micro
+        |  CAST(CASE WHEN s = 0 THEN 0 ELSE
+        |    (1000000 * (2 * rr - CAST(n + 1 AS HUGEINT) * s))
+        |      // (CAST(n AS HUGEINT) * s) END AS BIGINT) AS gini_micro
         |FROM a ORDER BY source""".stripMargin,
     // CMS replay (seeds 91..94, 2^10 buckets, md5 60-bit hash) for both
     // sides + min-over-rows dot product; exact side is the count join.

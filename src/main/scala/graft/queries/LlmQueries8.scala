@@ -1284,11 +1284,15 @@ object LlmQueries8 {
          |seeds(seed) AS (VALUES (0), (1), (2), (3), (4)),
          |r0 AS (SELECT seed, seed AS id, 0 AS hops FROM seeds),
          |f0 AS (SELECT seed, seed AS id FROM seeds),
-         |$rounds
-         |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
-         |  CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_micro
-         |FROM r3 WHERE hops >= 1
-         |GROUP BY seed ORDER BY seed""".stripMargin
+         |$rounds,
+         |agg AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+         |    CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_micro
+         |  FROM r3 WHERE hops >= 1 GROUP BY seed)
+         |SELECT s.seed,
+         |  coalesce(a.n_reached, 0) AS n_reached,
+         |  coalesce(a.harmonic_micro, 0) AS harmonic_micro
+         |FROM seeds s LEFT JOIN agg a ON a.seed = s.seed
+         |ORDER BY s.seed""".stripMargin
     },
     "dedup_token_impact" ->
       s"""WITH k AS (SELECT doc_id AS id, source,

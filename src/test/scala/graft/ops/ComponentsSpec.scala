@@ -333,6 +333,14 @@ class ComponentsSpec extends SparkSpec {
         (r.getAs[Long]("n_reached"), r.getAs[Long]("harmonic_micro"))).toMap
     assert(h == Map(
       1L -> ((3L, 1833333L)), 4L -> ((3L, 1833333L))), h.toString)
+    // an isolated seed (no edges touch it) must still get a row with
+    // zero reach, not vanish from the output
+    val h2 = Components.harmonicCentrality(path, Seq(1L, 99L).toDF("id"),
+        maxHops = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_reached"), r.getAs[Long]("harmonic_micro"))).toMap
+    assert(h2 == Map(
+      1L -> ((3L, 1833333L)), 99L -> ((0L, 0L))), h2.toString)
   }
 
   test("degreeProfile: path graph endpoint/interior degrees") {

@@ -119,6 +119,30 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("cmsTopK serves the same ranking sketch-only (no exact-count agg)") {
+    val ev = graft.T.events(spark, "/root/testdata/sf0.01")
+    val served = Sketches.cmsTopK(ev, "user_id", 50)
+    // identical (value, estimate) ranking as the demonstration form
+    val a = served.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = Sketches.cmsHeavyHitters(ev, "user_id", 50).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a == b)
+    // and NO aggregate in the plan computes a COUNT keyed by the raw
+    // value — the exact-count groupBy the sketch replaces is absent
+    // (the value-keyed aggregates that remain are the distinct probe
+    // and the min-over-rows estimate)
+    val exactCounts = served.queryExecution.optimizedPlan.collect {
+      case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if ag.groupingExpressions.exists(_.references.toSeq
+            .exists(_.name == "user_id")) &&
+            ag.aggregateExpressions.exists(_.collectFirst {
+              case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count => c
+            }.isDefined) => ag
+    }
+    assert(exactCounts.isEmpty,
+      s"sketch-only serve must not exact-count the value space: $exactCounts")
+  }
+
   test("cms counters merge by sum: union corpus == merged shards") {
     val ev = graft.T.events(spark, "/root/testdata/sf0.001")
       .filter(col("user_id").isNotNull)

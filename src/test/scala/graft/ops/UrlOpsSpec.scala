@@ -82,11 +82,43 @@ class UrlOpsSpec extends SparkSpec {
       .collect()
     assert(bad.isEmpty,
       s"canonicalization must be a projection (idempotent): ${bad.take(3).mkString(";")}")
-    // canonical forms carry no fragment, no utm params, no default port
+    // canonical forms carry no fragment, no utm params, and no port
+    // that is the DEFAULT for their own scheme (a non-default port is
+    // a different resource and must survive)
     val dirty = df.filter(col("c1").contains("#") ||
-      col("c1").contains("utm_") || col("c1").contains(":443") ||
-      col("c1").contains(":80")).collect()
+      col("c1").contains("utm_") ||
+      (col("c1").startsWith("https://") && col("c1").contains(":443")) ||
+      (col("c1").startsWith("http://") && col("c1").contains(":80"))).collect()
     assert(dirty.isEmpty, dirty.take(3).mkString(";"))
+  }
+
+  test("canonicalUrl strips the default port only for the matching scheme") {
+    import spark.implicits._
+    val canon = Seq(
+      "http://ex.com:443/x",  // non-default for http: port survives
+      "https://ex.com:80/x",  // non-default for https: port survives
+      "http://ex.com:80/x",   // default for http: stripped
+      "https://ex.com:443/x") // default for https: stripped
+      .toDF("url")
+      .select(UrlOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(canon(0) == "http://ex.com:443/x", canon(0))
+    assert(canon(1) == "https://ex.com:80/x", canon(1))
+    assert(canon(2) == "http://ex.com/x", canon(2))
+    assert(canon(3) == "https://ex.com/x", canon(3))
+  }
+
+  test("registered_domain keeps three labels under multi-label public suffixes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://www.bbc.co.uk/news"),
+      (2L, "https://shop.foo.com.au/x"),
+      (3L, "https://co.uk/"),          // the bare suffix itself: 2 labels
+      (4L, "https://a.b.ex.com/y"))    // ordinary TLD: last two labels
+      .toDF("id", "url")
+    val got = UrlOps.withUrlParts(df, "url").orderBy("id")
+      .collect().map(_.getAs[String]("registered_domain")).toSeq
+    assert(got == Seq("bbc.co.uk", "foo.com.au", "co.uk", "ex.com"), got)
   }
 
   test("hostRollup counts docs, canonical URLs, and the dup ratio per domain") {
