@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.LlmQueries6.queries ++
       graft.queries.LlmQueries7.queries ++
       graft.queries.LlmQueries8.queries ++
+      graft.queries.LlmQueries9.queries ++
       graft.queries.PqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.LlmQueries6.oracle ++
       graft.queries.LlmQueries7.oracle ++
       graft.queries.LlmQueries8.oracle ++
+      graft.queries.LlmQueries9.oracle ++
       graft.queries.PqQueries.oracle
 }

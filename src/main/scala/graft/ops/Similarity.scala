@@ -935,7 +935,13 @@ object Similarity {
         .toDF("__cell", "__cm"))
     val cmd = transform(col("__cm"), x => x.cast("double"))
     val cos = dot(col(vecCol), cmd) / (norm(col(vecCol)) * sqrt(dot(cmd, cmd)))
-    val distMicro = lit(1000000L) - round(cos * lit(1000000.0), 0).cast("long")
+    // An all-zero vector makes the cosine 0/0 — engine-divergent
+    // undefined behavior (NaN routes differently through Spark casts and
+    // DuckDB's double division). Pin it to dist_micro = unit (cos := 0,
+    // "maximally hard") so both engines agree by construction — the same
+    // guard matryoshkaEval applies at ssq = 0.
+    val distMicro = when(norm(col(vecCol)) === lit(0.0), lit(1000000L))
+      .otherwise(lit(1000000L) - round(cos * lit(1000000.0), 0).cast("long"))
     val own = emb.select(col(idCol).as("id"), col(vecCol))
       .crossJoin(centDf)
       .select(col("id"),
@@ -1082,6 +1088,113 @@ object Similarity {
         round(cosine(col("__qv"), col("__nv")), roundTo).as("sim"),
         lit("negative").as("pair_type"), col("draw"))
     pos.unionByName(neg)
+  }
+
+  /** Margin-scored bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * "ratio" margin; the mining rule behind the CCMatrix parallel-corpus
+    * construction, Schwenk et al. 2021): score each candidate pair
+    * (x, y) by how much its cosine stands out against BOTH endpoints'
+    * k-NN neighborhoods in the shared embedding space,
+    *
+    *   margin(x,y) = cos(x,y) / (mean cos(x, NNk(x,T))/2
+    *                             + mean cos(y, NNk(y,S))/2)
+    *
+    * computed in exact integer micro units as
+    *
+    *   margin_micro = (2·unit·kF·kB·sim_micro) div (kB·sumF + kF·sumB)
+    *
+    * where (sumF, kF) aggregate x's forward top-k sims and (sumB, kB)
+    * y's backward top-k sims — actual counts, not the nominal k, so
+    * queries near sparse cells stay well-defined. A non-positive
+    * denominator (an anti-correlated neighborhood) is pinned to 2·unit
+    * ("maximally marginal") so both engines agree by construction;
+    * Spark `div` and DuckDB `//` both truncate toward zero, so the
+    * division itself is engine-portable even for negative cosines.
+    *
+    * Inputs are the two top-k relations (query_id, neighbor_id, sim,
+    * rank) from any `*TopK` operator — [[bruteForceTopK]] for small
+    * slices, [[ivfTopKWith]] over a SHARED index (one centroid set for
+    * both languages, the LASER/CCMatrix setup) for the scale path. The
+    * candidate set is their union (CCMatrix's "max" strategy scores
+    * x→y and y→x candidates alike); cosine is symmetric, so a pair's
+    * sim is bit-identical from either direction and duplicates collapse
+    * exactly under dropDuplicates.
+    *
+    * Output: one row per candidate pair with is_src_best / is_tgt_best
+    * (rank 1 by margin desc, id asc, per endpoint) and
+    * mutual = both — the mined corpus is the caller filtering
+    * `mutual && margin_micro >= threshold` ([[minedBitext]]). Keeping
+    * the flags instead of filtering makes the relation row-stable for
+    * audits and threshold sweeps.
+    *
+    * Scale shape: two combine-aggs over the ≤|S|·k / ≤|T|·k top-k
+    * relations, two equi-joins of those (broadcastable — one row per
+    * query) back onto the candidates, and two windows partitioned by
+    * src/tgt id. Nothing here ever touches the corpus cross product;
+    * total cost is bounded by the top-k relations the caller built. */
+  def bitextMarginPairs(fwd: DataFrame, bwd: DataFrame,
+      unit: Long = 1000000L): DataFrame = {
+    val simMicro = round(col("sim") * unit, 0).cast("long")
+    val f = fwd.select(col("query_id").as("src_id"),
+      col("neighbor_id").as("tgt_id"), simMicro.as("sim_micro"))
+    val b = bwd.select(col("neighbor_id").as("src_id"),
+      col("query_id").as("tgt_id"), simMicro.as("sim_micro"))
+    val fAgg = f.groupBy(col("src_id"))
+      .agg(sum(col("sim_micro")).as("__fsum"), count(lit(1)).as("__fk"))
+    val bAgg = b.groupBy(col("tgt_id"))
+      .agg(sum(col("sim_micro")).as("__bsum"), count(lit(1)).as("__bk"))
+    // inner joins BY DESIGN: every candidate endpoint has top-k stats
+    // when both sides are full query sets (the mining setup); a pair
+    // without a neighborhood has no margin definition.
+    val scored = f.unionByName(b).dropDuplicates("src_id", "tgt_id")
+      .join(fAgg, Seq("src_id"))
+      .join(bAgg, Seq("tgt_id"))
+      .withColumn("__den",
+        col("__bk") * col("__fsum") + col("__fk") * col("__bsum"))
+      .withColumn("__num",
+        lit(2L * unit) * col("__fk") * col("__bk") * col("sim_micro"))
+      .withColumn("margin_micro",
+        when(col("__den") <= 0L, lit(2L * unit))
+          .otherwise(expr("__num div __den")))
+    val wF = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_micro").desc, col("tgt_id"))
+    val wB = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("margin_micro").desc, col("src_id"))
+    scored
+      .withColumn("is_src_best", row_number().over(wF) === 1)
+      .withColumn("is_tgt_best", row_number().over(wB) === 1)
+      .select(col("src_id"), col("tgt_id"), col("sim_micro"),
+        col("margin_micro"), col("is_src_best"), col("is_tgt_best"),
+        (col("is_src_best") && col("is_tgt_best")).as("mutual"))
+  }
+
+  /** The mined parallel corpus: mutual-best pairs whose margin clears
+    * `thresholdMicro` (CCMatrix mines at margin ≈ 1.06, i.e. 1060000
+    * micro). See [[bitextMarginPairs]] for the scoring. */
+  def minedBitext(fwd: DataFrame, bwd: DataFrame, thresholdMicro: Long,
+      unit: Long = 1000000L): DataFrame =
+    bitextMarginPairs(fwd, bwd, unit)
+      .filter(col("mutual") && col("margin_micro") >= thresholdMicro)
+      .select(col("src_id"), col("tgt_id"), col("sim_micro"),
+        col("margin_micro"))
+
+  /** End-to-end margin mining over a shared embedding space with an IVF
+    * index for both directions (one centroid set — the multilingual-
+    * encoder setup where both languages embed into the same space).
+    * Forward probes src→tgt, backward tgt→src, both against the SAME
+    * broadcast centroids, then [[bitextMarginPairs]] scores the union.
+    * 100 TB note: [[ivfTopKWith]] broadcasts the query side; for
+    * corpus×corpus mining repartition both sides by cell id and join
+    * shuffled instead — the margin kernel downstream is unchanged. */
+  def mineBitextIvf(src: DataFrame, tgt: DataFrame,
+      cents: Array[(Long, Array[Float])], k: Int = 4, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      unit: Long = 1000000L, roundTo: Int = 6): DataFrame = {
+    val fwd = ivfTopKWith(src, tgt, cents, k, nProbe, idCol, idCol,
+      vecCol, roundTo)
+    val bwd = ivfTopKWith(tgt, src, cents, k, nProbe, idCol, idCol,
+      vecCol, roundTo)
+    bitextMarginPairs(fwd, bwd, unit)
   }
 
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
@@ -1250,7 +1363,13 @@ object Similarity {
       .agg(min(when(col(relCol), col(rankCol))).as("__fr"),
         sum(when(col(relCol) && col(rankCol) <= k, col("d"))
           .otherwise(0L)).as("dcg_micro"))
-    perQ.join(nRel, Seq(qidCol))
+    // LEFT join + coalesce: a query present in the ranked pool but
+    // missing from nRel must surface with n_rel = 0 and zero scores,
+    // not silently vanish from the eval output (an inner join hid
+    // exactly the queries whose relevance labels are missing — the ones
+    // an eval should be flagging).
+    perQ.join(nRel, Seq(qidCol), "left_outer")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
       .join(discounts.select(col("r").as("__ir"), col("pd")),
         expr(s"__ir = least($k, CAST(n_rel AS INT))"), "left")
       .select(col(qidCol), col("n_rel"),

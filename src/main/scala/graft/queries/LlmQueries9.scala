@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.ops.Similarity
+
+/** Round-11 registry: cross-lingual bitext mining (VERDICT r10 item 8)
+  * — margin-based parallel-pair extraction over the shared embedding
+  * space, the canonical missing member of the curation family
+  * (CCMatrix / WikiMatrix corpus construction).
+  */
+object LlmQueries9 {
+
+  /** Margin-scored bitext mining over the embeddings fixture
+    * ([[Similarity.mineBitextIvf]] → [[Similarity.bitextMarginPairs]]):
+    * even vec_ids play the source language, odd the target (a split of
+    * one shared space — exactly the multilingual-encoder setup the
+    * miner assumes). One shared every-50th IVF index serves both probe
+    * directions (k = 4, nProbe = 3); every candidate pair is scored by
+    * the Artetxe–Schwenk ratio margin in integer micro units and
+    * flagged is_src_best / is_tgt_best / mutual. Row-stable (flags, not
+    * filters), so the oracle checks the full scored relation; the mined
+    * corpus is `mutual && margin >= threshold` downstream
+    * ([[Similarity.minedBitext]]). */
+  def simBitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    val cents = Similarity.ivfCentroids(T.par(spark, emb), 50)
+    Similarity.mineBitextIvf(
+        T.par(spark, emb.filter(col("vec_id") % 2 === 0)),
+        T.par(spark, emb.filter(col("vec_id") % 2 === 1)),
+        cents, k = 4, nProbe = 3)
+      .orderBy(col("src_id"), col("tgt_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bitext_mine" -> (simBitextMine _),
+  )
+
+  // Same IVF oracle fragment as LlmQueries.ivfCos (double-cast vectors,
+  // cosine rounded to 6 between aliases).
+  private def ivfCos(a: String, b: String) =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  val oracle: Map[String, String] = Map(
+    // Full replay: shared every-50th centroids, nearest-cell assignment
+    // and 3-probe sets by (cos desc, cid) rank — identical to the
+    // sim_ivf_topk replay — then per-direction top-4, micro-unit sims,
+    // the integer ratio margin with its den<=0 pin, and the two
+    // best-rank windows. Spark `div` and DuckDB `//` both truncate
+    // toward zero, so margin_micro matches exactly.
+    "sim_bitext_mine" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |             FROM embeddings WHERE vec_id % 50 = 0),
+         |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored0 AS (
+         |  SELECT c.vec_id, t.cid, ${ivfCos("c.v", "t.cv")} AS s
+         |  FROM corp c CROSS JOIN cent t),
+         |assign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM scored0) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM scored0) WHERE rn <= 3),
+         |fcand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE p.query_id % 2 = 0 AND a.vec_id % 2 = 1),
+         |fwd AS (SELECT query_id, neighbor_id, sim FROM (
+         |  SELECT cd.query_id, cd.neighbor_id, ${ivfCos("q.v", "n.v")} AS sim,
+         |    row_number() OVER (PARTITION BY cd.query_id
+         |      ORDER BY ${ivfCos("q.v", "n.v")} DESC, cd.neighbor_id) AS rank
+         |  FROM fcand cd
+         |  JOIN corp q ON q.vec_id = cd.query_id
+         |  JOIN corp n ON n.vec_id = cd.neighbor_id)
+         |  WHERE rank <= 4),
+         |bcand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE p.query_id % 2 = 1 AND a.vec_id % 2 = 0),
+         |bwd AS (SELECT query_id, neighbor_id, sim FROM (
+         |  SELECT cd.query_id, cd.neighbor_id, ${ivfCos("q.v", "n.v")} AS sim,
+         |    row_number() OVER (PARTITION BY cd.query_id
+         |      ORDER BY ${ivfCos("q.v", "n.v")} DESC, cd.neighbor_id) AS rank
+         |  FROM bcand cd
+         |  JOIN corp q ON q.vec_id = cd.query_id
+         |  JOIN corp n ON n.vec_id = cd.neighbor_id)
+         |  WHERE rank <= 4),
+         |f AS (SELECT query_id AS src_id, neighbor_id AS tgt_id,
+         |    CAST(round(sim * 1000000) AS BIGINT) AS sim_micro FROM fwd),
+         |b AS (SELECT neighbor_id AS src_id, query_id AS tgt_id,
+         |    CAST(round(sim * 1000000) AS BIGINT) AS sim_micro FROM bwd),
+         |fagg AS (SELECT src_id, sum(sim_micro) AS fsum,
+         |    CAST(count(*) AS BIGINT) AS fk FROM f GROUP BY 1),
+         |bagg AS (SELECT tgt_id, sum(sim_micro) AS bsum,
+         |    CAST(count(*) AS BIGINT) AS bk FROM b GROUP BY 1),
+         |cand AS (SELECT DISTINCT src_id, tgt_id, sim_micro FROM
+         |  (SELECT * FROM f UNION ALL SELECT * FROM b)),
+         |sc AS (SELECT c.src_id, c.tgt_id, c.sim_micro,
+         |    CASE WHEN (g.bk * a.fsum + a.fk * g.bsum) <= 0 THEN 2000000
+         |         ELSE (2000000 * a.fk * g.bk * c.sim_micro)
+         |              // (g.bk * a.fsum + a.fk * g.bsum) END AS margin_micro
+         |  FROM cand c
+         |  JOIN fagg a ON a.src_id = c.src_id
+         |  JOIN bagg g ON g.tgt_id = c.tgt_id),
+         |fl AS (SELECT *,
+         |    row_number() OVER (PARTITION BY src_id
+         |      ORDER BY margin_micro DESC, tgt_id) = 1 AS is_src_best,
+         |    row_number() OVER (PARTITION BY tgt_id
+         |      ORDER BY margin_micro DESC, src_id) = 1 AS is_tgt_best
+         |  FROM sc)
+         |SELECT src_id, tgt_id, sim_micro, margin_micro,
+         |  is_src_best, is_tgt_best,
+         |  (is_src_best AND is_tgt_best) AS mutual
+         |FROM fl ORDER BY src_id, tgt_id""".stripMargin,
+  )
+}

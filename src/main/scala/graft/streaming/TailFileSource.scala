@@ -25,10 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - appends to a watched file are picked up from the recorded offset
   *    (S1 intra-file tailing),
   *  - a file whose length shrinks below its recorded offset is re-read
-  *    from byte 0 (S2 rotation/truncation reset — the same size-based
-  *    heuristic the reference uses; a rotation that recreates the file
-  *    at a LARGER size is indistinguishable by size, exactly as in the
-  *    reference),
+  *    from byte 0 (S2 rotation/truncation reset — the reference's own
+  *    size heuristic), AND a first-KB content fingerprint per file
+  *    catches the case the size heuristic cannot: a rotation that
+  *    recreates the file at the SAME OR LARGER size (the reference
+  *    silently misses that one, core/sensor.go:60-68 — this is a strict
+  *    upgrade). Each reset bumps a per-file generation counter stored
+  *    in the Offset, so replayed (start, end] ranges reproduce the
+  *    reset decision deterministically from the WAL alone,
   *  - offsets live in the checkpoint WAL, so a restart resumes without
   *    re-ingesting (S3/S4), and replaying a committed (start, end]
   *    range re-reads exactly the same byte slices — exactly-once into
@@ -82,14 +86,32 @@ class TailTable(path: String) extends Table with SupportsRead {
     }
 }
 
-/** Per-file line-aligned byte offsets. JSON shape:
-  * `{"files":{"<path>":<offset>,...}}` via json4s (the engine treats it
-  * as opaque text in the offset log). */
-case class TailOffset(files: Map[String, Long]) extends Offset {
-  import org.json4s.JsonDSL._
+/** Per-file tail state carried in the streaming Offset:
+  *  - `off`: line-aligned byte offset (just past the last '\n'),
+  *  - `gen`: rotation generation — bumped once per detected reset
+  *    (size-shrink OR fingerprint mismatch); [[TailMicroBatchStream
+  *    .planInputPartitions]] reads from byte 0 iff start.gen != end.gen,
+  *    so the reset decision is deterministic from the WAL on replay,
+  *  - `fp`: `"<len>:<md5hex>"` over the file's first `len` (≤ 1024)
+  *    bytes — the content identity that catches same-or-larger-size
+  *    rotations. Empty for offsets written by the pre-fingerprint
+  *    format. */
+case class TailFileState(off: Long, gen: Long, fp: String)
+
+/** Per-file line-aligned tail states. JSON shape:
+  * `{"files":{"<path>":{"off":N,"gen":G,"fp":"len:hex"},...}}` via
+  * json4s (the engine treats it as opaque text in the offset log).
+  * The pre-fingerprint shape `{"files":{"<path>":<offset>}}` still
+  * parses (gen 0, empty fp), so existing checkpoints resume cleanly. */
+case class TailOffset(files: Map[String, TailFileState]) extends Offset {
+  import org.json4s._
   import org.json4s.jackson.JsonMethods._
   override def json(): String =
-    compact(render("files" -> files.toSeq.sortBy(_._1).toMap))
+    compact(render(JObject("files" -> JObject(
+      files.toSeq.sortBy(_._1).map { case (p, st) =>
+        p -> JObject("off" -> JLong(st.off), "gen" -> JLong(st.gen),
+          "fp" -> JString(st.fp))
+      }.toList))))
 }
 
 object TailOffset {
@@ -98,12 +120,30 @@ object TailOffset {
   def fromJson(s: String): TailOffset = {
     val files = (parse(s) \ "files") match {
       case JObject(fields) => fields.map {
-        case (k, JInt(v)) => k -> v.toLong
-        case (k, JLong(v)) => k -> v
+        // pre-fingerprint format: bare byte offset
+        case (k, JInt(v)) => k -> TailFileState(v.toLong, 0L, "")
+        case (k, JLong(v)) => k -> TailFileState(v, 0L, "")
+        case (k, o: JObject) =>
+          val off = (o \ "off") match {
+            case JInt(v) => v.toLong
+            case JLong(v) => v
+            case other => throw new IllegalArgumentException(
+              s"bad tail offset 'off' for $k: $other")
+          }
+          val gen = (o \ "gen") match {
+            case JInt(v) => v.toLong
+            case JLong(v) => v
+            case _ => 0L
+          }
+          val fp = (o \ "fp") match {
+            case JString(v) => v
+            case _ => ""
+          }
+          k -> TailFileState(off, gen, fp)
         case (k, other) => throw new IllegalArgumentException(
           s"bad tail offset for $k: $other")
       }.toMap
-      case _ => Map.empty[String, Long]
+      case _ => Map.empty[String, TailFileState]
     }
     TailOffset(files)
   }
@@ -115,11 +155,33 @@ class TailMicroBatchStream(pathSpec: String)
   @transient private lazy val fs =
     new Path(pathSpec).getFileSystem(new org.apache.hadoop.conf.Configuration())
 
-  /** Driver-side cache of the last line-aligned offsets; purely an
-    * optimization (bounds the newline scan to the appended region). On
-    * restart it is empty and the scan restarts from byte 0 of each file
-    * — same boundaries, one extra driver read, no correctness impact. */
-  private var known: Map[String, Long] = Map.empty
+  /** Driver-side cache of each file's last known state. Mostly an
+    * optimization (bounds the newline scan to the appended region), but
+    * the rotation GENERATION must survive a restart — otherwise a fresh
+    * stream would re-mint gen 0 and a WAL start offset with gen > 0
+    * would falsely signal a rotation. [[deserializeOffset]] therefore
+    * seeds this cache from the WAL's own offsets (the engine
+    * deserializes the restored offsets before computing any new batch),
+    * keeping generations and fingerprints continuous across restarts. */
+  private var known: Map[String, TailFileState] = Map.empty
+
+  /** Fingerprint the first `min(len, 1024)` bytes: the content identity
+    * used to detect a rotation the size heuristic cannot see. One ≤1 KB
+    * positioned driver read per watched file per trigger — tail-source
+    * economics (a handful of live files), not a bulk-scan cost. */
+  private val FpCap = 1024
+
+  private def fingerprint(path: String, n: Int): String = {
+    if (n <= 0) return "0:"
+    val buf = new Array[Byte](n)
+    val in = fs.open(new Path(path))
+    try in.readFully(0L, buf) finally in.close()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    s"$n:${md.digest(buf).map("%02x".format(_)).mkString}"
+  }
+
+  private def fpLen(fp: String): Int =
+    if (fp.isEmpty) 0 else fp.substring(0, fp.indexOf(':')).toInt
 
   private def listFiles(): Seq[(String, Long)] = {
     val statuses = Option(fs.globStatus(new Path(pathSpec)))
@@ -157,39 +219,102 @@ class TailMicroBatchStream(pathSpec: String)
 
   override def initialOffset(): Offset = TailOffset(Map.empty)
 
-  private def computeLatest(): TailOffset = {
-    val next = listFiles().map { case (p, len) =>
-      val prev0 = known.getOrElse(p, 0L)
+  /** Merge a WAL offset into the driver cache: the entry with the
+    * highest rotation generation wins; live state already at that
+    * generation is kept (it is the same generation observed later —
+    * offset further along, fingerprint possibly extended). */
+  private def seedFrom(off: TailOffset): Unit =
+    off.files.foreach { case (p, st) =>
+      known.get(p) match {
+        case Some(cur) if cur.gen >= st.gen => ()
+        case _ => known += p -> st
+      }
+    }
+
+  /** Compute the next offset. `bound` (the Trigger.AvailableNow pin)
+    * restricts the drain to the files and LENGTHS that existed at
+    * prepare time — reset DETECTION stays live (it must see the WAL
+    * baseline, which is only seeded at latestOffset time), but the
+    * target is stable across calls so the run terminates. */
+  private def computeLatest(bound: Option[Map[String, Long]]): TailOffset = {
+    val files = listFiles()
+      .filter { case (p, _) => bound.forall(_.contains(p)) }
+      .map { case (p, len) =>
+        (p, bound.flatMap(_.get(p)).fold(len)(math.min(_, len)))
+      }
+    val next = files.map { case (p, len) =>
+      val prev = known.getOrElse(p, TailFileState(0L, 0L, ""))
       // size below our high-water mark = truncate/rotate: reset (S2)
-      val prev = if (len < prev0) 0L else prev0
-      p -> lineAlignedEnd(p, prev, len)
+      val sizeReset = len < prev.off
+      // same-or-larger size but the fingerprinted prefix changed (or
+      // shrank out from under the fingerprint): a rotation the size
+      // heuristic cannot see — reset. Skipped when there is no prior
+      // fingerprint (first sight / pre-fingerprint checkpoint).
+      val pl = fpLen(prev.fp)
+      val contentReset = !sizeReset && prev.fp.nonEmpty &&
+        (len < pl || fingerprint(p, pl) != prev.fp)
+      val reset = sizeReset || contentReset
+      val from = if (reset) 0L else prev.off
+      val gen = if (reset) prev.gen + 1 else prev.gen
+      val end = lineAlignedEnd(p, from, len)
+      // Adopt/extend the fingerprint: fresh after a reset or first
+      // sight; extended toward the 1 KB cap while the file is still
+      // shorter than it (each extension re-reads ≤1 KB, and only
+      // happens when the file actually grew).
+      val fp =
+        if (reset || prev.fp.isEmpty || (pl < FpCap && len > pl))
+          fingerprint(p, math.min(len, FpCap.toLong).toInt)
+        else prev.fp
+      p -> TailFileState(end, gen, fp)
     }.toMap
     known = next
     TailOffset(next)
   }
 
-  override def latestOffset(): Offset = computeLatest()
+  override def latestOffset(): Offset = computeLatest(None)
 
-  /** Trigger.AvailableNow support: the target is pinned once at query
-    * start; the run drains up to it and stops, ignoring concurrent
-    * appends (they belong to the next run). */
-  private var availableNowTarget: Option[TailOffset] = None
+  /** Trigger.AvailableNow support: the PIN taken at query start is the
+    * file-list-with-lengths only — NOT the resolved offsets. The engine
+    * calls prepareForTriggerAvailableNow BEFORE it deserializes the WAL
+    * start offset, so resolving resets here would compare against an
+    * empty baseline and silently miss every rotation (fingerprints
+    * included). Reset resolution instead happens in
+    * latestOffset(start, limit), where the engine hands us the WAL
+    * start to seed from; the pinned lengths keep the target stable so
+    * the run terminates (concurrent appends belong to the next run). */
+  private var availableNowPin: Option[Map[String, Long]] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(computeLatest())
+    availableNowPin = Some(listFiles().toMap)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget.getOrElse(computeLatest())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    seedFrom(start.asInstanceOf[TailOffset])
+    computeLatest(availableNowPin)
+  }
 
-  override def deserializeOffset(json: String): Offset = TailOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset = {
+    val off = TailOffset.fromJson(json)
+    // Restart continuity: adopt the WAL's generations and fingerprints
+    // as they are deserialized, so a fresh stream instance never
+    // re-mints gen 0 against a WAL start offset with gen > 0 (which
+    // would falsely signal a rotation and re-ingest from byte 0).
+    // latestOffset(start, _) seeds again from its argument — belt and
+    // braces against engine call-order differences.
+    seedFrom(off)
+    off
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TailOffset].files
     val e = end.asInstanceOf[TailOffset].files
-    e.toSeq.sortBy(_._1).flatMap { case (p, endOff) =>
-      val s0 = s.getOrElse(p, 0L)
-      // end below start = the file was truncated between the two
-      // offsets: the batch re-reads the fresh content from byte 0.
-      val startOff = if (endOff < s0) 0L else s0
+    e.toSeq.sortBy(_._1).flatMap { case (p, st) =>
+      val s0 = s.get(p).map(_.off).getOrElse(0L)
+      val endOff = st.off
+      // generation bump = a reset (truncation OR fingerprint-detected
+      // rotation) happened between the two offsets: the batch re-reads
+      // the fresh content from byte 0. end-below-start stays as a
+      // fallback for pre-generation checkpoint offsets.
+      val rotated = s.get(p).exists(_.gen != st.gen)
+      val startOff = if (rotated || endOff < s0) 0L else s0
       if (endOff > startOff) {
         require(endOff - startOff <= Int.MaxValue,
           s"tail-file: $p grew ${endOff - startOff} bytes in one batch; " +

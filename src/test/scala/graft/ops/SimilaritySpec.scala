@@ -515,5 +515,80 @@ class SimilaritySpec extends SparkSpec {
       got.toString)
     // no relevant docs anywhere: all zeros, no division fault
     assert(got(2) == ((0L, 0L, 0L, 0L)), got.toString)
+    // a query in the pool but MISSING from nRel must surface with
+    // n_rel = 0 and zero scores, not vanish (left-join guard)
+    val got2 = Similarity.retrievalEval(ranked,
+        Seq((1, 5L)).toDF("query_id", "n_rel"), k = 3)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("n_rel"), r.getAs[Long]("idcg_micro"),
+          r.getAs[Long]("ndcg_micro"))).toMap
+    assert(got2.contains(2), got2.toString)
+    assert(got2(2) == ((0L, 0L, 0L)), got2.toString)
+  }
+
+  test("bitext mining: planted parallel pairs mine as mutual high-margin") {
+    // A planted parallel corpus in one shared space: sources 0/2/4 each
+    // have a near-identical target translation (101/103/105); target 107
+    // is an unrelated distractor, and source 6 is AMBIGUOUS — equally
+    // similar to all three planted targets, so no candidate stands out
+    // of its neighborhood (the margin denominator ≈ the candidate sim).
+    // Margin must (a) pair each source with its translation mutually,
+    // (b) give those pairs high margins, (c) keep 6's best margin below
+    // the CCMatrix bar — raw-cosine mining would happily pair 6 at
+    // cos ≈ 0.58, the margin criterion is exactly what rejects it.
+    val src = emb(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      4L -> Seq(0f, 0f, 1f, 0f),
+      6L -> Seq(0.577f, 0.577f, 0.577f, 0f))
+    val tgt = emb(
+      101L -> Seq(0.99f, 0.01f, 0f, 0f),
+      103L -> Seq(0.01f, 0.99f, 0f, 0f),
+      105L -> Seq(0f, 0.01f, 0.99f, 0f),
+      107L -> Seq(0f, 0f, 0f, 1f))
+    val fwd = Similarity.bruteForceTopK(src, tgt, k = 3)
+    val bwd = Similarity.bruteForceTopK(tgt, src, k = 3)
+    val scored = Similarity.bitextMarginPairs(fwd, bwd)
+    val mutual = scored.filter(col("mutual")).collect()
+      .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id")).toMap
+    assert(mutual.get(0L).contains(101L), mutual.toString)
+    assert(mutual.get(2L).contains(103L), mutual.toString)
+    assert(mutual.get(4L).contains(105L), mutual.toString)
+    // threshold mining: the three planted pairs clear CCMatrix's 1.06
+    // margin; ambiguous 6 does not surface at that bar
+    val mined = Similarity.minedBitext(fwd, bwd, thresholdMicro = 1060000L)
+      .collect().map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id"))
+      .toMap
+    assert(mined.keySet == Set(0L, 2L, 4L), mined.toString)
+    // margins are in micro units around/above 1.0 for true pairs
+    val m0 = scored.filter(col("src_id") === 0 && col("tgt_id") === 101)
+      .head().getAs[Long]("margin_micro")
+    assert(m0 > 1060000L, s"planted pair margin too low: $m0")
+  }
+
+  test("bitext mining: sim_micro identical from either direction (dedup exact)") {
+    val src = emb(0L -> Seq(1f, 0.25f), 2L -> Seq(0.3f, 1f))
+    val tgt = emb(11L -> Seq(0.9f, 0.3f), 13L -> Seq(0.25f, 0.95f))
+    val fwd = Similarity.bruteForceTopK(src, tgt, k = 2)
+    val bwd = Similarity.bruteForceTopK(tgt, src, k = 2)
+    // every pair appears in both directions here; dropDuplicates must
+    // collapse them to exactly |src|x|tgt| rows, not 2x
+    val n = Similarity.bitextMarginPairs(fwd, bwd).count()
+    assert(n == 4L, s"expected 4 deduped candidate pairs, got $n")
+  }
+
+  test("prototypePruneByCell: zero vector pins dist_micro to unit") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(
+      (0L, Array(1000000L, 0L)), (1L, Array(0L, 1000000L)))
+    val got = Similarity.prototypePruneByCell(emb, cents, 1, 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // zero vector: cosine is 0/0 — pinned to dist = unit, assigned to
+    // the lowest cell (all cells tie at the pinned distance)
+    assert(got(2L) == ((0L, 1000000L)), got.toString)
+    assert(got(1L) == ((0L, 0L)), got.toString)
   }
 }

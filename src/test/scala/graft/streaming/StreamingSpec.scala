@@ -92,6 +92,45 @@ class StreamingSpec extends SparkSpec {
     assert(run() == Seq("fresh", "half-done", "l1", "l2", "l3", "l4"))
   }
 
+  test("tail-file source: rotation to a SAME-OR-LARGER file resets via fingerprint") {
+    val dir = tmp("graft-tail-rot")
+    val file = Paths.get(dir, "auth.log")
+    val ckpt = tmp("graft-tail-rot-ckpt")
+    val out = tmp("graft-tail-rot-out") + "/rows"
+    def run(): Seq[String] = {
+      val q = spark.readStream.format("tail-file").load(file.toString)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(out).collect().map(_.getString(0)).toSeq.sorted
+    }
+    Files.write(file, "aa\nbb\n".getBytes) // 6 bytes, offset lands at 6
+    assert(run() == Seq("aa", "bb"))
+    // rotate: replace with DIFFERENT content at a LARGER size (15 > 6).
+    // The size heuristic alone cannot see this (len > offset, the
+    // reference's silent-miss case, core/sensor.go:60-68); the first-KB
+    // content fingerprint must reset to byte 0 — without it the batch
+    // would resume mid-line at byte 6 and emit torn garbage ("dd",
+    // "eeee"), never "cccc".
+    Files.write(file, "cccc\ndddd\neeee\n".getBytes,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    assert(run() == Seq("aa", "bb", "cccc", "dddd", "eeee"))
+    // rotation to the EXACT SAME size with different bytes: also caught
+    Files.write(file, "ffff\ngggg\nhhhh\n".getBytes,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    assert(run() ==
+      Seq("aa", "bb", "cccc", "dddd", "eeee", "ffff", "gggg", "hhhh"))
+    // appends after a fingerprint reset resume from the recorded offset
+    // (no re-ingest: the generation only bumps on a real reset)
+    Files.write(file, "ii\n".getBytes, StandardOpenOption.APPEND)
+    assert(run() ==
+      Seq("aa", "bb", "cccc", "dddd", "eeee", "ffff", "gggg", "hhhh", "ii"))
+    // idle -> no duplicates, offset/generation stable across restarts
+    assert(run() ==
+      Seq("aa", "bb", "cccc", "dddd", "eeee", "ffff", "gggg", "hhhh", "ii"))
+  }
+
   test("sensorQuery on a FILE config tails appends through the full pipeline (S1)") {
     val dir = tmp("graft-tailq")
     val logFile = Paths.get(dir, "auth.log")
