@@ -177,7 +177,21 @@ final class IvfIndex private (val ids: Array[Long], vecs: Array[Array[Double]],
     else java.math.BigDecimal.valueOf(d)
       .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Ids of the `topN` nearest centroids by (rounded cosine desc, id asc). */
+  /** Ids of the `topN` nearest centroids by (rounded cosine desc, id asc).
+    *
+    * Selection is bit-identical to rounding every similarity with
+    * [[roundN]] and scanning with the same strict-> loop, but the
+    * BigDecimal rounding (Double.toString inside `valueOf` — the hot
+    * spot at a few million assignments per pass) runs LAZILY: per pick,
+    * a raw pre-pass finds the unrounded maximum, and only candidates
+    * within one rounding step of it (±5e-7 each, 2e-6 is a safe band)
+    * are rounded exactly — anything below the band rounds strictly
+    * lower than the rounded raw maximum and can never win or tie. The
+    * band loop scans ascending with the identical comparison, so
+    * rounded-tie winners (lowest index) and the NaN quirk (a leading
+    * NaN is never displaced — callers must not feed zero-norm vectors)
+    * are preserved exactly. Typically one rounding per pick instead of
+    * `size`. */
   def nearestCells(v: ArrayData, topN: Int): ArrayData = {
     val n = ids.length
     val d = v.numElements()
@@ -193,19 +207,33 @@ final class IvfIndex private (val ids: Array[Long], vecs: Array[Array[Double]],
       var acc = 0.0
       i = 0
       while (i < m) { acc += v.getFloat(i).toDouble * cv(i); i += 1 }
-      sims(c) = roundN(acc / (vNorm * norms(c)))
+      sims(c) = acc / (vNorm * norms(c))
       c += 1
+    }
+    val rounded = new Array[Double](n)
+    val hasRounded = new Array[Boolean](n)
+    def rn(c: Int): Double = {
+      if (!hasRounded(c)) { rounded(c) = roundN(sims(c)); hasRounded(c) = true }
+      rounded(c)
     }
     val k = math.min(topN, n)
     val out = new Array[Long](k)
     val taken = new Array[Boolean](n)
     var r = 0
     while (r < k) {
+      var rawBest = -1
+      c = 0
+      while (c < n) {
+        if (!taken(c) && (rawBest < 0 || sims(c) > sims(rawBest))) rawBest = c
+        c += 1
+      }
+      val thr = sims(rawBest) - 2e-6
       var best = -1
       c = 0
       while (c < n) {
         // strict > keeps the earliest (lowest-id) centroid on rounded ties
-        if (!taken(c) && (best < 0 || sims(c) > sims(best))) best = c
+        if (!taken(c) && (sims(c) >= thr || c == rawBest) &&
+            (best < 0 || rn(c) > rn(best))) best = c
         c += 1
       }
       taken(best) = true

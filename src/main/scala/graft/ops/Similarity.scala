@@ -380,8 +380,13 @@ object Similarity {
     // exactly what the DuckDB oracle replays. The k·dim partial state
     // per partition is the only thing collected (k ≤ ~10⁵ at scale);
     // training inputs are bounded samples, so the cache is safe.
-    val vecs = corpus.select(col(vecCol)).rdd
-      .map(_.getSeq[Float](0).toArray)
+    // toRdd + toFloatArray: primitive copy out of the columnar scan —
+    // the external .rdd route materializes each vector as a boxed
+    // Seq[Float] first (dim boxed floats per row), which dominated the
+    // cache-build job. toFloatArray copies, so persisting the arrays is
+    // safe despite the reused InternalRow.
+    val vecs = corpus.select(col(vecCol)).queryExecution.toRdd
+      .map(_.getArray(0).toFloatArray())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       for (_ <- 1 to iters) {
@@ -1270,8 +1275,13 @@ object Similarity {
   private def semanticDedupIndexed(emb: DataFrame, index: IvfIndex,
       threshold: Double, idCol: String, vecCol: String, roundTo: Int,
       maxCellSize: Int): DataFrame = {
+    // localCheckpoint: the pair join consumes this relation on BOTH
+    // sides (and the hot-cell filter adds a third consumer) — without
+    // it each side re-evaluates the nearest-centroid assignment over
+    // the whole corpus, doubling the most expensive map pass.
     val cell0 = emb.select(col(idCol), col(vecCol))
       .withColumn("__cell", nearest_cells(col(vecCol), index, 1).getItem(0))
+      .localCheckpoint()
     val cell =
       if (maxCellSize <= 0) cell0
       else {
