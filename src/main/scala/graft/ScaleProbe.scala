@@ -98,7 +98,16 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "32")
+      // Weak scaling sizes the shuffle width WITH the data, as a real
+      // cluster would (1 partition per core at 10x, proportionally more
+      // waves beyond): holding 32 partitions constant at 30-60x pushes
+      // per-partition shuffle volumes past executor memory and the
+      // resulting spill knee reads as a fake superlinear term (measured:
+      // rag_chunk_retrieve x60 ratio 80.5 at 32 partitions, near-linear
+      // once partitions scale). AQE still coalesces small stages.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PARTS",
+          math.max(32, 32 * Copies / 10).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
