@@ -1208,4 +1208,79 @@ object Dedup {
       .withColumn("savings_micro",
         expr(s"($unit * dup_tokens) div greatest(total_tokens, 1)"))
   }
+
+  /** Exponentiation by an exact power-of-two exponent as a squaring
+    * chain (`x², (x²)², …`) — log₂(e) IEEE multiplications in a fixed
+    * order, so Spark and any other IEEE-double engine that evaluates
+    * the same chain produce bit-identical results. `Math.pow`/libm
+    * `pow` are NOT correctly rounded and may differ in the last ulp
+    * between engines; the chain sidesteps that by construction. */
+  private def powChain(x: Column, e: Int): Column = {
+    require(e >= 1 && (e & (e - 1)) == 0, s"exponent $e must be a power of two")
+    var c = x
+    var k = 1
+    while (k < e) { c = c * c; k *= 2 }
+    c
+  }
+
+  /** The SQL mirror of [[powChain]]: the same squaring chain spelled as
+    * a nested expression (subexpression duplication is value-identical
+    * to the reused temporary). */
+  private[graft] def powChainSql(x: String, e: Int): String = {
+    require(e >= 1 && (e & (e - 1)) == 0, s"exponent $e must be a power of two")
+    var c = x
+    var k = 1
+    while (k < e) { c = s"($c * $c)"; k *= 2 }
+    c
+  }
+
+  /** MinHash-LSH band-plan calibration (Leskovec–Rajaraman–Ullman, MMDS
+    * ch. 3): for every (bands b, rows-per-band r) plan and every Jaccard
+    * similarity on the grid s = i/gridDen, the band-collision
+    * probability p(s) = 1 − (1 − s^r)^b — the S-curve that decides how
+    * a signature budget b·r is split before a corpus-sized dedup run.
+    * Steeper r sharpens the curve around the plan's threshold
+    * (≈ (1/b)^(1/r)); more bands shift it left (higher recall, more
+    * candidate pairs to verify).
+    *
+    * Engine portability: s is one IEEE division (i/gridDen), s^r and
+    * (1 − s^r)^b are [[powChain]] squaring chains (r and b restricted
+    * to powers of two), and the final probability rounds to micro
+    * units — every step is a fixed sequence of IEEE-double operations
+    * both engines evaluate identically, so the curve oracle-replays
+    * exactly without trusting `pow`.
+    *
+    * Output: (b, r, s_micro, p_micro), |plans|·(gridDen−1) rows — a
+    * constant-size audit relation (it reads no corpus; it PLANS the run
+    * that will). */
+  def lshBandPlanCurve(spark: org.apache.spark.sql.SparkSession,
+      plans: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)),
+      gridDen: Int = 20, unit: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    plans.map { case (b, r) =>
+      (1 until gridDen).map(i => (b, r, i)).toDF("b", "r", "i")
+        .withColumn("s_micro", expr(s"CAST(i AS BIGINT) * $unit div $gridDen"))
+        .withColumn("__s", col("i").cast("double") / lit(gridDen.toDouble))
+        .withColumn("__p",
+          lit(1.0) - powChain(lit(1.0) - powChain(col("__s"), r), b))
+        .select(col("b"), col("r"), col("s_micro"),
+          round(col("__p") * unit, 0).cast("long").as("p_micro"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB mirror of [[lshBandPlanCurve]] (same plans, grid, squaring
+    * chains, micro rounding). */
+  def lshBandPlanCurveSql(
+      plans: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)),
+      gridDen: Int = 20, unit: Long = 1000000L): String = {
+    val perPlan = plans.map { case (b, r) =>
+      val s = s"(CAST(i AS DOUBLE) / $gridDen)"
+      val p = s"(1.0 - ${powChainSql(s"(1.0 - ${powChainSql(s, r)})", b)})"
+      s"""SELECT $b AS b, $r AS r,
+         |  CAST(i AS BIGINT) * $unit // $gridDen AS s_micro,
+         |  CAST(round($p * $unit) AS BIGINT) AS p_micro
+         |FROM range(1, $gridDen) t(i)""".stripMargin
+    }
+    perPlan.mkString("", "\nUNION ALL\n", "\nORDER BY b, r, s_micro")
+  }
 }

@@ -33,8 +33,20 @@ object LlmQueries9 {
       .orderBy(col("src_id"), col("tgt_id"))
   }
 
+  /** MinHash band-plan calibration curves ([[graft.ops.Dedup
+    * .lshBandPlanCurve]]): the three power-of-two splits of a 64-hash
+    * signature budget, p(s) = 1 − (1 − s^r)^b on the s = i/20 grid —
+    * the planning relation consulted before sizing a corpus-scale
+    * MinHash dedup ([[graft.ops.Dedup.minHashLshPairs]]). Pure
+    * constant-size computation (reads no corpus), exact-replay oracle
+    * via squaring chains (no `pow`). */
+  def dedupLshCalibration(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.lshBandPlanCurve(spark)
+      .orderBy(col("b"), col("r"), col("s_micro"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bitext_mine" -> (simBitextMine _),
+    "dedup_lsh_calibration" -> (dedupLshCalibration _),
   )
 
   // Same IVF oracle fragment as LlmQueries.ivfCos (double-cast vectors,
@@ -43,6 +55,7 @@ object LlmQueries9 {
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   val oracle: Map[String, String] = Map(
+    "dedup_lsh_calibration" -> graft.ops.Dedup.lshBandPlanCurveSql(),
     // Full replay: shared every-50th centroids, nearest-cell assignment
     // and 3-probe sets by (cos desc, cid) rank — identical to the
     // sim_ivf_topk replay — then per-direction top-4, micro-unit sims,

@@ -609,4 +609,33 @@ class DedupSpec extends SparkSpec {
       "s1" -> ((2L, 1L, 2L, 1L, 500000L)),
       "s2" -> ((1L, 0L, 2L, 0L, 0L))), got.toString)
   }
+
+  test("lshBandPlanCurve: S-curves match closed form, monotone, recall-ordered") {
+    val rows = Dedup.lshBandPlanCurve(spark).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 3 * 19, rows.length.toString)
+    // closed form parity: the squaring chain equals 1-(1-s^r)^b within
+    // rounding of the micro representation
+    rows.foreach { case (b, r, sM, pM) =>
+      val s = sM.toDouble / 1e6
+      val expect = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      assert(math.abs(pM / 1e6 - expect) < 2e-5,
+        s"(b=$b,r=$r,s=$s): got ${pM / 1e6} want $expect")
+    }
+    // monotone non-decreasing in s within each plan
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, ps) =>
+      val ordered = ps.sortBy(_._3).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, c) => a <= c })
+    }
+    // more bands (same budget) = higher collision probability everywhere
+    // strictly inside the grid: p_32x2 >= p_16x4 >= p_8x8 at every s
+    val byPlan = rows.groupBy(t => (t._1, t._2))
+      .map { case (k, ps) => k -> ps.sortBy(_._3).map(_._4) }
+    val Seq(p32, p16, p8) =
+      Seq((32, 2), (16, 4), (8, 8)).map(byPlan(_))
+    p32.indices.foreach { i =>
+      assert(p32(i) >= p16(i) && p16(i) >= p8(i),
+        s"recall ordering violated at grid index $i")
+    }
+  }
 }
