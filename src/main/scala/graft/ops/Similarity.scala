@@ -500,23 +500,44 @@ object Similarity {
   private def ivfTopKIndexed(queries: DataFrame, corpus: DataFrame,
       index: IvfIndex, k: Int, nProbe: Int,
       qidCol: String, cidCol: String, vecCol: String,
-      roundTo: Int): DataFrame = {
+      roundTo: Int, broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(col(cidCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"))
       .withColumn("__cell", nearest_cells(col("__cv"), index, 1).getItem(0))
-    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+    val q0 = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
         norm(col(vecCol)).as("__qn"))
       .withColumn("__probe", explode(nearest_cells(col("__qv"), index, nProbe)))
+    // Broadcast is right when the query set is a bounded probe catalog;
+    // for corpus×corpus workloads (full kNN graphs, bitext mining) the
+    // query side is corpus-sized and must SHUFFLE by cell instead —
+    // same rows out, the join just rendezvouses on the cell key with
+    // both sides partitioned (shuffle-hash hint keeps the planner from
+    // attempting a broadcast it would have to spill).
+    val q = if (broadcastQueries) broadcast(q0) else q0.hint("shuffle_hash")
     val sim = round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), roundTo)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q),
+    c.join(q,
         col("__probe") === col("__cell") && col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", sim)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** [[ivfTopKWithMicro]] WITHOUT the query-side broadcast: both sides
+    * rendezvous shuffled on the cell key — the corpus×corpus regime
+    * (full kNN graphs, symmetric bitext mining) where the query set is
+    * itself corpus-sized and a broadcast would not fit. Identical rows
+    * to the broadcast form (asserted in SimilaritySpec); only the
+    * exchange strategy differs. */
+  def ivfTopKShuffledMicro(queries: DataFrame, corpus: DataFrame,
+      cents: Array[(Long, Array[Long])], k: Int, nProbe: Int = 3,
+      qidCol: String = "vec_id", cidCol: String = "vec_id",
+      vecCol: String = "embedding", roundTo: Int = 6): DataFrame =
+    ivfTopKIndexed(queries, corpus,
+      IvfIndex.fromMicro(cents.map(_._1), cents.map(_._2), roundTo),
+      k, nProbe, qidCol, cidCol, vecCol, roundTo, broadcastQueries = false)
 
   /** Map-only nearest-centroid cell assignment against an explicit
     * centroid set (e.g. one loaded from [[graft.sources.Artifacts]]) —
@@ -1188,17 +1209,21 @@ object Similarity {
     * encoder setup where both languages embed into the same space).
     * Forward probes src→tgt, backward tgt→src, both against the SAME
     * broadcast centroids, then [[bitextMarginPairs]] scores the union.
-    * 100 TB note: [[ivfTopKWith]] broadcasts the query side; for
-    * corpus×corpus mining repartition both sides by cell id and join
-    * shuffled instead — the margin kernel downstream is unchanged. */
+    * 100 TB: set `broadcastQueries = false` for corpus×corpus mining —
+    * both probe directions then rendezvous shuffled on the cell key
+    * ([[ivfTopKShuffledMicro]]'s plan shape) instead of broadcasting a
+    * corpus-sized query side; rows are identical either way and the
+    * margin kernel downstream is unchanged. */
   def mineBitextIvf(src: DataFrame, tgt: DataFrame,
       cents: Array[(Long, Array[Float])], k: Int = 4, nProbe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      unit: Long = 1000000L, roundTo: Int = 6): DataFrame = {
-    val fwd = ivfTopKWith(src, tgt, cents, k, nProbe, idCol, idCol,
-      vecCol, roundTo)
-    val bwd = ivfTopKWith(tgt, src, cents, k, nProbe, idCol, idCol,
-      vecCol, roundTo)
+      unit: Long = 1000000L, roundTo: Int = 6,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val index = new IvfIndex(cents.map(_._1), cents.map(_._2), roundTo)
+    val fwd = ivfTopKIndexed(src, tgt, index, k, nProbe, idCol, idCol,
+      vecCol, roundTo, broadcastQueries)
+    val bwd = ivfTopKIndexed(tgt, src, index, k, nProbe, idCol, idCol,
+      vecCol, roundTo, broadcastQueries)
     bitextMarginPairs(fwd, bwd, unit)
   }
 

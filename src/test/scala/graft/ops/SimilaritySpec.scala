@@ -566,6 +566,24 @@ class SimilaritySpec extends SparkSpec {
     assert(m0 > 1060000L, s"planted pair margin too low: $m0")
   }
 
+  test("ivfTopKShuffledMicro: identical rows to the broadcast form, no broadcast of queries") {
+    val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.trainIvfCentroidsMicro(e, k = 8, iters = 2)
+    val broad = Similarity.ivfTopKWithMicro(e, e, cents, k = 3)
+    val shuf = Similarity.ivfTopKShuffledMicro(e, e, cents, k = 3)
+    val a = broad.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    val b = shuf.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(a == b, s"shuffled IVF diverged: ${a.take(3)} vs ${b.take(3)}")
+    // the corpus×corpus scale property: the probe join must NOT broadcast
+    // (a corpus-sized query side cannot fit an executor broadcast)
+    val bx = shuf.queryExecution.executedPlan.collect {
+      case p: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => p
+    }
+    assert(bx.isEmpty, s"shuffled IVF still broadcasts: $bx")
+  }
+
   test("bitext mining: sim_micro identical from either direction (dedup exact)") {
     val src = emb(0L -> Seq(1f, 0.25f), 2L -> Seq(0.3f, 1f))
     val tgt = emb(11L -> Seq(0.9f, 0.3f), 13L -> Seq(0.25f, 0.95f))
