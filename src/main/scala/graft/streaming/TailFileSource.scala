@@ -171,11 +171,18 @@ class TailMicroBatchStream(pathSpec: String)
     * economics (a handful of live files), not a bulk-scan cost. */
   private val FpCap = 1024
 
+  /** Empty string on any read failure: the file shrank or vanished
+    * between the directory listing and this read (a rotation in
+    * flight). Callers treat an unreadable prefix as "not the file we
+    * knew" — a mismatch, never a crash — and skip persisting the empty
+    * fingerprint so the next trigger re-fingerprints the settled file. */
   private def fingerprint(path: String, n: Int): String = {
     if (n <= 0) return "0:"
     val buf = new Array[Byte](n)
-    val in = fs.open(new Path(path))
-    try in.readFully(0L, buf) finally in.close()
+    try {
+      val in = fs.open(new Path(path))
+      try in.readFully(0L, buf) finally in.close()
+    } catch { case _: java.io.IOException => return "" }
     val md = java.security.MessageDigest.getInstance("MD5")
     s"$n:${md.digest(buf).map("%02x".format(_)).mkString}"
   }
@@ -196,7 +203,12 @@ class TailMicroBatchStream(pathSpec: String)
     * last '\n', or `from` if the appended region holds no terminator. */
   private def lineAlignedEnd(path: String, from: Long, len: Long): Long = {
     if (len <= from) return from
-    val in = fs.open(new Path(path))
+    // vanished/rotated between the listing and this read: no progress
+    // this trigger; the next one sees the settled state (and the
+    // fingerprint check resolves what happened).
+    val in = try fs.open(new Path(path)) catch {
+      case _: java.io.IOException => return from
+    }
     try {
       in.seek(from)
       val buf = new Array[Byte](65536)
