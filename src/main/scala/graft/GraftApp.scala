@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import graft.config.GraftConfig
-import graft.enrich.{GeoIp, Mmdb}
+import graft.enrich.{GeoIp, Mmdb, ReverseDns}
 import graft.streaming.{Ingest, LogPublisher, ReportJob}
 
 /** Service entry point (reference: cmd/takuan/main.go:16-36): load + validate
@@ -13,6 +14,11 @@ import graft.streaming.{Ingest, LogPublisher, ReportJob}
   * Usage:
   *   graft.GraftApp <config.yml> <eventsPath> <checkpointRoot> <reportDir> [geoDb]
   *   graft.GraftApp --geo <geoDb> <eventsPath> <outPath>
+  *   graft.GraftApp --rdns <eventsPath> <outPath>
+  *
+  * `--rdns` is the one-shot reverse-DNS hostname backfill (the
+  * reference's disabled-as-SLOW J2 enrichment, re-shaped to resolve the
+  * distinct address dimension instead of every event — [[ReverseDns]]).
   *
   * `geoDb` is either a flattened range CSV or a binary `.mmdb` file (the
   * reference's native format — read by [[Mmdb]], selected by extension).
@@ -52,6 +58,16 @@ object GraftApp {
       refreshed.write.mode("overwrite").parquet(outPath)
       // counter-log parity with core/aggregator.go:206
       println(s"[graft] geo backfill: $nChanged/$total events updated -> $outPath")
+      spark.stop()
+
+    case "--rdns" :: eventsPath :: outPath :: Nil =>
+      val spark = session("graft-rdns-backfill")
+      val events = spark.read.parquet(eventsPath)
+      val refreshed = ReverseDns.backfill(events)
+      val total = refreshed.count()
+      val resolved = refreshed.filter(col("hostname").isNotNull).count()
+      refreshed.write.mode("overwrite").parquet(outPath)
+      println(s"[graft] rdns backfill: $resolved/$total events resolved -> $outPath")
       spark.stop()
 
     case configPath :: eventsPath :: checkpointRoot :: reportDir :: rest =>

@@ -1,0 +1,61 @@
+package graft.enrich
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Deterministic fake resolver: local-mode tasks share the JVM, so the
+  * static counter observes exactly how many lookups the backfill issued
+  * — the "resolve the distinct dimension, never per event" contract. */
+object CountingResolver extends ReverseDns.Resolver {
+  val calls = new AtomicInteger(0)
+  private val table = Map(
+    "203.0.113.7" -> "mail.example.com",
+    "198.51.100.23" -> "crawl.example.net")
+  def resolve(ip: String): Option[String] = {
+    calls.incrementAndGet()
+    table.get(ip)
+  }
+}
+
+class ReverseDnsSpec extends SparkSpec {
+
+  test("backfill joins hostnames per distinct address, never per event (J2)") {
+    import spark.implicits._
+    // 6 events over 3 distinct addresses (one unresolvable), plus a null
+    val events = Seq(
+      (1L, "203.0.113.7"), (2L, "203.0.113.7"), (3L, "203.0.113.7"),
+      (4L, "198.51.100.23"), (5L, "192.0.2.10"), (6L, null))
+      .toDF("id", "address")
+    CountingResolver.calls.set(0)
+    val got = ReverseDns.backfill(events, CountingResolver)
+      .select(col("id"), col("hostname"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "mail.example.com", 2L -> "mail.example.com",
+      3L -> "mail.example.com", 4L -> "crawl.example.net",
+      5L -> null, 6L -> null), got.toString)
+    // the reference's disabled loop resolved per EVENT (6 lookups, with
+    // the hot address paying 3 round-trips); the distinct dimension pays
+    // exactly 3 — this is the structural reason it is no longer "SLOW"
+    assert(CountingResolver.calls.get() == 3,
+      s"expected 3 distinct lookups, saw ${CountingResolver.calls.get()}")
+  }
+
+  test("backfill overwrites a stale hostname column instead of duplicating it") {
+    import spark.implicits._
+    val events = Seq((1L, "203.0.113.7", "stale.example.org"))
+      .toDF("id", "address", "hostname")
+    val out = ReverseDns.backfill(events, CountingResolver)
+    assert(out.columns.count(_ == "hostname") == 1)
+    assert(out.head().getAs[String]("hostname") == "mail.example.com")
+  }
+
+  test("system resolver never throws on garbage input") {
+    // malformed input maps to None (the reference's silent err skip),
+    // never an exception — a poisoned address must not fail a task
+    assert(ReverseDns.SystemResolver.resolve("definitely not an ip !").isEmpty)
+    assert(ReverseDns.SystemResolver.resolve("").isEmpty)
+  }
+}
