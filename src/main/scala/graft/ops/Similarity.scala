@@ -1213,7 +1213,11 @@ object Similarity {
     * both probe directions then rendezvous shuffled on the cell key
     * ([[ivfTopKShuffledMicro]]'s plan shape) instead of broadcasting a
     * corpus-sized query side; rows are identical either way and the
-    * margin kernel downstream is unchanged. */
+    * margin kernel downstream is unchanged. Size `cents` SUB-linearly
+    * in the corpus (the FAISS convention, nlist ≈ √n): an every-Nth
+    * stride (the small-fixture convention) grows the cell count — and
+    * with it the per-row assignment cost — linearly, which turns the
+    * map pass quadratic at corpus scale. */
   def mineBitextIvf(src: DataFrame, tgt: DataFrame,
       cents: Array[(Long, Array[Float])], k: Int = 4, nProbe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding",

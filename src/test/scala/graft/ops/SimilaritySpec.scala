@@ -595,6 +595,30 @@ class SimilaritySpec extends SparkSpec {
     assert(n == 4L, s"expected 4 deduped candidate pairs, got $n")
   }
 
+  test("bitext margins are role-symmetric: swapping src/tgt transposes the relation") {
+    // the margin formula is symmetric in (x, y); feeding the directions
+    // swapped must produce the exact transposed relation with the best
+    // flags exchanged — a miner must not depend on which language is
+    // called "source"
+    val src = emb(
+      0L -> Seq(1f, 0.2f, 0f), 2L -> Seq(0f, 1f, 0.3f),
+      4L -> Seq(0.5f, 0.5f, 0.1f))
+    val tgt = emb(
+      11L -> Seq(0.9f, 0.25f, 0.05f), 13L -> Seq(0.1f, 0.95f, 0.28f),
+      15L -> Seq(0.4f, 0.1f, 0.9f))
+    val fwd = Similarity.bruteForceTopK(src, tgt, k = 2)
+    val bwd = Similarity.bruteForceTopK(tgt, src, k = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Long]("sim_micro"), r.getAs[Long]("margin_micro"),
+        r.getAs[Boolean]("is_src_best"), r.getAs[Boolean]("is_tgt_best"))).toSet
+    val ab = rows(Similarity.bitextMarginPairs(fwd, bwd))
+    val ba = rows(Similarity.bitextMarginPairs(bwd, fwd))
+    val transposed = ab.map { case (s, t, sim, m, sb, tb) => (t, s, sim, m, tb, sb) }
+    assert(ba == transposed,
+      s"role swap not a transpose:\n  ab=$ab\n  ba=$ba")
+  }
+
   test("prototypePruneByCell: zero vector pins dist_micro to unit") {
     import spark.implicits._
     val emb = Seq(
