@@ -23,6 +23,42 @@ object LlmQueries7 {
   private def hashSql(seed: Int, e: String) =
     s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
 
+  /** The full Kneser–Ney per-doc score replay as a reusable CTE chain
+    * ending in `kn(doc_id, n_bigrams, kn_micro)` — consumed by
+    * `text_lm_kneser_ney` and by LlmQueries9's CCNet bucketing
+    * composition (same discount 3/4, same integer floor-div formula as
+    * [[graft.ops.TextAnalysis.kneserNeyBigramScore]]). */
+  private[queries] lazy val knCtes: String =
+    s"""n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+       |w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+       |bg AS (SELECT doc_id, ws[CAST(r.i AS INTEGER)] AS w1,
+       |    ws[CAST(r.i + 1 AS INTEGER)] AS w2
+       |  FROM w CROSS JOIN LATERAL
+       |    (SELECT unnest(range(1, len(ws))) AS i) r
+       |  WHERE len(ws) >= 2),
+       |db AS (SELECT doc_id AS id, w1, w2, count(*) AS n
+       |  FROM bg GROUP BY 1, 2, 3),
+       |cb AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS cb
+       |  FROM db GROUP BY 1, 2),
+       |cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw,
+       |    CAST(count(*) AS BIGINT) AS n1w FROM cb GROUP BY 1),
+       |n1c AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1c
+       |  FROM cb GROUP BY 1),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM cb),
+       |occ AS (SELECT db.id, db.n,
+       |    (1000000 * (4 * cb.cb - 3)) // (4 * cw.cw)
+       |    + CAST((CAST(1000000 AS HUGEINT) * 3 * cw.n1w * n1c.n1c)
+       |        // (CAST(4 AS HUGEINT) * cw.cw * nt.nt) AS BIGINT) AS o
+       |  FROM db JOIN cb USING (w1, w2) JOIN cw USING (w1)
+       |  JOIN n1c USING (w2) CROSS JOIN nt),
+       |sc AS (SELECT id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(n * o) // sum(n) AS BIGINT) AS kn_micro
+       |  FROM occ GROUP BY id),
+       |kn AS (SELECT d.doc_id,
+       |    coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       |    coalesce(sc.kn_micro, 0) AS kn_micro
+       |  FROM documents d LEFT JOIN sc ON sc.id = d.doc_id)""".stripMargin
+
   /** Batch replay of [[Dedup.streamingDropNearDuplicates]]'s ledger
     * decisions: arrival order = doc_id; a document is KEPT iff no
     * earlier arrival shares its full 8-hash minhash signature key
@@ -157,36 +193,9 @@ object LlmQueries7 {
          |FROM tot t JOIN m USING (g) JOIN arg USING (g)
          |ORDER BY batch_id""".stripMargin,
     "text_lm_kneser_ney" ->
-      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
-         |w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
-         |bg AS (SELECT doc_id, ws[CAST(r.i AS INTEGER)] AS w1,
-         |    ws[CAST(r.i + 1 AS INTEGER)] AS w2
-         |  FROM w CROSS JOIN LATERAL
-         |    (SELECT unnest(range(1, len(ws))) AS i) r
-         |  WHERE len(ws) >= 2),
-         |db AS (SELECT doc_id AS id, w1, w2, count(*) AS n
-         |  FROM bg GROUP BY 1, 2, 3),
-         |cb AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS cb
-         |  FROM db GROUP BY 1, 2),
-         |cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw,
-         |    CAST(count(*) AS BIGINT) AS n1w FROM cb GROUP BY 1),
-         |n1c AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1c
-         |  FROM cb GROUP BY 1),
-         |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM cb),
-         |occ AS (SELECT db.id, db.n,
-         |    (1000000 * (4 * cb.cb - 3)) // (4 * cw.cw)
-         |    + CAST((CAST(1000000 AS HUGEINT) * 3 * cw.n1w * n1c.n1c)
-         |        // (CAST(4 AS HUGEINT) * cw.cw * nt.nt) AS BIGINT) AS o
-         |  FROM db JOIN cb USING (w1, w2) JOIN cw USING (w1)
-         |  JOIN n1c USING (w2) CROSS JOIN nt),
-         |sc AS (SELECT id, CAST(sum(n) AS BIGINT) AS n_bigrams,
-         |    CAST(sum(n * o) // sum(n) AS BIGINT) AS kn_micro
-         |  FROM occ GROUP BY id)
-         |SELECT d.doc_id,
-         |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
-         |  coalesce(sc.kn_micro, 0) AS kn_micro
-         |FROM documents d LEFT JOIN sc ON sc.id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $knCtes
+         |SELECT doc_id, n_bigrams, kn_micro FROM kn
+         |ORDER BY doc_id""".stripMargin,
     "graph_hits" -> {
       val iterCtes = (1 to 3).map { i =>
         s"""ar$i AS (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a

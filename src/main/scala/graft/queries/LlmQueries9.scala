@@ -44,9 +44,37 @@ object LlmQueries9 {
     graft.ops.Dedup.lshBandPlanCurve(spark)
       .orderBy(col("b"), col("r"), col("s_micro"))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): score
+    * every document under the corpus Kneser–Ney bigram LM
+    * ([[graft.ops.TextAnalysis.kneserNeyBigramScore]] — higher micro
+    * score = more likely = cleaner), then split each LANGUAGE into
+    * equal-population head/middle/tail terciles by score. CCNet keeps
+    * head+middle for pretraining and uses tail as the noise stratum;
+    * emitting the per-doc assignment (not the filter) keeps the
+    * relation row-stable and lets downstream mixing choose its own
+    * policy. ntile(3) over a per-language window (partitioned — never
+    * global), ties pinned by doc_id. */
+  def curationCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+    val scored = graft.ops.TextAnalysis
+      .kneserNeyBigramScore(T.par(spark, docs))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("kn_micro").desc, col("doc_id"))
+    scored
+      .withColumn("__nt", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("kn_micro"),
+        when(col("__nt") === 1, "head")
+          .when(col("__nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bitext_mine" -> (simBitextMine _),
     "dedup_lsh_calibration" -> (dedupLshCalibration _),
+    "curation_ccnet_buckets" -> (curationCcnetBuckets _),
   )
 
   // Same IVF oracle fragment as LlmQueries.ivfCos (double-cast vectors,
@@ -56,6 +84,22 @@ object LlmQueries9 {
 
   val oracle: Map[String, String] = Map(
     "dedup_lsh_calibration" -> graft.ops.Dedup.lshBandPlanCurveSql(),
+    // The shared Kneser–Ney CTE chain (LlmQueries7.knCtes) + language
+    // join + the same ntile tercile window (standard-SQL ntile: equal
+    // sizes, earlier buckets take the remainder — identical in both
+    // engines; ties pinned by doc_id).
+    "curation_ccnet_buckets" ->
+      s"""WITH ${LlmQueries7.knCtes},
+         |j AS (SELECT k.doc_id, d.lang, k.kn_micro
+         |  FROM kn k JOIN documents d USING (doc_id)),
+         |b AS (SELECT doc_id, lang, kn_micro,
+         |    ntile(3) OVER (PARTITION BY lang
+         |      ORDER BY kn_micro DESC, doc_id) AS nt
+         |  FROM j)
+         |SELECT doc_id, lang, kn_micro,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket
+         |FROM b ORDER BY doc_id""".stripMargin,
     // Full replay: shared every-50th centroids, nearest-cell assignment
     // and 3-probe sets by (cos desc, cid) rank — identical to the
     // sim_ivf_topk replay — then per-direction top-4, micro-unit sims,
