@@ -92,6 +92,25 @@ object ScaleProbe {
         .filter(col("doc_id") % Offset < 2000),
       num = 9, den = 10)
 
+  /** Bitext mining at its SCALE shape (unlike the registry fixture,
+    * which strides centroids every-50th — linear cell growth is that
+    * fixture's documented caveat): a FIXED-k shared index trained on
+    * copy 0, both probe directions rendezvousing SHUFFLED on the cell
+    * key (`broadcastQueries = false` — the corpus×corpus regime where
+    * neither side broadcasts). Training is bounded by construction;
+    * serve cost should scale with the corpus. */
+  private def bitextProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val cents = Similarity.trainIvfCentroidsMicro(
+      emb.filter(col("vec_id") < 2000), k = 8, iters = 2)
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.bitextMarginPairs(
+      Similarity.ivfTopKShuffledMicro(src, tgt, cents, k = 4, nProbe = 2),
+      Similarity.ivfTopKShuffledMicro(tgt, src, cents, k = 4, nProbe = 2))
+  }
+
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val synthDir = s"/tmp/graft-synth-x$Copies"
@@ -158,7 +177,12 @@ object ScaleProbe {
       "text_rake_keywords" -> SparkEntry.queries("text_rake_keywords"),
       "dedup_cdc_chunks" -> SparkEntry.queries("dedup_cdc_chunks"),
       "mine_hard_negatives" -> SparkEntry.queries("mine_hard_negatives"),
-      "dedup_line_c4" -> SparkEntry.queries("dedup_line_c4"))
+      "dedup_line_c4" -> SparkEntry.queries("dedup_line_c4"),
+      // round-11: bitext mining at its scale shape (fixed-k trained
+      // shared index, shuffled cell rendezvous in both directions) and
+      // the CCNet KN-score bucketing composition
+      "bitext_shuffled_x" -> (bitextProbe _),
+      "curation_ccnet_buckets" -> SparkEntry.queries("curation_ccnet_buckets"))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
