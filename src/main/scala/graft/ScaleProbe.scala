@@ -92,6 +92,17 @@ object ScaleProbe {
         .filter(col("doc_id") % Offset < 2000),
       num = 9, den = 10)
 
+  /** dedup_edit_passjoin widened to the < 2000 slice of every copy:
+    * copy-prefixed words make cross-copy segments distinct, so the
+    * segment relation, probe substrings, and verified pairs all scale
+    * with the corpus and no cross-copy candidates exist — the PassJoin
+    * equi-join's weak-scaling instance. */
+  private def passjoinProbe(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.editPassJoinPairs(
+      T.par(spark, T.t(spark, dir, "documents"))
+        .filter(col("doc_id") % Offset < 2000),
+      maxDist = 8)
+
   /** Bitext mining at its SCALE shape (unlike the registry fixture,
     * which strides centroids every-50th — linear cell growth is that
     * fixture's documented caveat): a FIXED-k shared index trained on
@@ -182,7 +193,8 @@ object ScaleProbe {
       // shared index, shuffled cell rendezvous in both directions) and
       // the CCNet KN-score bucketing composition
       "bitext_shuffled_x" -> (bitextProbe _),
-      "curation_ccnet_buckets" -> SparkEntry.queries("curation_ccnet_buckets"))
+      "curation_ccnet_buckets" -> SparkEntry.queries("curation_ccnet_buckets"),
+      "dedup_edit_passjoin_x" -> (passjoinProbe _))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -71,10 +71,39 @@ object LlmQueries9 {
       .orderBy(col("doc_id"))
   }
 
+  /** Edit-distance near-dup pairs ([[graft.ops.Dedup.editDistancePairs]]):
+    * threshold-banded Levenshtein verification (native codegen kernel in
+    * BOTH engines — byte == codepoint here, the corpus is ASCII) over
+    * lossless length-band candidates (W = 32 > D = 24, docs exploded to
+    * buckets {b, b+1}). The `doc_id < 2000` slice is the usual bounded
+    * pair-listing demonstration; at corpus scale the candidates come from
+    * a content blocker composed in front of the same verify join. */
+  def dedupEditPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.editDistancePairs(
+        T.par(spark, T.t(spark, dir, "documents").filter(col("doc_id") < 2000)),
+        maxDist = 24, bucketWidth = 32)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** PassJoin edit-distance self-join ([[graft.ops.Dedup
+    * .editPassJoinPairs]], Li/Deng/Feng PVLDB'11) at maxDist = 8 on the
+    * same slice as `dedup_edit_pairs`: the corpus-scale LOSSLESS
+    * segment-signature blocker — candidates are an equi-join on
+    * (partner-len, segment#, segment substring) against the static
+    * 729-row (Δ, i, δ) shift grid, shrinking the candidate relation to
+    * near output size (36 candidates vs length blocking's 12,140 on
+    * this fixture) while provably missing nothing. */
+  def dedupEditPassjoin(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.editPassJoinPairs(
+        T.par(spark, T.t(spark, dir, "documents").filter(col("doc_id") < 2000)),
+        maxDist = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bitext_mine" -> (simBitextMine _),
     "dedup_lsh_calibration" -> (dedupLshCalibration _),
     "curation_ccnet_buckets" -> (curationCcnetBuckets _),
+    "dedup_edit_pairs" -> (dedupEditPairs _),
+    "dedup_edit_passjoin" -> (dedupEditPassjoin _),
   )
 
   // Same IVF oracle fragment as LlmQueries.ivfCos (double-cast vectors,
@@ -84,6 +113,65 @@ object LlmQueries9 {
 
   val oracle: Map[String, String] = Map(
     "dedup_lsh_calibration" -> graft.ops.Dedup.lshBandPlanCurveSql(),
+    // Length-band blocking (len//32 ± 1 via the range(2) explode), the
+    // |Δlen| <= 24 lossless filter, then DuckDB's own levenshtein as the
+    // verify kernel. INTEGER casts match Spark's int length/levenshtein.
+    "dedup_edit_pairs" ->
+      """WITH docs AS (SELECT doc_id, text, CAST(length(text) AS INTEGER) AS len
+        |              FROM documents WHERE doc_id < 2000),
+        |keys AS (SELECT doc_id, len, (len // 32) + r.range AS k
+        |         FROM docs CROSS JOIN range(2) r),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                a.len AS len_a, b.len AS len_b
+        |         FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
+        |         WHERE abs(a.len - b.len) <= 24)
+        |SELECT c.id_a, c.id_b, c.len_a, c.len_b,
+        |       CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+        |FROM cand c JOIN docs da ON da.doc_id = c.id_a
+        |JOIN docs db ON db.doc_id = c.id_b
+        |WHERE levenshtein(da.text, db.text) <= 24
+        |ORDER BY id_a, id_b""".stripMargin,
+    // The same segmentation arithmetic as the Spark side, all integer
+    // (// and % truncate identically): k = 9 segments in the partner
+    // length's scheme, probe substrings from the static (Δ, i, δ) grid
+    // with the lossless |δ| + |Δ−δ| <= 8 shift window, then the shared
+    // levenshtein verify.
+    "dedup_edit_passjoin" ->
+      """WITH docs AS (SELECT doc_id, text, CAST(length(text) AS INTEGER) AS len
+        |              FROM documents WHERE doc_id < 2000),
+        |grid AS (SELECT CAST(dd.range AS INTEGER) AS dl, CAST(i.range AS INTEGER) AS i,
+        |                CAST(de.range - 8 AS INTEGER) AS de
+        |         FROM range(9) dd, range(9) i, range(17) de
+        |         WHERE abs(de.range - 8) + abs(dd.range - (de.range - 8)) <= 8),
+        |segs AS (
+        |  SELECT doc_id AS id_r, len AS lp, i.range AS i,
+        |    substr(text,
+        |      CAST(i.range * (len // 9) + greatest(0, i.range - (9 - (len % 9))) + 1 AS INTEGER),
+        |      CAST((len // 9) + CASE WHEN i.range >= 9 - (len % 9) THEN 1 ELSE 0 END AS INTEGER)) AS seg
+        |  FROM docs CROSS JOIN range(9) i
+        |  WHERE len >= 9),
+        |probes AS (
+        |  SELECT s.doc_id, s.len - g.dl AS lp, g.i,
+        |    substr(s.text,
+        |      CAST(g.i * ((s.len - g.dl) // 9)
+        |        + greatest(0, g.i - (9 - ((s.len - g.dl) % 9))) + g.de + 1 AS INTEGER),
+        |      CAST(((s.len - g.dl) // 9)
+        |        + CASE WHEN g.i >= 9 - ((s.len - g.dl) % 9) THEN 1 ELSE 0 END AS INTEGER)) AS seg
+        |  FROM docs s JOIN grid g ON s.len - g.dl >= 9
+        |  WHERE g.i * ((s.len - g.dl) // 9) + greatest(0, g.i - (9 - ((s.len - g.dl) % 9))) + g.de + 1 >= 1
+        |    AND g.i * ((s.len - g.dl) // 9) + greatest(0, g.i - (9 - ((s.len - g.dl) % 9))) + g.de
+        |        + ((s.len - g.dl) // 9) + CASE WHEN g.i >= 9 - ((s.len - g.dl) % 9) THEN 1 ELSE 0 END <= s.len),
+        |cand AS (
+        |  SELECT DISTINCT least(r.id_r, p.doc_id) AS id_a, greatest(r.id_r, p.doc_id) AS id_b
+        |  FROM segs r JOIN probes p ON p.lp = r.lp AND p.i = r.i AND p.seg = r.seg
+        |  WHERE r.id_r <> p.doc_id)
+        |SELECT c.id_a, c.id_b, CAST(length(da.text) AS INTEGER) AS len_a,
+        |       CAST(length(db.text) AS INTEGER) AS len_b,
+        |       CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+        |FROM cand c JOIN docs da ON da.doc_id = c.id_a
+        |JOIN docs db ON db.doc_id = c.id_b
+        |WHERE levenshtein(da.text, db.text) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
     // The shared Kneser–Ney CTE chain (LlmQueries7.knCtes) + language
     // join + the same ntile tercile window (standard-SQL ntile: equal
     // sizes, earlier buckets take the remainder — identical in both

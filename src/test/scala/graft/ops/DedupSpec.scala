@@ -35,6 +35,80 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.9)
   }
 
+  test("edit-distance pairs: banded levenshtein over lossless length blocks") {
+    val base = "x" * 100
+    val d = docs(
+      1L -> base,                // len 100
+      2L -> (base + "abc"),      // len 103, dist(1,2)=3
+      3L -> ("y" * 100),         // same block as 1, dist 100 > bound
+      4L -> base.drop(2),        // len 98, dist(1,4)=2, dist(2,4)=5
+      5L -> ("z" * 95),          // bucket 5 at W=16 …
+      6L -> ("z" * 97))          // … bucket 6: adjacent-block pair, dist 2
+    val pairs = Dedup.editDistancePairs(d, maxDist = 10, bucketWidth = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(pairs == Set((1L, 2L, 3), (1L, 4L, 2), (2L, 4L, 5), (5L, 6L, 2)))
+  }
+
+  test("edit-distance pairs: blocking width must exceed the bound") {
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(docs(1L -> "a"), maxDist = 16, bucketWidth = 16)
+    }
+  }
+
+  test("passjoin finds the same pairs as length blocking (lossless)") {
+    val base = "x" * 100
+    val d = docs(
+      1L -> base,
+      2L -> (base + "abc"),
+      3L -> ("y" * 100),
+      4L -> base.drop(2),
+      5L -> ("z" * 95),
+      6L -> ("z" * 97))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val viaBlocks = rows(Dedup.editDistancePairs(d, maxDist = 10, bucketWidth = 16))
+    val viaPassjoin = rows(Dedup.editPassJoinPairs(d, maxDist = 10))
+    assert(viaPassjoin == viaBlocks)
+    assert(viaPassjoin == Set((1L, 2L, 3), (1L, 4L, 2), (2L, 4L, 5), (5L, 6L, 2)))
+  }
+
+  private def levRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var diag = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        diag = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  test("passjoin matches the quadratic edit-distance definition (randomized)") {
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int) = (1 to n).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+    def mutate(s: String, e: Int): String = (1 to e).foldLeft(s) { (t, _) =>
+      val p = rnd.nextInt(t.length)
+      rnd.nextInt(3) match {
+        case 0 => t.take(p) + t.drop(p + 1)                       // delete
+        case 1 => t.take(p) + (if (rnd.nextBoolean()) "a" else "b") + t.drop(p) // insert
+        case _ => t.take(p) + (if (t(p) == 'a') "b" else "a") + t.drop(p + 1)   // substitute
+      }
+    }
+    val bases = (0 until 10).map(_ => randStr(20 + rnd.nextInt(40)))
+    val corpus = (bases ++ bases.map(s => mutate(s, rnd.nextInt(7))))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val expected = (for {
+      (ia, sa) <- corpus; (ib, sb) <- corpus
+      if ia < ib && levRef(sa, sb) <= 4
+    } yield (ia, ib, levRef(sa, sb))).toSet
+    val got = Dedup.editPassJoinPairs(docs(corpus: _*), maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(got == expected)
+  }
+
   test("minhash signature is order-insensitive (set semantics)") {
     val d = docs(1L -> "alpha beta gamma", 2L -> "gamma alpha beta")
     val sigs = Dedup.minhashSignatures(d).collect()
