@@ -194,7 +194,13 @@ object ScaleProbe {
       // the CCNet KN-score bucketing composition
       "bitext_shuffled_x" -> (bitextProbe _),
       "curation_ccnet_buckets" -> SparkEntry.queries("curation_ccnet_buckets"),
-      "dedup_edit_passjoin_x" -> (passjoinProbe _))
+      "dedup_edit_passjoin_x" -> (passjoinProbe _),
+      // round-11 SFT family: the conv_id-keyed window+aggregate (turn
+      // stats) and the opening-keyed group+back-join (response dedup) —
+      // copy offsets are multiples of turnsPerConv, so conversations stay
+      // copy-local and both relations scale with the corpus
+      "sft_turn_stats" -> SparkEntry.queries("sft_turn_stats"),
+      "sft_response_dedup" -> SparkEntry.queries("sft_response_dedup"))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -320,6 +320,27 @@ class PlanSpec extends SparkSpec {
       s"non-broadcast nested loop in wedge build:\n$plan")
   }
 
+  test("sft turn stats: lag window and aggregate share ONE conv_id shuffle") {
+    // The audit window (lag over conv_id) and the per-conversation aggregate
+    // are keyed identically — WindowExec's output partitioning must satisfy
+    // the HashAggregate so only one hashpartitioning exchange is planned.
+    // (T.par's round-robin spread is excluded: count hash exchanges only.)
+    val p = plan(graft.ops.Sft.turnStats(
+      graft.ops.Sft.conversationView(T.t(spark, dir, "documents"))))
+    val hashExchanges =
+      "Exchange hashpartitioning\\(conv_id".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected one conv_id shuffle shared by window+agg, got $hashExchanges:\n$p")
+  }
+
+  test("sft response dedup: openings group+join as equi-joins, no cartesian") {
+    val p = plan(graft.ops.Sft.responseOpeningDedup(
+      graft.ops.Sft.conversationView(T.t(spark, dir, "documents"))))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"non-broadcast nested loop in opening dedup:\n$p")
+  }
+
   test("blocklist filter: the term list joins broadcast, tokens never shuffle to it") {
     val docs = T.t(spark, dir, "documents")
     val plan = graft.ops.TextAnalysis.blocklistFilter(docs,
