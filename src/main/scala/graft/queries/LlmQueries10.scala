@@ -40,12 +40,94 @@ object LlmQueries10 {
     Sft.promptResponseRatio(conv(spark, dir))
       .orderBy(col("conv_id"), col("prompt_turn"))
 
+  private def cmp(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Preference.comparisonsFromEvents(T.events(spark, dir))
+
+  /** Pairwise win/loss matrix over the event-derived comparison log
+    * ([[graft.ops.Preference.winMatrix]]): game counts and exact micro
+    * win rates per unordered model pair. */
+  def prefWinMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Preference.winMatrix(cmp(spark, dir))
+      .orderBy(col("model_a"), col("model_b"))
+
+  /** Bradley–Terry strength scores ([[graft.ops.Preference.btScores]]):
+    * five MM rounds (Hunter 2004) in integer micro units, the full
+    * trajectory replayed by the oracle's unrolled MATERIALIZED CTEs. */
+  def prefBtScores(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Preference.btScores(cmp(spark, dir), iters = 5)
+      .orderBy(col("model"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sft_turn_stats" -> (sftTurnStats _),
     "sft_role_violations" -> (sftRoleViolations _),
     "sft_response_dedup" -> (sftResponseDedup _),
     "sft_pair_ratio" -> (sftPairRatio _),
+    "pref_win_matrix" -> (prefWinMatrix _),
+    "pref_bt_scores" -> (prefBtScores _),
   )
+
+  // The event-derived comparison log (must mirror
+  // Preference.comparisonsFromEvents: adjacent same-user events, differing
+  // type and value, higher value wins).
+  private val cmpCte =
+    """cmp AS MATERIALIZED (
+      |  SELECT event_type AS a, next_type AS b,
+      |    CASE WHEN value > next_value THEN event_type ELSE next_type END AS winner
+      |  FROM (
+      |    SELECT event_type, value,
+      |      lead(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type,
+      |      lead(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_value
+      |    FROM events)
+      |  WHERE next_type IS NOT NULL AND event_type <> next_type
+      |    AND value <> next_value)""".stripMargin
+
+  /** The unrolled Bradley–Terry MM oracle (same discipline as KmeansSql:
+    * MATERIALIZED CTEs — each state is referenced twice per round, and
+    * plain CTE inlining would expand the chain exponentially). */
+  private def btSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""raw$k AS MATERIALIZED (
+         |  SELECT g.model, CAST(
+         |      (coalesce(max(w.w), 0) * 1000000000000)
+         |        // greatest(sum((g.n * 1000000000000) // greatest(pi.p + pj.p, 1)), 1)
+         |    AS BIGINT) AS p
+         |  FROM games g
+         |  JOIN it${k - 1} pi ON pi.model = g.model
+         |  JOIN it${k - 1} pj ON pj.model = g.opp
+         |  LEFT JOIN wins w ON w.model = g.model
+         |  GROUP BY g.model),
+         |tot$k AS MATERIALIZED (SELECT sum(p) AS s FROM raw$k),
+         |it$k AS MATERIALIZED (
+         |  SELECT model, CAST((p * kk.t) // greatest(t.s, 1) AS BIGINT) AS p
+         |  FROM raw$k CROSS JOIN tot$k t CROSS JOIN kk)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $cmpCte,
+       |pairs AS MATERIALIZED (
+       |  SELECT least(a, b) AS ma, greatest(a, b) AS mb,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN winner = least(a, b) THEN 1 ELSE 0 END) AS BIGINT) AS wa
+       |  FROM cmp GROUP BY 1, 2),
+       |games AS MATERIALIZED (
+       |  SELECT ma AS model, mb AS opp, n FROM pairs
+       |  UNION ALL SELECT mb, ma, n FROM pairs),
+       |wins AS MATERIALIZED (
+       |  SELECT winner AS model, CAST(count(*) AS BIGINT) AS w
+       |  FROM cmp GROUP BY 1),
+       |models AS MATERIALIZED (SELECT DISTINCT model FROM games),
+       |kk AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) * 1000000 AS t FROM models),
+       |it0 AS MATERIALIZED (
+       |  SELECT model, CAST(1000000 AS BIGINT) AS p FROM models),
+       |$iterCtes,
+       |ng AS (SELECT model, CAST(sum(n) AS BIGINT) AS n_games
+       |       FROM games GROUP BY model)
+       |SELECT m.model AS model, ng.n_games, coalesce(w.w, 0) AS n_wins,
+       |  i.p AS bt_micro
+       |FROM models m JOIN it$iters i ON i.model = m.model
+       |JOIN ng ON ng.model = m.model
+       |LEFT JOIN wins w ON w.model = m.model
+       |ORDER BY m.model""".stripMargin
+  }
 
   // The derived conversation view (must mirror Sft.conversationView exactly:
   // 8-turn doc_id blocks, n_chars-parity roles, whitespace token counts).
@@ -112,5 +194,16 @@ object LlmQueries10 {
          |  (1000000 * next_tokens) // greatest(n_tokens, 1) AS ratio_micro
          |FROM p WHERE role = 'user' AND next_role = 'assistant'
          |ORDER BY conv_id, prompt_turn""".stripMargin,
+    "pref_win_matrix" ->
+      s"""WITH $cmpCte,
+         |m AS (SELECT least(a, b) AS model_a, greatest(a, b) AS model_b,
+         |    CAST(count(*) AS BIGINT) AS n_games,
+         |    CAST(sum(CASE WHEN winner = least(a, b) THEN 1 ELSE 0 END) AS BIGINT) AS wins_a
+         |  FROM cmp GROUP BY 1, 2)
+         |SELECT model_a, model_b, n_games, wins_a,
+         |  n_games - wins_a AS wins_b,
+         |  (1000000 * wins_a) // n_games AS win_rate_a_micro
+         |FROM m ORDER BY model_a, model_b""".stripMargin,
+    "pref_bt_scores" -> btSql(5),
   )
 }
