@@ -37,8 +37,24 @@ object ScaleProbe {
 
   def synth(spark: SparkSession, src: String, dst: String): Unit = {
     val fs = new java.io.File(dst)
-    if (new java.io.File(s"$dst/_DONE").exists()) return
     fs.mkdirs()
+    // Events (round-11 addition, own marker so pre-existing synth dirs
+    // upgrade in place): user/event ids offset per copy — comparisons are
+    // user-partitioned, so they stay copy-local, while the event-type
+    // "model" arms are shared across copies: the comparison log grows
+    // linearly, the BT game matrix stays |models|²-fixed — the designed
+    // weak-scaling shape for preference aggregation.
+    if (!new java.io.File(s"$dst/_DONE_EV").exists()) {
+      val ev = T.events(spark, src)
+      (0 until Copies).map { k =>
+        ev.withColumn("event_id", col("event_id") + lit(k * Offset))
+          .withColumn("user_id", col("user_id") + lit(k * Offset))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      new java.io.File(s"$dst/_DONE_EV").createNewFile()
+    }
+    if (new java.io.File(s"$dst/_DONE").exists()) return
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until Copies).map { k =>
       val d = docs.withColumn("doc_id", col("doc_id") + lit(k * Offset))
@@ -200,7 +216,11 @@ object ScaleProbe {
       // copy offsets are multiples of turnsPerConv, so conversations stay
       // copy-local and both relations scale with the corpus
       "sft_turn_stats" -> SparkEntry.queries("sft_turn_stats"),
-      "sft_response_dedup" -> SparkEntry.queries("sft_response_dedup"))
+      "sft_response_dedup" -> SparkEntry.queries("sft_response_dedup"),
+      // round-11 preference prep: the comparison lead-window scales with
+      // the event log; every MM iteration touches only the fixed
+      // |models|² game matrix
+      "pref_bt_scores" -> SparkEntry.queries("pref_bt_scores"))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
