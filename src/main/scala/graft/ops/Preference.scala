@@ -111,4 +111,25 @@ object Preference {
       .select(col("model"), col("n_games"),
         coalesce(col("w"), lit(0L)).as("n_wins"), col("bt_micro"))
   }
+
+  /** Calibration audit of the fitted Bradley–Terry model: per unordered
+    * pair, the BT-implied win probability p_a/(p_a+p_b) (micro) next to
+    * the empirical win rate, and the signed gap — large |gap| flags pairs
+    * the single-scalar-strength model cannot explain (intransitive arms,
+    * judge artifacts). Joins the |models|²-sized matrix against the
+    * |models|-sized score relation — nothing corpus-sized. */
+  def btCalibration(cmp: DataFrame, iters: Int = 5): DataFrame = {
+    val p = btScores(cmp, iters).select(col("model"), col("bt_micro"))
+    winMatrix(cmp)
+      .join(p.select(col("model").as("model_a"), col("bt_micro").as("p_a")),
+        Seq("model_a"))
+      .join(p.select(col("model").as("model_b"), col("bt_micro").as("p_b")),
+        Seq("model_b"))
+      .select(col("model_a"), col("model_b"), col("n_games"),
+        col("win_rate_a_micro"),
+        expr("(p_a * 1000000) div greatest(p_a + p_b, 1)")
+          .as("bt_expected_a_micro"),
+        (col("win_rate_a_micro") -
+          expr("(p_a * 1000000) div greatest(p_a + p_b, 1)")).as("gap_micro"))
+  }
 }

@@ -57,13 +57,35 @@ object LlmQueries10 {
     graft.ops.Preference.btScores(cmp(spark, dir), iters = 5)
       .orderBy(col("model"))
 
+  /** BT fit-calibration audit ([[graft.ops.Preference.btCalibration]]):
+    * BT-implied vs empirical win rate per pair, signed micro gap. */
+  def prefBtCalibration(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Preference.btCalibration(cmp(spark, dir), iters = 5)
+      .orderBy(col("model_a"), col("model_b"))
+
+  /** Conversation-level context packing for SFT batches: whole
+    * conversations (never split mid-conversation — the packing key is the
+    * conversation, unlike `sample_pack_bins`' per-document packing) laid
+    * into 1024-token bins via the sharded-cumsum
+    * [[graft.ops.Curation.packSequences]] kernel over [[Sft.turnStats]]
+    * totals. */
+  def sftPackConversations(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.packSequences(
+        graft.ops.Sft.turnStats(conv(spark, dir))
+          .select(col("conv_id"), col("total_tokens")),
+        maxTokens = 1024, nShards = 8,
+        keyCol = "conv_id", tokensCol = "total_tokens")
+      .orderBy(col("conv_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sft_turn_stats" -> (sftTurnStats _),
     "sft_role_violations" -> (sftRoleViolations _),
     "sft_response_dedup" -> (sftResponseDedup _),
     "sft_pair_ratio" -> (sftPairRatio _),
+    "sft_pack_conversations" -> (sftPackConversations _),
     "pref_win_matrix" -> (prefWinMatrix _),
     "pref_bt_scores" -> (prefBtScores _),
+    "pref_bt_calibration" -> (prefBtCalibration _),
   )
 
   // The event-derived comparison log (must mirror
@@ -83,8 +105,9 @@ object LlmQueries10 {
 
   /** The unrolled Bradley–Terry MM oracle (same discipline as KmeansSql:
     * MATERIALIZED CTEs — each state is referenced twice per round, and
-    * plain CTE inlining would expand the chain exponentially). */
-  private def btSql(iters: Int): String = {
+    * plain CTE inlining would expand the chain exponentially). Returns the
+    * CTE chain ending at `it<iters>`; callers append their final select. */
+  private def btChain(iters: Int): String = {
     val iterCtes = (1 to iters).map { k =>
       s"""raw$k AS MATERIALIZED (
          |  SELECT g.model, CAST(
@@ -118,7 +141,11 @@ object LlmQueries10 {
        |  SELECT CAST(count(*) AS BIGINT) * 1000000 AS t FROM models),
        |it0 AS MATERIALIZED (
        |  SELECT model, CAST(1000000 AS BIGINT) AS p FROM models),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  private def btSql(iters: Int): String =
+    s"""${btChain(iters)},
        |ng AS (SELECT model, CAST(sum(n) AS BIGINT) AS n_games
        |       FROM games GROUP BY model)
        |SELECT m.model AS model, ng.n_games, coalesce(w.w, 0) AS n_wins,
@@ -127,7 +154,23 @@ object LlmQueries10 {
        |JOIN ng ON ng.model = m.model
        |LEFT JOIN wins w ON w.model = m.model
        |ORDER BY m.model""".stripMargin
-  }
+
+  private def btCalibrationSql(iters: Int): String =
+    s"""${btChain(iters)},
+       |m AS (SELECT least(a, b) AS model_a, greatest(a, b) AS model_b,
+       |    CAST(count(*) AS BIGINT) AS n_games,
+       |    CAST(sum(CASE WHEN winner = least(a, b) THEN 1 ELSE 0 END) AS BIGINT) AS wins_a
+       |  FROM cmp GROUP BY 1, 2)
+       |SELECT m.model_a, m.model_b, m.n_games,
+       |  (1000000 * m.wins_a) // m.n_games AS win_rate_a_micro,
+       |  CAST((pa.p * 1000000) // greatest(pa.p + pb.p, 1) AS BIGINT)
+       |    AS bt_expected_a_micro,
+       |  (1000000 * m.wins_a) // m.n_games
+       |    - CAST((pa.p * 1000000) // greatest(pa.p + pb.p, 1) AS BIGINT)
+       |    AS gap_micro
+       |FROM m JOIN it$iters pa ON pa.model = m.model_a
+       |JOIN it$iters pb ON pb.model = m.model_b
+       |ORDER BY m.model_a, m.model_b""".stripMargin
 
   // The derived conversation view (must mirror Sft.conversationView exactly:
   // 8-turn doc_id blocks, n_chars-parity roles, whitespace token counts).
@@ -205,5 +248,24 @@ object LlmQueries10 {
          |  (1000000 * wins_a) // n_games AS win_rate_a_micro
          |FROM m ORDER BY model_a, model_b""".stripMargin,
     "pref_bt_scores" -> btSql(5),
+    "pref_bt_calibration" -> btCalibrationSql(5),
+    // Conversation totals from the conv CTE, then the sample_pack_bins
+    // sharded-cumsum recipe keyed by conv_id at 1024 tokens / 8 shards.
+    "sft_pack_conversations" ->
+      s"""WITH $convCte,
+         |t AS (SELECT conv_id, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |    md5(CAST(conv_id AS VARCHAR)) AS h
+         |  FROM conv GROUP BY conv_id),
+         |s AS (SELECT conv_id, total_tokens, h,
+         |    CAST(CAST('0x' || substring(h, 1, 2) AS BIGINT) % 8 AS INTEGER) AS shard
+         |  FROM t),
+         |c AS (SELECT conv_id, shard, total_tokens,
+         |    coalesce(sum(total_tokens) OVER (PARTITION BY shard ORDER BY h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - total_tokens, 0) AS strt
+         |  FROM s)
+         |SELECT conv_id, shard, CAST(strt // 1024 AS BIGINT) AS bin_id,
+         |  CAST(strt % 1024 AS BIGINT) AS bin_offset,
+         |  total_tokens
+         |FROM c ORDER BY conv_id""".stripMargin,
   )
 }

@@ -66,4 +66,13 @@ class PreferenceSpec extends SparkSpec {
     val r = Preference.btScores(cmp, iters = 3).orderBy("model").collect()
     assert(r.map(_.getAs[Long]("bt_micro")).toSeq === Seq(1000000L, 1000000L))
   }
+
+  test("btCalibration: balanced duel implies 50% with zero gap") {
+    val cmp = plant(("A", "B", "A"), ("A", "B", "B"))
+    val r = Preference.btCalibration(cmp, iters = 3).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("win_rate_a_micro") === 500000L)
+    assert(r(0).getAs[Long]("bt_expected_a_micro") === 500000L)
+    assert(r(0).getAs[Long]("gap_micro") === 0L)
+  }
 }
