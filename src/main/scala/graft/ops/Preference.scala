@@ -119,8 +119,11 @@ object Preference {
     * judge artifacts). Joins the |models|²-sized matrix against the
     * |models|-sized score relation — nothing corpus-sized. */
   def btCalibration(cmp: DataFrame, iters: Int = 5): DataFrame = {
-    val p = btScores(cmp, iters).select(col("model"), col("bt_micro"))
-    winMatrix(cmp)
+    // The comparison log feeds both the fit and the matrix — materialize it
+    // once so the corpus-sized lead window runs a single time.
+    val c = cmp.localCheckpoint()
+    val p = btScores(c, iters).select(col("model"), col("bt_micro"))
+    winMatrix(c)
       .join(p.select(col("model").as("model_a"), col("bt_micro").as("p_a")),
         Seq("model_a"))
       .join(p.select(col("model").as("model_b"), col("bt_micro").as("p_b")),
