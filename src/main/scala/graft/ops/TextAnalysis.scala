@@ -1677,6 +1677,44 @@ object TextAnalysis {
       .withColumn("kept", col("flag_frac_micro") <= maxFracMicro)
   }
 
+  /** Gazetteer phrase-span tagging: every occurrence of any dictionary
+    * phrase (multi-word, exact token sequence after lowercasing) with its
+    * 0-based start-token position — the entity/PII-phrase spotting
+    * primitive that [[blocklistFilter]]'s boolean per-doc verdict is not
+    * (spans feed redaction, entity linking, leakage audits). Overlapping
+    * and nested matches are all emitted.
+    *
+    * Mechanics: the token array is sliced into n-grams once per DISTINCT
+    * phrase LENGTH (an Aho–Corasick pass is sequential; per-length slicing
+    * is the relational equivalent — the explode is |lengths|·n_tokens
+    * rows, and phrase dictionaries cluster on a handful of lengths), then
+    * equi-joined against the broadcast dictionary. Only the bounded
+    * n-gram strings shuffle; at cluster scale the join is map-side
+    * (broadcast) so the scan never exchanges at all. */
+  def gazetteerSpans(docs: DataFrame, phrases: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val norm = phrases.map(_.trim.toLowerCase.split("\\s+").toSeq).distinct
+    val lens = norm.map(_.size).distinct.sorted
+    val dict = broadcast(norm.map(t => (t.mkString(" "), t.size))
+      .toDF("phrase", "phrase_len"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+    val grams = lens.map { l =>
+      toks.filter(size(col("__toks")) >= l)
+        .select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, size(__toks) - $l), " +
+            s"s -> array_join(slice(__toks, s + 1, $l), ' '))")))
+        .select(col("doc_id"), col("pos").as("start_token"),
+          lit(l).as("phrase_len"), col("col").as("phrase"))
+    }.reduce(_ unionByName _)
+    grams.join(dict, Seq("phrase", "phrase_len"))
+      .select(col("doc_id"), col("start_token"), col("phrase_len"),
+        col("phrase"))
+  }
+
   /** Out-of-vocabulary rate under a fixed top-V corpus vocabulary — the
     * tokenizer-coverage audit: before freezing a vocab (or shipping a
     * BPE budget), what fraction of each document's tokens fall outside

@@ -77,6 +77,19 @@ object LlmQueries10 {
         keyCol = "conv_id", tokensCol = "total_tokens")
       .orderBy(col("conv_id"))
 
+  /** The fixed demo dictionary for `text_gazetteer_spans` — mixed 1/2/3
+    * token phrases drawn from the synthetic corpus vocabulary. */
+  private val gazetteer = Seq("merge", "order fast", "stream column",
+    "big order scan", "group slow spark")
+
+  /** Gazetteer phrase-span tagging
+    * ([[graft.ops.TextAnalysis.gazetteerSpans]]): every dictionary-phrase
+    * occurrence with its 0-based start-token position. */
+  def textGazetteerSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.gazetteerSpans(
+        T.par(spark, T.t(spark, dir, "documents")), gazetteer)
+      .orderBy(col("doc_id"), col("start_token"), col("phrase_len"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sft_turn_stats" -> (sftTurnStats _),
     "sft_role_violations" -> (sftRoleViolations _),
@@ -86,6 +99,7 @@ object LlmQueries10 {
     "pref_win_matrix" -> (prefWinMatrix _),
     "pref_bt_scores" -> (prefBtScores _),
     "pref_bt_calibration" -> (prefBtCalibration _),
+    "text_gazetteer_spans" -> (textGazetteerSpans _),
   )
 
   // The event-derived comparison log (must mirror
@@ -267,5 +281,26 @@ object LlmQueries10 {
          |  CAST(strt % 1024 AS BIGINT) AS bin_offset,
          |  total_tokens
          |FROM c ORDER BY conv_id""".stripMargin,
+    // Same per-length n-gram construction: 0-based start positions, the
+    // range upper bound (2000) exceeds any document's token count.
+    "text_gazetteer_spans" ->
+      s"""WITH p(phrase, phrase_len) AS (VALUES
+         |  ${gazetteer.map { ph =>
+               val t = ph.trim.toLowerCase.split("\\s+")
+               s"('${t.mkString(" ")}', ${t.length})"
+             }.mkString(",\n  ")}),
+         |t AS (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, CAST(r.range AS INTEGER) AS start_token,
+         |    CAST(pl.l AS INTEGER) AS phrase_len,
+         |    array_to_string(toks[CAST(r.range + 1 AS INTEGER):CAST(r.range + pl.l AS INTEGER)], ' ') AS phrase
+         |  FROM t
+         |  CROSS JOIN (SELECT DISTINCT phrase_len AS l FROM p) pl
+         |  CROSS JOIN range(2000) r
+         |  WHERE r.range + pl.l <= len(toks))
+         |SELECT g.doc_id, g.start_token, g.phrase_len, g.phrase
+         |FROM g JOIN p ON p.phrase = g.phrase AND p.phrase_len = g.phrase_len
+         |ORDER BY g.doc_id, g.start_token, g.phrase_len""".stripMargin,
   )
 }

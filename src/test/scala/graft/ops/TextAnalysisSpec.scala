@@ -750,4 +750,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1) == ((10L, 3L, 300000L, false)))
     assert(got(2) == ((0L, 0L, 0L, true)))
   }
+
+  test("gazetteerSpans: positions, overlaps, case-folding, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Alpha beta gamma beta gamma"),
+      (2L, "beta"), // shorter than the 2- and 3-token phrases
+      (3L, "nothing here"),
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gazetteerSpans(docs,
+        Seq("beta gamma", "ALPHA", "gamma beta gamma"))
+      .orderBy("doc_id", "start_token", "phrase_len")
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(3)))
+    assert(r.toSeq === Seq(
+      (1L, 0, 1, "alpha"),
+      (1L, 1, 2, "beta gamma"),            // first occurrence
+      (1L, 2, 3, "gamma beta gamma"),      // nested across the overlap
+      (1L, 3, 2, "beta gamma")))           // overlapping second occurrence
+  }
 }
