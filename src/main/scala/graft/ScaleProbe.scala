@@ -220,7 +220,11 @@ object ScaleProbe {
       // round-11 preference prep: the comparison lead-window scales with
       // the event log; every MM iteration touches only the fixed
       // |models|² game matrix
-      "pref_bt_scores" -> SparkEntry.queries("pref_bt_scores"))
+      "pref_bt_scores" -> SparkEntry.queries("pref_bt_scores"),
+      // round-11 gazetteer: per-length n-gram explode scales with corpus
+      // tokens; the dictionary join is broadcast (copy-prefixed words
+      // stop cross-copy matches, copy 0 keeps the original hits)
+      "text_gazetteer_spans" -> SparkEntry.queries("text_gazetteer_spans"))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
