@@ -107,6 +107,13 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.editPassJoinPairs(docs(corpus: _*), maxDist = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
     assert(got == expected)
+    // Same ground truth for the length-block path: pins the lossless
+    // char-histogram L1 prune in levenshteinVerify on random data (the
+    // 2-letter alphabet keeps the bound maximally active).
+    val gotBlocks = Dedup.editDistancePairs(docs(corpus: _*), maxDist = 4,
+        bucketWidth = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(gotBlocks == expected)
   }
 
   test("minhash signature is order-insensitive (set semantics)") {
