@@ -63,7 +63,10 @@ object Sft {
         expr("(1000000 * assistant_tokens) div greatest(total_tokens, 1)")
           .as("assistant_ratio_micro"),
         col("first_role"), col("n_role_repeats"),
-        (col("n_role_repeats") === 0 && col("first_role") === "user")
+        // coalesce: a conversation with no turn_idx-0 row (id gaps) has
+        // first_role null — pin the audit to false, not null
+        (col("n_role_repeats") === 0 &&
+          coalesce(col("first_role") === "user", lit(false)))
           .as("alternation_ok"))
   }
 

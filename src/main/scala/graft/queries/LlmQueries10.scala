@@ -214,7 +214,7 @@ object LlmQueries10 {
          |  assistant_tokens,
          |  (1000000 * assistant_tokens) // greatest(total_tokens, 1) AS assistant_ratio_micro,
          |  first_role, n_role_repeats,
-         |  (n_role_repeats = 0 AND first_role = 'user') AS alternation_ok
+         |  (n_role_repeats = 0 AND coalesce(first_role = 'user', FALSE)) AS alternation_ok
          |FROM g ORDER BY conv_id""".stripMargin,
     "sft_role_violations" ->
       s"""WITH $convCte,
