@@ -90,6 +90,39 @@ object LlmQueries10 {
         T.par(spark, T.t(spark, dir, "documents")), gazetteer)
       .orderBy(col("doc_id"), col("start_token"), col("phrase_len"))
 
+  /** Deequ-style declarative validation report over `documents`
+    * ([[graft.ops.Validation.report]]) — one aggregate pass, one row per
+    * constraint. `lang_latin` is intentionally tighter than the data
+    * (the zh stratum fails it), so the report exercises both verdicts. */
+  def validationDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Validation._
+    report(T.par(spark, T.t(spark, dir, "documents")), Seq(
+      completeness("doc_id_complete", col("doc_id"), 1000000L),
+      uniqueness("doc_id_unique", col("doc_id"), 1000000L),
+      membership("lang_known", col("lang"),
+        Seq("de", "en", "es", "fr", "zh"), 1000000L),
+      membership("lang_latin", col("lang"),
+        Seq("de", "en", "es", "fr"), 950000L),
+      predicateCompliance("n_chars_consistent",
+        length(col("text")).cast("long") === col("n_chars"), 1000000L),
+      rangeCompliance("n_chars_range", col("n_chars"), 1L, 100000L,
+        1000000L),
+      completeness("text_complete", col("text"), 1000000L)))
+  }
+
+  /** The same validation pass over the events log. */
+  def validationEvents(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Validation._
+    report(T.events(spark, dir), Seq(
+      uniqueness("event_id_unique", col("event_id"), 1000000L),
+      membership("event_type_known", col("event_type"),
+        Seq("click", "error", "purchase", "signup", "view"), 1000000L),
+      completeness("ts_complete", col("ts"), 1000000L),
+      completeness("user_id_complete", col("user_id"), 1000000L),
+      predicateCompliance("value_in_range",
+        col("value") > 0.0 && col("value") <= 500.0, 1000000L)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sft_turn_stats" -> (sftTurnStats _),
     "sft_role_violations" -> (sftRoleViolations _),
@@ -100,6 +133,8 @@ object LlmQueries10 {
     "pref_bt_scores" -> (prefBtScores _),
     "pref_bt_calibration" -> (prefBtCalibration _),
     "text_gazetteer_spans" -> (textGazetteerSpans _),
+    "validation_documents" -> (validationDocuments _),
+    "validation_events" -> (validationEvents _),
   )
 
   // The event-derived comparison log (must mirror
@@ -302,5 +337,47 @@ object LlmQueries10 {
          |SELECT g.doc_id, g.start_token, g.phrase_len, g.phrase
          |FROM g JOIN p ON p.phrase = g.phrase AND p.phrase_len = g.phrase_len
          |ORDER BY g.doc_id, g.start_token, g.phrase_len""".stripMargin,
+    // One aggregate row, stacked to one row per constraint — the same
+    // exact integer micro fractions, thresholds as BIGINT literals.
+    "validation_documents" ->
+      """WITH a AS (SELECT
+        |    CAST(count(doc_id) AS BIGINT) AS n0,
+        |    CAST(count(*) AS BIGINT) AS d,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN lang IN ('de','en','es','fr') THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN CAST(length(text) AS BIGINT) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |    CAST(sum(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+        |    CAST(count(text) AS BIGINT) AS n6
+        |  FROM documents),
+        |r(check_name, metric_micro, min_required_micro) AS (
+        |  SELECT 'doc_id_complete', (1000000 * n0) // greatest(d, 1), CAST(1000000 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'doc_id_unique', (1000000 * n1) // greatest(d, 1), CAST(1000000 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'lang_known', (1000000 * n2) // greatest(d, 1), CAST(1000000 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'lang_latin', (1000000 * n3) // greatest(d, 1), CAST(950000 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'n_chars_consistent', (1000000 * n4) // greatest(d, 1), CAST(1000000 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'n_chars_range', (1000000 * n5) // greatest(d, 1), CAST(1000000 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'text_complete', (1000000 * n6) // greatest(d, 1), CAST(1000000 AS BIGINT) FROM a)
+        |SELECT check_name, metric_micro, min_required_micro,
+        |  metric_micro >= min_required_micro AS passed
+        |FROM r ORDER BY check_name""".stripMargin,
+    "validation_events" ->
+      """WITH a AS (SELECT
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS n0,
+        |    CAST(count(*) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN event_type IN ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(count(ts) AS BIGINT) AS n2,
+        |    CAST(count(user_id) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN value > 0 AND value <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        |  FROM events),
+        |r(check_name, metric_micro, min_required_micro) AS (
+        |  SELECT 'event_id_unique', (1000000 * n0) // greatest(d, 1), CAST(1000000 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'event_type_known', (1000000 * n1) // greatest(d, 1), CAST(1000000 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'ts_complete', (1000000 * n2) // greatest(d, 1), CAST(1000000 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'user_id_complete', (1000000 * n3) // greatest(d, 1), CAST(1000000 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'value_in_range', (1000000 * n4) // greatest(d, 1), CAST(1000000 AS BIGINT) FROM a)
+        |SELECT check_name, metric_micro, min_required_micro,
+        |  metric_micro >= min_required_micro AS passed
+        |FROM r ORDER BY check_name""".stripMargin,
   )
 }
