@@ -341,6 +341,28 @@ class PlanSpec extends SparkSpec {
       s"non-broadcast nested loop in opening dedup:\n$p")
   }
 
+  test("gazetteer spans: dictionary joins broadcast; no cartesian") {
+    val p = plan(graft.ops.TextAnalysis.gazetteerSpans(
+      T.t(spark, dir, "documents"), Seq("merge", "order fast")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"dictionary must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("validation report scans the table once (single FileScan)") {
+    import graft.ops.Validation._
+    val p = plan(report(T.t(spark, dir, "documents"), Seq(
+      completeness("text_complete", col("text"), 1000000L),
+      uniqueness("doc_id_unique", col("doc_id"), 1000000L),
+      rangeCompliance("n_chars_range", col("n_chars"), 1L, 100000L,
+        1000000L))))
+    // All constraints — including the exact-distinct one — must ride one
+    // pass over the parquet: multiple scans would multiply ingestion I/O
+    // by the constraint count at 100 TB.
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one scan, got $scans:\n$p")
+  }
+
   test("blocklist filter: the term list joins broadcast, tokens never shuffle to it") {
     val docs = T.t(spark, dir, "documents")
     val plan = graft.ops.TextAnalysis.blocklistFilter(docs,

@@ -769,4 +769,26 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 2, 3, "gamma beta gamma"),      // nested across the overlap
       (1L, 3, 2, "beta gamma")))           // overlapping second occurrence
   }
+
+  test("gazetteerSpans matches a brute-force token scan (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    def randDoc(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(4))).mkString(" ")
+    val corpus = (0 until 30).map(i => (i.toLong, randDoc(5 + rnd.nextInt(25))))
+    val phrases = Seq("aa", "bb cc", "cc cc", "aa bb cc", "dd aa dd")
+    val expected = (for {
+      (id, text) <- corpus
+      toks = text.split(" ").toSeq
+      ph <- phrases; pt = ph.split(" ").toSeq
+      s <- 0 to toks.size - pt.size
+      if toks.slice(s, s + pt.size) == pt
+    } yield (id, s, pt.size, ph)).toSet
+    val got = TextAnalysis.gazetteerSpans(corpus.toDF("doc_id", "text"),
+        phrases)
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(3)))
+      .toSet
+    assert(got == expected)
+  }
 }
