@@ -689,6 +689,23 @@ object TextAnalysis {
     * scoring is three equi-joins plus a one-row broadcast. */
   def kneserNeyBigramScore(docs: DataFrame, unit: Long = 1000000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = knScoredBigramTypes(docs, unit, idCol, textCol)
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        expr("sum(n * __occ) div sum(n)").as("kn_micro"))
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_micro"), lit(0L)).as("kn_micro"))
+  }
+
+  /** The per-(doc, bigram-type) Kneser–Ney-scored relation
+    * (id, w1, w2, n, __occ) shared by [[kneserNeyBigramScore]] and
+    * [[minKProbBigram]] — identical arithmetic to the original in-line
+    * form (pure extraction). */
+  private def knScoredBigramTypes(docs: DataFrame, unit: Long,
+      idCol: String, textCol: String): DataFrame = {
     val bg = docs
       .withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
       .filter(size(col("__w")) >= 2)
@@ -709,7 +726,7 @@ object TextAnalysis {
       .agg(sum(col("cb")).as("cw"), count(lit(1)).as("n1w"))
     val n1c = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1c"))
     val nt = cb.agg(count(lit(1)).as("__nt"))
-    val scored = db
+    db
       .join(cb, Seq("w1", "w2"))
       .join(cw, Seq("w1"))
       .join(n1c, Seq("w2"))
@@ -718,14 +735,44 @@ object TextAnalysis {
         s"($unit * (4 * cb - 3)) div (4 * cw) + " +
           s"CAST((CAST($unit AS DECIMAL(38,0)) * 3 * n1w * n1c) div " +
           "(CAST(4 AS DECIMAL(38,0)) * cw * __nt) AS BIGINT)"))
+      .select(col("id"), col("w1"), col("w2"), col("n"), col("__occ"))
+  }
+
+  /** Min-K% Prob membership/contamination signal (Shi et al., ICLR 2024
+    * "Detecting Pretraining Data from Large Language Models"): the mean
+    * of a document's k% LOWEST token probabilities under a reference LM —
+    * a memorized/contaminated document is suspiciously confident even in
+    * its least-likely positions, so a HIGH min-k score flags it. Here the
+    * reference LM is the corpus Kneser–Ney bigram model and the unit is
+    * the bigram TYPE (the k% lowest-scored distinct bigrams per doc, ties
+    * pinned by (score, w1, w2) — a deterministic, exactly-replayable
+    * variant of the per-token original). kNumer/kDenom give the k
+    * fraction (default 1/5 = 20%); every doc keeps at least one type.
+    * Windows are doc-partitioned (never global); the scored-type relation
+    * is the same one [[kneserNeyBigramScore]] aggregates. */
+  def minKProbBigram(docs: DataFrame, kNumer: Int = 1, kDenom: Int = 5,
+      unit: Long = 1000000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(kNumer > 0 && kDenom >= kNumer, "need 0 < kNumer/kDenom <= 1")
+    val s = knScoredBigramTypes(docs, unit, idCol, textCol)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__occ"), col("w1"), col("w2"))
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val mk = s
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("n_types", count(lit(1)).over(wCnt))
+      .filter(col("__rn") <=
+        expr(s"greatest(1, (n_types * $kNumer + ${kDenom - 1}) div $kDenom)"))
       .groupBy(col("id"))
-      .agg(sum(col("n")).as("n_bigrams"),
-        expr("sum(n * __occ) div sum(n)").as("kn_micro"))
+      .agg(max(col("n_types")).as("n_types"),
+        count(lit(1)).as("k_types"),
+        expr("sum(__occ) div count(1)").as("min_k_micro"))
     docs.select(col(idCol).as("id"))
-      .join(scored, Seq("id"), "left")
+      .join(mk, Seq("id"), "left")
       .select(col("id").as(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("kn_micro"), lit(0L)).as("kn_micro"))
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("k_types"), lit(0L)).as("k_types"),
+        coalesce(col("min_k_micro"), lit(0L)).as("min_k_micro"))
   }
 
   /** The per-doc trigram relation both the inline scorer and the

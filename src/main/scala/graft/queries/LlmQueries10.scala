@@ -123,6 +123,16 @@ object LlmQueries10 {
         col("value") > 0.0 && col("value") <= 500.0, 1000000L)))
   }
 
+  /** Min-K% Prob contamination signal
+    * ([[graft.ops.TextAnalysis.minKProbBigram]], Shi et al. ICLR 2024):
+    * mean of each doc's 20% lowest-scored bigram types under the corpus
+    * Kneser–Ney LM — high values flag memorization/contamination
+    * candidates. */
+  def deconMinKProb(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.minKProbBigram(
+        T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sft_turn_stats" -> (sftTurnStats _),
     "sft_role_violations" -> (sftRoleViolations _),
@@ -135,6 +145,7 @@ object LlmQueries10 {
     "text_gazetteer_spans" -> (textGazetteerSpans _),
     "validation_documents" -> (validationDocuments _),
     "validation_events" -> (validationEvents _),
+    "decon_min_k_prob" -> (deconMinKProb _),
   )
 
   // The event-derived comparison log (must mirror
@@ -379,5 +390,23 @@ object LlmQueries10 {
         |SELECT check_name, metric_micro, min_required_micro,
         |  metric_micro >= min_required_micro AS passed
         |FROM r ORDER BY check_name""".stripMargin,
+    // The shared KN chain's per-type occ relation, ranked ascending per
+    // doc with the (o, w1, w2) tie pin, bottom ceil(20%) kept.
+    "decon_min_k_prob" ->
+      s"""WITH ${LlmQueries7.knCtes},
+         |rk AS (SELECT id, o,
+         |    row_number() OVER (PARTITION BY id ORDER BY o, w1, w2) AS rn,
+         |    count(*) OVER (PARTITION BY id) AS n_types
+         |  FROM occ),
+         |mk AS (SELECT id, CAST(max(n_types) AS BIGINT) AS n_types,
+         |    CAST(count(*) AS BIGINT) AS k_types,
+         |    CAST(sum(o) // count(*) AS BIGINT) AS min_k_micro
+         |  FROM rk WHERE rn <= greatest(1, (n_types * 1 + 4) // 5)
+         |  GROUP BY id)
+         |SELECT d.doc_id, coalesce(mk.n_types, 0) AS n_types,
+         |  coalesce(mk.k_types, 0) AS k_types,
+         |  coalesce(mk.min_k_micro, 0) AS min_k_micro
+         |FROM documents d LEFT JOIN mk ON mk.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -45,7 +45,7 @@ object LlmQueries7 {
        |n1c AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1c
        |  FROM cb GROUP BY 1),
        |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM cb),
-       |occ AS (SELECT db.id, db.n,
+       |occ AS (SELECT db.id, db.w1, db.w2, db.n,
        |    (1000000 * (4 * cb.cb - 3)) // (4 * cw.cw)
        |    + CAST((CAST(1000000 AS HUGEINT) * 3 * cw.n1w * n1c.n1c)
        |        // (CAST(4 AS HUGEINT) * cw.cw * nt.nt) AS BIGINT) AS o

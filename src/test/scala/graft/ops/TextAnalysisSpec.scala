@@ -770,6 +770,26 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 3, 2, "beta gamma")))           // overlapping second occurrence
   }
 
+  test("minKProbBigram keeps ceil(k%) lowest types; never exceeds the mean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b c d"), // types: (a,b)x3 (b,a)x2 (b,c) (c,d) -> 4 types, k=1
+      (2L, "x y"),             // 1 type -> k = max(1, ceil(0.2)) = 1
+      (3L, "solo"),            // no bigram -> zero row
+    ).toDF("doc_id", "text")
+    val kn = TextAnalysis.kneserNeyBigramScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val r = TextAnalysis.minKProbBigram(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_types") === 4L)
+    assert(r(0).getAs[Long]("k_types") === 1L) // ceil(4/5) = 1
+    // the bottom type's score cannot exceed the occurrence-weighted mean
+    assert(r(0).getAs[Long]("min_k_micro") <= kn(1L))
+    assert(r(1).getAs[Long]("k_types") === 1L)
+    assert(r(1).getAs[Long]("min_k_micro") === kn(2L)) // single type = mean
+    assert(r(2).getAs[Long]("n_types") === 0L &&
+      r(2).getAs[Long]("min_k_micro") === 0L)
+  }
+
   test("gazetteerSpans matches a brute-force token scan (randomized)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
