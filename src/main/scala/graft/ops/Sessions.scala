@@ -418,4 +418,46 @@ object Sessions {
           .as("p90_gap_s"),
         max(col("gap_s")).as("max_gap_s"))
   }
+
+  /** Per-key Theil–Sen robust trend: the (lower-)median of all pairwise
+    * slopes between a key's (ts, value) points, in integer micro
+    * cents-per-second — the outlier-immune alternative to least-squares
+    * for monitoring series (Theil 1950 / Sen 1968; breakdown point 29%).
+    *
+    * Exactness: slopes are quantized to micro units on computation
+    * ((10¹² · Δcents) div Δµs — both engines' truncating integer
+    * division), so the rank-median over the slope multiset is
+    * engine-identical; the value at a rank of a multiset is
+    * deterministic regardless of tie permutation. Same-timestamp pairs
+    * carry no slope and are excluded.
+    *
+    * Scale: the pair build is a self-equi-join on the key (one shuffle);
+    * pairs are Θ(n²) per key, so `maxPointsPerGroup` drops hotter keys
+    * (capBuckets-style; they surface with n_pairs = 0) — at production
+    * scale a bounded uniform sample per key is the standard estimator
+    * and composes in front. */
+  def theilSenSlope(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value",
+      maxPointsPerGroup: Int = 100000): DataFrame = {
+    val e = events.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol)).as("t"), graft.T.cents(col(valCol)).as("v"))
+    val capped = Dedup.capBuckets(e, Seq("k"), maxPointsPerGroup)
+    val a = capped.select(col("k"), col("t").as("ta"), col("v").as("va"))
+    val b = capped.select(col("k"), col("t").as("tb"), col("v").as("vb"))
+    val pr = a.join(b, Seq("k")).filter(col("ta") < col("tb"))
+      .select(col("k"),
+        expr("(1000000000000 * (vb - va)) div (tb - ta)").as("s"))
+    val med = pr
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("s"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .groupBy(col("k"))
+      .agg(max(col("__n")).as("n_pairs"), max(col("s")).as("slope_micro"))
+    e.groupBy(col("k")).agg(count(lit(1)).as("n_points"))
+      .join(med, Seq("k"), "left")
+      .select(col("k").as(keyCol), col("n_points"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("slope_micro"), lit(0L)).as("slope_micro"))
+  }
 }

@@ -133,6 +133,13 @@ object LlmQueries10 {
         T.par(spark, T.t(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** Per-user Theil–Sen robust value trend
+    * ([[graft.ops.Sessions.theilSenSlope]]): median pairwise slope in
+    * micro cents/second. */
+  def eventTheilSen(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessions.theilSenSlope(T.events(spark, dir))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sft_turn_stats" -> (sftTurnStats _),
     "sft_role_violations" -> (sftRoleViolations _),
@@ -146,6 +153,7 @@ object LlmQueries10 {
     "validation_documents" -> (validationDocuments _),
     "validation_events" -> (validationEvents _),
     "decon_min_k_prob" -> (deconMinKProb _),
+    "event_theil_sen" -> (eventTheilSen _),
   )
 
   // The event-derived comparison log (must mirror
@@ -408,5 +416,24 @@ object LlmQueries10 {
          |  coalesce(mk.min_k_micro, 0) AS min_k_micro
          |FROM documents d LEFT JOIN mk ON mk.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Micro-quantized pairwise slopes (truncating integer division in
+    // both engines), rank-median per user; same-timestamp pairs excluded.
+    "event_theil_sen" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+        |pr AS (SELECT a.k,
+        |    CAST((1000000000000 * (b.v - a.v)) // (b.t - a.t) AS BIGINT) AS s
+        |  FROM e a JOIN e b ON a.k = b.k AND a.t < b.t),
+        |rk AS (SELECT k, s, row_number() OVER (PARTITION BY k ORDER BY s) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS n FROM pr),
+        |med AS (SELECT k, CAST(max(n) AS BIGINT) AS n_pairs,
+        |    CAST(max(s) AS BIGINT) AS slope_micro
+        |  FROM rk WHERE rn = (n + 1) // 2 GROUP BY k),
+        |np AS (SELECT k, CAST(count(*) AS BIGINT) AS n_points FROM e GROUP BY k)
+        |SELECT np.k AS user_id, np.n_points,
+        |  coalesce(med.n_pairs, 0) AS n_pairs,
+        |  coalesce(med.slope_micro, 0) AS slope_micro
+        |FROM np LEFT JOIN med ON med.k = np.k
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -310,4 +310,24 @@ class SessionsSpec extends SparkSpec {
     // gaps 10, 30, 60: median rank 2 -> 30, p90 rank ceil(2.7)=3 -> 60
     assert(got == Map(100L -> ((3L, 10L, 30L, 60L, 60L))), got.toString)
   }
+
+  test("theilSenSlope: outlier-immune median slope, exact micro units") {
+    import spark.implicits._
+    // user 1: perfectly linear 1.00/s with one wild outlier at t=3 —
+    // pairwise slopes (micro c/s): 1e8 x3 (clean pairs), then the three
+    // outlier pairs; lower median of 6 = rank 3 = the clean 1e8.
+    // user 2: single point -> no pairs, zero row with n_points = 1.
+    val ev = Seq(
+      (1L, 1L, 0L, 0.00), (2L, 1L, 1L, 1.00), (3L, 1L, 2L, 2.00),
+      (4L, 1L, 3L, 100.00),
+      (5L, 2L, 0L, 5.00))
+      .toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Sessions.theilSenSlope(ev)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("slope_micro"))).toMap
+    assert(got(1L) === ((4L, 6L, 100000000L)))
+    assert(got(2L) === ((1L, 0L, 0L)))
+  }
 }
