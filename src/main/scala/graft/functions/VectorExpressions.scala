@@ -172,6 +172,14 @@ final class IvfIndex private (val ids: Array[Long], vecs: Array[Array[Double]],
 
   def size: Int = ids.length
 
+  /** Lossless lazy-rounding band, derived from `roundTo` (NOT a constant:
+    * a 2e-6 band is only safe for roundTo >= 6). Rounding HALF_UP moves a
+    * value by at most half a quantum q = 10^-roundTo, so any candidate
+    * more than 2q below the raw maximum rounds strictly below the rounded
+    * maximum and can never win or tie — the exact argument the lazy scan
+    * in [[nearestCells]] relies on, now valid for every roundTo. */
+  private val band: Double = 2.0 * math.pow(10.0, -roundTo)
+
   private def roundN(d: Double): Double =
     if (d.isNaN || d.isInfinite) d
     else java.math.BigDecimal.valueOf(d)
@@ -227,7 +235,7 @@ final class IvfIndex private (val ids: Array[Long], vecs: Array[Array[Double]],
         if (!taken(c) && (rawBest < 0 || sims(c) > sims(rawBest))) rawBest = c
         c += 1
       }
-      val thr = sims(rawBest) - 2e-6
+      val thr = sims(rawBest) - band
       var best = -1
       c = 0
       while (c < n) {
@@ -253,6 +261,203 @@ object IvfIndex {
   def fromMicro(ids: Array[Long], micro: Array[Array[Long]],
       roundTo: Int): IvfIndex =
     new IvfIndex(ids, micro.map(v => v.map(_.toDouble)), roundTo)
+}
+
+/** BIT-EXACT integer-micro cosine kernels — the engine-portable similarity
+  * contract that removes floating point from the oracle replay entirely
+  * (the fix for the round(double, 6) half-way-boundary divergence that a
+  * different DuckDB build's dot-product accumulation order can flip).
+  *
+  * Contract, identical in Spark and any SQL oracle:
+  *  - vectors are quantized once to integer micro units
+  *    mᵢ = floor(xᵢ·10⁶) (the repo-wide convention — the double multiply
+  *    and floor are IEEE-deterministic, so both engines quantize
+  *    identically);
+  *  - dot and squared norms are exact 64-bit integer sums (every
+  *    intermediate < 2⁵³, so even a double-based replay like DuckDB's
+  *    `list_dot_product` over the micro values is exact integer
+  *    arithmetic in disguise, REGARDLESS of accumulation order);
+  *  - cosMicro = trunc(dot·10⁶ / isqrt(na·nb)) — integer square root and
+  *    truncating division, both order-free. No rounding boundary exists
+  *    anywhere: equal inputs give equal outputs on every engine.
+  *
+  * Magnitude guard: callers must keep each squared norm below 4e15
+  * (|element| ≤ 7.9e6 micro ≈ raw 7.9 at 64 dims — comfortably above any
+  * normalized-embedding corpus). Within that bound the double-seeded
+  * isqrt error is provably < 1 (ulp(na·nb)/2√(na·nb) ≤ √(na·nb)·2⁻⁵² ≤
+  * 0.9), so the single ±1 correction step — expressible in one SQL CASE —
+  * is exact, and dot·10⁶ fits the 128-bit intermediates both engines use
+  * (BigInteger here, HUGEINT in DuckDB). */
+object ExactMicroOps {
+  /** Max allowed squared norm (see class doc): keeps the ±1-corrected
+    * isqrt exact and all intermediates within 128 bits. */
+  val MaxNormSq: Long = 4000000000000000L
+
+  /** Exact floor(sqrt(x)) for 0 <= x <= MaxNormSq², via a double seed and
+    * one ±1 correction — the same arithmetic a SQL oracle replays with
+    * CASE WHEN (s0+1)² <= x THEN s0+1 WHEN s0² > x THEN s0-1 ELSE s0 END. */
+  def isqrt(x: java.math.BigInteger): java.math.BigInteger = {
+    val s0 = java.math.BigInteger.valueOf(
+      math.floor(math.sqrt(new java.math.BigDecimal(x).doubleValue())).toLong)
+    val up = s0.add(java.math.BigInteger.ONE)
+    if (up.multiply(up).compareTo(x) <= 0) up
+    else if (s0.multiply(s0).compareTo(x) > 0) s0.subtract(java.math.BigInteger.ONE)
+    else s0
+  }
+
+  /** cosMicro from pre-accumulated integer parts: trunc(dot·10⁶ / s) with
+    * s = isqrt(na·nb); 0 when either norm is 0 (the deterministic
+    * zero-vector pin — no NaN anywhere on this path). Truncation toward
+    * zero matches BigInteger.divide, DuckDB's integer `//`, and Spark's
+    * `div` exactly, including on negative dots. */
+  def cosMicroParts(dot: Long, na: Long, nb: Long): Long = {
+    require(na <= MaxNormSq && nb <= MaxNormSq,
+      s"cos_micro: squared norm exceeds $MaxNormSq (na=$na nb=$nb) — " +
+        "quantized inputs out of the exact-isqrt envelope")
+    if (na == 0L || nb == 0L) return 0L
+    val nn = java.math.BigInteger.valueOf(na)
+      .multiply(java.math.BigInteger.valueOf(nb))
+    val s = isqrt(nn)
+    java.math.BigInteger.valueOf(dot)
+      .multiply(java.math.BigInteger.valueOf(1000000L))
+      .divide(s).longValueExact()
+  }
+
+  /** Exact integer-micro cosine between two ARRAY<BIGINT> micro vectors.
+    * Dot over the common prefix (the [[VecOps.dotF]] convention), each
+    * squared norm over its full vector (the SQL `list_dot_product(v, v)`
+    * convention) — with equal dims, the only case the operators feed,
+    * the two conventions coincide. */
+  def cosMicro(a: ArrayData, b: ArrayData): Long = {
+    val la = a.numElements(); val lb = b.numElements()
+    val m = math.min(la, lb)
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < m) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    i = m
+    while (i < la) { val x = a.getLong(i); na += x * x; i += 1 }
+    i = m
+    while (i < lb) { val y = b.getLong(i); nb += y * y; i += 1 }
+    cosMicroParts(dot, na, nb)
+  }
+}
+
+/** Bit-exact integer-micro IVF centroid index — the [[IvfIndex]] shape
+  * (one serializable reference object, O(1) plan size in centroid count)
+  * over [[ExactMicroOps]] arithmetic. Assignment ranks cells by
+  * (cosMicro desc, id asc): pure integer comparisons, so the argmax is
+  * identical on every engine with NO rounding band, lazy or otherwise.
+  * `ids` must be sorted ascending (index order = id order, making the
+  * tie-break a plain earliest-wins scan). */
+final class IvfIndexMicro(val ids: Array[Long], cents: Array[Array[Long]])
+    extends Serializable {
+  require(ids.length == cents.length && ids.nonEmpty, "empty/ragged centroid set")
+  require(ids.toSeq == ids.toSeq.sorted, "centroid ids must be ascending")
+
+  private val normsSq: Array[Long] = cents.map { cv =>
+    var acc = 0L; var i = 0
+    while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+    require(acc <= ExactMicroOps.MaxNormSq, s"centroid norm² $acc out of envelope")
+    acc
+  }
+
+  def size: Int = ids.length
+
+  /** Ids of the `topN` nearest centroids by (exact cosMicro desc, id asc). */
+  def nearestCells(v: ArrayData, topN: Int): ArrayData = {
+    val n = ids.length
+    val d = v.numElements()
+    var vAcc = 0L
+    var i = 0
+    while (i < d) { val x = v.getLong(i); vAcc += x * x; i += 1 }
+    val sims = new Array[Long](n)
+    var c = 0
+    while (c < n) {
+      val cv = cents(c)
+      val m = math.min(d, cv.length)
+      var dot = 0L
+      i = 0
+      while (i < m) { dot += v.getLong(i) * cv(i); i += 1 }
+      sims(c) = ExactMicroOps.cosMicroParts(dot, vAcc, normsSq(c))
+      c += 1
+    }
+    val k = math.min(topN, n)
+    val out = new Array[Long](k)
+    val taken = new Array[Boolean](n)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      c = 0
+      while (c < n) {
+        // strict > keeps the earliest (lowest-id) centroid on exact ties
+        if (!taken(c) && (best < 0 || sims(c) > sims(best))) best = c
+        c += 1
+      }
+      taken(best) = true
+      out(r) = ids(best)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd exact integer-micro cosine over two ARRAY<BIGINT> micro
+  * vectors ([[ExactMicroOps.cosMicro]]) — the pairwise-sim kernel of the
+  * engine-portable similarity path. */
+case class CosMicro(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"cos_micro expects two ARRAY<BIGINT> micro vectors, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cos_micro"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExactMicroOps.cosMicro(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ExactMicroOps.cosMicro($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosMicro =
+    copy(left = l, right = r)
+}
+
+/** Nearest-centroid assignment against a driver-built [[IvfIndexMicro]]
+  * over an ARRAY<BIGINT> micro vector column — [[NearestCells]]' exact
+  * sibling for the bit-exact similarity path. */
+case class NearestCellsMicro(child: Expression, index: IvfIndexMicro, topN: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if topN > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells_micro expects (ARRAY<BIGINT>, topN>0), got ${child.dataType.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells_micro"
+
+  override protected def nullSafeEval(input: Any): Any =
+    index.nearestCells(input.asInstanceOf[ArrayData], topN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("ivfIndexMicro", index, classOf[IvfIndexMicro].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $idx.nearestCells($a, $topN);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsMicro =
+    copy(child = newChild)
 }
 
 /** Nearest-centroid assignment against a driver-built [[IvfIndex]]:
@@ -589,6 +794,10 @@ object VectorFunctions {
     shim.column(MinWindowMd5(shim.expression(c), window))
   def nearest_cells(v: Column, index: IvfIndex, topN: Int): Column =
     shim.column(NearestCells(shim.expression(v), index, topN))
+  def cos_micro(a: Column, b: Column): Column =
+    shim.column(CosMicro(shim.expression(a), shim.expression(b)))
+  def nearest_cells_micro(v: Column, index: IvfIndexMicro, topN: Int): Column =
+    shim.column(NearestCellsMicro(shim.expression(v), index, topN))
   def vec_project(v: Column, matrix: ProjMatrix): Column =
     shim.column(VecProject(shim.expression(v), matrix))
   def sign_lsh_bucket(v: Column, planeSet: PlaneSet): Column =

@@ -3,8 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{IvfIndex, PlaneSet, ProjMatrix}
-import graft.functions.VectorFunctions.{vec_dot, nearest_cells, sign_lsh_bucket, vec_project}
+import graft.functions.{IvfIndex, IvfIndexMicro, PlaneSet, ProjMatrix}
+import graft.functions.VectorFunctions.{vec_dot, nearest_cells, sign_lsh_bucket, vec_project, cos_micro, nearest_cells_micro}
 
 /** Embedding similarity search over `ArrayType(FloatType)` columns
   * (SURVEY §2.10; the `embeddings` testdata table).
@@ -538,6 +538,69 @@ object Similarity {
     ivfTopKIndexed(queries, corpus,
       IvfIndex.fromMicro(cents.map(_._1), cents.map(_._2), roundTo),
       k, nProbe, qidCol, cidCol, vecCol, roundTo, broadcastQueries = false)
+
+  /** Quantize an ARRAY<FLOAT> embedding column to integer micro units —
+    * element mᵢ = floor(xᵢ·10⁶) as BIGINT, the repo-wide quantization a
+    * SQL oracle replays with
+    * `list_transform(CAST(v AS DOUBLE[]), x -> CAST(floor(x*1000000.0) AS BIGINT))`.
+    * The float→double promotion and the double multiply are
+    * IEEE-deterministic, so both engines produce identical integers.
+    * One map-only pass; everything downstream of it is exact integer
+    * arithmetic ([[graft.functions.ExactMicroOps]]). */
+  def microVec(v: Column): Column =
+    transform(v.cast("array<double>"),
+      x => floor(x * lit(1000000.0d)).cast("long"))
+
+  /** Driver-side twin of [[microVec]] for a collected centroid set —
+    * the same floor(x·10⁶) arithmetic, element for element. */
+  def quantizeMicro(cents: Array[(Long, Array[Float])]): Array[(Long, Array[Long])] =
+    cents.map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * 1000000.0d).toLong))
+    }
+
+  /** BIT-EXACT integer-micro IVF top-k — [[ivfTopKWith]] with every float
+    * removed from the similarity contract: vectors quantized once by
+    * [[microVec]], cell assignment by
+    * [[graft.functions.NearestCellsMicro]] (exact-integer argmax, no
+    * rounding band), candidate sims by [[graft.functions.CosMicro]]
+    * (trunc(dot·10⁶ / isqrt(na·nb)), order-free integer arithmetic).
+    * Output sims are `sim_micro` longs a DuckDB oracle replays to the
+    * bit on ANY build — the migration target for every query whose
+    * round(double, 6) replay sat one accumulation-order ulp away from a
+    * half-way boundary (VERDICT r11 item 1).
+    *
+    * Same 100 TB shape as [[ivfTopKWith]]: broadcast centroids, map-only
+    * assignment, one equi-join on the cell key (broadcast query side for
+    * probe catalogs, shuffle-hash rendezvous for corpus×corpus — flip
+    * `broadcastQueries`). */
+  def ivfTopKExact(queries: DataFrame, corpus: DataFrame,
+      cents: Array[(Long, Array[Long])], k: Int, nProbe: Int = 3,
+      qidCol: String = "vec_id", cidCol: String = "vec_id",
+      vecCol: String = "embedding", broadcastQueries: Boolean = true): DataFrame =
+    ivfTopKIndexedExact(queries, corpus,
+      new IvfIndexMicro(cents.map(_._1), cents.map(_._2)),
+      k, nProbe, qidCol, cidCol, vecCol, broadcastQueries)
+
+  private def ivfTopKIndexedExact(queries: DataFrame, corpus: DataFrame,
+      index: IvfIndexMicro, k: Int, nProbe: Int,
+      qidCol: String, cidCol: String, vecCol: String,
+      broadcastQueries: Boolean): DataFrame = {
+    val c = corpus.select(col(cidCol).as("neighbor_id"),
+        microVec(col(vecCol)).as("__cvm"))
+      .withColumn("__cell", nearest_cells_micro(col("__cvm"), index, 1).getItem(0))
+    val q0 = queries.select(col(qidCol).as("query_id"),
+        microVec(col(vecCol)).as("__qvm"))
+      .withColumn("__probe", explode(nearest_cells_micro(col("__qvm"), index, nProbe)))
+    val q = if (broadcastQueries) broadcast(q0) else q0.hint("shuffle_hash")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_micro").desc, col("neighbor_id"))
+    c.join(q,
+        col("__probe") === col("__cell") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_micro", cos_micro(col("__qvm"), col("__cvm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim_micro"), col("rank"))
+  }
 
   /** Map-only nearest-centroid cell assignment against an explicit
     * centroid set (e.g. one loaded from [[graft.sources.Artifacts]]) —
@@ -1161,10 +1224,21 @@ object Similarity {
   def bitextMarginPairs(fwd: DataFrame, bwd: DataFrame,
       unit: Long = 1000000L): DataFrame = {
     val simMicro = round(col("sim") * unit, 0).cast("long")
+    bitextMarginPairsMicro(
+      fwd.withColumn("sim_micro", simMicro),
+      bwd.withColumn("sim_micro", simMicro), unit)
+  }
+
+  /** [[bitextMarginPairs]] over top-k relations that already carry exact
+    * integer `sim_micro` scores ([[ivfTopKExact]]) — the engine-portable
+    * margin kernel: every value from here on is integer arithmetic both
+    * engines replay identically. */
+  def bitextMarginPairsMicro(fwd: DataFrame, bwd: DataFrame,
+      unit: Long = 1000000L): DataFrame = {
     val f = fwd.select(col("query_id").as("src_id"),
-      col("neighbor_id").as("tgt_id"), simMicro.as("sim_micro"))
+      col("neighbor_id").as("tgt_id"), col("sim_micro"))
     val b = bwd.select(col("neighbor_id").as("src_id"),
-      col("query_id").as("tgt_id"), simMicro.as("sim_micro"))
+      col("query_id").as("tgt_id"), col("sim_micro"))
     val fAgg = f.groupBy(col("src_id"))
       .agg(sum(col("sim_micro")).as("__fsum"), count(lit(1)).as("__fk"))
     val bAgg = b.groupBy(col("tgt_id"))
@@ -1229,6 +1303,30 @@ object Similarity {
     val bwd = ivfTopKIndexed(tgt, src, index, k, nProbe, idCol, idCol,
       vecCol, roundTo, broadcastQueries)
     bitextMarginPairs(fwd, bwd, unit)
+  }
+
+  /** [[mineBitextIvf]] on the BIT-EXACT integer-micro path — the
+    * engine-portable form (VERDICT r11 item 1): both probe directions run
+    * [[ivfTopKExact]] against one shared [[graft.functions.IvfIndexMicro]]
+    * (quantized with [[quantizeMicro]]), so every sim, margin, and
+    * best-rank flag is exact integer arithmetic with NO float rounding
+    * boundary anywhere in the oracle contract. Plan shape is identical to
+    * [[mineBitextIvf]] (broadcast centroids, map-only assignment, cell-key
+    * equi-joins, margins bounded by the top-k relations); only the scalar
+    * kernel changed. */
+  def mineBitextIvfExact(src: DataFrame, tgt: DataFrame,
+      cents: Array[(Long, Array[Float])], k: Int = 4, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      unit: Long = 1000000L, broadcastQueries: Boolean = true): DataFrame = {
+    val index = {
+      val q = quantizeMicro(cents)
+      new IvfIndexMicro(q.map(_._1), q.map(_._2))
+    }
+    val fwd = ivfTopKIndexedExact(src, tgt, index, k, nProbe, idCol, idCol,
+      vecCol, broadcastQueries)
+    val bwd = ivfTopKIndexedExact(tgt, src, index, k, nProbe, idCol, idCol,
+      vecCol, broadcastQueries)
+    bitextMarginPairsMicro(fwd, bwd, unit)
   }
 
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by

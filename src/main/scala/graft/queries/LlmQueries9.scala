@@ -13,20 +13,30 @@ import graft.ops.Similarity
 object LlmQueries9 {
 
   /** Margin-scored bitext mining over the embeddings fixture
-    * ([[Similarity.mineBitextIvf]] → [[Similarity.bitextMarginPairs]]):
-    * even vec_ids play the source language, odd the target (a split of
-    * one shared space — exactly the multilingual-encoder setup the
-    * miner assumes). One shared every-50th IVF index serves both probe
-    * directions (k = 4, nProbe = 3); every candidate pair is scored by
-    * the Artetxe–Schwenk ratio margin in integer micro units and
-    * flagged is_src_best / is_tgt_best / mutual. Row-stable (flags, not
-    * filters), so the oracle checks the full scored relation; the mined
-    * corpus is `mutual && margin >= threshold` downstream
-    * ([[Similarity.minedBitext]]). */
+    * ([[Similarity.mineBitextIvfExact]] →
+    * [[Similarity.bitextMarginPairsMicro]]): even vec_ids play the
+    * source language, odd the target (a split of one shared space —
+    * exactly the multilingual-encoder setup the miner assumes). One
+    * shared every-50th IVF index serves both probe directions (k = 4,
+    * nProbe = 3); every candidate pair is scored by the Artetxe–Schwenk
+    * ratio margin in integer micro units and flagged is_src_best /
+    * is_tgt_best / mutual. Row-stable (flags, not filters), so the
+    * oracle checks the full scored relation; the mined corpus is
+    * `mutual && margin >= threshold` downstream
+    * ([[Similarity.minedBitext]]).
+    *
+    * Round-12 migration (VERDICT r11 item 1): the whole pipeline —
+    * quantization, cell assignment, candidate sims, margins — runs on
+    * the BIT-EXACT integer-micro path ([[graft.functions.ExactMicroOps]]),
+    * so no round(double, 6) half-way boundary exists anywhere in the
+    * oracle contract and the replay is identical on every DuckDB build
+    * (the r11 driver gate failed on exactly that boundary). sim_micro
+    * semantics moved from round(cos·10⁶) to trunc(dot·10⁶/isqrt(na·nb))
+    * over floor(x·10⁶) quantized vectors — the documented hash move. */
   def simBitextMine(spark: SparkSession, dir: String): DataFrame = {
     val emb = T.t(spark, dir, "embeddings")
     val cents = Similarity.ivfCentroids(T.par(spark, emb), 50)
-    Similarity.mineBitextIvf(
+    Similarity.mineBitextIvfExact(
         T.par(spark, emb.filter(col("vec_id") % 2 === 0)),
         T.par(spark, emb.filter(col("vec_id") % 2 === 1)),
         cents, k = 4, nProbe = 3)
@@ -111,6 +121,35 @@ object LlmQueries9 {
   private def ivfCos(a: String, b: String) =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
+  /** BIT-EXACT oracle fragments mirroring [[graft.functions.ExactMicroOps]]
+    * — see the Spark-side scaladoc for the shared contract. */
+  private object ExactSql {
+    /** floor(x·10⁶) micro quantization of a FLOAT[] column. */
+    def microList(v: String): String =
+      s"list_transform(CAST($v AS DOUBLE[]), x -> CAST(floor(x * 1000000.0) AS BIGINT))"
+
+    /** Exact integer dot of two BIGINT[] micro lists: every product and
+      * partial sum is an integer < 2⁵³, so the double-based
+      * list_dot_product is exact regardless of accumulation order. */
+    def idot(a: String, b: String): String =
+      s"CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
+
+    /** Wrap a relation `fromSql` producing ($keyCols, dt BIGINT,
+      * nn HUGEINT = na·nb) into one producing ($keyCols, sim BIGINT) with
+      * sim = trunc(dt·10⁶ / isqrt(nn)) — the ±1-corrected double-seeded
+      * isqrt, exact within the MaxNormSq envelope; 0 on zero norms. */
+    def cosMicroOver(fromSql: String, keyCols: String): String =
+      s"""SELECT $keyCols,
+         |  CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(CAST(dt AS HUGEINT) * 1000000 // s AS BIGINT) END AS sim
+         |FROM (SELECT $keyCols, dt,
+         |    CASE WHEN (s0 + 1) * (s0 + 1) <= nn THEN s0 + 1
+         |         WHEN s0 * s0 > nn THEN s0 - 1 ELSE s0 END AS s
+         |  FROM (SELECT $keyCols, dt, nn,
+         |      CAST(floor(sqrt(CAST(nn AS DOUBLE))) AS HUGEINT) AS s0
+         |    FROM ($fromSql)))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_lsh_calibration" -> graft.ops.Dedup.lshBandPlanCurveSql(),
     // Length-band blocking (len//32 ± 1 via the range(2) explode), the
@@ -188,19 +227,29 @@ object LlmQueries9 {
          |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
          |    ELSE 'tail' END AS bucket
          |FROM b ORDER BY doc_id""".stripMargin,
-    // Full replay: shared every-50th centroids, nearest-cell assignment
-    // and 3-probe sets by (cos desc, cid) rank — identical to the
-    // sim_ivf_topk replay — then per-direction top-4, micro-unit sims,
-    // the integer ratio margin with its den<=0 pin, and the two
-    // best-rank windows. Spark `div` and DuckDB `//` both truncate
-    // toward zero, so margin_micro matches exactly.
+    // Full BIT-EXACT replay (round-12 migration): floor(x·10⁶) micro
+    // quantization, exact integer dot/norms, trunc(dt·10⁶/isqrt(na·nb))
+    // sims via the ±1-corrected isqrt — no round(double) anywhere, so
+    // the replay is identical on every DuckDB build. Assignment and
+    // 3-probe sets rank by (sim desc, cid), per-direction top-4, then
+    // the integer ratio margin with its den<=0 pin and the two
+    // best-rank windows. Spark `div`, DuckDB `//` on HUGEINT, and
+    // BigInteger.divide all truncate toward zero, so every value
+    // matches exactly.
     "sim_bitext_mine" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-         |             FROM embeddings WHERE vec_id % 50 = 0),
-         |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH corp AS (
+         |  SELECT vec_id, vm, ${ExactSql.idot("vm", "vm")} AS nsq
+         |  FROM (SELECT vec_id, ${ExactSql.microList("embedding")} AS vm
+         |        FROM embeddings)),
+         |cent AS (SELECT vec_id AS cid, vm AS cm, nsq AS cn
+         |         FROM corp WHERE vec_id % 50 = 0),
          |scored0 AS (
-         |  SELECT c.vec_id, t.cid, ${ivfCos("c.v", "t.cv")} AS s
-         |  FROM corp c CROSS JOIN cent t),
+         |  SELECT vec_id, cid, sim AS s FROM (
+         |    ${ExactSql.cosMicroOver(
+               """SELECT c.vec_id, t.cid, """ + ExactSql.idot("c.vm", "t.cm") +
+                 """ AS dt, CAST(c.nsq AS HUGEINT) * t.cn AS nn
+                   |     FROM corp c CROSS JOIN cent t""".stripMargin,
+               "vec_id, cid")})),
          |assign AS (
          |  SELECT vec_id, cid AS cell FROM (
          |    SELECT vec_id, cid,
@@ -215,30 +264,42 @@ object LlmQueries9 {
          |  SELECT p.query_id, a.vec_id AS neighbor_id
          |  FROM probes p JOIN assign a ON a.cell = p.cell
          |  WHERE p.query_id % 2 = 0 AND a.vec_id % 2 = 1),
+         |fsim AS (
+         |  ${ExactSql.cosMicroOver(
+             """SELECT cd.query_id, cd.neighbor_id, """ +
+               ExactSql.idot("q.vm", "n.vm") +
+               """ AS dt, CAST(q.nsq AS HUGEINT) * n.nsq AS nn
+                 |   FROM fcand cd
+                 |   JOIN corp q ON q.vec_id = cd.query_id
+                 |   JOIN corp n ON n.vec_id = cd.neighbor_id""".stripMargin,
+             "query_id, neighbor_id")}),
          |fwd AS (SELECT query_id, neighbor_id, sim FROM (
-         |  SELECT cd.query_id, cd.neighbor_id, ${ivfCos("q.v", "n.v")} AS sim,
-         |    row_number() OVER (PARTITION BY cd.query_id
-         |      ORDER BY ${ivfCos("q.v", "n.v")} DESC, cd.neighbor_id) AS rank
-         |  FROM fcand cd
-         |  JOIN corp q ON q.vec_id = cd.query_id
-         |  JOIN corp n ON n.vec_id = cd.neighbor_id)
-         |  WHERE rank <= 4),
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM fsim) WHERE rank <= 4),
          |bcand AS (
          |  SELECT p.query_id, a.vec_id AS neighbor_id
          |  FROM probes p JOIN assign a ON a.cell = p.cell
          |  WHERE p.query_id % 2 = 1 AND a.vec_id % 2 = 0),
+         |bsim AS (
+         |  ${ExactSql.cosMicroOver(
+             """SELECT cd.query_id, cd.neighbor_id, """ +
+               ExactSql.idot("q.vm", "n.vm") +
+               """ AS dt, CAST(q.nsq AS HUGEINT) * n.nsq AS nn
+                 |   FROM bcand cd
+                 |   JOIN corp q ON q.vec_id = cd.query_id
+                 |   JOIN corp n ON n.vec_id = cd.neighbor_id""".stripMargin,
+             "query_id, neighbor_id")}),
          |bwd AS (SELECT query_id, neighbor_id, sim FROM (
-         |  SELECT cd.query_id, cd.neighbor_id, ${ivfCos("q.v", "n.v")} AS sim,
-         |    row_number() OVER (PARTITION BY cd.query_id
-         |      ORDER BY ${ivfCos("q.v", "n.v")} DESC, cd.neighbor_id) AS rank
-         |  FROM bcand cd
-         |  JOIN corp q ON q.vec_id = cd.query_id
-         |  JOIN corp n ON n.vec_id = cd.neighbor_id)
-         |  WHERE rank <= 4),
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM bsim) WHERE rank <= 4),
          |f AS (SELECT query_id AS src_id, neighbor_id AS tgt_id,
-         |    CAST(round(sim * 1000000) AS BIGINT) AS sim_micro FROM fwd),
+         |    sim AS sim_micro FROM fwd),
          |b AS (SELECT neighbor_id AS src_id, query_id AS tgt_id,
-         |    CAST(round(sim * 1000000) AS BIGINT) AS sim_micro FROM bwd),
+         |    sim AS sim_micro FROM bwd),
          |fagg AS (SELECT src_id, sum(sim_micro) AS fsum,
          |    CAST(count(*) AS BIGINT) AS fk FROM f GROUP BY 1),
          |bagg AS (SELECT tgt_id, sum(sim_micro) AS bsum,

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.Similarity
+
+/** The bit-exact integer-micro similarity kernels (VERDICT r11 item 1):
+  * [[ExactMicroOps]], [[IvfIndexMicro]], and the [[Similarity]] entry
+  * points built on them. The whole point of this layer is that NO value
+  * depends on float accumulation order or a round-half boundary, so the
+  * tests pin exact integers, not tolerances. */
+class ExactMicroSpec extends SparkSpec {
+
+  private def big(l: Long) = java.math.BigInteger.valueOf(l)
+
+  test("isqrt is the exact floor square root across seed-error regimes") {
+    // perfect squares, squares±1, and values large enough that the
+    // double seed is off by one in both directions (the prototype found
+    // real 'down' corrections at ~1e18² magnitudes)
+    val cases = Seq(0L, 1L, 2L, 3L, 4L, 5L, 15L, 16L, 17L,
+      999999999999L, 1000000000000L)
+    for (x <- cases) {
+      val s = ExactMicroOps.isqrt(big(x))
+      assert(s.multiply(s).compareTo(big(x)) <= 0, s"isqrt($x)=$s too big")
+      val up = s.add(java.math.BigInteger.ONE)
+      assert(up.multiply(up).compareTo(big(x)) > 0, s"isqrt($x)=$s too small")
+    }
+    // the hardest in-envelope inputs (the na·nb regime at the MaxNormSq
+    // boundary, where the double-seed error peaks at ~0.44): n² and n²-1
+    // for n up to MaxNormSq. The ±1 correction is NOT sufficient beyond
+    // the envelope (√x·2⁻⁵² grows past 1 around x ≈ 8e31) — that is by
+    // design, because the SQL oracle replay corrects exactly ±1 too;
+    // cosMicroParts' require() walls the kernel off from that region.
+    for (n <- Seq(ExactMicroOps.MaxNormSq, ExactMicroOps.MaxNormSq - 1,
+        2345678912345678L)) {
+      val sq = big(n).multiply(big(n))
+      assert(ExactMicroOps.isqrt(sq) == big(n))
+      assert(ExactMicroOps.isqrt(sq.subtract(java.math.BigInteger.ONE)) == big(n - 1))
+    }
+    // randomized: isqrt(x)² <= x < (isqrt(x)+1)² for random in-envelope x
+    // (103 bits ≈ 1.0e31 < MaxNormSq² = 1.6e31)
+    val rnd = new scala.util.Random(12)
+    for (_ <- 1 to 500) {
+      val x = new java.math.BigInteger(103, rnd.self)
+      val s = ExactMicroOps.isqrt(x)
+      assert(s.multiply(s).compareTo(x) <= 0)
+      val up = s.add(java.math.BigInteger.ONE)
+      assert(up.multiply(up).compareTo(x) > 0)
+    }
+  }
+
+  test("cosMicroParts: exact values, zero pin, truncation toward zero") {
+    // identical unit vectors: dot = na = nb = 1e12 -> exactly 1e6
+    assert(ExactMicroOps.cosMicroParts(1000000000000L,
+      1000000000000L, 1000000000000L) == 1000000L)
+    // opposite: exactly -1e6 (truncation of an exact integer ratio)
+    assert(ExactMicroOps.cosMicroParts(-1000000000000L,
+      1000000000000L, 1000000000000L) == -1000000L)
+    // zero norm pins to 0 — no NaN anywhere on this path
+    assert(ExactMicroOps.cosMicroParts(0L, 0L, 1000000000000L) == 0L)
+    // truncation toward zero on negatives (BigInteger.divide == DuckDB
+    // `//` == Spark `div`): dot=-1, norms 4 -> -1e6/2 = -500000 exact;
+    // dot=-1, norms 9 -> trunc(-333333.3) = -333333 (NOT floor -333334)
+    assert(ExactMicroOps.cosMicroParts(-1L, 2L, 2L) == -500000L)
+    assert(ExactMicroOps.cosMicroParts(-1L, 3L, 3L) == -333333L)
+    // envelope guard: norms beyond MaxNormSq are a hard error, not a
+    // silent wrong answer
+    intercept[IllegalArgumentException] {
+      ExactMicroOps.cosMicroParts(1L, ExactMicroOps.MaxNormSq + 1, 1L)
+    }
+  }
+
+  test("cos_micro column matches double cosine within one micro on real embeddings") {
+    val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 40)
+    val a = e.select(col("vec_id").as("ida"),
+      Similarity.microVec(col("embedding")).as("va"),
+      col("embedding").as("fa"))
+    val b = e.select(col("vec_id").as("idb"),
+      Similarity.microVec(col("embedding")).as("vb"),
+      col("embedding").as("fb"))
+    val d = a.join(b, col("ida") < col("idb"))
+      .select(
+        VectorFunctions.cos_micro(col("va"), col("vb")).as("exact"),
+        (Similarity.dot(col("fa"), col("fb")) /
+          (Similarity.norm(col("fa")) * Similarity.norm(col("fb")))).as("dbl"))
+      .withColumn("diff", abs(col("exact") - round(col("dbl") * 1e6)))
+      .agg(max(col("diff")).cast("long")).head().getLong(0)
+    // quantization moves each element by < 1e-6, so for unit-norm 64-dim
+    // vectors the cosine moves by at most ~√64·1e-6·2 = 16 micro
+    // (observed: 3); the check pins the analytic bound
+    assert(d <= 16L, s"exact micro cosine drifted $d micro from double cosine")
+  }
+
+  test("IvfIndexMicro ranks by exact cosine with lowest-id tie-break") {
+    // centroids: c10 = (1,0), c20 = (0,1), c30 = (1,0) scaled (same
+    // direction as c10 -> exact tie on any query; lowest id must win)
+    val idx = new IvfIndexMicro(
+      Array(10L, 20L, 30L),
+      Array(Array(1000000L, 0L), Array(0L, 1000000L), Array(2000000L, 0L)))
+    def cells(v: Array[Long], n: Int): Seq[Long] = {
+      val arr = idx.nearestCells(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v), n)
+      (0 until arr.numElements()).map(arr.getLong)
+    }
+    // query along x: 10 and 30 tie exactly at 1e6; 10 wins, 30 second
+    assert(cells(Array(500000L, 0L), 3) == Seq(10L, 30L, 20L))
+    // query along y
+    assert(cells(Array(0L, 700000L), 1) == Seq(20L))
+    // 45 degrees: cos = 707106 to all three; full tie -> ascending ids
+    assert(cells(Array(1000000L, 1000000L), 3) == Seq(10L, 20L, 30L))
+  }
+
+  test("exact bitext miner: same shape and near-identical pairs vs the double path") {
+    val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.ivfCentroids(e, 50)
+    val src = e.filter(col("vec_id") % 2 === 0)
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+    val exact = Similarity.mineBitextIvfExact(src, tgt, cents, k = 4, nProbe = 3)
+    val dbl = Similarity.mineBitextIvf(src, tgt, cents, k = 4, nProbe = 3)
+    val ep = exact.select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dp = dbl.select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidate sets may differ only at quantization-order boundaries of
+    // the k-th neighbor — structurally the same mining relation
+    val overlap = (ep & dp).size.toDouble / math.max(ep.size, dp.size)
+    assert(overlap >= 0.95, s"pair overlap $overlap; exact=${ep.size} dbl=${dp.size}")
+    assert(exact.columns.toSeq == dbl.columns.toSeq)
+    // sims agree within the 16-micro quantization bound on common pairs
+    // (observed: 3)
+    val simDiff = exact.as("e").join(dbl.as("d"), Seq("src_id", "tgt_id"))
+      .agg(max(abs(col("e.sim_micro") - col("d.sim_micro")))).head().getLong(0)
+    assert(simDiff <= 16L, s"sim drift $simDiff micro")
+    // exactly one best per endpoint among flagged rows
+    val srcBest = exact.filter(col("is_src_best")).groupBy("src_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(srcBest == 1L)
+  }
+}

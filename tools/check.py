@@ -30,6 +30,9 @@ def eq(a, b):
     return a == b
 
 def main(sf_dir, out_dir):
+    import platform
+    print(f"oracle env: duckdb={duckdb.__version__} "
+          f"python={platform.python_version()} {platform.platform()}")
     con = duckdb.connect()
     for t in TABLES:
         try:

@@ -58,6 +58,16 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     con = duckdb.connect()
+    # Record the oracle environment (VERDICT r11 item 3): a hash mismatch
+    # that reproduces on one DuckDB build but not another is an engine
+    # divergence, not a kernel bug — the version line makes that diagnosis
+    # a one-look check instead of a re-derivation.
+    import platform
+    env = {"duckdb": duckdb.__version__,
+           "python": platform.python_version(),
+           "platform": platform.platform()}
+    print(f"oracle env: duckdb={env['duckdb']} python={env['python']} "
+          f"{env['platform']}")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.exists(p):
@@ -102,7 +112,8 @@ def main():
         if not ok:
             print(f"FAIL {name}: {json.dumps(v)}")
     print(f"\n{npass}/{len(results)} pass; no_oracle (rows-only): {no_oracle}")
-    json.dump(results, open("/tmp/oracle_check.json", "w"), indent=1)
+    json.dump({"env": env, "results": results},
+              open("/tmp/oracle_check.json", "w"), indent=1)
 
 
 if __name__ == "__main__":
