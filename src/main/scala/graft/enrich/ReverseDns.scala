@@ -53,10 +53,24 @@ object ReverseDns {
   object SystemResolver extends Resolver {
     /** Accept only IP literals: `getByName` on anything else does a
       * FORWARD lookup (and maps "" to loopback) — the wrong operation
-      * entirely for a PTR enrichment. */
-    private def isIpLiteral(s: String): Boolean =
-      s != null && s.nonEmpty &&
-        (s.matches("""\d{1,3}(\.\d{1,3}){3}""") || s.contains(":"))
+      * entirely for a PTR enrichment. Octets are range-checked 0-255
+      * (ADVICE r11): `999.999.999.999` shape-matches four dotted groups
+      * but is NOT a literal to the JVM, so without the range check it
+      * would fall through to an accidental forward lookup on garbage
+      * before the catch-all returned None. IPv6 literals must parse as
+      * hex groups for the same reason — a bare ":" in a log token is
+      * not license to resolve it. */
+    private[enrich] def isIpLiteral(s: String): Boolean = {
+      if (s == null || s.isEmpty) return false
+      if (s.contains(":"))
+        // IPv6: hex/colon/dot whitelist with >= 2 colons (every valid
+        // v6 literal has them; no hostname can contain one). Validated
+        // structurally, never resolved to decide — garbage that merely
+        // contains a colon no longer reaches getByName at all.
+        s.matches("""(?i)[0-9a-f:.]+""") && s.count(_ == ':') >= 2
+      else if (!s.matches("""\d{1,3}(\.\d{1,3}){3}""")) false
+      else s.split('.').forall(o => o.toInt <= 255)
+    }
 
     def resolve(ip: String): Option[String] =
       if (!isIpLiteral(ip)) None

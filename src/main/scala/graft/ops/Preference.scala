@@ -88,15 +88,24 @@ object Preference {
     for (_ <- 1 to iters) {
       val pi = p.select(col("model").as("mi"), col("p").as("p_i"))
       val pj = p.select(col("model").as("mj"), col("p").as("p_j"))
+      // n·10¹² and w·10¹² ride DECIMAL(38,0) (ADVICE r11: a Long multiply
+      // wraps silently once a pair's game count or a model's win total
+      // passes ~9.2M — exactly the 100 TB regime); d accumulates in
+      // DECIMAL too, so the per-model sum of quotients cannot wrap either.
+      // The DuckDB oracle mirrors with HUGEINT. Values are unchanged
+      // in-range (decimal multiply and integral div are exact).
       val raw = games
         .join(pi, col("model") === col("mi"))
         .join(pj, col("opp") === col("mj"))
         .groupBy("model")
-        .agg(sum(expr("(n * 1000000000000) div greatest(p_i + p_j, 1)"))
+        .agg(sum(expr(
+          """CAST((CAST(n AS DECIMAL(38,0)) * 1000000000000)
+            |  div greatest(p_i + p_j, 1) AS DECIMAL(38,0))""".stripMargin))
           .as("d"))
         .join(wins, col("model") === col("mw"), "left")
         .select(col("model"),
-          expr("(coalesce(w, 0) * 1000000000000) div greatest(d, 1)")
+          expr("""(CAST(coalesce(w, 0) AS DECIMAL(38,0)) * 1000000000000)
+                 |  div greatest(d, 1)""".stripMargin)
             .as("praw"))
       val tot = raw.agg(sum("praw").as("s"))
       p = raw.crossJoin(broadcast(tot))

@@ -94,22 +94,27 @@ object Sft {
     * canonical (lowest conv/turn) holder, and where the canonical copy
     * lives. Only the bounded opening key shuffles; the full text never
     * leaves the scan. */
-  def responseOpeningDedup(conv: DataFrame, openingTokens: Int = 8,
-      turnsPerConv: Int = 8): DataFrame = {
+  def responseOpeningDedup(conv: DataFrame,
+      openingTokens: Int = 8): DataFrame = {
     val a = conv.filter(col("role") === "assistant")
       .select(col("conv_id"), col("turn_idx"), col("n_tokens"),
         array_join(slice(split(trim(col("text")), "\\s+"), 1, openingTokens),
           " ").as("opening"))
+    // canonical holder = lexicographic min over (conv_id, turn_idx) as a
+    // struct — derived from the rows themselves (ADVICE r11: the earlier
+    // conv_id*turnsPerConv+turn_idx encoding took turnsPerConv as a
+    // parameter that could silently disagree with the view and mislabel
+    // keep_conv_id/keep_turn_idx; a struct min cannot)
     val g = a.groupBy("opening").agg(
       count(lit(1)).as("n_copies"),
-      min(col("conv_id") * turnsPerConv + col("turn_idx")).as("keep_key"))
+      min(struct(col("conv_id"), col("turn_idx"))).as("keep"))
     a.join(g, Seq("opening"))
       .select(col("conv_id"), col("turn_idx"), col("n_tokens"),
         col("n_copies"),
-        (col("conv_id") * turnsPerConv + col("turn_idx") === col("keep_key"))
-          .as("is_canonical"),
-        expr(s"keep_key div $turnsPerConv").as("keep_conv_id"),
-        (col("keep_key") % turnsPerConv).as("keep_turn_idx"))
+        (col("conv_id") === col("keep.conv_id") &&
+          col("turn_idx") === col("keep.turn_idx")).as("is_canonical"),
+        col("keep.conv_id").as("keep_conv_id"),
+        col("keep.turn_idx").as("keep_turn_idx"))
   }
 
   /** Prompt/response token-length ratio per adjacent (user, assistant) turn

@@ -75,8 +75,11 @@ object Validation {
     val metrics = constraints.indices.map { i =>
       expr(s"(1000000 * __n$i) div greatest(__d$i, 1)").as(s"__m$i")
     }
+    // names are unconstrained API input spliced into SQL text — escape
+    // single quotes (ADVICE r11: a quote in a name made the stack()
+    // expression fail to parse, or worse, alter it)
     val stackArgs = constraints.zipWithIndex.map { case (c, i) =>
-      s"'${c.name}', __m$i, ${c.minRequiredMicro}L"
+      s"'${c.name.replace("'", "''")}', __m$i, ${c.minRequiredMicro}L"
     }.mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .select(metrics: _*)

@@ -179,8 +179,9 @@ object LlmQueries10 {
     val iterCtes = (1 to iters).map { k =>
       s"""raw$k AS MATERIALIZED (
          |  SELECT g.model, CAST(
-         |      (coalesce(max(w.w), 0) * 1000000000000)
-         |        // greatest(sum((g.n * 1000000000000) // greatest(pi.p + pj.p, 1)), 1)
+         |      (CAST(coalesce(max(w.w), 0) AS HUGEINT) * 1000000000000)
+         |        // greatest(sum((CAST(g.n AS HUGEINT) * 1000000000000)
+         |                        // greatest(pi.p + pj.p, 1)), 1)
          |    AS BIGINT) AS p
          |  FROM games g
          |  JOIN it${k - 1} pi ON pi.model = g.model

@@ -171,20 +171,24 @@ class TailMicroBatchStream(pathSpec: String)
     * economics (a handful of live files), not a bulk-scan cost. */
   private val FpCap = 1024
 
-  /** Empty string on any read failure: the file shrank or vanished
-    * between the directory listing and this read (a rotation in
-    * flight). Callers treat an unreadable prefix as "not the file we
-    * knew" — a mismatch, never a crash — and skip persisting the empty
-    * fingerprint so the next trigger re-fingerprints the settled file. */
-  private def fingerprint(path: String, n: Int): String = {
-    if (n <= 0) return "0:"
+  /** None on any read failure: the file shrank or vanished between the
+    * directory listing and this read (a rotation in flight), OR a
+    * transient IO error hit a perfectly live file. The two are
+    * indistinguishable here, so callers must treat None as "no decision
+    * possible this trigger" — NOT as a content mismatch (ADVICE r11: an
+    * unreadable-equals-mismatch reading bumped the generation on a
+    * transient error and re-ingested the whole live file from byte 0,
+    * i.e. duplicates through the exactly-once sink). The next trigger
+    * re-checks the settled state. */
+  protected def fingerprint(path: String, n: Int): Option[String] = {
+    if (n <= 0) return Some("0:")
     val buf = new Array[Byte](n)
     try {
       val in = fs.open(new Path(path))
       try in.readFully(0L, buf) finally in.close()
-    } catch { case _: java.io.IOException => return "" }
+    } catch { case _: java.io.IOException => return None }
     val md = java.security.MessageDigest.getInstance("MD5")
-    s"$n:${md.digest(buf).map("%02x".format(_)).mkString}"
+    Some(s"$n:${md.digest(buf).map("%02x".format(_)).mkString}")
   }
 
   private def fpLen(fp: String): Int =
@@ -262,22 +266,37 @@ class TailMicroBatchStream(pathSpec: String)
       // shrank out from under the fingerprint): a rotation the size
       // heuristic cannot see — reset. Skipped when there is no prior
       // fingerprint (first sight / pre-fingerprint checkpoint).
+      // Some(true/false) = prefix checked; None = prefix UNREADABLE this
+      // trigger (transient IO error or in-flight rotation) — no reset
+      // decision and no progress for this file, exactly like
+      // lineAlignedEnd's IOException path; re-checked next trigger.
       val pl = fpLen(prev.fp)
-      val contentReset = !sizeReset && prev.fp.nonEmpty &&
-        (len < pl || fingerprint(p, pl) != prev.fp)
-      val reset = sizeReset || contentReset
-      val from = if (reset) 0L else prev.off
-      val gen = if (reset) prev.gen + 1 else prev.gen
-      val end = lineAlignedEnd(p, from, len)
-      // Adopt/extend the fingerprint: fresh after a reset or first
-      // sight; extended toward the 1 KB cap while the file is still
-      // shorter than it (each extension re-reads ≤1 KB, and only
-      // happens when the file actually grew).
-      val fp =
-        if (reset || prev.fp.isEmpty || (pl < FpCap && len > pl))
-          fingerprint(p, math.min(len, FpCap.toLong).toInt)
-        else prev.fp
-      p -> TailFileState(end, gen, fp)
+      val contentCheck: Option[Boolean] =
+        if (sizeReset || prev.fp.isEmpty) Some(false)
+        else if (len < pl) Some(true)
+        else fingerprint(p, pl).map(_ != prev.fp)
+      contentCheck match {
+        case None => p -> prev
+        case Some(contentReset) =>
+          val reset = sizeReset || contentReset
+          val from = if (reset) 0L else prev.off
+          val gen = if (reset) prev.gen + 1 else prev.gen
+          val end = lineAlignedEnd(p, from, len)
+          // Adopt/extend the fingerprint: fresh after a reset or first
+          // sight; extended toward the 1 KB cap while the file is still
+          // shorter than it (each extension re-reads ≤1 KB, and only
+          // happens when the file actually grew). A failed adopt leaves
+          // "" (re-fingerprinted next trigger); a failed EXTENSION keeps
+          // the previous fingerprint, so rotation detection stays live.
+          val fp =
+            if (reset || prev.fp.isEmpty)
+              fingerprint(p, math.min(len, FpCap.toLong).toInt).getOrElse("")
+            else if (pl < FpCap && len > pl)
+              fingerprint(p, math.min(len, FpCap.toLong).toInt)
+                .getOrElse(prev.fp)
+            else prev.fp
+          p -> TailFileState(end, gen, fp)
+      }
     }.toMap
     known = next
     TailOffset(next)

@@ -58,4 +58,24 @@ class ReverseDnsSpec extends SparkSpec {
     assert(ReverseDns.SystemResolver.resolve("definitely not an ip !").isEmpty)
     assert(ReverseDns.SystemResolver.resolve("").isEmpty)
   }
+
+  test("isIpLiteral: out-of-range octets and colon-garbage never reach the resolver") {
+    import ReverseDns.SystemResolver.{isIpLiteral => lit}
+    // ADVICE r11: 999.999.999.999 shape-matches \d{1,3} x4 but is not a
+    // literal — it must be rejected BEFORE getByName, which would
+    // otherwise perform an accidental FORWARD lookup on garbage
+    assert(!lit("999.999.999.999"))
+    assert(!lit("1.2.3.256"))
+    assert(!lit("01.02.03.999"))
+    assert(lit("0.0.0.0"))
+    assert(lit("255.255.255.255"))
+    assert(lit("203.0.113.7"))
+    // colon inputs: structural v6 whitelist, not "contains a colon"
+    assert(lit("::1"))
+    assert(lit("2001:db8::68"))
+    assert(lit("::ffff:192.0.2.1"))
+    assert(!lit("host:port"))          // letters beyond hex
+    assert(!lit("12:34"))              // single colon is never valid v6
+    assert(!lit("fe80::1%eth0"))       // zone ids stay conservative-no
+  }
 }

@@ -72,13 +72,33 @@ class SftSpec extends SparkSpec {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val r = Sft.responseOpeningDedup(
         Sft.conversationView(dup, turnsPerConv = 4),
-        openingTokens = 5, turnsPerConv = 4)
+        openingTokens = 5)
       .orderBy("turn_idx").collect()
     assert(r.length === 2)
     assert(r(0).getAs[Long]("n_copies") === 2L)
     assert(r(0).getAs[Boolean]("is_canonical"))
     assert(!r(1).getAs[Boolean]("is_canonical"))
     assert(r(1).getAs[Long]("keep_turn_idx") === 1L)
+  }
+
+  test("responseOpeningDedup keep keys come from the rows, not a packing factor") {
+    // ADVICE r11 regression: a view built with one turnsPerConv used to be
+    // mislabeled when the dedup was called with another. Keys now derive
+    // from (conv_id, turn_idx) directly, so ANY view labels correctly —
+    // including turn indices >= 8 that the old *8 encoding would fold.
+    val turns = Seq(
+      (0L, 9L, "assistant", "Same opening here", 3L),
+      (1L, 0L, "assistant", "Same opening here", 3L),
+    ).toDF("conv_id", "turn_idx", "role", "text", "n_tokens")
+    val r = Sft.responseOpeningDedup(turns, openingTokens = 3)
+      .orderBy("conv_id").collect()
+    // lexicographic struct min: (0, 9) < (1, 0) — conv 0 turn 9 canonical
+    assert(r(0).getAs[Boolean]("is_canonical"))
+    assert(r(0).getAs[Long]("keep_conv_id") === 0L)
+    assert(r(0).getAs[Long]("keep_turn_idx") === 9L)
+    assert(!r(1).getAs[Boolean]("is_canonical"))
+    assert(r(1).getAs[Long]("keep_conv_id") === 0L)
+    assert(r(1).getAs[Long]("keep_turn_idx") === 9L)
   }
 
   test("promptResponseRatio pairs adjacent user->assistant turns only") {

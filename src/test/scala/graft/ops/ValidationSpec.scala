@@ -44,4 +44,12 @@ class ValidationSpec extends SparkSpec {
         completeness("x", col("lang"), 1L)))
     }
   }
+
+  test("constraint names containing quotes survive verbatim (ADVICE r11)") {
+    // a single quote used to break (or alter) the stack() SQL splice
+    val name = "id's completeness, 100%'; --"
+    val r = report(df, Seq(completeness(name, col("id"), 1L))).collect()
+    assert(r.length === 1)
+    assert(r(0).getString(0) === name)
+  }
 }

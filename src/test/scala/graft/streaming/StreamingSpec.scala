@@ -131,6 +131,41 @@ class StreamingSpec extends SparkSpec {
       Seq("aa", "bb", "cccc", "dddd", "eeee", "ffff", "gggg", "hhhh", "ii"))
   }
 
+  test("tail-file: unreadable fingerprint prefix makes NO reset decision and NO progress") {
+    // ADVICE r11: a transient IOException during the prefix read used to
+    // register as a content MISMATCH -> generation bump -> whole live
+    // file re-ingested from byte 0 (duplicates through the exactly-once
+    // sink). Contract now: unreadable = no decision, no progress for
+    // that file this trigger; re-checked next trigger.
+    val dir = tmp("graft-tail-ioerr")
+    val file = Paths.get(dir, "x.log")
+    Files.write(file, "l1\nl2\n".getBytes)
+    var fail = false
+    val s = new TailMicroBatchStream(file.toString) {
+      override protected def fingerprint(path: String, n: Int): Option[String] =
+        if (fail) None else super.fingerprint(path, n)
+    }
+    // key is the path as the Hadoop FS renders it (file: scheme) — there
+    // is exactly one watched file, so take the single entry
+    def state() = {
+      val fs = s.latestOffset().asInstanceOf[TailOffset].files
+      assert(fs.size == 1); fs.head._2
+    }
+    val st1 = state()
+    assert(st1.off == 6L && st1.gen == 0L && st1.fp.nonEmpty)
+    // file grows, then the prefix read fails: state must carry forward
+    // untouched (same offset, SAME generation, same fingerprint)
+    Files.write(file, "l3\n".getBytes, StandardOpenOption.APPEND)
+    fail = true
+    val st2 = state()
+    assert(st2 == st1, s"transient IO error changed state: $st2 vs $st1")
+    // error clears: the append is picked up as a plain S1 advance —
+    // generation still 0, nothing re-ingested
+    fail = false
+    val st3 = state()
+    assert(st3.off == 9L && st3.gen == 0L)
+  }
+
   test("sensorQuery on a FILE config tails appends through the full pipeline (S1)") {
     val dir = tmp("graft-tailq")
     val logFile = Paths.get(dir, "auth.log")
