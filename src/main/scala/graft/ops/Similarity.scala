@@ -602,6 +602,69 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim_micro"), col("rank"))
   }
 
+  /** Round-half boundary-margin audit for rounded-double score contracts
+    * (VERDICT r11 item 2). For every value x in `scores` (column `x`,
+    * DOUBLE), the distance of x·10^roundTo to the nearest half-way
+    * rounding point, i.e. |frac(x·10^roundTo) − 0.5| — returned as the
+    * MINIMUM over the relation, in units of 10^-roundTo.
+    *
+    * Why: a `round(x, 6)` replayed by two engines diverges only when
+    * their x values straddle a half-way boundary. Left-to-right vs SIMD
+    * pairwise accumulation of a 64-term double dot product differs by at
+    * most ~dim·ε ≈ 1.4e-14 (1.4e-8 in these units). If the minimum
+    * margin of every score a query computes exceeds a budget orders of
+    * magnitude above that — the repo bar is 2⁻⁴⁰ ≈ 9.1e-13 cosine units,
+    * 9.1e-7 in these units — then no faithful-double engine can flip a
+    * rounding, and "passes on this DuckDB build" becomes "passes on
+    * every build" FOR THE ACCUMULATION-ORDER DIVERGENCE CLASS. (It does
+    * NOT defend against an engine whose round() itself differs at the
+    * last ulp of the *rounded* value — the structural fix for that class
+    * is the integer-micro path, as migrated for sim_bitext_mine.)
+    *
+    * Production shape: one narrow map + one min aggregate over however
+    * many scores the caller materializes; at 100 TB you audit the same
+    * candidate relations the queries build (bounded by top-k joins),
+    * never a blind cross product. BoundaryMarginSpec runs it over the
+    * full pairwise fixture surface that every registry cosine is drawn
+    * from. */
+  def roundHalfMarginMin(scores: DataFrame, roundTo: Int = 6): Double = {
+    val scale = math.pow(10.0, roundTo)
+    scores
+      .select((col("x") * scale).as("__s"))
+      .select(abs(col("__s") - floor(col("__s")) - lit(0.5)).as("__m"))
+      .agg(min(col("__m"))).head().getDouble(0)
+  }
+
+  /** All pairwise cosines of a corpus (a < b), as the `x` relation
+    * [[roundHalfMarginMin]] audits. Broadcast self-join — an audit over
+    * a bounded fixture/sample, documented as such (the registry's own
+    * candidate relations are the production audit surface). */
+  def pairwiseCosines(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("__ia"), col(vecCol).as("__va"),
+      norm(col(vecCol)).as("__na"))
+    val b = emb.select(col(idCol).as("__ib"), col(vecCol).as("__vb"),
+      norm(col(vecCol)).as("__nb"))
+    a.join(broadcast(b), col("__ia") < col("__ib"))
+      .select((dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+        .as("x"))
+  }
+
+  /** Cosines of every corpus vector against an explicit micro-unit
+    * centroid set — the assignment scores a trained-kmeans oracle
+    * replays with round(cos, 6); the other audit surface. */
+  def centroidCosines(emb: DataFrame, cents: Array[(Long, Array[Long])],
+      vecCol: String = "embedding"): DataFrame = {
+    val centDf = broadcast(
+      emb.sparkSession.createDataFrame(
+        cents.toSeq.map { case (id, v) => (id, v.map(_.toDouble).toSeq) }
+      ).toDF("__cell", "__cv"))
+    emb.select(col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+      .crossJoin(centDf)
+      .select((dot(col("__v"), col("__cv")) /
+        (col("__n") * sqrt(dot(col("__cv"), col("__cv"))))).as("x"))
+  }
+
   /** Map-only nearest-centroid cell assignment against an explicit
     * centroid set (e.g. one loaded from [[graft.sources.Artifacts]]) —
     * the serve half of the train-once/reuse-everywhere flow. The
