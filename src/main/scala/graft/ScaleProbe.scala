@@ -138,6 +138,23 @@ object ScaleProbe {
       Similarity.ivfTopKShuffledMicro(tgt, src, cents, k = 4, nProbe = 2))
   }
 
+  /** Incremental IVF maintenance at its scale shape: a FIXED index
+    * trained on copy 0 (stride within the base corpus — cell count does
+    * NOT grow with the extension), base state from copy 0, then ONE
+    * extend absorbing every other copy (10× the base at the synthetic
+    * scale). Cost should scale with the EXTENSION: map-only quantize +
+    * assign against the broadcast index, one partial-combined aggregate
+    * whose shuffle carries cells·dim longs per partition. */
+  private def ivfIncrementalProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val base = emb.filter(col("vec_id") < Offset)
+    val ext = emb.filter(col("vec_id") >= Offset)
+    val cents = Similarity.quantizeMicro(Similarity.ivfCentroids(base, 50))
+    Similarity.extendIvfIndexState(
+      Similarity.ivfIndexState(base, cents), ext, cents)
+  }
+
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val synthDir = s"/tmp/graft-synth-x$Copies"
@@ -224,7 +241,10 @@ object ScaleProbe {
       // round-11 gazetteer: per-length n-gram explode scales with corpus
       // tokens; the dictionary join is broadcast (copy-prefixed words
       // stop cross-copy matches, copy 0 keeps the original hits)
-      "text_gazetteer_spans" -> SparkEntry.queries("text_gazetteer_spans"))
+      "text_gazetteer_spans" -> SparkEntry.queries("text_gazetteer_spans"),
+      // round-12: incremental IVF maintenance — fixed copy-0 index,
+      // base state from copy 0, one extend absorbing all other copies
+      "sim_ivf_incremental_x" -> (ivfIncrementalProbe _))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -602,6 +602,103 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim_micro"), col("rank"))
   }
 
+  /** Offset that keeps integer-mean dividends non-negative (truncating
+    * and flooring division agree there) — the [[trainIvfCentroidsMicro]]
+    * convention, shared by the incremental-index state below. */
+  private val MeanOffset = 1000000000L
+
+  private def stateWithCentroid(grouped: DataFrame): DataFrame =
+    grouped.select(col("cell"), col("dim_idx"), col("n_vecs"),
+      col("sum_micro"),
+      expr(s"(sum_micro + n_vecs * ${MeanOffset}L) div n_vecs - ${MeanOffset}L")
+        .as("centroid_micro"))
+
+  private def stateDelta(emb: DataFrame, index: graft.functions.IvfIndexMicro,
+      vecCol: String): DataFrame =
+    emb.select(microVec(col(vecCol)).as("__vm"))
+      .withColumn("cell",
+        nearest_cells_micro(col("__vm"), index, 1).getItem(0))
+      .select(col("cell"), posexplode(col("__vm")).as(Seq("dim_idx", "__x")))
+      .select(col("cell"), col("dim_idx").cast("long").as("dim_idx"),
+        col("__x"))
+      .groupBy("cell", "dim_idx")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__x")).as("sum_micro"))
+
+  /** INCREMENTAL IVF index maintenance (VERDICT r11 item 7) — the state
+    * relation that lets a served similarity index absorb corpus growth
+    * without retraining from scratch.
+    *
+    * State = one row per (cell, dimension): member count, the EXACT
+    * integer sum of the members' floor(x·10⁶) micro elements, and the
+    * integer-mean centroid those imply. Everything is integer micro
+    * arithmetic on the bit-exact path ([[microVec]] quantization,
+    * [[graft.functions.NearestCellsMicro]] assignment), so the state is
+    * oracle-replayable, partition-order-independent, and — the point —
+    * EXACTLY MERGEABLE: sums and counts are associative, so
+    * [[extendIvfIndexState]] over any split of the corpus equals this
+    * function over the union, bit for bit (pinned by the
+    * sim_ivf_incremental oracle, which replays the one-shot computation
+    * against Spark's base+extension composition).
+    *
+    * 100 TB shape: map-only quantization+assignment against the
+    * broadcast [[graft.functions.IvfIndexMicro]] reference object, then
+    * ONE aggregate whose partial (map-side) combine collapses each
+    * partition to ≤ cells·dim rows before the exchange — the shuffle
+    * carries O(partitions · cells · dim) longs, never the corpus.
+    * Composes with the fingerprint-ledger incremental pattern
+    * ([[Dedup.fingerprintLedger]]): the ledger tells you WHICH rows are
+    * new since the last snapshot; this state absorbs exactly those.
+    *
+    * Cells with no members have no rows (an extension can introduce
+    * them); `centroid_micro` is the running integer mean, NOT the
+    * training-time centroid — serve assignment keeps using the trained
+    * `cents` until [[ivfRetrainAdvice]] says the drift/skew warrants a
+    * retrain. */
+  def ivfIndexState(emb: DataFrame, cents: Array[(Long, Array[Long])],
+      vecCol: String = "embedding"): DataFrame =
+    stateWithCentroid(stateDelta(emb,
+      new graft.functions.IvfIndexMicro(cents.map(_._1), cents.map(_._2)),
+      vecCol))
+
+  /** Absorb new embeddings into an existing [[ivfIndexState]]: assign
+    * the new rows against the SAME trained centroid set, then merge by
+    * integer addition — exact, associative, idempotent-free (call once
+    * per batch of genuinely-new rows; pair with the fingerprint ledger
+    * to establish "new"). Equals [[ivfIndexState]] over the unioned
+    * corpus bit-for-bit. */
+  def extendIvfIndexState(state: DataFrame, newEmb: DataFrame,
+      cents: Array[(Long, Array[Long])],
+      vecCol: String = "embedding"): DataFrame = {
+    val delta = stateDelta(newEmb,
+      new graft.functions.IvfIndexMicro(cents.map(_._1), cents.map(_._2)),
+      vecCol)
+    stateWithCentroid(
+      state.select(col("cell"), col("dim_idx"), col("n_vecs"), col("sum_micro"))
+        .unionByName(delta)
+        .groupBy("cell", "dim_idx")
+        .agg(sum(col("n_vecs")).as("n_vecs"),
+          sum(col("sum_micro")).as("sum_micro")))
+  }
+
+  /** The documented re-train trigger over an [[ivfIndexState]]: per-cell
+    * load relative to the mean cell (10⁶ = exactly mean), flagged when a
+    * cell exceeds `skewBoundMicro` (default 4× mean — the FAISS-style
+    * imbalance bound: a cell holding 4× its share makes its probes 4×
+    * as expensive and signals the trained quantizer no longer fits the
+    * data distribution). All integer arithmetic — replayable. */
+  def ivfRetrainAdvice(state: DataFrame,
+      skewBoundMicro: Long = 4000000L): DataFrame = {
+    val perCell = state.filter(col("dim_idx") === 0)
+      .select(col("cell"), col("n_vecs"))
+    val tot = perCell.agg(sum(col("n_vecs")).as("__t"),
+      count(lit(1)).as("__c"))
+    perCell.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("(n_vecs * __c * 1000000) div greatest(__t, 1)")
+          .as("load_micro"))
+      .withColumn("needs_retrain", col("load_micro") > skewBoundMicro)
+  }
+
   /** Round-half boundary-margin audit for rounded-double score contracts
     * (VERDICT r11 item 2). For every value x in `scores` (column `x`,
     * DOUBLE), the distance of x·10^roundTo to the nearest half-way

@@ -122,8 +122,9 @@ object LlmQueries9 {
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   /** BIT-EXACT oracle fragments mirroring [[graft.functions.ExactMicroOps]]
-    * — see the Spark-side scaladoc for the shared contract. */
-  private object ExactSql {
+    * — see the Spark-side scaladoc for the shared contract. Shared with
+    * the other registries on the exact-micro path (LlmQueries11). */
+  private[queries] object ExactSql {
     /** floor(x·10⁶) micro quantization of a FLOAT[] column. */
     def microList(v: String): String =
       s"list_transform(CAST($v AS DOUBLE[]), x -> CAST(floor(x * 1000000.0) AS BIGINT))"
