@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.LlmQueries9.queries ++
       graft.queries.LlmQueries10.queries ++
       graft.queries.LlmQueries11.queries ++
+      graft.queries.LlmQueries12.queries ++
       graft.queries.PqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.LlmQueries9.oracle ++
       graft.queries.LlmQueries10.oracle ++
       graft.queries.LlmQueries11.oracle ++
+      graft.queries.LlmQueries12.oracle ++
       graft.queries.PqQueries.oracle
 }

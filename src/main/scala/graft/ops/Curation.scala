@@ -603,4 +603,85 @@ object Curation {
       .withColumn("split", assignSplit(col("cluster_rep"), weights, salt))
       .drop("component")
   }
+
+  /** t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007) — the third
+    * leg of the privacy triad after [[kAnonymityAudit]] and
+    * [[lDiversityAudit]], for the attack l-diversity misses: a class can
+    * carry many DISTINCT sensitive values that are all semantically
+    * close (every salary in the class is "high"), so membership still
+    * leaks the attribute. Per quasi-id equivalence class: the Earth
+    * Mover's Distance between the class's sensitive-value distribution
+    * and the GLOBAL distribution, under the ordered-distance ground
+    * metric of the paper (§4.2): for m ordered values,
+    * EMD = (1/(m−1)) · Σ_{i<m} |Σ_{j≤i} (p_j − q_j)|.
+    *
+    * Exact integer arithmetic: with cumulative class count C_i (class
+    * size n) and cumulative global count G_i (total N), each cumulative
+    * mass difference is the exact rational (N·C_i − n·G_i)/(n·N); the
+    * products route through DECIMAL(38,0) so billion-row classes cannot
+    * wrap a Long (same discipline as Preference.btScores), and ONE
+    * integral division at the end yields
+    * emd_micro = ⌊10⁶ · Σ|N·C_i − n·G_i| / ((m−1)·n·N)⌋ — floor
+    * semantics agree across engines on non-negative operands, so the
+    * audit hash-replays in any SQL engine.
+    *
+    * Scale shape: two map-side-combined aggregations (per-class-value
+    * counts; global value counts) plus a class × value-domain expansion
+    * where the value domain is the BOUNDED ordered bucket set (callers
+    * pass a bucketed sensitive column — m ≤ a few hundred), broadcast
+    * against the class relation. The corpus is touched once; everything
+    * downstream is attribute-combination-sized. Missing (class, value)
+    * cells are genuine zeros: the cumulative difference must still be
+    * evaluated at every i, which is why the expansion joins the full
+    * domain instead of only observed cells. */
+  def tClosenessAudit(df: DataFrame, quasiIdCols: Seq[String],
+      sensitiveCol: String, tMicro: Long): DataFrame = {
+    require(quasiIdCols.nonEmpty && tMicro >= 0,
+      "need quasi-id columns and t >= 0")
+    val qs = quasiIdCols.map(col)
+    val base = df.filter(col(sensitiveCol).isNotNull)
+      .select(qs :+ col(sensitiveCol).cast("long").as("__v"): _*)
+    // Global ordered distribution: value -> cumulative count G_i via the
+    // triangular self-join on the BOUNDED value domain (the house
+    // no-global-window pattern, cf. Sketches.ksFromCounts), with domain
+    // size m and total N crossed on from a one-row aggregate.
+    val counts = base.groupBy(col("__v")).agg(count(lit(1)).as("__g"))
+      .localCheckpoint(false) // value-domain sized; feeds cum + totals
+    val gcum = counts.as("x")
+      .join(counts.select(col("__v").as("__v2"), col("__g").as("__g2")),
+        col("__v2") <= col("__v"))
+      .groupBy(col("__v")).agg(sum(col("__g2")).as("__gcum"))
+    val tot = counts.agg(sum(col("__g")).as("__n_total"),
+      count(lit(1)).as("__m"))
+    val global = gcum.crossJoin(broadcast(tot))
+    // Per-class observed counts, then expand to the full value domain so
+    // zero cells contribute their (constant-C_i, growing-G_i) terms.
+    val classCounts = base.groupBy(qs :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val classes = classCounts.groupBy(qs: _*)
+      .agg(sum(col("__c")).as("class_size"))
+    val grid = classes.crossJoin(broadcast(global))
+    val wClass = org.apache.spark.sql.expressions.Window
+      .partitionBy(qs: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val dec = "DECIMAL(38,0)"
+    grid.join(classCounts, quasiIdCols :+ "__v", "left")
+      .withColumn("__ccum", sum(coalesce(col("__c"), lit(0L))).over(wClass))
+      // |N·C_i − n·G_i| in DECIMAL(38,0); the last value (i = m) always
+      // cancels exactly (C_m = n, G_m = N), so summing ALL rows equals
+      // summing i < m.
+      .withColumn("__term", abs(
+        col("__n_total").cast(dec) * col("__ccum").cast(dec) -
+          col("class_size").cast(dec) * col("__gcum").cast(dec)))
+      .groupBy(qs :+ col("class_size") :+ col("__m") :+ col("__n_total"): _*)
+      .agg(sum(col("__term")).as("__num"))
+      // IntegralDivide on non-negative DECIMAL(38,0) operands: floor in
+      // Spark AND DuckDB (//) — the single rounding point of the audit.
+      .withColumn("emd_micro", when(col("__m") <= 1, lit(0L)).otherwise(
+        expr("CAST(__num * 1000000 AS DECIMAL(38,0)) div " +
+          "CAST((__m - 1) * CAST(class_size AS DECIMAL(38,0)) * __n_total " +
+          "AS DECIMAL(38,0))")))
+      .withColumn("at_risk", col("emd_micro") > lit(tMicro))
+      .drop("__num", "__m", "__n_total")
+  }
 }

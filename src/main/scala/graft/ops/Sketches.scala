@@ -829,4 +829,156 @@ object Sketches {
       .select(col(groupCol), col(orderCol), col("x"),
         col("cusum"), (col("cusum") > hCol).as("alarm"))
   }
+
+  // ---------------------------------------------------------------------
+  // Engine-portable KMV / theta sketch (Bar-Yossef et al. RANDOM'02;
+  // Dasgupta et al., "Theta Sketch Framework", 2016): the k MINIMUM
+  // distinct 60-bit hash values of a set. Unlike HLL (union-only), KMV
+  // supports SET OPERATIONS — intersection / difference cardinality
+  // estimates between sketches — which is what answers "how many users
+  // do these two event streams share?" without a corpus-sized join.
+  // Same portability discipline as the HLL/CMS above: md5 + integer
+  // arithmetic only, so registers AND estimates hash-replay in any SQL
+  // engine.
+  // ---------------------------------------------------------------------
+
+  private val KmvSeed = 83
+
+  /** 2^60 — the hash-space size of [[graft.ops.Dedup.hashStr]]. */
+  private val KmvSpace = 1L << 60
+
+  /** Per-group KMV registers: the k smallest DISTINCT hashes of
+    * `valueCol` (fewer if the group has < k distinct values). THIS
+    * relation is the sketch: ≤ k rows per group, built with one
+    * distinct-aggregation + one k-bounded per-group rank, and mergeable
+    * (union two register relations, re-take the k smallest — the
+    * k-min of a union is a function of the two k-mins). The per-group
+    * top-k window is partitioned (never global) and plans as
+    * WindowGroupLimit, so only k rows per group survive the shuffle. */
+  def kmvRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "KMV needs k >= 2")
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(col("h"))
+    df.filter(col(valueCol).isNotNull)
+      .select(gs :+ Dedup.hashStr(col(valueCol).cast("string"), KmvSeed)
+        .as("h"): _*)
+      .groupBy(gs :+ col("h"): _*).agg(count(lit(1)).as("__c"))
+      .drop("__c")
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .withColumn("rank", col("__r").cast("long")).drop("__r")
+  }
+
+  /** Theta-sketch set operations between every PAIR of groups, from the
+    * registers alone (the corpora never meet): for groups A, B with
+    * k-min sketches, θ = the k-th smallest hash of the union of the two
+    * sketches (2^60 when the union carries fewer than k — then the
+    * counts are exact, not estimates). Every surviving hash < θ is a
+    * uniform sample of A ∪ B at rate θ/2^60, so
+    *
+    *   est(A ∩ B) = ⌊|{h < θ in both}| · 2^60 / θ⌋
+    *   est(A ∪ B) = ⌊|{h < θ}| · 2^60 / θ⌋
+    *   est(A \ B) = ⌊|{h < θ in A only}| · 2^60 / θ⌋
+    *
+    * — exact integer arithmetic (counts ≤ k, θ ≤ 2^60: the product
+    * needs DECIMAL(38,0), mirrored HUGEINT in the oracle), one integral
+    * division per estimate, floor-consistent across engines.
+    *
+    * Scale shape: the input is the REGISTER relation (≤ k rows/group).
+    * Pairing is a self-equi-join on the hash value to find common
+    * hashes plus a per-pair θ from a (groups² × k)-bounded union — all
+    * sketch-sized, independent of corpus volume; the group inventory is
+    * assumed bounded (event types, sources — the monitoring regime).
+    * Output: one row per ordered pair (ga < gb). */
+  def kmvSetOps(regs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = regs.select(col(groupCol).as("ga"), col("h"))
+    val b = regs.select(col(groupCol).as("gb"), col("h").as("hb"))
+    // union sketch per pair: all hashes of either side, deduped (a hash
+    // in both sides appears once), ranked ascending → θ = k-th, or
+    // 2^60 if the union is smaller than k
+    val pairs = a.select(col("ga")).distinct()
+      .join(b.select(col("gb")).distinct(), col("ga") < col("gb"))
+    val unioned = pairs.join(a, Seq("ga"))
+      .select(col("ga"), col("gb"), col("h"))
+      .union(pairs.join(b.select(col("gb"), col("hb").as("h")), Seq("gb"))
+        .select(col("ga"), col("gb"), col("h")))
+      .distinct()
+    val wPair = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    val theta = unioned
+      .withColumn("__r", row_number().over(wPair))
+      .groupBy(col("ga"), col("gb"))
+      .agg(max(when(col("__r") === k, col("h"))).as("__thk"),
+        count(lit(1)).as("__nu"))
+      .withColumn("theta", coalesce(col("__thk"), lit(KmvSpace)))
+      .select(col("ga"), col("gb"), col("theta"))
+    // membership flags per surviving hash below θ
+    val inA = a.withColumn("__ia", lit(1L))
+    val inB = b.select(col("gb"), col("hb").as("h"))
+      .withColumn("__ib", lit(1L))
+    val flags = unioned
+      .join(theta, Seq("ga", "gb"))
+      .filter(col("h") < col("theta"))
+      .join(inA, Seq("ga", "h"), "left")
+      .join(inB, Seq("gb", "h"), "left")
+      .select(col("ga"), col("gb"), col("theta"),
+        coalesce(col("__ia"), lit(0L)).as("ia"),
+        coalesce(col("__ib"), lit(0L)).as("ib"))
+    val dec = "DECIMAL(38,0)"
+    flags.groupBy(col("ga"), col("gb"), col("theta"))
+      .agg(sum(col("ia") * col("ib")).as("n_common"),
+        count(lit(1)).as("n_union"),
+        sum(col("ia") * (lit(1L) - col("ib"))).as("n_only_a"))
+      .withColumn("est_inter", expr(
+        s"CAST(CAST(n_common AS $dec) * $KmvSpace div theta AS BIGINT)"))
+      .withColumn("est_union", expr(
+        s"CAST(CAST(n_union AS $dec) * $KmvSpace div theta AS BIGINT)"))
+      .withColumn("est_diff_a", expr(
+        s"CAST(CAST(n_only_a AS $dec) * $KmvSpace div theta AS BIGINT)"))
+  }
+
+  /** DuckDB replay of [[kmvRegisters]] + [[kmvSetOps]] over a table
+    * (kept adjacent per the T.sql convention). */
+  def kmvSetOpsSql(table: String, groupCol: String, valueExpr: String,
+      k: Int): String =
+    s"""WITH hsrc AS (SELECT DISTINCT $groupCol AS g,
+       |    CAST('0x' || substring(md5('$KmvSeed|' || CAST($valueExpr AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS h
+       |  FROM $table WHERE $valueExpr IS NOT NULL),
+       |regs AS (SELECT g, h FROM (SELECT g, h,
+       |    row_number() OVER (PARTITION BY g ORDER BY h) AS r FROM hsrc)
+       |  WHERE r <= $k),
+       |pairs AS (SELECT DISTINCT a.g AS ga, b.g AS gb
+       |  FROM regs a, regs b WHERE a.g < b.g),
+       |unioned AS (
+       |  SELECT DISTINCT ga, gb, h FROM (
+       |    SELECT p.ga, p.gb, r.h FROM pairs p JOIN regs r ON r.g = p.ga
+       |    UNION ALL
+       |    SELECT p.ga, p.gb, r.h FROM pairs p JOIN regs r ON r.g = p.gb)),
+       |theta AS (SELECT ga, gb,
+       |    coalesce(max(CASE WHEN r = $k THEN h END), ${KmvSpace}) AS theta
+       |  FROM (SELECT ga, gb, h,
+       |      row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+       |    FROM unioned) GROUP BY ga, gb),
+       |flags AS (SELECT u.ga, u.gb, t.theta,
+       |    CASE WHEN ra.h IS NULL THEN 0 ELSE 1 END AS ia,
+       |    CASE WHEN rb.h IS NULL THEN 0 ELSE 1 END AS ib
+       |  FROM unioned u JOIN theta t ON t.ga = u.ga AND t.gb = u.gb
+       |  LEFT JOIN regs ra ON ra.g = u.ga AND ra.h = u.h
+       |  LEFT JOIN regs rb ON rb.g = u.gb AND rb.h = u.h
+       |  WHERE u.h < t.theta)
+       |SELECT ga, gb, theta,
+       |  CAST(sum(ia * ib) AS BIGINT) AS n_common,
+       |  CAST(count(*) AS BIGINT) AS n_union,
+       |  CAST(sum(ia * (1 - ib)) AS BIGINT) AS n_only_a,
+       |  CAST(CAST(sum(ia * ib) AS HUGEINT) * $KmvSpace // theta AS BIGINT)
+       |    AS est_inter,
+       |  CAST(CAST(count(*) AS HUGEINT) * $KmvSpace // theta AS BIGINT)
+       |    AS est_union,
+       |  CAST(CAST(sum(ia * (1 - ib)) AS HUGEINT) * $KmvSpace // theta AS BIGINT)
+       |    AS est_diff_a
+       |FROM flags GROUP BY ga, gb, theta
+       |ORDER BY ga, gb""".stripMargin
 }

@@ -1795,4 +1795,79 @@ object TextAnalysis {
       .withColumn("oov_frac_micro",
         expr(s"($unit * n_oov) div greatest(n_tokens, 1)"))
   }
+
+  /** TextRank extractive sentence ranking (Mihalcea & Tarau, EMNLP
+    * 2004): sentences are graph nodes, edges weight lexical overlap,
+    * and the per-document summary is the top-`topK` sentences by
+    * weighted PageRank ([[Components.weightedPageRank]] — the same
+    * integer-unit kernel as `graph_weighted_rank`, so the iteration
+    * replays engine-exactly).
+    *
+    * Deviations from the paper, both deterministic by design: edge
+    * weight is the exact rational ⌊2·10⁶·|common tokens| /
+    * (|toks_a| + |toks_b|)⌋ instead of overlap/(log|a|+log|b|) (logs
+    * are not integer-replayable; the Dice-style normalizer keeps the
+    * same monotonicity), and sentences with NO lexical overlap inside
+    * their document are absent from the graph and therefore unranked
+    * (they cannot enter a summary that scores connectivity).
+    *
+    * Scale shape: sentence explode is map-only; the overlap join is
+    * keyed (doc, token) so nothing crosses documents and a document's
+    * cost is bounded by its own sentence clique — the same per-doc
+    * quadratic every pairwise-sentence method carries, bounded by doc
+    * length, never corpus-sized. The rank iteration runs on the union
+    * of per-doc graphs at once (edge relation ∝ corpus, node ids
+    * encode (doc, sentence)); top-K is a per-doc window. */
+  def textRankSentences(docs: DataFrame, topK: Int, iters: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    textRankFrom(
+      docs.select(col(idCol),
+        posexplode(split(col(textCol), "\\.\\s+")).as(Seq("sent_idx", "sentence"))),
+      topK, iters, idCol)
+
+  /** [[textRankSentences]] over a caller-built sentence relation
+    * (idCol, sent_idx, sentence) — the entry point when the sentence
+    * notion isn't period-delimited (fixed-token pseudo-sentences for
+    * unpunctuated corpora, transcript turns, code lines). */
+  def textRankFrom(sentsIn: DataFrame, topK: Int, iters: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, "topK must be positive")
+    val sents = sentsIn
+      .select(col(idCol).cast("long").as("doc"),
+        col("sent_idx").cast("long").as("idx"),
+        trim(lower(col("sentence"))).as("__s"))
+      .filter(col("__s") =!= "")
+      // node id encodes (doc, sentence) in one long; 1000 sentences per
+      // doc is the documented envelope (summarization inputs are
+      // documents, not books — beyond it, chunk first)
+      .filter(col("idx") < 1000)
+      .withColumn("node", expr("doc * 1000 + idx"))
+    val toks = sents
+      .select(col("doc"), col("node"),
+        explode(split(col("__s"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val nw = toks.groupBy(col("node")).agg(count(lit(1)).as("__nw"))
+    val overlap = toks.as("a")
+      .join(toks.select(col("doc"), col("node").as("__nb"),
+        col("tok")), Seq("doc", "tok"))
+      .filter(col("node") < col("__nb"))
+      .groupBy(col("node"), col("__nb")).agg(count(lit(1)).as("__ov"))
+    val edges = overlap
+      .join(nw.select(col("node"), col("__nw").as("__na")), Seq("node"))
+      .join(nw.select(col("node").as("__nb"), col("__nw").as("__nbw")),
+        Seq("__nb"))
+      .select(col("node").as("src"), col("__nb").as("dst"),
+        expr("(2000000 * __ov) div (__na + __nbw)").as("weight"))
+      .filter(col("weight") > 0)
+    val sym = edges.unionByName(edges.select(col("dst").as("src"),
+      col("src").as("dst"), col("weight")))
+    val pr = Components.weightedPageRank(sym, iters)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pr").desc, col("sent_idx"))
+    pr.select(expr("id div 1000").as("doc_id"),
+        pmod(col("id"), lit(1000L)).as("sent_idx"), col("pr"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }

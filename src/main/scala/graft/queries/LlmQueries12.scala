@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.ops.{Curation, Sketches, TextAnalysis, Valuation}
+import LlmQueries9.ExactSql
+
+/** Round-12 registry: four new first-class pipeline operators —
+  * t-closeness (completing the privacy-audit triad), KMV/theta-sketch
+  * set operations (the set-intersection estimate HLL cannot give),
+  * exact KNN-Shapley training-data valuation, and TextRank extractive
+  * sentence ranking over the shared weighted-PageRank kernel. All four
+  * follow the integer-exact oracle discipline: md5 hashes, micro/nano
+  * fixed-point, floor divisions of non-negative magnitudes only.
+  */
+object LlmQueries12 {
+
+  /** t-closeness audit of documents metadata under quasi-identifiers
+    * (lang, source) with the ordered sensitive attribute
+    * n_chars div 200 at t = 0.15 ([[Curation.tClosenessAudit]]) — the
+    * release gate for the attack l-diversity misses (many distinct but
+    * semantically close sensitive values). */
+  def privacyTCloseness(spark: SparkSession, dir: String): DataFrame =
+    Curation.tClosenessAudit(
+        T.t(spark, dir, "documents")
+          .withColumn("len_bucket", expr("n_chars div 200")),
+        Seq("lang", "source"), "len_bucket", tMicro = 150000L)
+      .orderBy(col("lang"), col("source"))
+
+  /** Theta-sketch set operations between per-event-type user sets
+    * ([[Sketches.kmvRegisters]] k = 64 → [[Sketches.kmvSetOps]]):
+    * estimated |A∩B| / |A∪B| / |A∖B| for every event-type pair from
+    * the 64-row sketches alone — the audience-overlap question a
+    * union-only HLL cannot answer without a corpus-sized join. */
+  def sketchThetaSetops(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    Sketches.kmvSetOps(
+        Sketches.kmvRegisters(ev, Seq("event_type"), "user_id", k = 64),
+        "event_type", k = 64)
+      .orderBy(col("ga"), col("gb"))
+  }
+
+  /** Exact KNN-Shapley data valuation ([[Valuation.knnShapley]],
+    * Jia et al. PVLDB'19): value of every training embedding against
+    * the held-out panel vec_id ≡ 0 (mod 25), K = 5 — which corpus
+    * vectors help (positive) or hurt (negative) a 5-NN classifier on
+    * the eval labels, summed in exact nano units. */
+  def valueKnnShapley(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    Valuation.knnShapley(
+        T.par(spark, emb.filter(col("vec_id") % 25 =!= 0)),
+        emb.filter(col("vec_id") % 25 === 0), k = 5)
+      .orderBy(col("train_id"))
+  }
+
+  /** TextRank extractive summaries ([[TextAnalysis.textRankFrom]]):
+    * top-2 sentences per document by weighted PageRank over the
+    * per-doc lexical-overlap graph. The corpus is unpunctuated, so
+    * sentences are the deterministic 8-token pseudo-sentences (raw
+    * token offset div 8 — the [[graft.ops.Chunking]] convention),
+    * which is exactly the fixed-window fallback a production
+    * summarizer uses on transcript-like text. */
+  def textTextrank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val sents = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+"))
+          .as(Seq("ti", "tok")))
+      .withColumn("sent_idx", expr("ti div 8"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("sent_idx"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("ti"), col("tok")))),
+        x => x.getField("tok")), " ").as("sentence"))
+    TextAnalysis.textRankFrom(sents, topK = 2)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_t_closeness" -> (privacyTCloseness _),
+    "sketch_theta_setops" -> (sketchThetaSetops _),
+    "value_knn_shapley" -> (valueKnnShapley _),
+    "text_textrank_sentences" -> (textTextrank _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Triangular-join cumulatives over the bounded value domain, then
+    // the exact EMD rational per class: Σ|N·C_i − n·G_i| scaled to
+    // micro by ONE floor division (HUGEINT mirrors Spark's
+    // DECIMAL(38,0) route).
+    "privacy_t_closeness" ->
+      """WITH base AS (SELECT lang, source, n_chars // 200 AS v FROM documents),
+        |counts AS (SELECT v, CAST(count(*) AS BIGINT) AS g FROM base GROUP BY v),
+        |gcum AS (SELECT a.v, CAST(sum(b.g) AS BIGINT) AS gcum
+        |         FROM counts a JOIN counts b ON b.v <= a.v GROUP BY a.v),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total,
+        |               CAST(count(*) AS BIGINT) AS m FROM counts),
+        |cc AS (SELECT lang, source, v, CAST(count(*) AS BIGINT) AS c
+        |       FROM base GROUP BY 1, 2, 3),
+        |cls AS (SELECT lang, source, CAST(sum(c) AS BIGINT) AS class_size
+        |        FROM cc GROUP BY 1, 2),
+        |cum AS (SELECT g.lang, g.source, g.class_size, gc.v, gc.gcum,
+        |    sum(coalesce(cc.c, 0)) OVER (PARTITION BY g.lang, g.source
+        |      ORDER BY gc.v) AS ccum
+        |  FROM cls g CROSS JOIN gcum gc
+        |  LEFT JOIN cc ON cc.lang = g.lang AND cc.source = g.source
+        |    AND cc.v = gc.v),
+        |terms AS (SELECT lang, source, class_size, t.m, t.n_total,
+        |    abs(CAST(t.n_total AS HUGEINT) * ccum
+        |        - CAST(class_size AS HUGEINT) * gcum) AS term
+        |  FROM cum CROSS JOIN tot t),
+        |agg AS (SELECT lang, source, class_size, m, n_total,
+        |    sum(term) AS num FROM terms GROUP BY 1, 2, 3, 4, 5)
+        |SELECT lang, source, class_size,
+        |  CAST(CASE WHEN m <= 1 THEN 0 ELSE
+        |    (num * 1000000) // ((m - 1) * CAST(class_size AS HUGEINT) * n_total)
+        |  END AS BIGINT) AS emd_micro,
+        |  CASE WHEN m <= 1 THEN 0 ELSE
+        |    (num * 1000000) // ((m - 1) * CAST(class_size AS HUGEINT) * n_total)
+        |  END > 150000 AS at_risk
+        |FROM agg ORDER BY lang, source""".stripMargin,
+    "sketch_theta_setops" ->
+      (Sketches.kmvSetOpsSql("events", "event_type", "user_id", 64)),
+    // Pairwise integer-micro cosine (the shared ExactSql kernel), rank
+    // per test point, the closed-form nano terms (floor of non-negative
+    // magnitudes, then signed), suffix-sum, and the per-train aggregate.
+    "value_knn_shapley" ->
+      s"""WITH corp AS (
+         |  SELECT vec_id, label, vm, ${ExactSql.idot("vm", "vm")} AS nsq
+         |  FROM (SELECT vec_id, label, ${ExactSql.microList("embedding")} AS vm
+         |        FROM embeddings)),
+         |tr AS (SELECT * FROM corp WHERE vec_id % 25 <> 0),
+         |te AS (SELECT * FROM corp WHERE vec_id % 25 = 0),
+         |scored AS (
+         |  ${ExactSql.cosMicroOver(
+             """SELECT t.vec_id AS train_id, q.vec_id AS test_id,
+               |      CASE WHEN t.label = q.label THEN 1 ELSE 0 END AS alpha,
+               |      """.stripMargin + ExactSql.idot("t.vm", "q.vm") +
+             """ AS dt, CAST(t.nsq AS HUGEINT) * q.nsq AS nn
+               |    FROM tr t CROSS JOIN te q""".stripMargin,
+             "train_id, test_id, alpha")}),
+         |ranked AS (SELECT train_id, test_id, alpha,
+         |    row_number() OVER (PARTITION BY test_id
+         |      ORDER BY sim DESC, train_id) AS rank,
+         |    count(*) OVER (PARTITION BY test_id) AS n
+         |  FROM scored),
+         |terms AS (SELECT *, lead(alpha) OVER (PARTITION BY test_id
+         |      ORDER BY rank) AS anext
+         |  FROM ranked),
+         |contrib AS (SELECT train_id, test_id, rank,
+         |    CASE WHEN anext IS NULL THEN alpha * (1000000000 // n)
+         |         ELSE (alpha - anext) *
+         |           ((least(5, rank) * 1000000000) // (5 * rank))
+         |    END AS term
+         |  FROM terms),
+         |shap AS (SELECT train_id, test_id,
+         |    sum(term) OVER (PARTITION BY test_id ORDER BY rank DESC)
+         |      AS shap_nano
+         |  FROM contrib)
+         |SELECT train_id, CAST(count(*) AS BIGINT) AS n_tests,
+         |  CAST(sum(shap_nano) AS BIGINT) AS shap_nano_sum
+         |FROM shap GROUP BY train_id ORDER BY train_id""".stripMargin,
+    // Sentence explode → distinct whitespace tokens → per-doc overlap
+    // clique → Dice-micro weights → the graph_weighted_rank iteration
+    // replay (same u0/damping integer arithmetic) → top-2 per doc.
+    "text_textrank_sentences" -> {
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS id,
+           |    CAST(sum((CAST(p.pr AS HUGEINT) * e.w) // o.st) AS BIGINT)
+           |      AS s
+           |  FROM edges e JOIN p${i - 1} p ON p.id = e.src
+           |  JOIN st o ON o.src = e.src
+           |  GROUP BY e.dst),
+           |p$i AS (SELECT n.id,
+           |    (3 * (SELECT u0 FROM k)) // 20
+           |      + (17 * coalesce(c.s, 0)) // 20 AS pr
+           |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t0 AS (SELECT doc_id, CAST(r.i AS INTEGER) AS ti,
+         |    sp[CAST(r.i + 1 AS INTEGER)] AS tok
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS sp
+         |        FROM documents)
+         |  CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(0, len(sp) - 1)) AS i) r),
+         |toks AS (SELECT DISTINCT t0.doc_id, t0.doc_id * 1000 + t0.ti // 8 AS node,
+         |    t0.tok
+         |  FROM t0 WHERE t0.tok <> '' AND t0.ti // 8 < 1000),
+         |nw AS (SELECT node, CAST(count(*) AS BIGINT) AS nw
+         |  FROM toks GROUP BY 1),
+         |ov AS (SELECT a.node AS na, b.node AS nb,
+         |    CAST(count(*) AS BIGINT) AS ov
+         |  FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.node < b.node
+         |  GROUP BY 1, 2),
+         |e0 AS (SELECT na, nb, (2000000 * ov) // (wa.nw + wb.nw) AS w
+         |  FROM ov JOIN nw wa ON wa.node = ov.na
+         |  JOIN nw wb ON wb.node = ov.nb),
+         |edges AS (SELECT na AS src, nb AS dst, w FROM e0 WHERE w > 0
+         |  UNION ALL
+         |  SELECT nb, na, w FROM e0 WHERE w > 0),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |k AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS u0
+         |  FROM nodes),
+         |st AS (SELECT src, CAST(sum(w) AS BIGINT) AS st
+         |  FROM edges GROUP BY 1),
+         |p0 AS (SELECT id, (SELECT u0 FROM k) AS pr FROM nodes),
+         |$iterCtes,
+         |fin AS (SELECT id // 1000 AS doc_id, id % 1000 AS sent_idx,
+         |    CAST(pr AS BIGINT) AS pr,
+         |    row_number() OVER (PARTITION BY id // 1000
+         |      ORDER BY pr DESC, id % 1000) AS rank
+         |  FROM p3)
+         |SELECT doc_id, sent_idx, pr, CAST(rank AS BIGINT) AS rank
+         |FROM fin WHERE rank <= 2
+         |ORDER BY doc_id, rank""".stripMargin
+    },
+  )
+}

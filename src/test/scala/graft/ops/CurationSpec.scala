@@ -472,4 +472,45 @@ class CurationSpec extends SparkSpec {
       ("en", "web", 5L, 1L, true),
       ("en", "books", 3L, 3L, false)), got.toString)
   }
+
+  test("tClosenessAudit: hand-computed ordered EMD, skew flagged, centered class passes") {
+    import spark.implicits._
+    // values 0/1/2; global counts (3,1,3), N=7, m=3, cum G = (3,4,7)
+    //  A = [0,0]    : C=(2,2,2) -> |14-6|? terms |7·2−2·3|,|14−8|,0 = 8+6 = 14
+    //  B = [2,2]    : C=(0,0,2) -> 6+8 = 14
+    //  C = [0,1,2]  : C=(1,2,3) -> 2+2 = 4
+    val df = (Seq(("A", 0L), ("A", 0L), ("B", 2L), ("B", 2L),
+        ("C", 0L), ("C", 1L), ("C", 2L))).toDF("q", "v")
+    val got = Curation.tClosenessAudit(df, Seq("q"), "v", tMicro = 200000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(
+      ("A", 2L, 14L * 1000000L / 28L, true),   // 500000
+      ("B", 2L, 500000L, true),
+      ("C", 3L, 4L * 1000000L / 42L, false)),  // 95238
+      got.toString)
+    // partition-invariance (the windows and joins carry no order dependence)
+    val got2 = Curation.tClosenessAudit(df.repartition(5), Seq("q"), "v",
+        tMicro = 200000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got2 == got)
+  }
+
+  test("tClosenessAudit: a class missing interior values still accumulates their terms") {
+    import spark.implicits._
+    // class D observes only the extremes 0 and 4 of a 0..4 domain — the
+    // interior grid rows (1,2,3) must still contribute |N·C−n·G| terms
+    val df = ((0L to 4L).map(v => ("bg", v)) ++ Seq(("D", 0L), ("D", 4L)))
+      .toDF("q", "v")
+    // global counts: each of 0..4 once, plus D's 0 and 4 -> (2,1,1,1,2), N=7
+    // G cum = (2,3,4,5,7); D: C cum = (1,1,1,1,2), n=2
+    // terms: |7−4|=3, |7−6|=1, |7−8|=1, |7−10|=3, |14−14|=0 -> Σ=8
+    // emd = 8e6 // (4·2·7) = 142857
+    val d = Curation.tClosenessAudit(df, Seq("q"), "v", tMicro = 100000L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(d("D") == 142857L, d.toString)
+  }
 }

@@ -399,4 +399,59 @@ class SketchesSpec extends SparkSpec {
       .map { case (s, i) => (i + 1) -> s }.toMap
     assert(base == expect)
   }
+
+  test("kmv set ops: k above both cardinalities makes every estimate exact") {
+    import spark.implicits._
+    // A = 1..30, B = 20..50: |A∩B| = 11, |A∪B| = 50, |A\B| = 19.
+    // With k = 64 > 50 the union sketch holds everything, θ = 2^60, and
+    // each estimate collapses to the exact count.
+    val df = ((1L to 30L).map(("A", _)) ++ (20L to 50L).map(("B", _)))
+      .toDF("g", "u")
+    val regs = Sketches.kmvRegisters(df, Seq("g"), "u", k = 64)
+    val out = Sketches.kmvSetOps(regs, "g", k = 64).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("theta") == (1L << 60))
+    assert(r.getAs[Long]("est_inter") == 11L)
+    assert(r.getAs[Long]("est_union") == 50L)
+    assert(r.getAs[Long]("est_diff_a") == 19L)
+  }
+
+  test("kmv registers are k-bounded, sorted-minimal, and mergeable") {
+    import spark.implicits._
+    val df = (1L to 500L).map(("A", _)).toDF("g", "u")
+    val regs = Sketches.kmvRegisters(df, Seq("g"), "u", k = 32).collect()
+    assert(regs.length == 32)
+    val hs = regs.map(_.getAs[Long]("h")).sorted
+    // merging two half-sketches re-minimizes to the full sketch
+    val h1 = Sketches.kmvRegisters(
+      (1L to 250L).map(("A", _)).toDF("g", "u"), Seq("g"), "u", k = 32)
+    val h2 = Sketches.kmvRegisters(
+      (251L to 500L).map(("A", _)).toDF("g", "u"), Seq("g"), "u", k = 32)
+    // merge = union of register hashes + per-group k smallest
+    val direct = h1.select(col("g"), col("h"))
+      .unionByName(h2.select(col("g"), col("h")))
+      .distinct().orderBy(col("h")).limit(32)
+      .collect().map(_.getAs[Long]("h")).sorted
+    assert(direct.toSeq == hs.toSeq)
+  }
+
+  test("kmv estimates land inside the published k-min error envelope") {
+    import spark.implicits._
+    // overlapping ranges with true |A∩B| = 1000, |A∪B| = 3000
+    val df = ((1L to 2000L).map(("A", _)) ++ (1001L to 3000L).map(("B", _)))
+      .toDF("g", "u")
+    val regs = Sketches.kmvRegisters(df, Seq("g"), "u", k = 64)
+    val r = Sketches.kmvSetOps(regs, "g", k = 64).collect().head
+    // rse ≈ 1/√(k−1) ≈ 12.6%; assert 4σ envelopes
+    assert(math.abs(r.getAs[Long]("est_union") - 3000L) < 1600,
+      s"union est ${r.getAs[Long]("est_union")}")
+    assert(math.abs(r.getAs[Long]("est_inter") - 1000L) < 700,
+      s"inter est ${r.getAs[Long]("est_inter")}")
+    // internal consistency: inter + diff_a ≤ union estimate + slack from
+    // the shared θ (they count the same sample, so it's exact equality
+    // on the counts: n_common + n_only_a + n_only_b = n_union)
+    assert(r.getAs[Long]("n_common") + r.getAs[Long]("n_only_a") <=
+      r.getAs[Long]("n_union"))
+  }
 }

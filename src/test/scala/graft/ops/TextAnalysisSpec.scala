@@ -811,4 +811,34 @@ class TextAnalysisSpec extends SparkSpec {
       .toSet
     assert(got == expected)
   }
+
+  test("textRank: the hub sentence ranks first; isolated sentences never rank") {
+    import spark.implicits._
+    // s0 overlaps s1 AND s2; s1/s2 share nothing; s3 is isolated.
+    val docs = Seq(
+      (1L, "alpha beta. alpha gamma delta. beta epsilon zeta. totally different words.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.textRankSentences(docs, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // only the three connected sentences rank, hub s0 first
+    assert(out.map(_._2).toSet == Set(0L, 1L, 2L), out.mkString(","))
+    assert(out.find(_._3 == 1L).get._2 == 0L, out.mkString(","))
+  }
+
+  test("textRank is per-doc (no cross-doc edges) and deterministic under repartition") {
+    import spark.implicits._
+    // same words in both docs: if edges crossed docs the ranks would move
+    val docs = Seq(
+      (1L, "spark join window. spark shuffle."),
+      (2L, "spark join window. spark shuffle. unrelated closing words."))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.textRankSentences(docs, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(a.map(_._1).distinct.toSeq == Seq(1L, 2L))
+    val b = TextAnalysis.textRankSentences(docs.repartition(4), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(a.toSeq == b.toSeq)
+  }
 }

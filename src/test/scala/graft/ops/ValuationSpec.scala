@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ValuationSpec extends SparkSpec {
+
+  private def emb(rows: Seq[(Long, Seq[Double], Long)]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "emb_d", "label")
+      .select(col("vec_id"), col("emb_d").cast("array<float>").as("embedding"),
+        col("label"))
+  }
+
+  test("knnShapley: all-match panel gives every train point 1/N in nano") {
+    val train = emb(Seq((1L, Seq(0.9, 0.1), 7L), (2L, Seq(0.5, 0.5), 7L),
+      (3L, Seq(0.1, 0.9), 7L)))
+    val test = emb(Seq((100L, Seq(1.0, 0.0), 7L)))
+    val out = Valuation.knnShapley(train, test, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // α_i = 1 ∀i → recursion collapses to s_i = ⌊10⁹/3⌋ everywhere
+    assert(out == Map(1L -> 333333333L, 2L -> 333333333L, 3L -> 333333333L))
+  }
+
+  test("knnShapley: no-match panel gives exactly zero everywhere") {
+    val train = emb(Seq((1L, Seq(0.9, 0.1), 1L), (2L, Seq(0.1, 0.9), 2L)))
+    val test = emb(Seq((100L, Seq(1.0, 0.0), 7L)))
+    val out = Valuation.knnShapley(train, test, k = 1)
+      .collect().map(r => r.getLong(2))
+    assert(out.toSeq == Seq(0L, 0L))
+  }
+
+  test("knnShapley K=1, N=2: matches the hand-derived closed form, sign included") {
+    val test = emb(Seq((100L, Seq(1.0, 0.0), 7L)))
+    // near point matches, far point does not: s_near = 1, s_far = 0
+    val t1 = emb(Seq((1L, Seq(0.9, 0.1), 7L), (2L, Seq(0.1, 0.9), 5L)))
+    val o1 = Valuation.knnShapley(t1, test, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(o1 == Map(1L -> 1000000000L, 2L -> 0L))
+    // near point mismatches, far point matches: s_near = −1/2, s_far = +1/2
+    val t2 = emb(Seq((1L, Seq(0.9, 0.1), 5L), (2L, Seq(0.1, 0.9), 7L)))
+    val o2 = Valuation.knnShapley(t2, test, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(o2 == Map(1L -> -500000000L, 2L -> 500000000L))
+  }
+
+  test("knnShapley sums panels and is partition-invariant") {
+    val train = emb((1L to 40L).map(i =>
+      (i, Seq(math.cos(i.toDouble), math.sin(i.toDouble)), i % 3)))
+    val test = emb(Seq((100L, Seq(1.0, 0.0), 0L), (101L, Seq(0.0, 1.0), 1L)))
+    val a = Valuation.knnShapley(train, test, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.forall(_._2 == 2L)) // both test points scored every train point
+    val b = Valuation.knnShapley(train.repartition(7), test, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+}
