@@ -416,6 +416,103 @@ object Multimodal {
       }
   }
 
+  /** Integer DCT-II basis table for [[imagePHash]]: T(k, n) =
+    * round(cos(π·(2n+1)·k/64) · 2¹⁴) over the 32-point transform,
+    * computed with StrictMath (bit-identical on every JVM/platform) and
+    * emitted LITERALLY into the oracle SQL by [[phashDctTableSql]] —
+    * the table IS the contract, so no engine ever evaluates a cosine. */
+  lazy val PhashDctTable: Array[Array[Long]] = Array.tabulate(32, 32) {
+    (k, n) => math.round(
+      StrictMath.cos(StrictMath.PI * (2 * n + 1) * k / 64.0) * 16384.0)
+  }
+
+  /** The [[PhashDctTable]] as a SQL VALUES body `(k, n, c), …` for the
+    * DuckDB replay (kept adjacent per the T.sql convention). */
+  def phashDctTableSql: String =
+    (for { k <- 0 until 32; n <- 0 until 32 }
+      yield s"($k, $n, ${PhashDctTable(k)(n)})").mkString(", ")
+
+  /** Perceptual DCT hash (pHash, Krawetz's third classic next to
+    * [[imageAHash]]/[[imageDHash]] — robust to the global gamma and
+    * local-noise edits that flip aHash bits, because it thresholds the
+    * image's low-frequency SPECTRUM, not its pixels):
+    *
+    *  1. the image reduces to a 32×32 matrix of floor-mean integer
+    *     milli-lumas (same floor block mapping as aHash — exact, no
+    *     resampling kernel);
+    *  2. a 2-D integer DCT-II (the [[PhashDctTable]] basis, F = T·P·Tᵀ)
+    *     keeps the top-left 8×8 low-frequency block;
+    *  3. each of the 63 AC coefficients compares against their integer
+    *     MEDIAN (the 32nd smallest — pure comparisons, no float).
+    *
+    * Every step is exact 64-bit integer arithmetic (envelope: stage-1
+    * sums ≤ 32·255000·2¹⁴ ≈ 1.3·10¹¹, stage-2 ≤ 32·that·2¹⁴ ≈ 7·10¹⁶),
+    * so the 63-char bit string replays verbatim in SQL from the same
+    * table. */
+  def imagePHash(img: java.awt.image.BufferedImage): String = {
+    val w = img.getWidth; val h = img.getHeight
+    val bs = new Array[Long](32 * 32)
+    val bp = new Array[Long](32 * 32)
+    var y = 0
+    while (y < h) {
+      val by = y * 32 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 32 / w
+        val rgb = img.getRGB(x, y)
+        val luma = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        bs(by * 32 + bx) += luma
+        bp(by * 32 + bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val p = Array.tabulate(32, 32)((r, c) =>
+      bs(r * 32 + c) / math.max(1L, bp(r * 32 + c)))
+    val t = PhashDctTable
+    // tmp(u, x) = Σ_y T(u, y) · P(y, x) — only u < 8 feeds the hash
+    val tmp = Array.tabulate(8, 32) { (u, x) =>
+      var s = 0L; var yy = 0
+      while (yy < 32) { s += t(u)(yy) * p(yy)(x); yy += 1 }
+      s
+    }
+    // F(u, v) = Σ_x tmp(u, x) · T(v, x), top-left 8×8
+    val f = Array.tabulate(8, 8) { (u, v) =>
+      var s = 0L; var xx = 0
+      while (xx < 32) { s += tmp(u)(xx) * t(v)(xx); xx += 1 }
+      s
+    }
+    val ac = (for { u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0 }
+      yield f(u)(v)).toArray
+    val med = ac.sorted.apply(31) // 32nd smallest of 63
+    val sb = new StringBuilder(63)
+    ac.foreach(c => sb.append(if (c > med) '1' else '0'))
+    sb.toString
+  }
+
+  /** Per-image pHash row; undecodable rows quarantine (width = -1,
+    * empty hash) — the shared multimodal contract. */
+  case class ImagePHash(doc_id: Long, width: Int, height: Int, phash: String)
+
+  /** Partition-wise [[imagePHash]] extraction — same shape and
+    * quarantine contract as [[extractImageAHashes]]: only the 63-char
+    * hash shuffles, never image bytes. */
+  def extractImagePHashes(spark: SparkSession,
+      media: DataFrame): Dataset[ImagePHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("mime")).as[MediaItem]
+      .mapPartitions { items =>
+        items.map { it =>
+          decodeImage(Option(it.media).getOrElse(Array.emptyByteArray)) match {
+            case Some(img) =>
+              ImagePHash(it.doc_id, img.getWidth, img.getHeight, imagePHash(img))
+            case None => ImagePHash(it.doc_id, -1, -1, "")
+          }
+        }
+      }
+  }
+
   /** Deterministic grayscale PNG from a seed — the image-path signal
     * generator (pixel (x, y) = (seed·13 + x·31 + y·7) mod 256 on all
     * three channels), encoded through the JDK's own lossless PNG

@@ -77,11 +77,35 @@ object LlmQueries12 {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** DCT perceptual-hash dedup ([[graft.multimodal.Multimodal.imagePHash]])
+    * — the spectral sibling of `mm_image_ahash_dedup`/`mm_image_dhash_dedup`
+    * over the same synthesized-PNG corpus: real JDK decode per partition,
+    * integer 2-D DCT against the StrictMath-generated basis table, 63 AC
+    * bits vs their median, exact-hash clustering. */
+  def mmImagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val ids = T.t(spark, dir, "documents")
+      .filter(col("doc_id") <= 300).select(col("doc_id")).as[Long]
+    val media = ids.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(id =>
+        (id, Multimodal.synthPng(id % 40, 32, 24), "image/png")))
+      .toDF("doc_id", "media", "mime")
+    val hashed = Multimodal.extractImagePHashes(spark, media).toDF()
+    val cl = hashed.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("cluster_id"))
+    hashed.join(cl, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_t_closeness" -> (privacyTCloseness _),
     "sketch_theta_setops" -> (sketchThetaSetops _),
     "value_knn_shapley" -> (valueKnnShapley _),
     "text_textrank_sentences" -> (textTextrank _),
+    "mm_image_phash_dedup" -> (mmImagePhashDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -122,6 +146,43 @@ object LlmQueries12 {
         |FROM agg ORDER BY lang, source""".stripMargin,
     "sketch_theta_setops" ->
       (Sketches.kmvSetOpsSql("events", "event_type", "user_id", 64)),
+    // Pixel formula → 32×32 floor-mean milli-luma blocks → two integer
+    // DCT stages against the embedded basis table → median-thresholded
+    // AC bits → exact-hash clusters. The basis VALUES are generated
+    // from the SAME StrictMath table the Scala kernel uses.
+    "mm_image_phash_dedup" ->
+      s"""WITH ids AS (SELECT doc_id, doc_id % 40 AS seed
+         |  FROM documents WHERE doc_id <= 300),
+         |px AS (SELECT doc_id, x.range AS x, y.range AS y,
+         |    ((seed * 13 + x.range * 31 + y.range * 7) % 256) AS g
+         |  FROM ids CROSS JOIN range(32) x CROSS JOIN range(24) y),
+         |bl AS (SELECT doc_id, (y * 32) // 24 AS r, x AS c,
+         |    CAST(sum(1000 * g) AS BIGINT) // count(*) AS p
+         |  FROM px GROUP BY 1, 2, 3),
+         |dct(k, n, cf) AS (VALUES ${graft.multimodal.Multimodal.phashDctTableSql}),
+         |t1 AS (SELECT b.doc_id, d.k AS u, b.c AS x,
+         |    CAST(sum(d.cf * b.p) AS BIGINT) AS s
+         |  FROM bl b JOIN dct d ON d.n = b.r WHERE d.k < 8
+         |  GROUP BY 1, 2, 3),
+         |fm AS (SELECT t1.doc_id, t1.u, d.k AS v,
+         |    CAST(sum(t1.s * d.cf) AS BIGINT) AS f
+         |  FROM t1 JOIN dct d ON d.n = t1.x WHERE d.k < 8
+         |  GROUP BY 1, 2, 3),
+         |ac AS (SELECT doc_id, u, v, f FROM fm WHERE NOT (u = 0 AND v = 0)),
+         |med AS (SELECT doc_id, f AS med FROM (
+         |    SELECT doc_id, f,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+         |    FROM ac) WHERE rn = 32),
+         |bits AS (SELECT a.doc_id, a.u * 8 + a.v AS b,
+         |    CASE WHEN a.f > m.med THEN '1' ELSE '0' END AS bit
+         |  FROM ac a JOIN med m USING (doc_id)),
+         |hsh AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS phash
+         |  FROM bits GROUP BY doc_id),
+         |cl AS (SELECT phash, min(doc_id) AS cluster_id FROM hsh GROUP BY phash)
+         |SELECT h.doc_id, h.phash, cl.cluster_id,
+         |  h.doc_id = cl.cluster_id AS is_canonical
+         |FROM hsh h JOIN cl USING (phash)
+         |ORDER BY h.doc_id""".stripMargin,
     // Pairwise integer-micro cosine (the shared ExactSql kernel), rank
     // per test point, the closed-form nano terms (floor of non-negative
     // magnitudes, then signed), suffix-sum, and the per-train aggregate.

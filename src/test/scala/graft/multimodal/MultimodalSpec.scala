@@ -292,4 +292,50 @@ class MultimodalSpec extends SparkSpec {
         (r.getAs[Int]("keyframe_idx"), r.getAs[Long]("n_frames"))).toMap
     assert(kf == Map(0L -> ((0, 4L)), 1L -> ((4, 4L)), 2L -> ((8, 2L))), kf)
   }
+
+  test("pHash: 63 bits, decode-roundtrip-stable, brightness/contrast-invariant") {
+    // 32×32 so the block grid is fully populated (identity mapping):
+    // the brightness argument below needs a constant added to EVERY
+    // cell of P, which smaller heights break (empty grid rows stay 0)
+    def gray(f: (Int, Int) => Int, w: Int = 32, h: Int = 32) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val base = gray((x, y) => (x * 5 + y * 3) % 100)
+    val h0 = Multimodal.imagePHash(base)
+    assert(h0.length == 63 && h0.forall(c => c == '0' || c == '1'))
+    // PNG is lossless: encode → decode reproduces the hash exactly
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(base, "png", buf)
+    val rt = Multimodal.decodeImage(buf.toByteArray).get
+    assert(Multimodal.imagePHash(rt) == h0)
+    // +50 brightness (no clipping: values < 150) shifts ONLY the DC
+    // coefficient — the 63 AC bits are untouched
+    assert(Multimodal.imagePHash(gray((x, y) => (x * 5 + y * 3) % 100 + 50)) == h0)
+    // exact 2x contrast scales every AC coefficient by the same positive
+    // factor — median comparisons are scale-invariant
+    assert(Multimodal.imagePHash(gray((x, y) => ((x * 5 + y * 3) % 100) * 2)) == h0)
+    // a genuinely different image hashes differently
+    assert(Multimodal.imagePHash(gray((x, y) => (x * x + 7 * y) % 256)) != h0)
+  }
+
+  test("pHash extraction: planted duplicates cluster; garbage quarantines") {
+    import spark.implicits._
+    val media = (0L until 12L).map(i =>
+        (i, Multimodal.synthPng(i % 4, 32, 24), "image/png"))
+      .toDF("doc_id", "media", "mime")
+    val hashed = Multimodal.extractImagePHashes(spark, media).collect()
+    assert(hashed.forall(_.phash.length == 63))
+    // seed = doc_id % 4 plants exact perceptual duplicates
+    assert(hashed.groupBy(_.phash).size == 4)
+    val bad = Seq((99L, Array[Byte](1, 2, 3), "image/png"))
+      .toDF("doc_id", "media", "mime")
+    val q = Multimodal.extractImagePHashes(spark, bad).collect().head
+    assert(q.width == -1 && q.phash == "")
+  }
 }
