@@ -155,6 +155,38 @@ object ScaleProbe {
       Similarity.ivfIndexState(base, cents), ext, cents)
   }
 
+  /** KNN-Shapley at its scale shape: the eval panel is FIXED to copy 0
+    * (an eval set does not grow with the corpus) while the training
+    * side absorbs every copy — cost should scale with train
+    * (pairwise sims + the test-partitioned rank windows are all
+    * O(train · |panel|)). */
+  private def knnShapleyProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    graft.ops.Valuation.knnShapley(
+      emb.filter(col("vec_id") % 25 =!= 0),
+      emb.filter(col("vec_id") < Offset && col("vec_id") % 25 === 0), k = 5)
+  }
+
+  /** pHash dedup widened to the ≤ 300 slice of EVERY copy (the registry
+    * query bounds doc_id ≤ 300): decode + DCT are map-only per image,
+    * the hash groupBy carries 63 chars per row — pure linear. */
+  private def phashProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val ids = T.t(spark, dir, "documents")
+      .filter(col("doc_id") % Offset <= 300).select(col("doc_id")).as[Long]
+    val media = ids.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(id =>
+        (id, Multimodal.synthPng(id % 40, 32, 24), "image/png")))
+      .toDF("doc_id", "media", "mime")
+    val hashed = Multimodal.extractImagePHashes(spark, media).toDF()
+    val cl = hashed.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("cluster_id"))
+    hashed.join(cl, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val synthDir = s"/tmp/graft-synth-x$Copies"
@@ -244,7 +276,18 @@ object ScaleProbe {
       "text_gazetteer_spans" -> SparkEntry.queries("text_gazetteer_spans"),
       // round-12: incremental IVF maintenance — fixed copy-0 index,
       // base state from copy 0, one extend absorbing all other copies
-      "sim_ivf_incremental_x" -> (ivfIncrementalProbe _))
+      "sim_ivf_incremental_x" -> (ivfIncrementalProbe _),
+      // round-12 batch 2: t-closeness (two combine aggs + a class ×
+      // bounded-value-domain expansion — classes and domain are fixed,
+      // rows scale), theta set-ops (one distinct-hash pass scales, the
+      // pairing runs on k-row sketches), textrank (per-doc cliques are
+      // copy-local by construction), KNN-Shapley and pHash at their
+      // scale shapes (fixed eval panel / per-copy image slice)
+      "privacy_t_closeness" -> SparkEntry.queries("privacy_t_closeness"),
+      "sketch_theta_setops" -> SparkEntry.queries("sketch_theta_setops"),
+      "text_textrank_sentences" -> SparkEntry.queries("text_textrank_sentences"),
+      "value_knn_shapley_x" -> (knnShapleyProbe _),
+      "mm_image_phash_x" -> (phashProbe _))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")

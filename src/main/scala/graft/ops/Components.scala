@@ -822,6 +822,57 @@ object Components {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** [[weightedPageRank]] with IDENTICAL integer arithmetic (same pr
+    * trajectory value-for-value, same oracle replay) but a fully LAZY
+    * plan: node count, u0, and the damped base ride the plan as a
+    * broadcast one-row aggregate instead of a driver `count()`, and
+    * iterations chain without per-round localCheckpoints — only the
+    * edge relation materializes (it feeds strength + every round).
+    *
+    * Use this for SMALL-DEPTH loops over graphs built inline by a
+    * larger query (TextRank's per-doc sentence cliques): at iters ≤ 3
+    * the lineage is shallow and the ~2·iters checkpoint/count driver
+    * actions the eager kernel pays dominate its runtime on
+    * sub-million-edge graphs (measured: text_textrank_sentences
+    * 6.4 s → the edge-build cost alone with this kernel). For deep
+    * loops or giant graphs keep [[weightedPageRank]]: checkpoints
+    * bound lineage and re-execution there. Empty graphs yield an empty
+    * result instead of the eager kernel's require-failure. */
+  def weightedPageRankLazy(edges: DataFrame, iters: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst",
+      wCol: String = "weight", unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && unit > 0, "need iters >= 1 and a positive unit")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    // u0 = unit div n and the damped base as plan-carried columns —
+    // exactly the eager kernel's driver-side longs, per row
+    val k = nodes.agg(count(lit(1)).as("__n"))
+    val strength = e.groupBy(col("src")).agg(sum(col("w")).as("strength"))
+    var pr = nodes.crossJoin(broadcast(k))
+      .select(col("id"), expr(s"CAST($unit AS BIGINT) div __n").as("pr"),
+        col("__n"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.select(col("id").as("src"), col("pr")), Seq("src"))
+        .join(strength, Seq("src"))
+        .select(col("dst").as("id"),
+          expr("CAST((CAST(pr AS DECIMAL(38,0)) * w) div strength AS BIGINT)")
+            .as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      pr = nodes.crossJoin(broadcast(k))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"(3 * (CAST($unit AS BIGINT) div __n)) div 20 " +
+            "+ (17 * coalesce(s, CAST(0 AS BIGINT))) div 20").as("pr"),
+          col("__n"))
+    }
+    pr.select(col("id"), col("pr"))
+  }
+
   /** Edge-weighted PageRank — [[pageRank]] with contributions
     * proportional to edge weight: contrib(u→v) = (pr(u)·w) div
     * strength(u), strength = Σ out-weights. The natural rank for link

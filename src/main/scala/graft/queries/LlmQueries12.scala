@@ -63,17 +63,12 @@ object LlmQueries12 {
     * summarizer uses on transcript-like text. */
   def textTextrank(spark: SparkSession, dir: String): DataFrame = {
     val docs = T.par(spark, T.t(spark, dir, "documents"))
-    val sents = docs
+    val toks = docs
       .select(col("doc_id"),
         posexplode(split(lower(trim(col("text"))), "\\s+"))
           .as(Seq("ti", "tok")))
       .withColumn("sent_idx", expr("ti div 8"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("doc_id"), col("sent_idx"))
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("ti"), col("tok")))),
-        x => x.getField("tok")), " ").as("sentence"))
-    TextAnalysis.textRankFrom(sents, topK = 2)
+    TextAnalysis.textRankFromTokens(toks, topK = 2)
       .orderBy(col("doc_id"), col("rank"))
   }
 
