@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
-import graft.ops.{Curation, Sketches, TextAnalysis, Valuation}
+import graft.ops.{Components, Curation, Sketches, TextAnalysis, Valuation}
 import LlmQueries9.ExactSql
 
 /** Round-12 registry: four new first-class pipeline operators —
@@ -95,15 +95,140 @@ object LlmQueries12 {
       .orderBy(col("doc_id"))
   }
 
+  /** Bounded-distance Brandes betweenness over the shared near-dup
+    * graph ([[Components.betweennessFromSeeds]]): shortest-path traffic
+    * from the doc_id ≡ 0 (mod 97) pivots through each node, hop-3
+    * truncated — the bridge-document grading BFS reach and harmonic
+    * centrality cannot express (which nodes CARRY the contamination
+    * paths, not just sit near them). */
+  def graphBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents").filter(col("doc_id") < 500)
+    val pairs = SharedRels.nearDupPairs500(spark, dir)
+    val seeds = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("id"))
+    Components.betweennessFromSeeds(pairs, seeds, maxHops = 3)
+      .select(col("id").as("doc_id"), col("bc_micro"), col("n_seeds"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fellegi–Sunter probabilistic record linkage
+    * ([[graft.ops.Linkage.fellegiSunterScores]]) over a deterministic
+    * dirty registry: every customer < 2000 gets a twin whose name /
+    * nation / segment are corrupted by content-addressed draws (the
+    * synthPng convention — the generator formula IS the oracle
+    * contract), candidates come from exact-acctbal-bucket blocking,
+    * and each pair scores the smoothed likelihood ratio. is_link at
+    * R > 1 (ratio_micro > 10⁶). */
+  def linkFellegiSunter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Dedup, Linkage}
+    val cust = T.t(spark, dir, "customer").filter(col("c_custkey") < 2000)
+    val h = Dedup.hashStr(col("c_custkey").cast("string"), 29)
+    val dirty = cust.select(
+      (col("c_custkey") + 100000).as("key_b"),
+      when(h % 10 < 3, expr(
+        "concat(substring(c_name, 1, length(c_name) - 1), " +
+          "cast((cast(substring(c_name, length(c_name), 1) AS INT) + 1) % 10" +
+          " AS STRING))")).otherwise(col("c_name")).as("name_b"),
+      when(h % 7 === 0, (col("c_nationkey") + 1) % 25)
+        .otherwise(col("c_nationkey")).as("nation_b"),
+      when(h % 5 === 0, concat(lit("ALT-"), col("c_mktsegment")))
+        .otherwise(col("c_mktsegment")).as("seg_b"),
+      col("c_acctbal").as("bal_b"))
+    // acctbal is the one uncorrupted field — the blocking key; cents
+    // are shifted non-negative BEFORE the integral division so Spark's
+    // truncating div and DuckDB's flooring // agree
+    def block = expr(s"(${T.sql.cents("__bal")} + 100000) div 10000")
+    val a = cust.select(col("c_custkey").as("key_a"),
+      col("c_name").as("name_a"), col("c_nationkey").as("nation_a"),
+      col("c_mktsegment").as("seg_a"), col("c_acctbal").as("__bal"))
+      .withColumn("__blk", block).drop("__bal")
+    val b = dirty.withColumnRenamed("bal_b", "__bal")
+      .withColumn("__blk", block).drop("__bal")
+    val cands = a.join(b, Seq("__blk"))
+      .select(col("key_a"), col("key_b"),
+        (col("name_a") === col("name_b")).as("name_agree"),
+        (col("nation_a") === col("nation_b")).as("nation_agree"),
+        (col("seg_a") === col("seg_b")).as("seg_agree"),
+        (col("key_b") - 100000L === col("key_a")).as("is_match"))
+    Linkage.fellegiSunterScores(cands,
+        Seq("name_agree", "nation_agree", "seg_agree"), "is_match")
+      .withColumn("is_link", col("ratio_micro") > lit(1000000L))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "link_fellegi_sunter" -> (linkFellegiSunter _),
     "privacy_t_closeness" -> (privacyTCloseness _),
     "sketch_theta_setops" -> (sketchThetaSetops _),
     "value_knn_shapley" -> (valueKnnShapley _),
     "text_textrank_sentences" -> (textTextrank _),
     "mm_image_phash_dedup" -> (mmImagePhashDedup _),
+    "graph_betweenness" -> (graphBetweenness _),
   )
 
   val oracle: Map[String, String] = Map(
+    // Dirty-twin generation (md5-draw corruptions), acctbal-bucket
+    // blocking, one parameter aggregate, the smoothed likelihood-ratio
+    // product in HUGEINT (mirrors the kernel's DECIMAL(38,0) route).
+    "link_fellegi_sunter" ->
+      """WITH cust AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    c_acctbal,
+        |    CAST('0x' || substring(md5('29|' || CAST(c_custkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS hv
+        |  FROM customer WHERE c_custkey < 2000),
+        |dirty AS (SELECT c_custkey + 100000 AS key_b,
+        |    CASE WHEN hv % 10 < 3 THEN
+        |      concat(substring(c_name, 1, length(c_name) - 1),
+        |        CAST((CAST(substring(c_name, length(c_name), 1) AS INT) + 1) % 10
+        |          AS VARCHAR))
+        |      ELSE c_name END AS name_b,
+        |    CASE WHEN hv % 7 = 0 THEN (c_nationkey + 1) % 25
+        |      ELSE c_nationkey END AS nation_b,
+        |    CASE WHEN hv % 5 = 0 THEN 'ALT-' || c_mktsegment
+        |      ELSE c_mktsegment END AS seg_b,
+        |    (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 10000 AS blk
+        |  FROM cust),
+        |aa AS (SELECT c_custkey AS key_a, c_name AS name_a,
+        |    c_nationkey AS nation_a, c_mktsegment AS seg_a,
+        |    (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 10000 AS blk
+        |  FROM cust),
+        |cands AS (SELECT key_a, key_b,
+        |    name_a = name_b AS name_agree,
+        |    nation_a = nation_b AS nation_agree,
+        |    seg_a = seg_b AS seg_agree,
+        |    key_b - 100000 = key_a AS is_match
+        |  FROM aa JOIN dirty USING (blk)),
+        |par AS (SELECT
+        |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT) AS u,
+        |    CAST(sum(CASE WHEN is_match AND name_agree THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ma_name,
+        |    CAST(sum(CASE WHEN NOT is_match AND name_agree THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ua_name,
+        |    CAST(sum(CASE WHEN is_match AND nation_agree THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ma_nat,
+        |    CAST(sum(CASE WHEN NOT is_match AND nation_agree THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ua_nat,
+        |    CAST(sum(CASE WHEN is_match AND seg_agree THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ma_seg,
+        |    CAST(sum(CASE WHEN NOT is_match AND seg_agree THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ua_seg
+        |  FROM cands),
+        |scored AS (SELECT key_a, key_b, name_agree, nation_agree, seg_agree,
+        |    is_match,
+        |    CAST((CAST(CASE WHEN name_agree THEN ma_name + 1
+        |          ELSE m - ma_name + 1 END AS HUGEINT)
+        |      * (CASE WHEN nation_agree THEN ma_nat + 1 ELSE m - ma_nat + 1 END)
+        |      * (CASE WHEN seg_agree THEN ma_seg + 1 ELSE m - ma_seg + 1 END)
+        |      * (u + 2) * (u + 2) * (u + 2) * 1000000)
+        |      // (CAST(CASE WHEN name_agree THEN ua_name + 1
+        |          ELSE u - ua_name + 1 END AS HUGEINT)
+        |      * (CASE WHEN nation_agree THEN ua_nat + 1 ELSE u - ua_nat + 1 END)
+        |      * (CASE WHEN seg_agree THEN ua_seg + 1 ELSE u - ua_seg + 1 END)
+        |      * (m + 2) * (m + 2) * (m + 2)) AS BIGINT) AS ratio_micro
+        |  FROM cands CROSS JOIN par)
+        |SELECT *, ratio_micro > 1000000 AS is_link
+        |FROM scored ORDER BY key_a, key_b""".stripMargin,
     // Triangular-join cumulatives over the bounded value domain, then
     // the exact EMD rational per class: Σ|N·C_i − n·G_i| scaled to
     // micro by ONE floor division (HUGEINT mirrors Spark's
@@ -217,6 +342,74 @@ object LlmQueries12 {
          |SELECT train_id, CAST(count(*) AS BIGINT) AS n_tests,
          |  CAST(sum(shap_nano) AS BIGINT) AS shap_nano_sum
          |FROM shap GROUP BY train_id ORDER BY train_id""".stripMargin,
+    // The graph_bfs_hops edge CTEs, then the unrolled Brandes sweep:
+    // forward σ accumulation per level (NOT EXISTS = the per-seed
+    // visited guard), backward floored dependency terms
+    // ⌊σ_v·(10⁶+δ_w)/σ_w⌋ per level, summed over seeds.
+    "graph_betweenness" ->
+      s"""WITH ${LlmQueries.gramsCteFor("grams", "doc_id < 500")},
+         |sig AS (SELECT id, ${LlmQueries.sigCols} FROM grams GROUP BY id),
+         |bands AS (SELECT id, r.range AS band, ${LlmQueries.bandCase} AS band_key
+         |  FROM sig CROSS JOIN range(4) r),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN grams ga ON ga.id = c.id_a
+         |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+         |  GROUP BY c.id_a, c.id_b),
+         |prs AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b
+         |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
+         |und AS (SELECT id_a AS u, id_b AS v FROM prs),
+         |edges AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+         |d0s AS (SELECT DISTINCT doc_id AS id FROM documents
+         |  WHERE doc_id < 500 AND doc_id % 97 = 0),
+         |l0 AS (SELECT id AS seed, id, CAST(1 AS BIGINT) AS sigma FROM d0s),
+         |n1 AS (SELECT l0.seed, e.v AS id, CAST(sum(l0.sigma) AS BIGINT) AS sigma
+         |  FROM l0 JOIN edges e ON e.u = l0.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM l0 x
+         |    WHERE x.seed = l0.seed AND x.id = e.v)
+         |  GROUP BY 1, 2),
+         |v1 AS (SELECT seed, id FROM l0 UNION SELECT seed, id FROM n1),
+         |n2 AS (SELECT p.seed, e.v AS id, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM n1 p JOIN edges e ON e.u = p.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v1 x
+         |    WHERE x.seed = p.seed AND x.id = e.v)
+         |  GROUP BY 1, 2),
+         |v2 AS (SELECT seed, id FROM v1 UNION SELECT seed, id FROM n2),
+         |n3 AS (SELECT p.seed, e.v AS id, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM n2 p JOIN edges e ON e.u = p.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v2 x
+         |    WHERE x.seed = p.seed AND x.id = e.v)
+         |  GROUP BY 1, 2),
+         |c2 AS (SELECT p.seed, p.id,
+         |    CAST(sum((CAST(p.sigma AS HUGEINT) * (1000000 + 0)) // w.sigma)
+         |      AS BIGINT) AS delta
+         |  FROM n2 p JOIN edges e ON e.u = p.id
+         |  JOIN n3 w ON w.seed = p.seed AND w.id = e.v
+         |  GROUP BY 1, 2),
+         |d2 AS (SELECT p.seed, p.id, coalesce(c2.delta, 0) AS delta
+         |  FROM n2 p LEFT JOIN c2 ON c2.seed = p.seed AND c2.id = p.id),
+         |c1 AS (SELECT p.seed, p.id,
+         |    CAST(sum((CAST(p.sigma AS HUGEINT) * (1000000 + d.delta)) // w.sigma)
+         |      AS BIGINT) AS delta
+         |  FROM n1 p JOIN edges e ON e.u = p.id
+         |  JOIN n2 w ON w.seed = p.seed AND w.id = e.v
+         |  JOIN d2 d ON d.seed = w.seed AND d.id = w.id
+         |  GROUP BY 1, 2),
+         |d1 AS (SELECT p.seed, p.id, coalesce(c1.delta, 0) AS delta
+         |  FROM n1 p LEFT JOIN c1 ON c1.seed = p.seed AND c1.id = p.id),
+         |allv AS (SELECT seed, id, delta FROM d1
+         |  UNION ALL SELECT seed, id, delta FROM d2
+         |  UNION ALL SELECT seed, id, CAST(0 AS BIGINT) FROM n3)
+         |SELECT id AS doc_id, CAST(sum(delta) AS BIGINT) AS bc_micro,
+         |  CAST(count(*) AS BIGINT) AS n_seeds
+         |FROM allv WHERE id <> seed GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
     // Sentence explode → distinct whitespace tokens → per-doc overlap
     // clique → Dice-micro weights → the graph_weighted_rank iteration
     // replay (same u0/damping integer arithmetic) → top-2 per doc.

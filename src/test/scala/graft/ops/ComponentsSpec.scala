@@ -378,4 +378,38 @@ class ComponentsSpec extends SparkSpec {
     // k=9: nobody qualifies -> defined density 0
     assert(got(9L) == ((0L, 0L, 0L)), got.toString)
   }
+
+  test("betweenness: path-graph dependencies match the Brandes recursion exactly") {
+    import spark.implicits._
+    // a(1)-b(2)-c(3)-d(4), seed {a}: δ(c)=σc·(u+δd)/σd=1e6, δ(b)=σb·(u+δc)/σc=2e6
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("id")
+    val got = Components.betweennessFromSeeds(pairs, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(2L -> ((2000000L, 1L)), 3L -> ((1000000L, 1L)),
+      4L -> ((0L, 1L))), got.toString)
+  }
+
+  test("betweenness: diamond splits dependency by path counts (σ=2 floor)") {
+    import spark.implicits._
+    // a-b, a-c, b-d, c-d; seed a: σ(d)=2, δ(b)=⌊1·(1e6+0)/2⌋=500000=δ(c)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("id")
+    val got = Components.betweennessFromSeeds(pairs, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 500000L, 3L -> 500000L, 4L -> 0L), got.toString)
+  }
+
+  test("betweenness: multi-seed sums deltas; another seed is an ordinary node") {
+    import spark.implicits._
+    // path a-b-c with seeds {a, c}: from a, δ(b)=1e6 (endpoint c);
+    // from c, δ(b)=1e6 (endpoint a) -> bc(b)=2e6 with n_seeds=2;
+    // a and c each appear as the OTHER seed's endpoint with δ=0
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 3L).toDF("id")
+    val got = Components.betweennessFromSeeds(pairs, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(2L -> ((2000000L, 2L)), 1L -> ((0L, 1L)),
+      3L -> ((0L, 1L))), got.toString)
+  }
 }
