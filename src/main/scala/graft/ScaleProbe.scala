@@ -54,6 +54,21 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dst/events.parquet")
       new java.io.File(s"$dst/_DONE_EV").createNewFile()
     }
+    // Customers (round-12): keys offset per copy AND acctbal shifted by
+    // k·10⁵ so the linkage probe's acctbal-cent blocks stay copy-local
+    // (same balances replicated 10× would densify every block and grow
+    // candidates 100× — a data artifact, not a plan property; real
+    // corpus growth brings new balances/blocks, which the shift models).
+    if (!new java.io.File(s"$dst/_DONE_CUST").exists()) {
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      (0 until Copies).map { k =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(k * Offset))
+          .withColumn("c_acctbal", col("c_acctbal") + lit(k * 100000.0))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+      new java.io.File(s"$dst/_DONE_CUST").createNewFile()
+    }
     if (new java.io.File(s"$dst/_DONE").exists()) return
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until Copies).map { k =>
@@ -187,6 +202,55 @@ object ScaleProbe {
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
+  /** graph_betweenness widened to the < 500 slice of every copy (10
+    * disjoint isomorphic graphs, per-copy pivots) — the per-seed BFS +
+    * backward sweep's weak-scaling instance. */
+  private def betweennessProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(spark, dir, "documents")
+      .filter(col("doc_id") % Offset < 500)
+    val pairs = graft.ops.Dedup.minHashLshPairs(docs, threshold = 0.5)
+    val seeds = docs.filter((col("doc_id") % Offset) % 97 === 0)
+      .select(col("doc_id").as("id"))
+    graft.ops.Components.betweennessFromSeeds(pairs, seeds, maxHops = 3)
+  }
+
+  /** link_fellegi_sunter widened to the < 2000 slice of every copy:
+    * per-copy acctbal shifts keep blocks copy-local, so candidates,
+    * the parameter aggregate, and the scored relation all scale with
+    * the corpus — the blocked-linkage weak-scaling instance. */
+  private def linkageProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Dedup, Linkage}
+    val cust = T.t(spark, dir, "customer")
+      .filter(col("c_custkey") % Offset < 2000)
+    val h = Dedup.hashStr(col("c_custkey").cast("string"), 29)
+    val dirty = cust.select(
+      (col("c_custkey") + 100000).as("key_b"),
+      when(h % 10 < 3, expr(
+        "concat(substring(c_name, 1, length(c_name) - 1), " +
+          "cast((cast(substring(c_name, length(c_name), 1) AS INT) + 1) % 10" +
+          " AS STRING))")).otherwise(col("c_name")).as("name_b"),
+      when(h % 7 === 0, (col("c_nationkey") + 1) % 25)
+        .otherwise(col("c_nationkey")).as("nation_b"),
+      when(h % 5 === 0, concat(lit("ALT-"), col("c_mktsegment")))
+        .otherwise(col("c_mktsegment")).as("seg_b"),
+      col("c_acctbal").as("__bal"))
+    def block = expr(
+      s"(${T.sql.cents("__bal")} + 100000) div 10000")
+    val a = cust.select(col("c_custkey").as("key_a"),
+      col("c_name").as("name_a"), col("c_nationkey").as("nation_a"),
+      col("c_mktsegment").as("seg_a"), col("c_acctbal").as("__bal"))
+      .withColumn("__blk", block).drop("__bal")
+    val b = dirty.withColumn("__blk", block).drop("__bal")
+    val cands = a.join(b, Seq("__blk"))
+      .select(col("key_a"), col("key_b"),
+        (col("name_a") === col("name_b")).as("name_agree"),
+        (col("nation_a") === col("nation_b")).as("nation_agree"),
+        (col("seg_a") === col("seg_b")).as("seg_agree"),
+        (col("key_b") - 100000L === col("key_a")).as("is_match"))
+    Linkage.fellegiSunterScores(cands,
+      Seq("name_agree", "nation_agree", "seg_agree"), "is_match")
+  }
+
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val synthDir = s"/tmp/graft-synth-x$Copies"
@@ -287,7 +351,11 @@ object ScaleProbe {
       "sketch_theta_setops" -> SparkEntry.queries("sketch_theta_setops"),
       "text_textrank_sentences" -> SparkEntry.queries("text_textrank_sentences"),
       "value_knn_shapley_x" -> (knnShapleyProbe _),
-      "mm_image_phash_x" -> (phashProbe _))
+      "mm_image_phash_x" -> (phashProbe _),
+      // round-12 batch 3: betweenness over per-copy graphs/pivots and
+      // blocked linkage with copy-local acctbal blocks
+      "graph_betweenness_x" -> (betweennessProbe _),
+      "link_fellegi_sunter_x" -> (linkageProbe _))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
