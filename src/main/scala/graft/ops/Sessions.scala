@@ -460,4 +460,63 @@ object Sessions {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("slope_micro"), lit(0L)).as("slope_micro"))
   }
+
+  /** Holt linear-trend exponential smoothing (Holt 1957 / the
+    * double-exponential member of the ETS family) per group, with
+    * α = 1/5, β = 1/10 as exact rationals:
+    *
+    *   l_t = ⌊(x_t·U + 4·(l + b)) / 5⌋      (l₀ = x₁·U, b₀ = 0)
+    *   b_t = ⌊((l_t − l) + 9·b) / 10⌋
+    *   forecast(h) = l_n + h·b_n
+    *
+    * in micro units U = 10⁶, plus the one-step-ahead sum of absolute
+    * errors (the in-sample fit readout). Every division is floored via
+    * the +k·BIG offset (numerators made positive first, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree even when the
+    * trend drives (l + b) negative); |l + b| < BIG/4 = 2.5·10¹⁴ micro
+    * is the documented envelope (counts to ~10⁸/step — beyond it,
+    * lower `unit`).
+    *
+    * The recursion is inherently sequential per series, so it runs as
+    * ONE codegen'd `aggregate` fold over the sorted per-group value
+    * array — the bounded-array pattern (monitoring series are
+    * days/hours long, not corpus-sized): a map-side combine builds the
+    * (order, value) array per group, the fold is pure expression work,
+    * and nothing but group rows ever shuffles. The DuckDB oracle
+    * replays the identical trajectory with a recursive CTE. */
+  def holtLinearForecast(series: DataFrame, groupCols: Seq[String],
+      orderCol: String, valueCol: String, horizons: Int = 3,
+      unit: Long = 1000000L, big: Long = 1000000000000000L): DataFrame = {
+    require(horizons >= 1 && unit > 0 && big > 0,
+      "need horizons >= 1 and positive unit/big")
+    val gs = groupCols.map(col)
+    val packed = series
+      .groupBy(gs: _*)
+      .agg(transform(
+        sort_array(collect_list(struct(col(orderCol).as("o"),
+          col(valueCol).cast("long").as("x")))),
+        s => s.getField("x")).as("__xs"))
+    val lStep = s"(x * ${unit}L + 4L * (acc.l + acc.b) + 5L * ${big}L) " +
+      s"div 5L - ${big}L"
+    val folded = packed.withColumn("__st", expr(
+      s"""aggregate(__xs,
+         |  named_struct('n', 0L, 'l', 0L, 'b', 0L, 'sae', 0L),
+         |  (acc, x) -> CASE WHEN acc.n = 0L
+         |    THEN named_struct('n', 1L, 'l', x * ${unit}L, 'b', 0L,
+         |      'sae', 0L)
+         |    ELSE named_struct('n', acc.n + 1L,
+         |      'l', $lStep,
+         |      'b', ((($lStep) - acc.l) + 9L * acc.b + 10L * ${big}L)
+         |        div 10L - ${big}L,
+         |      'sae', acc.sae + abs(x * ${unit}L - (acc.l + acc.b)))
+         |    END)""".stripMargin))
+    val fcs = (1 to horizons).map(h =>
+      expr(s"__st.l + ${h}L * __st.b").as(s"fc${h}_micro"))
+    folded.select(gs ++ Seq(
+      expr("__st.n").as("n_points"),
+      expr("__st.l").as("level_micro"),
+      expr("__st.b").as("trend_micro"),
+      expr(s"CASE WHEN __st.n > 1 THEN __st.sae div (__st.n - 1) " +
+        "ELSE 0L END").as("mae_micro")) ++ fcs: _*)
+  }
 }

@@ -156,7 +156,23 @@ object LlmQueries12 {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** Holt linear-trend forecast of the per-type daily event volume
+    * ([[graft.ops.Sessions.holtLinearForecast]]): level/trend after the
+    * 30-day history, 1..3-step forecasts, and the one-step-ahead MAE —
+    * the capacity-planning forecast next to the CUSUM and
+    * seasonal-naive monitors. */
+  def eventHoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(spark, dir)
+    val daily = ev.groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Sessions.holtLinearForecast(daily, Seq("event_type"),
+        "day", "x")
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_holt_forecast" -> (eventHoltForecast _),
     "link_fellegi_sunter" -> (linkFellegiSunter _),
     "privacy_t_closeness" -> (privacyTCloseness _),
     "sketch_theta_setops" -> (sketchThetaSetops _),
@@ -167,6 +183,45 @@ object LlmQueries12 {
   )
 
   val oracle: Map[String, String] = Map(
+    // The identical Holt trajectory as a recursive CTE: the offset-
+    // floored level/trend recursion step-for-step (l2 computed in the
+    // inner select so the b update can reference it), final row per
+    // group via a rank window, forecasts as l + h·b.
+    "event_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS rn
+        |  FROM daily),
+        |rec AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS n,
+        |    x * 1000000 AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT event_type, n,
+        |    l2 AS l,
+        |    ((l2 - l1) + 9 * b1 + 10 * 1000000000000000) // 10
+        |      - 1000000000000000 AS b,
+        |    sae2 AS sae
+        |  FROM (
+        |    SELECT r.event_type, r.n + 1 AS n,
+        |      (i.x * 1000000 + 4 * (r.l + r.b) + 5 * 1000000000000000) // 5
+        |        - 1000000000000000 AS l2,
+        |      r.l AS l1, r.b AS b1,
+        |      r.sae + abs(i.x * 1000000 - (r.l + r.b)) AS sae2
+        |    FROM rec r JOIN idx i
+        |      ON i.event_type = r.event_type AND i.rn = r.n + 1))
+        |SELECT event_type, n AS n_points, l AS level_micro, b AS trend_micro,
+        |  CAST(CASE WHEN n > 1 THEN sae // (n - 1) ELSE 0 END AS BIGINT)
+        |    AS mae_micro,
+        |  l + 1 * b AS fc1_micro, l + 2 * b AS fc2_micro,
+        |  l + 3 * b AS fc3_micro
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC) AS rr FROM rec)
+        |WHERE rr = 1 ORDER BY event_type""".stripMargin,
     // Dirty-twin generation (md5-draw corruptions), acctbal-bucket
     // blocking, one parameter aggregate, the smoothed likelihood-ratio
     // product in HUGEINT (mirrors the kernel's DECIMAL(38,0) route).

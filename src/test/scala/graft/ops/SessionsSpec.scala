@@ -330,4 +330,30 @@ class SessionsSpec extends SparkSpec {
     assert(got(1L) === ((4L, 6L, 100000000L)))
     assert(got(2L) === ((1L, 0L, 0L)))
   }
+
+  test("holtLinearForecast: hand-stepped recursion, negative trend floors portably") {
+    import spark.implicits._
+    // g=a [10, 20]: l₁=(20e6+4·10e6)/5=12e6, b₁=2e6/10=200000, sae=10e6
+    // g=b [5, 5, 5]: level pinned at 5e6, zero trend, zero error
+    // g=c [10, 0]: l₁=8e6, b₁=⌊−2e6/10⌋ via the +BIG offset = −200000
+    val rows = Seq(("a", 1, 10L), ("a", 2, 20L),
+      ("b", 1, 5L), ("b", 2, 5L), ("b", 3, 5L),
+      ("c", 1, 10L), ("c", 2, 0L)).toDF("g", "t", "x")
+    val got = Sessions.holtLinearForecast(rows, Seq("g"), "t", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("level_micro"),
+          r.getAs[Long]("trend_micro"), r.getAs[Long]("mae_micro"),
+          r.getAs[Long]("fc2_micro"))).toMap
+    assert(got("a") == ((2L, 12000000L, 200000L, 10000000L, 12400000L)),
+      got.toString)
+    assert(got("b") == ((3L, 5000000L, 0L, 0L, 5000000L)), got.toString)
+    assert(got("c") == ((2L, 8000000L, -200000L, 10000000L, 7600000L)),
+      got.toString)
+    // input order / partitioning must not matter (sort_array restores)
+    val got2 = Sessions.holtLinearForecast(
+        rows.orderBy(col("x")).repartition(5), Seq("g"), "t", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("level_micro"), r.getAs[Long]("trend_micro"))).toMap
+    assert(got2 == got.map { case (k, v) => k -> ((v._2, v._3)) }, got2.toString)
+  }
 }
