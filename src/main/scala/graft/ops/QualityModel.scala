@@ -520,4 +520,60 @@ object QualityModel {
       .groupBy(col("given"), col("suggested"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Isotonic calibration of binned positive rates (pool-adjacent-
+    * violators, Ayer et al. 1955; the non-parametric step-function
+    * alternative to Platt scaling) via the closed max-min form
+    *
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} A(j, k),   A = pooled rate over
+    *                                               bins j..k
+    *
+    * which equals the PAV fit and — unlike the sequential pool-merge
+    * loop — is pure joins/aggregations. Rates are exact floored micros
+    * A_micro = ⌊unit·Σpos/Σn⌋ (non-negative, engine-portable), and
+    * max/min of the floored matrix keeps the fit monotone (the j-set
+    * grows and the k-set shrinks with i), so the output is a valid
+    * isotonic step function on the micro grid.
+    *
+    * Scale shape: the input is the BIN relation (tens of rows per
+    * group, corpus-independent); the triple (i, j, k) expansion is
+    * B³-bounded per group — trivially small — with per-group windows
+    * for the prefix sums (never global). The corpus itself is touched
+    * only upstream, by whatever built the bins
+    * ([[decileCalibration]]). */
+  def isotonicCalibration(bins: DataFrame, groupCols: Seq[String],
+      binCol: String, posCol: String, nCol: String,
+      unit: Long = 1000000L): DataFrame = {
+    require(groupCols.nonEmpty && unit > 0, "need groups and unit > 0")
+    val gs = groupCols.map(col)
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.partitionBy(gs: _*).orderBy(col("__b"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val base = bins.select(gs :+ col(binCol).cast("long").as("__b") :+
+      col(posCol).cast("long").as("__p") :+ col(nCol).cast("long").as("__n"): _*)
+    val cum = base
+      .withColumn("__cp", sum(col("__p")).over(wCum))
+      .withColumn("__cn", sum(col("__n")).over(wCum))
+    // interval rates A(j,k) from prefix-sum pairs (j ≤ k)
+    val ivals = cum.select(gs :+ col("__b").as("__k") :+ col("__cp") :+
+        col("__cn"): _*)
+      .join(cum.select(gs :+ col("__b").as("__j") :+
+        (col("__cp") - col("__p")).as("__pp") :+
+        (col("__cn") - col("__n")).as("__pn"): _*), groupCols)
+      .filter(col("__j") <= col("__k"))
+      .select(gs :+ col("__j") :+ col("__k") :+
+        expr(s"($unit * (__cp - __pp)) div (__cn - __pn)").as("__a"): _*)
+    val iso = ivals
+      .join(base.select(gs :+ col("__b").as("__i"): _*), groupCols)
+      .filter(col("__j") <= col("__i") && col("__k") >= col("__i"))
+      .groupBy(gs :+ col("__i") :+ col("__j"): _*)
+      .agg(min(col("__a")).as("__m"))
+      .groupBy(gs :+ col("__i"): _*)
+      .agg(max(col("__m")).as("iso_rate_micro"))
+    base.select(gs :+ col("__b") :+ col("__n").as("n") :+
+        col("__p").as("n_pos") :+
+        expr(s"($unit * __p) div __n").as("raw_rate_micro"): _*)
+      .join(iso.withColumnRenamed("__i", "__b"), groupCols :+ "__b")
+      .withColumnRenamed("__b", binCol)
+  }
 }

@@ -171,7 +171,27 @@ object LlmQueries12 {
       .orderBy(col("event_type"))
   }
 
+  /** Isotonic (PAV) calibration of the quality classifier's per-source
+    * decile rates ([[graft.ops.QualityModel.isotonicCalibration]] over
+    * [[graft.ops.QualityModel.decileCalibration]] bins): the monotone
+    * step-function fit that turns raw margin-decile positive rates
+    * into calibrated probabilities — the non-parametric companion to
+    * `quality_reliability`/`quality_decile_calibration`. */
+  def qualityIsotonicFit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.QualityModel
+    val docs = T.t(spark, dir, "documents")
+    val scored = QualityModel.integerWeightScore(T.par(spark, docs), dim = 256)
+      .join(docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").cast("int").as("label")), Seq("doc_id"))
+    val bins = QualityModel.decileCalibration(scored, "source", "margin",
+      "label", "doc_id", bins = 10)
+    QualityModel.isotonicCalibration(bins, Seq("source"), "bin",
+        "n_pos", "n")
+      .orderBy(col("source"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_isotonic_fit" -> (qualityIsotonicFit _),
     "event_holt_forecast" -> (eventHoltForecast _),
     "link_fellegi_sunter" -> (linkFellegiSunter _),
     "privacy_t_closeness" -> (privacyTCloseness _),
@@ -183,6 +203,45 @@ object LlmQueries12 {
   )
 
   val oracle: Map[String, String] = Map(
+    // The decile-bin CTEs of quality_decile_calibration, then the
+    // closed max-min PAV form on floored interval rates: A(j,k) from
+    // prefix-sum pairs, min over k ≥ i per j, max over j ≤ i.
+    "quality_isotonic_fit" ->
+      s"""WITH ${LlmQueries2.marginCte},
+         |lab AS (SELECT s.doc_id, s.margin, d.source,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+         |  FROM s JOIN documents d USING (doc_id)),
+         |rk AS (SELECT source, margin, label,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY margin, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM lab),
+         |b AS (SELECT source, (10 * (rk - 1)) // n + 1 AS bin, label
+         |  FROM rk),
+         |bins AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(label) AS BIGINT) AS np
+         |  FROM b GROUP BY 1, 2),
+         |cum AS (SELECT source, bin, n, np,
+         |    CAST(sum(np) OVER (PARTITION BY source ORDER BY bin)
+         |      AS BIGINT) AS cp,
+         |    CAST(sum(n) OVER (PARTITION BY source ORDER BY bin)
+         |      AS BIGINT) AS cn
+         |  FROM bins),
+         |iv AS (SELECT k.source, j.bin AS j, k.bin AS k,
+         |    (1000000 * (k.cp - (j.cp - j.np))) // (k.cn - (j.cn - j.n)) AS a
+         |  FROM cum k JOIN cum j ON j.source = k.source AND j.bin <= k.bin),
+         |mm AS (SELECT iv.source, b2.bin AS i, iv.j, min(iv.a) AS m
+         |  FROM iv JOIN bins b2 ON b2.source = iv.source
+         |    AND iv.j <= b2.bin AND iv.k >= b2.bin
+         |  GROUP BY 1, 2, 3),
+         |iso AS (SELECT source, i AS bin, CAST(max(m) AS BIGINT)
+         |    AS iso_rate_micro
+         |  FROM mm GROUP BY 1, 2)
+         |SELECT bn.source, bn.bin, bn.n, bn.np AS n_pos,
+         |  CAST((1000000 * bn.np) // bn.n AS BIGINT) AS raw_rate_micro,
+         |  iso.iso_rate_micro
+         |FROM bins bn JOIN iso USING (source, bin)
+         |ORDER BY source, bin""".stripMargin,
     // The identical Holt trajectory as a recursive CTE: the offset-
     // floored level/trend recursion step-for-step (l2 computed in the
     // inner select so the b update can reference it), final row per

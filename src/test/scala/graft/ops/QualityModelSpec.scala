@@ -211,4 +211,34 @@ class QualityModelSpec extends SparkSpec {
       "dn" -> ((3L, -1000000L)),
       "one" -> ((1L, 0L))), got.toString)
   }
+
+  test("isotonicCalibration: PAV pools the violator pair, keeps monotone tail") {
+    import spark.implicits._
+    // rates [1, 0, 1] (n=1 each): PAV pools bins 1-2 to 1/2 -> iso
+    // [500000, 500000, 1000000]; a second already-monotone group is
+    // returned unchanged
+    val bins = Seq(("g", 1L, 1L, 1L), ("g", 2L, 0L, 1L), ("g", 3L, 1L, 1L),
+      ("h", 1L, 0L, 2L), ("h", 2L, 1L, 2L), ("h", 3L, 2L, 2L))
+      .toDF("src", "bin", "n_pos", "n")
+    val got = QualityModel.isotonicCalibration(bins, Seq("src"), "bin",
+        "n_pos", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("raw_rate_micro"), r.getAs[Long]("iso_rate_micro")))
+      .toMap
+    assert(got == Map(
+      ("g", 1L) -> ((1000000L, 500000L)),
+      ("g", 2L) -> ((0L, 500000L)),
+      ("g", 3L) -> ((1000000L, 1000000L)),
+      ("h", 1L) -> ((0L, 0L)),
+      ("h", 2L) -> ((500000L, 500000L)),
+      ("h", 3L) -> ((1000000L, 1000000L))), got.toString)
+    // output is monotone non-decreasing in bin within every group
+    val seq = QualityModel.isotonicCalibration(bins.repartition(4),
+        Seq("src"), "bin", "n_pos", "n")
+      .orderBy(col("src"), col("bin"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("iso_rate_micro")))
+    seq.sliding(2).foreach { case Array((s1, a), (s2, b)) =>
+      if (s1 == s2) assert(a <= b, seq.mkString(","))
+    }
+  }
 }
