@@ -412,4 +412,55 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(2L -> ((2000000L, 2L)), 1L -> ((0L, 1L)),
       3L -> ((0L, 1L))), got.toString)
   }
+
+  test("betweenness matches a sequential Brandes replay on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(971203)
+    val n = 26
+    val edges = (for {
+      u <- 1L to n.toLong; v <- (u + 1) to n.toLong
+      if rnd.nextDouble() < 0.12
+    } yield (u, v)).toVector
+    val seedIds = Seq(1L, 7L, 13L)
+    val maxHops = 3
+    // plain sequential level-BFS + backward sweep with the SAME floor
+    // arithmetic, so a join/visited-set bug in the distributed form
+    // cannot hide behind hand-sized fixtures
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for (s <- seedIds) {
+      var levels = Vector(Map(s -> 1L)) // level -> node -> sigma
+      var seen = Set(s)
+      for (_ <- 1 to maxHops) {
+        val next = scala.collection.mutable.Map.empty[Long, Long]
+        for ((u, sig) <- levels.last; v <- adj(u) if !seen.contains(v))
+          next(v) = next.getOrElse(v, 0L) + sig
+        levels :+= next.toMap
+        seen ++= next.keySet
+      }
+      var delta = levels.last.map { case (v, _) => v -> 0L }
+      var out = delta.toSeq
+      for (li <- (levels.size - 2) to 0 by -1) {
+        val deeper = levels(li + 1)
+        val d = levels(li).map { case (v, sv) =>
+          v -> adj(v).filter(deeper.contains).toSeq.map { w =>
+            (sv * (1000000L + delta(w))) / deeper(w)
+          }.sum
+        }
+        out ++= d.toSeq
+        delta = d
+      }
+      for ((v, dl) <- out if v != s) {
+        val (b0, c0) = expected.getOrElse(v, (0L, 0L))
+        expected(v) = (b0 + dl, c0 + 1L)
+      }
+    }
+    val got = Components.betweennessFromSeeds(
+        edges.toDF("id_a", "id_b"), seedIds.toDF("id"), maxHops)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected.toMap,
+      (got.toSeq.sorted.take(8), expected.toSeq.sorted.take(8)).toString)
+  }
 }

@@ -55,4 +55,55 @@ class ValuationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("knnShapley matches a direct sequential replay of the closed form (randomized)") {
+    import graft.functions.ExactMicroOps
+    val rnd = new scala.util.Random(12012)
+    def micro(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor(x * 1000000.0d).toLong)
+    // in-memory reference: the same micro cosine kernel, rank order,
+    // floored nano terms, suffix sums — written as plain sequential
+    // Scala so a window/join bug in the distributed form cannot hide
+    def ref(train: Seq[(Long, Array[Double], Long)],
+        test: Seq[(Long, Array[Double], Long)], k: Int): Map[Long, Long] = {
+      val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((_, qv, ql) <- test) {
+        val qm = micro(qv)
+        def cos(tv: Array[Long]): Long = {
+          var dot = 0L; var na = 0L; var nb = 0L
+          for (i <- tv.indices) {
+            dot += tv(i) * qm(i); na += tv(i) * tv(i); nb += qm(i) * qm(i)
+          }
+          ExactMicroOps.cosMicroParts(dot, na, nb)
+        }
+        val ranked = train.map { case (id, tv, tl) =>
+          (id, cos(micro(tv)), if (tl == ql) 1L else 0L) }
+          .sortBy { case (id, s, _) => (-s, id) }
+        val n = ranked.length
+        val terms = ranked.zipWithIndex.map { case ((_, _, a), i0) =>
+          val i = i0 + 1L
+          if (i0 == n - 1) a * (1000000000L / n)
+          else {
+            val aNext = ranked(i0 + 1)._3
+            (a - aNext) * ((math.min(k.toLong, i) * 1000000000L) / (k * i))
+          }
+        }
+        val suffix = terms.scanRight(0L)(_ + _).init
+        ranked.zip(suffix).foreach { case ((id, _, _), s) => acc(id) += s }
+      }
+      acc.toMap
+    }
+    val dims = 6
+    val train = (1L to 60L).map(i =>
+      (i, Array.fill(dims)(rnd.nextDouble() * 2 - 1), rnd.nextInt(4).toLong))
+    val test = (100L to 107L).map(i =>
+      (i, Array.fill(dims)(rnd.nextDouble() * 2 - 1), rnd.nextInt(4).toLong))
+    val expected = ref(train, test, k = 5)
+    val got = Valuation.knnShapley(
+        emb(train.map { case (i, v, l) => (i, v.toSeq, l) }),
+        emb(test.map { case (i, v, l) => (i, v.toSeq, l) }), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected,
+      got.toSeq.sortBy(_._1).zip(expected.toSeq.sortBy(_._1)).filter(x => x._1 != x._2).take(5).toString)
+  }
 }
