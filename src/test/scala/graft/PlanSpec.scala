@@ -372,4 +372,41 @@ class PlanSpec extends SparkSpec {
       s"term list must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("knn-shapley: eval panel broadcasts; rank/suffix windows partitioned; no cartesian") {
+    val df = queries.LlmQueries12.valueKnnShapley(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"panel pairing must be a broadcast cross, not a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastExchange"),
+      s"the bounded eval panel must broadcast:\n$p")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "rank/suffix windows must be test-partitioned")
+  }
+
+  test("fellegi-sunter: parameter row broadcasts; blocking is an equi-join") {
+    val p = plan(queries.LlmQueries12.linkFellegiSunter(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the block equi-join:\n$p")
+    // the one-row m/u parameter relation rides a broadcast nested loop —
+    // the documented bounded-cross pattern (same as bm25's stats row)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"non-broadcast nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"blocking/parameter joins must broadcast the bounded side:\n$p")
+  }
+
+  test("textrank: sentence pairing joins on the doc key, never cartesian") {
+    val p = plan(queries.LlmQueries12.textTextrank(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"per-doc pairing must equi-join:\n$p")
+  }
+
+  test("theta set-ops: everything after the register build is sketch-sized") {
+    val p = plan(queries.LlmQueries12.sketchThetaSetops(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"group pairing must broadcast the bounded group inventory:\n$p")
+  }
 }
