@@ -30,6 +30,7 @@ object SparkEntry {
       graft.queries.LlmQueries10.queries ++
       graft.queries.LlmQueries11.queries ++
       graft.queries.LlmQueries12.queries ++
+      graft.queries.LlmQueries13.queries ++
       graft.queries.PqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.LlmQueries10.oracle ++
       graft.queries.LlmQueries11.oracle ++
       graft.queries.LlmQueries12.oracle ++
+      graft.queries.LlmQueries13.oracle ++
       graft.queries.PqQueries.oracle
 }

