@@ -119,8 +119,16 @@ object LlmQueries12 {
     * contract), candidates come from exact-acctbal-bucket blocking,
     * and each pair scores the smoothed likelihood ratio. is_link at
     * R > 1 (ratio_micro > 10⁶). */
-  def linkFellegiSunter(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.{Dedup, Linkage}
+  def linkFellegiSunter(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Linkage.fellegiSunterScores(linkageCands(spark, dir),
+        Seq("name_agree", "nation_agree", "seg_agree"), "is_match")
+      .withColumn("is_link", col("ratio_micro") > lit(1000000L))
+      .orderBy(col("key_a"), col("key_b"))
+
+  /** The shared dirty-twin candidate relation of `link_fellegi_sunter` /
+    * `link_fellegi_sunter_logodds` (see [[linkFellegiSunter]] doc). */
+  private[queries] def linkageCands(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dedup
     val cust = T.t(spark, dir, "customer").filter(col("c_custkey") < 2000)
     val h = Dedup.hashStr(col("c_custkey").cast("string"), 29)
     val dirty = cust.select(
@@ -144,16 +152,12 @@ object LlmQueries12 {
       .withColumn("__blk", block).drop("__bal")
     val b = dirty.withColumnRenamed("bal_b", "__bal")
       .withColumn("__blk", block).drop("__bal")
-    val cands = a.join(b, Seq("__blk"))
+    a.join(b, Seq("__blk"))
       .select(col("key_a"), col("key_b"),
         (col("name_a") === col("name_b")).as("name_agree"),
         (col("nation_a") === col("nation_b")).as("nation_agree"),
         (col("seg_a") === col("seg_b")).as("seg_agree"),
         (col("key_b") - 100000L === col("key_a")).as("is_match"))
-    Linkage.fellegiSunterScores(cands,
-        Seq("name_agree", "nation_agree", "seg_agree"), "is_match")
-      .withColumn("is_link", col("ratio_micro") > lit(1000000L))
-      .orderBy(col("key_a"), col("key_b"))
   }
 
   /** Holt linear-trend forecast of the per-type daily event volume
@@ -201,6 +205,54 @@ object LlmQueries12 {
     "mm_image_phash_dedup" -> (mmImagePhashDedup _),
     "graph_betweenness" -> (graphBetweenness _),
   )
+
+  /** Shared oracle CTEs for the linkage queries: dirty-twin generation,
+    * acctbal-bucket blocking, candidate flags, and the one-row m/u
+    * parameter aggregate ([[linkageCands]]'s replay). */
+  private[queries] val linkageCandsCtes: String =
+    """cust AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+      |    c_acctbal,
+      |    CAST('0x' || substring(md5('29|' || CAST(c_custkey AS VARCHAR)), 1, 15)
+      |      AS BIGINT) AS hv
+      |  FROM customer WHERE c_custkey < 2000),
+      |dirty AS (SELECT c_custkey + 100000 AS key_b,
+      |    CASE WHEN hv % 10 < 3 THEN
+      |      concat(substring(c_name, 1, length(c_name) - 1),
+      |        CAST((CAST(substring(c_name, length(c_name), 1) AS INT) + 1) % 10
+      |          AS VARCHAR))
+      |      ELSE c_name END AS name_b,
+      |    CASE WHEN hv % 7 = 0 THEN (c_nationkey + 1) % 25
+      |      ELSE c_nationkey END AS nation_b,
+      |    CASE WHEN hv % 5 = 0 THEN 'ALT-' || c_mktsegment
+      |      ELSE c_mktsegment END AS seg_b,
+      |    (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 10000 AS blk
+      |  FROM cust),
+      |aa AS (SELECT c_custkey AS key_a, c_name AS name_a,
+      |    c_nationkey AS nation_a, c_mktsegment AS seg_a,
+      |    (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 10000 AS blk
+      |  FROM cust),
+      |cands AS (SELECT key_a, key_b,
+      |    name_a = name_b AS name_agree,
+      |    nation_a = nation_b AS nation_agree,
+      |    seg_a = seg_b AS seg_agree,
+      |    key_b - 100000 = key_a AS is_match
+      |  FROM aa JOIN dirty USING (blk)),
+      |par AS (SELECT
+      |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS m,
+      |    CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT) AS u,
+      |    CAST(sum(CASE WHEN is_match AND name_agree THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ma_name,
+      |    CAST(sum(CASE WHEN NOT is_match AND name_agree THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ua_name,
+      |    CAST(sum(CASE WHEN is_match AND nation_agree THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ma_nat,
+      |    CAST(sum(CASE WHEN NOT is_match AND nation_agree THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ua_nat,
+      |    CAST(sum(CASE WHEN is_match AND seg_agree THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ma_seg,
+      |    CAST(sum(CASE WHEN NOT is_match AND seg_agree THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ua_seg
+      |  FROM cands)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // The decile-bin CTEs of quality_decile_calibration, then the
@@ -285,49 +337,7 @@ object LlmQueries12 {
     // blocking, one parameter aggregate, the smoothed likelihood-ratio
     // product in HUGEINT (mirrors the kernel's DECIMAL(38,0) route).
     "link_fellegi_sunter" ->
-      """WITH cust AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-        |    c_acctbal,
-        |    CAST('0x' || substring(md5('29|' || CAST(c_custkey AS VARCHAR)), 1, 15)
-        |      AS BIGINT) AS hv
-        |  FROM customer WHERE c_custkey < 2000),
-        |dirty AS (SELECT c_custkey + 100000 AS key_b,
-        |    CASE WHEN hv % 10 < 3 THEN
-        |      concat(substring(c_name, 1, length(c_name) - 1),
-        |        CAST((CAST(substring(c_name, length(c_name), 1) AS INT) + 1) % 10
-        |          AS VARCHAR))
-        |      ELSE c_name END AS name_b,
-        |    CASE WHEN hv % 7 = 0 THEN (c_nationkey + 1) % 25
-        |      ELSE c_nationkey END AS nation_b,
-        |    CASE WHEN hv % 5 = 0 THEN 'ALT-' || c_mktsegment
-        |      ELSE c_mktsegment END AS seg_b,
-        |    (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 10000 AS blk
-        |  FROM cust),
-        |aa AS (SELECT c_custkey AS key_a, c_name AS name_a,
-        |    c_nationkey AS nation_a, c_mktsegment AS seg_a,
-        |    (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 10000 AS blk
-        |  FROM cust),
-        |cands AS (SELECT key_a, key_b,
-        |    name_a = name_b AS name_agree,
-        |    nation_a = nation_b AS nation_agree,
-        |    seg_a = seg_b AS seg_agree,
-        |    key_b - 100000 = key_a AS is_match
-        |  FROM aa JOIN dirty USING (blk)),
-        |par AS (SELECT
-        |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS m,
-        |    CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT) AS u,
-        |    CAST(sum(CASE WHEN is_match AND name_agree THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS ma_name,
-        |    CAST(sum(CASE WHEN NOT is_match AND name_agree THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS ua_name,
-        |    CAST(sum(CASE WHEN is_match AND nation_agree THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS ma_nat,
-        |    CAST(sum(CASE WHEN NOT is_match AND nation_agree THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS ua_nat,
-        |    CAST(sum(CASE WHEN is_match AND seg_agree THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS ma_seg,
-        |    CAST(sum(CASE WHEN NOT is_match AND seg_agree THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS ua_seg
-        |  FROM cands),
+      s"""WITH $linkageCandsCtes,
         |scored AS (SELECT key_a, key_b, name_agree, nation_agree, seg_agree,
         |    is_match,
         |    CAST((CAST(CASE WHEN name_agree THEN ma_name + 1

@@ -159,7 +159,44 @@ object LlmQueries13 {
       .orderBy(col("src_id"), col("tgt_id"))
   }
 
+  /** The SHUFFLED (non-broadcast) IVF serve path under the gate
+    * (VERDICT r12 item 2): [[Similarity.ivfTopKShuffledMicro]] is the
+    * corpus×corpus rendezvous plan the 100 TB ANN story rests on — both
+    * sides hash-partitioned on the cell key, no query-side broadcast —
+    * and until now it was only spec-verified for row parity. Identical
+    * inputs to `sim_ivf_trained_topk` (micro-trained k = 10 centroids,
+    * queries vec_id < 10, k = 5), so the rows — and therefore the
+    * oracle — are the same by construction (SimilaritySpec asserts the
+    * parity); PlanSpec pins that the probe join really is a shuffle
+    * join here, not a broadcast. */
+  def simIvfShuffledTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    val cents = Similarity.trainIvfCentroidsMicro(T.par(spark, emb),
+      k = 10, iters = 3)
+    Similarity.ivfTopKShuffledMicro(emb.filter(col("vec_id") < 10),
+        T.par(spark, emb), cents, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Fellegi–Sunter in summed per-field integer LOG-ODDS
+    * ([[graft.ops.Linkage.fellegiSunterLogOdds]], VERDICT r12 item 7) —
+    * the ceiling-free scoring form over the same dirty-twin candidates
+    * as `link_fellegi_sunter`: each field contributes an exact
+    * [[graft.ops.Linkage.log2Micro]] weight (16-step fixed-point
+    * squaring, bit-identical in both engines), the pair score is a
+    * plain long sum, and `score_micro > 0` ⇔ the ratio form's R > 1.
+    * No DECIMAL(38,0) product exists anywhere, so candidate count and
+    * field count are unbounded. */
+  def linkFellegiSunterLogOdds(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Linkage.fellegiSunterLogOdds(
+        LlmQueries12.linkageCands(spark, dir),
+        Seq("name_agree", "nation_agree", "seg_agree"), "is_match")
+      .withColumn("is_link", col("score_micro") > 0L)
+      .orderBy(col("key_a"), col("key_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_shuffled_topk" -> (simIvfShuffledTopk _),
+    "link_fellegi_sunter_logodds" -> (linkFellegiSunterLogOdds _),
     "bitext_probe_quantize" -> (bitextProbeQuantize _),
     "bitext_probe_isqrt" -> (bitextProbeIsqrt _),
     "bitext_probe_assign" -> (bitextProbeAssign _),
@@ -167,6 +204,38 @@ object LlmQueries13 {
     "bitext_probe_bwd" -> (bitextProbeBwd _),
     "bitext_probe_margin" -> (bitextProbeMargin _),
   )
+
+  /** Unrolled SQL replay of [[graft.ops.Linkage.log2Micro]] over a
+    * `vals(name, v)` CTE: exact bit length (float-log2 seed with the
+    * shift-verified ±1 correction, the isqrt discipline), the 32-bit
+    * fixed-point normalization, and the 16 truncating squaring steps —
+    * all non-negative integer arithmetic (one HUGEINT square per step),
+    * so every bit matches the Scala kernel. Produces `lg(name, l)`. */
+  private def log2MicroCtes: String = {
+    val steps = (1 to 16).map { i =>
+      s"""w$i AS (SELECT name, e,
+         |    CASE WHEN y >= 8589934592 THEN y // 2 ELSE y END AS x,
+         |    frac * 2 + CASE WHEN y >= 8589934592 THEN 1 ELSE 0 END AS frac
+         |  FROM (SELECT name, e, (CAST(x AS HUGEINT) * x) // 4294967296 AS y,
+         |      frac FROM w${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""ew AS (SELECT name, v,
+       |    CASE WHEN (CAST(1 AS BIGINT) << CAST(e0 + 1 AS INTEGER)) <= v
+       |           THEN e0 + 1
+       |         WHEN (CAST(1 AS BIGINT) << CAST(e0 AS INTEGER)) > v
+       |           THEN e0 - 1
+       |         ELSE e0 END AS e
+       |  FROM (SELECT name, v,
+       |      CAST(floor(log2(CAST(v AS DOUBLE))) AS BIGINT) AS e0 FROM vals)),
+       |w0 AS (SELECT name, e,
+       |    CASE WHEN e <= 32 THEN v << CAST(32 - e AS INTEGER)
+       |         ELSE v >> CAST(e - 32 AS INTEGER) END AS x,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM ew),
+       |$steps,
+       |lg AS (SELECT name, ((e * 65536 + frac) * 1000000) // 65536 AS l
+       |  FROM w16)""".stripMargin
+  }
 
   // ---- oracle fragments shared with sim_bitext_mine --------------------
 
@@ -221,6 +290,62 @@ object LlmQueries13 {
   }
 
   val oracle: Map[String, String] = Map(
+    // Same relation as sim_ivf_trained_topk by construction (only the
+    // exchange strategy differs), so the oracle is shared verbatim.
+    "sim_ivf_shuffled_topk" -> LlmQueries.oracle("sim_ivf_trained_topk"),
+    // The shared dirty-twin cands/par CTEs, the 14 smoothed counts as a
+    // vals relation, the unrolled log2Micro chain, one conditional-agg
+    // pivot to per-field weights, then a map-only score per pair.
+    "link_fellegi_sunter_logodds" ->
+      s"""WITH ${LlmQueries12.linkageCandsCtes},
+         |vals AS (
+         |  SELECT 'm2' AS name, m + 2 AS v FROM par
+         |  UNION ALL SELECT 'u2', u + 2 FROM par
+         |  UNION ALL SELECT 'name_ma', ma_name + 1 FROM par
+         |  UNION ALL SELECT 'name_md', m - ma_name + 1 FROM par
+         |  UNION ALL SELECT 'name_ua', ua_name + 1 FROM par
+         |  UNION ALL SELECT 'name_ud', u - ua_name + 1 FROM par
+         |  UNION ALL SELECT 'nat_ma', ma_nat + 1 FROM par
+         |  UNION ALL SELECT 'nat_md', m - ma_nat + 1 FROM par
+         |  UNION ALL SELECT 'nat_ua', ua_nat + 1 FROM par
+         |  UNION ALL SELECT 'nat_ud', u - ua_nat + 1 FROM par
+         |  UNION ALL SELECT 'seg_ma', ma_seg + 1 FROM par
+         |  UNION ALL SELECT 'seg_md', m - ma_seg + 1 FROM par
+         |  UNION ALL SELECT 'seg_ua', ua_seg + 1 FROM par
+         |  UNION ALL SELECT 'seg_ud', u - ua_seg + 1 FROM par),
+         |$log2MicroCtes,
+         |wt AS (SELECT
+         |    max(CASE WHEN name = 'm2' THEN l END) AS l_m2,
+         |    max(CASE WHEN name = 'u2' THEN l END) AS l_u2,
+         |    max(CASE WHEN name = 'name_ma' THEN l END) AS l_name_ma,
+         |    max(CASE WHEN name = 'name_md' THEN l END) AS l_name_md,
+         |    max(CASE WHEN name = 'name_ua' THEN l END) AS l_name_ua,
+         |    max(CASE WHEN name = 'name_ud' THEN l END) AS l_name_ud,
+         |    max(CASE WHEN name = 'nat_ma' THEN l END) AS l_nat_ma,
+         |    max(CASE WHEN name = 'nat_md' THEN l END) AS l_nat_md,
+         |    max(CASE WHEN name = 'nat_ua' THEN l END) AS l_nat_ua,
+         |    max(CASE WHEN name = 'nat_ud' THEN l END) AS l_nat_ud,
+         |    max(CASE WHEN name = 'seg_ma' THEN l END) AS l_seg_ma,
+         |    max(CASE WHEN name = 'seg_md' THEN l END) AS l_seg_md,
+         |    max(CASE WHEN name = 'seg_ua' THEN l END) AS l_seg_ua,
+         |    max(CASE WHEN name = 'seg_ud' THEN l END) AS l_seg_ud
+         |  FROM lg)
+         |SELECT key_a, key_b, name_agree, nation_agree, seg_agree, is_match,
+         |  CAST((CASE WHEN name_agree THEN l_name_ma + l_u2 - l_name_ua - l_m2
+         |        ELSE l_name_md + l_u2 - l_name_ud - l_m2 END)
+         |    + (CASE WHEN nation_agree THEN l_nat_ma + l_u2 - l_nat_ua - l_m2
+         |        ELSE l_nat_md + l_u2 - l_nat_ud - l_m2 END)
+         |    + (CASE WHEN seg_agree THEN l_seg_ma + l_u2 - l_seg_ua - l_m2
+         |        ELSE l_seg_md + l_u2 - l_seg_ud - l_m2 END) AS BIGINT)
+         |    AS score_micro,
+         |  (CASE WHEN name_agree THEN l_name_ma + l_u2 - l_name_ua - l_m2
+         |        ELSE l_name_md + l_u2 - l_name_ud - l_m2 END)
+         |    + (CASE WHEN nation_agree THEN l_nat_ma + l_u2 - l_nat_ua - l_m2
+         |        ELSE l_nat_md + l_u2 - l_nat_ud - l_m2 END)
+         |    + (CASE WHEN seg_agree THEN l_seg_ma + l_u2 - l_seg_ua - l_m2
+         |        ELSE l_seg_md + l_u2 - l_seg_ud - l_m2 END) > 0 AS is_link
+         |FROM cands CROSS JOIN wt
+         |ORDER BY key_a, key_b""".stripMargin,
     "bitext_probe_quantize" ->
       s"""WITH $corpCte
          |SELECT vec_id % 16 AS grp, CAST(count(*) AS BIGINT) AS n,

@@ -161,6 +161,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
   }
 
+  test("ivf shuffled path: cell join is a shuffle join, query side NOT broadcast") {
+    val e = T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = graft.ops.Similarity.quantizeMicro(
+      graft.ops.Similarity.ivfCentroids(e, 100))
+    val plan = graft.ops.Similarity.ivfTopKShuffledMicro(e, e, cents, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"corpus×corpus probe join must rendezvous shuffled on the cell key:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"corpus-sized query side must not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
   test("knn graph: bucket equi-join, never cartesian; window is node-partitioned") {
     val e = T.t(spark, "/root/testdata/sf0.001", "embeddings")
     val df = graft.ops.Similarity.knnGraph(e, k = 3)
