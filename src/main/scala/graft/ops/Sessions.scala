@@ -483,14 +483,25 @@ object Sessions {
     * days/hours long, not corpus-sized): a map-side combine builds the
     * (order, value) array per group, the fold is pure expression work,
     * and nothing but group rows ever shuffles. The DuckDB oracle
-    * replays the identical trajectory with a recursive CTE. */
+    * replays the identical trajectory with a recursive CTE.
+    *
+    * `maxPointsPerGroup` is the hot-key guard (the [[theilSenSlope]]
+    * pattern, VERDICT r12 item 4): a key holding more rows than any
+    * real monitoring series should (a skew bug, an id collision) would
+    * otherwise materialize ONE giant collect_list row. Hotter keys are
+    * excluded from the fold and surface loudly with their true
+    * n_points and all-zero level/trend/mae/forecasts — never a silent
+    * drop, never an unbounded array. */
   def holtLinearForecast(series: DataFrame, groupCols: Seq[String],
       orderCol: String, valueCol: String, horizons: Int = 3,
-      unit: Long = 1000000L, big: Long = 1000000000000000L): DataFrame = {
+      unit: Long = 1000000L, big: Long = 1000000000000000L,
+      maxPointsPerGroup: Int = 100000): DataFrame = {
     require(horizons >= 1 && unit > 0 && big > 0,
       "need horizons >= 1 and positive unit/big")
     val gs = groupCols.map(col)
-    val packed = series
+    val projected = series.select(
+      (groupCols.map(col) :+ col(orderCol) :+ col(valueCol)): _*)
+    val packed = Dedup.capBuckets(projected, groupCols, maxPointsPerGroup)
       .groupBy(gs: _*)
       .agg(transform(
         sort_array(collect_list(struct(col(orderCol).as("o"),
@@ -512,11 +523,18 @@ object Sessions {
          |    END)""".stripMargin))
     val fcs = (1 to horizons).map(h =>
       expr(s"__st.l + ${h}L * __st.b").as(s"fc${h}_micro"))
-    folded.select(gs ++ Seq(
-      expr("__st.n").as("n_points"),
+    val stats = folded.select(gs ++ Seq(
       expr("__st.l").as("level_micro"),
       expr("__st.b").as("trend_micro"),
       expr(s"CASE WHEN __st.n > 1 THEN __st.sae div (__st.n - 1) " +
         "ELSE 0L END").as("mae_micro")) ++ fcs: _*)
+    // n_points comes from the UNCAPPED relation so capped-out hot keys
+    // surface (true count, zeroed stats) instead of vanishing
+    val statCols = Seq("level_micro", "trend_micro", "mae_micro") ++
+      (1 to horizons).map(h => s"fc${h}_micro")
+    projected.groupBy(gs: _*).agg(count(lit(1)).as("n_points"))
+      .join(stats, groupCols, "left")
+      .select(gs ++ (col("n_points") +:
+        statCols.map(c => coalesce(col(c), lit(0L)).as(c))): _*)
   }
 }

@@ -356,4 +356,21 @@ class SessionsSpec extends SparkSpec {
         (r.getAs[Long]("level_micro"), r.getAs[Long]("trend_micro"))).toMap
     assert(got2 == got.map { case (k, v) => k -> ((v._2, v._3)) }, got2.toString)
   }
+
+  test("holtLinearForecast: hot key past maxPointsPerGroup surfaces zeroed, never folds") {
+    import spark.implicits._
+    // hot=120 points (over the cap of 100), cool=3 points (under it):
+    // the hot key must keep its true n_points but report all-zero
+    // stats instead of materializing the giant per-group array
+    val rows = (1 to 120).map(i => ("hot", i, 10L)) ++
+      Seq(("cool", 1, 5L), ("cool", 2, 5L), ("cool", 3, 5L))
+    val got = Sessions.holtLinearForecast(rows.toDF("g", "t", "x"),
+        Seq("g"), "t", "x", maxPointsPerGroup = 100)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("level_micro"),
+          r.getAs[Long]("trend_micro"), r.getAs[Long]("mae_micro"),
+          r.getAs[Long]("fc1_micro"))).toMap
+    assert(got("hot") == ((120L, 0L, 0L, 0L, 0L)), got.toString)
+    assert(got("cool") == ((3L, 5000000L, 0L, 0L, 5000000L)), got.toString)
+  }
 }
