@@ -709,9 +709,17 @@ object Components {
       maxHops: Int = 3, unit: Long = 1000000L, aCol: String = "id_a",
       bCol: String = "id_b", seedCol: String = "id"): DataFrame = {
     require(maxHops >= 1 && unit > 0, "need maxHops >= 1 and unit > 0")
-    val und = pairs.select(col(aCol).cast("long").as("u"),
-        col(bCol).cast("long").as("v"))
+    // canonicalize (least, greatest) before distinct: σ SUMS over edges,
+    // so an input carrying both orientations of a pair would double
+    // every path count after symmetrization (the min-hop kernels are
+    // immune; this one is not). localCheckpoint: `und` feeds both union
+    // branches — without the fence the (often expensive) pair pipeline
+    // upstream evaluates twice when `edges` materializes.
+    val und = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
     val edges = und
       .unionByName(und.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(false)

@@ -1880,7 +1880,11 @@ object TextAnalysis {
     val pr = Components.weightedPageRankLazy(sym, iters)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("pr").desc, col("sent_idx"))
-    pr.select(expr("id div 1000").as("doc_id"),
+    // FLOOR-division decode: `id div 1000` truncates toward zero while
+    // pmod is non-negative, so a negative doc id would mis-decode under
+    // div; (id − pmod) is an exact multiple of 1000, making the pair
+    // (floor-quotient, pmod) consistent for any sign
+    pr.select(expr("(id - pmod(id, 1000)) div 1000").as("doc_id"),
         pmod(col("id"), lit(1000L)).as("sent_idx"), col("pr"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)

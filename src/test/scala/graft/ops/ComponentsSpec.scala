@@ -413,6 +413,20 @@ class ComponentsSpec extends SparkSpec {
       3L -> ((0L, 1L))), got.toString)
   }
 
+  test("betweenness: both-orientation input does not double the path counts") {
+    import spark.implicits._
+    // same path graph as above but every edge delivered in BOTH
+    // orientations — the canonicalize+distinct must collapse them, or
+    // σ (which SUMS over edges, unlike the min-hop kernels) doubles
+    val pairs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("id")
+    val got = Components.betweennessFromSeeds(pairs, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(2L -> ((2000000L, 1L)), 3L -> ((1000000L, 1L)),
+      4L -> ((0L, 1L))), got.toString)
+  }
+
   test("betweenness matches a sequential Brandes replay on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(971203)

@@ -841,4 +841,22 @@ class TextAnalysisSpec extends SparkSpec {
       .sortBy(t => (t._1, t._4))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("textRank: negative doc ids decode exactly (floor-division node decode)") {
+    import spark.implicits._
+    // doc −1 encodes nodes −1000+idx; a trunc-div decode would emit
+    // doc_id 0 with a mangled sent_idx — the floor decode must return
+    // the original (doc_id, sent_idx) pairs
+    val docs = Seq(
+      (-1L, "alpha beta. alpha gamma. beta gamma."),
+      (7L, "alpha beta. alpha gamma."))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textRankSentences(docs, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).toSet == Set(-1L, 7L), out.mkString(","))
+    assert(out.filter(_._1 == -1L).map(_._2).toSet == Set(0L, 1L, 2L),
+      out.mkString(","))
+    assert(out.filter(_._1 == 7L).map(_._2).toSet == Set(0L, 1L),
+      out.mkString(","))
+  }
 }
