@@ -182,6 +182,22 @@ object ScaleProbe {
       emb.filter(col("vec_id") < Offset && col("vec_id") % 25 === 0), k = 5)
   }
 
+  /** Truncated KNN-Shapley at its scale shape: the same fixed copy-0
+    * eval panel as [[knnShapleyProbe]], a FIXED index trained on copy 0,
+    * and the top-16 ANN candidate cut — cost should scale with the
+    * TRAINING side's one assignment scan (the rank windows see only
+    * |panel|·16 rows at every scale, vs the exact form's |panel|·train). */
+  private def knnShapleyTruncProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val cents = Similarity.quantizeMicro(
+      Similarity.ivfCentroids(emb.filter(col("vec_id") < Offset), 50))
+    graft.ops.Valuation.knnShapleyTruncated(
+      emb.filter(col("vec_id") % 25 =!= 0),
+      emb.filter(col("vec_id") < Offset && col("vec_id") % 25 === 0),
+      k = 5, m = 16, cents)
+  }
+
   /** pHash dedup widened to the ≤ 300 slice of EVERY copy (the registry
     * query bounds doc_id ≤ 300): decode + DCT are map-only per image,
     * the hash groupBy carries 63 chars per row — pure linear. */
@@ -355,7 +371,10 @@ object ScaleProbe {
       // round-12 batch 3: betweenness over per-copy graphs/pivots and
       // blocked linkage with copy-local acctbal blocks
       "graph_betweenness_x" -> (betweennessProbe _),
-      "link_fellegi_sunter_x" -> (linkageProbe _))
+      "link_fellegi_sunter_x" -> (linkageProbe _),
+      // round-13: truncated KNN-Shapley (fixed panel + fixed index +
+      // top-16 cut — only the assignment scan grows with the corpus)
+      "value_knn_shapley_trunc_x" -> (knnShapleyTruncProbe _))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -36,11 +36,11 @@ import graft.functions.VectorFunctions.cos_micro
   * global) rank window, one suffix-sum window over the same partition
   * order (no second shuffle — same key), one final groupBy(train id).
   * At 100 TB the exact form ranks EVERY train point per test, which is
-  * the published algorithm's cost; the documented production
-  * composition for larger panels is truncated KNN-Shapley over
-  * [[Similarity.ivfTopKWithMicro]] candidates (values decay as
-  * min(K,i)/i past rank K, so a top-M candidate cut bounds the error
-  * by Σ_{i>M} K/(K·i) terms).
+  * the published algorithm's cost; the production composition for
+  * larger panels is [[knnShapleyTruncated]] — the same recursion over
+  * [[Similarity.ivfTopKExact]] top-m candidates (values decay as
+  * min(K,i)/i past rank K, so the top-m cut bounds the error by the
+  * Σ_{i>m} K/(K·i) tail plus the ANN recall miss).
   */
 object Valuation {
 
@@ -61,19 +61,69 @@ object Valuation {
     val te = test.select(col(idCol).cast("long").as("test_id"),
       Similarity.microVec(col(vecCol)).as("__qv"),
       col(labelCol).cast("long").as("__ql"))
-    val byTest = Window.partitionBy(col("test_id"))
-    val rankW = byTest.orderBy(col("__sim").desc, col("train_id"))
-    val suffixW = byTest.orderBy(col("__rank").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tr.crossJoin(broadcast(te))
+    val rankW = Window.partitionBy(col("test_id"))
+      .orderBy(col("__sim").desc, col("train_id"))
+    val ranked = tr.crossJoin(broadcast(te))
       .withColumn("__sim", cos_micro(col("__tv"), col("__qv")))
       .withColumn("__alpha",
         (col("__tl") === col("__ql")).cast("long"))
       .select(col("train_id"), col("test_id"), col("__sim"), col("__alpha"))
       .withColumn("__rank", row_number().over(rankW).cast("long"))
+    shapleyFromRanked(ranked, k)
+  }
+
+  /** TRUNCATED KNN-Shapley — the documented production composition for
+    * corpus-scale test panels (class doc): instead of ranking EVERY
+    * training point per test (the exact form's corpus-quadratic cost),
+    * the per-test candidate set is the top-`m` ANN neighborhood from
+    * [[Similarity.ivfTopKExact]] against `cents`, and the SAME exact
+    * closed-form recursion runs on that reduced set (as if the training
+    * corpus were the m retrieved points). Values decay as min(K,i)/i
+    * past rank K, so the per-point error vs the exact form is bounded
+    * by the tail Σ_{i>m} 1/i terms plus the ANN recall miss — both
+    * shrink with m. Same nearness (exact integer-micro cosine,
+    * descending, ties to the lower train id — [[graft.functions
+    * .IvfIndexMicro]] uses the identical ordering), same nano-grid
+    * arithmetic, so the result replays engine-identically.
+    *
+    * Scale shape: candidates come from the IVF serve path (broadcast
+    * centroids, map-only assignment, cell-key equi-join — the test
+    * panel broadcasts as the query side), so the training corpus is
+    * scanned once and only ≤ |test|·m rows enter the rank windows —
+    * never |test|·|corpus|. */
+  def knnShapleyTruncated(train: DataFrame, test: DataFrame, k: Int, m: Int,
+      cents: Array[(Long, Array[Long])], nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && m >= k, "KNN-Shapley needs m >= k >= 1")
+    val cand = Similarity.ivfTopKExact(test, train, cents, k = m, nProbe,
+        idCol, idCol, vecCol)
+      .select(col("query_id").cast("long").as("test_id"),
+        col("neighbor_id").cast("long").as("train_id"),
+        col("sim_micro").as("__sim"), col("rank").cast("long").as("__rank"))
+    val ranked = cand
+      .join(train.select(col(idCol).cast("long").as("train_id"),
+        col(labelCol).cast("long").as("__tl")), Seq("train_id"))
+      .join(broadcast(test.select(col(idCol).cast("long").as("test_id"),
+        col(labelCol).cast("long").as("__ql"))), Seq("test_id"))
+      .withColumn("__alpha", (col("__tl") === col("__ql")).cast("long"))
+      .select(col("train_id"), col("test_id"), col("__sim"), col("__alpha"),
+        col("__rank"))
+    shapleyFromRanked(ranked, k)
+  }
+
+  /** The shared closed-form recursion over a ranked (test_id, train_id,
+    * __rank, __alpha) relation: suffix-summed floored nano terms, then
+    * the per-train aggregate. `__rank` must be the 1-based contiguous
+    * (sim desc, train id asc) rank within each test partition. */
+  private def shapleyFromRanked(ranked: DataFrame, k: Int): DataFrame = {
+    val byTest = Window.partitionBy(col("test_id"))
+    val rankOrd = byTest.orderBy(col("__rank"))
+    val suffixW = byTest.orderBy(col("__rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
       .withColumn("__n", count(lit(1)).over(byTest))
-      .withColumn("__anext",
-        lead(col("__alpha"), 1).over(rankW))
+      .withColumn("__anext", lead(col("__alpha"), 1).over(rankOrd))
       // closed-form term at this rank, in exact nano units: the base
       // α_N·⌊10⁹/N⌋ at the farthest point, (α_i − α_{i+1})·⌊min(K,i)·10⁹
       // /(K·i)⌋ elsewhere — magnitudes divided (floor of non-negatives,

@@ -194,9 +194,27 @@ object LlmQueries13 {
       .withColumn("is_link", col("score_micro") > 0L)
       .orderBy(col("key_a"), col("key_b"))
 
+  /** Truncated KNN-Shapley ([[graft.ops.Valuation.knnShapleyTruncated]],
+    * VERDICT r12 item 6): the exact closed-form recursion over the
+    * top-16 [[Similarity.ivfTopKExact]] neighborhood of each test point
+    * instead of the full training ranking — the servable form whose
+    * cost is |test|·m, not |test|·|corpus|. Same panel split as
+    * `value_knn_shapley` (test = vec_id ≡ 0 mod 25, K = 5), shared
+    * every-50th IVF quantizer; the oracle replays the candidate cut
+    * (assignment, 3-probe sets, rank ≤ 16) and the recursion exactly. */
+  def valueKnnShapleyTruncated(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    graft.ops.Valuation.knnShapleyTruncated(
+        T.par(spark, emb.filter(col("vec_id") % 25 =!= 0)),
+        emb.filter(col("vec_id") % 25 === 0),
+        k = 5, m = 16, cents = microCents(spark, dir))
+      .orderBy(col("train_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_shuffled_topk" -> (simIvfShuffledTopk _),
     "link_fellegi_sunter_logodds" -> (linkFellegiSunterLogOdds _),
+    "value_knn_shapley_truncated" -> (valueKnnShapleyTruncated _),
     "bitext_probe_quantize" -> (bitextProbeQuantize _),
     "bitext_probe_isqrt" -> (bitextProbeIsqrt _),
     "bitext_probe_assign" -> (bitextProbeAssign _),
@@ -241,8 +259,8 @@ object LlmQueries13 {
 
   private val corpCte =
     s"""corp AS (
-       |  SELECT vec_id, vm, ${ExactSql.idot("vm", "vm")} AS nsq
-       |  FROM (SELECT vec_id, ${ExactSql.microList("embedding")} AS vm
+       |  SELECT vec_id, label, vm, ${ExactSql.idot("vm", "vm")} AS nsq
+       |  FROM (SELECT vec_id, label, ${ExactSql.microList("embedding")} AS vm
        |        FROM embeddings))""".stripMargin
 
   private val centCte =
@@ -404,6 +422,55 @@ object LlmQueries13 {
          |$assignProbesCtes
          |${directionSql(1)}
          |ORDER BY query_id, rank""".stripMargin,
+    // The shared corp/cent/assignment replay restricted to the panel
+    // split (assignment is per-row, so computing it over corp and
+    // filtering parity in the candidate join is identical to assigning
+    // the split relations), the rank <= 16 candidate cut, then the
+    // value_knn_shapley recursion with n = the per-test candidate count.
+    "value_knn_shapley_truncated" ->
+      s"""WITH $corpCte,
+         |$centCte,
+         |$scored0Cte,
+         |$assignProbesCtes,
+         |csim AS (
+         |  ${ExactSql.cosMicroOver(
+             """SELECT cd.test_id, cd.train_id, """ +
+               ExactSql.idot("q.vm", "n.vm") +
+               """ AS dt, CAST(q.nsq AS HUGEINT) * n.nsq AS nn
+                 |   FROM (SELECT p.query_id AS test_id, a.vec_id AS train_id
+                 |         FROM probes p JOIN assign a ON a.cell = p.cell
+                 |         WHERE p.query_id % 25 = 0 AND a.vec_id % 25 <> 0
+                 |           AND a.vec_id <> p.query_id) cd
+                 |   JOIN corp q ON q.vec_id = cd.test_id
+                 |   JOIN corp n ON n.vec_id = cd.train_id""".stripMargin,
+             "test_id, train_id")}),
+         |topm AS (SELECT test_id, train_id, rank FROM (
+         |  SELECT test_id, train_id,
+         |    row_number() OVER (PARTITION BY test_id
+         |      ORDER BY sim DESC, train_id) AS rank
+         |  FROM csim) WHERE rank <= 16),
+         |ranked AS (SELECT t.test_id, t.train_id,
+         |    CASE WHEN n.label = q.label THEN 1 ELSE 0 END AS alpha, t.rank,
+         |    count(*) OVER (PARTITION BY t.test_id) AS n
+         |  FROM topm t
+         |  JOIN corp n ON n.vec_id = t.train_id
+         |  JOIN corp q ON q.vec_id = t.test_id),
+         |terms AS (SELECT *, lead(alpha) OVER (PARTITION BY test_id
+         |      ORDER BY rank) AS anext
+         |  FROM ranked),
+         |contrib AS (SELECT train_id, test_id, rank,
+         |    CASE WHEN anext IS NULL THEN alpha * (1000000000 // n)
+         |         ELSE (alpha - anext) *
+         |           ((least(5, rank) * 1000000000) // (5 * rank))
+         |    END AS term
+         |  FROM terms),
+         |shap AS (SELECT train_id, test_id,
+         |    sum(term) OVER (PARTITION BY test_id ORDER BY rank DESC)
+         |      AS shap_nano
+         |  FROM contrib)
+         |SELECT train_id, CAST(count(*) AS BIGINT) AS n_tests,
+         |  CAST(sum(shap_nano) AS BIGINT) AS shap_nano_sum
+         |FROM shap GROUP BY train_id ORDER BY train_id""".stripMargin,
     "bitext_probe_margin" ->
       s"""WITH $corpCte,
          |$centCte,

@@ -106,4 +106,39 @@ class ValuationSpec extends SparkSpec {
     assert(got == expected,
       got.toSeq.sortBy(_._1).zip(expected.toSeq.sortBy(_._1)).filter(x => x._1 != x._2).take(5).toString)
   }
+
+  test("knnShapleyTruncated: equals the exact form when nothing truncates") {
+    // with every cell probed and m = |train|, the ANN candidate set IS
+    // the full training set with the identical (sim desc, id) ordering,
+    // so the truncated recursion must reproduce knnShapley bit-for-bit
+    val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val train = e.filter(col("vec_id") % 25 =!= 0)
+    val test = e.filter(col("vec_id") % 25 === 0)
+    val cents = Similarity.quantizeMicro(Similarity.ivfCentroids(e, 50))
+    val nTrain = train.count().toInt
+    val exact = Valuation.knnShapley(train, test, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val trunc = Valuation.knnShapleyTruncated(train, test, k = 5,
+        m = nTrain, cents, nProbe = cents.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(trunc.toSeq == exact.toSeq,
+      trunc.zip(exact).filter(x => x._1 != x._2).take(5).toString)
+  }
+
+  test("knnShapleyTruncated m=16: bounded candidates, deterministic, ranks sane") {
+    val e = graft.T.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val train = e.filter(col("vec_id") % 25 =!= 0)
+    val test = e.filter(col("vec_id") % 25 === 0)
+    val cents = Similarity.quantizeMicro(Similarity.ivfCentroids(e, 50))
+    val a = Valuation.knnShapleyTruncated(train, test, k = 5, m = 16, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // every train point appears in at most |test| neighborhoods of 16
+    val nTest = test.count()
+    assert(a.nonEmpty && a.forall(t => t._2 >= 1L && t._2 <= nTest), a.take(3).toString)
+    assert(a.map(_._2).sum <= nTest * 16, "candidate volume must be <= |test|*m")
+    val b = Valuation.knnShapleyTruncated(graft.T.par(spark, train), test,
+        k = 5, m = 16, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
 }
