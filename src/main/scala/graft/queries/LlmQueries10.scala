@@ -417,13 +417,20 @@ object LlmQueries10 {
          |  coalesce(mk.min_k_micro, 0) AS min_k_micro
          |FROM documents d LEFT JOIN mk ON mk.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
-    // Micro-quantized pairwise slopes (truncating integer division in
-    // both engines), rank-median per user; same-timestamp pairs excluded.
+    // Micro-quantized pairwise slopes, rank-median per user;
+    // same-timestamp pairs excluded. The slope division is written
+    // magnitude-then-sign (r13 hardening, same class as cosMicroOver):
+    // value-identical under a truncating `//`, robust to a flooring
+    // build — Spark's `div` twin truncates, so negative slopes with a
+    // remainder must truncate here too.
     "event_theil_sen" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
         |    CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
         |pr AS (SELECT a.k,
-        |    CAST((1000000000000 * (b.v - a.v)) // (b.t - a.t) AS BIGINT) AS s
+        |    CAST(CASE WHEN b.v >= a.v
+        |      THEN (1000000000000 * (b.v - a.v)) // (b.t - a.t)
+        |      ELSE -((1000000000000 * (a.v - b.v)) // (b.t - a.t))
+        |    END AS BIGINT) AS s
         |  FROM e a JOIN e b ON a.k = b.k AND a.t < b.t),
         |rk AS (SELECT k, s, row_number() OVER (PARTITION BY k ORDER BY s) AS rn,
         |    count(*) OVER (PARTITION BY k) AS n FROM pr),
