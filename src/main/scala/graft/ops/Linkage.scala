@@ -16,10 +16,11 @@ import org.apache.spark.sql.Row
   * with R above a threshold link; the ratio orders the review queue in
   * between. The m/u parameters here are SUPERVISED estimates from a
   * labeled column (the production shape when a labeled dev set exists
-  * — dedup of author records, affiliation disambiguation; the
-  * unsupervised EM alternative of the original paper trades exactness
-  * for label-freeness and is intentionally out of scope: its fixpoint
-  * is float-iterative and not engine-replayable).
+  * — dedup of author records, affiliation disambiguation); when no
+  * labels exist, [[fellegiSunterEm]] estimates them unsupervised with
+  * a quantized-integer EM on the agreement-pattern counts (r13 — the
+  * float-fixpoint blocker removed by fixing the iteration count and
+  * micro-quantizing every step, the Bradley–Terry MM discipline).
   *
   * Exact arithmetic: counts ride one combine-aggregate; every per-field
   * probability is Laplace-smoothed to the exact rational (c+1)/(N+2)
@@ -83,6 +84,93 @@ object Linkage {
           .replace("\n", "")))
       .drop("__m" +: "__u" +: agreeCols.flatMap(f =>
         Seq(s"__ma_$f", s"__ua_$f")): _*)
+  }
+
+  /** UNSUPERVISED Fellegi–Sunter via EM on agreement-PATTERN counts —
+    * the original paper's label-free estimation, previously scoped out
+    * because a float EM fixpoint is not engine-replayable. This variant
+    * removes that blocker the same way [[graft.ops.Preference]]'s
+    * Bradley–Terry MM rounds did: a FIXED number of EM iterations with
+    * every probability quantized to integer micro units and every
+    * division a truncation of non-negative operands, so the trajectory
+    * — and therefore the posterior — is a pure function of the pattern
+    * counts that a SQL oracle unrolls bit-for-bit.
+    *
+    * Estimation runs on the 2^F agreement-pattern COUNT relation (the
+    * classical formulation), never the pairs: one combine-aggregate
+    * collapses the candidates to ≤ 2^F rows (a bounded, loud collect —
+    * F ≤ 20 enforced), the driver iterates exactly:
+    *
+    *   E: pm(γ) = p ·Π_f q_f(γ) each step ⌊·/10⁶⌋;  pu analogous;
+    *      post(γ) = ⌊pm·10⁶/(pm+pu)⌋  (0 when both truncate to 0)
+    *   M: m_f = clamp ⌊Σ c·post·γ_f ·10⁶ / Σ c·post⌋,
+    *      u_f = clamp ⌊Σ c·(10⁶−post)·γ_f ·10⁶ / Σ c·(10⁶−post)⌋,
+    *      p   = clamp ⌊Σ c·post / Σ c⌋
+    *
+    * with clamp = [1, 10⁶−1] (keeps every factor strictly inside (0,1)
+    * so no parameter sticks at an absorbing boundary) and a zero-mass
+    * guard that keeps the previous parameter when a denominator hits 0.
+    * Init: p = 0.1, m_f = 0.9, u_f = 0.1 (the standard FS seed). After
+    * `iters` EM rounds, one final E-step produces the posterior each
+    * OBSERVED pattern carries; pairs join it broadcast.
+    *
+    * Output: the input columns + `posterior_micro` (P(match | pattern)
+    * in micro units). Link at posterior > 500000, review-queue order by
+    * the posterior. No labels consumed anywhere.
+    *
+    * Scale shape: one map-side-combined aggregate to ≤ 2^F rows, driver
+    * arithmetic on those rows (BigInt — no overflow for any candidate
+    * count < 2⁶²), and one broadcast join back; candidates are touched
+    * twice and never shuffled. */
+  def fellegiSunterEm(cands: DataFrame, agreeCols: Seq[String],
+      iters: Int = 5): DataFrame = {
+    require(agreeCols.nonEmpty && agreeCols.size <= 20,
+      "need 1..20 agreement columns")
+    val F = agreeCols.size
+    val unit = 1000000L
+    val patExpr = agreeCols.zipWithIndex.map { case (f, i) =>
+      s"(CASE WHEN $f THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val withPat = cands.withColumn("__pat", expr(patExpr).cast("long"))
+    // bounded, loud: at most 2^F pattern rows
+    val counts: Map[Int, Long] = withPat
+      .groupBy(col("__pat")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val pats = counts.keys.toSeq.sorted
+    def clamp(x: BigInt): Long =
+      x.max(BigInt(1)).min(BigInt(unit - 1)).toLong
+    def eStep(p: Long, m: Array[Long], u: Array[Long]): Map[Int, Long] =
+      pats.map { g =>
+        var pm = p; var pu = unit - p
+        for (f <- 0 until F) {
+          val bit = ((g >> f) & 1) == 1
+          pm = pm * (if (bit) m(f) else unit - m(f)) / unit
+          pu = pu * (if (bit) u(f) else unit - u(f)) / unit
+        }
+        g -> (if (pm + pu == 0L) 0L else pm * unit / (pm + pu))
+      }.toMap
+    var p = 100000L
+    val m = Array.fill(F)(900000L)
+    val u = Array.fill(F)(100000L)
+    for (_ <- 1 to iters) {
+      val post = eStep(p, m, u)
+      val w = pats.map(g => BigInt(counts(g)) * post(g)).sum
+      val wn = pats.map(g => BigInt(counts(g)) * (unit - post(g))).sum
+      val n = pats.map(g => BigInt(counts(g))).sum
+      for (f <- 0 until F) {
+        val bitOf = pats.filter(g => ((g >> f) & 1) == 1)
+        val ma = bitOf.map(g => BigInt(counts(g)) * post(g)).sum
+        val ua = bitOf.map(g => BigInt(counts(g)) * (unit - post(g))).sum
+        if (w != 0) m(f) = clamp(ma * unit / w)
+        if (wn != 0) u(f) = clamp(ua * unit / wn)
+      }
+      if (n != 0) p = clamp(w / n)
+    }
+    val post = eStep(p, m, u)
+    val postDf = cands.sparkSession
+      .createDataFrame(pats.map(g => (g.toLong, post(g))))
+      .toDF("__pat", "posterior_micro")
+    withPat.join(broadcast(postDf), Seq("__pat")).drop("__pat")
   }
 
   /** Exact micro-units log2 of a positive integer — the deterministic

@@ -194,6 +194,20 @@ object LlmQueries13 {
       .withColumn("is_link", col("score_micro") > 0L)
       .orderBy(col("key_a"), col("key_b"))
 
+  /** UNSUPERVISED Fellegi–Sunter ([[graft.ops.Linkage.fellegiSunterEm]])
+    * over the same dirty-twin candidates — no labels consumed: 5 EM
+    * rounds on the 8 agreement-pattern counts, every probability
+    * quantized to integer micro units, so the DuckDB oracle unrolls the
+    * identical trajectory (the Bradley–Terry MM discipline) and the
+    * per-pattern posteriors replay bit-for-bit. `is_match` rides along
+    * as an audit column only. */
+  def linkFellegiSunterEm(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Linkage.fellegiSunterEm(
+        LlmQueries12.linkageCands(spark, dir),
+        Seq("name_agree", "nation_agree", "seg_agree"))
+      .withColumn("is_link", col("posterior_micro") > 500000L)
+      .orderBy(col("key_a"), col("key_b"))
+
   /** Truncated KNN-Shapley ([[graft.ops.Valuation.knnShapleyTruncated]],
     * VERDICT r12 item 6): the exact closed-form recursion over the
     * top-16 [[Similarity.ivfTopKExact]] neighborhood of each test point
@@ -214,6 +228,7 @@ object LlmQueries13 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_shuffled_topk" -> (simIvfShuffledTopk _),
     "link_fellegi_sunter_logodds" -> (linkFellegiSunterLogOdds _),
+    "link_fellegi_sunter_em" -> (linkFellegiSunterEm _),
     "value_knn_shapley_truncated" -> (valueKnnShapleyTruncated _),
     "bitext_probe_quantize" -> (bitextProbeQuantize _),
     "bitext_probe_isqrt" -> (bitextProbeIsqrt _),
@@ -253,6 +268,70 @@ object LlmQueries13 {
        |$steps,
        |lg AS (SELECT name, ((e * 65536 + frac) * 1000000) // 65536 AS l
        |  FROM w16)""".stripMargin
+  }
+
+  /** Unrolled SQL replay of [[graft.ops.Linkage.fellegiSunterEm]]'s
+    * quantized-integer EM over the 3-field linkage candidates: pattern
+    * counts with bit columns, `iters` (E-step, M-step) CTE pairs with
+    * the exact ⌊·/10⁶⌋ product chain / zero-mass guards / [1, 10⁶−1]
+    * clamps, then one final E-step (`ef`) carrying the posterior each
+    * observed pattern joins back to its pairs. All operands
+    * non-negative, all divisions truncating — bit-identical to the
+    * driver-side BigInt trajectory on any build. */
+  private def fsEmCtes(iters: Int): String = {
+    val U = "1000000"
+    // pm/pu product chains in the exact field order (name=b0, nation=b1,
+    // seg=b2), each step floored — mirrors the Scala loop verbatim
+    def chain(start: String, pf: Int => String): String =
+      (0 until 3).foldLeft(start) { (acc, f) =>
+        s"(($acc * (CASE WHEN b$f = 1 THEN ${pf(f)} ELSE $U - ${pf(f)} END)) // $U)"
+      }
+    def eStep(i: Int, prev: String): String =
+      s"""x$i AS (SELECT pat, c, b0, b1, b2,
+         |    ${chain("q.p", f => s"q.m$f")} AS pm,
+         |    ${chain(s"($U - q.p)", f => s"q.u$f")} AS pu
+         |  FROM pc CROSS JOIN $prev q),
+         |e$i AS (SELECT pat, c, b0, b1, b2,
+         |    CASE WHEN pm + pu = 0 THEN CAST(0 AS HUGEINT)
+         |         ELSE (pm * $U) // (pm + pu) END AS post
+         |  FROM x$i)""".stripMargin
+    def mStep(i: Int): String = {
+      val ms = (0 until 3).map { f =>
+        s"""    CASE WHEN sum(c * post) = 0 THEN max(q.m$f)
+           |      ELSE greatest(1, least(999999,
+           |        (sum(c * post * b$f) * $U) // sum(c * post))) END AS m$f,
+           |    CASE WHEN sum(c * ($U - post)) = 0 THEN max(q.u$f)
+           |      ELSE greatest(1, least(999999,
+           |        (sum(c * ($U - post) * b$f) * $U)
+           |          // sum(c * ($U - post)))) END AS u$f""".stripMargin
+      }.mkString(",\n")
+      s"""p$i AS (SELECT
+         |    CASE WHEN sum(c) = 0 THEN max(q.p)
+         |      ELSE greatest(1, least(999999, sum(c * post) // sum(c))) END AS p,
+         |$ms
+         |  FROM e$i CROSS JOIN p${i - 1} q)""".stripMargin
+    }
+    val steps = (1 to iters).map(i => s"${eStep(i, s"p${i - 1}")},\n${mStep(i)}")
+      .mkString(",\n")
+    s"""pats AS (SELECT key_a, key_b, name_agree, nation_agree, seg_agree,
+       |    is_match,
+       |    (CASE WHEN name_agree THEN 1 ELSE 0 END)
+       |      + (CASE WHEN nation_agree THEN 2 ELSE 0 END)
+       |      + (CASE WHEN seg_agree THEN 4 ELSE 0 END) AS pat
+       |  FROM cands),
+       |pc AS (SELECT pat, CAST(count(*) AS HUGEINT) AS c,
+       |    CAST(pat % 2 AS HUGEINT) AS b0,
+       |    CAST((pat // 2) % 2 AS HUGEINT) AS b1,
+       |    CAST((pat // 4) % 2 AS HUGEINT) AS b2
+       |  FROM pats GROUP BY pat),
+       |p0 AS (SELECT CAST(100000 AS HUGEINT) AS p,
+       |    CAST(900000 AS HUGEINT) AS m0, CAST(900000 AS HUGEINT) AS m1,
+       |    CAST(900000 AS HUGEINT) AS m2,
+       |    CAST(100000 AS HUGEINT) AS u0, CAST(100000 AS HUGEINT) AS u1,
+       |    CAST(100000 AS HUGEINT) AS u2),
+       |$steps,
+       |${eStep(iters + 1, s"p$iters").replace(s"x${iters + 1} AS", "xf AS")
+         .replace(s"e${iters + 1} AS", "ef AS").replace(s"FROM x${iters + 1}", "FROM xf")}""".stripMargin
   }
 
   // ---- oracle fragments shared with sim_bitext_mine --------------------
@@ -422,6 +501,19 @@ object LlmQueries13 {
          |$assignProbesCtes
          |${directionSql(1)}
          |ORDER BY query_id, rank""".stripMargin,
+    // The shared dirty-twin cands CTEs + the unrolled 5-round
+    // quantized-integer EM on the 8 pattern counts, final E-step
+    // posterior joined back per pair. No labels consumed by the
+    // estimation; is_match is an audit column.
+    "link_fellegi_sunter_em" ->
+      s"""WITH ${LlmQueries12.linkageCandsCtes},
+         |${fsEmCtes(5)}
+         |SELECT pt.key_a, pt.key_b, pt.name_agree, pt.nation_agree,
+         |  pt.seg_agree, pt.is_match,
+         |  CAST(ef.post AS BIGINT) AS posterior_micro,
+         |  ef.post > 500000 AS is_link
+         |FROM pats pt JOIN ef ON ef.pat = pt.pat
+         |ORDER BY pt.key_a, pt.key_b""".stripMargin,
     // The shared corp/cent/assignment replay restricted to the panel
     // split (assignment is per-row, so computing it over corp and
     // filtering parity in the candidate join is identical to assigning

@@ -91,6 +91,34 @@ class LinkageSpec extends SparkSpec {
     assert(lo(1L) == wA1 + wA2, s"${lo(1L)} vs ${wA1 + wA2}")
   }
 
+  test("fellegiSunterEm: unsupervised posteriors separate the planted classes") {
+    import spark.implicits._
+    // same planted mixture as the supervised separation test, but the
+    // label is NOT given to the estimator — EM on pattern counts must
+    // still push the all-agree pattern above the link threshold and the
+    // partial/no-agree patterns below it
+    val rows =
+      (1L to 50L).map(i => (i, i + 1000L, true, true, true)) ++
+        (1L to 100L).map(i => (i, i + 2000L, false, i % 2 == 0, false)) ++
+        (1L to 100L).map(i => (i, i + 3000L, i % 3 == 0, false, false))
+    val df = rows.toDF("key_a", "key_b", "a1", "a2", "is_match")
+    val got = Linkage.fellegiSunterEm(df.drop("is_match"), Seq("a1", "a2"))
+      .collect().map(r => (r.getAs[Boolean]("a1"), r.getAs[Boolean]("a2")) ->
+        r.getAs[Long]("posterior_micro")).toMap
+    assert(got((true, true)) > 500000L, got.toString)
+    assert(got((false, true)) < got((true, true)), got.toString)
+    assert(got((false, false)) < 500000L, got.toString)
+    // deterministic and partition-invariant (pattern counts are exact)
+    val again = Linkage.fellegiSunterEm(df.drop("is_match").repartition(7),
+        Seq("a1", "a2"))
+      .collect().map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
+        r.getAs[Long]("posterior_micro"))).toSet
+    val first = Linkage.fellegiSunterEm(df.drop("is_match"), Seq("a1", "a2"))
+      .collect().map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
+        r.getAs[Long]("posterior_micro"))).toSet
+    assert(again == first)
+  }
+
   test("fellegiSunterScores: matches outrank non-matches; partition-invariant") {
     import spark.implicits._
     // 50 true pairs agreeing on both fields, 200 non-matches agreeing
