@@ -8,7 +8,9 @@ import graft.functions.VectorFunctions.{cos_micro, nearest_cells_micro}
 import LlmQueries9.ExactSql
 
 /** Round-13 registry: the `sim_bitext_mine` driver-divergence bisection
-  * (VERDICT r12 item 1). Two bit-exact rewrites in two rounds pass
+  * (VERDICT r12 item 1), the shuffled IVF serve path under the gate,
+  * the ceiling-free / unsupervised Fellegi–Sunter forms, and truncated
+  * KNN-Shapley. Two bit-exact rewrites in two rounds pass
   * locally at three SFs (DuckDB == Spark parquet == pure big-int Python
   * on all 1570 rows, re-verified this round) while the driver's gate
   * stays hash-red — so the failure is only observable in the driver's
@@ -225,8 +227,29 @@ object LlmQueries13 {
       .orderBy(col("train_id"))
   }
 
+  /** `sim_bitext_mine` under the SHUFFLED (non-broadcast) probe plan —
+    * the corpus×corpus exchange strategy the 100 TB mining story uses
+    * (`broadcastQueries = false`): identical rows by construction, so
+    * the oracle is shared verbatim. Besides gating that plan, this is
+    * the bisection's DIFFERENTIAL control: if the driver's gate marks
+    * both this and `sim_bitext_mine` red with all six stage probes
+    * green, the divergence is oracle-side in the final windows; if
+    * exactly one of the twins is red, the Spark output is
+    * plan-dependent — which the integer contract forbids — and the
+    * diff names the exchange strategy as the trigger. */
+  def simBitextMineShuffled(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    val cents = Similarity.ivfCentroids(T.par(spark, emb), 50)
+    Similarity.mineBitextIvfExact(
+        T.par(spark, emb.filter(col("vec_id") % 2 === 0)),
+        T.par(spark, emb.filter(col("vec_id") % 2 === 1)),
+        cents, k = 4, nProbe = 3, broadcastQueries = false)
+      .orderBy(col("src_id"), col("tgt_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_shuffled_topk" -> (simIvfShuffledTopk _),
+    "sim_bitext_mine_shuffled" -> (simBitextMineShuffled _),
     "link_fellegi_sunter_logodds" -> (linkFellegiSunterLogOdds _),
     "link_fellegi_sunter_em" -> (linkFellegiSunterEm _),
     "value_knn_shapley_truncated" -> (valueKnnShapleyTruncated _),
@@ -390,6 +413,10 @@ object LlmQueries13 {
     // Same relation as sim_ivf_trained_topk by construction (only the
     // exchange strategy differs), so the oracle is shared verbatim.
     "sim_ivf_shuffled_topk" -> LlmQueries.oracle("sim_ivf_trained_topk"),
+    // Identical relation to sim_bitext_mine (exchange strategy is the
+    // only difference) — shared oracle; see simBitextMineShuffled doc
+    // for the differential-diagnostic role.
+    "sim_bitext_mine_shuffled" -> LlmQueries9.oracle("sim_bitext_mine"),
     // The shared dirty-twin cands/par CTEs, the 14 smoothed counts as a
     // vals relation, the unrolled log2Micro chain, one conditional-agg
     // pivot to per-field weights, then a map-only score per pair.
