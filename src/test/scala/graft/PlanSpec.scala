@@ -153,6 +153,29 @@ class PlanSpec extends SparkSpec {
       s"global (unpartitioned) Window planned by: ${offenders.distinct.mkString(", ")}")
   }
 
+  test("linkage EM/log-odds scoring: broadcast posterior join, literal weights") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val cands = (1L to 200L).map(i =>
+        (i, i + 1000L, i % 2 == 0, i % 3 == 0, i % 7 == 0))
+      .toDF("key_a", "key_b", "a1", "a2", "is_match")
+    // EM: the per-pattern posterior relation is <= 2^F rows and must
+    // join back broadcast — the candidates are never shuffled by scoring
+    val pEm = graft.ops.Linkage.fellegiSunterEm(cands, Seq("a1", "a2"))
+      .queryExecution.executedPlan.toString
+    assert(pEm.contains("BroadcastHashJoin"),
+      s"posterior join must broadcast the pattern relation:\n$pEm")
+    assert(!pEm.contains("CartesianProduct") && !pEm.contains("SortMergeJoin"),
+      s"EM scoring must not shuffle the candidates:\n$pEm")
+    // log-odds: weights ride the plan as literals — scoring is map-only
+    // (no join, no exchange above the candidate scan)
+    val lo = graft.ops.Linkage.fellegiSunterLogOdds(cands, Seq("a1", "a2"),
+      "is_match")
+    val pLo = lo.queryExecution.executedPlan.toString
+    assert(!pLo.contains("Join") && !pLo.contains("Exchange"),
+      s"log-odds scoring must be a map-only pass:\n$pLo")
+  }
+
   test("ivf: probe join broadcasts the query side; no cartesian product") {
     val e = T.t(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = graft.ops.Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 3,
