@@ -269,9 +269,98 @@ case class BpeEncode(child: Expression, table: BpeTable)
     copy(child = newChild)
 }
 
+/** Unigram-LM tokenizer vocabulary (SentencePiece family) as a single
+  * serializable reference object: piece → integer micro log2-probability
+  * score, plus the exact Viterbi DP that segments a chunk under it.
+  *
+  * Determinism contract (the SQL oracle unrolls the identical DP):
+  *  - dp over 0..len with dpS(0) = 0; at each position j, candidates are
+  *    the vocab pieces ending at j with length ≤ `maxPieceLen`, plus the
+  *    single-character UNK fallback at `unkScore` when the 1-char piece
+  *    is absent (single chars of the training corpus are always in the
+  *    vocab, so UNK only fires on unseen serve-time characters);
+  *  - dpS(j) = max candidate score; dpN(j) = MIN piece count among the
+  *    score-optimal candidates — the value pair is unique even when
+  *    multiple paths tie, so (score, n_pieces) is engine-identical
+  *    without needing a backtrack tie-break.
+  * All arithmetic is exact Long sums of micro scores (|score| ≤ 62·10⁶
+  * per piece). Callers chunk input to ≤ 16 characters (the oracle
+  * unrolls 16 DP steps); the DP itself handles any length. */
+final class UnigramVocab(pieces: Seq[(String, Long)], val maxPieceLen: Int,
+    val unkScore: Long = -40000000L) extends Serializable {
+  require(pieces.nonEmpty && maxPieceLen >= 1, "empty vocab / bad piece len")
+
+  private val scores = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+  pieces.foreach { case (p, s) => scores.putIfAbsent(p, s) }
+
+  def size: Int = scores.size
+
+  /** (best score_micro, min piece count at that score) for one chunk. */
+  def stats(chunk: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = chunk.toString
+    val len = s.length
+    if (len == 0)
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L)
+    val NEG = Long.MinValue / 4
+    val dpS = Array.fill(len + 1)(NEG)
+    val dpN = new Array[Long](len + 1)
+    dpS(0) = 0L
+    var j = 1
+    while (j <= len) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (dpS(i) > NEG) {
+          val sc = scores.get(s.substring(i, j))
+          val pieceScore: java.lang.Long =
+            if (sc != null) sc
+            else if (j - i == 1) java.lang.Long.valueOf(unkScore)
+            else null
+          if (pieceScore != null) {
+            val cs = dpS(i) + pieceScore.longValue()
+            val cn = dpN(i) + 1L
+            if (cs > dpS(j) || (cs == dpS(j) && cn < dpN(j))) {
+              dpS(j) = cs; dpN(j) = cn
+            }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(dpS(len), dpN(len))
+  }
+}
+
+/** Viterbi segmentation stats of a STRING chunk against a driver-built
+  * [[UnigramVocab]]: struct(score_micro, n_pieces). The per-row work is
+  * a whole DP, so interpreted eval is already tight; CodegenFallback
+  * keeps surrounding stages codegen'd (the [[MinWindowMd5]] pattern). */
+case class UnigramSegmentStats(child: Expression, vocab: UnigramVocab)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_segment_stats expects STRING, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("score_micro", LongType, nullable = false),
+    StructField("n_pieces", LongType, nullable = false)))
+  override def prettyName: String = "unigram_segment_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    vocab.stats(input.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegmentStats =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def count_in_set(arr: Column, items: Seq[String]): Column =
     shim.column(CountInSet(shim.expression(arr), items))
+  def unigram_segment_stats(c: Column, vocab: UnigramVocab): Column =
+    shim.column(UnigramSegmentStats(shim.expression(c), vocab))
   def normalize_text(c: Column): Column =
     shim.column(NormalizeText(shim.expression(c)))
   def sorted_intersect_count(a: Column, b: Column): Column =

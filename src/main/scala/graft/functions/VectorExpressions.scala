@@ -305,6 +305,28 @@ object ExactMicroOps {
     else s0
   }
 
+  /** Exact micro-units log2 of a positive integer — the deterministic
+    * fixed-point kernel both engines replay bit-for-bit (the
+    * [[graft.ops.Linkage.log2Micro]] contract; see that scaladoc for
+    * the derivation and the unrolled SQL twin):
+    * e = ⌊log2 n⌋ exactly, x₀ = ⌊n·2³²/2ᵉ⌋, 16 truncating squaring
+    * steps extract the fraction bits, result = ⌊(e·2¹⁶+frac)·10⁶/2¹⁶⌋.
+    * Envelope: 1 ≤ n < 2⁶². */
+  def log2Micro(n: Long): Long = {
+    require(n >= 1L && n < (1L << 62), s"log2Micro: $n out of [1, 2^62)")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val x0 = if (e <= 32) n << (32 - e) else n >> (e - 32)
+    var x = BigInt(x0)
+    var frac = 0L
+    val two33 = BigInt(1) << 33
+    for (_ <- 1 to 16) {
+      x = (x * x) >> 32
+      if (x >= two33) { x >>= 1; frac = frac * 2 + 1 }
+      else frac = frac * 2
+    }
+    ((e * 65536L + frac) * 1000000L) / 65536L
+  }
+
   /** cosMicro from pre-accumulated integer parts: trunc(dot·10⁶ / s) with
     * s = isqrt(na·nb); 0 when either norm is 0 (the deterministic
     * zero-vector pin — no NaN anywhere on this path). Truncation toward

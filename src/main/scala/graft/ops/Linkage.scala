@@ -189,20 +189,8 @@ object Linkage {
     * enough for a scoring weight; DETERMINISM, not last-bit accuracy,
     * is the contract (the two engines agree on every bit by
     * construction). Envelope: 1 ≤ n < 2⁶² (shift headroom). */
-  def log2Micro(n: Long): Long = {
-    require(n >= 1L && n < (1L << 62), s"log2Micro: $n out of [1, 2^62)")
-    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
-    val x0 = if (e <= 32) n << (32 - e) else n >> (e - 32)
-    var x = BigInt(x0)
-    var frac = 0L
-    val two33 = BigInt(1) << 33
-    for (_ <- 1 to 16) {
-      x = (x * x) >> 32
-      if (x >= two33) { x >>= 1; frac = frac * 2 + 1 }
-      else frac = frac * 2
-    }
-    ((e * 65536L + frac) * 1000000L) / 65536L
-  }
+  def log2Micro(n: Long): Long =
+    graft.functions.ExactMicroOps.log2Micro(n)
 
   /** [[fellegiSunterScores]] in summed per-field integer log-odds — the
     * documented trade (class doc) that removes the DECIMAL(38,0) product

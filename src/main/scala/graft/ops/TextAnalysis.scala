@@ -1837,6 +1837,112 @@ object TextAnalysis {
           explode(split(trim(lower(col("sentence"))), "\\s+")).as("tok")),
       topK, iters, idCol)
 
+  /** Word-chunk relation shared by the unigram-tokenizer family: one
+    * row per OCCURRENCE of each ≤ `maxChunkLen`-character block of each
+    * normalized word. Chunking caps the Viterbi DP length (the oracle
+    * unrolls exactly `maxChunkLen` steps) — SentencePiece applies the
+    * same kind of input-length bound before segmenting. */
+  private def unigramChunks(docs: DataFrame, idCol: String, textCol: String,
+      maxChunkLen: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(0, (length(__w) - 1) div $maxChunkLen),
+           |  k -> substring(__w, k * $maxChunkLen + 1, $maxChunkLen))""".stripMargin))
+        .as("chunk"))
+
+  /** Train a unigram-LM tokenizer vocabulary (the SentencePiece family's
+    * second member, next to [[trainBpeMerges]]): every ≤ `maxPieceLen`
+    * substring occurrence of the chunked corpus words is counted in ONE
+    * exploded pass, the top `maxVocab` pieces by (count desc, piece asc)
+    * are kept, every observed single character is force-included (the
+    * segmentability guarantee), and each piece scores its integer micro
+    * log2-probability
+    *
+    *   score(p) = log2Micro(count_p) − log2Micro(Σ_vocab count)
+    *
+    * via the [[graft.functions.ExactMicroOps.log2Micro]] fixed-point
+    * kernel, so the vocabulary — and every segmentation under it — is
+    * bit-replayable by a SQL oracle. This is the frequency-scored
+    * (hard-EM iteration 0) variant: full unigram EM re-estimates scores
+    * from expected piece usage, a float fixpoint this engine's exactness
+    * contract deliberately avoids; Viterbi-count hard-EM rounds are the
+    * documented upgrade path (they need a backtrack tie-pin on top of
+    * the (score, min-pieces) DP value).
+    *
+    * Scale shape: the substring explode is ≤ maxChunkLen·maxPieceLen
+    * rows per chunk occurrence, collapsed map-side by the count
+    * aggregate; only the (maxVocab + alphabet)-bounded vocabulary is
+    * collected (loud `maxChars` guard), and it rides the plan as one
+    * reference object ([[graft.functions.UnigramVocab]] — the
+    * [[graft.functions.BpeTable]] discipline). */
+  def trainUnigramVocab(docs: DataFrame, maxPieceLen: Int = 6,
+      maxVocab: Int = 512, maxChunkLen: Int = 16, maxChars: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text")
+      : graft.functions.UnigramVocab = {
+    require(maxPieceLen >= 1 && maxPieceLen <= maxChunkLen && maxVocab >= 1,
+      "need 1 <= maxPieceLen <= maxChunkLen and maxVocab >= 1")
+    val counts = unigramChunks(docs, idCol, textCol, maxChunkLen)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $maxPieceLen), l ->
+           |  filter(transform(sequence(0, length(chunk) - 1), i ->
+           |    CASE WHEN i + l <= length(chunk)
+           |         THEN substring(chunk, i + 1, l) END),
+           |    x -> x IS NOT NULL)))""".stripMargin)).as("piece"))
+      .groupBy(col("piece"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // consumed by the top-k AND the single-char scan
+    val top = counts
+      .orderBy(col("__c").desc, col("piece"))
+      .limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val chars = counts.filter(length(col("piece")) === 1)
+      .limit(maxChars + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(chars.length <= maxChars,
+      s"trainUnigramVocab: more than $maxChars distinct characters — " +
+        "not a normalized-text corpus; raise maxChars only deliberately")
+    val vocab = (top ++ chars).toMap.toSeq
+    val total = vocab.map(_._2).sum
+    val scored = vocab.map { case (p, c) =>
+      p -> (graft.functions.ExactMicroOps.log2Micro(c) -
+        graft.functions.ExactMicroOps.log2Micro(total))
+    }
+    new graft.functions.UnigramVocab(scored, maxPieceLen)
+  }
+
+  /** Per-document unigram segmentation stats under a trained
+    * [[graft.functions.UnigramVocab]]: chunk count, total Viterbi piece
+    * count and score, character count, and the tokenizer-fertility
+    * readout ⌊10⁶·pieces/chars⌋ — the unigram twin of
+    * [[bpeFertility]]'s audit. Map-only per chunk (the DP runs inside
+    * the [[graft.functions.UnigramSegmentStats]] expression against the
+    * broadcast-style vocab reference object), one per-doc combine-agg,
+    * docs with no alphanumeric content surface with zeros. */
+  def unigramSegmentStats(docs: DataFrame,
+      vocab: graft.functions.UnigramVocab, maxChunkLen: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val st = unigramChunks(docs, idCol, textCol, maxChunkLen)
+      .withColumn("__st",
+        graft.functions.TextFunctions.unigram_segment_stats(col("chunk"), vocab))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(expr("__st.n_pieces")).as("n_pieces"),
+        sum(expr("__st.score_micro")).as("score_micro_sum"),
+        sum(length(col("chunk")).cast("long")).as("n_chars"))
+    docs.select(col(idCol).as("id"))
+      .join(st, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("score_micro_sum"), lit(0L)).as("score_micro_sum"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+      .withColumn("fertility_micro",
+        expr("(1000000 * n_pieces) div greatest(n_chars, 1)"))
+  }
+
   /** [[textRankSentences]] from a raw token relation (idCol, sent_idx,
     * tok) — the leanest entry point (a tokenizing caller skips the
     * sentence-string reassembly entirely; empty tokens are dropped

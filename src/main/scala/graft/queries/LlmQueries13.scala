@@ -247,9 +247,27 @@ object LlmQueries13 {
       .orderBy(col("src_id"), col("tgt_id"))
   }
 
+  /** Unigram-LM tokenizer, trained and served under the gate
+    * ([[graft.ops.TextAnalysis.trainUnigramVocab]] →
+    * [[graft.ops.TextAnalysis.unigramSegmentStats]]): frequency-scored
+    * SentencePiece-family vocabulary (top-512 substrings + all single
+    * chars, integer micro log2 scores via the shared log2Micro kernel)
+    * and the exact (score, min-pieces) Viterbi DP per 16-char word
+    * chunk. The oracle replays the whole thing — candidate counting,
+    * vocabulary ranking, the 17-step log2 chain, and 16 unrolled DP
+    * steps — so per-doc piece counts, scores, and fertility match
+    * bit-for-bit. */
+  def textUnigramSegment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val vocab = graft.ops.TextAnalysis.trainUnigramVocab(docs)
+    graft.ops.TextAnalysis.unigramSegmentStats(docs, vocab)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_shuffled_topk" -> (simIvfShuffledTopk _),
     "sim_bitext_mine_shuffled" -> (simBitextMineShuffled _),
+    "text_unigram_segment" -> (textUnigramSegment _),
     "link_fellegi_sunter_logodds" -> (linkFellegiSunterLogOdds _),
     "link_fellegi_sunter_em" -> (linkFellegiSunterEm _),
     "value_knn_shapley_truncated" -> (valueKnnShapleyTruncated _),
@@ -289,7 +307,7 @@ object LlmQueries13 {
        |    CAST(0 AS BIGINT) AS frac
        |  FROM ew),
        |$steps,
-       |lg AS (SELECT name, ((e * 65536 + frac) * 1000000) // 65536 AS l
+       |lg AS MATERIALIZED (SELECT name, ((e * 65536 + frac) * 1000000) // 65536 AS l
        |  FROM w16)""".stripMargin
   }
 
@@ -357,6 +375,92 @@ object LlmQueries13 {
          .replace(s"e${iters + 1} AS", "ef AS").replace(s"FROM x${iters + 1}", "FROM xf")}""".stripMargin
   }
 
+  /** Unrolled SQL replay of the unigram tokenizer: normalized words →
+    * 16-char chunks → substring candidate counts → (count desc, piece)
+    * top-512 ∪ single chars → log2Micro scores (the shared `vals`/`lg`
+    * chain) → per-distinct-chunk Viterbi as 16 unrolled DP steps, each
+    * computing dp(j) = (max score, min pieces at that score) from the
+    * piece edges ending at j (LEFT-joined vocab scores with the −4·10⁷
+    * single-char UNK fallback) → per-doc aggregates. Mirrors
+    * [[graft.ops.TextAnalysis.unigramSegmentStats]] exactly. */
+  private def unigramOracle: String = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    val dpSteps = (1 to 16).map { k =>
+      s"""uc$k AS (SELECT e.chunk, d.sc + e.s AS cs, d.np + 1 AS cn
+         |  FROM ed e JOIN ua${k - 1} d ON d.chunk = e.chunk AND d.pos = e.i
+         |  WHERE e.j = $k),
+         |um$k AS (SELECT chunk, max(cs) AS sc FROM uc$k GROUP BY chunk),
+         |ud$k AS (SELECT c.chunk, CAST($k AS BIGINT) AS pos, m.sc,
+         |    min(c.cn) AS np
+         |  FROM uc$k c JOIN um$k m ON m.chunk = c.chunk AND c.cs = m.sc
+         |  GROUP BY c.chunk, m.sc),
+         |ua$k AS MATERIALIZED (SELECT * FROM ua${k - 1} UNION ALL SELECT * FROM ud$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wz AS (SELECT doc_id, string_split($norm, ' ') AS ws
+       |  FROM documents),
+       |w AS (SELECT doc_id AS id, ws[CAST(r.i + 1 AS INTEGER)] AS word
+       |  FROM wz CROSS JOIN LATERAL
+       |    (SELECT unnest(generate_series(0, len(ws) - 1)) AS i) r
+       |  WHERE ws[CAST(r.i + 1 AS INTEGER)] <> ''),
+       |ch AS MATERIALIZED (SELECT id, substr(word, CAST(k.k * 16 + 1 AS INTEGER), 16) AS chunk
+       |  FROM w CROSS JOIN LATERAL
+       |    (SELECT unnest(generate_series(0, (length(word) - 1) // 16)) AS k) k),
+       |upc AS MATERIALIZED (SELECT
+       |    substr(chunk, CAST(i.i + 1 AS INTEGER), CAST(l.l AS INTEGER)) AS piece,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM ch
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, 6)) AS l) l
+       |  CROSS JOIN LATERAL
+       |    (SELECT unnest(generate_series(0, length(chunk) - 1)) AS i) i
+       |  WHERE i.i + l.l <= length(chunk)
+       |  GROUP BY 1),
+       |utop AS (SELECT piece, c FROM (SELECT piece, c,
+       |    row_number() OVER (ORDER BY c DESC, piece) AS rn FROM upc)
+       |  WHERE rn <= 512),
+       |uchr AS (SELECT piece, c FROM upc WHERE length(piece) = 1),
+       |uvoc AS MATERIALIZED (SELECT piece, max(c) AS c FROM
+       |  (SELECT * FROM utop UNION ALL SELECT * FROM uchr) GROUP BY piece),
+       |utot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uvoc),
+       |vals AS (SELECT piece AS name, c AS v FROM uvoc
+       |  UNION ALL SELECT '#total#', t FROM utot),
+       |$log2MicroCtes,
+       |usc AS MATERIALIZED (SELECT v.piece,
+       |    g.l - (SELECT l FROM lg WHERE name = '#total#') AS s
+       |  FROM uvoc v JOIN lg g ON g.name = v.piece),
+       |udch AS MATERIALIZED (SELECT DISTINCT chunk FROM ch),
+       |ed AS MATERIALIZED (SELECT chunk, i, j, s FROM (
+       |  SELECT d.chunk, i.i AS i, i.i + l.l AS j,
+       |    coalesce(sc.s,
+       |      CASE WHEN l.l = 1 THEN CAST(-40000000 AS BIGINT) END) AS s
+       |  FROM udch d
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, 6)) AS l) l
+       |  CROSS JOIN LATERAL
+       |    (SELECT unnest(generate_series(0, length(d.chunk) - 1)) AS i) i
+       |  LEFT JOIN usc sc ON sc.piece =
+       |    substr(d.chunk, CAST(i.i + 1 AS INTEGER), CAST(l.l AS INTEGER))
+       |  WHERE i.i + l.l <= length(d.chunk))
+       |  WHERE s IS NOT NULL),
+       |ua0 AS MATERIALIZED (SELECT chunk, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS sc,
+       |    CAST(0 AS BIGINT) AS np FROM udch),
+       |$dpSteps,
+       |ufin AS MATERIALIZED (SELECT chunk, sc, np FROM ua16 WHERE pos = length(chunk)),
+       |ust AS (SELECT ch.id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(f.np) AS BIGINT) AS n_pieces,
+       |    CAST(sum(f.sc) AS BIGINT) AS score_micro_sum,
+       |    CAST(sum(length(ch.chunk)) AS BIGINT) AS n_chars
+       |  FROM ch JOIN ufin f ON f.chunk = ch.chunk GROUP BY ch.id)
+       |SELECT d.doc_id,
+       |  coalesce(ust.n_chunks, 0) AS n_chunks,
+       |  coalesce(ust.n_pieces, 0) AS n_pieces,
+       |  coalesce(ust.score_micro_sum, 0) AS score_micro_sum,
+       |  coalesce(ust.n_chars, 0) AS n_chars,
+       |  (1000000 * coalesce(ust.n_pieces, 0))
+       |    // greatest(coalesce(ust.n_chars, 0), 1) AS fertility_micro
+       |FROM documents d LEFT JOIN ust ON ust.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- oracle fragments shared with sim_bitext_mine --------------------
 
   private val corpCte =
@@ -417,6 +521,7 @@ object LlmQueries13 {
     // only difference) — shared oracle; see simBitextMineShuffled doc
     // for the differential-diagnostic role.
     "sim_bitext_mine_shuffled" -> LlmQueries9.oracle("sim_bitext_mine"),
+    "text_unigram_segment" -> unigramOracle,
     // The shared dirty-twin cands/par CTEs, the 14 smoothed counts as a
     // vals relation, the unrolled log2Micro chain, one conditional-agg
     // pivot to per-field weights, then a map-only score per pair.

@@ -842,6 +842,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("unigram tokenizer: hand-computed Viterbi stats, tie and UNK pins") {
+    import spark.implicits._
+    import graft.functions.{ExactMicroOps, UnigramVocab}
+    import org.apache.spark.unsafe.types.UTF8String
+    // expression-level pins first: a hand vocab where [ab] ties [a,b]
+    // exactly — the (score, MIN pieces) value must pick 1 piece
+    val tie = new UnigramVocab(
+      Seq("a" -> -1000000L, "b" -> -1000000L, "ab" -> -2000000L), 2)
+    val tr = tie.stats(UTF8String.fromString("ab"))
+    assert((tr.getLong(0), tr.getLong(1)) == ((-2000000L, 1L)), tr.toString)
+    // unseen characters fall back to the UNK single-char score
+    val ur = tie.stats(UTF8String.fromString("xy"))
+    assert((ur.getLong(0), ur.getLong(1)) == ((-80000000L, 2L)), ur.toString)
+    // corpus-trained: "ab ab cd" — piece counts a,b,ab = 2; c,d,cd = 1;
+    // total 9; L := log2Micro. [ab] beats [a,b] since L(9) > 10⁶.
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.trainUnigramVocab(docs, maxPieceLen = 2,
+      maxVocab = 64)
+    val l9 = ExactMicroOps.log2Micro(9L)
+    val got = TextAnalysis.unigramSegmentStats(docs, vocab)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).head
+    assert(got == ((3L, 3L, 2L * (1000000L - l9) - l9, 6L, 500000L)),
+      s"$got l9=$l9")
+  }
+
+  test("unigram tokenizer: long words chunk at 16; invariance under repartition") {
+    import spark.implicits._
+    val w20 = "abcdefghijklmnopqrst" // 20 chars -> chunks of 16 + 4
+    val docs = Seq((1L, w20), (2L, "short words here")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.trainUnigramVocab(docs)
+    val a = TextAnalysis.unigramSegmentStats(docs, vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(a.contains((1L, 2L, 20L)), a.toString) // 2 chunks, 20 chars
+    val b = TextAnalysis.unigramSegmentStats(docs.repartition(5), vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(a == b)
+    // single-char coverage: every doc segments (pieces >= 1 per chunk)
+    val full = TextAnalysis.unigramSegmentStats(docs, vocab).collect()
+    assert(full.forall(r => r.getLong(2) >= r.getLong(1)))
+  }
+
   test("textRank: negative doc ids decode exactly (floor-division node decode)") {
     import spark.implicits._
     // doc −1 encodes nodes −1000+idx; a trunc-div decode would emit
