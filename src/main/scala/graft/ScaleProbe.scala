@@ -374,7 +374,11 @@ object ScaleProbe {
       "link_fellegi_sunter_x" -> (linkageProbe _),
       // round-13: truncated KNN-Shapley (fixed panel + fixed index +
       // top-16 cut — only the assignment scan grows with the corpus)
-      "value_knn_shapley_trunc_x" -> (knnShapleyTruncProbe _))
+      "value_knn_shapley_trunc_x" -> (knnShapleyTruncProbe _),
+      // round-13: unigram tokenizer — the substring-count pass and the
+      // per-chunk Viterbi serve scale with the corpus; the vocabulary
+      // stays 512+alphabet-bounded at any scale
+      "text_unigram_segment" -> SparkEntry.queries("text_unigram_segment"))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
