@@ -31,6 +31,7 @@ object SparkEntry {
       graft.queries.LlmQueries11.queries ++
       graft.queries.LlmQueries12.queries ++
       graft.queries.LlmQueries13.queries ++
+      graft.queries.LlmQueries14.queries ++
       graft.queries.PqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.LlmQueries11.oracle ++
       graft.queries.LlmQueries12.oracle ++
       graft.queries.LlmQueries13.oracle ++
+      graft.queries.LlmQueries14.oracle ++
       graft.queries.PqQueries.oracle
 }

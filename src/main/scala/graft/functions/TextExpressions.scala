@@ -356,11 +356,93 @@ case class UnigramSegmentStats(child: Expression, vocab: UnigramVocab)
     copy(child = newChild)
 }
 
+/** WordPiece tokenizer vocabulary (the greedy longest-match-first third
+  * of the subword triad, next to [[BpeTable]] and [[UnigramVocab]]) as a
+  * single serializable reference object: two piece sets — word-INITIAL
+  * pieces and CONTINUATION pieces (the `##`-prefixed entries of a
+  * published WordPiece vocab, kept here as a boolean dimension instead
+  * of a string prefix) — plus the greedy segmentation.
+  *
+  * Determinism contract (the SQL oracle unrolls the identical greedy
+  * walk, one piece per step):
+  *  - at position p, the candidate set is the pieces of the matching
+  *    kind (initial at p = 0, continuation at p > 0) that prefix-match
+  *    the remaining chunk with length ≤ `maxPieceLen`;
+  *  - the LONGEST candidate wins (no scores — WordPiece's serve-time
+  *    rule), the cursor advances by its length;
+  *  - if NO candidate matches, the WHOLE chunk is UNK: exactly one
+  *    piece, flagged — the reference WordPiece behavior of mapping the
+  *    full word to [UNK] rather than emitting a partial segmentation.
+  * Each step advances ≥ 1 character, so a ≤ 16-char chunk finishes in
+  * ≤ 16 steps — the unroll bound the oracle shares. */
+final class WordPieceVocab(initial: Seq[String], continuation: Seq[String],
+    val maxPieceLen: Int) extends Serializable {
+  require(maxPieceLen >= 1, "bad piece len")
+
+  private val init = new java.util.HashSet[String](initial.size * 2)
+  initial.foreach(init.add)
+  private val cont = new java.util.HashSet[String](continuation.size * 2)
+  continuation.foreach(cont.add)
+
+  def size: Int = init.size + cont.size
+
+  /** (n_pieces, is_unk 0/1) for one chunk under greedy longest-match. */
+  def stats(chunk: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = chunk.toString
+    val len = s.length
+    if (len == 0)
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L)
+    var pos = 0
+    var n = 0L
+    while (pos < len) {
+      val set = if (pos == 0) init else cont
+      var l = math.min(maxPieceLen, len - pos)
+      var matched = 0
+      while (l >= 1 && matched == 0) {
+        if (set.contains(s.substring(pos, pos + l))) matched = l
+        l -= 1
+      }
+      if (matched == 0)
+        return org.apache.spark.sql.catalyst.InternalRow(1L, 1L)
+      pos += matched
+      n += 1L
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, 0L)
+  }
+}
+
+/** Greedy WordPiece segmentation stats of a STRING chunk against a
+  * driver-built [[WordPieceVocab]]: struct(n_pieces, is_unk). The
+  * [[UnigramSegmentStats]] posture: whole-walk per row, CodegenFallback
+  * keeps surrounding stages codegen'd. */
+case class WordPieceSegmentStats(child: Expression, vocab: WordPieceVocab)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_segment_stats expects STRING, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("is_unk", LongType, nullable = false)))
+  override def prettyName: String = "wordpiece_segment_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    vocab.stats(input.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceSegmentStats =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def count_in_set(arr: Column, items: Seq[String]): Column =
     shim.column(CountInSet(shim.expression(arr), items))
   def unigram_segment_stats(c: Column, vocab: UnigramVocab): Column =
     shim.column(UnigramSegmentStats(shim.expression(c), vocab))
+  def wordpiece_segment_stats(c: Column, vocab: WordPieceVocab): Column =
+    shim.column(WordPieceSegmentStats(shim.expression(c), vocab))
   def normalize_text(c: Column): Column =
     shim.column(NormalizeText(shim.expression(c)))
   def sorted_intersect_count(a: Column, b: Column): Column =

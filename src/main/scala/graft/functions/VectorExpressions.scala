@@ -327,6 +327,67 @@ object ExactMicroOps {
     ((e * 65536L + frac) * 1000000L) / 65536L
   }
 
+  /** The 20 fractional powers of two 2^(2⁻ⁱ), i = 1..20, in 2³² fixed
+    * point, derived purely from the [[isqrt]] kernel (c₁ = isqrt(2⁶⁵),
+    * cᵢ = isqrt(cᵢ₋₁·2³²)) — no float constant anywhere, so a SQL
+    * oracle rebuilds the identical table with 20 single-row isqrt CTEs. */
+  private[graft] lazy val exp2Consts: Array[BigInt] = {
+    val a = new Array[BigInt](20)
+    var c = BigInt(1) << 33 // 2.0 in 2^32 fixed point
+    var i = 0
+    while (i < 20) {
+      c = BigInt(isqrt((c << 32).bigInteger))
+      a(i) = c
+      i += 1
+    }
+    a
+  }
+
+  /** Exact micro-units 2^(x/10⁶) — the inverse kernel of [[log2Micro]],
+    * deterministic integer arithmetic both engines replay bit-for-bit:
+    * split x (shifted non-negative, so only non-negative `/`/`%` appear)
+    * into integer exponent q and 20-bit fixed-point fraction F, multiply
+    * the [[exp2Consts]] powers selected by F's bits with a truncating
+    * 2³²-fixed-point product chain, then apply the 2^q scale as one
+    * exact power-of-two multiply/divide. Envelope: −64·10⁶ ≤ x < 43·10⁶
+    * (above it the micro result would overflow Long; far below it the
+    * result truncates to 0, which is the correct fixed-point answer). */
+  def exp2Micro(x: Long): Long = {
+    require(x >= -64000000L && x < 43000000L,
+      s"exp2Micro: $x out of [-64e6, 43e6)")
+    val xs = x + 64000000L
+    val q = xs / 1000000L - 64L
+    val f = ((xs % 1000000L) << 20) / 1000000L
+    var acc = BigInt(1) << 32
+    var i = 1
+    while (i <= 20) {
+      if (((f >> (20 - i)) & 1L) == 1L)
+        acc = (acc * exp2Consts(i - 1)) >> 32
+      i += 1
+    }
+    val t = acc * 1000000L
+    val res =
+      if (q >= 32L) t << (q - 32L).toInt
+      else if (32L - q > 117L) BigInt(0)
+      else t >> (32L - q).toInt
+    res.bigInteger.longValueExact()
+  }
+
+  /** Exact micro-units logistic sigmoid of a micro-units margin,
+    * composed from [[exp2Micro]]: σ(m) = 10¹² / (10⁶ + 2^(−m·log₂e))
+    * with log₂e as the truncated micro constant 1442695 and the
+    * magnitude-then-sign product discipline on the exponent (the one
+    * place a negative division could creep in). The exponent is clamped
+    * to ±20·10⁶ — beyond it σ is 0 or 1 to sub-micro precision, and the
+    * clamp keeps [[exp2Micro]] inside its envelope for any Long margin. */
+  def sigmoidMicro(m: Long): Long = {
+    val am = math.abs(m)
+    val z0 = // |m|·log2(e) in micro, truncating — overflow-safe via BigInt
+      (BigInt(am) * 1442695L / 1000000L).min(BigInt(20000000L)).toLong
+    val e = if (m >= 0L) -z0 else z0 // 2^(−m·log2 e)
+    1000000000000L / (1000000L + exp2Micro(e))
+  }
+
   /** cosMicro from pre-accumulated integer parts: trunc(dot·10⁶ / s) with
     * s = isqrt(na·nb); 0 when either norm is 0 (the deterministic
     * zero-vector pin — no NaN anywhere on this path). Truncation toward

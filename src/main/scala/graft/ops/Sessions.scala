@@ -537,4 +537,76 @@ object Sessions {
       .select(gs ++ (col("n_points") +:
         statCols.map(c => coalesce(col(c), lit(0L)).as(c))): _*)
   }
+
+  /** Per-group sample autocorrelation (ACF) of the event-count series at
+    * lags 1..`maxLag` — the seasonality/burstiness readout that picks
+    * the `season` for [[seasonalNaiveError]] and flags periodic bot
+    * traffic (a strong r at lag 24 on an hourly grid IS the diurnal
+    * cycle). Events bucket to a fixed `bucketSeconds` grid; the grid is
+    * densified (missing buckets count 0 — the statistics are over time,
+    * not over observed rows), and for the count series x₀..xₙ₋₁ with
+    * S = Σx the standard estimator
+    *
+    *   r_k = Σ_{t<n−k} (x_t−x̄)(x_{t+k}−x̄) / Σ_t (x_t−x̄)²
+    *
+    * is computed exactly by multiplying through by n²: both sums use the
+    * all-integer centered terms (n·x_t − S), so r_micro is one
+    * sign-split integral division — bit-identical in both engines.
+    * Products ride DECIMAL(38,0) (n·x up to ~10¹⁴ squared exceeds Long;
+    * the [[graft.ops.Preference]] envelope discipline).
+    *
+    * Scale shape: one combine-agg to (group, bucket) counts, a
+    * group-keyed dense-grid left join, and ONE equi-join on
+    * (group, bucket+lag) for all lags — never a window over the corpus.
+    * The grid length per group is time-bounded, not corpus-bounded
+    * (hours in a decade ≈ 87k); `maxGrid` fails loudly in-plan
+    * (raise_error, the [[graft.ops.Intervals]] discipline) if a
+    * timestamp outlier would explode the densified grid. Non-negative
+    * timestamps are the envelope (bucket floor vs trunc division). */
+  def autocorrelation(events: DataFrame, maxLag: Int = 4,
+      groupCol: String = "event_type", tsCol: String = "ts",
+      bucketSeconds: Long = 3600L, maxGrid: Long = 200000L): DataFrame = {
+    require(maxLag >= 1 && bucketSeconds > 0 && maxGrid >= 2,
+      "need maxLag >= 1 and positive bucketSeconds/maxGrid")
+    val dec = "DECIMAL(38,0)"
+    val counts = events
+      .select(col(groupCol).as("g"),
+        expr(s"unix_timestamp($tsCol) div ${bucketSeconds}L").as("h"))
+      .groupBy(col("g"), col("h"))
+      .agg(count(lit(1)).as("x"))
+    val span = counts.groupBy(col("g"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"),
+        sum(col("x")).as("s"))
+      .withColumn("n", expr(
+        s"""CASE WHEN h1 - h0 + 1 > ${maxGrid}L THEN raise_error(concat(
+           |  'autocorrelation: group ', CAST(g AS STRING), ' spans ',
+           |  CAST(h1 - h0 + 1 AS STRING), ' buckets > maxGrid=$maxGrid —
+           | a timestamp outlier would explode the densified grid; raise
+           | maxGrid only deliberately'))
+           |ELSE h1 - h0 + 1 END""".stripMargin))
+    val dense = span
+      .select(col("g"), col("n"), col("s"), col("h0"),
+        explode(expr("sequence(h0, h1)")).as("h"))
+      .join(counts, Seq("g", "h"), "left")
+      .select(col("g"), col("n"), (col("h") - col("h0")).as("t"),
+        expr(s"CAST(n AS $dec) * coalesce(x, 0L) - s").as("c"))
+      .localCheckpoint() // feeds the denominator agg AND both pair sides
+    val den = dense.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), sum(expr(s"CAST(c * c AS $dec)")).as("d"))
+    val pairs = dense
+      .select(col("g"), col("c").as("ca"),
+        explode(expr(s"sequence(1, $maxLag)")).as("lag"), col("t"))
+      .withColumn("tb", col("t") + col("lag"))
+      .join(dense.select(col("g"), col("t").as("tb"), col("c").as("cb")),
+        Seq("g", "tb"))
+      .groupBy(col("g"), col("lag"))
+      .agg(sum(expr(s"CAST(ca * cb AS $dec)")).as("num"))
+    pairs.join(den, Seq("g"))
+      .select(col("g").as(groupCol), col("lag").cast("long").as("lag"),
+        col("n"),
+        expr("""CAST(CASE WHEN d = 0 THEN 0
+               |  WHEN num >= 0 THEN (num * 1000000) div d
+               |  ELSE -((-num * 1000000) div d) END AS BIGINT)""".stripMargin)
+          .as("acf_micro"))
+  }
 }

@@ -1943,6 +1943,99 @@ object TextAnalysis {
         expr("(1000000 * n_pieces) div greatest(n_chars, 1)"))
   }
 
+  /** Train a WordPiece vocabulary — the greedy third of the subword
+    * triad ([[trainBpeMerges]], [[trainUnigramVocab]]). Candidates are
+    * counted in ONE exploded pass like the unigram trainer, but with
+    * the WordPiece position-kind dimension: a substring occurrence
+    * starting at a word(-chunk) boundary counts as a word-INITIAL
+    * piece, any other as a CONTINUATION piece (the `##`-prefixed
+    * entries of a published WordPiece vocab file). The top `maxVocab`
+    * (count desc, initial-before-continuation, piece asc — fully
+    * pinned) are kept and every observed single character of BOTH
+    * kinds is force-included, so greedy segmentation can only UNK on
+    * serve-time characters the training corpus never saw.
+    *
+    * This is the frequency-ranked vocabulary variant: published
+    * WordPiece training greedily merges by a likelihood score — a
+    * float fixpoint the exactness contract avoids — and ships only the
+    * final vocab; the serve-time greedy longest-match-first rule,
+    * which is what distinguishes WordPiece from BPE/unigram at
+    * pipeline time, is implemented exactly.
+    *
+    * Scale shape: the substring explode is ≤ maxChunkLen·maxPieceLen
+    * rows per chunk occurrence, collapsed map-side by the count
+    * aggregate; only the (maxVocab + 2·alphabet)-bounded vocabulary is
+    * collected (loud `maxChars` guard) and rides the plan as one
+    * reference object ([[graft.functions.WordPieceVocab]]). */
+  def trainWordPieceVocab(docs: DataFrame, maxPieceLen: Int = 6,
+      maxVocab: Int = 512, maxChunkLen: Int = 16, maxChars: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text")
+      : graft.functions.WordPieceVocab = {
+    require(maxPieceLen >= 1 && maxPieceLen <= maxChunkLen && maxVocab >= 1,
+      "need 1 <= maxPieceLen <= maxChunkLen and maxVocab >= 1")
+    val counts = unigramChunks(docs, idCol, textCol, maxChunkLen)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $maxPieceLen), l ->
+           |  filter(transform(sequence(0, length(chunk) - 1), i ->
+           |    CASE WHEN i + l <= length(chunk)
+           |         THEN named_struct(
+           |           'piece', substring(chunk, i + 1, l),
+           |           'cont', i > 0) END),
+           |    x -> x IS NOT NULL)))""".stripMargin)).as("pc"))
+      .select(expr("pc.piece").as("piece"), expr("pc.cont").as("cont"))
+      .groupBy(col("piece"), col("cont"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // consumed by the top-k AND the single-char scan
+    val top = counts
+      .orderBy(col("__c").desc, col("cont"), col("piece"))
+      .limit(maxVocab)
+      .select(col("piece"), col("cont"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val chars = counts.filter(length(col("piece")) === 1)
+      .select(col("piece"), col("cont"))
+      .limit(2 * maxChars + 1)
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    require(chars.length <= 2 * maxChars,
+      s"trainWordPieceVocab: more than $maxChars distinct characters — " +
+        "not a normalized-text corpus; raise maxChars only deliberately")
+    val all = (top ++ chars).distinct
+    new graft.functions.WordPieceVocab(
+      all.collect { case (p, false) => p },
+      all.collect { case (p, true) => p }, maxPieceLen)
+  }
+
+  /** Per-document greedy WordPiece segmentation stats under a trained
+    * [[graft.functions.WordPieceVocab]]: chunk count, total piece
+    * count, UNK-chunk count, character count, and tokenizer fertility
+    * ⌊10⁶·pieces/chars⌋ — the WordPiece row of the tokenizer-audit
+    * family ([[bpeFertility]], [[unigramSegmentStats]]). Map-only per
+    * chunk (the greedy walk runs inside the
+    * [[graft.functions.WordPieceSegmentStats]] expression against the
+    * vocab reference object), one per-doc combine-agg; UNK chunks
+    * contribute their 1 [UNK] piece to n_pieces and their true length
+    * to n_chars. */
+  def wordPieceSegmentStats(docs: DataFrame,
+      vocab: graft.functions.WordPieceVocab, maxChunkLen: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val st = unigramChunks(docs, idCol, textCol, maxChunkLen)
+      .withColumn("__st",
+        graft.functions.TextFunctions.wordpiece_segment_stats(col("chunk"), vocab))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(expr("__st.n_pieces")).as("n_pieces"),
+        sum(expr("__st.is_unk")).as("n_unk_chunks"),
+        sum(length(col("chunk")).cast("long")).as("n_chars"))
+    docs.select(col(idCol).as("id"))
+      .join(st, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("n_unk_chunks"), lit(0L)).as("n_unk_chunks"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+      .withColumn("fertility_micro",
+        expr("(1000000 * n_pieces) div greatest(n_chars, 1)"))
+  }
+
   /** [[textRankSentences]] from a raw token relation (idCol, sent_idx,
     * tok) — the leanest entry point (a tokenizing caller skips the
     * sentence-string reassembly entirely; empty tokens are dropped

@@ -49,6 +49,50 @@ class ExactMicroSpec extends SparkSpec {
     }
   }
 
+  test("exp2Micro: exact powers, known fraction values, log2 round-trip") {
+    // exact integer powers of two (fraction bits all zero)
+    assert(ExactMicroOps.exp2Micro(0L) == 1000000L)
+    assert(ExactMicroOps.exp2Micro(1000000L) == 2000000L)
+    assert(ExactMicroOps.exp2Micro(3000000L) == 8000000L)
+    assert(ExactMicroOps.exp2Micro(-1000000L) == 500000L)
+    assert(ExactMicroOps.exp2Micro(-3000000L) == 125000L)
+    // 2^0.5 = √2: F = 2^19 exactly, so the result is the isqrt-derived
+    // c₁ constant rescaled — floor(√2·10⁶) = 1414213
+    assert(ExactMicroOps.exp2Micro(500000L) == 1414213L)
+    // far-negative truncates to 0 (the correct fixed-point answer)
+    assert(ExactMicroOps.exp2Micro(-60000000L) == 0L)
+    // round-trip with log2Micro: log2Micro keeps 16 fraction bits, so
+    // the exponent carries up to 2⁻¹⁶ error -> ln2·2⁻¹⁶ ≈ 1.06e-5
+    // relative on the value; pin just above that bound
+    for (n <- Seq(2L, 3L, 7L, 1000L, 999983L, 123456789L, (1L << 40) + 7)) {
+      val back = ExactMicroOps.exp2Micro(ExactMicroOps.log2Micro(n))
+      val err = math.abs(back - n * 1000000L).toDouble / (n * 1000000L)
+      assert(err < 1.2e-5, s"n=$n back=$back err=$err")
+    }
+    // monotone on a fine grid crossing the integer-exponent boundary
+    val grid = (-2100L to 2100L).map(i => ExactMicroOps.exp2Micro(i * 1000L))
+    assert(grid == grid.sorted, "exp2Micro not monotone")
+    // envelope walls
+    assertThrows[IllegalArgumentException](ExactMicroOps.exp2Micro(43000000L))
+    assertThrows[IllegalArgumentException](ExactMicroOps.exp2Micro(-64000001L))
+  }
+
+  test("sigmoidMicro: pinned midpoint, saturation, monotone, double parity") {
+    assert(ExactMicroOps.sigmoidMicro(0L) == 500000L)
+    assert(ExactMicroOps.sigmoidMicro(20000000L) == 1000000L) // saturates
+    assert(ExactMicroOps.sigmoidMicro(-20000000L) == 0L)
+    assert(ExactMicroOps.sigmoidMicro(Long.MaxValue) == 1000000L) // clamp holds
+    assert(ExactMicroOps.sigmoidMicro(Long.MinValue + 1) == 0L)
+    val grid = (-200L to 200L).map(i => ExactMicroOps.sigmoidMicro(i * 100000L))
+    assert(grid == grid.sorted, "sigmoidMicro not monotone")
+    // within 2 micro of the double sigmoid across the active range
+    for (m <- -8000000L to 8000000L by 250000L) {
+      val d = 1.0e6 / (1.0 + math.exp(-m / 1.0e6))
+      assert(math.abs(ExactMicroOps.sigmoidMicro(m) - d) < 2.5,
+        s"m=$m got=${ExactMicroOps.sigmoidMicro(m)} want≈$d")
+    }
+  }
+
   test("cosMicroParts: exact values, zero pin, truncation toward zero") {
     // identical unit vectors: dot = na = nb = 1e12 -> exactly 1e6
     assert(ExactMicroOps.cosMicroParts(1000000000000L,

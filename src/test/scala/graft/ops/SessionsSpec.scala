@@ -373,4 +373,48 @@ class SessionsSpec extends SparkSpec {
     assert(got("hot") == ((120L, 0L, 0L, 0L, 0L)), got.toString)
     assert(got("cool") == ((3L, 5000000L, 0L, 0L, 5000000L)), got.toString)
   }
+  test("autocorrelation: hand-computed ACF on a dense alternating series") {
+    import spark.implicits._
+    // type a, hourly counts [2,0,2,0,2]: S=6, centered n*x-S = [4,-6,4,-6,4]
+    // den = 3*16 + 2*36 = 120
+    // lag1 num = -96 -> -800000; lag2 = 68 -> 566666 (trunc)
+    // lag3 = -48 -> -400000; lag4 = 16 -> 133333
+    val ev = Seq(
+      (1L, 0L), (2L, 10L),           // hour 0: 2 events
+      (3L, 7200L), (4L, 7300L),      // hour 2: 2 events
+      (5L, 14400L), (6L, 14410L))    // hour 4: 2 events
+      .toDF("event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("event_type", lit("a"))
+    val got = Sessions.autocorrelation(ev, maxLag = 4)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("acf_micro"))).toMap
+    assert(got(1L) == ((5L, -800000L)), got.toString)
+    assert(got(2L) == ((5L, 566666L)), got.toString)
+    assert(got(3L) == ((5L, -400000L)), got.toString)
+    assert(got(4L) == ((5L, 133333L)), got.toString)
+  }
+
+  test("autocorrelation: grid-explosion guard fails loudly, constant series pins zero") {
+    import spark.implicits._
+    // a timestamp outlier that would densify 1000+ buckets under
+    // maxGrid=10 must raise, not silently materialize the grid
+    val outlier = Seq((1L, 0L), (2L, 3600L * 1000L))
+      .toDF("event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("event_type", lit("x"))
+    val ex = intercept[Exception] {
+      Sessions.autocorrelation(outlier, maxLag = 1, maxGrid = 10L).collect()
+    }
+    assert(ex.getMessage != null)
+    // constant series: every centered term is 0 -> den = 0 -> pinned 0
+    val const = Seq((1L, 0L), (2L, 3600L), (3L, 7200L))
+      .toDF("event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("event_type", lit("c"))
+    val got = Sessions.autocorrelation(const, maxLag = 2)
+      .collect().map(r => r.getAs[Long]("lag") -> r.getAs[Long]("acf_micro"))
+      .toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L), got.toString)
+  }
 }

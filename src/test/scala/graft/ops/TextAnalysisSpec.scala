@@ -901,4 +901,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(_._1 == 7L).map(_._2).toSet == Set(0L, 1L),
       out.mkString(","))
   }
+  test("wordpiece: greedy longest-match, UNK-whole-chunk, position kinds") {
+    // hand-built vocab: initial {hel, h, e, l, o}, continuation
+    // {lo, l, o, e} -- "hello" greedy: hel (initial, longest) + lo = 2
+    // pieces; "ohe" -> o + h? no: initial o, then cont: e not at pos 1..
+    // o|h? h not in cont -> actually cont has {lo,l,o,e}: pos1 'h' no
+    // match -> whole chunk UNK
+    val v = new graft.functions.WordPieceVocab(
+      Seq("hel", "h", "e", "l", "o"), Seq("lo", "l", "o", "e"), 6)
+    def st(s: String) = {
+      val r = v.stats(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(st("hello") == ((2L, 0L)))   // hel + ##lo
+    assert(st("helo") == ((2L, 0L)))    // hel + ##o
+    assert(st("ohe") == ((1L, 1L)))     // pos 1 'h' unmatched -> [UNK]
+    assert(st("h") == ((1L, 0L)))
+    assert(st("") == ((0L, 0L)))
+    assert(st("zz") == ((1L, 1L)))      // unseen char -> [UNK]
+  }
+
+  test("wordpiece: trained vocab segments the corpus with zero UNK; repartition-invariant") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "the catalog of cats"),
+      (3L, "abcdefghijklmnopqrst and more")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.trainWordPieceVocab(docs)
+    val a = TextAnalysis.wordPieceSegmentStats(docs, vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // every char of the training corpus is in the vocab both ways ->
+    // no UNK anywhere; chunks of >16-char word split 16+4
+    assert(a.forall(_._4 == 0L), a.mkString(","))
+    assert(a.forall(t => t._2 >= 1L && t._5 > 0L))
+    val d3 = a.find(_._1 == 3L).get
+    assert(d3._2 == 4L, d3.toString) // 2 chunks for the 20-char word + 2
+    // greedy uses longest pieces -> fertility strictly below 1 piece/char
+    assert(a.forall(_._6 < 1000000L), a.mkString(","))
+    val b = TextAnalysis.wordPieceSegmentStats(docs.repartition(5), vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
 }
