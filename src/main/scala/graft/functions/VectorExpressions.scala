@@ -305,6 +305,13 @@ object ExactMicroOps {
     else s0
   }
 
+  /** [[isqrt]] over a non-negative Long — the column-expression entry
+    * point ([[IsqrtLong]]); result always fits a Long (≤ 2³¹·√2). */
+  def isqrtLong(x: Long): Long = {
+    require(x >= 0L, s"isqrt_long: negative input $x")
+    isqrt(java.math.BigInteger.valueOf(x)).longValueExact()
+  }
+
   /** Exact micro-units log2 of a positive integer — the deterministic
     * fixed-point kernel both engines replay bit-for-bit (the
     * [[graft.ops.Linkage.log2Micro]] contract; see that scaladoc for
@@ -486,6 +493,102 @@ final class IvfIndexMicro(val ids: Array[Long], cents: Array[Array[Long]])
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+/** Codegen'd exact integer square root of a non-negative BIGINT —
+  * [[ExactMicroOps.isqrt]] lifted to a column (the per-row form the
+  * cartography variability readout needs: isqrt(T·Σp² − (Σp)²)). */
+case class IsqrtLong(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"isqrt_long expects BIGINT, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "isqrt_long"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExactMicroOps.isqrtLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.ExactMicroOps.isqrtLong($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): IsqrtLong =
+    copy(child = newChild)
+}
+
+/** Codegen'd [[ExactMicroOps.log2Micro]] over a positive BIGINT column —
+  * the in-plan form of the shared fixed-point log2 kernel (per-row,
+  * so vocabulary-sized relations never leave the executors). */
+case class Log2MicroExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"log2_micro expects BIGINT, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "log2_micro"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExactMicroOps.log2Micro(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.ExactMicroOps.log2Micro($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Log2MicroExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd [[ExactMicroOps.exp2Micro]] over a BIGINT micro exponent —
+  * the in-plan exact 2^x kernel (exponentiated-gradient updates). The
+  * caller clamps into the [−64·10⁶, 43·10⁶) envelope; out-of-envelope
+  * inputs fail loudly (the kernel's require), never silently. */
+case class Exp2MicroExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"exp2_micro expects BIGINT, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "exp2_micro"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExactMicroOps.exp2Micro(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.ExactMicroOps.exp2Micro($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Exp2MicroExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd [[ExactMicroOps.sigmoidMicro]] over a BIGINT micro margin —
+  * the in-plan exact logistic link of the integer-GD training path. */
+case class SigmoidMicroExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sigmoid_micro expects BIGINT, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sigmoid_micro"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExactMicroOps.sigmoidMicro(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.ExactMicroOps.sigmoidMicro($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): SigmoidMicroExpr =
+    copy(child = newChild)
 }
 
 /** Codegen'd exact integer-micro cosine over two ARRAY<BIGINT> micro
@@ -873,6 +976,14 @@ case class MinWindowMd5(child: Expression, window: Int)
 object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column =
     shim.column(VecDot(shim.expression(a), shim.expression(b)))
+  def isqrt_long(c: Column): Column =
+    shim.column(IsqrtLong(shim.expression(c)))
+  def log2_micro(c: Column): Column =
+    shim.column(Log2MicroExpr(shim.expression(c)))
+  def sigmoid_micro(c: Column): Column =
+    shim.column(SigmoidMicroExpr(shim.expression(c)))
+  def exp2_micro(c: Column): Column =
+    shim.column(Exp2MicroExpr(shim.expression(c)))
   def min_window_md5(c: Column, window: Int): Column =
     shim.column(MinWindowMd5(shim.expression(c), window))
   def nearest_cells(v: Column, index: IvfIndex, topN: Int): Column =

@@ -684,4 +684,94 @@ object Curation {
       .withColumn("at_risk", col("emd_micro") > lit(tMicro))
       .drop("__num", "__m", "__n_total")
   }
+
+  /** DoReMi-shaped domain reweighting (Xie et al., NeurIPS 2023):
+    * exponentiated-gradient updates of the pretraining mixture weights
+    * from per-domain EXCESS LOSS, with the final mixture the average of
+    * the per-round weights. This is the static-excess instantiation —
+    * DoReMi's proxy/reference pair is taken as (global unigram LM,
+    * domain-conditional unigram LM), whose per-token excess loss is
+    * exactly the KL divergence KL(domain ‖ corpus):
+    *
+    *   KL_d·N_d = Σ_w c_dw·(log2(c_dw) − log2(N_d) − log2(c_w) + log2(N))
+    *
+    * — every log2 the shared fixed-point [[graft.functions.ExactMicroOps
+    * .log2Micro]] kernel, every product exact in DECIMAL(38,0), the
+    * per-domain division sign-split, negatives (truncation noise around
+    * KL ≈ 0) clipped to 0 exactly as DoReMi clips excess loss. Updates
+    * use base-2 exponentiation (a monotone reparametrization of the
+    * step size, replayable via [[graft.functions.ExactMicroOps
+    * .exp2Micro]]): per round,
+    * α'_d = ⌊α_d·2^(excess_d·etaNum/(etaDen·10⁶))⌋ with the exponent
+    * clamped into the exp2 envelope, renormalized to Σ = 10⁶ by
+    * truncating division.
+    *
+    * Scale shape: token counting is ONE exploded pass with map-side
+    * combine; the (domain, word) relation joins word-keyed against the
+    * global counts (shuffle on word — the corpus-scale join) and the
+    * KL aggregation collapses it to a domains-sized relation, which is
+    * localCheckpointed before the `rounds` chained tiny-join updates.
+    * Nothing is collected; the output is domains-sized. */
+  def doremiDomainWeights(docs: DataFrame, rounds: Int = 4,
+      etaNum: Long = 256L, etaDen: Long = 1L, domainCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64 && etaNum >= 1L && etaDen >= 1L &&
+      etaNum <= 1000000000L, "bad rounds/eta")
+    val lg = graft.functions.VectorFunctions.log2_micro _
+    val dec = "DECIMAL(38,0)"
+    val toks = docs.select(col(domainCol).as("domain"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val cdw = toks.groupBy(col("domain"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds nd, cw, totals, and the term join
+    val nd = cdw.groupBy(col("domain")).agg(sum(col("c")).as("n_tokens"))
+    val cw = cdw.groupBy(col("w")).agg(sum(col("c")).as("cg"))
+    val tot = cdw.agg(sum(col("c")).as("n_total"))
+    val terms = cdw
+      .join(cw, Seq("w"))
+      .join(broadcast(nd), Seq("domain"))
+      .crossJoin(broadcast(tot))
+      .select(col("domain"),
+        (col("c").cast(dec) *
+          (lg(col("c")) - lg(col("n_tokens")) - lg(col("cg")) +
+            lg(col("n_total"))).cast(dec)).as("term"))
+      .groupBy(col("domain"))
+      .agg(sum(col("term")).as("klnum"))
+    // all-docs domain list (a domain of only empty texts still gets a
+    // weight — excess 0), n_docs per domain
+    val domains = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val kl = domains
+      .join(broadcast(nd), Seq("domain"), "left")
+      .join(broadcast(terms), Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        expr(s"""CAST(CASE WHEN n_tokens IS NULL OR n_tokens = 0 THEN 0
+                |  WHEN klnum >= 0 THEN klnum div CAST(n_tokens AS $dec)
+                |  ELSE -((-klnum) div CAST(n_tokens AS $dec)) END
+                |AS BIGINT)""".stripMargin).as("kl_micro"))
+      .withColumn("excess_micro", greatest(col("kl_micro"), lit(0L)))
+      .withColumn("x", graft.functions.VectorFunctions.exp2_micro(
+        least(expr(s"(excess_micro * ${etaNum}L) div ${etaDen}L"),
+          lit(20000000L))))
+      .localCheckpoint(false) // domains-sized; feeds every round below
+    val d0 = kl.crossJoin(broadcast(kl.agg(count(lit(1)).as("__d"))))
+      .withColumn("a", expr("1000000L div __d"))
+      .withColumn("asum", lit(0L))
+      .drop("__d")
+    val rel = (1 to rounds).foldLeft(d0) { (acc, _) =>
+      // checkpoint keeps the per-round plan flat: `up` feeds both the
+      // normalizing one-row sum and the join back
+      val up = acc.withColumn("up", expr("(a * x) div 1000000L"))
+        .localCheckpoint(false)
+      up.crossJoin(broadcast(up.agg(sum(col("up")).as("__s"))))
+        .withColumn("a", expr("(up * 1000000L) div __s"))
+        .withColumn("asum", col("asum") + col("a"))
+        .drop("up", "__s")
+    }
+    rel.select(col("domain"), col("n_docs"), col("n_tokens"),
+      col("kl_micro"), col("excess_micro"),
+      expr(s"asum div ${rounds}L").as("weight_micro"))
+  }
 }

@@ -576,4 +576,169 @@ object QualityModel {
       .join(iso.withColumnRenamed("__i", "__b"), groupCols :+ "__b")
       .withColumnRenamed("__b", binCol)
   }
+
+  /** Exact integer-micro logistic gradient descent over hashed features —
+    * [[trainLogistic]]'s engine-portable twin. Weights, margins, and
+    * probabilities live in micro units (Long); the logistic link is
+    * [[graft.functions.ExactMicroOps.sigmoidMicro]] (isqrt-derived 2^x
+    * product chain, no float anywhere), the gradient Σ n·(σ−y·10⁶) rides
+    * DECIMAL(38,0), and the update is the magnitude-then-sign truncating
+    * division Δw = sgn(g)·(|g|·lrNum)/(nDocs·lrDen) — so the ENTIRE
+    * training trajectory is bit-identical across engines, partitionings,
+    * and replays (a DuckDB oracle unrolls the same iterations), unlike
+    * the float path whose learned weights are only
+    * reorder-deterministic.
+    *
+    * Returns the post-update (weights, bias) after each iteration:
+    * trajectory(t) = (w_{t+1}, b_{t+1}).
+    *
+    * Scale shape: identical to [[trainLogistic]] — per iteration one
+    * margin aggregation and one gradient aggregation (both map-side
+    * combined), only the dim-bounded gradient vector is collected; the
+    * corpus never moves. Features are localCheckpointed once (consumed
+    * 2·iters times). */
+  def logisticTrajectoryMicro(docs: DataFrame, dim: Int = 64,
+      iters: Int = 4, lrNum: Long = 1L, lrDen: Long = 1L,
+      idCol: String = "doc_id", labelCol: String = "label",
+      textCol: String = "text"): Seq[(Array[Long], Long)] = {
+    require(dim > 0 && dim <= (1 << 20),
+      s"dim=$dim out of range: the per-iteration collect is dim-sized")
+    require(iters >= 1 && lrNum >= 1L && lrDen >= 1L, "bad iters/lr")
+    val feats = hashedFeatures(docs, dim, idCol, textCol).localCheckpoint()
+    val labels = docs.select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("y")).localCheckpoint()
+    val nDocs = labels.count()
+    require(nDocs > 0L, "empty corpus")
+    val den = BigInt(nDocs) * lrDen
+    val w = Array.fill(dim)(0L)
+    var b = 0L
+    val out = Seq.newBuilder[(Array[Long], Long)]
+    for (_ <- 0 until iters) {
+      val resid = marginsMicro(feats, labels, w, b)
+        .select(col("id"),
+          (graft.functions.VectorFunctions.sigmoid_micro(col("m"))
+            - col("y") * 1000000L).as("r"))
+      // bias gradient as pseudo-bucket -1 (one combine-agg for all)
+      val grads = feats
+        .unionByName(labels.select(col("id"), lit(-1L).as("bucket"),
+          lit(1L).as("n")))
+        .join(resid, Seq("id"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("n").cast("decimal(38,0)") * col("r")).as("g"))
+        .collect()
+      grads.foreach { row =>
+        val k = row.getLong(0).toInt
+        val g = BigInt(row.getDecimal(1).toBigInteger)
+        val d = (g.abs * lrNum) / den
+        val delta = (if (g.signum >= 0) d else -d).toLong
+        if (k < 0) b -= delta else w(k) -= delta
+      }
+      out += ((w.clone(), b))
+    }
+    out.result()
+  }
+
+  /** Final [[logisticTrajectoryMicro]] weights as a (bucket, w_micro)
+    * relation — bias at pseudo-bucket −1, dim+1 rows total (the
+    * [[graft.ops.TextAnalysis.trainBpeMerges]] posture: a bounded
+    * trained artifact assembled on the driver after the distributed
+    * trajectory). */
+  def logisticWeightsMicro(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, dim: Int = 64, iters: Int = 4, lrNum: Long = 1L,
+      lrDen: Long = 1L, idCol: String = "doc_id",
+      labelCol: String = "label", textCol: String = "text"): DataFrame = {
+    val (w, b) = logisticTrajectoryMicro(docs, dim, iters, lrNum, lrDen,
+      idCol, labelCol, textCol).last
+    import spark.implicits._
+    ((-1L, b) +: w.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("bucket", "w_micro")
+  }
+
+  /** (id, y, m) margins under fixed micro weights: m = b + Σ n·w[bucket],
+    * exact Long arithmetic; featureless (empty-text) docs get m = b. */
+  private def marginsMicro(feats: DataFrame, labels: DataFrame,
+      w: Array[Long], b: Long): DataFrame = {
+    val wLit = lit(w)
+    val sums = feats.groupBy(col("id"))
+      .agg(sum(col("n") * element_at(wLit, (col("bucket") + 1).cast("int")))
+        .as("__mm"))
+    labels.join(sums, Seq("id"), "left")
+      .select(col("id"), col("y"),
+        (coalesce(col("__mm"), lit(0L)) + lit(b)).as("m"))
+  }
+
+  /** Per-epoch exact scores of the [[logisticTrajectoryMicro]] run — the
+    * raw material of dataset cartography (Swayamdipta et al. 2020): one
+    * row per (doc, epoch) with the micro margin, p = σ(margin), the
+    * TRUE-label probability p_true (p if y=1 else 10⁶−p), and the
+    * correct flag (margin>0 iff y=1, the exact-zero margin pinned
+    * incorrect-for-positives). Epoch t scores under the post-update
+    * weights w_t.
+    *
+    * Scale shape: one margin aggregation per epoch over the
+    * localCheckpointed feature relation; the union is epoch-partitioned
+    * corpus passes, never a per-doc collect. */
+  def logisticEpochScoresMicro(docs: DataFrame, dim: Int = 64,
+      iters: Int = 4, lrNum: Long = 1L, lrDen: Long = 1L,
+      idCol: String = "doc_id", labelCol: String = "label",
+      textCol: String = "text"): DataFrame = {
+    val traj = logisticTrajectoryMicro(docs, dim, iters, lrNum, lrDen,
+      idCol, labelCol, textCol)
+    val feats = hashedFeatures(docs, dim, idCol, textCol).localCheckpoint()
+    val labels = docs.select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("y")).localCheckpoint()
+    traj.zipWithIndex.map { case ((w, b), t) =>
+      marginsMicro(feats, labels, w, b).withColumn("epoch", lit(t + 1L))
+    }.reduce(_.unionByName(_))
+      .select(col("id").as(idCol), col("epoch"), col("m").as("margin"),
+        graft.functions.VectorFunctions.sigmoid_micro(col("m")).as("p_micro"),
+        col("y"))
+      .withColumn("p_true_micro",
+        when(col("y") === 1L, col("p_micro"))
+          .otherwise(lit(1000000L) - col("p_micro")))
+      .withColumn("correct",
+        (col("margin") > 0L) === (col("y") === 1L))
+      .drop("y")
+  }
+
+  /** Dataset cartography (Swayamdipta et al., EMNLP 2020) over the exact
+    * integer-GD trajectory: per document, confidence = mean of p_true
+    * across epochs, variability = its standard deviation, and the count
+    * of correctly-predicted epochs — the data map that separates
+    * easy-to-learn / ambiguous / hard-to-learn examples (the curation
+    * signal: hard+low-variability items are the likely label errors,
+    * ambiguous items the most informative).
+    *
+    * All integer-exact: conf = ⌊Σp/T⌋; with V = T·Σp² − (Σp)² ≥ 0,
+    * variability = ⌊isqrt(V)/T⌋ (the [[graft.ops.Pca]] multiplied-
+    * through-variance discipline, then the shared ±1-corrected isqrt);
+    * regions are pinned thresholds — variability ≥ `ambThresh` →
+    * 'ambiguous', else conf ≥ 500000 → 'easy', else 'hard'.
+    *
+    * Scale shape: the epoch relation is iters corpus passes; this adds
+    * ONE combine-agg keyed by doc — p ≤ 10⁶ and T ≤ 10³ keep every sum
+    * inside Long (T·Σp² ≤ 10¹⁵). */
+  def cartographyMicro(docs: DataFrame, dim: Int = 64, iters: Int = 4,
+      lrNum: Long = 1L, lrDen: Long = 1L, ambThresh: Long = 150000L,
+      idCol: String = "doc_id", labelCol: String = "label",
+      textCol: String = "text"): DataFrame = {
+    require(iters <= 1000, "iters > 1000 would overflow the Long Σp² path")
+    val ep = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
+      idCol, labelCol, textCol)
+    ep.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_epochs"),
+        sum(col("p_true_micro")).as("__sp"),
+        sum(col("p_true_micro") * col("p_true_micro")).as("__sq"),
+        sum(col("correct").cast("long")).as("correct_epochs"))
+      .withColumn("__sd", graft.functions.VectorFunctions.isqrt_long(
+        col("n_epochs") * col("__sq") - col("__sp") * col("__sp")))
+      .select(col(idCol), col("n_epochs"),
+        expr("__sp div n_epochs").as("conf_micro"),
+        expr("__sd div n_epochs").as("variability_micro"),
+        col("correct_epochs"))
+      .withColumn("region",
+        when(col("variability_micro") >= ambThresh, lit("ambiguous"))
+          .when(col("conf_micro") >= 500000L, lit("easy"))
+          .otherwise(lit("hard")))
+  }
 }

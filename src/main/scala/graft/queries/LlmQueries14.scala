@@ -40,9 +40,54 @@ object LlmQueries14 {
       .orderBy(col("doc_id"))
   }
 
+  /** Documents with the is-English gold label the quality family trains
+    * against (the `quality_pr_curve` convention). */
+  private def labeledDocs(spark: SparkSession, dir: String): DataFrame =
+    T.par(spark, T.t(spark, dir, "documents"))
+      .withColumn("label", (col("lang") === "en").cast("int"))
+
+  /** Exact integer-micro logistic GD under the gate
+    * ([[graft.ops.QualityModel.logisticTrajectoryMicro]]): 3 iterations
+    * of batch gradient descent over 64 hashed bag-of-words buckets with
+    * lr = 1/16, every margin/σ/gradient/update exact integer arithmetic
+    * (sigmoidMicro = isqrt-derived 2^x product chain), output the final
+    * (bucket, w_micro) weight relation with bias at bucket −1. The
+    * oracle unrolls the identical trajectory — the whole LEARNED MODEL
+    * is bit-identical across engines, which the float path can never
+    * be. */
+  def qualityLogisticTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.logisticWeightsMicro(spark,
+        labeledDocs(spark, dir), dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+      .orderBy(col("bucket"))
+
+  /** Dataset cartography (Swayamdipta et al. 2020) over the exact-GD
+    * trajectory ([[graft.ops.QualityModel.cartographyMicro]]): per-doc
+    * confidence (mean true-label probability across the 3 epochs),
+    * variability (exact integer std via isqrt of the multiplied-through
+    * variance), correct-epoch count, and the pinned easy / ambiguous /
+    * hard region — the training-dynamics curation signal. */
+  def curationCartography(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.cartographyMicro(labeledDocs(spark, dir),
+        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+      .orderBy(col("doc_id"))
+
+  /** DoReMi-shaped domain reweighting
+    * ([[graft.ops.Curation.doremiDomainWeights]]): per-language excess
+    * loss = KL(domain ‖ corpus) over exact fixed-point log2, then 4
+    * exponentiated-gradient rounds (exp2Micro base-2 updates, truncating
+    * renormalization), final mixture = per-round average. */
+  def mixDoremiWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.doremiDomainWeights(
+        T.par(spark, T.t(spark, dir, "documents")), rounds = 4,
+        etaNum = 256L, etaDen = 1L)
+      .orderBy(col("domain"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_autocorr" -> (eventAutocorr _),
     "text_wordpiece_segment" -> (textWordpieceSegment _),
+    "quality_logistic_train" -> (qualityLogisticTrain _),
+    "curation_cartography" -> (curationCartography _),
+    "mix_doremi_weights" -> (mixDoremiWeights _),
   )
 
   /** Unrolled SQL replay of the WordPiece tokenizer — normalized words
@@ -126,8 +171,257 @@ object LlmQueries14 {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Exact-GD / exp2 oracle machinery
+  // ---------------------------------------------------------------------
+
+  private def hashSql(seed: Int, e: String) =
+    s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
+
+  private val normText = "trim(regexp_replace(regexp_replace(lower(text), " +
+    "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** The 20 exp2 fixed-point constants 2^(2⁻ⁱ)·2³² rebuilt from the
+    * shared ±1-corrected isqrt, exactly as
+    * [[graft.functions.ExactMicroOps.exp2Consts]] derives them
+    * (c₁ = isqrt(2⁶⁵), cᵢ = isqrt(cᵢ₋₁·2³²)) — a 20-step recursive CTE,
+    * no float constant anywhere. Produces `ec(i, c)` and the list form
+    * `cl(cs)` the per-row product chain indexes into. */
+  private val exp2ConstsCtes: String =
+    """ec AS (
+      |  SELECT 1 AS i,
+      |    CASE WHEN (s0+1)*(s0+1) <= x THEN s0+1
+      |         WHEN s0*s0 > x THEN s0-1 ELSE s0 END AS c
+      |  FROM (SELECT CAST('36893488147419103232' AS HUGEINT) AS x,
+      |         CAST(floor(sqrt(CAST('36893488147419103232' AS HUGEINT)))
+      |           AS HUGEINT) AS s0)
+      |  UNION ALL
+      |  SELECT i + 1,
+      |    CASE WHEN (s0+1)*(s0+1) <= x THEN s0+1
+      |         WHEN s0*s0 > x THEN s0-1 ELSE s0 END
+      |  FROM (SELECT i, c * CAST(4294967296 AS HUGEINT) AS x,
+      |         CAST(floor(sqrt(c * CAST(4294967296 AS HUGEINT))) AS HUGEINT) AS s0
+      |        FROM ec WHERE i < 20)
+      |),
+      |cl AS (SELECT list(c ORDER BY i) AS cs FROM ec)""".stripMargin
+
+  /** The truncating 2³²-fixed-point product chain of
+    * [[graft.functions.ExactMicroOps.exp2Micro]]'s fraction part as one
+    * expression over a 20-bit fraction column `f` (requires `cl` in
+    * scope via CROSS JOIN): left-to-right list_reduce — the same order
+    * and truncation as the Scala loop. */
+  private def exp2AccExpr(f: String): String =
+    s"""list_reduce(list_concat([CAST(4294967296 AS HUGEINT)],
+       |      list_filter(list_transform(generate_series(1, 20), i ->
+       |        CASE WHEN (($f >> CAST(20 - i AS INTEGER)) & 1) = 1
+       |             THEN cs[CAST(i AS INTEGER)] END),
+       |        x -> x IS NOT NULL)),
+       |      (acc, b) -> (acc * b) // 4294967296)""".stripMargin
+
+  /** [[graft.functions.ExactMicroOps.sigmoidMicro]] over a margin CTE
+    * `$src(doc_id, y, m)` → `p$tag(doc_id, y, m, p)`: the |m|·log₂e
+    * clamp, the sign split, exp2Micro's (q, f) decomposition (exponents
+    * here are always in [−20·10⁶, 0], so only the right-shift branch
+    * exists), the product chain, and the final 10¹²/(10⁶+2^(−z))
+    * division — all non-negative truncating integer ops. */
+  private def sigmoidCtes(tag: String, src: String): String =
+    s"""z$tag AS (SELECT doc_id, y, m,
+       |    least((abs(CAST(m AS HUGEINT)) * 1442695) // 1000000,
+       |      20000000) AS z0
+       |  FROM $src),
+       |q$tag AS (SELECT doc_id, y, m,
+       |    (xs // 1000000) - 64 AS q,
+       |    ((xs % 1000000) * 1048576) // 1000000 AS f
+       |  FROM (SELECT doc_id, y, m,
+       |      CAST(CASE WHEN m >= 0 THEN -z0 ELSE z0 END AS BIGINT)
+       |        + 64000000 AS xs
+       |    FROM z$tag)),
+       |p$tag AS MATERIALIZED (SELECT doc_id, y, m,
+       |    CAST(CAST(1000000000000 AS HUGEINT) // (1000000 +
+       |      (acc * 1000000) //
+       |        (CAST(1 AS HUGEINT) << CAST(32 - q AS INTEGER)))
+       |      AS BIGINT) AS p
+       |  FROM (SELECT doc_id, y, m, q, ${exp2AccExpr("f")} AS acc
+       |    FROM q$tag CROSS JOIN cl))""".stripMargin
+
+  /** The full unrolled GD trajectory of
+    * [[graft.ops.QualityModel.logisticTrajectoryMicro]] (dim=64,
+    * lr = lrNum/lrDen): labeled docs, hashed features, bias pseudo-
+    * bucket −1, then per iteration margins → sigmoid → residuals →
+    * HUGEINT gradients → magnitude-then-sign weight update. Produces
+    * `w$iters(bucket, w)` plus, when `withEpochs`, the post-update
+    * margin/σ blocks `p2..p${iters+1}` (epoch k scores under w_k). */
+  private def gdCtes(iters: Int, lrNum: Long, lrDen: Long,
+      withEpochs: Boolean): String = {
+    val steps = (1 to iters).map { t =>
+      s"""m$t AS (SELECT l.doc_id, l.y,
+         |    CAST((SELECT w FROM w${t - 1} WHERE bucket = -1)
+         |      + coalesce(s.mm, 0) AS BIGINT) AS m
+         |  FROM lab l LEFT JOIN (SELECT f.doc_id, sum(f.n * w.w) AS mm
+         |      FROM f JOIN w${t - 1} w ON w.bucket = f.bucket GROUP BY 1) s
+         |    ON s.doc_id = l.doc_id),
+         |${sigmoidCtes(t.toString, s"m$t")},
+         |r$t AS (SELECT doc_id, p - y * 1000000 AS r FROM p$t),
+         |g$t AS (SELECT w.bucket, w.w,
+         |    coalesce(sum(CAST(fb.n AS HUGEINT) * r.r), 0) AS g
+         |  FROM w${t - 1} w
+         |  LEFT JOIN fb ON fb.bucket = w.bucket
+         |  LEFT JOIN r$t r ON r.doc_id = fb.doc_id
+         |  GROUP BY 1, 2),
+         |w$t AS MATERIALIZED (SELECT bucket,
+         |    w - CASE WHEN g >= 0
+         |          THEN CAST((g * $lrNum) // (nd.nd * $lrDen) AS BIGINT)
+         |          ELSE -CAST(((-g) * $lrNum) // (nd.nd * $lrDen) AS BIGINT)
+         |        END AS w
+         |  FROM g$t CROSS JOIN ndocs nd)""".stripMargin
+    }.mkString(",\n")
+    val epochTail = if (!withEpochs) "" else {
+      val t = iters + 1
+      ",\n" + s"""m$t AS (SELECT l.doc_id, l.y,
+         |    CAST((SELECT w FROM w${t - 1} WHERE bucket = -1)
+         |      + coalesce(s.mm, 0) AS BIGINT) AS m
+         |  FROM lab l LEFT JOIN (SELECT f.doc_id, sum(f.n * w.w) AS mm
+         |      FROM f JOIN w${t - 1} w ON w.bucket = f.bucket GROUP BY 1) s
+         |    ON s.doc_id = l.doc_id),
+         |${sigmoidCtes(t.toString, s"m$t")}""".stripMargin
+    }
+    s"""lab AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+       |nrm AS (SELECT doc_id, $normText AS norm FROM documents),
+       |wds AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM nrm),
+       |f AS MATERIALIZED (SELECT doc_id, ${hashSql(77, "wd")} % 64 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM wds WHERE wd <> '' GROUP BY 1, 2),
+       |fb AS (SELECT doc_id, bucket, n FROM f
+       |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+       |  FROM lab),
+       |ndocs AS (SELECT CAST(count(*) AS HUGEINT) AS nd FROM lab),
+       |w0 AS (SELECT CAST(range - 1 AS BIGINT) AS bucket,
+       |    CAST(0 AS BIGINT) AS w FROM range(65)),
+       |$steps$epochTail""".stripMargin
+  }
+
+  private def logisticTrainOracle: String =
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${gdCtes(iters = 3, lrNum = 1L, lrDen = 16L, withEpochs = false)}
+       |SELECT bucket, w AS w_micro FROM w3 ORDER BY bucket""".stripMargin
+
+  private def cartographyOracle: String =
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${gdCtes(iters = 3, lrNum = 1L, lrDen = 16L, withEpochs = true)},
+       |ep AS (SELECT doc_id, y, m, p, 1 AS epoch FROM p2
+       |  UNION ALL SELECT doc_id, y, m, p, 2 FROM p3
+       |  UNION ALL SELECT doc_id, y, m, p, 3 FROM p4),
+       |et AS (SELECT doc_id,
+       |    CASE WHEN y = 1 THEN p ELSE 1000000 - p END AS pt,
+       |    CASE WHEN (m > 0) = (y = 1) THEN 1 ELSE 0 END AS ok FROM ep),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_epochs,
+       |    CAST(sum(pt) AS BIGINT) AS sp, CAST(sum(pt * pt) AS BIGINT) AS sq,
+       |    CAST(sum(ok) AS BIGINT) AS correct_epochs FROM et GROUP BY 1),
+       |vs AS (SELECT doc_id, n_epochs, sp, correct_epochs,
+       |    CASE WHEN (s0+1)*(s0+1) <= v2 THEN s0+1
+       |         WHEN s0*s0 > v2 THEN s0-1 ELSE s0 END AS sd
+       |  FROM (SELECT *, CAST(floor(sqrt(CAST(v2 AS DOUBLE))) AS BIGINT) AS s0
+       |    FROM (SELECT *, n_epochs * sq - sp * sp AS v2 FROM ag)))
+       |SELECT doc_id, n_epochs, sp // n_epochs AS conf_micro,
+       |  sd // n_epochs AS variability_micro, correct_epochs,
+       |  CASE WHEN sd // n_epochs >= 150000 THEN 'ambiguous'
+       |       WHEN sp // n_epochs >= 500000 THEN 'easy'
+       |       ELSE 'hard' END AS region
+       |FROM vs ORDER BY doc_id""".stripMargin
+
+  /** [[log2MicroCtes]]-shaped replay keyed by the VALUE itself over the
+    * distinct-count relation `vals(v)` — counts repeat heavily (Zipf),
+    * so the 16-step chain runs once per distinct value and joins back. */
+  private def log2ValueCtes: String = {
+    val steps = (1 to 16).map { i =>
+      s"""lw$i AS (SELECT v, e,
+         |    CASE WHEN y >= 8589934592 THEN y // 2 ELSE y END AS x,
+         |    frac * 2 + CASE WHEN y >= 8589934592 THEN 1 ELSE 0 END AS frac
+         |  FROM (SELECT v, e, (CAST(x AS HUGEINT) * x) // 4294967296 AS y,
+         |      frac FROM lw${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""lew AS (SELECT v,
+       |    CASE WHEN (CAST(1 AS BIGINT) << CAST(e0 + 1 AS INTEGER)) <= v
+       |           THEN e0 + 1
+       |         WHEN (CAST(1 AS BIGINT) << CAST(e0 AS INTEGER)) > v
+       |           THEN e0 - 1
+       |         ELSE e0 END AS e
+       |  FROM (SELECT v,
+       |      CAST(floor(log2(CAST(v AS DOUBLE))) AS BIGINT) AS e0 FROM vals)),
+       |lw0 AS (SELECT v, e,
+       |    CASE WHEN e <= 32 THEN v << CAST(32 - e AS INTEGER)
+       |         ELSE v >> CAST(e - 32 AS INTEGER) END AS x,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM lew),
+       |$steps,
+       |lg AS MATERIALIZED (SELECT v,
+       |    ((e * 65536 + frac) * 1000000) // 65536 AS l FROM lw16)""".stripMargin
+  }
+
+  private def doremiOracle: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""u$r AS (SELECT domain, n_docs, n_tokens, kl_micro, excess_micro,
+         |    x, asum, (a * x) // 1000000 AS up FROM a${r - 1}),
+         |s$r AS (SELECT CAST(sum(up) AS HUGEINT) AS s FROM u$r),
+         |a$r AS (SELECT domain, n_docs, n_tokens, kl_micro, excess_micro,
+         |    x, CAST((CAST(up AS HUGEINT) * 1000000) // s AS BIGINT) AS a,
+         |    asum + CAST((CAST(up AS HUGEINT) * 1000000) // s AS BIGINT) AS asum
+         |  FROM u$r CROSS JOIN s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |nrm AS (SELECT doc_id, lang, $normText AS norm FROM documents),
+       |tk AS (SELECT lang AS domain, unnest(string_split(norm, ' ')) AS w
+       |  FROM nrm),
+       |cdw AS MATERIALIZED (SELECT domain, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM tk WHERE w <> '' GROUP BY 1, 2),
+       |ndt AS (SELECT domain, CAST(sum(c) AS BIGINT) AS nt FROM cdw
+       |  GROUP BY 1),
+       |cwt AS (SELECT w, CAST(sum(c) AS BIGINT) AS cg FROM cdw GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cdw),
+       |vals AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |  SELECT c AS v FROM cdw UNION ALL SELECT nt FROM ndt
+       |  UNION ALL SELECT cg FROM cwt UNION ALL SELECT n FROM tot)),
+       |$log2ValueCtes,
+       |klr AS (SELECT cdw.domain,
+       |    sum(CAST(cdw.c AS HUGEINT) * (lc.l - ln.l - lw.l + lt.l)) AS klnum
+       |  FROM cdw JOIN ndt ON ndt.domain = cdw.domain
+       |  JOIN cwt ON cwt.w = cdw.w CROSS JOIN tot
+       |  JOIN lg lc ON lc.v = cdw.c JOIN lg ln ON ln.v = ndt.nt
+       |  JOIN lg lw ON lw.v = cwt.cg JOIN lg lt ON lt.v = tot.n
+       |  GROUP BY 1),
+       |dom AS (SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |kl AS MATERIALIZED (SELECT d.domain, d.n_docs,
+       |    coalesce(ndt.nt, 0) AS n_tokens,
+       |    CAST(CASE WHEN ndt.nt IS NULL OR ndt.nt = 0 THEN 0
+       |         WHEN klnum >= 0 THEN klnum // ndt.nt
+       |         ELSE -((-klnum) // ndt.nt) END AS BIGINT) AS kl_micro
+       |  FROM dom d LEFT JOIN ndt ON ndt.domain = d.domain
+       |  LEFT JOIN klr ON klr.domain = d.domain),
+       |ex AS (SELECT *, greatest(kl_micro, 0) AS excess_micro,
+       |    least(greatest(kl_micro, 0) * 256, 20000000) AS ef FROM kl),
+       |xx AS (SELECT domain, n_docs, n_tokens, kl_micro, excess_micro,
+       |    CAST((acc * 1000000) //
+       |      (CAST(1 AS HUGEINT) << CAST(32 - q AS INTEGER)) AS BIGINT) AS x
+       |  FROM (SELECT *, ef // 1000000 AS q,
+       |      ${exp2AccExpr("((ef % 1000000) * 1048576) // 1000000")} AS acc
+       |    FROM ex CROSS JOIN cl)),
+       |dcnt AS (SELECT CAST(count(*) AS BIGINT) AS dd FROM kl),
+       |a0 AS (SELECT domain, n_docs, n_tokens, kl_micro, excess_micro, x,
+       |    1000000 // dd AS a, CAST(0 AS BIGINT) AS asum
+       |  FROM xx CROSS JOIN dcnt),
+       |$rounds
+       |SELECT domain, n_docs, n_tokens, kl_micro, excess_micro,
+       |  asum // 4 AS weight_micro
+       |FROM a4 ORDER BY domain""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "text_wordpiece_segment" -> wordpieceOracle,
+    "quality_logistic_train" -> logisticTrainOracle,
+    "curation_cartography" -> cartographyOracle,
+    "mix_doremi_weights" -> doremiOracle,
     "event_autocorr" ->
       """WITH cnt AS (
         |  SELECT event_type AS g,

@@ -513,4 +513,72 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(2))).toMap
     assert(d("D") == 142857L, d.toString)
   }
+
+  test("doremi: divergent domain upweighted, sequential replay, invariance") {
+    import spark.implicits._
+    // domain 'mix' draws from the shared vocabulary (KL ≈ 0); domain
+    // 'odd' has its own vocabulary (large KL ⇒ large excess ⇒ weight ↑)
+    val r = new scala.util.Random(5)
+    val shared = (1 to 12).map(i => s"common$i")
+    val odd = (1 to 12).map(i => s"rare$i")
+    def doc(v: Seq[String]) =
+      (1 to 20).map(_ => v(r.nextInt(v.size))).mkString(" ")
+    val rows = (1 to 30).map(i => (i.toLong, doc(shared), "mix_a")) ++
+      (31 to 60).map(i => (i.toLong, doc(shared), "mix_b")) ++
+      (61 to 75).map(i => (i.toLong, doc(odd), "odd")) :+
+      ((76L, "", "empty"))
+    val docs = rows.toDF("doc_id", "text", "lang")
+    val got = Curation.doremiDomainWeights(docs, rounds = 4, etaNum = 1L,
+        etaDen = 4L)
+      .collect().map(row => row.getString(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+          row.getLong(5)))).toMap
+    assert(got.size == 4)
+    assert(got("empty") == ((1L, 0L, 0L, 0L, got("empty")._5)))
+    assert(got("odd")._4 > got("mix_a")._4, got.toString) // excess higher
+    assert(got("odd")._5 > got("mix_a")._5, got.toString) // weight higher
+    // sequential BigInt replay of the whole pipeline from raw tokens
+    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+      .replaceAll(" +", " ").trim
+    val toks = rows.flatMap { case (_, t, d) =>
+      norm(t).split(" ").filter(_.nonEmpty).map(d -> _)
+    }
+    val cdw = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ndT = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cwT = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTot = toks.size.toLong
+    import graft.functions.ExactMicroOps.{log2Micro, exp2Micro}
+    val domains = rows.map(_._3).distinct.sorted
+    val klSeq = domains.map { d =>
+      val nd = ndT.getOrElse(d, 0L)
+      if (nd == 0L) d -> 0L
+      else {
+        val num = cdw.collect { case ((`d`, w), c) =>
+          BigInt(c) * (log2Micro(c) - log2Micro(nd) - log2Micro(cwT(w)) +
+            log2Micro(nTot))
+        }.sum
+        val q = (num.abs / nd) * num.signum
+        d -> q.toLong
+      }
+    }.toMap
+    val xs = domains.map(d => d ->
+      exp2Micro(math.min(math.max(klSeq(d), 0L) / 4L, 20000000L))).toMap
+    var a = domains.map(d => d -> 1000000L / domains.size).toMap
+    var asum = domains.map(d => d -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val up = domains.map(d => d -> a(d) * xs(d) / 1000000L).toMap
+      val s = up.values.sum
+      a = domains.map(d => d -> up(d) * 1000000L / s).toMap
+      asum = domains.map(d => d -> (asum(d) + a(d))).toMap
+    }
+    domains.foreach { d =>
+      assert(got(d)._4 == math.max(klSeq(d), 0L), s"$d excess")
+      assert(got(d)._5 == asum(d) / 4L, s"$d weight")
+    }
+    // partition invariance (exact integer arithmetic end to end)
+    val got2 = Curation.doremiDomainWeights(docs.repartition(7), rounds = 4,
+        etaNum = 1L, etaDen = 4L)
+      .collect().map(row => row.getString(0) -> row.getLong(5)).toMap
+    assert(domains.forall(d => got2(d) == got(d)._5))
+  }
 }

@@ -241,4 +241,91 @@ class QualityModelSpec extends SparkSpec {
       if (s1 == s2) assert(a <= b, seq.mkString(","))
     }
   }
+
+  test("integer-micro GD matches a sequential BigInt replay; partition-invariant") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val good = (1 to 10).map(i => s"good$i")
+    val bad = (1 to 10).map(i => s"bad$i")
+    def doc(v: Seq[String]) =
+      (1 to 8).map(_ => v(r.nextInt(v.size))).mkString(" ")
+    val rows = (1 to 20).map(i => (i.toLong, doc(good), 1)) ++
+      (21 to 40).map(i => (i.toLong, doc(bad), 0)) :+ ((41L, "", 1))
+    val docs = rows.toDF("doc_id", "text", "label")
+    val dim = 32; val iters = 3
+    val traj = QualityModel.logisticTrajectoryMicro(docs, dim, iters,
+      lrNum = 1L, lrDen = 2L)
+    // sequential replay from the collected feature relation, BigInt only
+    val feats = QualityModel.hashedFeatures(docs, dim).collect()
+      .map(row => (row.getLong(0), row.getLong(1).toInt, row.getLong(2)))
+    val ys = rows.map { case (id, _, y) => id -> y.toLong }.toMap
+    val w = Array.fill(dim)(0L); var b = 0L
+    val den = BigInt(41) * 2
+    for (t <- 0 until iters) {
+      val margins = ys.map { case (id, _) =>
+        id -> (b + feats.collect { case (i, k, n) if i == id => n * w(k) }.sum)
+      }
+      val resid = margins.map { case (id, m) =>
+        id -> (graft.functions.ExactMicroOps.sigmoidMicro(m) - ys(id) * 1000000L)
+      }
+      val g = Array.fill(dim + 1)(BigInt(0))
+      feats.foreach { case (id, k, n) => g(k + 1) += BigInt(n) * resid(id) }
+      resid.values.foreach(rr => g(0) += BigInt(rr))
+      for (k <- -1 until dim) {
+        val gv = g(k + 1)
+        val d = (gv.abs / den).toLong * (if (gv.signum >= 0) 1 else -1)
+        if (k < 0) b -= d else w(k) -= d
+      }
+      assert(traj(t)._1.toSeq == w.toSeq, s"weights diverge at iter $t")
+      assert(traj(t)._2 == b, s"bias diverges at iter $t")
+    }
+    // partition invariance of the exact trajectory
+    val traj2 = QualityModel.logisticTrajectoryMicro(docs.repartition(7),
+      dim, iters, lrNum = 1L, lrDen = 2L)
+    assert(traj.map(_._1.toSeq) == traj2.map(_._1.toSeq))
+    assert(traj.map(_._2) == traj2.map(_._2))
+  }
+
+  test("cartography: clean examples easy, flipped labels hard, exact stats") {
+    import spark.implicits._
+    val r = new scala.util.Random(13)
+    val good = (1 to 10).map(i => s"good$i")
+    val bad = (1 to 10).map(i => s"bad$i")
+    def doc(v: Seq[String]) =
+      (1 to 10).map(_ => v(r.nextInt(v.size))).mkString(" ")
+    // 5 deliberately flipped labels planted at ids 101..105
+    val rows = (1 to 40).map(i => (i.toLong, doc(good), 1)) ++
+      (41 to 80).map(i => (i.toLong, doc(bad), 0)) ++
+      (101 to 105).map(i => (i.toLong, doc(good), 0))
+    val docs = rows.toDF("doc_id", "text", "label")
+    val iters = 4
+    val carto = QualityModel.cartographyMicro(docs, dim = 64, iters = iters,
+      lrNum = 1L, lrDen = 4L)
+      .collect().map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+          row.getString(5)))).toMap
+    assert(carto.size == 85)
+    // flipped docs: the model sees 40 consistent good-vocab positives, so
+    // the 5 mislabeled ones end with LOW true-label confidence
+    val cleanConf = (1 to 40).map(i => carto(i.toLong)._2)
+    val flipConf = (101 to 105).map(i => carto(i.toLong)._2)
+    assert(flipConf.max < cleanConf.min,
+      s"flipped not separated: ${flipConf.max} vs ${cleanConf.min}")
+    assert((101 to 105).forall(i => carto(i.toLong)._5 != "easy"))
+    // exact stats: recompute conf/variability from the epoch relation
+    // with an independent isqrt (BigInteger.sqrt)
+    val ep = QualityModel.logisticEpochScoresMicro(docs, dim = 64,
+      iters = iters, lrNum = 1L, lrDen = 4L)
+      .collect().map(row => (row.getLong(0), row.getLong(4), row.getBoolean(5)))
+    val byDoc = ep.groupBy(_._1)
+    byDoc.foreach { case (id, es) =>
+      val t = es.length.toLong
+      val sp = es.map(_._2).sum
+      val sq = es.map(e => e._2 * e._2).sum
+      val v2 = java.math.BigInteger.valueOf(t * sq - sp * sp).sqrt().longValueExact()
+      val (ne, conf, vr, ce, _) = carto(id)
+      assert(ne == t && conf == sp / t && vr == v2 / t &&
+        ce == es.count(_._3).toLong, s"doc $id stats mismatch")
+    }
+  }
 }
