@@ -701,6 +701,69 @@ object QualityModel {
       .drop("y")
   }
 
+  /** Example-forgetting statistics (Toneva et al., ICLR 2019) over the
+    * exact integer-GD trajectory: per document, the first epoch at
+    * which it was classified correctly (0 = never learned), the number
+    * of FORGETTING EVENTS (correct at epoch t, incorrect at t+1),
+    * whether the final model classifies it correctly, and the
+    * unforgettable flag (learned at some epoch and never forgotten) —
+    * the forgetting-based curation signal (unforgettable examples are
+    * safe to down-sample; frequently-forgotten ones carry the learning
+    * signal, never-learned ones are label-noise suspects).
+    *
+    * Scale shape: the epoch relation is localCheckpointed (it feeds
+    * three aggregates and one lag self-join); transitions come from ONE
+    * equi-join on (doc, epoch+1) — never a window over the corpus. */
+  def forgettingEventsMicro(docs: DataFrame, dim: Int = 64, iters: Int = 4,
+      lrNum: Long = 1L, lrDen: Long = 1L, idCol: String = "doc_id",
+      labelCol: String = "label", textCol: String = "text"): DataFrame = {
+    val ep = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
+        idCol, labelCol, textCol)
+      .select(col(idCol).as("id"), col("epoch"), col("correct"))
+      .localCheckpoint(false)
+    val firstL = ep.filter(col("correct"))
+      .groupBy(col("id")).agg(min(col("epoch")).as("__fl"))
+    val forgets = ep.as("a")
+      .join(ep.select(col("id"), (col("epoch") - 1L).as("epoch"),
+        col("correct").as("__c2")), Seq("id", "epoch"))
+      .filter(col("correct") && !col("__c2"))
+      .groupBy(col("id")).agg(count(lit(1)).as("__nf"))
+    val fin = ep.filter(col("epoch") === iters.toLong)
+      .select(col("id"), col("correct").as("final_correct"))
+    fin
+      .join(firstL, Seq("id"), "left")
+      .join(forgets, Seq("id"), "left")
+      .select(col("id").as(idCol), lit(iters.toLong).as("n_epochs"),
+        coalesce(col("__fl"), lit(0L)).as("first_learned"),
+        coalesce(col("__nf"), lit(0L)).as("n_forget_events"),
+        col("final_correct"))
+      .withColumn("unforgettable",
+        col("first_learned") > 0L && col("n_forget_events") === 0L)
+  }
+
+  /** Per-epoch training curve of the exact integer-GD run: document
+    * count, correct count, and the exact integer log-loss
+    * Σ (log2(10⁶) − log2(max(p_true, 1))) in micro units (base-2
+    * cross-entropy; p_true = 0 — a fully-saturated wrong prediction —
+    * clamps to 1, i.e. ~19.93 bits, keeping the kernel in envelope).
+    * One combine-agg over the epoch relation; iters rows out. */
+  def gdTrainingCurve(docs: DataFrame, dim: Int = 64, iters: Int = 4,
+      lrNum: Long = 1L, lrDen: Long = 1L, idCol: String = "doc_id",
+      labelCol: String = "label", textCol: String = "text"): DataFrame = {
+    val l6 = graft.functions.ExactMicroOps.log2Micro(1000000L)
+    logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen, idCol,
+        labelCol, textCol)
+      .withColumn("__loss", lit(l6) - graft.functions.VectorFunctions
+        .log2_micro(greatest(col("p_true_micro"), lit(1L))))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("correct").cast("long")).as("n_correct"),
+        sum(col("__loss").cast("decimal(38,0)")).as("__sl"))
+      .select(col("epoch"), col("n_docs"), col("n_correct"),
+        expr("CAST(__sl AS DECIMAL(38,0)) div CAST(n_docs AS DECIMAL(38,0))")
+          .cast("long").as("mean_loss_micro"))
+  }
+
   /** Dataset cartography (Swayamdipta et al., EMNLP 2020) over the exact
     * integer-GD trajectory: per document, confidence = mean of p_true
     * across epochs, variability = its standard deviation, and the count

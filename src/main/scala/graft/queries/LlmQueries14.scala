@@ -71,6 +71,25 @@ object LlmQueries14 {
         dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
       .orderBy(col("doc_id"))
 
+  /** Example forgetting (Toneva et al. 2019) over the exact-GD epochs
+    * ([[graft.ops.QualityModel.forgettingEventsMicro]]): first-learned
+    * epoch, forgetting-event count (correct→incorrect transitions via
+    * one (doc, epoch+1) equi-join), final correctness, and the
+    * unforgettable flag. */
+  def curationForgetting(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.forgettingEventsMicro(labeledDocs(spark, dir),
+        dim = 64, iters = 6, lrNum = 1L, lrDen = 24L)
+      .orderBy(col("doc_id"))
+
+  /** Per-epoch training curve of the exact-GD run
+    * ([[graft.ops.QualityModel.gdTrainingCurve]]): correct count and
+    * exact integer base-2 log-loss per epoch — the loss curve itself is
+    * engine-replayable. */
+  def qualityGdCurve(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.gdTrainingCurve(labeledDocs(spark, dir),
+        dim = 64, iters = 6, lrNum = 1L, lrDen = 24L)
+      .orderBy(col("epoch"))
+
   /** DoReMi-shaped domain reweighting
     * ([[graft.ops.Curation.doremiDomainWeights]]): per-language excess
     * loss = KL(domain ‖ corpus) over exact fixed-point log2, then 4
@@ -87,6 +106,8 @@ object LlmQueries14 {
     "text_wordpiece_segment" -> (textWordpieceSegment _),
     "quality_logistic_train" -> (qualityLogisticTrain _),
     "curation_cartography" -> (curationCartography _),
+    "curation_forgetting" -> (curationForgetting _),
+    "quality_gd_curve" -> (qualityGdCurve _),
     "mix_doremi_weights" -> (mixDoremiWeights _),
   )
 
@@ -306,12 +327,22 @@ object LlmQueries14 {
        |${gdCtes(iters = 3, lrNum = 1L, lrDen = 16L, withEpochs = false)}
        |SELECT bucket, w AS w_micro FROM w3 ORDER BY bucket""".stripMargin
 
+  /** Shared epochs prefix: the GD chain with post-update margin/σ
+    * blocks plus the per-epoch union — the base of the cartography,
+    * forgetting, and training-curve oracles (epoch k scores under the
+    * post-update weights w_k, i.e. block p(k+1)). */
+  private def epochsCtes(iters: Int, lrDen: Long): String = {
+    val unions = (1 to iters).map { k =>
+      if (k == 1) s"SELECT doc_id, y, m, p, 1 AS epoch FROM p${k + 1}"
+      else s"  UNION ALL SELECT doc_id, y, m, p, $k FROM p${k + 1}"
+    }.mkString("\n")
+    s"""${gdCtes(iters = iters, lrNum = 1L, lrDen = lrDen, withEpochs = true)},
+       |ep AS MATERIALIZED ($unions)""".stripMargin
+  }
+
   private def cartographyOracle: String =
     s"""WITH RECURSIVE $exp2ConstsCtes,
-       |${gdCtes(iters = 3, lrNum = 1L, lrDen = 16L, withEpochs = true)},
-       |ep AS (SELECT doc_id, y, m, p, 1 AS epoch FROM p2
-       |  UNION ALL SELECT doc_id, y, m, p, 2 FROM p3
-       |  UNION ALL SELECT doc_id, y, m, p, 3 FROM p4),
+       |${epochsCtes(iters = 3, lrDen = 16L)},
        |et AS (SELECT doc_id,
        |    CASE WHEN y = 1 THEN p ELSE 1000000 - p END AS pt,
        |    CASE WHEN (m > 0) = (y = 1) THEN 1 ELSE 0 END AS ok FROM ep),
@@ -329,6 +360,44 @@ object LlmQueries14 {
        |       WHEN sp // n_epochs >= 500000 THEN 'easy'
        |       ELSE 'hard' END AS region
        |FROM vs ORDER BY doc_id""".stripMargin
+
+  private def forgettingOracle: String =
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${epochsCtes(iters = 6, lrDen = 24L)},
+       |cor AS (SELECT doc_id, epoch, (m > 0) = (y = 1) AS ok FROM ep),
+       |fl AS (SELECT doc_id, min(epoch) AS fl FROM cor WHERE ok
+       |  GROUP BY 1),
+       |fg AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS nf
+       |  FROM cor a JOIN cor b ON b.doc_id = a.doc_id
+       |    AND b.epoch = a.epoch + 1
+       |  WHERE a.ok AND NOT b.ok GROUP BY 1),
+       |fin AS (SELECT doc_id, ok FROM cor WHERE epoch = 6)
+       |SELECT fin.doc_id, CAST(6 AS BIGINT) AS n_epochs,
+       |  CAST(coalesce(fl.fl, 0) AS BIGINT) AS first_learned,
+       |  coalesce(fg.nf, 0) AS n_forget_events,
+       |  fin.ok AS final_correct,
+       |  coalesce(fl.fl, 0) > 0 AND coalesce(fg.nf, 0) = 0 AS unforgettable
+       |FROM fin LEFT JOIN fl ON fl.doc_id = fin.doc_id
+       |LEFT JOIN fg ON fg.doc_id = fin.doc_id
+       |ORDER BY fin.doc_id""".stripMargin
+
+  private def gdCurveOracle: String =
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${epochsCtes(iters = 6, lrDen = 24L)},
+       |et2 AS (SELECT epoch,
+       |    greatest(CASE WHEN y = 1 THEN p ELSE 1000000 - p END, 1) AS pt,
+       |    CASE WHEN (m > 0) = (y = 1) THEN 1 ELSE 0 END AS ok FROM ep),
+       |vals AS MATERIALIZED (SELECT DISTINCT pt AS v FROM et2
+       |  UNION SELECT 1000000),
+       |$log2ValueCtes
+       |SELECT CAST(e.epoch AS BIGINT) AS epoch,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(e.ok) AS BIGINT) AS n_correct,
+       |  CAST(CAST(sum(l6.l - lp.l) AS HUGEINT) // count(*) AS BIGINT)
+       |    AS mean_loss_micro
+       |FROM et2 e JOIN lg lp ON lp.v = e.pt
+       |CROSS JOIN (SELECT l FROM lg WHERE v = 1000000) l6
+       |GROUP BY e.epoch ORDER BY epoch""".stripMargin
 
   /** [[log2MicroCtes]]-shaped replay keyed by the VALUE itself over the
     * distinct-count relation `vals(v)` — counts repeat heavily (Zipf),
@@ -421,6 +490,8 @@ object LlmQueries14 {
     "text_wordpiece_segment" -> wordpieceOracle,
     "quality_logistic_train" -> logisticTrainOracle,
     "curation_cartography" -> cartographyOracle,
+    "curation_forgetting" -> forgettingOracle,
+    "quality_gd_curve" -> gdCurveOracle,
     "mix_doremi_weights" -> doremiOracle,
     "event_autocorr" ->
       """WITH cnt AS (

@@ -286,6 +286,57 @@ class QualityModelSpec extends SparkSpec {
     assert(traj.map(_._2) == traj2.map(_._2))
   }
 
+  test("forgetting + curve: exact replay from collected epochs") {
+    import spark.implicits._
+    val r = new scala.util.Random(17)
+    val good = (1 to 10).map(i => s"good$i")
+    val bad = (1 to 10).map(i => s"bad$i")
+    def doc(v: Seq[String]) =
+      (1 to 10).map(_ => v(r.nextInt(v.size))).mkString(" ")
+    val rows = (1 to 30).map(i => (i.toLong, doc(good), 1)) ++
+      (31 to 60).map(i => (i.toLong, doc(bad), 0))
+    val docs = rows.toDF("doc_id", "text", "label")
+    val iters = 4
+    val ep = QualityModel.logisticEpochScoresMicro(docs, dim = 64,
+        iters = iters, lrNum = 1L, lrDen = 8L)
+      .collect().map(row => (row.getLong(0), row.getLong(1),
+        row.getLong(4), row.getBoolean(5)))
+    val byDoc = ep.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(e => (e._3, e._4))).toMap
+    // forgetting: sequential replay from the epoch flags
+    val forg = QualityModel.forgettingEventsMicro(docs, dim = 64,
+        iters = iters, lrNum = 1L, lrDen = 8L)
+      .collect().map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3),
+          row.getBoolean(4), row.getBoolean(5)))).toMap
+    assert(forg.size == 60)
+    byDoc.foreach { case (id, es) =>
+      val oks = es.map(_._2)
+      val fl = oks.indexOf(true) match { case -1 => 0L; case i => i + 1L }
+      val nf = oks.sliding(2).count(w => w.length == 2 && w(0) && !w(1))
+      val (ne, gfl, gnf, fc, unf) = forg(id)
+      assert(ne == iters.toLong && gfl == fl && gnf == nf.toLong &&
+        fc == oks.last && unf == (fl > 0 && nf == 0), s"doc $id")
+    }
+    // curve: per-epoch counts and exact mean log-loss replay
+    val curve = QualityModel.gdTrainingCurve(docs, dim = 64, iters = iters,
+        lrNum = 1L, lrDen = 8L)
+      .collect().map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3)))).toMap
+    assert(curve.size == iters)
+    val l6 = graft.functions.ExactMicroOps.log2Micro(1000000L)
+    (1 to iters).foreach { t =>
+      val es = ep.filter(_._2 == t.toLong)
+      val losses = es.map(e => l6 -
+        graft.functions.ExactMicroOps.log2Micro(math.max(e._3, 1L)))
+      val (nd, nc, ml) = curve(t.toLong)
+      assert(nd == es.length.toLong && nc == es.count(_._4).toLong &&
+        ml == losses.map(BigInt(_)).sum / es.length, s"epoch $t")
+    }
+    // the planted split is learnable: accuracy improves along the curve
+    assert(curve(iters.toLong)._2 >= curve(1L)._2)
+  }
+
   test("cartography: clean examples easy, flipped labels hard, exact stats") {
     import spark.implicits._
     val r = new scala.util.Random(13)
