@@ -378,7 +378,18 @@ object ScaleProbe {
       // round-13: unigram tokenizer — the substring-count pass and the
       // per-chunk Viterbi serve scale with the corpus; the vocabulary
       // stays 512+alphabet-bounded at any scale
-      "text_unigram_segment" -> SparkEntry.queries("text_unigram_segment"))
+      "text_unigram_segment" -> SparkEntry.queries("text_unigram_segment"),
+      // round-13 batch 2: exact-GD training dynamics (margin/gradient/
+      // epoch scans scale with the corpus, the dim+1 weight vector is
+      // fixed), DoReMi (token counts and the word-keyed join scale, the
+      // domain relation stays |langs|-sized), WordPiece serve (bounded
+      // vocab reference object, per-chunk greedy walk scales), and the
+      // event ACF (the dense grid is time-bounded, so 10x the events
+      // only widens the bucket-count combine-agg)
+      "curation_forgetting" -> SparkEntry.queries("curation_forgetting"),
+      "mix_doremi_weights" -> SparkEntry.queries("mix_doremi_weights"),
+      "text_wordpiece_segment" -> SparkEntry.queries("text_wordpiece_segment"),
+      "event_autocorr" -> SparkEntry.queries("event_autocorr"))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -601,12 +601,26 @@ object QualityModel {
       iters: Int = 4, lrNum: Long = 1L, lrDen: Long = 1L,
       idCol: String = "doc_id", labelCol: String = "label",
       textCol: String = "text"): Seq[(Array[Long], Long)] = {
+    val (feats, labels) = checkpointedFeatsLabels(docs, dim, idCol,
+      labelCol, textCol)
+    trajectoryFrom(feats, labels, dim, iters, lrNum, lrDen)
+  }
+
+  /** Featurize + label ONCE, localCheckpointed — the relation every GD
+    * pass (trajectory gradients and epoch scoring) reuses. */
+  private def checkpointedFeatsLabels(docs: DataFrame, dim: Int,
+      idCol: String, labelCol: String, textCol: String)
+      : (DataFrame, DataFrame) =
+    (hashedFeatures(docs, dim, idCol, textCol).localCheckpoint(),
+      docs.select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("y")).localCheckpoint())
+
+  private def trajectoryFrom(feats: DataFrame, labels: DataFrame,
+      dim: Int, iters: Int, lrNum: Long,
+      lrDen: Long): Seq[(Array[Long], Long)] = {
     require(dim > 0 && dim <= (1 << 20),
       s"dim=$dim out of range: the per-iteration collect is dim-sized")
     require(iters >= 1 && lrNum >= 1L && lrDen >= 1L, "bad iters/lr")
-    val feats = hashedFeatures(docs, dim, idCol, textCol).localCheckpoint()
-    val labels = docs.select(col(idCol).as("id"),
-        col(labelCol).cast("long").as("y")).localCheckpoint()
     val nDocs = labels.count()
     require(nDocs > 0L, "empty corpus")
     val den = BigInt(nDocs) * lrDen
@@ -682,11 +696,9 @@ object QualityModel {
       iters: Int = 4, lrNum: Long = 1L, lrDen: Long = 1L,
       idCol: String = "doc_id", labelCol: String = "label",
       textCol: String = "text"): DataFrame = {
-    val traj = logisticTrajectoryMicro(docs, dim, iters, lrNum, lrDen,
-      idCol, labelCol, textCol)
-    val feats = hashedFeatures(docs, dim, idCol, textCol).localCheckpoint()
-    val labels = docs.select(col(idCol).as("id"),
-        col(labelCol).cast("long").as("y")).localCheckpoint()
+    val (feats, labels) = checkpointedFeatsLabels(docs, dim, idCol,
+      labelCol, textCol)
+    val traj = trajectoryFrom(feats, labels, dim, iters, lrNum, lrDen)
     traj.zipWithIndex.map { case ((w, b), t) =>
       marginsMicro(feats, labels, w, b).withColumn("epoch", lit(t + 1L))
     }.reduce(_.unionByName(_))

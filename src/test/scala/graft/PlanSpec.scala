@@ -445,4 +445,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"group pairing must broadcast the bounded group inventory:\n$p")
   }
+
+  test("exact-GD epochs: margin aggs are hash aggregates; no cartesian") {
+    val p = plan(queries.LlmQueries14.curationCartography(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"),
+      s"per-doc margin/stat aggregation must stay hash-based:\n$p")
+  }
+
+  test("doremi: domain/global stats broadcast; token join is an equi-join") {
+    val p = plan(queries.LlmQueries14.mixDoremiWeights(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"the corpus-side word join must be an equi-join:\n$p")
+    // one-row totals and domains-sized relations ride broadcasts — the
+    // documented bounded-cross pattern
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"non-broadcast nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"bounded sides must broadcast:\n$p")
+  }
 }
