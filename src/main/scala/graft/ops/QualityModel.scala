@@ -608,14 +608,14 @@ object QualityModel {
 
   /** Featurize + label ONCE, localCheckpointed — the relation every GD
     * pass (trajectory gradients and epoch scoring) reuses. */
-  private def checkpointedFeatsLabels(docs: DataFrame, dim: Int,
+  private[ops] def checkpointedFeatsLabels(docs: DataFrame, dim: Int,
       idCol: String, labelCol: String, textCol: String)
       : (DataFrame, DataFrame) =
     (hashedFeatures(docs, dim, idCol, textCol).localCheckpoint(),
       docs.select(col(idCol).as("id"),
         col(labelCol).cast("long").as("y")).localCheckpoint())
 
-  private def trajectoryFrom(feats: DataFrame, labels: DataFrame,
+  private[ops] def trajectoryFrom(feats: DataFrame, labels: DataFrame,
       dim: Int, iters: Int, lrNum: Long,
       lrDen: Long): Seq[(Array[Long], Long)] = {
     require(dim > 0 && dim <= (1 << 20),
@@ -670,7 +670,7 @@ object QualityModel {
 
   /** (id, y, m) margins under fixed micro weights: m = b + Σ n·w[bucket],
     * exact Long arithmetic; featureless (empty-text) docs get m = b. */
-  private def marginsMicro(feats: DataFrame, labels: DataFrame,
+  private[ops] def marginsMicro(feats: DataFrame, labels: DataFrame,
       w: Array[Long], b: Long): DataFrame = {
     val wLit = lit(w)
     val sums = feats.groupBy(col("id"))
@@ -774,6 +774,39 @@ object QualityModel {
       .select(col("epoch"), col("n_docs"), col("n_correct"),
         expr("CAST(__sl AS DECIMAL(38,0)) div CAST(n_docs AS DECIMAL(38,0))")
           .cast("long").as("mean_loss_micro"))
+  }
+
+  /** Data-diet pruning scores (Paul et al., NeurIPS 2021) over the
+    * exact integer-GD trajectory: per document the EL2N score — for the
+    * binary logistic case ‖p−y‖₂ = |σ(m)−y·10⁶| = 10⁶ − p_true, so
+    * el2n = mean over epochs of (10⁶ − p_true) — and the GraNd score
+    * ‖∇ℓ‖ = |r|·‖x‖ with the exact integer feature norm
+    * xnorm = isqrt(Σ n_b² + 1) (the +1 is the bias coordinate of the
+    * gradient), grand = ⌊xnorm·Σ|r| / T⌋. High-GraNd examples carry
+    * the learning signal; pruning the lowest-scored fraction is the
+    * paper's recipe (compose with [[Curation.keepTopQuantile]]).
+    *
+    * Scale shape: the epoch relation plus ONE per-doc combine-agg and
+    * one per-doc norm aggregation over the feature relation —
+    * everything integer, everything engine-replayable. */
+  def dataDietScores(docs: DataFrame, dim: Int = 64, iters: Int = 4,
+      lrNum: Long = 1L, lrDen: Long = 1L, idCol: String = "doc_id",
+      labelCol: String = "label", textCol: String = "text"): DataFrame = {
+    val ep = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
+        idCol, labelCol, textCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_epochs"),
+        sum(lit(1000000L) - col("p_true_micro")).as("__sr"))
+    val norms = hashedFeatures(docs, dim, idCol, textCol)
+      .groupBy(col("id"))
+      .agg(sum(col("n") * col("n")).as("__nn"))
+    ep.join(norms.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("xnorm", graft.functions.VectorFunctions.isqrt_long(
+        coalesce(col("__nn"), lit(0L)) + lit(1L)))
+      .select(col(idCol), col("n_epochs"),
+        expr("__sr div n_epochs").as("el2n_micro"),
+        col("xnorm"),
+        expr("(xnorm * __sr) div n_epochs").as("grand_micro"))
   }
 
   /** Dataset cartography (Swayamdipta et al., EMNLP 2020) over the exact

@@ -138,4 +138,85 @@ object Valuation {
       .agg(count(lit(1)).as("n_tests"),
         sum(col("__shap_nano")).as("shap_nano_sum"))
   }
+
+  /** TracIn influence (Pruthi et al., "Estimating Training Data
+    * Influence by Tracing Gradient Descent", NeurIPS 2020) over the
+    * exact integer logistic-GD trajectory
+    * ([[QualityModel.logisticTrajectoryMicro]]): for train doc i and
+    * test doc j,
+    *
+    *   TracInCP(i, j) = Σ_t η · ∇ℓ(w_t, i)·∇ℓ(w_t, j)
+    *                  = η · (x_i·x_j + 1) · Σ_t r_i,t·r_j,t
+    *
+    * since the logistic gradient is r·(x, 1) (the +1 is the bias
+    * coordinate) and the feature vectors are epoch-constant — so the
+    * checkpoint sum factorizes into ONE sparse dot per pair times the
+    * per-epoch residual products. Checkpoints are the post-update
+    * weights w_1..w_T (the epoch relation's convention). Everything is
+    * exact integer: residuals are micro, the pair sum rides
+    * DECIMAL(38,0), and influence_micro = sgn·⌊|Σ r·r|·(dot+1)·lrNum /
+    * (lrDen·10⁶)⌋ (magnitude-then-sign). Positive influence = training
+    * on i reduced j's loss (a PROPONENT), negative = an OPPONENT — the
+    * paper's curation readout (top opponents of a trusted eval set are
+    * mislabeled/conflicting training docs).
+    *
+    * Scale shape: GD trains on the train side only (one margin + one
+    * gradient combine-agg per iteration, dim-bounded collect); the test
+    * panel is the bounded side everywhere — its residual and feature
+    * relations broadcast, the pair sum is |train|·|panel| rows built
+    * from per-epoch broadcast joins, the dot is a bucket-keyed
+    * broadcast equi-join, and the proponent/opponent cut is a
+    * test-partitioned (never global) rank window. */
+  def tracinInfluence(train: DataFrame, test: DataFrame, dim: Int = 64,
+      iters: Int = 3, lrNum: Long = 1L, lrDen: Long = 16L, topK: Int = 3,
+      idCol: String = "doc_id", labelCol: String = "label",
+      textCol: String = "text"): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val (fTr, lTr) = QualityModel.checkpointedFeatsLabels(train, dim,
+      idCol, labelCol, textCol)
+    val (fTe, lTe) = QualityModel.checkpointedFeatsLabels(test, dim,
+      idCol, labelCol, textCol)
+    val traj = QualityModel.trajectoryFrom(fTr, lTr, dim, iters, lrNum, lrDen)
+    def resid(f: DataFrame, l: DataFrame, w: Array[Long], b: Long) =
+      QualityModel.marginsMicro(f, l, w, b)
+        .select(col("id"),
+          (graft.functions.VectorFunctions.sigmoid_micro(col("m"))
+            - col("y") * 1000000L).as("r"))
+    // Σ_t r_i,t·r_j,t: per-epoch broadcast cross of the panel residuals
+    val rr = traj.map { case (w, b) =>
+      resid(fTr, lTr, w, b).crossJoin(
+        broadcast(resid(fTe, lTe, w, b)
+          .select(col("id").as("test_id"), col("r").as("__rt"))))
+        .select(col("id").as("train_id"), col("test_id"),
+          (col("r").cast("decimal(38,0)") * col("__rt")).as("__p"))
+    }.reduce(_.unionByName(_))
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(sum(col("__p")).as("__s"))
+    // sparse gradient dot: bucket-keyed equi-join, +1 bias coordinate
+    val dots = fTr.join(
+        broadcast(fTe.select(col("id").as("test_id"), col("bucket"),
+          col("n").as("__m"))), Seq("bucket"))
+      .groupBy(col("id").as("train_id"), col("test_id"))
+      .agg(sum(col("n") * col("__m")).as("__dot"))
+    val inf = rr.join(dots, Seq("train_id", "test_id"), "left")
+      .withColumn("__dt", coalesce(col("__dot"), lit(0L)) + lit(1L))
+      .select(col("train_id"), col("test_id"), expr(
+        s"""CAST(CASE WHEN __s >= 0
+           |  THEN (__s * __dt * $lrNum) div (${lrDen}L * 1000000L)
+           |  ELSE -((-__s * __dt * $lrNum) div (${lrDen}L * 1000000L))
+           |END AS BIGINT)""".stripMargin).as("influence_micro"))
+      .localCheckpoint(false) // feeds both rank directions
+    val byTest = Window.partitionBy(col("test_id"))
+    val pro = inf.withColumn("rank", row_number().over(
+        byTest.orderBy(col("influence_micro").desc, col("train_id"))))
+      .filter(col("rank") <= topK)
+      .withColumn("kind", lit("proponent"))
+    val opp = inf.withColumn("rank", row_number().over(
+        byTest.orderBy(col("influence_micro").asc, col("train_id"))))
+      .filter(col("rank") <= topK)
+      .withColumn("kind", lit("opponent"))
+    pro.unionByName(opp)
+      .select(col("test_id"), col("kind"), col("rank").cast("long").as("rank"),
+        col("train_id"), col("influence_micro"))
+  }
 }

@@ -90,6 +90,39 @@ object LlmQueries14 {
         dim = 64, iters = 6, lrNum = 1L, lrDen = 24L)
       .orderBy(col("epoch"))
 
+  /** Data-diet pruning (Paul et al. 2021,
+    * [[graft.ops.QualityModel.dataDietScores]]): exact EL2N and GraNd
+    * scores over the GD epochs, plus the paper's pruning decision —
+    * keep the top 60% by GraNd within each language (the exact
+    * rank-ceiling arithmetic of [[graft.ops.Curation.keepTopQuantile]],
+    * surfaced as a flag). */
+  def curationDataDiet(spark: SparkSession, dir: String): DataFrame = {
+    val sc = graft.ops.QualityModel.dataDietScores(labeledDocs(spark, dir),
+        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+      .join(T.t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val kept = graft.ops.Curation.keepTopQuantile(sc, "lang", "grand_micro",
+        "doc_id", qMicro = 600000L)
+      .select(col("doc_id"), lit(true).as("keep"))
+    sc.join(kept, Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("keep"), lit(false)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TracIn training-data influence (Pruthi et al. 2020,
+    * [[graft.ops.Valuation.tracinInfluence]]): GD trained on the
+    * doc_id % 25 ≠ 0 split, influence of every train doc on the % 25 = 0
+    * eval panel via the factorized checkpoint sum, top-3 proponents and
+    * opponents per test doc — all exact integers. */
+  def valueTracin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = labeledDocs(spark, dir)
+    graft.ops.Valuation.tracinInfluence(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0),
+        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L, topK = 3)
+      .orderBy(col("test_id"), col("kind"), col("rank"))
+  }
+
   /** DoReMi-shaped domain reweighting
     * ([[graft.ops.Curation.doremiDomainWeights]]): per-language excess
     * loss = KL(domain ‖ corpus) over exact fixed-point log2, then 4
@@ -108,6 +141,8 @@ object LlmQueries14 {
     "curation_cartography" -> (curationCartography _),
     "curation_forgetting" -> (curationForgetting _),
     "quality_gd_curve" -> (qualityGdCurve _),
+    "curation_data_diet" -> (curationDataDiet _),
+    "value_tracin" -> (valueTracin _),
     "mix_doremi_weights" -> (mixDoremiWeights _),
   )
 
@@ -271,16 +306,23 @@ object LlmQueries14 {
     * bucket −1, then per iteration margins → sigmoid → residuals →
     * HUGEINT gradients → magnitude-then-sign weight update. Produces
     * `w$iters(bucket, w)` plus, when `withEpochs`, the post-update
-    * margin/σ blocks `p2..p${iters+1}` (epoch k scores under w_k). */
+    * margin/σ blocks `p2..p${iters+1}` (epoch k scores under w_k).
+    * `trainPred` restricts the docs GRADIENTS see (`lab`, `fb`,
+    * `ndocs`); margins/σ are always computed for ALL docs (`laba`) so
+    * a held-out panel can be scored against the trained trajectory
+    * (the TracIn shape) — with the default TRUE the two relations
+    * coincide and nothing changes. */
   private def gdCtes(iters: Int, lrNum: Long, lrDen: Long,
-      withEpochs: Boolean): String = {
-    val steps = (1 to iters).map { t =>
+      withEpochs: Boolean, trainPred: String = "TRUE"): String = {
+    def marginCte(t: Int): String =
       s"""m$t AS (SELECT l.doc_id, l.y,
          |    CAST((SELECT w FROM w${t - 1} WHERE bucket = -1)
          |      + coalesce(s.mm, 0) AS BIGINT) AS m
-         |  FROM lab l LEFT JOIN (SELECT f.doc_id, sum(f.n * w.w) AS mm
+         |  FROM laba l LEFT JOIN (SELECT f.doc_id, sum(f.n * w.w) AS mm
          |      FROM f JOIN w${t - 1} w ON w.bucket = f.bucket GROUP BY 1) s
-         |    ON s.doc_id = l.doc_id),
+         |    ON s.doc_id = l.doc_id)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""${marginCte(t)},
          |${sigmoidCtes(t.toString, s"m$t")},
          |r$t AS (SELECT doc_id, p - y * 1000000 AS r FROM p$t),
          |g$t AS (SELECT w.bucket, w.w,
@@ -298,22 +340,19 @@ object LlmQueries14 {
     }.mkString(",\n")
     val epochTail = if (!withEpochs) "" else {
       val t = iters + 1
-      ",\n" + s"""m$t AS (SELECT l.doc_id, l.y,
-         |    CAST((SELECT w FROM w${t - 1} WHERE bucket = -1)
-         |      + coalesce(s.mm, 0) AS BIGINT) AS m
-         |  FROM lab l LEFT JOIN (SELECT f.doc_id, sum(f.n * w.w) AS mm
-         |      FROM f JOIN w${t - 1} w ON w.bucket = f.bucket GROUP BY 1) s
-         |    ON s.doc_id = l.doc_id),
+      ",\n" + s"""${marginCte(t)},
          |${sigmoidCtes(t.toString, s"m$t")}""".stripMargin
     }
-    s"""lab AS MATERIALIZED (SELECT doc_id,
+    s"""laba AS MATERIALIZED (SELECT doc_id,
        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+       |lab AS (SELECT doc_id, y FROM laba WHERE $trainPred),
        |nrm AS (SELECT doc_id, $normText AS norm FROM documents),
        |wds AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM nrm),
        |f AS MATERIALIZED (SELECT doc_id, ${hashSql(77, "wd")} % 64 AS bucket,
        |    CAST(count(*) AS BIGINT) AS n
        |  FROM wds WHERE wd <> '' GROUP BY 1, 2),
-       |fb AS (SELECT doc_id, bucket, n FROM f
+       |fb AS (SELECT f.doc_id, f.bucket, f.n FROM f
+       |    JOIN lab ON lab.doc_id = f.doc_id
        |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
        |  FROM lab),
        |ndocs AS (SELECT CAST(count(*) AS HUGEINT) AS nd FROM lab),
@@ -331,12 +370,14 @@ object LlmQueries14 {
     * blocks plus the per-epoch union — the base of the cartography,
     * forgetting, and training-curve oracles (epoch k scores under the
     * post-update weights w_k, i.e. block p(k+1)). */
-  private def epochsCtes(iters: Int, lrDen: Long): String = {
+  private def epochsCtes(iters: Int, lrDen: Long,
+      trainPred: String = "TRUE"): String = {
     val unions = (1 to iters).map { k =>
       if (k == 1) s"SELECT doc_id, y, m, p, 1 AS epoch FROM p${k + 1}"
       else s"  UNION ALL SELECT doc_id, y, m, p, $k FROM p${k + 1}"
     }.mkString("\n")
-    s"""${gdCtes(iters = iters, lrNum = 1L, lrDen = lrDen, withEpochs = true)},
+    s"""${gdCtes(iters = iters, lrNum = 1L, lrDen = lrDen,
+        withEpochs = true, trainPred = trainPred)},
        |ep AS MATERIALIZED ($unions)""".stripMargin
   }
 
@@ -398,6 +439,69 @@ object LlmQueries14 {
        |FROM et2 e JOIN lg lp ON lp.v = e.pt
        |CROSS JOIN (SELECT l FROM lg WHERE v = 1000000) l6
        |GROUP BY e.epoch ORDER BY epoch""".stripMargin
+
+  private def dataDietOracle: String =
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${epochsCtes(iters = 3, lrDen = 16L)},
+       |dd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_epochs,
+       |    CAST(sum(1000000 - CASE WHEN y = 1 THEN p
+       |      ELSE 1000000 - p END) AS BIGINT) AS sr
+       |  FROM ep GROUP BY 1),
+       |nn AS (SELECT doc_id, CAST(sum(n * n) AS BIGINT) AS nn
+       |  FROM f GROUP BY 1),
+       |sc AS (SELECT dd.doc_id, dd.n_epochs, dd.sr,
+       |    CASE WHEN (s0+1)*(s0+1) <= v2 THEN s0+1
+       |         WHEN s0*s0 > v2 THEN s0-1 ELSE s0 END AS xnorm
+       |  FROM (SELECT dd.doc_id, coalesce(nn.nn, 0) + 1 AS v2,
+       |      CAST(floor(sqrt(CAST(coalesce(nn.nn, 0) + 1 AS DOUBLE)))
+       |        AS BIGINT) AS s0
+       |    FROM dd LEFT JOIN nn ON nn.doc_id = dd.doc_id) q
+       |  JOIN dd ON dd.doc_id = q.doc_id),
+       |lj AS (SELECT sc.doc_id, sc.n_epochs, sc.sr // sc.n_epochs AS el2n_micro,
+       |    sc.xnorm, (sc.xnorm * sc.sr) // sc.n_epochs AS grand_micro, d.lang
+       |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+       |rk AS (SELECT *,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY grand_micro DESC, doc_id) AS rnk,
+       |    count(*) OVER (PARTITION BY lang) AS n FROM lj)
+       |SELECT doc_id, n_epochs, el2n_micro, xnorm, grand_micro, lang,
+       |  rnk <= (600000 * n + 999999) // 1000000 AS keep
+       |FROM rk ORDER BY doc_id""".stripMargin
+
+  private def tracinOracle: String =
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${epochsCtes(iters = 3, lrDen = 16L, trainPred = "doc_id % 25 <> 0")},
+       |rall AS (SELECT doc_id, epoch, p - y * 1000000 AS r,
+       |    doc_id % 25 = 0 AS iste FROM ep),
+       |pairsum AS (SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+       |    sum(CAST(a.r AS HUGEINT) * b.r) AS s
+       |  FROM rall a JOIN rall b ON b.epoch = a.epoch
+       |  WHERE NOT a.iste AND b.iste GROUP BY 1, 2),
+       |dots AS (SELECT fa.doc_id AS train_id, fe.doc_id AS test_id,
+       |    CAST(sum(fa.n * fe.n) AS BIGINT) AS dot
+       |  FROM f fa JOIN f fe ON fe.bucket = fa.bucket
+       |  WHERE fa.doc_id % 25 <> 0 AND fe.doc_id % 25 = 0 GROUP BY 1, 2),
+       |inf AS MATERIALIZED (SELECT train_id, test_id,
+       |    CAST(CASE WHEN s >= 0 THEN (s * dt) // 16000000
+       |         ELSE -(((-s) * dt) // 16000000) END AS BIGINT)
+       |      AS influence_micro
+       |  FROM (SELECT p.train_id, p.test_id, p.s,
+       |      coalesce(d.dot, 0) + 1 AS dt
+       |    FROM pairsum p LEFT JOIN dots d
+       |      ON d.train_id = p.train_id AND d.test_id = p.test_id)),
+       |pro AS (SELECT test_id, 'proponent' AS kind,
+       |    row_number() OVER (PARTITION BY test_id
+       |      ORDER BY influence_micro DESC, train_id) AS rank,
+       |    train_id, influence_micro FROM inf),
+       |opp AS (SELECT test_id, 'opponent' AS kind,
+       |    row_number() OVER (PARTITION BY test_id
+       |      ORDER BY influence_micro ASC, train_id) AS rank,
+       |    train_id, influence_micro FROM inf)
+       |SELECT test_id, kind, CAST(rank AS BIGINT) AS rank, train_id,
+       |  influence_micro
+       |FROM (SELECT * FROM pro WHERE rank <= 3
+       |  UNION ALL SELECT * FROM opp WHERE rank <= 3)
+       |ORDER BY test_id, kind, rank""".stripMargin
 
   /** [[log2MicroCtes]]-shaped replay keyed by the VALUE itself over the
     * distinct-count relation `vals(v)` — counts repeat heavily (Zipf),
@@ -492,6 +596,8 @@ object LlmQueries14 {
     "curation_cartography" -> cartographyOracle,
     "curation_forgetting" -> forgettingOracle,
     "quality_gd_curve" -> gdCurveOracle,
+    "curation_data_diet" -> dataDietOracle,
+    "value_tracin" -> tracinOracle,
     "mix_doremi_weights" -> doremiOracle,
     "event_autocorr" ->
       """WITH cnt AS (

@@ -337,6 +337,40 @@ class QualityModelSpec extends SparkSpec {
     assert(curve(iters.toLong)._2 >= curve(1L)._2)
   }
 
+  test("data-diet scores: exact EL2N/GraNd replay, norm includes bias coord") {
+    import spark.implicits._
+    val r = new scala.util.Random(23)
+    val good = (1 to 8).map(i => s"good$i")
+    val bad = (1 to 8).map(i => s"bad$i")
+    def doc(v: Seq[String]) =
+      (1 to 9).map(_ => v(r.nextInt(v.size))).mkString(" ")
+    val rows = (1 to 20).map(i => (i.toLong, doc(good), 1)) ++
+      (21 to 40).map(i => (i.toLong, doc(bad), 0)) :+ ((41L, "", 1))
+    val docs = rows.toDF("doc_id", "text", "label")
+    val got = QualityModel.dataDietScores(docs, dim = 32, iters = 3,
+        lrNum = 1L, lrDen = 8L)
+      .collect().map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))))
+      .toMap
+    assert(got.size == 41)
+    // independent replay from epochs + features
+    val ep = QualityModel.logisticEpochScoresMicro(docs, dim = 32,
+        iters = 3, lrNum = 1L, lrDen = 8L)
+      .collect().map(row => (row.getLong(0), row.getLong(4)))
+    val feats = QualityModel.hashedFeatures(docs, 32).collect()
+      .map(row => (row.getLong(0), row.getLong(2)))
+    ep.groupBy(_._1).foreach { case (id, es) =>
+      val sr = es.map(e => 1000000L - e._2).sum
+      val nn = feats.collect { case (i, n) if i == id => n * n }.sum + 1L
+      val xn = java.math.BigInteger.valueOf(nn).sqrt().longValueExact()
+      val (ne, el2n, xnorm, grand) = got(id)
+      assert(ne == 3L && el2n == sr / 3 && xnorm == xn &&
+        grand == xn * sr / 3, s"doc $id")
+    }
+    // the empty doc's gradient norm is the bias coordinate alone
+    assert(got(41L)._3 == 1L)
+  }
+
   test("cartography: clean examples easy, flipped labels hard, exact stats") {
     import spark.implicits._
     val r = new scala.util.Random(13)

@@ -141,4 +141,62 @@ class ValuationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("tracin: same-vocab train docs are proponents; sequential replay; invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val r = new scala.util.Random(29)
+    val good = (1 to 8).map(i => s"good$i")
+    val bad = (1 to 8).map(i => s"bad$i")
+    def doc(v: Seq[String]) =
+      (1 to 10).map(_ => v(r.nextInt(v.size))).mkString(" ")
+    val train = ((1 to 20).map(i => (i.toLong, doc(good), 1)) ++
+      (21 to 40).map(i => (i.toLong, doc(bad), 0))).toDF("doc_id", "text", "label")
+    val test = Seq((101L, doc(good), 1), (102L, doc(bad), 0))
+      .toDF("doc_id", "text", "label")
+    val dim = 32; val iters = 3
+    val got = Valuation.tracinInfluence(train, test, dim, iters,
+        lrNum = 1L, lrDen = 8L, topK = 3)
+      .collect().map(row => (row.getLong(0), row.getString(1),
+        row.getLong(2), row.getLong(3), row.getLong(4)))
+    assert(got.length == 12) // 2 tests x 2 kinds x top-3
+    // the good-vocab test doc's proponents are good-vocab train docs
+    val pro101 = got.filter(t => t._1 == 101L && t._2 == "proponent").map(_._4)
+    assert(pro101.forall(_ <= 20L), pro101.mkString(","))
+    assert(got.filter(t => t._1 == 101L && t._2 == "proponent")
+      .forall(_._5 > 0L))
+    // sequential replay of the factorized TracIn sum
+    val ftr = QualityModel.hashedFeatures(train, dim).collect()
+      .map(row => (row.getLong(0), row.getLong(1).toInt, row.getLong(2)))
+    val fte = QualityModel.hashedFeatures(test, dim).collect()
+      .map(row => (row.getLong(0), row.getLong(1).toInt, row.getLong(2)))
+    val ys = (1 to 40).map(i => i.toLong -> (if (i <= 20) 1L else 0L)).toMap ++
+      Map(101L -> 1L, 102L -> 0L)
+    val traj = QualityModel.logisticTrajectoryMicro(train, dim, iters,
+      lrNum = 1L, lrDen = 8L)
+    def rOf(feats: Array[(Long, Int, Long)], id: Long, w: Array[Long], b: Long) = {
+      val m = b + feats.collect { case (i, k, n) if i == id => n * w(k) }.sum
+      graft.functions.ExactMicroOps.sigmoidMicro(m) - ys(id) * 1000000L
+    }
+    val full = Valuation.tracinInfluence(train, test, dim, iters,
+        lrNum = 1L, lrDen = 8L, topK = 40)
+      .collect().filter(_.getString(1) == "proponent")
+      .map(row => (row.getLong(0), row.getLong(3)) -> row.getLong(4)).toMap
+    for (i <- Seq(1L, 15L, 27L, 40L); j <- Seq(101L, 102L)) {
+      val s = traj.map { case (w, b) =>
+        BigInt(rOf(ftr, i, w, b)) * rOf(fte, j, w, b) }.sum
+      val dot = (for ((ia, k, n) <- ftr if ia == i;
+        (jb, k2, m) <- fte if jb == j && k2 == k) yield n * m).sum + 1L
+      val expected = ((s.abs * dot) / (8L * 1000000L)) * s.signum
+      assert(full.get((j, i)).contains(expected.toLong),
+        s"pair ($i,$j): got ${full.get((j, i))} want $expected")
+    }
+    // partition invariance
+    val got2 = Valuation.tracinInfluence(train.repartition(7), test, dim,
+        iters, lrNum = 1L, lrDen = 8L, topK = 3)
+      .collect().map(row => (row.getLong(0), row.getString(1),
+        row.getLong(2), row.getLong(3), row.getLong(4)))
+    assert(got.sortBy(t => (t._1, t._2, t._3)).toSeq ==
+      got2.sortBy(t => (t._1, t._2, t._3)).toSeq)
+  }
 }
