@@ -776,6 +776,57 @@ object QualityModel {
           .cast("long").as("mean_loss_micro"))
   }
 
+  /** Split conformal prediction over the exact-GD model (Vovk et al.;
+    * the Angelopoulos & Bates 2021 recipe): nonconformity = 10⁶ −
+    * p_true at the FINAL epoch, the calibration quantile
+    * q̂ = the k-th smallest calibration score with
+    * k = ⌈(n+1)(1−α)⌉ (exact ceiling arithmetic), and per eval doc the
+    * coverage flag s ≤ q̂ — "does the (1−α) prediction set contain the
+    * true label". The marginal-coverage guarantee
+    * P(covered) ≥ 1−α holds by exchangeability; everything here is
+    * exact integers, so the threshold and every flag replay
+    * bit-for-bit.
+    *
+    * Calibration split: idCol % calMod == 0 (the held-out convention);
+    * eval = the rest. If k exceeds n (α too small for the calibration
+    * size) the set is everything — q̂ pins to 10⁶ (the max possible
+    * nonconformity) and all rows are covered, deterministically.
+    *
+    * Scale shape: the quantile comes from the distinct-score relation
+    * (micro-bounded value domain) via the [[prCurve]] triangular
+    * self-join — never a global window over the corpus; the one-row q̂
+    * relation broadcasts back. */
+  def conformalGate(docs: DataFrame, dim: Int = 64, iters: Int = 3,
+      lrNum: Long = 1L, lrDen: Long = 16L, calMod: Int = 5,
+      alphaMicro: Long = 100000L, idCol: String = "doc_id",
+      labelCol: String = "label", textCol: String = "text"): DataFrame = {
+    require(calMod >= 2 && alphaMicro > 0L && alphaMicro < 1000000L,
+      "need calMod >= 2 and alpha in (0, 1)")
+    val s = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
+        idCol, labelCol, textCol)
+      .filter(col("epoch") === iters.toLong)
+      .select(col(idCol), (lit(1000000L) - col("p_true_micro")).as("s"))
+      .localCheckpoint(false) // feeds the calibration quantile AND eval
+    val cal = s.filter(pmod(col(idCol), lit(calMod.toLong)) === 0L)
+    val per = cal.groupBy(col("s").as("v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // both sides of the triangular join + n
+    val n = per.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
+    val cum = per.as("a")
+      .join(per.select(col("v").as("v2"), col("__c").as("__c2")),
+        col("v2") <= col("v"))
+      .groupBy(col("v")).agg(sum(col("__c2")).as("__cum"))
+    val qhat = cum.crossJoin(broadcast(n))
+      .withColumn("__k",
+        expr(s"((__n + 1) * ${1000000L - alphaMicro} + 999999) div 1000000"))
+      .filter(col("__cum") >= col("__k"))
+      .agg(min(col("v")).as("__q"))
+      .select(coalesce(col("__q"), lit(1000000L)).as("qhat_micro"))
+    s.filter(pmod(col(idCol), lit(calMod.toLong)) =!= 0L)
+      .crossJoin(broadcast(qhat))
+      .select(col(idCol), col("s").as("nonconf_micro"), col("qhat_micro"),
+        (col("s") <= col("qhat_micro")).as("in_set"))
+  }
+
   /** Data-diet pruning scores (Paul et al., NeurIPS 2021) over the
     * exact integer-GD trajectory: per document the EL2N score — for the
     * binary logistic case ‖p−y‖₂ = |σ(m)−y·10⁶| = 10⁶ − p_true, so

@@ -167,6 +167,39 @@ object Valuation {
     * from per-epoch broadcast joins, the dot is a bucket-keyed
     * broadcast equi-join, and the proponent/opponent cut is a
     * test-partitioned (never global) rank window. */
+  /** TracIn SELF-influence (Pruthi et al. 2020 §4): TracIn(i, i) =
+    * η·(‖x_i‖²+1)·Σ_t r_i,t² — how much each training doc reduces ITS
+    * OWN loss across the checkpoints. The paper's mislabel detector:
+    * outliers and mislabeled examples are memorized (nothing else
+    * reduces their loss, so their own gradient does all the work) and
+    * surface as the highest self-influence scores. Always non-negative;
+    * everything exact integer (Σr² and the norm product ride
+    * DECIMAL(38,0)).
+    *
+    * Scale shape: the epoch relation plus one per-doc combine-agg and
+    * one per-doc feature-norm agg — entirely map-side-combined, no
+    * pairs anywhere (the corpus×panel relation of [[tracinInfluence]]
+    * never materializes). */
+  def tracinSelfInfluence(docs: DataFrame, dim: Int = 64, iters: Int = 3,
+      lrNum: Long = 1L, lrDen: Long = 16L, idCol: String = "doc_id",
+      labelCol: String = "label", textCol: String = "text"): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val sr2 = QualityModel.logisticEpochScoresMicro(docs, dim, iters,
+        lrNum, lrDen, idCol, labelCol, textCol)
+      .withColumn("__r", lit(1000000L) - col("p_true_micro"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_epochs"),
+        sum(expr(s"CAST(__r AS $dec) * __r")).as("__sr2"))
+    val norms = QualityModel.hashedFeatures(docs, dim, idCol, textCol)
+      .groupBy(col("id").as(idCol))
+      .agg(sum(col("n") * col("n")).as("__nn"))
+    sr2.join(norms, Seq(idCol), "left")
+      .withColumn("__dt", coalesce(col("__nn"), lit(0L)) + lit(1L))
+      .select(col(idCol), col("n_epochs"),
+        expr(s"CAST((__sr2 * __dt * $lrNum) div " +
+          s"(${lrDen}L * 1000000L) AS BIGINT)").as("self_influence_micro"))
+  }
+
   def tracinInfluence(train: DataFrame, test: DataFrame, dim: Int = 64,
       iters: Int = 3, lrNum: Long = 1L, lrDen: Long = 16L, topK: Int = 3,
       idCol: String = "doc_id", labelCol: String = "label",

@@ -123,6 +123,26 @@ object LlmQueries14 {
       .orderBy(col("test_id"), col("kind"), col("rank"))
   }
 
+  /** TracIn self-influence (Pruthi et al. 2020 §4,
+    * [[graft.ops.Valuation.tracinSelfInfluence]]): per-doc
+    * η·(‖x‖²+1)·Σ_t r_t² — the mislabel/outlier detector (memorized
+    * examples reduce their own loss themselves and score highest). */
+  def valueTracinSelf(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Valuation.tracinSelfInfluence(labeledDocs(spark, dir),
+        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+      .orderBy(col("doc_id"))
+
+  /** Split conformal prediction over the exact-GD model
+    * ([[graft.ops.QualityModel.conformalGate]]): calibration quantile
+    * q̂ at α = 10% from the doc_id % 5 = 0 split via exact rank-ceiling
+    * arithmetic on the distinct-score relation, per-eval-doc coverage
+    * flags. */
+  def qualityConformal(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.conformalGate(labeledDocs(spark, dir),
+        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L, calMod = 5,
+        alphaMicro = 100000L)
+      .orderBy(col("doc_id"))
+
   /** DoReMi-shaped domain reweighting
     * ([[graft.ops.Curation.doremiDomainWeights]]): per-language excess
     * loss = KL(domain ‖ corpus) over exact fixed-point log2, then 4
@@ -143,6 +163,8 @@ object LlmQueries14 {
     "quality_gd_curve" -> (qualityGdCurve _),
     "curation_data_diet" -> (curationDataDiet _),
     "value_tracin" -> (valueTracin _),
+    "value_tracin_self" -> (valueTracinSelf _),
+    "quality_conformal" -> (qualityConformal _),
     "mix_doremi_weights" -> (mixDoremiWeights _),
   )
 
@@ -503,6 +525,41 @@ object LlmQueries14 {
        |  UNION ALL SELECT * FROM opp WHERE rank <= 3)
        |ORDER BY test_id, kind, rank""".stripMargin
 
+  private def tracinSelfOracle: String =
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${epochsCtes(iters = 3, lrDen = 16L)},
+       |sr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_epochs,
+       |    sum(CAST(r2 AS HUGEINT) * r2) AS sr2
+       |  FROM (SELECT doc_id, 1000000 -
+       |      CASE WHEN y = 1 THEN p ELSE 1000000 - p END AS r2 FROM ep)
+       |  GROUP BY 1),
+       |nrms AS (SELECT doc_id, CAST(sum(n * n) AS BIGINT) AS nn
+       |  FROM f GROUP BY 1)
+       |SELECT sr.doc_id, sr.n_epochs,
+       |  CAST((sr.sr2 * (coalesce(nrms.nn, 0) + 1)) // 16000000
+       |    AS BIGINT) AS self_influence_micro
+       |FROM sr LEFT JOIN nrms ON nrms.doc_id = sr.doc_id
+       |ORDER BY sr.doc_id""".stripMargin
+
+  private def conformalOracle: String =
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${epochsCtes(iters = 3, lrDen = 16L)},
+       |sv AS MATERIALIZED (SELECT doc_id, 1000000 -
+       |    CASE WHEN y = 1 THEN p ELSE 1000000 - p END AS s
+       |  FROM ep WHERE epoch = 3),
+       |per AS MATERIALIZED (SELECT s AS v, CAST(count(*) AS BIGINT) AS c
+       |  FROM sv WHERE doc_id % 5 = 0 GROUP BY 1),
+       |ntot AS (SELECT coalesce(sum(c), 0) AS n FROM per),
+       |cm AS (SELECT a.v, sum(b.c) AS cum
+       |  FROM per a JOIN per b ON b.v <= a.v GROUP BY 1),
+       |qh AS (SELECT coalesce(min(v), 1000000) AS q
+       |  FROM cm CROSS JOIN ntot
+       |  WHERE cum >= ((n + 1) * 900000 + 999999) // 1000000)
+       |SELECT doc_id, s AS nonconf_micro, q AS qhat_micro,
+       |  s <= q AS in_set
+       |FROM sv CROSS JOIN qh WHERE doc_id % 5 <> 0
+       |ORDER BY doc_id""".stripMargin
+
   /** [[log2MicroCtes]]-shaped replay keyed by the VALUE itself over the
     * distinct-count relation `vals(v)` — counts repeat heavily (Zipf),
     * so the 16-step chain runs once per distinct value and joins back. */
@@ -598,6 +655,8 @@ object LlmQueries14 {
     "quality_gd_curve" -> gdCurveOracle,
     "curation_data_diet" -> dataDietOracle,
     "value_tracin" -> tracinOracle,
+    "value_tracin_self" -> tracinSelfOracle,
+    "quality_conformal" -> conformalOracle,
     "mix_doremi_weights" -> doremiOracle,
     "event_autocorr" ->
       """WITH cnt AS (

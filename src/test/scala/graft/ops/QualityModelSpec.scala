@@ -371,6 +371,43 @@ class QualityModelSpec extends SparkSpec {
     assert(got(41L)._3 == 1L)
   }
 
+  test("conformal gate: exact quantile rank, coverage law, small-cal pin") {
+    import spark.implicits._
+    val r = new scala.util.Random(31)
+    val good = (1 to 8).map(i => s"good$i")
+    val bad = (1 to 8).map(i => s"bad$i")
+    def doc(v: Seq[String]) =
+      (1 to 9).map(_ => v(r.nextInt(v.size))).mkString(" ")
+    val rows = (1 to 100).map(i =>
+      (i.toLong, doc(if (i % 2 == 0) good else bad), i % 2))
+    val docs = rows.toDF("doc_id", "text", "label")
+    val got = QualityModel.conformalGate(docs, dim = 32, iters = 3,
+        lrNum = 1L, lrDen = 8L, calMod = 5, alphaMicro = 200000L)
+      .collect().map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getBoolean(3)))).toMap
+    assert(got.size == 80) // eval side only
+    // replay the quantile from the final-epoch scores
+    val sAll = QualityModel.logisticEpochScoresMicro(docs, dim = 32,
+        iters = 3, lrNum = 1L, lrDen = 8L)
+      .filter(col("epoch") === 3L)
+      .collect().map(row => row.getLong(0) -> (1000000L - row.getLong(4)))
+      .toMap
+    val cal = sAll.filter(_._1 % 5 == 0).values.toSeq.sorted
+    val k = ((cal.size + 1) * 800000L + 999999L) / 1000000L
+    val qhat = cal(k.toInt - 1)
+    got.foreach { case (id, (s, q, in)) =>
+      assert(s == sAll(id) && q == qhat && in == (s <= qhat), s"doc $id")
+    }
+    // marginal coverage on the eval side should be near 1 - alpha
+    val cov = got.values.count(_._3).toDouble / got.size
+    assert(cov >= 0.6, s"coverage $cov collapsed")
+    // alpha smaller than 1/(n+1): the set is everything, qhat pins to 1e6
+    val tiny = QualityModel.conformalGate(docs, dim = 32, iters = 3,
+        lrNum = 1L, lrDen = 8L, calMod = 5, alphaMicro = 1L)
+      .collect().map(row => (row.getLong(2), row.getBoolean(3)))
+    assert(tiny.forall(t => t._1 == 1000000L && t._2))
+  }
+
   test("cartography: clean examples easy, flipped labels hard, exact stats") {
     import spark.implicits._
     val r = new scala.util.Random(13)

@@ -142,6 +142,41 @@ class ValuationSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("tracin self-influence: mislabeled docs score highest; exact replay") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val r = new scala.util.Random(37)
+    val good = (1 to 8).map(i => s"good$i")
+    val bad = (1 to 8).map(i => s"bad$i")
+    def doc(v: Seq[String]) =
+      (1 to 10).map(_ => v(r.nextInt(v.size))).mkString(" ")
+    // ids 201..205 are good-vocab docs with FLIPPED labels
+    val rows = (1 to 40).map(i => (i.toLong, doc(good), 1)) ++
+      (41 to 80).map(i => (i.toLong, doc(bad), 0)) ++
+      (201 to 205).map(i => (i.toLong, doc(good), 0))
+    val docs = rows.toDF("doc_id", "text", "label")
+    val got = Valuation.tracinSelfInfluence(docs, dim = 32, iters = 4,
+        lrNum = 1L, lrDen = 8L)
+      .collect().map(row => row.getLong(0) -> row.getLong(2)).toMap
+    assert(got.size == 85)
+    // the 5 mislabeled docs outrank the median clean doc
+    val cleanMed = (1 to 80).map(i => got(i.toLong)).sorted.apply(40)
+    assert((201 to 205).forall(i => got(i.toLong) > cleanMed),
+      s"flipped not high: ${(201 to 205).map(i => got(i.toLong))} vs $cleanMed")
+    // exact replay from epochs + feature norms
+    val ep = QualityModel.logisticEpochScoresMicro(docs, dim = 32,
+        iters = 4, lrNum = 1L, lrDen = 8L)
+      .collect().map(row => (row.getLong(0), 1000000L - row.getLong(4)))
+    val nn = QualityModel.hashedFeatures(docs, 32).collect()
+      .map(row => (row.getLong(0), row.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 * t._2).sum).toMap
+    ep.groupBy(_._1).foreach { case (id, es) =>
+      val s2 = es.map(e => BigInt(e._2) * e._2).sum
+      val want = (s2 * (nn.getOrElse(id, 0L) + 1L)) / (8L * 1000000L)
+      assert(got(id) == want.toLong, s"doc $id")
+    }
+  }
+
   test("tracin: same-vocab train docs are proponents; sequential replay; invariant") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
