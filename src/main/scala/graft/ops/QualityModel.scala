@@ -860,6 +860,42 @@ object QualityModel {
         expr("(xnorm * __sr) div n_epochs").as("grand_micro"))
   }
 
+  /** Per-group training curve — the Group-DRO readout (Sagawa et al.,
+    * ICLR 2020): per (epoch, group) the exact correct count and base-2
+    * log-loss, plus the worst-group flag per epoch (the quantity Group
+    * DRO minimizes and the fairness audit a mixture owner tracks —
+    * average loss improving while one group's loss grows is the
+    * failure mode this surfaces; pair with
+    * [[graft.ops.Curation.doremiDomainWeights]] to reweight). Loss is
+    * the [[gdTrainingCurve]] kernel; the worst flag is an exact
+    * integer comparison via one epoch-keyed self-join on the
+    * epochs×groups-sized aggregate (never a window over the corpus).
+    * Ties on max loss flag every tied group. */
+  def groupTrainingCurve(docs: DataFrame, groupCol: String, dim: Int = 64,
+      iters: Int = 4, lrNum: Long = 1L, lrDen: Long = 1L,
+      idCol: String = "doc_id", labelCol: String = "label",
+      textCol: String = "text"): DataFrame = {
+    val l6 = graft.functions.ExactMicroOps.log2Micro(1000000L)
+    val per = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
+        idCol, labelCol, textCol)
+      .join(docs.select(col(idCol), col(groupCol).as("grp")), Seq(idCol))
+      .withColumn("__loss", lit(l6) - graft.functions.VectorFunctions
+        .log2_micro(greatest(col("p_true_micro"), lit(1L))))
+      .groupBy(col("epoch"), col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("correct").cast("long")).as("n_correct"),
+        sum(col("__loss").cast("decimal(38,0)")).as("__sl"))
+      .withColumn("mean_loss_micro",
+        expr("CAST(__sl div CAST(n_docs AS DECIMAL(38,0)) AS BIGINT)"))
+      .localCheckpoint(false) // feeds the per-epoch max AND the flag join
+    val worst = per.groupBy(col("epoch"))
+      .agg(max(col("mean_loss_micro")).as("__mx"))
+    per.join(broadcast(worst), Seq("epoch"))
+      .select(col("epoch"), col("grp").as(groupCol), col("n_docs"),
+        col("n_correct"), col("mean_loss_micro"),
+        (col("mean_loss_micro") === col("__mx")).as("is_worst_group"))
+  }
+
   /** Dataset cartography (Swayamdipta et al., EMNLP 2020) over the exact
     * integer-GD trajectory: per document, confidence = mean of p_true
     * across epochs, variability = its standard deviation, and the count

@@ -143,6 +143,15 @@ object LlmQueries14 {
         alphaMicro = 100000L)
       .orderBy(col("doc_id"))
 
+  /** Group-DRO training readout (Sagawa et al. 2020,
+    * [[graft.ops.QualityModel.groupTrainingCurve]]): per (epoch, lang)
+    * exact correct counts and base-2 log-loss with the worst-group
+    * flag — the fairness audit over the exact-GD trajectory. */
+  def qualityGroupLoss(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.groupTrainingCurve(labeledDocs(spark, dir),
+        groupCol = "lang", dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+      .orderBy(col("epoch"), col("lang"))
+
   /** DoReMi-shaped domain reweighting
     * ([[graft.ops.Curation.doremiDomainWeights]]): per-language excess
     * loss = KL(domain ‖ corpus) over exact fixed-point log2, then 4
@@ -165,6 +174,7 @@ object LlmQueries14 {
     "value_tracin" -> (valueTracin _),
     "value_tracin_self" -> (valueTracinSelf _),
     "quality_conformal" -> (qualityConformal _),
+    "quality_group_loss" -> (qualityGroupLoss _),
     "mix_doremi_weights" -> (mixDoremiWeights _),
   )
 
@@ -560,6 +570,33 @@ object LlmQueries14 {
        |FROM sv CROSS JOIN qh WHERE doc_id % 5 <> 0
        |ORDER BY doc_id""".stripMargin
 
+  private def groupLossOracle: String =
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${epochsCtes(iters = 3, lrDen = 16L)},
+       |et2 AS (SELECT ep.epoch, d.lang,
+       |    greatest(CASE WHEN ep.y = 1 THEN ep.p
+       |      ELSE 1000000 - ep.p END, 1) AS pt,
+       |    CASE WHEN (ep.m > 0) = (ep.y = 1) THEN 1 ELSE 0 END AS ok
+       |  FROM ep JOIN documents d ON d.doc_id = ep.doc_id),
+       |vals AS MATERIALIZED (SELECT DISTINCT pt AS v FROM et2
+       |  UNION SELECT 1000000),
+       |$log2ValueCtes,
+       |per AS MATERIALIZED (SELECT e.epoch, e.lang,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(e.ok) AS BIGINT) AS n_correct,
+       |    CAST(CAST(sum(l6.l - lp.l) AS HUGEINT) // count(*) AS BIGINT)
+       |      AS mean_loss_micro
+       |  FROM et2 e JOIN lg lp ON lp.v = e.pt
+       |  CROSS JOIN (SELECT l FROM lg WHERE v = 1000000) l6
+       |  GROUP BY 1, 2),
+       |wst AS (SELECT epoch, max(mean_loss_micro) AS mx FROM per
+       |  GROUP BY 1)
+       |SELECT CAST(per.epoch AS BIGINT) AS epoch, per.lang, per.n_docs,
+       |  per.n_correct, per.mean_loss_micro,
+       |  per.mean_loss_micro = wst.mx AS is_worst_group
+       |FROM per JOIN wst ON wst.epoch = per.epoch
+       |ORDER BY epoch, lang""".stripMargin
+
   /** [[log2MicroCtes]]-shaped replay keyed by the VALUE itself over the
     * distinct-count relation `vals(v)` — counts repeat heavily (Zipf),
     * so the 16-step chain runs once per distinct value and joins back. */
@@ -657,6 +694,7 @@ object LlmQueries14 {
     "value_tracin" -> tracinOracle,
     "value_tracin_self" -> tracinSelfOracle,
     "quality_conformal" -> conformalOracle,
+    "quality_group_loss" -> groupLossOracle,
     "mix_doremi_weights" -> doremiOracle,
     "event_autocorr" ->
       """WITH cnt AS (

@@ -408,6 +408,51 @@ class QualityModelSpec extends SparkSpec {
     assert(tiny.forall(t => t._1 == 1000000L && t._2))
   }
 
+  test("group curve: per-group exact loss, worst flag, planted hard group") {
+    import spark.implicits._
+    val r = new scala.util.Random(41)
+    val good = (1 to 8).map(i => s"good$i")
+    val bad = (1 to 8).map(i => s"bad$i")
+    def doc(v: Seq[String]) =
+      (1 to 9).map(_ => v(r.nextInt(v.size))).mkString(" ")
+    // group 'clean' is separable; group 'noisy' has random labels —
+    // the model cannot learn it, so it stays the worst group
+    val rows = (1 to 20).map(i => (i.toLong, doc(good), 1, "clean")) ++
+      (21 to 40).map(i => (i.toLong, doc(bad), 0, "clean")) ++
+      (41 to 60).map(i => (i.toLong, doc(if (r.nextBoolean()) good else bad),
+        r.nextInt(2), "noisy"))
+    val docs = rows.toDF("doc_id", "text", "label", "grp0")
+    val iters = 4
+    val got = QualityModel.groupTrainingCurve(docs, "grp0", dim = 32,
+        iters = iters, lrNum = 1L, lrDen = 8L)
+      .collect().map(row => (row.getLong(0), row.getString(1)) ->
+        ((row.getLong(2), row.getLong(3), row.getLong(4),
+          row.getBoolean(5)))).toMap
+    assert(got.size == 2 * iters)
+    // exact replay from epochs
+    val l6 = graft.functions.ExactMicroOps.log2Micro(1000000L)
+    val grp = rows.map(t => t._1 -> t._4).toMap
+    val ep = QualityModel.logisticEpochScoresMicro(docs, dim = 32,
+        iters = iters, lrNum = 1L, lrDen = 8L)
+      .collect().map(row => (grp(row.getLong(0)), row.getLong(1),
+        row.getLong(4), row.getBoolean(5)))
+    ep.groupBy(e => (e._2, e._1)).foreach { case ((t, g), es) =>
+      val losses = es.map(e => BigInt(l6 -
+        graft.functions.ExactMicroOps.log2Micro(math.max(e._3, 1L))))
+      val (nd, nc, ml, _) = got((t, g))
+      assert(nd == es.length.toLong && nc == es.count(_._4).toLong &&
+        ml == losses.sum / es.length, s"($t,$g)")
+    }
+    // the noisy group is worst at the final epoch; flags are per-epoch max
+    assert(got((iters.toLong, "noisy"))._4 && !got((iters.toLong, "clean"))._4)
+    (1 to iters).foreach { t =>
+      val flagged = Seq("clean", "noisy").filter(g => got((t.toLong, g))._4)
+      val mx = Seq("clean", "noisy").map(g => got((t.toLong, g))._3).max
+      assert(flagged.nonEmpty &&
+        flagged.forall(g => got((t.toLong, g))._3 == mx))
+    }
+  }
+
   test("cartography: clean examples easy, flipped labels hard, exact stats") {
     import spark.implicits._
     val r = new scala.util.Random(13)
