@@ -198,6 +198,22 @@ object ScaleProbe {
       k = 5, m = 16, cents)
   }
 
+  /** TracIn at its scale shape: GD trains on the FULL (growing) train
+    * split, but the eval panel is the fixed copy-0 slice — the registry
+    * query's corpus-proportional panel would grow the pair relation
+    * quadratically at the synthetic scale for fixture reasons, while
+    * production panels are bounded eval sets (the knnShapleyTruncProbe
+    * convention). Train-side margins/gradients and the |panel|-bounded
+    * pair/dot joins all scale linearly. */
+  private def tracinProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("label", (col("lang") === "en").cast("int"))
+    graft.ops.Valuation.tracinInfluence(
+      docs.filter(col("doc_id") % 25 =!= 0),
+      docs.filter(col("doc_id") < Offset && col("doc_id") % 25 === 0),
+      dim = 64, iters = 3, lrNum = 1L, lrDen = 16L, topK = 3)
+  }
+
   /** pHash dedup widened to the ≤ 300 slice of EVERY copy (the registry
     * query bounds doc_id ≤ 300): decode + DCT are map-only per image,
     * the hash groupBy carries 63 chars per row — pure linear. */
@@ -389,7 +405,17 @@ object ScaleProbe {
       "curation_forgetting" -> SparkEntry.queries("curation_forgetting"),
       "mix_doremi_weights" -> SparkEntry.queries("mix_doremi_weights"),
       "text_wordpiece_segment" -> SparkEntry.queries("text_wordpiece_segment"),
-      "event_autocorr" -> SparkEntry.queries("event_autocorr"))
+      "event_autocorr" -> SparkEntry.queries("event_autocorr"),
+      // round-13 batch 3: TracIn with the fixed copy-0 eval panel (the
+      // registry form's corpus-proportional panel is a fixture artifact;
+      // production panels are bounded), data-diet scores and the
+      // conformal gate at their registry shapes (epoch scans + per-doc
+      // combine-aggs scale with the corpus; the conformal quantile's
+      // triangular join runs on the micro-bounded distinct-score
+      // relation at any scale)
+      "value_tracin_x" -> (tracinProbe _),
+      "curation_data_diet" -> SparkEntry.queries("curation_data_diet"),
+      "quality_conformal" -> SparkEntry.queries("quality_conformal"))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")

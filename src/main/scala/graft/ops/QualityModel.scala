@@ -681,6 +681,28 @@ object QualityModel {
         (coalesce(col("__mm"), lit(0L)) + lit(b)).as("m"))
   }
 
+  /** (id, y, epoch, m) margins under EVERY trajectory checkpoint in ONE
+    * aggregation pass: all weight vectors ride as array literals, the
+    * per-epoch sums come out of one groupBy, and the epochs unfold with
+    * an explode — T margin scans collapse to one (epoch t is 1-based,
+    * scoring post-update weights w_t). */
+  private[ops] def marginsAllEpochs(feats: DataFrame, labels: DataFrame,
+      traj: Seq[(Array[Long], Long)]): DataFrame = {
+    val aggs = traj.indices.map { t =>
+      sum(col("n") * element_at(lit(traj(t)._1),
+        (col("bucket") + 1).cast("int"))).as(s"__m$t")
+    }
+    val sums = feats.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val pairs = traj.indices.map { t =>
+      struct(lit(t + 1L).as("epoch"),
+        (coalesce(col(s"__m$t"), lit(0L)) + lit(traj(t)._2)).as("m"))
+    }
+    labels.join(sums, Seq("id"), "left")
+      .select(col("id"), col("y"), explode(array(pairs: _*)).as("__e"))
+      .select(col("id"), col("y"), col("__e.epoch").as("epoch"),
+        col("__e.m").as("m"))
+  }
+
   /** Per-epoch exact scores of the [[logisticTrajectoryMicro]] run — the
     * raw material of dataset cartography (Swayamdipta et al. 2020): one
     * row per (doc, epoch) with the micro margin, p = σ(margin), the
@@ -699,9 +721,7 @@ object QualityModel {
     val (feats, labels) = checkpointedFeatsLabels(docs, dim, idCol,
       labelCol, textCol)
     val traj = trajectoryFrom(feats, labels, dim, iters, lrNum, lrDen)
-    traj.zipWithIndex.map { case ((w, b), t) =>
-      marginsMicro(feats, labels, w, b).withColumn("epoch", lit(t + 1L))
-    }.reduce(_.unionByName(_))
+    marginsAllEpochs(feats, labels, traj)
       .select(col("id").as(idCol), col("epoch"), col("m").as("margin"),
         graft.functions.VectorFunctions.sigmoid_micro(col("m")).as("p_micro"),
         col("y"))

@@ -210,21 +210,21 @@ object Valuation {
     val (fTe, lTe) = QualityModel.checkpointedFeatsLabels(test, dim,
       idCol, labelCol, textCol)
     val traj = QualityModel.trajectoryFrom(fTr, lTr, dim, iters, lrNum, lrDen)
-    def resid(f: DataFrame, l: DataFrame, w: Array[Long], b: Long) =
-      QualityModel.marginsMicro(f, l, w, b)
-        .select(col("id"),
+    // Σ_t r_i,t·r_j,t: ONE epoch-keyed broadcast join of the one-pass
+    // all-checkpoints residual relations (panel side broadcast) — the
+    // per-side margin scans collapse to a single aggregation each
+    def residAll(f: DataFrame, l: DataFrame) =
+      QualityModel.marginsAllEpochs(f, l, traj)
+        .select(col("id"), col("epoch"),
           (graft.functions.VectorFunctions.sigmoid_micro(col("m"))
             - col("y") * 1000000L).as("r"))
-    // Σ_t r_i,t·r_j,t: per-epoch broadcast cross of the panel residuals
-    val rr = traj.map { case (w, b) =>
-      resid(fTr, lTr, w, b).crossJoin(
-        broadcast(resid(fTe, lTe, w, b)
-          .select(col("id").as("test_id"), col("r").as("__rt"))))
-        .select(col("id").as("train_id"), col("test_id"),
-          (col("r").cast("decimal(38,0)") * col("__rt")).as("__p"))
-    }.reduce(_.unionByName(_))
-      .groupBy(col("train_id"), col("test_id"))
-      .agg(sum(col("__p")).as("__s"))
+    val rr = residAll(fTr, lTr)
+      .join(broadcast(residAll(fTe, lTe)
+        .select(col("id").as("test_id"), col("epoch"),
+          col("r").as("__rt"))),
+        Seq("epoch"))
+      .groupBy(col("id").as("train_id"), col("test_id"))
+      .agg(sum(col("r").cast("decimal(38,0)") * col("__rt")).as("__s"))
     // sparse gradient dot: bucket-keyed equi-join, +1 bias coordinate
     val dots = fTr.join(
         broadcast(fTe.select(col("id").as("test_id"), col("bucket"),

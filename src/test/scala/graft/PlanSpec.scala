@@ -453,6 +453,15 @@ class PlanSpec extends SparkSpec {
       s"per-doc margin/stat aggregation must stay hash-based:\n$p")
   }
 
+  test("tracin: eval panel broadcasts everywhere; no cartesian, no raw nested loop") {
+    val p = plan(queries.LlmQueries14.valueTracin(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the bounded panel rides broadcasts (residual cross + bucket dot);
+    // nothing nested-loops without a broadcast side
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"non-broadcast nested loop:\n$p")
+  }
+
   test("doremi: domain/global stats broadcast; token join is an equi-join") {
     val p = plan(queries.LlmQueries14.mixDoremiWeights(spark, dir))
     assert(!p.contains("CartesianProduct"),
