@@ -685,6 +685,68 @@ object Curation {
       .drop("__num", "__m", "__n_total")
   }
 
+  /** Greedy k-center coreset selection (Sener & Savarese, ICLR 2018 —
+    * the farthest-point traversal with the 2-approximation guarantee)
+    * over an embedding corpus: pick the max-norm vector first (the
+    * deterministic pin replacing the paper's random seed, ties to the
+    * lowest id), then repeatedly the point FARTHEST from its nearest
+    * selected center — the diverse-sample / annotation-budget selector
+    * (the selected radius is the covering radius, so each output row
+    * reports how well the corpus was covered before that center was
+    * added).
+    *
+    * Exact integers end-to-end: vectors are micro-quantized
+    * ([[Similarity.microVec]] floor(x·10⁶)), squared distances are
+    * ‖a‖² + ‖b‖² − 2a·b over Long dots (components < 2⁵³, so the
+    * oracle's double-based list_dot_product replays them exactly — the
+    * shared idot contract), and every argmax is (dist desc, id asc)
+    * pinned with already-selected ids excluded.
+    *
+    * Scale shape: one quantize+norm pass (localCheckpointed), then per
+    * center ONE map-only distance update against the broadcast-literal
+    * center vector, a checkpoint (the min-dist relation feeds the next
+    * round), and a 1-row TakeOrdered collect — k corpus passes total,
+    * the greedy algorithm's inherent cost; k is required ≤ 64. */
+  def coresetKCenter(emb: DataFrame, k: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"k=$k out of range: one corpus pass + one 1-row collect per center")
+    val spark = emb.sparkSession
+    val base = emb.select(col(idCol).as("id"),
+        Similarity.microVec(col(vecCol)).as("v"))
+      .withColumn("q", aggregate(zip_with(col("v"), col("v"), _ * _),
+        lit(0L), _ + _))
+      .localCheckpoint(false) // feeds every round's distance update
+    def pick(df: DataFrame, ordCol: String, selected: Seq[Long]) = {
+      val row = df.filter(!col("id").isin(selected: _*))
+        .orderBy(col(ordCol).desc, col("id")).limit(1).collect()(0)
+      (row.getLong(row.fieldIndex("id")), row.getSeq[Long](1).toArray,
+        row.getLong(row.fieldIndex("q")), row.getLong(row.fieldIndex(ordCol)))
+    }
+    val first = pick(base, "q", Nil)
+    val centers = Seq.newBuilder[(Long, Long, Long)] // (rank, id, radius²)
+    centers += ((1L, first._1, 0L))
+    var selected = Seq(first._1)
+    var cv = first._2
+    var cq = first._3
+    var mind: DataFrame = null
+    for (r <- 2 to k) {
+      val d = col("q") + lit(cq) -
+        lit(2L) * aggregate(zip_with(col("v"), lit(cv), _ * _),
+          lit(0L), _ + _)
+      mind = (if (mind == null) base.withColumn("mind", d)
+        else mind.withColumn("mind", least(col("mind"), d)))
+        .localCheckpoint(false)
+      val next = pick(mind, "mind", selected)
+      centers += ((r.toLong, next._1, next._4))
+      selected :+= next._1
+      cv = next._2
+      cq = next._3
+    }
+    import spark.implicits._
+    centers.result().toDF("rank", "vec_id", "radius_sq")
+  }
+
   /** DoReMi-shaped domain reweighting (Xie et al., NeurIPS 2023):
     * exponentiated-gradient updates of the pretraining mixture weights
     * from per-domain EXCESS LOSS, with the final mixture the average of

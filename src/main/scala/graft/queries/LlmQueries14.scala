@@ -152,6 +152,16 @@ object LlmQueries14 {
         groupCol = "lang", dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
       .orderBy(col("epoch"), col("lang"))
 
+  /** Greedy k-center coreset selection (Sener & Savarese 2018,
+    * [[graft.ops.Curation.coresetKCenter]]): 8 diverse representatives
+    * of the embedding corpus by exact farthest-point traversal over
+    * micro-quantized integer distances; each row reports the covering
+    * radius² before that center joined. */
+  def sampleCoresetKcenter(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.coresetKCenter(
+        T.par(spark, T.t(spark, dir, "embeddings")), k = 8)
+      .orderBy(col("rank"))
+
   /** DoReMi-shaped domain reweighting
     * ([[graft.ops.Curation.doremiDomainWeights]]): per-language excess
     * loss = KL(domain ‖ corpus) over exact fixed-point log2, then 4
@@ -175,6 +185,7 @@ object LlmQueries14 {
     "value_tracin_self" -> (valueTracinSelf _),
     "quality_conformal" -> (qualityConformal _),
     "quality_group_loss" -> (qualityGroupLoss _),
+    "sample_coreset_kcenter" -> (sampleCoresetKcenter _),
     "mix_doremi_weights" -> (mixDoremiWeights _),
   )
 
@@ -597,6 +608,48 @@ object LlmQueries14 {
        |FROM per JOIN wst ON wst.epoch = per.epoch
        |ORDER BY epoch, lang""".stripMargin
 
+  /** Unrolled replay of [[graft.ops.Curation.coresetKCenter]]'s greedy
+    * farthest-point traversal: micro-quantized vectors, Long dots via
+    * the shared idot contract (components < 2⁵³ keep the double-based
+    * list_dot_product exact), k−1 (distance-update, argmax) CTE pairs
+    * with (mind desc, id) pins and selected-id exclusion. */
+  private def coresetOracle: String = {
+    val k = 8
+    val micro = "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(floor(x * 1000000.0) AS BIGINT))"
+    def idot(a: String, b: String) =
+      s"CAST(list_dot_product(CAST($a AS DOUBLE[]), " +
+        s"CAST($b AS DOUBLE[])) AS BIGINT)"
+    val rounds = (2 to k).map { r =>
+      val notin = (1 until r).map(i => s"SELECT id FROM c$i")
+        .mkString(" UNION ALL ")
+      val m =
+        if (r == 2)
+          s"""m2 AS MATERIALIZED (SELECT b.id, b.v, b.q,
+             |    b.q + c.q - 2 * ${idot("b.v", "c.v")} AS mind
+             |  FROM b CROSS JOIN c1 c)""".stripMargin
+        else
+          s"""m$r AS MATERIALIZED (SELECT m.id, m.v, m.q,
+             |    least(m.mind, m.q + c.q - 2 * ${idot("m.v", "c.v")}) AS mind
+             |  FROM m${r - 1} m CROSS JOIN c${r - 1} c)""".stripMargin
+      s"""$m,
+         |c$r AS (SELECT id, v, q, mind FROM m$r
+         |  WHERE id NOT IN ($notin)
+         |  ORDER BY mind DESC, id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to k).map(r =>
+      s"UNION ALL SELECT $r, id, mind FROM c$r").mkString("\n")
+    s"""WITH b AS MATERIALIZED (SELECT vec_id AS id, $micro AS v,
+       |    ${idot(micro, micro)} AS q FROM embeddings),
+       |c1 AS (SELECT id, v, q FROM b ORDER BY q DESC, id LIMIT 1),
+       |$rounds
+       |SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id,
+       |  CAST(radius_sq AS BIGINT) AS radius_sq
+       |FROM (SELECT 1 AS rank, id, 0 AS radius_sq FROM c1
+       |$out) t(rank, id, radius_sq)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** [[log2MicroCtes]]-shaped replay keyed by the VALUE itself over the
     * distinct-count relation `vals(v)` — counts repeat heavily (Zipf),
     * so the 16-step chain runs once per distinct value and joins back. */
@@ -695,6 +748,7 @@ object LlmQueries14 {
     "value_tracin_self" -> tracinSelfOracle,
     "quality_conformal" -> conformalOracle,
     "quality_group_loss" -> groupLossOracle,
+    "sample_coreset_kcenter" -> coresetOracle,
     "mix_doremi_weights" -> doremiOracle,
     "event_autocorr" ->
       """WITH cnt AS (

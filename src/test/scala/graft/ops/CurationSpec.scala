@@ -514,6 +514,52 @@ class CurationSpec extends SparkSpec {
     assert(d("D") == 142857L, d.toString)
   }
 
+  test("k-center coreset: farthest-point order, exact replay, invariance") {
+    import spark.implicits._
+    // three tight clusters at distance >> intra spread, plus the
+    // max-norm pin: cluster A around (10, 0), B around (0, 10),
+    // C around (-10, -10) — C has the largest norm so it seeds
+    val mk = (id: Long, x: Double, y: Double) => (id, Array(x.toFloat, y.toFloat))
+    val vecs = Seq(
+      mk(1, 10.0, 0.0), mk(2, 10.1, 0.1), mk(3, 9.9, -0.1),
+      mk(4, 0.0, 10.0), mk(5, 0.1, 10.1),
+      mk(6, -10.0, -10.0), mk(7, -10.1, -9.9))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Curation.coresetKCenter(emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // seed = max norm (id 7: 10.1²+9.9² > 10²+10²... id 6 vs 7: 6 is
+    // 200e12, 7 is 200.02e12 -> id 7), then the farthest cluster reps
+    assert(got(0)._1 == 1L && got(0)._2 == 7L && got(0)._3 == 0L, got.mkString(","))
+    val pickedClusters = got.map(_._2).map {
+      case i if i <= 3 => "A"; case i if i <= 5 => "B"; case _ => "C" }
+    assert(pickedClusters.toSet == Set("A", "B", "C"),
+      s"one center per cluster expected: ${got.mkString(",")}")
+    // exact sequential replay of the greedy traversal
+    def micro(v: Array[Float]) = v.map(x => math.floor(x * 1000000.0).toLong)
+    val mv = vecs.map { case (id, v) => id -> micro(v) }.toMap
+    def q(a: Array[Long]) = a.map(x => x * x).sum
+    def d2(a: Array[Long], b: Array[Long]) =
+      q(a) + q(b) - 2L * a.zip(b).map { case (x, y) => x * y }.sum
+    var sel = Seq(mv.keys.toSeq.sortBy(id => (-q(mv(id)), id)).head)
+    val replay = Seq.newBuilder[(Long, Long, Long)]
+    replay += ((1L, sel.head, 0L))
+    for (r <- 2 to 3) {
+      val cand = mv.keys.toSeq.filterNot(sel.contains).map { id =>
+        id -> sel.map(c => d2(mv(id), mv(c))).min
+      }
+      val (nid, nd) = cand.sortBy { case (id, dd) => (-dd, id) }.head
+      replay += ((r.toLong, nid, nd))
+      sel :+= nid
+    }
+    assert(got.toSeq == replay.result(), s"${got.mkString(",")}")
+    // partition invariance
+    val got2 = Curation.coresetKCenter(emb.repartition(5), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == got2.toSeq)
+  }
+
   test("doremi: divergent domain upweighted, sequential replay, invariance") {
     import spark.implicits._
     // domain 'mix' draws from the shared vocabulary (KL ≈ 0); domain
