@@ -2088,4 +2088,68 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
   }
+
+  /** Zipf's-law fit over the frequency head — the corpus-naturalness
+    * diagnostic (natural text has log-log slope ≈ −1; generated or
+    * templated corpora flatten or cliff): least-squares regression of
+    * y = log2(freq) on x = log2(rank) over the top-`headWords` words,
+    * entirely exact integers. Logs are the shared fixed-point
+    * [[graft.functions.ExactMicroOps.log2Micro]] kernel TRUNCATED TO
+    * MILLI units — the quantization that keeps the r² numerator's
+    * square inside DECIMAL(38,0)/HUGEINT (x,y ≤ 2·10⁴ ⇒ num ≤ ~10¹⁵ ⇒
+    * num² ≤ 10³⁰) — slope/intercept/r² are then closed-form sign-split
+    * divisions of the five aggregated sums. Ranking is (count desc,
+    * word asc), fully pinned.
+    *
+    * Scale shape: one token-count combine-agg, a TakeOrdered head cut
+    * (headWords rows — the global sort never materializes), one 5-sum
+    * aggregate, one-row output. The head cut is also the statistical
+    * convention: the Zipf exponent is a head property, and it bounds
+    * every relation after the word count at any corpus size. */
+  def zipfFit(docs: DataFrame, headWords: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(headWords >= 3 && headWords <= 100000, "head must be bounded")
+    val lg = graft.functions.VectorFunctions.log2_micro _
+    val dec = "DECIMAL(38,0)"
+    val head = docs
+      .select(explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(headWords)
+    val xy = head
+      .withColumn("rank", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("c").desc, col("w"))).cast("long"))
+      .withColumn("__lx", lg(col("rank")))
+      .withColumn("__ly", lg(col("c")))
+      .select(expr("__lx div 1000").as("x"), expr("__ly div 1000").as("y"))
+    val sums = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr(s"CAST(x AS $dec) * x")).as("sxx"),
+      sum(expr(s"CAST(y AS $dec) * y")).as("syy"),
+      sum(expr(s"CAST(x AS $dec) * y")).as("sxy"))
+    sums.select(col("n").as("n_words"),
+      expr(s"""CAST(n AS $dec) * sxy - CAST(sx AS $dec) * sy""").as("__num"),
+      expr(s"""CAST(n AS $dec) * sxx - CAST(sx AS $dec) * sx""").as("__dx"),
+      expr(s"""CAST(n AS $dec) * syy - CAST(sy AS $dec) * sy""").as("__dy"),
+      col("sx"), col("sy"))
+      .select(col("n_words"),
+        // slope in micro: num·10⁶/dx, magnitude-then-sign (num < 0 for
+        // any Zipf-like head; dx > 0 whenever n_words ≥ 2 distinct ranks)
+        expr("""CAST(CASE WHEN __dx = 0 THEN 0
+               |  WHEN __num >= 0 THEN (__num * 1000000) div __dx
+               |  ELSE -((-__num * 1000000) div __dx) END AS BIGINT)"""
+          .stripMargin).as("slope_micro"),
+        // intercept (milli, the x/y unit): (sy − slope·sx/10⁶)/n —
+        // computed as (sy·__dx − __num·sx)·sign-split / (n·__dx)
+        expr("""CAST(CASE WHEN __dx = 0 THEN 0
+               |  WHEN CAST(sy AS DECIMAL(38,0)) * __dx - __num * sx >= 0
+               |  THEN (CAST(sy AS DECIMAL(38,0)) * __dx - __num * sx)
+               |    div (CAST(n_words AS DECIMAL(38,0)) * __dx)
+               |  ELSE -((-(CAST(sy AS DECIMAL(38,0)) * __dx - __num * sx))
+               |    div (CAST(n_words AS DECIMAL(38,0)) * __dx))
+               |END AS BIGINT)""".stripMargin).as("intercept_milli"),
+        expr("""CAST(CASE WHEN __dx = 0 OR __dy = 0 THEN 0
+               |  ELSE (__num * __num * 1000000) div (__dx * __dy)
+               |END AS BIGINT)""".stripMargin).as("r2_micro"))
+  }
 }

@@ -152,6 +152,14 @@ object LlmQueries14 {
         groupCol = "lang", dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
       .orderBy(col("epoch"), col("lang"))
 
+  /** Zipf's-law fit over the top-1000 word-frequency head
+    * ([[graft.ops.TextAnalysis.zipfFit]]): exact integer log-log least
+    * squares — slope/intercept/r² from milli-quantized fixed-point
+    * logs, sign-split closed forms. */
+  def textZipfFit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.zipfFit(
+      T.par(spark, T.t(spark, dir, "documents")), headWords = 1000)
+
   /** Greedy k-center coreset selection (Sener & Savarese 2018,
     * [[graft.ops.Curation.coresetKCenter]]): 8 diverse representatives
     * of the embedding corpus by exact farthest-point traversal over
@@ -186,6 +194,7 @@ object LlmQueries14 {
     "quality_conformal" -> (qualityConformal _),
     "quality_group_loss" -> (qualityGroupLoss _),
     "sample_coreset_kcenter" -> (sampleCoresetKcenter _),
+    "text_zipf_fit" -> (textZipfFit _),
     "mix_doremi_weights" -> (mixDoremiWeights _),
   )
 
@@ -679,6 +688,40 @@ object LlmQueries14 {
        |    ((e * 65536 + frac) * 1000000) // 65536 AS l FROM lw16)""".stripMargin
   }
 
+  private def zipfOracle: String =
+    s"""WITH nrm AS (SELECT $normText AS norm FROM documents),
+       |wds AS (SELECT unnest(string_split(norm, ' ')) AS w FROM nrm),
+       |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wds
+       |  WHERE w <> '' GROUP BY 1),
+       |hd AS MATERIALIZED (SELECT w, c,
+       |    row_number() OVER (ORDER BY c DESC, w) AS rnk
+       |  FROM cnt QUALIFY rnk <= 1000),
+       |vals AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |  SELECT c AS v FROM hd UNION ALL SELECT rnk FROM hd)),
+       |$log2ValueCtes,
+       |xy AS (SELECT lx.l // 1000 AS x, ly.l // 1000 AS y
+       |  FROM hd JOIN lg lx ON lx.v = hd.rnk JOIN lg ly ON ly.v = hd.c),
+       |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(y * y) AS HUGEINT) AS syy,
+       |    CAST(sum(x * y) AS HUGEINT) AS sxy FROM xy),
+       |d AS (SELECT n, sx, sy, n * sxy - sx * sy AS num,
+       |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy FROM s)
+       |SELECT CAST(n AS BIGINT) AS n_words,
+       |  CAST(CASE WHEN dx = 0 THEN 0
+       |       WHEN num >= 0 THEN (num * 1000000) // dx
+       |       ELSE -((-num * 1000000) // dx) END AS BIGINT) AS slope_micro,
+       |  CAST(CASE WHEN dx = 0 THEN 0
+       |       WHEN sy * dx - num * sx >= 0
+       |       THEN (sy * dx - num * sx) // (n * dx)
+       |       ELSE -((-(sy * dx - num * sx)) // (n * dx))
+       |  END AS BIGINT) AS intercept_milli,
+       |  CAST(CASE WHEN dx = 0 OR dy = 0 THEN 0
+       |       ELSE (num * num * 1000000) // (dx * dy)
+       |  END AS BIGINT) AS r2_micro
+       |FROM d""".stripMargin
+
   private def doremiOracle: String = {
     val rounds = (1 to 4).map { r =>
       s"""u$r AS (SELECT domain, n_docs, n_tokens, kl_micro, excess_micro,
@@ -749,6 +792,7 @@ object LlmQueries14 {
     "quality_conformal" -> conformalOracle,
     "quality_group_loss" -> groupLossOracle,
     "sample_coreset_kcenter" -> coresetOracle,
+    "text_zipf_fit" -> zipfOracle,
     "mix_doremi_weights" -> doremiOracle,
     "event_autocorr" ->
       """WITH cnt AS (

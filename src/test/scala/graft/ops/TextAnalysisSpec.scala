@@ -901,6 +901,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(_._1 == 7L).map(_._2).toSet == Set(0L, 1L),
       out.mkString(","))
   }
+  test("zipf fit: exact closed-form replay, natural-ish slope is negative") {
+    import spark.implicits._
+    // planted power-law-ish head: word k appears ~ 60/k times
+    val words = (1 to 12).flatMap(k => Seq.fill(60 / k)(s"w$k"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs, headWords = 12).collect()(0)
+    val (n, slope, icept, r2) = (got.getLong(0), got.getLong(1),
+      got.getLong(2), got.getLong(3))
+    assert(n == 12L)
+    assert(slope < -700000L && slope > -1300000L, s"slope $slope")
+    assert(r2 > 900000L, s"r2 $r2") // near-perfect log-log line
+    // sequential replay with BigInt arithmetic
+    import graft.functions.ExactMicroOps.log2Micro
+    val counts = words.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (w, c) => (-c, w) }
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (log2Micro(i + 1L) / 1000L, log2Micro(c) / 1000L) }
+    val nn = BigInt(pts.size)
+    val sx = BigInt(pts.map(_._1).sum); val sy = BigInt(pts.map(_._2).sum)
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val syy = pts.map(p => BigInt(p._2) * p._2).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val num = nn * sxy - sx * sy
+    val dx = nn * sxx - sx * sx; val dy = nn * syy - sy * sy
+    val eSlope = ((num.abs * 1000000) / dx) * num.signum
+    val iNum = sy * dx - num * sx
+    val eIcept = ((iNum.abs / (nn * dx)) * iNum.signum)
+    val eR2 = (num * num * 1000000) / (dx * dy)
+    assert(slope == eSlope.toLong && icept == eIcept.toLong &&
+      r2 == eR2.toLong, s"($slope,$icept,$r2) vs ($eSlope,$eIcept,$eR2)")
+    // partition invariance
+    val got2 = TextAnalysis.zipfFit(docs.repartition(4), headWords = 12)
+      .collect()(0)
+    assert(got2.getLong(1) == slope && got2.getLong(3) == r2)
+  }
+
   test("wordpiece: greedy longest-match, UNK-whole-chunk, position kinds") {
     // hand-built vocab: initial {hel, h, e, l, o}, continuation
     // {lo, l, o, e} -- "hello" greedy: hel (initial, longest) + lo = 2
