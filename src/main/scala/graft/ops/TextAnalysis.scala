@@ -2116,9 +2116,17 @@ object TextAnalysis {
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(headWords)
-    val xy = head
-      .withColumn("rank", row_number().over(org.apache.spark.sql
-        .expressions.Window.orderBy(col("c").desc, col("w"))).cast("long"))
+      .localCheckpoint(false) // head-sized; feeds both triangular sides
+    // rank via the triangular self-join on the BOUNDED head (the house
+    // no-global-window pattern): rank = 1 + |rows strictly before in
+    // (count desc, word asc) order|
+    val ranked = head.as("a")
+      .join(head.select(col("c").as("__c2"), col("w").as("__w2")),
+        col("__c2") > col("c") ||
+          (col("__c2") === col("c") && col("__w2") < col("w")), "left")
+      .groupBy(col("w"), col("c")).agg(count(col("__w2")).as("__prior"))
+      .withColumn("rank", col("__prior") + lit(1L))
+    val xy = ranked
       .withColumn("__lx", lg(col("rank")))
       .withColumn("__ly", lg(col("c")))
       .select(expr("__lx div 1000").as("x"), expr("__ly div 1000").as("y"))
