@@ -218,13 +218,18 @@ object Valuation {
         .select(col("id"), col("epoch"),
           (graft.functions.VectorFunctions.sigmoid_micro(col("m"))
             - col("y") * 1000000L).as("r"))
+    // per-pair sum is epoch-bounded: |r_i·r_j| ≤ 10¹² and iters ≤ 1000
+    // keep Σ ≤ 10¹⁵ — comfortably Long, so the hot aggregation stays in
+    // codegen'd Long arithmetic (the one DECIMAL multiply happens once
+    // per PAIR below, not once per pair-epoch)
+    require(iters <= 1000, "iters > 1000 would overflow the Long pair sum")
     val rr = residAll(fTr, lTr)
       .join(broadcast(residAll(fTe, lTe)
         .select(col("id").as("test_id"), col("epoch"),
           col("r").as("__rt"))),
         Seq("epoch"))
       .groupBy(col("id").as("train_id"), col("test_id"))
-      .agg(sum(col("r").cast("decimal(38,0)") * col("__rt")).as("__s"))
+      .agg(sum(col("r") * col("__rt")).as("__s"))
     // sparse gradient dot: bucket-keyed equi-join, +1 bias coordinate
     val dots = fTr.join(
         broadcast(fTe.select(col("id").as("test_id"), col("bucket"),
@@ -235,8 +240,10 @@ object Valuation {
       .withColumn("__dt", coalesce(col("__dot"), lit(0L)) + lit(1L))
       .select(col("train_id"), col("test_id"), expr(
         s"""CAST(CASE WHEN __s >= 0
-           |  THEN (__s * __dt * $lrNum) div (${lrDen}L * 1000000L)
-           |  ELSE -((-__s * __dt * $lrNum) div (${lrDen}L * 1000000L))
+           |  THEN (CAST(__s AS DECIMAL(38,0)) * __dt * $lrNum)
+           |    div (${lrDen}L * 1000000L)
+           |  ELSE -((CAST(-__s AS DECIMAL(38,0)) * __dt * $lrNum)
+           |    div (${lrDen}L * 1000000L))
            |END AS BIGINT)""".stripMargin).as("influence_micro"))
       .localCheckpoint(false) // feeds both rank directions
     val byTest = Window.partitionBy(col("test_id"))
