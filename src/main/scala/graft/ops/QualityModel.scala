@@ -847,6 +847,43 @@ object QualityModel {
         (col("s") <= col("qhat_micro")).as("in_set"))
   }
 
+  /** Exact expected calibration error of the final-epoch GD model
+    * (Naeini et al. 2015's ECE / MCE over equal-width bins, the binary
+    * P(y=1) convention): bin documents by ⌊p/binWidth⌋, per bin the
+    * gap |acc − conf| multiplied through by the counts so everything
+    * stays integer — per-bin gap numerator |n_pos·10⁶ − Σp|, then
+    *
+    *   ece_micro = ⌊Σ_b |n_pos_b·10⁶ − Σp_b| / N⌋
+    *   mce_micro = max_b ⌊|n_pos_b·10⁶ − Σp_b| / n_b⌋
+    *
+    * One combine-agg to the bin relation (≤ 10⁶/binWidth rows), one
+    * one-row aggregate — the reliability audit in exactly two numbers
+    * ([[reliabilityBins]] gives the full diagram; this is the scalar
+    * the threshold owner tracks). */
+  def calibrationError(docs: DataFrame, dim: Int = 64, iters: Int = 3,
+      lrNum: Long = 1L, lrDen: Long = 16L, binWidth: Long = 100000L,
+      idCol: String = "doc_id", labelCol: String = "label",
+      textCol: String = "text"): DataFrame = {
+    require(binWidth > 0L && binWidth <= 1000000L, "bad binWidth")
+    val bins = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
+        idCol, labelCol, textCol)
+      .filter(col("epoch") === iters.toLong)
+      // recover y from (margin, correct): correct = (m>0)⇔(y=1), so
+      // y = (m>0)⇔correct — exact for every case incl. p = 500000
+      .withColumn("__y",
+        ((col("margin") > 0L) === col("correct")).cast("long"))
+      .groupBy(expr(s"p_micro div $binWidth").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("p_micro")).as("__sp"))
+      .withColumn("__gap", abs(col("n_pos") * lit(1000000L) - col("__sp")))
+    bins.agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum(col("__gap")).as("__tg"),
+        max(expr("__gap div n")).as("mce_micro"))
+      .select(col("n_docs"), col("n_bins"),
+        expr("__tg div n_docs").as("ece_micro"), col("mce_micro"))
+  }
+
   /** Data-diet pruning scores (Paul et al., NeurIPS 2021) over the
     * exact integer-GD trajectory: per document the EL2N score — for the
     * binary logistic case ‖p−y‖₂ = |σ(m)−y·10⁶| = 10⁶ − p_true, so

@@ -143,6 +143,14 @@ object LlmQueries14 {
         alphaMicro = 100000L)
       .orderBy(col("doc_id"))
 
+  /** Exact ECE/MCE of the final-epoch GD model
+    * ([[graft.ops.QualityModel.calibrationError]]): equal-width
+    * probability bins, per-bin |acc − conf| gaps multiplied through by
+    * the counts so the two calibration scalars replay bit-for-bit. */
+  def qualityEce(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.calibrationError(labeledDocs(spark, dir),
+      dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+
   /** Group-DRO training readout (Sagawa et al. 2020,
     * [[graft.ops.QualityModel.groupTrainingCurve]]): per (epoch, lang)
     * exact correct counts and base-2 log-loss with the worst-group
@@ -193,6 +201,7 @@ object LlmQueries14 {
     "value_tracin_self" -> (valueTracinSelf _),
     "quality_conformal" -> (qualityConformal _),
     "quality_group_loss" -> (qualityGroupLoss _),
+    "quality_ece" -> (qualityEce _),
     "sample_coreset_kcenter" -> (sampleCoresetKcenter _),
     "text_zipf_fit" -> (textZipfFit _),
     "mix_doremi_weights" -> (mixDoremiWeights _),
@@ -688,6 +697,20 @@ object LlmQueries14 {
        |    ((e * 65536 + frac) * 1000000) // 65536 AS l FROM lw16)""".stripMargin
   }
 
+  private def eceOracle: String =
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${epochsCtes(iters = 3, lrDen = 16L)},
+       |fe AS (SELECT doc_id, y, p FROM ep WHERE epoch = 3),
+       |eb AS (SELECT p // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS n_pos, CAST(sum(p) AS BIGINT) AS sp
+       |  FROM fe GROUP BY 1),
+       |eg AS (SELECT bin, n, abs(n_pos * 1000000 - sp) AS gap FROM eb)
+       |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_bins,
+       |  CAST(CAST(sum(gap) AS HUGEINT) // sum(n) AS BIGINT) AS ece_micro,
+       |  CAST(max(gap // n) AS BIGINT) AS mce_micro
+       |FROM eg""".stripMargin
+
   private def zipfOracle: String =
     s"""WITH nrm AS (SELECT $normText AS norm FROM documents),
        |wds AS (SELECT unnest(string_split(norm, ' ')) AS w FROM nrm),
@@ -791,6 +814,7 @@ object LlmQueries14 {
     "value_tracin_self" -> tracinSelfOracle,
     "quality_conformal" -> conformalOracle,
     "quality_group_loss" -> groupLossOracle,
+    "quality_ece" -> eceOracle,
     "sample_coreset_kcenter" -> coresetOracle,
     "text_zipf_fit" -> zipfOracle,
     "mix_doremi_weights" -> doremiOracle,

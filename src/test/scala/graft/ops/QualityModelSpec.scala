@@ -453,6 +453,37 @@ class QualityModelSpec extends SparkSpec {
     }
   }
 
+  test("calibration error: exact ECE/MCE replay from final-epoch scores") {
+    import spark.implicits._
+    val r = new scala.util.Random(43)
+    val good = (1 to 8).map(i => s"good$i")
+    val bad = (1 to 8).map(i => s"bad$i")
+    def doc(v: Seq[String]) =
+      (1 to 9).map(_ => v(r.nextInt(v.size))).mkString(" ")
+    val rows = (1 to 30).map(i => (i.toLong, doc(good), 1)) ++
+      (31 to 60).map(i => (i.toLong, doc(bad), 0))
+    val docs = rows.toDF("doc_id", "text", "label")
+    val got = QualityModel.calibrationError(docs, dim = 32, iters = 3,
+      lrNum = 1L, lrDen = 8L).collect()(0)
+    // independent replay from final-epoch scores
+    val ys = rows.map(t => t._1 -> t._3.toLong).toMap
+    val fin = QualityModel.logisticEpochScoresMicro(docs, dim = 32,
+        iters = 3, lrNum = 1L, lrDen = 8L)
+      .filter(col("epoch") === 3L)
+      .collect().map(row => (row.getLong(0), row.getLong(3)))
+    val bins = fin.groupBy { case (_, p) => p / 100000L }
+    val gaps = bins.toSeq.map { case (_, es) =>
+      val n = es.length.toLong
+      val pos = es.count { case (id, _) => ys(id) == 1L }.toLong
+      val sp = es.map(_._2).sum
+      (n, math.abs(pos * 1000000L - sp))
+    }
+    val nDocs = fin.length.toLong
+    assert(got.getLong(0) == nDocs && got.getLong(1) == bins.size.toLong)
+    assert(got.getLong(2) == gaps.map(_._2).sum / nDocs, got.toString)
+    assert(got.getLong(3) == gaps.map(t => t._2 / t._1).max, got.toString)
+  }
+
   test("cartography: clean examples easy, flipped labels hard, exact stats") {
     import spark.implicits._
     val r = new scala.util.Random(13)
