@@ -86,6 +86,137 @@ object Similarity {
       .select(col("query_id"), col("n_hit"),
         expr(s"($unit * n_hit) div __k_eff").as("recall_micro"))
 
+  /** Exact nDCG@k (+ MRR of the true nearest neighbor) of an
+    * approximate ranked neighbor list against the exact one — the
+    * graded companion of [[recallAtK]] (recall ignores ORDER inside the
+    * top-k; nDCG charges every displacement). Relevance is graded by
+    * ground-truth rank (rel = k+1 − exact_rank, 0 outside the exact
+    * top-k); discounts are the exact fixed-point log2
+    * ([[graft.functions.ExactMicroOps.log2Micro]]), each term floored
+    * ONCE as (rel·10⁹) div log2_micro(rank+1) — the per-term nano
+    * quantization is the metric's pinned definition, making
+    * dcg/idcg/ndcg bit-identical across engines.
+    *
+    * Scale shape: two query-set-sized inputs (≤ |Q|·k rows), one
+    * equi-join, per-query combine-aggs — never corpus-sized. */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val lg = graft.functions.VectorFunctions.log2_micro _
+    val ex = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(k + 1L) - col("rank")).as("__rel"), col("rank").as("__exr"))
+      .localCheckpoint(false) // feeds dcg, idcg, and the nn-rank probe
+    val ap = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .localCheckpoint(false)
+    val dcg = ap
+      .join(ex.select(col("query_id"), col("neighbor_id"), col("__rel")),
+        Seq("query_id", "neighbor_id"), "left")
+      .withColumn("__l", lg(col("rank") + lit(1L)))
+      .withColumn("__t",
+        expr("(coalesce(__rel, 0L) * 1000000000L) div __l"))
+      .groupBy(col("query_id")).agg(sum(col("__t")).as("dcg_nano"))
+    val idcg = ex
+      .withColumn("__l", lg(col("__exr") + lit(1L)))
+      .withColumn("__t", expr("(__rel * 1000000000L) div __l"))
+      .groupBy(col("query_id")).agg(sum(col("__t")).as("idcg_nano"))
+    val nn = ex.filter(col("__exr") === 1L)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(ap.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("__nr")), Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), coalesce(col("__nr"), lit(0L)).as("nn_rank"))
+    dcg.join(idcg, Seq("query_id")).join(nn, Seq("query_id"))
+      .select(col("query_id"), col("dcg_nano"), col("idcg_nano"),
+        expr("(dcg_nano * 1000000L) div idcg_nano").as("ndcg_micro"),
+        col("nn_rank"),
+        expr("CASE WHEN nn_rank = 0 THEN 0L ELSE 1000000L div nn_rank END")
+          .as("mrr_micro"))
+  }
+
+  /** Brute-force exact top-k on the BIT-EXACT integer-micro path
+    * ([[bruteForceTopK]]'s engine-portable twin): micro-quantized
+    * vectors, [[graft.functions.CosMicro]] sims, (sim desc, id) pinned
+    * ranks — the ground-truth side of ANN/ranking evaluations whose
+    * METRICS must replay exactly. Queries broadcast (bounded panel). */
+  def bruteForceTopKMicro(queries: DataFrame, corpus: DataFrame, k: Int,
+      qidCol: String = "vec_id", cidCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol).as("query_id"),
+      microVec(col(vecCol)).as("__qvm")))
+    val c = corpus.select(col(cidCol).as("neighbor_id"),
+      microVec(col(vecCol)).as("__cvm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_micro").desc, col("neighbor_id"))
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_micro", cos_micro(col("__qvm"), col("__cvm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim_micro"),
+        col("rank"))
+  }
+
+  /** Milli-quantized integer vector — the coarse twin of [[microVec]]
+    * (floor(x·10³)). The scale that keeps SIGN-PROJECTED dots inside
+    * the double-exact 2⁵³ window: 64 summed ±milli components stay
+    * ≤ ~1.3·10⁵ per projected coordinate, so projected norms² ≤ ~10¹²
+    * and every oracle list_dot_product over them is exact. */
+  def milliVec(v: Column): Column =
+    transform(v.cast("array<double>"),
+      x => floor(x * lit(1000.0d)).cast("long"))
+
+  /** Brute-force top-k in the `outDim`-dimensional ±1 SIGN-PROJECTED
+    * integer space ([[signMatrix]] planes over [[milliVec]] coords,
+    * exact Long projection sums, [[graft.functions.CosMicro]] sims) —
+    * the cheap JL ranking whose quality [[ndcgAtK]] audits against the
+    * full-dimension cosine ground truth. Queries broadcast. */
+  def bruteForceTopKSignProj(queries: DataFrame, corpus: DataFrame,
+      k: Int, outDim: Int = 8, dim: Int = 64, seed: Long = 7L,
+      qidCol: String = "vec_id", cidCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = signMatrix(outDim, dim, seed).map(_.map(_.toLong))
+    def pv(c: Column): Column = {
+      val m = milliVec(c)
+      array(planes.map { row =>
+        aggregate(zip_with(m, lit(row), (a, b) => a * b), lit(0L), _ + _)
+      }: _*)
+    }
+    val q = broadcast(queries.select(col(qidCol).as("query_id"),
+      pv(col(vecCol)).as("__qvm")))
+    val c = corpus.select(col(cidCol).as("neighbor_id"),
+      pv(col(vecCol)).as("__cvm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_micro").desc, col("neighbor_id"))
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_micro", cos_micro(col("__qvm"), col("__cvm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim_micro"),
+        col("rank"))
+  }
+
+  /** Brute-force top-k by RAW DOT PRODUCT over the same micro vectors —
+    * the unnormalized ranking ([[bruteForceTopKMicro]] without the norm
+    * division). Exists to audit metric mismatch: nDCG of this ranking
+    * against the cosine ground truth quantifies exactly how much
+    * skipping normalization costs on a given corpus. */
+  def bruteForceTopKDotMicro(queries: DataFrame, corpus: DataFrame, k: Int,
+      qidCol: String = "vec_id", cidCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol).as("query_id"),
+      microVec(col(vecCol)).as("__qvm")))
+    val c = corpus.select(col(cidCol).as("neighbor_id"),
+      microVec(col(vecCol)).as("__cvm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_micro").desc, col("neighbor_id"))
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot_micro", expr(
+        "aggregate(zip_with(__qvm, __cvm, (a, b) -> a * b), 0L, (s, x) -> s + x)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot_micro"),
+        col("rank"))
+  }
+
   /** Seeded ±1 sign matrix (outDim × dim) for random projection —
     * deterministic; exposed within graft so oracle SQL embeds the same
     * constants. */

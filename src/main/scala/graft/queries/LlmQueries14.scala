@@ -160,6 +160,24 @@ object LlmQueries14 {
         groupCol = "lang", dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
       .orderBy(col("epoch"), col("lang"))
 
+  /** Exact nDCG@5 + true-NN MRR of the 8-dim ±1 sign-projection
+    * ranking against the full-dimension cosine ground truth
+    * ([[graft.ops.Similarity.ndcgAtK]] over
+    * [[graft.ops.Similarity.bruteForceTopKSignProj]] /
+    * [[graft.ops.Similarity.bruteForceTopKMicro]]): the JL-projection
+    * quality audit — exactly what ranking fidelity the 8× cheaper
+    * projected space costs, every discount the fixed-point log2
+    * kernel. */
+  def simNdcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val corpus = T.par(spark, emb)
+    graft.ops.Similarity.ndcgAtK(
+        graft.ops.Similarity.bruteForceTopKSignProj(q, corpus, k = 5),
+        graft.ops.Similarity.bruteForceTopKMicro(q, corpus, k = 5), k = 5)
+      .orderBy(col("query_id"))
+  }
+
   /** Zipf's-law fit over the top-1000 word-frequency head
     * ([[graft.ops.TextAnalysis.zipfFit]]): exact integer log-log least
     * squares — slope/intercept/r² from milli-quantized fixed-point
@@ -202,6 +220,7 @@ object LlmQueries14 {
     "quality_conformal" -> (qualityConformal _),
     "quality_group_loss" -> (qualityGroupLoss _),
     "quality_ece" -> (qualityEce _),
+    "sim_ndcg_eval" -> (simNdcgEval _),
     "sample_coreset_kcenter" -> (sampleCoresetKcenter _),
     "text_zipf_fit" -> (textZipfFit _),
     "mix_doremi_weights" -> (mixDoremiWeights _),
@@ -711,6 +730,90 @@ object LlmQueries14 {
        |  CAST(max(gap // n) AS BIGINT) AS mce_micro
        |FROM eg""".stripMargin
 
+  /** Replay of the sign-projection nDCG audit: the full-dim micro pair
+    * relation gives the cosine ground truth (±1-corrected isqrt), the
+    * 8×64 ±1 plane matrix is embedded literally ([[graft.ops.Similarity
+    * .signMatrix]], the emb_sign_project convention) and applied to
+    * MILLI vectors so every projected dot stays double-exact, relevance
+    * is graded by exact rank, per-term (rel·10⁹)//log2(rank+1)
+    * discounts over the shared fixed-point log2 chain on the tiny 2..6
+    * rank domain. */
+  private def ndcgOracle: String = {
+    val micro = "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(floor(x * 1000000.0) AS BIGINT))"
+    val milli = "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(floor(x * 1000.0) AS BIGINT))"
+    def idot(a: String, b: String) =
+      s"CAST(list_dot_product(CAST($a AS DOUBLE[]), " +
+        s"CAST($b AS DOUBLE[])) AS BIGINT)"
+    val planes = graft.ops.Similarity.signMatrix(8, 64).map(_.map(_.toLong))
+    val projList = planes.map { row =>
+      idot("mv", s"[${row.mkString(", ")}]")
+    }.mkString("[", ",\n      ", "]")
+    // the isqrt-corrected cosine block over a pairs relation ($src must
+    // provide qid, nid, dt, na, nb)
+    def simBlock(tag: String, src: String): String =
+      s"""sm$tag AS (SELECT qid, nid, dt,
+         |    CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+         |         WHEN dt >= 0 THEN
+         |           CAST(CAST(dt AS HUGEINT) * 1000000 // s AS BIGINT)
+         |         ELSE CAST(-(CAST(-dt AS HUGEINT) * 1000000 // s) AS BIGINT)
+         |    END AS sim
+         |  FROM (SELECT qid, nid, dt,
+         |      CASE WHEN (s0+1)*(s0+1) <= nn THEN s0+1
+         |           WHEN s0*s0 > nn THEN s0-1 ELSE s0 END AS s
+         |    FROM (SELECT qid, nid, dt,
+         |        CAST(na AS HUGEINT) * nb AS nn,
+         |        CAST(floor(sqrt(CAST(CAST(na AS HUGEINT) * nb AS DOUBLE)))
+         |          AS HUGEINT) AS s0
+         |      FROM $src)))""".stripMargin
+    s"""WITH qv AS (SELECT vec_id AS qid, $micro AS v FROM embeddings
+       |  WHERE vec_id < 10),
+       |cv AS (SELECT vec_id AS nid, $micro AS v FROM embeddings),
+       |pr AS MATERIALIZED (SELECT q.qid, c.nid,
+       |    ${idot("q.v", "c.v")} AS dt,
+       |    ${idot("q.v", "q.v")} AS na, ${idot("c.v", "c.v")} AS nb
+       |  FROM cv c CROSS JOIN qv q WHERE q.qid <> c.nid),
+       |${simBlock("", "pr")},
+       |qp AS (SELECT vec_id AS qid, $projList AS v
+       |  FROM (SELECT vec_id, $milli AS mv FROM embeddings
+       |        WHERE vec_id < 10)),
+       |cp AS MATERIALIZED (SELECT vec_id AS nid, $projList AS v
+       |  FROM (SELECT vec_id, $milli AS mv FROM embeddings)),
+       |pr2 AS (SELECT q.qid, c.nid, ${idot("q.v", "c.v")} AS dt,
+       |    ${idot("q.v", "q.v")} AS na, ${idot("c.v", "c.v")} AS nb
+       |  FROM cp c CROSS JOIN qp q WHERE q.qid <> c.nid),
+       |${simBlock("2", "pr2")},
+       |ex AS MATERIALIZED (SELECT qid, nid, rnk FROM (SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+       |      AS rnk FROM sm) WHERE rnk <= 5),
+       |ap AS MATERIALIZED (SELECT qid, nid, rnk FROM (SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+       |      AS rnk FROM sm2) WHERE rnk <= 5),
+       |vals AS (SELECT CAST(unnest(generate_series(2, 6)) AS BIGINT) AS v),
+       |$log2ValueCtes,
+       |dcg AS (SELECT ap.qid,
+       |    CAST(sum((coalesce(6 - ex.rnk, 0) * 1000000000) // lg.l)
+       |      AS BIGINT) AS dcg_nano
+       |  FROM ap LEFT JOIN ex ON ex.qid = ap.qid AND ex.nid = ap.nid
+       |  JOIN lg ON lg.v = ap.rnk + 1 GROUP BY 1),
+       |idcg AS (SELECT qid,
+       |    CAST(sum(((6 - rnk) * 1000000000) // lg.l) AS BIGINT)
+       |      AS idcg_nano
+       |  FROM ex JOIN lg ON lg.v = ex.rnk + 1 GROUP BY 1),
+       |nn1 AS (SELECT ex.qid, CAST(coalesce(ap.rnk, 0) AS BIGINT)
+       |      AS nn_rank
+       |  FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.nid = ex.nid
+       |  WHERE ex.rnk = 1)
+       |SELECT d.qid AS query_id, d.dcg_nano, i.idcg_nano,
+       |  (d.dcg_nano * 1000000) // i.idcg_nano AS ndcg_micro,
+       |  n.nn_rank,
+       |  CASE WHEN n.nn_rank = 0 THEN 0
+       |       ELSE 1000000 // n.nn_rank END AS mrr_micro
+       |FROM dcg d JOIN idcg i ON i.qid = d.qid JOIN nn1 n ON n.qid = d.qid
+       |ORDER BY query_id""".stripMargin
+  }
+
   private def zipfOracle: String =
     s"""WITH nrm AS (SELECT $normText AS norm FROM documents),
        |wds AS (SELECT unnest(string_split(norm, ' ')) AS w FROM nrm),
@@ -815,6 +918,7 @@ object LlmQueries14 {
     "quality_conformal" -> conformalOracle,
     "quality_group_loss" -> groupLossOracle,
     "quality_ece" -> eceOracle,
+    "sim_ndcg_eval" -> ndcgOracle,
     "sample_coreset_kcenter" -> coresetOracle,
     "text_zipf_fit" -> zipfOracle,
     "mix_doremi_weights" -> doremiOracle,

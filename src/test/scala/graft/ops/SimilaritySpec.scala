@@ -633,4 +633,44 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) == ((0L, 1000000L)), got.toString)
     assert(got(1L) == ((0L, 0L)), got.toString)
   }
+
+  test("ndcg: perfect ranking = 1e6; dot-vs-cos displacement exactly charged") {
+    import spark.implicits._
+    import graft.functions.ExactMicroOps.log2Micro
+    // corpus where dot and cosine DISAGREE: long vectors win dot,
+    // normalized direction wins cosine. Query 100 = (1, 0).
+    val vecs = Seq(
+      (100L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(0.9f, 0.1f)),     // near-parallel, short
+      (2L, Array(5.0f, 4.0f)),     // long, off-direction -> wins dot
+      (3L, Array(0.5f, 0.5f)),
+      (4L, Array(-1.0f, 0.0f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 100L)
+    val exact = Similarity.bruteForceTopKMicro(q, emb, k = 3)
+    val approx = Similarity.bruteForceTopKDotMicro(q, emb, k = 3)
+    val exRanks = exact.collect()
+      .map(r => r.getLong(1) -> r.getInt(3).toLong).toMap
+    val apRanks = approx.collect()
+      .map(r => r.getLong(1) -> r.getInt(3).toLong).toMap
+    assert(exRanks(1L) == 1L && apRanks(2L) == 1L,
+      s"rankings should disagree: ex=$exRanks ap=$apRanks")
+    val got = Similarity.ndcgAtK(approx, exact, k = 3).collect()(0)
+    // sequential replay of the pinned per-term nano arithmetic
+    val rel = exRanks.view.mapValues(r => 4L - r).toMap
+    val dcg = apRanks.toSeq.map { case (id, r) =>
+      rel.getOrElse(id, 0L) * 1000000000L / log2Micro(r + 1L) }.sum
+    val idcg = exRanks.toSeq.map { case (id, r) =>
+      rel(id) * 1000000000L / log2Micro(r + 1L) }.sum
+    assert(got.getLong(1) == dcg && got.getLong(2) == idcg)
+    assert(got.getLong(3) == dcg * 1000000L / idcg)
+    assert(got.getLong(3) < 1000000L, "displaced ranking must score < 1")
+    val nnRank = apRanks.getOrElse(exRanks.find(_._2 == 1L).get._1, 0L)
+    assert(got.getLong(4) == nnRank &&
+      got.getLong(5) == (if (nnRank == 0) 0L else 1000000L / nnRank))
+    // self-comparison: identical rankings score exactly 1e6 with nn rank 1
+    val self = Similarity.ndcgAtK(exact, exact, k = 3).collect()(0)
+    assert(self.getLong(3) == 1000000L && self.getLong(4) == 1L &&
+      self.getLong(5) == 1000000L)
+  }
 }
