@@ -609,4 +609,74 @@ object Sessions {
                |  ELSE -((-num * 1000000) div d) END AS BIGINT)""".stripMargin)
           .as("acf_micro"))
   }
+
+  /** Sign-split micro product (a·b)/10⁶ — every operand |·| ≤ ~10⁶ so
+    * the Long product is safe; magnitude-then-sign keeps truncating and
+    * flooring builds identical. Rendered for Spark (`div`) or DuckDB
+    * (`//`) by [[pacfExprs]]' caller. */
+  private[graft] def mulm(a: String, b: String, d: String): String =
+    s"""(CASE WHEN (($a) >= 0) = (($b) >= 0)
+       |  THEN (abs($a) * abs($b)) $d 1000000
+       |  ELSE -((abs($a) * abs($b)) $d 1000000) END)""".stripMargin
+       .replaceAll("\\s+", " ")
+
+  /** Sign-split micro division (n·10⁶)/den, 0 on a zero denominator. */
+  private[graft] def divm(n: String, den: String, d: String): String =
+    s"""(CASE WHEN ($den) = 0 THEN 0
+       |  WHEN (($n) >= 0) = (($den) >= 0)
+       |  THEN (abs($n) * 1000000) $d abs($den)
+       |  ELSE -((abs($n) * 1000000) $d abs($den)) END)""".stripMargin
+       .replaceAll("\\s+", " ")
+
+  /** The Durbin–Levinson closed forms for PACF lags 1..3 over micro ACF
+    * columns r1, r2, r3 — shared verbatim (modulo the integral-divide
+    * token) between the Spark plan and the DuckDB oracle:
+    *   φ11 = r1
+    *   φ22 = (r2 − r1²) / (1 − r1²)
+    *   a21 = r1 − φ22·r1
+    *   φ33 = (r3 − a21·r2 − φ22·r1) / (1 − a21·r1 − φ22·r2)
+    * every product/division the sign-split micro kernel above — the
+    * per-step quantization IS the definition. Returns the SQL for
+    * (pacf1, pacf2, pacf3, a21-free). */
+  private[graft] def pacfExprs(d: String): (String, String, String) = {
+    val p22 = divm(s"r2 - ${mulm("r1", "r1", d)}",
+      s"1000000 - ${mulm("r1", "r1", d)}", d)
+    val a21 = s"(r1 - ${mulm("p22", "r1", d)})"
+    val p33 = divm(
+      s"r3 - ${mulm("a21", "r2", d)} - ${mulm("p22", "r1", d)}",
+      s"1000000 - ${mulm("a21", "r1", d)} - ${mulm("p22", "r2", d)}", d)
+    (p22, a21, p33)
+  }
+
+  /** Partial autocorrelation at lags 1..3 per group — the AR-order
+    * readout that separates direct from inherited correlation (an AR(1)
+    * process has PACF ≈ 0 past lag 1 even though its ACF decays slowly;
+    * a spike at lag k says "this lag carries NEW signal" — the
+    * Box–Jenkins identification step on the event stream). Computed by
+    * the exact Durbin–Levinson closed forms over the
+    * [[autocorrelation]] micro values ([[pacfExprs]]); lags whose ACF
+    * row is missing (grid shorter than the lag) coalesce to 0.
+    *
+    * Scale shape: [[autocorrelation]]'s one combine-agg + lag join,
+    * then a groups-sized pivot and pure per-row arithmetic. */
+  def partialAutocorrelation(events: DataFrame,
+      groupCol: String = "event_type", tsCol: String = "ts",
+      bucketSeconds: Long = 3600L, maxGrid: Long = 200000L): DataFrame = {
+    val acf = autocorrelation(events, maxLag = 3, groupCol, tsCol,
+      bucketSeconds, maxGrid)
+    val base = acf.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        coalesce(max(when(col("lag") === 1L, col("acf_micro"))), lit(0L))
+          .as("r1"),
+        coalesce(max(when(col("lag") === 2L, col("acf_micro"))), lit(0L))
+          .as("r2"),
+        coalesce(max(when(col("lag") === 3L, col("acf_micro"))), lit(0L))
+          .as("r3"))
+    val (p22, a21, p33) = pacfExprs("div")
+    base
+      .withColumn("p22", expr(p22))
+      .withColumn("a21", expr(a21))
+      .select(col(groupCol), col("n"), col("r1").as("pacf1_micro"),
+        col("p22").as("pacf2_micro"), expr(p33).as("pacf3_micro"))
+  }
 }

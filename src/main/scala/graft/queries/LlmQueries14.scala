@@ -160,6 +160,16 @@ object LlmQueries14 {
         groupCol = "lang", dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
       .orderBy(col("epoch"), col("lang"))
 
+  /** Partial autocorrelation at lags 1..3 per event_type
+    * ([[graft.ops.Sessions.partialAutocorrelation]]): exact
+    * Durbin–Levinson closed forms over the micro ACF — the Box–Jenkins
+    * AR-identification readout, every product/division the shared
+    * sign-split micro kernel. */
+  def eventPacf(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessions.partialAutocorrelation(
+        T.par(spark, T.t(spark, dir, "events")))
+      .orderBy(col("event_type"))
+
   /** Exact nDCG@5 + true-NN MRR of the 8-dim ±1 sign-projection
     * ranking against the full-dimension cosine ground truth
     * ([[graft.ops.Similarity.ndcgAtK]] over
@@ -221,6 +231,7 @@ object LlmQueries14 {
     "quality_group_loss" -> (qualityGroupLoss _),
     "quality_ece" -> (qualityEce _),
     "sim_ndcg_eval" -> (simNdcgEval _),
+    "event_pacf" -> (eventPacf _),
     "sample_coreset_kcenter" -> (sampleCoresetKcenter _),
     "text_zipf_fit" -> (textZipfFit _),
     "mix_doremi_weights" -> (mixDoremiWeights _),
@@ -814,6 +825,46 @@ object LlmQueries14 {
        |ORDER BY query_id""".stripMargin
   }
 
+  private def pacfOracle: String = {
+    val (p22, a21, p33) = graft.ops.Sessions.pacfExprs("//")
+    s"""WITH cnt AS (
+       |  SELECT event_type AS g,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |span AS (SELECT g, min(h) AS h0, max(h) AS h1,
+       |    CAST(sum(x) AS HUGEINT) AS s, max(h) - min(h) + 1 AS n
+       |  FROM cnt GROUP BY g),
+       |grid AS (SELECT g, n, s, h0,
+       |    unnest(generate_series(h0, h1)) AS h FROM span),
+       |dense AS (SELECT gr.g, gr.n, gr.h - gr.h0 AS t,
+       |    CAST(gr.n AS HUGEINT) * coalesce(c.x, 0) - gr.s AS c
+       |  FROM grid gr LEFT JOIN cnt c ON c.g = gr.g AND c.h = gr.h),
+       |den AS (SELECT g, max(n) AS n, sum(c * c) AS d
+       |  FROM dense GROUP BY g),
+       |pr AS (SELECT a.g, l.lag, sum(a.c * b.c) AS num
+       |  FROM dense a
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS lag) l
+       |  JOIN dense b ON b.g = a.g AND b.t = a.t + l.lag
+       |  GROUP BY a.g, l.lag),
+       |acf AS (SELECT pr.g, pr.lag, den.n,
+       |    CAST(CASE WHEN den.d = 0 THEN 0
+       |         WHEN num >= 0 THEN (num * 1000000) // den.d
+       |         ELSE -((-num * 1000000) // den.d) END AS BIGINT)
+       |      AS acf_micro
+       |  FROM pr JOIN den ON den.g = pr.g),
+       |pv AS (SELECT g, max(n) AS n,
+       |    coalesce(max(CASE WHEN lag = 1 THEN acf_micro END), 0) AS r1,
+       |    coalesce(max(CASE WHEN lag = 2 THEN acf_micro END), 0) AS r2,
+       |    coalesce(max(CASE WHEN lag = 3 THEN acf_micro END), 0) AS r3
+       |  FROM acf GROUP BY 1),
+       |wp AS (SELECT *, $p22 AS p22 FROM pv),
+       |wa AS (SELECT *, $a21 AS a21 FROM wp)
+       |SELECT g AS event_type, n, r1 AS pacf1_micro, p22 AS pacf2_micro,
+       |  $p33 AS pacf3_micro
+       |FROM wa ORDER BY event_type""".stripMargin
+  }
+
   private def zipfOracle: String =
     s"""WITH nrm AS (SELECT $normText AS norm FROM documents),
        |wds AS (SELECT unnest(string_split(norm, ' ')) AS w FROM nrm),
@@ -919,6 +970,7 @@ object LlmQueries14 {
     "quality_group_loss" -> groupLossOracle,
     "quality_ece" -> eceOracle,
     "sim_ndcg_eval" -> ndcgOracle,
+    "event_pacf" -> pacfOracle,
     "sample_coreset_kcenter" -> coresetOracle,
     "text_zipf_fit" -> zipfOracle,
     "mix_doremi_weights" -> doremiOracle,

@@ -395,6 +395,42 @@ class SessionsSpec extends SparkSpec {
     assert(got(4L) == ((5L, 133333L)), got.toString)
   }
 
+  test("pacf: Durbin-Levinson replay from ACF values; AR(1)-ish decay") {
+    import spark.implicits._
+    // alternating-ish counts: strong lag-1 structure
+    val ev = (0 until 24).flatMap { h =>
+      val cnt = if (h % 2 == 0) 3 else 1
+      (0 until cnt).map(i => (h.toLong * 10 + i, h.toLong * 3600))
+    }.toDF("event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("event_type", lit("a"))
+    val acf = Sessions.autocorrelation(ev, maxLag = 3)
+      .collect().map(r => r.getAs[Long]("lag") -> r.getAs[Long]("acf_micro"))
+      .toMap
+    val got = Sessions.partialAutocorrelation(ev).collect()(0)
+    // sequential replay of the closed forms with the same quantization
+    def mulm(a: Long, b: Long) = {
+      val m = math.abs(a) * math.abs(b) / 1000000L
+      if ((a >= 0) == (b >= 0)) m else -m
+    }
+    def divm(n: Long, d: Long) =
+      if (d == 0L) 0L
+      else {
+        val m = math.abs(n) * 1000000L / math.abs(d)
+        if ((n >= 0) == (d >= 0)) m else -m
+      }
+    val (r1, r2, r3) = (acf(1L), acf(2L), acf(3L))
+    val p22 = divm(r2 - mulm(r1, r1), 1000000L - mulm(r1, r1))
+    val a21 = r1 - mulm(p22, r1)
+    val p33 = divm(r3 - mulm(a21, r2) - mulm(p22, r1),
+      1000000L - mulm(a21, r1) - mulm(p22, r2))
+    assert(got.getAs[Long]("pacf1_micro") == r1)
+    assert(got.getAs[Long]("pacf2_micro") == p22, s"got $got want $p22")
+    assert(got.getAs[Long]("pacf3_micro") == p33, s"got $got want $p33")
+    // the alternating series has a strong direct lag-1 effect
+    assert(math.abs(r1) > 500000L)
+  }
+
   test("autocorrelation: grid-explosion guard fails loudly, constant series pins zero") {
     import spark.implicits._
     // a timestamp outlier that would densify 1000+ buckets under
