@@ -610,6 +610,51 @@ object Sessions {
           .as("acf_micro"))
   }
 
+  /** Per-group Fano factor (index of dispersion) of the bucket-count
+    * series — the burstiness scalar (Poisson arrivals ⇒ F ≈ 1;
+    * F ≫ 1 = bursty/bot-like, F < 1 = regular/throttled; the companion
+    * readout to [[autocorrelation]]'s periodicity). Over the SAME
+    * densified grid (missing buckets count 0 — dispersion is over
+    * time): with S = Σx, Q = Σx², n grid buckets,
+    *
+    *   F = var/mean = (n·Q − S²) / (n·S)
+    *
+    * — one multiplied-through sign-free integral division in micro
+    * (numerator ≥ 0 by Cauchy–Schwarz, S > 0 whenever the group has an
+    * event). Products ride DECIMAL(38,0); the same `maxGrid` loud
+    * guard. One combine-agg + the grid explode — nothing else. */
+  def fanoFactor(events: DataFrame, groupCol: String = "event_type",
+      tsCol: String = "ts", bucketSeconds: Long = 3600L,
+      maxGrid: Long = 200000L): DataFrame = {
+    require(bucketSeconds > 0 && maxGrid >= 2, "bad bucketSeconds/maxGrid")
+    val dec = "DECIMAL(38,0)"
+    val counts = events
+      .select(col(groupCol).as("g"),
+        expr(s"unix_timestamp($tsCol) div ${bucketSeconds}L").as("h"))
+      .groupBy(col("g"), col("h"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(false) // feeds the span agg AND the grid join
+    val span = counts.groupBy(col("g"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .withColumn("n", expr(
+        s"""CASE WHEN h1 - h0 + 1 > ${maxGrid}L THEN raise_error(concat(
+           |  'fanoFactor: group ', CAST(g AS STRING), ' spans ',
+           |  CAST(h1 - h0 + 1 AS STRING), ' buckets > maxGrid=$maxGrid'))
+           |ELSE h1 - h0 + 1 END""".stripMargin))
+    span
+      .select(col("g"), col("n"), explode(expr("sequence(h0, h1)")).as("h"))
+      .join(counts, Seq("g", "h"), "left")
+      .select(col("g"), col("n"), coalesce(col("x"), lit(0L)).as("x"))
+      .groupBy(col("g"), col("n"))
+      .agg(sum(col("x")).as("s"),
+        sum(expr(s"CAST(x AS $dec) * x")).as("q"))
+      .select(col("g").as(groupCol), col("n"), col("s").as("n_events"),
+        expr(s"""CAST(CASE WHEN s = 0 THEN 0 ELSE
+                |  (CAST(n AS $dec) * q - CAST(s AS $dec) * s) * 1000000
+                |    div (CAST(n AS $dec) * s) END AS BIGINT)"""
+          .stripMargin).as("fano_micro"))
+  }
+
   /** Sign-split micro product (a·b)/10⁶ — every operand |·| ≤ ~10⁶ so
     * the Long product is safe; magnitude-then-sign keeps truncating and
     * flooring builds identical. Rendered for Spark (`div`) or DuckDB

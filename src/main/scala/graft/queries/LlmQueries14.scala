@@ -160,6 +160,15 @@ object LlmQueries14 {
         groupCol = "lang", dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
       .orderBy(col("epoch"), col("lang"))
 
+  /** Per-event-type Fano factor over the hourly grid
+    * ([[graft.ops.Sessions.fanoFactor]]): the burstiness scalar —
+    * variance-to-mean of the densified bucket counts as one
+    * multiplied-through integral division. */
+  def eventFano(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessions.fanoFactor(
+        T.par(spark, T.t(spark, dir, "events")))
+      .orderBy(col("event_type"))
+
   /** Partial autocorrelation at lags 1..3 per event_type
     * ([[graft.ops.Sessions.partialAutocorrelation]]): exact
     * Durbin–Levinson closed forms over the micro ACF — the Box–Jenkins
@@ -232,6 +241,7 @@ object LlmQueries14 {
     "quality_ece" -> (qualityEce _),
     "sim_ndcg_eval" -> (simNdcgEval _),
     "event_pacf" -> (eventPacf _),
+    "event_fano" -> (eventFano _),
     "sample_coreset_kcenter" -> (sampleCoresetKcenter _),
     "text_zipf_fit" -> (textZipfFit _),
     "mix_doremi_weights" -> (mixDoremiWeights _),
@@ -825,6 +835,28 @@ object LlmQueries14 {
        |ORDER BY query_id""".stripMargin
   }
 
+  private def fanoOracle: String =
+    """WITH cnt AS (
+      |  SELECT event_type AS g,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT g, min(h) AS h0, max(h) AS h1,
+      |    max(h) - min(h) + 1 AS n FROM cnt GROUP BY g),
+      |grid AS (SELECT g, n, unnest(generate_series(h0, h1)) AS h
+      |  FROM span),
+      |agg AS (SELECT gr.g, gr.n,
+      |    CAST(sum(coalesce(c.x, 0)) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(coalesce(c.x, 0) AS HUGEINT) * coalesce(c.x, 0))
+      |      AS HUGEINT) AS q
+      |  FROM grid gr LEFT JOIN cnt c ON c.g = gr.g AND c.h = gr.h
+      |  GROUP BY 1, 2)
+      |SELECT g AS event_type, n, CAST(s AS BIGINT) AS n_events,
+      |  CAST(CASE WHEN s = 0 THEN 0
+      |       ELSE (n * q - s * s) * 1000000 // (n * s) END AS BIGINT)
+      |    AS fano_micro
+      |FROM agg ORDER BY event_type""".stripMargin
+
   private def pacfOracle: String = {
     val (p22, a21, p33) = graft.ops.Sessions.pacfExprs("//")
     s"""WITH cnt AS (
@@ -971,6 +1003,7 @@ object LlmQueries14 {
     "quality_ece" -> eceOracle,
     "sim_ndcg_eval" -> ndcgOracle,
     "event_pacf" -> pacfOracle,
+    "event_fano" -> fanoOracle,
     "sample_coreset_kcenter" -> coresetOracle,
     "text_zipf_fit" -> zipfOracle,
     "mix_doremi_weights" -> doremiOracle,

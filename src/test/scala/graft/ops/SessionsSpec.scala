@@ -395,6 +395,26 @@ class SessionsSpec extends SparkSpec {
     assert(got(4L) == ((5L, 133333L)), got.toString)
   }
 
+  test("fano factor: hand-computed dispersion; Poisson-ish vs bursty order") {
+    import spark.implicits._
+    // group a: hour counts [2,0,2] over the 3-bucket grid: S=4, Q=8,
+    // F = (3*8-16)*1e6 / (3*4) = 666666
+    // group b (bursty): see below
+    val ev = (Seq((1L, 0L), (2L, 10L), (3L, 7200L), (4L, 7210L))
+        .map { case (i, s) => (i, s, "a") } ++
+      ((10L to 15L).map(i => (i, 60L * i, "b")) :+ ((20L, 3600L * 3, "b"))))
+      .toDF("event_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Sessions.fanoFactor(ev)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((3L, 4L, 666666L)), got.toString)
+    // b: hour counts [6,0,0,1]: S=7, Q=37, n=4 ->
+    // F = (148-49)*1e6/28 = 3535714
+    assert(got("b") == ((4L, 7L, 3535714L)), got.toString)
+    assert(got("b")._3 > got("a")._3, "bursty group must rank higher")
+  }
+
   test("pacf: Durbin-Levinson replay from ACF values; AR(1)-ish decay") {
     import spark.implicits._
     // alternating-ish counts: strong lag-1 structure
