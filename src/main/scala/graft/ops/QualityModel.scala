@@ -953,6 +953,53 @@ object QualityModel {
         (col("mean_loss_micro") === col("__mx")).as("is_worst_group"))
   }
 
+  /** RHO-loss selection (Mindermann et al., ICML 2022 "Prioritized
+    * training on points that are learnable, worth learning, and not yet
+    * learnt"): per training doc the REDUCIBLE holdout loss
+    *
+    *   rho = loss_train-model − loss_irreducible-model
+    *
+    * where the irreducible-loss model trains on a held-out split
+    * (idCol % calMod == 0) and the training model on the rest — both
+    * the exact integer-GD trajectory, both losses the exact base-2
+    * log-loss ([[gdTrainingCurve]] kernel). High-rho docs are learnable
+    * (the holdout model does well ⇒ not noise) but not yet learnt (the
+    * current model does badly) — the paper's selection signal;
+    * `selected` pins rho > 0. Negative rho = already-learnt or noisy.
+    *
+    * Scale shape: two dim-bounded GD trajectories + two margin
+    * aggregations over the train-split feature relation — everything
+    * combine-agg'd, nothing corpus-sized collected. */
+  def rhoLossScores(docs: DataFrame, calMod: Int = 4, dim: Int = 64,
+      iters: Int = 3, lrNum: Long = 1L, lrDen: Long = 16L,
+      idCol: String = "doc_id", labelCol: String = "label",
+      textCol: String = "text"): DataFrame = {
+    require(calMod >= 2, "calMod must be >= 2")
+    val hold = docs.filter(pmod(col(idCol), lit(calMod.toLong)) === 0L)
+    val train = docs.filter(pmod(col(idCol), lit(calMod.toLong)) =!= 0L)
+    val (fH, lH) = checkpointedFeatsLabels(hold, dim, idCol, labelCol,
+      textCol)
+    val (fT, lT) = checkpointedFeatsLabels(train, dim, idCol, labelCol,
+      textCol)
+    val (wA, bA) = trajectoryFrom(fH, lH, dim, iters, lrNum, lrDen).last
+    val (wB, bB) = trajectoryFrom(fT, lT, dim, iters, lrNum, lrDen).last
+    val l6 = graft.functions.ExactMicroOps.log2Micro(1000000L)
+    def lossOf(w: Array[Long], b: Long, name: String): DataFrame =
+      marginsMicro(fT, lT, w, b)
+        .withColumn("__p",
+          graft.functions.VectorFunctions.sigmoid_micro(col("m")))
+        .withColumn("__pt", when(col("y") === 1L, col("__p"))
+          .otherwise(lit(1000000L) - col("__p")))
+        .select(col("id"), (lit(l6) - graft.functions.VectorFunctions
+          .log2_micro(greatest(col("__pt"), lit(1L)))).as(name))
+    lossOf(wB, bB, "loss_micro")
+      .join(lossOf(wA, bA, "irreducible_micro"), Seq("id"))
+      .select(col("id").as(idCol), col("loss_micro"),
+        col("irreducible_micro"),
+        (col("loss_micro") - col("irreducible_micro")).as("rho_micro"))
+      .withColumn("selected", col("rho_micro") > 0L)
+  }
+
   /** Dataset cartography (Swayamdipta et al., EMNLP 2020) over the exact
     * integer-GD trajectory: per document, confidence = mean of p_true
     * across epochs, variability = its standard deviation, and the count

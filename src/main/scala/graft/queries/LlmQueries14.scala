@@ -151,6 +151,16 @@ object LlmQueries14 {
     graft.ops.QualityModel.calibrationError(labeledDocs(spark, dir),
       dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
 
+  /** RHO-loss selection (Mindermann et al. 2022,
+    * [[graft.ops.QualityModel.rhoLossScores]]): reducible holdout loss
+    * per training doc from two exact-GD models (train split vs the
+    * doc_id % 4 = 0 holdout split), rho = loss − irreducible, selected
+    * = rho > 0 — learnable-but-not-yet-learnt prioritization. */
+  def curationRhoLoss(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.rhoLossScores(labeledDocs(spark, dir),
+        calMod = 4, dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+      .orderBy(col("doc_id"))
+
   /** Group-DRO training readout (Sagawa et al. 2020,
     * [[graft.ops.QualityModel.groupTrainingCurve]]): per (epoch, lang)
     * exact correct counts and base-2 log-loss with the worst-group
@@ -234,6 +244,7 @@ object LlmQueries14 {
     "curation_forgetting" -> (curationForgetting _),
     "quality_gd_curve" -> (qualityGdCurve _),
     "curation_data_diet" -> (curationDataDiet _),
+    "curation_rho_loss" -> (curationRhoLoss _),
     "value_tracin" -> (valueTracin _),
     "value_tracin_self" -> (valueTracinSelf _),
     "quality_conformal" -> (qualityConformal _),
@@ -381,25 +392,26 @@ object LlmQueries14 {
     * here are always in [−20·10⁶, 0], so only the right-shift branch
     * exists), the product chain, and the final 10¹²/(10⁶+2^(−z))
     * division — all non-negative truncating integer ops. */
-  private def sigmoidCtes(tag: String, src: String): String =
-    s"""z$tag AS (SELECT doc_id, y, m,
+  private def sigmoidCtes(tag: String, src: String,
+      pfx: String = ""): String =
+    s"""${pfx}z$tag AS (SELECT doc_id, y, m,
        |    least((abs(CAST(m AS HUGEINT)) * 1442695) // 1000000,
        |      20000000) AS z0
        |  FROM $src),
-       |q$tag AS (SELECT doc_id, y, m,
+       |${pfx}q$tag AS (SELECT doc_id, y, m,
        |    (xs // 1000000) - 64 AS q,
        |    ((xs % 1000000) * 1048576) // 1000000 AS f
        |  FROM (SELECT doc_id, y, m,
        |      CAST(CASE WHEN m >= 0 THEN -z0 ELSE z0 END AS BIGINT)
        |        + 64000000 AS xs
-       |    FROM z$tag)),
-       |p$tag AS MATERIALIZED (SELECT doc_id, y, m,
+       |    FROM ${pfx}z$tag)),
+       |${pfx}p$tag AS MATERIALIZED (SELECT doc_id, y, m,
        |    CAST(CAST(1000000000000 AS HUGEINT) // (1000000 +
        |      (acc * 1000000) //
        |        (CAST(1 AS HUGEINT) << CAST(32 - q AS INTEGER)))
        |      AS BIGINT) AS p
        |  FROM (SELECT doc_id, y, m, q, ${exp2AccExpr("f")} AS acc
-       |    FROM q$tag CROSS JOIN cl))""".stripMargin
+       |    FROM ${pfx}q$tag CROSS JOIN cl))""".stripMargin
 
   /** The full unrolled GD trajectory of
     * [[graft.ops.QualityModel.logisticTrajectoryMicro]] (dim=64,
@@ -414,50 +426,58 @@ object LlmQueries14 {
     * (the TracIn shape) — with the default TRUE the two relations
     * coincide and nothing changes. */
   private def gdCtes(iters: Int, lrNum: Long, lrDen: Long,
-      withEpochs: Boolean, trainPred: String = "TRUE"): String = {
+      withEpochs: Boolean, trainPred: String = "TRUE",
+      pfx: String = ""): String = {
     def marginCte(t: Int): String =
-      s"""m$t AS (SELECT l.doc_id, l.y,
-         |    CAST((SELECT w FROM w${t - 1} WHERE bucket = -1)
+      s"""${pfx}m$t AS (SELECT l.doc_id, l.y,
+         |    CAST((SELECT w FROM ${pfx}w${t - 1} WHERE bucket = -1)
          |      + coalesce(s.mm, 0) AS BIGINT) AS m
          |  FROM laba l LEFT JOIN (SELECT f.doc_id, sum(f.n * w.w) AS mm
-         |      FROM f JOIN w${t - 1} w ON w.bucket = f.bucket GROUP BY 1) s
+         |      FROM f JOIN ${pfx}w${t - 1} w ON w.bucket = f.bucket
+         |      GROUP BY 1) s
          |    ON s.doc_id = l.doc_id)""".stripMargin
     val steps = (1 to iters).map { t =>
       s"""${marginCte(t)},
-         |${sigmoidCtes(t.toString, s"m$t")},
-         |r$t AS (SELECT doc_id, p - y * 1000000 AS r FROM p$t),
-         |g$t AS (SELECT w.bucket, w.w,
+         |${sigmoidCtes(t.toString, s"${pfx}m$t", pfx)},
+         |${pfx}r$t AS (SELECT doc_id, p - y * 1000000 AS r FROM ${pfx}p$t),
+         |${pfx}g$t AS (SELECT w.bucket, w.w,
          |    coalesce(sum(CAST(fb.n AS HUGEINT) * r.r), 0) AS g
-         |  FROM w${t - 1} w
-         |  LEFT JOIN fb ON fb.bucket = w.bucket
-         |  LEFT JOIN r$t r ON r.doc_id = fb.doc_id
+         |  FROM ${pfx}w${t - 1} w
+         |  LEFT JOIN ${pfx}fb fb ON fb.bucket = w.bucket
+         |  LEFT JOIN ${pfx}r$t r ON r.doc_id = fb.doc_id
          |  GROUP BY 1, 2),
-         |w$t AS MATERIALIZED (SELECT bucket,
+         |${pfx}w$t AS MATERIALIZED (SELECT bucket,
          |    w - CASE WHEN g >= 0
          |          THEN CAST((g * $lrNum) // (nd.nd * $lrDen) AS BIGINT)
          |          ELSE -CAST(((-g) * $lrNum) // (nd.nd * $lrDen) AS BIGINT)
          |        END AS w
-         |  FROM g$t CROSS JOIN ndocs nd)""".stripMargin
+         |  FROM ${pfx}g$t CROSS JOIN ${pfx}ndocs nd)""".stripMargin
     }.mkString(",\n")
     val epochTail = if (!withEpochs) "" else {
       val t = iters + 1
       ",\n" + s"""${marginCte(t)},
-         |${sigmoidCtes(t.toString, s"m$t")}""".stripMargin
+         |${sigmoidCtes(t.toString, s"${pfx}m$t", pfx)}""".stripMargin
     }
-    s"""laba AS MATERIALIZED (SELECT doc_id,
-       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
-       |lab AS (SELECT doc_id, y FROM laba WHERE $trainPred),
-       |nrm AS (SELECT doc_id, $normText AS norm FROM documents),
-       |wds AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM nrm),
-       |f AS MATERIALIZED (SELECT doc_id, ${hashSql(77, "wd")} % 64 AS bucket,
-       |    CAST(count(*) AS BIGINT) AS n
-       |  FROM wds WHERE wd <> '' GROUP BY 1, 2),
-       |fb AS (SELECT f.doc_id, f.bucket, f.n FROM f
-       |    JOIN lab ON lab.doc_id = f.doc_id
+    // laba / nrm / wds / f are chain-independent (all docs) — emitted
+    // once by the FIRST chain (pfx "") and shared; a prefixed chain
+    // emits only its own lab/fb/ndocs/weights/margins.
+    val shared = if (pfx.nonEmpty) "" else
+      s"""laba AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |nrm AS (SELECT doc_id, $normText AS norm FROM documents),
+         |wds AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS wd FROM nrm),
+         |f AS MATERIALIZED (SELECT doc_id, ${hashSql(77, "wd")} % 64 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM wds WHERE wd <> '' GROUP BY 1, 2),
+         |""".stripMargin
+    s"""$shared${pfx}lab AS (SELECT doc_id, y FROM laba WHERE $trainPred),
+       |${pfx}fb AS (SELECT f.doc_id, f.bucket, f.n FROM f
+       |    JOIN ${pfx}lab lab ON lab.doc_id = f.doc_id
        |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
-       |  FROM lab),
-       |ndocs AS (SELECT CAST(count(*) AS HUGEINT) AS nd FROM lab),
-       |w0 AS (SELECT CAST(range - 1 AS BIGINT) AS bucket,
+       |  FROM ${pfx}lab),
+       |${pfx}ndocs AS (SELECT CAST(count(*) AS HUGEINT) AS nd
+       |  FROM ${pfx}lab),
+       |${pfx}w0 AS (SELECT CAST(range - 1 AS BIGINT) AS bucket,
        |    CAST(0 AS BIGINT) AS w FROM range(65)),
        |$steps$epochTail""".stripMargin
   }
@@ -835,6 +855,39 @@ object LlmQueries14 {
        |ORDER BY query_id""".stripMargin
   }
 
+  /** Two full GD chains in one replay — the train-split model (the
+    * unprefixed chain, which also emits the shared laba/f relations)
+    * and the holdout "irreducible" model (prefix `h`) — then per
+    * train-split doc both base-2 losses at the final margins via the
+    * distinct-value log2 chain, rho, and the rho > 0 pin. */
+  private def rhoLossOracle: String =
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${gdCtes(iters = 3, lrNum = 1L, lrDen = 16L, withEpochs = true,
+          trainPred = "doc_id % 4 <> 0")},
+       |${gdCtes(iters = 3, lrNum = 1L, lrDen = 16L, withEpochs = true,
+          trainPred = "doc_id % 4 = 0", pfx = "h")},
+       |bl AS (SELECT doc_id,
+       |    greatest(CASE WHEN y = 1 THEN p ELSE 1000000 - p END, 1) AS pt
+       |  FROM p4 WHERE doc_id % 4 <> 0),
+       |al AS (SELECT doc_id,
+       |    greatest(CASE WHEN y = 1 THEN p ELSE 1000000 - p END, 1) AS pt
+       |  FROM hp4 WHERE doc_id % 4 <> 0),
+       |vals AS MATERIALIZED (SELECT DISTINCT pt AS v FROM
+       |  (SELECT pt FROM bl UNION ALL SELECT pt FROM al)
+       |  UNION SELECT 1000000),
+       |$log2ValueCtes,
+       |lb AS (SELECT bl.doc_id, l6.l - lp.l AS loss_micro
+       |  FROM bl JOIN lg lp ON lp.v = bl.pt
+       |  CROSS JOIN (SELECT l FROM lg WHERE v = 1000000) l6),
+       |la AS (SELECT al.doc_id, l6.l - lp.l AS irreducible_micro
+       |  FROM al JOIN lg lp ON lp.v = al.pt
+       |  CROSS JOIN (SELECT l FROM lg WHERE v = 1000000) l6)
+       |SELECT lb.doc_id, lb.loss_micro, la.irreducible_micro,
+       |  lb.loss_micro - la.irreducible_micro AS rho_micro,
+       |  lb.loss_micro - la.irreducible_micro > 0 AS selected
+       |FROM lb JOIN la ON la.doc_id = lb.doc_id
+       |ORDER BY lb.doc_id""".stripMargin
+
   private def fanoOracle: String =
     """WITH cnt AS (
       |  SELECT event_type AS g,
@@ -996,6 +1049,7 @@ object LlmQueries14 {
     "curation_forgetting" -> forgettingOracle,
     "quality_gd_curve" -> gdCurveOracle,
     "curation_data_diet" -> dataDietOracle,
+    "curation_rho_loss" -> rhoLossOracle,
     "value_tracin" -> tracinOracle,
     "value_tracin_self" -> tracinSelfOracle,
     "quality_conformal" -> conformalOracle,

@@ -484,6 +484,57 @@ class QualityModelSpec extends SparkSpec {
     assert(got.getLong(3) == gaps.map(t => t._2 / t._1).max, got.toString)
   }
 
+  test("rho-loss: exact two-model replay; flipped-label docs score low rho") {
+    import spark.implicits._
+    val r = new scala.util.Random(47)
+    val good = (1 to 8).map(i => s"good$i")
+    val bad = (1 to 8).map(i => s"bad$i")
+    def doc(v: Seq[String]) =
+      (1 to 9).map(_ => v(r.nextInt(v.size))).mkString(" ")
+    // clean separable corpus + 6 flipped-label train docs (ids chosen
+    // not divisible by 4 -> all in the train split)
+    val flipped = Seq(101L, 102L, 103L, 105L, 106L, 107L)
+    val rows = (1 to 40).map(i => (i.toLong, doc(good), 1)) ++
+      (41 to 80).map(i => (i.toLong, doc(bad), 0)) ++
+      flipped.map(i => (i, doc(good), 0))
+    val docs = rows.toDF("doc_id", "text", "label")
+    val got = QualityModel.rhoLossScores(docs, calMod = 4, dim = 32,
+        iters = 4, lrNum = 1L, lrDen = 8L)
+      .collect().map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3),
+          row.getBoolean(4)))).toMap
+    // train split only
+    assert(got.keySet == rows.map(_._1).filter(_ % 4 != 0).toSet)
+    got.foreach { case (id, (l, irr, rho, sel)) =>
+      assert(rho == l - irr && sel == (rho > 0), s"doc $id")
+    }
+    // independent replay: losses under each model's final weights
+    val hold = docs.filter(col("doc_id") % 4 === 0)
+    val train = docs.filter(col("doc_id") % 4 =!= 0)
+    val wA = QualityModel.logisticTrajectoryMicro(hold, 32, 4, 1L, 8L).last
+    val wB = QualityModel.logisticTrajectoryMicro(train, 32, 4, 1L, 8L).last
+    val feats = QualityModel.hashedFeatures(train, 32).collect()
+      .map(row => (row.getLong(0), row.getLong(1).toInt, row.getLong(2)))
+    val ys = rows.map(t => t._1 -> t._3.toLong).toMap
+    val l6 = graft.functions.ExactMicroOps.log2Micro(1000000L)
+    def loss(id: Long, w: (Array[Long], Long)) = {
+      val m = w._2 + feats.collect { case (i, k, n) if i == id => n * w._1(k) }.sum
+      val p = graft.functions.ExactMicroOps.sigmoidMicro(m)
+      val pt = if (ys(id) == 1L) p else 1000000L - p
+      l6 - graft.functions.ExactMicroOps.log2Micro(math.max(pt, 1L))
+    }
+    got.foreach { case (id, (l, irr, _, _)) =>
+      assert(l == loss(id, wB) && irr == loss(id, wA), s"doc $id")
+    }
+    // flipped docs: the holdout model (clean labels only in effect)
+    // assigns them HUGE irreducible loss -> rho collapses below the
+    // median clean-train-doc rho (the paper's noise rejection)
+    val cleanRho = got.collect { case (id, v) if id <= 80 => v._3 }.toSeq.sorted
+    val flipRho = flipped.map(i => got(i)._3)
+    assert(flipRho.max < cleanRho(cleanRho.size / 2),
+      s"flipped rho ${flipRho.max} not below clean median")
+  }
+
   test("cartography: clean examples easy, flipped labels hard, exact stats") {
     import spark.implicits._
     val r = new scala.util.Random(13)
