@@ -2130,34 +2130,88 @@ object TextAnalysis {
       .withColumn("__lx", lg(col("rank")))
       .withColumn("__ly", lg(col("c")))
       .select(expr("__lx div 1000").as("x"), expr("__ly div 1000").as("y"))
+    logLogFit(xy, "n_words")
+  }
+
+  /** Exact least-squares fit over an (x, y) milli-log relation — the
+    * closed-form slope/intercept/r² shared by [[zipfFit]] and
+    * [[heapsFit]]: every sum exact, every division sign-split, the
+    * milli quantization keeping r²'s squared numerator inside
+    * DECIMAL(38,0). One 5-sum aggregate, one-row output. */
+  private def logLogFit(xy: DataFrame, nCol: String): DataFrame = {
+    val dec = "DECIMAL(38,0)"
     val sums = xy.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(expr(s"CAST(x AS $dec) * x")).as("sxx"),
       sum(expr(s"CAST(y AS $dec) * y")).as("syy"),
       sum(expr(s"CAST(x AS $dec) * y")).as("sxy"))
-    sums.select(col("n").as("n_words"),
+    sums.select(col("n").as(nCol),
       expr(s"""CAST(n AS $dec) * sxy - CAST(sx AS $dec) * sy""").as("__num"),
       expr(s"""CAST(n AS $dec) * sxx - CAST(sx AS $dec) * sx""").as("__dx"),
       expr(s"""CAST(n AS $dec) * syy - CAST(sy AS $dec) * sy""").as("__dy"),
       col("sx"), col("sy"))
-      .select(col("n_words"),
-        // slope in micro: num·10⁶/dx, magnitude-then-sign (num < 0 for
-        // any Zipf-like head; dx > 0 whenever n_words ≥ 2 distinct ranks)
+      .select(col(nCol),
+        // slope in micro: num·10⁶/dx, magnitude-then-sign (dx > 0
+        // whenever there are ≥ 2 distinct x values)
         expr("""CAST(CASE WHEN __dx = 0 THEN 0
                |  WHEN __num >= 0 THEN (__num * 1000000) div __dx
                |  ELSE -((-__num * 1000000) div __dx) END AS BIGINT)"""
           .stripMargin).as("slope_micro"),
         // intercept (milli, the x/y unit): (sy − slope·sx/10⁶)/n —
         // computed as (sy·__dx − __num·sx)·sign-split / (n·__dx)
-        expr("""CAST(CASE WHEN __dx = 0 THEN 0
+        expr(s"""CAST(CASE WHEN __dx = 0 THEN 0
                |  WHEN CAST(sy AS DECIMAL(38,0)) * __dx - __num * sx >= 0
                |  THEN (CAST(sy AS DECIMAL(38,0)) * __dx - __num * sx)
-               |    div (CAST(n_words AS DECIMAL(38,0)) * __dx)
+               |    div (CAST($nCol AS DECIMAL(38,0)) * __dx)
                |  ELSE -((-(CAST(sy AS DECIMAL(38,0)) * __dx - __num * sx))
-               |    div (CAST(n_words AS DECIMAL(38,0)) * __dx))
+               |    div (CAST($nCol AS DECIMAL(38,0)) * __dx))
                |END AS BIGINT)""".stripMargin).as("intercept_milli"),
         expr("""CAST(CASE WHEN __dx = 0 OR __dy = 0 THEN 0
                |  ELSE (__num * __num * 1000000) div (__dx * __dy)
                |END AS BIGINT)""".stripMargin).as("r2_micro"))
+  }
+
+  /** Heaps'-law fit V(N) = K·N^β over doc-bucket growth points — the
+    * vocabulary-growth exponent (natural corpora: β ≈ 0.4–0.6 with a
+    * straight log-log line; templated/synthetic corpora saturate,
+    * reading β ≈ 0 with poor r² — the [[zipfFit]] diagnostic's
+    * companion): per `bucketDocs`-sized doc bucket, cumulative token
+    * count N and cumulative distinct-word count V (a word counts at its
+    * FIRST doc bucket — one combine-agg, no rescan), cumulated via the
+    * bucket-relation triangular self-join (bounded by the bucket count,
+    * the [[vocabGrowth]] shape), then the exact milli-log least squares
+    * of log V on log N. Zero-token buckets are excluded (log of 0). */
+  def heapsFit(docs: DataFrame, bucketDocs: Long = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bucketDocs > 0, "bucketDocs must be positive")
+    val lg = graft.functions.VectorFunctions.log2_micro _
+    val words = docs
+      .select(col(idCol).cast("long").as("__id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .localCheckpoint(false) // feeds first-bucket AND token counts
+    val newPerBucket = words
+      .groupBy(col("w")).agg(min(col("__id")).as("__first"))
+      .groupBy(expr(s"__first div $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("new_words"))
+    val toksPerBucket = words
+      .groupBy(expr(s"__id div $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("toks"))
+    val buckets = toksPerBucket
+      .join(newPerBucket, Seq("bucket"), "left")
+      .select(col("bucket"), col("toks"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .localCheckpoint(false) // both triangular sides
+    val xy = buckets.alias("a")
+      .join(buckets.select(col("bucket").as("__b2"),
+        col("toks").as("__t2"), col("new_words").as("__n2")),
+        col("__b2") <= col("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__t2")).as("__ct"), sum(col("__n2")).as("__cv"))
+      .filter(col("__ct") >= 1L && col("__cv") >= 1L)
+      .withColumn("__lx", lg(col("__ct")))
+      .withColumn("__ly", lg(col("__cv")))
+      .select(expr("__lx div 1000").as("x"), expr("__ly div 1000").as("y"))
+    logLogFit(xy, "n_points")
   }
 }

@@ -189,6 +189,15 @@ object LlmQueries14 {
         T.par(spark, T.t(spark, dir, "events")))
       .orderBy(col("event_type"))
 
+  /** Heaps'-law vocabulary-growth fit
+    * ([[graft.ops.TextAnalysis.heapsFit]]): exponent β and r² of
+    * log V on log N over 50-doc buckets — the [[textZipfFit]]
+    * diagnostic's companion (natural corpora β ≈ 0.4–0.6; saturated
+    * vocabularies read β ≈ 0). */
+  def textHeapsFit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.heapsFit(
+      T.par(spark, T.t(spark, dir, "documents")), bucketDocs = 50)
+
   /** Exact nDCG@5 + true-NN MRR of the 8-dim ±1 sign-projection
     * ranking against the full-dimension cosine ground truth
     * ([[graft.ops.Similarity.ndcgAtK]] over
@@ -255,6 +264,7 @@ object LlmQueries14 {
     "event_fano" -> (eventFano _),
     "sample_coreset_kcenter" -> (sampleCoresetKcenter _),
     "text_zipf_fit" -> (textZipfFit _),
+    "text_heaps_fit" -> (textHeapsFit _),
     "mix_doremi_weights" -> (mixDoremiWeights _),
   )
 
@@ -950,6 +960,31 @@ object LlmQueries14 {
        |FROM wa ORDER BY event_type""".stripMargin
   }
 
+  /** The shared log-log least-squares tail over an `xy(x, y)` CTE —
+    * the [[graft.ops.TextAnalysis]] `logLogFit` closed forms with
+    * HUGEINT sums and sign-split divisions. */
+  private def fitTailSql(nCol: String): String =
+    s"""s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(y * y) AS HUGEINT) AS syy,
+       |    CAST(sum(x * y) AS HUGEINT) AS sxy FROM xy),
+       |d AS (SELECT n, sx, sy, n * sxy - sx * sy AS num,
+       |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy FROM s)
+       |SELECT CAST(n AS BIGINT) AS $nCol,
+       |  CAST(CASE WHEN dx = 0 THEN 0
+       |       WHEN num >= 0 THEN (num * 1000000) // dx
+       |       ELSE -((-num * 1000000) // dx) END AS BIGINT) AS slope_micro,
+       |  CAST(CASE WHEN dx = 0 THEN 0
+       |       WHEN sy * dx - num * sx >= 0
+       |       THEN (sy * dx - num * sx) // (n * dx)
+       |       ELSE -((-(sy * dx - num * sx)) // (n * dx))
+       |  END AS BIGINT) AS intercept_milli,
+       |  CAST(CASE WHEN dx = 0 OR dy = 0 THEN 0
+       |       ELSE (num * num * 1000000) // (dx * dy)
+       |  END AS BIGINT) AS r2_micro
+       |FROM d""".stripMargin
+
   private def zipfOracle: String =
     s"""WITH nrm AS (SELECT $normText AS norm FROM documents),
        |wds AS (SELECT unnest(string_split(norm, ' ')) AS w FROM nrm),
@@ -963,26 +998,32 @@ object LlmQueries14 {
        |$log2ValueCtes,
        |xy AS (SELECT lx.l // 1000 AS x, ly.l // 1000 AS y
        |  FROM hd JOIN lg lx ON lx.v = hd.rnk JOIN lg ly ON ly.v = hd.c),
-       |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
-       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
-       |    CAST(sum(x * x) AS HUGEINT) AS sxx,
-       |    CAST(sum(y * y) AS HUGEINT) AS syy,
-       |    CAST(sum(x * y) AS HUGEINT) AS sxy FROM xy),
-       |d AS (SELECT n, sx, sy, n * sxy - sx * sy AS num,
-       |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy FROM s)
-       |SELECT CAST(n AS BIGINT) AS n_words,
-       |  CAST(CASE WHEN dx = 0 THEN 0
-       |       WHEN num >= 0 THEN (num * 1000000) // dx
-       |       ELSE -((-num * 1000000) // dx) END AS BIGINT) AS slope_micro,
-       |  CAST(CASE WHEN dx = 0 THEN 0
-       |       WHEN sy * dx - num * sx >= 0
-       |       THEN (sy * dx - num * sx) // (n * dx)
-       |       ELSE -((-(sy * dx - num * sx)) // (n * dx))
-       |  END AS BIGINT) AS intercept_milli,
-       |  CAST(CASE WHEN dx = 0 OR dy = 0 THEN 0
-       |       ELSE (num * num * 1000000) // (dx * dy)
-       |  END AS BIGINT) AS r2_micro
-       |FROM d""".stripMargin
+       |${fitTailSql("n_words")}""".stripMargin
+
+  private def heapsOracle: String =
+    s"""WITH nrm AS (SELECT doc_id, $normText AS norm FROM documents),
+       |w AS (SELECT doc_id AS id, unnest(string_split(norm, ' ')) AS wd
+       |  FROM nrm),
+       |wf AS MATERIALIZED (SELECT id, wd FROM w WHERE wd <> ''),
+       |npb AS (SELECT f // 50 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS nw
+       |  FROM (SELECT wd, min(id) AS f FROM wf GROUP BY 1) GROUP BY 1),
+       |tpb AS (SELECT id // 50 AS bucket, CAST(count(*) AS BIGINT) AS toks
+       |  FROM wf GROUP BY 1),
+       |bk AS MATERIALIZED (SELECT t.bucket, t.toks,
+       |    coalesce(n.nw, 0) AS nw
+       |  FROM tpb t LEFT JOIN npb n ON n.bucket = t.bucket),
+       |cum AS (SELECT a.bucket, CAST(sum(b.toks) AS BIGINT) AS ct,
+       |    CAST(sum(b.nw) AS BIGINT) AS cv
+       |  FROM bk a JOIN bk b ON b.bucket <= a.bucket GROUP BY 1),
+       |pts AS (SELECT ct, cv FROM cum WHERE ct >= 1 AND cv >= 1),
+       |vals AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |  SELECT ct AS v FROM pts UNION ALL SELECT cv FROM pts)),
+       |$log2ValueCtes,
+       |xy AS (SELECT lx.l // 1000 AS x, ly.l // 1000 AS y
+       |  FROM pts JOIN lg lx ON lx.v = pts.ct
+       |  JOIN lg ly ON ly.v = pts.cv),
+       |${fitTailSql("n_points")}""".stripMargin
 
   private def doremiOracle: String = {
     val rounds = (1 to 4).map { r =>
@@ -1060,6 +1101,7 @@ object LlmQueries14 {
     "event_fano" -> fanoOracle,
     "sample_coreset_kcenter" -> coresetOracle,
     "text_zipf_fit" -> zipfOracle,
+    "text_heaps_fit" -> heapsOracle,
     "mix_doremi_weights" -> doremiOracle,
     "event_autocorr" ->
       """WITH cnt AS (

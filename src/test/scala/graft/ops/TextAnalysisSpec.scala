@@ -937,6 +937,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got2.getLong(1) == slope && got2.getLong(3) == r2)
   }
 
+  test("heaps fit: growing-vocab corpus reads beta > 0, exact replay") {
+    import spark.implicits._
+    // docs introduce NEW words steadily: doc i has words w{5i}..w{5i+4}
+    // plus fillers -> V grows like N^beta with beta in (0, 1)
+    val docs = (0 until 40).map { i =>
+      val fresh = (0 until 5).map(j => s"w${i * 5 + j}")
+      val filler = Seq.fill(15)("the")
+      (i.toLong, (fresh ++ filler).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.heapsFit(docs, bucketDocs = 5).collect()(0)
+    val (n, slope, _, r2) = (got.getLong(0), got.getLong(1),
+      got.getLong(2), got.getLong(3))
+    assert(n == 8L)
+    assert(slope > 500000L && slope < 1100000L, s"slope $slope")
+    assert(r2 > 900000L, s"r2 $r2")
+    // exact replay: cumulative tokens/vocab per bucket -> milli logs ->
+    // closed forms
+    import graft.functions.ExactMicroOps.log2Micro
+    val pts = (1 to 8).map { b =>
+      val nDocs = b * 5
+      val toks = nDocs * 20L
+      val vocab = nDocs * 5L + 1L // fresh words + 'the'
+      (log2Micro(toks) / 1000L, log2Micro(vocab) / 1000L)
+    }
+    val nn = BigInt(pts.size)
+    val sx = BigInt(pts.map(_._1).sum); val sy = BigInt(pts.map(_._2).sum)
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val num = nn * sxy - sx * sy
+    val dx = nn * sxx - sx * sx
+    val eSlope = ((num.abs * 1000000) / dx) * num.signum
+    assert(slope == eSlope.toLong, s"$slope vs $eSlope")
+  }
+
   test("wordpiece: greedy longest-match, UNK-whole-chunk, position kinds") {
     // hand-built vocab: initial {hel, h, e, l, o}, continuation
     // {lo, l, o, e} -- "hello" greedy: hel (initial, longest) + lo = 2
