@@ -534,6 +534,66 @@ object Components {
       .select(col("u").as("id"), col("core_degree"))
   }
 
+  /** k-truss decomposition by support peeling (Cohen 2008) — the
+    * triangle-cohesion refinement of [[kCore]]: keep an edge only while
+    * its SUPPORT (triangles through it) stays ≥ k−2, re-counting after
+    * each peel. A k-truss is a strictly stronger community signal than
+    * a k-core (every edge is reinforced by k−2 common neighbours;
+    * bridges and stars that survive coring die here) — the near-dup
+    * cluster-backbone extractor.
+    *
+    * Exact and deterministic: per sweep ONE wedge equi-join on the
+    * symmetrized distinct edge relation (u-keyed fan-out, (v, w)-keyed
+    * closure check — never a cartesian), an integer support count, and
+    * an inner-join peel (an edge in no triangle has no support row and
+    * drops, which is the k ≥ 3 semantics); `sweeps` bounds the rounds
+    * with early convergence on a stable edge count, the [[kCore]]
+    * discipline (per-sweep localCheckpoint, loud-free — peeling is
+    * monotone so a sweep cap UNDER-peels, never corrupts; the fixpoint
+    * is reached when the count stabilizes).
+    *
+    * Output: canonical (id_a < id_b) surviving edges with their final
+    * recomputed support. */
+  def kTruss(pairs: DataFrame, k: Int, sweeps: Int = 3,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    require(k >= 3 && sweeps >= 1, "need k >= 3 and sweeps >= 1")
+    // canonicalize (least, greatest) BEFORE distinct — a directed input
+    // carrying both orientations (mutual k-NN edges) would otherwise
+    // duplicate after the symmetrizing union and double every wedge
+    // count through it (the betweennessFromSeeds discipline)
+    val und = pairs.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
+    var edges = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false)
+    def support(e: DataFrame): DataFrame = e
+      .join(e.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("w") =!= col("v"))
+      .join(e.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"),
+        "leftsemi")
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    var n = edges.count()
+    var converged = false
+    var it = 0
+    while (it < sweeps && !converged) {
+      edges = edges
+        .join(support(edges).filter(col("support") >= (k - 2).toLong),
+          Seq("u", "v"))
+        .select(col("u"), col("v"))
+        .localCheckpoint(false)
+      val m = edges.count()
+      converged = m == n
+      n = m
+      it += 1
+    }
+    support(edges)
+      .filter(col("u") < col("v"))
+      .select(col("u").as(aCol), col("v").as(bCol), col("support"))
+  }
+
   /** Personalized PageRank (random walk with restart to the SEED set):
     * the teleport mass lands only on seeds — u0 = unit div |seeds| per
     * seed, zero elsewhere — so rank measures proximity-weighted

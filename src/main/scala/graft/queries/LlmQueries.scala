@@ -692,7 +692,7 @@ object LlmQueries {
        |  + least($stopSql * 5, CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE), 6)""".stripMargin
 
   // IVF oracle fragments: double-cast vectors, cosine between aliases.
-  private def ivfCos(a: String, b: String) =
+  private[queries] def ivfCos(a: String, b: String) =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   /** Sign-LSH bucket replicated in SQL from the SAME seeded hyperplanes

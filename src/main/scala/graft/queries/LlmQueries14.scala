@@ -234,6 +234,23 @@ object LlmQueries14 {
         T.par(spark, T.t(spark, dir, "embeddings")), k = 8)
       .orderBy(col("rank"))
 
+  /** 3-truss backbone of the BOUNDED-DEGREE k-NN similarity graph
+    * ([[graft.ops.Components.kTruss]] over
+    * [[graft.ops.Similarity.knnGraph]] k=3 edges): support peeling
+    * drops every neighbor edge not reinforced by a common neighbour —
+    * bridges and hub spokes that survive k-core die here. The k-NN
+    * relation (NOT the near-dup pair relation) is the deliberate truss
+    * substrate: its out-degree bound keeps the wedge join
+    * n·k²-shaped at every scale, where the dup-clique pair graph's
+    * c³-per-clique wedges would not be. */
+  def graphKtruss(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Components.kTruss(
+        graft.ops.Similarity.knnGraph(
+            T.par(spark, T.t(spark, dir, "embeddings")), k = 3)
+          .select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b")),
+        k = 3, sweeps = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** DoReMi-shaped domain reweighting
     * ([[graft.ops.Curation.doremiDomainWeights]]): per-language excess
     * loss = KL(domain ‖ corpus) over exact fixed-point log2, then 4
@@ -265,6 +282,7 @@ object LlmQueries14 {
     "sample_coreset_kcenter" -> (sampleCoresetKcenter _),
     "text_zipf_fit" -> (textZipfFit _),
     "text_heaps_fit" -> (textHeapsFit _),
+    "graph_ktruss" -> (graphKtruss _),
     "mix_doremi_weights" -> (mixDoremiWeights _),
   )
 
@@ -1025,6 +1043,51 @@ object LlmQueries14 {
        |  JOIN lg ly ON ly.v = pts.cv),
        |${fitTailSql("n_points")}""".stripMargin
 
+  /** Support-peeling replay over the k-NN graph chain (the
+    * sim_knn_graph derivation: LSH buckets, hamming-1 multi-probe,
+    * per-query top-3): symmetrized distinct edges, per sweep one wedge
+    * join (u-keyed fan-out + (v, w) closure) counting supports,
+    * inner-join peel at sup ≥ k−2, final supports on the fixpoint. */
+  private def ktrussOracle: String = {
+    val k = 3; val sweeps = 3
+    def supCte(name: String, src: String): String =
+      s"""$name AS (SELECT a.src, a.dst, CAST(count(*) AS BIGINT) AS sup
+         |  FROM $src a JOIN $src b ON b.src = a.src AND b.dst <> a.dst
+         |  JOIN $src c ON c.src = a.dst AND c.dst = b.dst
+         |  GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to sweeps).map { i =>
+      s"""${supCte(s"s$i", s"e${i - 1}")},
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN s$i s ON s.src = e.src AND s.dst = e.dst
+         |  WHERE s.sup >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bkt AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    ${LlmQueries.lshBucketSql("embedding")} AS b
+       |  FROM embeddings),
+       |prb AS (
+       |  SELECT vec_id AS qid, v AS qv, p.pb
+       |  FROM bkt, unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)])
+       |    AS p(pb)),
+       |cand AS (
+       |  SELECT q.qid, c.vec_id AS nid, q.qv, c.v
+       |  FROM prb q JOIN bkt c ON c.b = q.pb AND c.vec_id <> q.qid),
+       |knn AS MATERIALIZED (SELECT qid, nid FROM (
+       |  SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY ${LlmQueries.ivfCos("qv", "v")} DESC, nid) AS rank
+       |  FROM cand)
+       |  WHERE rank <= 3),
+       |e0 AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT qid AS src, nid AS dst FROM knn
+       |  UNION ALL SELECT nid, qid FROM knn)),
+       |$rounds,
+       |${supCte("sf", s"e$sweeps")}
+       |SELECT src AS id_a, dst AS id_b, sup AS support
+       |FROM sf WHERE src < dst
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private def doremiOracle: String = {
     val rounds = (1 to 4).map { r =>
       s"""u$r AS (SELECT domain, n_docs, n_tokens, kl_micro, excess_micro,
@@ -1102,6 +1165,7 @@ object LlmQueries14 {
     "sample_coreset_kcenter" -> coresetOracle,
     "text_zipf_fit" -> zipfOracle,
     "text_heaps_fit" -> heapsOracle,
+    "graph_ktruss" -> ktrussOracle,
     "mix_doremi_weights" -> doremiOracle,
     "event_autocorr" ->
       """WITH cnt AS (

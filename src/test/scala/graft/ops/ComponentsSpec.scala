@@ -5,6 +5,32 @@ import graft.SparkSpec
 
 class ComponentsSpec extends SparkSpec {
 
+  test("ktruss: peels the bridge, keeps the clique, exact supports") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + a bridge 4-5 + a pendant triangle {5,6,7}
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val pairs = (k4 ++ Seq((4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L)))
+      .toDF("id_a", "id_b")
+    // 3-truss (support >= 1): bridge 4-5 is in no triangle -> peeled;
+    // both the K4 and the triangle survive
+    val t3 = Components.kTruss(pairs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3.keySet == (k4 ++ Seq((5L, 6L), (5L, 7L), (6L, 7L))).toSet, t3)
+    assert(t3((1L, 2L)) == 2L && t3((5L, 6L)) == 1L, t3.toString)
+    // 4-truss (support >= 2): only the K4 survives (triangle edges have
+    // support 1); peeling the triangle does not disturb K4 supports
+    val t4 = Components.kTruss(pairs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4.keySet == k4.toSet, t4.toString)
+    assert(t4.values.forall(_ == 2L))
+    // 5-truss: K4 edges have support 2 < 3 -> everything peels
+    assert(Components.kTruss(pairs, k = 5).count() == 0L)
+    // partition invariance
+    val t3b = Components.kTruss(pairs.repartition(5), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3 == t3b)
+  }
+
   /** threshold=0 forces the distributed large-star/small-star loop (the
     * default would route these tiny graphs to the driver union-find). */
   def cc(pairs: (Long, Long)*): Map[Long, Long] = {
