@@ -32,6 +32,7 @@ object SparkEntry {
       graft.queries.LlmQueries12.queries ++
       graft.queries.LlmQueries13.queries ++
       graft.queries.LlmQueries14.queries ++
+      graft.queries.LlmQueries15.queries ++
       graft.queries.PqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +55,6 @@ object SparkEntry {
       graft.queries.LlmQueries12.oracle ++
       graft.queries.LlmQueries13.oracle ++
       graft.queries.LlmQueries14.oracle ++
+      graft.queries.LlmQueries15.oracle ++
       graft.queries.PqQueries.oracle
 }

@@ -268,6 +268,81 @@ object Curation {
       .drop("__p")
   }
 
+  /** UniMax language sampling (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): allocate a total token `budget` across
+    * strata so every stratum is as close to UNIFORM as its data allows
+    * without repeating any stratum more than `maxEpochs` times — the
+    * fix for temperature sampling's head-domination/tail-overfitting
+    * tradeoff. Waterfilling closed form: with per-stratum caps
+    * cap_l = maxEpochs·n_l ranked ascending (ties to the lower stratum
+    * name), the capped set is the maximal prefix k where every member
+    * satisfies cap_r·(L−r+1) ≤ B−S_{r−1} (its cap fits under an equal
+    * split of what remains); members get cap_r, everyone else gets an
+    * equal share ⌊(B−S_k)/(L−k)⌋ of the remainder. The prefix condition
+    * is monotone for ascending caps, so k is well-defined; all integer
+    * arithmetic (the one share division floors, DECIMAL(38,0) products
+    * in the fit test), so the plan replays exactly.
+    *
+    * Output per stratum: token mass, cap, rank, capped flag,
+    * alloc_tokens, epochs_micro = 10⁶·alloc/n (≤ maxEpochs·10⁶ by
+    * construction), and the global leftover ⌊·⌋ dust.
+    *
+    * Scale shape: ONE combine-agg to the |strata|-row mass relation;
+    * rank and prefix sum via the triangular self-join on that bounded
+    * relation (the [[graft.ops.TextAnalysis]] zipfFit pattern — no
+    * global window), two one-row aggregates broadcast back. Strata are
+    * languages/sources — tens to thousands of rows, never corpus-
+    * proportional. */
+  def planMixUnimax(docs: DataFrame, strataCol: String, tokens: Column,
+      budget: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(maxEpochs >= 1 && maxEpochs <= 1000, "maxEpochs in [1, 1000]")
+    val dec = "DECIMAL(38,0)"
+    val counts = docs.groupBy(col(strataCol))
+      .agg(sum(tokens.cast("long")).as("n_tokens"))
+      .withColumn("cap_tokens", expr(s"${maxEpochs}L * n_tokens"))
+      .localCheckpoint(false) // |strata| rows; both triangular sides + L
+    val lrel = counts.agg(count(lit(1)).as("__l"))
+    // rank ascending by (cap, stratum) + exclusive prefix sum, one join
+    val ranked = counts.as("a")
+      .join(counts.select(col("cap_tokens").as("__c2"),
+          col(strataCol).as("__s2")),
+        col("__c2") < col("cap_tokens") ||
+          (col("__c2") === col("cap_tokens") && col("__s2") < col(strataCol)),
+        "left")
+      .groupBy(col(strataCol), col("n_tokens"), col("cap_tokens"))
+      .agg(count(col("__s2")).as("__before"),
+        coalesce(sum(col("__c2")), lit(0L)).as("__prefix"))
+      .withColumn("rank", col("__before") + lit(1L))
+      .crossJoin(broadcast(lrel))
+      // the waterfilling fit test: this stratum's cap fits under an
+      // equal split of the budget left after every smaller cap is paid
+      .withColumn("__fits", expr(
+        s"""CAST(cap_tokens AS $dec) * (__l - rank + 1)
+           | <= CAST(${budget}L - __prefix AS $dec)""".stripMargin))
+      .localCheckpoint(false) // feeds the k aggregate AND the plan rows
+    val krel = ranked.agg(
+      coalesce(max(when(col("__fits"), col("rank"))), lit(0L)).as("__k"),
+      coalesce(sum(when(col("__fits"), col("cap_tokens"))), lit(0L))
+        .as("__sk"))
+    val plan = ranked.crossJoin(broadcast(krel))
+      .withColumn("capped", col("rank") <= col("__k"))
+      .withColumn("__share", expr(
+        s"(${budget}L - __sk) div greatest(__l - __k, 1L)"))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens")).otherwise(col("__share")))
+      .withColumn("epochs_micro", expr(
+        s"CAST(CAST(alloc_tokens AS $dec) * 1000000 div " +
+          s"CAST(greatest(n_tokens, 1L) AS $dec) AS BIGINT)"))
+    val leftover = plan.agg(
+      (lit(budget) - sum(col("alloc_tokens"))).as("leftover_tokens"))
+    plan.crossJoin(broadcast(leftover))
+      .select(col(strataCol), col("n_tokens"), col("cap_tokens"),
+        col("rank"), col("capped"), col("alloc_tokens"),
+        col("epochs_micro"), col("leftover_tokens"))
+  }
+
   /** Per-stratum rank normalization — put scores from different sources
     * (or different scoring models) on ONE comparable [0, 1] scale before
     * mixing: pct = 10⁶·(rank−1) div (n−1), rank by (score asc, key) —

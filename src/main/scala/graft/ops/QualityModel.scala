@@ -808,7 +808,12 @@ object QualityModel {
     * bit-for-bit.
     *
     * Calibration split: idCol % calMod == 0 (the held-out convention);
-    * eval = the rest. If k exceeds n (α too small for the calibration
+    * eval = the rest. The score model is trained on the NON-calibration
+    * split only and then scores every doc (ADVICE r13: split conformal
+    * requires the score function be fit on data disjoint from the
+    * calibration set, else exchangeability — and with it the coverage
+    * guarantee — breaks; [[rhoLossScores]]' two-model split is the same
+    * discipline). If k exceeds n (α too small for the calibration
     * size) the set is everything — q̂ pins to 10⁶ (the max possible
     * nonconformity) and all rows are covered, deterministically.
     *
@@ -822,10 +827,21 @@ object QualityModel {
       labelCol: String = "label", textCol: String = "text"): DataFrame = {
     require(calMod >= 2 && alphaMicro > 0L && alphaMicro < 1000000L,
       "need calMod >= 2 and alpha in (0, 1)")
-    val s = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
-        idCol, labelCol, textCol)
+    // trajectory from the non-calibration split; margins for ALL docs
+    // (the tracinInfluence train/score decomposition)
+    val (feats, labels) = checkpointedFeatsLabels(docs, dim, idCol,
+      labelCol, textCol)
+    val (fTr, lTr) = checkpointedFeatsLabels(
+      docs.filter(pmod(col(idCol), lit(calMod.toLong)) =!= 0L),
+      dim, idCol, labelCol, textCol)
+    val traj = trajectoryFrom(fTr, lTr, dim, iters, lrNum, lrDen)
+    val s = marginsAllEpochs(feats, labels, traj)
       .filter(col("epoch") === iters.toLong)
-      .select(col(idCol), (lit(1000000L) - col("p_true_micro")).as("s"))
+      .withColumn("__p",
+        graft.functions.VectorFunctions.sigmoid_micro(col("m")))
+      .select(col("id").as(idCol),
+        (lit(1000000L) - when(col("y") === 1L, col("__p"))
+          .otherwise(lit(1000000L) - col("__p"))).as("s"))
       .localCheckpoint(false) // feeds the calibration quantile AND eval
     val cal = s.filter(pmod(col(idCol), lit(calMod.toLong)) === 0L)
     val per = cal.groupBy(col("s").as("v")).agg(count(lit(1)).as("__c"))
@@ -882,6 +898,69 @@ object QualityModel {
         max(expr("__gap div n")).as("mce_micro"))
       .select(col("n_docs"), col("n_bins"),
         expr("__tg div n_docs").as("ece_micro"), col("mce_micro"))
+  }
+
+  /** Exact Murphy (1973) decomposition of the Brier score of the
+    * final-epoch GD model over equal-width probability bins — the
+    * companion readout to [[calibrationError]]'s ECE/MCE that SPLITS a
+    * proper score: Brier ≈ reliability − resolution + uncertainty,
+    * where reliability (lower is better) is the calibration term,
+    * resolution (higher is better) is how far bin outcome rates sit
+    * from the base rate, and uncertainty ō(1−ō) is the irreducible
+    * outcome variance. With binned (not per-distinct-value) forecasts
+    * the identity carries a within-bin-variance remainder bounded by
+    * binWidth²/12 (Stephenson's generalized decomposition) — the three
+    * reported terms are the standard binned estimators.
+    *
+    * Quantization contract: per-bin means are floored ONCE to micro
+    * (p̄_k = ⌊Σp/n_k⌋, ō_k = ⌊10⁶·o_k/n_k⌋, ō = ⌊10⁶·o/N⌋), the three
+    * terms are then exact sums of n_k·(gap)² divided once by N·10⁶ —
+    * so every intermediate is ≤ N·10¹² (DECIMAL(38,0)-safe at ANY
+    * corpus size; no N⁴ blowup), the decomposition identity holds to
+    * the floor drift (≤ a few micro), and both engines replay the
+    * numbers bit-for-bit. Brier itself is computed directly from the
+    * raw (p − 10⁶y)² sum, not from the identity.
+    *
+    * Scale shape: epoch relation → one combine-agg to the ≤ 10⁶/
+    * binWidth bin relation → one-row aggregate. */
+  def brierDecomposition(docs: DataFrame, dim: Int = 64, iters: Int = 3,
+      lrNum: Long = 1L, lrDen: Long = 16L, binWidth: Long = 100000L,
+      idCol: String = "doc_id", labelCol: String = "label",
+      textCol: String = "text"): DataFrame = {
+    require(binWidth > 0L && binWidth <= 1000000L, "bad binWidth")
+    val dec = "DECIMAL(38,0)"
+    val bins = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
+        idCol, labelCol, textCol)
+      .filter(col("epoch") === iters.toLong)
+      .withColumn("__y",
+        ((col("margin") > 0L) === col("correct")).cast("long"))
+      .groupBy(expr(s"p_micro div $binWidth").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("o"),
+        sum(col("p_micro")).as("__sp"),
+        sum(expr(s"CAST(p_micro - 1000000 * __y AS $dec) " +
+          s"* (p_micro - 1000000 * __y)")).as("__sq"))
+      .withColumn("__pbar", expr("__sp div n"))
+      .withColumn("__obar", expr("(1000000 * o) div n"))
+      .localCheckpoint(false) // ≤ 10⁶/binWidth rows; totals + final agg
+    val totals = bins.agg(sum(col("n")).as("n_docs"),
+        sum(col("o")).as("__o"))
+      .withColumn("__obase", expr("(1000000 * __o) div n_docs"))
+    bins.crossJoin(broadcast(totals))
+      .groupBy(col("n_docs"), col("__obase"))
+      .agg(sum(col("__sq")).as("__sqt"),
+        sum(expr(s"n * CAST(__pbar - __obar AS $dec) * (__pbar - __obar)"))
+          .as("__rel"),
+        sum(expr(s"n * CAST(__obar - __obase AS $dec) * (__obar - __obase)"))
+          .as("__res"))
+      .select(col("n_docs"),
+        expr(s"CAST(__sqt div (CAST(n_docs AS $dec) * 1000000) AS BIGINT)")
+          .as("brier_micro"),
+        expr(s"CAST(__rel div (CAST(n_docs AS $dec) * 1000000) AS BIGINT)")
+          .as("reliability_micro"),
+        expr(s"CAST(__res div (CAST(n_docs AS $dec) * 1000000) AS BIGINT)")
+          .as("resolution_micro"),
+        expr("(__obase * (1000000 - __obase)) div 1000000")
+          .as("uncertainty_micro"))
   }
 
   /** Data-diet pruning scores (Paul et al., NeurIPS 2021) over the

@@ -461,6 +461,66 @@ object Sessions {
         coalesce(col("slope_micro"), lit(0L)).as("slope_micro"))
   }
 
+  /** Per-key Mann–Kendall trend test (Mann 1945 / Kendall's τ; the
+    * standard non-parametric "is this series trending" companion to
+    * [[theilSenSlope]] — same pair relation, hypothesis test instead of
+    * slope estimate):
+    *
+    *   S = Σ_{i<j} sgn(v_j − v_i)   (pairs ordered by t, strict)
+    *   var18 = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)   (= 18·Var(S),
+    *     tie-corrected over the value-tie groups g)
+    *
+    * and the two-sided normal-approximation significance at z_c
+    * (micro): significant ⟺ 18·S²·10¹² > z_c²·var18 — an exact
+    * cross-multiplied integer comparison, no square root, no float
+    * (the UNCORRECTED z statistic; the ±1 continuity correction is
+    * omitted and that is the operator's definition, so both engines
+    * agree bit-for-bit). All-tied series have var18 = 0 and are never
+    * significant.
+    *
+    * Scale: identical posture to [[theilSenSlope]] — the pair build is
+    * a per-key self-equi-join (Θ(n²) per key), `maxPointsPerGroup`
+    * drops hotter keys loudly via [[Dedup.capBuckets]]; monitoring
+    * series are hours/days long, not corpus-sized. */
+  def mannKendall(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value",
+      zCritMicro: Long = 1959964L,
+      maxPointsPerGroup: Int = 100000): DataFrame = {
+    require(zCritMicro > 0L, "zCritMicro must be positive")
+    val dec = "DECIMAL(38,0)"
+    val e = events.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol)).as("t"), graft.T.cents(col(valCol)).as("v"))
+    val capped = Dedup.capBuckets(e, Seq("k"), maxPointsPerGroup)
+      .localCheckpoint(false) // pairs (twice), n, and tie groups
+    val a = capped.select(col("k"), col("t").as("ta"), col("v").as("va"))
+    val b = capped.select(col("k"), col("t").as("tb"), col("v").as("vb"))
+    val s = a.join(b, Seq("k")).filter(col("ta") < col("tb"))
+      .groupBy(col("k"))
+      // pure integer sign, not signum() — no double anywhere
+      .agg(sum(when(col("vb") > col("va"), 1L)
+        .when(col("vb") < col("va"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = capped.groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("k"))
+      .agg(sum(expr("__t * (__t - 1) * (2 * __t + 5)")).as("__tie18"))
+    capped.groupBy(col("k")).agg(count(lit(1)).as("n_points"))
+      .join(s, Seq("k"), "left")
+      .join(ties, Seq("k"), "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("var18", expr(
+        "n_points * (n_points - 1) * (2 * n_points + 5)")
+        - coalesce(col("__tie18"), lit(0L)))
+      .withColumn("trend",
+        when(col("s_stat") > 0L, lit("increasing"))
+          .when(col("s_stat") < 0L, lit("decreasing"))
+          .otherwise(lit("none")))
+      .withColumn("significant", expr(
+        s"""CAST(18 AS $dec) * s_stat * s_stat * 1000000000000
+           | > CAST($zCritMicro AS $dec) * $zCritMicro * var18""".stripMargin))
+      .select(col("k").as(keyCol), col("n_points"), col("s_stat"),
+        col("var18"), col("trend"), col("significant"))
+  }
+
   /** Holt linear-trend exponential smoothing (Holt 1957 / the
     * double-exponential member of the ETS family) per group, with
     * α = 1/5, β = 1/10 as exact rationals:

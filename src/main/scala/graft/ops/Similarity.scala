@@ -168,14 +168,22 @@ object Similarity {
     * integer space ([[signMatrix]] planes over [[milliVec]] coords,
     * exact Long projection sums, [[graft.functions.CosMicro]] sims) —
     * the cheap JL ranking whose quality [[ndcgAtK]] audits against the
-    * full-dimension cosine ground truth. Queries broadcast. */
+    * full-dimension cosine ground truth. Queries broadcast.
+    *
+    * The embedding length is CHECKED in-plan against `dim` (ADVICE
+    * r13): zip_with null-pads the shorter side, so a mismatched corpus
+    * would otherwise yield NULL projection sums and meaningless
+    * rankings silently instead of failing loudly. */
   def bruteForceTopKSignProj(queries: DataFrame, corpus: DataFrame,
       k: Int, outDim: Int = 8, dim: Int = 64, seed: Long = 7L,
       qidCol: String = "vec_id", cidCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val planes = signMatrix(outDim, dim, seed).map(_.map(_.toLong))
     def pv(c: Column): Column = {
-      val m = milliVec(c)
+      val m = when(size(c) === dim, milliVec(c)).otherwise(raise_error(
+        concat(lit(s"bruteForceTopKSignProj: embedding length "),
+          size(c).cast("string"),
+          lit(s" != dim=$dim — zip_with would null-pad the projection"))))
       array(planes.map { row =>
         aggregate(zip_with(m, lit(row), (a, b) => a * b), lit(0L), _ + _)
       }: _*)
@@ -1496,9 +1504,11 @@ object Similarity {
     * slices, [[ivfTopKWith]] over a SHARED index (one centroid set for
     * both languages, the LASER/CCMatrix setup) for the scale path. The
     * candidate set is their union (CCMatrix's "max" strategy scores
-    * x→y and y→x candidates alike); cosine is symmetric, so a pair's
-    * sim is bit-identical from either direction and duplicates collapse
-    * exactly under dropDuplicates.
+    * x→y and y→x candidates alike), deduped by `groupBy(src,tgt)
+    * .agg(min(sim_micro))` — with a shared index the two directions
+    * produce bit-identical sims (cosine is symmetric) so `min` is a
+    * no-op pick, but spelling it as the oracle spells it keeps the
+    * gate argument construct-level rather than semantic.
     *
     * Output: one row per candidate pair with is_src_best / is_tgt_best
     * (rank 1 by margin desc, id asc, per endpoint) and
@@ -1511,7 +1521,14 @@ object Similarity {
     * relations, two equi-joins of those (broadcastable — one row per
     * query) back onto the candidates, and two windows partitioned by
     * src/tgt id. Nothing here ever touches the corpus cross product;
-    * total cost is bounded by the top-k relations the caller built. */
+    * total cost is bounded by the top-k relations the caller built.
+    *
+    * Construct parity: the candidate dedup is `groupBy(src,tgt)
+    * .agg(min(sim_micro))` and the margin division is magnitude-then-
+    * sign — both spelled exactly as the DuckDB oracle spells them, so
+    * correctness never leans on a sims-are-symmetric or a matching-
+    * truncation-semantics argument (the house discipline from
+    * `Valuation`'s magnitude-then-sign convention). */
   def bitextMarginPairs(fwd: DataFrame, bwd: DataFrame,
       unit: Long = 1000000L): DataFrame = {
     val simMicro = round(col("sim") * unit, 0).cast("long")
@@ -1559,16 +1576,19 @@ object Similarity {
     // inner joins BY DESIGN: every candidate endpoint has top-k stats
     // when both sides are full query sets (the mining setup); a pair
     // without a neighborhood has no margin definition.
-    f.unionByName(b).dropDuplicates("src_id", "tgt_id")
+    f.unionByName(b)
+      .groupBy(col("src_id"), col("tgt_id"))
+      .agg(min(col("sim_micro")).as("sim_micro"))
       .join(fAgg, Seq("src_id"))
       .join(bAgg, Seq("tgt_id"))
       .withColumn("__den",
         col("__bk") * col("__fsum") + col("__fk") * col("__bsum"))
-      .withColumn("__num",
-        lit(2L * unit) * col("__fk") * col("__bk") * col("sim_micro"))
+      .withColumn("__mag",
+        lit(2L * unit) * col("__fk") * col("__bk") * abs(col("sim_micro")))
       .withColumn("margin_micro",
         when(col("__den") <= 0L, lit(2L * unit))
-          .otherwise(expr("__num div __den")))
+          .when(col("sim_micro") >= 0L, expr("__mag div __den"))
+          .otherwise(-expr("__mag div __den")))
   }
 
   /** The mined parallel corpus: mutual-best pairs whose margin clears

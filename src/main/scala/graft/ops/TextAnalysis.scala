@@ -2108,7 +2108,13 @@ object TextAnalysis {
     * every relation after the word count at any corpus size. */
   def zipfFit(docs: DataFrame, headWords: Int = 1000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(headWords >= 3 && headWords <= 100000, "head must be bounded")
+    // 1024, not "anything bounded": logLogFit's r² squares the fit
+    // numerator, and ≤1024 points × ≤52000 milli-logs is the PROVABLE
+    // DECIMAL(38,0) envelope (ADVICE r13) — 10⁵ head words would
+    // silently null r² on realistic corpora. The Zipf exponent is a
+    // head property; 1024 ranks is statistically ample.
+    require(headWords >= 3 && headWords <= 1024,
+      "headWords must be in [3, 1024] — the exact-r2 envelope")
     val lg = graft.functions.VectorFunctions.log2_micro _
     val dec = "DECIMAL(38,0)"
     val head = docs
@@ -2137,14 +2143,30 @@ object TextAnalysis {
     * closed-form slope/intercept/r² shared by [[zipfFit]] and
     * [[heapsFit]]: every sum exact, every division sign-split, the
     * milli quantization keeping r²'s squared numerator inside
-    * DECIMAL(38,0). One 5-sum aggregate, one-row output. */
+    * DECIMAL(38,0). One aggregate (5 sums + the envelope extrema),
+    * one-row output.
+    *
+    * Envelope, ENFORCED in-plan (ADVICE r13): with n ≤ 1024 points and
+    * |x|,|y| ≤ 52000 (values < 2^52 — beyond any real corpus),
+    * |num| = |n·sxy − sx·sy| ≤ 2n²·x·y < 5.7·10¹⁵, so num²·10⁶ <
+    * 3.3·10³⁷ fits DECIMAL(38,0) and DuckDB's HUGEINT alike. Outside
+    * it, Spark (non-ANSI) would silently null r² while the oracle
+    * raises — the loud raise_error makes both engines fail the same
+    * way ([[Sessions.autocorrelation]]'s maxGrid discipline). */
   private def logLogFit(xy: DataFrame, nCol: String): DataFrame = {
     val dec = "DECIMAL(38,0)"
     val sums = xy.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(expr(s"CAST(x AS $dec) * x")).as("sxx"),
       sum(expr(s"CAST(y AS $dec) * y")).as("syy"),
-      sum(expr(s"CAST(x AS $dec) * y")).as("sxy"))
+      sum(expr(s"CAST(x AS $dec) * y")).as("sxy"),
+      greatest(max(abs(col("x"))), max(abs(col("y")))).as("__mx"))
+      .withColumn("n", expr(
+        s"""CASE WHEN n > 1024 OR __mx > 52000 THEN raise_error(concat(
+           |  'logLogFit: ', CAST(n AS STRING), ' points, max milli-log ',
+           |  CAST(__mx AS STRING), ' — outside the exact-r2 envelope
+           | (<=1024 points, milli-logs <= 52000); r2 would overflow
+           | DECIMAL(38,0)')) ELSE n END""".stripMargin))
     sums.select(col("n").as(nCol),
       expr(s"""CAST(n AS $dec) * sxy - CAST(sx AS $dec) * sy""").as("__num"),
       expr(s"""CAST(n AS $dec) * sxx - CAST(sx AS $dec) * sx""").as("__dx"),

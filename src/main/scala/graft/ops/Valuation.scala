@@ -44,6 +44,23 @@ import graft.functions.VectorFunctions.cos_micro
   */
 object Valuation {
 
+  /** Loud bound on the broadcast test panel (the [[Similarity
+    * .ivfCentroids]] limit+require discipline, VERDICT r13 item 4):
+    * every valuation operator broadcasts its test panel — a corpus-
+    * proportional panel would OOM mid-broadcast at scale, silently.
+    * `limit(max+1).count()` early-stops the scan, so the probe costs
+    * one bounded job, not a full count. */
+  private def requireBoundedPanel(test: DataFrame, maxPanel: Int,
+      what: String): Unit = {
+    require(maxPanel >= 1, s"$what: maxPanel must be positive")
+    val n = test.limit(maxPanel + 1).count()
+    require(n <= maxPanel,
+      s"$what: test panel exceeds maxPanel=$maxPanel rows — the panel " +
+        "broadcasts against the training corpus, so it must be a " +
+        "bounded eval set, not corpus-proportional (fix the panel " +
+        "selection, or raise maxPanel deliberately)")
+  }
+
   /** Per-training-point KNN-Shapley values summed over a test panel.
     *
     * Output: (train id, n_tests, shap_nano_sum) — `shap_nano_sum` is
@@ -53,8 +70,9 @@ object Valuation {
     */
   def knnShapley(train: DataFrame, test: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label", maxPanel: Int = 4096): DataFrame = {
     require(k >= 1, "KNN-Shapley needs k >= 1")
+    requireBoundedPanel(test, maxPanel, "knnShapley")
     val tr = train.select(col(idCol).cast("long").as("train_id"),
       Similarity.microVec(col(vecCol)).as("__tv"),
       col(labelCol).cast("long").as("__tl"))
@@ -94,8 +112,11 @@ object Valuation {
   def knnShapleyTruncated(train: DataFrame, test: DataFrame, k: Int, m: Int,
       cents: Array[(Long, Array[Long])], nProbe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label", maxPanel: Int = 65536): DataFrame = {
     require(k >= 1 && m >= k, "KNN-Shapley needs m >= k >= 1")
+    // the truncated form tolerates a larger panel (only |test|·m rows
+    // reach the windows), but the label join below still broadcasts it
+    requireBoundedPanel(test, maxPanel, "knnShapleyTruncated")
     val cand = Similarity.ivfTopKExact(test, train, cents, k = m, nProbe,
         idCol, idCol, vecCol)
       .select(col("query_id").cast("long").as("test_id"),
@@ -203,8 +224,9 @@ object Valuation {
   def tracinInfluence(train: DataFrame, test: DataFrame, dim: Int = 64,
       iters: Int = 3, lrNum: Long = 1L, lrDen: Long = 16L, topK: Int = 3,
       idCol: String = "doc_id", labelCol: String = "label",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxPanel: Int = 4096): DataFrame = {
     require(topK >= 1, "topK must be positive")
+    requireBoundedPanel(test, maxPanel, "tracinInfluence")
     val (fTr, lTr) = QualityModel.checkpointedFeatsLabels(train, dim,
       idCol, labelCol, textCol)
     val (fTe, lTe) = QualityModel.checkpointedFeatsLabels(test, dim,

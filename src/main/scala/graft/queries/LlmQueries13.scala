@@ -10,30 +10,22 @@ import LlmQueries9.ExactSql
 /** Round-13 registry: the `sim_bitext_mine` driver-divergence bisection
   * (VERDICT r12 item 1), the shuffled IVF serve path under the gate,
   * the ceiling-free / unsupervised Fellegi–Sunter forms, and truncated
-  * KNN-Shapley. Two bit-exact rewrites in two rounds pass
-  * locally at three SFs (DuckDB == Spark parquet == pure big-int Python
-  * on all 1570 rows, re-verified this round) while the driver's gate
-  * stays hash-red — so the failure is only observable in the driver's
-  * environment. These six probes decompose the bitext pipeline into its
-  * stages, each emitting a small exactly-replayable checksum relation
-  * that shares the main query's CTE chain: whichever probe first goes
-  * red in `CORRECTNESS_r13.json` names the operator that diverges on
-  * the driver; all-green probes with a red main query localize the
-  * divergence to the final best-rank windows / boolean flags.
+  * KNN-Shapley.
   *
-  * Stage map (Spark kernel → probe):
-  *  1. floor(x·10⁶) quantization + exact integer norms
-  *     ([[Similarity.microVec]])            → `bitext_probe_quantize`
-  *  2. double-seeded ±1-corrected isqrt over the corp×cent norm
-  *     products ([[graft.functions.ExactMicroOps.isqrt]])
-  *                                          → `bitext_probe_isqrt`
-  *  3. corp×cent integer-micro cosines + nearest-cell argmax + 3-probe
-  *     sets ([[graft.functions.CosMicro]],
-  *     [[graft.functions.NearestCellsMicro]]) → `bitext_probe_assign`
-  *  4./5. per-direction IVF top-4 relations ([[Similarity.ivfTopKExact]])
-  *                                          → `bitext_probe_fwd`/`_bwd`
-  *  6. candidate margin scoring before the rank windows
-  *     ([[Similarity.bitextMarginDetail]])  → `bitext_probe_margin`
+  * The bisection WORKED and is now retired (round 14): the r13 driver
+  * run showed stages 1-5 green with only the margin stage red, which —
+  * combined with the margin kernel being a pure function of those
+  * bit-identical inputs — pinned the divergence to representation, not
+  * value: the margin oracle's `margin_micro` was the only HUGEINT
+  * output column in the whole registry, and DuckDB 1.0.0 serializes
+  * HUGEINT as float64/decimal128 through typed harnesses while local
+  * fetchall() masks it. Fixed by casting the oracle CASE to BIGINT
+  * (round 14); `tools/check.py` now lints every oracle's output types
+  * so the class can't recur. Only `bitext_probe_margin` remains gated
+  * (the standing confirmation instrument); the stage functions
+  * ([[bitextProbeQuantize]], [[bitextProbeIsqrt]],
+  * [[bitextProbeAssign]], [[bitextProbeFwd]], [[bitextProbeBwd]]) stay
+  * callable for any future bisection.
   */
 object LlmQueries13 {
 
@@ -271,11 +263,11 @@ object LlmQueries13 {
     "link_fellegi_sunter_logodds" -> (linkFellegiSunterLogOdds _),
     "link_fellegi_sunter_em" -> (linkFellegiSunterEm _),
     "value_knn_shapley_truncated" -> (valueKnnShapleyTruncated _),
-    "bitext_probe_quantize" -> (bitextProbeQuantize _),
-    "bitext_probe_isqrt" -> (bitextProbeIsqrt _),
-    "bitext_probe_assign" -> (bitextProbeAssign _),
-    "bitext_probe_fwd" -> (bitextProbeFwd _),
-    "bitext_probe_bwd" -> (bitextProbeBwd _),
+    // Stages 1-5 retired from the registry in round 14 (VERDICT r13
+    // item 6) after the divergence was root-caused to oracle HUGEINT
+    // serialization and fixed: the margin probe stays as the standing
+    // confirmation instrument, the stage functions stay callable for
+    // any future bisection.
     "bitext_probe_margin" -> (bitextProbeMargin _),
   )
 
@@ -575,64 +567,6 @@ object LlmQueries13 {
          |        ELSE l_seg_md + l_u2 - l_seg_ud - l_m2 END) > 0 AS is_link
          |FROM cands CROSS JOIN wt
          |ORDER BY key_a, key_b""".stripMargin,
-    "bitext_probe_quantize" ->
-      s"""WITH $corpCte
-         |SELECT vec_id % 16 AS grp, CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(nsq) AS BIGINT) AS nsq_sum, min(nsq) AS nsq_min,
-         |  max(nsq) AS nsq_max,
-         |  CAST(sum(CAST(list_sum(vm) AS BIGINT)) AS BIGINT) AS vm_sum
-         |FROM corp GROUP BY 1 ORDER BY grp""".stripMargin,
-    "bitext_probe_isqrt" ->
-      s"""WITH $corpCte,
-         |$centCte,
-         |x AS (SELECT t.cid, CAST(c.nsq AS HUGEINT) * t.cn AS nn
-         |      FROM corp c CROSS JOIN cent t),
-         |iso AS (SELECT cid,
-         |    CASE WHEN (s0 + 1) * (s0 + 1) <= nn THEN s0 + 1
-         |         WHEN s0 * s0 > nn THEN s0 - 1 ELSE s0 END AS s
-         |  FROM (SELECT cid, nn,
-         |      CAST(floor(sqrt(CAST(nn AS DOUBLE))) AS HUGEINT) AS s0
-         |    FROM x))
-         |SELECT cid, CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(s) AS BIGINT) AS s_sum, CAST(min(s) AS BIGINT) AS s_min,
-         |  CAST(max(s) AS BIGINT) AS s_max
-         |FROM iso GROUP BY cid ORDER BY cid""".stripMargin,
-    "bitext_probe_assign" ->
-      s"""WITH $corpCte,
-         |$centCte,
-         |$scored0Cte,
-         |$assignProbesCtes,
-         |sc AS (SELECT 'scored' AS stage, cid AS key,
-         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS v_sum,
-         |    min(s) AS v_min, max(s) AS v_max
-         |  FROM scored0 GROUP BY cid),
-         |ah AS (SELECT 'assign' AS stage, cell AS key,
-         |    CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(vec_id) AS BIGINT) AS v_sum,
-         |    min(vec_id) AS v_min, max(vec_id) AS v_max
-         |  FROM assign GROUP BY cell),
-         |ph AS (SELECT 'probes' AS stage, cell AS key,
-         |    CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(query_id) AS BIGINT) AS v_sum,
-         |    min(query_id) AS v_min, max(query_id) AS v_max
-         |  FROM probes GROUP BY cell)
-         |SELECT * FROM (SELECT * FROM sc UNION ALL SELECT * FROM ah
-         |  UNION ALL SELECT * FROM ph)
-         |ORDER BY stage, key""".stripMargin,
-    "bitext_probe_fwd" ->
-      s"""WITH $corpCte,
-         |$centCte,
-         |$scored0Cte,
-         |$assignProbesCtes
-         |${directionSql(0)}
-         |ORDER BY query_id, rank""".stripMargin,
-    "bitext_probe_bwd" ->
-      s"""WITH $corpCte,
-         |$centCte,
-         |$scored0Cte,
-         |$assignProbesCtes
-         |${directionSql(1)}
-         |ORDER BY query_id, rank""".stripMargin,
     // The shared dirty-twin cands CTEs + the unrolled 5-round
     // quantized-integer EM on the 8 pattern counts, final E-step
     // posterior joined back per pair. No labels consumed by the
@@ -715,12 +649,13 @@ object LlmQueries13 {
          |SELECT c.src_id, c.tgt_id, c.sim_micro,
          |  CAST(a.fsum AS BIGINT) AS fsum, a.fk,
          |  CAST(g.bsum AS BIGINT) AS bsum, g.bk,
-         |  CASE WHEN (g.bk * a.fsum + a.fk * g.bsum) <= 0 THEN 2000000
+         |  CAST(CASE WHEN (g.bk * a.fsum + a.fk * g.bsum) <= 0 THEN 2000000
          |       WHEN c.sim_micro >= 0 THEN
          |         (2000000 * a.fk * g.bk * c.sim_micro)
          |         // (g.bk * a.fsum + a.fk * g.bsum)
          |       ELSE -((2000000 * a.fk * g.bk * (-c.sim_micro))
-         |         // (g.bk * a.fsum + a.fk * g.bsum)) END AS margin_micro
+         |         // (g.bk * a.fsum + a.fk * g.bsum)) END
+         |    AS BIGINT) AS margin_micro
          |FROM cand c
          |JOIN fagg a ON a.src_id = c.src_id
          |JOIN bagg g ON g.tgt_id = c.tgt_id

@@ -123,6 +123,26 @@ object LlmQueries14 {
       .orderBy(col("test_id"), col("kind"), col("rank"))
   }
 
+  /** [[valueTracin]] with a FIXED-SIZE test panel (VERDICT r13 item 4):
+    * the 32 docs with the lowest md5-based [[graft.ops.Dedup.hashStr]]
+    * (seed 19, ties to the lower doc_id) — a deterministic spread
+    * sample whose size does NOT grow with the corpus, i.e. the shape
+    * [[graft.ops.Valuation.tracinInfluence]]'s panel broadcast and
+    * |train|×|panel| pair relation are designed for (and that the
+    * `maxPanel` guard enforces). Panel selection is orderBy+limit —
+    * TakeOrderedAndProject, per-partition top-n, no global sort. */
+  def valueTracinPanel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = labeledDocs(spark, dir)
+    val panel = docs.select(col("doc_id"),
+        graft.ops.Dedup.hashStr(col("doc_id").cast("string"), 19).as("__h"))
+      .orderBy(col("__h"), col("doc_id")).limit(32).select("doc_id")
+    graft.ops.Valuation.tracinInfluence(
+        docs.join(panel, Seq("doc_id"), "left_anti"),
+        docs.join(panel, Seq("doc_id"), "left_semi"),
+        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L, topK = 3)
+      .orderBy(col("test_id"), col("kind"), col("rank"))
+  }
+
   /** TracIn self-influence (Pruthi et al. 2020 §4,
     * [[graft.ops.Valuation.tracinSelfInfluence]]): per-doc
     * η·(‖x‖²+1)·Σ_t r_t² — the mislabel/outlier detector (memorized
@@ -133,10 +153,11 @@ object LlmQueries14 {
       .orderBy(col("doc_id"))
 
   /** Split conformal prediction over the exact-GD model
-    * ([[graft.ops.QualityModel.conformalGate]]): calibration quantile
-    * q̂ at α = 10% from the doc_id % 5 = 0 split via exact rank-ceiling
-    * arithmetic on the distinct-score relation, per-eval-doc coverage
-    * flags. */
+    * ([[graft.ops.QualityModel.conformalGate]]): the score model is
+    * trained on the doc_id % 5 ≠ 0 split only (proper split conformal,
+    * ADVICE r13), calibration quantile q̂ at α = 10% from the
+    * doc_id % 5 = 0 split via exact rank-ceiling arithmetic on the
+    * distinct-score relation, per-eval-doc coverage flags. */
   def qualityConformal(spark: SparkSession, dir: String): DataFrame =
     graft.ops.QualityModel.conformalGate(labeledDocs(spark, dir),
         dim = 64, iters = 3, lrNum = 1L, lrDen = 16L, calMod = 5,
@@ -149,6 +170,15 @@ object LlmQueries14 {
     * the counts so the two calibration scalars replay bit-for-bit. */
   def qualityEce(spark: SparkSession, dir: String): DataFrame =
     graft.ops.QualityModel.calibrationError(labeledDocs(spark, dir),
+      dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+
+  /** Murphy (1973) Brier decomposition of the final-epoch GD model
+    * ([[graft.ops.QualityModel.brierDecomposition]]): reliability −
+    * resolution + uncertainty over the same equal-width bins as
+    * `quality_ece`, per-bin means floored once to micro so every
+    * intermediate stays ≤ N·10¹² at any corpus size. */
+  def qualityBrierDecomp(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.brierDecomposition(labeledDocs(spark, dir),
       dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
 
   /** RHO-loss selection (Mindermann et al. 2022,
@@ -272,10 +302,12 @@ object LlmQueries14 {
     "curation_data_diet" -> (curationDataDiet _),
     "curation_rho_loss" -> (curationRhoLoss _),
     "value_tracin" -> (valueTracin _),
+    "value_tracin_panel" -> (valueTracinPanel _),
     "value_tracin_self" -> (valueTracinSelf _),
     "quality_conformal" -> (qualityConformal _),
     "quality_group_loss" -> (qualityGroupLoss _),
     "quality_ece" -> (qualityEce _),
+    "quality_brier_decomp" -> (qualityBrierDecomp _),
     "sim_ndcg_eval" -> (simNdcgEval _),
     "event_pacf" -> (eventPacf _),
     "event_fano" -> (eventFano _),
@@ -617,11 +649,28 @@ object LlmQueries14 {
        |  rnk <= (600000 * n + 999999) // 1000000 AS keep
        |FROM rk ORDER BY doc_id""".stripMargin
 
-  private def tracinOracle: String =
+  /** The `value_tracin_panel` panel as an inline subquery (it must be
+    * spliced into predicates BEFORE any CTE of the GD chain, so it
+    * cannot be a CTE itself): the 32 hash-lowest doc ids over `laba`,
+    * ties to the lower id — the mirror of the Spark side's
+    * orderBy(hash, doc_id).limit(32). */
+  private def tracinPanelSub: String =
+    s"""(SELECT doc_id FROM (SELECT doc_id, row_number() OVER (
+       |    ORDER BY ${hashSql(19, "CAST(doc_id AS VARCHAR)")}, doc_id)
+       |    AS rk FROM laba) WHERE rk <= 32)""".stripMargin
+
+  /** TracIn oracle, parameterized by the test-panel membership
+    * predicate (a function of the doc-id column reference so it can be
+    * alias-qualified at each use site). The default is the historical
+    * corpus-proportional modulus panel of `value_tracin`;
+    * `value_tracin_panel` passes the fixed-size hash-lowest panel. */
+  private def tracinOracle(
+      testPred: String => String = c => s"$c % 25 = 0"): String =
     s"""WITH RECURSIVE $exp2ConstsCtes,
-       |${epochsCtes(iters = 3, lrDen = 16L, trainPred = "doc_id % 25 <> 0")},
+       |${epochsCtes(iters = 3, lrDen = 16L,
+          trainPred = s"NOT (${testPred("doc_id")})")},
        |rall AS (SELECT doc_id, epoch, p - y * 1000000 AS r,
-       |    doc_id % 25 = 0 AS iste FROM ep),
+       |    ${testPred("doc_id")} AS iste FROM ep),
        |pairsum AS (SELECT a.doc_id AS train_id, b.doc_id AS test_id,
        |    sum(CAST(a.r AS HUGEINT) * b.r) AS s
        |  FROM rall a JOIN rall b ON b.epoch = a.epoch
@@ -629,7 +678,8 @@ object LlmQueries14 {
        |dots AS (SELECT fa.doc_id AS train_id, fe.doc_id AS test_id,
        |    CAST(sum(fa.n * fe.n) AS BIGINT) AS dot
        |  FROM f fa JOIN f fe ON fe.bucket = fa.bucket
-       |  WHERE fa.doc_id % 25 <> 0 AND fe.doc_id % 25 = 0 GROUP BY 1, 2),
+       |  WHERE NOT (${testPred("fa.doc_id")})
+       |    AND ${testPred("fe.doc_id")} GROUP BY 1, 2),
        |inf AS MATERIALIZED (SELECT train_id, test_id,
        |    CAST(CASE WHEN s >= 0 THEN (s * dt) // 16000000
        |         ELSE -(((-s) * dt) // 16000000) END AS BIGINT)
@@ -670,7 +720,8 @@ object LlmQueries14 {
 
   private def conformalOracle: String =
     s"""WITH RECURSIVE $exp2ConstsCtes,
-       |${epochsCtes(iters = 3, lrDen = 16L)},
+       |${epochsCtes(iters = 3, lrDen = 16L,
+          trainPred = "doc_id % 5 <> 0")},
        |sv AS MATERIALIZED (SELECT doc_id, 1000000 -
        |    CASE WHEN y = 1 THEN p ELSE 1000000 - p END AS s
        |  FROM ep WHERE epoch = 3),
@@ -798,6 +849,37 @@ object LlmQueries14 {
        |  CAST(CAST(sum(gap) AS HUGEINT) // sum(n) AS BIGINT) AS ece_micro,
        |  CAST(max(gap // n) AS BIGINT) AS mce_micro
        |FROM eg""".stripMargin
+
+  /** Mirror of [[graft.ops.QualityModel.brierDecomposition]]: same bin
+    * relation as [[eceOracle]], per-bin floored micro means, exact
+    * HUGEINT term sums, one division by N·10⁶ per output scalar. */
+  private def brierOracle: String =
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${epochsCtes(iters = 3, lrDen = 16L)},
+       |fe AS (SELECT doc_id, y, p FROM ep WHERE epoch = 3),
+       |eb AS (SELECT p // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS o, CAST(sum(p) AS BIGINT) AS sp,
+       |    sum(CAST(p - 1000000 * y AS HUGEINT) * (p - 1000000 * y))
+       |      AS sq
+       |  FROM fe GROUP BY 1),
+       |b2 AS (SELECT *, sp // n AS pbar, (1000000 * o) // n AS obar
+       |  FROM eb),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       |    CAST(sum(o) AS BIGINT) AS ot FROM b2),
+       |t2 AS (SELECT n_docs, (1000000 * ot) // n_docs AS obase FROM tot)
+       |SELECT n_docs,
+       |  CAST(sum(sq) // (CAST(n_docs AS HUGEINT) * 1000000) AS BIGINT)
+       |    AS brier_micro,
+       |  CAST(sum(n * CAST(pbar - obar AS HUGEINT) * (pbar - obar))
+       |    // (CAST(n_docs AS HUGEINT) * 1000000) AS BIGINT)
+       |    AS reliability_micro,
+       |  CAST(sum(n * CAST(obar - obase AS HUGEINT) * (obar - obase))
+       |    // (CAST(n_docs AS HUGEINT) * 1000000) AS BIGINT)
+       |    AS resolution_micro,
+       |  CAST((obase * (1000000 - obase)) // 1000000 AS BIGINT)
+       |    AS uncertainty_micro
+       |FROM b2 CROSS JOIN t2
+       |GROUP BY n_docs, obase""".stripMargin
 
   /** Replay of the sign-projection nDCG audit: the full-dim micro pair
     * relation gives the cosine ground truth (±1-corrected isqrt), the
@@ -1154,11 +1236,13 @@ object LlmQueries14 {
     "quality_gd_curve" -> gdCurveOracle,
     "curation_data_diet" -> dataDietOracle,
     "curation_rho_loss" -> rhoLossOracle,
-    "value_tracin" -> tracinOracle,
+    "value_tracin" -> tracinOracle(),
+    "value_tracin_panel" -> tracinOracle(c => s"$c IN $tracinPanelSub"),
     "value_tracin_self" -> tracinSelfOracle,
     "quality_conformal" -> conformalOracle,
     "quality_group_loss" -> groupLossOracle,
     "quality_ece" -> eceOracle,
+    "quality_brier_decomp" -> brierOracle,
     "sim_ndcg_eval" -> ndcgOracle,
     "event_pacf" -> pacfOracle,
     "event_fano" -> fanoOracle,

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+
+/** Round-14 registry: UniMax budget-waterfilling language sampling and
+  * the Mann–Kendall trend test — two exact-integer operators a
+  * pretraining-data owner reaches for weekly (what mixture do I train
+  * on; is this pipeline metric actually trending), each with a
+  * construct-parallel DuckDB replay.
+  */
+object LlmQueries15 {
+
+  /** UniMax language sampling (Chung et al., ICLR 2023;
+    * [[graft.ops.Curation.planMixUnimax]]): a 200k-token budget over
+    * the per-language n_chars masses with a 2-epoch cap — at sf0.01
+    * the smallest language caps out and the rest split the remainder
+    * equally, exercising both waterfilling branches. */
+  def mixUnimaxPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.planMixUnimax(
+        T.par(spark, T.t(spark, dir, "documents")),
+        "lang", col("n_chars"), budget = 200000L, maxEpochs = 2)
+      .orderBy(col("lang"))
+
+  /** Per-event-type Mann–Kendall trend test over the DAILY event-count
+    * series ([[graft.ops.Sessions.mannKendall]]): exact S statistic,
+    * tie-corrected 18·Var, and the cross-multiplied two-sided z test
+    * at 1.959964 — the "is this volume really drifting" readout whose
+    * slope companion is `event_theil_sen`. The day-bucket pre-agg
+    * keeps the per-key pair relation calendar-bounded (≈30 points),
+    * not event-bounded. */
+  def eventMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = T.par(spark, T.t(spark, dir, "events"))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("ts"))
+      .agg(count(lit(1)).cast("double").as("value"))
+    graft.ops.Sessions.mannKendall(daily, keyCol = "event_type")
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_unimax_plan" -> (mixUnimaxPlan _),
+    "event_mann_kendall" -> (eventMannKendall _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Waterfilling replay, construct-parallel with planMixUnimax: the
+    // triangular rank/prefix join, the DECIMAL fit test, the maximal
+    // fitting prefix k, the floored equal share, the leftover dust.
+    "mix_unimax_plan" ->
+      s"""WITH counts AS (SELECT lang,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+         |    CAST(2 * sum(n_chars) AS BIGINT) AS cap_tokens
+         |  FROM documents GROUP BY 1),
+         |lrel AS (SELECT CAST(count(*) AS BIGINT) AS l FROM counts),
+         |ranked AS (SELECT a.lang, a.n_tokens, a.cap_tokens,
+         |    CAST(count(b.lang) + 1 AS BIGINT) AS rank,
+         |    CAST(coalesce(sum(b.cap_tokens), 0) AS BIGINT) AS prefix
+         |  FROM counts a LEFT JOIN counts b
+         |    ON b.cap_tokens < a.cap_tokens
+         |      OR (b.cap_tokens = a.cap_tokens AND b.lang < a.lang)
+         |  GROUP BY 1, 2, 3),
+         |fits AS (SELECT *,
+         |    CAST(cap_tokens AS HUGEINT) * (l - rank + 1)
+         |      <= CAST(200000 - prefix AS HUGEINT) AS f
+         |  FROM ranked CROSS JOIN lrel),
+         |krel AS (SELECT
+         |    CAST(coalesce(max(CASE WHEN f THEN rank END), 0) AS BIGINT)
+         |      AS k,
+         |    CAST(coalesce(sum(CASE WHEN f THEN cap_tokens END), 0)
+         |      AS BIGINT) AS sk
+         |  FROM fits),
+         |plan AS (SELECT fits.*, rank <= k AS capped,
+         |    CASE WHEN rank <= k THEN cap_tokens
+         |         ELSE (200000 - sk) // greatest(l - k, 1) END
+         |      AS alloc_tokens
+         |  FROM fits CROSS JOIN krel),
+         |lo AS (SELECT CAST(200000 - sum(alloc_tokens) AS BIGINT)
+         |    AS leftover_tokens FROM plan)
+         |SELECT lang, n_tokens, cap_tokens, rank, capped,
+         |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+         |  CAST(CAST(alloc_tokens AS HUGEINT) * 1000000
+         |    // greatest(n_tokens, 1) AS BIGINT) AS epochs_micro,
+         |  leftover_tokens
+         |FROM plan CROSS JOIN lo ORDER BY lang""".stripMargin,
+    // Daily counts in cents (the kernel's T.cents convention), the
+    // strict-ordered pair sign sum, tie-corrected 18·Var, and the
+    // HUGEINT cross-multiplied significance comparison.
+    "event_mann_kendall" ->
+      s"""WITH d AS (SELECT event_type, date_trunc('day', ts) AS t,
+         |    CAST(round(CAST(count(*) AS DOUBLE) * 100, 0) AS BIGINT)
+         |      AS v
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT a.event_type,
+         |    CAST(sum(CASE WHEN b.v > a.v THEN 1
+         |        WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM d a JOIN d b ON b.event_type = a.event_type
+         |    AND a.t < b.t
+         |  GROUP BY 1),
+         |ties AS (SELECT event_type,
+         |    CAST(sum(t2 * (t2 - 1) * (2 * t2 + 5)) AS BIGINT) AS tie18
+         |  FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t2
+         |    FROM d GROUP BY 1, 2) GROUP BY 1),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+         |  FROM d GROUP BY 1),
+         |j AS (SELECT n.event_type, n.n_points,
+         |    coalesce(s.s_stat, 0) AS s_stat,
+         |    n.n_points * (n.n_points - 1) * (2 * n.n_points + 5)
+         |      - coalesce(ties.tie18, 0) AS var18
+         |  FROM n LEFT JOIN s ON s.event_type = n.event_type
+         |  LEFT JOIN ties ON ties.event_type = n.event_type)
+         |SELECT event_type, n_points, s_stat, var18,
+         |  CASE WHEN s_stat > 0 THEN 'increasing'
+         |       WHEN s_stat < 0 THEN 'decreasing'
+         |       ELSE 'none' END AS trend,
+         |  CAST(18 AS HUGEINT) * s_stat * s_stat * 1000000000000
+         |    > CAST(1959964 AS HUGEINT) * 1959964 * var18 AS significant
+         |FROM j ORDER BY event_type""".stripMargin,
+  )
+}

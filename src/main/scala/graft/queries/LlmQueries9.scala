@@ -324,12 +324,13 @@ object LlmQueries9 {
          |cand AS (SELECT src_id, tgt_id, min(sim_micro) AS sim_micro FROM
          |  (SELECT * FROM f UNION ALL SELECT * FROM b) GROUP BY 1, 2),
          |sc AS (SELECT c.src_id, c.tgt_id, c.sim_micro,
-         |    CASE WHEN (g.bk * a.fsum + a.fk * g.bsum) <= 0 THEN 2000000
+         |    CAST(CASE WHEN (g.bk * a.fsum + a.fk * g.bsum) <= 0 THEN 2000000
          |         WHEN c.sim_micro >= 0 THEN
          |           (2000000 * a.fk * g.bk * c.sim_micro)
          |           // (g.bk * a.fsum + a.fk * g.bsum)
          |         ELSE -((2000000 * a.fk * g.bk * (-c.sim_micro))
-         |           // (g.bk * a.fsum + a.fk * g.bsum)) END AS margin_micro
+         |           // (g.bk * a.fsum + a.fk * g.bsum)) END
+         |      AS BIGINT) AS margin_micro
          |  FROM cand c
          |  JOIN fagg a ON a.src_id = c.src_id
          |  JOIN bagg g ON g.tgt_id = c.tgt_id),

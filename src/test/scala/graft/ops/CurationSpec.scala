@@ -20,6 +20,41 @@ class CurationSpec extends SparkSpec {
       rows.map(_.getDouble(0)).toSeq)
   }
 
+  test("planMixUnimax: hand-computed waterfilling, both branches, invariance") {
+    import spark.implicits._
+    // masses a=10, b=15, c=50; caps (maxEpochs 2) = 20, 30, 100.
+    // budget 100: a fits (20·3 ≤ 100), b fits (30·2 ≤ 80), c does not
+    // (100·1 > 50) -> k=2, share = (100−50)/1 = 50; epochs: a,b capped
+    // at 2.0, c downsampled to 1.0; leftover 0.
+    val docs = Seq(("a", 4L), ("a", 6L), ("b", 15L), ("c", 50L))
+      .toDF("lang", "n_chars")
+    def planOf(budget: Long) =
+      Curation.planMixUnimax(docs, "lang", col("n_chars"), budget,
+          maxEpochs = 2)
+        .collect().map(r => r.getAs[String]("lang") ->
+          ((r.getAs[Boolean]("capped"), r.getAs[Long]("alloc_tokens"),
+            r.getAs[Long]("epochs_micro"),
+            r.getAs[Long]("leftover_tokens")))).toMap
+    val p = planOf(100L)
+    assert(p("a") === ((true, 20L, 2000000L, 0L)))
+    assert(p("b") === ((true, 30L, 2000000L, 0L)))
+    assert(p("c") === ((false, 50L, 1000000L, 0L)))
+    // budget 1000: everything caps (k = L), leftover = 1000 − 150
+    val q = planOf(1000L)
+    assert(q("a") === ((true, 20L, 2000000L, 850L)))
+    assert(q("c") === ((true, 100L, 2000000L, 850L)))
+    // budget 9: nothing fits (20·3 > 9) -> k=0, share = 9 div 3 = 3
+    val r = planOf(9L)
+    assert(r("a") === ((false, 3L, 300000L, 0L)))
+    assert(r("c") === ((false, 3L, 60000L, 0L)))
+    // partition invariance
+    val p2 = Curation.planMixUnimax(docs.repartition(5), "lang",
+        col("n_chars"), 100L, maxEpochs = 2)
+      .collect().map(r => r.getAs[String]("lang") ->
+        r.getAs[Long]("alloc_tokens")).toMap
+    assert(p2 === p.map { case (k, v) => k -> v._2 })
+  }
+
   test("giniByStratum: hand-computed inequality, zero on uniform, tie-stable") {
     import spark.implicits._
     // a: [1,2,3,4] -> G = (2*30 - 5*10)/(4*10) = 0.25

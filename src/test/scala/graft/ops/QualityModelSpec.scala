@@ -386,12 +386,22 @@ class QualityModelSpec extends SparkSpec {
       .collect().map(row => row.getLong(0) ->
         ((row.getLong(1), row.getLong(2), row.getBoolean(3)))).toMap
     assert(got.size == 80) // eval side only
-    // replay the quantile from the final-epoch scores
-    val sAll = QualityModel.logisticEpochScoresMicro(docs, dim = 32,
-        iters = 3, lrNum = 1L, lrDen = 8L)
+    // replay the quantile from the final-epoch scores of the model
+    // trained on the NON-calibration split only (proper split
+    // conformal, ADVICE r13) — scored over ALL docs
+    val (feats, labels) = QualityModel.checkpointedFeatsLabels(docs, 32,
+      "doc_id", "label", "text")
+    val (fTr, lTr) = QualityModel.checkpointedFeatsLabels(
+      docs.filter(col("doc_id") % 5 =!= 0), 32, "doc_id", "label", "text")
+    val traj = QualityModel.trajectoryFrom(fTr, lTr, 32, 3, 1L, 8L)
+    val sAll = QualityModel.marginsAllEpochs(feats, labels, traj)
       .filter(col("epoch") === 3L)
-      .collect().map(row => row.getLong(0) -> (1000000L - row.getLong(4)))
-      .toMap
+      .collect().map { row =>
+        val p = graft.functions.ExactMicroOps.sigmoidMicro(
+          row.getAs[Long]("m"))
+        val pTrue = if (row.getAs[Long]("y") == 1L) p else 1000000L - p
+        row.getAs[Long]("id") -> (1000000L - pTrue)
+      }.toMap
     val cal = sAll.filter(_._1 % 5 == 0).values.toSeq.sorted
     val k = ((cal.size + 1) * 800000L + 999999L) / 1000000L
     val qhat = cal(k.toInt - 1)
@@ -482,6 +492,59 @@ class QualityModelSpec extends SparkSpec {
     assert(got.getLong(0) == nDocs && got.getLong(1) == bins.size.toLong)
     assert(got.getLong(2) == gaps.map(_._2).sum / nDocs, got.toString)
     assert(got.getLong(3) == gaps.map(t => t._2 / t._1).max, got.toString)
+  }
+
+  test("brier decomposition: exact replay, identity within floor drift") {
+    import spark.implicits._
+    val r = new scala.util.Random(47)
+    val good = (1 to 8).map(i => s"good$i")
+    val bad = (1 to 8).map(i => s"bad$i")
+    def doc(v: Seq[String]) =
+      (1 to 9).map(_ => v(r.nextInt(v.size))).mkString(" ")
+    val rows = (1 to 30).map(i => (i.toLong, doc(good), 1)) ++
+      (31 to 60).map(i => (i.toLong, doc(bad), 0))
+    val docs = rows.toDF("doc_id", "text", "label")
+    val got = QualityModel.brierDecomposition(docs, dim = 32, iters = 3,
+      lrNum = 1L, lrDen = 8L).collect()(0)
+    // independent sequential replay from final-epoch scores
+    val ys = rows.map(t => t._1 -> t._3.toLong).toMap
+    val fin = QualityModel.logisticEpochScoresMicro(docs, dim = 32,
+        iters = 3, lrNum = 1L, lrDen = 8L)
+      .filter(col("epoch") === 3L)
+      .collect().map(row => (row.getLong(0), row.getLong(3)))
+    val n = fin.length.toLong
+    val o = fin.count { case (id, _) => ys(id) == 1L }.toLong
+    val obase = 1000000L * o / n
+    val bins = fin.groupBy { case (_, p) => p / 100000L }.values.toSeq
+    def sq(x: BigInt) = x * x
+    val brier = fin.map { case (id, p) =>
+      sq(BigInt(p - 1000000L * ys(id))) }.sum / (BigInt(n) * 1000000)
+    val rel = bins.map { es =>
+      val nk = es.length.toLong
+      val pbar = es.map(_._2).sum / nk
+      val obar = 1000000L * es.count(e => ys(e._1) == 1L) / nk
+      BigInt(nk) * sq(BigInt(pbar - obar))
+    }.sum / (BigInt(n) * 1000000)
+    val res = bins.map { es =>
+      val nk = es.length.toLong
+      val obar = 1000000L * es.count(e => ys(e._1) == 1L) / nk
+      BigInt(nk) * sq(BigInt(obar - obase))
+    }.sum / (BigInt(n) * 1000000)
+    val unc = obase * (1000000L - obase) / 1000000L
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == brier.toLong, s"brier ${got.getLong(1)}")
+    assert(got.getLong(2) == rel.toLong, s"rel ${got.getLong(2)}")
+    assert(got.getLong(3) == res.toLong, s"res ${got.getLong(3)}")
+    assert(got.getLong(4) == unc, s"unc ${got.getLong(4)}")
+    // Murphy identity up to the within-bin forecast variance of the
+    // equal-width binning (bounded by binWidth²/12 ≈ 833 micro at the
+    // 10⁵ default) plus floor drift
+    val lhs = got.getLong(1)
+    val rhs = got.getLong(2) - got.getLong(3) + got.getLong(4)
+    assert(math.abs(lhs - rhs) <= 1000L, s"identity gap ${lhs - rhs}")
+    // all terms in range
+    assert(got.getLong(2) >= 0 && got.getLong(3) >= 0 &&
+      got.getLong(4) >= 0 && got.getLong(4) <= 250000L)
   }
 
   test("rho-loss: exact two-model replay; flipped-label docs score low rho") {

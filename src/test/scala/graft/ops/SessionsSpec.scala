@@ -331,6 +331,38 @@ class SessionsSpec extends SparkSpec {
     assert(got(2L) === ((1L, 0L, 0L)))
   }
 
+  test("mannKendall: hand-computed S and tie-corrected variance, exact z gate") {
+    import spark.implicits._
+    // user 1: strictly increasing 5 points -> S = C(5,2) = 10, no ties,
+    // var18 = 5·4·15 = 300; 18·100·1e12 > 1.959964²·300·1e6-ish ->
+    // 1.8e15 vs 3.84·300 ≈ 1152e12 -> significant.
+    // user 2: constant 4 points -> S = 0, all tied: var18 =
+    // 4·3·13 − 4·3·13 = 0, trend none, not significant.
+    // user 3: down 3 points -> S = −3, var18 = 3·2·11 = 66, |z| =
+    // 3/√(66/18) = 1.566 < 1.96 -> decreasing but not significant.
+    val ev = (
+      (1 to 5).map(i => (i.toLong, 1L, i.toLong, i.toDouble)) ++
+        (1 to 4).map(i => (10L + i, 2L, i.toLong, 7.0)) ++
+        (1 to 3).map(i => (20L + i, 3L, i.toLong, 9.0 - i)))
+      .toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Sessions.mannKendall(ev)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("s_stat"),
+          r.getAs[Long]("var18"), r.getAs[String]("trend"),
+          r.getAs[Boolean]("significant")))).toMap
+    assert(got(1L) === ((5L, 10L, 300L, "increasing", true)))
+    assert(got(2L) === ((4L, 0L, 0L, "none", false)))
+    assert(got(3L) === ((3L, -3L, 66L, "decreasing", false)))
+    // partition invariance
+    val got2 = Sessions.mannKendall(ev.repartition(7))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("s_stat"),
+          r.getAs[Long]("var18"), r.getAs[String]("trend"),
+          r.getAs[Boolean]("significant")))).toMap
+    assert(got2 === got)
+  }
+
   test("holtLinearForecast: hand-stepped recursion, negative trend floors portably") {
     import spark.implicits._
     // g=a [10, 20]: l₁=(20e6+4·10e6)/5=12e6, b₁=2e6/10=200000, sae=10e6

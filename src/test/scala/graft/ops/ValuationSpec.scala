@@ -234,4 +234,24 @@ class ValuationSpec extends SparkSpec {
     assert(got.sortBy(t => (t._1, t._2, t._3)).toSeq ==
       got2.sortBy(t => (t._1, t._2, t._3)).toSeq)
   }
+
+  test("panel guards fail loudly on corpus-sized test panels") {
+    import spark.implicits._
+    val docs = (1 to 20).map(i => (i.toLong, s"w$i w${i + 1}", i % 2))
+      .toDF("doc_id", "text", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      Valuation.tracinInfluence(docs, docs, dim = 8, iters = 1,
+        maxPanel = 10)
+    }
+    assert(e1.getMessage.contains("maxPanel=10"))
+    val vecs = emb((1L to 20L).map(i => (i, Seq(1.0, 0.0), 1L)))
+    val e2 = intercept[IllegalArgumentException] {
+      Valuation.knnShapley(vecs, vecs, k = 2, maxPanel = 10)
+    }
+    assert(e2.getMessage.contains("knnShapley"))
+    // bounded panels still pass through the guard untouched
+    assert(Valuation.tracinInfluence(docs.filter(col("doc_id") > 4),
+      docs.filter(col("doc_id") <= 4), dim = 8, iters = 1,
+      maxPanel = 10).count() > 0)
+  }
 }

@@ -29,6 +29,32 @@ def eq(a, b):
         return a == b
     return a == b
 
+def describe_types(con, sql):
+    """Column -> DuckDB type string for a query, via binder-only DESCRIBE."""
+    return {r[0]: r[1] for r in con.execute("DESCRIBE " + sql).fetchall()}
+
+def lint_types(con, out_dir, name, sql):
+    """Oracle output-type lint (round-14, VERDICT r13 item 2): the round-13
+    bitext reds were value-equal rows whose oracle column was HUGEINT —
+    DuckDB 1.0.0 serializes HUGEINT as float64 (pandas) / decimal128
+    (Arrow), so a typed harness sees a hash skew that this script's
+    fetchall() compare (plain Python ints) structurally cannot. Fail any
+    oracle emitting HUGEINT/UHUGEINT, and any DECIMAL output column whose
+    Spark parquet column is not itself decimal (bare sum() over BIGINT and
+    INTEGER-literal CASE branches are the two known widening paths)."""
+    otypes = describe_types(con, sql)
+    stypes = describe_types(
+        con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+    errs = []
+    for c, t in otypes.items():
+        tu = t.upper()
+        if "HUGEINT" in tu:
+            errs.append(f"{c}: oracle {t}")
+        elif tu.startswith("DECIMAL") and \
+                not stypes.get(c, "").upper().startswith("DECIMAL"):
+            errs.append(f"{c}: oracle {t} vs spark {stypes.get(c)}")
+    return errs
+
 def main(sf_dir, out_dir):
     import platform
     print(f"oracle env: duckdb={duckdb.__version__} "
@@ -51,6 +77,14 @@ def main(sf_dir, out_dir):
             erows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            nfail += 1
+            continue
+        try:
+            terrs = lint_types(con, out_dir, name, sql)
+        except Exception as e:
+            terrs = [f"lint error: {e}"]
+        if terrs:
+            print(f"FAIL {name}: oracle type lint: {terrs}")
             nfail += 1
             continue
         gc, gr = canon(grows, gcols)
