@@ -748,9 +748,15 @@ object QualityModel {
     * equi-join on (doc, epoch+1) — never a window over the corpus. */
   def forgettingEventsMicro(docs: DataFrame, dim: Int = 64, iters: Int = 4,
       lrNum: Long = 1L, lrDen: Long = 1L, idCol: String = "doc_id",
-      labelCol: String = "label", textCol: String = "text"): DataFrame = {
-    val ep = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
-        idCol, labelCol, textCol)
+      labelCol: String = "label", textCol: String = "text"): DataFrame =
+    forgettingFromEpochs(logisticEpochScoresMicro(docs, dim, iters,
+      lrNum, lrDen, idCol, labelCol, textCol), iters, idCol)
+
+  /** [[forgettingEventsMicro]] over a pre-built epoch relation (the
+    * [[calibrationErrorFromEpochs]] shared-fixture convention). */
+  def forgettingFromEpochs(epochs: DataFrame, iters: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val ep = epochs
       .select(col(idCol).as("id"), col("epoch"), col("correct"))
       .localCheckpoint(false)
     val firstL = ep.filter(col("correct"))
@@ -781,10 +787,15 @@ object QualityModel {
     * One combine-agg over the epoch relation; iters rows out. */
   def gdTrainingCurve(docs: DataFrame, dim: Int = 64, iters: Int = 4,
       lrNum: Long = 1L, lrDen: Long = 1L, idCol: String = "doc_id",
-      labelCol: String = "label", textCol: String = "text"): DataFrame = {
+      labelCol: String = "label", textCol: String = "text"): DataFrame =
+    gdCurveFromEpochs(logisticEpochScoresMicro(docs, dim, iters, lrNum,
+      lrDen, idCol, labelCol, textCol))
+
+  /** [[gdTrainingCurve]] over a pre-built epoch relation (the
+    * [[calibrationErrorFromEpochs]] shared-fixture convention). */
+  def gdCurveFromEpochs(ep: DataFrame): DataFrame = {
     val l6 = graft.functions.ExactMicroOps.log2Micro(1000000L)
-    logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen, idCol,
-        labelCol, textCol)
+    ep
       .withColumn("__loss", lit(l6) - graft.functions.VectorFunctions
         .log2_micro(greatest(col("p_true_micro"), lit(1L))))
       .groupBy(col("epoch"))
@@ -879,10 +890,19 @@ object QualityModel {
   def calibrationError(docs: DataFrame, dim: Int = 64, iters: Int = 3,
       lrNum: Long = 1L, lrDen: Long = 16L, binWidth: Long = 100000L,
       idCol: String = "doc_id", labelCol: String = "label",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    calibrationErrorFromEpochs(logisticEpochScoresMicro(docs, dim, iters,
+      lrNum, lrDen, idCol, labelCol, textCol), iters, binWidth)
+
+  /** [[calibrationError]] over a PRE-BUILT epoch relation (the
+    * [[logisticEpochScoresMicro]] output) — the shared-fixture entry
+    * point: at production scale the per-epoch score table is
+    * materialized once and every training-dynamics readout aggregates
+    * it, instead of each re-running GD. */
+  def calibrationErrorFromEpochs(ep: DataFrame, iters: Int,
+      binWidth: Long = 100000L): DataFrame = {
     require(binWidth > 0L && binWidth <= 1000000L, "bad binWidth")
-    val bins = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
-        idCol, labelCol, textCol)
+    val bins = ep
       .filter(col("epoch") === iters.toLong)
       // recover y from (margin, correct): correct = (m>0)⇔(y=1), so
       // y = (m>0)⇔correct — exact for every case incl. p = 500000
@@ -926,11 +946,17 @@ object QualityModel {
   def brierDecomposition(docs: DataFrame, dim: Int = 64, iters: Int = 3,
       lrNum: Long = 1L, lrDen: Long = 16L, binWidth: Long = 100000L,
       idCol: String = "doc_id", labelCol: String = "label",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    brierDecompositionFromEpochs(logisticEpochScoresMicro(docs, dim,
+      iters, lrNum, lrDen, idCol, labelCol, textCol), iters, binWidth)
+
+  /** [[brierDecomposition]] over a pre-built epoch relation (the
+    * [[calibrationErrorFromEpochs]] shared-fixture convention). */
+  def brierDecompositionFromEpochs(ep: DataFrame, iters: Int,
+      binWidth: Long = 100000L): DataFrame = {
     require(binWidth > 0L && binWidth <= 1000000L, "bad binWidth")
     val dec = "DECIMAL(38,0)"
-    val bins = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
-        idCol, labelCol, textCol)
+    val bins = ep
       .filter(col("epoch") === iters.toLong)
       .withColumn("__y",
         ((col("margin") > 0L) === col("correct")).cast("long"))
@@ -978,13 +1004,21 @@ object QualityModel {
     * everything integer, everything engine-replayable. */
   def dataDietScores(docs: DataFrame, dim: Int = 64, iters: Int = 4,
       lrNum: Long = 1L, lrDen: Long = 1L, idCol: String = "doc_id",
-      labelCol: String = "label", textCol: String = "text"): DataFrame = {
-    val ep = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
-        idCol, labelCol, textCol)
+      labelCol: String = "label", textCol: String = "text"): DataFrame =
+    dataDietScoresFromEpochs(
+      logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen, idCol,
+        labelCol, textCol),
+      hashedFeatures(docs, dim, idCol, textCol), idCol)
+
+  /** [[dataDietScores]] over pre-built epoch + feature relations (the
+    * [[calibrationErrorFromEpochs]] shared-fixture convention). */
+  def dataDietScoresFromEpochs(epochs: DataFrame, feats: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val ep = epochs
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_epochs"),
         sum(lit(1000000L) - col("p_true_micro")).as("__sr"))
-    val norms = hashedFeatures(docs, dim, idCol, textCol)
+    val norms = feats
       .groupBy(col("id"))
       .agg(sum(col("n") * col("n")).as("__nn"))
     ep.join(norms.withColumnRenamed("id", idCol), Seq(idCol), "left")
@@ -1010,11 +1044,19 @@ object QualityModel {
   def groupTrainingCurve(docs: DataFrame, groupCol: String, dim: Int = 64,
       iters: Int = 4, lrNum: Long = 1L, lrDen: Long = 1L,
       idCol: String = "doc_id", labelCol: String = "label",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    groupCurveFromEpochs(
+      logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen, idCol,
+        labelCol, textCol),
+      docs.select(col(idCol), col(groupCol).as("grp")), groupCol, idCol)
+
+  /** [[groupTrainingCurve]] over a pre-built epoch relation plus an
+    * (id, grp) membership frame (the shared-fixture convention). */
+  def groupCurveFromEpochs(epochs: DataFrame, groups: DataFrame,
+      groupCol: String, idCol: String = "doc_id"): DataFrame = {
     val l6 = graft.functions.ExactMicroOps.log2Micro(1000000L)
-    val per = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
-        idCol, labelCol, textCol)
-      .join(docs.select(col(idCol), col(groupCol).as("grp")), Seq(idCol))
+    val per = epochs
+      .join(groups, Seq(idCol))
       .withColumn("__loss", lit(l6) - graft.functions.VectorFunctions
         .log2_micro(greatest(col("p_true_micro"), lit(1L))))
       .groupBy(col("epoch"), col("grp"))
@@ -1099,10 +1141,15 @@ object QualityModel {
   def cartographyMicro(docs: DataFrame, dim: Int = 64, iters: Int = 4,
       lrNum: Long = 1L, lrDen: Long = 1L, ambThresh: Long = 150000L,
       idCol: String = "doc_id", labelCol: String = "label",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    cartographyFromEpochs(logisticEpochScoresMicro(docs, dim, iters,
+      lrNum, lrDen, idCol, labelCol, textCol), iters, ambThresh, idCol)
+
+  /** [[cartographyMicro]] over a pre-built epoch relation (the
+    * [[calibrationErrorFromEpochs]] shared-fixture convention). */
+  def cartographyFromEpochs(ep: DataFrame, iters: Int,
+      ambThresh: Long = 150000L, idCol: String = "doc_id"): DataFrame = {
     require(iters <= 1000, "iters > 1000 would overflow the Long Σp² path")
-    val ep = logisticEpochScoresMicro(docs, dim, iters, lrNum, lrDen,
-      idCol, labelCol, textCol)
     ep.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_epochs"),
         sum(col("p_true_micro")).as("__sp"),

@@ -203,15 +203,27 @@ object Valuation {
     * never materializes). */
   def tracinSelfInfluence(docs: DataFrame, dim: Int = 64, iters: Int = 3,
       lrNum: Long = 1L, lrDen: Long = 16L, idCol: String = "doc_id",
-      labelCol: String = "label", textCol: String = "text"): DataFrame = {
+      labelCol: String = "label", textCol: String = "text"): DataFrame =
+    tracinSelfFromEpochs(
+      QualityModel.logisticEpochScoresMicro(docs, dim, iters, lrNum,
+        lrDen, idCol, labelCol, textCol),
+      QualityModel.hashedFeatures(docs, dim, idCol, textCol),
+      lrNum, lrDen, idCol)
+
+  /** [[tracinSelfInfluence]] over pre-built epoch + feature relations
+    * (the [[QualityModel.calibrationErrorFromEpochs]] shared-fixture
+    * convention: the per-epoch score table is materialized once and
+    * every training-dynamics readout aggregates it). */
+  def tracinSelfFromEpochs(epochs: DataFrame, feats: DataFrame,
+      lrNum: Long = 1L, lrDen: Long = 16L,
+      idCol: String = "doc_id"): DataFrame = {
     val dec = "DECIMAL(38,0)"
-    val sr2 = QualityModel.logisticEpochScoresMicro(docs, dim, iters,
-        lrNum, lrDen, idCol, labelCol, textCol)
+    val sr2 = epochs
       .withColumn("__r", lit(1000000L) - col("p_true_micro"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_epochs"),
         sum(expr(s"CAST(__r AS $dec) * __r")).as("__sr2"))
-    val norms = QualityModel.hashedFeatures(docs, dim, idCol, textCol)
+    val norms = feats
       .groupBy(col("id").as(idCol))
       .agg(sum(col("n") * col("n")).as("__nn"))
     sr2.join(norms, Seq(idCol), "left")

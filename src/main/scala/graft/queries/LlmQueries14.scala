@@ -41,10 +41,18 @@ object LlmQueries14 {
   }
 
   /** Documents with the is-English gold label the quality family trains
-    * against (the `quality_pr_curve` convention). */
+    * against (the `quality_pr_curve` convention) — now the
+    * [[SharedRels.labeledDocs]] relation, shared with the GD fixtures. */
   private def labeledDocs(spark: SparkSession, dir: String): DataFrame =
-    T.par(spark, T.t(spark, dir, "documents"))
-      .withColumn("label", (col("lang") === "en").cast("int"))
+    SharedRels.labeledDocs(spark, dir)
+
+  /** The session-shared exact-GD epoch relation (dim 64, lr 1/16,
+    * 3 iters) — [[SharedRels.gdEpochScores]]: eight readouts aggregate
+    * this one materialized fixture instead of each re-running GD (the
+    * production posture: the per-epoch score table is written once by
+    * the training-dynamics job and READ by every readout). */
+  private def ep3x16(spark: SparkSession, dir: String): DataFrame =
+    SharedRels.gdEpochScores(spark, dir, iters = 3, lrDen = 16L)
 
   /** Exact integer-micro logistic GD under the gate
     * ([[graft.ops.QualityModel.logisticTrajectoryMicro]]): 3 iterations
@@ -67,8 +75,8 @@ object LlmQueries14 {
     * variance), correct-epoch count, and the pinned easy / ambiguous /
     * hard region — the training-dynamics curation signal. */
   def curationCartography(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.QualityModel.cartographyMicro(labeledDocs(spark, dir),
-        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+    graft.ops.QualityModel.cartographyFromEpochs(ep3x16(spark, dir),
+        iters = 3)
       .orderBy(col("doc_id"))
 
   /** Example forgetting (Toneva et al. 2019) over the exact-GD epochs
@@ -77,8 +85,9 @@ object LlmQueries14 {
     * one (doc, epoch+1) equi-join), final correctness, and the
     * unforgettable flag. */
   def curationForgetting(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.QualityModel.forgettingEventsMicro(labeledDocs(spark, dir),
-        dim = 64, iters = 6, lrNum = 1L, lrDen = 24L)
+    graft.ops.QualityModel.forgettingFromEpochs(
+        SharedRels.gdEpochScores(spark, dir, iters = 6, lrDen = 24L),
+        iters = 6)
       .orderBy(col("doc_id"))
 
   /** Per-epoch training curve of the exact-GD run
@@ -86,8 +95,8 @@ object LlmQueries14 {
     * exact integer base-2 log-loss per epoch — the loss curve itself is
     * engine-replayable. */
   def qualityGdCurve(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.QualityModel.gdTrainingCurve(labeledDocs(spark, dir),
-        dim = 64, iters = 6, lrNum = 1L, lrDen = 24L)
+    graft.ops.QualityModel.gdCurveFromEpochs(
+        SharedRels.gdEpochScores(spark, dir, iters = 6, lrDen = 24L))
       .orderBy(col("epoch"))
 
   /** Data-diet pruning (Paul et al. 2021,
@@ -97,8 +106,8 @@ object LlmQueries14 {
     * rank-ceiling arithmetic of [[graft.ops.Curation.keepTopQuantile]],
     * surfaced as a flag). */
   def curationDataDiet(spark: SparkSession, dir: String): DataFrame = {
-    val sc = graft.ops.QualityModel.dataDietScores(labeledDocs(spark, dir),
-        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+    val sc = graft.ops.QualityModel.dataDietScoresFromEpochs(
+        ep3x16(spark, dir), SharedRels.gdFeatures(spark, dir))
       .join(T.t(spark, dir, "documents").select(col("doc_id"), col("lang")),
         Seq("doc_id"))
     val kept = graft.ops.Curation.keepTopQuantile(sc, "lang", "grand_micro",
@@ -148,8 +157,8 @@ object LlmQueries14 {
     * η·(‖x‖²+1)·Σ_t r_t² — the mislabel/outlier detector (memorized
     * examples reduce their own loss themselves and score highest). */
   def valueTracinSelf(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Valuation.tracinSelfInfluence(labeledDocs(spark, dir),
-        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+    graft.ops.Valuation.tracinSelfFromEpochs(ep3x16(spark, dir),
+        SharedRels.gdFeatures(spark, dir), lrNum = 1L, lrDen = 16L)
       .orderBy(col("doc_id"))
 
   /** Split conformal prediction over the exact-GD model
@@ -169,8 +178,8 @@ object LlmQueries14 {
     * probability bins, per-bin |acc − conf| gaps multiplied through by
     * the counts so the two calibration scalars replay bit-for-bit. */
   def qualityEce(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.QualityModel.calibrationError(labeledDocs(spark, dir),
-      dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+    graft.ops.QualityModel.calibrationErrorFromEpochs(ep3x16(spark, dir),
+      iters = 3)
 
   /** Murphy (1973) Brier decomposition of the final-epoch GD model
     * ([[graft.ops.QualityModel.brierDecomposition]]): reliability −
@@ -178,8 +187,8 @@ object LlmQueries14 {
     * `quality_ece`, per-bin means floored once to micro so every
     * intermediate stays ≤ N·10¹² at any corpus size. */
   def qualityBrierDecomp(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.QualityModel.brierDecomposition(labeledDocs(spark, dir),
-      dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+    graft.ops.QualityModel.brierDecompositionFromEpochs(
+      ep3x16(spark, dir), iters = 3)
 
   /** RHO-loss selection (Mindermann et al. 2022,
     * [[graft.ops.QualityModel.rhoLossScores]]): reducible holdout loss
@@ -196,8 +205,10 @@ object LlmQueries14 {
     * exact correct counts and base-2 log-loss with the worst-group
     * flag — the fairness audit over the exact-GD trajectory. */
   def qualityGroupLoss(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.QualityModel.groupTrainingCurve(labeledDocs(spark, dir),
-        groupCol = "lang", dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+    graft.ops.QualityModel.groupCurveFromEpochs(ep3x16(spark, dir),
+        labeledDocs(spark, dir).select(col("doc_id"),
+          col("lang").as("grp")),
+        groupCol = "lang")
       .orderBy(col("epoch"), col("lang"))
 
   /** Per-event-type Fano factor over the hourly grid
