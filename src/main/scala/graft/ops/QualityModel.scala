@@ -661,8 +661,19 @@ object QualityModel {
       docs: DataFrame, dim: Int = 64, iters: Int = 4, lrNum: Long = 1L,
       lrDen: Long = 1L, idCol: String = "doc_id",
       labelCol: String = "label", textCol: String = "text"): DataFrame = {
-    val (w, b) = logisticTrajectoryMicro(docs, dim, iters, lrNum, lrDen,
-      idCol, labelCol, textCol).last
+    val (feats, labels) = checkpointedFeatsLabels(docs, dim, idCol,
+      labelCol, textCol)
+    logisticWeightsFromFeats(spark, feats, labels, dim, iters, lrNum,
+      lrDen)
+  }
+
+  /** [[logisticWeightsMicro]] over pre-built feature + label relations
+    * (the shared-fixture convention). */
+  def logisticWeightsFromFeats(spark: org.apache.spark.sql.SparkSession,
+      feats: DataFrame, labels: DataFrame, dim: Int = 64, iters: Int = 4,
+      lrNum: Long = 1L, lrDen: Long = 1L): DataFrame = {
+    val (w, b) = trajectoryFrom(feats, labels, dim, iters, lrNum,
+      lrDen).last
     import spark.implicits._
     ((-1L, b) +: w.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) })
       .toDF("bucket", "w_micro")
@@ -836,15 +847,29 @@ object QualityModel {
       lrNum: Long = 1L, lrDen: Long = 16L, calMod: Int = 5,
       alphaMicro: Long = 100000L, idCol: String = "doc_id",
       labelCol: String = "label", textCol: String = "text"): DataFrame = {
+    val (feats, labels) = checkpointedFeatsLabels(docs, dim, idCol,
+      labelCol, textCol)
+    conformalGateFromFeats(feats, labels, dim, iters, lrNum, lrDen,
+      calMod, alphaMicro, idCol)
+  }
+
+  /** [[conformalGate]] over pre-built feature + label relations (the
+    * shared-fixture convention): the non-calibration training split is
+    * DERIVED from the fixture by an id filter — identical rows to
+    * re-featurizing the filtered docs, without the second tokenize
+    * pass. */
+  def conformalGateFromFeats(feats: DataFrame, labels: DataFrame,
+      dim: Int = 64, iters: Int = 3, lrNum: Long = 1L, lrDen: Long = 16L,
+      calMod: Int = 5, alphaMicro: Long = 100000L,
+      idCol: String = "doc_id"): DataFrame = {
     require(calMod >= 2 && alphaMicro > 0L && alphaMicro < 1000000L,
       "need calMod >= 2 and alpha in (0, 1)")
     // trajectory from the non-calibration split; margins for ALL docs
     // (the tracinInfluence train/score decomposition)
-    val (feats, labels) = checkpointedFeatsLabels(docs, dim, idCol,
-      labelCol, textCol)
-    val (fTr, lTr) = checkpointedFeatsLabels(
-      docs.filter(pmod(col(idCol), lit(calMod.toLong)) =!= 0L),
-      dim, idCol, labelCol, textCol)
+    val lTr = labels.filter(pmod(col("id"), lit(calMod.toLong)) =!= 0L)
+      .localCheckpoint()
+    val fTr = feats.join(lTr.select(col("id")), Seq("id"), "left_semi")
+      .localCheckpoint()
     val traj = trajectoryFrom(fTr, lTr, dim, iters, lrNum, lrDen)
     val s = marginsAllEpochs(feats, labels, traj)
       .filter(col("epoch") === iters.toLong)
@@ -1095,13 +1120,28 @@ object QualityModel {
       iters: Int = 3, lrNum: Long = 1L, lrDen: Long = 16L,
       idCol: String = "doc_id", labelCol: String = "label",
       textCol: String = "text"): DataFrame = {
+    val (feats, labels) = checkpointedFeatsLabels(docs, dim, idCol,
+      labelCol, textCol)
+    rhoLossScoresFromFeats(feats, labels, calMod, dim, iters, lrNum,
+      lrDen, idCol)
+  }
+
+  /** [[rhoLossScores]] over pre-built feature + label relations (the
+    * shared-fixture convention): both model splits are derived from the
+    * fixture by id filters — identical rows, one tokenize pass. */
+  def rhoLossScoresFromFeats(feats: DataFrame, labels: DataFrame,
+      calMod: Int = 4, dim: Int = 64, iters: Int = 3, lrNum: Long = 1L,
+      lrDen: Long = 16L, idCol: String = "doc_id"): DataFrame = {
     require(calMod >= 2, "calMod must be >= 2")
-    val hold = docs.filter(pmod(col(idCol), lit(calMod.toLong)) === 0L)
-    val train = docs.filter(pmod(col(idCol), lit(calMod.toLong)) =!= 0L)
-    val (fH, lH) = checkpointedFeatsLabels(hold, dim, idCol, labelCol,
-      textCol)
-    val (fT, lT) = checkpointedFeatsLabels(train, dim, idCol, labelCol,
-      textCol)
+    def split(pred: org.apache.spark.sql.Column => org.apache.spark.sql
+        .Column): (DataFrame, DataFrame) = {
+      val l = labels.filter(pred(pmod(col("id"), lit(calMod.toLong))))
+        .localCheckpoint()
+      (feats.join(l.select(col("id")), Seq("id"), "left_semi")
+        .localCheckpoint(), l)
+    }
+    val (fH, lH) = split(_ === 0L)
+    val (fT, lT) = split(_ =!= 0L)
     val (wA, bA) = trajectoryFrom(fH, lH, dim, iters, lrNum, lrDen).last
     val (wB, bB) = trajectoryFrom(fT, lT, dim, iters, lrNum, lrDen).last
     val l6 = graft.functions.ExactMicroOps.log2Micro(1000000L)

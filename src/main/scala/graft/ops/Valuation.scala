@@ -237,12 +237,25 @@ object Valuation {
       iters: Int = 3, lrNum: Long = 1L, lrDen: Long = 16L, topK: Int = 3,
       idCol: String = "doc_id", labelCol: String = "label",
       textCol: String = "text", maxPanel: Int = 4096): DataFrame = {
-    require(topK >= 1, "topK must be positive")
-    requireBoundedPanel(test, maxPanel, "tracinInfluence")
     val (fTr, lTr) = QualityModel.checkpointedFeatsLabels(train, dim,
       idCol, labelCol, textCol)
     val (fTe, lTe) = QualityModel.checkpointedFeatsLabels(test, dim,
       idCol, labelCol, textCol)
+    tracinInfluenceFromFeats(fTr, lTr, fTe, lTe, dim, iters, lrNum,
+      lrDen, topK, maxPanel)
+  }
+
+  /** [[tracinInfluence]] over pre-built (feats, labels) pairs for the
+    * train and test sides (the shared-fixture convention: both sides
+    * are usually id-filtered views of ONE featurized corpus, so the
+    * tokenize pass runs once, not three times). The `maxPanel` guard
+    * counts the test label relation. */
+  def tracinInfluenceFromFeats(fTr: DataFrame, lTr: DataFrame,
+      fTe: DataFrame, lTe: DataFrame, dim: Int = 64, iters: Int = 3,
+      lrNum: Long = 1L, lrDen: Long = 16L, topK: Int = 3,
+      maxPanel: Int = 4096): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    requireBoundedPanel(lTe, maxPanel, "tracinInfluence")
     val traj = QualityModel.trajectoryFrom(fTr, lTr, dim, iters, lrNum, lrDen)
     // Σ_t r_i,t·r_j,t: ONE epoch-keyed broadcast join of the one-pass
     // all-checkpoints residual relations (panel side broadcast) — the

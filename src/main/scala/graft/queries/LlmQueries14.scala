@@ -54,6 +54,25 @@ object LlmQueries14 {
   private def ep3x16(spark: SparkSession, dir: String): DataFrame =
     SharedRels.gdEpochScores(spark, dir, iters = 3, lrDen = 16L)
 
+  /** The (id, y) label relation matching [[SharedRels.gdFeatures]]. */
+  private def gdLabels(spark: SparkSession, dir: String): DataFrame =
+    labeledDocs(spark, dir)
+      .select(col("doc_id").as("id"), col("label").cast("long").as("y"))
+
+  /** (feats, labels) for the id subset selected by a semi/anti join on
+    * `ids` — the split-derivation every split-trained GD query shares:
+    * identical rows to re-featurizing the filtered docs, zero extra
+    * tokenize passes (the fixture is tokenized once per session). */
+  private def gdSide(spark: SparkSession, dir: String, ids: DataFrame,
+      joinType: String): (DataFrame, DataFrame) = {
+    val l = gdLabels(spark, dir)
+      .join(ids.select(col("doc_id").as("id")), Seq("id"), joinType)
+      .localCheckpoint()
+    (SharedRels.gdFeatures(spark, dir)
+      .join(l.select(col("id")), Seq("id"), "left_semi")
+      .localCheckpoint(), l)
+  }
+
   /** Exact integer-micro logistic GD under the gate
     * ([[graft.ops.QualityModel.logisticTrajectoryMicro]]): 3 iterations
     * of batch gradient descent over 64 hashed bag-of-words buckets with
@@ -64,8 +83,9 @@ object LlmQueries14 {
     * is bit-identical across engines, which the float path can never
     * be. */
   def qualityLogisticTrain(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.QualityModel.logisticWeightsMicro(spark,
-        labeledDocs(spark, dir), dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+    graft.ops.QualityModel.logisticWeightsFromFeats(spark,
+        SharedRels.gdFeatures(spark, dir), gdLabels(spark, dir),
+        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
       .orderBy(col("bucket"))
 
   /** Dataset cartography (Swayamdipta et al. 2020) over the exact-GD
@@ -124,10 +144,11 @@ object LlmQueries14 {
     * eval panel via the factorized checkpoint sum, top-3 proponents and
     * opponents per test doc — all exact integers. */
   def valueTracin(spark: SparkSession, dir: String): DataFrame = {
-    val docs = labeledDocs(spark, dir)
-    graft.ops.Valuation.tracinInfluence(
-        docs.filter(col("doc_id") % 25 =!= 0),
-        docs.filter(col("doc_id") % 25 === 0),
+    val panel = labeledDocs(spark, dir)
+      .filter(col("doc_id") % 25 === 0).select(col("doc_id"))
+    val (fTr, lTr) = gdSide(spark, dir, panel, "left_anti")
+    val (fTe, lTe) = gdSide(spark, dir, panel, "left_semi")
+    graft.ops.Valuation.tracinInfluenceFromFeats(fTr, lTr, fTe, lTe,
         dim = 64, iters = 3, lrNum = 1L, lrDen = 16L, topK = 3)
       .orderBy(col("test_id"), col("kind"), col("rank"))
   }
@@ -141,13 +162,12 @@ object LlmQueries14 {
     * `maxPanel` guard enforces). Panel selection is orderBy+limit —
     * TakeOrderedAndProject, per-partition top-n, no global sort. */
   def valueTracinPanel(spark: SparkSession, dir: String): DataFrame = {
-    val docs = labeledDocs(spark, dir)
-    val panel = docs.select(col("doc_id"),
+    val panel = labeledDocs(spark, dir).select(col("doc_id"),
         graft.ops.Dedup.hashStr(col("doc_id").cast("string"), 19).as("__h"))
       .orderBy(col("__h"), col("doc_id")).limit(32).select("doc_id")
-    graft.ops.Valuation.tracinInfluence(
-        docs.join(panel, Seq("doc_id"), "left_anti"),
-        docs.join(panel, Seq("doc_id"), "left_semi"),
+    val (fTr, lTr) = gdSide(spark, dir, panel, "left_anti")
+    val (fTe, lTe) = gdSide(spark, dir, panel, "left_semi")
+    graft.ops.Valuation.tracinInfluenceFromFeats(fTr, lTr, fTe, lTe,
         dim = 64, iters = 3, lrNum = 1L, lrDen = 16L, topK = 3)
       .orderBy(col("test_id"), col("kind"), col("rank"))
   }
@@ -168,7 +188,8 @@ object LlmQueries14 {
     * doc_id % 5 = 0 split via exact rank-ceiling arithmetic on the
     * distinct-score relation, per-eval-doc coverage flags. */
   def qualityConformal(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.QualityModel.conformalGate(labeledDocs(spark, dir),
+    graft.ops.QualityModel.conformalGateFromFeats(
+        SharedRels.gdFeatures(spark, dir), gdLabels(spark, dir),
         dim = 64, iters = 3, lrNum = 1L, lrDen = 16L, calMod = 5,
         alphaMicro = 100000L)
       .orderBy(col("doc_id"))
@@ -196,7 +217,8 @@ object LlmQueries14 {
     * doc_id % 4 = 0 holdout split), rho = loss − irreducible, selected
     * = rho > 0 — learnable-but-not-yet-learnt prioritization. */
   def curationRhoLoss(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.QualityModel.rhoLossScores(labeledDocs(spark, dir),
+    graft.ops.QualityModel.rhoLossScoresFromFeats(
+        SharedRels.gdFeatures(spark, dir), gdLabels(spark, dir),
         calMod = 4, dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
       .orderBy(col("doc_id"))
 
