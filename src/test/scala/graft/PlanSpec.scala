@@ -473,4 +473,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
       s"bounded sides must broadcast:\n$p")
   }
+
+  test("tracin panel: selection is TakeOrderedAndProject, not a global sort") {
+    // the fixed-size hash-lowest panel must come from a per-partition
+    // top-n (TakeOrderedAndProject), never a corpus-wide Sort+Limit —
+    // that is the whole point of the bounded-panel production shape.
+    // Pinned on the selection frame itself: inside the query it is
+    // consumed by an eager localCheckpoint, so the final executed plan
+    // only shows the checkpointed scan.
+    val panel = T.par(spark, T.t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        graft.ops.Dedup.hashStr(col("doc_id").cast("string"), 19).as("__h"))
+      .orderBy(col("__h"), col("doc_id")).limit(32)
+    assert(plan(panel).contains("TakeOrderedAndProject"),
+      s"panel selection should be a top-n operator:\n${plan(panel)}")
+    val p = plan(queries.LlmQueries14.valueTracinPanel(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("unimax: corpus touched once by a hash agg; waterfilling is strata-sized") {
+    val df = queries.LlmQueries15.mixUnimaxPlan(spark, dir)
+    val p = plan(df)
+    // the corpus contributes ONE combine-agg; everything after operates
+    // on the |strata|-row relation (triangular join + one-row broadcasts)
+    assert(p.contains("HashAggregate"), p)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"the triangular rank join must have a broadcast side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mann-kendall: pair build is a per-key equi-join, never cartesian") {
+    val p = plan(queries.LlmQueries15.eventMannKendall(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"the pair self-join must stay keyed on event_type:\n$p")
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"non-broadcast nested loop:\n$p")
+  }
 }
