@@ -246,6 +246,118 @@ object QualityModel {
                |END""".stripMargin).as("auc_micro"))
   }
 
+  /** Micro-quantized Poisson(1) inverse CDF, k = 0..8 (draws past the
+    * last entry weight 9): floor(10⁶·e⁻¹·Σ_{j≤k} 1/j!). The table IS
+    * the operator's definition — both engines branch on the same nine
+    * literals, so the bootstrap weights replay bit-for-bit with no
+    * transcendental anywhere in the plan. */
+  val poissonCdfMicro: Seq[Long] = Seq(367879L, 735758L,
+    919698L, 981011L, 996340L, 999405L, 999916L, 999989L, 999998L)
+
+  /** Poisson-bootstrap resampling weight for (id, rep): the inverse-CDF
+    * lookup on the doc/rep hash-uniform micro draw — the streaming
+    * bootstrap of Chamandy et al. ("Estimating uncertainty for massive
+    * data streams", Google 2012): instead of materializing B resamples
+    * (a corpus-sized shuffle each), every row carries B tiny integer
+    * weights computed map-side. */
+  private def poissonWeight(id: org.apache.spark.sql.Column,
+      rep: org.apache.spark.sql.Column, seed: Int)
+      : org.apache.spark.sql.Column = {
+    val u = pmod(graft.ops.Dedup.hashStr(
+      concat(id.cast("string"), lit("|"), rep.cast("string")), seed),
+      lit(1000000L))
+    poissonCdfMicro.zipWithIndex.foldRight(
+        lit(poissonCdfMicro.size.toLong)) { case ((c, k), rest) =>
+      when(u < c, k.toLong).otherwise(rest)
+    }
+  }
+
+  /** Per-replicate Poisson-bootstrap AUCs — the uncertainty companion
+    * to [[aucExact]]: B weighted AUC replicates, each doc counted
+    * w ~ Poisson(1) times per replicate (deterministic hash draws, the
+    * [[poissonWeight]] table), weighted pairwise AUC with the exact
+    * [[aucByGroup]] construction keyed by replicate instead of group.
+    * The spread of the B replicates estimates the sampling uncertainty
+    * of the point AUC — the "is 0.71 vs 0.69 real" answer a quality-
+    * classifier owner needs before acting on a threshold.
+    *
+    * Scale shape: ONE pass computes all B weights map-side (explode of
+    * a B-literal array — no resample shuffle, no corpus duplication on
+    * disk), one combine-agg to the (rep × distinct-score) relation,
+    * then the rep-keyed triangular concordance join ([[aucByGroup]]'s
+    * posture; DECIMAL(38,0) sums so weighted pair counts hold at any
+    * eval-set size). Output: one row per replicate
+    * (rep, w_pos, w_neg, auc_micro). */
+  def aucPoissonBootstrap(scored: DataFrame, scoreCol: String,
+      labelCol: String, reps: Int = 20, seed: Int = 23,
+      idCol: String = "doc_id"): DataFrame = {
+    require(reps >= 4 && reps <= 1000, "reps in [4, 1000]")
+    val dec = "DECIMAL(38,0)"
+    val weighted = scored
+      .select(col(idCol).as("__id"), col(scoreCol).as("s"),
+        col(labelCol).cast("long").as("__y"))
+      .withColumn("rep", explode(array((1 to reps).map(lit(_)): _*)))
+      .withColumn("__w", poissonWeight(col("__id"), col("rep"), seed))
+    val per = weighted.groupBy(col("rep"), col("s"))
+      .agg(sum(col("__w") * col("__y")).as("__wp"),
+        sum(col("__w") * (lit(1L) - col("__y"))).as("__wn"))
+      .localCheckpoint(false) // (rep × score)-sized; both join sides
+    val conc = per.alias("a")
+      .join(per.select(col("rep").as("__r2"), col("s").as("__s2"),
+        col("__wp").as("__wp2")),
+        col("rep") === col("__r2") && col("s") < col("__s2"))
+      .groupBy(col("rep"))
+      .agg(coalesce(sum(expr(s"CAST(__wn AS $dec) * __wp2")),
+        expr(s"CAST(0 AS $dec)")).as("__conc"))
+    per.groupBy(col("rep"))
+      .agg(coalesce(sum(expr(s"CAST(__wp AS $dec) * __wn")),
+          expr(s"CAST(0 AS $dec)")).as("__tied"),
+        coalesce(sum(col("__wp")), lit(0L)).as("w_pos"),
+        coalesce(sum(col("__wn")), lit(0L)).as("w_neg"))
+      .join(conc, Seq("rep"), "left")
+      .withColumn("__conc", coalesce(col("__conc"), expr(s"CAST(0 AS $dec)")))
+      .select(col("rep").cast("long").as("rep"), col("w_pos"), col("w_neg"),
+        expr(s"""CAST(CASE WHEN w_pos = 0 OR w_neg = 0 THEN 0
+               |ELSE (1000000 * __conc + 500000 * __tied)
+               |  div (CAST(w_pos AS $dec) * w_neg)
+               |END AS BIGINT)""".stripMargin).as("auc_micro"))
+  }
+
+  /** Percentile confidence interval over the [[aucPoissonBootstrap]]
+    * replicates plus the unweighted point estimate: one row
+    * (n_reps, auc_micro, ci_lo_micro, ci_hi_micro) with the bounds at
+    * exact rank-ceiling indexes k = ⌈B·α/2⌉ and B+1−k (ties to the
+    * lower rep id). The rank comes from the triangular join on the
+    * B-row replicate relation — bounded, never a global window. */
+  def aucBootstrapCi(scored: DataFrame, scoreCol: String,
+      labelCol: String, reps: Int = 20, alphaMicro: Long = 100000L,
+      seed: Int = 23, idCol: String = "doc_id"): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro < 1000000L, "alpha in (0,1)")
+    val perRep = aucPoissonBootstrap(scored, scoreCol, labelCol, reps,
+        seed, idCol)
+      .select(col("rep"), col("auc_micro"))
+      .localCheckpoint(false) // B rows; both triangular sides
+    val ranked = perRep.alias("a")
+      .join(perRep.select(col("rep").as("__r2"),
+        col("auc_micro").as("__v2")),
+        col("__v2") < col("auc_micro") ||
+          (col("__v2") === col("auc_micro") && col("__r2") < col("rep")),
+        "left")
+      .groupBy(col("rep"), col("auc_micro"))
+      .agg((count(col("__r2")) + lit(1L)).as("__rk"))
+    val kLo = (reps * alphaMicro + 1999999L) / 2000000L
+    val kHi = reps + 1L - kLo
+    val ci = ranked.agg(
+      max(when(col("__rk") === kLo, col("auc_micro"))).as("ci_lo_micro"),
+      max(when(col("__rk") === kHi, col("auc_micro"))).as("ci_hi_micro"),
+      count(lit(1)).as("n_reps"))
+    val point = aucExact(scored, scoreCol, labelCol)
+      .select(col("auc_micro"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n_reps"), col("auc_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"))
+  }
+
   /** Engine-parity scoring variant with md5-derived INTEGER weights
     * (w[bucket] ∈ [-10, 10]): the margin is an exact integer sum —
     * order-independent and bit-identical across engines — while the

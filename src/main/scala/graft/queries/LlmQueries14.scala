@@ -436,7 +436,7 @@ object LlmQueries14 {
   // Exact-GD / exp2 oracle machinery
   // ---------------------------------------------------------------------
 
-  private def hashSql(seed: Int, e: String) =
+  private[queries] def hashSql(seed: Int, e: String) =
     s"CAST('0x' || substring(md5('$seed|' || $e), 1, 15) AS BIGINT)"
 
   private val normText = "trim(regexp_replace(regexp_replace(lower(text), " +
@@ -448,7 +448,7 @@ object LlmQueries14 {
     * (c₁ = isqrt(2⁶⁵), cᵢ = isqrt(cᵢ₋₁·2³²)) — a 20-step recursive CTE,
     * no float constant anywhere. Produces `ec(i, c)` and the list form
     * `cl(cs)` the per-row product chain indexes into. */
-  private val exp2ConstsCtes: String =
+  private[queries] val exp2ConstsCtes: String =
     """ec AS (
       |  SELECT 1 AS i,
       |    CASE WHEN (s0+1)*(s0+1) <= x THEN s0+1
@@ -584,7 +584,7 @@ object LlmQueries14 {
     * blocks plus the per-epoch union — the base of the cartography,
     * forgetting, and training-curve oracles (epoch k scores under the
     * post-update weights w_k, i.e. block p(k+1)). */
-  private def epochsCtes(iters: Int, lrDen: Long,
+  private[queries] def epochsCtes(iters: Int, lrDen: Long,
       trainPred: String = "TRUE"): String = {
     val unions = (1 to iters).map { k =>
       if (k == 1) s"SELECT doc_id, y, m, p, 1 AS epoch FROM p${k + 1}"

@@ -38,12 +38,95 @@ object LlmQueries15 {
       .orderBy(col("event_type"))
   }
 
+  /** Poisson-bootstrap confidence interval for the GD model's exact AUC
+    * ([[graft.ops.QualityModel.aucBootstrapCi]], the Chamandy et al.
+    * 2012 streaming bootstrap): 20 replicates of deterministic
+    * hash-drawn Poisson(1) weights over the final-epoch scores from the
+    * shared GD fixture, weighted pairwise AUC per replicate, 80%
+    * percentile interval (rank-2 / rank-19) around the unweighted point
+    * estimate — the "is this AUC difference real" uncertainty readout,
+    * computed map-side with no resample shuffle. */
+  def qualityAucBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val scored = SharedRels.gdEpochScores(spark, dir, iters = 3,
+        lrDen = 16L)
+      .filter(col("epoch") === 3L)
+      .withColumn("__y",
+        ((col("margin") > 0L) === col("correct")).cast("long"))
+    graft.ops.QualityModel.aucBootstrapCi(scored, "p_micro", "__y",
+      reps = 20, alphaMicro = 200000L, seed = 23)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_unimax_plan" -> (mixUnimaxPlan _),
     "event_mann_kendall" -> (eventMannKendall _),
+    "quality_auc_bootstrap" -> (qualityAucBootstrap _),
   )
 
+  /** Replay of the Poisson-bootstrap AUC CI: GD epochs (the
+    * LlmQueries14 machinery), per-(doc, rep) inverse-CDF weights on the
+    * md5 micro draw (the nine floor(10⁶·CDF) literals ARE the
+    * definition), weighted pairwise AUC per replicate keyed like the
+    * quality_auc construction, rank-k CI bounds via the triangular join
+    * on the 20-row replicate relation, unweighted point estimate. */
+  private def aucBootstrapOracle: String = {
+    val u = LlmQueries14.hashSql(23,
+      "CAST(doc_id AS VARCHAR) || '|' || CAST(rep AS VARCHAR)") +
+      " % 1000000"
+    val wCase = graft.ops.QualityModel.poissonCdfMicro.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 9 END")
+    s"""WITH RECURSIVE ${LlmQueries14.exp2ConstsCtes},
+       |${LlmQueries14.epochsCtes(iters = 3, lrDen = 16L)},
+       |fe AS (SELECT doc_id, y, p FROM ep WHERE epoch = 3),
+       |wts AS (SELECT doc_id, y, p, rep, $wCase AS w
+       |  FROM (SELECT fe.*, r.rep, $u AS u
+       |    FROM fe CROSS JOIN
+       |      (SELECT unnest(generate_series(1, 20)) AS rep) r)),
+       |per AS (SELECT rep, p AS s,
+       |    CAST(sum(w * y) AS BIGINT) AS wp,
+       |    CAST(sum(w * (1 - y)) AS BIGINT) AS wn
+       |  FROM wts GROUP BY 1, 2),
+       |conc AS (SELECT a.rep,
+       |    coalesce(sum(CAST(a.wn AS HUGEINT) * b.wp), 0) AS c
+       |  FROM per a JOIN per b ON b.rep = a.rep AND a.s < b.s
+       |  GROUP BY 1),
+       |agg AS (SELECT rep,
+       |    coalesce(sum(CAST(wp AS HUGEINT) * wn), 0) AS tied,
+       |    CAST(coalesce(sum(wp), 0) AS BIGINT) AS w_pos,
+       |    CAST(coalesce(sum(wn), 0) AS BIGINT) AS w_neg
+       |  FROM per GROUP BY 1),
+       |rr AS (SELECT agg.rep, w_pos, w_neg,
+       |    CAST(CASE WHEN w_pos = 0 OR w_neg = 0 THEN 0
+       |      ELSE (1000000 * coalesce(c.c, 0) + 500000 * tied)
+       |        // (CAST(w_pos AS HUGEINT) * w_neg) END AS BIGINT) AS auc
+       |  FROM agg LEFT JOIN conc c ON c.rep = agg.rep),
+       |rk AS (SELECT a.rep, a.auc, CAST(count(b.rep) + 1 AS BIGINT) AS rk
+       |  FROM rr a LEFT JOIN rr b
+       |    ON b.auc < a.auc OR (b.auc = a.auc AND b.rep < a.rep)
+       |  GROUP BY 1, 2),
+       |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+       |    max(CASE WHEN rk = 2 THEN auc END) AS ci_lo_micro,
+       |    max(CASE WHEN rk = 19 THEN auc END) AS ci_hi_micro FROM rk),
+       |pper AS (SELECT p AS s, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+       |  FROM fe GROUP BY 1),
+       |pper2 AS (SELECT s, pos, n - pos AS neg FROM pper),
+       |pconc AS (SELECT CAST(coalesce(sum(a.neg * b.pos), 0) AS BIGINT)
+       |    AS concordant
+       |  FROM pper2 a JOIN pper2 b ON a.s < b.s),
+       |pt AS (SELECT CAST(coalesce(sum(pos * neg), 0) AS BIGINT) AS tied,
+       |    CAST(coalesce(sum(pos), 0) AS BIGINT) AS n_pos,
+       |    CAST(coalesce(sum(neg), 0) AS BIGINT) AS n_neg
+       |  FROM pper2),
+       |point AS (SELECT CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+       |    ELSE (1000000 * concordant + 500000 * tied) // (n_pos * n_neg)
+       |    END AS BIGINT) AS auc_micro
+       |  FROM pt CROSS JOIN pconc)
+       |SELECT n_reps, auc_micro, ci_lo_micro, ci_hi_micro
+       |FROM point CROSS JOIN ci""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "quality_auc_bootstrap" -> aucBootstrapOracle,
     // Waterfilling replay, construct-parallel with planMixUnimax: the
     // triangular rank/prefix join, the DECIMAL fit test, the maximal
     // fitting prefix k, the floored equal share, the leftover dust.

@@ -494,6 +494,53 @@ class QualityModelSpec extends SparkSpec {
     assert(got.getLong(3) == gaps.map(t => t._2 / t._1).max, got.toString)
   }
 
+  test("poisson bootstrap AUC: weights and replicates match a sequential replay") {
+    import spark.implicits._
+    val r = new scala.util.Random(53)
+    val rows = (1 to 40).map { i =>
+      val y = i % 2
+      // scores correlate with the label but overlap (ties included)
+      (i.toLong, (y * 300000 + r.nextInt(700000)).toLong / 1000 * 1000, y)
+    }
+    val scored = rows.toDF("doc_id", "score", "label")
+    val reps = 8
+    val got = QualityModel.aucPoissonBootstrap(scored, "score", "label",
+        reps = reps, seed = 23)
+      .collect().map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3)))).toMap
+    assert(got.size == reps)
+    // sequential replay: same md5 draw, same CDF table, brute pairwise
+    def w(id: Long, rep: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"23|$id|$rep".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = java.lang.Long.parseLong(hex, 16) % 1000000L
+      QualityModel.poissonCdfMicro.count(_ <= u).toLong
+    }
+    for (rep <- 1 to reps) {
+      val ws = rows.map { case (id, s, y) => (s, y.toLong, w(id, rep)) }
+      val wp = ws.filter(_._2 == 1L).map(_._3).sum
+      val wn = ws.filter(_._2 == 0L).map(_._3).sum
+      val conc = (for ((sp, yp, wpp) <- ws if yp == 1L;
+        (sn, yn, wnn) <- ws if yn == 0L && sp > sn) yield wpp * wnn).sum
+      val tied = (for ((sp, yp, wpp) <- ws if yp == 1L;
+        (sn, yn, wnn) <- ws if yn == 0L && sp == sn) yield wpp * wnn).sum
+      val expected = if (wp == 0 || wn == 0) 0L
+        else (1000000L * conc + 500000L * tied) / (wp * wn)
+      assert(got(rep.toLong) === ((wp, wn, expected)), s"rep $rep")
+    }
+    // the CI summary picks the rank-k replicates around the point AUC
+    val ci = QualityModel.aucBootstrapCi(scored, "score", "label",
+      reps = reps, alphaMicro = 500000L, seed = 23).collect()(0)
+    val aucs = (1 to reps).map(rep => got(rep.toLong)._3).sorted
+    // kLo = ceil(8·0.5/2) = 2, kHi = 7
+    assert(ci.getLong(0) == reps.toLong)
+    assert(ci.getLong(2) == aucs(1) && ci.getLong(3) == aucs(6), ci.toString)
+    val point = QualityModel.aucExact(scored, "score", "label")
+      .collect()(0).getAs[Long]("auc_micro")
+    assert(ci.getLong(1) == point)
+  }
+
   test("brier decomposition: exact replay, identity within floor drift") {
     import spark.implicits._
     val r = new scala.util.Random(47)
