@@ -86,20 +86,22 @@ object LlmQueries15 {
        |    CAST(sum(w * y) AS BIGINT) AS wp,
        |    CAST(sum(w * (1 - y)) AS BIGINT) AS wn
        |  FROM wts GROUP BY 1, 2),
-       |conc AS (SELECT a.rep,
-       |    coalesce(sum(CAST(a.wn AS HUGEINT) * b.wp), 0) AS c
-       |  FROM per a JOIN per b ON b.rep = a.rep AND a.s < b.s
-       |  GROUP BY 1),
+       |cw AS (SELECT rep, s, wp, wn,
+       |    CAST(coalesce(sum(wn) OVER (PARTITION BY rep ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cumwn
+       |  FROM per),
        |agg AS (SELECT rep,
+       |    coalesce(sum(CAST(wp AS HUGEINT) * cumwn), 0) AS conc,
        |    coalesce(sum(CAST(wp AS HUGEINT) * wn), 0) AS tied,
        |    CAST(coalesce(sum(wp), 0) AS BIGINT) AS w_pos,
        |    CAST(coalesce(sum(wn), 0) AS BIGINT) AS w_neg
-       |  FROM per GROUP BY 1),
-       |rr AS (SELECT agg.rep, w_pos, w_neg,
+       |  FROM cw GROUP BY 1),
+       |rr AS (SELECT rep, w_pos, w_neg,
        |    CAST(CASE WHEN w_pos = 0 OR w_neg = 0 THEN 0
-       |      ELSE (1000000 * coalesce(c.c, 0) + 500000 * tied)
+       |      ELSE (1000000 * conc + 500000 * tied)
        |        // (CAST(w_pos AS HUGEINT) * w_neg) END AS BIGINT) AS auc
-       |  FROM agg LEFT JOIN conc c ON c.rep = agg.rep),
+       |  FROM agg),
        |rk AS (SELECT a.rep, a.auc, CAST(count(b.rep) + 1 AS BIGINT) AS rk
        |  FROM rr a LEFT JOIN rr b
        |    ON b.auc < a.auc OR (b.auc = a.auc AND b.rep < a.rep)
