@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
+import LlmQueries9.ExactSql
 
 /** Round-14 registry: UniMax budget-waterfilling language sampling and
   * the Mann–Kendall trend test — two exact-integer operators a
@@ -56,11 +57,76 @@ object LlmQueries15 {
       reps = 20, alphaMicro = 200000L, seed = 23)
   }
 
+  /** Exact KNN-Shapley with a FIXED-SIZE test panel — the
+    * `value_tracin_panel` symmetry (VERDICT r13 item 4) for the other
+    * valuation family: the 32 embeddings with the lowest md5 hash
+    * (seed 19, ties to the lower vec_id) form the eval panel, so the
+    * gated \|train\|×\|panel\| pair relation is corpus-LINEAR — the
+    * shape [[graft.ops.Valuation.knnShapley]]'s broadcast and maxPanel
+    * guard are designed for — instead of `value_knn_shapley`'s n²/25
+    * modulus panel. */
+  def valueKnnShapleyPanel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val panel = emb.select(col("vec_id"),
+        graft.ops.Dedup.hashStr(col("vec_id").cast("string"), 19).as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(32).select("vec_id")
+    graft.ops.Valuation.knnShapley(
+        emb.join(panel, Seq("vec_id"), "left_anti"),
+        emb.join(panel, Seq("vec_id"), "left_semi"), k = 5)
+      .orderBy(col("train_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_unimax_plan" -> (mixUnimaxPlan _),
     "event_mann_kendall" -> (eventMannKendall _),
     "quality_auc_bootstrap" -> (qualityAucBootstrap _),
+    "value_knn_shapley_panel" -> (valueKnnShapleyPanel _),
   )
+
+  /** The `value_knn_shapley` replay with the fixed hash-lowest panel:
+    * same pairwise integer-micro cosine kernel, same closed-form nano
+    * recursion, panel membership via the rank-32 cut. */
+  private def knnShapleyPanelOracle: String =
+    s"""WITH corp AS (
+       |  SELECT vec_id, label, vm, ${ExactSql.idot("vm", "vm")} AS nsq
+       |  FROM (SELECT vec_id, label, ${ExactSql.microList("embedding")} AS vm
+       |        FROM embeddings)),
+       |pnl AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (
+       |    ORDER BY ${LlmQueries14.hashSql(19, "CAST(vec_id AS VARCHAR)")},
+       |      vec_id) AS rk FROM corp) WHERE rk <= 32),
+       |tr AS (SELECT * FROM corp
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM pnl)),
+       |te AS (SELECT * FROM corp
+       |  WHERE vec_id IN (SELECT vec_id FROM pnl)),
+       |scored AS (
+       |  ${ExactSql.cosMicroOver(
+           """SELECT t.vec_id AS train_id, q.vec_id AS test_id,
+             |      CASE WHEN t.label = q.label THEN 1 ELSE 0 END AS alpha,
+             |      """.stripMargin + ExactSql.idot("t.vm", "q.vm") +
+           """ AS dt, CAST(t.nsq AS HUGEINT) * q.nsq AS nn
+             |    FROM tr t CROSS JOIN te q""".stripMargin,
+           "train_id, test_id, alpha")}),
+       |ranked AS (SELECT train_id, test_id, alpha,
+       |    row_number() OVER (PARTITION BY test_id
+       |      ORDER BY sim DESC, train_id) AS rank,
+       |    count(*) OVER (PARTITION BY test_id) AS n
+       |  FROM scored),
+       |terms AS (SELECT *, lead(alpha) OVER (PARTITION BY test_id
+       |      ORDER BY rank) AS anext
+       |  FROM ranked),
+       |contrib AS (SELECT train_id, test_id, rank,
+       |    CASE WHEN anext IS NULL THEN alpha * (1000000000 // n)
+       |         ELSE (alpha - anext) *
+       |           ((least(5, rank) * 1000000000) // (5 * rank))
+       |    END AS term
+       |  FROM terms),
+       |shap AS (SELECT train_id, test_id,
+       |    sum(term) OVER (PARTITION BY test_id ORDER BY rank DESC)
+       |      AS shap_nano
+       |  FROM contrib)
+       |SELECT train_id, CAST(count(*) AS BIGINT) AS n_tests,
+       |  CAST(sum(shap_nano) AS BIGINT) AS shap_nano_sum
+       |FROM shap GROUP BY train_id ORDER BY train_id""".stripMargin
 
   /** Replay of the Poisson-bootstrap AUC CI: GD epochs (the
     * LlmQueries14 machinery), per-(doc, rep) inverse-CDF weights on the
@@ -129,6 +195,7 @@ object LlmQueries15 {
 
   val oracle: Map[String, String] = Map(
     "quality_auc_bootstrap" -> aucBootstrapOracle,
+    "value_knn_shapley_panel" -> knnShapleyPanelOracle,
     // Waterfilling replay, construct-parallel with planMixUnimax: the
     // triangular rank/prefix join, the DECIMAL fit test, the maximal
     // fitting prefix k, the floored equal share, the leftover dust.
