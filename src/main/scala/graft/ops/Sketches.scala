@@ -620,6 +620,106 @@ object Sketches {
         col("ks_bin"), col("ks_at_micro"))
   }
 
+  /** Population Stability Index over the shared log-bin histogram
+    * space — the industry model-monitoring drift scalar (the banking
+    * convention: <0.1 stable, 0.1–0.25 moderate, >0.25 major shift),
+    * here in BITS via the exact fixed-point log2 kernel (the usual
+    * natural-log form differs by the constant ln 2; thresholds scale
+    * by 1/ln2 ≈ 1.443):
+    *
+    *   psi = Σ_b (p_b − q_b) · log2(p_b / q_b)
+    *
+    * Quantization contract, both engines: add-one smoothing per
+    * OBSERVED bin (zero counts would blow the log; bins absent from
+    * BOTH sides contribute nothing by construction), fractions floored
+    * once to micro with a ≥1 clamp (a one-count bin at ≥10⁶ samples
+    * floors to 0 micro otherwise — the clamp keeps the log defined and
+    * costs ≤1 micro of mass), per-bin terms floored once (both factors
+    * share a sign because log2Micro is monotone, so the product is
+    * non-negative and truncation = floor in both engines).
+    *
+    * Output: the per-bin term relation plus the repeated psi total —
+    * row-stable for threshold sweeps, and the per-bin terms name WHICH
+    * value region drifted (the readout KS's single max-gap bin lacks).
+    *
+    * Scale: the bin relation is ≤ ~1000 rows at any volume (the
+    * [[histRegisters]] guarantee), so everything after the one
+    * histogram pass is bounded arithmetic with one-row broadcasts. */
+  def psiFromCounts(binsIn: DataFrame, unit: Long = 1000000L): DataFrame = {
+    val lg = graft.functions.VectorFunctions.log2_micro _
+    val bins = binsIn.localCheckpoint(false) // ≤ ~1000 rows; totals + terms
+    val tot = bins.agg(sum(col("ca")).as("__na"), sum(col("cb")).as("__nb"),
+      count(lit(1)).as("__nbins"))
+    val terms = bins.crossJoin(broadcast(tot))
+      .withColumn("p_micro", expr(
+        s"greatest(($unit * (ca + 1)) div (__na + __nbins), 1L)"))
+      .withColumn("q_micro", expr(
+        s"greatest(($unit * (cb + 1)) div (__nb + __nbins), 1L)"))
+      .withColumn("__dl", lg(col("p_micro")) - lg(col("q_micro")))
+      .withColumn("term_micro",
+        expr(s"((p_micro - q_micro) * __dl) div $unit"))
+      .localCheckpoint(false) // per-bin relation + the total
+    val psi = terms.agg(sum(col("term_micro")).as("psi_micro"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bin"), col("ca"), col("cb"), col("p_micro"),
+        col("q_micro"), col("term_micro"), col("psi_micro"))
+  }
+
+  /** PSI between two slices of one table over the [[histRegisters]]
+    * bin space — the [[ksDrift]] companion readout. */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String, unit: Long = 1000000L): DataFrame = {
+    val h = histRegisters(
+      df.filter(col(groupCol).isin(groupA, groupB)), Seq(groupCol), valueCol)
+    psiFromCounts(h
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col(groupCol) === groupA, col("cnt")).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, col("cnt")).otherwise(0L)).as("cb")),
+      unit)
+  }
+
+  /** DuckDB replay of [[psiDrift]]: the [[ksDriftSql]] binning CTEs,
+    * add-one smoothed clamped micro fractions, the caller-supplied
+    * value-keyed log2 chain (must consume `vals(v)` and produce
+    * `lg(v, l)`), floored per-bin terms, repeated total. */
+  def psiDriftSql(table: String, groupCol: String, valueExpr: String,
+      groupA: String, groupB: String, log2Ctes: String): String =
+    s"""WITH src AS (SELECT $groupCol AS g,
+       |    CAST(floor(CAST($valueExpr AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+       |  FROM $table WHERE $valueExpr IS NOT NULL
+       |    AND $groupCol IN ('$groupA', '$groupB')),
+       |binned AS (SELECT g,
+       |    CASE WHEN x <= 0 THEN 0
+       |         WHEN x < 16 THEN x
+       |         ELSE $QSubBins * length(bin(x)) + (x >> (length(bin(x)) - 5)) - 16
+       |    END AS bin
+       |  FROM src),
+       |hist AS (SELECT bin,
+       |    CAST(sum(CASE WHEN g = '$groupA' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN g = '$groupB' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM binned GROUP BY bin),
+       |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+       |    CAST(sum(cb) AS BIGINT) AS nb,
+       |    CAST(count(*) AS BIGINT) AS nbins FROM hist),
+       |pq AS (SELECT bin, ca, cb,
+       |    greatest((1000000 * (ca + 1)) // (na + nbins), 1) AS p_micro,
+       |    greatest((1000000 * (cb + 1)) // (nb + nbins), 1) AS q_micro
+       |  FROM hist CROSS JOIN tot),
+       |vals AS (SELECT p_micro AS v FROM pq
+       |  UNION SELECT q_micro FROM pq),
+       |$log2Ctes,
+       |t AS (SELECT bin, ca, cb, p_micro, q_micro,
+       |    ((p_micro - q_micro) * (lp.l - lq.l)) // 1000000 AS term_micro
+       |  FROM pq
+       |  JOIN lg lp ON lp.v = pq.p_micro
+       |  JOIN lg lq ON lq.v = pq.q_micro),
+       |ps AS (SELECT CAST(coalesce(sum(term_micro), 0) AS BIGINT)
+       |    AS psi_micro FROM t)
+       |SELECT bin, ca, cb, p_micro, q_micro,
+       |  CAST(term_micro AS BIGINT) AS term_micro, psi_micro
+       |FROM t CROSS JOIN ps ORDER BY bin""".stripMargin
+
   /** KS of a batch against a persisted reference histogram — the
     * monitoring form: `ref` is a (bin, cnt) [[histRegisters]] relation
     * (typically written once by the reference job and read back as a

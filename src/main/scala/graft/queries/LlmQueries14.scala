@@ -843,7 +843,7 @@ object LlmQueries14 {
   /** [[log2MicroCtes]]-shaped replay keyed by the VALUE itself over the
     * distinct-count relation `vals(v)` — counts repeat heavily (Zipf),
     * so the 16-step chain runs once per distinct value and joins back. */
-  private def log2ValueCtes: String = {
+  private[queries] def log2ValueCtes: String = {
     val steps = (1 to 16).map { i =>
       s"""lw$i AS (SELECT v, e,
          |    CASE WHEN y >= 8589934592 THEN y // 2 ELSE y END AS x,

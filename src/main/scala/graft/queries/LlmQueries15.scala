@@ -76,11 +76,23 @@ object LlmQueries15 {
       .orderBy(col("train_id"))
   }
 
+  /** Population Stability Index of the document-length distribution
+    * between the 'en' and 'zh' slices over the shared log-bin sketch
+    * ([[graft.ops.Sketches.psiDrift]]) — the industry drift scalar in
+    * bits, per-bin terms naming WHICH length region shifted; the
+    * binned-log companion to `quality_ks_drift`'s max-gap statistic on
+    * the identical histogram space. */
+  def qualityPsiDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.psiDrift(T.par(spark, T.t(spark, dir, "documents")),
+        "lang", "n_chars", "en", "zh")
+      .orderBy(col("bin"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_unimax_plan" -> (mixUnimaxPlan _),
     "event_mann_kendall" -> (eventMannKendall _),
     "quality_auc_bootstrap" -> (qualityAucBootstrap _),
     "value_knn_shapley_panel" -> (valueKnnShapleyPanel _),
+    "quality_psi_drift" -> (qualityPsiDrift _),
   )
 
   /** The `value_knn_shapley` replay with the fixed hash-lowest panel:
@@ -196,6 +208,8 @@ object LlmQueries15 {
   val oracle: Map[String, String] = Map(
     "quality_auc_bootstrap" -> aucBootstrapOracle,
     "value_knn_shapley_panel" -> knnShapleyPanelOracle,
+    "quality_psi_drift" -> graft.ops.Sketches.psiDriftSql("documents",
+      "lang", "n_chars", "en", "zh", LlmQueries14.log2ValueCtes),
     // Waterfilling replay, construct-parallel with planMixUnimax: the
     // triangular rank/prefix join, the DECIMAL fit test, the maximal
     // fitting prefix k, the floored equal share, the leftover dust.

@@ -337,6 +337,39 @@ class SketchesSpec extends SparkSpec {
     assert(again == Set(s.toSeq))
   }
 
+  test("psi: hand-computed terms, zero on identical slices, invariance") {
+    import spark.implicits._
+    // direct bin counts: (bin 1: a=3 b=1), (bin 2: a=1 b=3)
+    // add-one + floored micro: p1 = 4e6/6 = 666666, q1 = 2e6/6 = 333333
+    // and symmetric in bin 2; 666666 = 2·333333 exactly, so the log2
+    // gap is exactly one bit each way -> term = 333333 per bin
+    val bins = Seq((1L, 3L, 1L), (2L, 1L, 3L)).toDF("bin", "ca", "cb")
+    val got = Sketches.psiFromCounts(bins)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("p_micro"), r.getAs[Long]("q_micro"),
+          r.getAs[Long]("term_micro"), r.getAs[Long]("psi_micro")))).toMap
+    val l6a = graft.functions.ExactMicroOps.log2Micro(666666L)
+    val l6b = graft.functions.ExactMicroOps.log2Micro(333333L)
+    val t = (666666L - 333333L) * (l6a - l6b) / 1000000L
+    assert(got(1L) === ((666666L, 333333L, t, 2 * t)))
+    assert(got(2L) === ((333333L, 666666L, t, 2 * t)))
+    assert(l6a - l6b == 1000000L) // doubling = exactly one bit
+    // identical slices -> every term 0, psi 0 (end-to-end psiDrift)
+    val same = ((1 to 30).map(i => ("a", i * 3.0)) ++
+      (1 to 30).map(i => ("b", i * 3.0))).toDF("g", "value")
+    val z = Sketches.psiDrift(same, "g", "value", "a", "b").collect()
+    assert(z.nonEmpty && z.forall(_.getAs[Long]("psi_micro") == 0L))
+    // drifted slices -> positive psi; partition-invariant
+    val sep = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 40).map(i => ("b", 1000.0 + i))).toDF("g", "value")
+    val p1 = Sketches.psiDrift(sep, "g", "value", "a", "b")
+      .collect().map(_.toSeq).toSet
+    assert(p1.head.last.asInstanceOf[Long] > 1000000L) // > 1 bit apart
+    val p2 = Sketches.psiDrift(sep.repartition(7), "g", "value", "a", "b")
+      .collect().map(_.toSeq).toSet
+    assert(p2 == p1)
+  }
+
   test("cmsJoinSizeEstimate: one-sided, exact on a collision-free key set") {
     import spark.implicits._
     // a: key k appears k times; b: key k appears 2k times (k = 1..5)
