@@ -95,9 +95,18 @@ object Pca {
     * training runs on the same bounded slice as [[powerDirection]], with
     * serving corpus-wide as a pure map. */
   def powerDirections(emb: DataFrame, dim: Int = 64, r: Int = 2,
-      iters: Int = 3, embCol: String = "embedding"): Seq[Array[Long]] = {
+      iters: Int = 3, embCol: String = "embedding"): Seq[Array[Long]] =
+    powerDirectionsFromXm(
+      emb.select(toMilli(col(embCol)).as("xm")).localCheckpoint(),
+      dim, r, iters)
+
+  /** [[powerDirections]] over a pre-quantized `xm` (array<long>)
+    * relation — the entry point for callers that center or otherwise
+    * transform the training slice first ([[abttStats]]). */
+  private[ops] def powerDirectionsFromXm(xm0: DataFrame, dim: Int,
+      r: Int, iters: Int): Seq[Array[Long]] = {
     require(r >= 1 && r <= dim, s"powerDirections: r=$r out of [1, $dim]")
-    var xm = emb.select(toMilli(col(embCol)).as("xm")).localCheckpoint()
+    var xm = xm0
     val dirs = Seq.newBuilder[Array[Long]]
     for (c <- 1 to r) {
       val v = powerLoop(xm, dim, iters)
@@ -233,5 +242,82 @@ object Pca {
       aggregate(zip_with(xm, array(v.map(lit(_)): _*), (a, b) => a * b),
         lit(0L), (acc, p) => acc + p).as(s"pc${i + 1}_micro")
     }: _*)
+  }
+
+  /** All-but-the-top trained statistics (Mu & Viswanath, "All-but-the-
+    * Top: Simple and Effective Postprocessing for Word Representations",
+    * ICLR 2018): the floored milli mean of the (bounded) training slice
+    * (sign-split division, ≤1 milli rounding per coordinate — the
+    * quantization IS the contract) plus the top-`r` deflated power
+    * directions trained on the CENTERED slice — the two artifacts the
+    * serve-side [[abttTransform]] map consumes. The paper's fix for
+    * anisotropic embedding spaces ([[graft.ops.Similarity]]
+    * `anisotropyByGroup` measures the disease; [[whitenStats]] is the
+    * diagonal cure, this is the common-direction one).
+    *
+    * Scale shape: one posexplode combine-agg to the d-row mean relation
+    * (dim-bounded collect), then [[powerDirections]]' trajectory over
+    * the centered slice — train-bounded, serve corpus-wide. */
+  def abttStats(train: DataFrame, dim: Int = 64, r: Int = 2,
+      iters: Int = 3, embCol: String = "embedding")
+      : (Array[Long], Seq[Array[Long]]) = {
+    val xm0 = train.select(toMilli(col(embCol)).as("xm")).localCheckpoint()
+    val agg = xm0.select(posexplode(col("xm")).as(Seq("idx", "x")))
+      .groupBy(col("idx"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(row => row.getInt(0) -> ((row.getLong(1), row.getLong(2))))
+      .toMap
+    val mu = Array.tabulate(dim) { i =>
+      val (s, n) = agg.getOrElse(i, (0L, 1L))
+      val m = math.abs(s) / math.max(n, 1L)
+      if (s < 0) -m else m
+    }
+    val cent = xm0.select(zip_with(col("xm"),
+        array(mu.map(lit(_)): _*), (a, b) => a - b).as("xm"))
+      .localCheckpoint()
+    (mu, powerDirectionsFromXm(cent, dim, r, iters))
+  }
+
+  /** Serve-side all-but-the-top map: x' = deflate_r(…deflate_1(x − μ))
+    * with the EXACT sign-split deflation arithmetic of
+    * [[powerDirections]] (x'' = (x'·(v·v) − v·(x'·v)) div (v·v),
+    * magnitude-then-sign), applied per trained direction in order.
+    * Output is the flattened (id, idx, value) relation (the
+    * emb_sign_project hash-comparable convention).
+    *
+    * Deliberately RELATIONAL — one (id, idx, x) row per coordinate,
+    * each deflation = one per-id combine-agg for x·v plus one equi-join
+    * back — NOT chained array lambdas: nesting a zip_with deflation
+    * inside the next expands the previous 64-element array expression
+    * inside EVERY element of the new one, an exponential expression-
+    * tree blowup that pinned the driver for minutes at ANY data size
+    * (measured 460 s on 300 vectors before this form; 1 s after). Same
+    * construct as the oracle's deflate CTEs, and the per-direction
+    * checkpoint bounds lineage like [[powerDirections]]' training loop. */
+  def abttTransform(emb: DataFrame, mu: Array[Long],
+      dirs: Seq[Array[Long]], idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val muLit = array(mu.map(lit(_)): _*)
+    var rel = emb.select(col(idCol).as("__id"),
+        posexplode(zip_with(toMilli(col(embCol)), muLit, (a, b) => a - b))
+          .as(Seq("idx", "x")))
+      .localCheckpoint(false)
+    for (v <- dirs) {
+      val vv = math.max(v.map(x => x * x).sum, 1L)
+      def vj = element_at(lit(v), (col("idx") + 1).cast("int"))
+      val xv = rel.groupBy(col("__id"))
+        .agg(sum(col("x") * vj).as("__xv"))
+      rel = rel.join(xv, Seq("__id"))
+        .withColumn("__vj", vj)
+        .selectExpr("__id", "idx",
+          s"""CASE WHEN x * ${vv}L - __vj * __xv < 0
+             |  THEN -((-(x * ${vv}L - __vj * __xv)) div ${vv}L)
+             |  ELSE (x * ${vv}L - __vj * __xv) div ${vv}L END AS x"""
+            .stripMargin)
+        .localCheckpoint(false)
+    }
+    rel.select(col("__id").as(idCol), col("idx"),
+      col("x").as("value"))
   }
 }

@@ -87,13 +87,80 @@ object LlmQueries15 {
         "lang", "n_chars", "en", "zh")
       .orderBy(col("bin"))
 
+  /** All-but-the-top embedding post-processing (Mu & Viswanath, ICLR
+    * 2018; [[graft.ops.Pca.abttStats]]/[[graft.ops.Pca.abttTransform]]):
+    * floored milli mean + top-2 deflated power directions trained on
+    * the centered vec_id < 2000 slice (the emb_pca convention), served
+    * as a pure map over the vec_id < 300 slice — the common-direction
+    * cure for the anisotropy `emb_anisotropy` measures, completing the
+    * embedding-hygiene family (anisotropy → diagonal whitening → ABTT).
+    * Flattened (vec_id, idx, value) so the full content hashes. */
+  def embAbtt(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    val (mu, dirs) = graft.ops.Pca.abttStats(
+      emb.filter(col("vec_id") < 2000), dim = 64, r = 2, iters = 3)
+    graft.ops.Pca.abttTransform(emb.filter(col("vec_id") < 300), mu, dirs)
+      .orderBy(col("vec_id"), col("idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_unimax_plan" -> (mixUnimaxPlan _),
     "event_mann_kendall" -> (eventMannKendall _),
     "quality_auc_bootstrap" -> (qualityAucBootstrap _),
     "value_knn_shapley_panel" -> (valueKnnShapleyPanel _),
     "quality_psi_drift" -> (qualityPsiDrift _),
+    "emb_abtt" -> (embAbtt _),
   )
+
+  /** Replay of the full ABTT trajectory: train-slice milli mean
+    * (sign-split floored division), centered training relation, the
+    * LlmQueries3 unrolled power-iteration template for direction 1,
+    * exact deflation, the same template (prefix b) for direction 2,
+    * then the serve-slice centered + twice-deflated map. */
+  private def abttOracle: String = {
+    def slice(name: String, pred: String): String =
+      s"""$name AS MATERIALIZED (SELECT vec_id,
+         |    CAST(r.range AS INTEGER) AS idx,
+         |    CAST(floor(CAST(embedding[CAST(r.range + 1 AS INTEGER)]
+         |      AS DOUBLE) * 1000) AS BIGINT) AS x
+         |  FROM embeddings CROSS JOIN range(64) r WHERE $pred)""".stripMargin
+    def deflate(out: String, src: String, v: String, vvN: String,
+        xvN: String): String =
+      s"""$vvN AS MATERIALIZED (SELECT CAST(sum(v * v) AS BIGINT) AS vv
+         |  FROM $v),
+         |$xvN AS MATERIALIZED (SELECT x.vec_id,
+         |    CAST(sum(x.x * $v.v) AS BIGINT) AS xv
+         |  FROM $src x JOIN $v ON $v.idx = x.idx GROUP BY x.vec_id),
+         |$out AS MATERIALIZED (SELECT x.vec_id, x.idx,
+         |    CAST(CASE WHEN x.x * $vvN.vv - $v.v * $xvN.xv < 0
+         |      THEN -((-(x.x * $vvN.vv - $v.v * $xvN.xv)) // $vvN.vv)
+         |      ELSE (x.x * $vvN.vv - $v.v * $xvN.xv) // $vvN.vv
+         |    END AS BIGINT) AS x
+         |  FROM $src x JOIN $v ON $v.idx = x.idx
+         |    JOIN $xvN ON $xvN.vec_id = x.vec_id CROSS JOIN $vvN)"""
+        .stripMargin
+    s"""WITH ${slice("xm0", "vec_id < 2000")},
+       |mu AS MATERIALIZED (SELECT idx,
+       |    CAST(CASE WHEN sum(x) < 0 THEN -((-sum(x)) // count(*))
+       |      ELSE sum(x) // count(*) END AS BIGINT) AS m
+       |  FROM xm0 GROUP BY idx),
+       |xm AS MATERIALIZED (SELECT x.vec_id, x.idx, x.x - mu.m AS x
+       |  FROM xm0 x JOIN mu USING (idx)),
+       |v0 AS (SELECT CAST(r.range AS INTEGER) AS idx,
+       |    CAST(1000 AS BIGINT) AS v FROM range(64) r),
+       |${LlmQueries3.pcaIters("xm", "")},
+       |${deflate("xm2", "xm", "v3", "vv", "xv")},
+       |bv0 AS (SELECT CAST(r.range AS INTEGER) AS idx,
+       |    CAST(1000 AS BIGINT) AS v FROM range(64) r),
+       |${LlmQueries3.pcaIters("xm2", "b")},
+       |${slice("sm0", "vec_id < 300")},
+       |sm AS MATERIALIZED (SELECT x.vec_id, x.idx, x.x - mu.m AS x
+       |  FROM sm0 x JOIN mu USING (idx)),
+       |${deflate("s1", "sm", "v3", "svv", "sxv")},
+       |${deflate("s2", "s1", "bv3", "bvv", "bxv")}
+       |SELECT vec_id, idx, x AS value
+       |FROM s2 ORDER BY vec_id, idx""".stripMargin
+  }
 
   /** The `value_knn_shapley` replay with the fixed hash-lowest panel:
     * same pairwise integer-micro cosine kernel, same closed-form nano
@@ -210,6 +277,7 @@ object LlmQueries15 {
     "value_knn_shapley_panel" -> knnShapleyPanelOracle,
     "quality_psi_drift" -> graft.ops.Sketches.psiDriftSql("documents",
       "lang", "n_chars", "en", "zh", LlmQueries14.log2ValueCtes),
+    "emb_abtt" -> abttOracle,
     // Waterfilling replay, construct-parallel with planMixUnimax: the
     // triangular rank/prefix join, the DECIMAL fit test, the maximal
     // fitting prefix k, the floored equal share, the leftover dust.

@@ -142,7 +142,7 @@ object LlmQueries3 {
   // is MATERIALIZED: DuckDB inlines multiply-referenced CTEs, and an
   // unrolled iteration chain re-evaluates exponentially in depth without
   // the hint (observed: the 2-component chain never finished).
-  private def pcaIters(xm: String, p: String) = (1 to 3).map { i =>
+  private[queries] def pcaIters(xm: String, p: String) = (1 to 3).map { i =>
     s"""${p}y$i AS MATERIALIZED (SELECT x.vec_id, CAST(sum(x.x * ${p}v${i - 1}.v) AS BIGINT) AS y
        |  FROM $xm x JOIN ${p}v${i - 1} ON ${p}v${i - 1}.idx = x.idx
        |  GROUP BY x.vec_id),

@@ -37,6 +37,54 @@ class PcaSpec extends SparkSpec {
     assert(cos < 0.15, s"directions not near-orthogonal: |cos|=$cos")
   }
 
+  test("abtt: exact sequential replay; common component mostly removed") {
+    val dim = 8
+    val emb = syntheticEmb(60, dim)
+    val (mu, dirs) = Pca.abttStats(emb, dim = dim, r = 2, iters = 3)
+    // sequential replay of mean + deflations on the raw rows
+    val rows = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000).toLong).toArray)
+    val n = rows.length.toLong
+    val muSeq = Array.tabulate(dim) { j =>
+      val s = rows.map(_._2(j)).sum
+      val d = math.abs(s) / n
+      if (s < 0) -d else d
+    }
+    assert(mu.toSeq == muSeq.toSeq, "mean replay diverged")
+    def deflate(x: Array[Long], v: Array[Long]): Array[Long] = {
+      val vv = math.max(v.map(a => a * a).sum, 1L)
+      val xv = x.zip(v).map { case (a, b) => a * b }.sum
+      x.zip(v).map { case (a, b) =>
+        val num = a * vv - b * xv
+        val d = math.abs(num) / vv
+        if (num < 0) -d else d
+      }
+    }
+    val expected = rows.map { case (id, x) =>
+      id -> dirs.foldLeft(x.zip(muSeq).map { case (a, b) => a - b })(deflate)
+    }.toMap
+    val got = Pca.abttTransform(emb, mu, dirs)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getLong(2)) }
+    rows.foreach { case (id, _) =>
+      assert(got(id).toSeq == expected(id).toSeq, s"vec $id") }
+    // the removed directions really are (near-)gone: projecting the
+    // transformed slice back onto each trained direction shrinks the
+    // total |projection| mass by >10x vs the centered originals
+    for (v <- dirs) {
+      def mass(m: Map[Long, Array[Long]]) = rows.map { case (id, _) =>
+        math.abs(m(id).zip(v).map { case (a, b) => a * b }.sum) }.sum
+      val before = mass(rows.map { case (id, x) =>
+        id -> x.zip(muSeq).map { case (a, b) => a - b } }.toMap)
+      val after = mass(got.map { case (id, a) => id -> a.toArray })
+      assert(after * 10 < before || before == 0L,
+        s"direction not removed: before=$before after=$after")
+    }
+  }
+
   test("projectMicroTopR: one score column per direction, pure map") {
     val emb = syntheticEmb(50, 16)
     val dirs = Pca.powerDirections(emb, dim = 16, r = 2, iters = 2)
