@@ -33,6 +33,7 @@ object SparkEntry {
       graft.queries.LlmQueries13.queries ++
       graft.queries.LlmQueries14.queries ++
       graft.queries.LlmQueries15.queries ++
+      graft.queries.LlmQueries16.queries ++
       graft.queries.PqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,5 +57,6 @@ object SparkEntry {
       graft.queries.LlmQueries13.oracle ++
       graft.queries.LlmQueries14.oracle ++
       graft.queries.LlmQueries15.oracle ++
+      graft.queries.LlmQueries16.oracle ++
       graft.queries.PqQueries.oracle
 }

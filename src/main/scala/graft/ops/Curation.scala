@@ -300,7 +300,17 @@ object Curation {
     require(maxEpochs >= 1 && maxEpochs <= 1000, "maxEpochs in [1, 1000]")
     val dec = "DECIMAL(38,0)"
     val counts = docs.groupBy(col(strataCol))
-      .agg(sum(tokens.cast("long")).as("n_tokens"))
+      // NULL masses (all-NULL token column) coalesce to 0 so the
+      // triangular rank/prefix comparisons and the fit test stay
+      // total; negative masses raise with the stratum named — a
+      // negative cap would silently corrupt the waterfilling order
+      // for EVERY stratum, not just its own row (ADVICE r14)
+      .agg(coalesce(sum(tokens.cast("long")), lit(0L)).as("n_tokens"))
+      .withColumn("n_tokens", when(col("n_tokens") < 0L,
+        raise_error(concat(lit("planMixUnimax: negative token mass for "),
+          lit("stratum '"), col(strataCol).cast("string"), lit("'")))
+          .cast("long"))
+        .otherwise(col("n_tokens")))
       .withColumn("cap_tokens", expr(s"${maxEpochs}L * n_tokens"))
       .localCheckpoint(false) // |strata| rows; both triangular sides + L
     val lrel = counts.agg(count(lit(1)).as("__l"))
@@ -910,5 +920,97 @@ object Curation {
     rel.select(col("domain"), col("n_docs"), col("n_tokens"),
       col("kl_micro"), col("excess_micro"),
       expr(s"asum div ${rounds}L").as("weight_micro"))
+  }
+
+  /** DSIR data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every raw
+    * document by the log importance ratio of two hashed-n-gram bag
+    * unigram models — the target model trained on the `isTarget` slice,
+    * the raw model on the full corpus — then select `budget` documents
+    * WITHOUT replacement with probability ∝ the importance weight via
+    * deterministic Gumbel-top-k (the exact sampling the paper's
+    * resampling step performs; Gumbel keys with a content-addressed
+    * uniform replace its RNG so every engine replays the same draw).
+    *
+    * Features: unigrams + bigrams of the normalized text, md5-hashed
+    * into `buckets` buckets ([[Dedup.hashStr]] mod B — the paper's
+    * hashed n-gram trick, vocabulary-free). Per bucket b with Laplace
+    * smoothing: p(b) = (c_b + 1)/(N + B), floored once to micro with a
+    * ≥1 clamp (the [[Sketches.psiFromCounts]] contract); per document
+    * log2 w(x) = Σ_b n_x(b)·(log2μ p_t(b) − log2μ p_r(b)) in exact
+    * micro via the fixed-point log2 kernel. Gumbel key = logw +
+    * (−log2(−log2 u)) with u = (md5 draw mod 10⁶)+1 — both logs the
+    * same kernel, so the whole chain is integer-exact.
+    *
+    * Output per document: n_grams, logw_micro, gumbel_micro, keep
+    * (budget-sized true set). Uniform-target law: if every document is
+    * target, p_t ≡ p_r so logw ≡ 0 and selection reduces to the pure
+    * Gumbel draw (CurationSpec pins it).
+    *
+    * Scale shape: gram explode → ONE (doc, bucket) combine-agg (the
+    * [[graft.ops.TextAnalysis]] bigramLmScore posture); both models
+    * derive from that materialization (B-row relations, broadcast
+    * back); scoring is one broadcast equi-join on bucket id; selection
+    * is orderBy+limit = TakeOrderedAndProject (per-partition top-k, no
+    * global sort or window). */
+  def dsirSelect(docs: DataFrame, isTarget: Column, budget: Int,
+      buckets: Int = 256, seed: Int = 29, idCol: String = "doc_id",
+      textCol: String = "text", unit: Long = 1000000L): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    require(buckets >= 2 && buckets <= (1 << 20), "buckets in [2, 2^20]")
+    val lg = graft.functions.VectorFunctions.log2_micro _
+    val base = docs.select(col(idCol).as("id"),
+        isTarget.cast("boolean").as("__tg"),
+        filter(split(Dedup.normalize(col(textCol)), " "),
+          w => w =!= "").as("__w"))
+    val uni = base.select(col("id"), col("__tg"),
+      explode(col("__w")).as("tok"))
+    val big = base.filter(size(col("__w")) >= 2)
+      .select(col("id"), col("__tg"), explode(expr(
+        """transform(sequence(0, size(__w) - 2),
+          |  i -> concat_ws(' ', element_at(__w, i + 1),
+          |                 element_at(__w, i + 2)))""".stripMargin))
+        .as("tok"))
+    // one combine-agg collapses the gram stream to (doc, bucket) rows;
+    // every model count below derives from this materialization
+    val db = uni.unionByName(big)
+      .select(col("id"), col("__tg"),
+        (Dedup.hashStr(col("tok"), seed) % buckets).as("b"))
+      .groupBy(col("id"), col("__tg"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val byB = db.groupBy(col("b"))
+      .agg(sum(col("n")).as("cr"),
+        sum(when(col("__tg"), col("n")).otherwise(0L)).as("ct"))
+    val tots = byB.agg(sum(col("cr")).as("__nr"), sum(col("ct")).as("__nt"))
+    val ratios = byB.crossJoin(broadcast(tots))
+      .withColumn("__pt", expr(
+        s"greatest(($unit * (ct + 1)) div (__nt + $buckets), 1L)"))
+      .withColumn("__pr", expr(
+        s"greatest(($unit * (cr + 1)) div (__nr + $buckets), 1L)"))
+      .select(col("b"), (lg(col("__pt")) - lg(col("__pr"))).as("__dl"))
+    val scored = db.join(broadcast(ratios), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_grams"),
+        sum(col("n") * col("__dl")).as("logw_micro"))
+    val lgU = graft.functions.ExactMicroOps.log2Micro(unit)
+    val keyed = docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("logw_micro", coalesce(col("logw_micro"), lit(0L)))
+      .withColumn("__u", Dedup.hashStr(col("id").cast("string"), seed + 1)
+        % unit + 1L)
+      .withColumn("__e",
+        greatest(lit(lgU) - lg(col("__u")), lit(1L)))
+      .withColumn("gumbel_micro",
+        col("logw_micro") + lit(lgU) - lg(col("__e")))
+      .localCheckpoint(false) // feeds the top-k cut AND the back-join
+    val kept = keyed
+      .orderBy(col("gumbel_micro").desc, col("id"))
+      .limit(budget)
+      .select(col("id"), lit(true).as("keep"))
+    keyed.join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"), col("logw_micro"),
+        col("gumbel_micro"), coalesce(col("keep"), lit(false)).as("keep"))
   }
 }

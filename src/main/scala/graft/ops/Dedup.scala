@@ -1417,6 +1417,133 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** Exact duplicated-substring spans (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — the
+    * ExactSubstr method): every maximal contiguous character region of
+    * a document covered by length-`minLen` substrings that occur at
+    * least `minOcc` times across the corpus (positions counted
+    * globally, so within-document repetition counts — the paper's
+    * semantics). One row per merged span: (id, span_start 1-based,
+    * span_end, span_len, n_windows).
+    *
+    * Equivalence to the suffix-array formulation: a substring of
+    * length ≥ L repeats iff every one of its L-windows repeats, and a
+    * character is inside SOME duplicated substring of length ≥ L iff
+    * some duplicated L-window covers it — so duplicated-L-window
+    * coverage, merged into maximal runs, is EXACTLY the byte set
+    * ExactSubstr's suffix array marks for removal (up to md5 window
+    * collisions, the same 128-bit caveat as [[exactDedup]]). The paper
+    * builds a suffix array because a single machine can afford n log n
+    * pointers; relationally the same rendezvous is ONE hash shuffle of
+    * the n window keys — no log n prefix-doubling rounds, no global
+    * sort.
+    *
+    * Scale shape: the window relation is corpus-CHARACTER-sized (the
+    * suffix array's own scale), built by a map-only explode; one
+    * combine-agg on the window hash (duplicate keys collapse map-side),
+    * one semi-join back, one per-document window for the interval
+    * merge (never global). At 100 TB, run it on token ids instead of
+    * characters (n/5 rows) and swap md5 for a 128-bit rolling hash —
+    * both change constants, not shape. */
+  def exactSubstringSpans(docs: DataFrame, minLen: Int = 20,
+      minOcc: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minLen >= 2 && minLen <= 10000, "minLen in [2, 10000]")
+    require(minOcc >= 2, "minOcc must be at least 2")
+    val starts = windowHashes(docs, minLen, idCol, textCol)
+    val dup = starts.groupBy(col("g"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minOcc)
+      .select(col("g"))
+    mergeWindowRuns(starts.join(dup, Seq("g"), "left_semi"), minLen)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Exact-substring DECONTAMINATION (the [[exactSubstringSpans]]
+    * machinery pointed across a corpus boundary — the Carlini/Lee
+    * exact-memorization probe the Jaccard/containment decon family
+    * approximates): for every eval document, the maximal character
+    * regions covered by length-`minLen` windows that occur ANYWHERE in
+    * the training corpus, aggregated to a per-document coverage
+    * fraction. An eval item with high exact coverage is IN the
+    * training set in the only sense that matters for a leaderboard.
+    *
+    * Output per eval doc (all eval docs, zero rows back-joined):
+    * (id, n_spans, covered_chars, n_chars, coverage_micro).
+    *
+    * Scale shape: train side is one distinct-window combine-agg (its
+    * windows collapse map-side); the rendezvous is one equi-join keyed
+    * by window hash, sized by the EVAL side (benchmarks, not corpora).
+    * When the eval set is small enough to sketch, the
+    * `decon_bloom_gate` posture applies unchanged: bloom the eval
+    * window hashes and drop non-matching train windows BELOW the
+    * exchange ([[crossCorpusContainmentBloom]]'s `maxBloomBytes`
+    * discipline). */
+  def exactSubstringContamination(evalDocs: DataFrame, trainDocs: DataFrame,
+      minLen: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minLen >= 2 && minLen <= 10000, "minLen in [2, 10000]")
+    val evalW = windowHashes(evalDocs, minLen, idCol, textCol)
+    val trainW = windowHashes(trainDocs, minLen, idCol, textCol)
+      .select(col("g")).distinct()
+    val spans = mergeWindowRuns(evalW.join(trainW, Seq("g"), "left_semi"),
+      minLen)
+    val perDoc = spans.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("covered_chars"))
+    evalDocs.select(col(idCol).as("id"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        col("n_chars"),
+        expr("(1000000 * coalesce(covered_chars, 0L)) div greatest(n_chars, 1L)")
+          .as("coverage_micro"))
+  }
+
+  /** One row per length-`L` character window: (id, s 1-based start,
+    * g = md5 of the window) — the shared relation of the
+    * exact-substring family. Corpus-character-sized by construction
+    * (the suffix array's own scale); map-only. */
+  private def windowHashes(docs: DataFrame, L: Int, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("__t"))
+      .withColumn("__n", length(col("__t")).cast("long") - lit(L - 1L))
+      .filter(col("__n") >= 1L)
+      .select(col("id"), explode(sequence(lit(1L), col("__n"))).as("s"),
+        col("__t"))
+      .select(col("id"), col("s"),
+        expr(s"md5(substring(__t, CAST(s AS INT), $L))").as("g"))
+
+  /** Merge hit windows (id, s) into maximal contiguous covered runs:
+    * one per-id window pass (lag gap-flag + running run id), then one
+    * combine-agg per run → (id, span_start, span_end, span_len,
+    * n_windows). Never a global window. */
+  private def mergeWindowRuns(hits: DataFrame, L: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("s"))
+    hits
+      .withColumn("__prev", lag(col("s"), 1).over(w))
+      // new run iff the previous window's span [prev, prev+L-1] does
+      // not reach or touch this one: s > prev + L (adjacent merges —
+      // coverage is contiguous across abutting windows)
+      .withColumn("__new",
+        when(col("__prev").isNull || col("s") > col("__prev") + L, 1L)
+          .otherwise(0L))
+      .withColumn("__run", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col("id"), col("__run"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("s")) + lit(L - 1L)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("span_len", col("span_end") - col("span_start") + 1L)
+      .select(col("id"), col("span_start"), col("span_end"),
+        col("span_len"), col("n_windows"))
+  }
+
   /** DuckDB mirror of [[lshBandPlanCurve]] (same plans, grid, squaring
     * chains, micro rounding). */
   def lshBandPlanCurveSql(

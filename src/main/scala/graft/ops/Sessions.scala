@@ -481,7 +481,16 @@ object Sessions {
     * Scale: identical posture to [[theilSenSlope]] — the pair build is
     * a per-key self-equi-join (Θ(n²) per key), `maxPointsPerGroup`
     * drops hotter keys loudly via [[Dedup.capBuckets]]; monitoring
-    * series are hours/days long, not corpus-sized. */
+    * series are hours/days long, not corpus-sized.
+    *
+    * Precondition (ENFORCED in-plan, ADVICE r14): one observation per
+    * (key, ts). The pair relation is strict in time (ta < tb), so a
+    * duplicated timestamp would silently drop its pairs from S while
+    * n_points (and hence var18) still counted both rows — a
+    * miscalibrated test, not a defined variant. Callers with multiple
+    * events per instant must pre-aggregate to a bucketed series first
+    * (the `event_mann_kendall` registry query's daily-sum posture);
+    * this operator raises with the offending key otherwise. */
   def mannKendall(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts", valCol: String = "value",
       zCritMicro: Long = 1959964L,
@@ -503,7 +512,17 @@ object Sessions {
       .agg(count(lit(1)).as("__t"))
       .groupBy(col("k"))
       .agg(sum(expr("__t * (__t - 1) * (2 * __t + 5)")).as("__tie18"))
-    capped.groupBy(col("k")).agg(count(lit(1)).as("n_points"))
+    capped.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct(col("t")).as("__nts"))
+      // unique-timestamp precondition (scaladoc): loud, names the key
+      .withColumn("n_points", when(col("__nts") < col("n_points"),
+        raise_error(concat(lit("mannKendall: duplicate timestamps for key '"),
+          col("k").cast("string"),
+          lit("' — pre-aggregate to one value per (key, ts) first")))
+          .cast("long"))
+        .otherwise(col("n_points")))
+      .drop("__nts")
       .join(s, Seq("k"), "left")
       .join(ties, Seq("k"), "left")
       .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))

@@ -647,7 +647,12 @@ object Sketches {
     * histogram pass is bounded arithmetic with one-row broadcasts. */
   def psiFromCounts(binsIn: DataFrame, unit: Long = 1000000L): DataFrame = {
     val lg = graft.functions.VectorFunctions.log2_micro _
-    val bins = binsIn.localCheckpoint(false) // ≤ ~1000 rows; totals + terms
+    // the "observed bin" precondition the smoothing relies on, enforced
+    // here rather than assumed of the caller (ADVICE r14): a bin with
+    // ca = cb = 0 (e.g. from an outer-joined bin relation) would count
+    // toward __nbins and receive add-one mass, skewing every fraction
+    val bins = binsIn.filter(col("ca") + col("cb") > 0L)
+      .localCheckpoint(false) // ≤ ~1000 rows; totals + terms
     val tot = bins.agg(sum(col("ca")).as("__na"), sum(col("cb")).as("__nb"),
       count(lit(1)).as("__nbins"))
     val terms = bins.crossJoin(broadcast(tot))

@@ -236,7 +236,7 @@ object LlmQueries {
     * SimilaritySpec. */
   def simIvfTrainedTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = T.t(spark, dir, "embeddings")
-    val cents = Similarity.trainIvfCentroidsMicro(T.par(spark, emb), k = 10, iters = 3)
+    val cents = SharedRels.ivfCentsFullK10(spark, dir)
     Similarity.ivfTopKWithMicro(emb.filter(col("vec_id") < 10), T.par(spark, emb),
         cents, k = 5)
       .orderBy(col("query_id"), col("rank"))

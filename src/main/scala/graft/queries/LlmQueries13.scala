@@ -165,8 +165,7 @@ object LlmQueries13 {
     * join here, not a broadcast. */
   def simIvfShuffledTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = T.t(spark, dir, "embeddings")
-    val cents = Similarity.trainIvfCentroidsMicro(T.par(spark, emb),
-      k = 10, iters = 3)
+    val cents = SharedRels.ivfCentsFullK10(spark, dir)
     Similarity.ivfTopKShuffledMicro(emb.filter(col("vec_id") < 10),
         T.par(spark, emb), cents, k = 5)
       .orderBy(col("query_id"), col("rank"))
@@ -206,8 +205,11 @@ object LlmQueries13 {
     * VERDICT r12 item 6): the exact closed-form recursion over the
     * top-16 [[Similarity.ivfTopKExact]] neighborhood of each test point
     * instead of the full training ranking — the servable form whose
-    * cost is |test|·m, not |test|·|corpus|. Same panel split as
-    * `value_knn_shapley` (test = vec_id ≡ 0 mod 25, K = 5), shared
+    * cost is |test|·m, not |test|·|corpus| (which is why the modulus
+    * panel is fine HERE but was retired from the exact form: the IVF
+    * candidate cut bounds the per-test pair count, so the gated
+    * relation stays corpus-linear; test = vec_id ≡ 0 mod 25, K = 5),
+    * shared
     * every-50th IVF quantizer; the oracle replays the candidate cut
     * (assignment, 3-probe sets, rank ≤ 16) and the recursion exactly. */
   def valueKnnShapleyTruncated(spark: SparkSession, dir: String): DataFrame = {

@@ -155,7 +155,7 @@ object LlmQueries2 {
     * stays spec-verified against the classic subword-NMT example. */
   def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     val docs = T.par(spark, T.t(spark, dir, "documents"))
-    val merges = TextAnalysis.trainBpeMerges(docs, k = 8)
+    val merges = SharedRels.bpeMergesFull8(spark, dir)
     docs.select(col("doc_id"),
         TextAnalysis.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
@@ -168,7 +168,7 @@ object LlmQueries2 {
     * micro-units; train + serve + aggregation all replay in SQL. */
   def textBpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val docs = T.par(spark, T.t(spark, dir, "documents"))
-    val merges = TextAnalysis.trainBpeMerges(docs, k = 8)
+    val merges = SharedRels.bpeMergesFull8(spark, dir)
     docs.select(col("lang"),
         TextAnalysis.bpeTokenCount(col("text"), merges).cast("long").as("nt"),
         size(filter(split(Dedup.normalize(col("text")), " "),
@@ -226,12 +226,10 @@ object LlmQueries2 {
     val tmp = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
     // train on a bounded deterministic sample, serve corpus-wide — the
     // production split (a maintenance job trains, every run serves)
-    val trainedMerges =
-      TextAnalysis.trainBpeMerges(docs.filter(col("doc_id") < 500), k = 8)
+    val trainedMerges = SharedRels.bpeMerges500x8(spark, dir)
     Artifacts.saveBpeMerges(spark, trainedMerges, s"$tmp/bpe")
     Artifacts.saveCentroidsMicro(spark,
-      Similarity.trainIvfCentroidsMicro(emb.filter(col("vec_id") < 2000), k = 8,
-        iters = 2), s"$tmp/cents")
+      SharedRels.ivfCents2000k8(spark, dir), s"$tmp/cents")
     Artifacts.saveLogistic(spark, servedWeights.map(_.toDouble), 0.0, s"$tmp/logit")
     val merges = Artifacts.loadBpeMerges(spark, s"$tmp/bpe")
     require(merges == trainedMerges,

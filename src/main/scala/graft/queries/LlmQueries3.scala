@@ -69,8 +69,7 @@ object LlmQueries3 {
     import graft.sources.Artifacts
     val docs = T.par(spark, T.t(spark, dir, "documents"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-lm").toString
-    val (c3, c23, c1) =
-      TextAnalysis.trainTrigramCounts(docs.filter(col("doc_id") < 500))
+    val (c3, c23, c1) = SharedRels.trigramLm500(spark, dir)
     Artifacts.saveLmCounts(spark, s"$tmp/lm", c3, c23, c1)
     val (l3, l23, l1) = Artifacts.loadLmCounts(spark, s"$tmp/lm")
     TextAnalysis.scoreTrigramCounts(docs, l3, l23, l1)

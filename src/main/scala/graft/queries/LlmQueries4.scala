@@ -32,8 +32,7 @@ object LlmQueries4 {
     * mush ([[Similarity.silhouetteByCell]]). */
   def embSilhouette(spark: SparkSession, dir: String): DataFrame = {
     val emb = T.par(spark, T.t(spark, dir, "embeddings"))
-    val cents = Similarity.trainIvfCentroidsMicro(
-      emb.filter(col("vec_id") < 2000), k = 8, iters = 2)
+    val cents = SharedRels.ivfCents2000k8(spark, dir)
     Similarity.silhouetteByCell(emb, cents).orderBy(col("cell"))
   }
 
@@ -118,8 +117,7 @@ object LlmQueries4 {
     * the "is k too big" probe. */
   def embDaviesBouldin(spark: SparkSession, dir: String): DataFrame = {
     val emb = T.par(spark, T.t(spark, dir, "embeddings"))
-    val cents = Similarity.trainIvfCentroidsMicro(
-      emb.filter(col("vec_id") < 2000), k = 8, iters = 2)
+    val cents = SharedRels.ivfCents2000k8(spark, dir)
     Similarity.daviesBouldinByCell(emb, cents).orderBy(col("cell"))
   }
 
@@ -176,8 +174,7 @@ object LlmQueries4 {
     * big"). */
   def embClusterPurity(spark: SparkSession, dir: String): DataFrame = {
     val emb = T.par(spark, T.t(spark, dir, "embeddings"))
-    val cents = Similarity.trainIvfCentroidsMicro(
-      emb.filter(col("vec_id") < 2000), k = 8, iters = 2)
+    val cents = SharedRels.ivfCents2000k8(spark, dir)
     Similarity.clusterPurity(Similarity.assignCellsMicro(emb, cents),
         emb.select(col("vec_id"), col("label")))
       .orderBy(col("cell"))

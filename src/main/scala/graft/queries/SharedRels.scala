@@ -38,6 +38,30 @@ object SharedRels {
 
   private val cache = scala.collection.mutable.HashMap.empty[Key, Entry]
 
+  /** Total fixture (re)builds this JVM — test observability for the
+    * non-rebuild invariant (VERDICT r14 item 6: the ContextCleaner
+    * pitfall where tracking a build's INTERNAL checkpoint blocks made
+    * the validity check fail on their reclamation and silently rebuild
+    * per consumer was caught by eye; SharedRelsSpec now asserts on this
+    * counter instead). */
+  @volatile private[graft] var buildCount: Long = 0L
+
+  /** Driver-value fixtures (trained merge tables, centroid arrays —
+    * plain JVM values, no backing blocks to reclaim, so no validity
+    * check is needed): the trained-ARTIFACT companion of the relation
+    * cache above. At production scale these are the model files a
+    * training job writes and every serve job loads
+    * ([[graft.sources.Artifacts]]); in-session, queries that train the
+    * same artifact on the same slice provably compute the same value
+    * (all trainers are deterministic integer pipelines), so the first
+    * consumer trains and the rest read (VERDICT r14 item 3). */
+  private val valCache = scala.collection.mutable.HashMap.empty[Key, Any]
+
+  private def memoVal[A](spark: SparkSession, dir: String, tag: String)(
+      build: => A): A = synchronized {
+    valCache.getOrElseUpdate(Key(spark, dir, tag), build).asInstanceOf[A]
+  }
+
   /** RDD ids backing live fixtures of this session — blocks that a
     * between-query cleanup sweep must NOT unpersist. */
   def liveRddIds(spark: SparkSession): Set[Int] = synchronized {
@@ -78,6 +102,7 @@ object SharedRels {
         // reclamation and silently rebuild the fixture every few
         // consumers — the final frame's own blocks are all a reader
         // needs, and the cached reference keeps THEM alive.
+        buildCount += 1
         val built = build
         val mid = spark.sparkContext.getPersistentRDDs.keySet
         val df = built.localCheckpoint()
@@ -134,4 +159,78 @@ object SharedRels {
     memo(spark, dir, "gdFeatures") {
       graft.ops.QualityModel.hashedFeatures(labeledDocs(spark, dir), 64)
     }
+
+  // ---- trained-artifact fixtures (driver values; the memoVal layer) ----
+
+  /** 8 BPE merges trained on the FULL documents table — byte-identical
+    * to `TextAnalysis.trainBpeMerges(documents, k = 8)`; shared by
+    * `text_bpe_train` and `text_bpe_fertility`. */
+  def bpeMergesFull8(spark: SparkSession, dir: String): Seq[(String, String)] =
+    memoVal(spark, dir, "bpeMergesFull8") {
+      graft.ops.TextAnalysis.trainBpeMerges(
+        T.par(spark, T.t(spark, dir, "documents")), k = 8)
+    }
+
+  /** 8 BPE merges trained on the doc_id < 500 slice — the
+    * `artifact_train_serve` maintenance-job split. */
+  def bpeMerges500x8(spark: SparkSession, dir: String): Seq[(String, String)] =
+    memoVal(spark, dir, "bpeMerges500x8") {
+      graft.ops.TextAnalysis.trainBpeMerges(
+        T.par(spark, T.t(spark, dir, "documents"))
+          .filter(col("doc_id") < 500), k = 8)
+    }
+
+  /** Micro k-means centroids (k = 8, 2 Lloyd iterations) trained on
+    * the vec_id < 2000 embeddings slice — shared by `emb_silhouette`,
+    * `emb_davies_bouldin`, `emb_cluster_purity`, and
+    * `artifact_train_serve`. */
+  def ivfCents2000k8(spark: SparkSession, dir: String)
+      : Array[(Long, Array[Long])] =
+    memoVal(spark, dir, "ivfCents2000k8") {
+      graft.ops.Similarity.trainIvfCentroidsMicro(
+        T.par(spark, T.t(spark, dir, "embeddings"))
+          .filter(col("vec_id") < 2000), k = 8, iters = 2)
+    }
+
+  /** Micro k-means centroids (k = 10, 3 Lloyd iterations) trained on
+    * the full embeddings table — shared by `sim_ivf_trained_topk` and
+    * `sim_ivf_shuffled_topk` (identical rows regardless of input
+    * partitioning: the trainer is an exact integer pipeline). */
+  def ivfCentsFullK10(spark: SparkSession, dir: String)
+      : Array[(Long, Array[Long])] =
+    memoVal(spark, dir, "ivfCentsFullK10") {
+      graft.ops.Similarity.trainIvfCentroidsMicro(
+        T.par(spark, T.t(spark, dir, "embeddings")), k = 10, iters = 3)
+    }
+
+  /** Trigram/bigram/unigram LM count relations trained on the
+    * doc_id < 500 slice ([[graft.ops.TextAnalysis.trainTrigramCounts]])
+    * — the `artifact_lm_serve` maintenance-job split. The three frames
+    * share one build; each is re-checkpointed here so the cached plans
+    * read blocks the [[liveRddIds]] sweep protection covers (the
+    * build's own internal checkpoints go out of scope and may be
+    * reclaimed, which is fine — the final frames are self-contained). */
+  def trigramLm500(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = synchronized {
+    val tags = Seq("c3", "c23", "c1")
+    val keys = tags.map(t => Key(spark, dir, s"trigramLm500:$t"))
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    val cached = keys.flatMap(cache.get)
+    if (cached.size == 3 && cached.forall(_.rddIds.subsetOf(persisted))) {
+      (cached(0).df, cached(1).df, cached(2).df)
+    } else {
+      buildCount += 1
+      val (c3, c23, c1) = graft.ops.TextAnalysis.trainTrigramCounts(
+        T.par(spark, T.t(spark, dir, "documents"))
+          .filter(col("doc_id") < 500))
+      val out = keys.zip(Seq(c3, c23, c1)).map { case (key, built) =>
+        val mid = spark.sparkContext.getPersistentRDDs.keySet
+        val df = built.localCheckpoint()
+        val ids = spark.sparkContext.getPersistentRDDs.keySet.diff(mid)
+        cache.update(key, Entry(df, ids.toSet))
+        df
+      }
+      (out(0), out(1), out(2))
+    }
+  }
 }

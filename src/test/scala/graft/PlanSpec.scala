@@ -410,7 +410,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("knn-shapley: eval panel broadcasts; rank/suffix windows partitioned; no cartesian") {
-    val df = queries.LlmQueries12.valueKnnShapley(spark, dir)
+    val df = queries.LlmQueries15.valueKnnShapleyPanel(spark, dir)
     val p = plan(df)
     assert(!p.contains("CartesianProduct"),
       s"panel pairing must be a broadcast cross, not a cartesian:\n$p")
@@ -454,7 +454,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("tracin: eval panel broadcasts everywhere; no cartesian, no raw nested loop") {
-    val p = plan(queries.LlmQueries14.valueTracin(spark, dir))
+    val p = plan(queries.LlmQueries14.valueTracinPanel(spark, dir))
     assert(!p.contains("CartesianProduct"), p)
     // the bounded panel rides broadcasts (residual cross + bucket dot);
     // nothing nested-loops without a broadcast side
@@ -506,6 +506,33 @@ class PlanSpec extends SparkSpec {
     val p = plan(queries.LlmQueries15.eventMannKendall(spark, dir))
     assert(!p.contains("CartesianProduct"),
       s"the pair self-join must stay keyed on event_type:\n$p")
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"non-broadcast nested loop:\n$p")
+  }
+
+  test("exact-substring dedup: hash rendezvous + per-doc windows, no cartesian") {
+    val df = queries.LlmQueries16.dedupExactSubstring(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"non-broadcast nested loop:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"window-hash dup counting must be a hash aggregate:\n$p")
+    // the interval merge must never funnel into a global window
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "interval-merge windows must be doc-partitioned")
+  }
+
+  test("dsir: top-k is TakeOrderedAndProject; bucket model broadcasts; no cartesian") {
+    val p = plan(queries.LlmQueries16.mixDsirWeights(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the Gumbel top-k cut must be a per-partition heap, not a sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the B-row log-ratio model must broadcast:\n$p")
     assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
       s"non-broadcast nested loop:\n$p")
   }

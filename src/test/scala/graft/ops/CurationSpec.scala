@@ -662,4 +662,60 @@ class CurationSpec extends SparkSpec {
       .collect().map(row => row.getString(0) -> row.getLong(5)).toMap
     assert(domains.forall(d => got2(d) == got(d)._5))
   }
+
+  test("planMixUnimax: NULL token masses coalesce to 0; negative masses raise loudly") {
+    import spark.implicits._
+    // stratum 'b' has only NULL tokens -> mass 0, cap 0, always capped
+    val d = Seq(("a", Some(10L)), ("a", Some(10L)), ("b", None), ("b", None))
+      .toDF("lang", "toks")
+    val plan = Curation.planMixUnimax(d, "lang", col("toks"), budget = 30L,
+        maxEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("alloc_tokens"))).toMap
+    assert(plan("b")._1 == 0L, "NULL mass must coalesce to 0")
+    assert(plan("b")._2 == 0L, "zero-mass stratum gets its zero cap")
+    assert(plan("a")._1 == 20L)
+    val neg = Seq(("a", 10L), ("b", -5L)).toDF("lang", "toks")
+    val e = intercept[Exception] {
+      Curation.planMixUnimax(neg, "lang", col("toks"), budget = 30L).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("negative token mass") ||
+        e.getCause != null &&
+          e.getCause.getMessage.contains("negative token mass")),
+      s"want the named-stratum raise, got: ${e.getMessage}")
+  }
+
+  test("dsirSelect: uniform target => zero log-weights; budget-sized keep set; determinism") {
+    import spark.implicits._
+    val docs = (0L until 60L)
+      .map(i => (i, if (i % 3 == 0) "en" else "zh",
+        s"token$i shared words here number${i % 7}"))
+      .toDF("doc_id", "lang", "text")
+    // target == everything -> p_t == p_r per bucket -> logw == 0 for all
+    val uni = Curation.dsirSelect(docs, isTarget = lit(true), budget = 10,
+      buckets = 64, seed = 29).collect()
+    assert(uni.forall(_.getAs[Long]("logw_micro") == 0L),
+      "uniform target must give zero log-weights")
+    assert(uni.count(_.getAs[Boolean]("keep")) == 10)
+    // a real target slice: weights move, en-doc mean weight > zh-doc mean
+    val sel = Curation.dsirSelect(docs, isTarget = col("lang") === "en",
+      budget = 10, buckets = 64, seed = 29)
+    val rows = sel.collect()
+    assert(rows.count(_.getAs[Boolean]("keep")) == 10)
+    val byId = rows.map(r => r.getLong(0) -> r.getAs[Long]("logw_micro")).toMap
+    val enMean = (0L until 60L).filter(_ % 3 == 0).map(byId).sum / 20
+    val zhMean = (0L until 60L).filter(_ % 3 != 0).map(byId).sum / 40
+    assert(enMean > zhMean,
+      s"target-like docs must score higher: en=$enMean zh=$zhMean")
+    // partition invariance (content-addressed draws, integer arithmetic)
+    val again = Curation.dsirSelect(docs.repartition(7),
+      isTarget = col("lang") === "en", budget = 10, buckets = 64, seed = 29)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("gumbel_micro"), r.getAs[Boolean]("keep"))).toMap
+    rows.foreach { r =>
+      assert(again(r.getLong(0)) ==
+        (r.getAs[Long]("gumbel_micro"), r.getAs[Boolean]("keep")))
+    }
+  }
 }

@@ -719,4 +719,79 @@ class DedupSpec extends SparkSpec {
         s"recall ordering violated at grid index $i")
     }
   }
+
+  test("exact-substring spans: planted cross-doc duplicate found with exact boundaries") {
+    // L = 10; docs 1 and 2 share a 22-char region ("shared boilerplate txt"
+    // embedded at different offsets); doc 3 is clean.
+    val boiler = "sharedboilerplatetext!" // 22 chars
+    val d = docs(
+      1L -> s"aaaaaaaaaa${boiler}bbbbbbbbbb",  // boiler at 11..32
+      2L -> s"wxyz${boiler}defghijklmnopqrs",  // boiler at 5..26
+      3L -> "completely unrelated content here")
+    val spans = Dedup.exactSubstringSpans(d, minLen = 10)
+      .orderBy(col("doc_id")).collect()
+    assert(spans.map(_.getLong(0)).toSet == Set(1L, 2L))
+    val s1 = spans.find(_.getLong(0) == 1L).get
+    // 22-char shared region, 13 duplicated 10-windows (starts 11..23)
+    assert(s1.getAs[Long]("span_start") == 11L, s1)
+    assert(s1.getAs[Long]("span_end") == 32L, s1)
+    assert(s1.getAs[Long]("span_len") == 22L, s1)
+    assert(s1.getAs[Long]("n_windows") == 13L, s1)
+    val s2 = spans.find(_.getLong(0) == 2L).get
+    assert(s2.getAs[Long]("span_start") == 5L && s2.getAs[Long]("span_len") == 22L, s2)
+  }
+
+  test("exact-substring spans: within-doc repetition counts; disjoint runs stay separate") {
+    // One doc repeating a 12-char phrase twice with a unique gap: both
+    // occurrences are duplicated windows, merged into TWO runs (gap > L).
+    val p = "repeatedbit!" // 12 chars
+    val d = docs(4L -> s"$p--unique-middle-padding--$p")
+    val spans = Dedup.exactSubstringSpans(d, minLen = 12)
+      .orderBy(col("span_start")).collect()
+    assert(spans.length == 2, spans.mkString(";"))
+    assert(spans(0).getAs[Long]("span_start") == 1L)
+    assert(spans(0).getAs[Long]("span_len") == 12L)
+    assert(spans(1).getAs[Long]("span_len") == 12L)
+  }
+
+  test("exact-substring contamination: eval coverage against the train side only") {
+    val leak = "this exact benchmark sentence leaked verbatim" // 45 chars
+    val evalDocs = docs(
+      1L -> s"prefix--${leak}--suffix-material",
+      2L -> "a fully novel eval item nothing shared",
+      3L -> "shrt") // shorter than L -> zero windows, zero coverage
+    val train = docs(
+      100L -> s"some train doc containing ${leak} inside it",
+      101L -> "a fully novel eval item nothing shared PLUS MORE") // shares a 38-char prefix with eval 2? (L=20 windows)
+    val got = Dedup.exactSubstringContamination(evalDocs, train, minLen = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("covered_chars"),
+          r.getAs[Long]("n_chars"), r.getAs[Long]("coverage_micro")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "every eval doc gets a row")
+    assert(got(1L)._1 == 1L && got(1L)._2 == 45L,
+      s"the 45-char leak must surface exactly: ${got(1L)}")
+    // eval 2 IS a prefix of train 101 -> its shared 38-char region covers
+    assert(got(2L)._2 == 38L, s"${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 4L, 0L)), "sub-L docs have zero coverage")
+    // eval-only duplication must NOT count (eval 1 vs eval 1 self)
+    val selfOnly = Dedup.exactSubstringContamination(
+      docs(5L -> (leak + "###" + leak)), docs(9L -> "unrelated train text"),
+      minLen = 20).collect()
+    assert(selfOnly.head.getAs[Long]("covered_chars") == 0L,
+      "within-eval repetition is not train contamination")
+  }
+
+  test("exact-substring spans: abutting duplicated windows merge into one maximal run") {
+    // docs 5/6 share a 40-char region; every interior window duplicates,
+    // so coverage merges into ONE span of exactly 40 chars.
+    val shared = "0123456789" * 4
+    val d = docs(5L -> s"xx${shared}yy", 6L -> s"zzzzz${shared}wwww")
+    val spans = Dedup.exactSubstringSpans(d, minLen = 10).collect()
+    // within the shared region the 10-char windows also self-repeat
+    // (period 10), but coverage is still one contiguous 40-char run
+    val s5 = spans.filter(_.getLong(0) == 5L)
+    assert(s5.length == 1, s5.mkString(";"))
+    assert(s5.head.getAs[Long]("span_start") == 3L, s5.head)
+    assert(s5.head.getAs[Long]("span_len") == 40L, s5.head)
+  }
 }

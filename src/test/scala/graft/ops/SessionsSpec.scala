@@ -363,6 +363,20 @@ class SessionsSpec extends SparkSpec {
     assert(got2 === got)
   }
 
+  test("mannKendall: duplicate timestamps per key raise loudly (ADVICE r14)") {
+    import spark.implicits._
+    // two events at the same instant: the strict ta < tb pair relation
+    // would silently drop their pair from S while n_points counted both
+    val ev = Seq((1L, 9L, 1L, 1.0), (2L, 9L, 1L, 2.0), (3L, 9L, 2L, 3.0))
+      .toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val e = intercept[Exception] { Sessions.mannKendall(ev).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate timestamps")),
+      s"want the named-key raise, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("holtLinearForecast: hand-stepped recursion, negative trend floors portably") {
     import spark.implicits._
     // g=a [10, 20]: l₁=(20e6+4·10e6)/5=12e6, b₁=2e6/10=200000, sae=10e6

@@ -370,6 +370,17 @@ class SketchesSpec extends SparkSpec {
     assert(p2 == p1)
   }
 
+  test("psiFromCounts: all-zero bins (outer-joined relations) are excluded (ADVICE r14)") {
+    import spark.implicits._
+    val bins = Seq((1L, 3L, 1L), (2L, 1L, 3L)).toDF("bin", "ca", "cb")
+    val padded = bins.unionByName(
+      Seq((3L, 0L, 0L), (4L, 0L, 0L)).toDF("bin", "ca", "cb"))
+    val a = Sketches.psiFromCounts(bins).collect().map(_.toSeq).toSet
+    val b = Sketches.psiFromCounts(padded).collect().map(_.toSeq).toSet
+    // zero-count bins must not inflate __nbins or claim smoothing mass
+    assert(b == a, s"padded zero bins changed the result:\n$a\nvs\n$b")
+  }
+
   test("cmsJoinSizeEstimate: one-sided, exact on a collision-free key set") {
     import spark.implicits._
     // a: key k appears k times; b: key k appears 2k times (k = 1..5)
