@@ -1502,6 +1502,65 @@ object Dedup {
           .as("coverage_micro"))
   }
 
+  /** Exact duplicated-substring REMOVAL — the end product of the Lee
+    * et al. ExactSubstr pipeline: every character covered by a
+    * duplicated window ≥ `minLen` is dropped and the survivors are
+    * stitched back in order. (The fixed-window analogue is
+    * [[dropDuplicateSpans]]; this is the maximal-span exact form —
+    * removal boundaries land exactly at the duplicated region's edges,
+    * not at word-window quanta.)
+    *
+    * Output per document (ALL documents — span-free docs pass through
+    * whole): (id, n_chars, removed_chars, kept_chars, kept_text).
+    *
+    * Shape: [[exactSubstringSpans]] + one per-doc window pass to turn
+    * spans into KEPT segments (lag of span_end, plus the tail segment
+    * from the per-doc span aggregate), one equi-join back to the text,
+    * and a per-doc ordered reassembly (collect_list → array_sort →
+    * concat — bounded by the doc's own segment count, the
+    * [[dropDuplicateSpans]] reassembly discipline). */
+  def removeDuplicateSubstrings(docs: DataFrame, minLen: Int = 20,
+      minOcc: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = exactSubstringSpans(docs, minLen, minOcc, idCol, textCol)
+      .withColumnRenamed(idCol, "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("span_start"))
+    // kept segment BEFORE each span: [prev_end+1, start-1] (head: from 1)
+    val mids = spans
+      .withColumn("__gs", coalesce(lag(col("span_end"), 1).over(w), lit(0L)) + 1L)
+      .select(col("id"), col("__gs"), (col("span_start") - 1L).as("__ge"))
+    // tail segment AFTER the last span: [max_end+1, len]
+    val tails = spans.groupBy(col("id"))
+      .agg(max(col("span_end")).as("__last"),
+        sum(col("span_len")).as("__removed"))
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__t"),
+      length(col(textCol)).cast("long").as("__len"))
+    val segs = mids
+      .unionByName(base.join(tails, Seq("id"))
+        .select(col("id"), (col("__last") + 1L).as("__gs"),
+          col("__len").as("__ge")))
+      .filter(col("__ge") >= col("__gs"))
+    val kept = segs.join(base, Seq("id"))
+      .select(col("id"), col("__gs"),
+        expr("substring(__t, CAST(__gs AS INT), CAST(__ge - __gs + 1 AS INT))")
+          .as("__seg"))
+      .groupBy(col("id"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("__gs"), col("__seg")))),
+        s => s.getField("__seg"))).as("kept_text"))
+    base
+      .join(tails, Seq("id"), "left")
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("__len").as("n_chars"),
+        coalesce(col("__removed"), lit(0L)).as("removed_chars"),
+        (col("__len") - coalesce(col("__removed"), lit(0L))).as("kept_chars"),
+        // span-free docs keep their text whole; docs removed ENTIRELY
+        // (one span covering everything) keep the empty string
+        when(col("__removed").isNull, col("__t"))
+          .otherwise(coalesce(col("kept_text"), lit(""))).as("kept_text"))
+  }
+
   /** One row per length-`L` character window: (id, s 1-based start,
     * g = md5 of the window) — the shared relation of the
     * exact-substring family. Corpus-character-sized by construction

@@ -2236,4 +2236,72 @@ object TextAnalysis {
       .select(expr("__lx div 1000").as("x"), expr("__ly div 1000").as("y"))
     logLogFit(xy, "n_points")
   }
+
+  /** Good–Turing frequency spectrum (Good 1953; the raw estimator —
+    * Gale & Sampson's SGT smoothing regression is deliberately NOT
+    * applied, so every number is an exact corpus statistic): for each
+    * observed word frequency f, the spectrum count N_f = |{w : c(w) =
+    * f}| and the Turing-adjusted count f* = (f+1)·N_{f+1}/N_f in
+    * floored micro (0 where N_{f+1} = 0 — the raw estimator's gap the
+    * SGT regression exists to fill), plus the leave-one-out unseen
+    * mass p₀ = N₁/N replicated per row. The standard open-vocabulary
+    * smoothing input and the "how much probability do unseen words
+    * deserve" readout.
+    *
+    * Shape: word counts (one combine shuffle) → spectrum counts (a
+    * SECOND combine shuffle whose input is vocabulary-sized and whose
+    * output is frequency-DOMAIN-sized, ≤ distinct frequencies ≈
+    * O(√N)); the f+1 lookup is a self equi-join on the tiny spectrum;
+    * the total rides a broadcast one-row aggregate. */
+  def goodTuringSpectrum(docs: DataFrame, unit: Long = 1000000L,
+      textCol: String = "text"): DataFrame = {
+    val wc = docs
+      .select(explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val spec = wc.groupBy(col("f")).agg(count(lit(1)).as("n_f"))
+      .localCheckpoint(false) // frequency-domain-sized; 3 consumers
+    val tot = spec.agg(sum(col("f") * col("n_f")).as("__n"),
+      coalesce(sum(when(col("f") === 1L, col("n_f"))), lit(0L)).as("__n1"))
+    spec
+      .join(spec.select((col("f") - 1L).as("f"), col("n_f").as("__nf1")),
+        Seq("f"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("f"), col("n_f"),
+        expr(s"((f + 1) * $unit * coalesce(__nf1, 0L)) div n_f")
+          .as("f_star_micro"),
+        expr(s"($unit * __n1) div __n").as("p0_micro"),
+        col("__n").as("n_tokens"))
+      .orderBy(col("f"))
+  }
+
+  /** Word burstiness (Church & Gale 1995: real words are BURSTY — a
+    * word's corpus frequency concentrates in few documents, where a
+    * Poisson process would spread it): per word with df ≥ `minDf`,
+    * corpus frequency cf, document frequency df, and burstiness =
+    * cf/df in floored micro (mean occurrences per document that
+    * contains the word — 10⁶ = perfectly spread, higher = burstier).
+    * Top `topK` burstiest (ties to the lexicographically lower word) —
+    * the content-word/function-word separator and the classic
+    * keyword-ness signal that pure frequency misses.
+    *
+    * Shape: ONE (word, doc) combine-agg collapses the token stream;
+    * cf/df both derive from it map-side; the cut is orderBy+limit =
+    * TakeOrderedAndProject. */
+  def wordBurstiness(docs: DataFrame, minDf: Long = 3, topK: Int = 100,
+      unit: Long = 1000000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(topK >= 1 && topK <= 100000, "topK in [1, 100000]")
+    docs
+      .select(col(idCol).as("id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"), col("id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("w"))
+      .agg(sum(col("__c")).as("cf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("burstiness_micro", expr(s"($unit * cf) div df"))
+      .orderBy(col("burstiness_micro").desc, col("w"))
+      .limit(topK)
+  }
 }

@@ -81,10 +81,40 @@ object LlmQueries16 {
       .orderBy(col("source"))
   }
 
+  /** Exact duplicated-substring REMOVAL
+    * ([[graft.ops.Dedup.removeDuplicateSubstrings]]): the ExactSubstr
+    * pipeline's end product — every character covered by a duplicated
+    * ≥30-char window dropped, survivors stitched in order; the result
+    * hashes the full reassembled text of every document. */
+  def dedupSubstringRemoval(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.removeDuplicateSubstrings(
+        T.par(spark, T.t(spark, dir, "documents")), minLen = 30)
+      .orderBy(col("doc_id"))
+
+  /** Good–Turing frequency spectrum (Good 1953,
+    * [[graft.ops.TextAnalysis.goodTuringSpectrum]]): N_f, the raw
+    * Turing-adjusted counts f*, and the unseen-probability mass N₁/N —
+    * the open-vocabulary smoothing input the LM family
+    * (`text_lm_bigram`/`text_lm_kneser_ney`) assumes. */
+  def textGoodTuring(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.goodTuringSpectrum(
+      T.par(spark, T.t(spark, dir, "documents")))
+
+  /** Church–Gale word burstiness
+    * ([[graft.ops.TextAnalysis.wordBurstiness]]): top-100 burstiest
+    * words with df ≥ 3 — cf/df in exact micro, the content-word
+    * signal pure frequency misses. */
+  def textBurstiness(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.wordBurstiness(
+      T.par(spark, T.t(spark, dir, "documents")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_substring" -> (dedupExactSubstring _),
     "decon_exact_substring" -> (deconExactSubstring _),
     "dedup_substring_profile" -> (dedupSubstringProfile _),
+    "dedup_substring_removal" -> (dedupSubstringRemoval _),
+    "text_good_turing" -> (textGoodTuring _),
+    "text_burstiness" -> (textBurstiness _),
     "mix_dsir_weights" -> (mixDsirWeights _)
   )
 
@@ -234,10 +264,82 @@ object LlmQueries16 {
        |ORDER BY k.doc_id""".stripMargin
   }
 
+  /** Removal replay: the span CTEs, kept segments via the lag window
+    * (head/mid gaps) plus the per-doc tail segment, ordered string_agg
+    * reassembly, pass-through for span-free docs. */
+  private def substringRemovalOracle(L: Int): String =
+    s"""WITH ${windowCte("pos", L, "TRUE")},
+       |dups AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+       |hits AS (SELECT doc_id, s FROM pos JOIN dups USING (g)),
+       |${mergeCtes(L)},
+       |mids AS (SELECT doc_id,
+       |    coalesce(lag(span_end) OVER (PARTITION BY doc_id
+       |      ORDER BY span_start), 0) + 1 AS gs,
+       |    span_start - 1 AS ge
+       |  FROM spans),
+       |tails AS (SELECT doc_id, max(span_end) AS last_e,
+       |    CAST(sum(span_len) AS BIGINT) AS removed
+       |  FROM spans GROUP BY doc_id),
+       |segs AS (SELECT doc_id, gs, ge FROM mids WHERE ge >= gs
+       |  UNION ALL
+       |  SELECT t.doc_id, t.last_e + 1, CAST(length(d.text) AS BIGINT)
+       |  FROM tails t JOIN documents d USING (doc_id)
+       |  WHERE length(d.text) >= t.last_e + 1),
+       |kept AS (SELECT s.doc_id,
+       |    string_agg(substr(d.text, CAST(s.gs AS INTEGER),
+       |      CAST(s.ge - s.gs + 1 AS INTEGER)), '' ORDER BY s.gs) AS kt
+       |  FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id)
+       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       |  coalesce(t.removed, 0) AS removed_chars,
+       |  CAST(length(d.text) - coalesce(t.removed, 0) AS BIGINT)
+       |    AS kept_chars,
+       |  CASE WHEN t.doc_id IS NULL THEN d.text
+       |       ELSE coalesce(k.kt, '') END AS kept_text
+       |FROM documents d
+       |LEFT JOIN tails t USING (doc_id)
+       |LEFT JOIN kept k USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  private def goodTuringOracle(unit: Long): String =
+    s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(${normSql("text")}, ' ')) AS w
+       |        FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |spec AS (SELECT f, CAST(count(*) AS BIGINT) AS n_f
+       |  FROM wc GROUP BY f),
+       |tot AS (SELECT CAST(sum(f * n_f) AS BIGINT) AS n,
+       |    CAST(coalesce(sum(CASE WHEN f = 1 THEN n_f END), 0) AS BIGINT)
+       |      AS n1
+       |  FROM spec)
+       |SELECT s.f, s.n_f,
+       |  CAST(((s.f + 1) * $unit * coalesce(s2.n_f, 0)) // s.n_f
+       |    AS BIGINT) AS f_star_micro,
+       |  CAST(($unit * t.n1) // t.n AS BIGINT) AS p0_micro,
+       |  t.n AS n_tokens
+       |FROM spec s LEFT JOIN spec s2 ON s2.f = s.f + 1 CROSS JOIN tot t
+       |ORDER BY s.f""".stripMargin
+
+  private def burstinessOracle(minDf: Long, topK: Int, unit: Long): String =
+    s"""WITH wd AS (SELECT w, doc_id, count(*) AS c
+       |  FROM (SELECT doc_id,
+       |      unnest(string_split(${normSql("text")}, ' ')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' GROUP BY w, doc_id),
+       |agg AS (SELECT w, CAST(sum(c) AS BIGINT) AS cf,
+       |    CAST(count(*) AS BIGINT) AS df
+       |  FROM wd GROUP BY w)
+       |SELECT w, cf, df,
+       |  CAST(($unit * cf) // df AS BIGINT) AS burstiness_micro
+       |FROM agg WHERE df >= $minDf
+       |ORDER BY burstiness_micro DESC, w LIMIT $topK""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact_substring" -> exactSubstringOracle(30),
     "decon_exact_substring" -> deconExactSubstringOracle(30, 50L),
     "dedup_substring_profile" -> substringProfileOracle(30),
+    "dedup_substring_removal" -> substringRemovalOracle(30),
+    "text_good_turing" -> goodTuringOracle(1000000L),
+    "text_burstiness" -> burstinessOracle(3L, 100, 1000000L),
     "mix_dsir_weights" -> dsirOracle(256, 200, 29, 1000000L)
   )
 }

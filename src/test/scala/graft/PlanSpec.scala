@@ -526,6 +526,29 @@ class PlanSpec extends SparkSpec {
     assert(globals.isEmpty, "interval-merge windows must be doc-partitioned")
   }
 
+  test("substring removal: reassembly stays doc-keyed; no cartesian, no global window") {
+    val df = queries.LlmQueries16.dedupSubstringRemoval(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"non-broadcast nested loop:\n$p")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "gap windows must be doc-partitioned")
+  }
+
+  test("good-turing / burstiness: combine-agg chains; burstiness cut is a heap") {
+    val pg = plan(queries.LlmQueries16.textGoodTuring(spark, dir))
+    assert(!pg.contains("CartesianProduct"), pg)
+    assert(pg.contains("HashAggregate"), pg)
+    val pb = plan(queries.LlmQueries16.textBurstiness(spark, dir))
+    assert(pb.contains("TakeOrderedAndProject"),
+      s"the top-k cut must be a per-partition heap, not a global sort:\n$pb")
+    assert(!pb.contains("CartesianProduct"), pb)
+  }
+
   test("dsir: top-k is TakeOrderedAndProject; bucket model broadcasts; no cartesian") {
     val p = plan(queries.LlmQueries16.mixDsirWeights(spark, dir))
     assert(p.contains("TakeOrderedAndProject"),

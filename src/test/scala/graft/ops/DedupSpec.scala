@@ -754,6 +754,25 @@ class DedupSpec extends SparkSpec {
     assert(spans(1).getAs[Long]("span_len") == 12L)
   }
 
+  test("exact-substring removal: survivors stitch in order; full-dup docs empty; clean docs pass through") {
+    val boiler = "sharedboilerplatetext!" // 22 chars, L = 10
+    val d = docs(
+      1L -> s"aaaaaaaaaa${boiler}bbbbbbbbbb",   // keep prefix+suffix
+      2L -> s"wxyz${boiler}defghijklmnopqrs",   // keep 4 + 16 chars
+      3L -> "completely unrelated clean doc",   // untouched
+      4L -> boiler)                             // fully covered -> ""
+    val got = Dedup.removeDuplicateSubstrings(d, minLen = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("removed_chars"),
+          r.getAs[Long]("kept_chars"), r.getAs[String]("kept_text")))).toMap
+    assert(got(1L) === ((42L, 22L, 20L, "aaaaaaaaaa" + "bbbbbbbbbb")))
+    assert(got(2L) === ((42L, 22L, 20L, "wxyz" + "defghijklmnopqrs")))
+    assert(got(3L)._2 == 0L && got(3L)._4 == "completely unrelated clean doc")
+    assert(got(4L) === ((22L, 22L, 0L, "")))
+    // reassembly law: kept_text length == kept_chars, everywhere
+    got.values.foreach { case (_, _, kc, kt) => assert(kt.length == kc) }
+  }
+
   test("exact-substring contamination: eval coverage against the train side only") {
     val leak = "this exact benchmark sentence leaked verbatim" // 45 chars
     val evalDocs = docs(

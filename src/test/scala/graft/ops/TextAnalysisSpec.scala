@@ -1013,4 +1013,39 @@ class TextAnalysisSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("goodTuringSpectrum: hand-computed spectrum, f* identity, unseen mass") {
+    import spark.implicits._
+    // counts: a=3, b=2, c=2, d=1, e=1, f=1 -> N=10, N1=3, N2=2, N3=1
+    val docs = Seq((1L, "a a a b b"), (2L, "c c d e f"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.goodTuringSpectrum(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_f"), r.getAs[Long]("f_star_micro"),
+          r.getAs[Long]("p0_micro"), r.getAs[Long]("n_tokens")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // f* = (f+1)·N_{f+1}/N_f: f=1 -> 2·2/3 = 1333333; f=2 -> 3·1/2 =
+    // 1500000; f=3 -> N4 = 0 -> 0 (the raw estimator's gap)
+    assert(got(1L) === ((3L, 1333333L, 300000L, 10L)))
+    assert(got(2L) === ((2L, 1500000L, 300000L, 10L)))
+    assert(got(3L) === ((1L, 0L, 300000L, 10L)))
+    // spectrum identity: Σ f·N_f = token total
+    assert(got.map { case (f, (nf, _, _, _)) => f * nf }.sum == 10L)
+    val again = TextAnalysis.goodTuringSpectrum(docs.repartition(5))
+      .collect().map(_.toSeq).toSet
+    assert(again == TextAnalysis.goodTuringSpectrum(docs)
+      .collect().map(_.toSeq).toSet)
+  }
+
+  test("wordBurstiness: cf/df in exact micro, df gate, deterministic ties") {
+    import spark.implicits._
+    // 'x': cf=6 over 3 docs -> 2e6; 'y': cf=3 over 3 docs -> 1e6 (spread);
+    // 'z': df=2 < minDf -> gated out
+    val docs = Seq((1L, "x x x y z"), (2L, "x x y z"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.wordBurstiness(docs, minDf = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("cf"),
+        r.getAs[Long]("df"), r.getAs[Long]("burstiness_micro")))
+    assert(got.toSeq == Seq(("x", 6L, 3L, 2000000L), ("y", 3L, 3L, 1000000L)))
+  }
 }
