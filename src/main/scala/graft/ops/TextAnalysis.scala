@@ -2275,6 +2275,80 @@ object TextAnalysis {
       .orderBy(col("f"))
   }
 
+  /** Simple Good–Turing smoothing fit (Gale & Sampson 1995) over the
+    * [[goodTuringSpectrum]]: the raw estimator's N_{f+1} gaps (every
+    * unobserved frequency zeroes f*) are filled by the log-log
+    * regression the paper prescribes — Z-transform each spectrum count
+    * against its observed-frequency neighborhood,
+    *
+    *   Z_r = 2·N_r / (t − q)   (q = previous observed freq, 0 at the
+    *     head; t = next observed freq, 2r − q at the tail)
+    *
+    * fit log Z on log f with the exact milli-log least squares
+    * ([[zipfFit]]'s shared kernel), and read the smoothed estimate
+    *
+    *   f*_SGT = (f+1) · S(f+1)/S(f) = (f+1) · 2^(b·(log₂(f+1) − log₂ f))
+    *
+    * off the fitted power law alone — exp2Micro over the fitted
+    * exponent, so every value replays bit-for-bit. The exponent is
+    * clamped to min(b·Δ, 0) (a non-decreasing fitted spectrum means
+    * SGT's validity condition b < −1 failed; the clamp keeps f* ≤ f+1
+    * instead of extrapolating upward) and to exp2Micro's −64·10⁶
+    * envelope floor.
+    *
+    * Output per observed f: (f, n_f, z_micro, sgt_star_micro) plus the
+    * fit row (slope_micro = b, intercept_milli, r2_micro — r² far from
+    * 10⁶ means the power-law premise itself failed) replicated.
+    *
+    * Shape: the spectrum is frequency-DOMAIN-sized (≈O(√N) rows,
+    * checkpointed once); prev/next neighbors come from two triangular
+    * self-joins on that bounded relation (the house no-global-window
+    * pattern — a lag/lead window here would funnel the whole spectrum
+    * into one task); the fit is one aggregate; smoothing is a
+    * broadcast of the 1-row fit. */
+  def sgtFit(docs: DataFrame, unit: Long = 1000000L,
+      textCol: String = "text"): DataFrame = {
+    val lg = graft.functions.VectorFunctions.log2_micro _
+    val e2 = graft.functions.VectorFunctions.exp2_micro _
+    val dec = "DECIMAL(38,0)"
+    val spec = docs
+      .select(explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("n_f"))
+      .localCheckpoint(false) // freq-domain-sized; 3 consumers
+    val nbr = spec
+      .join(spec.select(col("f").as("__fp")), col("__fp") < col("f"), "left")
+      .groupBy(col("f"), col("n_f")).agg(max(col("__fp")).as("__q0"))
+      .join(spec.select(col("f").as("__fn")), col("__fn") > col("f"), "left")
+      .groupBy(col("f"), col("n_f"), col("__q0"))
+      .agg(min(col("__fn")).as("__t0"))
+      .withColumn("__q", coalesce(col("__q0"), lit(0L)))
+      .withColumn("__t", coalesce(col("__t0"), lit(2L) * col("f") - col("__q")))
+      // ≥1 clamp (the psiFromCounts contract): a frequency gap wider
+      // than 2·unit would floor Z to 0 and feed lg(0)
+      .withColumn("z_micro",
+        expr(s"greatest((2 * n_f * $unit) div (__t - __q), 1L)"))
+      .localCheckpoint(false) // feeds the fit AND the smoothed rows
+    val fit = logLogFit(nbr
+      .withColumn("__lx", lg(col("f")))
+      .withColumn("__ly", lg(col("z_micro")))
+      .select(expr("__lx div 1000").as("x"),
+        expr("__ly div 1000").as("y")), "n_freqs")
+    nbr.crossJoin(broadcast(fit))
+      .withColumn("__d", lg(col("f") + 1L) - lg(col("f")))
+      .withColumn("__be", expr(
+        s"""greatest(least(CAST(CAST(slope_micro AS $dec) * __d
+           |  div $unit AS BIGINT), 0L), ${-64L * unit}L)""".stripMargin))
+      .withColumn("__e2", e2(col("__be")))
+      .select(col("f"), col("n_f"), col("z_micro"),
+        expr(s"CAST(CAST(f + 1 AS $dec) * __e2 AS BIGINT)")
+          .as("sgt_star_micro"),
+        col("n_freqs"), col("slope_micro"), col("intercept_milli"),
+        col("r2_micro"))
+      .orderBy(col("f"))
+  }
+
   /** Word burstiness (Church & Gale 1995: real words are BURSTY — a
     * word's corpus frequency concentrates in few documents, where a
     * Poisson process would spread it): per word with df ≥ `minDf`,

@@ -462,7 +462,7 @@ object LlmQueries14 {
     * expression over a 20-bit fraction column `f` (requires `cl` in
     * scope via CROSS JOIN): left-to-right list_reduce — the same order
     * and truncation as the Scala loop. */
-  private def exp2AccExpr(f: String): String =
+  private[queries] def exp2AccExpr(f: String): String =
     s"""list_reduce(list_concat([CAST(4294967296 AS HUGEINT)],
        |      list_filter(list_transform(generate_series(1, 20), i ->
        |        CASE WHEN (($f >> CAST(20 - i AS INTEGER)) & 1) = 1

@@ -559,4 +559,25 @@ class PlanSpec extends SparkSpec {
     assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
       s"non-broadcast nested loop:\n$p")
   }
+
+  test("dsir eval / sgt fit: bounded relations broadcast; no cartesian") {
+    val pe = plan(queries.LlmQueries16.mixDsirEval(spark, dir))
+    assert(!pe.contains("CartesianProduct"), pe)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(pe).isEmpty,
+      s"non-broadcast nested loop:\n$pe")
+    // (the two subset cuts run upstream of the checkpointed bucket
+    // relation — their TakeOrderedAndProject shape is pinned by the
+    // mix_dsir_weights test above)
+    val ps = plan(queries.LlmQueries16.textSgtFit(spark, dir))
+    assert(!ps.contains("CartesianProduct"), ps)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(ps).isEmpty,
+      s"non-broadcast nested loop:\n$ps")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = queries.LlmQueries16.textSgtFit(spark, dir)
+      .queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+    assert(globals.isEmpty,
+      "the Z-transform neighbors must come from the triangular join, not a global window")
+  }
 }

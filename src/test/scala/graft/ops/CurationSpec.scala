@@ -718,4 +718,28 @@ class CurationSpec extends SparkSpec {
         (r.getAs[Long]("gumbel_micro"), r.getAs[Boolean]("keep")))
     }
   }
+
+  test("dsirShiftEval: selection beats the size-matched random baseline toward the target") {
+    import spark.implicits._
+    // en docs share a distinctive vocabulary; zh docs another -> the
+    // importance-weighted subset must be KL-closer to the en model than
+    // a same-size random draw
+    val docs = (0L until 80L)
+      .map(i => (i, if (i % 2 == 0) "en" else "zh",
+        if (i % 2 == 0) s"alpha beta gamma delta tok${i % 5}"
+        else s"omega sigma lambda kappa tok${i % 5}"))
+      .toDF("doc_id", "lang", "text")
+    val r = Curation.dsirShiftEval(docs, isTarget = col("lang") === "en",
+      budget = 20, buckets = 64, seed = 29).collect().head
+    assert(r.getAs[Long]("kl_selected_micro") >= 0L)
+    assert(r.getAs[Long]("improvement_micro") > 0L,
+      s"selection must beat the random baseline: $r")
+    assert(r.getAs[Long]("improvement_micro") ==
+      r.getAs[Long]("kl_random_micro") - r.getAs[Long]("kl_selected_micro"))
+    // partition invariance
+    val r2 = Curation.dsirShiftEval(docs.repartition(7),
+      isTarget = col("lang") === "en", budget = 20, buckets = 64,
+      seed = 29).collect().head
+    assert(r2.toSeq == r.toSeq)
+  }
 }

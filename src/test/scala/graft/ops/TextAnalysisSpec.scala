@@ -1037,6 +1037,38 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet)
   }
 
+  test("sgtFit: Z-transform hand-check, kernel-replayed smoothing, degenerate spectrum") {
+    import spark.implicits._
+    import graft.functions.ExactMicroOps.{log2Micro, exp2Micro}
+    // counts: a=3, b=2, c=2, d=1, e=1, f=1 -> spectrum (1,3) (2,2) (3,1)
+    // Z: f=1: q=0,t=2 -> 2·3e6/2 = 3e6; f=2: q=1,t=3 -> 2·2e6/2 = 2e6;
+    //    f=3: q=2,t=2·3−2=4 -> 2·1e6/2 = 1e6
+    val docs = Seq((1L, "a a a b b"), (2L, "c c d e f")).toDF("doc_id", "text")
+    val rows = TextAnalysis.sgtFit(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("z_micro") == 3000000L)
+    assert(rows(2L).getAs[Long]("z_micro") == 2000000L)
+    assert(rows(3L).getAs[Long]("z_micro") == 1000000L)
+    val slope = rows(1L).getAs[Long]("slope_micro")
+    assert(slope < 0L, s"Z must fall with f here: $slope")
+    // smoothed counts replay through the shared integer kernels
+    rows.foreach { case (f, r) =>
+      val d = log2Micro(f + 1) - log2Micro(f)
+      val be = math.max(math.min(slope * d / 1000000L, 0L), -64000000L)
+      assert(r.getAs[Long]("sgt_star_micro") == (f + 1) * exp2Micro(be),
+        s"f=$f")
+      assert(r.getAs[Long]("sgt_star_micro") <= (f + 1) * 1000000L)
+    }
+    // one-frequency corpus: dx = 0 -> slope 0 -> f* = (f+1)·10⁶
+    val uni = Seq((1L, "p q r s")).toDF("doc_id", "text")
+    val u = TextAnalysis.sgtFit(uni).collect()
+    assert(u.length == 1 && u.head.getAs[Long]("slope_micro") == 0L)
+    assert(u.head.getAs[Long]("sgt_star_micro") == 2000000L)
+    // partition invariance
+    assert(TextAnalysis.sgtFit(docs.repartition(5)).collect()
+      .map(_.toSeq).toSet == rows.values.map(_.toSeq).toSet)
+  }
+
   test("wordBurstiness: cf/df in exact micro, df gate, deterministic ties") {
     import spark.implicits._
     // 'x': cf=6 over 3 docs -> 2e6; 'y': cf=3 over 3 docs -> 1e6 (spread);
