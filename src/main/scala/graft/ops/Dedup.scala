@@ -1474,18 +1474,36 @@ object Dedup {
     * Scale shape: train side is one distinct-window combine-agg (its
     * windows collapse map-side); the rendezvous is one equi-join keyed
     * by window hash, sized by the EVAL side (benchmarks, not corpora).
-    * When the eval set is small enough to sketch, the
-    * `decon_bloom_gate` posture applies unchanged: bloom the eval
-    * window hashes and drop non-matching train windows BELOW the
-    * exchange ([[crossCorpusContainmentBloom]]'s `maxBloomBytes`
-    * discipline). */
+    * With `bloomGate = true` the `decon_bloom_gate` posture applies:
+    * a driver bloom over the eval window hashes drops non-matching
+    * train windows BELOW the exchange (the 100 TB shape — the train
+    * corpus never shuffles its non-candidate windows), under
+    * [[crossCorpusContainmentBloom]]'s `maxBloomBytes` discipline.
+    * Unlike the containment gate, the bloom here is RESULT-EXACT, not
+    * approximate: false positives only admit extra train windows into
+    * the distinct set, and the exact hash equi-join scrubs them — the
+    * gated and ungated plans return identical rows (the differential
+    * twin `decon_exact_substring_bloom` pins it). */
   def exactSubstringContamination(evalDocs: DataFrame, trainDocs: DataFrame,
       minLen: Int = 20, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", bloomGate: Boolean = false,
+      fpp: Double = 0.01, maxBloomBytes: Long = 256L << 20): DataFrame = {
     require(minLen >= 2 && minLen <= 10000, "minLen in [2, 10000]")
-    val evalW = windowHashes(evalDocs, minLen, idCol, textCol)
-    val trainW = windowHashes(trainDocs, minLen, idCol, textCol)
-      .select(col("g")).distinct()
+    val evalW0 = windowHashes(evalDocs, minLen, idCol, textCol)
+    val evalW = if (bloomGate) evalW0.localCheckpoint() else evalW0
+    val trainW0 = windowHashes(trainDocs, minLen, idCol, textCol)
+    val trainPre = if (bloomGate) {
+      val nW = math.max(evalW.count(), 1L)
+      val bloom = evalW.stat.bloomFilter(
+        hashStr(col("g"), 91), nW, fpp)
+      require(bloom.bitSize() / 8 <= maxBloomBytes,
+        s"exactSubstringContamination: ${bloom.bitSize() / 8} bloom bytes " +
+          s"for $nW eval windows exceeds maxBloomBytes=$maxBloomBytes — " +
+          "shrink the eval set, raise fpp, or raise the cap")
+      trainW0.filter(graft.functions.BloomFunctions.bloom_might_contain(
+        hashStr(col("g"), 91), bloom))
+    } else trainW0
+    val trainW = trainPre.select(col("g")).distinct()
     val spans = mergeWindowRuns(evalW.join(trainW, Seq("g"), "left_semi"),
       minLen)
     val perDoc = spans.groupBy(col("id"))

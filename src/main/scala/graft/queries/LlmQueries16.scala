@@ -61,6 +61,21 @@ object LlmQueries16 {
       .orderBy(col("doc_id"))
   }
 
+  /** `decon_exact_substring` under the BLOOM-GATED plan — the 100 TB
+    * exchange strategy (train windows dropped map-side against a
+    * driver bloom of the eval windows, below the shuffle): identical
+    * rows by construction (the exact hash equi-join scrubs bloom false
+    * positives), so the oracle is shared verbatim — the
+    * `sim_ivf_shuffled_topk` differential-twin discipline, here
+    * pinning that the map-side-reduction plan is value-neutral. */
+  def deconExactSubstringBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    graft.ops.Dedup.exactSubstringContamination(
+        docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
+        minLen = 30, bloomGate = true)
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus duplication profile by source (the Lee et al. ACL 2022
     * Table-1 readout): per source, documents, total characters, and the
     * fraction covered by exact duplicated substrings ≥ 30 chars —
@@ -135,6 +150,7 @@ object LlmQueries16 {
     "mix_dsir_eval" -> (mixDsirEval _),
     "dedup_exact_substring" -> (dedupExactSubstring _),
     "decon_exact_substring" -> (deconExactSubstring _),
+    "decon_exact_substring_bloom" -> (deconExactSubstringBloom _),
     "dedup_substring_profile" -> (dedupSubstringProfile _),
     "dedup_substring_removal" -> (dedupSubstringRemoval _),
     "text_good_turing" -> (textGoodTuring _),
@@ -494,6 +510,7 @@ object LlmQueries16 {
     "mix_dsir_eval" -> dsirEvalOracle(256, 200, 29, 1000000L),
     "dedup_exact_substring" -> exactSubstringOracle(30),
     "decon_exact_substring" -> deconExactSubstringOracle(30, 50L),
+    "decon_exact_substring_bloom" -> deconExactSubstringOracle(30, 50L),
     "dedup_substring_profile" -> substringProfileOracle(30),
     "dedup_substring_removal" -> substringRemovalOracle(30),
     "text_good_turing" -> goodTuringOracle(1000000L),

@@ -560,6 +560,35 @@ class PlanSpec extends SparkSpec {
       s"non-broadcast nested loop:\n$p")
   }
 
+  test("bloom-gated substring decon: train windows filter below the exchange") {
+    val df = queries.LlmQueries16.deconExactSubstringBloom(spark, dir)
+    // sparkPlan, not executedPlan: collect() does not traverse into the
+    // AdaptiveSparkPlan wrapper (the WindowExec pins' convention)
+    val exec = df.queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val gates = exec.collect {
+      case f: FilterExec
+          if f.condition.toString.contains("bloom_might_contain") => f
+    }
+    assert(gates.nonEmpty,
+      s"the driver bloom must gate the train window stream:\n$exec")
+    // map-side reduction: no KEYED rendezvous beneath the gate — the
+    // filter feeds the train scan's window explode (the query's own
+    // T.par round-robin input re-split is allowed; it moves the raw
+    // docs for parallelism, not the exploded window stream)
+    gates.foreach { g =>
+      val keyed = g.collect {
+        case e: ShuffleExchangeExec
+            if !e.outputPartitioning.toString
+              .contains("RoundRobinPartitioning") => e
+      }
+      assert(keyed.isEmpty,
+        s"bloom gate must run before the window rendezvous:\n$g")
+    }
+    assert(!exec.toString.contains("CartesianProduct"), exec.toString)
+  }
+
   test("dsir eval / sgt fit: bounded relations broadcast; no cartesian") {
     val pe = plan(queries.LlmQueries16.mixDsirEval(spark, dir))
     assert(!pe.contains("CartesianProduct"), pe)

@@ -798,6 +798,14 @@ class DedupSpec extends SparkSpec {
       minLen = 20).collect()
     assert(selfOnly.head.getAs[Long]("covered_chars") == 0L,
       "within-eval repetition is not train contamination")
+    // the bloom-gated plan is result-EXACT (false positives scrubbed by
+    // the hash equi-join): identical rows to the ungated form
+    val gated = Dedup.exactSubstringContamination(evalDocs, train,
+      minLen = 20, bloomGate = true)
+      .collect().map(_.toSeq).toSet
+    assert(gated == Dedup.exactSubstringContamination(evalDocs, train,
+      minLen = 20).collect().map(_.toSeq).toSet,
+      "bloom gate must be value-neutral")
   }
 
   test("exact-substring spans: abutting duplicated windows merge into one maximal run") {
