@@ -1316,6 +1316,87 @@ object TextAnalysis {
         col("n_terms"), col("bm25_micro"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    * SIGIR 2001 — the language-modeling IR scorer next to
+    * [[bm25MultiQuery]]'s probabilistic one):
+    *
+    *   score(q, d) = Σ_{w∈q} c(w,q) · log₂ (c(w,d)·NT + μ·cf_w)
+    *                                       ⁄ ((dl_d + μ)·NT)
+    *
+    * in exact micro bits (numerator/denominator logs via the shared
+    * fixed-point kernel — both are positive integers, so no ratio ever
+    * needs representing). The standard sparse decomposition keeps the
+    * corpus pass inverted-index-shaped:
+    *
+    *   score = Σ_match c(w,q)·(lg(c·NT + μ·cf) − lg(μ·cf))   [sparse]
+    *         + Σ_{w∈q} c(w,q)·lg(μ·cf_w)                     [per query]
+    *         − |q| · lg((dl_d + μ)·NT)                       [per doc]
+    *
+    * so missing query terms contribute their smoothed collection mass
+    * without ever materializing the dense |docs|×|queries| relation.
+    * Query terms absent from the collection (cf = 0) are dropped: they
+    * shift every document's score by the same −∞ and rank nothing
+    * (p(w|C) = 0 makes the model itself undefined on them). Only
+    * documents matching ≥ 1 query term are ranked — the inverted-index
+    * retrieval convention shared with BM25.
+    *
+    * 100 TB shape: identical to [[bm25MultiQuery]] — one corpus
+    * tokenize pass, the query vocabulary gates tf below its shuffle via
+    * a broadcast semi-join, cf/df/query constants are catalog-sized
+    * broadcasts, top-k is a per-query window. */
+  def dirichletQlMultiQuery(docs: DataFrame, queries: DataFrame,
+      k: Int = 10, mu: Long = 100L, unit: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", termsCol: String = "terms",
+      wordsOpt: Option[DataFrame] = None): DataFrame = {
+    require(mu >= 1L, "mu must be positive")
+    val lg = graft.functions.VectorFunctions.log2_micro _
+    val qt = queries.select(col(qidCol).as("qid"),
+        explode(col(termsCol)).as("w"))
+      .groupBy(col("qid"), col("w")).agg(count(lit(1)).as("cq"))
+    val words = wordsOpt.getOrElse(docs
+      .select(col(idCol).as("id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= ""))
+    val dl = words.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val nt = dl.agg(sum(col("dl")).as("NT"))
+    // collection frequency of query-vocabulary terms only (cf = 0 terms
+    // never join and are thereby dropped, per the scaladoc)
+    val cf = words
+      .join(broadcast(qt.select(col("w")).distinct()), Seq("w"), "leftsemi")
+      .groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    // per-query constants over collection-present terms
+    val qconst = qt.join(broadcast(cf), Seq("w"))
+      .withColumn("__lmc", lg(expr(s"${mu}L * cf")))
+      .groupBy(col("qid"))
+      .agg(sum(col("cq") * col("__lmc")).as("__qc"),
+        sum(col("cq")).as("__qlen"))
+    val tf = words
+      .join(broadcast(qt.select(col("w")).distinct()), Seq("w"), "leftsemi")
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+    val sparse = tf
+      .join(broadcast(qt), Seq("w"))
+      .join(broadcast(cf), Seq("w"))
+      .crossJoin(broadcast(nt))
+      .withColumn("__s", col("cq") *
+        (lg(expr(s"c * NT + ${mu}L * cf")) - lg(expr(s"${mu}L * cf"))))
+      .groupBy(col("qid"), col("id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("__s")).as("__sm"))
+    val scored = sparse
+      .join(dl, Seq("id"))
+      .join(broadcast(qconst), Seq("qid"))
+      .crossJoin(broadcast(nt))
+      .withColumn("ql_micro", col("__sm") + col("__qc") -
+        col("__qlen") * lg(expr(s"(dl + ${mu}L) * NT")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("ql_micro").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid").as(qidCol), col("id").as(idCol), col("rk"),
+        col("n_matched"), col("ql_micro"))
+  }
+
   /** Dense-hash cosine retrieval as a SPARSE inverted-index join — the
     * model-free dense leg of a hybrid retriever. Both sides go through
     * [[hashEmbedding]] (signed feature hashing, integer bucket sums);

@@ -145,7 +145,21 @@ object LlmQueries16 {
       isTarget = col("lang") === "en", budget = 200,
       buckets = 256, seed = 29)
 
+  /** Dirichlet query-likelihood retrieval (Zhai & Lafferty SIGIR 2001,
+    * [[graft.ops.TextAnalysis.dirichletQlMultiQuery]]) over the SAME
+    * query catalog as `text_bm25_multiquery` — the language-modeling
+    * scorer completing the sparse-retrieval family (BM25 / TF-IDF /
+    * dense hash / RRF hybrid), μ = 100, top-10 per query. */
+  def textDirichletQl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = LlmQueries3.Bm25Queries.toDF("query_id", "terms")
+    graft.ops.TextAnalysis.dirichletQlMultiQuery(
+        T.par(spark, T.t(spark, dir, "documents")), qs, k = 10, mu = 100L)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dirichlet_ql" -> (textDirichletQl _),
     "text_sgt_fit" -> (textSgtFit _),
     "mix_dsir_eval" -> (mixDsirEval _),
     "dedup_exact_substring" -> (dedupExactSubstring _),
@@ -505,7 +519,57 @@ object LlmQueries16 {
        |  kl_random_micro - kl_selected_micro AS improvement_micro
        |FROM fin""".stripMargin
 
+  /** Dirichlet QL replay: the bm25 tokenize/tf CTEs, the sparse
+    * decomposition's three log-argument families through ONE shared
+    * value-keyed chain, per-query constants, per-doc length penalty,
+    * per-query top-10 window. */
+  private def dirichletQlOracle(mu: Long, k: Int): String = {
+    val qvals = LlmQueries3.Bm25Queries.flatMap { case (q, ts) =>
+      ts.map(t => s"($q, '$t', CAST(1 AS BIGINT))") }.mkString(", ")
+    s"""WITH qt(qid, w, cq) AS (VALUES $qvals),
+       |wf AS (
+       |  SELECT doc_id AS id, w.w
+       |  FROM documents,
+       |       unnest(string_split(${normSql("text")}, ' ')) AS w(w)
+       |  WHERE w.w <> ''),
+       |dl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl
+       |  FROM wf GROUP BY id),
+       |nt AS (SELECT CAST(sum(dl) AS BIGINT) AS NT FROM dl),
+       |cf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM wf
+       |  WHERE w IN (SELECT w FROM qt) GROUP BY w),
+       |tf AS (SELECT id, w, CAST(count(*) AS BIGINT) AS c FROM wf
+       |  WHERE w IN (SELECT w FROM qt) GROUP BY id, w),
+       |vals AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |  SELECT tf.c * nt.NT + $mu * cf.cf AS v
+       |  FROM tf JOIN cf USING (w) CROSS JOIN nt
+       |  UNION ALL SELECT $mu * cf FROM cf
+       |  UNION ALL SELECT (dl + $mu) * nt.NT FROM dl CROSS JOIN nt)),
+       |${LlmQueries14.log2ValueCtes},
+       |qc AS (SELECT qt.qid, CAST(sum(qt.cq * l.l) AS BIGINT) AS qc,
+       |    CAST(sum(qt.cq) AS BIGINT) AS qlen
+       |  FROM qt JOIN cf USING (w)
+       |  JOIN lg l ON l.v = $mu * cf.cf GROUP BY qt.qid),
+       |sp AS (SELECT qt.qid, tf.id,
+       |    CAST(count(*) AS BIGINT) AS n_matched,
+       |    CAST(sum(qt.cq * (ln.l - lm.l)) AS BIGINT) AS sm
+       |  FROM tf JOIN qt USING (w) JOIN cf USING (w) CROSS JOIN nt
+       |  JOIN lg ln ON ln.v = tf.c * nt.NT + $mu * cf.cf
+       |  JOIN lg lm ON lm.v = $mu * cf.cf
+       |  GROUP BY qt.qid, tf.id),
+       |sc AS (SELECT sp.qid, sp.id, sp.n_matched,
+       |    CAST(sp.sm + qc.qc - qc.qlen * ld.l AS BIGINT) AS ql_micro
+       |  FROM sp JOIN dl ON dl.id = sp.id JOIN qc ON qc.qid = sp.qid
+       |  CROSS JOIN nt JOIN lg ld ON ld.v = (dl.dl + $mu) * nt.NT)
+       |SELECT qid AS query_id, id AS doc_id, CAST(rk AS INTEGER) AS rk,
+       |  n_matched, ql_micro
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY ql_micro DESC, id) AS rk FROM sc)
+       |WHERE rk <= $k
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_dirichlet_ql" -> dirichletQlOracle(100L, 10),
     "text_sgt_fit" -> sgtOracle(1000000L),
     "mix_dsir_eval" -> dsirEvalOracle(256, 200, 29, 1000000L),
     "dedup_exact_substring" -> exactSubstringOracle(30),

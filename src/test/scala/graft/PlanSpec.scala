@@ -589,6 +589,21 @@ class PlanSpec extends SparkSpec {
     assert(!exec.toString.contains("CartesianProduct"), exec.toString)
   }
 
+  test("dirichlet ql: query catalog broadcasts; tf gated below its exchange; per-query window") {
+    val df = queries.LlmQueries16.textDirichletQl(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"non-broadcast nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"catalog/cf/constants must broadcast:\n$p")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "top-k must be query-partitioned")
+  }
+
   test("dsir eval / sgt fit: bounded relations broadcast; no cartesian") {
     val pe = plan(queries.LlmQueries16.mixDsirEval(spark, dir))
     assert(!pe.contains("CartesianProduct"), pe)

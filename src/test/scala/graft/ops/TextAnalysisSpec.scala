@@ -1069,6 +1069,38 @@ class TextAnalysisSpec extends SparkSpec {
       .map(_.toSeq).toSet == rows.values.map(_.toSeq).toSet)
   }
 
+  test("dirichletQlMultiQuery: kernel-replayed scores; missing terms carry collection mass") {
+    import spark.implicits._
+    import graft.functions.ExactMicroOps.log2Micro
+    val docs = Seq(
+      (1L, "spark spark join"),       // dl 3
+      (2L, "spark window window"),    // dl 3
+      (3L, "filler words only here")) // dl 4, no query terms
+      .toDF("doc_id", "text")
+    val qs = Seq((1, Seq("spark", "window"))).toDF("query_id", "terms")
+    val mu = 10L
+    val got = TextAnalysis.dirichletQlMultiQuery(docs, qs, k = 10, mu = mu)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getAs[Long]("n_matched"), r.getAs[Long]("ql_micro")))).toMap
+    // NT = 10; cf(spark) = 3, cf(window) = 2
+    def score(cSpark: Long, cWindow: Long, dl: Long): Long = {
+      def term(c: Long, cfw: Long) =
+        log2Micro(c * 10 + mu * cfw) - log2Micro((dl + mu) * 10)
+      term(cSpark, 3) + term(cWindow, 2)
+    }
+    assert(got.keySet == Set(1L, 2L), "only matching docs rank")
+    assert(got(1L) === ((1L, score(2, 0, 3))), s"${got(1L)}")
+    assert(got(2L) === ((2L, score(1, 2, 3))), s"${got(2L)}")
+    // doc 2 matches both terms and must outrank doc 1's spark-burst
+    assert(got(2L)._2 > got(1L)._2)
+    // partition invariance
+    val again = TextAnalysis.dirichletQlMultiQuery(
+      docs.repartition(5), qs, k = 10, mu = mu)
+      .collect().map(_.toSeq).toSet
+    assert(again == TextAnalysis.dirichletQlMultiQuery(docs, qs, k = 10,
+      mu = mu).collect().map(_.toSeq).toSet)
+  }
+
   test("wordBurstiness: cf/df in exact micro, df gate, deterministic ties") {
     import spark.implicits._
     // 'x': cf=6 over 3 docs -> 2e6; 'y': cf=3 over 3 docs -> 1e6 (spread);
