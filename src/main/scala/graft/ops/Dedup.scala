@@ -1539,8 +1539,13 @@ object Dedup {
     * [[dropDuplicateSpans]] reassembly discipline). */
   def removeDuplicateSubstrings(docs: DataFrame, minLen: Int = 20,
       minOcc: Int = 2, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val spans = exactSubstringSpans(docs, minLen, minOcc, idCol, textCol)
+      textCol: String = "text",
+      spansOpt: Option[DataFrame] = None): DataFrame = {
+    // spansOpt: a precomputed [[exactSubstringSpans]] relation (same
+    // docs/minLen/minOcc — caller's contract) so a session fixture can
+    // share the corpus-character-sized window pipeline across consumers
+    val spans = spansOpt
+      .getOrElse(exactSubstringSpans(docs, minLen, minOcc, idCol, textCol))
       .withColumnRenamed(idCol, "id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("span_start"))

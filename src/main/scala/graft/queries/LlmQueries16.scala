@@ -26,8 +26,7 @@ object LlmQueries16 {
     * fuzzy methods only score). L = 30 on this corpus yields both
     * whole-document dups and partial boilerplate spans. */
   def dedupExactSubstring(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.exactSubstringSpans(
-        T.par(spark, T.t(spark, dir, "documents")), minLen = 30)
+    SharedRels.exactSubstrSpans30(spark, dir)
       .orderBy(col("doc_id"), col("span_start"))
 
   /** DSIR data selection (Xie et al. NeurIPS 2023,
@@ -84,7 +83,7 @@ object LlmQueries16 {
     * denominator; they simply contribute no windows). */
   def dedupSubstringProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = T.par(spark, T.t(spark, dir, "documents"))
-    val spans = graft.ops.Dedup.exactSubstringSpans(docs, minLen = 30)
+    val spans = SharedRels.exactSubstrSpans30(spark, dir)
       .groupBy(col("doc_id"))
       .agg(sum(col("span_len")).as("__cov"))
     docs.select(col("doc_id"), col("source"),
@@ -106,7 +105,8 @@ object LlmQueries16 {
     * hashes the full reassembled text of every document. */
   def dedupSubstringRemoval(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.removeDuplicateSubstrings(
-        T.par(spark, T.t(spark, dir, "documents")), minLen = 30)
+        T.par(spark, T.t(spark, dir, "documents")), minLen = 30,
+        spansOpt = Some(SharedRels.exactSubstrSpans30(spark, dir)))
       .orderBy(col("doc_id"))
 
   /** Good–Turing frequency spectrum (Good 1953,

@@ -160,6 +160,20 @@ object SharedRels {
       graft.ops.QualityModel.hashedFeatures(labeledDocs(spark, dir), 64)
     }
 
+  /** The shared exact-substring span relation (L = 30, full documents
+    * table) — byte-identical to
+    * `Dedup.exactSubstringSpans(documents, minLen = 30)`. Three
+    * registry queries consume it (`dedup_exact_substring`,
+    * `dedup_substring_profile`, `dedup_substring_removal`); deriving it
+    * re-runs the corpus-character-sized window pipeline each time,
+    * while the span relation itself is duplicate-coverage-sized (1.7k
+    * rows at sf0.1) — the materialized-view posture again. */
+  def exactSubstrSpans30(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "exactSubstrSpans30") {
+      Dedup.exactSubstringSpans(
+        T.par(spark, T.t(spark, dir, "documents")), minLen = 30)
+    }
+
   // ---- trained-artifact fixtures (driver values; the memoVal layer) ----
 
   /** 8 BPE merges trained on the FULL documents table — byte-identical

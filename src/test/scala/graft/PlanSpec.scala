@@ -511,7 +511,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("exact-substring dedup: hash rendezvous + per-doc windows, no cartesian") {
-    val df = queries.LlmQueries16.dedupExactSubstring(spark, dir)
+    // the operator directly — the registry query reads the
+    // SharedRels.exactSubstrSpans30 fixture, whose checkpoint hides
+    // the derivation plan this test exists to pin
+    val df = graft.ops.Dedup.exactSubstringSpans(
+      T.t(spark, dir, "documents"), minLen = 30)
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), p)
     assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
