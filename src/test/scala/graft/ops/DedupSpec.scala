@@ -754,6 +754,55 @@ class DedupSpec extends SparkSpec {
     assert(spans(1).getAs[Long]("span_len") == 12L)
   }
 
+  test("exact-substring spans + removal: brute-force differential on random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 12) {
+      val L = 4 + rnd.nextInt(4)
+      val docsSeq = (1 to 2 + rnd.nextInt(4)).map { i =>
+        val len = rnd.nextInt(40)
+        (i.toLong,
+          (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      }
+      // reference implementation: global window counts over a tiny
+      // alphabet (duplicates abound), covered starts per doc, runs
+      // merged at gap > L, coverage removal by position set
+      val counts = docsSeq
+        .flatMap { case (_, t) =>
+          (0 to t.length - L).map(s => t.substring(s, s + L)) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expSpans = docsSeq.flatMap { case (id, t) =>
+        val starts = (1 to t.length - L + 1)
+          .filter(s => counts(t.substring(s - 1, s - 1 + L)) >= 2)
+        val runs = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[Int]]
+        starts.foreach { s =>
+          if (runs.nonEmpty && s <= runs.last.last + L) runs.last += s
+          else runs += scala.collection.mutable.ArrayBuffer(s)
+        }
+        runs.map(r => (id, r.head.toLong, (r.last + L - 1).toLong,
+          (r.last + L - r.head).toLong, r.size.toLong))
+      }.toSet
+      val df = docs(docsSeq: _*)
+      val gotSpans = Dedup.exactSubstringSpans(df, minLen = L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(gotSpans == expSpans, s"L=$L docs=$docsSeq")
+      val expKept = docsSeq.map { case (id, t) =>
+        val covered = expSpans.collect {
+          case (`id`, s, e, _, _) => (s.toInt to e.toInt) }.flatten.toSet
+        id -> t.zipWithIndex.collect {
+          case (c, i) if !covered.contains(i + 1) => c }.mkString
+      }.toMap
+      val gotKept = Dedup.removeDuplicateSubstrings(df, minLen = L)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[String]("kept_text"), r.getAs[Long]("removed_chars"))).toMap
+      docsSeq.foreach { case (id, t) =>
+        assert(gotKept(id)._1 == expKept(id), s"L=$L doc=$id text=$t")
+        assert(gotKept(id)._2 == t.length - expKept(id).length)
+      }
+    }
+  }
+
   test("exact-substring removal: survivors stitch in order; full-dup docs empty; clean docs pass through") {
     val boiler = "sharedboilerplatetext!" // 22 chars, L = 10
     val d = docs(
