@@ -1397,6 +1397,89 @@ object TextAnalysis {
         col("n_matched"), col("ql_micro"))
   }
 
+  /** RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR 2001
+    * relevance models; RM3 = the Abdul-Jaleel et al. TREC'04
+    * interpolation with the original query) on top of
+    * [[dirichletQlMultiQuery]]: retrieve the top-`kDocs` feedback
+    * documents per query, weight each by its normalized query
+    * likelihood, build the relevance model over the feedback docs'
+    * terms, and interpolate with the query MLE —
+    *
+    *   w_d    = 2^((ql_d − max_d ql)/10⁶)            (exp2Micro; the
+    *            constant shift cancels in the normalization, and keeps
+    *            the exponent inside the kernel's envelope)
+    *   RM1(w) = ⌊Σ_d w_d·p(w|d) / Σ_d w_d⌋           (p(w|d) = MLE
+    *            ⌊10⁶·c/dl⌋ — the standard feedback-model choice)
+    *   RM3(w) = ⌊(λ·p(w|q) + (10⁶−λ)·RM1(w)) / 10⁶⌋  (p(w|q) = query
+    *            MLE)
+    *
+    * all exact integers, so the expansion-term ranking replays
+    * bit-for-bit. Output: top-`mTerms` terms per query by (RM3 desc,
+    * term) with rm1/rm3 micro weights and an is_original flag — the
+    * expanded-query definition a second retrieval round would consume.
+    *
+    * 100 TB shape: the feedback set is kDocs·|queries| rows (top-k via
+    * a per-query window over the retrieval relation); its term relation
+    * is feedback-sized, never corpus-sized — the only corpus-wide work
+    * is the underlying retrieval pass, shared machinery with
+    * [[dirichletQlMultiQuery]]. */
+  def rm3ExpansionTerms(docs: DataFrame, queries: DataFrame,
+      kDocs: Int = 5, mTerms: Int = 10, mu: Long = 100L,
+      lambdaMicro: Long = 500000L, unit: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", termsCol: String = "terms"): DataFrame = {
+    require(lambdaMicro >= 0L && lambdaMicro <= unit, "lambda in [0, unit]")
+    val e2 = graft.functions.VectorFunctions.exp2_micro _
+    val top = dirichletQlMultiQuery(docs, queries, kDocs, mu, unit,
+        idCol, textCol, qidCol, termsCol)
+      .select(col(qidCol).as("qid"), col(idCol).as("id"), col("ql_micro"))
+      .localCheckpoint(false) // kDocs·|queries| rows; weights + terms
+    val mx = top.groupBy(col("qid")).agg(max(col("ql_micro")).as("__mx"))
+    val wts = top.join(broadcast(mx), Seq("qid"))
+      .withColumn("__wd",
+        e2(greatest(col("ql_micro") - col("__mx"), lit(-64L * unit))))
+      .select(col("qid"), col("id"), col("__wd"))
+    val swd = wts.groupBy(col("qid")).agg(sum(col("__wd")).as("__swd"))
+    // feedback-doc term MLEs: tokenize ONLY the selected docs
+    val fwords = docs
+      .join(broadcast(top.select(col("id")).distinct()
+        .withColumnRenamed("id", idCol)), Seq(idCol), "leftsemi")
+      .select(col(idCol).as("id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val fdl = fwords.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val pw = fwords.groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+      .join(fdl, Seq("id"))
+      .withColumn("__p", expr(s"($unit * c) div dl"))
+    val rm1 = pw.join(broadcast(wts), Seq("id"))
+      .groupBy(col("qid"), col("w"))
+      .agg(sum(expr(s"CAST(__wd AS DECIMAL(38,0)) * __p")).as("__num"))
+      .join(broadcast(swd), Seq("qid"))
+      .withColumn("rm1_micro", expr("CAST(__num div __swd AS BIGINT)"))
+      .select(col("qid"), col("w"), col("rm1_micro"))
+    val qmle = queries.select(col(qidCol).as("qid"),
+        explode(col(termsCol)).as("w"))
+      .groupBy(col("qid"), col("w")).agg(count(lit(1)).as("cq"))
+      .withColumn("__qlen", sum(col("cq")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))))
+      .withColumn("qp_micro", expr(s"($unit * cq) div __qlen"))
+      .select(col("qid"), col("w"), col("qp_micro"))
+    val rm3 = rm1.join(qmle, Seq("qid", "w"), "full_outer")
+      .withColumn("rm1_micro", coalesce(col("rm1_micro"), lit(0L)))
+      .withColumn("qp_micro", coalesce(col("qp_micro"), lit(0L)))
+      .withColumn("rm3_micro", expr(
+        s"($lambdaMicro * qp_micro + ($unit - $lambdaMicro) * rm1_micro)" +
+          s" div $unit"))
+      .withColumn("is_original", col("qp_micro") > 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("rm3_micro").desc, col("w"))
+    rm3.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= mTerms)
+      .select(col("qid").as(qidCol), col("rk"), col("w").as("term"),
+        col("rm1_micro"), col("rm3_micro"), col("is_original"))
+  }
+
   /** Dense-hash cosine retrieval as a SPARSE inverted-index join — the
     * model-free dense leg of a hybrid retriever. Both sides go through
     * [[hashEmbedding]] (signed feature hashing, integer bucket sums);

@@ -158,7 +158,23 @@ object LlmQueries16 {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 / the TREC
+    * RM3 interpolation, [[graft.ops.TextAnalysis.rm3ExpansionTerms]]):
+    * top-10 expansion terms per query from the Dirichlet-QL top-5
+    * feedback docs, λ = 0.5 — the expanded-query definition a second
+    * retrieval round consumes, completing the LM-IR story
+    * (`text_dirichlet_ql` retrieves → this expands). */
+  def textRm3Expansion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = LlmQueries3.Bm25Queries.toDF("query_id", "terms")
+    graft.ops.TextAnalysis.rm3ExpansionTerms(
+        T.par(spark, T.t(spark, dir, "documents")), qs,
+        kDocs = 5, mTerms = 10, mu = 100L, lambdaMicro = 500000L)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rm3_expansion" -> (textRm3Expansion _),
     "text_dirichlet_ql" -> (textDirichletQl _),
     "text_sgt_fit" -> (textSgtFit _),
     "mix_dsir_eval" -> (mixDsirEval _),
@@ -523,10 +539,22 @@ object LlmQueries16 {
     * decomposition's three log-argument families through ONE shared
     * value-keyed chain, per-query constants, per-doc length penalty,
     * per-query top-10 window. */
-  private def dirichletQlOracle(mu: Long, k: Int): String = {
+  private def dirichletQlOracle(mu: Long, k: Int): String =
+    s"""WITH ${dirichletChainCtes(mu)}
+       |SELECT qid AS query_id, id AS doc_id, CAST(rk AS INTEGER) AS rk,
+       |  n_matched, ql_micro
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY ql_micro DESC, id) AS rk FROM sc)
+       |WHERE rk <= $k
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** The shared Dirichlet-QL chain ending at `sc(qid, id, n_matched,
+    * ql_micro)`; also leaves qt/wf/dl/nt/cf/tf in scope for consumers
+    * (the RM3 oracle builds its feedback model from them). */
+  private def dirichletChainCtes(mu: Long): String = {
     val qvals = LlmQueries3.Bm25Queries.flatMap { case (q, ts) =>
       ts.map(t => s"($q, '$t', CAST(1 AS BIGINT))") }.mkString(", ")
-    s"""WITH qt(qid, w, cq) AS (VALUES $qvals),
+    s"""qt(qid, w, cq) AS (VALUES $qvals),
        |wf AS (
        |  SELECT doc_id AS id, w.w
        |  FROM documents,
@@ -559,16 +587,66 @@ object LlmQueries16 {
        |sc AS (SELECT sp.qid, sp.id, sp.n_matched,
        |    CAST(sp.sm + qc.qc - qc.qlen * ld.l AS BIGINT) AS ql_micro
        |  FROM sp JOIN dl ON dl.id = sp.id JOIN qc ON qc.qid = sp.qid
-       |  CROSS JOIN nt JOIN lg ld ON ld.v = (dl.dl + $mu) * nt.NT)
-       |SELECT qid AS query_id, id AS doc_id, CAST(rk AS INTEGER) AS rk,
-       |  n_matched, ql_micro
-       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-       |        ORDER BY ql_micro DESC, id) AS rk FROM sc)
-       |WHERE rk <= $k
-       |ORDER BY query_id, rk""".stripMargin
+       |  CROSS JOIN nt JOIN lg ld ON ld.v = (dl.dl + $mu) * nt.NT)"""
+      .stripMargin
   }
 
+  /** RM3 replay: the Dirichlet chain, the top-kDocs cut, normalized
+    * exp2Micro doc weights (the sigmoidCtes q/f decomposition),
+    * feedback-doc MLE term models, the weighted RM1 aggregate, the
+    * λ-interpolated RM3, per-query top-m window. */
+  private def rm3Oracle(mu: Long, kDocs: Int, mTerms: Int,
+      lambdaMicro: Long, unit: Long): String =
+    s"""WITH RECURSIVE ${LlmQueries14.exp2ConstsCtes},
+       |${dirichletChainCtes(mu)},
+       |top AS (SELECT qid, id, ql_micro FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY ql_micro DESC, id) AS rk FROM sc) WHERE rk <= $kDocs),
+       |mxq AS (SELECT qid, max(ql_micro) AS mxv FROM top GROUP BY qid),
+       |wq AS (SELECT top.qid, top.id,
+       |    greatest(top.ql_micro - mxq.mxv, ${-64L * unit}) + ${64L * unit}
+       |      AS xs
+       |  FROM top JOIN mxq USING (qid)),
+       |wq2 AS (SELECT qid, id, (xs // 1000000) - 64 AS eq,
+       |    ((xs % 1000000) * 1048576) // 1000000 AS fr FROM wq),
+       |wd AS (SELECT qid, id, CAST((acc * 1000000) //
+       |    (CAST(1 AS HUGEINT) << CAST(32 - eq AS INTEGER)) AS BIGINT)
+       |      AS wd
+       |  FROM (SELECT wq2.*, ${LlmQueries14.exp2AccExpr("fr")} AS acc
+       |    FROM wq2 CROSS JOIN cl) x),
+       |swd AS (SELECT qid, CAST(sum(wd) AS BIGINT) AS swd
+       |  FROM wd GROUP BY qid),
+       |ftf AS (SELECT id, w, CAST(count(*) AS BIGINT) AS c FROM wf
+       |  WHERE id IN (SELECT id FROM top) GROUP BY id, w),
+       |pw AS (SELECT f.id, f.w, ($unit * f.c) // dl.dl AS p
+       |  FROM ftf f JOIN dl ON dl.id = f.id),
+       |rm1a AS (SELECT wd.qid, pw.w,
+       |    sum(CAST(wd.wd AS HUGEINT) * pw.p) AS num
+       |  FROM pw JOIN wd ON wd.id = pw.id GROUP BY wd.qid, pw.w),
+       |rm1 AS (SELECT rm1a.qid, rm1a.w,
+       |    CAST(rm1a.num // swd.swd AS BIGINT) AS rm1
+       |  FROM rm1a JOIN swd USING (qid)),
+       |qmle AS (SELECT qid, w,
+       |    ($unit * cq) // sum(cq) OVER (PARTITION BY qid) AS qp
+       |  FROM qt),
+       |rmj AS (SELECT coalesce(r.qid, q.qid) AS qid,
+       |    coalesce(r.w, q.w) AS w,
+       |    coalesce(r.rm1, 0) AS rm1, coalesce(q.qp, 0) AS qp
+       |  FROM rm1 r FULL OUTER JOIN qmle q
+       |    ON q.qid = r.qid AND q.w = r.w),
+       |fin AS (SELECT qid, w, CAST(rm1 AS BIGINT) AS rm1_micro,
+       |    CAST(($lambdaMicro * qp + (${unit} - $lambdaMicro) * rm1)
+       |      // $unit AS BIGINT) AS rm3_micro,
+       |    qp > 0 AS is_original FROM rmj)
+       |SELECT qid AS query_id, CAST(rk AS INTEGER) AS rk, w AS term,
+       |  rm1_micro, rm3_micro, is_original
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY rm3_micro DESC, w) AS rk FROM fin)
+       |WHERE rk <= $mTerms
+       |ORDER BY query_id, rk""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_rm3_expansion" -> rm3Oracle(100L, 5, 10, 500000L, 1000000L),
     "text_dirichlet_ql" -> dirichletQlOracle(100L, 10),
     "text_sgt_fit" -> sgtOracle(1000000L),
     "mix_dsir_eval" -> dsirEvalOracle(256, 200, 29, 1000000L),

@@ -608,6 +608,19 @@ class PlanSpec extends SparkSpec {
     assert(globals.isEmpty, "top-k must be query-partitioned")
   }
 
+  test("rm3: feedback relations broadcast; windows partitioned; no cartesian") {
+    val df = queries.LlmQueries16.textRm3Expansion(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"non-broadcast nested loop:\n$p")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "rm3 windows must be query-partitioned")
+  }
+
   test("dsir eval / sgt fit: bounded relations broadcast; no cartesian") {
     val pe = plan(queries.LlmQueries16.mixDsirEval(spark, dir))
     assert(!pe.contains("CartesianProduct"), pe)

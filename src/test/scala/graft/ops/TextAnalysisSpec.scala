@@ -1101,6 +1101,44 @@ class TextAnalysisSpec extends SparkSpec {
       mu = mu).collect().map(_.toSeq).toSet)
   }
 
+  test("rm3ExpansionTerms: feedback terms surface; lambda endpoints; invariance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join spark cluster"),   // relevant: has both query terms
+      (2L, "spark join shuffle cluster"), // relevant
+      (3L, "cooking recipes nothing"),    // irrelevant
+      (4L, "spark alone here"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1, Seq("spark", "join"))).toDF("query_id", "terms")
+    val got = TextAnalysis.rm3ExpansionTerms(docs, qs, kDocs = 2,
+      mTerms = 6, mu = 10L, lambdaMicro = 500000L).collect()
+    val terms = got.map(_.getAs[String]("term")).toSet
+    // the co-occurring feedback vocabulary must surface as expansion
+    assert(terms.contains("cluster"), s"expansion missing: $terms")
+    assert(!terms.contains("cooking"),
+      "terms outside the feedback docs must not appear")
+    val orig = got.filter(_.getAs[Boolean]("is_original"))
+      .map(_.getAs[String]("term")).toSet
+    assert(orig == Set("spark", "join"))
+    // every rm3 weight is the documented interpolation of its parts
+    got.foreach { r =>
+      val rm1 = r.getAs[Long]("rm1_micro")
+      assert(rm1 >= 0L && rm1 <= 1000000L)
+      assert(r.getAs[Long]("rm3_micro") >= rm1 / 2 - 1,
+        s"interpolation lost mass: $r")
+    }
+    // lambda = unit: pure query MLE — only original terms carry weight
+    val pure = TextAnalysis.rm3ExpansionTerms(docs, qs, kDocs = 2,
+      mTerms = 2, mu = 10L, lambdaMicro = 1000000L).collect()
+    assert(pure.forall(_.getAs[Boolean]("is_original")))
+    assert(pure.forall(_.getAs[Long]("rm3_micro") == 500000L))
+    // partition invariance
+    val again = TextAnalysis.rm3ExpansionTerms(docs.repartition(5), qs,
+      kDocs = 2, mTerms = 6, mu = 10L, lambdaMicro = 500000L)
+      .collect().map(_.toSeq).toSet
+    assert(again == got.map(_.toSeq).toSet)
+  }
+
   test("wordBurstiness: cf/df in exact micro, df gate, deterministic ties") {
     import spark.implicits._
     // 'x': cf=6 over 3 docs -> 2e6; 'y': cf=3 over 3 docs -> 1e6 (spread);
