@@ -1480,6 +1480,79 @@ object TextAnalysis {
         col("rm1_micro"), col("rm3_micro"), col("is_original"))
   }
 
+  /** The second retrieval round of the RM3 loop: score the corpus with
+    * the EXPANDED query — [[rm3ExpansionTerms]]' weighted term set fed
+    * back through the Dirichlet query-likelihood scorer, with the
+    * integer query-term counts generalized to micro weights:
+    *
+    *   score = Σ_w wμ(w) · log₂ (c(w,d)·NT + μ·cf_w) ⁄ ((dl_d + μ)·NT)
+    *
+    * via the same sparse decomposition as [[dirichletQlMultiQuery]]
+    * (matched delta + per-query constant − Σwμ · per-doc length
+    * penalty), one sign-split division by `unit` at the end (weights ×
+    * logs live at micro² scale; a per-term floor would compound).
+    * Expansion terms with cf = 0 are dropped at scoring exactly like
+    * original cf = 0 terms — the same uniform-shift argument.
+    *
+    * 100 TB shape: expansion is feedback-sized; the scoring pass is
+    * the [[dirichletQlMultiQuery]] exchange shape verbatim (one corpus
+    * tokenize, tf gated below its shuffle by the broadcast expanded
+    * vocabulary, per-query top-k window). */
+  def rm3Retrieve(docs: DataFrame, queries: DataFrame, kDocs: Int = 5,
+      mTerms: Int = 10, kFinal: Int = 10, mu: Long = 100L,
+      lambdaMicro: Long = 500000L, unit: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", termsCol: String = "terms"): DataFrame = {
+    val lg = graft.functions.VectorFunctions.log2_micro _
+    val exp = rm3ExpansionTerms(docs, queries, kDocs, mTerms, mu,
+        lambdaMicro, unit, idCol, textCol, qidCol, termsCol)
+      .filter(col("rm3_micro") > 0L)
+      .select(col(qidCol).as("qid"), col("term").as("w"),
+        col("rm3_micro").as("wq"))
+      .localCheckpoint(false) // mTerms·|queries| rows; vocab + scoring
+    val words = docs
+      .select(col(idCol).as("id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val dl = words.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val nt = dl.agg(sum(col("dl")).as("NT"))
+    val cf = words
+      .join(broadcast(exp.select(col("w")).distinct()), Seq("w"), "leftsemi")
+      .groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val qconst = exp.join(broadcast(cf), Seq("w"))
+      .withColumn("__lmc", lg(expr(s"${mu}L * cf")))
+      .groupBy(col("qid"))
+      .agg(sum(col("wq") * col("__lmc")).as("__qc"),
+        sum(col("wq")).as("__wsum"))
+    val tf = words
+      .join(broadcast(exp.select(col("w")).distinct()), Seq("w"), "leftsemi")
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+    val sparse = tf
+      .join(broadcast(exp), Seq("w"))
+      .join(broadcast(cf), Seq("w"))
+      .crossJoin(broadcast(nt))
+      .withColumn("__s", col("wq") *
+        (lg(expr(s"c * NT + ${mu}L * cf")) - lg(expr(s"${mu}L * cf"))))
+      .groupBy(col("qid"), col("id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("__s")).as("__sm"))
+    val scored = sparse
+      .join(dl, Seq("id"))
+      .join(broadcast(qconst), Seq("qid"))
+      .crossJoin(broadcast(nt))
+      .withColumn("__raw", col("__sm") + col("__qc") -
+        col("__wsum") * lg(expr(s"(dl + ${mu}L) * NT")))
+      .withColumn("ql_micro", expr(
+        s"""CAST(CASE WHEN __raw >= 0 THEN __raw div $unit
+           |  ELSE -((-__raw) div $unit) END AS BIGINT)""".stripMargin))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("ql_micro").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kFinal)
+      .select(col("qid").as(qidCol), col("id").as(idCol), col("rk"),
+        col("n_matched"), col("ql_micro"))
+  }
+
   /** Dense-hash cosine retrieval as a SPARSE inverted-index join — the
     * model-free dense leg of a hybrid retriever. Both sides go through
     * [[hashEmbedding]] (signed feature hashing, integer bucket sums);

@@ -173,7 +173,25 @@ object LlmQueries16 {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** The RM3 loop's SECOND retrieval round
+    * ([[graft.ops.TextAnalysis.rm3Retrieve]]): the corpus re-scored
+    * with the expanded weighted query — Dirichlet QL with the integer
+    * term counts generalized to the RM3 micro weights. Completes the
+    * full pseudo-relevance-feedback pipeline under the gate:
+    * retrieve (`text_dirichlet_ql`) → expand (`text_rm3_expansion`) →
+    * retrieve again (this). */
+  def textRm3Retrieve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = LlmQueries3.Bm25Queries.toDF("query_id", "terms")
+    graft.ops.TextAnalysis.rm3Retrieve(
+        T.par(spark, T.t(spark, dir, "documents")), qs,
+        kDocs = 5, mTerms = 10, kFinal = 10, mu = 100L,
+        lambdaMicro = 500000L)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rm3_retrieve" -> (textRm3Retrieve _),
     "text_rm3_expansion" -> (textRm3Expansion _),
     "text_dirichlet_ql" -> (textDirichletQl _),
     "text_sgt_fit" -> (textSgtFit _),
@@ -597,7 +615,20 @@ object LlmQueries16 {
     * λ-interpolated RM3, per-query top-m window. */
   private def rm3Oracle(mu: Long, kDocs: Int, mTerms: Int,
       lambdaMicro: Long, unit: Long): String =
-    s"""WITH RECURSIVE ${LlmQueries14.exp2ConstsCtes},
+    s"""WITH RECURSIVE ${rm3ChainCtes(mu, kDocs, lambdaMicro, unit)}
+       |SELECT qid AS query_id, CAST(rk AS INTEGER) AS rk, w AS term,
+       |  rm1_micro, rm3_micro, is_original
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY rm3_micro DESC, w) AS rk FROM fin)
+       |WHERE rk <= $mTerms
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** The shared RM3 chain ending at `fin(qid, w, rm1_micro, rm3_micro,
+    * is_original)` (also leaves the Dirichlet chain's qt/wf/dl/nt/cf/lg
+    * in scope); callers prepend WITH RECURSIVE. */
+  private def rm3ChainCtes(mu: Long, kDocs: Int,
+      lambdaMicro: Long, unit: Long): String =
+    s"""${LlmQueries14.exp2ConstsCtes},
        |${dirichletChainCtes(mu)},
        |top AS (SELECT qid, id, ql_micro FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid
@@ -637,15 +668,58 @@ object LlmQueries16 {
        |fin AS (SELECT qid, w, CAST(rm1 AS BIGINT) AS rm1_micro,
        |    CAST(($lambdaMicro * qp + (${unit} - $lambdaMicro) * rm1)
        |      // $unit AS BIGINT) AS rm3_micro,
-       |    qp > 0 AS is_original FROM rmj)
-       |SELECT qid AS query_id, CAST(rk AS INTEGER) AS rk, w AS term,
-       |  rm1_micro, rm3_micro, is_original
+       |    qp > 0 AS is_original FROM rmj)""".stripMargin
+
+  /** RM3 second-round replay: the shared RM3 chain (expansion relation
+    * `fin`), the top-m weighted vocabulary, a THIRD prefixed log2
+    * round over the expanded-term value family, the weighted sparse
+    * decomposition, one sign-split division, per-query top-k. */
+  private def rm3RetrieveOracle(mu: Long, kDocs: Int, mTerms: Int,
+      kFinal: Int, lambdaMicro: Long, unit: Long): String =
+    s"""WITH RECURSIVE ${rm3ChainCtes(mu, kDocs, lambdaMicro, unit)},
+       |expq AS (SELECT qid, w, rm3_micro AS wq FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY rm3_micro DESC, w) AS rk FROM fin)
+       |  WHERE rk <= $mTerms AND rm3_micro > 0),
+       |rcf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM wf
+       |  WHERE w IN (SELECT w FROM expq) GROUP BY w),
+       |rtf AS (SELECT id, w, CAST(count(*) AS BIGINT) AS c FROM wf
+       |  WHERE w IN (SELECT w FROM expq) GROUP BY id, w),
+       |rvals AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |  SELECT rtf.c * nt.NT + $mu * rcf.cf AS v
+       |  FROM rtf JOIN rcf USING (w) CROSS JOIN nt
+       |  UNION ALL SELECT $mu * cf FROM rcf
+       |  UNION ALL SELECT (dl + $mu) * nt.NT FROM dl CROSS JOIN nt)),
+       |${LlmQueries14.log2ValueCtesP("r")},
+       |rqc AS (SELECT expq.qid, CAST(sum(expq.wq * l.l) AS BIGINT) AS qc,
+       |    CAST(sum(expq.wq) AS BIGINT) AS wsum
+       |  FROM expq JOIN rcf USING (w)
+       |  JOIN rlg l ON l.v = $mu * rcf.cf GROUP BY expq.qid),
+       |rsp AS (SELECT expq.qid, rtf.id,
+       |    CAST(count(*) AS BIGINT) AS n_matched,
+       |    CAST(sum(expq.wq * (ln.l - lm.l)) AS BIGINT) AS sm
+       |  FROM rtf JOIN expq USING (w) JOIN rcf USING (w) CROSS JOIN nt
+       |  JOIN rlg ln ON ln.v = rtf.c * nt.NT + $mu * rcf.cf
+       |  JOIN rlg lm ON lm.v = $mu * rcf.cf
+       |  GROUP BY expq.qid, rtf.id),
+       |rsc AS (SELECT rsp.qid, rsp.id, rsp.n_matched,
+       |    rsp.sm + rqc.qc - rqc.wsum * ld.l AS raw
+       |  FROM rsp JOIN dl ON dl.id = rsp.id JOIN rqc ON rqc.qid = rsp.qid
+       |  CROSS JOIN nt JOIN rlg ld ON ld.v = (dl.dl + $mu) * nt.NT),
+       |rql AS (SELECT qid, id, n_matched,
+       |    CAST(CASE WHEN raw >= 0 THEN raw // $unit
+       |         ELSE -((-raw) // $unit) END AS BIGINT) AS ql_micro
+       |  FROM rsc)
+       |SELECT qid AS query_id, id AS doc_id, CAST(rk AS INTEGER) AS rk,
+       |  n_matched, ql_micro
        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-       |        ORDER BY rm3_micro DESC, w) AS rk FROM fin)
-       |WHERE rk <= $mTerms
+       |        ORDER BY ql_micro DESC, id) AS rk FROM rql)
+       |WHERE rk <= $kFinal
        |ORDER BY query_id, rk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_rm3_retrieve" -> rm3RetrieveOracle(100L, 5, 10, 10, 500000L,
+      1000000L),
     "text_rm3_expansion" -> rm3Oracle(100L, 5, 10, 500000L, 1000000L),
     "text_dirichlet_ql" -> dirichletQlOracle(100L, 10),
     "text_sgt_fit" -> sgtOracle(1000000L),

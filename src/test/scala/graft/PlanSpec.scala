@@ -621,6 +621,19 @@ class PlanSpec extends SparkSpec {
     assert(globals.isEmpty, "rm3 windows must be query-partitioned")
   }
 
+  test("rm3 retrieve: second-round scoring keeps the QL exchange shape") {
+    val df = queries.LlmQueries16.textRm3Retrieve(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"non-broadcast nested loop:\n$p")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "final top-k must be query-partitioned")
+  }
+
   test("dsir eval / sgt fit: bounded relations broadcast; no cartesian") {
     val pe = plan(queries.LlmQueries16.mixDsirEval(spark, dir))
     assert(!pe.contains("CartesianProduct"), pe)

@@ -1139,6 +1139,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == got.map(_.toSeq).toSet)
   }
 
+  test("rm3Retrieve: expansion recalls docs sharing NO original term; lambda=1 preserves QL ranking") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join spark cluster shuffle"), // feedback doc
+      (2L, "spark join cluster shuffle stage"), // feedback doc
+      (3L, "cluster shuffle stage worker"),     // NO original terms
+      (4L, "cooking recipes dinner tonight"),   // unrelated
+      (5L, "spark mentioned once here"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1, Seq("spark", "join"))).toDF("query_id", "terms")
+    val got = TextAnalysis.rm3Retrieve(docs, qs, kDocs = 2, mTerms = 8,
+      kFinal = 5, mu = 10L, lambdaMicro = 500000L).collect()
+    val ids = got.map(_.getLong(1)).toSet
+    // the PRF payoff: doc 3 matches only expansion terms, yet ranks
+    assert(ids.contains(3L), s"expansion must recall doc 3: $ids")
+    assert(!ids.contains(4L), "unrelated docs must not match")
+    // lambda = 1: expansion reduces to the (uniform-weight) original
+    // query, so the ranked ids equal plain Dirichlet QL's
+    val pure = TextAnalysis.rm3Retrieve(docs, qs, kDocs = 2, mTerms = 8,
+      kFinal = 5, mu = 10L, lambdaMicro = 1000000L)
+      .collect().map(r => (r.getLong(1), r.getAs[Int]("rk")))
+    val ql = TextAnalysis.dirichletQlMultiQuery(docs, qs, k = 5, mu = 10L)
+      .collect().map(r => (r.getLong(1), r.getAs[Int]("rk")))
+    assert(pure.toSet == ql.toSet,
+      s"lambda=1 must preserve the QL ranking: $pure vs $ql")
+    // partition invariance
+    val again = TextAnalysis.rm3Retrieve(docs.repartition(5), qs,
+      kDocs = 2, mTerms = 8, kFinal = 5, mu = 10L,
+      lambdaMicro = 500000L).collect().map(_.toSeq).toSet
+    assert(again == got.map(_.toSeq).toSet)
+  }
+
   test("wordBurstiness: cf/df in exact micro, df gate, deterministic ties") {
     import spark.implicits._
     // 'x': cf=6 over 3 docs -> 2e6; 'y': cf=3 over 3 docs -> 1e6 (spread);
