@@ -955,11 +955,16 @@ object Curation {
     * global sort or window). */
   def dsirSelect(docs: DataFrame, isTarget: Column, budget: Int,
       buckets: Int = 256, seed: Int = 29, idCol: String = "doc_id",
-      textCol: String = "text", unit: Long = 1000000L): DataFrame = {
+      textCol: String = "text", unit: Long = 1000000L,
+      bucketsOpt: Option[DataFrame] = None): DataFrame = {
+    // bucketsOpt: a precomputed [[dsirBuckets]] relation (same docs/
+    // buckets/seed — caller's contract) so [[dsirShiftEval]] shares the
+    // gram explode + combine-agg instead of rebuilding it
     require(budget >= 1, "budget must be positive")
     require(buckets >= 2 && buckets <= (1 << 20), "buckets in [2, 2^20]")
     val lg = graft.functions.VectorFunctions.log2_micro _
-    val db = dsirBuckets(docs, isTarget, buckets, seed, idCol, textCol)
+    val db = bucketsOpt
+      .getOrElse(dsirBuckets(docs, isTarget, buckets, seed, idCol, textCol))
     val byB = db.groupBy(col("b"))
       .agg(sum(col("n")).as("cr"),
         sum(when(col("__tg"), col("n")).otherwise(0L)).as("ct"))
@@ -1052,13 +1057,17 @@ object Curation {
       buckets: Int = 256, seed: Int = 29, idCol: String = "doc_id",
       textCol: String = "text", unit: Long = 1000000L): DataFrame = {
     val lg = graft.functions.VectorFunctions.log2_micro _
+    // ONE shared (doc, bucket) materialization (it is checkpointed in
+    // [[dsirBuckets]]): the selection pass and the histogram pass below
+    // both read it — ADVICE r15 caught the doc claiming this while the
+    // code rebuilt the gram explode + combine-agg per pass
+    val db = dsirBuckets(docs, isTarget, buckets, seed, idCol, textCol)
     val keep = dsirSelect(docs, isTarget, budget, buckets, seed, idCol,
-        textCol, unit)
+        textCol, unit, bucketsOpt = Some(db))
       .filter(col("keep")).select(col(idCol).as("id"))
     val rand = docs.select(col(idCol).as("id"),
         Dedup.hashStr(col(idCol).cast("string"), seed + 2).as("__h"))
       .orderBy(col("__h"), col("id")).limit(budget).select(col("id"))
-    val db = dsirBuckets(docs, isTarget, buckets, seed, idCol, textCol)
     val byB = db
       .join(keep.select(col("id"), lit(true).as("__kp")), Seq("id"), "left")
       .join(rand.select(col("id"), lit(true).as("__rd")), Seq("id"), "left")

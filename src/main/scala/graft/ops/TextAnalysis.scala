@@ -1316,6 +1316,32 @@ object TextAnalysis {
         col("n_terms"), col("bm25_micro"))
   }
 
+  /** The Dirichlet-QL log argument c(w,d)·NT + μ·cf with its Long
+    * envelope ENFORCED in-plan (ADVICE r15): log2Micro accepts
+    * [1, 2^62), and at NT ≈ 2·10¹³ collection tokens a document with
+    * c(w,d) ≳ 2.3·10⁵ would push c·NT past it — and past 2^63 the
+    * non-ANSI product would wrap BEFORE the kernel's own require
+    * fires. Both factors are held ≤ 2^61 (sum < 2^62), loudly —
+    * [[logLogFit]]'s raise_error discipline. Evaluated only on
+    * query-vocabulary-matched tf rows, never the corpus token stream. */
+  private def qlLogArg(c: String, mu: Long): Column = expr(
+    s"""CASE WHEN $c > ${1L << 61}L div NT OR ${mu}L * cf > ${1L << 61}L
+       |  THEN raise_error(concat('dirichletQl: c(w,d)=',
+       |    CAST($c AS STRING), ', NT=', CAST(NT AS STRING), ', mu*cf=',
+       |    CAST(${mu}L * cf AS STRING), ' — c*NT + mu*cf outside ',
+       |    'the log2Micro [1, 2^62) envelope'))
+       |  ELSE $c * NT + ${mu}L * cf END""".stripMargin)
+
+  /** The per-document length penalty argument (dl + μ)·NT under the
+    * same loud ≤ 2^61-per-factor envelope as [[qlLogArg]] (a 2.3·10⁵-
+    * token document at NT ≈ 2·10¹³ sits at the boundary). */
+  private def qlLenArg(mu: Long): Column = expr(
+    s"""CASE WHEN dl + ${mu}L > ${1L << 61}L div NT
+       |  THEN raise_error(concat('dirichletQl: dl=', CAST(dl AS STRING),
+       |    ', NT=', CAST(NT AS STRING),
+       |    ' — (dl + mu)*NT outside the log2Micro [1, 2^62) envelope'))
+       |  ELSE (dl + ${mu}L) * NT END""".stripMargin)
+
   /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
     * SIGIR 2001 — the language-modeling IR scorer next to
     * [[bm25MultiQuery]]'s probabilistic one):
@@ -1379,7 +1405,7 @@ object TextAnalysis {
       .join(broadcast(cf), Seq("w"))
       .crossJoin(broadcast(nt))
       .withColumn("__s", col("cq") *
-        (lg(expr(s"c * NT + ${mu}L * cf")) - lg(expr(s"${mu}L * cf"))))
+        (lg(qlLogArg("c", mu)) - lg(expr(s"${mu}L * cf"))))
       .groupBy(col("qid"), col("id"))
       .agg(count(lit(1)).as("n_matched"), sum(col("__s")).as("__sm"))
     val scored = sparse
@@ -1387,7 +1413,7 @@ object TextAnalysis {
       .join(broadcast(qconst), Seq("qid"))
       .crossJoin(broadcast(nt))
       .withColumn("ql_micro", col("__sm") + col("__qc") -
-        col("__qlen") * lg(expr(s"(dl + ${mu}L) * NT")))
+        col("__qlen") * lg(qlLenArg(mu)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("ql_micro").desc, col("id"))
@@ -1532,7 +1558,7 @@ object TextAnalysis {
       .join(broadcast(cf), Seq("w"))
       .crossJoin(broadcast(nt))
       .withColumn("__s", col("wq") *
-        (lg(expr(s"c * NT + ${mu}L * cf")) - lg(expr(s"${mu}L * cf"))))
+        (lg(qlLogArg("c", mu)) - lg(expr(s"${mu}L * cf"))))
       .groupBy(col("qid"), col("id"))
       .agg(count(lit(1)).as("n_matched"), sum(col("__s")).as("__sm"))
     val scored = sparse
@@ -1540,7 +1566,7 @@ object TextAnalysis {
       .join(broadcast(qconst), Seq("qid"))
       .crossJoin(broadcast(nt))
       .withColumn("__raw", col("__sm") + col("__qc") -
-        col("__wsum") * lg(expr(s"(dl + ${mu}L) * NT")))
+        col("__wsum") * lg(qlLenArg(mu)))
       .withColumn("ql_micro", expr(
         s"""CAST(CASE WHEN __raw >= 0 THEN __raw div $unit
            |  ELSE -((-__raw) div $unit) END AS BIGINT)""".stripMargin))
@@ -2541,8 +2567,10 @@ object TextAnalysis {
     * checkpointed once); prev/next neighbors come from two triangular
     * self-joins on that bounded relation (the house no-global-window
     * pattern — a lag/lead window here would funnel the whole spectrum
-    * into one task); the fit is one aggregate; smoothing is a
-    * broadcast of the 1-row fit. */
+    * into one task); the fit is one aggregate over the LOWEST ≤1024
+    * frequencies (the exact-r² envelope — see the in-body note); the
+    * smoothed rows cover every observed frequency via a broadcast of
+    * the 1-row fit. */
   def sgtFit(docs: DataFrame, unit: Long = 1000000L,
       textCol: String = "text"): DataFrame = {
     val lg = graft.functions.VectorFunctions.log2_micro _
@@ -2567,7 +2595,18 @@ object TextAnalysis {
       .withColumn("z_micro",
         expr(s"greatest((2 * n_f * $unit) div (__t - __q), 1L)"))
       .localCheckpoint(false) // feeds the fit AND the smoothed rows
+    // Fit envelope (ADVICE r15): the spectrum grows ≈O(√N) distinct
+    // frequencies, so past sf0.1-scale it would cross logLogFit's
+    // 1024-point exact-r² ceiling and raise mid-job. The regression is
+    // therefore fit on the LOWEST ≤1024 observed frequencies — a
+    // deterministic TakeOrderedAndProject cut, replayed by the oracle's
+    // ORDER BY f LIMIT 1024 — which is where SGT's smoothing operates
+    // anyway (high-f spectrum cells are singletons whose raw counts the
+    // estimator trusts; Gale & Sampson's own tables stop far below
+    // 1024 ranks). The smoothed f*_SGT rows still cover EVERY observed
+    // frequency: only the fit input is capped.
     val fit = logLogFit(nbr
+      .orderBy(col("f")).limit(1024)
       .withColumn("__lx", lg(col("f")))
       .withColumn("__ly", lg(col("z_micro")))
       .select(expr("__lx div 1000").as("x"),

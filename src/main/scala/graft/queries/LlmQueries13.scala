@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
 import graft.ops.Similarity
-import graft.functions.VectorFunctions.{cos_micro, nearest_cells_micro}
 import LlmQueries9.ExactSql
 
 /** Round-13 registry: the `sim_bitext_mine` driver-divergence bisection
@@ -22,10 +21,12 @@ import LlmQueries9.ExactSql
   * fetchall() masks it. Fixed by casting the oracle CASE to BIGINT
   * (round 14); `tools/check.py` now lints every oracle's output types
   * so the class can't recur. Only `bitext_probe_margin` remains gated
-  * (the standing confirmation instrument); the stage functions
-  * ([[bitextProbeQuantize]], [[bitextProbeIsqrt]],
-  * [[bitextProbeAssign]], [[bitextProbeFwd]], [[bitextProbeBwd]]) stay
-  * callable for any future bisection.
+  * (the standing confirmation instrument); [[bitextProbeQuantize]],
+  * [[bitextProbeFwd]], and [[bitextProbeBwd]] stay callable for any
+  * future bisection. The isqrt/assign stage builders (whose corp ×
+  * every-50th-vector pair relations grew n²/50 with the corpus) were
+  * deleted in round 16 — the divergence they bisected was fixed in
+  * r14 and nothing could reach them from the registry.
   */
 object LlmQueries13 {
 
@@ -45,11 +46,6 @@ object LlmQueries13 {
     Similarity.quantizeMicro(Similarity.ivfCentroids(
       T.par(spark, T.t(spark, dir, "embeddings")), 50))
 
-  private def microIndex(spark: SparkSession, dir: String) = {
-    val cents = microCents(spark, dir)
-    new graft.functions.IvfIndexMicro(cents.map(_._1), cents.map(_._2))
-  }
-
   /** Stage 1 — quantization/norm checksums: per vec_id-mod-16 group,
     * the count plus sum/min/max of the exact squared norms and the sum
     * of raw micro elements. Red here = the two engines disagree on
@@ -62,61 +58,6 @@ object LlmQueries13 {
         sum(col("nsq")).as("nsq_sum"), min(col("nsq")).as("nsq_min"),
         max(col("nsq")).as("nsq_max"), sum(col("vsum")).as("vm_sum"))
       .orderBy(col("grp"))
-
-  /** Stage 2 — isqrt checksums: per centroid, count/sum/min/max of the
-    * ±1-corrected integer square roots over every corp×cent norm
-    * product. The Spark side replays the ORACLE's own SQL derivation
-    * (decimal seed → double sqrt → floor → correction) so a red row
-    * isolates the seed/correction arithmetic itself — the one stage
-    * whose double conversion an engine build could plausibly move. */
-  def bitextProbeIsqrt(spark: SparkSession, dir: String): DataFrame = {
-    val corp = corpMicro(spark, dir)
-    val cent = corp.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cid"), col("nsq").as("cn"))
-    corp.crossJoin(broadcast(cent))
-      .withColumn("nn",
-        expr("CAST(nsq AS DECIMAL(38,0)) * CAST(cn AS DECIMAL(38,0))"))
-      .withColumn("s0",
-        expr("CAST(floor(sqrt(CAST(nn AS DOUBLE))) AS DECIMAL(38,0))"))
-      .withColumn("s", expr(
-        """CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= nn THEN s0 + 1
-          |     WHEN s0 * s0 > nn THEN s0 - 1 ELSE s0 END AS BIGINT)""".stripMargin))
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n"), sum(col("s")).as("s_sum"),
-        min(col("s")).as("s_min"), max(col("s")).as("s_max"))
-      .orderBy(col("cid"))
-  }
-
-  /** Stage 3 — scored/assign/probes checksums, one stacked relation:
-    * per centroid, (a) count/sum/min/max of every corp×cent
-    * [[graft.functions.CosMicro]] similarity ('scored'), (b) the
-    * nearest-cell assignment histogram with vec_id checksums ('assign'),
-    * (c) the 3-probe membership histogram ('probes'). Red on 'scored'
-    * only = the cosine division; red on 'assign'/'probes' with green
-    * 'scored' = the argmax tie-break. */
-  def bitextProbeAssign(spark: SparkSession, dir: String): DataFrame = {
-    val corp = corpMicro(spark, dir).localCheckpoint()
-    val index = microIndex(spark, dir)
-    val cent = corp.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cid"), col("vm").as("cm"))
-    val scored = corp.crossJoin(broadcast(cent))
-      .select(col("cid").as("key"), cos_micro(col("vm"), col("cm")).as("v"))
-      .groupBy(col("key"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"),
-        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
-      .select(lit("scored").as("stage"), col("key"), col("n"),
-        col("v_sum"), col("v_min"), col("v_max"))
-    def hist(stage: String, nProbe: Int) = corp
-      .select(col("vec_id"),
-        explode(nearest_cells_micro(col("vm"), index, nProbe)).as("key"))
-      .groupBy(col("key"))
-      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("v_sum"),
-        min(col("vec_id")).as("v_min"), max(col("vec_id")).as("v_max"))
-      .select(lit(stage).as("stage"), col("key"), col("n"),
-        col("v_sum"), col("v_min"), col("v_max"))
-    scored.unionByName(hist("assign", 1)).unionByName(hist("probes", 3))
-      .orderBy(col("stage"), col("key"))
-  }
 
   private def probeDirection(spark: SparkSession, dir: String,
       srcParity: Int): DataFrame = {

@@ -456,8 +456,10 @@ object LlmQueries16 {
        |  SELECT f AS v FROM zr UNION ALL SELECT f + 1 FROM zr
        |  UNION ALL SELECT z_micro FROM zr)),
        |${LlmQueries14.log2ValueCtes},
+       |cap AS (SELECT f FROM zr ORDER BY f LIMIT 1024),
        |xy AS (SELECT lx.l // 1000 AS x, lz.l // 1000 AS y
-       |  FROM zr JOIN lg lx ON lx.v = zr.f
+       |  FROM zr JOIN cap ON cap.f = zr.f
+       |  JOIN lg lx ON lx.v = zr.f
        |  JOIN lg lz ON lz.v = zr.z_micro),
        |fs AS (SELECT CAST(count(*) AS HUGEINT) AS n,
        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,

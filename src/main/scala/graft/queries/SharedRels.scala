@@ -69,7 +69,11 @@ object SharedRels {
       .flatten.toSet
   }
 
-  /** Drop all fixtures of one session (frees the checkpoint blocks). */
+  /** Drop all fixtures of one session — the checkpoint-backed relations
+    * (frees their blocks) AND the driver-value artifacts (ADVICE r15:
+    * leaving valCache keyed by a stopped session both serves stale
+    * trained values to a lookalike key and pins the SparkSession for
+    * the JVM lifetime). */
   def clear(spark: SparkSession): Unit = synchronized {
     cache.filterInPlace { case (Key(s, _, _), e) =>
       if (s eq spark) {
@@ -79,6 +83,7 @@ object SharedRels {
         false
       } else true
     }
+    valCache.filterInPlace { case (Key(s, _, _), _) => !(s eq spark) }
   }
 
   /** The memoization kernel every fixture shares: first consumer runs
