@@ -34,6 +34,7 @@ object SparkEntry {
       graft.queries.LlmQueries14.queries ++
       graft.queries.LlmQueries15.queries ++
       graft.queries.LlmQueries16.queries ++
+      graft.queries.LlmQueries17.queries ++
       graft.queries.PqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,5 +59,6 @@ object SparkEntry {
       graft.queries.LlmQueries14.oracle ++
       graft.queries.LlmQueries15.oracle ++
       graft.queries.LlmQueries16.oracle ++
+      graft.queries.LlmQueries17.oracle ++
       graft.queries.PqQueries.oracle
 }

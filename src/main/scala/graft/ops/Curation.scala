@@ -441,6 +441,82 @@ object Curation {
         expr("full_epochs * n_tokens_tot + partial_tokens"))
   }
 
+  /** Repetition-aware token budgeting (Muennighoff et al., "Scaling
+    * Data-Constrained Language Models", NeurIPS 2023): the mix family's
+    * plans ([[planMixUniform]]/[[planMixUnimax]]/[[planMixEpochs]])
+    * price every planned token at face value, but the paper's central
+    * result is that REPEATED epochs decay — the k-th pass over the same
+    * data is worth less than the first, falling off roughly
+    * exponentially with a half-life of R* ≈ 15 repeats. This operator
+    * adds that value dimension to [[planMixEpochs]]: per stratum, the
+    * epoch plan (full epochs + named fractional membership, unchanged
+    * arithmetic) plus its EFFECTIVE token value
+    *
+    *   effective = Σ_{k=0}^{E−1} tokens_k · δ^k / unit,   δ = decay
+    *     per repeat (micro; the paper's fit ⇒ δ ≈ e^(−1/R*), e.g.
+    *     937000 ≈ e^(−1/15.4)), tokens_k = the full stratum for full
+    *     epochs, the fractional-epoch membership's tokens for the last
+    *
+    * with δ^k = exp2(k·(log₂δ − log₂unit)) through the shared
+    * fixed-point log₂/exp2 kernels — a closed form in k, so every
+    * value replays bit-for-bit (no compounding floor chain). The
+    * readout is value_ratio_micro = effective/planned: how much of the
+    * budget's face value the repetition actually buys — the number
+    * that says "add fresh data" when it sags.
+    *
+    * No-decay law (CurationSpec): decayMicro = unit ⇒ δ^k ≡ unit
+    * exactly (exp2(0)), so effective = planned and the plan reduces to
+    * [[planMixEpochs]]'s fresh-token arithmetic; effective ≤ planned
+    * always.
+    *
+    * Scale shape: [[planMixEpochs]]' two combine-aggs, then an epoch
+    * explode BOUNDED by |strata|·(maxEpochs+1) rows (never
+    * corpus-proportional; strata needing more than `maxEpochs` epochs
+    * raise loudly — the [[planMixUnimax]] guard discipline) and one
+    * more |strata|-row combine-agg. The per-epoch token product rides
+    * DECIMAL(38,0): a 10¹³-token stratum × micro value would wrap a
+    * Long. */
+  def planRepeatValue(docs: DataFrame, strataCol: String,
+      targetTokens: Long, decayMicro: Long, maxEpochs: Int = 100,
+      idCol: String = "doc_id", tokensCol: String = "n_tokens",
+      hashSeed: Int = 97, unit: Long = 1000000L): DataFrame = {
+    require(decayMicro >= 1L && decayMicro <= unit,
+      "decayMicro in [1, unit] — repeats cannot gain value")
+    require(maxEpochs >= 1 && maxEpochs <= 1000, "maxEpochs in [1, 1000]")
+    val e2 = graft.functions.VectorFunctions.exp2_micro _
+    val dec = "DECIMAL(38,0)"
+    // log₂δ in micro, computed once driver-side from the literal params
+    // (the dsirOracle lgU convention — the oracle re-derives the same
+    // constant from the same fixed-point algorithm)
+    val lgD = graft.functions.ExactMicroOps.log2Micro(decayMicro) -
+      graft.functions.ExactMicroOps.log2Micro(unit)
+    val base = planMixEpochs(docs, strataCol, targetTokens, idCol,
+        tokensCol, hashSeed, unit)
+      .withColumn("full_epochs", when(col("full_epochs") > maxEpochs,
+        raise_error(concat(
+          lit("planRepeatValue: stratum '"), col(strataCol).cast("string"),
+          lit(s"' needs more than maxEpochs=$maxEpochs epochs — "),
+          lit("shrink targetTokens or raise the cap"))).cast("long"))
+        .otherwise(col("full_epochs")))
+      .localCheckpoint(false) // |strata| rows; the explode AND the join
+    val eff = base
+      .select(col(strataCol), col("n_tokens_tot"), col("full_epochs"),
+        col("partial_tokens"),
+        explode(sequence(lit(0L), col("full_epochs"))).as("__k"))
+      .withColumn("__tok",
+        when(col("__k") < col("full_epochs"), col("n_tokens_tot"))
+          .otherwise(col("partial_tokens")))
+      .withColumn("__val",
+        e2(greatest(col("__k") * lit(lgD), lit(-64L * unit))))
+      .groupBy(col(strataCol))
+      .agg(sum(expr(
+        s"CAST((CAST(__tok AS $dec) * __val) div $unit AS BIGINT)"))
+        .as("effective_tokens"))
+    base.join(eff, Seq(strataCol))
+      .withColumn("value_ratio_micro", expr(
+        s"($unit * effective_tokens) div greatest(planned_tokens, 1L)"))
+  }
+
   def rankNormalize(df: DataFrame, strataCol: String, scoreCol: String,
       keyCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))

@@ -658,6 +658,99 @@ object TextAnalysis {
         coalesce(col("lm3_micro"), lit(0L)).as("lm3_micro"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM scoring — [[trigramLmScore]]'s
+    * Laplace interpolation replaced by the smoothing CCNet's KenLM
+    * models actually use (Kneser & Ney ICASSP'95; Chen & Goodman
+    * 1998's interpolated form), in exactly-rational integer
+    * micro-units. Absolute discount d = 3/4 at every level; lower
+    * orders use CONTINUATION counts derived from the trigram types
+    * (the KenLM adjusted-count discipline — a lower-order n-gram's
+    * count is the number of distinct left extensions, not its raw
+    * frequency):
+    *
+    *   P₃(w₃|w₁w₂) = (c(w₁w₂w₃)−d)/c(w₁w₂·)
+    *               + d·N₁₊(w₁w₂·)/c(w₁w₂·) · P₂(w₃|w₂)
+    *   P₂(w₃|w₂)   = (N₁₊(·w₂w₃)−d)/N₁₊(·w₂·)
+    *               + d·N₁₊(w₂·)/N₁₊(·w₂·) · P₁(w₃)
+    *   P₁(w₃)      = N₁₊(·w₃)/N₁₊(··)
+    *
+    * where N₁₊(·w₂w₃) = distinct w₁ preceding the suffix bigram,
+    * N₁₊(·w₂·) = trigram types with middle word w₂, N₁₊(w₂·) =
+    * distinct suffix-bigram types starting at w₂, N₁₊(·w₃) = distinct
+    * suffix-bigram types ending at w₃, N₁₊(··) = all suffix-bigram
+    * types. Integer micro form, one floor div per level (d = 3/4
+    * multiplied through — the nested products stay exact):
+    *
+    *   p₁ = unit·N₁₊(·w₃) div N₁₊(··)
+    *   p₂ = (unit·(4·N₁₊(·w₂w₃) − 3) + 3·N₁₊(w₂·)·p₁)
+    *          div (4·N₁₊(·w₂·))
+    *   p₃ = (unit·(4·c₃ − 3) + 3·N₁₊(w₁w₂·)·p₂) div (4·c(w₁w₂·))
+    *
+    * Every count on the scoring path is ≥ 1 (an observed trigram
+    * implies its own type and its suffix-bigram type), so 4c−3 ≥ 1 and
+    * the max(·,0) clamp is vacuous — no negative-dividend divergence.
+    * Unit-mass law (TextAnalysisSpec, dense over a toy vocabulary):
+    * p ≥ 0 everywhere and Σ_{w₃∈V} P₃(w₃|h) = unit per observed
+    * history up to the two floors in the chain. Per document: the
+    * floor mean over trigram occurrences, n_trigrams = 0 / kn3_micro
+    * = 0 for <3-word docs via the back-join.
+    *
+    * Overflow envelope (the [[trigramLmScore]] discipline):
+    * unit·(4c−3) holds to c ≈ 2.3·10¹² occurrences of one n-gram;
+    * 3·N₁₊·p ≤ 3·|V|·unit holds to |V| ≈ 3·10¹¹ types — both beyond
+    * any real corpus, both in plain Long.
+    *
+    * Scale shape: identical to [[trigramLmScore]] — ONE exploded
+    * trigram pass reduced per-doc then checkpointed; every count
+    * relation (trigram types, continuation types, their marginals, the
+    * type total) derives from that materialization, distinct-n-gram-
+    * sized and map-side combined; scoring is equi-joins against the
+    * per-doc relation plus a one-row broadcast. */
+  def kneserNeyTrigramScore(docs: DataFrame, unit: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tg = trigramRelation(docs, idCol, textCol)
+    val dt = tg.groupBy(col("id"), col("t"), col("b12"), col("b23"),
+        col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // trigram type counts (t determines b12/b23/w2/w3 — words carry no
+    // spaces post-normalize, so the extra keys ride along for free)
+    val c3 = dt.groupBy(col("t"), col("b12"), col("b23"), col("w2"),
+        col("w3"))
+      .agg(sum(col("n")).as("c3"))
+      .localCheckpoint()
+    val ctx3 = c3.groupBy(col("b12"))
+      .agg(sum(col("c3")).as("ctx3"), count(lit(1)).as("n3"))
+    // continuation counts: one pass over the TYPE relation per level
+    val cont2 = c3.groupBy(col("b23"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cc2"))
+      .localCheckpoint()
+    val ctx2 = cont2.groupBy(col("w2"))
+      .agg(sum(col("cc2")).as("ctx2c"), count(lit(1)).as("nb2"))
+    val cont1 = cont2.groupBy(col("w3")).agg(count(lit(1)).as("cc1"))
+    val nb = cont2.agg(count(lit(1)).as("__nb"))
+    val scored = dt
+      .join(c3.select(col("t"), col("c3")), Seq("t"))
+      .join(ctx3, Seq("b12"))
+      .join(cont2.select(col("b23"), col("cc2")), Seq("b23"))
+      .join(ctx2, Seq("w2"))
+      .join(cont1, Seq("w3"))
+      .crossJoin(broadcast(nb))
+      .withColumn("__p1", expr(s"($unit * cc1) div __nb"))
+      .withColumn("__p2", expr(
+        s"($unit * (4 * cc2 - 3) + 3 * nb2 * __p1) div (4 * ctx2c)"))
+      .withColumn("__p3", expr(
+        s"($unit * (4 * c3 - 3) + 3 * n3 * __p2) div (4 * ctx3)"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_trigrams"),
+        expr("sum(n * __p3) div sum(n)").as("kn3_micro"))
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("kn3_micro"), lit(0L)).as("kn3_micro"))
+  }
+
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney, ICASSP'95;
     * Chen & Goodman 1998's interpolated form) — the smoothing the CCNet
     * perplexity filter's KenLM models actually use, in exactly-rational

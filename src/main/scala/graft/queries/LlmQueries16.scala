@@ -248,7 +248,7 @@ object LlmQueries16 {
   /** Exact-substring decon replay: eval windows hit iff their hash
     * occurs among the train slice's distinct window hashes; merged
     * spans rolled up per eval doc, zero-coverage docs back-joined. */
-  private def deconExactSubstringOracle(L: Int, cut: Long): String =
+  private[queries] def deconExactSubstringOracle(L: Int, cut: Long): String =
     s"""WITH ${windowCte("ew", L, s"doc_id < $cut")},
        |tw AS (SELECT DISTINCT g FROM (
        |  SELECT md5(substr(text, CAST(s AS INTEGER), $L)) AS g

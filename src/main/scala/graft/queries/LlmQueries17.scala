@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+
+/** Round-16 registry: the incremental exact-substring window ledger
+  * (VERDICT r15 item 3 — the decon-service posture where the train
+  * corpus is scanned once per snapshot, ever), interpolated Kneser–Ney
+  * trigram scoring (item 6 — CCNet's actual KenLM smoothing at the
+  * order the CCNet pipeline uses), and repetition-aware token
+  * budgeting (item 7 — Muennighoff et al. 2023's value-decay repeats
+  * closing the mix family's fresh-tokens-only gap).
+  */
+object LlmQueries17 {
+
+  private def normSql(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Exact-substring decon AGAINST THE WINDOW LEDGER
+    * ([[graft.ops.Dedup.substringWindowLedger]] /
+    * [[graft.ops.Dedup.exactSubstringContaminationLedger]]): the train
+    * side (doc_id ≥ 50) arrives as TWO snapshots (even/odd doc_id),
+    * each contributing its own distinct-window ledger build — the
+    * union IS the persisted ledger's content after two
+    * [[graft.ops.Dedup.appendSubstringLedger]] appends (duplicate
+    * windows across snapshots are harmless; the probe semi-joins) —
+    * and the doc_id < 50 benchmark probes the ledger alone. L = 40
+    * (vs `decon_exact_substring`'s 30) so the query carries its own
+    * values; the ledger≡scan equivalence at equal L is pinned in
+    * DedupSpec, and PlanSpec pins that a parquet-backed probe never
+    * scans a train document. */
+  def deconSubstringLedger(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    val snapA = docs.filter(col("doc_id") >= 50 && col("doc_id") % 2 === 0)
+    val snapB = docs.filter(col("doc_id") >= 50 && col("doc_id") % 2 === 1)
+    val ledger = graft.ops.Dedup.substringWindowLedger(snapA, minLen = 40)
+      .unionByName(graft.ops.Dedup.substringWindowLedger(snapB, minLen = 40))
+    graft.ops.Dedup.exactSubstringContaminationLedger(
+        docs.filter(col("doc_id") < 50), ledger, minLen = 40)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Interpolated Kneser–Ney trigram scoring
+    * ([[graft.ops.TextAnalysis.kneserNeyTrigramScore]]): the LM-quality
+    * family's missing scorer — `text_lm_trigram` is Laplace-
+    * interpolated and `text_lm_kneser_ney` is the bigram KN; CCNet's
+    * KenLM models are interpolated KN at higher order. Absolute
+    * discount 3/4, continuation counts from trigram types, exact
+    * integer micro throughout. */
+  def textKnLmScore(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.kneserNeyTrigramScore(
+        T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
+  /** Repetition-aware token budget plan
+    * ([[graft.ops.Curation.planRepeatValue]], Muennighoff et al.
+    * NeurIPS 2023): the 300k-char-per-source epoch plan priced under
+    * per-repeat value decay δ = 0.937 ≈ e^(−1/15.4) (the paper's
+    * R* ≈ 15.4 half-life) — per source, full epochs + fractional
+    * membership plus effective_tokens and value_ratio_micro, the
+    * "how much is this repetition actually worth" readout. */
+  def mixRepeatPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.planRepeatValue(
+        T.par(spark, T.t(spark, dir, "documents")), "source",
+        targetTokens = 300000L, decayMicro = 937000L,
+        tokensCol = "n_chars")
+      .orderBy(col("source"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decon_substring_ledger" -> (deconSubstringLedger _),
+    "text_kn_lm_score" -> (textKnLmScore _),
+    "mix_repeat_plan" -> (mixRepeatPlan _)
+  )
+
+  /** KN trigram replay: the text_lm_trigram exploded-trigram CTE, then
+    * the three-level chain — trigram type counts, continuation counts
+    * one level down each, and the P₁→P₂→P₃ interpolation with d = 3/4
+    * multiplied through (one floor div per level; every dividend
+    * non-negative, so // and div agree). */
+  private def knTrigramOracle: String =
+    s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+       |           FROM documents),
+       |tg AS MATERIALIZED (SELECT doc_id,
+       |         ws[CAST(r.range + 1 AS INTEGER)] || ' ' ||
+       |           ws[CAST(r.range + 2 AS INTEGER)] || ' ' ||
+       |           ws[CAST(r.range + 3 AS INTEGER)] AS t,
+       |         ws[CAST(r.range + 1 AS INTEGER)] || ' ' ||
+       |           ws[CAST(r.range + 2 AS INTEGER)] AS b12,
+       |         ws[CAST(r.range + 2 AS INTEGER)] || ' ' ||
+       |           ws[CAST(r.range + 3 AS INTEGER)] AS b23,
+       |         ws[CAST(r.range + 2 AS INTEGER)] AS w2,
+       |         ws[CAST(r.range + 3 AS INTEGER)] AS w3
+       |       FROM w CROSS JOIN range(0, 100000) r
+       |       WHERE r.range <= len(ws) - 3),
+       |c3 AS (SELECT t, b12, b23, w2, w3, CAST(count(*) AS BIGINT) AS c3
+       |       FROM tg GROUP BY 1, 2, 3, 4, 5),
+       |x3 AS (SELECT b12, CAST(sum(c3) AS BIGINT) AS ctx3,
+       |         CAST(count(*) AS BIGINT) AS n3 FROM c3 GROUP BY b12),
+       |k2 AS (SELECT b23, w2, w3, CAST(count(*) AS BIGINT) AS cc2
+       |       FROM c3 GROUP BY 1, 2, 3),
+       |x2 AS (SELECT w2, CAST(sum(cc2) AS BIGINT) AS ctx2c,
+       |         CAST(count(*) AS BIGINT) AS nb2 FROM k2 GROUP BY w2),
+       |k1 AS (SELECT w3, CAST(count(*) AS BIGINT) AS cc1
+       |       FROM k2 GROUP BY w3),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM k2),
+       |dt AS (SELECT doc_id, t, b12, b23, w2, w3,
+       |         CAST(count(*) AS BIGINT) AS n
+       |       FROM tg GROUP BY 1, 2, 3, 4, 5, 6),
+       |pr AS (SELECT dt.doc_id, dt.n,
+       |         (1000000 * (4 * c3.c3 - 3) + 3 * x3.n3 *
+       |           ((1000000 * (4 * k2.cc2 - 3) + 3 * x2.nb2 *
+       |             ((1000000 * k1.cc1) // nb.nbt)) // (4 * x2.ctx2c)))
+       |           // (4 * x3.ctx3) AS p3
+       |       FROM dt JOIN c3 USING (t)
+       |            JOIN x3 ON x3.b12 = dt.b12
+       |            JOIN k2 ON k2.b23 = dt.b23
+       |            JOIN x2 ON x2.w2 = dt.w2
+       |            JOIN k1 ON k1.w3 = dt.w3
+       |            CROSS JOIN nb),
+       |s AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+       |        CAST(sum(n * p3) // sum(n) AS BIGINT) AS kn3_micro
+       |      FROM pr GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       |  CAST(coalesce(s.kn3_micro, 0) AS BIGINT) AS kn3_micro
+       |FROM documents d LEFT JOIN s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Repeat-plan replay: the mix_epoch_plan chain at the 300k target,
+    * then the per-epoch value explode — δ^k = exp2(k·lgδ) through the
+    * shared exp2 fixed-point CTEs, with lgδ inlined from the SAME
+    * Scala kernel the plan calls driver-side (the dsirOracle lgU
+    * convention). HUGEINT on the token×value product (a large stratum
+    * at micro scale wraps BIGINT). */
+  private def mixRepeatOracle(target: Long, decayMicro: Long): String = {
+    val unit = 1000000L
+    val lgD = graft.functions.ExactMicroOps.log2Micro(decayMicro) -
+      graft.functions.ExactMicroOps.log2Micro(unit)
+    s"""WITH RECURSIVE ${LlmQueries14.exp2ConstsCtes},
+       |c AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_tokens_tot
+       |  FROM documents GROUP BY source),
+       |f AS (SELECT source, n_docs, n_tokens_tot,
+       |    CAST((CAST($unit AS BIGINT) * $target)
+       |      // greatest(n_tokens_tot, 1) AS BIGINT) AS epochs_micro
+       |  FROM c),
+       |e AS (SELECT *, epochs_micro // $unit AS full_epochs,
+       |    epochs_micro % $unit AS frac_micro FROM f),
+       |h AS (SELECT source, n_chars,
+       |    CAST('0x' || substring(md5('97|' || CAST(doc_id AS VARCHAR)),
+       |      1, 15) AS BIGINT) % $unit AS hm
+       |  FROM documents),
+       |p AS (SELECT h.source,
+       |    CAST(sum(CASE WHEN hm < frac_micro THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS partial_docs,
+       |    CAST(sum(CASE WHEN hm < frac_micro THEN n_chars ELSE 0 END)
+       |      AS BIGINT) AS partial_tokens
+       |  FROM h JOIN e USING (source) GROUP BY h.source),
+       |b AS (SELECT e.source, e.n_docs, e.n_tokens_tot, e.epochs_micro,
+       |    e.full_epochs, e.frac_micro, p.partial_docs, p.partial_tokens,
+       |    CAST(e.full_epochs * e.n_tokens_tot + p.partial_tokens
+       |      AS BIGINT) AS planned_tokens
+       |  FROM e JOIN p USING (source)),
+       |ks AS (SELECT source, n_tokens_tot, full_epochs, partial_tokens,
+       |    CAST(unnest(range(0, full_epochs + 1)) AS BIGINT) AS kk
+       |  FROM b),
+       |kt AS (SELECT source,
+       |    CASE WHEN kk < full_epochs THEN n_tokens_tot
+       |         ELSE partial_tokens END AS tok,
+       |    greatest(kk * ($lgD), ${-64L * unit}) + 64000000 AS xs
+       |  FROM ks),
+       |ex AS (SELECT source, tok, (xs // $unit) - 64 AS eq,
+       |    ((xs % $unit) * 1048576) // $unit AS fr
+       |  FROM kt),
+       |e2 AS (SELECT source, tok,
+       |    CAST((acc * $unit) //
+       |      (CAST(1 AS HUGEINT) << CAST(32 - eq AS INTEGER))
+       |      AS BIGINT) AS e2v
+       |  FROM (SELECT ex.*, ${LlmQueries14.exp2AccExpr("fr")} AS acc
+       |    FROM ex CROSS JOIN cl) ex),
+       |eff AS (SELECT source,
+       |    CAST(sum((CAST(tok AS HUGEINT) * e2v) // $unit) AS BIGINT)
+       |      AS effective_tokens
+       |  FROM e2 GROUP BY source)
+       |SELECT b.source, b.n_docs, b.n_tokens_tot, b.epochs_micro,
+       |  b.full_epochs, b.frac_micro, b.partial_docs, b.partial_tokens,
+       |  b.planned_tokens, eff.effective_tokens,
+       |  CAST(($unit * eff.effective_tokens)
+       |    // greatest(b.planned_tokens, 1) AS BIGINT) AS value_ratio_micro
+       |FROM b JOIN eff USING (source) ORDER BY b.source""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    // the ledger probe's value semantics ARE the scan decon's at L=40
+    // over the same train slice — distinct-of-union equals union-of-
+    // distincts under a semi-join, so the shared replay is exact
+    "decon_substring_ledger" ->
+      LlmQueries16.deconExactSubstringOracle(40, 50L),
+    "text_kn_lm_score" -> knTrigramOracle,
+    "mix_repeat_plan" -> mixRepeatOracle(300000L, 937000L)
+  )
+}

@@ -327,6 +327,38 @@ class PlanSpec extends SparkSpec {
       s"bloom gate sits above an exchange (post-shuffle — no reduction):\n$p")
   }
 
+  test("ledger decon probe scans ONLY the ledger — no train provenance in the plan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wledplan").toString
+    val train = Seq((100L, "shared boilerplate sentence occurring in train " * 2))
+      .toDF("doc_id", "text")
+    train.write.parquet(s"$tmp/train")
+    ops.Dedup.appendSubstringLedger(
+      spark.read.parquet(s"$tmp/train"), s"$tmp/ledger", minLen = 20)
+    val evalDocs = Seq((1L, "shared boilerplate sentence occurring in train"))
+      .toDF("doc_id", "text")
+    evalDocs.write.parquet(s"$tmp/eval")
+    val probe = ops.Dedup.exactSubstringContaminationLedger(
+      spark.read.parquet(s"$tmp/eval"),
+      spark.read.parquet(s"$tmp/ledger"), minLen = 20)
+    // the production contract: a benchmark decon is eval + ledger reads,
+    // never a 100 TB train scan — pin the plan's file provenance
+    // sparkPlan, not executedPlan: AQE wraps the latter and hides the
+    // scans from collect (the bloom-gate pin's convention)
+    val scanned = probe.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(p => p.contains("/ledger") || p.contains("/eval")),
+      s"probe plan reads outside eval+ledger: $scanned")
+    assert(!scanned.exists(_.contains("/train")),
+      s"probe plan scans the train corpus: $scanned")
+    assert(probe.collect().head.getAs[Long]("covered_chars") > 0L,
+      "the probe must still find the planted contamination")
+  }
+
   test("hive-partitioned scans prune partitions (PartitionFilters, not data filters)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString

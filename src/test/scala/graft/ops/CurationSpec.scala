@@ -451,6 +451,48 @@ class CurationSpec extends SparkSpec {
       Curation.planMixEpochs(df, "src", 250L).collect().map(_.toSeq).toSet)
   }
 
+  test("planRepeatValue: no-decay reduces to the fresh plan; halving decay hand-checks") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => (i.toLong, "small", 10L)) ++ // 100 tokens
+      (11 to 30).map(i => (i.toLong, "big", 50L))).toDF("doc_id", "src", "n_tokens")
+    // LAW — decayMicro = unit: every epoch at face value, so the plan
+    // IS planMixEpochs (same rows) with effective == planned
+    val fresh = Curation.planRepeatValue(df, "src", targetTokens = 250L,
+        decayMicro = 1000000L)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val base = Curation.planMixEpochs(df, "src", targetTokens = 250L)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    fresh.foreach { case (src, r) =>
+      assert(r.getAs[Long]("effective_tokens") == r.getAs[Long]("planned_tokens"),
+        s"$src: no decay must be value-neutral")
+      assert(r.getAs[Long]("value_ratio_micro") == 1000000L)
+      assert(r.getAs[Long]("planned_tokens") ==
+        base(src).getAs[Long]("planned_tokens"))
+    }
+    // δ = 1/2: log2Micro/exp2Micro are shift-exact on powers of two, so
+    // epoch k is worth exactly floor(tokens/2^k) — hand-checkable.
+    // small (100 tokens, 2 full epochs + partial p):
+    //   effective = 100 + 50 + p/4
+    val dec = Curation.planRepeatValue(df, "src", targetTokens = 250L,
+        decayMicro = 500000L)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val s = dec("small")
+    val p = s.getAs[Long]("partial_tokens")
+    assert(s.getAs[Long]("effective_tokens") == 100L + 50L + p / 4L,
+      s"hand-checked halving decay: ${s.getAs[Long]("effective_tokens")}, p=$p")
+    assert(s.getAs[Long]("effective_tokens") < s.getAs[Long]("planned_tokens"))
+    // big: full_epochs = 0 -> only the k=0 partial at face value
+    val b = dec("big")
+    assert(b.getAs[Long]("effective_tokens") == b.getAs[Long]("planned_tokens"),
+      "a never-repeated stratum pays no decay")
+    // the epoch cap raises loudly instead of exploding unboundedly
+    val e = intercept[Exception] {
+      Curation.planRepeatValue(df, "src", targetTokens = 250L,
+        decayMicro = 500000L, maxEpochs = 1).collect()
+    }
+    assert(e.getMessage.contains("planRepeatValue"), e.getMessage)
+  }
+
   test("splitByCluster: whole clusters share a split; singletons keyed by own id") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

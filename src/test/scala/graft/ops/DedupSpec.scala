@@ -857,6 +857,54 @@ class DedupSpec extends SparkSpec {
       "bloom gate must be value-neutral")
   }
 
+  test("substring window ledger: snapshot appends replace the train scan, probe survives train deletion") {
+    val leak = "this exact benchmark sentence leaked verbatim" // 45 chars
+    val evalDocs = docs(
+      1L -> s"prefix--${leak}--suffix-material",
+      2L -> "a fully novel eval item nothing shared")
+    val snapA = docs(100L -> s"some train doc containing ${leak} inside it")
+    val snapB = docs(101L -> "a fully novel eval item nothing shared PLUS MORE")
+    // reference: the one-shot scan over both snapshots together
+    val scan = Dedup.exactSubstringContamination(
+        evalDocs, snapA.unionByName(snapB), minLen = 20)
+      .collect().map(_.toSeq).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wled").toString
+    val ledgerPath = s"$tmp/ledger"
+    def rmr(p: String): Unit = {
+      val f = new java.io.File(p)
+      Option(f.listFiles()).foreach(_.foreach(c => rmr(c.getPath)))
+      f.delete(); ()
+    }
+    // snapshot 1: write, ledger-append from the PARQUET-backed frame,
+    // then DELETE the snapshot — if any later step re-read the train
+    // corpus it would fail loudly on the missing files
+    snapA.write.parquet(s"$tmp/snapA")
+    Dedup.appendSubstringLedger(
+      spark.read.parquet(s"$tmp/snapA"), ledgerPath, minLen = 20)
+    rmr(s"$tmp/snapA")
+    // snapshot 2 likewise: the append scans ONLY the new snapshot
+    snapB.write.parquet(s"$tmp/snapB")
+    Dedup.appendSubstringLedger(
+      spark.read.parquet(s"$tmp/snapB"), ledgerPath, minLen = 20)
+    rmr(s"$tmp/snapB")
+    // probe with BOTH train snapshots gone: the ledger alone carries
+    // the decon — value-identical to the scan form
+    val got = Dedup.exactSubstringContaminationLedger(
+        evalDocs, spark.read.parquet(ledgerPath), minLen = 20)
+      .collect().map(_.toSeq).toSet
+    assert(got == scan, s"ledger probe diverged from the train scan:\n$got\nvs\n$scan")
+    assert(got.exists(r => r.head == 1L && r(2) == 45L),
+      "the 45-char leak must surface through the ledger")
+    // crash-retry idempotence: a duplicate snapshot append is harmless
+    // (the probe semi-joins — multiplicity-invariant)
+    val again = docs(101L -> "a fully novel eval item nothing shared PLUS MORE")
+    Dedup.appendSubstringLedger(again, ledgerPath, minLen = 20)
+    val got2 = Dedup.exactSubstringContaminationLedger(
+        evalDocs, spark.read.parquet(ledgerPath), minLen = 20)
+      .collect().map(_.toSeq).toSet
+    assert(got2 == scan, "duplicate ledger rows must not change coverage")
+  }
+
   test("exact-substring spans: abutting duplicated windows merge into one maximal run") {
     // docs 5/6 share a 40-char region; every interior window duplicates,
     // so coverage merges into ONE span of exactly 40 chars.

@@ -686,6 +686,83 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sYork == 261363L, s"hand-computed KN occurrence: $sYork")
   }
 
+  test("kneserNeyTrigramScore: exact-rational differential + unit mass per history") {
+    import spark.implicits._
+    // exact fractions — the no-floor reference model
+    case class Fr(n: BigInt, d: BigInt) {
+      private def norm = { val g = n.gcd(d); Fr(n / g, d / g) }
+      def +(o: Fr) = Fr(n * o.d + o.n * d, d * o.d).norm
+      def *(o: Fr) = Fr(n * o.n, d * o.d).norm
+      def micro: BigInt = n * 1000000 / d
+    }
+    val texts = Seq(
+      0L -> "the cat sat on the mat and the cat ran",
+      1L -> "the cat sat on a rug and a dog ran",
+      2L -> "a dog sat on the mat while the cat sat",
+      3L -> "go go go",
+      4L -> "two words", 5L -> "")
+    val docs = texts.toDF("doc_id", "text")
+    // reference counts (texts are pre-normalized)
+    val perDoc = texts.map { case (id, t) =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      id -> w.sliding(3).filter(_.length == 3)
+        .map(a => (a(0), a(1), a(2))).toSeq
+    }.toMap
+    val occ = perDoc.values.flatten.toSeq
+    val c3 = occ.groupBy(identity).view.mapValues(_.size).toMap
+    // (.toSeq before the count lookup: the key groups are SETS, and a
+    // set-map would collapse equal counts before the sum)
+    val ctx3 = c3.keys.groupBy(t => (t._1, t._2)).view
+      .mapValues(ks => (ks.toSeq.map(c3).sum, ks.size)).toMap // (ctx3, n3)
+    val cc2 = c3.keys.groupBy(t => (t._2, t._3)).view
+      .mapValues(_.map(_._1).toSet.size).toMap // N1+(.w2w3)
+    val ctx2 = cc2.keys.groupBy(_._1).view
+      .mapValues(ks => (ks.toSeq.map(cc2).sum, ks.size)).toMap // (ctx2c, nb2)
+    val cc1 = cc2.keys.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet.size).toMap // N1+(..w3)
+    val nbt = cc2.size
+    val d34 = Fr(3, 4)
+    def p1(w3: String) = Fr(BigInt(cc1.getOrElse(w3, 0)), nbt)
+    def p2(w2: String, w3: String): Fr = {
+      val (c2c, nb2) = ctx2(w2)
+      val disc = Fr(BigInt(4 * cc2.getOrElse((w2, w3), 0) - 3).max(0), 4 * c2c)
+      disc + (d34 * Fr(nb2, c2c) * p1(w3))
+    }
+    def p3(h: (String, String), w3: String): Fr = {
+      val (cx3, n3) = ctx3(h)
+      val disc = Fr(BigInt(4 * c3.getOrElse((h._1, h._2, w3), 0) - 3).max(0), 4 * cx3)
+      disc + (d34 * Fr(n3, cx3) * p2(h._2, w3))
+    }
+    // LAW 1 — unit mass: over the model's support V = {w3 : N1+(..w3)>0},
+    // every observed history's dense conditional sums to EXACTLY 1 in
+    // rationals (the floors in the micro form are the only loss), and
+    // every term is >= 0
+    val vocab = cc1.keySet
+    ctx3.keys.foreach { h =>
+      val terms = vocab.toSeq.map(w3 => p3(h, w3))
+      terms.foreach(f => assert(f.n >= 0, s"negative KN mass at $h"))
+      val s = terms.reduce(_ + _)
+      assert(s == Fr(1, 1), s"history $h mass ${s.n}/${s.d} != 1")
+    }
+    // LAW 2 — differential: the operator's floored-micro chain tracks
+    // the rational model within the compounding-floor envelope (3
+    // nested floors + the mean floor; each loses < 1 micro, the nested
+    // ones amplified by factors <= 3/4)
+    val got = TextAnalysis.kneserNeyTrigramScore(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(4L) == ((0L, 0L)) && got(5L) == ((0L, 0L)),
+      "<3-word docs come back zero, never dropped")
+    perDoc.filter(_._2.nonEmpty).foreach { case (id, tris) =>
+      val exp = (tris.map(t => p3((t._1, t._2), t._3)).reduce(_ + _) *
+        Fr(1, tris.size)).micro
+      val (n, kn) = got(id)
+      assert(n == tris.size, s"doc $id trigram count")
+      assert((BigInt(kn) - exp).abs <= 8,
+        s"doc $id: micro chain $kn vs rational $exp")
+      assert(kn > 0 && kn <= 1000000L, s"doc $id score out of (0, unit]")
+    }
+  }
+
   test("rakeKeywords: hand-computed deg/freq scores, corpus-driven stopword") {
     import spark.implicits._
     val docs = Seq(
