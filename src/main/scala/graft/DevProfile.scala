@@ -27,10 +27,29 @@ object DevProfile {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     if (explain) fn(spark, sfDir).explain("formatted")
+    // total shuffle write across the query's stages — the number a
+    // key-width change actually moves (wall time at sf0.1 hides inside
+    // the host band; exchanged bytes do not)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffleBytes.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
     (1 to n).foreach { i =>
+      shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; give the bus a beat
+      // (listenerBus.waitUntilEmpty is private[spark])
+      Thread.sleep(500)
+      println(f"[profile] $name iter $i: $dt%.3f s " +
+        f"shuffle=${shuffleBytes.get() / 1048576.0}%.1f MiB")
     }
     spark.stop()
   }

@@ -1535,6 +1535,50 @@ object Dedup {
           .as("coverage_micro"))
   }
 
+  /** [[exactSubstringSpans]] over TOKEN windows — the scale form the
+    * character operator's scaladoc promises ("at 100 TB, run it on
+    * token ids instead of characters"): windows are `minLen`
+    * consecutive post-normalize words, so the corpus-sized relation
+    * carries ONE row per token (≈n/5 of the character form's rows at
+    * English token lengths) and the span resolution coarsens to word
+    * boundaries — exactly the Lee et al. trade made by every
+    * production ExactSubstr run (the paper itself dedups token
+    * sequences, not bytes). One row per merged span, positions in
+    * TOKEN units: (id, span_start, span_end, span_len, n_windows).
+    * Same combine-agg + semi-join + per-doc merge shape as the
+    * character form; [[mergeWindowRuns]] is shared verbatim (the merge
+    * is position-algebra, blind to the unit). */
+  def exactSubstringSpansTokens(docs: DataFrame, minLen: Int = 6,
+      minOcc: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minLen >= 2 && minLen <= 10000, "minLen in [2, 10000]")
+    require(minOcc >= 2, "minOcc must be at least 2")
+    val starts = tokenWindowHashes(docs, minLen, idCol, textCol)
+    val dup = starts.groupBy(col("g"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minOcc)
+      .select(col("g"))
+    mergeWindowRuns(starts.join(dup, Seq("g"), "left_semi"), minLen)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** One row per length-`L` TOKEN window: (id, s 1-based token start,
+    * g = binary md5 of the space-joined window) — the token-unit
+    * sibling of [[windowHashes]]. Corpus-TOKEN-sized; map-only. */
+  private def tokenWindowHashes(docs: DataFrame, L: Int, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        filter(split(normalize(col(textCol)), " "), w => w =!= "")
+          .as("__w"))
+      .withColumn("__n", size(col("__w")).cast("long") - lit(L - 1L))
+      .filter(col("__n") >= 1L)
+      .select(col("id"), explode(sequence(lit(1L), col("__n"))).as("s"),
+        col("__w"))
+      .select(col("id"), col("s"),
+        unhex(md5(concat_ws(" ",
+          slice(col("__w"), col("s").cast("int"), lit(L))))).as("g"))
+
   /** The distinct train-window hash set of one corpus snapshot — the
     * WINDOW-level ledger for incremental exact-substring
     * decontamination ([[fingerprintLedger]]'s posture one level down:

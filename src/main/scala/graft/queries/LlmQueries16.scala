@@ -220,7 +220,7 @@ object LlmQueries16 {
   /** Interval-merge CTEs over a `hits(doc_id, s)` relation → a
     * `spans` relation (doc_id, span_start, span_end, span_len,
     * n_windows) — the lag-gap flag + running run id + per-run agg. */
-  private def mergeCtes(L: Int): String =
+  private[queries] def mergeCtes(L: Int): String =
     s"""flagged AS (SELECT doc_id, s,
        |    CASE WHEN lag(s) OVER w IS NULL
        |           OR s > lag(s) OVER w + $L THEN 1 ELSE 0 END AS nf

@@ -67,10 +67,23 @@ object LlmQueries17 {
         tokensCol = "n_chars")
       .orderBy(col("source"))
 
+  /** ExactSubstr over TOKEN windows
+    * ([[graft.ops.Dedup.exactSubstringSpansTokens]], L = 6 words): the
+    * scale form the character operator's 100 TB note promises — one
+    * window row per TOKEN (≈n/5 of the character relation), word-
+    * boundary span resolution, the trade Lee et al.'s own pipeline
+    * makes. Gated next to `dedup_exact_substring` so both units of the
+    * family replay. */
+  def dedupSubstringTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.exactSubstringSpansTokens(
+        T.par(spark, T.t(spark, dir, "documents")), minLen = 6)
+      .orderBy(col("doc_id"), col("span_start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decon_substring_ledger" -> (deconSubstringLedger _),
     "text_kn_lm_score" -> (textKnLmScore _),
-    "mix_repeat_plan" -> (mixRepeatPlan _)
+    "mix_repeat_plan" -> (mixRepeatPlan _),
+    "dedup_substring_tokens" -> (dedupSubstringTokens _)
   )
 
   /** KN trigram replay: the text_lm_trigram exploded-trigram CTE, then
@@ -190,6 +203,28 @@ object LlmQueries17 {
        |FROM b JOIN eff USING (source) ORDER BY b.source""".stripMargin
   }
 
+  /** Token-window ExactSubstr replay: normalized word lists, one row
+    * per L-token window (md5 of the space-rejoined slice — DuckDB list
+    * slicing is 1-based inclusive, matching Spark's `slice(arr, s,
+    * L)`), global count ≥ 2, then the shared interval-merge CTEs in
+    * token units. */
+  private def tokenSubstringOracle(L: Int): String =
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split(${normSql("text")}, ' '),
+       |      x -> x <> '') AS ws
+       |  FROM documents),
+       |pos AS (SELECT doc_id, CAST(s AS BIGINT) AS s,
+       |    md5(array_to_string(
+       |      ws[CAST(s AS INTEGER):CAST(s + $L - 1 AS INTEGER)], ' ')) AS g
+       |  FROM (SELECT doc_id, ws,
+       |      unnest(range(1, len(ws) - $L + 2)) AS s
+       |    FROM w WHERE len(ws) >= $L)),
+       |dups AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+       |hits AS (SELECT doc_id, s FROM pos JOIN dups USING (g)),
+       |${LlmQueries16.mergeCtes(L)}
+       |SELECT doc_id, span_start, span_end, span_len, n_windows
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the ledger probe's value semantics ARE the scan decon's at L=40
     // over the same train slice — distinct-of-union equals union-of-
@@ -197,6 +232,7 @@ object LlmQueries17 {
     "decon_substring_ledger" ->
       LlmQueries16.deconExactSubstringOracle(40, 50L),
     "text_kn_lm_score" -> knTrigramOracle,
-    "mix_repeat_plan" -> mixRepeatOracle(300000L, 937000L)
+    "mix_repeat_plan" -> mixRepeatOracle(300000L, 937000L),
+    "dedup_substring_tokens" -> tokenSubstringOracle(6)
   )
 }

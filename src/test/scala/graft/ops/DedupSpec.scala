@@ -857,6 +857,23 @@ class DedupSpec extends SparkSpec {
       "bloom gate must be value-neutral")
   }
 
+  test("token-window ExactSubstr: word-unit spans from a planted shared phrase") {
+    val shared = "alpha beta gamma delta epsilon zeta eta" // 7 tokens
+    val d = docs(
+      1L -> s"pre1 pre2 $shared post1", // shared at token 3..9 of 10
+      2L -> s"$shared tail1 tail2",     // shared at token 1..7 of 9
+      3L -> "too few words here")       // < 6 tokens of any dup
+    val spans = Dedup.exactSubstringSpansTokens(d, minLen = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+          r.getAs[Long]("span_len"), r.getAs[Long]("n_windows")))).toMap
+    // 6-token windows inside the 7-token shared phrase: starts 3,4 in
+    // doc 1 and 1,2 in doc 2 — each merges to ONE word-unit span
+    assert(spans(1L) == ((3L, 9L, 7L, 2L)), spans.toString)
+    assert(spans(2L) == ((1L, 7L, 7L, 2L)), spans.toString)
+    assert(!spans.contains(3L), "no duplicated windows -> no span row")
+  }
+
   test("substring window ledger: snapshot appends replace the train scan, probe survives train deletion") {
     val leak = "this exact benchmark sentence leaked verbatim" // 45 chars
     val evalDocs = docs(
