@@ -434,7 +434,16 @@ object ScaleProbe {
         SparkEntry.queries("decon_exact_substring_bloom"),
       "dedup_substring_removal" -> SparkEntry.queries("dedup_substring_removal"),
       "text_rm3_retrieve" -> SparkEntry.queries("text_rm3_retrieve"),
-      "emb_abtt" -> SparkEntry.queries("emb_abtt"))
+      "emb_abtt" -> SparkEntry.queries("emb_abtt"),
+      // round-16 additions probed the round they land (not a round
+      // later): the ledger decon (every copy's docs are train — the
+      // two-snapshot ledger build scales, the copy-0 benchmark probe
+      // stays fixed), trigram KN (count relations scale over the
+      // copy-disjoint vocabularies), and token-window ExactSubstr
+      // (the corpus-TOKEN-sized window relation, the n/5 form)
+      "decon_substring_ledger" -> SparkEntry.queries("decon_substring_ledger"),
+      "text_kn_lm_score" -> SparkEntry.queries("text_kn_lm_score"),
+      "dedup_substring_tokens" -> SparkEntry.queries("dedup_substring_tokens"))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
