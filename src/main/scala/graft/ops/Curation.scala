@@ -517,6 +517,92 @@ object Curation {
         s"($unit * effective_tokens) div greatest(planned_tokens, 1L)"))
   }
 
+  /** OPTIMAL repeat allocation under a total token budget — the
+    * resource-allocation question Muennighoff et al. 2023 §5 actually
+    * ask ([[planRepeatValue]] prices a GIVEN plan; this one chooses
+    * it): spend budget `B` across strata when the k-th pass over any
+    * stratum is worth δ^k. Because the marginal value of a token
+    * depends only on its stratum's CURRENT epoch depth (δ^⌊e_l⌋, the
+    * same curve for every stratum), the exchange argument gives the
+    * unique optimal shape — EQUAL EPOCH DEPTH: fill every stratum's
+    * epoch 0 (all fresh tokens), then every epoch 1, …, so
+    *
+    *   k* = B div U   (U = Σ_l U_l, the corpus),  R = B − k*·U
+    *
+    * full levels everywhere plus the remainder R spread at level k*
+    * (any split at the same level has equal value; pro-rata
+    * R·U_l div U is the deterministic choice, div dust surfacing as
+    * the global `leftover_tokens` — the [[planMixUnimax]] dust
+    * convention). Per stratum: alloc_tokens = k*·U_l + partial,
+    * epochs_micro, effective_tokens under the δ-decay (the
+    * [[planRepeatValue]] exp2-closed-form), and value_ratio_micro.
+    *
+    * Laws (CurationSpec): δ = unit ⇒ effective = alloc and the plan is
+    * a pure pro-rata budget split; for ANY competing plan at the same
+    * budget (e.g. [[planMixUniform]]'s equal quotas on a skewed
+    * corpus), Σ effective is never higher than this plan's — equal
+    * depth dominates by exchange.
+    *
+    * Scale shape: ONE combine-agg to the |strata|-row mass relation,
+    * a one-row broadcast total, per-stratum arithmetic, and the
+    * bounded (≤ |strata|·(maxEpochs+1)-row) value explode. */
+  def planRepeatOptimal(docs: DataFrame, strataCol: String, budget: Long,
+      decayMicro: Long, maxEpochs: Int = 100,
+      tokensCol: String = "n_tokens", unit: Long = 1000000L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(decayMicro >= 1L && decayMicro <= unit,
+      "decayMicro in [1, unit] — repeats cannot gain value")
+    require(maxEpochs >= 1 && maxEpochs <= 1000, "maxEpochs in [1, 1000]")
+    val e2 = graft.functions.VectorFunctions.exp2_micro _
+    val dec = "DECIMAL(38,0)"
+    val lgD = graft.functions.ExactMicroOps.log2Micro(decayMicro) -
+      graft.functions.ExactMicroOps.log2Micro(unit)
+    val counts = docs.groupBy(col(strataCol))
+      .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L))
+        .as("n_tokens_tot"))
+      .localCheckpoint(false) // |strata| rows; total + plan + explode
+    val tot = counts.agg(sum(col("n_tokens_tot")).as("__u"))
+    val base = counts.crossJoin(broadcast(tot))
+      .withColumn("full_levels", expr(s"${budget}L div greatest(__u, 1L)"))
+      .withColumn("full_levels", when(col("full_levels") > maxEpochs,
+        raise_error(lit(s"planRepeatOptimal: budget needs more than " +
+          s"maxEpochs=$maxEpochs epochs of the corpus — " +
+          "shrink the budget or raise the cap")).cast("long"))
+        .otherwise(col("full_levels")))
+      .withColumn("__r", expr(s"${budget}L % greatest(__u, 1L)"))
+      .withColumn("partial_tokens", expr(
+        s"CAST(CAST(__r AS $dec) * n_tokens_tot div greatest(__u, 1L)" +
+          " AS BIGINT)"))
+      .withColumn("alloc_tokens",
+        expr("full_levels * n_tokens_tot + partial_tokens"))
+      .withColumn("epochs_micro", expr(
+        s"(${unit}L * alloc_tokens) div greatest(n_tokens_tot, 1L)"))
+      .localCheckpoint(false) // feeds the explode AND the final join
+    val eff = base
+      .select(col(strataCol), col("n_tokens_tot"), col("full_levels"),
+        col("partial_tokens"),
+        explode(sequence(lit(0L), col("full_levels"))).as("__k"))
+      .withColumn("__tok",
+        when(col("__k") < col("full_levels"), col("n_tokens_tot"))
+          .otherwise(col("partial_tokens")))
+      .withColumn("__val",
+        e2(greatest(col("__k") * lit(lgD), lit(-64L * unit))))
+      .groupBy(col(strataCol))
+      .agg(sum(expr(
+        s"CAST((CAST(__tok AS $dec) * __val) div $unit AS BIGINT)"))
+        .as("effective_tokens"))
+    val plan = base.join(eff, Seq(strataCol))
+    val leftover = plan.agg(
+      (lit(budget) - sum(col("alloc_tokens"))).as("leftover_tokens"))
+    plan.crossJoin(broadcast(leftover))
+      .select(col(strataCol), col("n_tokens_tot"), col("full_levels"),
+        col("partial_tokens"), col("alloc_tokens"), col("epochs_micro"),
+        col("effective_tokens"),
+        expr(s"(${unit}L * effective_tokens) div greatest(alloc_tokens, 1L)")
+          .as("value_ratio_micro"),
+        col("leftover_tokens"))
+  }
+
   def rankNormalize(df: DataFrame, strataCol: String, scoreCol: String,
       keyCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))

@@ -79,11 +79,23 @@ object LlmQueries17 {
         T.par(spark, T.t(spark, dir, "documents")), minLen = 6)
       .orderBy(col("doc_id"), col("span_start"))
 
+  /** Optimal repeat allocation under a 3M-char total budget
+    * ([[graft.ops.Curation.planRepeatOptimal]]): the equal-epoch-depth
+    * waterfill that maximizes effective value when pass k is worth
+    * δ^k — the budget-allocation half of the Muennighoff story
+    * (`mix_repeat_plan` prices a given plan; this chooses one). */
+  def mixRepeatOptimal(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.planRepeatOptimal(
+        T.par(spark, T.t(spark, dir, "documents")), "source",
+        budget = 3000000L, decayMicro = 937000L, tokensCol = "n_chars")
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decon_substring_ledger" -> (deconSubstringLedger _),
     "text_kn_lm_score" -> (textKnLmScore _),
     "mix_repeat_plan" -> (mixRepeatPlan _),
-    "dedup_substring_tokens" -> (dedupSubstringTokens _)
+    "dedup_substring_tokens" -> (dedupSubstringTokens _),
+    "mix_repeat_optimal" -> (mixRepeatOptimal _)
   )
 
   /** KN trigram replay: the text_lm_trigram exploded-trigram CTE, then
@@ -225,6 +237,63 @@ object LlmQueries17 {
        |SELECT doc_id, span_start, span_end, span_len, n_windows
        |FROM spans ORDER BY doc_id, span_start""".stripMargin
 
+  /** Optimal-allocation replay: per-source masses, the global level
+    * split B = k*·U + R, pro-rata partials in HUGEINT, then the same
+    * per-level exp2 value explode as [[mixRepeatOracle]]. */
+  private def mixRepeatOptimalOracle(budget: Long,
+      decayMicro: Long): String = {
+    val unit = 1000000L
+    val lgD = graft.functions.ExactMicroOps.log2Micro(decayMicro) -
+      graft.functions.ExactMicroOps.log2Micro(unit)
+    s"""WITH RECURSIVE ${LlmQueries14.exp2ConstsCtes},
+       |c AS (SELECT source,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_tokens_tot
+       |  FROM documents GROUP BY source),
+       |u AS (SELECT CAST(sum(n_tokens_tot) AS BIGINT) AS uu FROM c),
+       |b AS (SELECT c.source, c.n_tokens_tot,
+       |    CAST($budget // greatest(u.uu, 1) AS BIGINT) AS full_levels,
+       |    CAST((CAST($budget % greatest(u.uu, 1) AS HUGEINT)
+       |      * c.n_tokens_tot) // greatest(u.uu, 1) AS BIGINT)
+       |      AS partial_tokens
+       |  FROM c CROSS JOIN u),
+       |p AS (SELECT *,
+       |    CAST(full_levels * n_tokens_tot + partial_tokens AS BIGINT)
+       |      AS alloc_tokens,
+       |    CAST(($unit * (full_levels * n_tokens_tot + partial_tokens))
+       |      // greatest(n_tokens_tot, 1) AS BIGINT) AS epochs_micro
+       |  FROM b),
+       |ks AS (SELECT source, n_tokens_tot, full_levels, partial_tokens,
+       |    CAST(unnest(range(0, full_levels + 1)) AS BIGINT) AS kk
+       |  FROM p),
+       |kt AS (SELECT source,
+       |    CASE WHEN kk < full_levels THEN n_tokens_tot
+       |         ELSE partial_tokens END AS tok,
+       |    greatest(kk * ($lgD), ${-64L * unit}) + 64000000 AS xs
+       |  FROM ks),
+       |ex AS (SELECT source, tok, (xs // $unit) - 64 AS eq,
+       |    ((xs % $unit) * 1048576) // $unit AS fr
+       |  FROM kt),
+       |e2 AS (SELECT source, tok,
+       |    CAST((acc * $unit) //
+       |      (CAST(1 AS HUGEINT) << CAST(32 - eq AS INTEGER))
+       |      AS BIGINT) AS e2v
+       |  FROM (SELECT ex.*, ${LlmQueries14.exp2AccExpr("fr")} AS acc
+       |    FROM ex CROSS JOIN cl) ex),
+       |eff AS (SELECT source,
+       |    CAST(sum((CAST(tok AS HUGEINT) * e2v) // $unit) AS BIGINT)
+       |      AS effective_tokens
+       |  FROM e2 GROUP BY source),
+       |lo AS (SELECT CAST($budget - sum(alloc_tokens) AS BIGINT)
+       |    AS leftover_tokens FROM p)
+       |SELECT p.source, p.n_tokens_tot, p.full_levels, p.partial_tokens,
+       |  p.alloc_tokens, p.epochs_micro, eff.effective_tokens,
+       |  CAST(($unit * eff.effective_tokens)
+       |    // greatest(p.alloc_tokens, 1) AS BIGINT) AS value_ratio_micro,
+       |  lo.leftover_tokens
+       |FROM p JOIN eff USING (source) CROSS JOIN lo
+       |ORDER BY p.source""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // the ledger probe's value semantics ARE the scan decon's at L=40
     // over the same train slice — distinct-of-union equals union-of-
@@ -233,6 +302,7 @@ object LlmQueries17 {
       LlmQueries16.deconExactSubstringOracle(40, 50L),
     "text_kn_lm_score" -> knTrigramOracle,
     "mix_repeat_plan" -> mixRepeatOracle(300000L, 937000L),
-    "dedup_substring_tokens" -> tokenSubstringOracle(6)
+    "dedup_substring_tokens" -> tokenSubstringOracle(6),
+    "mix_repeat_optimal" -> mixRepeatOptimalOracle(3000000L, 937000L)
   )
 }

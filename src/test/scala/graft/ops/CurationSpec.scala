@@ -493,6 +493,50 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("planRepeatValue"), e.getMessage)
   }
 
+  test("planRepeatOptimal: equal-depth waterfill hand-check, no-decay identity, exchange dominance") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => (i.toLong, "small", 10L)) ++ // 100 tokens
+      (11 to 18).map(i => (i.toLong, "big", 50L)))            // 400 tokens
+      .toDF("doc_id", "src", "n_tokens")
+    // B = 1000 over U = 500: k* = 2 full levels, R = 0 — every stratum
+    // at depth 2; with δ = 1/2 (shift-exact) the values hand-check
+    val opt = Curation.planRepeatOptimal(df, "src", budget = 1000L,
+        decayMicro = 500000L)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val s = opt("small"); val b = opt("big")
+    assert(s.getAs[Long]("full_levels") == 2L &&
+      s.getAs[Long]("partial_tokens") == 0L &&
+      s.getAs[Long]("alloc_tokens") == 200L &&
+      s.getAs[Long]("effective_tokens") == 150L, s.toString)
+    assert(b.getAs[Long]("alloc_tokens") == 800L &&
+      b.getAs[Long]("effective_tokens") == 600L, b.toString)
+    assert(s.getAs[Long]("leftover_tokens") == 0L)
+    // no-decay identity: δ = unit prices every level at face value
+    Curation.planRepeatOptimal(df, "src", budget = 1000L,
+        decayMicro = 1000000L).collect().foreach { r =>
+      assert(r.getAs[Long]("effective_tokens") == r.getAs[Long]("alloc_tokens"))
+      assert(r.getAs[Long]("value_ratio_micro") == 1000000L)
+    }
+    // exchange dominance: the SAME 1000-token budget split unequally
+    // (600 on the small stratum = depth 6, 400 on the big = depth 1)
+    // values strictly less than the equal-depth plan's 750
+    val skewS = Curation.planRepeatOptimal(df.filter(col("src") === "small"),
+      "src", budget = 600L, decayMicro = 500000L)
+      .collect().head.getAs[Long]("effective_tokens")
+    val skewB = Curation.planRepeatOptimal(df.filter(col("src") === "big"),
+      "src", budget = 400L, decayMicro = 500000L)
+      .collect().head.getAs[Long]("effective_tokens")
+    assert(skewS == 196L && skewB == 400L, s"$skewS/$skewB")
+    assert(skewS + skewB < 150L + 600L,
+      "unequal depth must value less at equal spend")
+    // epoch cap raises loudly
+    val e = intercept[Exception] {
+      Curation.planRepeatOptimal(df, "src", budget = 1000000L,
+        decayMicro = 500000L, maxEpochs = 3).collect()
+    }
+    assert(e.getMessage.contains("planRepeatOptimal"), e.getMessage)
+  }
+
   test("splitByCluster: whole clusters share a split; singletons keyed by own id") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
