@@ -1579,6 +1579,49 @@ object Dedup {
         unhex(md5(concat_ws(" ",
           slice(col("__w"), col("s").cast("int"), lit(L))))).as("g"))
 
+  /** Exact-substring decontamination over TOKEN windows — the n-gram
+    * overlap decon run by the GPT-3 (Brown et al. 2020, appendix C:
+    * 13-gram dedup against benchmarks) and PaLM training pipelines:
+    * for every eval document, the maximal TOKEN regions covered by
+    * length-`minLen` word windows that occur anywhere in the training
+    * corpus, rolled up to per-doc token coverage. The token twin of
+    * [[exactSubstringContamination]] exactly as
+    * [[exactSubstringSpansTokens]] twins [[exactSubstringSpans]]:
+    * same combine-agg + semi-join + per-doc merge shape, positions
+    * and the denominator in post-[[normalize]] word units.
+    *
+    * Output per eval doc (all eval docs, zero rows back-joined):
+    * (id, n_spans, covered_tokens, n_tokens, coverage_micro).
+    *
+    * Scale shape: the train side is ONE distinct-window combine-agg
+    * over a corpus-TOKEN-sized map-only explode (≈n/5 of the
+    * character form's rows); the rendezvous equi-join is sized by the
+    * EVAL side (benchmarks, not corpora). Docs shorter than `minLen`
+    * words contribute no windows but still report their n_tokens. */
+  def exactSubstringContaminationTokens(evalDocs: DataFrame,
+      trainDocs: DataFrame, minLen: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minLen >= 2 && minLen <= 10000, "minLen in [2, 10000]")
+    val evalW = tokenWindowHashes(evalDocs, minLen, idCol, textCol)
+    val trainW = tokenWindowHashes(trainDocs, minLen, idCol, textCol)
+      .select(col("g")).distinct()
+    val spans = mergeWindowRuns(evalW.join(trainW, Seq("g"), "left_semi"),
+      minLen)
+    val perDoc = spans.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("covered_tokens"))
+    evalDocs.select(col(idCol).as("id"),
+        size(filter(split(normalize(col(textCol)), " "), w => w =!= ""))
+          .cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        col("n_tokens"),
+        expr("(1000000 * coalesce(covered_tokens, 0L)) " +
+          "div greatest(n_tokens, 1L)").as("coverage_micro"))
+  }
+
   /** The distinct train-window hash set of one corpus snapshot — the
     * WINDOW-level ledger for incremental exact-substring
     * decontamination ([[fingerprintLedger]]'s posture one level down:

@@ -90,12 +90,28 @@ object LlmQueries17 {
         budget = 3000000L, decayMicro = 937000L, tokensCol = "n_chars")
       .orderBy(col("source"))
 
+  /** Token-window exact-substring decontamination
+    * ([[graft.ops.Dedup.exactSubstringContaminationTokens]], L = 8
+    * words): the n-gram-overlap decon GPT-3/PaLM actually ran (Brown
+    * et al. 2020 use 13-gram dedup against benchmarks; 8 here so the
+    * synthetic corpus carries nonzero coverage) — the doc_id < 50
+    * benchmark slice probed against the doc_id ≥ 50 train corpus in
+    * word units, twin to `decon_exact_substring`'s character form. */
+  def deconSubstringTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    graft.ops.Dedup.exactSubstringContaminationTokens(
+        docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
+        minLen = 8)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decon_substring_ledger" -> (deconSubstringLedger _),
     "text_kn_lm_score" -> (textKnLmScore _),
     "mix_repeat_plan" -> (mixRepeatPlan _),
     "dedup_substring_tokens" -> (dedupSubstringTokens _),
-    "mix_repeat_optimal" -> (mixRepeatOptimal _)
+    "mix_repeat_optimal" -> (mixRepeatOptimal _),
+    "decon_substring_tokens" -> (deconSubstringTokens _)
   )
 
   /** KN trigram replay: the text_lm_trigram exploded-trigram CTE, then
@@ -294,6 +310,40 @@ object LlmQueries17 {
        |ORDER BY p.source""".stripMargin
   }
 
+  /** Token-decon replay: the [[tokenSubstringOracle]] window CTE split
+    * across the doc_id boundary (eval windows positional, train
+    * windows a DISTINCT hash set), then the shared interval-merge CTEs
+    * and the char-decon per-doc rollup in token units. */
+  private def tokenDeconOracle(L: Int, cut: Long): String =
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split(${normSql("text")}, ' '),
+       |      x -> x <> '') AS ws
+       |  FROM documents),
+       |ew AS (SELECT doc_id, CAST(s AS BIGINT) AS s,
+       |    md5(array_to_string(
+       |      ws[CAST(s AS INTEGER):CAST(s + $L - 1 AS INTEGER)], ' ')) AS g
+       |  FROM (SELECT doc_id, ws,
+       |      unnest(range(1, len(ws) - $L + 2)) AS s
+       |    FROM w WHERE len(ws) >= $L AND doc_id < $cut)),
+       |tw AS (SELECT DISTINCT md5(array_to_string(
+       |      ws[CAST(s AS INTEGER):CAST(s + $L - 1 AS INTEGER)], ' ')) AS g
+       |  FROM (SELECT doc_id, ws,
+       |      unnest(range(1, len(ws) - $L + 2)) AS s
+       |    FROM w WHERE len(ws) >= $L AND doc_id >= $cut)),
+       |hits AS (SELECT doc_id, s FROM ew WHERE g IN (SELECT g FROM tw)),
+       |${LlmQueries16.mergeCtes(L)},
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(span_len) AS BIGINT) AS covered FROM spans
+       |  GROUP BY doc_id)
+       |SELECT w.doc_id,
+       |  coalesce(p.n_spans, 0) AS n_spans,
+       |  coalesce(p.covered, 0) AS covered_tokens,
+       |  CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       |  (1000000 * coalesce(p.covered, 0))
+       |    // greatest(len(w.ws), 1) AS coverage_micro
+       |FROM w LEFT JOIN perdoc p ON p.doc_id = w.doc_id
+       |WHERE w.doc_id < $cut ORDER BY w.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the ledger probe's value semantics ARE the scan decon's at L=40
     // over the same train slice — distinct-of-union equals union-of-
@@ -303,6 +353,7 @@ object LlmQueries17 {
     "text_kn_lm_score" -> knTrigramOracle,
     "mix_repeat_plan" -> mixRepeatOracle(300000L, 937000L),
     "dedup_substring_tokens" -> tokenSubstringOracle(6),
-    "mix_repeat_optimal" -> mixRepeatOptimalOracle(3000000L, 937000L)
+    "mix_repeat_optimal" -> mixRepeatOptimalOracle(3000000L, 937000L),
+    "decon_substring_tokens" -> tokenDeconOracle(8, 50L)
   )
 }

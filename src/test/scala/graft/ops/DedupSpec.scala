@@ -874,6 +874,31 @@ class DedupSpec extends SparkSpec {
     assert(!spans.contains(3L), "no duplicated windows -> no span row")
   }
 
+  test("token-window contamination: word-unit coverage against the train side only") {
+    val leak = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val evalDocs = docs(
+      1L -> s"pre1 pre2 $leak post1",          // covered tokens 3..10 of 11
+      2L -> "a fully novel eval item",          // 5 tokens, < L -> no windows
+      3L -> s"$leak")                           // fully covered (8 of 8)
+    val train = docs(
+      100L -> s"train filler $leak more filler",
+      101L -> "other train material entirely")
+    val got = Dedup.exactSubstringContaminationTokens(evalDocs, train,
+        minLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("covered_tokens"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("coverage_micro")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "every eval doc gets a row")
+    assert(got(1L) == ((1L, 8L, 11L, 1000000L * 8 / 11)), got.toString)
+    assert(got(2L) == ((0L, 0L, 5L, 0L)), "sub-L docs report zero coverage")
+    assert(got(3L) == ((1L, 8L, 8L, 1000000L)), "full-doc leak = unit coverage")
+    // within-eval repetition is not train contamination
+    val selfOnly = Dedup.exactSubstringContaminationTokens(
+      docs(5L -> (leak + " filler " + leak)),
+      docs(9L -> "unrelated train text entirely here"), minLen = 8).collect()
+    assert(selfOnly.head.getAs[Long]("covered_tokens") == 0L)
+  }
+
   test("substring window ledger: snapshot appends replace the train scan, probe survives train deletion") {
     val leak = "this exact benchmark sentence leaked verbatim" // 45 chars
     val evalDocs = docs(
