@@ -1756,6 +1756,40 @@ object Similarity {
     emb.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** D4 data selection (Tirumala et al., NeurIPS 2023,
+    * arXiv:2308.12284): SemDeDup then SSL-prototype pruning — first
+    * drop embedding near-duplicate groups down to one representative
+    * ([[semanticDedupWithMicro]] at `threshold`), then on the
+    * SURVIVORS rank by distance to the own-cluster centroid and keep
+    * only the hardest `keepNum/keepDen` per cell
+    * ([[prototypePruneByCell]] — prototypical points near a centroid
+    * are dropped). The paper's finding is that the two stages remove
+    * DIFFERENT mass: dedup kills copies, prototype pruning kills
+    * over-represented regions that survive dedup.
+    *
+    * Output: one row per DEDUP SURVIVOR — (id, cell, dist_micro,
+    * rank_in_cell, kept); rows dropped by stage 1 are absent, rows
+    * with `kept = false` are stage 2's prune. Divergence from the
+    * paper, pinned for determinism: both stages reuse the ONE trained
+    * centroid set (`cents`) instead of re-clustering between stages —
+    * the practical-pipeline choice (one k-means over 100 TB, not two),
+    * and the exact-integer assignment makes the whole selection
+    * engine-replayable.
+    *
+    * Scale shape: the union of its parts — one cell equi-join bounded
+    * by `maxCellSize` (stage 1), component iteration on the pair graph
+    * only, one k-row broadcast fan-out + per-cell rank window
+    * (stage 2). Nothing corpus-quadratic. */
+  def d4Select(emb: DataFrame, cents: Array[(Long, Array[Long])],
+      threshold: Double, keepNum: Int, keepDen: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6, maxCellSize: Int = 0): DataFrame = {
+    val survivors = semanticDedupWithMicro(emb, cents, threshold,
+      idCol, vecCol, roundTo, maxCellSize)
+    prototypePruneByCell(survivors.select(col(idCol), col(vecCol)),
+      cents, keepNum, keepDen, idCol, vecCol)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
     * any number of ranked retrieval lists — THE standard way a hybrid
     * retriever merges its lexical (BM25) and dense (ANN) legs without

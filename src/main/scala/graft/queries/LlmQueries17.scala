@@ -105,13 +105,31 @@ object LlmQueries17 {
       .orderBy(col("doc_id"))
   }
 
+  /** D4 selection ([[graft.ops.Similarity.d4Select]], Tirumala et al.
+    * NeurIPS 2023) over the embeddings table: SemDeDup at cosine 0.4,
+    * then SSL-prototype pruning keeping the hardest half per cell —
+    * both stages on the shared [[SharedRels.ivfCents2000k8]] centroid
+    * fixture (one k-means, the practical-pipeline divergence pinned in
+    * the kernel's scaladoc). One row per dedup survivor with the
+    * prune verdict. */
+  def curationD4Select(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: stage 1 consumes the scan on both pair sides
+    // plus the survivor anti-join; stage 2 re-reads the survivors
+    val emb = T.par(spark, T.t(spark, dir, "embeddings")).localCheckpoint()
+    graft.ops.Similarity.d4Select(emb,
+        SharedRels.ivfCents2000k8(spark, dir),
+        threshold = 0.4, keepNum = 1, keepDen = 2)
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decon_substring_ledger" -> (deconSubstringLedger _),
     "text_kn_lm_score" -> (textKnLmScore _),
     "mix_repeat_plan" -> (mixRepeatPlan _),
     "dedup_substring_tokens" -> (dedupSubstringTokens _),
     "mix_repeat_optimal" -> (mixRepeatOptimal _),
-    "decon_substring_tokens" -> (deconSubstringTokens _)
+    "decon_substring_tokens" -> (deconSubstringTokens _),
+    "curation_d4_select" -> (curationD4Select _)
   )
 
   /** KN trigram replay: the text_lm_trigram exploded-trigram CTE, then
@@ -344,6 +362,57 @@ object LlmQueries17 {
        |FROM w LEFT JOIN perdoc p ON p.doc_id = w.doc_id
        |WHERE w.doc_id < $cut ORDER BY w.doc_id""".stripMargin
 
+  private def cosDuck(a: String, b: String) =
+    s"""list_dot_product($a, $b)
+       | / (sqrt(list_dot_product($a, $a))
+       |    * sqrt(list_dot_product($b, $b)))""".stripMargin
+
+  /** D4 replay: the `sim_semantic_dedup` chain (k-means cells, within-
+    * cell cosine pairs, recursive-reach components, min-id survivor)
+    * on the vid<2000-trained k=8 centroids, then the
+    * `curation_prototype_prune` chain over the survivors. */
+  private def d4Oracle(thr: Double): String =
+    s"""WITH RECURSIVE src AS (
+       |  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${KmeansSql.trainCtes("src", "vid < 2000", k = 8, iters = 2, dim = 64)},
+       |cent AS (SELECT cell, cm FROM c2),
+       |asg AS (${KmeansSql.assignSql("src", "cent")}),
+       |pairs AS (SELECT a.vid AS id_a, b.vid AS id_b
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
+       |  JOIN src va ON va.vid = a.vid
+       |  JOIN src vb ON vb.vid = b.vid
+       |  WHERE round(${cosDuck("va.v", "vb.v")}, 6) >= $thr),
+       |edges AS (SELECT id_a AS u, id_b AS w FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.w, r.lab FROM reach r JOIN edges e ON e.u = r.id),
+       |losers AS (SELECT id FROM (
+       |    SELECT id, min(lab) AS component FROM reach GROUP BY id)
+       |  WHERE component <> id),
+       |surv AS (SELECT vid, v FROM src
+       |  WHERE vid NOT IN (SELECT id FROM losers)),
+       |dc AS (SELECT s.vid, c.cell,
+       |    1000000 - CAST(round(list_dot_product(s.v, CAST(c.cm AS DOUBLE[]))
+       |      / (sqrt(list_dot_product(s.v, s.v))
+       |         * sqrt(list_dot_product(CAST(c.cm AS DOUBLE[]),
+       |                                 CAST(c.cm AS DOUBLE[]))))
+       |      * 1000000, 0) AS BIGINT) AS d
+       |  FROM surv s CROSS JOIN cent c),
+       |own AS (SELECT vid, cell, d FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid
+       |      ORDER BY d, cell) AS rn FROM dc) WHERE rn = 1),
+       |rkd AS (SELECT vid, cell, d,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY d DESC, vid) AS rank_in_cell,
+       |    count(*) OVER (PARTITION BY cell) AS n
+       |  FROM own)
+       |SELECT vid AS vec_id, cell, d AS dist_micro,
+       |  CAST(rank_in_cell AS INTEGER) AS rank_in_cell,
+       |  rank_in_cell * 2 <= n AS kept
+       |FROM rkd ORDER BY vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the ledger probe's value semantics ARE the scan decon's at L=40
     // over the same train slice — distinct-of-union equals union-of-
@@ -354,6 +423,7 @@ object LlmQueries17 {
     "mix_repeat_plan" -> mixRepeatOracle(300000L, 937000L),
     "dedup_substring_tokens" -> tokenSubstringOracle(6),
     "mix_repeat_optimal" -> mixRepeatOptimalOracle(3000000L, 937000L),
-    "decon_substring_tokens" -> tokenDeconOracle(8, 50L)
+    "decon_substring_tokens" -> tokenDeconOracle(8, 50L),
+    "curation_d4_select" -> d4Oracle(0.4)
   )
 }

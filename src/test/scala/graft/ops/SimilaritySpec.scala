@@ -495,6 +495,42 @@ class SimilaritySpec extends SparkSpec {
     assert(none.forall(!_))
   }
 
+  test("d4Select: dedup drops clones first, prototype prune acts on survivors only") {
+    import spark.implicits._
+    // cell 0: clone pair (1, 10) on the centroid + hard point 2 at cos .8
+    // cell 1: easy point 4 on the centroid + hard point 3 at cos .8
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (10L, Seq(1f, 0f)), (2L, Seq(0.8f, 0.6f)),
+      (3L, Seq(0.6f, 0.8f)), (4L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(
+      (0L, Array(1000000L, 0L)), (1L, Array(0L, 1000000L)))
+    val got = Similarity.d4Select(emb, cents, threshold = 0.95,
+        keepNum = 1, keepDen = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4))).toMap
+    // 10 is gone entirely (stage 1); with the clone collapsed, each
+    // cell holds one easy + one hard point — hardest half kept
+    assert(!got.contains(10L), s"clone must not reach stage 2: $got")
+    assert(got(1L) == ((0L, 0L, 2, false)), got.toString)    // easy: pruned
+    assert(got(2L) == ((0L, 200000L, 1, true)), got.toString) // hard: kept
+    assert(got(3L) == ((1L, 200000L, 1, true)), got.toString)
+    assert(got(4L) == ((1L, 0L, 2, false)), got.toString)
+    // composition law: d4Select ≡ prototype prune of the dedup survivors
+    val manual = Similarity.prototypePruneByCell(
+        Similarity.semanticDedupWithMicro(emb, cents, threshold = 0.95),
+        cents, 1, 2).collect().map(_.toSeq).toSet
+    assert(Similarity.d4Select(emb, cents, 0.95, 1, 2)
+      .collect().map(_.toSeq).toSet == manual)
+    // WITHOUT dedup, the clone pair fills cell 0's keep quota ((1,10)
+    // rank the centroid distance 0 pair last but n=3 keeps rank 1 only
+    // = point 2): dedup-then-prune and prune-alone disagree — the two
+    // stages remove different mass, the paper's point
+    val pruneOnly = Similarity.prototypePruneByCell(emb, cents, 1, 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(pruneOnly(2L) && !pruneOnly(1L) && !pruneOnly(10L))
+  }
+
   test("retrievalEval: hand-computed MRR and NDCG, zero-relevant guard") {
     import spark.implicits._
     // q1: relevant at ranks 2 and 3 of the pool; q2: nothing relevant
