@@ -233,6 +233,111 @@ object Valuation {
           s"(${lrDen}L * 1000000L) AS BIGINT)").as("self_influence_micro"))
   }
 
+  /** DataInf influence (Kwon et al., "DataInf: Efficiently Estimating
+    * Data Influence in LoRA-tuned LLMs and Diffusion Models", ICLR
+    * 2024) over the exact integer logistic-GD model: influence with
+    * the inverse-HESSIAN correction TracIn omits. DataInf's closed
+    * form swaps inversion and averaging, then Sherman–Morrison gives
+    *
+    *   vᵀH⁻¹gᵢ = (1/(n·λ)) · [ n·(v·gᵢ) − u_v·gᵢ ],
+    *   u_v = Σⱼ gⱼ·(v·gⱼ)/(λ + ‖gⱼ‖²)
+    *
+    * with g = r·(x, 1) the final-checkpoint logistic gradients, v the
+    * test doc's gradient, and λ the paper's regularizer sized from the
+    * corpus (here the exact-integer form λ = max(1, Σ‖gⱼ‖² div 10n)).
+    * The u_v factorization is the whole point: the naive form needs
+    * every train–train gradient dot (corpus-quadratic); u_v is a
+    * (dim+1)-vector PER PANEL DOC built in one combine-agg, so the
+    * computation is two corpus passes plus the same bounded
+    * |train|×|panel| relation [[tracinInfluence]] already carries.
+    * Positive score = proponent (same sign convention as TracIn — the
+    * H⁻¹-weighted gradient alignment).
+    *
+    * Exactness: all divisions are magnitude-then-sign floors on
+    * DECIMAL(38,0) (micro-scaled: c = ⌊10⁶·v·gⱼ / (λ+‖gⱼ‖²)⌋ signed,
+    * term₂ unfolds the 10⁶ once, the final score is micro). Envelope
+    * (documented, not guarded): |c| ≤ 10⁶·|r_v|·(x·x_v+1)/|r_j| stays
+    * inside Long for micro residuals and ≤ ~10⁴-token docs; the final
+    * BIGINT cast raises loudly under ANSI if a degenerate λ = 1 corpus
+    * pushes scores past 2⁶³ — the [[graft.ops.TextAnalysis]] loud-
+    * envelope discipline.
+    *
+    * Output: one row per train doc — (train_id, n_tests,
+    * datainf_sum_micro), the panel-summed valuation readout.
+    *
+    * Scale shape: GD trains in dim-bounded driver space; the panel
+    * side broadcasts everywhere; u_v is ≤ |panel|·(dim+1) rows; no
+    * train–train relation ever materializes. */
+  def datainfInfluenceFromFeats(fTr: DataFrame, lTr: DataFrame,
+      fTe: DataFrame, lTe: DataFrame, dim: Int = 64, iters: Int = 3,
+      lrNum: Long = 1L, lrDen: Long = 16L,
+      maxPanel: Int = 4096): DataFrame = {
+    requireBoundedPanel(lTe, maxPanel, "datainfInfluence")
+    val dec = "DECIMAL(38,0)"
+    val traj = QualityModel.trajectoryFrom(fTr, lTr, dim, iters, lrNum, lrDen)
+    def residFinal(f: DataFrame, l: DataFrame) =
+      QualityModel.marginsAllEpochs(f, l, traj)
+        .filter(col("epoch") === iters)
+        .select(col("id"),
+          (graft.functions.VectorFunctions.sigmoid_micro(col("m"))
+            - col("y") * 1000000L).as("r"))
+    val nrm = fTr.groupBy(col("id")).agg(sum(col("n") * col("n")).as("__nn"))
+    // per train doc: final residual + ‖g‖² = r²·(‖x‖²+1), micro² scale
+    val gn = residFinal(fTr, lTr)
+      .join(nrm, Seq("id"), "left")
+      .withColumn("__xn1", coalesce(col("__nn"), lit(0L)) + lit(1L))
+      .withColumn("g2", expr(s"CAST(r AS $dec) * r * __xn1"))
+      .select(col("id"), col("r"), col("g2"))
+      .localCheckpoint(false) // feeds λ, the pair relation, u_v, term₂
+    val lam = gn.agg(count(lit(1)).as("__ntr"),
+      greatest(lit(1L).cast(dec),
+        expr(s"CAST(sum(g2) div (10 * count(1)) AS $dec)")).as("__lam"))
+    val rTe = residFinal(fTe, lTe)
+      .select(col("id").as("test_id"), col("r").as("__rv"))
+    val dots = fTr.join(
+        broadcast(fTe.select(col("id").as("test_id"), col("bucket"),
+          col("n").as("__m"))), Seq("bucket"))
+      .groupBy(col("id"), col("test_id"))
+      .agg(sum(col("n") * col("__m")).as("__dot"))
+    // v·gⱼ = r_v·rⱼ·(x_v·xⱼ+1) and c = ⌊10⁶·(v·gⱼ)/(λ+‖gⱼ‖²)⌋ signed
+    val pairs = gn.crossJoin(broadcast(rTe))
+      .join(dots, Seq("id", "test_id"), "left")
+      .withColumn("vg",
+        expr(s"CAST(r AS $dec) * __rv * (coalesce(__dot, 0L) + 1L)"))
+      .crossJoin(broadcast(lam))
+      .withColumn("c", expr(
+        """CASE WHEN vg >= 0 THEN (1000000 * vg) div (__lam + g2)
+          |ELSE -((1000000 * (-vg)) div (__lam + g2)) END""".stripMargin))
+      .localCheckpoint(false) // feeds u_v, the bias sum, and the score
+    // u_v per bucket (≤ |panel|·dim rows) + the bias coordinate
+    val uv = pairs.join(fTr.select(col("id"), col("bucket"), col("n")),
+        Seq("id"))
+      .groupBy(col("test_id"), col("bucket"))
+      .agg(sum(expr(s"CAST(c AS $dec) * r * n")).as("__u"))
+    val ubias = pairs.groupBy(col("test_id"))
+      .agg(sum(expr(s"CAST(c AS $dec) * r")).as("__ub"))
+    val t2x = fTr.join(broadcast(uv), Seq("bucket"))
+      .groupBy(col("id"), col("test_id"))
+      .agg(sum(expr(s"__u * n")).as("__ux"))
+    pairs
+      .join(t2x, Seq("id", "test_id"), "left")
+      .join(broadcast(ubias), Seq("test_id"), "left")
+      .withColumn("__t2raw", expr(s"CAST(r AS $dec) * " +
+        s"(coalesce(__ux, CAST(0 AS $dec)) + coalesce(__ub, CAST(0 AS $dec)))"))
+      .withColumn("__t2", expr(
+        """CASE WHEN __t2raw >= 0 THEN __t2raw div 1000000
+          |ELSE -((-__t2raw) div 1000000) END""".stripMargin))
+      .withColumn("__diff", expr(s"CAST(__ntr AS $dec) * vg - __t2"))
+      .withColumn("__score", expr(
+        """CAST(CASE WHEN __diff >= 0
+          |  THEN (1000000 * __diff) div (__ntr * __lam)
+          |  ELSE -((1000000 * (-__diff)) div (__ntr * __lam))
+          |END AS BIGINT)""".stripMargin))
+      .groupBy(col("id").as("train_id"))
+      .agg(count(lit(1)).as("n_tests"),
+        sum(col("__score")).as("datainf_sum_micro"))
+  }
+
   def tracinInfluence(train: DataFrame, test: DataFrame, dim: Int = 64,
       iters: Int = 3, lrNum: Long = 1L, lrDen: Long = 16L, topK: Int = 3,
       idCol: String = "doc_id", labelCol: String = "label",

@@ -164,6 +164,25 @@ object LlmQueries14 {
       .orderBy(col("test_id"), col("kind"), col("rank"))
   }
 
+  /** DataInf influence (Kwon et al. ICLR 2024,
+    * [[graft.ops.Valuation.datainfInfluenceFromFeats]]) on the SAME
+    * fixed 32-doc hash-lowest panel as `value_tracin_panel`: the
+    * inverse-Hessian-corrected valuation TracIn approximates without
+    * the curvature term — Sherman–Morrison closed form, u_v
+    * factorization, one micro score per train doc summed over the
+    * panel. Gated side by side with TracIn so the two published
+    * estimators are directly comparable on identical gradients. */
+  def valueDatainfPanel(spark: SparkSession, dir: String): DataFrame = {
+    val panel = labeledDocs(spark, dir).select(col("doc_id"),
+        graft.ops.Dedup.hashStr(col("doc_id").cast("string"), 19).as("__h"))
+      .orderBy(col("__h"), col("doc_id")).limit(32).select("doc_id")
+    val (fTr, lTr) = gdSide(spark, dir, panel, "left_anti")
+    val (fTe, lTe) = gdSide(spark, dir, panel, "left_semi")
+    graft.ops.Valuation.datainfInfluenceFromFeats(fTr, lTr, fTe, lTe,
+        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+      .orderBy(col("train_id"))
+  }
+
   /** TracIn self-influence (Pruthi et al. 2020 §4,
     * [[graft.ops.Valuation.tracinSelfInfluence]]): per-doc
     * η·(‖x‖²+1)·Σ_t r_t² — the mislabel/outlier detector (memorized
@@ -327,6 +346,7 @@ object LlmQueries14 {
     "curation_data_diet" -> (curationDataDiet _),
     "curation_rho_loss" -> (curationRhoLoss _),
     "value_tracin_panel" -> (valueTracinPanel _),
+    "value_datainf_panel" -> (valueDatainfPanel _),
     "value_tracin_self" -> (valueTracinSelf _),
     "quality_conformal" -> (qualityConformal _),
     "quality_group_loss" -> (qualityGroupLoss _),
@@ -723,6 +743,68 @@ object LlmQueries14 {
        |FROM (SELECT * FROM pro WHERE rank <= 3
        |  UNION ALL SELECT * FROM opp WHERE rank <= 3)
        |ORDER BY test_id, kind, rank""".stripMargin
+
+  /** DataInf oracle: final-epoch residuals under the panel-excluded
+    * trajectory, ‖g‖², the corpus-sized λ, the |train|×|panel| v·g and
+    * c relations, the (panel×bucket) u_v combine, then the magnitude-
+    * then-sign micro score chain — every floor mirrored from
+    * [[graft.ops.Valuation.datainfInfluenceFromFeats]] in HUGEINT. */
+  private def datainfOracle(testPred: String => String): String =
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${epochsCtes(iters = 3, lrDen = 16L,
+          trainPred = s"NOT (${testPred("doc_id")})")},
+       |rf AS (SELECT doc_id, p - y * 1000000 AS r,
+       |    ${testPred("doc_id")} AS iste FROM ep WHERE epoch = 3),
+       |nrms AS (SELECT doc_id, CAST(sum(n * n) AS BIGINT) AS nn
+       |  FROM f GROUP BY 1),
+       |gn AS MATERIALIZED (SELECT r.doc_id, r.r,
+       |    CAST(r.r AS HUGEINT) * r.r * (coalesce(nr.nn, 0) + 1) AS g2
+       |  FROM rf r LEFT JOIN nrms nr ON nr.doc_id = r.doc_id
+       |  WHERE NOT r.iste),
+       |lam AS (SELECT CAST(count(*) AS HUGEINT) AS ntr,
+       |    greatest(CAST(1 AS HUGEINT), sum(g2) // (10 * count(*))) AS lam
+       |  FROM gn),
+       |te AS (SELECT doc_id AS test_id, r AS rv FROM rf WHERE iste),
+       |dots AS (SELECT fa.doc_id AS train_id, fe.doc_id AS test_id,
+       |    CAST(sum(fa.n * fe.n) AS BIGINT) AS dot
+       |  FROM f fa JOIN f fe ON fe.bucket = fa.bucket
+       |  WHERE NOT (${testPred("fa.doc_id")})
+       |    AND ${testPred("fe.doc_id")} GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (SELECT g.doc_id AS train_id, te.test_id,
+       |    g.r, g.g2,
+       |    CAST(g.r AS HUGEINT) * te.rv * (coalesce(d.dot, 0) + 1) AS vg
+       |  FROM gn g CROSS JOIN te LEFT JOIN dots d
+       |    ON d.train_id = g.doc_id AND d.test_id = te.test_id),
+       |cjs AS MATERIALIZED (SELECT p.*,
+       |    CASE WHEN p.vg >= 0 THEN (1000000 * p.vg) // (l.lam + p.g2)
+       |         ELSE -((1000000 * (-p.vg)) // (l.lam + p.g2)) END AS c
+       |  FROM pairs p CROSS JOIN lam l),
+       |uv AS (SELECT c.test_id, f.bucket,
+       |    sum(CAST(c.c AS HUGEINT) * c.r * f.n) AS u
+       |  FROM cjs c JOIN f ON f.doc_id = c.train_id GROUP BY 1, 2),
+       |ub AS (SELECT test_id, sum(CAST(c AS HUGEINT) * r) AS ubv
+       |  FROM cjs GROUP BY 1),
+       |t2x AS (SELECT f.doc_id AS train_id, u.test_id,
+       |    sum(u.u * f.n) AS ux
+       |  FROM f JOIN uv u ON u.bucket = f.bucket
+       |  WHERE NOT (${testPred("f.doc_id")}) GROUP BY 1, 2),
+       |sc AS (SELECT p.train_id, p.test_id, p.vg,
+       |    CAST(p.r AS HUGEINT)
+       |      * (coalesce(t.ux, 0) + coalesce(b.ubv, 0)) AS t2raw
+       |  FROM pairs p LEFT JOIN t2x t ON t.train_id = p.train_id
+       |      AND t.test_id = p.test_id
+       |    LEFT JOIN ub b ON b.test_id = p.test_id),
+       |fin AS (SELECT x.train_id, x.test_id,
+       |    CASE WHEN x.df >= 0 THEN (1000000 * x.df) // (l.ntr * l.lam)
+       |         ELSE -((1000000 * (-x.df)) // (l.ntr * l.lam)) END AS score
+       |  FROM (SELECT s.train_id, s.test_id,
+       |      l2.ntr * s.vg -
+       |        (CASE WHEN s.t2raw >= 0 THEN s.t2raw // 1000000
+       |              ELSE -((-s.t2raw) // 1000000) END) AS df
+       |    FROM sc s CROSS JOIN lam l2) x CROSS JOIN lam l)
+       |SELECT train_id, CAST(count(*) AS BIGINT) AS n_tests,
+       |  CAST(sum(score) AS BIGINT) AS datainf_sum_micro
+       |FROM fin GROUP BY train_id ORDER BY train_id""".stripMargin
 
   private def tracinSelfOracle: String =
     s"""WITH RECURSIVE $exp2ConstsCtes,
@@ -1267,6 +1349,7 @@ object LlmQueries14 {
     "curation_data_diet" -> dataDietOracle,
     "curation_rho_loss" -> rhoLossOracle,
     "value_tracin_panel" -> tracinOracle(c => s"$c IN $tracinPanelSub"),
+    "value_datainf_panel" -> datainfOracle(c => s"$c IN $tracinPanelSub"),
     "value_tracin_self" -> tracinSelfOracle,
     "quality_conformal" -> conformalOracle,
     "quality_group_loss" -> groupLossOracle,

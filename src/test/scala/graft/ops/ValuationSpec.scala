@@ -235,6 +235,80 @@ class ValuationSpec extends SparkSpec {
       got2.sortBy(t => (t._1, t._2, t._3)).toSeq)
   }
 
+  test("datainf: exact sequential replay of the Sherman–Morrison chain; invariance") {
+    import spark.implicits._
+    val r = new scala.util.Random(61)
+    val good = (1 to 8).map(i => s"good$i")
+    val bad = (1 to 8).map(i => s"bad$i")
+    def doc(v: Seq[String]) =
+      (1 to 10).map(_ => v(r.nextInt(v.size))).mkString(" ")
+    val train = ((1 to 15).map(i => (i.toLong, doc(good), 1)) ++
+      (16 to 30).map(i => (i.toLong, doc(bad), 0))).toDF("doc_id", "text", "label")
+    val test = Seq((101L, doc(good), 1), (102L, doc(bad), 0),
+      (103L, doc(good), 1)).toDF("doc_id", "text", "label")
+    val dim = 16; val iters = 3; val lrDen = 8L
+    def side(d: org.apache.spark.sql.DataFrame) =
+      (QualityModel.hashedFeatures(d, dim),
+        d.select(col("doc_id").as("id"), col("label").cast("long").as("y")))
+    val (ftr, ltr) = side(train); val (fte, lte) = side(test)
+    val got = Valuation.datainfInfluenceFromFeats(ftr, ltr, fte, lte,
+        dim, iters, lrNum = 1L, lrDen = lrDen)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+      .sortBy(_._1)
+    assert(got.length == 30 && got.forall(_._2 == 3L))
+    // ---- sequential replay: same trajectory, every floor in BigInt ----
+    val feats = (ftr.collect() ++ fte.collect())
+      .map(row => (row.getLong(0), row.getLong(1).toInt, row.getLong(2)))
+    val ys = (1 to 30).map(i => i.toLong -> (if (i <= 15) 1L else 0L)).toMap ++
+      Map(101L -> 1L, 102L -> 0L, 103L -> 1L)
+    val (w, b) = QualityModel.logisticTrajectoryMicro(train, dim, iters,
+      lrNum = 1L, lrDen = lrDen).last
+    def resid(id: Long): Long = {
+      val m = b + feats.collect { case (i, k, n) if i == id => n * w(k) }.sum
+      graft.functions.ExactMicroOps.sigmoidMicro(m) - ys(id) * 1000000L
+    }
+    def sdiv(a: BigInt, d: BigInt): BigInt =
+      if (a.signum >= 0) a / d else -((-a) / d)
+    val trIds = (1L to 30L).toSeq; val teIds = Seq(101L, 102L, 103L)
+    val rs = (trIds ++ teIds).map(i => i -> BigInt(resid(i))).toMap
+    def vecOf(id: Long) = feats.collect { case (i, k, n) if i == id => (k, n) }
+    val g2 = trIds.map { j =>
+      j -> rs(j) * rs(j) * (vecOf(j).map(t => t._2 * t._2).sum + 1L) }.toMap
+    val lam = BigInt(1L).max(g2.values.sum / (10 * trIds.length))
+    def dot(i: Long, v: Long) = {
+      val mv = vecOf(v).toMap
+      vecOf(i).map { case (k, n) => n * mv.getOrElse(k, 0L) }.sum + 1L
+    }
+    val cjs = (for (j <- trIds; v <- teIds) yield {
+      val vg = rs(j) * rs(v) * dot(j, v)
+      (j, v) -> (vg, sdiv(1000000 * vg, lam + g2(j)))
+    }).toMap
+    // u_v over buckets + bias coordinate, then term2 per (i, v)
+    val expected = trIds.map { i =>
+      val sc = teIds.map { v =>
+        val uv = Array.fill(dim)(BigInt(0)); var ub = BigInt(0)
+        for (j <- trIds) {
+          val c = cjs((j, v))._2
+          for ((k, n) <- vecOf(j)) uv(k) += c * rs(j) * n
+          ub += c * rs(j)
+        }
+        val ux = vecOf(i).map { case (k, n) => uv(k) * n }.sum
+        val t2 = sdiv(rs(i) * (ux + ub), 1000000)
+        sdiv(1000000 * (trIds.length * cjs((i, v))._1 - t2),
+          trIds.length * lam).toLong
+      }.sum
+      (i, 3L, sc)
+    }
+    assert(got.toSeq == expected,
+      got.zip(expected).filter(x => x._1 != x._2).take(5).toString)
+    // partition invariance
+    val got2 = Valuation.datainfInfluenceFromFeats(ftr.repartition(7), ltr,
+        fte, lte, dim, iters, lrNum = 1L, lrDen = lrDen)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == got2.toSeq)
+  }
+
   test("panel guards fail loudly on corpus-sized test panels") {
     import spark.implicits._
     val docs = (1 to 20).map(i => (i.toLong, s"w$i w${i + 1}", i % 2))
