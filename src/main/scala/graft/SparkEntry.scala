@@ -35,6 +35,7 @@ object SparkEntry {
       graft.queries.LlmQueries15.queries ++
       graft.queries.LlmQueries16.queries ++
       graft.queries.LlmQueries17.queries ++
+      graft.queries.LlmQueries18.queries ++
       graft.queries.PqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.queries.LlmQueries15.oracle ++
       graft.queries.LlmQueries16.oracle ++
       graft.queries.LlmQueries17.oracle ++
+      graft.queries.LlmQueries18.oracle ++
       graft.queries.PqQueries.oracle
 }

@@ -1264,4 +1264,71 @@ object Curation {
       .withColumn("improvement_micro",
         col("kl_random_micro") - col("kl_selected_micro"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions (Lin 1991; Kilgarriff 2001's corpus-comparison
+    * posture) — the mix family's "how different are my sources
+    * REALLY" readout: two sources with near-zero JSD are redundant
+    * mixture components (their mix weights trade off freely); a
+    * source far from every other carries signal no reweighting of the
+    * rest recovers. Distributions live in the same hashed-unigram
+    * bucket space as DSIR ([[dsirSelect]]), Laplace-smoothed the same
+    * way, so the numbers are directly comparable with
+    * `mix_dsir_eval`'s KL column.
+    *
+    * JSD(p, q) = ½·KL(p ‖ m) + ½·KL(q ‖ m), m = (p+q)/2, computed
+    * per bucket as p·(lg 2p − lg(p+q)) + q·(lg 2q − lg(p+q)) over
+    * micro probabilities — each bucket's term is ≥ 0 in exact reals
+    * (log-sum inequality), the floored-lg sum is divided
+    * magnitude-then-sign by 2·unit. Bounded: 0 ≤ JSD ≤ 1 bit
+    * (10⁶ micro) for any pair. Envelope: |term| ≤ 2·unit·lg-range
+    * ≈ 2·10⁶·2·10⁶ per bucket, × buckets ≤ 2²⁰ ≈ 8.4·10¹⁸ — at the
+    * Long edge, so the per-pair sum is carried in DECIMAL(38,0).
+    *
+    * Scale shape: ONE combine-agg over the corpus to (source, bucket)
+    * counts; everything after — the dense source×bucket grid (zero
+    * buckets still carry Laplace mass), the bucket-keyed pair join,
+    * the per-pair sum — is source×bucket-bounded (sources are a
+    * handful; B ≤ 2²⁰). Output is the upper triangle, one row per
+    * source pair. */
+  def sourceJsdMatrix(docs: DataFrame, buckets: Int = 256,
+      seed: Int = 31, sourceCol: String = "source",
+      textCol: String = "text", unit: Long = 1000000L): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20), "buckets in [2, 2^20]")
+    val lg = graft.functions.VectorFunctions.log2_micro _
+    val dec = "DECIMAL(38,0)"
+    val cnt = docs
+      .select(col(sourceCol).as("src"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("src"), (Dedup.hashStr(col("w"), seed) % buckets).as("b"))
+      .groupBy(col("src"), col("b")).agg(count(lit(1)).as("c"))
+    val tots = cnt.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    // dense grid: every (source, bucket) cell, zero counts included
+    val ps = tots
+      .select(col("src"), col("n"),
+        explode(sequence(lit(0L), lit(buckets - 1L))).as("b"))
+      .join(cnt, Seq("src", "b"), "left")
+      .select(col("src"), col("b"), col("n"),
+        expr(s"greatest(($unit * (coalesce(c, 0L) + 1)) div (n + $buckets), 1L)")
+          .as("p"))
+      .localCheckpoint(false) // S×B rows; both sides of the pair join
+    ps.select(col("src").as("src_a"), col("b"), col("n").as("n_tokens_a"),
+        col("p").as("__pa"))
+      .join(ps.select(col("src").as("src_b"), col("b"),
+        col("n").as("n_tokens_b"), col("p").as("__pb")), Seq("b"))
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("__t", expr(s"CAST(__pa AS $dec)") *
+        (lg(col("__pa") * 2L) - lg(col("__pa") + col("__pb"))) +
+        expr(s"CAST(__pb AS $dec)") *
+        (lg(col("__pb") * 2L) - lg(col("__pa") + col("__pb"))))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(first(col("n_tokens_a")).as("n_tokens_a"),
+        first(col("n_tokens_b")).as("n_tokens_b"),
+        sum(col("__t")).as("__s"))
+      .withColumn("jsd_micro", expr(
+        s"""CAST(CASE WHEN __s >= 0 THEN __s div (2 * $unit)
+           |  ELSE -((-__s) div (2 * $unit)) END AS BIGINT)""".stripMargin))
+      .drop("__s")
+  }
 }

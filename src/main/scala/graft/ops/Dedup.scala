@@ -290,6 +290,80 @@ object Dedup {
       idCol, textCol)
       .filter(col("jaccard") >= threshold)
 
+  /** b-bit minwise hashing (Li & König, WWW 2010 / CACM 2011): store
+    * only the lowest `b` bits of each of `numHashes` minhash
+    * components and recover resemblance from the b-bit collision rate
+    * — the signature-width scale path. At 100 TB a 64-bit × K
+    * signature store is itself tens of TB; b = 2 cuts the stored and
+    * shuffled signature bytes 32× while the paper's estimator keeps
+    * the estimate usable: collisions now happen by chance with
+    * probability ~1/2^b, so the raw rate P_b overstates resemblance
+    * and the unbiased form divides the excess out,
+    *
+    *   R̂ = (P_b − 1/2^b) / (1 − 1/2^b)
+    *
+    * (the paper's Theorem 1 in its r₁, r₂ → 0 limit — the sparse
+    * regime where each doc's shingle set is vanishingly small against
+    * the shingle universe, which md5-hashed word shingles satisfy; the
+    * full C₁/C₂ correction needs the universe-relative set sizes and
+    * collapses to this form there). Negative excess clamps to 0.
+    *
+    * For each candidate pair this emits the b-bit estimate NEXT TO the
+    * plain minhash estimate (k_full/K) and the exact shingle Jaccard,
+    * all in floored micro over exact integer counts — the calibration
+    * readout that says whether b bits suffice at the corpus's actual
+    * similarity levels (the `dedup_lsh_calibration` posture
+    * ([[lshBandPlanCurveSql]]), one level down the compression
+    * ladder).
+    *
+    * Scale shape: signatures are ONE combine-agg ([[minhashSignatures]]);
+    * the per-perm long relation joins the bounded candidate-pair set
+    * (broadcast) keyed by doc id, so the corpus is never paired with
+    * itself; the exact-Jaccard verify reuses [[jaccardVerify]]'s
+    * bounded inter/size joins. */
+  def bBitMinhashEstimate(docs: DataFrame, pairs: DataFrame, b: Int = 2,
+      numHashes: Int = 16, unit: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(b >= 1 && b <= 16, s"b=$b out of [1, 16]")
+    require(numHashes >= 2 && numHashes <= 64, "numHashes in [2, 64]")
+    val mask = 1L << b
+    val sig = minhashSignatures(docs, numHashes, idCol, textCol)
+    val long = sig.select(col("id"), explode(array((0 until numHashes).map(
+        i => struct(lit(i).as("perm"), col(s"h$i").as("hv"))): _*)).as("__s"))
+      .select(col("id"), col("__s.perm").as("perm"), col("__s.hv").as("hv"))
+    val pr = broadcast(pairs.select(col("id_a"), col("id_b")))
+    val matches = long.join(pr, long("id") === pr("id_a"))
+      .select(col("id_a"), col("id_b"), col("perm"), col("hv").as("__ha"))
+      .join(long.select(col("id").as("id_b"), col("perm"),
+        col("hv").as("__hb")), Seq("id_b", "perm"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(when(col("__ha") === col("__hb"), 1L).otherwise(0L))
+          .as("k_full"),
+        sum(when(col("__ha") % mask === col("__hb") % mask, 1L)
+          .otherwise(0L)).as("k_bbit"))
+    val grams = explodedShingles(docs, idCol, textCol)
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val jac = pr
+      .join(grams.select(col("id").as("id_a"), col("gram")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("gram")),
+        Seq("id_b", "gram"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__i"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("__sa")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("__sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr(s"($unit * __i) div (__sa + __sb - __i)").as("jaccard_micro"))
+    matches.join(jac, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("k_full"), col("k_bbit"),
+        expr(s"($unit * k_full) div $numHashes").as("minhash_est_micro"),
+        expr(s"""CASE WHEN $mask * k_bbit <= $numHashes THEN 0L
+               |  ELSE ($unit * ($mask * k_bbit - $numHashes))
+               |    div (${numHashes}L * ${mask - 1}L) END""".stripMargin)
+          .as("bbit_est_micro"),
+        coalesce(col("jaccard_micro"), lit(0L)).as("jaccard_micro"))
+  }
+
   /** SimHash signature (default 16 bits): bit j is the sign of the sum of
     * ±1 votes from each distinct word's hash bit j. */
   def simhashSignatures(docs: DataFrame, bits: Int = 16,

@@ -2631,6 +2631,46 @@ object TextAnalysis {
       .orderBy(col("f"))
   }
 
+  /** Per-source vocabulary coverage and richness — the "which source
+    * still has unseen words to give" curation readout behind corpus
+    * growth decisions: the Good–Turing missing mass p₀ = N₁/N (Good
+    * 1953 — the leave-one-out probability that the NEXT token drawn
+    * from this source is a word never seen in it; [[goodTuringSpectrum]]
+    * reports the corpus-wide value, this is its per-source split) and
+    * the bias-corrected Chao1 vocabulary-richness estimate (Chao 1984;
+    * the 1987 bias-corrected form V + N₁(N₁−1)/(2(N₂+1)), defined even
+    * when no doubletons exist) — how many word TYPES the source's true
+    * vocabulary likely holds, observed or not. A source with high p₀ /
+    * Chao1 far above its observed type count is under-sampled; one with
+    * p₀ ≈ 0 is exhausted and more of it only repeats itself.
+    *
+    * Exact: both estimators are rational over integer counts — p₀ in
+    * floored micro, Chao1 floored to whole types.
+    *
+    * Scale shape: (source, word) counts in one combine-agg (vocabulary-
+    * sized intermediate, the [[goodTuringSpectrum]] shape), then a
+    * second combine-agg down to one row per source. No windows, no
+    * joins; at 100 TB it is two map-side-combined passes. */
+  def missingMassBySource(docs: DataFrame, unit: Long = 1000000L,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val wc = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    wc.groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("f") === 2L, 1L).otherwise(0L)).as("n_doubletons"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_singletons"), col("n_doubletons"),
+        expr(s"($unit * n_singletons) div n_tokens").as("p0_micro"),
+        expr("""n_types + (n_singletons * (n_singletons - 1))
+               |  div (2 * (n_doubletons + 1))""".stripMargin)
+          .as("chao1_types"))
+  }
+
   /** Simple Good–Turing smoothing fit (Gale & Sampson 1995) over the
     * [[goodTuringSpectrum]]: the raw estimator's N_{f+1} gaps (every
     * unobserved frequency zeroes f*) are filled by the log-log

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.T
+
+/** Round-16 registry, second batch: per-source vocabulary coverage
+  * (Good–Turing missing mass + Chao1 richness — the "which source is
+  * under-sampled" growth readout), the pairwise Jensen–Shannon source
+  * divergence matrix (Lin 1991 / Kilgarriff 2001 corpus comparison —
+  * the mix family's redundancy detector), and b-bit minwise hashing
+  * (Li & König 2010 — the 32× signature-compression scale path for
+  * MinHash, gated as a calibration readout against the plain
+  * estimator and exact Jaccard).
+  */
+object LlmQueries18 {
+
+  private def normSql(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Per-source Good–Turing missing mass and Chao1 vocabulary richness
+    * ([[graft.ops.TextAnalysis.missingMassBySource]]): p₀ = N₁/N per
+    * source (the probability the source's next token is a never-seen
+    * word) and the bias-corrected Chao1 type-count estimate — the
+    * corpus-growth readout ranking sources by how much unseen
+    * vocabulary they still hold. */
+  def textMissingMass(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.missingMassBySource(
+        T.par(spark, T.t(spark, dir, "documents")))
+      .orderBy(col("source"))
+
+  /** Pairwise source JSD matrix
+    * ([[graft.ops.Curation.sourceJsdMatrix]]): Jensen–Shannon
+    * divergence over DSIR's hashed-unigram bucket space for every
+    * source pair — near-zero rows are redundant mixture components,
+    * far rows are irreplaceable sources. */
+  def mixSourceJsd(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.sourceJsdMatrix(
+        T.par(spark, T.t(spark, dir, "documents")),
+        buckets = 256, seed = 31)
+      .orderBy(col("src_a"), col("src_b"))
+
+  /** b-bit minhash calibration
+    * ([[graft.ops.Dedup.bBitMinhashEstimate]]): over the shared
+    * near-dup candidate pairs (doc_id < 500, the
+    * [[SharedRels.nearDupPairs500]] fixture), the 2-bit estimate from
+    * 16 permutations next to the full-width minhash estimate and the
+    * exact shingle Jaccard — the readout that says whether 2-bit
+    * signatures (a 32× byte cut on the 100 TB signature exchange)
+    * still rank this corpus's near-duplicates correctly. */
+  def dedupMinhashBbit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = T.par(spark, T.t(spark, dir, "documents"))
+      .filter(col("doc_id") < 500)
+    graft.ops.Dedup.bBitMinhashEstimate(docs,
+        SharedRels.nearDupPairs500(spark, dir), b = 2, numHashes = 16)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_missing_mass" -> (textMissingMass _),
+    "mix_source_jsd" -> (mixSourceJsd _),
+    "dedup_minhash_bbit" -> (dedupMinhashBbit _)
+  )
+
+  /** Missing-mass replay: non-distinct token explode, (source, word)
+    * counts, then the per-source spectrum head (N₁, N₂) and both
+    * rational estimators as floor divisions. */
+  private def missingMassOracle: String =
+    s"""WITH toks AS (SELECT source, t.w
+       |  FROM documents, unnest(string_split(${normSql("text")}, ' ')) AS t(w)
+       |  WHERE t.w <> ''),
+       |wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS f
+       |  FROM toks GROUP BY 1, 2),
+       |agg AS (SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(coalesce(sum(CASE WHEN f = 1 THEN 1 END), 0) AS BIGINT)
+       |      AS n_singletons,
+       |    CAST(coalesce(sum(CASE WHEN f = 2 THEN 1 END), 0) AS BIGINT)
+       |      AS n_doubletons
+       |  FROM wc GROUP BY source)
+       |SELECT source, n_tokens, n_types, n_singletons, n_doubletons,
+       |  (1000000 * n_singletons) // n_tokens AS p0_micro,
+       |  n_types + (n_singletons * (n_singletons - 1))
+       |    // (2 * (n_doubletons + 1)) AS chao1_types
+       |FROM agg ORDER BY source""".stripMargin
+
+  /** JSD replay: the DSIR bucket hash (seed 31, B = 256), a dense
+    * source×bucket grid with Laplace micro probabilities, the shared
+    * 16-step fixed-point log₂ over every 2p and p+q value, then the
+    * per-pair signed term sum floored magnitude-then-sign by 2·10⁶. */
+  private def sourceJsdOracle(buckets: Int, seed: Int): String =
+    s"""WITH toks AS (SELECT source AS src,
+       |    ${LlmQueries14.hashSql(seed, "t.w")} % $buckets AS b
+       |  FROM documents, unnest(string_split(${normSql("text")}, ' ')) AS t(w)
+       |  WHERE t.w <> ''),
+       |cnt AS (SELECT src, b, CAST(count(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |tots AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+       |grid AS MATERIALIZED (SELECT t.src, t.n, r.range AS b,
+       |    greatest((1000000 * (coalesce(c.c, 0) + 1)) // (t.n + $buckets), 1)
+       |      AS p
+       |  FROM tots t CROSS JOIN range(0, $buckets) r
+       |  LEFT JOIN cnt c ON c.src = t.src AND c.b = r.range),
+       |vals AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |  SELECT p * 2 AS v FROM grid
+       |  UNION ALL
+       |  SELECT a.p + b2.p FROM grid a
+       |  JOIN grid b2 ON b2.b = a.b AND a.src < b2.src)),
+       |${LlmQueries14.log2ValueCtes},
+       |terms AS (SELECT a.src AS src_a, b2.src AS src_b,
+       |    a.n AS na, b2.n AS nb,
+       |    CAST(a.p AS HUGEINT) * (l2a.l - lab.l)
+       |      + CAST(b2.p AS HUGEINT) * (l2b.l - lab.l) AS t
+       |  FROM grid a JOIN grid b2 ON b2.b = a.b AND a.src < b2.src
+       |  JOIN lg l2a ON l2a.v = a.p * 2
+       |  JOIN lg l2b ON l2b.v = b2.p * 2
+       |  JOIN lg lab ON lab.v = a.p + b2.p),
+       |agg AS (SELECT src_a, src_b, any_value(na) AS n_tokens_a,
+       |    any_value(nb) AS n_tokens_b, sum(t) AS s
+       |  FROM terms GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_tokens_a, n_tokens_b,
+       |  CAST(CASE WHEN s >= 0 THEN s // 2000000
+       |       ELSE -((-s) // 2000000) END AS BIGINT) AS jsd_micro
+       |FROM agg ORDER BY src_a, src_b""".stripMargin
+
+  /** b-bit replay: the [[SharedRels.nearDupPairs500]] pair derivation
+    * (8-perm signatures, 4 bands × 2 rows, exact Jaccard ≥ 0.5) plus a
+    * 16-perm signature relation exploded to (id, perm, hv) rows, the
+    * per-pair full-width and low-2-bit collision counts, and the two
+    * floored-micro estimators next to the exact integer Jaccard. */
+  private def bbitOracle(b: Int, k: Int): String = {
+    val mask = 1L << b
+    val sigCols16 = (0 until k)
+      .map(i => s"min(${LlmQueries14.hashSql(i, "gram")}) AS h$i")
+      .mkString(",\n    ")
+    val hvCase = (0 until k)
+      .map(i => s"WHEN $i THEN h$i").mkString("\n      ")
+    s"""WITH grams AS (
+       |  SELECT doc_id AS id, g.gram
+       |  FROM documents,
+       |       unnest(list_distinct(string_split(${normSql("text")}, ' '))) AS g(gram)
+       |  WHERE g.gram <> '' AND doc_id < 500),
+       |sig AS (SELECT id,
+       |    $sigCols16
+       |  FROM grams GROUP BY id),
+       |bands AS (SELECT id, r.range AS band,
+       |    CASE r.range
+       |      WHEN 0 THEN h0 || ',' || h1
+       |      WHEN 1 THEN h2 || ',' || h3
+       |      WHEN 2 THEN h4 || ',' || h5
+       |      ELSE h6 || ',' || h7 END AS band_key
+       |  FROM sig CROSS JOIN range(4) r),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+       |sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN grams ga ON ga.id = c.id_a
+       |  JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+       |  GROUP BY c.id_a, c.id_b),
+       |pairs AS (SELECT i.id_a, i.id_b,
+       |    (1000000 * i.i) // (sa.sz + sb.sz - i.i) AS jaccard_micro
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.id = i.id_a
+       |  JOIN sizes sb ON sb.id = i.id_b
+       |  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.5),
+       |lng AS (SELECT id, r.range AS perm,
+       |    CASE r.range
+       |      $hvCase
+       |    END AS hv
+       |  FROM sig CROSS JOIN range($k) r),
+       |m AS (SELECT p.id_a, p.id_b,
+       |    CAST(sum(CASE WHEN la.hv = lb.hv THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS k_full,
+       |    CAST(sum(CASE WHEN la.hv % $mask = lb.hv % $mask
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS k_bbit
+       |  FROM pairs p
+       |  JOIN lng la ON la.id = p.id_a
+       |  JOIN lng lb ON lb.id = p.id_b AND lb.perm = la.perm
+       |  GROUP BY 1, 2)
+       |SELECT m.id_a, m.id_b, m.k_full, m.k_bbit,
+       |  (1000000 * m.k_full) // $k AS minhash_est_micro,
+       |  CASE WHEN $mask * m.k_bbit <= $k THEN 0
+       |       ELSE (1000000 * ($mask * m.k_bbit - $k))
+       |         // ($k * ${mask - 1}) END AS bbit_est_micro,
+       |  p.jaccard_micro
+       |FROM m JOIN pairs p ON p.id_a = m.id_a AND p.id_b = m.id_b
+       |ORDER BY m.id_a, m.id_b""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "text_missing_mass" -> missingMassOracle,
+    "mix_source_jsd" -> sourceJsdOracle(256, 31),
+    "dedup_minhash_bbit" -> bbitOracle(2, 16)
+  )
+}

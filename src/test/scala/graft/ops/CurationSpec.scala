@@ -828,4 +828,40 @@ class CurationSpec extends SparkSpec {
       seed = 29).collect().head
     assert(r2.toSeq == r.toSeq)
   }
+
+  test("sourceJsdMatrix: zero for identical sources, bounded, orders by distance") {
+    import spark.implicits._
+    // A and B share the same text; C is vocabulary-disjoint. Token
+    // counts well above the bucket count so the Laplace mass (which
+    // dominates when n << buckets and shrinks every divergence toward
+    // 0 — correct smoothing behavior, wrong fixture) stays small.
+    // vocabularies chosen to hash into DISJOINT buckets at seed 31,
+    // B = 32 (verified against the md5 chain): A/B occupy buckets
+    // {4, 28, 22, 27, 9}, C occupies {18, 11, 23, 14, 13}
+    val a = ("alpha beta gamma delta epsilon " * 30).trim
+    val c = ("omega kappa tau rho nu " * 30).trim
+    val docs = Seq(
+      (1L, a, "A"), (2L, a, "A"),
+      (3L, a, "B"), (4L, a, "B"),
+      (5L, c, "C"), (6L, c, "C"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.sourceJsdMatrix(docs, buckets = 32, seed = 31)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Long]("jsd_micro"))).toMap
+    assert(got.size == 3)
+    // identical distributions: every bucket term is exactly zero
+    assert(got(("A", "B")) == 0L, got.toString)
+    // JSD is bounded by 1 bit; disjoint vocab is far from both
+    assert(got.values.forall(v => v >= 0L && v <= 1000000L), got.toString)
+    assert(got(("A", "C")) > 400000L && got(("B", "C")) > 400000L,
+      got.toString)
+    assert(got(("A", "C")) == got(("B", "C")),
+      "same distribution, same distance")
+    // partition invariance
+    val again = Curation.sourceJsdMatrix(docs.repartition(7),
+      buckets = 32, seed = 31).collect().map(_.toSeq).toSet
+    assert(again == Curation.sourceJsdMatrix(docs, buckets = 32,
+      seed = 31).collect().map(_.toSeq).toSet)
+  }
 }

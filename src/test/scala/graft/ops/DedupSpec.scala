@@ -960,4 +960,57 @@ class DedupSpec extends SparkSpec {
     assert(s5.head.getAs[Long]("span_start") == 3L, s5.head)
     assert(s5.head.getAs[Long]("span_len") == 40L, s5.head)
   }
+
+  test("bBitMinhash: sequential replay, k_bbit >= k_full, identical docs saturate") {
+    import spark.implicits._
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta", // exact dup of 1
+      3L -> "alpha beta gamma delta other words here",
+      4L -> "omega sigma kappa tau rho nu",
+      5L -> "omega sigma kappa something else entirely",
+      6L -> "unrelated vocabulary in this document")
+    val d = texts.toSeq.map { case (i, t) => (i, t) }.toDF("doc_id", "text")
+    val pairs = (for (a <- texts.keys; b <- texts.keys if a < b)
+      yield (a, b)).toSeq.toDF("id_a", "id_b")
+    val k = 16; val b = 2
+    val got = Dedup.bBitMinhashEstimate(d, pairs, b, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(got.size == 15)
+    // a full-width collision is a b-bit collision; never the reverse
+    assert(got.values.forall(v => v._2 >= v._1), got.toString)
+    // exact duplicates: every perm collides, all three readouts saturate
+    assert(got((1L, 2L)) == (16L, 16L, 1000000L, 1000000L, 1000000L))
+    // sequential replay of hashStr -> min -> collision -> estimator
+    def h(seed: Int, s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed|$s".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        dig.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    def shingles(t: String): Set[String] =
+      t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ")
+        .trim.split(" ").filter(_.nonEmpty).toSet
+    def sig(t: String): Seq[Long] =
+      (0 until k).map(i => shingles(t).map(w => h(i, w)).min)
+    for (((a, bb), (kf, kb, mh, be, jm)) <- got) {
+      val (sa, sb) = (sig(texts(a)), sig(texts(bb)))
+      val kfR = sa.zip(sb).count { case (x, y) => x == y }.toLong
+      val kbR = sa.zip(sb).count { case (x, y) => x % 4 == y % 4 }.toLong
+      assert((kf, kb) == (kfR, kbR), s"pair ($a,$bb)")
+      assert(mh == 1000000L * kfR / k)
+      assert(be == (if (4 * kbR <= k) 0L
+        else 1000000L * (4 * kbR - k) / (k * 3)))
+      val (ga, gb) = (shingles(texts(a)), shingles(texts(bb)))
+      val inter = (ga & gb).size.toLong
+      assert(jm == 1000000L * inter / (ga.size + gb.size - inter))
+    }
+    // partition invariance
+    val again = Dedup.bBitMinhashEstimate(d.repartition(7), pairs, b, k)
+      .collect().map(_.toSeq).toSet
+    assert(again == Dedup.bBitMinhashEstimate(d, pairs, b, k)
+      .collect().map(_.toSeq).toSet)
+  }
 }

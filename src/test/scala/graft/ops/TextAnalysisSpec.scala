@@ -1259,4 +1259,23 @@ class TextAnalysisSpec extends SparkSpec {
         r.getAs[Long]("df"), r.getAs[Long]("burstiness_micro")))
     assert(got.toSeq == Seq(("x", 6L, 3L, 2000000L), ("y", 3L, 3L, 1000000L)))
   }
+
+  test("missingMassBySource: hand-derived p0 and Chao1; invariance") {
+    import spark.implicits._
+    // A: tokens (a a b) -> N=3 types=2 N1=1 N2=1, p0=1/3, chao1=2+0=2
+    // B: tokens (x y z) -> all singletons, p0=1, chao1=3+3*2/2=6
+    val docs = Seq((1L, "a a b", "A"), (2L, "x y", "B"), (3L, "z", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.missingMassBySource(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("A", 3L, 2L, 1L, 1L, 333333L, 2L),
+      ("B", 3L, 3L, 3L, 0L, 1000000L, 6L)), got.mkString(","))
+    val again = TextAnalysis.missingMassBySource(docs.repartition(5))
+      .collect().map(_.toSeq).toSet
+    assert(again == TextAnalysis.missingMassBySource(docs)
+      .collect().map(_.toSeq).toSet)
+  }
 }
