@@ -443,7 +443,22 @@ object ScaleProbe {
       // (the corpus-TOKEN-sized window relation, the n/5 form)
       "decon_substring_ledger" -> SparkEntry.queries("decon_substring_ledger"),
       "text_kn_lm_score" -> SparkEntry.queries("text_kn_lm_score"),
-      "dedup_substring_tokens" -> SparkEntry.queries("dedup_substring_tokens"))
+      "dedup_substring_tokens" -> SparkEntry.queries("dedup_substring_tokens"),
+      // round-16 batch 2: token-window decon (train windows scale, the
+      // copy-0 doc_id < 50 benchmark stays fixed — the production decon
+      // shape), D4 (corpus assignment/pair relations scale against the
+      // fixed copy-0-trained centroids), DataInf (GD margin/gradient
+      // scans and the |train|×32 pair relation scale; the panel stays
+      // 32 hash-lowest docs), source JSD + missing mass (ONE corpus
+      // combine-agg each; everything downstream is source- or
+      // vocabulary-bounded). dedup_minhash_bbit is NOT probed: its
+      // doc_id < 500 slice is copy-0-only by construction, so nothing
+      // in it scales with the synthetic corpus.
+      "decon_substring_tokens" -> SparkEntry.queries("decon_substring_tokens"),
+      "curation_d4_select" -> SparkEntry.queries("curation_d4_select"),
+      "value_datainf_panel" -> SparkEntry.queries("value_datainf_panel"),
+      "mix_source_jsd" -> SparkEntry.queries("mix_source_jsd"),
+      "text_missing_mass" -> SparkEntry.queries("text_missing_mass"))
 
     // optional probe-name filter (comma-separated) for incremental runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")

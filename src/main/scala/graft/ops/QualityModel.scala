@@ -1059,6 +1059,66 @@ object QualityModel {
         expr("__tg div n_docs").as("ece_micro"), col("mce_micro"))
   }
 
+  /** Grid-exact temperature scaling (Guo et al., "On Calibration of
+    * Modern Neural Networks", ICML 2017 §4.2) of the final-epoch GD
+    * model: rescale every logit m → m/T and pick the temperature
+    * minimizing validation NLL. The paper optimizes T by LBFGS; the
+    * continuous optimum is irrational, so the exact-arithmetic form
+    * evaluates the NLL on a FIXED rational temperature grid (the
+    * caller passes micro temperatures, conventionally T = 2^(k/8)
+    * over k ∈ [−16, 16] — ±2 octaves in eighth-octave steps) and
+    * selects the grid argmin, ties to the smaller T. NLL is convex in
+    * 1/T, so the grid bracket around the argmin certifies the
+    * continuous optimum to grid resolution.
+    *
+    * Exact chain per (doc, T): scaled margin ⌊m·10⁶/T⌋
+    * (magnitude-then-sign), p = sigmoidMicro, clamp p_true ≥ 1, loss
+    * = log₂10⁶ − log₂ p_true in micro bits (the [[gdCurveFromEpochs]]
+    * loss convention, so before/after NLLs are directly comparable
+    * with `quality_gd_curve`). T = 10⁶ reproduces the uncalibrated
+    * row exactly.
+    *
+    * Output: one row per grid temperature — (t_micro, n_docs,
+    * nll_sum_micro, is_best).
+    *
+    * Scale shape: ONE corpus×|grid| pass (grid is a broadcast literal
+    * array, |grid| ≤ 64 enforced), map-side combined down to |grid|
+    * rows; the argmin runs on the |grid|-row aggregate. At 100 TB the
+    * margins table is the [[logisticEpochScoresMicro]] fixture every
+    * other readout already shares. */
+  def temperatureScaleFromEpochs(ep: DataFrame, iters: Int,
+      grid: Seq[Long], unit: Long = 1000000L): DataFrame = {
+    require(grid.nonEmpty && grid.size <= 64 && grid.forall(_ >= 1L),
+      s"grid of ${grid.size} temperatures out of [1, 64]")
+    require(grid.distinct.size == grid.size, "duplicate grid temperature")
+    val lg = graft.functions.VectorFunctions.log2_micro _
+    val lgU = graft.functions.ExactMicroOps.log2Micro(unit)
+    val agg = ep
+      .filter(col("epoch") === iters.toLong)
+      .withColumn("__y",
+        ((col("margin") > 0L) === col("correct")).cast("long"))
+      .select(col("margin"), col("__y"),
+        explode(lit(grid.toArray)).as("t_micro"))
+      .withColumn("__ms", expr(
+        s"""CASE WHEN margin >= 0 THEN (margin * $unit) div t_micro
+           |ELSE -((-margin * $unit) div t_micro) END""".stripMargin))
+      .withColumn("__p",
+        graft.functions.VectorFunctions.sigmoid_micro(col("__ms")))
+      .withColumn("__pt", greatest(
+        when(col("__y") === 1L, col("__p"))
+          .otherwise(lit(unit) - col("__p")), lit(1L)))
+      .withColumn("__loss", lit(lgU) - lg(col("__pt")))
+      .groupBy(col("t_micro"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__loss")).as("nll_sum_micro"))
+      .localCheckpoint(false) // |grid| rows; argmin + output
+    val best = agg.orderBy(col("nll_sum_micro"), col("t_micro"))
+      .limit(1).select(col("t_micro"), lit(true).as("__b"))
+    agg.join(broadcast(best), Seq("t_micro"), "left")
+      .select(col("t_micro"), col("n_docs"), col("nll_sum_micro"),
+        coalesce(col("__b"), lit(false)).as("is_best"))
+  }
+
   /** Exact Murphy (1973) decomposition of the Brier score of the
     * final-epoch GD model over equal-width probability bins — the
     * companion readout to [[calibrationError]]'s ECE/MCE that SPLITS a

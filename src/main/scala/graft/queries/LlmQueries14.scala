@@ -213,6 +213,25 @@ object LlmQueries14 {
     graft.ops.QualityModel.calibrationErrorFromEpochs(ep3x16(spark, dir),
       iters = 3)
 
+  /** The temperature grid shared by the Spark kernel and the DuckDB
+    * replay: T = 2^(k/8) in exact micro for k ∈ [−16, 16] (±2 octaves
+    * in eighth-octave steps, T = 10⁶ exactly at k = 0 — the
+    * uncalibrated row). A hyperparameter CONSTANT, computed once from
+    * the same fixed-point exp2 chain both engines implement. */
+  private[queries] val tempGrid: Seq[Long] =
+    (-16 to 16).map(k =>
+      graft.functions.ExactMicroOps.exp2Micro(k * 125000L))
+
+  /** Grid-exact temperature scaling (Guo et al. ICML 2017,
+    * [[graft.ops.QualityModel.temperatureScaleFromEpochs]]) of the
+    * shared final-epoch GD model: NLL at every grid temperature with
+    * the argmin flagged — the one-parameter post-hoc calibration the
+    * ECE/Brier readouts diagnose the need for. */
+  def qualityTempScale(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.temperatureScaleFromEpochs(
+        ep3x16(spark, dir), iters = 3, tempGrid)
+      .orderBy(col("t_micro"))
+
   /** Murphy (1973) Brier decomposition of the final-epoch GD model
     * ([[graft.ops.QualityModel.brierDecomposition]]): reliability −
     * resolution + uncertainty over the same equal-width bins as
@@ -349,6 +368,7 @@ object LlmQueries14 {
     "value_datainf_panel" -> (valueDatainfPanel _),
     "value_tracin_self" -> (valueTracinSelf _),
     "quality_conformal" -> (qualityConformal _),
+    "quality_temp_scale" -> (qualityTempScale _),
     "quality_group_loss" -> (qualityGroupLoss _),
     "quality_ece" -> (qualityEce _),
     "quality_brier_decomp" -> (qualityBrierDecomp _),
@@ -805,6 +825,46 @@ object LlmQueries14 {
        |SELECT train_id, CAST(count(*) AS BIGINT) AS n_tests,
        |  CAST(sum(score) AS BIGINT) AS datainf_sum_micro
        |FROM fin GROUP BY train_id ORDER BY train_id""".stripMargin
+
+  /** Temperature-scaling replay: final-epoch margins, the literal
+    * temperature grid (the SAME Scala-computed exp2 micro constants
+    * the kernel uses — a hyperparameter, not data), scaled margins on
+    * a composite (doc·100 + t_idx) key through the shared sigmoid
+    * chain, per-temperature NLL via the log2 value CTEs, argmin tie
+    * to the smaller T. */
+  private def tempScaleOracle: String = {
+    val gridVals = tempGrid.zipWithIndex
+      .map { case (t, i) => s"($i, $t)" }.mkString(", ")
+    s"""WITH RECURSIVE $exp2ConstsCtes,
+       |${epochsCtes(iters = 3, lrDen = 16L)},
+       |fm AS (SELECT doc_id, y, m FROM ep WHERE epoch = 3),
+       |grid AS MATERIALIZED (SELECT * FROM (VALUES $gridVals)
+       |  AS g(t_idx, t_micro)),
+       |mt AS (SELECT f.doc_id * 100 + g.t_idx AS doc_id, f.y,
+       |    CAST(CASE WHEN f.m >= 0 THEN (f.m * 1000000) // g.t_micro
+       |         ELSE -(((-f.m) * 1000000) // g.t_micro) END AS BIGINT) AS m
+       |  FROM fm f CROSS JOIN grid g),
+       |${sigmoidCtes("T", "mt")},
+       |et AS (SELECT doc_id % 100 AS t_idx,
+       |    greatest(CASE WHEN y = 1 THEN p ELSE 1000000 - p END, 1) AS pt
+       |  FROM pT),
+       |vals AS MATERIALIZED (SELECT DISTINCT pt AS v FROM et
+       |  UNION SELECT 1000000),
+       |$log2ValueCtes,
+       |per AS MATERIALIZED (SELECT e.t_idx,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(l6.l - lp.l) AS BIGINT) AS nll_sum_micro
+       |  FROM et e JOIN lg lp ON lp.v = e.pt
+       |  CROSS JOIN (SELECT l FROM lg WHERE v = 1000000) l6
+       |  GROUP BY 1),
+       |bst AS (SELECT g.t_micro FROM per JOIN grid g USING (t_idx)
+       |  ORDER BY per.nll_sum_micro, g.t_micro LIMIT 1)
+       |SELECT CAST(g.t_micro AS BIGINT) AS t_micro, per.n_docs,
+       |  per.nll_sum_micro,
+       |  g.t_micro = (SELECT t_micro FROM bst) AS is_best
+       |FROM per JOIN grid g USING (t_idx)
+       |ORDER BY t_micro""".stripMargin
+  }
 
   private def tracinSelfOracle: String =
     s"""WITH RECURSIVE $exp2ConstsCtes,
@@ -1352,6 +1412,7 @@ object LlmQueries14 {
     "value_datainf_panel" -> datainfOracle(c => s"$c IN $tracinPanelSub"),
     "value_tracin_self" -> tracinSelfOracle,
     "quality_conformal" -> conformalOracle,
+    "quality_temp_scale" -> tempScaleOracle,
     "quality_group_loss" -> groupLossOracle,
     "quality_ece" -> eceOracle,
     "quality_brier_decomp" -> brierOracle,

@@ -687,4 +687,48 @@ class QualityModelSpec extends SparkSpec {
         ce == es.count(_._3).toLong, s"doc $id stats mismatch")
     }
   }
+
+  test("temperatureScale: exact replay, T=1 is identity, cooling fixes overconfidence") {
+    import spark.implicits._
+    import graft.functions.ExactMicroOps
+    // a deliberately OVERCONFIDENT model: huge margins, 3 of 12 wrong
+    // -> NLL minimized at some T > 1 (softening), never at T <= 1
+    val rows = (1 to 9).map(i => (i.toLong, 1, 8000000L, true)) ++
+      (10 to 12).map(i => (i.toLong, 1, -9000000L, false))
+    val ep = rows.toDF("doc_id", "epoch", "margin", "correct")
+    val grid = (-8 to 8).map(k => ExactMicroOps.exp2Micro(k * 500000L))
+    val got = QualityModel.temperatureScaleFromEpochs(ep, iters = 1, grid)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(got.length == grid.size && got.count(_._4) == 1)
+    assert(got.forall(_._2 == 12L))
+    val best = got.find(_._4).get
+    assert(best._1 > 1000000L, s"overconfident model must cool: $best")
+    // sequential replay of the exact chain at every grid point
+    val lgU = ExactMicroOps.log2Micro(1000000L)
+    def sdiv(a: Long, d: Long): Long = if (a >= 0) a / d else -((-a) / d)
+    for ((t, _, nll, _) <- got) {
+      val want = rows.map { case (_, _, m, correct) =>
+        val y = if ((m > 0L) == correct) 1L else 0L
+        val p = ExactMicroOps.sigmoidMicro(sdiv(m * 1000000L, t))
+        val pt = math.max(if (y == 1L) p else 1000000L - p, 1L)
+        lgU - ExactMicroOps.log2Micro(pt)
+      }.sum
+      assert(nll == want, s"T=$t")
+    }
+    // a well-calibrated hand model keeps T = 1 as the argmin: margins
+    // whose sigmoid matches the empirical accuracy (m=0 -> p=1/2, half
+    // wrong). All temperatures tie (p=1/2 under any T); tie -> smallest
+    val flat = ((1 to 2).map(i => (i.toLong, 1, 0L, true)) ++
+      (3 to 4).map(i => (i.toLong, 1, 0L, false))).toDF(
+      "doc_id", "epoch", "margin", "correct")
+    val g2 = QualityModel.temperatureScaleFromEpochs(flat, 1, grid)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(g2.find(_._2).get._1 == grid.min)
+    // partition invariance
+    val again = QualityModel.temperatureScaleFromEpochs(
+      ep.repartition(5), iters = 1, grid)
+      .collect().map(_.toSeq).toSet
+    assert(again == got.map(t => Seq(t._1, t._2, t._3, t._4)).toSet)
+  }
 }
