@@ -729,6 +729,16 @@ object QualityModel {
       docs.select(col(idCol).as("id"),
         col(labelCol).cast("long").as("y")).localCheckpoint())
 
+  /** [[trajectoryFrom]] as a public entry point — the trained-artifact
+    * fixture hook: a caller that shares ONE panel-excluded trajectory
+    * across several valuation readouts (the `value_tracin_panel` /
+    * `value_datainf_panel` pair) trains here once and passes the
+    * result through the kernels' `trajOpt` parameters. */
+  def trajectoryFromFeats(feats: DataFrame, labels: DataFrame,
+      dim: Int = 64, iters: Int = 3, lrNum: Long = 1L,
+      lrDen: Long = 16L): Seq[(Array[Long], Long)] =
+    trajectoryFrom(feats, labels, dim, iters, lrNum, lrDen)
+
   private[ops] def trajectoryFrom(feats: DataFrame, labels: DataFrame,
       dim: Int, iters: Int, lrNum: Long,
       lrDen: Long): Seq[(Array[Long], Long)] = {

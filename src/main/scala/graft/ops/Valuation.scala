@@ -270,11 +270,16 @@ object Valuation {
     * train–train relation ever materializes. */
   def datainfInfluenceFromFeats(fTr: DataFrame, lTr: DataFrame,
       fTe: DataFrame, lTe: DataFrame, dim: Int = 64, iters: Int = 3,
-      lrNum: Long = 1L, lrDen: Long = 16L,
-      maxPanel: Int = 4096): DataFrame = {
+      lrNum: Long = 1L, lrDen: Long = 16L, maxPanel: Int = 4096,
+      trajOpt: Option[Seq[(Array[Long], Long)]] = None): DataFrame = {
     requireBoundedPanel(lTe, maxPanel, "datainfInfluence")
     val dec = "DECIMAL(38,0)"
-    val traj = QualityModel.trajectoryFrom(fTr, lTr, dim, iters, lrNum, lrDen)
+    // trajOpt: a pre-trained [[QualityModel.trajectoryFromFeats]] run
+    // over the SAME (fTr, lTr, dim, iters, lr) — the shared-fixture
+    // contract (caller's responsibility, like bucketsOpt in
+    // [[Curation.dsirSelect]])
+    val traj = trajOpt.getOrElse(
+      QualityModel.trajectoryFrom(fTr, lTr, dim, iters, lrNum, lrDen))
     def residFinal(f: DataFrame, l: DataFrame) =
       QualityModel.marginsAllEpochs(f, l, traj)
         .filter(col("epoch") === iters)
@@ -358,10 +363,13 @@ object Valuation {
   def tracinInfluenceFromFeats(fTr: DataFrame, lTr: DataFrame,
       fTe: DataFrame, lTe: DataFrame, dim: Int = 64, iters: Int = 3,
       lrNum: Long = 1L, lrDen: Long = 16L, topK: Int = 3,
-      maxPanel: Int = 4096): DataFrame = {
+      maxPanel: Int = 4096,
+      trajOpt: Option[Seq[(Array[Long], Long)]] = None): DataFrame = {
     require(topK >= 1, "topK must be positive")
     requireBoundedPanel(lTe, maxPanel, "tracinInfluence")
-    val traj = QualityModel.trajectoryFrom(fTr, lTr, dim, iters, lrNum, lrDen)
+    // trajOpt: see [[datainfInfluenceFromFeats]] — same contract
+    val traj = trajOpt.getOrElse(
+      QualityModel.trajectoryFrom(fTr, lTr, dim, iters, lrNum, lrDen))
     // Σ_t r_i,t·r_j,t: ONE epoch-keyed broadcast join of the one-pass
     // all-checkpoints residual relations (panel side broadcast) — the
     // per-side margin scans collapse to a single aggregation each

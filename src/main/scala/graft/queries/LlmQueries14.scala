@@ -160,7 +160,9 @@ object LlmQueries14 {
     val (fTr, lTr) = gdSide(spark, dir, panel, "left_anti")
     val (fTe, lTe) = gdSide(spark, dir, panel, "left_semi")
     graft.ops.Valuation.tracinInfluenceFromFeats(fTr, lTr, fTe, lTe,
-        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L, topK = 3)
+        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L, topK = 3,
+        trajOpt = Some(
+          SharedRels.panelGdTrajectory3x16(spark, dir, fTr, lTr)))
       .orderBy(col("test_id"), col("kind"), col("rank"))
   }
 
@@ -179,7 +181,9 @@ object LlmQueries14 {
     val (fTr, lTr) = gdSide(spark, dir, panel, "left_anti")
     val (fTe, lTe) = gdSide(spark, dir, panel, "left_semi")
     graft.ops.Valuation.datainfInfluenceFromFeats(fTr, lTr, fTe, lTe,
-        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L,
+        trajOpt = Some(
+          SharedRels.panelGdTrajectory3x16(spark, dir, fTr, lTr)))
       .orderBy(col("train_id"))
   }
 

@@ -190,6 +190,25 @@ object SharedRels {
         T.par(spark, T.t(spark, dir, "documents")), k = 8)
     }
 
+  /** The panel-excluded GD trajectory (dim 64, 3 iters, lr 1/16)
+    * shared by the `value_tracin_panel` / `value_datainf_panel` pair:
+    * both valuation estimators score IDENTICAL gradients (that is the
+    * point of gating them side by side), so the trajectory trains
+    * once per session instead of once per readout — at production
+    * scale it is the training job's published checkpoint list, which
+    * valuation readouts consume, never re-derive. The caller passes
+    * the panel-excluded (feats, labels) BY NAME; the fixture contract
+    * (same 32-doc hash-lowest panel, same hyperparameters) is the
+    * callers' — both registry builders derive the sides from the same
+    * `gdSide` helper, so the key cannot diverge from the inputs. */
+  def panelGdTrajectory3x16(spark: SparkSession, dir: String,
+      fTr: => org.apache.spark.sql.DataFrame,
+      lTr: => org.apache.spark.sql.DataFrame): Seq[(Array[Long], Long)] =
+    memoVal(spark, dir, "panelGdTrajectory3x16") {
+      graft.ops.QualityModel.trajectoryFromFeats(fTr, lTr,
+        dim = 64, iters = 3, lrNum = 1L, lrDen = 16L)
+    }
+
   /** 8 BPE merges trained on the doc_id < 500 slice — the
     * `artifact_train_serve` maintenance-job split. */
   def bpeMerges500x8(spark: SparkSession, dir: String): Seq[(String, String)] =

@@ -82,4 +82,21 @@ class SharedRelsSpec extends SparkSpec {
     assert(m1.nonEmpty)
     SharedRels.clear(spark)
   }
+
+  test("panel trajectory trains once; by-name sides untouched on the hit") {
+    import org.apache.spark.sql.functions.col
+    SharedRels.clear(spark)
+    val docs = SharedRels.labeledDocs(spark, dir)
+    val f = graft.ops.QualityModel.hashedFeatures(docs, 64)
+    val l = docs.select(col("doc_id").as("id"),
+      col("label").cast("long").as("y"))
+    val t1 = SharedRels.panelGdTrajectory3x16(spark, dir, f, l)
+    assert(t1.length == 3 && t1.head._1.length == 64)
+    // second consumer: same instance, and the by-name frames must NOT
+    // be evaluated (a frame that throws on use proves it)
+    def boom = sys.error("fixture hit must not touch the sides")
+    val t2 = SharedRels.panelGdTrajectory3x16(spark, dir, { boom }, { boom })
+    assert(t2 eq t1, "trajectory fixture must not retrain")
+    SharedRels.clear(spark)
+  }
 }
