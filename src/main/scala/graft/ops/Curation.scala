@@ -994,6 +994,78 @@ object Curation {
     centers.result().toDF("rank", "vec_id", "radius_sq")
   }
 
+  /** Facility-location submodular selection (Lin & Bilmes, ACL 2011 —
+    * the coverage objective behind submodular data-subset selection):
+    * greedily pick k candidates maximizing F(S) = Σ_corpus max_{j∈S}
+    * sim(i, j), the "every corpus point is near some selected point"
+    * criterion — the coverage-seeking complement of
+    * [[coresetKCenter]]'s worst-case radius and `sim_mmr_rerank`'s
+    * candidate-internal diversity. The greedy argmax carries the
+    * classic (1 − 1/e) guarantee because F is monotone submodular —
+    * which the similarity floor enforces: sim = max(idot, 0) over
+    * micro-quantized vectors (exact integer dots; negative cosine
+    * regions contribute zero coverage, keeping F monotone).
+    *
+    * Exact chain: sims in micro² (dot of two micro vectors), per-round
+    * marginal gains Σ max(sim − cur, 0) summed in DECIMAL(38,0)
+    * (corpus-sized sums of ≤ dim·10¹² terms overflow Long past ~10⁵
+    * rows), argmax pinned (gain desc, cid asc), coverage update cur′ =
+    * max(cur, sim(·, pick)). Reported gain is floored to micro
+    * (÷ 10⁶).
+    *
+    * Scale shape: the (corpus × pool) sim relation is built ONCE
+    * (pool ≤ maxPool enforced — at 100 TB the pool is a pre-selected
+    * bounded candidate set: cluster centroids, a stratified sample)
+    * and checkpointed; each of the k rounds is one join + one
+    * map-side-combined gain aggregation + a 1-row collect, plus an
+    * n-row coverage update — k·(n·P) work, the greedy algorithm's
+    * inherent cost, with NO corpus×corpus relation ever built. */
+  def facilityLocationSelect(corpus: DataFrame, pool: DataFrame,
+      k: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
+      maxPool: Int = 256): DataFrame = {
+    require(k >= 1 && k <= 64, s"k=$k out of [1, 64]")
+    val spark = corpus.sparkSession
+    val dec = "DECIMAL(38,0)"
+    val nPool = pool.count()
+    require(nPool >= k && nPool <= maxPool,
+      s"facilityLocationSelect: pool of $nPool outside [$k, $maxPool] — " +
+        "the gain aggregation is corpus×pool-sized; pre-select a bounded " +
+        "candidate set (centroids, a stratified sample) at scale")
+    val cm = corpus.select(col(idCol).as("id"),
+      Similarity.microVec(col(vecCol)).as("v"))
+    val cand = broadcast(pool.select(col(idCol).as("cid"),
+      Similarity.microVec(col(vecCol)).as("cv")))
+    val sims = cm.crossJoin(cand)
+      .select(col("id"), col("cid"),
+        greatest(aggregate(zip_with(col("v"), col("cv"), _ * _),
+          lit(0L), _ + _), lit(0L)).as("sim"))
+      .localCheckpoint(false) // every round's gain agg + coverage update
+    var cur = cm.select(col("id"), lit(0L).as("cur"))
+      .localCheckpoint(false)
+    var selected = Seq.empty[Long]
+    val picks = Seq.newBuilder[(Long, Long, Long)] // (rank, cid, gain)
+    for (r <- 1 to k) {
+      val row = sims.join(cur, Seq("id"))
+        .filter(if (selected.isEmpty) lit(true)
+          else !col("cid").isin(selected: _*))
+        .groupBy(col("cid"))
+        .agg(sum(expr(s"CAST(greatest(sim - cur, 0L) AS $dec)")).as("g"))
+        .orderBy(col("g").desc, col("cid")).limit(1)
+        .select(col("cid"),
+          expr(s"CAST(g div 1000000 AS BIGINT)").as("gm"))
+        .collect()(0)
+      val pick = row.getLong(0)
+      picks += ((r.toLong, pick, row.getLong(1)))
+      selected :+= pick
+      cur = cur.join(sims.filter(col("cid") === pick)
+          .select(col("id"), col("sim")), Seq("id"))
+        .select(col("id"), greatest(col("cur"), col("sim")).as("cur"))
+        .localCheckpoint(false)
+    }
+    import spark.implicits._
+    picks.result().toDF("rank", idCol, "gain_micro")
+  }
+
   /** DoReMi-shaped domain reweighting (Xie et al., NeurIPS 2023):
     * exponentiated-gradient updates of the pretraining mixture weights
     * from per-domain EXCESS LOSS, with the final mixture the average of

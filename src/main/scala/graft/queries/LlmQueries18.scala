@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.T
+import LlmQueries9.ExactSql
 
 /** Round-16 registry, second batch: per-source vocabulary coverage
   * (Good–Turing missing mass + Chao1 richness — the "which source is
@@ -56,10 +57,24 @@ object LlmQueries18 {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Facility-location data selection
+    * ([[graft.ops.Curation.facilityLocationSelect]], Lin & Bilmes
+    * 2011): greedy k = 8 coverage-maximizing picks from the vec_id <
+    * 64 candidate pool against the FULL embeddings corpus — the
+    * submodular "every point near some selected point" objective,
+    * with per-round marginal gains reported in micro. */
+  def curationFacilitySelect(spark: SparkSession, dir: String): DataFrame = {
+    val emb = T.par(spark, T.t(spark, dir, "embeddings"))
+    graft.ops.Curation.facilityLocationSelect(emb,
+        emb.filter(col("vec_id") < 64), k = 8)
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_missing_mass" -> (textMissingMass _),
     "mix_source_jsd" -> (mixSourceJsd _),
-    "dedup_minhash_bbit" -> (dedupMinhashBbit _)
+    "dedup_minhash_bbit" -> (dedupMinhashBbit _),
+    "curation_facility_select" -> (curationFacilitySelect _)
   )
 
   /** Missing-mass replay: non-distinct token explode, (source, word)
@@ -189,9 +204,52 @@ object LlmQueries18 {
        |ORDER BY m.id_a, m.id_b""".stripMargin
   }
 
+  /** Facility-location replay: micro-quantized vectors, the ONE
+    * corpus×pool sim relation (exact idot floored at 0), then k
+    * unrolled greedy rounds — DECIMAL-summed marginal gains with the
+    * selected set excluded, (gain desc, cid asc) argmax pins, and the
+    * max-coverage update — the [[graft.ops.Curation
+    * .facilityLocationSelect]] chain construct for construct. */
+  private def facilityOracle(k: Int, poolMax: Long): String = {
+    val rounds = (1 to k).map { r =>
+      val exclude = if (r == 1) ""
+        else s"\n  WHERE s.cid NOT IN (SELECT cid FROM selAll${r - 1})"
+      val sel = if (r == 1) s"selAll1 AS (SELECT cid FROM p1)"
+        else s"""selAll$r AS (SELECT cid FROM selAll${r - 1}
+                |  UNION ALL SELECT cid FROM p$r)""".stripMargin
+      s"""g$r AS (SELECT s.cid,
+         |    sum(CAST(greatest(s.sim - c.cur, 0) AS HUGEINT)) AS gain
+         |  FROM sims s JOIN cur${r - 1} c USING (id)$exclude
+         |  GROUP BY s.cid),
+         |p$r AS MATERIALIZED (SELECT cid, gain FROM g$r
+         |  ORDER BY gain DESC, cid LIMIT 1),
+         |cur$r AS MATERIALIZED (SELECT c.id,
+         |    greatest(c.cur, s.sim) AS cur
+         |  FROM cur${r - 1} c JOIN sims s ON s.id = c.id
+         |    AND s.cid = (SELECT cid FROM p$r)),
+         |$sel""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { r =>
+      s"SELECT $r AS rank, cid, gain FROM p$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH cm AS MATERIALIZED (SELECT vec_id,
+       |    ${ExactSql.microList("embedding")} AS v FROM embeddings),
+       |cand AS (SELECT vec_id AS cid, v AS cv FROM cm
+       |  WHERE vec_id < $poolMax),
+       |sims AS MATERIALIZED (SELECT c.vec_id AS id, d.cid,
+       |    greatest(${ExactSql.idot("c.v", "d.cv")}, 0) AS sim
+       |  FROM cm c CROSS JOIN cand d),
+       |cur0 AS (SELECT vec_id AS id, CAST(0 AS BIGINT) AS cur FROM cm),
+       |$rounds
+       |SELECT CAST(rank AS BIGINT) AS rank, cid AS vec_id,
+       |  CAST(gain // 1000000 AS BIGINT) AS gain_micro
+       |FROM ($out) ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "text_missing_mass" -> missingMassOracle,
     "mix_source_jsd" -> sourceJsdOracle(256, 31),
-    "dedup_minhash_bbit" -> bbitOracle(2, 16)
+    "dedup_minhash_bbit" -> bbitOracle(2, 16),
+    "curation_facility_select" -> facilityOracle(8, 64L)
   )
 }

@@ -864,4 +864,51 @@ class CurationSpec extends SparkSpec {
     assert(again == Curation.sourceJsdMatrix(docs, buckets = 32,
       seed = 31).collect().map(_.toSeq).toSet)
   }
+
+  test("facilityLocationSelect: sequential replay, diminishing gains, pool guard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val dims = 6
+    val rows = (1L to 40L).map(i =>
+      (i, Seq.fill(dims)(rnd.nextDouble() * 2 - 1)))
+    val emb = rows.toDF("vec_id", "emb_d")
+      .select(col("vec_id"),
+        col("emb_d").cast("array<float>").as("embedding"))
+    val got = Curation.facilityLocationSelect(emb,
+        emb.filter(col("vec_id") <= 12L), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 5 && got.map(_._1).toSeq == (1L to 5L))
+    // submodularity: marginal gains never increase along the greedy path
+    assert(got.map(_._3).sliding(2).forall(p => p(0) >= p(1)),
+      got.mkString(","))
+    // sequential replay: same micro quantization, floored sims, greedy
+    def micro(v: Seq[Double]): Array[Long] =
+      v.map(x => math.floor(x.toFloat.toDouble * 1e6).toLong).toArray
+    val vs = rows.map { case (i, v) => i -> micro(v) }.toMap
+    def sim(a: Long, b: Long): Long =
+      math.max(vs(a).zip(vs(b)).map { case (x, y) => x * y }.sum, 0L)
+    val poolIds = (1L to 12L).toSeq
+    var cur = rows.map(_._1 -> 0L).toMap
+    var sel = Seq.empty[Long]
+    val expect = (1 to 5).map { r =>
+      val (cid, g) = poolIds.filterNot(sel.contains).map { j =>
+        j -> rows.map { case (i, _) => math.max(sim(i, j) - cur(i), 0L) }
+          .map(BigInt(_)).sum
+      }.maxBy { case (j, g) => (g, -j) }
+      sel :+= cid
+      cur = cur.map { case (i, c) => i -> math.max(c, sim(i, cid)) }
+      (r.toLong, cid, (g / 1000000).toLong)
+    }
+    assert(got.toSeq == expect, s"${got.toSeq} vs $expect")
+    // partition invariance
+    val again = Curation.facilityLocationSelect(emb.repartition(7),
+      emb.filter(col("vec_id") <= 12L), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+    // corpus-sized pools fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Curation.facilityLocationSelect(emb, emb, k = 2, maxPool = 10)
+    }
+    assert(e.getMessage.contains("pool of 40"))
+  }
 }
