@@ -1013,13 +1013,16 @@ object Curation {
     * max(cur, sim(·, pick)). Reported gain is floored to micro
     * (÷ 10⁶).
     *
-    * Scale shape: the (corpus × pool) sim relation is built ONCE
+    * Scale shape: the per-row pool-similarity ARRAY is built once
     * (pool ≤ maxPool enforced — at 100 TB the pool is a pre-selected
-    * bounded candidate set: cluster centroids, a stratified sample)
-    * and checkpointed; each of the k rounds is one join + one
-    * map-side-combined gain aggregation + a 1-row collect, plus an
-    * n-row coverage update — k·(n·P) work, the greedy algorithm's
-    * inherent cost, with NO corpus×corpus relation ever built. */
+    * bounded candidate set: cluster centroids, a stratified sample;
+    * the collected candidate vectors ride as literals) and
+    * checkpointed; each of the k rounds is then ONE map-side-combined
+    * posexplode+gain aggregation down to a P-row collect, with the
+    * coverage-so-far computed inline from the picked array slots (no
+    * per-round join, no per-round checkpoint) — k·(n·P) work, the
+    * greedy algorithm's inherent cost, with NO corpus×corpus relation
+    * ever built. */
   def facilityLocationSelect(corpus: DataFrame, pool: DataFrame,
       k: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
       maxPool: Int = 256): DataFrame = {
@@ -1031,36 +1034,50 @@ object Curation {
       s"facilityLocationSelect: pool of $nPool outside [$k, $maxPool] — " +
         "the gain aggregation is corpus×pool-sized; pre-select a bounded " +
         "candidate set (centroids, a stratified sample) at scale")
-    val cm = corpus.select(col(idCol).as("id"),
-      Similarity.microVec(col(vecCol)).as("v"))
-    val cand = broadcast(pool.select(col(idCol).as("cid"),
-      Similarity.microVec(col(vecCol)).as("cv")))
-    val sims = cm.crossJoin(cand)
-      .select(col("id"), col("cid"),
-        greatest(aggregate(zip_with(col("v"), col("cv"), _ * _),
-          lit(0L), _ + _), lit(0L)).as("sim"))
-      .localCheckpoint(false) // every round's gain agg + coverage update
-    var cur = cm.select(col("id"), lit(0L).as("cur"))
+    // candidate vectors collected once (pool is loudly bounded above),
+    // cid-sorted so the array index order is deterministic
+    val candArr = pool.select(col(idCol).as("cid"),
+        Similarity.microVec(col(vecCol)).as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    // per corpus row, ALL pool similarities as one array column — built
+    // once, map-only, checkpointed; every greedy round then reads this
+    // relation in a SINGLE posexplode+aggregate job (the per-round
+    // join/checkpoint chain was 3× the job count for identical values)
+    val candMatrix = typedLit(candArr.map(_._2.toSeq).toSeq)
+    val withDots = corpus
+      .select(Similarity.microVec(col(vecCol)).as("v"))
+      // one transform over the literal candidate matrix — P separate
+      // fold expressions in one projection blow the codegen method
+      // budget into interpreted mode; the loop form stays compiled
+      .withColumn("dots", transform(candMatrix, cv =>
+        greatest(aggregate(zip_with(col("v"), cv, _ * _),
+          lit(0L), _ + _), lit(0L))))
+      .select(col("dots"))
       .localCheckpoint(false)
-    var selected = Seq.empty[Long]
+    var selIdx = Seq.empty[Int]
     val picks = Seq.newBuilder[(Long, Long, Long)] // (rank, cid, gain)
     for (r <- 1 to k) {
-      val row = sims.join(cur, Seq("id"))
-        .filter(if (selected.isEmpty) lit(true)
-          else !col("cid").isin(selected: _*))
-        .groupBy(col("cid"))
-        .agg(sum(expr(s"CAST(greatest(sim - cur, 0L) AS $dec)")).as("g"))
-        .orderBy(col("g").desc, col("cid")).limit(1)
-        .select(col("cid"),
-          expr(s"CAST(g div 1000000 AS BIGINT)").as("gm"))
-        .collect()(0)
-      val pick = row.getLong(0)
-      picks += ((r.toLong, pick, row.getLong(1)))
-      selected :+= pick
-      cur = cur.join(sims.filter(col("cid") === pick)
-          .select(col("id"), col("sim")), Seq("id"))
-        .select(col("id"), greatest(col("cur"), col("sim")).as("cur"))
-        .localCheckpoint(false)
+      // coverage so far = max over picked similarities (all ≥ 0)
+      val curExpr = if (selIdx.isEmpty) lit(0L)
+        else greatest((lit(0L) +: selIdx.map(i =>
+          col("dots")(i))): _*)
+      val gains = withDots
+        .select(curExpr.as("cur"),
+          posexplode(col("dots")).as(Seq("idx", "s")))
+        .groupBy(col("idx"))
+        .agg(sum(expr(s"CAST(greatest(s - cur, 0L) AS $dec)")).as("g"))
+        .collect()
+        .map(row => (row.getInt(0),
+          BigInt(row.getDecimal(1).toBigInteger)))
+        .toMap
+      // argmax over unselected candidates: gain desc, cid asc
+      val (idx, g) = gains.toSeq
+        .filterNot { case (i, _) => selIdx.contains(i) }
+        .maxBy { case (i, gv) => (gv, -candArr(i)._1) }
+      picks += ((r.toLong, candArr(idx)._1, (g / 1000000L).toLong))
+      selIdx :+= idx
     }
     import spark.implicits._
     picks.result().toDF("rank", idCol, "gain_micro")
