@@ -686,4 +686,53 @@ class PlanSpec extends SparkSpec {
     assert(globals.isEmpty,
       "the Z-transform neighbors must come from the triangular join, not a global window")
   }
+
+  test("datainf: panel relations broadcast; no cartesian beyond them; no global window") {
+    val p = plan(queries.LlmQueries14.valueDatainfPanel(spark, dir))
+    // the only nested-loop/cross shapes allowed are broadcasts of the
+    // 32-doc panel residuals and the 1-row lambda aggregate
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"non-broadcast nested loop:\n$p")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = queries.LlmQueries14.valueDatainfPanel(spark, dir)
+      .queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+    assert(globals.isEmpty, "no global window in the DataInf chain")
+  }
+
+  test("b-bit minhash: candidate pairs broadcast against the perm relation; no cartesian") {
+    val p = plan(queries.LlmQueries18.dedupMinhashBbit(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"pairs must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(p).isEmpty,
+      s"non-broadcast nested loop:\n$p")
+  }
+
+  test("source JSD / missing mass: one corpus combine-agg each; no cartesian") {
+    val pj = plan(queries.LlmQueries18.mixSourceJsd(spark, dir))
+    assert(!pj.contains("CartesianProduct"), pj)
+    assert("(?<!Broadcast)NestedLoop".r.findFirstIn(pj).isEmpty,
+      s"non-broadcast nested loop:\n$pj")
+    // the corpus-token explode feeds a partial_count before its
+    // exchange (map-side combine on the (src, b) key)
+    val hashAggs = "HashAggregate".r.findAllIn(pj).length
+    assert(hashAggs >= 2, s"expected combine-agg pairs:\n$pj")
+    val pm = plan(queries.LlmQueries18.textMissingMass(spark, dir))
+    assert(!pm.contains("CartesianProduct"), pm)
+  }
+
+  test("temperature scale: one corpus pass over the grid explode; argmin broadcasts") {
+    val p = plan(queries.LlmQueries14.qualityTempScale(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1-row argmin must broadcast back:\n$p")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = queries.LlmQueries14.qualityTempScale(spark, dir)
+      .queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+    assert(globals.isEmpty, "grid argmin must not be a global window")
+  }
 }
