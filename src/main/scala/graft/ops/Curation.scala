@@ -994,6 +994,64 @@ object Curation {
     centers.result().toDF("rank", "vec_id", "radius_sq")
   }
 
+  /** Class-balanced mixture weights by EFFECTIVE number of samples
+    * (Cui et al., CVPR 2019): the re-weighting family's answer to "n
+    * raw counts overstate big strata because samples overlap" — the
+    * effective number E_n = (1 − βⁿ)/(1 − β) saturates at 1/(1 − β)
+    * as a stratum grows, so weights w ∝ 1/E_n interpolate between
+    * no re-weighting (β = 0) and inverse-frequency (β → 1). The
+    * standard imbalance correction for a mixing plan over
+    * heavy-tailed source/language strata.
+    *
+    * Exact chain: βⁿ in micro by LSB-first square-and-multiply with a
+    * truncating ÷10⁶ after every multiply — deterministic and
+    * replayed bit-for-bit by the oracle's recursive-CTE pow (the
+    * [[graft.functions.ExactMicroOps.exp2Micro]] discipline applied
+    * to a data-dependent exponent); E_n, the raw weight, and the
+    * Σ = 10⁶-normalized weight are single floor divisions each.
+    *
+    * Scale shape: ONE map-side-combined count aggregation; everything
+    * after runs on the strata-bounded relation (loud `maxStrata`
+    * guard) driver-side — the [[graft.ops.Linkage.fellegiSunterEm]]
+    * bounded-sufficient-statistic posture. */
+  def classBalancedWeights(df: DataFrame, strataCol: String,
+      betaMicro: Long = 999000L, unit: Long = 1000000L,
+      maxStrata: Int = 1024): DataFrame = {
+    require(betaMicro >= 0L && betaMicro < unit,
+      s"betaMicro=$betaMicro out of [0, $unit)")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty && counts.length <= maxStrata,
+      s"classBalancedWeights: ${counts.length} strata outside " +
+        s"[1, $maxStrata] — the per-stratum walk is driver-side")
+    def powMicro(n: Long): Long = { // LSB-first square-and-multiply
+      var acc = BigInt(unit); var base = BigInt(betaMicro); var rem = n
+      while (rem > 0) {
+        if ((rem & 1L) == 1L) acc = acc * base / unit
+        base = base * base / unit
+        rem >>= 1
+      }
+      acc.toLong
+    }
+    val oneMinusB = unit - betaMicro
+    val rows = counts.map { case (s, n) =>
+      val bp = powMicro(n)
+      // E_n = (1 − βⁿ)/(1 − β), micro; β = 0 ⇒ E_n = 10⁶ (= 1 sample
+      // of worth per sample); raw weight ∝ 1/E_n
+      val eff = (BigInt(unit - bp) * unit / oneMinusB).toLong
+      val wraw = (BigInt(unit) * oneMinusB / (unit - bp)).toLong
+      (s, n, bp, eff, wraw)
+    }
+    val wsum = rows.map(r => BigInt(r._5)).sum
+    import spark.implicits._
+    rows.map { case (s, n, bp, eff, wraw) =>
+      (s, n, bp, eff, (BigInt(unit) * wraw / wsum).toLong)
+    }.toSeq.toDF("stratum", "n_docs", "beta_pow_micro",
+      "effective_num_micro", "weight_micro")
+  }
+
   /** Facility-location submodular selection (Lin & Bilmes, ACL 2011 —
     * the coverage objective behind submodular data-subset selection):
     * greedily pick k candidates maximizing F(S) = Σ_corpus max_{j∈S}

@@ -70,11 +70,23 @@ object LlmQueries18 {
       .orderBy(col("rank"))
   }
 
+  /** Class-balanced source weights
+    * ([[graft.ops.Curation.classBalancedWeights]], Cui et al. CVPR
+    * 2019): mixture weights ∝ 1/E_n over the per-source effective
+    * sample numbers at β = 0.999 — the imbalance correction between
+    * raw-count and inverse-frequency weighting. */
+  def mixClassBalanced(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.classBalancedWeights(
+        T.par(spark, T.t(spark, dir, "documents")), "source",
+        betaMicro = 999000L)
+      .orderBy(col("stratum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_missing_mass" -> (textMissingMass _),
     "mix_source_jsd" -> (mixSourceJsd _),
     "dedup_minhash_bbit" -> (dedupMinhashBbit _),
-    "curation_facility_select" -> (curationFacilitySelect _)
+    "curation_facility_select" -> (curationFacilitySelect _),
+    "mix_class_balanced" -> (mixClassBalanced _)
   )
 
   /** Missing-mass replay: non-distinct token explode, (source, word)
@@ -246,10 +258,42 @@ object LlmQueries18 {
        |FROM ($out) ORDER BY rank""".stripMargin
   }
 
+  /** Class-balanced replay: per-source counts, βⁿ via a recursive-CTE
+    * LSB-first square-and-multiply (truncating ÷10⁶ after every
+    * multiply — the Spark kernel's loop, row for row; each stratum
+    * reaches rem = 0 exactly once), then the three floor divisions. */
+  private def classBalancedOracle(betaMicro: Long): String = {
+    val omb = 1000000L - betaMicro
+    s"""WITH RECURSIVE cls AS (SELECT source AS stratum,
+       |    CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+       |pw AS (
+       |  SELECT stratum, n, CAST(1000000 AS HUGEINT) AS acc,
+       |    CAST($betaMicro AS HUGEINT) AS base, n AS rem
+       |  FROM cls
+       |  UNION ALL
+       |  SELECT stratum, n,
+       |    CASE WHEN rem % 2 = 1 THEN (acc * base) // 1000000
+       |         ELSE acc END,
+       |    (base * base) // 1000000,
+       |    rem // 2
+       |  FROM pw WHERE rem > 0),
+       |fin AS (SELECT stratum, n, acc AS bp FROM pw WHERE rem = 0),
+       |w AS (SELECT stratum, n, bp,
+       |    ((1000000 - bp) * 1000000) // $omb AS eff,
+       |    (CAST(1000000 AS HUGEINT) * $omb) // (1000000 - bp) AS wraw
+       |  FROM fin),
+       |t AS (SELECT sum(wraw) AS ws FROM w)
+       |SELECT stratum, n AS n_docs, CAST(bp AS BIGINT) AS beta_pow_micro,
+       |  CAST(eff AS BIGINT) AS effective_num_micro,
+       |  CAST((1000000 * wraw) // ws AS BIGINT) AS weight_micro
+       |FROM w CROSS JOIN t ORDER BY stratum""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "text_missing_mass" -> missingMassOracle,
     "mix_source_jsd" -> sourceJsdOracle(256, 31),
     "dedup_minhash_bbit" -> bbitOracle(2, 16),
-    "curation_facility_select" -> facilityOracle(8, 64L)
+    "curation_facility_select" -> facilityOracle(8, 64L),
+    "mix_class_balanced" -> classBalancedOracle(999000L)
   )
 }

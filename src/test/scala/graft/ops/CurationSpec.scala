@@ -865,6 +865,39 @@ class CurationSpec extends SparkSpec {
       seed = 31).collect().map(_.toSeq).toSet)
   }
 
+  test("classBalancedWeights: hand-derived powers, imbalance monotonicity, beta=0 uniform") {
+    import spark.implicits._
+    // strata A:1 doc, B:3, C:12 — skewed on purpose (the registry
+    // corpus is balanced, so the law lives here)
+    val docs = ((1 to 1).map(i => (i.toLong, "A")) ++
+      (2 to 4).map(i => (i.toLong, "B")) ++
+      (5 to 16).map(i => (i.toLong, "C"))).toDF("doc_id", "source")
+    val got = Curation.classBalancedWeights(docs, "source",
+        betaMicro = 999000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // beta^1 = 999000; beta^3 via the LSB chain: 999000*998001/1e6
+    assert(got("A")._2 == 999000L)
+    assert(got("B")._2 == 997002L, got("B").toString)
+    // bigger stratum -> bigger effective number -> SMALLER weight
+    assert(got("A")._3 < got("B")._3 && got("B")._3 < got("C")._3)
+    assert(got("A")._4 > got("B")._4 && got("B")._4 > got("C")._4)
+    // floored normalization can only undershoot the unit
+    val ws = got.values.map(_._4).sum
+    assert(ws <= 1000000L && ws >= 999997L, ws.toString)
+    // beta = 0: every sample worth 1, weights uniform
+    val flat = Curation.classBalancedWeights(docs, "source",
+        betaMicro = 0L)
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(flat.forall(t => t._1 == 1000000L && t._2 == 333333L),
+      flat.mkString(","))
+    // strata guard fires loudly
+    val e = intercept[IllegalArgumentException] {
+      Curation.classBalancedWeights(docs, "doc_id", maxStrata = 5)
+    }
+    assert(e.getMessage.contains("16 strata"))
+  }
+
   test("facilityLocationSelect: sequential replay, diminishing gains, pool guard") {
     import spark.implicits._
     val rnd = new scala.util.Random(83)
