@@ -1069,6 +1069,59 @@ object QualityModel {
         expr("__tg div n_docs").as("ece_micro"), col("mce_micro"))
   }
 
+  /** Unbiased pass@k (Chen et al., "Evaluating Large Language Models
+    * Trained on Code", 2021 §2.1) — the eval-pipeline estimator for
+    * "given n sampled attempts per task of which c succeeded, what is
+    * the probability at least one of k drawn attempts succeeds":
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k)
+    *
+    * The paper warns the naive 1 − (1 − c/n)^k plug-in is a biased
+    * estimator of the true pass@k; this is their exact unbiased
+    * combinatorial form, computed as the product
+    * Π_{i<k} (n−c−i)/(n−i) with integer numerator/denominator products
+    * in DECIMAL(38,0) and ONE final floor to micro. A zero factor
+    * (c = n, or n−c < k) lands pass@k = 1 exactly; k > n rows are not
+    * emitted (the estimator requires n ≥ k).
+    *
+    * Envelope, ENFORCED in-plan: the products need nᵏ·10⁶ <
+    * 10³⁸, so n > maxAttempts (default 1500, safe through k = 10)
+    * raises loudly instead of silently overflowing to NULL.
+    *
+    * Scale shape: one map-side-combined (task → n, c) aggregation;
+    * the k-explode multiplies the TASK relation (bounded |ks| ≤ 16),
+    * never the attempts. */
+  def passAtK(attempts: DataFrame, ks: Seq[Int] = Seq(1, 5, 10),
+      taskCol: String = "task_id", successCol: String = "success",
+      unit: Long = 1000000L, maxAttempts: Long = 1500L): DataFrame = {
+    require(ks.nonEmpty && ks.size <= 16 && ks.forall(_ >= 1) &&
+      ks.distinct.size == ks.size, "ks: 1..16 distinct positive values")
+    require(maxAttempts <= 1500L,
+      "maxAttempts > 1500 would overflow DECIMAL(38,0) at k = 10")
+    val dec = "DECIMAL(38,0)"
+    attempts
+      .groupBy(col(taskCol).as("task_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("c"))
+      .withColumn("n", expr(
+        s"""CASE WHEN n > $maxAttempts THEN raise_error(concat(
+           |  'passAtK: ', CAST(n AS STRING), ' attempts exceeds the ',
+           |  'exact-product envelope (maxAttempts=$maxAttempts)'))
+           |ELSE n END""".stripMargin))
+      .select(col("task_id"), col("n"), col("c"),
+        explode(lit(ks.map(_.toLong).toArray)).as("k"))
+      .filter(col("k") <= col("n"))
+      .withColumn("__num", expr(
+        s"""aggregate(sequence(0L, k - 1), CAST(1 AS $dec),
+           |  (acc, i) -> acc * greatest(n - c - i, 0L))""".stripMargin))
+      .withColumn("__den", expr(
+        s"""aggregate(sequence(0L, k - 1), CAST(1 AS $dec),
+           |  (acc, i) -> acc * (n - i))""".stripMargin))
+      .select(col("task_id"), col("n"), col("c"), col("k"),
+        expr(s"CAST($unit - (__num * $unit) div __den AS BIGINT)")
+          .as("pass_micro"))
+  }
+
   /** Grid-exact temperature scaling (Guo et al., "On Calibration of
     * Modern Neural Networks", ICML 2017 §4.2) of the final-epoch GD
     * model: rescale every logit m → m/T and pick the temperature

@@ -81,8 +81,22 @@ object LlmQueries18 {
         betaMicro = 999000L)
       .orderBy(col("stratum"))
 
+  /** Unbiased pass@k ([[graft.ops.QualityModel.passAtK]], Chen et al.
+    * 2021): per user-as-task over the events log (purchase =
+    * success), the exact combinatorial estimator at k = 1, 5, 10 —
+    * the eval-harness readout whose naive form the paper shows is
+    * biased high. */
+  def qualityPassAtK(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.passAtK(
+        T.par(spark, T.t(spark, dir, "events"))
+          .select(col("user_id").as("task_id"),
+            (col("event_type") === "purchase").as("success")),
+        ks = Seq(1, 5, 10))
+      .orderBy(col("task_id"), col("k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_missing_mass" -> (textMissingMass _),
+    "quality_pass_at_k" -> (qualityPassAtK _),
     "mix_source_jsd" -> (mixSourceJsd _),
     "dedup_minhash_bbit" -> (dedupMinhashBbit _),
     "curation_facility_select" -> (curationFacilitySelect _),
@@ -289,8 +303,30 @@ object LlmQueries18 {
        |FROM w CROSS JOIN t ORDER BY stratum""".stripMargin
   }
 
+  /** pass@k replay: per-task (n, c), the k grid filtered to k ≤ n,
+    * the two k-term HUGEINT products, one floor to micro. */
+  private def passAtKOracle: String =
+    s"""WITH att AS (SELECT user_id AS task_id,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+       |  FROM events),
+       |tc AS (SELECT task_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(s) AS BIGINT) AS c FROM att GROUP BY 1),
+       |g AS (SELECT task_id, n, c, kk.k FROM tc
+       |  CROSS JOIN (VALUES (1), (5), (10)) kk(k) WHERE kk.k <= n),
+       |p AS (SELECT task_id, n, c, k,
+       |    list_reduce(list_transform(range(0, k),
+       |      i -> CAST(greatest(n - c - i, 0) AS HUGEINT)),
+       |      (a, b) -> a * b) AS num,
+       |    list_reduce(list_transform(range(0, k),
+       |      i -> CAST(n - i AS HUGEINT)), (a, b) -> a * b) AS den
+       |  FROM g)
+       |SELECT task_id, n, c, CAST(k AS BIGINT) AS k,
+       |  CAST(1000000 - (num * 1000000) // den AS BIGINT) AS pass_micro
+       |FROM p ORDER BY task_id, k""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_missing_mass" -> missingMassOracle,
+    "quality_pass_at_k" -> passAtKOracle,
     "mix_source_jsd" -> sourceJsdOracle(256, 31),
     "dedup_minhash_bbit" -> bbitOracle(2, 16),
     "curation_facility_select" -> facilityOracle(8, 64L),

@@ -688,6 +688,47 @@ class QualityModelSpec extends SparkSpec {
     }
   }
 
+  test("passAtK: binomial cross-check, identities, k>n skipped, envelope guard") {
+    import spark.implicits._
+    // tasks: (n, c) = A(6,2) B(4,0) C(3,3) D(8,5) E(2,1)
+    val rows = Seq(("A", 6, 2), ("B", 4, 0), ("C", 3, 3), ("D", 8, 5),
+      ("E", 2, 1)).flatMap { case (t, n, c) =>
+      (1 to n).map(i => (t, i <= c)) }
+    val df = rows.toDF("task_id", "success")
+    val got = QualityModel.passAtK(df, ks = Seq(1, 3, 5))
+      .collect().map(r => (r.getString(0), r.getLong(3)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // k > n rows not emitted: E has n=2 -> only k=1; C n=3 -> k=1,3
+    assert(!got.contains(("E", 3L)) && !got.contains(("E", 5L)))
+    assert(!got.contains(("C", 5L)) && got.size == 11, got.keys.toString)
+    // exact binomial replay: pass@k = 1 - C(n-c,k)/C(n,k), floored micro
+    def binom(n: Long, k: Long): BigInt =
+      if (k > n) BigInt(0)
+      else (0L until k).map(i => BigInt(n - i)).product /
+        (1L to k).map(BigInt(_)).product
+    for (((t, k), (n, c, p)) <- got) {
+      val want = (BigInt(1000000) -
+        BigInt(1000000) * binom(n - c, k) / binom(n, k)).toLong
+      assert(p == want, s"($t, $k): $p vs $want")
+    }
+    // identities: pass@1 = 1 - floor((n-c)/n) in micro; c=0 -> 0;
+    // n-c < k -> exactly 1
+    assert(got(("A", 1L))._3 == 1000000L - 1000000L * 4 / 6)
+    assert(got(("B", 1L))._3 == 0L && got(("B", 3L))._3 == 0L)
+    assert(got(("C", 1L))._3 == 1000000L)
+    assert(got(("D", 5L))._3 == 1000000L, "n-c=3 < k=5 must be certain")
+    // the exact form draws WITHOUT replacement, so pointwise it sits
+    // above the naive 1-(1-c/n)^k plug-in (which resamples failures)
+    val naive = 1000000L - math.round(math.pow(1.0 - 5.0 / 8.0, 3) * 1e6)
+    assert(got(("D", 3L))._3 >= naive)
+    // envelope guard raises loudly
+    val big = (1 to 20).map(i => ("Z", i % 2 == 0)).toDF("task_id", "success")
+    val e = intercept[Exception] {
+      QualityModel.passAtK(big, ks = Seq(1), maxAttempts = 10L).collect()
+    }
+    assert(e.getMessage.contains("passAtK"))
+  }
+
   test("temperatureScale: exact replay, T=1 is identity, cooling fixes overconfidence") {
     import spark.implicits._
     import graft.functions.ExactMicroOps
