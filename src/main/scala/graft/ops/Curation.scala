@@ -994,6 +994,57 @@ object Curation {
     centers.result().toDF("rank", "vec_id", "radius_sq")
   }
 
+  /** ε-differentially-private count release via the GEOMETRIC
+    * mechanism (Ghosh, Roughgarden & Sundararajan, STOC 2009 — the
+    * universally utility-maximizing discrete mechanism; the discrete
+    * Laplace of Dwork et al. 2006): per group, release n + Z where
+    * Z = X₁ − X₂ and each Xᵢ ~ Geometric with decay α = e^(−ε) —
+    * P(Z = z) ∝ α^|z|, the exact ε-DP noise for count queries of
+    * sensitivity 1. This completes the privacy release gate:
+    * k-anonymity / l-diversity / t-closeness audit the QUASI-identifier
+    * side; the DP mechanism protects the released AGGREGATES
+    * themselves.
+    *
+    * Determinism contract (documented, deliberate): the geometric
+    * draws come from content-stable md5 uniforms (key, seed) through
+    * the quantized inverse CDF X = ⌊|lg u| / |lg α|⌋ over the shared
+    * floored-micro log₂ kernel — the engine provides the MECHANISM
+    * with replayable draws so the oracle can gate it bit-for-bit; a
+    * production release swaps the seeded uniforms for fresh entropy
+    * (the only non-replayable ingredient). α itself is the shared
+    * fixed-point chain: α = exp2Micro(−⌊ε·log₂e⌋).
+    *
+    * Output: (stratum, n_true, noise, n_dp) with n_dp = max(n + Z, 0)
+    * (the standard non-negative post-processing, which DP permits);
+    * n_true rides along for the audit harness and is dropped by an
+    * actual release.
+    *
+    * Scale shape: one map-side-combined count aggregation; the noise
+    * is map-only arithmetic on the group-bounded relation. */
+  def dpGeometricCounts(df: DataFrame, keyCol: String,
+      epsMicro: Long = 1000000L, seed: Int = 47,
+      unit: Long = 1000000L): DataFrame = {
+    require(epsMicro >= 100000L && epsMicro <= 20000000L,
+      s"epsMicro=$epsMicro out of [0.1, 20] — alpha would leave the " +
+        "exact log2/exp2 envelope")
+    val lg = graft.functions.VectorFunctions.log2_micro _
+    val lgExp = (BigInt(epsMicro) * 1442695L / unit).toLong
+    val alphaMicro = math.max(
+      graft.functions.ExactMicroOps.exp2Micro(-lgExp), 1L)
+    val lgU6 = graft.functions.ExactMicroOps.log2Micro(unit)
+    val absLgA = lgU6 - graft.functions.ExactMicroOps.log2Micro(alphaMicro)
+    df.groupBy(col(keyCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("__l1",
+        lg(Dedup.hashStr(col("stratum"), seed) % unit + 1L))
+      .withColumn("__l2",
+        lg(Dedup.hashStr(col("stratum"), seed + 1) % unit + 1L))
+      .withColumn("noise", expr(
+        s"(($lgU6 - __l1) div $absLgA) - (($lgU6 - __l2) div $absLgA)"))
+      .select(col("stratum"), col("n_true"), col("noise"),
+        greatest(col("n_true") + col("noise"), lit(0L)).as("n_dp"))
+  }
+
   /** Class-balanced mixture weights by EFFECTIVE number of samples
     * (Cui et al., CVPR 2019): the re-weighting family's answer to "n
     * raw counts overstate big strata because samples overlap" — the

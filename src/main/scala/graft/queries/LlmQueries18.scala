@@ -94,9 +94,21 @@ object LlmQueries18 {
         ks = Seq(1, 5, 10))
       .orderBy(col("task_id"), col("k"))
 
+  /** ε-DP per-source count release
+    * ([[graft.ops.Curation.dpGeometricCounts]], Ghosh et al. 2009
+    * geometric mechanism at ε = 1): the released-aggregate
+    * counterpart of the k-anon/l-div/t-closeness audits, with
+    * content-stable draws so the mechanism itself is oracle-gated. */
+  def privacyDpCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.dpGeometricCounts(
+        T.par(spark, T.t(spark, dir, "documents")), "source",
+        epsMicro = 1000000L, seed = 47)
+      .orderBy(col("stratum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_missing_mass" -> (textMissingMass _),
     "quality_pass_at_k" -> (qualityPassAtK _),
+    "privacy_dp_counts" -> (privacyDpCounts _),
     "mix_source_jsd" -> (mixSourceJsd _),
     "dedup_minhash_bbit" -> (dedupMinhashBbit _),
     "curation_facility_select" -> (curationFacilitySelect _),
@@ -324,9 +336,42 @@ object LlmQueries18 {
        |  CAST(1000000 - (num * 1000000) // den AS BIGINT) AS pass_micro
        |FROM p ORDER BY task_id, k""".stripMargin
 
+  /** DP-counts replay: per-source counts, the two seeded md5 uniforms,
+    * the shared log₂ value CTEs over every drawn u, then the quantized
+    * inverse-CDF geometric draws and their difference. The α-derived
+    * constants (lg 10⁶ and |lg α|) are Scala-computed from the SAME
+    * fixed-point chains and inlined — the tempGrid hyperparameter
+    * convention. */
+  private def dpCountsOracle(epsMicro: Long, seed: Int): String = {
+    val unit = 1000000L
+    val lgExp = (BigInt(epsMicro) * 1442695L / unit).toLong
+    val alphaMicro = math.max(
+      graft.functions.ExactMicroOps.exp2Micro(-lgExp), 1L)
+    val lgU6 = graft.functions.ExactMicroOps.log2Micro(unit)
+    val absLgA = lgU6 -
+      graft.functions.ExactMicroOps.log2Micro(alphaMicro)
+    s"""WITH cnt AS (SELECT source AS stratum,
+       |    CAST(count(*) AS BIGINT) AS n_true FROM documents GROUP BY 1),
+       |dr AS (SELECT stratum, n_true,
+       |    ${LlmQueries14.hashSql(seed, "stratum")} % $unit + 1 AS u1,
+       |    ${LlmQueries14.hashSql(seed + 1, "stratum")} % $unit + 1 AS u2
+       |  FROM cnt),
+       |vals AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |  SELECT u1 AS v FROM dr UNION ALL SELECT u2 FROM dr)),
+       |${LlmQueries14.log2ValueCtes},
+       |x AS (SELECT d.stratum, d.n_true,
+       |    (($lgU6 - la.l) // $absLgA) - (($lgU6 - lb.l) // $absLgA)
+       |      AS noise
+       |  FROM dr d JOIN lg la ON la.v = d.u1 JOIN lg lb ON lb.v = d.u2)
+       |SELECT stratum, n_true, CAST(noise AS BIGINT) AS noise,
+       |  greatest(n_true + noise, 0) AS n_dp
+       |FROM x ORDER BY stratum""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "text_missing_mass" -> missingMassOracle,
     "quality_pass_at_k" -> passAtKOracle,
+    "privacy_dp_counts" -> dpCountsOracle(1000000L, 47),
     "mix_source_jsd" -> sourceJsdOracle(256, 31),
     "dedup_minhash_bbit" -> bbitOracle(2, 16),
     "curation_facility_select" -> facilityOracle(8, 64L),

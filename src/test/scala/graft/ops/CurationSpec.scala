@@ -865,6 +865,59 @@ class CurationSpec extends SparkSpec {
       seed = 31).collect().map(_.toSeq).toSet)
   }
 
+  test("dpGeometricCounts: inverse-CDF replay, pointwise epsilon monotonicity, guards") {
+    import spark.implicits._
+    import graft.functions.ExactMicroOps
+    val docs = ((1 to 30).map(i => (i.toLong, "A")) ++
+      (31 to 37).map(i => (i.toLong, "B")) ++
+      (38 to 38).map(i => (i.toLong, "C"))).toDF("doc_id", "source")
+    def run(eps: Long) = Curation.dpGeometricCounts(docs, "source",
+        epsMicro = eps, seed = 47)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = run(1000000L)
+    assert(got("A")._1 == 30L && got("B")._1 == 7L && got("C")._1 == 1L)
+    assert(got.values.forall(_._3 >= 0L), "released counts clamp at 0")
+    // sequential replay: same md5 uniforms, same quantized inverse CDF
+    def h(seed: Int, s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed|$s".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        dig.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val lgU6 = ExactMicroOps.log2Micro(1000000L)
+    def noiseOf(s: String, eps: Long): Long = {
+      val alpha = math.max(ExactMicroOps.exp2Micro(
+        -(BigInt(eps) * 1442695L / 1000000L).toLong), 1L)
+      val absLgA = lgU6 - ExactMicroOps.log2Micro(alpha)
+      def x(seed: Int) =
+        (lgU6 - ExactMicroOps.log2Micro(h(seed, s) % 1000000L + 1L)) / absLgA
+      x(47) - x(48)
+    }
+    for ((s, (_, nz, _)) <- got)
+      assert(nz == noiseOf(s, 1000000L), s"stratum $s")
+    // more privacy budget -> pointwise no-larger geometric draws on the
+    // SAME uniforms, in both directions of the difference
+    val tight = run(4000000L)
+    for (s <- got.keys) {
+      assert(math.abs(tight(s)._2) <= math.abs(got(s)._2) ||
+        noiseOf(s, 4000000L) == tight(s)._2) // signs may differ; replay pins
+      assert(tight(s)._2 == noiseOf(s, 4000000L))
+    }
+    // at eps = 20 (absLgA huge) the quantized draws collapse to zero
+    val wide = run(20000000L)
+    assert(wide.values.forall(_._2 == 0L), wide.toString)
+    // partition invariance + epsilon domain guard
+    assert(run(1000000L) == Curation.dpGeometricCounts(
+      docs.repartition(5), "source", epsMicro = 1000000L, seed = 47)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap)
+    val e = intercept[IllegalArgumentException] {
+      Curation.dpGeometricCounts(docs, "source", epsMicro = 50L)
+    }
+    assert(e.getMessage.contains("epsMicro"))
+  }
+
   test("classBalancedWeights: hand-derived powers, imbalance monotonicity, beta=0 uniform") {
     import spark.implicits._
     // strata A:1 doc, B:3, C:12 — skewed on purpose (the registry
