@@ -31,25 +31,52 @@ object DevProfile {
     // key-width change actually moves (wall time at sf0.1 hides inside
     // the host band; exchanged bytes do not)
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stageCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-JOB wall time: iterative operators issue dozens of tiny driver
+    // jobs (collects, localCheckpoints, per-round aggregates); the gap
+    // between sum-of-job-time and iteration wall time is driver-side
+    // (planning/codegen), which explain() never shows
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           shuffleBytes.addAndGet(
             s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          stageCount.incrementAndGet()
+          ()
+        }
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobStart.put(j.jobId, j.time); ()
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobStart.remove(j.jobId)).foreach { t0 =>
+            jobLog.add((j.jobId, (j.time - t0) / 1e3))
+          }
           ()
         }
       })
     (1 to n).foreach { i =>
-      shuffleBytes.set(0L)
+      shuffleBytes.set(0L); stageCount.set(0L); jobLog.clear()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       // listener events drain asynchronously; give the bus a beat
       // (listenerBus.waitUntilEmpty is private[spark])
       Thread.sleep(500)
+      import scala.jdk.CollectionConverters._
+      val jobs = jobLog.asScala.toSeq.sortBy(_._1)
+      val jobSum = jobs.map(_._2).sum
       println(f"[profile] $name iter $i: $dt%.3f s " +
-        f"shuffle=${shuffleBytes.get() / 1048576.0}%.1f MiB")
+        f"shuffle=${shuffleBytes.get() / 1048576.0}%.1f MiB " +
+        f"jobs=${jobs.size} stages=${stageCount.get()} " +
+        f"jobSum=$jobSum%.3f s driverGap=${dt - jobSum}%.3f s")
+      if (args.contains("--jobs"))
+        println("[profile]   job times: " + jobs.map {
+          case (id, s) => f"$id:$s%.2f" }.mkString(" "))
     }
     spark.stop()
   }
