@@ -1151,43 +1151,70 @@ object Curation {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
     // per corpus row, ALL pool similarities as one array column — built
-    // once, map-only, checkpointed; every greedy round then reads this
-    // relation in a SINGLE posexplode+aggregate job (the per-round
-    // join/checkpoint chain was 3× the job count for identical values)
+    // once, map-only (the transform over the literal candidate matrix
+    // keeps codegen compiled; P separate fold expressions in one
+    // projection blow the codegen method budget into interpreted mode),
+    // then materialized ONCE as an RDD of primitive arrays. Every
+    // greedy round is then ONE result-stage job — a mapPartitions
+    // partial-gain fold merged on the driver — with NO exchange and no
+    // per-round codegen (the r15 posexplode+groupBy form re-planned,
+    // re-compiled, and ran 2 AQE stage-jobs per round; same k·(n·P)
+    // work, same values).
     val candMatrix = typedLit(candArr.map(_._2.toSeq).toSeq)
-    val withDots = corpus
+    val dotsRdd = corpus
       .select(Similarity.microVec(col(vecCol)).as("v"))
-      // one transform over the literal candidate matrix — P separate
-      // fold expressions in one projection blow the codegen method
-      // budget into interpreted mode; the loop form stays compiled
       .withColumn("dots", transform(candMatrix, cv =>
         greatest(aggregate(zip_with(col("v"), cv, _ * _),
           lit(0L), _ + _), lit(0L))))
       .select(col("dots"))
-      .localCheckpoint(false)
+      .rdd.map(r => r.getSeq[Long](0).toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nP = candArr.length
     var selIdx = Seq.empty[Int]
     val picks = Seq.newBuilder[(Long, Long, Long)] // (rank, cid, gain)
     for (r <- 1 to k) {
-      // coverage so far = max over picked similarities (all ≥ 0)
-      val curExpr = if (selIdx.isEmpty) lit(0L)
-        else greatest((lit(0L) +: selIdx.map(i =>
-          col("dots")(i))): _*)
-      val gains = withDots
-        .select(curExpr.as("cur"),
-          posexplode(col("dots")).as(Seq("idx", "s")))
-        .groupBy(col("idx"))
-        .agg(sum(expr(s"CAST(greatest(s - cur, 0L) AS $dec)")).as("g"))
-        .collect()
-        .map(row => (row.getInt(0),
-          BigInt(row.getDecimal(1).toBigInteger)))
-        .toMap
+      val sel = selIdx.toArray
+      // per-partition Long partials (each row's gain ≤ dim·10¹², so
+      // ≤ ~10⁵ rows fit a Long), flushed into BigInt well before the
+      // envelope — the driver merge is exact, matching the r15
+      // DECIMAL(38,0) sums bit-for-bit
+      val gains: Array[BigInt] = dotsRdd.mapPartitions { it =>
+        val acc = Array.fill(nP)(BigInt(0))
+        val accL = new Array[Long](nP)
+        var sinceFlush = 0
+        def flush(): Unit = {
+          var j = 0
+          while (j < nP) { acc(j) += BigInt(accL(j)); accL(j) = 0L; j += 1 }
+          sinceFlush = 0
+        }
+        while (it.hasNext) {
+          val d = it.next()
+          var cur = 0L
+          var i = 0
+          while (i < sel.length) {
+            val v = d(sel(i)); if (v > cur) cur = v; i += 1
+          }
+          var j = 0
+          while (j < nP) {
+            val g = d(j) - cur; if (g > 0L) accL(j) += g; j += 1
+          }
+          sinceFlush += 1
+          if (sinceFlush >= 65536) flush()
+        }
+        flush()
+        Iterator.single(acc)
+      }.fold(Array.fill(nP)(BigInt(0))) { (a, b) =>
+        Array.tabulate(nP)(j => a(j) + b(j))
+      }
       // argmax over unselected candidates: gain desc, cid asc
-      val (idx, g) = gains.toSeq
+      val (idx, g) = gains.zipWithIndex
+        .map { case (gv, i) => (i, gv) }
         .filterNot { case (i, _) => selIdx.contains(i) }
         .maxBy { case (i, gv) => (gv, -candArr(i)._1) }
       picks += ((r.toLong, candArr(idx)._1, (g / 1000000L).toLong))
       selIdx :+= idx
     }
+    dotsRdd.unpersist(false)
     import spark.implicits._
     picks.result().toDF("rank", idCol, "gain_micro")
   }

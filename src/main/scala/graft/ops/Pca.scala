@@ -286,38 +286,42 @@ object Pca {
     * Output is the flattened (id, idx, value) relation (the
     * emb_sign_project hash-comparable convention).
     *
-    * Deliberately RELATIONAL — one (id, idx, x) row per coordinate,
-    * each deflation = one per-id combine-agg for x·v plus one equi-join
-    * back — NOT chained array lambdas: nesting a zip_with deflation
-    * inside the next expands the previous 64-element array expression
-    * inside EVERY element of the new one, an exponential expression-
-    * tree blowup that pinned the driver for minutes at ANY data size
-    * (measured 460 s on 300 vectors before this form; 1 s after). Same
-    * construct as the oracle's deflate CTEs, and the per-direction
-    * checkpoint bounds lineage like [[powerDirections]]' training loop. */
+    * Shape: the same ARRAY-form deflation as
+    * [[powerDirectionsFromXm]]'s training loop — per direction one
+    * map-only projection (x·v via `aggregate`, then a `zip_with`
+    * update), with a per-direction lazy checkpoint to stop the
+    * exponential expression-tree nesting (each step references the
+    * previous array twice; without the projection hard-stop, Catalyst
+    * inlines the previous 64-element expression into every element of
+    * the next — measured 460 s of pure driver planning on 300 vectors).
+    * The serve pass is therefore a pure narrow map chain: NO per-id
+    * combine-agg, NO equi-join back, no exchange at all until the
+    * caller's ordering. (The r15 form was relational — one groupBy +
+    * join per direction = 2 shuffles of the corpus-coordinate relation
+    * per direction; r16 optimization, identical values.) */
   def abttTransform(emb: DataFrame, mu: Array[Long],
       dirs: Seq[Array[Long]], idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val muLit = array(mu.map(lit(_)): _*)
     var rel = emb.select(col(idCol).as("__id"),
-        posexplode(zip_with(toMilli(col(embCol)), muLit, (a, b) => a - b))
-          .as(Seq("idx", "x")))
+        zip_with(toMilli(col(embCol)), muLit, (a, b) => a - b).as("xm"))
       .localCheckpoint(false)
     for (v <- dirs) {
       val vv = math.max(v.map(x => x * x).sum, 1L)
-      def vj = element_at(lit(v), (col("idx") + 1).cast("int"))
-      val xv = rel.groupBy(col("__id"))
-        .agg(sum(col("x") * vj).as("__xv"))
-      rel = rel.join(xv, Seq("__id"))
-        .withColumn("__vj", vj)
-        .selectExpr("__id", "idx",
-          s"""CASE WHEN x * ${vv}L - __vj * __xv < 0
-             |  THEN -((-(x * ${vv}L - __vj * __xv)) div ${vv}L)
-             |  ELSE (x * ${vv}L - __vj * __xv) div ${vv}L END AS x"""
+      val vArr = v.mkString("array(", "L, ", "L)")
+      rel = rel
+        .withColumn("__xv", aggregate(
+          zip_with(col("xm"), array(v.map(lit(_)): _*), (a, b) => a * b),
+          lit(0L), (acc, p) => acc + p))
+        .selectExpr("__id",
+          s"""zip_with(xm, $vArr, (x, vj) -> CASE
+             |  WHEN x * ${vv}L - vj * __xv < 0
+             |  THEN -((-(x * ${vv}L - vj * __xv)) div ${vv}L)
+             |  ELSE (x * ${vv}L - vj * __xv) div ${vv}L END) AS xm"""
             .stripMargin)
         .localCheckpoint(false)
     }
-    rel.select(col("__id").as(idCol), col("idx"),
-      col("x").as("value"))
+    rel.select(col("__id").as(idCol),
+      posexplode(col("xm")).as(Seq("idx", "value")))
   }
 }

@@ -635,13 +635,20 @@ object Sessions {
     * the [[graft.ops.Preference]] envelope discipline).
     *
     * Scale shape: one combine-agg to (group, bucket) counts, a
-    * group-keyed dense-grid left join, and ONE equi-join on
-    * (group, bucket+lag) for all lags — never a window over the corpus.
-    * The grid length per group is time-bounded, not corpus-bounded
-    * (hours in a decade ≈ 87k); `maxGrid` fails loudly in-plan
-    * (raise_error, the [[graft.ops.Intervals]] discipline) if a
-    * timestamp outlier would explode the densified grid. Non-negative
-    * timestamps are the envelope (bucket floor vs trunc division). */
+    * group-keyed dense-grid left join, then ONE group-partitioned
+    * window pass computing every lag via `lead` — the lagged products
+    * Σ_{t<n−k} c_t·c_{t+k} and the denominator Σc² come out of a
+    * single aggregation (lead(c, k) is NULL past the series end, so
+    * the sum's t < n−k bound falls out of null-skipping). The window
+    * is over the densified TIME grid, never the corpus: grid length
+    * per group is time-bounded (hours in a decade ≈ 87k); `maxGrid`
+    * fails loudly in-plan (raise_error, the [[graft.ops.Intervals]]
+    * discipline) if a timestamp outlier would explode it. (The
+    * previous form localCheckpointed the grid and self-joined it per
+    * lag — one materialization plus maxLag join passes where one
+    * in-partition sorted scan suffices; r16 optimization, identical
+    * values.) Non-negative timestamps are the envelope (bucket floor
+    * vs trunc division). */
   def autocorrelation(events: DataFrame, maxLag: Int = 4,
       groupCol: String = "event_type", tsCol: String = "ts",
       bucketSeconds: Long = 3600L, maxGrid: Long = 200000L): DataFrame = {
@@ -669,23 +676,28 @@ object Sessions {
       .join(counts, Seq("g", "h"), "left")
       .select(col("g"), col("n"), (col("h") - col("h0")).as("t"),
         expr(s"CAST(n AS $dec) * coalesce(x, 0L) - s").as("c"))
-      .localCheckpoint() // feeds the denominator agg AND both pair sides
-    val den = dense.groupBy(col("g"))
-      .agg(max(col("n")).as("n"), sum(expr(s"CAST(c * c AS $dec)")).as("d"))
-    val pairs = dense
-      .select(col("g"), col("c").as("ca"),
-        explode(expr(s"sequence(1, $maxLag)")).as("lag"), col("t"))
-      .withColumn("tb", col("t") + col("lag"))
-      .join(dense.select(col("g"), col("t").as("tb"), col("c").as("cb")),
-        Seq("g", "tb"))
-      .groupBy(col("g"), col("lag"))
-      .agg(sum(expr(s"CAST(ca * cb AS $dec)")).as("num"))
-    pairs.join(den, Seq("g"))
-      .select(col("g").as(groupCol), col("lag").cast("long").as("lag"),
-        col("n"),
+    val w = Window.partitionBy(col("g")).orderBy(col("t"))
+    val led = (1 to maxLag).foldLeft(dense) { (df, k) =>
+      df.withColumn(s"__c$k", lead(col("c"), k).over(w))
+    }
+    val aggCols = Seq(max(col("n")).as("n"),
+      sum(expr(s"CAST(c * c AS $dec)")).as("d")) ++
+      (1 to maxLag).map(k =>
+        sum(expr(s"CAST(c * __c$k AS $dec)")).as(s"__num$k"))
+    val agg = led.groupBy(col("g")).agg(aggCols.head, aggCols.tail: _*)
+    val lagRows = (1 to maxLag).map(k =>
+      struct(lit(k.toLong).as("lag"),
+        coalesce(col(s"__num$k"), lit(0L).cast(dec)).as("num")))
+    agg
+      .select(col("g"), col("n"), col("d"),
+        explode(array(lagRows: _*)).as("__l"))
+      // a lag with no pair (grid shorter than the lag) emitted NO row in
+      // the join form — preserve that row set exactly
+      .filter(col("__l.lag") < col("n"))
+      .select(col("g").as(groupCol), col("__l.lag").as("lag"), col("n"),
         expr("""CAST(CASE WHEN d = 0 THEN 0
-               |  WHEN num >= 0 THEN (num * 1000000) div d
-               |  ELSE -((-num * 1000000) div d) END AS BIGINT)""".stripMargin)
+               |  WHEN __l.num >= 0 THEN (__l.num * 1000000) div d
+               |  ELSE -((-__l.num * 1000000) div d) END AS BIGINT)""".stripMargin)
           .as("acf_micro"))
   }
 
@@ -701,7 +713,11 @@ object Sessions {
     * — one multiplied-through sign-free integral division in micro
     * (numerator ≥ 0 by Cauchy–Schwarz, S > 0 whenever the group has an
     * event). Products ride DECIMAL(38,0); the same `maxGrid` loud
-    * guard. One combine-agg + the grid explode — nothing else. */
+    * guard. The densified grid never materializes: missing buckets
+    * contribute x = 0 to BOTH S and Q, so only the grid LENGTH
+    * n = h1 − h0 + 1 enters the formula — two chained combine-aggs
+    * over observed buckets, no explode, no join (r16 optimization of
+    * the explode+join form; identical values). */
   def fanoFactor(events: DataFrame, groupCol: String = "event_type",
       tsCol: String = "ts", bucketSeconds: Long = 3600L,
       maxGrid: Long = 200000L): DataFrame = {
@@ -712,21 +728,15 @@ object Sessions {
         expr(s"unix_timestamp($tsCol) div ${bucketSeconds}L").as("h"))
       .groupBy(col("g"), col("h"))
       .agg(count(lit(1)).as("x"))
-      .localCheckpoint(false) // feeds the span agg AND the grid join
-    val span = counts.groupBy(col("g"))
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    counts.groupBy(col("g"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"),
+        sum(col("x")).as("s"),
+        sum(expr(s"CAST(x AS $dec) * x")).as("q"))
       .withColumn("n", expr(
         s"""CASE WHEN h1 - h0 + 1 > ${maxGrid}L THEN raise_error(concat(
            |  'fanoFactor: group ', CAST(g AS STRING), ' spans ',
            |  CAST(h1 - h0 + 1 AS STRING), ' buckets > maxGrid=$maxGrid'))
            |ELSE h1 - h0 + 1 END""".stripMargin))
-    span
-      .select(col("g"), col("n"), explode(expr("sequence(h0, h1)")).as("h"))
-      .join(counts, Seq("g", "h"), "left")
-      .select(col("g"), col("n"), coalesce(col("x"), lit(0L)).as("x"))
-      .groupBy(col("g"), col("n"))
-      .agg(sum(col("x")).as("s"),
-        sum(expr(s"CAST(x AS $dec) * x")).as("q"))
       .select(col("g").as(groupCol), col("n"), col("s").as("n_events"),
         expr(s"""CAST(CASE WHEN s = 0 THEN 0 ELSE
                 |  (CAST(n AS $dec) * q - CAST(s AS $dec) * s) * 1000000
