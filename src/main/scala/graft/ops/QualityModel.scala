@@ -721,13 +721,21 @@ object QualityModel {
   }
 
   /** Featurize + label ONCE, localCheckpointed — the relation every GD
-    * pass (trajectory gradients and epoch scoring) reuses. */
+    * pass (trajectory gradients and epoch scoring) reuses. Both sides
+    * are pre-partitioned BY ID before the checkpoint (localCheckpoint
+    * preserves the physical partitioning): every downstream per-doc
+    * margin aggregation and feats⋈labels/resid equi-join is id-keyed,
+    * so establishing the partitioning once removes one exchange per GD
+    * iteration per consumer (guide §2.4 — two operations keyed the
+    * same way share one exchange). */
   private[ops] def checkpointedFeatsLabels(docs: DataFrame, dim: Int,
       idCol: String, labelCol: String, textCol: String)
       : (DataFrame, DataFrame) =
-    (hashedFeatures(docs, dim, idCol, textCol).localCheckpoint(),
+    (hashedFeatures(docs, dim, idCol, textCol)
+      .repartition(col("id")).localCheckpoint(),
       docs.select(col(idCol).as("id"),
-        col(labelCol).cast("long").as("y")).localCheckpoint())
+        col(labelCol).cast("long").as("y"))
+        .repartition(col("id")).localCheckpoint())
 
   /** [[trajectoryFrom]] as a public entry point — the trained-artifact
     * fixture hook: a caller that shares ONE panel-excluded trajectory
@@ -752,17 +760,27 @@ object QualityModel {
     var b = 0L
     val out = Seq.newBuilder[(Array[Long], Long)]
     for (_ <- 0 until iters) {
+      // lazy checkpoint: the residual relation feeds BOTH the feature
+      // gradient join and the bias sum below; without it the per-doc
+      // margin aggregation would run twice per iteration (and with the
+      // id-partitioned feats there is no exchange left to reuse)
       val resid = marginsMicro(feats, labels, w, b)
         .select(col("id"),
           (graft.functions.VectorFunctions.sigmoid_micro(col("m"))
             - col("y") * 1000000L).as("r"))
-      // bias gradient as pseudo-bucket -1 (one combine-agg for all)
+        .localCheckpoint(false)
+      // bias gradient as pseudo-bucket -1; union AFTER the id-keyed
+      // join (not before) so the join runs exchange-free on the
+      // pre-partitioned feats — the union of (bucket, term) rows then
+      // feeds one tiny bucket-keyed combine-agg. Same terms, same sums.
       val grads = feats
-        .unionByName(labels.select(col("id"), lit(-1L).as("bucket"),
-          lit(1L).as("n")))
         .join(resid, Seq("id"))
+        .select(col("bucket"),
+          (col("n").cast("decimal(38,0)") * col("r")).as("__t"))
+        .unionByName(resid.select(lit(-1L).as("bucket"),
+          col("r").cast("decimal(38,0)").as("__t")))
         .groupBy(col("bucket"))
-        .agg(sum(col("n").cast("decimal(38,0)") * col("r")).as("g"))
+        .agg(sum(col("__t")).as("g"))
         .collect()
       grads.foreach { row =>
         val k = row.getLong(0).toInt

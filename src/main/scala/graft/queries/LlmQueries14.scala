@@ -65,12 +65,16 @@ object LlmQueries14 {
     * tokenize passes (the fixture is tokenized once per session). */
   private def gdSide(spark: SparkSession, dir: String, ids: DataFrame,
       joinType: String): (DataFrame, DataFrame) = {
+    // lazy checkpoints: both relations feed 2+ consumers downstream,
+    // but materializing them eagerly cost two extra driver jobs per
+    // side per query — the lazy form caches on first use inside the
+    // consuming job instead (r16; values unchanged)
     val l = gdLabels(spark, dir)
       .join(ids.select(col("doc_id").as("id")), Seq("id"), joinType)
-      .localCheckpoint()
+      .localCheckpoint(false)
     (SharedRels.gdFeatures(spark, dir)
       .join(l.select(col("id")), Seq("id"), "left_semi")
-      .localCheckpoint(), l)
+      .localCheckpoint(false), l)
   }
 
   /** Exact integer-micro logistic GD under the gate

@@ -162,7 +162,12 @@ object SharedRels {
     * byte-identical to `QualityModel.hashedFeatures(labeledDocs, 64)`. */
   def gdFeatures(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "gdFeatures") {
+      // pre-partitioned BY ID before the memo checkpoint (preserved by
+      // localCheckpoint): every consumer's per-doc aggregation and
+      // id-keyed join then runs exchange-free — the
+      // [[graft.ops.QualityModel.checkpointedFeatsLabels]] convention
       graft.ops.QualityModel.hashedFeatures(labeledDocs(spark, dir), 64)
+        .repartition(col("id"))
     }
 
   /** The shared exact-substring span relation (L = 30, full documents
