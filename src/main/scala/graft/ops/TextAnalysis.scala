@@ -1467,7 +1467,8 @@ object TextAnalysis {
       k: Int = 10, mu: Long = 100L, unit: Long = 1000000L,
       idCol: String = "doc_id", textCol: String = "text",
       qidCol: String = "query_id", termsCol: String = "terms",
-      wordsOpt: Option[DataFrame] = None): DataFrame = {
+      wordsOpt: Option[DataFrame] = None,
+      dlOpt: Option[DataFrame] = None): DataFrame = {
     require(mu >= 1L, "mu must be positive")
     val lg = graft.functions.VectorFunctions.log2_micro _
     val qt = queries.select(col(qidCol).as("qid"),
@@ -1477,10 +1478,21 @@ object TextAnalysis {
       .select(col(idCol).as("id"),
         explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
       .filter(col("w") =!= ""))
-    val dl = words.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    // dlOpt: a pre-built (id, dl) length relation — the RM3 loop
+    // computes it once and shares it across both retrieval rounds
+    val dl = dlOpt.getOrElse(
+      words.groupBy(col("id")).agg(count(lit(1)).as("dl")))
     val nt = dl.agg(sum(col("dl")).as("NT"))
+    val tf = words
+      .join(broadcast(qt.select(col("w")).distinct()), Seq("w"), "leftsemi")
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
     // collection frequency of query-vocabulary terms only (cf = 0 terms
-    // never join and are thereby dropped, per the scaladoc)
+    // never join and are thereby dropped, per the scaladoc). Kept as its
+    // own gated pass over the token stream: deriving it from tf
+    // (cf = Σ_d c) funnels the narrow map-side count through the wider
+    // (id, w) aggregation — measured slower at sf0.1 (2.5 → 3.7 s),
+    // and the exchange-reuse that would amortize it does not fire
+    // across the broadcast boundary.
     val cf = words
       .join(broadcast(qt.select(col("w")).distinct()), Seq("w"), "leftsemi")
       .groupBy(col("w")).agg(count(lit(1)).as("cf"))
@@ -1490,9 +1502,6 @@ object TextAnalysis {
       .groupBy(col("qid"))
       .agg(sum(col("cq") * col("__lmc")).as("__qc"),
         sum(col("cq")).as("__qlen"))
-    val tf = words
-      .join(broadcast(qt.select(col("w")).distinct()), Seq("w"), "leftsemi")
-      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
     val sparse = tf
       .join(broadcast(qt), Seq("w"))
       .join(broadcast(cf), Seq("w"))
@@ -1546,11 +1555,12 @@ object TextAnalysis {
       kDocs: Int = 5, mTerms: Int = 10, mu: Long = 100L,
       lambdaMicro: Long = 500000L, unit: Long = 1000000L,
       idCol: String = "doc_id", textCol: String = "text",
-      qidCol: String = "query_id", termsCol: String = "terms"): DataFrame = {
+      qidCol: String = "query_id", termsCol: String = "terms",
+      dlOpt: Option[DataFrame] = None): DataFrame = {
     require(lambdaMicro >= 0L && lambdaMicro <= unit, "lambda in [0, unit]")
     val e2 = graft.functions.VectorFunctions.exp2_micro _
     val top = dirichletQlMultiQuery(docs, queries, kDocs, mu, unit,
-        idCol, textCol, qidCol, termsCol)
+        idCol, textCol, qidCol, termsCol, dlOpt = dlOpt)
       .select(col(qidCol).as("qid"), col(idCol).as("id"), col("ql_micro"))
       .localCheckpoint(false) // kDocs·|queries| rows; weights + terms
     val mx = top.groupBy(col("qid")).agg(max(col("ql_micro")).as("__mx"))
@@ -1623,18 +1633,29 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text",
       qidCol: String = "query_id", termsCol: String = "terms"): DataFrame = {
     val lg = graft.functions.VectorFunctions.log2_micro _
-    val exp = rm3ExpansionTerms(docs, queries, kDocs, mTerms, mu,
-        lambdaMicro, unit, idCol, textCol, qidCol, termsCol)
-      .filter(col("rm3_micro") > 0L)
-      .select(col(qidCol).as("qid"), col("term").as("w"),
-        col("rm3_micro").as("wq"))
-      .localCheckpoint(false) // mTerms·|queries| rows; vocab + scoring
     val words = docs
       .select(col(idCol).as("id"),
         explode(split(Dedup.normalize(col(textCol)), " ")).as("w"))
       .filter(col("w") =!= "")
+    // doc-length relation computed ONCE and shared by BOTH retrieval
+    // rounds (lazy checkpoint; |docs|-sized, the table a production
+    // retriever keeps materialized) — the r15 form re-tokenized the
+    // corpus for dl in each round
     val dl = words.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(false)
+    val exp = rm3ExpansionTerms(docs, queries, kDocs, mTerms, mu,
+        lambdaMicro, unit, idCol, textCol, qidCol, termsCol,
+        dlOpt = Some(dl))
+      .filter(col("rm3_micro") > 0L)
+      .select(col(qidCol).as("qid"), col("term").as("w"),
+        col("rm3_micro").as("wq"))
+      .localCheckpoint(false) // mTerms·|queries| rows; vocab + scoring
     val nt = dl.agg(sum(col("dl")).as("NT"))
+    val tf = words
+      .join(broadcast(exp.select(col("w")).distinct()), Seq("w"), "leftsemi")
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+    // cf stays its own gated map-side pass (see dirichletQlMultiQuery:
+    // deriving it from tf measured slower)
     val cf = words
       .join(broadcast(exp.select(col("w")).distinct()), Seq("w"), "leftsemi")
       .groupBy(col("w")).agg(count(lit(1)).as("cf"))
@@ -1643,9 +1664,6 @@ object TextAnalysis {
       .groupBy(col("qid"))
       .agg(sum(col("wq") * col("__lmc")).as("__qc"),
         sum(col("wq")).as("__wsum"))
-    val tf = words
-      .join(broadcast(exp.select(col("w")).distinct()), Seq("w"), "leftsemi")
-      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
     val sparse = tf
       .join(broadcast(exp), Seq("w"))
       .join(broadcast(cf), Seq("w"))
