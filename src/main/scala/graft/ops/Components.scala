@@ -57,8 +57,17 @@ object Components {
     // without the checkpoint each consumer re-executes the full upstream
     // pipeline that produced the edges (e.g. a complete MinHash pass
     // per iteration)
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // out-degree is loop-invariant: fold it into the edge relation ONCE
+    // (and partition by src before the checkpoint, which preserves it) —
+    // each iteration's contribution join then reads a src-partitioned
+    // (src, dst, outdeg) relation with no per-iteration degree join and
+    // no edge-side exchange; only the changing rank relation shuffles
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
+    val e = e0
+      .join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
+      .repartition(col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
@@ -67,12 +76,10 @@ object Components {
     require(n > 0, "empty graph")
     val u0 = unit / n
     val base = 3 * u0 / 20
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     var pr = nodes.withColumn("pr", lit(u0))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
       pr = nodes
@@ -997,23 +1004,26 @@ object Components {
       srcCol: String = "src", dstCol: String = "dst",
       wCol: String = "weight", unit: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && unit > 0, "need iters >= 1 and a positive unit")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // strength folded into the (lazily checkpointed) edge relation once
+    // — the eager kernels' r16 convention; saves a per-iteration join
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val e = e0
+      .join(e0.groupBy(col("src")).agg(sum(col("w")).as("strength")),
+        Seq("src"))
       .localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
     // u0 = unit div n and the damped base as plan-carried columns —
     // exactly the eager kernel's driver-side longs, per row
     val k = nodes.agg(count(lit(1)).as("__n"))
-    val strength = e.groupBy(col("src")).agg(sum(col("w")).as("strength"))
     var pr = nodes.crossJoin(broadcast(k))
       .select(col("id"), expr(s"CAST($unit AS BIGINT) div __n").as("pr"),
         col("__n"))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(pr.select(col("id").as("src"), col("pr")), Seq("src"))
-        .join(strength, Seq("src"))
         .select(col("dst").as("id"),
           expr("CAST((CAST(pr AS DECIMAL(38,0)) * w) div strength AS BIGINT)")
             .as("c"))
@@ -1045,9 +1055,15 @@ object Components {
       srcCol: String = "src", dstCol: String = "dst",
       wCol: String = "weight", unit: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && unit > 0, "need iters >= 1 and a positive unit")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // strength is loop-invariant — folded into the src-partitioned
+    // checkpointed edges once (the [[pageRank]] r16 convention)
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val e = e0
+      .join(e0.groupBy(col("src")).agg(sum(col("w")).as("strength")),
+        Seq("src"))
+      .repartition(col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
@@ -1056,12 +1072,10 @@ object Components {
     require(n > 0, "empty graph")
     val u0 = unit / n
     val base = 3 * u0 / 20
-    val strength = e.groupBy(col("src")).agg(sum(col("w")).as("strength"))
     var pr = nodes.withColumn("pr", lit(u0))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
-        .join(strength, Seq("src"))
         .select(col("dst").as("id"),
           expr("CAST((CAST(pr AS DECIMAL(38,0)) * w) div strength AS BIGINT)")
             .as("c"))
