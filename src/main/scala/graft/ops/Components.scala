@@ -619,8 +619,14 @@ object Components {
       iters: Int = 3, srcCol: String = "src", dstCol: String = "dst",
       seedCol: String = "id", unit: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && unit > 0, "need iters >= 1 and a positive unit")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // out-degree folded into the src-partitioned checkpointed edges
+    // once (the [[pageRank]] r16 convention)
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
+    val e = e0
+      .join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
+      .repartition(col("src"))
       .localCheckpoint()
     val sd = seeds.select(col(seedCol).cast("long").as("id")).distinct()
       .localCheckpoint()
@@ -634,12 +640,10 @@ object Components {
     require(s > 0, "empty seed set")
     val u0 = unit / s
     val base = 3 * u0 / 20
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     var pr = nodes.withColumn("pr", col("__seed") * lit(u0))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(pr.select(col("id").as("src"), col("pr")), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
       pr = nodes
