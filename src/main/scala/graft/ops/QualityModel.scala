@@ -768,7 +768,7 @@ object QualityModel {
         .select(col("id"),
           (graft.functions.VectorFunctions.sigmoid_micro(col("m"))
             - col("y") * 1000000L).as("r"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       // bias gradient as pseudo-bucket -1; union AFTER the id-keyed
       // join (not before) so the join runs exchange-free on the
       // pre-partitioned feats — the union of (bucket, term) rows then

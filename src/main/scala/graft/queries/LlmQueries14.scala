@@ -65,16 +65,17 @@ object LlmQueries14 {
     * tokenize passes (the fixture is tokenized once per session). */
   private def gdSide(spark: SparkSession, dir: String, ids: DataFrame,
       joinType: String): (DataFrame, DataFrame) = {
-    // lazy checkpoints: both relations feed 2+ consumers downstream,
-    // but materializing them eagerly cost two extra driver jobs per
-    // side per query — the lazy form caches on first use inside the
-    // consuming job instead (r16; values unchanged)
+    // EAGER checkpoints on purpose (r16 measured): both relations feed
+    // 2+ consumers that land in the SAME downstream job, and with a
+    // lazy checkpoint those subtrees race to materialize the blocks
+    // concurrently and each recomputes the scan (the sim_rrf_hybrid
+    // lesson) — the eager job guarantees compute-once
     val l = gdLabels(spark, dir)
       .join(ids.select(col("doc_id").as("id")), Seq("id"), joinType)
-      .localCheckpoint(false)
+      .localCheckpoint()
     (SharedRels.gdFeatures(spark, dir)
       .join(l.select(col("id")), Seq("id"), "left_semi")
-      .localCheckpoint(false), l)
+      .localCheckpoint(), l)
   }
 
   /** Exact integer-micro logistic GD under the gate

@@ -51,6 +51,11 @@ object LlmQueries5 {
       .select(col("doc_id").as("id"),
         explode(split(graft.ops.Dedup.normalize(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
+      // EAGER on purpose (r16 measured): with a lazy checkpoint the two
+      // retrieval legs race to materialize the token blocks
+      // concurrently inside the one job and both recompute the scan
+      // (4.3 s vs 2.8 s at sf0.1); the eager job guarantees
+      // compute-once before either leg reads
       .localCheckpoint()
     val lex = TextAnalysis.bm25MultiQuery(docs, qs, k = 10,
         wordsOpt = Some(words))

@@ -82,9 +82,14 @@ object Artifacts {
   def saveLmCounts(spark: SparkSession, path: String,
       c3: org.apache.spark.sql.DataFrame, c23: org.apache.spark.sql.DataFrame,
       c1: org.apache.spark.sql.DataFrame): Unit = {
-    c3.write.mode(SaveMode.Overwrite).parquet(s"$path/c3")
-    c23.write.mode(SaveMode.Overwrite).parquet(s"$path/c23")
-    c1.write.mode(SaveMode.Overwrite).parquet(s"$path/c1")
+    // trained-artifact layout (guide §6 output sizing): the count
+    // relations are model-sized (bounded by the training slice's n-gram
+    // vocabulary, single-digit MB), so each writes as ONE file — the
+    // inherited input partitioning otherwise sprays ~32 tiny files per
+    // table and every later serve pays the per-file open cost
+    c3.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/c3")
+    c23.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/c23")
+    c1.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/c1")
   }
 
   def loadLmCounts(spark: SparkSession, path: String):
