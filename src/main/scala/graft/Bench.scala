@@ -87,6 +87,17 @@ object Bench {
     // name -> per-pass samples (median taken after)
     val allSamples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
 
+    // Host-load attribution (additions-only; the stdout contract is
+    // unchanged): /proc/loadavg read at each timed pass's start and end
+    // goes to BENCH_DETAIL.json so a contended pass carries its own
+    // evidence instead of being reconstructed from outlier samples —
+    // driver-vs-repo adjudication has needed this three rounds running.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val passLoads = scala.collection.mutable.ArrayBuffer[String]()
+
     shards.zipWithIndex.foreach { case (shard, si) =>
       val spark = buildSession(cpus)
       // Uncounted FULL warmup pass: every query in the shard runs once,
@@ -122,6 +133,7 @@ object Bench {
       // median of three discards one-sided outliers, and the per-query
       // MIN (reported alongside) bounds true cost from below.
       val passSamples = (0 until passes).map { pass =>
+        val loadStart = loadavg()
         val res = shard.map { case (name, fn) =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -143,6 +155,9 @@ object Bench {
         val m = org.apache.spark.metrics.source.CodegenMetrics
         System.err.println(s"[bench] shard $si pass $pass: cumulative " +
           s"codegen compiled=${m.METRIC_COMPILATION_TIME.getCount} classes")
+        passLoads += ("{\"shard\":" + si + ",\"pass\":" + pass +
+          ",\"load_start\":\"" + loadStart +
+          "\",\"load_end\":\"" + loadavg() + "\"}")
         res
       }
       shard.foreach { case (name, _) =>
@@ -175,7 +190,8 @@ object Bench {
       ",\"total_min\":" + f"$totalMin%.3f" +
       ",\"n_queries\":" + medians.size + ",\"passes\":" + passes +
       ",\"shard_size\":" + shardSize + ",\"sf\":\"" + sfDir +
-      "\",\"queries\":" + full + "}"
+      "\",\"load\":" + passLoads.mkString("[", ",", "]") +
+      ",\"queries\":" + full + "}"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))

@@ -37,7 +37,13 @@ object DevProfile {
     // between sum-of-job-time and iteration wall time is driver-side
     // (planning/codegen), which explain() never shows
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double)]()
+    // (jobId, seconds, jobGroup): entries are tagged with the job group
+    // the job STARTED under, so late-arriving events from a previous
+    // iteration are filtered by tag instead of racing a clear() + sleep
+    // (ADVICE r16 — the async bus can deliver job-ends across the
+    // iteration boundary on a loaded host)
+    val jobGroups = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -49,26 +55,36 @@ object DevProfile {
         }
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobStart.put(j.jobId, j.time); ()
+          jobStart.put(j.jobId, j.time)
+          jobGroups.put(j.jobId,
+            Option(j.properties)
+              .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+              .getOrElse(""))
+          ()
         }
         override def onJobEnd(
             j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           Option(jobStart.remove(j.jobId)).foreach { t0 =>
-            jobLog.add((j.jobId, (j.time - t0) / 1e3))
+            jobLog.add((j.jobId, (j.time - t0) / 1e3,
+              Option(jobGroups.remove(j.jobId)).getOrElse("")))
           }
           ()
         }
       })
     (1 to n).foreach { i =>
-      shuffleBytes.set(0L); stageCount.set(0L); jobLog.clear()
+      shuffleBytes.set(0L); stageCount.set(0L)
+      val group = s"devprofile-iter-$i"
+      spark.sparkContext.setJobGroup(group, s"$name iter $i")
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
       // listener events drain asynchronously; give the bus a beat
       // (listenerBus.waitUntilEmpty is private[spark])
       Thread.sleep(500)
       import scala.jdk.CollectionConverters._
-      val jobs = jobLog.asScala.toSeq.sortBy(_._1)
+      val jobs = jobLog.asScala.toSeq
+        .filter(_._3 == group).map(j => (j._1, j._2)).sortBy(_._1)
       val jobSum = jobs.map(_._2).sum
       println(f"[profile] $name iter $i: $dt%.3f s " +
         f"shuffle=${shuffleBytes.get() / 1048576.0}%.1f MiB " +
