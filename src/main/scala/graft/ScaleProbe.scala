@@ -435,6 +435,13 @@ object ScaleProbe {
       "dedup_substring_removal" -> SparkEntry.queries("dedup_substring_removal"),
       "text_rm3_retrieve" -> SparkEntry.queries("text_rm3_retrieve"),
       "emb_abtt" -> SparkEntry.queries("emb_abtt"),
+      // round-17 (VERDICT r16 item 7): dirichlet QL itself — its plan
+      // carries ~33 real exchanges from DUPLICATED gated-token subtrees
+      // (materializing them measured slower locally in r16); the 10×
+      // row says whether runtime exchange reuse keeps firing as the
+      // corpus grows, i.e. whether the duplication is a latent
+      // superlinear term or just plan-text noise.
+      "text_dirichlet_ql" -> SparkEntry.queries("text_dirichlet_ql"),
       // round-16 additions probed the round they land (not a round
       // later): the ledger decon (every copy's docs are train — the
       // two-snapshot ledger build scales, the copy-0 benchmark probe

@@ -45,13 +45,65 @@ object T {
     }
   }
 
-  /** Spread a (small, single-partition) input across all cores before a
-    * compute-heavy narrow stage. The testdata files are a few MB, so the
-    * scan yields 1-2 partitions and CPU-bound stages (regex, hashing,
-    * pairwise dot products) would otherwise serialize on one thread. The
-    * shuffle moves only the small input once; at production scale the scan
-    * is already wide and callers skip this. */
-  def par(spark: SparkSession, df: DataFrame): DataFrame =
+  /** Spread a small input across cores before a compute-heavy narrow
+    * stage — SCALE-ADAPTIVELY. The width is a function of the estimated
+    * input size, never a constant: one task per `spark.graft.par.minBytesPerTask`
+    * (default 64 KiB; SPARK_GRAFT_PAR_MINBYTES overrides for probes) of
+    * estimated input, clamped to [1, defaultParallelism].
+    * At production scale any real relation estimates far past
+    * cores × minBytes, so the clamp makes this identical to the old
+    * unconditional repartition(defaultParallelism); on kilobyte-sized
+    * inputs the fan-out (and for sub-minBytes inputs the exchange itself)
+    * is pure per-task fixed cost and is skipped. Measured r16: the whole
+    * 361-entry bench ran 322 s on 32 cores vs 250 s on 8 — per-task
+    * scheduling overhead on ~18 KB tasks buried the tail (guide §2
+    * partitioning discipline, §6 split sizing).
+    *
+    * The 64 KiB floor was calibrated on a 36-query regression/improvement
+    * panel at sf0.1 (r17): a 1 MiB floor serialized the CPU-dense text
+    * kernels (ct_langid 2.1 → 9.6 s, wordpiece 2.1 → 5.6 s), 256 KiB
+    * still left 2-3× penalties, while 64 KiB healed them within noise
+    * and kept the tail's task-count win. The constant is a lower bound
+    * on what one task's scheduling overhead can amortize — it is the
+    * same at any SF and any core count, and at cluster scale it is
+    * dominated by the cores clamp (any real stage input ≫ cores·64 KiB).
+    *
+    * The size estimate is the analyzed plan's sizeInBytes (file bytes for
+    * a scan; conservative upward for joins/unknowns, which then clamp to
+    * full width — the safe side). Kernels whose per-row CPU dwarfs their
+    * bytes (subword segmentation, window hashing, char-ngram scoring,
+    * edit distance, hash projections, regex parse) must use [[parCpu]]
+    * instead: bytes are the wrong cost proxy there and full width is
+    * correct at every scale. */
+  def par(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    val n = parWidth(spark, df, cores)
+    if (n <= 1) df else df.repartition(n)
+  }
+
+  /** Adaptive width: ceil(estimatedBytes / minBytesPerTask) clamped to
+    * [1, cores]. Unknown/huge estimates clamp to full width. */
+  private[graft] def parWidth(spark: SparkSession, df: DataFrame,
+      cores: Int): Int = {
+    val minBytes = spark.conf
+      .getOption("spark.graft.par.minBytesPerTask")
+      .orElse(sys.env.get("SPARK_GRAFT_PAR_MINBYTES"))
+      .map(_.toLong).getOrElse(64L << 10)
+    val bytes =
+      try df.queryExecution.analyzed.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    if (bytes >= BigInt(minBytes) * cores) cores
+    else math.max(1, ((bytes + minBytes - 1) / minBytes).toInt)
+  }
+
+  /** Full-width fan-out for CPU-BOUND narrow kernels (the pre-r17
+    * unconditional [[par]]): per-row cost dwarfs bytes, so the byte
+    * heuristic above would serialize genuinely parallel work. Flipped
+    * call sites each carry the r17 width-1-vs-full measurement that
+    * justified them — subword segmentation, ExactSubstr window hashing,
+    * char-ngram language ID, edit-distance verify, kNN hash projections,
+    * regex parse, GD featurization — nothing else. */
+  def parCpu(spark: SparkSession, df: DataFrame): DataFrame =
     df.repartition(spark.sparkContext.defaultParallelism)
 
   /** Exact cents: 2-decimal double -> long. Same result in DuckDB via

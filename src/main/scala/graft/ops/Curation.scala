@@ -1174,10 +1174,14 @@ object Curation {
     val picks = Seq.newBuilder[(Long, Long, Long)] // (rank, cid, gain)
     for (r <- 1 to k) {
       val sel = selIdx.toArray
-      // per-partition Long partials (each row's gain ≤ dim·10¹², so
-      // ≤ ~10⁵ rows fit a Long), flushed into BigInt well before the
-      // envelope — the driver merge is exact, matching the r15
-      // DECIMAL(38,0) sums bit-for-bit
+      // per-partition Long partials (each row's gain ≤ dim·10¹² for
+      // unit-range embeddings, so ≤ ~10⁵ rows fit a Long), flushed into
+      // BigInt well before that envelope — the driver merge is exact,
+      // matching the r15 DECIMAL(38,0) sums bit-for-bit. The envelope is
+      // data-dependent (nothing clamps the embedding magnitude), so the
+      // accumulator adds via Math.addExact: an out-of-envelope corpus
+      // fails LOUDLY instead of silently corrupting the greedy argmax
+      // (ADVICE r16).
       val gains: Array[BigInt] = dotsRdd.mapPartitions { it =>
         val acc = Array.fill(nP)(BigInt(0))
         val accL = new Array[Long](nP)
@@ -1196,7 +1200,9 @@ object Curation {
           }
           var j = 0
           while (j < nP) {
-            val g = d(j) - cur; if (g > 0L) accL(j) += g; j += 1
+            val g = d(j) - cur
+            if (g > 0L) accL(j) = Math.addExact(accL(j), g)
+            j += 1
           }
           sinceFlush += 1
           if (sinceFlush >= 65536) flush()

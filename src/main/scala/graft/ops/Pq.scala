@@ -61,33 +61,105 @@ object Pq {
     val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    var books: Array[Array[Array[Long]]] = Array.tabulate(m)(s =>
+    val books: Array[Array[Array[Long]]] = Array.tabulate(m)(s =>
       seeds.map(v => Array.tabulate(subDim)(i =>
         math.floor(v(s * subDim + i).toDouble * 1000000.0).toLong)))
-    for (_ <- 1 to iters) {
-      val cb = new PqCodebook(subDim, books)
-      val sums = (0 until subDim).map(i =>
-        sum(floor(element_at(col("__v"), col("__sub") * subDim + i + 1)
-            .cast("double") * lit(1000000.0)).cast("long") + lit(Offset))
-          .as(s"__s$i"))
-      val rows = corpus
-        .select(col(vecCol).as("__v"))
-        .select(col("__v"),
-          posexplode(pq_encode(col("__v"), cb)).as(Seq("__sub", "__cell")))
-        .groupBy(col("__sub"), col("__cell"))
-        .agg(count(lit(1)).as("__n"), sums: _*)
-        .collect()
-      val next = books.map(_.map(_.clone()))
-      rows.foreach { r =>
-        val s = r.getInt(0)
-        val cell = r.getLong(1).toInt
-        val n = r.getLong(2)
-        // dividend non-negative by the offset -> truncation == floor
-        next(s)(cell) = Array.tabulate(subDim)(i => r.getLong(i + 3) / n - Offset)
+    // Elementwise micro quantization is per-element deterministic, so
+    // pre-quantizing the floats and folding in micro space is
+    // bit-identical to the old per-iteration float-input SQL aggregate
+    // (assignment: subDist over floats == subDistMicro over the micro'd
+    // elements; update sums: floor(x·10⁶)+Offset either way).
+    foldTrainMicro(
+      corpus.select(col(vecCol)).queryExecution.toRdd
+        .map { r =>
+          val a = r.getArray(0)
+          val dimN = a.numElements()
+          val out = new Array[Long](dimN)
+          var i = 0
+          while (i < dimN) {
+            out(i) = math.floor(a.getFloat(i).toDouble * 1000000.0).toLong
+            i += 1
+          }
+          out
+        },
+      books, m, k, subDim, iters)
+  }
+
+  /** The Lloyd update loop shared by every PQ trainer — the same
+    * RDD-fold shape as [[Similarity.trainIvfCentroidsMicro]] /
+    * [[Curation.facilityLocationSelect]] (guide §1.2: one result-stage
+    * job per iteration instead of a posexplode + combine-agg + collect
+    * SQL job that re-plans and re-codegens per iteration because the
+    * codebook literal changes). The micro vectors are persisted once;
+    * each iteration is one shuffle-free mapPartitions producing the
+    * (m × k) counts and (m × k × subDim) offset sums, merged on the
+    * driver. Long addition is associative and commutative, so the
+    * merged totals — and the trained codebooks — are bit-identical to
+    * the previous partial/final SQL aggregate at any partitioning
+    * (asserted in PqSpec, replayed by the DuckDB oracle). */
+  private def foldTrainMicro(vecsIn: org.apache.spark.rdd.RDD[Array[Long]],
+      init: Array[Array[Array[Long]]], m: Int, k: Int, subDim: Int,
+      iters: Int): Array[Array[Array[Long]]] = {
+    var books = init
+    if (iters == 0) return books
+    val vecs = vecsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val cb = new PqCodebook(subDim, books)
+        val partials = vecs.mapPartitions { it =>
+          val cnt = Array.ofDim[Long](m, k)
+          val sums = Array.ofDim[Long](m, k, subDim)
+          it.foreach { v =>
+            val ad = org.apache.spark.sql.catalyst.expressions
+              .UnsafeArrayData.fromPrimitiveArray(v)
+            val codes = cb.encodeMicro(ad)
+            var s = 0
+            while (s < m) {
+              val cell = codes.getLong(s).toInt
+              cnt(s)(cell) += 1L
+              val row = sums(s)(cell)
+              val base = s * subDim
+              var i = 0
+              while (i < subDim) { row(i) += v(base + i) + Offset; i += 1 }
+              s += 1
+            }
+          }
+          Iterator.single((cnt, sums))
+        }.collect()
+        val cnt = Array.ofDim[Long](m, k)
+        val sums = Array.ofDim[Long](m, k, subDim)
+        partials.foreach { case (pc, ps) =>
+          var s = 0
+          while (s < m) {
+            var c = 0
+            while (c < k) {
+              cnt(s)(c) += pc(s)(c)
+              var i = 0
+              while (i < subDim) { sums(s)(c)(i) += ps(s)(c)(i); i += 1 }
+              c += 1
+            }
+            s += 1
+          }
+        }
+        val next = books.map(_.map(_.clone()))
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < k) {
+            // empty cells keep their previous centroid; dividend
+            // non-negative by the offset -> truncation == floor
+            if (cnt(s)(c) > 0L)
+              next(s)(c) = Array.tabulate(subDim)(i =>
+                sums(s)(c)(i) / cnt(s)(c) - Offset)
+            c += 1
+          }
+          s += 1
+        }
+        books = next
       }
-      books = next
-    }
-    books
+      books
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Map-only PQ encoding: one (id, sub, code) row per subspace — the
@@ -231,30 +303,16 @@ object Pq {
     val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    var books: Array[Array[Array[Long]]] = Array.tabulate(m)(s =>
+    val books: Array[Array[Array[Long]]] = Array.tabulate(m)(s =>
       seeds.map(v => Array.tabulate(subDim)(i => v(s * subDim + i))))
-    for (_ <- 1 to iters) {
-      val cb = new PqCodebook(subDim, books)
-      val sums = (0 until subDim).map(i =>
-        sum(element_at(col("__vm"), col("__sub") * subDim + i + 1) + lit(Offset))
-          .as(s"__s$i"))
-      val rows = corpusMicro
-        .select(col("__vm"),
-          posexplode(pq_encode(col("__vm"), cb)).as(Seq("__sub", "__cell")))
-        .groupBy(col("__sub"), col("__cell"))
-        .agg(count(lit(1)).as("__n"), sums: _*)
-        .collect()
-      val next = books.map(_.map(_.clone()))
-      rows.foreach { r =>
-        val s = r.getInt(0)
-        val cell = r.getLong(1).toInt
-        val n = r.getLong(2)
-        // dividend non-negative by the offset -> truncation == floor
-        next(s)(cell) = Array.tabulate(subDim)(i => r.getLong(i + 3) / n - Offset)
-      }
-      books = next
-    }
-    books
+    // Same RDD-fold as the float entry point, minus the quantization
+    // (the input is already micro longs). The computed __vm relation
+    // (residual join / permutation projection) runs ONCE into the
+    // persisted RDD instead of once per iteration.
+    foldTrainMicro(
+      corpusMicro.select(col("__vm")).queryExecution.toRdd
+        .map(_.getArray(0).toLongArray()),
+      books, m, k, subDim, iters)
   }
 
   /** Residual IVF-PQ serve (Faiss IVFADC): candidates come from the

@@ -759,11 +759,13 @@ object QualityModel {
     val w = Array.fill(dim)(0L)
     var b = 0L
     val out = Seq.newBuilder[(Array[Long], Long)]
+    val sc = labels.sparkSession.sparkContext
     for (_ <- 0 until iters) {
       // lazy checkpoint: the residual relation feeds BOTH the feature
       // gradient join and the bias sum below; without it the per-doc
       // margin aggregation would run twice per iteration (and with the
       // id-partitioned feats there is no exchange left to reuse)
+      val beforeIds = sc.getPersistentRDDs.keySet
       val resid = marginsMicro(feats, labels, w, b)
         .select(col("id"),
           (graft.functions.VectorFunctions.sigmoid_micro(col("m"))
@@ -789,6 +791,11 @@ object QualityModel {
         val delta = (if (g.signum >= 0) d else -d).toLong
         if (k < 0) b -= delta else w(k) -= delta
       }
+      // the residual checkpoint is fully consumed by the collect above;
+      // free its blocks NOW instead of accumulating iters checkpoints
+      // until a driver GC notices the dangling refs (ADVICE r16)
+      sc.getPersistentRDDs.filterNot { case (id, _) => beforeIds(id) }
+        .values.foreach(_.unpersist(blocking = false))
       out += ((w.clone(), b))
     }
     out.result()

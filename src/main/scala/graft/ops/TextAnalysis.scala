@@ -2423,6 +2423,13 @@ object TextAnalysis {
     // node id encodes (doc, sentence) in one long — 1000 sentences per
     // doc is the documented envelope (summarization inputs are
     // documents, not books; beyond it, chunk first)
+    // doc-partitioned EAGER checkpoint: the sentence token-set relation
+    // feeds BOTH sides of the pair join below — without it the whole
+    // tokenize + collect_set subtree ran twice (same-job consumers race
+    // a lazy checkpoint, the measured r16 rule), and re-keying each
+    // side (doc, node) → (doc) cost two more exchanges. Partitioning by
+    // doc before the checkpoint makes the self-join exchange-free
+    // (guide §2.4; localCheckpoint preserves physical partitioning).
     val sentToks = toksIn
       .select(col(idCol).cast("long").as("doc"),
         col("sent_idx").cast("long").as("idx"), col("tok"))
@@ -2432,15 +2439,24 @@ object TextAnalysis {
       .groupBy(col("doc"), col("node"))
       .agg(collect_set(col("tok")).as("__ts"))
       .withColumn("__nw", size(col("__ts")).cast("long"))
+      .repartition(col("doc"))
+      .localCheckpoint()
     // per-doc sentence-pair overlap via map-side array_intersect after
     // ONE equi-join on the doc key — the per-doc quadratic every
     // pairwise-sentence method carries, bounded by doc length, never
     // corpus-sized (and far fewer shuffles than a token-level
     // self-join: measured 6.4 s → ~3 s on the registry corpus)
-    val edges = sentToks.as("a")
+    // The symmetric edge set in ONE pass: the doc-keyed self-join
+    // enumerates every ORDERED pair (node ≠ nb) directly, so both
+    // directions come out of one join with one intersect each — the
+    // previous `node < nb` + union-of-reversed form computed the whole
+    // join + array_intersect subtree TWICE (once per union branch) for
+    // the same total intersect count. Weight is symmetric in (a, b),
+    // so the edge set is value-identical.
+    val sym = sentToks.as("a")
       .join(sentToks.select(col("doc"), col("node").as("__nb"),
         col("__ts").as("__tsb"), col("__nw").as("__nbw")), Seq("doc"))
-      .filter(col("node") < col("__nb"))
+      .filter(col("node") =!= col("__nb"))
       .select(col("node").as("src"), col("__nb").as("dst"),
         size(array_intersect(col("__ts"), col("__tsb"))).cast("long")
           .as("__ov"),
@@ -2448,8 +2464,6 @@ object TextAnalysis {
       .select(col("src"), col("dst"),
         expr("(2000000 * __ov) div (__na + __nbw)").as("weight"))
       .filter(col("weight") > 0)
-    val sym = edges.unionByName(edges.select(col("dst").as("src"),
-      col("src").as("dst"), col("weight")))
     val pr = Components.weightedPageRankLazy(sym, iters)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("pr").desc, col("sent_idx"))

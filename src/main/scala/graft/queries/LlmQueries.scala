@@ -265,7 +265,9 @@ object LlmQueries {
     * approximate neighborhood in one bucket equi-join, no cross
     * product. */
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraph(T.par(spark, T.t(spark, dir, "embeddings")), k = 3)
+    // parCpu: per-vector hash projections + multiprobe (r17: 2.7 s at
+    // width 1 vs 0.9 s full width)
+    Similarity.knnGraph(T.parCpu(spark, T.t(spark, dir, "embeddings")), k = 3)
       .orderBy(col("vec_id"), col("rank"))
 
   /** ODIN outliers: kNN-graph in-degree ≤ 1 flags isolated embeddings

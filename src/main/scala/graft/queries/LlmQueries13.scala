@@ -193,7 +193,9 @@ object LlmQueries13 {
     * steps — so per-doc piece counts, scores, and fertility match
     * bit-for-bit. */
   def textUnigramSegment(spark: SparkSession, dir: String): DataFrame = {
-    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    // parCpu: per-chunk Viterbi DP — CPU dwarfs bytes (r17: 4.5 s at
+    // width 1 vs 1.4 s full width)
+    val docs = T.parCpu(spark, T.t(spark, dir, "documents"))
     val vocab = graft.ops.TextAnalysis.trainUnigramVocab(docs)
     graft.ops.TextAnalysis.unigramSegmentStats(docs, vocab)
       .orderBy(col("doc_id"))

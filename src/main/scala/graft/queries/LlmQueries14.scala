@@ -34,7 +34,9 @@ object LlmQueries14 {
     * longest matching piece — so per-doc piece/UNK counts and fertility
     * match bit-for-bit. */
   def textWordpieceSegment(spark: SparkSession, dir: String): DataFrame = {
-    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    // parCpu: per-chunk greedy longest-match walk — CPU dwarfs bytes
+    // (r17: 5.6 s at width 1 vs 2.1 s full width)
+    val docs = T.parCpu(spark, T.t(spark, dir, "documents"))
     val vocab = graft.ops.TextAnalysis.trainWordPieceVocab(docs)
     graft.ops.TextAnalysis.wordPieceSegmentStats(docs, vocab)
       .orderBy(col("doc_id"))
@@ -347,8 +349,9 @@ object LlmQueries14 {
     * c³-per-clique wedges would not be. */
   def graphKtruss(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Components.kTruss(
+        // parCpu: knnGraph hash projections (see sim_knn_graph)
         graft.ops.Similarity.knnGraph(
-            T.par(spark, T.t(spark, dir, "embeddings")), k = 3)
+            T.parCpu(spark, T.t(spark, dir, "embeddings")), k = 3)
           .select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b")),
         k = 3, sweeps = 3)
       .orderBy(col("id_a"), col("id_b"))

@@ -53,7 +53,9 @@ object LlmQueries16 {
     * fidelity ladder: bloom gate → n-gram Jaccard/containment → EXACT
     * substring. */
   def deconExactSubstring(spark: SparkSession, dir: String): DataFrame = {
-    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    // parCpu: md5-per-character-window (windowHashes) — bytes are the
+    // wrong cost proxy (r17 measured: width-1 ran 6.1 s vs 2.0 s full)
+    val docs = T.parCpu(spark, T.t(spark, dir, "documents"))
     graft.ops.Dedup.exactSubstringContamination(
         docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
         minLen = 30)
@@ -68,7 +70,8 @@ object LlmQueries16 {
     * `sim_ivf_shuffled_topk` differential-twin discipline, here
     * pinning that the map-side-reduction plan is value-neutral. */
   def deconExactSubstringBloom(spark: SparkSession, dir: String): DataFrame = {
-    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    // parCpu: same windowHashes kernel as the plain twin
+    val docs = T.parCpu(spark, T.t(spark, dir, "documents"))
     graft.ops.Dedup.exactSubstringContamination(
         docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
         minLen = 30, bloomGate = true)

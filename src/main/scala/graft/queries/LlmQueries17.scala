@@ -31,7 +31,8 @@ object LlmQueries17 {
     * DedupSpec, and PlanSpec pins that a parquet-backed probe never
     * scans a train document. */
   def deconSubstringLedger(spark: SparkSession, dir: String): DataFrame = {
-    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    // parCpu: windowHashes (md5 per character window), twice over
+    val docs = T.parCpu(spark, T.t(spark, dir, "documents"))
     val snapA = docs.filter(col("doc_id") >= 50 && col("doc_id") % 2 === 0)
     val snapB = docs.filter(col("doc_id") >= 50 && col("doc_id") % 2 === 1)
     val ledger = graft.ops.Dedup.substringWindowLedger(snapA, minLen = 40)
@@ -76,7 +77,8 @@ object LlmQueries17 {
     * family replay. */
   def dedupSubstringTokens(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.exactSubstringSpansTokens(
-        T.par(spark, T.t(spark, dir, "documents")), minLen = 6)
+        // parCpu: token-window hash kernel (windowHashes family)
+        T.parCpu(spark, T.t(spark, dir, "documents")), minLen = 6)
       .orderBy(col("doc_id"), col("span_start"))
 
   /** Optimal repeat allocation under a 3M-char total budget
@@ -98,7 +100,8 @@ object LlmQueries17 {
     * benchmark slice probed against the doc_id ≥ 50 train corpus in
     * word units, twin to `decon_exact_substring`'s character form. */
   def deconSubstringTokens(spark: SparkSession, dir: String): DataFrame = {
-    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    // parCpu: token-window hash kernel (windowHashes family)
+    val docs = T.parCpu(spark, T.t(spark, dir, "documents"))
     graft.ops.Dedup.exactSubstringContaminationTokens(
         docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
         minLen = 8)

@@ -40,7 +40,9 @@ object LlmQueries4 {
     * from the labeled doc_id<250 slice, every document scored by
     * out-of-place distance ([[TextAnalysis.ctLangPredict]]). */
   def textCtLangid(spark: SparkSession, dir: String): DataFrame = {
-    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    // parCpu: char-trigram profile scoring per doc — the registry's
+    // worst byte-to-CPU ratio (r17: 9.6 s at width 1 vs 2.1 s full)
+    val docs = T.parCpu(spark, T.t(spark, dir, "documents"))
     TextAnalysis.ctLangPredict(docs, docs.filter(col("doc_id") < 250))
       .orderBy(col("doc_id"))
   }

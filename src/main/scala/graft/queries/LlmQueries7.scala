@@ -67,7 +67,8 @@ object LlmQueries7 {
     * watermark; this replay is the unexpired-watermark case, per-key
     * first-arrival over the whole slice. */
   def streamingSigDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = T.par(spark, T.t(spark, dir, "documents"))
+    // parCpu: md5 signature over every doc's normalized text
+    val docs = T.parCpu(spark, T.t(spark, dir, "documents"))
     val w = Window.partitionBy(col("sig_key")).orderBy(col("doc_id"))
     docs
       .select(col("doc_id"), Dedup.signatureKey(col("text"), 8).as("sig_key"))

@@ -508,16 +508,27 @@ object LlmQueries8 {
     * final_keep is their conjunction and kept_tokens counts only
     * surviving docs' post-line-dedup tokens. */
   def pipelineWebCuration(spark: SparkSession, dir: String): DataFrame = {
+    // ONE corpus scan: five stage verdicts consume `docs`, and without a
+    // materialization each re-ran the scan + fixture projection (r16
+    // driver: 31 overlapping jobs, 5 corpus scans, worst scaling ratio
+    // of the registry). EAGER checkpoint per the measured r16 rule —
+    // the consumers land in the same downstream job and would race a
+    // lazy checkpoint into N scans (guide §1.2/§5).
     val docs = T.par(spark, T.t(spark, dir, "documents"))
       .select(col("doc_id"), col("text"),
         urlFixture(col("doc_id")).as("url"))
+      .localCheckpoint()
     val urlKeep = UrlOps.urlDedup(docs, "url", "doc_id")
       .select(col("doc_id"), col("is_canonical").as("url_keep"))
+    // `lines` feeds BOTH the blocklist stage and the final join; without
+    // a materialization the whole lineDedup subtree (sentence freq agg,
+    // drop join, per-doc reassembly) ran twice. Same eager rule.
     val lines = Dedup.lineDedup(
         docs.select(col("doc_id"),
           concat(col("text"), lit(Boilerplate)).as("text")),
         minOccurrences = 3)
       .select(col("doc_id"), col("n_dropped"), col("kept_text"))
+      .localCheckpoint()
     val block = TextAnalysis.blocklistFilter(
         lines.select(col("doc_id"), col("kept_text").as("text")),
         Seq("slow", "big", "hash", "merge"), maxFracMicro = 100000L)

@@ -90,7 +90,8 @@ object LlmQueries9 {
     * a content blocker composed in front of the same verify join. */
   def dedupEditPairs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.editDistancePairs(
-        T.par(spark, T.t(spark, dir, "documents").filter(col("doc_id") < 2000)),
+        // parCpu: banded-Levenshtein verify — O(len·d) cells per pair
+        T.parCpu(spark, T.t(spark, dir, "documents").filter(col("doc_id") < 2000)),
         maxDist = 24, bucketWidth = 32)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -104,7 +105,9 @@ object LlmQueries9 {
     * this fixture) while provably missing nothing. */
   def dedupEditPassjoin(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.editPassJoinPairs(
-        T.par(spark, T.t(spark, dir, "documents").filter(col("doc_id") < 2000)),
+        // parCpu: segment probes + Levenshtein verify (r17: 3.5 s at
+        // width 1 vs 0.9 s full width)
+        T.parCpu(spark, T.t(spark, dir, "documents").filter(col("doc_id") < 2000)),
         maxDist = 8)
       .orderBy(col("id_a"), col("id_b"))
 

@@ -63,7 +63,9 @@ object ParityQueries {
           .otherwise("Accepted publickey for deploy from"),
         addrCol,
         col("event_id")).as("value"))
-      .transform(df => T.par(spark, df))
+      // parCpu: regex capture-group parse per line — CPU-bound at any
+      // byte volume (r17: takuan_ssh_pipeline 5.1 s at width 1 vs 0.9 s)
+      .transform(df => T.parCpu(spark, df))
 
   // ---------------------------------------------------------------- queries
 

@@ -137,7 +137,10 @@ object SharedRels {
     * trains against (the `quality_pr_curve` convention). Not cached —
     * it is one projection over the table scan. */
   def labeledDocs(spark: SparkSession, dir: String): DataFrame =
-    T.par(spark, T.t(spark, dir, "documents"))
+    // parCpu: feeds hashedFeatures (tokenize + hash per token) for the
+    // whole GD family (r17: value_datainf_panel 4.7 s at width 9 vs
+    // 3.3 s full width)
+    T.parCpu(spark, T.t(spark, dir, "documents"))
       .withColumn("label", (col("lang") === "en").cast("int"))
 
   /** The shared exact-GD epoch relation over [[labeledDocs]]
@@ -181,7 +184,8 @@ object SharedRels {
   def exactSubstrSpans30(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "exactSubstrSpans30") {
       Dedup.exactSubstringSpans(
-        T.par(spark, T.t(spark, dir, "documents")), minLen = 30)
+        // parCpu: windowHashes kernel (see deconExactSubstring)
+        T.parCpu(spark, T.t(spark, dir, "documents")), minLen = 30)
     }
 
   // ---- trained-artifact fixtures (driver values; the memoVal layer) ----

@@ -86,10 +86,15 @@ object Artifacts {
     // relations are model-sized (bounded by the training slice's n-gram
     // vocabulary, single-digit MB), so each writes as ONE file — the
     // inherited input partitioning otherwise sprays ~32 tiny files per
-    // table and every later serve pays the per-file open cost
-    c3.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/c3")
-    c23.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/c23")
-    c1.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/c1")
+    // table and every later serve pays the per-file open cost.
+    // repartition(1), NOT coalesce(1): coalesce collapses the upstream
+    // count aggregation into the single writer task, silently
+    // serializing the whole reduce side on a larger training slice;
+    // the one-partition shuffle of a model-sized table is noise
+    // (ADVICE r16).
+    c3.repartition(1).write.mode(SaveMode.Overwrite).parquet(s"$path/c3")
+    c23.repartition(1).write.mode(SaveMode.Overwrite).parquet(s"$path/c23")
+    c1.repartition(1).write.mode(SaveMode.Overwrite).parquet(s"$path/c1")
   }
 
   def loadLmCounts(spark: SparkSession, path: String):
